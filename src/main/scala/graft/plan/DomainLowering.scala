@@ -1,0 +1,152 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import graft.dsl.Domain
+import graft.dsl.Domain._
+
+/** Lowers a [[Domain]] pattern to a flat *bindings DataFrame*: one column
+  * per bound variable, one row per binding tuple (reference semantics:
+  * "iterate every leaf binding tuple", `README.md:168-181`; SURVEY.md §2
+  * O5-O15).
+  *
+  * Where-clauses get the reference's earliest-placement optimization
+  * (`parse_domain.cljc:195-207`): each conjunct is applied as soon as all
+  * the variables it references are bound, so non-matching subtrees are
+  * pruned before deeper explodes. Catalyst's PushDownPredicates would
+  * re-derive most of this, but emitting filters early keeps plans small
+  * and lets predicates reach the parquet scan before any Generate blocks
+  * them.
+  *
+  * Scale notes (100 TB): every step here is a narrow transformation —
+  * explode / project / filter — with NO shuffle; the whole lowered domain
+  * pipeline runs inside one whole-stage-codegen span per input partition.
+  * Shuffles appear only in RangeLowering's groupBys.
+  */
+object DomainLowering {
+
+  private final case class Where(vars: Set[String], cond: Column)
+
+  /** Column names a (possibly unresolved) predicate references. */
+  private def refs(c: Column): Set[String] =
+    org.apache.spark.sql.graftbridge.ColumnBridge.catalystExpr(c).collect {
+      case a: UnresolvedAttribute => a.name
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+    }.toSet
+
+  /** Lower `domain` against `input`, applying `where` conjuncts at the
+    * earliest step where their variables are all bound. Returns a
+    * DataFrame whose columns are exactly the bound variable names.
+    *
+    * Root convention: a 1-pattern Vec/SetOf at the root consumes the
+    * DataFrame's own rows (flat table ≅ vector-of-maps, the reference's
+    * motivating case, `README.md:24`); any other root pattern applies to
+    * each row's single `value` column (a DataFrame of whole nested
+    * structures — per-row results deep-merge via the range's groupBys).
+    */
+  def lower(input: DataFrame, domain: Domain, where: Seq[Column]): DataFrame = {
+    val st = new State(input, where.map(c => Where(refs(c), c)))
+    val rootValue =
+      if (input.columns.sameElements(Array("value"))) col("value")
+      else struct(input.columns.toIndexedSeq.map(col): _*)
+    domain match {
+      case Vec(Seq(p)) => st.step(rootValue, p)
+      case SetOf(p)    => st.step(rootValue, p)
+      case Vec(ps) if ps.size > 1 =>
+        throw new IllegalArgumentException(
+          "n-at-a-time chunking at the root requires an explicit array " +
+          "column (tables are unordered); nest Vec(n) under an array binding")
+      case d => st.step(rootValue, d)
+    }
+    st.finish()
+  }
+
+  /** Mutable single-pass lowering state: the growing DataFrame, the set of
+    * bound names, and the not-yet-applicable where conjuncts. */
+  private final class State(var df: DataFrame, var pending: Seq[Where]) {
+    private var env: Set[String] = Set.empty
+    private var n = 0
+    private def fresh(): String = { n += 1; s"__g$n" }
+
+    private def dataTypeOf(c: Column): DataType =
+      df.select(c).schema.head.dataType
+
+    /** Add a binding column and fire any newly-satisfiable predicates. */
+    private def bind(name: String, value: Column): Unit = {
+      require(!env.contains(name), s"duplicate binding '$name' in domain")
+      df = df.withColumn(name, value)
+      env += name
+      val (ready, rest) = pending.partition(_.vars.subsetOf(env))
+      pending = rest
+      ready.foreach(w => df = df.filter(w.cond))
+    }
+
+    def step(value: Column, d: Domain): Unit = d match {
+      case Leaf(name) => bind(name, value)
+
+      case As(name, inner) =>
+        bind(name, value)
+        step(col(name), inner)
+
+      case SetOf(p) => step(value, Vec(Seq(p)))
+
+      case Vec(Seq(p)) =>
+        val c = fresh()
+        df = df.withColumn(c, explode(value))
+        step(col(c), p)
+
+      case Vec(ps) => // n-at-a-time chunking (reference O8)
+        val k = ps.size
+        val nChunks = ceil(size(value) / lit(k.toDouble)).cast(IntegerType)
+        val chunkIdx = fresh()
+        df = df.withColumn(
+          chunkIdx,
+          explode(when(size(value) > 0, sequence(lit(0), nChunks - 1))
+            .otherwise(lit(Array.empty[Int]))))
+        ps.zipWithIndex.foreach { case (p, j) =>
+          // 1-based try_element_at: the partial tail chunk binds nulls
+          // (matches reference `test/core.clj:101`).
+          step(try_element_at(value, col(chunkIdx) * k + lit(j + 1)), p)
+        }
+
+      case Entries(entries) =>
+        val dt = dataTypeOf(value)
+        entries.foreach {
+          case (KField(f), sub) =>
+            dt match {
+              case _: MapType => step(try_element_at(value, lit(f)), sub)
+              case _          => step(value.getField(f), sub)
+            }
+          case (KExpr(kc), sub) =>
+            step(try_element_at(value, kc), sub)
+          case (KAll(kp), sub) =>
+            // Iterate all entries. Sibling KAll entries each explode the
+            // same collection → the implicit self cross-join (O14).
+            val e = fresh()
+            dt match {
+              case _: MapType =>
+                df = df.withColumn(e, explode(map_entries(value)))
+                step(col(e).getField("key"), kp)
+                step(col(e).getField("value"), sub)
+              case ArrayType(StructType(fs), _)
+                  if fs.map(_.name).sameElements(Array("key", "value")) =>
+                df = df.withColumn(e, explode(value))
+                step(col(e).getField("key"), kp)
+                step(col(e).getField("value"), sub)
+              case other =>
+                throw new IllegalArgumentException(
+                  s"KAll over non-map type $other")
+            }
+        }
+    }
+
+    def finish(): DataFrame = {
+      // Any leftover predicate references a never-bound name — surface the
+      // analysis error rather than silently dropping the filter.
+      pending.foreach(w => df = df.filter(w.cond))
+      df.select(env.toSeq.sorted.map(col): _*)
+    }
+  }
+}

@@ -1,0 +1,137 @@
+package graft.plan
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.dsl.Range
+import graft.dsl.Range._
+
+/** Lowers a [[Range]] template over a bindings DataFrame (reference
+  * `parse_range.cljc:193-229`; SURVEY.md §2 O16-O23).
+  *
+  * Strategy: map ranges are groupBy ladders built innermost-first; nested
+  * maps are re-assembled as MapType columns with
+  * `map_from_entries(sort_array(collect_list(struct(k, v))))`. The
+  * outermost consecutive RMaps are *peeled* into plain key columns so a
+  * transform's top-level result is a relational table (the Spark-idiomatic
+  * reading of "the result is one big map"); `lowerNested` keeps them as a
+  * single map value instead for strict shape parity.
+  *
+  * Deep-merge (reference `parse_range.cljc:33-57`) = grouping: colliding
+  * collections concatenate (collect over all tuples of the group), scalars
+  * are LWW (any_value). RStruct fields that are all simple aggregates
+  * compile into ONE groupBy.agg — a single shuffle with partial (map-side)
+  * aggregation; only nested-RMap fields need their own agg subplan, which
+  * are then joined back by group key (the multi-granularity case,
+  * SURVEY.md §7.4).
+  */
+object RangeLowering {
+
+  /** Relational (peeled) lowering — the default surface. */
+  def lower(bindings: DataFrame, range: Range): DataFrame = range match {
+    case RRows(cols) =>
+      bindings.select(cols.map { case (n, c) => c.as(n) }: _*)
+    case RRowsDistinct(cols) =>
+      bindings.select(cols.map { case (n, c) => c.as(n) }: _*).distinct()
+    case r =>
+      val (keys, inner) = peel(r, Nil)
+      inner match {
+        case RStruct(fields) if fields.nonEmpty =>
+          flattenStruct(bindings, keys, fields)
+        case other =>
+          aggregate(bindings, keys, other, "value")
+      }
+  }
+
+  /** Strict-shape lowering: the whole result as one row / one `value`
+    * column (nested maps all the way up), for parity tests. */
+  def lowerNested(bindings: DataFrame, range: Range): DataFrame =
+    range match {
+      case RRows(cols) => lower(bindings, RRows(cols))
+      case RRowsDistinct(cols) => lower(bindings, RRowsDistinct(cols))
+      case r => aggregate(bindings, Nil, r, "value")
+    }
+
+  /** Peel outermost consecutive computed-key maps into key columns,
+    * keeping user-visible names: an explicit alias or plain column
+    * reference names the key column; computed keys default to keyN. */
+  private def peel(r: Range, acc: List[(String, Column)])
+      : (Seq[(String, Column)], Range) = r match {
+    case RMap(k, v) =>
+      peel(v, (keyName(k, s"key${acc.size + 1}"), k) :: acc)
+    case other => (acc.reverse, other)
+  }
+
+  private def keyName(c: Column, default: String): String =
+    org.apache.spark.sql.graftbridge.ColumnBridge.refName(c).getOrElse(default)
+
+  /** A range that lowers to a single aggregate expression (no further
+    * grouping below this level). */
+  private def simpleAgg(r: Range): Option[Column] = r match {
+    case RList(e, false) => Some(collect_list(e))
+    case RList(e, true)  => Some(sort_array(collect_list(e)))
+    case RSet(e)         => Some(sort_array(collect_set(e)))
+    case RScalar(e)      => Some(any_value(e))
+    case RAgg(e)         => Some(e)
+    case _               => None
+  }
+
+  /** Lower `r` grouped by `keys`; result has the key columns plus one
+    * `as`-named value column. */
+  private def aggregate(df: DataFrame, keys: Seq[(String, Column)],
+                        r: Range, as: String): DataFrame = {
+    val keyCols = keys.map { case (n, c) => c.as(n) }
+    val keyNames = keys.map(_._1)
+    simpleAgg(r) match {
+      case Some(agg) =>
+        df.groupBy(keyCols: _*).agg(agg.as(as))
+      case None => r match {
+        case RMap(k, v) =>
+          val kn = s"${as}__k"
+          val inner = aggregate(df, keys :+ (kn -> k), v, as)
+          // group back up one level: entries → sorted map
+          inner
+            .groupBy(keyNames.map(col): _*)
+            .agg(map_from_entries(
+              sort_array(collect_list(struct(col(kn), col(as))))).as(as))
+        case RStruct(fields) =>
+          val flat = flattenStruct(df, keys, fields)
+          flat.select(
+            keyNames.map(col) :+
+              struct(fields.map { case (n, _) => col(n) }: _*).as(as): _*)
+        case other =>
+          throw new IllegalArgumentException(s"cannot aggregate $other")
+      }
+    }
+  }
+
+  /** Lower an RStruct's fields as sibling columns at one grouping level.
+    * All-simple fields → one groupBy.agg (single shuffle). Nested-map
+    * fields become their own agg subplan joined back on the group keys —
+    * the reference's one-pass multi-granularity emulated with N subplans
+    * over one cached scan (SURVEY.md §4.3). */
+  private def flattenStruct(df: DataFrame, keys: Seq[(String, Column)],
+                            fields: Seq[(String, Range)]): DataFrame = {
+    val keyCols = keys.map { case (n, c) => c.as(n) }
+    val keyNames = keys.map(_._1)
+    val (simple, complex) = fields.partition(f => simpleAgg(f._2).isDefined)
+
+    val base: Option[DataFrame] =
+      if (simple.nonEmpty)
+        Some(df.groupBy(keyCols: _*)
+          .agg(simpleAgg(simple.head._2).get.as(simple.head._1),
+               simple.tail.map { case (n, r) => simpleAgg(r).get.as(n) }: _*))
+      else None
+
+    val complexDfs = complex.map { case (n, r) =>
+      aggregate(df, keys, r, n)
+    }
+
+    val parts = base.toSeq ++ complexDfs
+    val joined = parts.reduce { (a, b) =>
+      if (keyNames.isEmpty) a.crossJoin(b)
+      else a.join(b, keyNames, "full_outer")
+    }
+    // preserve declared field order
+    joined.select(keyNames.map(col) ++ fields.map(f => col(f._1)): _*)
+  }
+}
