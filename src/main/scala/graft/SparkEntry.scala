@@ -178,12 +178,276 @@ object SparkEntry {
             "by_status" -> RMap(col("l_linestatus"),
               RAgg(round(avg(col("l_quantity")), 4)))))))
         .orderBy("l_returnflag")
+    }),
+
+    // ---- LLM-pipeline extension tier (SURVEY.md §7.3 step 9) ----------
+
+    // Exact dedup: deterministic keep-first by 8-token prefix key.
+    "q20_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.exactKeepFirst(d,
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)), col("doc_id"))
+        .orderBy("kept")
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs via inverted shingle index
+    // (no all-pairs compare; shuffles only on shingle keys).
+    "q21_jaccard_pairs" -> ((s, dir) => {
+      graft.ops.Dedup.jaccardPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), tau = 0.6)
+        .orderBy("id1", "id2")
+    }),
+
+    // MinHash+LSH near-dup: banded candidate generation + exact verify.
+    // Same oracle as q21 — at the corpus's jaccard levels (>=0.9) the
+    // 32x4 banding misses a true pair with probability < 1e-14.
+    "q22_minhash_lsh" -> ((s, dir) => {
+      graft.ops.Dedup.minhashLshPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), tau = 0.6)
+        .orderBy("id1", "id2")
+    }),
+
+    // SimHash near-dup candidates (4x16-bit bands), exact-verified.
+    // No SQL oracle (hash-dependent recall) — rows-only check; the
+    // dedup spec asserts q23 ⊆ q21 and catches the planted dups.
+    "q23_simhash_dup" -> ((s, dir) => {
+      graft.ops.Dedup.simhashPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), tau = 0.6)
+        .orderBy("id1", "id2")
+    }),
+
+    // Brute-force exact ANN baseline: top-5 cosine neighbors for the
+    // first 10 vectors (query side broadcast, corpus streamed).
+    "q24_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.bruteForceTopK(
+          e, e.filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"),
+          col("vec_id"), col("embedding"), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // Language ID: marker-word frequency argmax (formula mirrored in SQL).
+    "q25_langid" -> ((s, dir) => {
+      graft.ops.TextAnalysis.langIdOf(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Quality scoring: token stats + composite score.
+    "q26_quality" -> ((s, dir) => {
+      graft.ops.TextAnalysis.quality(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Rolling-hash document fingerprint (portable modular polynomial).
+    "q27_fingerprint" -> ((s, dir) => {
+      graft.ops.TextAnalysis.fingerprints(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Embedding near-dup pairs above cosine 0.4 (exact baseline; LSH
+    // variant covered in the similarity spec against this same truth).
+    "q28_embedding_pairs" -> ((s, dir) => {
+      graft.ops.Dedup.embeddingPairs(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), tau = 0.4)
+        .orderBy("id1", "id2")
+    }),
+
+    // Corpus token frequency, top 50 (tie-broken).
+    "q29_token_freq" -> ((s, dir) => {
+      graft.ops.TextAnalysis.tokenFrequency(t(s, dir, "documents"),
+          col("text"), topN = 50)
+    }),
+
+    // Tumbling 1-hour window aggregation over events (batch form of the
+    // streaming query in graft.streaming).
+    "q30_window_hourly" -> ((s, dir) => {
+      graft.ops.Events.tumbling(t(s, dir, "events"), col("ts"), "1 hour")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+                  .as("window_start"),
+                col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    }),
+
+    // Gap-based sessionization (30 min) → per-user session stats.
+    "q31_sessions" -> ((s, dir) => {
+      graft.ops.Events.sessionStats(t(s, dir, "events"),
+          col("user_id"), col("ts"), gapSeconds = 1800)
+        .orderBy("user_id")
+    }),
+
+    // Top-k per group via ranking window (extension surface: window fns).
+    "q32_topk_orders" -> ((s, dir) => {
+      graft.ops.Relational.topKPerGroup(t(s, dir, "orders"),
+          Seq(col("o_orderstatus")),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 3)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderstatus"), col("o_totalprice").desc,
+                 col("o_orderkey"))
+    }),
+
+    // Rollup (multi-granularity grouping sets in ONE pass — the scalable
+    // form of the reference's multi-level aggregation).
+    "q33_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+                coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+                col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    }),
+
+    // Broadcast-dimension equi-join (star-schema enrichment).
+    "q40_join_enrich" -> ((s, dir) => {
+      graft.ops.Relational.joinDim(
+          t(s, dir, "orders"), t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+             round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("segment")
     })
   )
+
+  /** Shared oracle text: exact shingle-Jaccard pair discovery (used by
+    * both the exact q21 and the LSH-accelerated q22 — the LSH variant is
+    * exact-verified and loses no pairs at this corpus's jaccard levels). */
+  private val jaccardPairsSql: String =
+    """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       sh AS (SELECT doc_id, list_distinct(
+                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 FOR i IN range(1, len(ws)-1)]) AS shingles FROM tkn),
+       ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+       pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
+                        any_value(a.n) AS na, any_value(b.n) AS nb
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+       SELECT id1, id2, round(co*1.0/(na+nb-co), 4) AS jaccard FROM pairs
+       WHERE co*1.0/(na+nb-co) >= 0.6 ORDER BY 1, 2"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT array_to_string(list_slice(string_split(text,' '), 1, 8), ' ')
+           AS dedup_key,
+         min(doc_id) AS kept
+         FROM documents GROUP BY 1 ORDER BY 2""",
+    "q21_jaccard_pairs" -> jaccardPairsSql,
+    "q22_minhash_lsh" -> jaccardPairsSql,
+    "q24_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+                    FROM embeddings WHERE vec_id < 10),
+            e AS (SELECT vec_id AS nbr, embedding::DOUBLE[] AS v
+                    FROM embeddings),
+            sc AS (SELECT qid, nbr,
+                     round(list_cosine_similarity(qv, v), 6) AS score
+                   FROM q, e WHERE nbr != qid),
+            r AS (SELECT qid, nbr, score,
+                    CAST(row_number() OVER
+                      (PARTITION BY qid ORDER BY score DESC, nbr)
+                      AS INTEGER) AS rank
+                  FROM sc)
+         SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
+         ORDER BY qid, rank""",
+    "q25_langid" ->
+      """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         sc AS (SELECT doc_id,
+           CAST(len(list_filter(ws, t -> t IN ('the','a','of','and','to','in'))) AS INTEGER) AS s_en,
+           CAST(len(list_filter(ws, t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS s_de,
+           CAST(len(list_filter(ws, t -> t IN ('le','la','les','et','est'))) AS INTEGER) AS s_fr,
+           CAST(len(list_filter(ws, t -> t IN ('el','los','las','y','es'))) AS INTEGER) AS s_es
+          FROM tkn)
+         SELECT doc_id,
+           CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'unknown'
+                WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+                WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+                WHEN s_es = greatest(s_en,s_de,s_fr,s_es) THEN 'es'
+                ELSE 'unknown' END AS pred_lang,
+           s_en, s_de, s_fr, s_es
+         FROM sc ORDER BY doc_id""",
+    "q26_quality" ->
+      """WITH tkn AS (SELECT doc_id, text, string_split(text,' ') AS ws
+                      FROM documents),
+         c AS (SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           len(list_distinct(ws))*1.0/len(ws) AS uniq,
+           len(list_filter(ws, t -> t IN ('the','a','of','and','to','in')))*1.0/len(ws) AS stop,
+           least(len(ws)/100.0, 1.0) AS lenf
+          FROM tkn)
+         SELECT doc_id, n_tokens, n_chars,
+           CAST(floor(uniq*10000.0 + 0.5) AS BIGINT) AS uniq_x1e4,
+           CAST(floor(stop*10000.0 + 0.5) AS BIGINT) AS stop_x1e4,
+           CAST(floor((uniq*0.5 + lenf*0.3 + stop*0.2)*10000.0 + 0.5) AS BIGINT)
+             AS quality_x1e4
+         FROM c ORDER BY doc_id""",
+    "q27_fingerprint" ->
+      """SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(7 AS BIGINT),
+             [CAST(31*length(t) + ascii(substr(t,1,1)) AS BIGINT)
+              FOR t IN string_split(text,' ')]),
+           (acc, x) -> (acc*31 + x) % 2147483647) AS fp
+         FROM documents ORDER BY 1""",
+    "q28_embedding_pairs" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+         round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]), 6) AS cos
+         FROM embeddings a, embeddings b
+         WHERE a.vec_id < b.vec_id
+           AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                      b.embedding::DOUBLE[]) >= 0.4
+         ORDER BY 1, 2""",
+    "q29_token_freq" ->
+      """SELECT w AS token, count(*) AS freq
+         FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+         GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 50""",
+    "q30_window_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q31_sessions" ->
+      """WITH x AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1
+                WHEN CAST(epoch(ts) AS BIGINT) -
+                     CAST(epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts)) AS BIGINT) > 1800
+                  THEN 1
+                ELSE 0 END AS ns
+           FROM events),
+         y AS (SELECT user_id,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM x)
+         SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM y GROUP BY 1 ORDER BY 1""",
+    "q32_topk_orders" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_orderstatus
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders)
+         SELECT o_orderstatus, o_orderkey, o_totalprice FROM r
+         WHERE rn <= 3 ORDER BY 1, 3 DESC, 2""",
+    "q33_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS rf,
+                coalesce(l_linestatus, '(all)') AS ls,
+                count(*) AS n, round(sum(l_quantity), 2) AS qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY 1, 2""",
+    "q40_join_enrich" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1 ORDER BY 1""",
     "q01_flagship_agg" ->
       """SELECT l_returnflag, l_linestatus,
          count(DISTINCT l_orderkey) AS n_orders,

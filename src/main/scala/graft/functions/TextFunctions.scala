@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline column functions (pure `org.apache.spark.sql.functions`
+  * compositions — codegen'd, no UDFs, so whole-stage codegen and column
+  * pruning survive; the 100 TB hot path stays vectorized).
+  *
+  * Every function here is paired with an equivalent DuckDB SQL formula in
+  * SparkEntry.oracleSql, so formulas are chosen to be portable: plain
+  * splits, ASCII arithmetic, explicit modular rolling hashes.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. Single-space split for exact oracle parity with
+    * DuckDB's string_split(text, ' '). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles (MinHash/Jaccard feature set). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = tokens(text)
+    array_distinct(
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j + 1))): _*)))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(array_union(a, b)).cast("double"))
+  }
+
+  /** MinHash signature: h minima of per-seed murmur3 over the shingle
+    * set. Deterministic (Spark's hash() is seedless murmur3 over the
+    * value plus our seed column). O(|shingles| * h) per row, no shuffle. */
+  def minhashSignature(shingleSet: Column, h: Int = 128): Column =
+    transform(sequence(lit(0), lit(h - 1)), i =>
+      array_min(transform(shingleSet, s => hash(s, i))))
+
+  /** LSH band keys for a minhash signature: `bands` structs of
+    * (band index, hash of the signature slice). Docs sharing any band
+    * key are near-dup candidates. */
+  def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+             hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
+
+  private val bitLit: Column =
+    typedlit((0 until 64).map(j => 1L << j))
+
+  /** 64-bit SimHash over a feature array. Per-bit votes via ±1
+    * contributions of each feature's xxhash64, assembled with bitwise OR
+    * (no ANSI overflow, unlike summing 2^63). */
+  def simhash64(features: Column): Column = {
+    val votes = aggregate(
+      features,
+      array_repeat(lit(0L), 64),
+      (acc, f) => {
+        val h = xxhash64(f)
+        zip_with(acc, bitLit, (a, p) =>
+          a + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, bitLit, (v, p) => when(v > 0, p).otherwise(0L)),
+      lit(0L),
+      (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** 16-bit band of a 64-bit simhash (4 bands; two near-dups within
+    * hamming distance 3 agree on at least one band). */
+  def simhashBand(sim: Column, band: Int): Column =
+    shiftright(sim, band * 16).bitwiseAND(lit(0xFFFFL))
+
+  /** Portable per-token hash: 31*len + ascii(first char). Matches the
+    * DuckDB oracle formula exactly. */
+  private def tokenHash(t: Column): Column =
+    lit(31L) * length(t) + ascii(substring(t, 1, 1))
+
+  /** Rolling polynomial document fingerprint over tokens,
+    * fold((acc*31 + tokenHash) mod 2^31-1) from 7. */
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(7L),
+      (acc, t) => (acc * 31L + tokenHash(t)) % 2147483647L)
+
+  /** Language marker-word hit counts (counts, not distinct — frequency
+    * matters). SQL-portable: a filter over tokens. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  def langScore(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(langMarkers(lang))))
+
+  /** Heuristic language ID: argmax of marker-word counts, fixed priority
+    * order en>de>fr>es on ties, 'unknown' when all zero. */
+  def langId(toks: Column): Column = {
+    val s = Seq("en", "de", "fr", "es").map(l => l -> langScore(toks, l))
+    val best = greatest(s.map(_._2): _*)
+    s.foldLeft(when(best === 0, "unknown")) { case (acc, (l, sc)) =>
+      acc.when(sc === best, l)
+    }.otherwise("unknown")
+  }
+}

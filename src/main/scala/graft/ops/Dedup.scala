@@ -1,0 +1,115 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for large-scale corpus pipelines.
+  *
+  * Scale design (100 TB): everything here is built on
+  * shuffle-on-a-derived-key + partial aggregation — never a crossJoin of
+  * the corpus with itself. Exact dedup shuffles once on the dedup key;
+  * the near-dup variants shuffle on shingle / band / simhash-band keys so
+  * only genuinely-colliding documents ever meet. Hot keys (stop-shingles)
+  * are the skew risk — AQE skew-join splitting handles moderate skew, and
+  * `maxShingleFreq` drops degenerate ubiquitous shingles entirely (a
+  * standard trick: a shingle shared by >N docs identifies nothing).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest `order` value per `key`. One shuffle
+    * with map-side partial min. Deterministic (unlike dropDuplicates,
+    * which keeps an arbitrary row). */
+  def exactKeepFirst(df: DataFrame, key: Column, order: Column): DataFrame =
+    df.groupBy(key.as("dedup_key")).agg(min(order).as("kept"))
+
+  /** Exact near-dup pair discovery via inverted shingle index:
+    * explode distinct shingles → self-equi-join on the shingle → count
+    * co-occurrences → Jaccard = co / (|A| + |B| - co) — exact, without
+    * any all-pairs comparison. */
+  def jaccardPairs(df: DataFrame, id: Column, text: Column,
+                   tau: Double, n: Int = 3,
+                   maxShingleFreq: Option[Int] = None): DataFrame = {
+    val sh = df.select(id.as("id"), shingles(text, n).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val ex0 = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val ex = maxShingleFreq match {
+      case Some(m) =>
+        // drop ubiquitous shingles: they cost |docs|^2 join rows and
+        // carry no signal
+        val freq = ex0.groupBy("s").count().filter(col("count") <= m)
+        ex0.join(freq.select("s"), "s")
+      case None => ex0
+    }
+    ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("co"),
+           first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .withColumn("jaccard",
+        col("co").cast("double") / (col("na") + col("nb") - col("co")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** MinHash + LSH near-dup pairs: band-bucket join generates candidates
+    * (only docs sharing a band key meet), then exact Jaccard verifies.
+    * With h=128 / 32 bands of 4, a pair at jaccard 0.9 is missed with
+    * probability < 1e-14 — candidate generation is probabilistic,
+    * the emitted pairs are exactly verified. */
+  def minhashLshPairs(df: DataFrame, id: Column, text: Column,
+                      tau: Double, n: Int = 3,
+                      h: Int = 128, bands: Int = 32): DataFrame = {
+    val r = h / bands
+    val sh = df.select(id.as("id"), shingles(text, n).as("sh"))
+    val banded = sh
+      .withColumn("band", explode(minhashBands(minhashSignature(col("sh"), h), bands, r)))
+      .select(col("id"), col("band.band").as("band"), col("band.key").as("key"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band buckets (a pair within
+    * hamming distance 3 shares ≥1 band), verified with exact Jaccard. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column,
+                   tau: Double, n: Int = 3): DataFrame = {
+    val sh = df.select(id.as("id"), shingles(text, n).as("sh"))
+    val sim = sh.withColumn("simhash", simhash64(col("sh")))
+    val banded = sim.select(col("id") +:
+      (0 until 4).map(b => simhashBand(col("simhash"), b).as(s"b$b")): _*)
+    val cand = (0 until 4).map { b =>
+        banded.as("a").join(banded.as("b"),
+          col(s"a.b$b") === col(s"b.b$b") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      }.reduce(_ union _).distinct()
+    cand
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold — exact, via
+    * block-nested all-pairs. Correct baseline for modest corpora; the
+    * scale path is [[Similarity.cosinePairsLsh]] (bucketed). */
+  def embeddingPairs(df: DataFrame, id: Column, vec: Column,
+                     tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = df.select(id.as("id"), toDouble(vec).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+              cosine(col("a.v"), col("b.v")).as("c"))
+      .filter(col("c") >= tau) // threshold on the raw score, round for output
+      .select(col("id1"), col("id2"), round(col("c"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.functions.Hyperplanes
+
+/** Similarity search over an embedding column (ArrayType(Float)).
+  *
+  * Scale design: the query set is assumed small relative to the corpus
+  * (broadcast), the corpus side streams — brute force is a single
+  * broadcast-nested-loop pass, embarrassingly parallel, no shuffle of the
+  * corpus. The LSH variant buckets both sides on sign-pattern keys so
+  * each corpus row is scored only against queries in its (multi-probed)
+  * bucket — the 100 TB path when the query set itself is large.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors per query by cosine. `queries` is broadcast;
+    * ranking is deterministic (score desc, id asc) on round(6) scores. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     id: Column, vec: Column,
+                     qid: Column, qvec: Column, k: Int): DataFrame = {
+    val c = corpus.select(id.as("nbr"), toDouble(vec).as("v"))
+    val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+    val scored = c.join(broadcast(q), col("nbr") =!= col("qid"))
+      .select(col("qid"), col("nbr"),
+              round(cosine(col("qv"), col("v")), 6).as("score"))
+    Relational.topKPerGroup(scored,
+      Seq(col("qid")), Seq(col("score").desc, col("nbr").asc), k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("nbr").asc)))
+  }
+
+  /** Approximate cosine-similar pair discovery via sign-pattern LSH:
+    * bucket on an nPlanes-bit signature, compare only within buckets,
+    * verify exactly. Multi-table (`tables`) boosts recall; emitted pairs
+    * are exact-verified so precision is 1 at the threshold. */
+  def cosinePairsLsh(df: DataFrame, id: Column, vec: Column, tau: Double,
+                     nPlanes: Int = 12, tables: Int = 4,
+                     dim: Int = 64): DataFrame = {
+    val e = df.select(id.as("id"), toDouble(vec).as("v"))
+    val bucketed = (0 until tables).map { t =>
+      val planes = Hyperplanes.generate(nPlanes, dim, seed = 42L + t)
+      e.withColumn("bucket", lshBucket(col("v"), planes))
+        .withColumn("table", lit(t))
+    }.reduce(_ union _)
+    val cand = bucketed.as("a").join(bucketed.as("b"),
+        col("a.table") === col("b.table") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val v1 = e.select(col("id").as("id1"), col("v").as("v1"))
+    val v2 = e.select(col("id").as("id2"), col("v").as("v2"))
+    cand.join(v1, "id1").join(v2, "id2")
+      .select(col("id1"), col("id2"),
+              round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Per-document text analysis for corpus pipelines: language ID, quality
+  * scoring, token stats, fingerprinting. All narrow (per-row) column
+  * expressions — scale linearly, no shuffle, parquet column pruning
+  * reaches the scan (only `text` + id are read). */
+object TextAnalysis {
+
+  /** doc_id, predicted language, marker hit counts. */
+  def langIdOf(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    df.select(
+      id.as("doc_id"),
+      langId(toks).as("pred_lang"),
+      langScore(toks, "en").as("s_en"),
+      langScore(toks, "de").as("s_de"),
+      langScore(toks, "fr").as("s_fr"),
+      langScore(toks, "es").as("s_es"))
+  }
+
+  /** Quality heuristics: token count, distinct-token ratio, stopword
+    * ratio, composite score. Formula mirrored 1:1 in the DuckDB oracle.
+    * Ratios are emitted as x10000 integers via floor(x*1e4 + 0.5) — an
+    * explicit half-up on bit-identical IEEE doubles — because `round()`
+    * differs between engines exactly at representation boundaries
+    * (observed: 0.42725 → 0.4272 vs 0.4273). */
+  def quality(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / nTok
+    val stop = langScore(toks, "en").cast("double") / nTok
+    def x1e4(c: Column): Column = floor(c * 10000.0 + 0.5).cast("long")
+    df.select(
+      id.as("doc_id"),
+      size(toks).as("n_tokens"),
+      length(text).as("n_chars"),
+      x1e4(uniq).as("uniq_x1e4"),
+      x1e4(stop).as("stop_x1e4"),
+      x1e4(uniq * 0.5 + least(nTok / lit(100.0), lit(1.0)) * 0.3 + stop * 0.2)
+        .as("quality_x1e4"))
+  }
+
+  /** Rolling-hash fingerprint per document (content-defined identity
+    * that survives storage/ordering changes, unlike file hashes). */
+  def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"), fingerprint(tokens(text)).as("fp"))
+
+  /** Corpus-level token frequency (the classic wordcount — explode +
+    * count, partial aggregation map-side). */
+  def tokenFrequency(df: DataFrame, text: Column, topN: Int): DataFrame =
+    df.select(explode(tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(topN)
+}
