@@ -48,16 +48,24 @@ object DomainLowering {
     */
   def lower(input: DataFrame, domain: Domain, where: Seq[Column]): DataFrame = {
     val st = new State(input, where.map(c => Where(refs(c), c)))
+    val isValueCol = input.columns.sameElements(Array("value"))
     val rootValue =
-      if (input.columns.sameElements(Array("value"))) col("value")
+      if (isValueCol) col("value")
       else struct(input.columns.toIndexedSeq.map(col): _*)
+    val rootIsArray = isValueCol &&
+      input.schema.head.dataType.isInstanceOf[ArrayType]
     domain match {
+      // A vector/set pattern over a real array-typed `value` column is an
+      // in-row collection: explode (or chunk) it per row, results merging
+      // across rows. Otherwise the DataFrame's own rows are the elements.
+      case v: Vec if rootIsArray   => st.step(rootValue, v)
+      case s: SetOf if rootIsArray => st.step(rootValue, s)
       case Vec(Seq(p)) => st.step(rootValue, p)
       case SetOf(p)    => st.step(rootValue, p)
-      case Vec(ps) if ps.size > 1 =>
+      case Vec(_) =>
         throw new IllegalArgumentException(
-          "n-at-a-time chunking at the root requires an explicit array " +
-          "column (tables are unordered); nest Vec(n) under an array binding")
+          "n-at-a-time chunking at the root requires an array column " +
+          "(tables are unordered); nest Vec(n) under an array binding")
       case d => st.step(rootValue, d)
     }
     st.finish()

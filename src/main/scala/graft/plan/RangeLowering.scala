@@ -86,13 +86,22 @@ object RangeLowering {
         df.groupBy(keyCols: _*).agg(agg.as(as))
       case None => r match {
         case RMap(k, v) =>
-          val kn = s"${as}__k"
+          val kn = s"${as}__k${keys.size}" // depth-unique: nested RMaps must not collide
           val inner = aggregate(df, keys :+ (kn -> k), v, as)
-          // group back up one level: entries → sorted map
+          // group back up one level: entries → map. Entries are sorted by
+          // key for deterministic serialization when the entry struct is
+          // orderable (a map-typed value isn't — key uniqueness already
+          // holds, only entry order varies).
+          val entry = collect_list(struct(col(kn), col(as)))
+          val entryType = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", inner.schema(kn).dataType),
+            org.apache.spark.sql.types.StructField("v", inner.schema(as).dataType)))
+          val sortable = org.apache.spark.sql.catalyst.expressions
+            .RowOrdering.isOrderable(entryType)
           inner
             .groupBy(keyNames.map(col): _*)
             .agg(map_from_entries(
-              sort_array(collect_list(struct(col(kn), col(as))))).as(as))
+              if (sortable) sort_array(entry) else entry).as(as))
         case RStruct(fields) =>
           val flat = flattenStruct(df, keys, fields)
           flat.select(

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is strictly batch
+  * (SURVEY.md §2.2 — streaming is an extension tier, not parity), but the
+  * lowered plans are standard Catalyst operators, so the same logical
+  * shapes run under `readStream`: the tumbling aggregation below is
+  * literally `graft.ops.Events.tumbling` plus a watermark.
+  *
+  * Scale notes: windowed aggregation state is partitioned by (window,
+  * event_type) — bounded by watermark horizon × cardinality; session
+  * state by user_id — use timeouts to evict. Both shuffle once on their
+  * group keys, same as the batch forms.
+  */
+object EventStreams {
+
+  /** Streaming tumbling-window aggregation (append mode with watermark,
+    * or complete mode for tests). Same output schema as
+    * `Events.tumbling`. */
+  def tumbling(stream: DataFrame, duration: String,
+               watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+              col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, tsSec: Long)
+  final case class SessionState(lastTs: Long, sessions: Long, events: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long,
+                                n_events: Long)
+
+  /** Stateful gap-based sessionization with mapGroupsWithState: per-user
+    * state = (last event time, session count). Within a micro-batch the
+    * group's events are sorted by time; across batches the state carries
+    * the last timestamp, so late-arriving in-gap events extend the
+    * current session. State is bounded by user cardinality; a production
+    * deployment would add EventTimeTimeout + setTimeoutTimestamp to evict
+    * idle users past the gap horizon (NoTimeout here: a registered
+    * processing-time timeout keeps the engine scheduling no-data batches,
+    * which blocks test drains, and we never arm one anyway). */
+  def sessionCounts(events: Dataset[Ev], gapSeconds: Long)
+      : Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(_.tsSec)
+          val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          val out = sorted.foldLeft(init) { (st, e) =>
+            val isNew = st.lastTs == Long.MinValue || e.tsSec - st.lastTs > gapSeconds
+            SessionState(e.tsSec, st.sessions + (if (isNew) 1 else 0),
+                         st.events + 1)
+          }
+          state.update(out)
+          UserSessions(user, out.sessions, out.events)
+      }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Dedup / similarity operators against exact ground truth. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf0001
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private def embs = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("minhash LSH finds exactly the true jaccard pairs on this corpus") {
+    val truth = pairSet(Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.6))
+    val lsh = pairSet(Dedup.minhashLshPairs(docs, col("doc_id"), col("text"), 0.6))
+    assert(lsh == truth)
+    assert(truth.nonEmpty) // corpus has planted near-dups
+  }
+
+  test("simhash candidates are a high-recall subset of true pairs") {
+    val truth = pairSet(Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.6))
+    val sim = pairSet(Dedup.simhashPairs(docs, col("doc_id"), col("text"), 0.6))
+    assert(sim.subsetOf(truth))           // precision 1 (exact-verified)
+    assert(sim.size * 2 >= truth.size)    // recall >= 0.5 (banding bound)
+  }
+
+  test("cosine LSH recovers planted duplicate vectors (scale path)") {
+    // plant exact-direction duplicates: id+10000, scaled 1.1 (cos == 1)
+    val planted = embs.limit(20)
+      .select((col("vec_id") + 10000).as("vec_id"),
+              transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
+    val corpus = embs.select("vec_id", "embedding").union(planted)
+    val found = pairSet(Similarity.cosinePairsLsh(
+      corpus, col("vec_id"), col("embedding"), tau = 0.99))
+    val expected = (0L until 20L).map(i => (i, i + 10000)).toSet
+    assert(expected.subsetOf(found), s"missing: ${expected -- found}")
+    // verify step guarantees precision at tau
+    assert(found.forall { case (a, b) => b - a == 10000 })
+  }
+
+  test("exact dedup keeps the first doc per key deterministically") {
+    val kept = Dedup.exactKeepFirst(docs,
+      concat_ws(" ", slice(split(col("text"), " "), 1, 8)), col("doc_id"))
+    val n = kept.count()
+    assert(n < docs.count()) // planted near-dups share prefixes
+    // kept ids are group minima: re-running yields the identical set
+    assert(kept.collect().map(_.getLong(1)).toSet ==
+      Dedup.exactKeepFirst(docs,
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)), col("doc_id"))
+        .collect().map(_.getLong(1)).toSet)
+  }
+
+  test("brute-force ANN ranks are deterministic and self-free") {
+    val r = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 5),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 3)
+      .collect()
+    assert(r.length == 15)
+    assert(r.forall(row => row.getLong(0) != row.getLong(1)))
+    val ranks = r.groupBy(_.getLong(0)).values.map(_.map(_.getInt(3)).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1, 2, 3)))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.dsl.Domain._
+import graft.dsl.Range._
+
+/** Port of the reference's property-based layer (`test/core.clj:7-48`):
+  * random nested structures generated from the domain shape, engine
+  * result compared against an independent Scala-collections oracle.
+  * Trial counts follow the reference (20 per property, sizes <= 10). */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val params =
+    SCTest.Parameters.default.withMinSuccessfulTests(10).withWorkers(1)
+
+  private val keyGen = Gen.oneOf("a", "b", "c", "d", "e")
+  private val nested: Gen[Map[String, Map[String, Int]]] =
+    Gen.mapOf(Gen.zip(keyGen,
+      Gen.mapOf(Gen.zip(keyGen, Gen.choose(0, 100))).map(_.take(5))))
+      .map(_.take(5))
+
+  test("swap-key-order property (test/core.clj:51-59)") {
+    val prop = Prop.forAll(nested) { m =>
+      val oracle: Map[String, Map[String, Int]] =
+        (for { (k1, inner) <- m.toSeq; (k2, v) <- inner.toSeq }
+          yield (k2, k1, v))
+          .groupBy(_._1)
+          .map { case (k2, xs) => k2 -> xs.map(t => t._2 -> t._3).toMap }
+      val in = Seq(m).toDF("value")
+      val got = Transform(
+        Entries(Seq((KAll(Leaf("k1")): DKey) ->
+          Entries(Seq((KAll(Leaf("k2")): DKey) -> Leaf("v"))))),
+        RMap(col("k2"), RMap(col("k1"), RScalar(col("v")))))
+        .nested(in)
+        .collect()(0)
+      val res =
+        if (got.isNullAt(0)) Map.empty[String, Map[String, Int]]
+        else got.getAs[Map[String, Map[String, Int]]](0)
+          .map { case (k, v) => k -> v.toMap }.toMap
+      res == oracle
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("group-by-key collects all values (README.md:91-129)") {
+    val flat: Gen[List[(String, Int)]] =
+      Gen.listOfN(12, Gen.zip(keyGen, Gen.choose(0, 50)))
+    val prop = Prop.forAll(flat) { xs =>
+      val oracle = xs.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).sorted }
+      val in = xs.toDF("k", "v")
+      val got = Transform(rows("k", "v"),
+        RMap(col("k"), RList(col("v"), sorted = true)))
+        .apply(in).collect()
+        .map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+      got == oracle
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.EventStreams
+
+/** Streaming forms produce the same answers as their batch twins. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf0001
+
+  private def events = {
+    val df = spark.read.parquet(s"$sf0001/events.parquet")
+    df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  test("streaming tumbling window equals batch tumbling (complete mode)") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source needs a directory, not a single file
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val q = EventStreams.tumbling(stream, "1 hour")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("hourly")
+      .select("window_start", "event_type", "n", "sum_value")
+      .collect().map(_.toSeq).toSet
+    val want = ops.Events.tumbling(events, col("ts"), "1 hour")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("stateful sessionization carries state across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsSec"))
+      .as[EventStreams.Ev]
+      .collect().sortBy(_.tsSec)
+    val (first, second) = evs.splitAt(evs.length / 2)
+
+    val ms = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionCounts(ms.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // latest update per user = final state
+    val got = spark.table("sessions")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = ops.Events.sessionStats(events, col("user_id"), col("ts"), 1800)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
+}

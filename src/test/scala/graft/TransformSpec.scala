@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.dsl.Domain._
+import graft.dsl.Range._
+
+/** Golden ports of the reference's unit tests (the de-facto conformance
+  * suite — SURVEY.md §5): each test cites the reference fixture it
+  * re-expresses. */
+class TransformSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("map inversion {k1 {k2 v}} -> {k2 {k1 v}} (test/core.clj:123-131)") {
+    val in = Seq(
+      Map("a" -> Map("x" -> 1, "y" -> 2), "b" -> Map("x" -> 3))).toDF("value")
+    val out = Transform(
+      Entries(Seq((KAll(Leaf("k1")): DKey) ->
+        Entries(Seq((KAll(Leaf("k2")): DKey) -> Leaf("v"))))),
+      RMap(col("k2"), RMap(col("k1"), RScalar(col("v")))))
+      .nested(in)
+    val got = out.collect()(0).getAs[Map[String, Map[String, Int]]](0)
+    assert(got == Map("x" -> Map("a" -> 1, "b" -> 3), "y" -> Map("a" -> 2)))
+  }
+
+  test("self cross-product sums of all ordered pairs (test/core.clj:82-91,307-312)") {
+    val in = Seq(Map("a" -> 1, "b" -> 2, "c" -> 3)).toDF("value")
+    val out = Transform(
+      Entries(Seq(
+        (KAll(Leaf("k1")): DKey) -> Leaf("v1"),
+        (KAll(Leaf("k2")): DKey) -> Leaf("v2"))),
+      RList(col("v1") + col("v2"), sorted = true))
+      .nested(in)
+    val got = out.collect()(0).getSeq[Int](0)
+    assert(got == Seq(2, 3, 3, 4, 4, 4, 5, 5, 6))
+  }
+
+  test("vector chunking with partial tail binds null (test/core.clj:101,164-212)") {
+    val in = Seq(Seq(1, 2, 3, 4, 5)).toDF("value")
+    val out = Transform(
+      Vec(Seq(Leaf("a"), Leaf("b"))),
+      RRows(Seq("a" -> col("a"), "b" -> col("b"))))
+      .apply(in)
+      .orderBy(col("a"))
+      .collect()
+      .map(r => (r.get(0), r.get(1)))
+    assert(out.toSeq == Seq((1, 2), (3, 4), (5, null)))
+  }
+
+  test("literal key projection leaves siblings untraversed (README.md:329-343)") {
+    val in = Seq(Map("a" -> Seq(1, 2, 3), "b" -> Seq(9))).toDF("value")
+    val out = Transform(
+      Entries(Seq((KField("a"): DKey) -> Vec(Leaf("x")))),
+      RList(col("x"), sorted = true))
+      .nested(in)
+    assert(out.collect()(0).getSeq[Int](0) == Seq(1, 2, 3))
+  }
+
+  test("missing literal key binds null like faconne nil (README.md:339)") {
+    val in = Seq(Map("a" -> 1)).toDF("value")
+    val out = Transform(
+      Entries(Seq((KField("zzz"): DKey) -> Leaf("x"))),
+      RRows(Seq("x" -> col("x"))))
+      .apply(in).collect()
+    assert(out.length == 1 && out(0).isNullAt(0))
+  }
+
+  test("conditional output collection per tuple (issue #3, test/core.clj:444-450)") {
+    val in = Seq(1, 2, 3, 4).toDF("value")
+    val out = Transform(
+      Vec(Leaf("x")),
+      RMap(when(pmod(col("x"), lit(2)) === 0, "even").otherwise("odd"),
+        RList(when(pmod(col("x"), lit(2)) === 0, col("x") * 2)
+          .otherwise(col("x") + 1), sorted = true)))
+      .nested(in)
+    val got = out.collect()(0).getAs[Map[String, Seq[Int]]](0)
+    assert(got == Map("even" -> Seq(4, 8), "odd" -> Seq(2, 4)))
+  }
+
+  test(":as binds whole value while descending (parse_domain.cljc:95-103)") {
+    val in = Seq((1, "x"), (2, "y")).toDF("n", "s")
+    val out = Transform(
+      Vec(As("whole", keys("n", "s"))),
+      RRows(Seq("n" -> col("n"), "s" -> col("s"),
+                "wn" -> col("whole").getField("n"))))
+      .apply(in).orderBy("n").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1, "x", 1), (2, "y", 2)))
+  }
+
+  test("where clauses prune early and compose conjunctively (README.md:275-312)") {
+    val in = Seq(
+      Map("a" -> Seq(1, 2, 3, 4), "b" -> Seq(10, 20))).toDF("value")
+    val out = Transform(
+      Entries(Seq((KAll(Leaf("k")): DKey) -> Vec(Leaf("x")))),
+      RList(col("x"), sorted = true),
+      where = Seq(col("k") === "a", col("x") > 2))
+      .nested(in)
+    assert(out.collect()(0).getSeq[Int](0) == Seq(3, 4))
+  }
+
+  test("multi-granularity struct: simple agg + nested map at one level (README.md:41-43)") {
+    val in = Seq(
+      ("north", "math", "ann", 90.0), ("north", "math", "bob", 80.0),
+      ("north", "cs", "ann", 70.0), ("south", "math", "cat", 60.0))
+      .toDF("campus", "course", "student", "grade")
+    val out = Transform(
+      rows("campus", "course", "student", "grade"),
+      RMap(col("campus"), RStruct(Seq(
+        "n_students" -> RAgg(countDistinct(col("student"))),
+        "by_course" -> RMap(col("course"), RAgg(avg(col("grade"))))))))
+      .apply(in).orderBy("campus").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("north", "south"))
+    assert(out(0).getLong(1) == 2)
+    assert(out(0).getAs[Map[String, Double]](2) ==
+      Map("math" -> 85.0, "cs" -> 70.0))
+    assert(out(1).getLong(1) == 1)
+  }
+
+  test("forEach visits every binding tuple (core.cljc:30-33)") {
+    val in = Seq(Seq(1, 2, 3)).toDF("value")
+    val acc = spark.sparkContext.longAccumulator("sum")
+    Transform(Vec(Leaf("x")), RRows(Seq("x" -> col("x"))))
+      .forEach(in)(r => acc.add(r.getInt(0)))
+    assert(acc.value == 6)
+  }
+}
