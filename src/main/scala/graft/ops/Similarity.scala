@@ -21,9 +21,56 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      id: Column, vec: Column,
                      qid: Column, qvec: Column, k: Int): DataFrame = {
+    // norms once per row, not per (query, corpus) pair — bit-identical
     val c = corpus.select(id.as("nbr"), toDouble(vec).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
     val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+      .withColumn("qnrm", l2norm(col("qv")))
+    val d = col("qnrm") * col("nrm")
+    val cos = when(d === 0.0, 0.0).otherwise(dot(col("qv"), col("v")) / d)
     val scored = c.join(broadcast(q), col("nbr") =!= col("qid"))
+      .select(col("qid"), col("nbr"), round(cos, 6).as("score"))
+    Relational.topKPerGroup(scored,
+      Seq(col("qid")), Seq(col("score").desc, col("nbr").asc), k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("nbr").asc)))
+  }
+
+  /** IVF (inverted-file) approximate top-k: the corpus is bucketed into
+    * `nLists` Voronoi cells around centroids; each query probes only its
+    * `nProbe` nearest cells, so the scored fraction is ~nProbe/nLists of
+    * the corpus — the scale path when brute force stops fitting the SLA.
+    *
+    * Centroid bootstrap here is "first nLists corpus vectors" (a tiny,
+    * deterministic driver collect — production would Lloyd-iterate; the
+    * assignment/probe machinery is identical and that's the part that
+    * matters at scale: one narrow assignment pass over the corpus, a
+    * broadcast of the probed query set, no corpus shuffle). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              id: Column, vec: Column, qid: Column, qvec: Column,
+              k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = corpus.select(id.as("nbr"), toDouble(vec).as("v"))
+    val centroids: Seq[Seq[Double]] = c.orderBy(col("nbr")).limit(nLists)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val cents = typedlit(centroids)
+
+    // indices of the n nearest centroids by cosine (array_sort on
+    // (-score, idx) structs = score-descending)
+    def nearest(v: Column, n: Int): Column = {
+      val ranked = transform(sequence(lit(0), lit(nLists - 1)), i =>
+        struct((-cosine(v, element_at(cents, i + 1))).as("neg"),
+               i.as("idx")))
+      slice(transform(array_sort(ranked), s => s.getField("idx")), 1, n)
+    }
+
+    val assigned = c.withColumn("list", element_at(nearest(col("v"), 1), 1))
+    val probes = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+      .withColumn("list", explode(nearest(col("qv"), nProbe)))
+    val scored = assigned
+      .join(broadcast(probes), Seq("list"))
+      .filter(col("nbr") =!= col("qid"))
       .select(col("qid"), col("nbr"),
               round(cosine(col("qv"), col("v")), 6).as("score"))
     Relational.topKPerGroup(scored,

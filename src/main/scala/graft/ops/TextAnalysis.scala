@@ -49,6 +49,15 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), fingerprint(tokens(text)).as("fp"))
 
+  /** Per-document token counting, both whitespace and BPE-ish regex
+    * (the "what will this cost to train on" column). Narrow, no
+    * shuffle; only id + text are scanned. */
+  def tokenCounts(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      size(tokens(text)).as("ws_tokens"),
+      size(regexTokens(text)).as("bpe_tokens"))
+
   /** Corpus-level token frequency (the classic wordcount — explode +
     * count, partial aggregation map-side). */
   def tokenFrequency(df: DataFrame, text: Column, topN: Int): DataFrame =

@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface. The reference has NO I/O at all — it transforms
+  * in-memory values (SURVEY.md §2.2: the only file ops live in a readme
+  * generator script). On Spark the equivalent boundary is the
+  * DataFrameReader/Writer; this object is the engine's thin, opinionated
+  * wrapper over it: schema-explicit reads (never infer on a 100 TB scan —
+  * inference is a full extra pass for CSV/JSON) and partition-aware
+  * writes.
+  *
+  * Scale notes: parquet is the only format that gives column pruning +
+  * predicate pushdown + page-level stats, so it is the canonical interior
+  * format; CSV/JSON are edge formats (ingest/export only). `partitionBy`
+  * on write gives partition pruning to every downstream reader; aim for
+  * 100 MB-1 GB files (coalesce before writing many small partitions).
+  */
+object Sources {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with an explicit schema — no inference pass, malformed rows
+    * quarantined to `_corrupt_record` rather than failing the job. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+          header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** JSON-lines with an explicit schema (same rationale as [[csv]]). */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeParquet(df: DataFrame, path: String,
+                   partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header.toString).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

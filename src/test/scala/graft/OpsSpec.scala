@@ -56,6 +56,32 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(_.getLong(1)).toSet)
   }
 
+  test("IVF ANN finds planted duplicates at rank 1 (probe path)") {
+    // a scaled copy has cosine 1 with its source and lands in the same
+    // Voronoi cell, so nProbe >= 1 must surface it first
+    val planted = embs.limit(10)
+      .select((col("vec_id") + 10000).as("vec_id"),
+              transform(col("embedding"), x => x * lit(1.1f)).as("embedding"))
+    val corpus = embs.select("vec_id", "embedding").union(planted)
+    val got = Similarity.ivfTopK(corpus, planted,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (0L until 10L).foreach { i =>
+      assert(got(i + 10000) == i, s"query ${i + 10000} should rank $i first")
+    }
+  }
+
+  test("regex token counts exceed whitespace counts on punctuated text") {
+    val tc = TextAnalysis.tokenCounts(docs, col("doc_id"), col("text"))
+      .collect()
+    assert(tc.nonEmpty)
+    // BPE-ish splitting never merges across whitespace, so it can only
+    // produce >= as many tokens
+    assert(tc.forall(r => r.getInt(2) >= r.getInt(1)))
+  }
+
   test("brute-force ANN ranks are deterministic and self-free") {
     val r = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 5),
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 3)
