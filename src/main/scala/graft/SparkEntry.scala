@@ -62,18 +62,24 @@ object SparkEntry {
 
     // O16: list materialization under one grouping level (sorted for
     // cross-partition determinism; reference order = traversal order).
+    // The list is serialized to a CSV string for the driver compare —
+    // array-typed result columns crash its pandas sort (r1 lesson).
     "q03_group_list" -> ((s, dir) => {
       Transform.run(t(s, dir, "lineitem"),
         rows("l_orderkey", "l_partkey"),
         RMap(col("l_orderkey"), RList(col("l_partkey"), sorted = true)))
+        .withColumn("value",
+          array_join(transform(col("value"), _.cast("string")), ","))
         .orderBy("l_orderkey")
     }),
 
-    // O17: set materialization (collect_set, sorted).
+    // O17: set materialization (collect_set, sorted; serialized as CSV
+    // string for the driver compare).
     "q04_group_set" -> ((s, dir) => {
       Transform.run(t(s, dir, "lineitem"),
         rows("l_returnflag", "l_linestatus"),
         RMap(col("l_returnflag"), RSet(col("l_linestatus"))))
+        .withColumn("value", array_join(col("value"), ","))
         .orderBy("l_returnflag")
     }),
 
@@ -177,6 +183,14 @@ object SparkEntry {
             "n_orders" -> RAgg(countDistinct(col("l_orderkey"))),
             "by_status" -> RMap(col("l_linestatus"),
               RAgg(round(avg(col("l_quantity")), 4)))))))
+        // serialize the MapType column as "k=v_x1e4,..." sorted by key —
+        // map columns crash the driver's pandas compare (r1 lesson), and
+        // x1e4 integers sidestep engine round() differences.
+        .withColumn("by_status",
+          array_join(transform(array_sort(map_entries(col("by_status"))),
+            e => concat_ws("=", e.getField("key"),
+              floor(e.getField("value") * 10000.0 + 0.5).cast("long")
+                .cast("string"))), ","))
         .orderBy("l_returnflag")
     }),
 
@@ -218,8 +232,8 @@ object SparkEntry {
     }),
 
     // SimHash near-dup candidates (4x16-bit bands), exact-verified.
-    // No SQL oracle (hash-dependent recall) — rows-only check; the
-    // dedup spec asserts q23 ⊆ q21 and catches the planted dups.
+    // Portable polynomial char hashes → the DuckDB oracle reproduces
+    // candidate generation AND verification bit-for-bit.
     "q23_simhash_dup" -> ((s, dir) => {
       graft.ops.Dedup.simhashPairs(t(s, dir, "documents"),
           col("doc_id"), col("text"), tau = 0.6)
@@ -280,10 +294,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // IVF approximate top-k ANN (scale path of q24). No SQL oracle
-    // (probe recall is data-dependent) — rows-only check; the
-    // similarity spec asserts planted-duplicate recall against brute
-    // force.
+    // IVF approximate top-k ANN (scale path of q24). Deterministic
+    // centroid bootstrap + round(6) ranking make the full
+    // assignment/probe/score path SQL-expressible — exact oracle.
     "q35_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       graft.ops.Similarity.ivfTopK(
@@ -500,10 +513,12 @@ object SparkEntry {
          WHERE l_quantity > 30 AND l_returnflag = 'R'
          ORDER BY 1, 2, 3""",
     "q03_group_list" ->
-      """SELECT l_orderkey, list_sort(list(l_partkey)) AS value
+      """SELECT l_orderkey,
+         array_to_string(list_sort(list(l_partkey)), ',') AS value
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q04_group_set" ->
-      """SELECT l_returnflag, list_sort(list(DISTINCT l_linestatus)) AS value
+      """SELECT l_returnflag,
+         array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS value
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q05_map_invert" ->
       "SELECT n_nationkey, n_name AS value FROM nation ORDER BY 1",
@@ -542,10 +557,76 @@ object SparkEntry {
                          round(avg(l_quantity), 4) AS avg_q
                     FROM lineitem GROUP BY 1, 2),
             m AS (SELECT l_returnflag,
-                         map_from_entries(list_sort(list(ROW(l_linestatus, avg_q))))
-                           AS by_status
+                         string_agg(l_linestatus || '=' ||
+                           CAST(CAST(floor(avg_q*10000.0 + 0.5) AS BIGINT)
+                                AS VARCHAR),
+                           ',' ORDER BY l_linestatus) AS by_status
                     FROM s GROUP BY 1)
          SELECT f.l_returnflag, f.n_orders, m.by_status
-         FROM f JOIN m USING (l_returnflag) ORDER BY 1"""
+         FROM f JOIN m USING (l_returnflag) ORDER BY 1""",
+    "q23_simhash_dup" ->
+      """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws
+                      FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws)-1)]) AS shingles
+                FROM tkn WHERE len(ws) >= 3),
+         hs AS (SELECT doc_id, shingles,
+                  [ list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      [CAST(ascii(g[i]) AS BIGINT)
+                       FOR i IN range(1, length(g)+1)]),
+                      (a,c) -> (a*31+c) % 2147483647) * 2147483648
+                  + list_reduce(list_prepend(CAST(11 AS BIGINT),
+                      [CAST(ascii(g[i]) AS BIGINT)
+                       FOR i IN range(1, length(g)+1)]),
+                      (a,c) -> (a*37+c) % 2147483629)
+                    FOR g IN shingles ] AS hh
+                FROM sh),
+         sim AS (SELECT doc_id, shingles,
+                  CAST(list_sum(
+                    [CASE WHEN list_sum(
+                       [CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END
+                        FOR h IN hh]) > 0
+                     THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END
+                     FOR j IN range(0, 62)]) AS BIGINT) AS simhash
+                 FROM hs),
+         b AS (SELECT doc_id, shingles,
+                 (simhash >> 0) & 65535 AS b0, (simhash >> 16) & 65535 AS b1,
+                 (simhash >> 32) & 65535 AS b2, (simhash >> 48) & 65535 AS b3
+               FROM sim),
+         cand AS (SELECT x.doc_id AS id1, y.doc_id AS id2,
+                         any_value(x.shingles) AS s1, any_value(y.shingles) AS s2
+                  FROM b x JOIN b y ON x.doc_id < y.doc_id AND
+                    (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+                  GROUP BY 1, 2)
+         SELECT id1, id2,
+           round(len(list_intersect(s1, s2))*1.0 /
+                 len(list_distinct(s1 || s2)), 4) AS jaccard
+         FROM cand
+         WHERE len(list_intersect(s1, s2))*1.0 /
+               len(list_distinct(s1 || s2)) >= 0.6
+         ORDER BY 1, 2""",
+    "q35_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                          v AS cv
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+         ac AS (SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                             c.cid) AS rn
+                FROM e CROSS JOIN cents c),
+         asg AS (SELECT vec_id AS nbr, v, cid AS lst FROM ac WHERE rn = 1),
+         prb AS (SELECT vec_id AS qid, v AS qv, cid AS lst
+                 FROM ac WHERE vec_id < 10 AND rn <= 4),
+         sc AS (SELECT p.qid, a.nbr,
+                  round(list_cosine_similarity(p.qv, a.v), 6) AS score
+                FROM prb p JOIN asg a USING (lst) WHERE a.nbr != p.qid),
+         r AS (SELECT qid, nbr, score,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, nbr) AS INTEGER) AS rank
+               FROM sc)
+         SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
+         ORDER BY qid, rank"""
   )
 }

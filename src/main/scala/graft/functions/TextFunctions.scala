@@ -30,15 +30,10 @@ object TextFunctions {
   def regexTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpePattern), lit(0))
 
-  /** Distinct word n-gram shingles (MinHash/Jaccard feature set). */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = tokens(text)
-    array_distinct(
-      when(size(ws) >= n,
-        transform(sequence(lit(0), size(ws) - n), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(ws, i + lit(j + 1))): _*)))
-      .otherwise(array().cast("array<string>")))
-  }
+  /** Distinct word n-gram shingles (MinHash/Jaccard feature set) — the
+    * codegen'd [[WordShingles]] expression (the HOF formulation re-runs
+    * `split` inside the lambda on every element; see its Scaladoc). */
+  def shingles(text: Column, n: Int = 3): Column = WordShingles(text, n)
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -46,12 +41,10 @@ object TextFunctions {
     inter / (size(array_union(a, b)).cast("double"))
   }
 
-  /** MinHash signature: h minima of per-seed murmur3 over the shingle
-    * set. Deterministic (Spark's hash() is seedless murmur3 over the
-    * value plus our seed column). O(|shingles| * h) per row, no shuffle. */
+  /** MinHash signature — the codegen'd [[MinHashSig]] expression (see its
+    * Scaladoc for why the higher-order-function formulation is a trap). */
   def minhashSignature(shingleSet: Column, h: Int = 128): Column =
-    transform(sequence(lit(0), lit(h - 1)), i =>
-      array_min(transform(shingleSet, s => hash(s, i))))
+    MinHashSig(shingleSet, h)
 
   /** LSH band keys for a minhash signature: `bands` structs of
     * (band index, hash of the signature slice). Docs sharing any band
@@ -61,29 +54,43 @@ object TextFunctions {
       struct(b.as("band"),
              hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
 
-  private val bitLit: Column =
-    typedlit((0 until 64).map(j => 1L << j))
+  /** Two independent 31-bit modular polynomial hashes over the characters
+    * of `s`, packed into one 62-bit value `h1 * 2^31 + h2`. Portable: the
+    * exact same fold runs as a DuckDB `list_reduce` in the oracle SQL
+    * (ASCII input assumed — codepoint vs byte differences would diverge
+    * on non-ASCII). Bounded < 2^62: ANSI-safe. */
+  def polyHash62(s: Column): Column = {
+    val codes = transform(sequence(lit(1), length(s)), i =>
+      ascii(s.substr(i, lit(1))).cast("long"))
+    val h1 = aggregate(codes, lit(7L),
+      (a, c) => (a * 31L + c) % 2147483647L)
+    val h2 = aggregate(codes, lit(11L),
+      (a, c) => (a * 37L + c) % 2147483629L)
+    h1 * 2147483648L + h2
+  }
 
-  /** 64-bit SimHash over a feature array. Per-bit votes via ±1
-    * contributions of each feature's xxhash64, assembled with bitwise OR
-    * (no ANSI overflow, unlike summing 2^63). */
-  def simhash64(features: Column): Column = {
+  private val bitLit: Column =
+    typedlit((0 until 62).map(j => 1L << j))
+
+  /** 62-bit SimHash over a feature array: per-bit ±1 votes of each
+    * feature's [[polyHash62]], assembled with bitwise OR. Fully portable
+    * to the DuckDB oracle (same hash, same votes). `hashes` must be a
+    * materialized column of `transform(features, polyHash62)`. */
+  def simhash62FromHashes(hashes: Column): Column = {
     val votes = aggregate(
-      features,
-      array_repeat(lit(0L), 64),
-      (acc, f) => {
-        val h = xxhash64(f)
+      hashes,
+      array_repeat(lit(0L), 62),
+      (acc, h) =>
         zip_with(acc, bitLit, (a, p) =>
-          a + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L))
-      })
+          a + when(h.bitwiseAND(p) =!= 0, 1L).otherwise(-1L)))
     aggregate(
       zip_with(votes, bitLit, (v, p) => when(v > 0, p).otherwise(0L)),
       lit(0L),
       (acc, x) => acc.bitwiseOR(x))
   }
 
-  /** 16-bit band of a 64-bit simhash (4 bands; two near-dups within
-    * hamming distance 3 agree on at least one band). */
+  /** 16-bit band of a 62-bit simhash (4 bands — the top one is 14 bits;
+    * two near-dups within hamming distance 3 agree on at least one). */
   def simhashBand(sim: Column, band: Int): Column =
     shiftright(sim, band * 16).bitwiseAND(lit(0xFFFFL))
 

@@ -1,0 +1,74 @@
+package graft.functions
+
+import java.util.LinkedHashSet
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd distinct word n-gram shingles of a text column — equivalent
+  * to `array_distinct(transform(sequence(...), i => concat_ws(" ",
+  * split(text," ")[i..i+n-1])))` but one pass over the string.
+  *
+  * The HOF formulation re-evaluates `split(text)` inside the lambda body
+  * on every element (element_at(split(text), i+j) x n per shingle —
+  * measured ~150 splits/row on 3-grams, ~0.5 ms/row interpreted). This
+  * expression tokenizes once and emits first-occurrence-ordered distinct
+  * shingles.
+  *
+  * Tokenization parity with the DuckDB oracle (`string_split(text,' ')`):
+  * split on every single space byte, KEEPING empty tokens (consecutive
+  * spaces), shingle = n consecutive tokens joined by one space. Texts
+  * with fewer than n tokens yield an empty array; null input → null.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires a string argument and n > 0, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(a: Any): Any =
+    WordShingles.compute(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WordShingles.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.split(SPACE, -1)
+    val m = toks.length
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new LinkedHashSet[UTF8String](math.max(16, (m - n + 1) * 2))
+    var i = 0
+    while (i <= m - n) {
+      var g = toks(i)
+      var j = 1
+      while (j < n) { g = UTF8String.concat(g, SPACE, toks(i + j)); j += 1 }
+      seen.add(g)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.catalystExpr(text), n))
+}

@@ -17,6 +17,16 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** Fan a small scan out to the session's full parallelism before heavy
+    * per-row compute. A single small parquet file arrives as ONE
+    * partition, which would serialize the whole hashing pipeline into one
+    * task (measured: 31 of 32 cores idle on the bench corpus). No-op at
+    * scale, where the input already has >= defaultParallelism partitions. */
+  private[ops] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Exact dedup: keep the lowest `order` value per `key`. One shuffle
     * with map-side partial min. Deterministic (unlike dropDuplicates,
     * which keeps an arbitrary row). */
@@ -30,7 +40,7 @@ object Dedup {
   def jaccardPairs(df: DataFrame, id: Column, text: Column,
                    tau: Double, n: Int = 3,
                    maxShingleFreq: Option[Int] = None): DataFrame = {
-    val sh = df.select(id.as("id"), shingles(text, n).as("sh"))
+    val sh = fanOut(df).select(id.as("id"), shingles(text, n).as("sh"))
       .withColumn("n", size(col("sh")))
     val ex0 = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
     val ex = maxShingleFreq match {
@@ -54,19 +64,23 @@ object Dedup {
 
   /** MinHash + LSH near-dup pairs: band-bucket join generates candidates
     * (only docs sharing a band key meet), then exact Jaccard verifies.
-    * With h=128 / 32 bands of 4, a pair at jaccard 0.9 is missed with
-    * probability < 1e-14 — candidate generation is probabilistic,
-    * the emitted pairs are exactly verified. */
+    * With h=128 / 64 bands of 2, a pair at jaccard 0.6 is missed with
+    * probability (1-0.6^2)^64 < 1e-12 (at 0.9: ~1e-46) — candidate
+    * generation is probabilistic, emitted pairs are exactly verified.
+    * (32 bands of 4 missed a true j=0.6 pair 1.2% of the time — too
+    * loose against an exact-jaccard oracle.) */
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       tau: Double, n: Int = 3,
-                      h: Int = 128, bands: Int = 32): DataFrame = {
+                      h: Int = 128, bands: Int = 64): DataFrame = {
     val r = h / bands
-    val sh = df.select(id.as("id"), shingles(text, n).as("sh"))
-    // Materialize the signature as a real column BEFORE the banding
-    // explode: embedded in the generator lambda it would be re-evaluated
-    // once per band (32x the h*|shingles| hashing — measured 10x total
-    // runtime on the bench corpus).
+    val sh = fanOut(df).select(id.as("id"), shingles(text, n).as("sh"))
+    // The signature is one codegen'd expression ([[MinHashSig]]) and is
+    // materialized as a column BEFORE the banding explode (inlined in the
+    // generator it would re-run once per band). Shingle-less docs are
+    // dropped: they have no near-dup semantics and their degenerate
+    // signatures would otherwise collide into one giant candidate clique.
     val banded = sh
+      .filter(size(col("sh")) > 0)
       .select(col("id"), minhashSignature(col("sh"), h).as("sig"))
       .withColumn("band", explode(minhashBands(col("sig"), bands, r)))
       .select(col("id"), col("band.band").as("band"), col("band.key").as("key"))
@@ -84,11 +98,16 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: 4×16-bit band buckets (a pair within
-    * hamming distance 3 shares ≥1 band), verified with exact Jaccard. */
+    * hamming distance 3 shares ≥1 band), verified with exact Jaccard.
+    * Fully deterministic & portable (polynomial char hashes) so the
+    * DuckDB oracle reproduces it bit-for-bit. */
   def simhashPairs(df: DataFrame, id: Column, text: Column,
                    tau: Double, n: Int = 3): DataFrame = {
-    val sh = df.select(id.as("id"), shingles(text, n).as("sh"))
-    val sim = sh.withColumn("simhash", simhash64(col("sh")))
+    val sh = fanOut(df).select(id.as("id"), shingles(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sim = sh
+      .withColumn("hs", transform(col("sh"), f => polyHash62(f)))
+      .withColumn("simhash", simhash62FromHashes(col("hs")))
     val banded = sim.select(col("id") +:
       (0 until 4).map(b => simhashBand(col("simhash"), b).as(s"b$b")): _*)
     val cand = (0 until 4).map { b =>
@@ -113,7 +132,7 @@ object Dedup {
     // Precompute each row's norm ONCE (n rows) instead of per pair
     // (n^2/2): cosine = dot/(na*nb) with the same sqrt(dot(v,v)) values,
     // so scores stay bit-identical to the naive form.
-    val e = df.select(id.as("id"), toDouble(vec).as("v"))
+    val e = fanOut(df).select(id.as("id"), toDouble(vec).as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val c = {
       val d = col("a.nrm") * col("b.nrm")

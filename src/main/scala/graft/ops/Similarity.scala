@@ -22,7 +22,7 @@ object Similarity {
                      id: Column, vec: Column,
                      qid: Column, qvec: Column, k: Int): DataFrame = {
     // norms once per row, not per (query, corpus) pair — bit-identical
-    val c = corpus.select(id.as("nbr"), toDouble(vec).as("v"))
+    val c = Dedup.fanOut(corpus).select(id.as("nbr"), toDouble(vec).as("v"))
       .withColumn("nrm", l2norm(col("v")))
     val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
       .withColumn("qnrm", l2norm(col("qv")))
@@ -51,16 +51,18 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               id: Column, vec: Column, qid: Column, qvec: Column,
               k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
-    val c = corpus.select(id.as("nbr"), toDouble(vec).as("v"))
+    val c = Dedup.fanOut(corpus).select(id.as("nbr"), toDouble(vec).as("v"))
     val centroids: Seq[Seq[Double]] = c.orderBy(col("nbr")).limit(nLists)
       .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     val cents = typedlit(centroids)
 
     // indices of the n nearest centroids by cosine (array_sort on
-    // (-score, idx) structs = score-descending)
+    // (-score, idx) structs = score-descending, index-ascending on ties).
+    // Scores are rounded to 6 so the SQL oracle's ranking (which also
+    // rounds) agrees even when float summation order differs.
     def nearest(v: Column, n: Int): Column = {
       val ranked = transform(sequence(lit(0), lit(nLists - 1)), i =>
-        struct((-cosine(v, element_at(cents, i + 1))).as("neg"),
+        struct((-round(cosine(v, element_at(cents, i + 1)), 6)).as("neg"),
                i.as("idx")))
       slice(transform(array_sort(ranked), s => s.getField("idx")), 1, n)
     }
@@ -88,7 +90,7 @@ object Similarity {
   def cosinePairsLsh(df: DataFrame, id: Column, vec: Column, tau: Double,
                      nPlanes: Int = 12, tables: Int = 4,
                      dim: Int = 64): DataFrame = {
-    val e = df.select(id.as("id"), toDouble(vec).as("v"))
+    val e = Dedup.fanOut(df).select(id.as("id"), toDouble(vec).as("v"))
     val bucketed = (0 until tables).map { t =>
       val planes = Hyperplanes.generate(nPlanes, dim, seed = 42L + t)
       e.withColumn("bucket", lshBucket(col("v"), planes))

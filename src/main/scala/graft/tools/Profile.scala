@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Dev-only stage-by-stage profiler for the dedup pipelines. */
+object Profile {
+  def time[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $label%-30s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    val sh = d.repartition(32)
+      .select(col("doc_id").as("id"), shingles(col("text"), 3).as("sh"))
+    time("shingles count")(sh.count())
+    val sig = sh.filter(size(col("sh")) > 0)
+      .select(col("id"), minhashSignature(col("sh"), 128).as("sig"))
+    time("signatures")(sig.count())
+    val banded = sig
+      .withColumn("band", explode(minhashBands(col("sig"), 32, 4)))
+      .select(col("id"), col("band.band").as("band"), col("band.key").as("key"))
+    banded.explain("formatted")
+    time("banded")(banded.count())
+    val bandedNoSig = sig
+      .withColumn("band", explode(minhashBands(col("sig"), 32, 4)))
+      .select(col("id"), col("band.band").as("band"))
+    time("banded keep no sig-deps")(bandedNoSig.count())
+    val justExplode = sig
+      .withColumn("b", explode(sequence(lit(0), lit(31))))
+      .select(col("id"), col("b"))
+    time("plain explode 32x")(justExplode.count())
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val nc = time("candidates")(cand.count())
+    println(s"[profile] n candidates = $nc")
+    val verified = cand
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= 0.6)
+    time("verified")(verified.count())
+    time("full q22")(graft.ops.Dedup.minhashLshPairs(
+      d, col("doc_id"), col("text"), tau = 0.6).count())
+    spark.stop()
+  }
+}
