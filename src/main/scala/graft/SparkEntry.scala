@@ -19,7 +19,9 @@ object SparkEntry {
     // spark.sql.legacy.parquet.nanosAsLong — rebuild a proper timestamp.
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // integer division: `/` is double division whose rounding can land
+      // one microsecond above the truncation DuckDB applies to nanos
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 
@@ -345,6 +347,60 @@ object SparkEntry {
         .orderBy("rf", "ls")
     }),
 
+    // Set operators (corpus diff): intersect / except via tagged split.
+    "q36_set_ops" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      graft.ops.Relational.setSplit(
+          c.filter(col("c_acctbal") > 5000).select(col("c_custkey")),
+          c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
+        .groupBy("which").agg(count(lit(1)).as("n"))
+        .orderBy("which")
+    }),
+
+    // Backward as-of join: each purchase event picks up the same user's
+    // most recent click at-or-before it (union + carry-forward window —
+    // one shuffle, no range explosion). DuckDB's native ASOF JOIN is the
+    // oracle.
+    "q37_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val joined = graft.ops.Relational.asofJoinBackward(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Map("ts" -> "click_ts"))
+      joined.groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+             count(col("click_ts")).as("n_matched"),
+             coalesce(sum(unix_micros(col("ts")) -
+                          unix_micros(col("click_ts"))), lit(0L))
+               .as("sum_gap_us"))
+        .orderBy("user_id")
+    }),
+
+    // Binary (multimodal) column metadata: text re-encoded as a binary
+    // blob, metadata projected without shuffling the bytes.
+    "q38_binary_meta" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("media", to_binary(col("text"), lit("utf-8")))
+        .select(col("doc_id"),
+                octet_length(col("media")).as("n_bytes"),
+                length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // Exact interpolated percentiles per group (sorts/quantiles surface;
+    // approx_percentile is the 100 TB path, exact matches the oracle).
+    "q39_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
+             round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
+             round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"))
+        .orderBy("l_returnflag")
+    }),
+
     // Broadcast-dimension equi-join (star-schema enrichment).
     "q40_join_enrich" -> ((s, dir) => {
       graft.ops.Relational.joinDim(
@@ -497,6 +553,41 @@ object SparkEntry {
                 count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY 1, 2""",
+    "q36_set_ops" ->
+      """WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+            b AS (SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING'),
+            s AS (SELECT 'both' AS which, c_custkey
+                    FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+                  UNION ALL
+                  SELECT 'a_only', c_custkey
+                    FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+                  UNION ALL
+                  SELECT 'b_only', c_custkey
+                    FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
+         SELECT which, count(*) AS n FROM s GROUP BY 1 ORDER BY 1""",
+    "q37_asof_join" ->
+      """WITH p AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+            j AS (SELECT p.user_id, p.ts AS pts, c.ts AS cts
+                  FROM p ASOF LEFT JOIN c
+                    ON p.user_id = c.user_id AND p.ts >= c.ts)
+         SELECT user_id, count(*) AS n_purchases, count(cts) AS n_matched,
+                CAST(coalesce(sum(epoch_us(pts) - epoch_us(cts)), 0)
+                     AS BIGINT) AS sum_gap_us
+         FROM j GROUP BY 1 ORDER BY 1""",
+    "q38_binary_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+         CAST(length(text) AS INTEGER) AS n_chars
+         FROM documents ORDER BY 1""",
+    "q39_quantiles" ->
+      """SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+         round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+         round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q40_join_enrich" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS revenue

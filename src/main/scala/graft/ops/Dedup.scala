@@ -106,8 +106,7 @@ object Dedup {
     val sh = fanOut(df).select(id.as("id"), shingles(text, n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sim = sh
-      .withColumn("hs", transform(col("sh"), f => polyHash62(f)))
-      .withColumn("simhash", simhash62FromHashes(col("hs")))
+      .withColumn("simhash", graft.functions.SimHash62(col("sh")))
     val banded = sim.select(col("id") +:
       (0 until 4).map(b => simhashBand(col("simhash"), b).as(s"b$b")): _*)
     val cand = (0 until 4).map { b =>

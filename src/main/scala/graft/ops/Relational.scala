@@ -43,4 +43,50 @@ object Relational {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Backward (most-recent-at-or-before) as-of join: for each left row,
+    * attach payload columns from the right row with the same `key` and
+    * the greatest `rightTime` <= `leftTime` (null when none exists).
+    *
+    * Scale shape: the union-and-carry-forward lowering — tag both sides,
+    * union, one window per key ordered by (time, side) with
+    * last(_, ignoreNulls) carrying the most recent right payload into
+    * each left row. ONE shuffle on the key, no per-pair range explosion
+    * (a naive `l.join(r, key && rt <= lt)` + max is O(|l|*|r|) per key);
+    * skewed keys follow the usual window-skew remedies (pre-bucket by
+    * coarse time if one key dominates).
+    *
+    * `payload` maps right-side column name → output column name; output
+    * names must not collide with left columns. Right rows sort before
+    * left rows at equal time, so an exactly-simultaneous right row IS
+    * matched (ASOF >= semantics, same as DuckDB's ASOF JOIN). */
+  def asofJoinBackward(left: DataFrame, right: DataFrame,
+                       key: String, leftTime: String, rightTime: String,
+                       payload: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = right.select(
+      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+        payload.toSeq.map { case (from, to) => col(from).as(to) }): _*)
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.values.foldLeft(unioned) { (d, out) =>
+      d.withColumn(out,
+        last(when(col("__side") === 0, col(out)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__t", "__side")
+  }
+
+  /** Tagged three-way set split (corpus diff): rows only in `a`
+    * (`a_only`), only in `b` (`b_only`), and in `both`. Schemas must
+    * match. Set semantics (deduplicating), like SQL INTERSECT/EXCEPT;
+    * each leg is a shuffle on the full row — co-partitioned by Catalyst
+    * since the keys agree. */
+  def setSplit(a: DataFrame, b: DataFrame): DataFrame =
+    a.intersect(b).withColumn("which", lit("both"))
+      .unionByName(a.except(b).withColumn("which", lit("a_only")))
+      .unionByName(b.except(a).withColumn("which", lit("b_only")))
 }

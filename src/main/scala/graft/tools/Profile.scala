@@ -59,6 +59,12 @@ object Profile {
     time("verified")(verified.count())
     time("full q22")(graft.ops.Dedup.minhashLshPairs(
       d, col("doc_id"), col("text"), tau = 0.6).count())
+    time("q23 cold")(graft.ops.Dedup.simhashPairs(
+      d, col("doc_id"), col("text"), tau = 0.6).count())
+    time("q23 warm")(graft.ops.Dedup.simhashPairs(
+      d, col("doc_id"), col("text"), tau = 0.6).count())
+    time("q21 warm")(graft.ops.Dedup.jaccardPairs(
+      d, col("doc_id"), col("text"), tau = 0.6).count())
     spark.stop()
   }
 }

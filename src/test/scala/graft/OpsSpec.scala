@@ -82,6 +82,32 @@ class OpsSpec extends AnyFunSuite {
     assert(tc.forall(r => r.getInt(2) >= r.getInt(1)))
   }
 
+  test("asof backward join picks greatest right time <= left time") {
+    val sq = spark
+    import sq.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "t")
+    val right = Seq((1L, 8L, "a"), (1L, 15L, "b"), (1L, 20L, "c"),
+                    (3L, 1L, "x")).toDF("k", "rt", "v")
+    val out = Relational.asofJoinBackward(left, right,
+        key = "k", leftTime = "t", rightTime = "rt", payload = Map("v" -> "av"))
+      .select("k", "t", "av").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      (1L, 10L, Some("a")),   // 8 <= 10 < 15
+      (1L, 20L, Some("c")),   // equal time matches (>= semantics)
+      (2L, 5L, None)))        // no right rows for key 2
+  }
+
+  test("setSplit tags intersect/except legs with set semantics") {
+    val sq = spark
+    import sq.implicits._
+    val a = Seq(1, 2, 2, 3).toDF("x")
+    val b = Seq(3, 4).toDF("x")
+    val got = Relational.setSplit(a, b).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((3, "both"), (1, "a_only"), (2, "a_only"), (4, "b_only")))
+  }
+
   test("brute-force ANN ranks are deterministic and self-free") {
     val r = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 5),
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 3)
