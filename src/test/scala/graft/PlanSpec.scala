@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the "would this survive a 100x scale-up"
+  * gate. Correct results through a bad plan (full scans, shuffled dims,
+  * no partial aggregation) pass value checks but die at scale; these
+  * tests pin the plan shapes the engine is designed around.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf0001
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q02 filter reaches the parquet scan (predicate pushdown)") {
+    val p = plan("q02_project_filter")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("GreaterThan(l_quantity,30") ||
+           p.contains("GreaterThan(l_quantity, 30"), p.take(2000))
+  }
+
+  test("q02 scan reads only the projected + filtered columns (pruning)") {
+    val p = plan("q02_project_filter")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_quantity"))
+    assert(!read.contains("l_extendedprice") && !read.contains("l_comment"),
+      read)
+  }
+
+  test("q40 dimension join broadcasts (no shuffle of the fact side)") {
+    val p = plan("q40_join_enrich")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q01 aggregates partially before the shuffle (map-side combine)") {
+    val p = plan("q01_flagship_agg")
+    // partial + final pairs appear as two HashAggregate levels
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q24 corpus side is not shuffled (broadcast of the query side)") {
+    val p = plan("q24_ann_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q34 text stats scan only id + text") {
+    val p = plan("q34_token_count")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text"))
+    assert(!read.contains("lang") || read.contains("ReadSchema: struct<doc_id"),
+      read)
+  }
+
+  test("whole-stage codegen covers the dedup hashing pipeline") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val df = graft.ops.Dedup.minhashLshPairs(
+      d, org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"), tau = 0.6)
+    df.collect() // AQE: codegen spans only appear in the final executed
+                 // plan, and only for THIS df's queryExecution (count()
+                 // would execute a different wrapped plan)
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(n) Operator" in the compact tree
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p.take(2000))
+    // the scan+shingle+signature projection must be inside a codegen span
+    val sigLine = p.linesIterator.find(_.contains("minhash_sig")).getOrElse("")
+    assert(sigLine.contains("*("), sigLine)
+  }
+}
