@@ -118,6 +118,83 @@ class TransformSpec extends AnyFunSuite {
     assert(out(1).getLong(1) == 1)
   }
 
+  test("set traversal + inversion (classes fixture, README.md:159-187)") {
+    // {category {course #{student}}} -> {student (sorted) [course]}
+    val in = Seq(
+      Map("stem" -> Map(101 -> Seq("ann", "bob"), 102 -> Seq("ann")),
+          "arts" -> Map(201 -> Seq("cat")))).toDF("value")
+    val out = Transform(
+      Entries(Seq((KAll(Leaf("cat")): DKey) ->
+        Entries(Seq((KAll(Leaf("course")): DKey) -> SetOf(Leaf("student")))))),
+      RMap(col("student"), RList(col("course"), sorted = true)))
+      .nested(in)
+    val got = out.collect()(0).getAs[Map[String, Seq[Int]]](0)
+    assert(got == Map("ann" -> Seq(101, 102), "bob" -> Seq(101),
+                      "cat" -> Seq(201)))
+  }
+
+  test("sibling vector patterns cross (franchise fixture, README.md:251-295)") {
+    // two arrays under one struct: each manager × each employee
+    val in = Seq(
+      ("acme", Seq("ma", "mb"), Seq("e1", "e2", "e3")))
+      .toDF("franchise", "managers", "employees")
+    val out = Transform(
+      Vec(Entries(Seq(
+        (KField("franchise"): DKey) -> Leaf("f"),
+        (KField("managers"): DKey)  -> Vec(Leaf("m")),
+        (KField("employees"): DKey) -> Vec(Leaf("e"))))),
+      RRows(Seq("f" -> col("f"), "m" -> col("m"), "e" -> col("e"))))
+      .apply(in).collect().map(r => (r.getString(1), r.getString(2))).toSet
+    assert(out == (for { m <- Set("ma", "mb"); e <- Set("e1", "e2", "e3") }
+      yield (m, e)))
+  }
+
+  test("map-key destructuring {{:keys [a b]} v} (test/core.clj:297-305)") {
+    val in = Seq(Map((1, 2) -> 10, (3, 4) -> 20)).toDF("value")
+    val out = Transform(
+      Entries(Seq((KAll(keys("_1", "_2")): DKey) -> Leaf("v"))),
+      RRows(Seq("a" -> col("_1"), "b" -> col("_2"), "v" -> col("v"))))
+      .apply(in).orderBy("a").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(out.toSeq == Seq((1, 2, 10), (3, 4, 20)))
+  }
+
+  test("computed literal key references earlier bindings (test/core.clj:280-288)") {
+    // {k {(:literal k-derived) v}}: the inner lookup key is computed from
+    // the outer binding at runtime
+    val in = Seq(Map(
+      "x" -> Map("x!" -> 1, "y!" -> 9),
+      "y" -> Map("y!" -> 2))).toDF("value")
+    val out = Transform(
+      Entries(Seq((KAll(Leaf("k")): DKey) ->
+        Entries(Seq((KExpr(concat(col("k"), lit("!"))): DKey) -> Leaf("v"))))),
+      RMap(col("k"), RScalar(col("v"))))
+      .nested(in)
+    val got = out.collect()(0).getAs[Map[String, Int]](0)
+    assert(got == Map("x" -> 1, "y" -> 2))
+  }
+
+  test("record-stores end-to-end restructuring (test/core.clj:315-349)") {
+    // [{:store :stock [{:artist :title :quantity}]}] ->
+    //   {artist {title total-quantity}} summed across stores
+    val in = Seq(
+      ("downtown", Seq(("miles", "kob", 3), ("nina", "baltimore", 2))),
+      ("uptown",   Seq(("miles", "kob", 1), ("miles", "sketches", 5))))
+      .toDF("store", "stock")
+    val out = Transform(
+      Vec(Entries(Seq(
+        (KField("stock"): DKey) -> Vec(Entries(Seq(
+          (KField("_1"): DKey) -> Leaf("artist"),
+          (KField("_2"): DKey) -> Leaf("title"),
+          (KField("_3"): DKey) -> Leaf("qty"))))))),
+      RMap(col("artist"), RMap(col("title"), RAgg(sum(col("qty"))))))
+      .nested(in)
+    val got = out.collect()(0).getAs[Map[String, Map[String, Long]]](0)
+    assert(got == Map(
+      "miles" -> Map("kob" -> 4L, "sketches" -> 5L),
+      "nina" -> Map("baltimore" -> 2L)))
+  }
+
   test("forEach visits every binding tuple (core.cljc:30-33)") {
     val in = Seq(Seq(1, 2, 3)).toDF("value")
     val acc = spark.sparkContext.longAccumulator("sum")
