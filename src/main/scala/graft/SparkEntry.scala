@@ -347,6 +347,20 @@ object SparkEntry {
         .orderBy("rf", "ls")
     }),
 
+    // O20-O23: arbitrary custom reducer through the DSL's RAgg hook — a
+    // KMV bottom-k deterministic distinct sample per group (Aggregator
+    // with the reference's partial/merge/finalize structure). The hash is
+    // the oracle-portable 31-bit polynomial, so DuckDB reproduces the
+    // exact sample.
+    "q41_group_sample" -> ((s, dir) => {
+      Transform.run(t(s, dir, "lineitem"),
+        rows("l_returnflag", "l_partkey"),
+        RMap(col("l_returnflag"),
+          RAgg(graft.functions.Reducers.bottomKSample(16)(
+            col("l_partkey").cast("string")))))
+        .orderBy("l_returnflag")
+    }),
+
     // Set operators (corpus diff): intersect / except via tagged split.
     "q36_set_ops" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -553,6 +567,21 @@ object SparkEntry {
                 count(*) AS n, round(sum(l_quantity), 2) AS qty
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY 1, 2""",
+    "q41_group_sample" ->
+      """WITH x AS (SELECT DISTINCT l_returnflag,
+                    CAST(l_partkey AS VARCHAR) AS v FROM lineitem),
+            h AS (SELECT l_returnflag, v,
+                    list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      [CAST(ascii(v[i]) AS BIGINT)
+                       FOR i IN range(1, length(v)+1)]),
+                      (a,c) -> (a*31+c) % 2147483647) AS hh
+                  FROM x),
+            r AS (SELECT l_returnflag, v, hh,
+                    row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY hh, v) AS rn
+                  FROM h)
+         SELECT l_returnflag, string_agg(v, ',' ORDER BY hh, v) AS value
+         FROM r WHERE rn <= 16 GROUP BY 1 ORDER BY 1""",
     "q36_set_ops" ->
       """WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
             b AS (SELECT c_custkey FROM customer

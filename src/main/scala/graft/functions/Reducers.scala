@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Custom reducers — the engine's analog of the reference's arbitrary
+  * `^:expand` reducer functions (faconne `parse_range.cljc:88-179`,
+  * SURVEY.md §2 O20-O23): a Spark `Aggregator[IN, BUF, OUT]` has exactly
+  * the reference's partial/merge/finalize structure (ReduceData build →
+  * deep-merge → eval-reduce-data), generalized to distributed partial
+  * aggregation. Plug the resulting Column into `RAgg` and it flows
+  * through the same groupBy ladders as the built-ins.
+  */
+object Reducers {
+
+  /** KMV (k-minimum-hash-values) deterministic distinct sample: keeps the
+    * k distinct values with the smallest portable polynomial hash.
+    *
+    * Why not reservoir sampling: at scale you want samples that are
+    * STABLE across runs, mergeable across partitions without
+    * coordination, and consistent across engines — hash-ordered bottom-k
+    * is all three (and doubles as a KMV cardinality sketch). The hash is
+    * the same 31-bit polynomial the DuckDB oracle computes, so the sample
+    * is bit-reproducible outside Spark.
+    *
+    * Output is the sample joined as a comma string, hash-ascending
+    * (ties broken by value) — scalar, so engine-comparison friendly. */
+  final case class BottomKSample(k: Int)
+      extends Aggregator[String, Seq[(Long, String)], String] {
+
+    private def h(s: String): Long = {
+      var a = 7L
+      var i = 0
+      while (i < s.length) { a = (a * 31L + s.charAt(i)) % 2147483647L; i += 1 }
+      a
+    }
+
+    override def zero: Seq[(Long, String)] = Nil
+
+    private def insert(b: Seq[(Long, String)],
+                       e: (Long, String)): Seq[(Long, String)] =
+      if (b.contains(e)) b
+      else ((e +: b).sortBy(identity)).take(k)
+
+    override def reduce(b: Seq[(Long, String)], v: String): Seq[(Long, String)] =
+      if (v == null) b else insert(b, (h(v), v))
+
+    override def merge(a: Seq[(Long, String)],
+                       b: Seq[(Long, String)]): Seq[(Long, String)] =
+      (a ++ b).distinct.sortBy(identity).take(k)
+
+    override def finish(r: Seq[(Long, String)]): String =
+      r.map(_._2).mkString(",")
+
+    override def bufferEncoder: Encoder[Seq[(Long, String)]] =
+      ExpressionEncoder[Seq[(Long, String)]]()
+    override def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
+  /** `bottomKSample(k)(values)` as a Column aggregate. */
+  def bottomKSample(k: Int): Column => Column = {
+    val f = udaf(BottomKSample(k))
+    (c: Column) => f(c)
+  }
+}
