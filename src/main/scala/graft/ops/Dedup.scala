@@ -107,13 +107,19 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val sim = sh
       .withColumn("simhash", graft.functions.SimHash62(col("sh")))
-    val banded = sim.select(col("id") +:
-      (0 until 4).map(b => simhashBand(col("simhash"), b).as(s"b$b")): _*)
-    val cand = (0 until 4).map { b =>
-        banded.as("a").join(banded.as("b"),
-          col(s"a.b$b") === col(s"b.b$b") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      }.reduce(_ union _).distinct()
+    // One (band, key) explode + ONE self-equi-join — the per-band-join
+    // formulation recomputed the scan->shingle->simhash chain once per
+    // band per side (8x; measured half the query's runtime).
+    val banded = sim.select(col("id"), explode(array(
+        (0 until 4).map(b =>
+          struct(lit(b).as("band"),
+                 simhashBand(col("simhash"), b).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
     cand
       .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
       .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
