@@ -409,9 +409,13 @@ object SparkEntry {
     "q39_quantiles" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25"),
-             round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("p50"),
-             round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75"))
+        // one percentile buffer per group, not three
+        .agg(percentile(col("l_extendedprice"),
+               array(lit(0.25), lit(0.5), lit(0.75))).as("ps"))
+        .select(col("l_returnflag"),
+                round(element_at(col("ps"), 1), 4).as("p25"),
+                round(element_at(col("ps"), 2), 4).as("p50"),
+                round(element_at(col("ps"), 3), 4).as("p75"))
         .orderBy("l_returnflag")
     }),
 

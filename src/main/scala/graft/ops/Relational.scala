@@ -80,6 +80,32 @@ object Relational {
     carried.filter(col("__side") === 1).drop("__t", "__side")
   }
 
+  /** Two-stage salted aggregation for skewed group keys: partial-aggregate
+    * on (keys, salt) — spreading one hot key over `saltBuckets` reducers —
+    * then final-aggregate on the keys alone. Use when ONE key holds a
+    * large fraction of all rows (power-law group sizes), where even
+    * map-side combine leaves a single reducer with most of the data.
+    * `partial` aggregates raw rows; `merge` combines partial buffers —
+    * they must compose (sum/sum, count/sum, min/min, ...).
+    *
+    * AQE's skew handling only splits *join* partitions; skewed
+    * aggregation still needs explicit salting. */
+  def saltedAgg(df: DataFrame, keys: Seq[Column], saltBuckets: Int,
+                partial: Seq[(String, Column)],
+                merge: Seq[(String, Column)]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(),
+           lit(saltBuckets.toLong)))
+    val stage1 = salted
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(partial.head._2.as(partial.head._1),
+           partial.tail.map { case (n, c) => c.as(n) }: _*)
+    stage1
+      .groupBy(keys: _*)
+      .agg(merge.head._2.as(merge.head._1),
+           merge.tail.map { case (n, c) => c.as(n) }: _*)
+  }
+
   /** Tagged three-way set split (corpus diff): rows only in `a`
     * (`a_only`), only in `b` (`b_only`), and in `both`. Schemas must
     * match. Set semantics (deduplicating), like SQL INTERSECT/EXCEPT;

@@ -47,4 +47,18 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Bucketed + sorted managed-table write: the co-located-join primitive.
+    * Two tables bucketed the same way (same keys, same bucket count) join
+    * or aggregate on those keys with NO shuffle — the single biggest win
+    * for repeated fact-to-fact joins at the 100 TB tier, where a shuffle
+    * of either side dominates the job. Bucket counts should divide evenly
+    * into cluster parallelism; keep buckets in the 100 MB-1 GB range. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -108,6 +108,20 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Set((3, "both"), (1, "a_only"), (2, "a_only"), (4, "b_only")))
   }
 
+  test("salted two-stage aggregation equals the plain aggregation") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val plain = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val salted = Relational.saltedAgg(li, Seq(col("l_returnflag")), 8,
+        partial = Seq("n" -> count(lit(1)), "s" -> sum(col("l_quantity"))),
+        merge = Seq("n" -> sum(col("n")), "s" -> sum(col("s"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(salted == plain)
+  }
+
   test("brute-force ANN ranks are deterministic and self-free") {
     val r = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 5),
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 3)

@@ -55,6 +55,24 @@ class PlanSpec extends AnyFunSuite {
       read)
   }
 
+  test("bucketed tables join without a shuffle (co-located join)") {
+    val s = spark
+    val orders = s.read.parquet(s"$sf0001/orders.parquet")
+    val customer = s.read.parquet(s"$sf0001/customer.parquet")
+    graft.sources.Sources.writeBucketed(
+      orders.withColumnRenamed("o_custkey", "k"), "b_orders", Seq("k"), 4)
+    graft.sources.Sources.writeBucketed(
+      customer.withColumnRenamed("c_custkey", "k"), "b_cust", Seq("k"), 4)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = s.table("b_orders").join(s.table("b_cust"), "k")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("Exchange"), p) // bucketing satisfied distribution
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the dedup hashing pipeline") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val df = graft.ops.Dedup.minhashLshPairs(

@@ -13,6 +13,8 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+              s"/tmp/graft-warehouse-${System.nanoTime()}")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
