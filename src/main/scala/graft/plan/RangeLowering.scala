@@ -114,33 +114,109 @@ object RangeLowering {
   }
 
   /** Lower an RStruct's fields as sibling columns at one grouping level.
-    * All-simple fields → one groupBy.agg (single shuffle). Nested-map
-    * fields become their own agg subplan joined back on the group keys —
-    * the reference's one-pass multi-granularity emulated with N subplans
-    * over one cached scan (SURVEY.md §4.3). */
+    * All-simple fields → one groupBy.agg (single shuffle).
+    *
+    * Multi-granularity (nested-map fields): when every nested map is one
+    * level deep with a simple-aggregate leaf — the reference's flagship
+    * shape (`README.md:41-43`) — ALL granularities are computed in ONE
+    * pass over the input with GROUPING SETS (SURVEY.md §4.3): at 100 TB
+    * the scan dominates, so one scan + one (expanded) shuffle beats one
+    * scan per granularity. The per-set rows are then reassembled into
+    * MapType columns by joining *aggregated* (tiny) frames. Deeper
+    * nesting falls back to one agg subplan per field joined on the keys. */
   private def flattenStruct(df: DataFrame, keys: Seq[(String, Column)],
                             fields: Seq[(String, Range)]): DataFrame = {
-    val keyCols = keys.map { case (n, c) => c.as(n) }
     val keyNames = keys.map(_._1)
     val (simple, complex) = fields.partition(f => simpleAgg(f._2).isDefined)
 
+    val oneLevelMaps = complex.forall {
+      case (_, RMap(_, v)) => simpleAgg(v).isDefined
+      case _ => false
+    }
+    val joined =
+      if (complex.nonEmpty && oneLevelMaps && keys.nonEmpty)
+        flattenStructOneScan(df, keys, simple, complex)
+      else
+        flattenStructJoin(df, keys, simple, complex)
+    // preserve declared field order
+    joined.select(keyNames.map(col) ++ fields.map(f => col(f._1)): _*)
+  }
+
+  /** Fallback shape: one agg subplan per nested field, full-outer-joined
+    * on the group keys. */
+  private def flattenStructJoin(df: DataFrame, keys: Seq[(String, Column)],
+                                simple: Seq[(String, Range)],
+                                complex: Seq[(String, Range)]): DataFrame = {
+    val keyCols = keys.map { case (n, c) => c.as(n) }
+    val keyNames = keys.map(_._1)
     val base: Option[DataFrame] =
       if (simple.nonEmpty)
         Some(df.groupBy(keyCols: _*)
           .agg(simpleAgg(simple.head._2).get.as(simple.head._1),
                simple.tail.map { case (n, r) => simpleAgg(r).get.as(n) }: _*))
       else None
-
-    val complexDfs = complex.map { case (n, r) =>
-      aggregate(df, keys, r, n)
-    }
-
-    val parts = base.toSeq ++ complexDfs
-    val joined = parts.reduce { (a, b) =>
+    val complexDfs = complex.map { case (n, r) => aggregate(df, keys, r, n) }
+    (base.toSeq ++ complexDfs).reduce { (a, b) =>
       if (keyNames.isEmpty) a.crossJoin(b)
       else a.join(b, keyNames, "full_outer")
     }
-    // preserve declared field order
-    joined.select(keyNames.map(col) ++ fields.map(f => col(f._1)): _*)
+  }
+
+  /** One-scan multi-granularity: GROUPING SETS over (keys) plus
+    * (keys, innerKey_i) per nested-map field, rows routed by
+    * grouping_id(), maps re-assembled from already-aggregated rows. */
+  private def flattenStructOneScan(df: DataFrame, keys: Seq[(String, Column)],
+                                   simple: Seq[(String, Range)],
+                                   complex: Seq[(String, Range)]): DataFrame = {
+    val keyNames = keys.map(_._1)
+    val nI = complex.size
+    val innerNames = complex.indices.map(i => s"__ik$i")
+    var base = df
+    keys.foreach { case (n, c) => base = base.withColumn(n, c) }
+    complex.zip(innerNames).foreach { case ((_, RMap(k2, _)), ik) =>
+      base = base.withColumn(ik, k2)
+    }
+    val sets: Seq[Seq[Column]] =
+      keyNames.map(col) +:
+        innerNames.map(ik => keyNames.map(col) :+ col(ik))
+    val aggs =
+      simple.map { case (n, r) => simpleAgg(r).get.as(n) } ++
+      complex.zip(innerNames).zipWithIndex.map {
+        case (((_, RMap(_, v)), _), i) => simpleAgg(v).get.as(s"__iv$i")
+      } :+ grouping_id().as("__gid") // must live inside the agg list
+    val gs = base
+      .groupingSets(sets, (keyNames ++ innerNames).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    // grouping_id bit j (from MSB over cols keyNames++innerNames) is 1
+    // when that column is aggregated away; keys are in every set.
+    //
+    // Reassembly must have exactly ONE consumer of `gs`: with a
+    // filter-per-set + join, Catalyst pushes each __gid filter into its
+    // own copy of the Expand and the "one scan" degenerates back into a
+    // pipeline per granularity (observed). Conditional aggregation over
+    // the (tiny, already-aggregated) grouping-sets output keeps one
+    // pipeline: collect_list drops the nulls the when() produces for
+    // other sets' rows.
+    val allInner = (1 << nI) - 1
+    val reAggs =
+      simple.map { case (n, _) =>
+        first(when(col("__gid") === allInner, col(n)),
+              ignoreNulls = true).as(n)
+      } ++
+      complex.zip(innerNames).zipWithIndex.map {
+        case (((name, RMap(_, _)), ik), i) =>
+          val gid = allInner - (1 << (nI - 1 - i))
+          val entry = collect_list(
+            when(col("__gid") === gid, struct(col(ik), col(s"__iv$i"))))
+          val entryType = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", gs.schema(ik).dataType),
+            org.apache.spark.sql.types.StructField("v",
+              gs.schema(s"__iv$i").dataType)))
+          val sortable = org.apache.spark.sql.catalyst.expressions
+            .RowOrdering.isOrderable(entryType)
+          map_from_entries(
+            if (sortable) sort_array(entry) else entry).as(name)
+      }
+    gs.groupBy(keyNames.map(col): _*).agg(reAggs.head, reAggs.tail: _*)
   }
 }
