@@ -29,6 +29,19 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: emit the first row per key, dropping
+    * duplicates that arrive within the watermark horizon. State holds one
+    * entry per distinct key seen inside the horizon — bounded by
+    * (arrival rate x horizon), evicted by event time, unlike plain
+    * dropDuplicates whose state grows forever. The streaming twin of
+    * `Dedup.exactKeepFirst` (keep-first is arrival order here: there is
+    * no total order over an unbounded stream). */
+  def dedupStream(stream: DataFrame, keys: Seq[String],
+                  tsCol: String, watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   final case class Ev(user_id: Long, tsSec: Long)
   final case class SessionState(lastTs: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long,

@@ -13,7 +13,7 @@ class StreamingSpec extends AnyFunSuite {
 
   private def events = {
     val df = spark.read.parquet(s"$sf0001/events.parquet")
-    df.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   test("streaming tumbling window equals batch tumbling (complete mode)") {
@@ -28,7 +28,7 @@ class StreamingSpec extends AnyFunSuite {
       dir.resolve("events.parquet"))
     val stream = spark.readStream.schema(schema)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = EventStreams.tumbling(stream, "1 hour")
       .writeStream.format("memory").queryName("hourly")
       .outputMode("complete").start()
@@ -41,6 +41,28 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet
     assert(got == want)
     assert(want.nonEmpty)
+  }
+
+  test("streaming dedup keeps one row per key within the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val stream = ms.toDS().toDF("k", "ts")
+    val q = graft.streaming.EventStreams
+      .dedupStream(stream, Seq("k"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      ms.addData((1L, t(0)), (1L, t(1)), (2L, t(0)))  // dup of k=1
+      q.processAllAvailable()
+      ms.addData((1L, t(2)), (3L, t(3)))              // still in horizon
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("deduped").select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L)) // exactly one row per key
   }
 
   test("stateful sessionization carries state across micro-batches") {
