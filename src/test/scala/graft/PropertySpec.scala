@@ -47,6 +47,44 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("n-at-a-time chunking equals grouped() with null tail (test/core.clj:93-115)") {
+    val vecs: Gen[List[Int]] = Gen.listOf(Gen.choose(0, 100)).map(_.take(9))
+    val prop = Prop.forAll(vecs) { xs =>
+      val oracle: List[(Any, Any)] = xs.grouped(2).map { g =>
+        (g.head: Any, if (g.size > 1) (g(1): Any) else (null: Any))
+      }.toList
+      val in = Seq(xs).toDF("value")
+      val got = Transform(
+        Vec(Seq(Leaf("a"), Leaf("b"))),
+        RRows(Seq("a" -> col("a"), "b" -> col("b"))))
+        .apply(in).collect().map(r => (r.get(0), r.get(1))).toList
+      // chunk order within one array is preserved by the lowering's
+      // chunk-index sequence; compare as multisets to stay partition-safe
+      got.groupBy(identity).view.mapValues(_.size).toMap ==
+        oracle.groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("where placement never changes results, only work (README.md:301-312)") {
+    val flat: Gen[List[(String, Int)]] =
+      Gen.listOfN(12, Gen.zip(keyGen, Gen.choose(0, 50)))
+    val prop = Prop.forAll(flat) { xs =>
+      val oracle = xs.filter(t => t._1 != "a" && t._2 % 2 == 0)
+        .map(_._2).sorted
+      val in = xs.toDF("k", "v")
+      val got = Transform(rows("k", "v"),
+        RList(col("v"), sorted = true),
+        where = Seq(col("k") =!= "a", pmod(col("v"), lit(2)) === 0))
+        .nested(in).collect()(0)
+      val res = if (got.isNullAt(0)) Nil else got.getSeq[Int](0).toList
+      res == oracle
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("group-by-key collects all values (README.md:91-129)") {
     val flat: Gen[List[(String, Int)]] =
       Gen.listOfN(12, Gen.zip(keyGen, Gen.choose(0, 50)))
