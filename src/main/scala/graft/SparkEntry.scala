@@ -419,6 +419,33 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // The full LLM preprocessing funnel composed from the operators
+    // above: language filter -> quality filter -> exact dedup
+    // (keep-first by 8-token prefix) -> near-dup removal (drop the
+    // higher id of each jaccard>=0.8 pair) -> per-source token
+    // accounting. Every stage is individually oracle-proven; this pins
+    // their composition.
+    "q42_pipeline_funnel" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lang = graft.ops.TextAnalysis.langIdOf(d, col("doc_id"), col("text"))
+        .filter(col("pred_lang") === "en").select("doc_id")
+      val qual = graft.ops.TextAnalysis.quality(d, col("doc_id"), col("text"))
+        .filter(col("quality_x1e4") >= 4500).select("doc_id")
+      val pool = d.join(lang, "doc_id").join(qual, "doc_id")
+      val kept = graft.ops.Dedup.exactKeepFirst(pool,
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)), col("doc_id"))
+        .select(col("kept").as("doc_id"))
+      val survivors = pool.join(kept, "doc_id")
+      val nearDup = graft.ops.Dedup.jaccardPairs(survivors,
+          col("doc_id"), col("text"), tau = 0.8)
+        .select(col("id2").as("doc_id")).distinct()
+      survivors.join(nearDup, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(split(col("text"), " "))).as("sum_tokens"))
+        .orderBy("source")
+    }),
+
     // Broadcast-dimension equi-join (star-schema enrichment).
     "q40_join_enrich" -> ((s, dir) => {
       graft.ops.Relational.joinDim(
@@ -621,6 +648,46 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
          round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q42_pipeline_funnel" ->
+      """WITH tkn AS (SELECT doc_id, text, source, string_split(text,' ') AS ws
+                      FROM documents),
+         lng AS (SELECT doc_id FROM (
+                   SELECT doc_id,
+                     CAST(len(list_filter(ws, t -> t IN ('the','a','of','and','to','in'))) AS INTEGER) AS s_en,
+                     CAST(len(list_filter(ws, t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS s_de,
+                     CAST(len(list_filter(ws, t -> t IN ('le','la','les','et','est'))) AS INTEGER) AS s_fr,
+                     CAST(len(list_filter(ws, t -> t IN ('el','los','las','y','es'))) AS INTEGER) AS s_es
+                   FROM tkn)
+                 WHERE greatest(s_en,s_de,s_fr,s_es) > 0
+                   AND s_en = greatest(s_en,s_de,s_fr,s_es)),
+         ql AS (SELECT doc_id FROM (
+                  SELECT doc_id,
+                    CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5
+                      + least(len(ws)/100.0, 1.0)*0.3
+                      + len(list_filter(ws, t -> t IN ('the','a','of','and','to','in')))*1.0/len(ws)*0.2)
+                      *10000.0 + 0.5) AS BIGINT) AS q
+                  FROM tkn)
+                WHERE q >= 4500),
+         pool AS (SELECT t.* FROM tkn t
+                  JOIN lng USING (doc_id) JOIN ql USING (doc_id)),
+         kept AS (SELECT min(doc_id) AS doc_id FROM pool
+                  GROUP BY array_to_string(list_slice(ws, 1, 8), ' ')),
+         surv AS (SELECT p.* FROM pool p JOIN kept USING (doc_id)),
+         sh AS (SELECT doc_id, source, ws, list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws)-1)]) AS shingles FROM surv),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                FROM sh),
+         nd AS (SELECT DISTINCT id2 AS doc_id FROM (
+                  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
+                         any_value(a.n) AS na, any_value(b.n) AS nb
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+                WHERE co*1.0/(na+nb-co) >= 0.8),
+         fin AS (SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM nd))
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(len(ws)) AS BIGINT) AS sum_tokens
+         FROM fin GROUP BY 1 ORDER BY 1""",
     "q40_join_enrich" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS revenue
