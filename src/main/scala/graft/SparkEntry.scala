@@ -419,6 +419,18 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Incremental dedup: near-dup pairs BETWEEN a "new batch" (odd
+    // doc_ids) and the "existing corpus" (even doc_ids) — cost scales
+    // with the batch, not the corpus.
+    "q43_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.jaccardPairsBetween(
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          col("doc_id"), col("doc_id"), col("text"), col("text"), tau = 0.6)
+        .orderBy("id1", "id2")
+    }),
+
     // The full LLM preprocessing funnel composed from the operators
     // above: language filter -> quality filter -> exact dedup
     // (keep-first by 8-token prefix) -> near-dup removal (drop the
@@ -648,6 +660,20 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
          round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q43_dedup_incremental" ->
+      """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws)-1)]) AS shingles FROM tkn),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                FROM sh),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
+                          any_value(a.n) AS na, any_value(b.n) AS nb
+                   FROM ex a JOIN ex b ON a.s = b.s
+                   WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                   GROUP BY 1, 2)
+         SELECT id1, id2, round(co*1.0/(na+nb-co), 4) AS jaccard FROM pairs
+         WHERE co*1.0/(na+nb-co) >= 0.6 ORDER BY 1, 2""",
     "q42_pipeline_funnel" ->
       """WITH tkn AS (SELECT doc_id, text, source, string_split(text,' ') AS ws
                       FROM documents),

@@ -62,6 +62,33 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental near-dup discovery: pairs (left_id, right_id) with
+    * jaccard >= tau BETWEEN two corpora — the "dedupe today's batch
+    * against the existing corpus" shape. Same inverted-shingle-index
+    * plan as [[jaccardPairs]] but the join is left-index × right-index,
+    * so cost scales with the BATCH size, not the corpus: the corpus-side
+    * index is a reusable artifact (persist it; at scale, write it out
+    * bucketed by shingle so daily runs join shuffle-free). */
+  def jaccardPairsBetween(left: DataFrame, right: DataFrame,
+                          leftId: Column, rightId: Column,
+                          leftText: Column, rightText: Column,
+                          tau: Double, n: Int = 3): DataFrame = {
+    def index(df: DataFrame, id: Column, text: Column) =
+      fanOut(df).select(id.as("id"), shingles(text, n).as("sh"))
+        .withColumn("n", size(col("sh")))
+        .select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val exL = index(left, leftId, leftText)
+    val exR = index(right, rightId, rightText)
+    exL.as("a").join(exR.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("co"),
+           first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .withColumn("jaccard",
+        col("co").cast("double") / (col("na") + col("nb") - col("co")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** MinHash + LSH near-dup pairs: band-bucket join generates candidates
     * (only docs sharing a band key meet), then exact Jaccard verifies.
     * With h=128 / 64 bands of 2, a pair at jaccard 0.6 is missed with
