@@ -419,6 +419,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // The skew lever: jaccard pair discovery with ubiquitous shingles
+    // dropped (a shingle shared by >m docs contributes m^2 join rows and
+    // little identity signal — at corpus scale this is what keeps one
+    // hot shingle from dominating the shuffle). Estimates are biased low
+    // vs true jaccard; the oracle replicates the estimator exactly.
+    "q44_dedup_capped" -> ((s, dir) => {
+      graft.ops.Dedup.jaccardPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), tau = 0.5, maxShingleFreq = Some(3))
+        .orderBy("id1", "id2")
+    }),
+
     // Incremental dedup: near-dup pairs BETWEEN a "new batch" (odd
     // doc_ids) and the "existing corpus" (even doc_ids) — cost scales
     // with the batch, not the corpus.
@@ -660,6 +671,21 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
          round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q44_dedup_capped" ->
+      """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws)-1)]) AS shingles FROM tkn),
+         ex0 AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                 FROM sh),
+         keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 3),
+         ex AS (SELECT ex0.* FROM ex0 JOIN keep USING (s)),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
+                          any_value(a.n) AS na, any_value(b.n) AS nb
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id1, id2, round(co*1.0/(na+nb-co), 4) AS jaccard FROM pairs
+         WHERE co*1.0/(na+nb-co) >= 0.5 ORDER BY 1, 2""",
     "q43_dedup_incremental" ->
       """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          sh AS (SELECT doc_id, list_distinct(
