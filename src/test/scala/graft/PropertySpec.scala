@@ -85,6 +85,49 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("3-level nesting: {a {b [v]}} -> {b [v]} regroup (README.md:91-151)") {
+    val gen: Gen[Map[String, Map[String, List[Int]]]] =
+      Gen.mapOf(Gen.zip(keyGen,
+        Gen.mapOf(Gen.zip(keyGen,
+          Gen.listOf(Gen.choose(0, 50)).map(_.take(4)))).map(_.take(4))))
+        .map(_.take(4))
+    val prop = Prop.forAll(gen) { m =>
+      val oracle: Map[String, List[Int]] =
+        (for { (_, inner) <- m.toSeq; (b, vs) <- inner.toSeq; v <- vs }
+          yield (b, v))
+          .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sorted.toList }
+      val in = Seq(m).toDF("value")
+      val got = Transform(
+        Entries(Seq((KAll(Leaf("a")): DKey) ->
+          Entries(Seq((KAll(Leaf("b")): DKey) -> Vec(Leaf("v")))))),
+        RMap(col("b"), RList(col("v"), sorted = true)))
+        .nested(in).collect()(0)
+      val res = if (got.isNullAt(0)) Map.empty[String, List[Int]]
+        else got.getAs[Map[String, scala.collection.Seq[Int]]](0)
+          .map { case (k, v) => k -> v.toList }.toMap
+      res == oracle
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("set range dedups values per group (README.md:94-129)") {
+    val flat: Gen[List[(String, Int)]] =
+      Gen.listOfN(15, Gen.zip(keyGen, Gen.choose(0, 5))) // collisions likely
+    val prop = Prop.forAll(flat) { xs =>
+      val oracle = xs.groupBy(_._1).map { case (k, vs) =>
+        k -> vs.map(_._2).distinct.sorted }
+      val in = xs.toDF("k", "v")
+      val got = Transform(rows("k", "v"),
+        RMap(col("k"), RSet(col("v"))))
+        .apply(in).collect()
+        .map(r => r.getString(0) -> r.getSeq[Int](1).toList).toMap
+      got == oracle
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("group-by-key collects all values (README.md:91-129)") {
     val flat: Gen[List[(String, Int)]] =
       Gen.listOfN(12, Gen.zip(keyGen, Gen.choose(0, 50)))
