@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.functions.TextFunctions._
+
+/** Differential tests: every native codegen'd expression must equal its
+  * column-function (higher-order-function) executable specification on
+  * real corpus data — the HOF forms are slow but trivially auditable. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import TestSpark.sf0001
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet").limit(50)
+
+  test("WordShingles equals the array_distinct/transform specification") {
+    val ws = tokens(col("text"))
+    val spec = array_distinct(
+      when(size(ws) >= 3,
+        transform(sequence(lit(0), size(ws) - 3), i =>
+          concat_ws(" ", (0 until 3).map(j =>
+            element_at(ws, i + lit(j + 1))): _*)))
+        .otherwise(array().cast("array<string>")))
+    val diff = docs.select(
+        WordShingles(col("text"), 3).as("native"), spec.as("spec"))
+      .filter(not(col("native") === col("spec")))
+    assert(diff.count() == 0)
+  }
+
+  test("MinHashSig equals the Carter-Wegman column-function specification") {
+    val p = 2147483647L
+    val base = transform(WordShingles(col("text"), 3), s =>
+      struct(pmod(hash(s).cast("long"), lit(p)).as("h1"),
+             pmod(xxhash64(s), lit(p)).as("h2")))
+    def sigSpec(h: Int) = transform(sequence(lit(0), lit(h - 1)), i =>
+      array_min(transform(base, b =>
+        pmod(b.getField("h1") + i * b.getField("h2"), lit(p)))))
+    val diff = docs
+      .select(MinHashSig(WordShingles(col("text"), 3), 16).as("native"),
+              sigSpec(16).as("spec"))
+      .filter(not(col("native") === col("spec")))
+    assert(diff.count() == 0)
+  }
+
+  test("SimHash62 equals the polyHash62/vote column-function specification") {
+    val sh = WordShingles(col("text"), 3)
+    val diff = docs
+      .withColumn("hs", transform(sh, f => polyHash62(f)))
+      .select(SimHash62(sh).as("native"),
+              simhash62FromHashes(col("hs")).as("spec"))
+      .filter(col("native") =!= col("spec"))
+    assert(diff.count() == 0)
+  }
+
+  test("ArrayDot equals the aggregate/zip_with specification") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+    val v = VectorFunctions.toDouble(col("embedding"))
+    val spec = aggregate(zip_with(v, v, _ * _), lit(0.0), _ + _)
+    val diff = e.select(ArrayDot(v, v).as("native"), spec.as("spec"))
+      .filter(col("native") =!= col("spec")) // bit-identical, same order
+    assert(diff.count() == 0)
+  }
+}
