@@ -419,6 +419,22 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Analytic window surface: lag + running aggregate per customer
+    // (deterministic total order inside each partition key).
+    "q45_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          round(sum(col("o_totalprice"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+            .as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // The skew lever: jaccard pair discovery with ubiquitous shingles
     // dropped (a shingle shared by >m docs contributes m^2 join rows and
     // little identity signal — at corpus scale this is what keeps one
@@ -671,6 +687,15 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
          round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q45_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         lag(o_totalprice) OVER w AS prev_price,
+         round(sum(o_totalprice) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS UNBOUNDED PRECEDING), 2) AS running_total
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY 1, 2""",
     "q44_dedup_capped" ->
       """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          sh AS (SELECT doc_id, list_distinct(

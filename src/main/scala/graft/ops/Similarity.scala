@@ -50,10 +50,14 @@ object Similarity {
     * broadcast of the probed query set, no corpus shuffle). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame,
               id: Column, vec: Column, qid: Column, qvec: Column,
-              k: Int, nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+              k: Int, nLists: Int = 16, nProbe: Int = 4,
+              trained: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val c = Dedup.fanOut(corpus).select(id.as("nbr"), toDouble(vec).as("v"))
-    val centroids: Seq[Seq[Double]] = c.orderBy(col("nbr")).limit(nLists)
-      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val centroids: Seq[Seq[Double]] = trained.getOrElse(
+      c.orderBy(col("nbr")).limit(nLists)
+        .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq)
+    require(centroids.size == nLists,
+      s"expected $nLists centroids, got ${centroids.size}")
     val cents = typedlit(centroids)
 
     // indices of the n nearest centroids by cosine (array_sort on
@@ -81,6 +85,43 @@ object Similarity {
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid"))
           .orderBy(col("score").desc, col("nbr").asc)))
+  }
+
+  /** Deterministic Lloyd k-means over an embedding column — the centroid
+    * trainer for [[ivfTopK]]'s production path. Init = first k vectors by
+    * id (deterministic); each iteration is one distributed pass: assign
+    * every vector to its nearest centroid (broadcast literal centroids,
+    * narrow map) then groupBy-average — the textbook scalable shape
+    * (k*dim doubles on the driver, never the corpus). Cosine assignment
+    * with mean centroids (spherical k-means without re-normalization —
+    * adequate for probe routing). */
+  def kmeansCentroids(corpus: DataFrame, id: Column, vec: Column,
+                      k: Int, iters: Int): Seq[Seq[Double]] = {
+    val c = Dedup.fanOut(corpus).select(id.as("id"), toDouble(vec).as("v"))
+    var centroids: Seq[Seq[Double]] = c.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    for (_ <- 0 until iters) {
+      val cents = typedlit(centroids)
+      val nearestIdx = {
+        val ranked = transform(sequence(lit(0), lit(k - 1)), i =>
+          struct((-round(cosine(col("v"), element_at(cents, i + 1)), 6))
+                   .as("neg"), i.as("idx")))
+        element_at(transform(array_sort(ranked), s => s.getField("idx")), 1)
+      }
+      val dim = centroids.head.size
+      val dims = (0 until dim).map(d =>
+        avg(element_at(col("v"), d + 1)).as(s"d$d"))
+      val updated = c.withColumn("list", nearestIdx)
+        .groupBy("list")
+        .agg(dims.head, dims.tail: _*)
+        .collect()
+        .map(r => r.getAs[Number](0).intValue ->
+          (0 until dim).map(d => r.getDouble(d + 1)))
+        .toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+    }
+    centroids
   }
 
   /** Approximate cosine-similar pair discovery via sign-pattern LSH:

@@ -73,6 +73,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeans training tightens clusters and plugs into IVF") {
+    val k = 8
+    val trained = Similarity.kmeansCentroids(embs,
+      col("vec_id"), col("embedding"), k, iters = 3)
+    assert(trained.size == k && trained.forall(_.nonEmpty))
+    // mean best-centroid cosine must not degrade vs the untrained init
+    def meanBest(cents: Seq[Seq[Double]]): Double = {
+      import graft.functions.VectorFunctions._
+      val c = typedlit(cents)
+      embs.select(
+          array_max(transform(sequence(lit(0), lit(k - 1)), i =>
+            cosine(toDouble(col("embedding")), element_at(c, i + 1))))
+            .as("best"))
+        .agg(avg("best")).collect()(0).getDouble(0)
+    }
+    val init = embs.orderBy("vec_id").limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toIndexedSeq).toIndexedSeq
+    assert(meanBest(trained) >= meanBest(init) - 1e-9)
+    // trained centroids drive the same probe machinery
+    val got = Similarity.ivfTopK(embs, embs.filter(col("vec_id") < 3),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      k = 3, nLists = k, nProbe = 3, trained = Some(trained))
+    assert(got.count() == 9)
+  }
+
   test("regex token counts exceed whitespace counts on punctuated text") {
     val tc = TextAnalysis.tokenCounts(docs, col("doc_id"), col("text"))
       .collect()
