@@ -419,6 +419,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Canonical text normalization (lowercase / strip / collapse) — the
+    // key-derivation step ahead of exact dedup; identical RE2 patterns
+    // run in the oracle.
+    "q46_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          graft.ops.TextAnalysis.normalize(col("text")).as("norm"))
+        .withColumn("norm_tokens", size(split(col("norm"), " ")))
+        .orderBy("doc_id")
+    }),
+
     // Analytic window surface: lag + running aggregate per customer
     // (deterministic total order inside each partition key).
     "q45_window_running" -> ((s, dir) => {
@@ -687,6 +698,15 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
          round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q46_normalize" ->
+      """SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm,
+         CAST(len(string_split(
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g')), ' ')) AS INTEGER)
+           AS norm_tokens
+         FROM documents ORDER BY 1""",
     "q45_window_running" ->
       """SELECT o_custkey, o_orderkey,
          lag(o_totalprice) OVER w AS prev_price,

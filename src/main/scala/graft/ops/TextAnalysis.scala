@@ -58,6 +58,14 @@ object TextAnalysis {
       size(tokens(text)).as("ws_tokens"),
       size(regexTokens(text)).as("bpe_tokens"))
 
+  /** Canonical text normalization for dedup/key derivation: lowercase,
+    * strip everything but [a-z0-9 ], collapse whitespace runs, trim.
+    * Pure codegen'd column expression; the regexes stay inside the RE2
+    * subset so the DuckDB oracle runs the identical patterns. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Corpus-level token frequency (the classic wordcount — explode +
     * count, partial aggregation map-side). */
   def tokenFrequency(df: DataFrame, text: Column, topN: Int): DataFrame =
