@@ -195,6 +195,76 @@ class TransformSpec extends AnyFunSuite {
       "nina" -> Map("baltimore" -> 2L)))
   }
 
+  test("store-data un-nesting goldens, both ranges (README.md:91-127)") {
+    val storeData = Map(
+      "Gas Station" -> Map(
+        1 -> Seq("Hot Dog", "Nachos", "Cola"),
+        2 -> Seq("Hot Dog", "Toothpaste", "Deoderant")),
+      "Grocer" -> Map(
+        1 -> Seq("Celery", "Onion", "Carrot"),
+        2 -> Seq("Orange", "Apple"),
+        3 -> Seq("Salmon")))
+    val in = Seq(storeData).toDF("value")
+    val domain = Entries(Seq((KAll(Leaf("store")): DKey) ->
+      Entries(Seq((KAll(Leaf("aisle")): DKey) -> Vec(Leaf("product"))))))
+
+    // {store #{product}}
+    val sets = Transform(domain, RMap(col("store"), RSet(col("product"))))
+      .nested(in).collect()(0)
+      .getAs[Map[String, scala.collection.Seq[String]]](0)
+      .map { case (k, v) => k -> v.toSet }
+    assert(sets == Map(
+      "Gas Station" -> Set("Nachos", "Toothpaste", "Cola", "Deoderant",
+                           "Hot Dog"),
+      "Grocer" -> Set("Carrot", "Onion", "Celery", "Salmon", "Orange",
+                      "Apple")))
+
+    // {store [{:aisle aisle :product product}]} — compare as multisets
+    // (reference order = traversal order; Spark order is partition-dep.)
+    val lists = Transform(domain,
+      RMap(col("store"),
+        RList(struct(col("aisle"), col("product")))))
+      .nested(in).collect()(0)
+      .getAs[Map[String, scala.collection.Seq[org.apache.spark.sql.Row]]](0)
+      .map { case (k, v) =>
+        k -> v.map(r => (r.getInt(0), r.getString(1))).groupBy(identity)
+          .view.mapValues(_.size).toMap }
+    assert(lists("Gas Station") == Seq(
+      1 -> "Hot Dog", 1 -> "Nachos", 1 -> "Cola",
+      2 -> "Hot Dog", 2 -> "Toothpaste", 2 -> "Deoderant")
+      .groupBy(identity).view.mapValues(_.size).toMap)
+    assert(lists("Grocer")((3, "Salmon")) == 1)
+  }
+
+  test("event-data conditional-key nesting golden (README.md:130-152)") {
+    val events = Seq(
+      ("2018-08-10", "add-user", false, Seq("steve")),
+      ("2018-08-10", "add-user", true, Seq("george")),
+      ("2018-08-10", "remove-user", false, Seq("janice")),
+      ("2018-08-11", "add-user", true, Seq("jocelyn")),
+      ("2018-08-11", "remove-user", false, Seq("steve")))
+      .toDF("day", "type", "handled", "data")
+    val out = Transform(
+      rows("day", "type", "handled", "data"),
+      RMap(col("day"),
+        RMap(when(col("handled"), "handled").otherwise("unhandled"),
+          RMap(col("type"),
+            // colliding list values concatenate (deep-merge `into`)
+            RAgg(flatten(collect_list(col("data"))))))))
+      .nested(events).collect()(0)
+      .getAs[Map[String, Map[String, Map[String, scala.collection.Seq[String]]]]](0)
+      .map { case (d, hm) => d -> hm.map { case (h, tm) =>
+        h -> tm.map { case (t, xs) => t -> xs.toList }.toMap }.toMap }
+    assert(out == Map(
+      "2018-08-10" -> Map(
+        "unhandled" -> Map("add-user" -> List("steve"),
+                           "remove-user" -> List("janice")),
+        "handled" -> Map("add-user" -> List("george"))),
+      "2018-08-11" -> Map(
+        "handled" -> Map("add-user" -> List("jocelyn")),
+        "unhandled" -> Map("remove-user" -> List("steve")))))
+  }
+
   test("forEach visits every binding tuple (core.cljc:30-33)") {
     val in = Seq(Seq(1, 2, 3)).toDF("value")
     val acc = spark.sparkContext.longAccumulator("sum")
