@@ -265,6 +265,44 @@ class TransformSpec extends AnyFunSuite {
         "unhandled" -> Map("remove-user" -> List("steve")))))
   }
 
+  test("classes reducing golden: count ^:expand (README.md:159-187)") {
+    val classes = Map(
+      "math" -> Map(2062 -> Seq("John", "Mary", "Paul", "Susan"),
+                    4001 -> Seq("Mary", "Tone", "Mike")),
+      "history" -> Map(6000 -> Seq("John", "Paul", "Susan", "Tone"),
+                       3052 -> Seq("Tone", "Mike", "Susan")))
+    val in = Seq(classes).toDF("value")
+    val domain = Entries(Seq((KAll(Leaf("category")): DKey) ->
+      Entries(Seq((KAll(Leaf("course")): DKey) -> SetOf(Leaf("student"))))))
+    // {student (count ^:expand #{course-number})}
+    val out = Transform(domain,
+      RMap(col("student"), RAgg(countDistinct(col("course")))))
+      .nested(in).collect()(0).getAs[Map[String, Long]](0)
+    assert(out == Map("Susan" -> 3L, "Mary" -> 2L, "John" -> 2L,
+                      "Paul" -> 2L, "Tone" -> 3L, "Mike" -> 2L))
+  }
+
+  test("mapping+merging golden: computed keys and values (README.md:231-245)") {
+    val in = Seq(Map(
+      "First Baseman" -> Seq(("Steve", "White")),
+      "first baseman" -> Seq(("Mark", "Smith")),
+      "second Baseman" -> Seq(("George", "Brown"))))
+      .toDF("value")
+    val out = Transform(
+      Entries(Seq((KAll(Leaf("position")): DKey) ->
+        Vec(Entries(Seq(
+          (KField("_1"): DKey) -> Leaf("f"),
+          (KField("_2"): DKey) -> Leaf("l")))))),
+      RMap(regexp_replace(lower(col("position")), " ", "-"),
+        RList(concat(col("l"), lit(", "), col("f")), sorted = true)))
+      .nested(in).collect()(0)
+      .getAs[Map[String, scala.collection.Seq[String]]](0)
+      .map { case (k, v) => k -> v.toList }
+    assert(out == Map(
+      "first-baseman" -> List("Smith, Mark", "White, Steve"),
+      "second-baseman" -> List("Brown, George")))
+  }
+
   test("forEach visits every binding tuple (core.cljc:30-33)") {
     val in = Seq(Seq(1, 2, 3)).toDF("value")
     val acc = spark.sparkContext.longAccumulator("sum")
