@@ -303,6 +303,79 @@ class TransformSpec extends AnyFunSuite {
       "second-baseman" -> List("Brown, George")))
   }
 
+  private def studentData = Seq(
+    ("john", 97, "math", "east"), ("john", 90, "english", "east"),
+    ("john", 70, "history", "east"), ("dave", 80, "math", "east"),
+    ("dave", 100, "english", "east"), ("mary", 90, "math", "west"),
+    ("mary", 92, "english", "west"), ("mary", 94, "history", "west"))
+    .toDF("student", "grade", "course", "campus")
+
+  private val flagshipRange =
+    RMap(col("campus"), RStruct(Seq(
+      "number_students" -> RAgg(countDistinct(col("student"))),
+      "avg_grade_per_course" -> RMap(col("course"), RAgg(avg(col("grade")))),
+      "student_grades" ->
+        RMap(col("student"), RMap(col("course"), RScalar(col("grade")))))))
+
+  test("flagship student-data golden (README.md:22-64)") {
+    val organized = Transform(
+      rows("student", "grade", "course", "campus"), flagshipRange)
+      .nested(studentData)
+    val east = organized
+      .select(element_at(col("value"), "east").as("e"))
+      .select(col("e.number_students"),
+        element_at(col("e.avg_grade_per_course"), "math"),
+        element_at(col("e.avg_grade_per_course"), "history"),
+        element_at(element_at(col("e.student_grades"), "john"), "math"),
+        element_at(element_at(col("e.student_grades"), "dave"), "english"))
+      .collect()(0)
+    assert(east.getLong(0) == 2)            // number-students east
+    assert(east.getDouble(1) == 88.5)       // 177/2 as double
+    assert(east.getDouble(2) == 70.0)
+    assert(east.getInt(3) == 97)
+    assert(east.getInt(4) == 100)
+  }
+
+  test("inverse transform round-trips to the flat relation (README.md:66-69)") {
+    val organized = Transform(
+      rows("student", "grade", "course", "campus"), flagshipRange)
+      .nested(studentData)
+    val back = Transform(
+      Entries(Seq((KAll(Leaf("campus")): DKey) ->
+        Entries(Seq((KField("student_grades"): DKey) ->
+          Entries(Seq((KAll(Leaf("student")): DKey) ->
+            Entries(Seq((KAll(Leaf("course")): DKey) -> Leaf("grade"))))))))),
+      RRows(Seq("student" -> col("student"), "grade" -> col("grade"),
+                "course" -> col("course"), "campus" -> col("campus"))))
+      .apply(organized)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    val original = studentData.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .toSet
+    assert(back == original)
+  }
+
+  test("for-each with where mirrors the congratulations demo (README.md:71-85)") {
+    val organized = Transform(
+      rows("student", "grade", "course", "campus"), flagshipRange)
+      .nested(studentData)
+    val acc = spark.sparkContext.collectionAccumulator[String]("msgs")
+    Transform(
+      Entries(Seq((KAll(Leaf("campus")): DKey) ->
+        Entries(Seq((KField("student_grades"): DKey) ->
+          Entries(Seq((KAll(Leaf("student")): DKey) ->
+            Entries(Seq((KAll(Leaf("course")): DKey) -> Leaf("grade"))))))))),
+      RRows(Seq("student" -> col("student"), "campus" -> col("campus"))),
+      where = Seq(col("grade") >= 95))
+      // forEach visits the raw bindings frame (the reference's for-each
+      // has no range analysis) — address columns by name
+      .forEach(organized)(r =>
+        acc.add(s"${r.getAs[String]("student")}@${r.getAs[String]("campus")}"))
+    assert(acc.value.toArray.toSet == Set("john@east", "dave@east"))
+  }
+
   test("forEach visits every binding tuple (core.cljc:30-33)") {
     val in = Seq(Seq(1, 2, 3)).toDF("value")
     val acc = spark.sparkContext.longAccumulator("sum")
