@@ -128,6 +128,35 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("asof backward join matches the per-row max-before oracle") {
+    val gen: Gen[(List[(Int, Int)], List[(Int, Int, Int)])] =
+      Gen.zip(
+        Gen.listOfN(10, Gen.zip(Gen.choose(1, 3), Gen.choose(0, 30))),
+        Gen.listOfN(10, Gen.zip(Gen.choose(1, 3), Gen.choose(0, 30),
+                                 Gen.choose(100, 999))))
+    val prop = Prop.forAll(gen) { case (ls, rsRaw) =>
+      // make (k, rt) unique on the right so the matched payload is
+      // well-defined (ties would be arbitrary in both engines)
+      val rs = rsRaw.groupBy(t => (t._1, t._2)).values.map(_.head).toList
+      val oracle = ls.map { case (k, t) =>
+        val cands = rs.filter(r => r._1 == k && r._2 <= t)
+        (k, t, if (cands.isEmpty) None
+               else Some(cands.maxBy(_._2)._3))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val left = ls.toDF("k", "t")
+      val right = rs.toDF("k", "rt", "v")
+      val got = graft.ops.Relational.asofJoinBackward(left, right,
+          "k", "t", "rt", Map("v" -> "av"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1),
+                   if (r.isNullAt(2)) None else Some(r.getInt(2))))
+        .toList.groupBy(identity).view.mapValues(_.size).toMap
+      got == oracle
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("group-by-key collects all values (README.md:91-129)") {
     val flat: Gen[List[(String, Int)]] =
       Gen.listOfN(12, Gen.zip(keyGen, Gen.choose(0, 50)))

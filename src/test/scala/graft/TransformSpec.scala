@@ -376,6 +376,14 @@ class TransformSpec extends AnyFunSuite {
     assert(acc.value.toArray.toSet == Set("john@east", "dave@east"))
   }
 
+  test("explain surface exposes the lowered plan (core.cljc:35-43)") {
+    val plan = Transform(
+      rows("student", "grade", "course", "campus"), flagshipRange)
+      .explain(studentData)
+    assert(plan.contains("Physical Plan"))
+    assert(plan.contains("HashAggregate") || plan.contains("Aggregate"))
+  }
+
   test("forEach visits every binding tuple (core.cljc:30-33)") {
     val in = Seq(Seq(1, 2, 3)).toDF("value")
     val acc = spark.sparkContext.longAccumulator("sum")
