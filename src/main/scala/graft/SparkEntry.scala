@@ -419,6 +419,23 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Multimodal frame-sampling plumbing: binary media column -> n
+    // evenly-spaced byte-range frames (a real video codec replaces the
+    // slicing with keyframe extraction; schema array<binary> and
+    // downstream shape stay). Frame lengths are pure arithmetic over
+    // octet_length, so the oracle reproduces them exactly.
+    "q47_frame_meta" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("media", to_binary(col("text"), lit("utf-8")))
+      val frames = graft.ops.Multimodal.sampleFramesStub(col("media"), 4)
+      d.select(col("doc_id"),
+          octet_length(col("media")).as("n_bytes"),
+          transform(frames, f => octet_length(f)).as("frame_lens"))
+        .withColumn("frame_lens",
+          array_join(transform(col("frame_lens"), _.cast("string")), ","))
+        .orderBy("doc_id")
+    }),
+
     // Canonical text normalization (lowercase / strip / collapse) — the
     // key-derivation step ahead of exact dedup; identical RE2 patterns
     // run in the oracle.
@@ -698,6 +715,15 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
          round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q47_frame_meta" ->
+      """SELECT doc_id, CAST(nb AS INTEGER) AS n_bytes,
+         array_to_string(
+           [CAST(least(chunk, greatest(nb - i*chunk, 0)) AS VARCHAR)
+            FOR i IN range(0, 4)], ',') AS frame_lens
+         FROM (SELECT doc_id, octet_length(encode(text)) AS nb,
+                      greatest(octet_length(encode(text)) // 4, 1) AS chunk
+               FROM documents)
+         ORDER BY 1""",
     "q46_normalize" ->
       """SELECT doc_id,
          trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
