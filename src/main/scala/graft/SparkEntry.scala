@@ -419,6 +419,19 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // TF-IDF: top-3 terms per document (first 20 docs) by smoothed
+    // tf*ln((N+1)/(df+1)), deterministic tie-break on the term.
+    "q48_tfidf" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = graft.ops.TextAnalysis.tfIdf(d, col("doc_id"), col("text"))
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("term"), col("tf"),
+                round(col("tfidf"), 6).as("tfidf"))
+      graft.ops.Relational.topKPerGroup(scored,
+          Seq(col("doc_id")), Seq(col("tfidf").desc, col("term").asc), 3)
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term"))
+    }),
+
     // Multimodal frame-sampling plumbing: binary media column -> n
     // evenly-spaced byte-range frames (a real video codec replaces the
     // slicing with keyframe extraction; schema array<binary> and
@@ -715,6 +728,20 @@ object SparkEntry {
          round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
          round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q48_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+                        FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         sc AS (SELECT t.doc_id, t.term, t.tf,
+                  round(t.tf * ln((n_docs + 1.0) / (df + 1)), 6) AS tfidf
+                FROM tf t JOIN dfq USING (term) CROSS JOIN n
+                WHERE t.doc_id < 20),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS rn FROM sc)
+         SELECT doc_id, term, tf, tfidf FROM r WHERE rn <= 3
+         ORDER BY doc_id, tfidf DESC, term""",
     "q47_frame_meta" ->
       """SELECT doc_id, CAST(nb AS INTEGER) AS n_bytes,
          array_to_string(
