@@ -183,8 +183,11 @@ object SparkEntry {
         RMap(col("l_returnflag"),
           RStruct(Seq(
             "n_orders" -> RAgg(countDistinct(col("l_orderkey"))),
+            // raw avg here: rounding BEFORE the x1e4 floor would
+            // reintroduce the cross-engine round() boundary divergence
+            // the floor exists to sidestep
             "by_status" -> RMap(col("l_linestatus"),
-              RAgg(round(avg(col("l_quantity")), 4)))))))
+              RAgg(avg(col("l_quantity"))))))))
         // serialize the MapType column as "k=v_x1e4,..." sorted by key —
         // map columns crash the driver's pandas compare (r1 lesson), and
         // x1e4 integers sidestep engine round() differences.
@@ -895,7 +898,7 @@ object SparkEntry {
       """WITH f AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
                     FROM lineitem GROUP BY 1),
             s AS (SELECT l_returnflag, l_linestatus,
-                         round(avg(l_quantity), 4) AS avg_q
+                         avg(l_quantity) AS avg_q
                     FROM lineitem GROUP BY 1, 2),
             m AS (SELECT l_returnflag,
                          string_agg(l_linestatus || '=' ||

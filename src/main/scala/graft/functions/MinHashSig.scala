@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.hash.Murmur3_x86_32
   *
   * Values stay < 2^31, so ANSI Long arithmetic cannot overflow. Empty
   * arrays yield all-Long.MaxValue signatures (callers filter them);
-  * null input → null.
+  * null input → null; null elements are skipped (no signal).
   */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
@@ -54,6 +54,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
     var j = 0
     while (j < m) {
       val s = arr.getUTF8String(j)
+      if (s == null) { j += 1 } else {
       val h1 = java.lang.Math.floorMod(
         Murmur3_x86_32.hashUnsafeBytes(
           s.getBaseObject, s.getBaseOffset, s.numBytes, 42).toLong,
@@ -70,6 +71,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
         i += 1
       }
       j += 1
+      }
     }
     UnsafeArrayData.fromPrimitiveArray(sig)
   }
@@ -91,6 +93,7 @@ case class MinHashSig(child: Expression, numHashes: Int)
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $j = 0; $j < $m; $j++) {
          |  final org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($j);
+         |  if ($s == null) continue; // null elements carry no signal
          |  final long $h1 = java.lang.Math.floorMod(
          |    (long) org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
          |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42),

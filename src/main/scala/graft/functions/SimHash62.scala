@@ -56,7 +56,10 @@ object SimHash62 {
     val votes = new Array[Int](62)
     var j = 0
     while (j < m) {
-      val s = arr.getUTF8String(j).toString
+      val u = arr.getUTF8String(j)
+      if (u == null) { j += 1 } // null elements carry no signal
+      else {
+      val s = u.toString
       var h1 = 7L
       var h2 = 11L
       var k = 0
@@ -74,6 +77,7 @@ object SimHash62 {
         b += 1
       }
       j += 1
+      }
     }
     var out = 0L
     var b = 0

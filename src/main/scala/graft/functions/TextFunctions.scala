@@ -60,8 +60,12 @@ object TextFunctions {
     * (ASCII input assumed — codepoint vs byte differences would diverge
     * on non-ASCII). Bounded < 2^62: ANSI-safe. */
   def polyHash62(s: Column): Column = {
-    val codes = transform(sequence(lit(1), length(s)), i =>
-      ascii(s.substr(i, lit(1))).cast("long"))
+    // guard: sequence(1, 0) STEPS DOWN in Spark ([1, 0]) — an empty
+    // string must fold over no chars, not two phantom zero-codes
+    val codes = when(length(s) > 0,
+      transform(sequence(lit(1), length(s)), i =>
+        ascii(s.substr(i, lit(1))).cast("long")))
+      .otherwise(array().cast("array<bigint>"))
     val h1 = aggregate(codes, lit(7L),
       (a, c) => (a * 31L + c) % 2147483647L)
     val h2 = aggregate(codes, lit(11L),

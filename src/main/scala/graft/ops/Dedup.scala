@@ -79,7 +79,10 @@ object Dedup {
         .select(col("id"), col("n"), explode(col("sh")).as("s"))
     val exL = index(left, leftId, leftText)
     val exR = index(right, rightId, rightText)
-    exL.as("a").join(exR.as("b"), col("a.s") === col("b.s"))
+    // exclude identical ids: re-running after the batch has merged into
+    // the corpus must not report every shared doc as its own duplicate
+    exL.as("a").join(exR.as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("co"),
            first(col("a.n")).as("na"), first(col("b.n")).as("nb"))

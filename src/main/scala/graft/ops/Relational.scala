@@ -64,20 +64,27 @@ object Relational {
                        key: String, leftTime: String, rightTime: String,
                        payload: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The payload travels as ONE struct per right row: carrying columns
+    // individually with last(..., ignoreNulls) would skip a matched
+    // row's legitimate null and stitch values from DIFFERENT right rows.
+    // The struct itself is non-null exactly when the row is a right row,
+    // so ignoreNulls selects the matched row atomically.
     val r = right.select(
-      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        payload.toSeq.map { case (from, to) => col(from).as(to) }): _*)
+      col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+      struct(payload.toSeq.map { case (from, to) => col(from).as(to) }: _*)
+        .as("__payload"))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.values.foldLeft(unioned) { (d, out) =>
-      d.withColumn(out,
-        last(when(col("__side") === 0, col(out)), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1).drop("__t", "__side")
+    val carried = unioned.withColumn("__matched",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    payload.values.foldLeft(carried.filter(col("__side") === 1)) { (d, out) =>
+        d.withColumn(out, col("__matched").getField(out))
+      }
+      .drop("__t", "__side", "__payload", "__matched")
   }
 
   /** Two-stage salted aggregation for skewed group keys: partial-aggregate

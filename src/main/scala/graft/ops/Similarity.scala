@@ -100,6 +100,9 @@ object Similarity {
     val c = Dedup.fanOut(corpus).select(id.as("id"), toDouble(vec).as("v"))
     var centroids: Seq[Seq[Double]] = c.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    // corpora with < k rows yield that many centroids; empty → none
+    // (iterating would dereference centroids.head)
+    if (centroids.isEmpty) return Nil
     for (_ <- 0 until iters) {
       val cents = typedlit(centroids)
       val nearestIdx = {

@@ -76,16 +76,20 @@ object TextAnalysis {
 
   /** TF-IDF term scores: tf = in-doc count, idf = ln((N+1)/(df+1))
     * (smoothed), score = tf * idf. Two shuffles — (doc, term) counts,
-    * then term document-frequencies joined back on the term (the df
-    * table is |vocabulary|-sized: broadcast it when vocab fits, which
-    * at web scale it does after minimum-frequency pruning). The doc
-    * count N is a scalar crossJoin (one row, broadcast-trivial). */
-  def tfIdf(df: DataFrame, id: Column, text: Column): DataFrame = {
+    * then term document-frequencies joined back on the term. The df
+    * table is |vocabulary|-sized, so the join is NOT hinted: AQE
+    * broadcasts it when it fits and falls back to a shuffle join when a
+    * web-scale vocabulary doesn't; `minDf` prunes the long hapax tail
+    * (terms in fewer docs carry high idf but match nothing downstream).
+    * The doc count N is one row — broadcast-trivial. */
+  def tfIdf(df: DataFrame, id: Column, text: Column,
+            minDf: Int = 1): DataFrame = {
     val terms = df.select(id.as("doc_id"), explode(tokens(text)).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
     val n = df.select(countDistinct(id).as("n_docs"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"),
         (col("tf") * log((col("n_docs") + 1).cast("double") /

@@ -171,21 +171,29 @@ object RangeLowering {
     val keyNames = keys.map(_._1)
     val nI = complex.size
     val innerNames = complex.indices.map(i => s"__ik$i")
+    // Materialize grouping keys under FRESH names: writing them under
+    // their user-visible names (withColumn(keyName, expr)) would
+    // overwrite same-named source columns, so inner-key and aggregate
+    // expressions referencing the original column would silently read
+    // the transformed key instead (the join path never mutates input).
+    val gkNames = keys.indices.map(i => s"__gk$i")
     var base = df
-    keys.foreach { case (n, c) => base = base.withColumn(n, c) }
+    keys.zip(gkNames).foreach { case ((_, c), gk) =>
+      base = base.withColumn(gk, c)
+    }
     complex.zip(innerNames).foreach { case ((_, RMap(k2, _)), ik) =>
       base = base.withColumn(ik, k2)
     }
     val sets: Seq[Seq[Column]] =
-      keyNames.map(col) +:
-        innerNames.map(ik => keyNames.map(col) :+ col(ik))
+      gkNames.map(col) +:
+        innerNames.map(ik => gkNames.map(col) :+ col(ik))
     val aggs =
       simple.map { case (n, r) => simpleAgg(r).get.as(n) } ++
       complex.zip(innerNames).zipWithIndex.map {
         case (((_, RMap(_, v)), _), i) => simpleAgg(v).get.as(s"__iv$i")
       } :+ grouping_id().as("__gid") // must live inside the agg list
     val gs = base
-      .groupingSets(sets, (keyNames ++ innerNames).map(col): _*)
+      .groupingSets(sets, (gkNames ++ innerNames).map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
     // grouping_id bit j (from MSB over cols keyNames++innerNames) is 1
     // when that column is aggregated away; keys are in every set.
@@ -217,6 +225,8 @@ object RangeLowering {
           map_from_entries(
             if (sortable) sort_array(entry) else entry).as(name)
       }
-    gs.groupBy(keyNames.map(col): _*).agg(reAggs.head, reAggs.tail: _*)
+    gs.groupBy(gkNames.map(col): _*).agg(reAggs.head, reAggs.tail: _*)
+      .select(gkNames.zip(keyNames).map { case (gk, n) => col(gk).as(n) } ++
+        (simple.map(_._1) ++ complex.map(_._1)).map(col): _*)
   }
 }

@@ -53,6 +53,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("polyHash62 folds nothing for the empty string (sequence(1,0) trap)") {
+    val sq = spark
+    import sq.implicits._
+    val got = Seq("").toDF("s")
+      .select(polyHash62(col("s"))).collect()(0).getLong(0)
+    assert(got == 7L * 2147483648L + 11L) // just the two seeds
+  }
+
+  test("hash expressions skip null array elements instead of crashing") {
+    val sq = spark
+    import sq.implicits._
+    val in = Seq(Seq(Some("a"), None, Some("b"))).toDF("arr")
+    val withNull = in.select(
+      MinHashSig(col("arr"), 8).as("mh"), SimHash62(col("arr")).as("sh"))
+      .collect()(0)
+    val without = Seq(Seq("a", "b")).toDF("arr").select(
+      MinHashSig(col("arr"), 8).as("mh"), SimHash62(col("arr")).as("sh"))
+      .collect()(0)
+    assert(withNull.getSeq[Long](0) == without.getSeq[Long](0))
+    assert(withNull.getLong(1) == without.getLong(1))
+  }
+
   test("ArrayDot equals the aggregate/zip_with specification") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
     val v = VectorFunctions.toDouble(col("embedding"))

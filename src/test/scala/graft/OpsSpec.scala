@@ -123,6 +123,19 @@ class OpsSpec extends AnyFunSuite {
       (2L, 5L, None)))        // no right rows for key 2
   }
 
+  test("asof join returns the matched row's null payload, not an older value") {
+    val sq = spark
+    import sq.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 1L, Some("old")), (1L, 5L, Option.empty[String]))
+      .toDF("k", "rt", "v")
+    val out = Relational.asofJoinBackward(left, right,
+        "k", "t", "rt", Map("v" -> "av")).collect()(0)
+    // matched row is (rt=5, v=null): carrying columns independently with
+    // ignoreNulls would wrongly resurrect "old" from rt=1
+    assert(out.isNullAt(out.fieldIndex("av")))
+  }
+
   test("setSplit tags intersect/except legs with set semantics") {
     val sq = spark
     import sq.implicits._

@@ -376,6 +376,24 @@ class TransformSpec extends AnyFunSuite {
     assert(acc.value.toArray.toSet == Set("john@east", "dave@east"))
   }
 
+  test("one-scan multigrain keeps source columns intact under aliased keys") {
+    // outer key ALIASED to the same name as a source column: the inner
+    // map key must still read the ORIGINAL column values (the one-scan
+    // lowering materializes grouping keys under fresh names)
+    val in = Seq(("A", 1), ("a", 2), ("B", 3)).toDF("k", "v")
+    val out = Transform(
+      rows("k", "v"),
+      RMap(lower(col("k")).as("k"),
+        RStruct(Seq(
+          "n" -> RAgg(count(lit(1))),
+          "m" -> RMap(col("k"), RAgg(sum(col("v"))))))))
+      .apply(in).orderBy("k").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a", "b"))
+    // group "a" must contain BOTH original-case inner keys
+    assert(out(0).getAs[Map[String, Long]](2) == Map("A" -> 1L, "a" -> 2L))
+    assert(out(1).getAs[Map[String, Long]](2) == Map("B" -> 3L))
+  }
+
   test("explain surface exposes the lowered plan (core.cljc:35-43)") {
     val plan = Transform(
       rows("student", "grade", "course", "campus"), flagshipRange)
