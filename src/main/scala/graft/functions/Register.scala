@@ -11,20 +11,27 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object Register {
 
   private def intArg(e: Expression, what: String): Int = e.eval() match {
-    case i: Int => i
+    case n: java.lang.Number => n.intValue // Int/Long/Short/Byte literals
     case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+      s"$what must be an integral literal, got $other")
   }
+
+  private def arity(es: Seq[Expression], n: Int, fn: String): Unit =
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${es.length}")
 
   def all(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("word_shingles",
-      es => WordShingles(es.head, intArg(es(1), "n")), "scala_udf")
+      es => { arity(es, 2, "word_shingles")
+              WordShingles(es.head, intArg(es(1), "n")) }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
-      es => MinHashSig(es.head, intArg(es(1), "numHashes")), "scala_udf")
+      es => { arity(es, 2, "minhash_sig")
+              MinHashSig(es.head, intArg(es(1), "numHashes")) }, "scala_udf")
     reg.createOrReplaceTempFunction("simhash62",
-      es => SimHash62(es.head), "scala_udf")
+      es => { arity(es, 1, "simhash62"); SimHash62(es.head) }, "scala_udf")
     reg.createOrReplaceTempFunction("array_dot",
-      es => ArrayDot(es.head, es(1)), "scala_udf")
+      es => { arity(es, 2, "array_dot")
+              ArrayDot(es.head, es(1)) }, "scala_udf")
   }
 }

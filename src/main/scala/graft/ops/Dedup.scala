@@ -21,10 +21,26 @@ object Dedup {
     * per-row compute. A single small parquet file arrives as ONE
     * partition, which would serialize the whole hashing pipeline into one
     * task (measured: 31 of 32 cores idle on the bench corpus). No-op at
-    * scale, where the input already has >= defaultParallelism partitions. */
+    * scale, where the input already has >= defaultParallelism partitions.
+    *
+    * Only narrow scan plans (relation + projections/filters) are
+    * inspected: derived frames exit their last shuffle with
+    * spark.sql.shuffle.partitions partitions already, and probing their
+    * partition count via `.rdd` would force AQE to EXECUTE every
+    * upstream stage just to answer — results that are then thrown away
+    * and recomputed by the real query (~2x the pipeline's cost). */
   private[ops] def fanOut(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def narrowToLeaf(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: Filter | _: SubqueryAlias =>
+        narrowToLeaf(p.children.head)
+      case leaf => leaf.children.isEmpty
+    }
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (narrowToLeaf(df.queryExecution.analyzed) &&
+        df.rdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** Exact dedup: keep the lowest `order` value per `key`. One shuffle

@@ -69,10 +69,14 @@ object Relational {
     // row's legitimate null and stitch values from DIFFERENT right rows.
     // The struct itself is non-null exactly when the row is a right row,
     // so ignoreNulls selects the matched row atomically.
-    val r = right.select(
-      col(key), col(rightTime).as("__t"), lit(0).as("__side"),
-      struct(payload.toSeq.map { case (from, to) => col(from).as(to) }: _*)
-        .as("__payload"))
+    val r = right
+      // a null right time can never satisfy rightTime <= leftTime, but
+      // NULLS FIRST ordering would otherwise make it carry-forwardable
+      .filter(col(rightTime).isNotNull)
+      .select(
+        col(key), col(rightTime).as("__t"), lit(0).as("__side"),
+        struct(payload.toSeq.map { case (from, to) => col(from).as(to) }: _*)
+          .as("__payload"))
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))

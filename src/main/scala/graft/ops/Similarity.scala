@@ -56,8 +56,13 @@ object Similarity {
     val centroids: Seq[Seq[Double]] = trained.getOrElse(
       c.orderBy(col("nbr")).limit(nLists)
         .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq)
-    require(centroids.size == nLists,
-      s"expected $nLists centroids, got ${centroids.size}")
+    // degenerate corpora (fewer rows than nLists, or empty) yield fewer
+    // lists; clamp rather than abort — empty corpus → empty result
+    val nL = centroids.size
+    if (nL == 0)
+      return queries.select(qid.as("qid")).limit(0)
+        .crossJoin(c.select(col("nbr")).limit(0))
+        .withColumn("score", lit(0.0)).withColumn("rank", lit(0))
     val cents = typedlit(centroids)
 
     // indices of the n nearest centroids by cosine (array_sort on
@@ -65,7 +70,7 @@ object Similarity {
     // Scores are rounded to 6 so the SQL oracle's ranking (which also
     // rounds) agrees even when float summation order differs.
     def nearest(v: Column, n: Int): Column = {
-      val ranked = transform(sequence(lit(0), lit(nLists - 1)), i =>
+      val ranked = transform(sequence(lit(0), lit(nL - 1)), i =>
         struct((-round(cosine(v, element_at(cents, i + 1)), 6)).as("neg"),
                i.as("idx")))
       slice(transform(array_sort(ranked), s => s.getField("idx")), 1, n)
@@ -105,8 +110,12 @@ object Similarity {
     if (centroids.isEmpty) return Nil
     for (_ <- 0 until iters) {
       val cents = typedlit(centroids)
+      // iterate over the centroids we actually HAVE (may be < k on a
+      // small corpus) — sequence(0, k-1) would index past the literal
+      // array and throw under ANSI mode
+      val kk = centroids.size
       val nearestIdx = {
-        val ranked = transform(sequence(lit(0), lit(k - 1)), i =>
+        val ranked = transform(sequence(lit(0), lit(kk - 1)), i =>
           struct((-round(cosine(col("v"), element_at(cents, i + 1)), 6))
                    .as("neg"), i.as("idx")))
         element_at(transform(array_sort(ranked), s => s.getField("idx")), 1)

@@ -64,6 +64,23 @@ object RangeLowering {
   private def keyName(c: Column, default: String): String =
     org.apache.spark.sql.graftbridge.ColumnBridge.refName(c).getOrElse(default)
 
+  /** Map assembly from (k, v) entry rows: entries sorted by key for
+    * deterministic serialization when orderable (map-typed values
+    * aren't; key uniqueness already holds, only entry order varies).
+    * Shared by the join path, the nested path, and the one-scan
+    * grouping-sets path — determinism rules must not diverge. */
+  private def mapFromSortedEntries(entry: Column,
+                                   keyType: org.apache.spark.sql.types.DataType,
+                                   valueType: org.apache.spark.sql.types.DataType)
+      : Column = {
+    val entryType = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", keyType),
+      org.apache.spark.sql.types.StructField("v", valueType)))
+    val sortable = org.apache.spark.sql.catalyst.expressions
+      .RowOrdering.isOrderable(entryType)
+    map_from_entries(if (sortable) sort_array(entry) else entry)
+  }
+
   /** A range that lowers to a single aggregate expression (no further
     * grouping below this level). */
   private def simpleAgg(r: Range): Option[Column] = r match {
@@ -88,20 +105,12 @@ object RangeLowering {
         case RMap(k, v) =>
           val kn = s"${as}__k${keys.size}" // depth-unique: nested RMaps must not collide
           val inner = aggregate(df, keys :+ (kn -> k), v, as)
-          // group back up one level: entries → map. Entries are sorted by
-          // key for deterministic serialization when the entry struct is
-          // orderable (a map-typed value isn't — key uniqueness already
-          // holds, only entry order varies).
-          val entry = collect_list(struct(col(kn), col(as)))
-          val entryType = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("k", inner.schema(kn).dataType),
-            org.apache.spark.sql.types.StructField("v", inner.schema(as).dataType)))
-          val sortable = org.apache.spark.sql.catalyst.expressions
-            .RowOrdering.isOrderable(entryType)
+          // group back up one level: entries → map
           inner
             .groupBy(keyNames.map(col): _*)
-            .agg(map_from_entries(
-              if (sortable) sort_array(entry) else entry).as(as))
+            .agg(mapFromSortedEntries(
+              collect_list(struct(col(kn), col(as))),
+              inner.schema(kn).dataType, inner.schema(as).dataType).as(as))
         case RStruct(fields) =>
           val flat = flattenStruct(df, keys, fields)
           flat.select(
@@ -214,16 +223,10 @@ object RangeLowering {
       complex.zip(innerNames).zipWithIndex.map {
         case (((name, RMap(_, _)), ik), i) =>
           val gid = allInner - (1 << (nI - 1 - i))
-          val entry = collect_list(
-            when(col("__gid") === gid, struct(col(ik), col(s"__iv$i"))))
-          val entryType = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("k", gs.schema(ik).dataType),
-            org.apache.spark.sql.types.StructField("v",
-              gs.schema(s"__iv$i").dataType)))
-          val sortable = org.apache.spark.sql.catalyst.expressions
-            .RowOrdering.isOrderable(entryType)
-          map_from_entries(
-            if (sortable) sort_array(entry) else entry).as(name)
+          mapFromSortedEntries(
+            collect_list(
+              when(col("__gid") === gid, struct(col(ik), col(s"__iv$i")))),
+            gs.schema(ik).dataType, gs.schema(s"__iv$i").dataType).as(name)
       }
     gs.groupBy(gkNames.map(col): _*).agg(reAggs.head, reAggs.tail: _*)
       .select(gkNames.zip(keyNames).map { case (gk, n) => col(gk).as(n) } ++

@@ -44,6 +44,31 @@ class EdgeSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("as-of join never matches a null right time") {
+    val left = Seq((1L, 5L)).toDF("k", "t")
+    val right = Seq((1L, Option.empty[Long], "x")).toDF("k", "rt", "v")
+    val out = Relational.asofJoinBackward(left, right,
+      "k", "t", "rt", Map("v" -> "av")).collect()(0)
+    assert(out.isNullAt(out.fieldIndex("av")))
+  }
+
+  test("IVF and kmeans survive corpora smaller than nLists/k") {
+    val e = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+                (3L, Seq(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(e, col("vec_id"),
+      col("embedding"), k = 8, iters = 2)
+    assert(cents.size == 3) // fewer rows than k → that many centroids
+    assert(Similarity.kmeansCentroids(e.filter(col("vec_id") < 0),
+      col("vec_id"), col("embedding"), k = 4, iters = 1).isEmpty)
+    val r = Similarity.ivfTopK(e, e, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), k = 2, nLists = 16, nProbe = 4)
+    assert(r.count() > 0) // clamped lists, no ANSI index error
+    val empty = e.filter(col("vec_id") < 0)
+    assert(Similarity.ivfTopK(empty, e, col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), k = 2).count() == 0)
+  }
+
   test("as-of join with empty right side left-joins nulls") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq.empty[(Long, Long, String)].toDF("k", "rt", "v")
