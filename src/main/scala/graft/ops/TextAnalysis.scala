@@ -74,6 +74,31 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topN)
 
+  /** Deflate compressibility ratio (compressed/raw bytes) — the classic
+    * "machine-generated or pathologically repetitive text" signal:
+    * natural prose lands ~0.4-0.7, templated spam and repeated blocks
+    * much lower. JVM Deflater level 6, deterministic; implemented as a
+    * partition-local UDF (the deflater allocates a native buffer — no
+    * per-row construction cost beyond the JNI call; still a narrow
+    * map, no shuffle). Empty text → 1.0 (incompressible by fiat). */
+  def compressionRatio(text: Column): Column = {
+    val f = udf { (s: String) =>
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val in = s.getBytes("UTF-8")
+        val d = new java.util.zip.Deflater(6)
+        try {
+          d.setInput(in); d.finish()
+          val buf = new Array[Byte](in.length + 64)
+          var total = 0L
+          while (!d.finished()) total += d.deflate(buf)
+          total.toDouble / in.length
+        } finally d.end()
+      }
+    }
+    f(text)
+  }
+
   /** TF-IDF term scores: tf = in-doc count, idf = ln((N+1)/(df+1))
     * (smoothed), score = tf * idf. Two shuffles — (doc, term) counts,
     * then term document-frequencies joined back on the term. The df

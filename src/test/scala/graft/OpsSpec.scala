@@ -98,6 +98,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count() == 9)
   }
 
+  test("compression ratio separates repetitive from natural text") {
+    val sq = spark
+    import sq.implicits._
+    val rows = Seq(
+      ("spam", "buy now " * 200),
+      ("prose", docs.select("text").collect()(0).getString(0)))
+      .toDF("kind", "text")
+      .select(col("kind"),
+        TextAnalysis.compressionRatio(col("text")).as("ratio"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("spam") < 0.1)              // repeated block crushes
+    assert(rows("prose") > rows("spam"))    // natural text compresses less
+    assert(rows.values.forall(v => v > 0.0 && v <= 1.5))
+  }
+
+  test("compiled transform is reusable across inputs (transformer, O2)") {
+    val sq = spark
+    import sq.implicits._
+    import graft.dsl.Domain._
+    import graft.dsl.Range._
+    val fn = Transform.compile(rows("k", "v"),
+      RMap(col("k"), RAgg(sum(col("v")))))
+    val a = fn(Seq(("x", 1), ("x", 2)).toDF("k", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = fn(Seq(("y", 5)).toDF("k", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == Set(("x", 3L)) && b == Set(("y", 5L)))
+  }
+
   test("regex token counts exceed whitespace counts on punctuated text") {
     val tc = TextAnalysis.tokenCounts(docs, col("doc_id"), col("text"))
       .collect()
