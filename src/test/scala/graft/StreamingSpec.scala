@@ -65,6 +65,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 3L)) // exactly one row per key
   }
 
+  test("stream-static broadcast dim join enriches micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ms = MemoryStream[Long]
+    val enriched = graft.ops.Relational.joinDim(
+      ms.toDS().toDF("user_id"), dim, col("user_id") === col("c_custkey"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      ms.addData(0L, 1L, 2L); q.processAllAvailable()
+      ms.addData(3L); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enriched").collect()
+    assert(got.length == 4)
+    assert(got.forall(r => r.getAs[String]("c_mktsegment") != null))
+  }
+
   test("stateful sessionization carries state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
