@@ -32,7 +32,10 @@ object Domain {
     *    consecutive elements per chunk; a partial tail chunk yields nulls
     *    (reference `test/core.clj:101`).
     * At the ROOT of a transform, a 1-pattern Vec consumes the DataFrame's
-    * own rows (no explode). */
+    * own rows (no explode) — UNLESS the input is a single array-typed
+    * `value` column, in which case each row's array is the collection
+    * (exploded/chunked per row, per-row results merging through the
+    * range), mirroring the reference's vector-at-root semantics. */
   final case class Vec(elems: Seq[Domain]) extends Domain
   object Vec { def apply(d: Domain): Vec = Vec(Seq(d)) }
 

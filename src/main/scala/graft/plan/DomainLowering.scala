@@ -47,11 +47,21 @@ object DomainLowering {
     * structures — per-row results deep-merge via the range's groupBys).
     */
   def lower(input: DataFrame, domain: Domain, where: Seq[Column]): DataFrame = {
-    val st = new State(input, where.map(c => Where(refs(c), c)))
-    val isValueCol = input.columns.sameElements(Array("value"))
+    // Isolate the input: binding columns are written under user-visible
+    // names, and a binding that shares a name with a source column would
+    // otherwise OVERWRITE it — every later step re-resolves the root
+    // struct expression against the mutated frame and silently reads the
+    // bound value instead of the original (e.g. Entries(Seq(
+    // KField("b") -> Leaf("a"), KField("a") -> Leaf("c"))) binding "a"
+    // first). Renaming the sources to reserved names makes collisions
+    // impossible; the root struct keeps the original field names.
+    val inCols = input.columns.toIndexedSeq
+    val isolated = input.select(inCols.map(c => col(c).as(s"__in_$c")): _*)
+    val st = new State(isolated, where.map(c => Where(refs(c), c)))
+    val isValueCol = inCols == Seq("value")
     val rootValue =
-      if (isValueCol) col("value")
-      else struct(input.columns.toIndexedSeq.map(col): _*)
+      if (isValueCol) col("__in_value")
+      else struct(inCols.map(c => col(s"__in_$c").as(c)): _*)
     val rootIsArray = isValueCol &&
       input.schema.head.dataType.isInstanceOf[ArrayType]
     domain match {
@@ -84,6 +94,7 @@ object DomainLowering {
     /** Add a binding column and fire any newly-satisfiable predicates. */
     private def bind(name: String, value: Column): Unit = {
       require(!env.contains(name), s"duplicate binding '$name' in domain")
+      require(!name.startsWith("__"), s"binding name '$name' is reserved")
       df = df.withColumn(name, value)
       env += name
       val (ready, rest) = pending.partition(_.vars.subsetOf(env))
@@ -104,6 +115,10 @@ object DomainLowering {
         val c = fresh()
         df = df.withColumn(c, explode(value))
         step(col(c), p)
+
+      case Vec(Nil) =>
+        // k=0 would divide by zero into an Int.MaxValue sequence below
+        throw new IllegalArgumentException("empty vector pattern []")
 
       case Vec(ps) => // n-at-a-time chunking (reference O8)
         val k = ps.size

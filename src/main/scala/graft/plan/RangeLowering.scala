@@ -68,8 +68,13 @@ object RangeLowering {
     * deterministic serialization when orderable (map-typed values
     * aren't; key uniqueness already holds, only entry order varies).
     * Shared by the join path, the nested path, and the one-scan
-    * grouping-sets path — determinism rules must not diverge. */
-  private def mapFromSortedEntries(entry: Column,
+    * grouping-sets path — determinism rules must not diverge.
+    *
+    * Null-key groups are dropped: Spark's MapType cannot hold a null
+    * key (map_from_entries throws NULL_MAP_KEY), so the nested surface
+    * documents this as a representation limit — the peeled relational
+    * surface preserves null-key groups as ordinary rows. */
+  private def mapFromSortedEntries(entry: Column, keyField: String,
                                    keyType: org.apache.spark.sql.types.DataType,
                                    valueType: org.apache.spark.sql.types.DataType)
       : Column = {
@@ -78,15 +83,35 @@ object RangeLowering {
       org.apache.spark.sql.types.StructField("v", valueType)))
     val sortable = org.apache.spark.sql.catalyst.expressions
       .RowOrdering.isOrderable(entryType)
-    map_from_entries(if (sortable) sort_array(entry) else entry)
+    val nonNull = filter(entry, e => e.getField(keyField).isNotNull)
+    map_from_entries(if (sortable) sort_array(nonNull) else nonNull)
   }
 
-  /** A range that lowers to a single aggregate expression (no further
+  /** sort_array for determinism where the element type allows ordering
+    * (map-typed elements don't); same degradation rule as
+    * [[mapFromSortedEntries]]. */
+  private def sortedIfOrderable(df: DataFrame, e: Column,
+                                arr: Column): Column = {
+    val elemType = df.select(e).schema.head.dataType
+    if (org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(elemType)) sort_array(arr)
+    else arr
+  }
+
+  /** Ranges that lower to a single aggregate expression (no further
     * grouping below this level). */
-  private def simpleAgg(r: Range): Option[Column] = r match {
+  private def isSimple(r: Range): Boolean = r match {
+    case _: RList | _: RSet | _: RScalar | _: RAgg => true
+    case _ => false
+  }
+
+  /** The aggregate Column for a simple range. Sorted variants degrade to
+    * unsorted for non-orderable (map-typed) elements instead of failing
+    * analysis — the same rule as [[mapFromSortedEntries]]. */
+  private def simpleAgg(df: DataFrame, r: Range): Option[Column] = r match {
     case RList(e, false) => Some(collect_list(e))
-    case RList(e, true)  => Some(sort_array(collect_list(e)))
-    case RSet(e)         => Some(sort_array(collect_set(e)))
+    case RList(e, true)  => Some(sortedIfOrderable(df, e, collect_list(e)))
+    case RSet(e)         => Some(sortedIfOrderable(df, e, collect_set(e)))
     case RScalar(e)      => Some(any_value(e))
     case RAgg(e)         => Some(e)
     case _               => None
@@ -98,7 +123,7 @@ object RangeLowering {
                         r: Range, as: String): DataFrame = {
     val keyCols = keys.map { case (n, c) => c.as(n) }
     val keyNames = keys.map(_._1)
-    simpleAgg(r) match {
+    simpleAgg(df, r) match {
       case Some(agg) =>
         df.groupBy(keyCols: _*).agg(agg.as(as))
       case None => r match {
@@ -109,7 +134,7 @@ object RangeLowering {
           inner
             .groupBy(keyNames.map(col): _*)
             .agg(mapFromSortedEntries(
-              collect_list(struct(col(kn), col(as))),
+              collect_list(struct(col(kn), col(as))), kn,
               inner.schema(kn).dataType, inner.schema(as).dataType).as(as))
         case RStruct(fields) =>
           val flat = flattenStruct(df, keys, fields)
@@ -135,11 +160,12 @@ object RangeLowering {
     * nesting falls back to one agg subplan per field joined on the keys. */
   private def flattenStruct(df: DataFrame, keys: Seq[(String, Column)],
                             fields: Seq[(String, Range)]): DataFrame = {
+    require(fields.nonEmpty, "RStruct requires at least one field")
     val keyNames = keys.map(_._1)
-    val (simple, complex) = fields.partition(f => simpleAgg(f._2).isDefined)
+    val (simple, complex) = fields.partition(f => isSimple(f._2))
 
     val oneLevelMaps = complex.forall {
-      case (_, RMap(_, v)) => simpleAgg(v).isDefined
+      case (_, RMap(_, v)) => isSimple(v)
       case _ => false
     }
     val joined =
@@ -161,13 +187,25 @@ object RangeLowering {
     val base: Option[DataFrame] =
       if (simple.nonEmpty)
         Some(df.groupBy(keyCols: _*)
-          .agg(simpleAgg(simple.head._2).get.as(simple.head._1),
-               simple.tail.map { case (n, r) => simpleAgg(r).get.as(n) }: _*))
+          .agg(simpleAgg(df, simple.head._2).get.as(simple.head._1),
+               simple.tail.map { case (n, r) =>
+                 simpleAgg(df, r).get.as(n) }: _*))
       else None
     val complexDfs = complex.map { case (n, r) => aggregate(df, keys, r, n) }
     (base.toSeq ++ complexDfs).reduce { (a, b) =>
       if (keyNames.isEmpty) a.crossJoin(b)
-      else a.join(b, keyNames, "full_outer")
+      else {
+        // null-SAFE equality: a null grouping key is a real group (the
+        // one-scan path and plain groupBy both treat it as one); plain
+        // USING-join equality would leave the null group unmerged as two
+        // half-rows
+        val cond = keyNames.map(n => a(n) <=> b(n)).reduce(_ && _)
+        val merged = a.join(b, cond, "full_outer")
+        merged.select(
+          keyNames.map(n => coalesce(a(n), b(n)).as(n)) ++
+            a.columns.filterNot(keyNames.contains).map(a(_)) ++
+            b.columns.filterNot(keyNames.contains).map(b(_)): _*)
+      }
     }
   }
 
@@ -197,9 +235,10 @@ object RangeLowering {
       gkNames.map(col) +:
         innerNames.map(ik => gkNames.map(col) :+ col(ik))
     val aggs =
-      simple.map { case (n, r) => simpleAgg(r).get.as(n) } ++
+      simple.map { case (n, r) => simpleAgg(base, r).get.as(n) } ++
       complex.zip(innerNames).zipWithIndex.map {
-        case (((_, RMap(_, v)), _), i) => simpleAgg(v).get.as(s"__iv$i")
+        case (((_, RMap(_, v)), _), i) =>
+          simpleAgg(base, v).get.as(s"__iv$i")
       } :+ grouping_id().as("__gid") // must live inside the agg list
     val gs = base
       .groupingSets(sets, (gkNames ++ innerNames).map(col): _*)
@@ -226,7 +265,7 @@ object RangeLowering {
           mapFromSortedEntries(
             collect_list(
               when(col("__gid") === gid, struct(col(ik), col(s"__iv$i")))),
-            gs.schema(ik).dataType, gs.schema(s"__iv$i").dataType).as(name)
+            ik, gs.schema(ik).dataType, gs.schema(s"__iv$i").dataType).as(name)
       }
     gs.groupBy(gkNames.map(col): _*).agg(reAggs.head, reAggs.tail: _*)
       .select(gkNames.zip(keyNames).map { case (gk, n) => col(gk).as(n) } ++

@@ -394,6 +394,38 @@ class TransformSpec extends AnyFunSuite {
     assert(out(1).getAs[Map[String, Long]](2) == Map("B" -> 3L))
   }
 
+  test("binding names never shadow same-named source columns") {
+    // binding "a" FIRST (from field b), then reading field a: the second
+    // read must see the ORIGINAL column, not the freshly-bound value
+    val in = Seq((10, 20)).toDF("a", "b")
+    val out = Transform(
+      Vec(Entries(Seq(
+        (KField("b"): DKey) -> Leaf("a"),
+        (KField("a"): DKey) -> Leaf("c")))),
+      RRows(Seq("a" -> col("a"), "c" -> col("c"))))
+      .apply(in).collect()(0)
+    assert((out.getInt(0), out.getInt(1)) == (20, 10))
+  }
+
+  test("null grouping keys: dropped from nested maps, merged in joins") {
+    val in = Seq((Some("x"), 1), (Option.empty[String], 2), (Some("x"), 3))
+      .toDF("k", "v")
+    // nested surface: MapType cannot hold a null key — null group dropped
+    val nested = Transform(rows("k", "v"),
+      RMap(col("k"), RAgg(sum(col("v")))))
+      .nested(in).collect()(0).getAs[Map[String, Long]](0)
+    assert(nested == Map("x" -> 4L))
+    // relational surface preserves the null-key group as a row
+    val rel = Transform(rows("k", "v"),
+      RMap(col("k"), RStruct(Seq(
+        "s" -> RAgg(sum(col("v"))),
+        "m" -> RMap(col("v") % 2, RAgg(count(lit(1))))))))
+      .apply(in).collect()
+    assert(rel.length == 2) // "x" row AND the null-key row, merged whole
+    val nullRow = rel.find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) == 2L && !nullRow.isNullAt(2))
+  }
+
   test("explain surface exposes the lowered plan (core.cljc:35-43)") {
     val plan = Transform(
       rows("student", "grade", "course", "campus"), flagshipRange)
