@@ -30,22 +30,19 @@ object Reducers {
   final case class BottomKSample(k: Int)
       extends Aggregator[String, Seq[(Long, String)], String] {
 
-    private def h(s: String): Long = {
-      var a = 7L
-      var i = 0
-      while (i < s.length) { a = (a * 31L + s.charAt(i)) % 2147483647L; i += 1 }
-      a
-    }
-
     override def zero: Seq[(Long, String)] = Nil
 
     private def insert(b: Seq[(Long, String)],
-                       e: (Long, String)): Seq[(Long, String)] =
-      if (b.contains(e)) b
+                       e: (Long, String)): Seq[(Long, String)] = {
+      // hot path: a full buffer whose max is below the candidate — skip
+      // without allocating (the overwhelmingly common case once warm)
+      if (b.length == k && Ordering[(Long, String)].lteq(b.last, e)) b
+      else if (b.contains(e)) b
       else ((e +: b).sortBy(identity)).take(k)
+    }
 
     override def reduce(b: Seq[(Long, String)], v: String): Seq[(Long, String)] =
-      if (v == null) b else insert(b, (h(v), v))
+      if (v == null) b else insert(b, (PortableHash.h31(v), v))
 
     override def merge(a: Seq[(Long, String)],
                        b: Seq[(Long, String)]): Seq[(Long, String)] =

@@ -10,10 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * registration-call time (they must be foldable). */
 object Register {
 
-  private def intArg(e: Expression, what: String): Int = e.eval() match {
-    case n: java.lang.Number => n.intValue // Int/Long/Short/Byte literals
-    case other => throw new IllegalArgumentException(
-      s"$what must be an integral literal, got $other")
+  private def intArg(e: Expression, what: String): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$what must be an integral literal, got non-constant $e")
+    e.eval() match {
+      case n: java.lang.Number
+          if n.longValue >= Int.MinValue && n.longValue <= Int.MaxValue =>
+        n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be an Int-range integral literal, got $other")
+    }
   }
 
   private def arity(es: Seq[Expression], n: Int, fn: String): Unit =

@@ -59,18 +59,7 @@ object SimHash62 {
       val u = arr.getUTF8String(j)
       if (u == null) { j += 1 } // null elements carry no signal
       else {
-      val s = u.toString
-      var h1 = 7L
-      var h2 = 11L
-      var k = 0
-      val len = s.length
-      while (k < len) {
-        val c = s.charAt(k).toLong
-        h1 = (h1 * 31L + c) % 2147483647L
-        h2 = (h2 * 37L + c) % 2147483629L
-        k += 1
-      }
-      val h = h1 * 2147483648L + h2
+      val h = PortableHash.h62(u.toString)
       var b = 0
       while (b < 62) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -35,10 +35,13 @@ object TextFunctions {
     * `split` inside the lambda on every element; see its Scaladoc). */
   def shingles(text: Column, n: Int = 3): Column = WordShingles(text, n)
 
-  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  /** Exact Jaccard similarity of two (distinct-element) arrays.
+    * Two empty sets score 0.0 (not NaN from 0/0) — same convention as
+    * [[VectorFunctions.cosine]]'s zero-vector guard. */
   def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_union(a, b)).cast("double")
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(array_union(a, b)).cast("double"))
+    when(union === 0.0, 0.0).otherwise(inter / union)
   }
 
   /** MinHash signature — the codegen'd [[MinHashSig]] expression (see its
@@ -49,16 +52,25 @@ object TextFunctions {
   /** LSH band keys for a minhash signature: `bands` structs of
     * (band index, hash of the signature slice). Docs sharing any band
     * key are near-dup candidates. */
-  def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"need bands >= 1 and rowsPerBand >= 1 (got $bands x $rowsPerBand): " +
+      "rowsPerBand = 0 makes every band key constant and LSH degenerates " +
+      "into an all-pairs join")
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
              hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
+  }
 
   /** Two independent 31-bit modular polynomial hashes over the characters
     * of `s`, packed into one 62-bit value `h1 * 2^31 + h2`. Portable: the
     * exact same fold runs as a DuckDB `list_reduce` in the oracle SQL
     * (ASCII input assumed — codepoint vs byte differences would diverge
-    * on non-ASCII). Bounded < 2^62: ANSI-safe. */
+    * on non-ASCII). Bounded < 2^62: ANSI-safe.
+    *
+    * Column-expression form of [[PortableHash.h62]] — the constants MUST
+    * stay in lockstep (see PortableHash's Scaladoc; FunctionsSpec pins
+    * the equality against [[SimHash62]]). */
   def polyHash62(s: Column): Column = {
     // guard: sequence(1, 0) STEPS DOWN in Spark ([1, 0]) — an empty
     // string must fold over no chars, not two phantom zero-codes
@@ -121,12 +133,15 @@ object TextFunctions {
     size(filter(toks, t => t.isInCollection(langMarkers(lang))))
 
   /** Heuristic language ID: argmax of marker-word counts, fixed priority
-    * order en>de>fr>es on ties, 'unknown' when all zero. */
+    * order en>de>fr>es on ties, 'unknown' when all zero, null for null
+    * input (missing text must stay distinguishable from marker-free
+    * text). */
   def langId(toks: Column): Column = {
     val s = Seq("en", "de", "fr", "es").map(l => l -> langScore(toks, l))
     val best = greatest(s.map(_._2): _*)
-    s.foldLeft(when(best === 0, "unknown")) { case (acc, (l, sc)) =>
-      acc.when(sc === best, l)
+    val classified = s.foldLeft(when(best === 0, "unknown")) {
+      case (acc, (l, sc)) => acc.when(sc === best, l)
     }.otherwise("unknown")
+    when(toks.isNull, lit(null).cast("string")).otherwise(classified)
   }
 }

@@ -27,11 +27,15 @@ object VectorFunctions {
   /** Sign pattern against a fixed hyperplane set → LSH bucket id.
     * `planes` must be the same deterministic set on every call
     * (see [[Hyperplanes.generate]]). */
-  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column =
+  def lshBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.size <= 64,
+      s"at most 64 hyperplanes fit one Long bucket id (got ${planes.size}; " +
+      "1L << i wraps mod 64 and distant vectors would silently collide)")
     planes.zipWithIndex.foldLeft(lit(0L)) { case (acc, (p, i)) =>
       acc.bitwiseOR(
         when(dot(v, typedlit(p)) >= 0.0, lit(1L << i)).otherwise(0L))
     }
+  }
 }
 
 /** Deterministic pseudo-random hyperplanes for sign LSH (seeded — the

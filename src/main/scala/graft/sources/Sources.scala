@@ -23,13 +23,21 @@ object Sources {
     spark.read.parquet(path)
 
   /** CSV with an explicit schema — no inference pass, malformed rows
-    * quarantined to `_corrupt_record` rather than failing the job. */
+    * quarantined to `_corrupt_record` rather than failing the job.
+    * PERMISSIVE mode only captures the raw record if the schema HAS the
+    * corrupt-record column, so it is appended when absent (drop it after
+    * triage). */
   def csv(spark: SparkSession, path: String, schema: StructType,
-          header: Boolean = true): DataFrame =
-    spark.read.schema(schema)
+          header: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", StringType, nullable = true)
+    spark.read.schema(withCorrupt)
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
       .csv(path)
+  }
 
   /** JSON-lines with an explicit schema (same rationale as [[csv]]). */
   def json(spark: SparkSession, path: String, schema: StructType): DataFrame =

@@ -48,14 +48,19 @@ object EventStreams {
                                 n_events: Long)
 
   /** Stateful gap-based sessionization with mapGroupsWithState: per-user
-    * state = (last event time, session count). Within a micro-batch the
-    * group's events are sorted by time; across batches the state carries
-    * the last timestamp, so late-arriving in-gap events extend the
-    * current session. State is bounded by user cardinality; a production
-    * deployment would add EventTimeTimeout + setTimeoutTimestamp to evict
-    * idle users past the gap horizon (NoTimeout here: a registered
-    * processing-time timeout keeps the engine scheduling no-data batches,
-    * which blocks test drains, and we never arm one anyway). */
+    * state = (latest event time, session count). Within a micro-batch
+    * the group's events are sorted by time; across batches the state
+    * carries the LATEST timestamp seen (monotone max — a late
+    * out-of-order event must not regress it, or the next on-time event
+    * computes its gap against the stale time and spuriously opens a
+    * session). Late events inside the gap horizon merge into the current
+    * session; retroactively re-splitting older sessions is out of scope
+    * for this state model (use the batch form for reprocessing). State
+    * is bounded by user cardinality; a production deployment would add
+    * EventTimeTimeout + setTimeoutTimestamp to evict idle users past the
+    * gap horizon (NoTimeout here: a registered processing-time timeout
+    * keeps the engine scheduling no-data batches, which blocks test
+    * drains, and we never arm one anyway). */
   def sessionCounts(events: Dataset[Ev], gapSeconds: Long)
       : Dataset[UserSessions] = {
     import events.sparkSession.implicits._
@@ -67,8 +72,10 @@ object EventStreams {
           val sorted = evs.toSeq.sortBy(_.tsSec)
           val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           val out = sorted.foldLeft(init) { (st, e) =>
-            val isNew = st.lastTs == Long.MinValue || e.tsSec - st.lastTs > gapSeconds
-            SessionState(e.tsSec, st.sessions + (if (isNew) 1 else 0),
+            val isNew = st.lastTs == Long.MinValue ||
+              e.tsSec - st.lastTs > gapSeconds
+            SessionState(math.max(st.lastTs, e.tsSec),
+                         st.sessions + (if (isNew) 1 else 0),
                          st.events + 1)
           }
           state.update(out)

@@ -19,7 +19,26 @@ class SourcesSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     Sources.writeCsv(nation, dir)
     val back = Sources.csv(spark, dir, nation.schema)
+      .drop("_corrupt_record") // appended by the reader for quarantine
     assert(rows(back) == rows(nation))
+  }
+
+  test("csv quarantines malformed rows to _corrupt_record") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    java.nio.file.Files.writeString(dir.resolve("x.csv"),
+      "a,b\n1,ok\nnot_an_int,bad\n2,fine\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.StringType)))
+    val df = Sources.csv(spark, dir.toString, schema)
+    // csv column-pruning caveat: corrupt-record capture requires the raw
+    // columns to be materialized together
+    val rows2 = df.cache().collect()
+    assert(rows2.count(_.getAs[String]("_corrupt_record") != null) == 1)
+    assert(rows2.count(r => !r.isNullAt(0)) == 2)
+    df.unpersist()
   }
 
   test("json round-trip with explicit schema") {
