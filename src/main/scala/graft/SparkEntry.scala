@@ -482,8 +482,9 @@ object SparkEntry {
     // The skew lever: jaccard pair discovery with ubiquitous shingles
     // dropped (a shingle shared by >m docs contributes m^2 join rows and
     // little identity signal — at corpus scale this is what keeps one
-    // hot shingle from dominating the shuffle). Estimates are biased low
-    // vs true jaccard; the oracle replicates the estimator exactly.
+    // hot shingle from dominating the shuffle). Jaccard is computed
+    // within the filtered shingle universe (sizes recomputed, so exact
+    // duplicates still score 1.0); the oracle replicates it exactly.
     "q44_dedup_capped" -> ((s, dir) => {
       graft.ops.Dedup.jaccardPairs(t(s, dir, "documents"),
           col("doc_id"), col("text"), tau = 0.5, maxShingleFreq = Some(3))
@@ -777,10 +778,12 @@ object SparkEntry {
          sh AS (SELECT doc_id, list_distinct(
                   [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
                    FOR i IN range(1, len(ws)-1)]) AS shingles FROM tkn),
-         ex0 AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
-                 FROM sh),
+         ex0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
          keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 3),
-         ex AS (SELECT ex0.* FROM ex0 JOIN keep USING (s)),
+         kept AS (SELECT ex0.* FROM ex0 JOIN keep USING (s)),
+         sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+         ex AS (SELECT kept.doc_id, kept.s, sz.n
+                FROM kept JOIN sz USING (doc_id)),
          pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
                           any_value(a.n) AS na, any_value(b.n) AS nb
                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id

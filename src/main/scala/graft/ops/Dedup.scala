@@ -62,9 +62,14 @@ object Dedup {
     val ex = maxShingleFreq match {
       case Some(m) =>
         // drop ubiquitous shingles: they cost |docs|^2 join rows and
-        // carry no signal
+        // carry no signal. Set sizes are RECOMPUTED over the filtered
+        // universe — keeping the unfiltered sizes would bias jaccard
+        // downward (an exact duplicate whose shingles include a dropped
+        // one would score below 1.0 and could be missed entirely).
         val freq = ex0.groupBy("s").count().filter(col("count") <= m)
-        ex0.join(freq.select("s"), "s")
+        val kept = ex0.join(freq.select("s"), "s")
+        val sizes = kept.groupBy("id").agg(count(lit(1)).as("nf"))
+        kept.drop("n").join(sizes, "id").withColumnRenamed("nf", "n")
       case None => ex0
     }
     ex.as("a").join(ex.as("b"),
@@ -118,6 +123,9 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, id: Column, text: Column,
                       tau: Double, n: Int = 3,
                       h: Int = 128, bands: Int = 64): DataFrame = {
+    require(bands >= 1 && h % bands == 0,
+      s"bands must divide h (got h=$h, bands=$bands): integer division " +
+      "would silently discard hashes and weaken the miss-probability bound")
     val r = h / bands
     val sh = fanOut(df).select(id.as("id"), shingles(text, n).as("sh"))
     // The signature is one codegen'd expression ([[MinHashSig]]) and is

@@ -21,16 +21,19 @@ object Events {
   /** Gap-based sessionization: a new session starts when the gap from
     * the previous event of the same user exceeds `gapSeconds`. One
     * shuffle on user_id; the cumulative-sum window runs sorted within
-    * each user partition. */
+    * each user partition. Null-timestamp events are excluded — they
+    * have no position in time, and NULLS FIRST ordering would otherwise
+    * count each one as its own session. */
   def sessionize(df: DataFrame, user: Column, ts: Column,
                  gapSeconds: Long): DataFrame = {
     val w = Window.partitionBy(user).orderBy(ts)
+    val clean = df.filter(ts.isNotNull)
     val newSession =
       when(unix_timestamp(ts) - unix_timestamp(lag(ts, 1).over(w)) >
              gapSeconds, 1)
         .when(lag(ts, 1).over(w).isNull, 1)
         .otherwise(0)
-    df.withColumn("__new", newSession)
+    clean.withColumn("__new", newSession)
       .withColumn("session_id",
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__new")

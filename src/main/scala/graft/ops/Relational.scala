@@ -34,14 +34,20 @@ object Relational {
 
   /** Top-k rows per group without a global sort: rank inside each
     * partition-by group and keep k (window, single shuffle on the
-    * group keys). Ties broken by `order` columns being total. */
+    * group keys). Ties broken by `order` columns being total.
+    * `keepRankAs` exposes the rank column instead of dropping it —
+    * callers needing ranked output use this rather than re-running an
+    * identical window afterwards. */
   def topKPerGroup(df: DataFrame, groupBy: Seq[Column], order: Seq[Column],
-                   k: Int): DataFrame = {
+                   k: Int, keepRankAs: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(groupBy: _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
+    val ranked = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
-      .drop("__rn")
+    keepRankAs match {
+      case Some(n) => ranked.withColumnRenamed("__rn", n)
+      case None => ranked.drop("__rn")
+    }
   }
 
   /** Backward (most-recent-at-or-before) as-of join: for each left row,
@@ -70,9 +76,12 @@ object Relational {
     // The struct itself is non-null exactly when the row is a right row,
     // so ignoreNulls selects the matched row atomically.
     val r = right
-      // a null right time can never satisfy rightTime <= leftTime, but
-      // NULLS FIRST ordering would otherwise make it carry-forwardable
-      .filter(col(rightTime).isNotNull)
+      // a null right time can never satisfy rightTime <= leftTime, and a
+      // null KEY never equi-matches (SQL/ASOF semantics) — but NULLS
+      // FIRST ordering / null-partition grouping would otherwise make
+      // both carry-forwardable. Null-key LEFT rows stay and get a null
+      // payload (their window partition has no right rows).
+      .filter(col(rightTime).isNotNull && col(key).isNotNull)
       .select(
         col(key), col(rightTime).as("__t"), lit(0).as("__side"),
         struct(payload.toSeq.map { case (from, to) => col(from).as(to) }: _*)

@@ -31,11 +31,8 @@ object Similarity {
     val scored = c.join(broadcast(q), col("nbr") =!= col("qid"))
       .select(col("qid"), col("nbr"), round(cos, 6).as("score"))
     Relational.topKPerGroup(scored,
-      Seq(col("qid")), Seq(col("score").desc, col("nbr").asc), k)
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("nbr").asc)))
+      Seq(col("qid")), Seq(col("score").desc, col("nbr").asc), k,
+      keepRankAs = Some("rank"))
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is bucketed into
@@ -85,11 +82,8 @@ object Similarity {
       .select(col("qid"), col("nbr"),
               round(cosine(col("qv"), col("v")), 6).as("score"))
     Relational.topKPerGroup(scored,
-      Seq(col("qid")), Seq(col("score").desc, col("nbr").asc), k)
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("nbr").asc)))
+      Seq(col("qid")), Seq(col("score").desc, col("nbr").asc), k,
+      keepRankAs = Some("rank"))
   }
 
   /** Deterministic Lloyd k-means over an embedding column — the centroid
@@ -143,7 +137,15 @@ object Similarity {
   def cosinePairsLsh(df: DataFrame, id: Column, vec: Column, tau: Double,
                      nPlanes: Int = 12, tables: Int = 4,
                      dim: Int = 64): DataFrame = {
-    val e = Dedup.fanOut(df).select(id.as("id"), toDouble(vec).as("v"))
+    // `dim` must equal the data's vector length: ArrayDot truncates to
+    // the shorter array, so a mismatch would silently bucket on a
+    // PREFIX of each embedding and drop similar pairs. Verified per row
+    // (the check is a codegen'd comparison, effectively free).
+    val vchecked = when(size(toDouble(vec)) === dim, toDouble(vec))
+      .otherwise(raise_error(concat(
+        lit(s"cosinePairsLsh: expected $dim-dim vectors, got "),
+        size(vec).cast("string"))))
+    val e = Dedup.fanOut(df).select(id.as("id"), vchecked.as("v"))
     val bucketed = (0 until tables).map { t =>
       val planes = Hyperplanes.generate(nPlanes, dim, seed = 42L + t)
       e.withColumn("bucket", lshBucket(col("v"), planes))
@@ -157,8 +159,11 @@ object Similarity {
     val v1 = e.select(col("id").as("id1"), col("v").as("v1"))
     val v2 = e.select(col("id").as("id2"), col("v").as("v2"))
     cand.join(v1, "id1").join(v2, "id2")
-      .select(col("id1"), col("id2"),
-              round(cosine(col("v1"), col("v2")), 6).as("cos"))
-      .filter(col("cos") >= tau)
+      // threshold on the RAW score, round only for output — same rule as
+      // Dedup.embeddingPairs, so the LSH path stays a subset of the
+      // exact baseline at the threshold
+      .withColumn("__c", cosine(col("v1"), col("v2")))
+      .filter(col("__c") >= tau)
+      .select(col("id1"), col("id2"), round(col("__c"), 6).as("cos"))
   }
 }

@@ -77,27 +77,34 @@ object TextAnalysis {
   /** Deflate compressibility ratio (compressed/raw bytes) — the classic
     * "machine-generated or pathologically repetitive text" signal:
     * natural prose lands ~0.4-0.7, templated spam and repeated blocks
-    * much lower. JVM Deflater level 6, deterministic; implemented as a
-    * partition-local UDF (the deflater allocates a native buffer — no
-    * per-row construction cost beyond the JNI call; still a narrow
-    * map, no shuffle). Empty text → 1.0 (incompressible by fiat). */
+    * much lower. JVM Deflater level 6, deterministic; the native zlib
+    * state is thread-local and reset()-reused across rows (constructing
+    * and freeing a Deflater per row would be billions of native
+    * alloc/free cycles at corpus scale). Narrow map, no shuffle.
+    * Empty text → 1.0 (incompressible by fiat). */
   def compressionRatio(text: Column): Column = {
     val f = udf { (s: String) =>
       if (s == null || s.isEmpty) 1.0
       else {
         val in = s.getBytes("UTF-8")
-        val d = new java.util.zip.Deflater(6)
-        try {
-          d.setInput(in); d.finish()
-          val buf = new Array[Byte](in.length + 64)
-          var total = 0L
-          while (!d.finished()) total += d.deflate(buf)
-          total.toDouble / in.length
-        } finally d.end()
+        val d = TextAnalysis.localDeflater.get()
+        d.reset()
+        d.setInput(in); d.finish()
+        val buf = new Array[Byte](math.max(64, in.length / 2))
+        var total = 0L
+        while (!d.finished()) total += d.deflate(buf)
+        total.toDouble / in.length
       }
     }
     f(text)
   }
+
+  /** One zlib state per executor thread, reused via reset(). */
+  private lazy val localDeflater: ThreadLocal[java.util.zip.Deflater] =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(6)
+    }
 
   /** TF-IDF term scores: tf = in-doc count, idf = ln((N+1)/(df+1))
     * (smoothed), score = tf * idf. Two shuffles — (doc, term) counts,
