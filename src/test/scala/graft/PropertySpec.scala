@@ -129,19 +129,26 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("asof backward join matches the per-row max-before oracle") {
-    val gen: Gen[(List[(Int, Int)], List[(Int, Int, Int)])] =
+    // right keys/times occasionally null: null never equi-matches and a
+    // null time is never "at or before" anything (SQL/ASOF semantics)
+    val optInt = Gen.frequency(9 -> Gen.choose(1, 3).map(Option(_)),
+                               1 -> Gen.const(Option.empty[Int]))
+    val gen: Gen[(List[(Int, Int)], List[(Option[Int], Option[Int], Int)])] =
       Gen.zip(
         Gen.listOfN(10, Gen.zip(Gen.choose(1, 3), Gen.choose(0, 30))),
-        Gen.listOfN(10, Gen.zip(Gen.choose(1, 3), Gen.choose(0, 30),
-                                 Gen.choose(100, 999))))
+        Gen.listOfN(10, Gen.zip(optInt,
+          Gen.frequency(9 -> Gen.choose(0, 30).map(Option(_)),
+                        1 -> Gen.const(Option.empty[Int])),
+          Gen.choose(100, 999))))
     val prop = Prop.forAll(gen) { case (ls, rsRaw) =>
       // make (k, rt) unique on the right so the matched payload is
       // well-defined (ties would be arbitrary in both engines)
       val rs = rsRaw.groupBy(t => (t._1, t._2)).values.map(_.head).toList
       val oracle = ls.map { case (k, t) =>
-        val cands = rs.filter(r => r._1 == k && r._2 <= t)
+        val cands = rs.filter(r =>
+          r._1.contains(k) && r._2.exists(_ <= t))
         (k, t, if (cands.isEmpty) None
-               else Some(cands.maxBy(_._2)._3))
+               else Some(cands.maxBy(_._2.get)._3))
       }.groupBy(identity).view.mapValues(_.size).toMap
       val left = ls.toDF("k", "t")
       val right = rs.toDF("k", "rt", "v")
