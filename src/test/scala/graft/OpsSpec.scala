@@ -98,6 +98,42 @@ class OpsSpec extends AnyFunSuite {
     assert(got.count() == 9)
   }
 
+  test("Pipeline funnel equals the hand-assembled q42 stages") {
+    val p = Pipeline(docs, "doc_id", "text")
+      .filterLang("en")
+      .filterQuality(4500)
+      .dedupExactByPrefix(8)
+      .removeNearDups(0.8)
+    val got = p.result.select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // hand-assembled reference (the q42 shape)
+    val lang = TextAnalysis.langIdOf(docs, col("doc_id"), col("text"))
+      .filter(col("pred_lang") === "en").select("doc_id")
+    val qual = TextAnalysis.quality(docs, col("doc_id"), col("text"))
+      .filter(col("quality_x1e4") >= 4500).select("doc_id")
+    val pool = docs.join(lang, "doc_id").join(qual, "doc_id")
+    val kept = Dedup.exactKeepFirst(pool,
+        concat_ws(" ", slice(split(col("text"), " "), 1, 8)), col("doc_id"))
+      .select(col("kept").as("doc_id"))
+    val surv = pool.join(kept, "doc_id")
+    val nd = Dedup.jaccardPairs(surv, col("doc_id"), col("text"), 0.8)
+      .select(col("id2").as("doc_id")).distinct()
+    val want = surv.join(nd, Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(got == want && got.nonEmpty)
+    // monotone shrinkage and stats shape
+    assert(got.size <= docs.count())
+    val st = p.stats.collect()(0)
+    assert(st.getLong(0) == got.size && st.getLong(1) > 0)
+    // the LSH variant removes the same near-dups on this corpus
+    val lsh = Pipeline(docs, "doc_id", "text")
+      .filterLang("en").filterQuality(4500)
+      .dedupExactByPrefix(8).removeNearDupsLsh(0.8)
+      .result.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lsh == got)
+  }
+
   test("compression ratio separates repetitive from natural text") {
     val sq = spark
     import sq.implicits._
