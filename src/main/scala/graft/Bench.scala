@@ -20,7 +20,10 @@ object Bench {
       // noop sink: forces FULL evaluation of every output column
       // (count() lets Catalyst prune the final projection away)
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a failed query must not masquerade as a fast one
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

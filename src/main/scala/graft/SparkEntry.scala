@@ -128,8 +128,13 @@ object SparkEntry {
     // O10: literal-key lookup on a dynamic MapType column (computed key
     // via KExpr ≅ faconne `(:literal expr)`), parsed from JSON props.
     "q08_json_literal_key" -> ((s, dir) => {
+      // parse as map<string,string> then cast the looked-up value:
+      // map<string,long> would null the ENTIRE map when ANY property has
+      // a non-long value, diverging from the oracle's per-key
+      // json_extract_string (string values coerce per key, like DuckDB)
       val ev = t(s, dir, "events")
-        .withColumn("pm", from_json(col("props"), MapType(StringType, LongType)))
+        .withColumn("pm",
+          from_json(col("props"), MapType(StringType, StringType)))
       Transform.run(ev,
         Vec(Entries(Seq(
           (KField("event_type"): DKey) -> Leaf("event_type"),
@@ -138,7 +143,7 @@ object SparkEntry {
         RMap(col("event_type"),
           RStruct(Seq(
             "n"     -> RAgg(count(lit(1))),
-            "sum_k" -> RAgg(sum(col("kval")))))))
+            "sum_k" -> RAgg(sum(col("kval").cast("long")))))))
         .orderBy("event_type")
     }),
 
@@ -602,7 +607,8 @@ object SparkEntry {
            CAST(len(list_filter(ws, t -> t IN ('el','los','las','y','es'))) AS INTEGER) AS s_es
           FROM tkn)
          SELECT doc_id,
-           CASE WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'unknown'
+           CASE WHEN greatest(s_en,s_de,s_fr,s_es) IS NULL THEN NULL
+                WHEN greatest(s_en,s_de,s_fr,s_es) = 0 THEN 'unknown'
                 WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
                 WHEN s_de = greatest(s_en,s_de,s_fr,s_es) THEN 'de'
                 WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
@@ -651,17 +657,17 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
            AS window_start,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+         FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
     "q31_sessions" ->
       """WITH x AS (SELECT user_id, ts,
            CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1
-                WHEN CAST(epoch(ts) AS BIGINT) -
-                     CAST(epoch(lag(ts) OVER
-                       (PARTITION BY user_id ORDER BY ts)) AS BIGINT) > 1800
+                WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+                     CAST(floor(epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
                   THEN 1
                 ELSE 0 END AS ns
-           FROM events),
+           FROM events WHERE ts IS NOT NULL),
          y AS (SELECT user_id,
                  sum(ns) OVER (PARTITION BY user_id ORDER BY ts
                                ROWS UNBOUNDED PRECEDING) AS session_id

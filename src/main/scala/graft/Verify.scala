@@ -19,6 +19,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // pre-delete: an analysis-time failure happens BEFORE the
+      // overwrite would clear the dir, and a stale previous result
+      // would make the compare silently pass on old output
+      val qDir = new java.io.File(s"$outDir/$name")
+      if (qDir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(qDir)
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
