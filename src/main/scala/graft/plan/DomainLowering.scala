@@ -62,21 +62,23 @@ object DomainLowering {
     val rootValue =
       if (isValueCol) col("__in_value")
       else struct(inCols.map(c => col(s"__in_$c").as(c)): _*)
-    val rootIsArray = isValueCol &&
-      input.schema.head.dataType.isInstanceOf[ArrayType]
+    val rootType: DataType =
+      if (isValueCol) input.schema.head.dataType
+      else StructType(input.schema.fields)
+    val rootIsArray = isValueCol && rootType.isInstanceOf[ArrayType]
     domain match {
       // A vector/set pattern over a real array-typed `value` column is an
       // in-row collection: explode (or chunk) it per row, results merging
       // across rows. Otherwise the DataFrame's own rows are the elements.
-      case v: Vec if rootIsArray   => st.step(rootValue, v)
-      case s: SetOf if rootIsArray => st.step(rootValue, s)
-      case Vec(Seq(p)) => st.step(rootValue, p)
-      case SetOf(p)    => st.step(rootValue, p)
+      case v: Vec if rootIsArray   => st.step(rootValue, rootType, v)
+      case s: SetOf if rootIsArray => st.step(rootValue, rootType, s)
+      case Vec(Seq(p)) => st.step(rootValue, rootType, p)
+      case SetOf(p)    => st.step(rootValue, rootType, p)
       case Vec(_) =>
         throw new IllegalArgumentException(
           "n-at-a-time chunking at the root requires an array column " +
           "(tables are unordered); nest Vec(n) under an array binding")
-      case d => st.step(rootValue, d)
+      case d => st.step(rootValue, rootType, d)
     }
     st.finish()
   }
@@ -87,9 +89,6 @@ object DomainLowering {
     private var env: Set[String] = Set.empty
     private var n = 0
     private def fresh(): String = { n += 1; s"__g$n" }
-
-    private def dataTypeOf(c: Column): DataType =
-      df.select(c).schema.head.dataType
 
     /** Add a binding column and fire any newly-satisfiable predicates. */
     private def bind(name: String, value: Column): Unit = {
@@ -102,62 +101,89 @@ object DomainLowering {
       ready.foreach(w => df = df.filter(w.cond))
     }
 
-    def step(value: Column, d: Domain): Unit = d match {
+    private def structField(st: StructType, f: String): DataType =
+      st.fields.find(_.name.equalsIgnoreCase(f)).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no field '$f' in ${st.simpleString}"))
+
+    /** Walk the pattern alongside the DataType — the lowering is
+      * schema-driven, and carrying the type avoids re-analyzing the
+      * whole growing plan at every Entries node (dataTypeOf via
+      * df.select(c).schema was O(steps^2) driver work). */
+    def step(value: Column, dt: DataType, d: Domain): Unit = d match {
       case Leaf(name) => bind(name, value)
 
       case As(name, inner) =>
         bind(name, value)
-        step(col(name), inner)
+        step(col(name), dt, inner)
 
-      case SetOf(p) => step(value, Vec(Seq(p)))
-
-      case Vec(Seq(p)) =>
-        val c = fresh()
-        df = df.withColumn(c, explode(value))
-        step(col(c), p)
+      case SetOf(p) => step(value, dt, Vec(Seq(p)))
 
       case Vec(Nil) =>
         // k=0 would divide by zero into an Int.MaxValue sequence below
         throw new IllegalArgumentException("empty vector pattern []")
 
-      case Vec(ps) => // n-at-a-time chunking (reference O8)
-        val k = ps.size
-        val nChunks = ceil(size(value) / lit(k.toDouble)).cast(IntegerType)
-        val chunkIdx = fresh()
-        df = df.withColumn(
-          chunkIdx,
-          explode(when(size(value) > 0, sequence(lit(0), nChunks - 1))
-            .otherwise(lit(Array.empty[Int]))))
-        ps.zipWithIndex.foreach { case (p, j) =>
-          // 1-based try_element_at: the partial tail chunk binds nulls
-          // (matches reference `test/core.clj:101`).
-          step(try_element_at(value, col(chunkIdx) * k + lit(j + 1)), p)
+      case Vec(ps) =>
+        val elemType = dt match {
+          case ArrayType(t, _) => t
+          case other => throw new IllegalArgumentException(
+            s"vector pattern over non-array type ${other.simpleString}")
+        }
+        ps match {
+          case Seq(p) =>
+            val c = fresh()
+            df = df.withColumn(c, explode(value))
+            step(col(c), elemType, p)
+          case _ => // n-at-a-time chunking (reference O8)
+            val k = ps.size
+            val nChunks = ceil(size(value) / lit(k.toDouble)).cast(IntegerType)
+            val chunkIdx = fresh()
+            df = df.withColumn(
+              chunkIdx,
+              explode(when(size(value) > 0, sequence(lit(0), nChunks - 1))
+                .otherwise(lit(Array.empty[Int]))))
+            ps.zipWithIndex.foreach { case (p, j) =>
+              // 1-based try_element_at: the partial tail chunk binds
+              // nulls (matches reference `test/core.clj:101`).
+              step(try_element_at(value, col(chunkIdx) * k + lit(j + 1)),
+                   elemType, p)
+            }
         }
 
       case Entries(entries) =>
-        val dt = dataTypeOf(value)
         entries.foreach {
           case (KField(f), sub) =>
             dt match {
-              case _: MapType => step(try_element_at(value, lit(f)), sub)
-              case _          => step(value.getField(f), sub)
+              case mt: MapType =>
+                step(try_element_at(value, lit(f)), mt.valueType, sub)
+              case st: StructType =>
+                step(value.getField(f), structField(st, f), sub)
+              case other => throw new IllegalArgumentException(
+                s"field '$f' lookup on non-struct/map ${other.simpleString}")
             }
           case (KExpr(kc), sub) =>
-            step(try_element_at(value, kc), sub)
+            dt match {
+              case mt: MapType =>
+                step(try_element_at(value, kc), mt.valueType, sub)
+              case ArrayType(t, _) =>
+                step(try_element_at(value, kc), t, sub)
+              case other => throw new IllegalArgumentException(
+                s"computed-key lookup on non-map/array ${other.simpleString}")
+            }
           case (KAll(kp), sub) =>
             // Iterate all entries. Sibling KAll entries each explode the
             // same collection → the implicit self cross-join (O14).
             val e = fresh()
             dt match {
-              case _: MapType =>
+              case mt: MapType =>
                 df = df.withColumn(e, explode(map_entries(value)))
-                step(col(e).getField("key"), kp)
-                step(col(e).getField("value"), sub)
+                step(col(e).getField("key"), mt.keyType, kp)
+                step(col(e).getField("value"), mt.valueType, sub)
               case ArrayType(StructType(fs), _)
                   if fs.map(_.name).sameElements(Array("key", "value")) =>
                 df = df.withColumn(e, explode(value))
-                step(col(e).getField("key"), kp)
-                step(col(e).getField("value"), sub)
+                step(col(e).getField("key"), fs(0).dataType, kp)
+                step(col(e).getField("value"), fs(1).dataType, sub)
               case other =>
                 throw new IllegalArgumentException(
                   s"KAll over non-map type $other")
