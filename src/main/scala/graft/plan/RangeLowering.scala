@@ -168,8 +168,11 @@ object RangeLowering {
       case (_, RMap(_, v)) => isSimple(v)
       case _ => false
     }
+    // keys may be empty (global multi-granularity struct): GROUPING SETS
+    // over the empty set plus (innerKey_i) still pays one scan where the
+    // join path pays one per field
     val joined =
-      if (complex.nonEmpty && oneLevelMaps && keys.nonEmpty)
+      if (complex.nonEmpty && oneLevelMaps)
         flattenStructOneScan(df, keys, simple, complex)
       else
         flattenStructJoin(df, keys, simple, complex)
