@@ -73,10 +73,14 @@ object TextFunctions {
     * the equality against [[SimHash62]]). */
   def polyHash62(s: Column): Column = {
     // guard: sequence(1, 0) STEPS DOWN in Spark ([1, 0]) — an empty
-    // string must fold over no chars, not two phantom zero-codes
-    val codes = when(length(s) > 0,
-      transform(sequence(lit(1), length(s)), i =>
-        ascii(s.substr(i, lit(1))).cast("long")))
+    // string must fold over no chars, not two phantom zero-codes.
+    // A null string propagates to a null hash (null-array aggregate),
+    // matching [[SimHash62]]'s treatment of null features as signal-free
+    // rather than hashing them as empty.
+    val codes = when(s.isNull, lit(null).cast("array<bigint>"))
+      .when(length(s) > 0,
+        transform(sequence(lit(1), length(s)), i =>
+          ascii(s.substr(i, lit(1))).cast("long")))
       .otherwise(array().cast("array<bigint>"))
     val h1 = aggregate(codes, lit(7L),
       (a, c) => (a * 31L + c) % 2147483647L)
@@ -94,7 +98,9 @@ object TextFunctions {
     * materialized column of `transform(features, polyHash62)`. */
   def simhash62FromHashes(hashes: Column): Column = {
     val votes = aggregate(
-      hashes,
+      // null hashes (null features through [[polyHash62]]) carry no
+      // signal — same skip rule as the native [[SimHash62]] loop
+      filter(hashes, h => h.isNotNull),
       array_repeat(lit(0L), 62),
       (acc, h) =>
         zip_with(acc, bitLit, (a, p) =>

@@ -41,6 +41,10 @@ object Relational {
   def topKPerGroup(df: DataFrame, groupBy: Seq[Column], order: Seq[Column],
                    k: Int, keepRankAs: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    keepRankAs.foreach(n => require(!df.columns.contains(n),
+      s"topKPerGroup: rank column '$n' already exists on the input — " +
+      "renaming __rn to it would produce two identically-named columns " +
+      "and ambiguous downstream references"))
     val w = Window.partitionBy(groupBy: _*).orderBy(order: _*)
     val ranked = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
@@ -70,6 +74,11 @@ object Relational {
                        key: String, leftTime: String, rightTime: String,
                        payload: Map[String, String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("__t", "__side", "__payload", "__matched")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"asofJoinBackward: left frame already has reserved working " +
+      s"column(s) ${clash.mkString(", ")} — rename them before joining")
     // The payload travels as ONE struct per right row: carrying columns
     // individually with last(..., ignoreNulls) would skip a matched
     // row's legitimate null and stitch values from DIFFERENT right rows.

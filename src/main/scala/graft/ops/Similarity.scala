@@ -140,12 +140,17 @@ object Similarity {
     // `dim` must equal the data's vector length: ArrayDot truncates to
     // the shorter array, so a mismatch would silently bucket on a
     // PREFIX of each embedding and drop similar pairs. Verified per row
-    // (the check is a codegen'd comparison, effectively free).
+    // (the check is a codegen'd comparison, effectively free). Null
+    // vectors are excluded BEFORE the check — Dedup.embeddingPairs
+    // silently drops them (null cosine fails the threshold), and the
+    // "LSH is a subset of the exact baseline" invariant must hold for
+    // null rows too, not abort the job via a null-condition raise_error.
     val vchecked = when(size(toDouble(vec)) === dim, toDouble(vec))
       .otherwise(raise_error(concat(
         lit(s"cosinePairsLsh: expected $dim-dim vectors, got "),
         size(vec).cast("string"))))
-    val e = Dedup.fanOut(df).select(id.as("id"), vchecked.as("v"))
+    val e = Dedup.fanOut(df).filter(vec.isNotNull)
+      .select(id.as("id"), vchecked.as("v"))
     val bucketed = (0 until tables).map { t =>
       val planes = Hyperplanes.generate(nPlanes, dim, seed = 42L + t)
       e.withColumn("bucket", lshBucket(col("v"), planes))

@@ -23,25 +23,34 @@ object Sources {
     spark.read.parquet(path)
 
   /** CSV with an explicit schema — no inference pass, malformed rows
-    * quarantined to `_corrupt_record` rather than failing the job.
-    * PERMISSIVE mode only captures the raw record if the schema HAS the
-    * corrupt-record column, so it is appended when absent (drop it after
-    * triage). */
+    * tolerated (PERMISSIVE) rather than failing the job. Corrupt-record
+    * capture is OPT-IN: appending `_corrupt_record` unconditionally would
+    * silently widen every caller's schema, changing results for any
+    * select-star consumer (e.g. a whole-row domain walk) between CSV and
+    * parquet reads of the same data. With `captureCorrupt = true` the
+    * column is appended when absent (drop it after triage). */
   def csv(spark: SparkSession, path: String, schema: StructType,
-          header: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.types.StringType
-    val withCorrupt =
-      if (schema.fieldNames.contains("_corrupt_record")) schema
-      else schema.add("_corrupt_record", StringType, nullable = true)
-    spark.read.schema(withCorrupt)
+          header: Boolean = true, captureCorrupt: Boolean = false)
+      : DataFrame =
+    spark.read.schema(withCorruptIf(captureCorrupt, schema))
       .option("header", header.toString)
       .option("mode", "PERMISSIVE")
       .csv(path)
-  }
 
-  /** JSON-lines with an explicit schema (same rationale as [[csv]]). */
-  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).json(path)
+  /** JSON-lines with an explicit schema (same rationale — and same
+    * opt-in corrupt-record contract — as [[csv]]). */
+  def json(spark: SparkSession, path: String, schema: StructType,
+           captureCorrupt: Boolean = false): DataFrame =
+    spark.read.schema(withCorruptIf(captureCorrupt, schema))
+      .option("mode", "PERMISSIVE")
+      .json(path)
+
+  private def withCorruptIf(capture: Boolean, schema: StructType)
+      : StructType = {
+    import org.apache.spark.sql.types.StringType
+    if (!capture || schema.fieldNames.contains("_corrupt_record")) schema
+    else schema.add("_corrupt_record", StringType, nullable = true)
+  }
 
   def writeParquet(df: DataFrame, path: String,
                    partitionBy: Seq[String] = Nil): Unit = {

@@ -75,6 +75,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(withNull.getLong(1) == without.getLong(1))
   }
 
+  test("polyHash62 propagates null input (not the seed-only hash)") {
+    val sq = spark
+    import sq.implicits._
+    val got = Seq(Option.empty[String]).toDF("s")
+      .select(polyHash62(col("s"))).collect()(0)
+    assert(got.isNullAt(0))
+  }
+
+  test("polyHash62/vote specification matches SimHash62 on null elements") {
+    val sq = spark
+    import sq.implicits._
+    // the HOF spec pipeline must skip null features exactly like the
+    // native loop: null → null hash (polyHash62) → filtered out of the
+    // vote (simhash62FromHashes); a seed-only hash would vote differently
+    val in = Seq(Seq(Some("a b c"), None, Some("b c d"))).toDF("arr")
+    val row = in.select(
+        SimHash62(col("arr")).as("native"),
+        simhash62FromHashes(transform(col("arr"), f => polyHash62(f)))
+          .as("spec"))
+      .collect()(0)
+    assert(row.getLong(0) == row.getLong(1))
+  }
+
   test("ArrayDot equals the aggregate/zip_with specification") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
     val v = VectorFunctions.toDouble(col("embedding"))

@@ -44,6 +44,36 @@ class OpsSpec extends AnyFunSuite {
     assert(found.forall { case (a, b) => b - a == 10000 })
   }
 
+  test("cosine LSH silently excludes null embeddings like the exact path") {
+    // a null vector must be dropped (as Dedup.embeddingPairs drops it via
+    // the null-cosine filter), NOT abort the job through the dim check
+    val withNull = embs.limit(20).select("vec_id", "embedding")
+      .union(spark.range(1).select(
+        lit(99999L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val found = pairSet(Similarity.cosinePairsLsh(
+      withNull, col("vec_id"), col("embedding"), tau = 0.99))
+    assert(!found.exists { case (a, b) => a == 99999L || b == 99999L })
+  }
+
+  test("topKPerGroup rejects a keepRankAs name that already exists") {
+    val ex = intercept[IllegalArgumentException] {
+      Relational.topKPerGroup(docs, Seq(col("source")),
+        Seq(col("doc_id").asc), 3, keepRankAs = Some("doc_id"))
+    }
+    assert(ex.getMessage.contains("doc_id"))
+  }
+
+  test("asofJoinBackward rejects reserved working columns on the left") {
+    val left = docs.select(col("doc_id"), col("doc_id").as("__t"))
+    val ex = intercept[IllegalArgumentException] {
+      Relational.asofJoinBackward(left, docs.select("doc_id"),
+        key = "doc_id", leftTime = "doc_id", rightTime = "doc_id",
+        payload = Map("doc_id" -> "other"))
+    }
+    assert(ex.getMessage.contains("__t"))
+  }
+
   test("exact dedup keeps the first doc per key deterministically") {
     val kept = Dedup.exactKeepFirst(docs,
       concat_ws(" ", slice(split(col("text"), " "), 1, 8)), col("doc_id"))

@@ -19,7 +19,9 @@ class SourcesSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     Sources.writeCsv(nation, dir)
     val back = Sources.csv(spark, dir, nation.schema)
-      .drop("_corrupt_record") // appended by the reader for quarantine
+    // corrupt-record capture is opt-in: a plain read keeps the caller's
+    // schema untouched (parquet/csv/json reads of the same data agree)
+    assert(back.schema == nation.schema)
     assert(rows(back) == rows(nation))
   }
 
@@ -32,7 +34,7 @@ class SourcesSpec extends AnyFunSuite {
         org.apache.spark.sql.types.IntegerType),
       org.apache.spark.sql.types.StructField("b",
         org.apache.spark.sql.types.StringType)))
-    val df = Sources.csv(spark, dir.toString, schema)
+    val df = Sources.csv(spark, dir.toString, schema, captureCorrupt = true)
     // csv column-pruning caveat: corrupt-record capture requires the raw
     // columns to be materialized together
     val rows2 = df.cache().collect()
