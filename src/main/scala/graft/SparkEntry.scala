@@ -290,6 +290,18 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Embedding near-dup pairs via sign-pattern LSH — the non-cartesian
+    // scale path for q28's semantics, against the SAME exact oracle
+    // (same exact-oracle-for-approx-path pattern as q22 vs q21).
+    // nPlanes=2/tables=24 reaches recall 1 at this corpus's cosine
+    // levels (0.40-0.55; tuning math in Similarity.cosinePairsLsh).
+    "q49_embedding_pairs_lsh" -> ((s, dir) => {
+      graft.ops.Similarity.cosinePairsLsh(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), tau = 0.4,
+          nPlanes = 2, tables = 24)
+        .orderBy("id1", "id2")
+    }),
+
     // Corpus token frequency, top 50 (tie-broken).
     "q29_token_freq" -> ((s, dir) => {
       graft.ops.TextAnalysis.tokenFrequency(t(s, dir, "documents"),
@@ -563,6 +575,20 @@ object SparkEntry {
        SELECT id1, id2, round(co*1.0/(na+nb-co), 4) AS jaccard FROM pairs
        WHERE co*1.0/(na+nb-co) >= 0.6 ORDER BY 1, 2"""
 
+  /** Shared oracle text: exact all-pairs cosine similarity (used by both
+    * the exact q28 and the LSH-accelerated q49 — the LSH variant is
+    * exact-verified and its nPlanes=2/tables=24 config reaches recall 1
+    * at this corpus's cosine levels; see Similarity.cosinePairsLsh). */
+  private val embeddingPairsSql: String =
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]), 6) AS cos
+       FROM embeddings a, embeddings b
+       WHERE a.vec_id < b.vec_id
+         AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) >= 0.4
+       ORDER BY 1, 2"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -640,15 +666,8 @@ object SparkEntry {
               FOR t IN string_split(text,' ')]),
            (acc, x) -> (acc*31 + x) % 2147483647) AS fp
          FROM documents ORDER BY 1""",
-    "q28_embedding_pairs" ->
-      """SELECT a.vec_id AS id1, b.vec_id AS id2,
-         round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]), 6) AS cos
-         FROM embeddings a, embeddings b
-         WHERE a.vec_id < b.vec_id
-           AND list_cosine_similarity(a.embedding::DOUBLE[],
-                                      b.embedding::DOUBLE[]) >= 0.4
-         ORDER BY 1, 2""",
+    "q28_embedding_pairs" -> embeddingPairsSql,
+    "q49_embedding_pairs_lsh" -> embeddingPairsSql,
     "q29_token_freq" ->
       """SELECT w AS token, count(*) AS freq
          FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents)

@@ -133,7 +133,23 @@ object Similarity {
   /** Approximate cosine-similar pair discovery via sign-pattern LSH:
     * bucket on an nPlanes-bit signature, compare only within buckets,
     * verify exactly. Multi-table (`tables`) boosts recall; emitted pairs
-    * are exact-verified so precision is 1 at the threshold. */
+    * are exact-verified so precision is 1 at the threshold.
+    *
+    * Tuning (the q22-style recall analysis, for cosine instead of
+    * jaccard): a pair at cosine c agrees with one hyperplane with
+    * p = 1 - arccos(c)/pi, shares a table's bucket with p^nPlanes, and
+    * is missed entirely with (1 - p^nPlanes)^tables. For high
+    * thresholds (tau >= ~0.7, p >= 0.75) nPlanes can be large and each
+    * table prunes ~2^-nPlanes of the random pairs — the regime LSH is
+    * for. At LOW thresholds (tau ~ 0.4, p ~ 0.63) nPlanes must stay
+    * small (2) and tables many for recall, so candidate volume
+    * approaches all-pairs — unavoidable (pairs at 3-sigma background
+    * similarity carry almost no locality) — but the plan is still a
+    * bucketed shuffle join that distributes across executors, never a
+    * single-stream BroadcastNestedLoopJoin like the exact baseline.
+    * q49 pins nPlanes=2/tables=24 at tau=0.4 against the exact oracle
+    * (recall 1 verified at sf0.001/0.01/0.1 — deterministic, seeded
+    * planes; per-pair miss bound 0.6^24 < 5e-6 at c=0.401). */
   def cosinePairsLsh(df: DataFrame, id: Column, vec: Column, tau: Double,
                      nPlanes: Int = 12, tables: Int = 4,
                      dim: Int = 64): DataFrame = {

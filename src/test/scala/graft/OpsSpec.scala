@@ -44,6 +44,21 @@ class OpsSpec extends AnyFunSuite {
     assert(found.forall { case (a, b) => b - a == 10000 })
   }
 
+  test("cosine LSH at tau 0.4 (q49 config) equals the exact pairs") {
+    // the corpus's true pairs sit at cosine 0.40-0.55 (no planted
+    // high-cosine dups), so recall must hold right at the threshold:
+    // nPlanes=2/tables=24, deterministic seeded planes (tuning math in
+    // Similarity.cosinePairsLsh; recall also probed at sf0.01/sf0.1
+    // via tools.LshProbe)
+    val exact = pairSet(Dedup.embeddingPairs(
+      embs, col("vec_id"), col("embedding"), tau = 0.4))
+    val lsh = pairSet(Similarity.cosinePairsLsh(
+      embs, col("vec_id"), col("embedding"), tau = 0.4,
+      nPlanes = 2, tables = 24))
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+  }
+
   test("cosine LSH silently excludes null embeddings like the exact path") {
     // a null vector must be dropped (as Dedup.embeddingPairs drops it via
     // the null-cosine filter), NOT abort the job through the dim check
