@@ -125,6 +125,22 @@ object SparkEntry {
         .orderBy(col("l_orderkey").asc, col("a").asc, col("b").asc_nulls_first)
     }),
 
+    // O8 at the TABLE ROOT: n-at-a-time chunking of the table's own rows
+    // under a declared total order (reference chunks any vector incl. the
+    // top-level one, `compile.cljc:81-98`; tables are unordered so the
+    // order is declared via rootOrder). Odd tail binds nulls.
+    "q50_chunk_root" -> ((s, dir) => {
+      val rowPat = (k: String, p: String) => Entries(Seq(
+        (KField("o_orderkey"): DKey) -> Leaf(k),
+        (KField("o_totalprice"): DKey) -> Leaf(p)))
+      Transform.run(t(s, dir, "orders"),
+        Vec(Seq(rowPat("k1", "p1"), rowPat("k2", "p2"))),
+        RRows(Seq("k1" -> col("k1"), "p1" -> col("p1"),
+                  "k2" -> col("k2"), "p2" -> col("p2"))),
+        rootOrder = Seq("o_orderkey"))
+        .orderBy("k1")
+    }),
+
     // O10: literal-key lookup on a dynamic MapType column (computed key
     // via KExpr ≅ faconne `(:literal expr)`), parsed from JSON props.
     "q08_json_literal_key" -> ((s, dir) => {
@@ -909,6 +925,16 @@ object SparkEntry {
            max(CASE WHEN rn % 2 = 0 THEN l_linenumber END) AS b
          FROM x GROUP BY l_orderkey, (rn - 1) // 2
          ORDER BY 1, 2, 3 NULLS FIRST""",
+    "q50_chunk_root" ->
+      """WITH x AS (SELECT o_orderkey, o_totalprice,
+           row_number() OVER (ORDER BY o_orderkey) AS rn
+           FROM orders)
+         SELECT max(CASE WHEN rn % 2 = 1 THEN o_orderkey END) AS k1,
+                max(CASE WHEN rn % 2 = 1 THEN o_totalprice END) AS p1,
+                max(CASE WHEN rn % 2 = 0 THEN o_orderkey END) AS k2,
+                max(CASE WHEN rn % 2 = 0 THEN o_totalprice END) AS p2
+         FROM x GROUP BY (rn - 1) // 2
+         ORDER BY 1""",
     "q08_json_literal_key" ->
       """SELECT event_type, count(*) AS n,
          CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k

@@ -20,11 +20,14 @@ import graft.plan.{DomainLowering, RangeLowering}
   *    plan, Catalyst-side.
   */
 final case class Transform(domain: Domain, range: Range,
-                           where: Seq[Column] = Nil) {
+                           where: Seq[Column] = Nil,
+                           rootOrder: Seq[String] = Nil) {
 
-  /** The flat binding-tuples relation (domain side only). */
+  /** The flat binding-tuples relation (domain side only). `rootOrder`
+    * declares a total order over the input rows, enabling root-level
+    * Vec(n) chunking (see DomainLowering.lower). */
   def bindings(input: DataFrame): DataFrame =
-    DomainLowering.lower(input, domain, where)
+    DomainLowering.lower(input, domain, where, rootOrder)
 
   /** Relational result: outermost map keys become key columns, literal-key
     * struct fields become value columns, deeper maps stay MapType. */
@@ -49,11 +52,13 @@ final case class Transform(domain: Domain, range: Range,
 object Transform {
   /** One-shot: compile and run (reference `transform`). */
   def run(input: DataFrame, domain: Domain, range: Range,
-          where: Seq[Column] = Nil): DataFrame =
-    Transform(domain, range, where)(input)
+          where: Seq[Column] = Nil,
+          rootOrder: Seq[String] = Nil): DataFrame =
+    Transform(domain, range, where, rootOrder)(input)
 
   /** Reusable compiled transform (reference `transformer`). */
   def compile(domain: Domain, range: Range,
-              where: Seq[Column] = Nil): DataFrame => DataFrame =
-    Transform(domain, range, where).apply(_)
+              where: Seq[Column] = Nil,
+              rootOrder: Seq[String] = Nil): DataFrame => DataFrame =
+    Transform(domain, range, where, rootOrder).apply(_)
 }

@@ -45,8 +45,21 @@ object DomainLowering {
     * motivating case, `README.md:24`); any other root pattern applies to
     * each row's single `value` column (a DataFrame of whole nested
     * structures — per-row results deep-merge via the range's groupBys).
-    */
-  def lower(input: DataFrame, domain: Domain, where: Seq[Column]): DataFrame = {
+    *
+    * `rootOrder`: a declared total order (column names) that makes the
+    * table itself a *sequence*, enabling the reference's n-at-a-time
+    * chunking at the root (`compile.cljc:81-98`) over unordered storage:
+    * row_number over the order, chunk leaders keep their own row, and
+    * `lead(row, j)` supplies the j-th chunk element (the lead past the
+    * last row is null — the reference's partial-tail-binds-nil rule for
+    * free). Scale note: a global total order is inherently a single
+    * range-sort — the unpartitioned window collapses to one task, which
+    * is exactly what "chunk the whole dataset in order" means; at 100 TB
+    * chunk within groups instead (collect per key and chunk the array,
+    * as q07 does), which this same Vec(n) pattern handles under any
+    * array binding. */
+  def lower(input: DataFrame, domain: Domain, where: Seq[Column],
+            rootOrder: Seq[String] = Nil): DataFrame = {
     // Isolate the input: binding columns are written under user-visible
     // names, and a binding that shares a name with a source column would
     // otherwise OVERWRITE it — every later step re-resolves the root
@@ -74,10 +87,27 @@ object DomainLowering {
       case s: SetOf if rootIsArray => st.step(rootValue, rootType, s)
       case Vec(Seq(p)) => st.step(rootValue, rootType, p)
       case SetOf(p)    => st.step(rootValue, rootType, p)
+      case Vec(Nil) =>
+        throw new IllegalArgumentException("empty vector pattern []")
+      case Vec(ps) if rootOrder.nonEmpty =>
+        // table-as-sequence chunking under the declared order
+        import org.apache.spark.sql.expressions.Window
+        val k = ps.size
+        val w = Window.orderBy(rootOrder.map(n => col(s"__in_$n")): _*)
+        var d2 = st.df.withColumn("__elem0", rootValue)
+          .withColumn("__rn", row_number().over(w))
+        (1 until k).foreach { j =>
+          d2 = d2.withColumn(s"__elem$j", lead(col("__elem0"), j).over(w))
+        }
+        st.df = d2.filter(pmod(col("__rn") - 1, lit(k)) === 0)
+        ps.zipWithIndex.foreach { case (p, j) =>
+          st.step(col(s"__elem$j"), rootType, p)
+        }
       case Vec(_) =>
         throw new IllegalArgumentException(
-          "n-at-a-time chunking at the root requires an array column " +
-          "(tables are unordered); nest Vec(n) under an array binding")
+          "n-at-a-time chunking at the root needs a declared order " +
+          "(rootOrder) — tables are unordered — or an array column; " +
+          "nest Vec(n) under an array binding to chunk within groups")
       case d => st.step(rootValue, rootType, d)
     }
     st.finish()

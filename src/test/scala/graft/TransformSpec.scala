@@ -48,6 +48,35 @@ class TransformSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, 2), (3, 4), (5, null)))
   }
 
+  test("root-level chunking under a declared order (compile.cljc:81-98)") {
+    // the reference chunks the TOP-LEVEL vector too; tables are unordered
+    // so the sequence view is declared via rootOrder. Tail binds nulls.
+    val in = Seq((3, "c"), (1, "a"), (2, "b"), (5, "e"), (4, "d"))
+      .toDF("id", "s")
+    val out = Transform(
+      Vec(Seq(
+        Entries(Seq((KField("s"): DKey) -> Leaf("s1"))),
+        Entries(Seq((KField("s"): DKey) -> Leaf("s2"))),
+        Entries(Seq((KField("s"): DKey) -> Leaf("s3"))))),
+      RRows(Seq("s1" -> col("s1"), "s2" -> col("s2"), "s3" -> col("s3"))),
+      rootOrder = Seq("id"))
+      .apply(in).orderBy("s1").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2)))
+    assert(out.toSeq == Seq(("a", "b", "c"), ("d", "e", null)))
+  }
+
+  test("root-level chunking without an order still throws") {
+    val in = Seq((1, "a")).toDF("id", "s")
+    val ex = intercept[IllegalArgumentException] {
+      Transform(
+        Vec(Seq(Entries(Seq((KField("s"): DKey) -> Leaf("s1"))),
+                Entries(Seq((KField("s"): DKey) -> Leaf("s2"))))),
+        RRows(Seq("s1" -> col("s1"), "s2" -> col("s2"))))
+        .apply(in)
+    }
+    assert(ex.getMessage.contains("rootOrder"))
+  }
+
   test("literal key projection leaves siblings untraversed (README.md:329-343)") {
     val in = Seq(Map("a" -> Seq(1, 2, 3), "b" -> Seq(9))).toDF("value")
     val out = Transform(
