@@ -361,6 +361,38 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // q31's semantics on the skew-resistant path: the event-proportional
+    // windows partition on (user, hour bucket) so one power-law user
+    // spreads over its buckets; per-user-alone work runs over bucket
+    // summaries only. Same oracle as q31.
+    "q53_sessions_bucketed" -> ((s, dir) => {
+      graft.ops.Events.sessionStatsBucketed(t(s, dir, "events"),
+          col("user_id"), col("ts"), gapSeconds = 1800, bucketSeconds = 3600)
+        .orderBy("user_id")
+    }),
+
+    // q37's semantics on the skew-resistant path: carry-forward windows
+    // partition on (user, hour bucket), carry-in stitched via bucket
+    // summaries. Same oracle as q37 (DuckDB native ASOF JOIN).
+    "q54_asof_bucketed" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val joined = graft.ops.Relational.asofJoinBackwardBucketed(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Map("ts" -> "click_ts"),
+        bucketOf = tc => floor(unix_micros(tc) / (3600L * 1000000L)))
+      joined.groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+             count(col("click_ts")).as("n_matched"),
+             coalesce(sum(unix_micros(col("ts")) -
+                          unix_micros(col("click_ts"))), lit(0L))
+               .as("sum_gap_us"))
+        .orderBy("user_id")
+    }),
+
     // Top-k per group via ranking window (extension surface: window fns).
     "q32_topk_orders" -> ((s, dir) => {
       graft.ops.Relational.topKPerGroup(t(s, dir, "orders"),
@@ -605,6 +637,40 @@ object SparkEntry {
                                     b.embedding::DOUBLE[]) >= 0.4
        ORDER BY 1, 2"""
 
+  /** Shared oracle text: gap sessionization (q31 and its skew-resistant
+    * bucketed form q53 — same semantics, different partitioning). */
+  private val sessionsSql: String =
+    """WITH x AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1
+                WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+                     CAST(floor(epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
+                  THEN 1
+                ELSE 0 END AS ns
+           FROM events WHERE ts IS NOT NULL),
+         y AS (SELECT user_id,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM x)
+       SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+              count(*) AS n_events
+       FROM y GROUP BY 1 ORDER BY 1"""
+
+  /** Shared oracle text: backward as-of join via DuckDB's native ASOF
+    * (q37 and its skew-resistant bucketed form q54). */
+  private val asofSql: String =
+    """WITH p AS (SELECT user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+          j AS (SELECT p.user_id, p.ts AS pts, c.ts AS cts
+                FROM p ASOF LEFT JOIN c
+                  ON p.user_id = c.user_id AND p.ts >= c.ts)
+       SELECT user_id, count(*) AS n_purchases, count(cts) AS n_matched,
+              CAST(coalesce(sum(epoch_us(pts) - epoch_us(cts)), 0)
+                   AS BIGINT) AS sum_gap_us
+       FROM j GROUP BY 1 ORDER BY 1"""
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -693,23 +759,10 @@ object SparkEntry {
            AS window_start,
          event_type, count(*) AS n, round(sum(value), 2) AS sum_value
          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""",
-    "q31_sessions" ->
-      """WITH x AS (SELECT user_id, ts,
-           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1
-                WHEN CAST(floor(epoch(ts)) AS BIGINT) -
-                     CAST(floor(epoch(lag(ts) OVER
-                       (PARTITION BY user_id ORDER BY ts))) AS BIGINT) > 1800
-                  THEN 1
-                ELSE 0 END AS ns
-           FROM events WHERE ts IS NOT NULL),
-         y AS (SELECT user_id,
-                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS UNBOUNDED PRECEDING) AS session_id
-               FROM x)
-         SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
-                count(*) AS n_events
-         FROM y GROUP BY 1 ORDER BY 1""",
+    "q31_sessions" -> sessionsSql,
+    "q53_sessions_bucketed" -> sessionsSql,
+    "q37_asof_join" -> asofSql,
+    "q54_asof_bucketed" -> asofSql,
     "q32_topk_orders" ->
       """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_orderstatus
@@ -751,17 +804,6 @@ object SparkEntry {
                   SELECT 'b_only', c_custkey
                     FROM (SELECT * FROM b EXCEPT SELECT * FROM a))
          SELECT which, count(*) AS n FROM s GROUP BY 1 ORDER BY 1""",
-    "q37_asof_join" ->
-      """WITH p AS (SELECT user_id, ts FROM events
-                    WHERE event_type = 'purchase'),
-            c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
-            j AS (SELECT p.user_id, p.ts AS pts, c.ts AS cts
-                  FROM p ASOF LEFT JOIN c
-                    ON p.user_id = c.user_id AND p.ts >= c.ts)
-         SELECT user_id, count(*) AS n_purchases, count(cts) AS n_matched,
-                CAST(coalesce(sum(epoch_us(pts) - epoch_us(cts)), 0)
-                     AS BIGINT) AS sum_gap_us
-         FROM j GROUP BY 1 ORDER BY 1""",
     "q38_binary_meta" ->
       """SELECT doc_id,
          CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

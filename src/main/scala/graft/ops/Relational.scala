@@ -109,6 +109,90 @@ object Relational {
       .drop("__t", "__side", "__payload", "__matched")
   }
 
+  /** Skew-resistant [[asofJoinBackward]]: identical semantics, but the
+    * carry-forward window partitions on (key, coarse time bucket) instead
+    * of the key alone, so ONE power-law key spreads over its buckets
+    * instead of serializing into a single straggler task.
+    *
+    * Shape: (1) per (key, bucket) the latest right payload is reduced to
+    * a bucket summary (one shuffle with map-side max_by); (2) a per-key
+    * window over the SUMMARIES (rows ~ active buckets, bounded by the
+    * time range / bucket size — never by event count) computes each left
+    * bucket's carry-in = the latest payload of any strictly-earlier
+    * bucket; (3) the carry-in is injected as a synthetic head row into
+    * each (key, bucket) partition, and the original union-and-carry-
+    * forward window runs per (key, bucket). Right rows sort before left
+    * rows at equal time (>= match), the carry-in before everything.
+    *
+    * `bucketOf` maps a time value to its coarse bucket (e.g.
+    * `t => floor(unix_micros(t) / hourMicros)`) and MUST be monotone in
+    * the time ordering; generic over the time type like the base op. */
+  def asofJoinBackwardBucketed(left: DataFrame, right: DataFrame,
+                               key: String, leftTime: String,
+                               rightTime: String,
+                               payload: Map[String, String],
+                               bucketOf: Column => Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("__t", "__s2", "__payload", "__matched", "__b")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"asofJoinBackwardBucketed: left frame already has reserved working " +
+      s"column(s) ${clash.mkString(", ")} — rename them before joining")
+
+    // right side: null times never match, null keys never equi-match
+    // (same rule as the base op)
+    val r0 = right
+      .filter(col(rightTime).isNotNull && col(key).isNotNull)
+      .select(
+        col(key), col(rightTime).as("__t"),
+        struct(payload.toSeq.map { case (from, to) => col(from).as(to) }: _*)
+          .as("__payload"))
+      .withColumn("__b", bucketOf(col("__t")))
+
+    // (1) bucket summaries: latest payload per (key, bucket)
+    val perBucket = r0.groupBy(col(key), col("__b"))
+      .agg(max_by(col("__payload"), col("__t")).as("__pl"))
+
+    // (2) carry-in per LEFT bucket: markers (side 0) interleave with
+    // summaries (side 1); at a marker, the running last summary covers
+    // exactly the strictly-earlier buckets. Null left buckets (null left
+    // time) sort first and correctly see no carry.
+    val l0 = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__b", bucketOf(col("__t")))
+    val markers = l0.select(col(key), col("__b")).distinct()
+      .withColumn("__side", lit(0))
+    val wCarry = Window.partitionBy(key)
+      .orderBy(col("__b").asc_nulls_first, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = markers
+      .unionByName(perBucket.withColumn("__side", lit(1)),
+        allowMissingColumns = true)
+      .withColumn("__carry", last(col("__pl"), ignoreNulls = true).over(wCarry))
+      .filter(col("__side") === 0 && col("__carry").isNotNull)
+      .select(col(key), col("__b"), lit(null).as("__t"),
+        col("__carry").as("__payload"))
+
+    // (3) per-(key, bucket) carry-forward: carry-in (-1) < right (0) <
+    // left (1); a null __t sorts first, so the synthetic carry head
+    // precedes every real row of the bucket
+    val rIn = r0.withColumn("__s2", lit(0))
+    val cIn = carry.withColumn("__s2", lit(-1))
+    val lIn = l0.withColumn("__s2", lit(1))
+    val unioned = lIn
+      .unionByName(rIn, allowMissingColumns = true)
+      .unionByName(cIn, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key), col("__b"))
+      .orderBy(col("__t").asc_nulls_first, col("__s2"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__matched",
+      last(col("__payload"), ignoreNulls = true).over(w))
+    payload.values.foldLeft(carried.filter(col("__s2") === 1)) { (d, out) =>
+        d.withColumn(out, col("__matched").getField(out))
+      }
+      .drop("__t", "__s2", "__b", "__payload", "__matched")
+  }
+
   /** Two-stage salted aggregation for skewed group keys: partial-aggregate
     * on (keys, salt) — spreading one hot key over `saltBuckets` reducers —
     * then final-aggregate on the keys alone. Use when ONE key holds a

@@ -77,6 +77,74 @@ class EdgeSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).isNullAt(out(0).fieldIndex("av")))
   }
 
+  test("bucketed sessionize equals the per-key form on a power-law user") {
+    // one hot user holds most events (the straggler shape); results must
+    // be identical and the event-proportional window must partition on
+    // (user, bucket), not user alone
+    val rnd = new scala.util.Random(7)
+    val hot = Seq.fill(3000)((1L, 1700000000L + rnd.nextInt(400000).toLong))
+    val cold = (2L to 20L).flatMap(u =>
+      Seq.fill(10)((u, 1700000000L + rnd.nextInt(400000).toLong)))
+    val df = (hot ++ cold).toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    def stats(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = stats(Events.sessionStats(df, col("user_id"), col("ts"), 1800))
+    val bucketed = stats(Events.sessionStatsBucketed(
+      df, col("user_id"), col("ts"), 1800, bucketSeconds = 3600))
+    assert(bucketed == base)
+    // the hot key genuinely spreads: >1 (user, bucket) partition for it
+    val hotBuckets = df.filter(col("user_id") === 1)
+      .select(floor(unix_timestamp(col("ts")) / 3600).as("b"))
+      .distinct().count()
+    assert(hotBuckets > 1)
+    // plan evidence: the event windows partition by the bucket column
+    val plan = Events.sessionizeBucketed(df, col("user_id"), col("ts"),
+      1800, 3600).queryExecution.executedPlan.toString
+    assert(plan.contains("__b"))
+  }
+
+  test("bucketed as-of join equals the per-key form on a power-law user") {
+    val rnd = new scala.util.Random(11)
+    // hot user: thousands of purchases and clicks; right (k, t) unique so
+    // the matched payload is well-defined under ties
+    val hotL = Seq.fill(2000)((1L, rnd.nextInt(500000).toLong))
+    val coldL = (2L to 10L).flatMap(u =>
+      Seq.fill(5)((u, rnd.nextInt(500000).toLong)))
+    val rts = rnd.shuffle((0L until 500000L).toList).take(3000)
+    val hotR = rts.map(t => (1L, t, t * 10))
+    val coldR = (2L to 10L).flatMap(u =>
+      rnd.shuffle((0L until 500000L).toList).take(5).map(t => (u, t, t * 10)))
+    val left = (hotL ++ coldL).toDF("k", "t")
+    val right = (hotR ++ coldR).toDF("k", "rt", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("k", "t", "av").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+                   if (r.isNullAt(2)) null else r.getLong(2)))
+        .toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    val base = rows(Relational.asofJoinBackward(
+      left, right, "k", "t", "rt", Map("v" -> "av")))
+    val bucketed = rows(Relational.asofJoinBackwardBucketed(
+      left, right, "k", "t", "rt", Map("v" -> "av"),
+      bucketOf = t => floor(t / 50000L)))
+    assert(bucketed == base)
+  }
+
+  test("bucketed as-of join: carry-in crosses empty buckets and null keys stay") {
+    val l2 = Seq((Option(1L), 100L), (Option(1L), 999999L),
+                 (Option.empty[Long], 50L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "early")).toDF("k", "rt", "v")
+    val out = Relational.asofJoinBackwardBucketed(l2, right,
+        "k", "t", "rt", Map("v" -> "av"), bucketOf = t => floor(t / 100L))
+      .orderBy("t").collect()
+    // bucket 0 (t=50, null key): no match; bucket 1 (t=100): right in
+    // earlier bucket 0 carries in; bucket 9999 (t=999999): carry crosses
+    // thousands of empty buckets
+    assert(out.map(r => if (r.isNullAt(r.fieldIndex("av"))) null
+                        else r.getString(r.fieldIndex("av"))).toSeq ==
+      Seq(null, "early", "early"))
+  }
+
   test("transform of an empty frame yields empty relational result") {
     import graft.dsl.Domain._
     import graft.dsl.Range._
