@@ -344,6 +344,22 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Trained IVF: the kmeansCentroids -> ivfTopK production path, fully
+    // oracle-checked. The trainer's fixed-point arithmetic (micro-unit
+    // integer sums, floor-div means, round(6) assignment, first-k init)
+    // makes both Lloyd iterations bit-reproducible in SQL.
+    "q51_ann_ivf_trained" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val trained = graft.ops.Similarity.kmeansCentroids(
+        e, col("vec_id"), col("embedding"), k = 8, iters = 2)
+      graft.ops.Similarity.ivfTopK(
+          e, e.filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"),
+          col("vec_id"), col("embedding"), k = 5,
+          nLists = 8, nProbe = 2, trained = Some(trained))
+        .orderBy("qid", "rank")
+    }),
+
     // Tumbling 1-hour window aggregation over events (batch form of the
     // streaming query in graft.streaming).
     "q30_window_hourly" -> ((s, dir) => {
@@ -1046,6 +1062,55 @@ object SparkEntry {
          WHERE len(list_intersect(s1, s2))*1.0 /
                len(list_distinct(s1 || s2)) >= 0.6
          ORDER BY 1, 2""",
+    "q51_ann_ivf_trained" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             [CAST(floor(x*1000000 + 0.5) AS BIGINT)
+              FOR x IN embedding::DOUBLE[]] AS q
+           FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       q AS cq
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         a1 AS (SELECT e.vec_id, e.q, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v,
+                      [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c0 c),
+         s1 AS (SELECT cid, d,
+                  CAST(floor(sum(q[d])*1.0/count(*)) AS BIGINT) AS m
+                FROM (SELECT * FROM a1 WHERE rn = 1), range(1, 65) AS t(d)
+                GROUP BY cid, d),
+         c1 AS (SELECT c0.cid, coalesce(l.mq, c0.cq) AS cq
+                FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS mq
+                                   FROM s1 GROUP BY cid) l USING (cid)),
+         a2 AS (SELECT e.vec_id, e.q, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v,
+                      [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c1 c),
+         s2 AS (SELECT cid, d,
+                  CAST(floor(sum(q[d])*1.0/count(*)) AS BIGINT) AS m
+                FROM (SELECT * FROM a2 WHERE rn = 1), range(1, 65) AS t(d)
+                GROUP BY cid, d),
+         c2 AS (SELECT c1.cid, coalesce(l.mq, c1.cq) AS cq
+                FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS mq
+                                   FROM s2 GROUP BY cid) l USING (cid)),
+         ac AS (SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v,
+                      [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c2 c),
+         asg AS (SELECT vec_id AS nbr, v, cid AS lst FROM ac WHERE rn = 1),
+         prb AS (SELECT vec_id AS qid, v AS qv, cid AS lst
+                 FROM ac WHERE vec_id < 10 AND rn <= 2),
+         sc AS (SELECT p.qid, a.nbr,
+                  round(list_cosine_similarity(p.qv, a.v), 6) AS score
+                FROM prb p JOIN asg a USING (lst) WHERE a.nbr != p.qid),
+         r AS (SELECT qid, nbr, score,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, nbr) AS INTEGER) AS rank
+               FROM sc)
+         SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
+         ORDER BY qid, rank""",
     "q35_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,

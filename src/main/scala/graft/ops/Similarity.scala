@@ -90,44 +90,60 @@ object Similarity {
     * trainer for [[ivfTopK]]'s production path. Init = first k vectors by
     * id (deterministic); each iteration is one distributed pass: assign
     * every vector to its nearest centroid (broadcast literal centroids,
-    * narrow map) then groupBy-average — the textbook scalable shape
-    * (k*dim doubles on the driver, never the corpus). Cosine assignment
+    * narrow map) then groupBy-mean — the textbook scalable shape
+    * (k*dim values on the driver, never the corpus). Cosine assignment
     * with mean centroids (spherical k-means without re-normalization —
-    * adequate for probe routing). */
+    * adequate for probe routing).
+    *
+    * Arithmetic is FIXED-POINT so the whole loop is bit-reproducible in
+    * a SQL oracle (q51): vectors are quantized to integer micro-units
+    * (floor(x*1e6 + 0.5)), per-cluster means are integer sums (exact,
+    * order-independent — double summation would vary with partition
+    * order) floor-divided by the count, and centroids re-enter the
+    * cosine as microUnits/1e6 (one IEEE division — identical in any
+    * engine). Assignment ranks on round(cos, 6) desc, index asc. */
   def kmeansCentroids(corpus: DataFrame, id: Column, vec: Column,
                       k: Int, iters: Int): Seq[Seq[Double]] = {
     val c = Dedup.fanOut(corpus).select(id.as("id"), toDouble(vec).as("v"))
-    var centroids: Seq[Seq[Double]] = c.orderBy(col("id")).limit(k)
-      .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      .withColumn("q", transform(col("v"),
+        x => floor(x * 1e6 + lit(0.5)).cast("long")))
+    var centsQ: Seq[Seq[Long]] = c.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Long](2).toIndexedSeq).toIndexedSeq
     // corpora with < k rows yield that many centroids; empty → none
-    // (iterating would dereference centroids.head)
-    if (centroids.isEmpty) return Nil
+    // (iterating would dereference head)
+    if (centsQ.isEmpty) return Nil
+    val dim = centsQ.head.size
     for (_ <- 0 until iters) {
-      val cents = typedlit(centroids)
+      val cents = typedlit(centsQ.map(_.map(_.toDouble / 1e6)))
       // iterate over the centroids we actually HAVE (may be < k on a
       // small corpus) — sequence(0, k-1) would index past the literal
       // array and throw under ANSI mode
-      val kk = centroids.size
+      val kk = centsQ.size
       val nearestIdx = {
         val ranked = transform(sequence(lit(0), lit(kk - 1)), i =>
           struct((-round(cosine(col("v"), element_at(cents, i + 1)), 6))
                    .as("neg"), i.as("idx")))
         element_at(transform(array_sort(ranked), s => s.getField("idx")), 1)
       }
-      val dim = centroids.head.size
-      val dims = (0 until dim).map(d =>
-        avg(element_at(col("v"), d + 1)).as(s"d$d"))
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(d => sum(element_at(col("q"), d + 1)).as(s"d$d"))
       val updated = c.withColumn("list", nearestIdx)
         .groupBy("list")
-        .agg(dims.head, dims.tail: _*)
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => r.getAs[Number](0).intValue ->
-          (0 until dim).map(d => r.getDouble(d + 1)))
+        .map { r =>
+          val n = r.getLong(1)
+          r.getAs[Number](0).intValue ->
+            // floorDiv == floor(sum/n) in double for |sum| <= ~2^31,
+            // n <= corpus size: quotient is ≥ 1/n from any other integer
+            // unless exact, dwarfing double rounding error
+            (0 until dim).map(d => Math.floorDiv(r.getLong(d + 2), n))
+        }
         .toMap
       // empty clusters keep their previous centroid
-      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i)))
+      centsQ = centsQ.indices.map(i => updated.getOrElse(i, centsQ(i)))
     }
-    centroids
+    centsQ.map(_.map(_.toDouble / 1e6))
   }
 
   /** Approximate cosine-similar pair discovery via sign-pattern LSH:
