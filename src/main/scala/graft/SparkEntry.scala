@@ -611,6 +611,22 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // The same funnel through the PUBLIC fluent Pipeline API (q42 is the
+    // hand-assembled form) — proves the user-facing surface, not just
+    // the stages. Same oracle as q42.
+    "q52_pipeline_fluent" -> ((s, dir) => {
+      graft.ops.Pipeline(t(s, dir, "documents"), "doc_id", "text")
+        .filterLang("en")
+        .filterQuality(4500)
+        .dedupExactByPrefix(8)
+        .removeNearDups(0.8)
+        .result
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(split(col("text"), " "))).as("sum_tokens"))
+        .orderBy("source")
+    }),
+
     // Broadcast-dimension equi-join (star-schema enrichment).
     "q40_join_enrich" -> ((s, dir) => {
       graft.ops.Relational.joinDim(
@@ -686,6 +702,49 @@ object SparkEntry {
               CAST(coalesce(sum(epoch_us(pts) - epoch_us(cts)), 0)
                    AS BIGINT) AS sum_gap_us
        FROM j GROUP BY 1 ORDER BY 1"""
+
+  /** Shared oracle text: the LLM preprocessing funnel (q42 hand-assembled,
+    * q52 through the fluent Pipeline API — identical semantics). */
+  private val pipelineFunnelSql: String =
+    """WITH tkn AS (SELECT doc_id, text, source, string_split(text,' ') AS ws
+                    FROM documents),
+       lng AS (SELECT doc_id FROM (
+                 SELECT doc_id,
+                   CAST(len(list_filter(ws, t -> t IN ('the','a','of','and','to','in'))) AS INTEGER) AS s_en,
+                   CAST(len(list_filter(ws, t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS s_de,
+                   CAST(len(list_filter(ws, t -> t IN ('le','la','les','et','est'))) AS INTEGER) AS s_fr,
+                   CAST(len(list_filter(ws, t -> t IN ('el','los','las','y','es'))) AS INTEGER) AS s_es
+                 FROM tkn)
+               WHERE greatest(s_en,s_de,s_fr,s_es) > 0
+                 AND s_en = greatest(s_en,s_de,s_fr,s_es)),
+       ql AS (SELECT doc_id FROM (
+                SELECT doc_id,
+                  CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5
+                    + least(len(ws)/100.0, 1.0)*0.3
+                    + len(list_filter(ws, t -> t IN ('the','a','of','and','to','in')))*1.0/len(ws)*0.2)
+                    *10000.0 + 0.5) AS BIGINT) AS q
+                FROM tkn)
+              WHERE q >= 4500),
+       pool AS (SELECT t.* FROM tkn t
+                JOIN lng USING (doc_id) JOIN ql USING (doc_id)),
+       kept AS (SELECT min(doc_id) AS doc_id FROM pool
+                GROUP BY array_to_string(list_slice(ws, 1, 8), ' ')),
+       surv AS (SELECT p.* FROM pool p JOIN kept USING (doc_id)),
+       sh AS (SELECT doc_id, source, ws, list_distinct(
+                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 FOR i IN range(1, len(ws)-1)]) AS shingles FROM surv),
+       ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+              FROM sh),
+       nd AS (SELECT DISTINCT id2 AS doc_id FROM (
+                SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
+                       any_value(a.n) AS na, any_value(b.n) AS nb
+                FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+              WHERE co*1.0/(na+nb-co) >= 0.8),
+       fin AS (SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM nd))
+       SELECT source, count(*) AS n_docs,
+              CAST(sum(len(ws)) AS BIGINT) AS sum_tokens
+       FROM fin GROUP BY 1 ORDER BY 1"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -903,46 +962,8 @@ object SparkEntry {
                    GROUP BY 1, 2)
          SELECT id1, id2, round(co*1.0/(na+nb-co), 4) AS jaccard FROM pairs
          WHERE co*1.0/(na+nb-co) >= 0.6 ORDER BY 1, 2""",
-    "q42_pipeline_funnel" ->
-      """WITH tkn AS (SELECT doc_id, text, source, string_split(text,' ') AS ws
-                      FROM documents),
-         lng AS (SELECT doc_id FROM (
-                   SELECT doc_id,
-                     CAST(len(list_filter(ws, t -> t IN ('the','a','of','and','to','in'))) AS INTEGER) AS s_en,
-                     CAST(len(list_filter(ws, t -> t IN ('der','die','das','und','ist'))) AS INTEGER) AS s_de,
-                     CAST(len(list_filter(ws, t -> t IN ('le','la','les','et','est'))) AS INTEGER) AS s_fr,
-                     CAST(len(list_filter(ws, t -> t IN ('el','los','las','y','es'))) AS INTEGER) AS s_es
-                   FROM tkn)
-                 WHERE greatest(s_en,s_de,s_fr,s_es) > 0
-                   AND s_en = greatest(s_en,s_de,s_fr,s_es)),
-         ql AS (SELECT doc_id FROM (
-                  SELECT doc_id,
-                    CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5
-                      + least(len(ws)/100.0, 1.0)*0.3
-                      + len(list_filter(ws, t -> t IN ('the','a','of','and','to','in')))*1.0/len(ws)*0.2)
-                      *10000.0 + 0.5) AS BIGINT) AS q
-                  FROM tkn)
-                WHERE q >= 4500),
-         pool AS (SELECT t.* FROM tkn t
-                  JOIN lng USING (doc_id) JOIN ql USING (doc_id)),
-         kept AS (SELECT min(doc_id) AS doc_id FROM pool
-                  GROUP BY array_to_string(list_slice(ws, 1, 8), ' ')),
-         surv AS (SELECT p.* FROM pool p JOIN kept USING (doc_id)),
-         sh AS (SELECT doc_id, source, ws, list_distinct(
-                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                   FOR i IN range(1, len(ws)-1)]) AS shingles FROM surv),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
-                FROM sh),
-         nd AS (SELECT DISTINCT id2 AS doc_id FROM (
-                  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
-                         any_value(a.n) AS na, any_value(b.n) AS nb
-                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-                  GROUP BY 1, 2)
-                WHERE co*1.0/(na+nb-co) >= 0.8),
-         fin AS (SELECT * FROM sh WHERE doc_id NOT IN (SELECT doc_id FROM nd))
-         SELECT source, count(*) AS n_docs,
-                CAST(sum(len(ws)) AS BIGINT) AS sum_tokens
-         FROM fin GROUP BY 1 ORDER BY 1""",
+    "q42_pipeline_funnel" -> pipelineFunnelSql,
+    "q52_pipeline_fluent" -> pipelineFunnelSql,
     "q40_join_enrich" ->
       """SELECT c_mktsegment AS segment, count(*) AS n_orders,
          round(sum(o_totalprice), 2) AS revenue
