@@ -172,12 +172,28 @@ object RangeLowering {
     // over the empty set plus (innerKey_i) still pays one scan where the
     // join path pays one per field
     val joined =
-      if (complex.nonEmpty && oneLevelMaps)
+      if (complex.nonEmpty && oneLevelMaps && preferOneScan(df))
         flattenStructOneScan(df, keys, simple, complex)
       else
         flattenStructJoin(df, keys, simple, complex)
     // preserve declared field order
     joined.select(keyNames.map(col) ++ fields.map(f => col(f._1)): _*)
+  }
+
+  /** Adaptive plan choice for one-level multi-granularity (measured 4x
+    * either way): the one-scan GROUPING SETS path pays an Expand
+    * (rows x sets) through one wide shuffle to avoid re-reading the
+    * input — a win exactly when the scan dominates, i.e. on big inputs.
+    * Below the size threshold the join path's extra (cheap) scans beat
+    * the Expand's row multiplication. Stats-driven via Catalyst's
+    * logical-plan size estimate; threshold overridable (0 forces
+    * one-scan everywhere — how the plan-shape tests pin the large-input
+    * behavior; Long.MaxValue forces the join path). */
+  val oneScanMinBytesKey = "spark.graft.multigrain.oneScanMinBytes"
+  private def preferOneScan(df: DataFrame): Boolean = {
+    val minBytes = BigInt(df.sparkSession.conf
+      .get(oneScanMinBytesKey, (1L << 30).toString))
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
   }
 
   /** Fallback shape: one agg subplan per nested field, full-outer-joined
