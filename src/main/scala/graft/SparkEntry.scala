@@ -196,28 +196,20 @@ object SparkEntry {
     }),
 
     // O18 multi-granularity: a simple aggregate and a nested map at the
-    // same level (reference `README.md:41-43`) → one agg subplan per
-    // granularity joined on the group key; nested map emitted as MapType.
-    "q12_multigrain_map" -> ((s, dir) => {
-      Transform.run(t(s, dir, "lineitem"),
-        rows("l_returnflag", "l_linestatus", "l_orderkey", "l_quantity"),
-        RMap(col("l_returnflag"),
-          RStruct(Seq(
-            "n_orders" -> RAgg(countDistinct(col("l_orderkey"))),
-            // raw avg here: rounding BEFORE the x1e4 floor would
-            // reintroduce the cross-engine round() boundary divergence
-            // the floor exists to sidestep
-            "by_status" -> RMap(col("l_linestatus"),
-              RAgg(avg(col("l_quantity"))))))))
-        // serialize the MapType column as "k=v_x1e4,..." sorted by key —
-        // map columns crash the driver's pandas compare (r1 lesson), and
-        // x1e4 integers sidestep engine round() differences.
-        .withColumn("by_status",
-          array_join(transform(array_sort(map_entries(col("by_status"))),
-            e => concat_ws("=", e.getField("key"),
-              floor(e.getField("value") * 10000.0 + 0.5).cast("long")
-                .cast("string"))), ","))
-        .orderBy("l_returnflag")
+    // same level (reference `README.md:41-43`). The plan is adaptive
+    // (RangeLowering.preferOneScan): join path at this scale, one-scan
+    // GROUPING SETS on big inputs.
+    "q12_multigrain_map" -> ((s, dir) => multigrainQuery(s, dir)),
+
+    // The SAME query with the one-scan GROUPING SETS lowering forced —
+    // keeps the large-input plan shape oracle-checked even though the
+    // adaptive default picks the join path at test scale (the choice is
+    // baked into the plan at build time, so resetting the conf after
+    // construction is safe).
+    "q55_multigrain_onescan" -> ((s, dir) => {
+      val key = graft.plan.RangeLowering.oneScanMinBytesKey
+      s.conf.set(key, "0")
+      try multigrainQuery(s, dir) finally s.conf.unset(key)
     }),
 
     // O17 at top level: distinct projection (RRowsDistinct).
@@ -639,6 +631,44 @@ object SparkEntry {
     })
   )
 
+  /** q12/q55 shared body: two granularities of lineitem aggregation in
+    * one Transform (nested-map field serialized for the driver compare —
+    * map columns crash its pandas sort, r1 lesson; x1e4 integer floors
+    * sidestep cross-engine round() boundaries, and the avg stays RAW
+    * until the floor for the same reason). */
+  private def multigrainQuery(s: SparkSession, dir: String): DataFrame =
+    Transform.run(t(s, dir, "lineitem"),
+      rows("l_returnflag", "l_linestatus", "l_orderkey", "l_quantity"),
+      RMap(col("l_returnflag"),
+        RStruct(Seq(
+          "n_orders" -> RAgg(countDistinct(col("l_orderkey"))),
+          "by_status" -> RMap(col("l_linestatus"),
+            RAgg(avg(col("l_quantity"))))))))
+      .withColumn("by_status",
+        array_join(transform(array_sort(map_entries(col("by_status"))),
+          e => concat_ws("=", e.getField("key"),
+            floor(e.getField("value") * 10000.0 + 0.5).cast("long")
+              .cast("string"))), ","))
+      .orderBy("l_returnflag")
+
+  /** Shared oracle text: the two-granularity aggregation (q12 adaptive,
+    * q55 with the one-scan GROUPING SETS lowering forced — same answer,
+    * different physical plan). */
+  private val multigrainSql: String =
+    """WITH f AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
+                  FROM lineitem GROUP BY 1),
+          s AS (SELECT l_returnflag, l_linestatus,
+                       avg(l_quantity) AS avg_q
+                  FROM lineitem GROUP BY 1, 2),
+          m AS (SELECT l_returnflag,
+                       string_agg(l_linestatus || '=' ||
+                         CAST(CAST(floor(avg_q*10000.0 + 0.5) AS BIGINT)
+                              AS VARCHAR),
+                         ',' ORDER BY l_linestatus) AS by_status
+                  FROM s GROUP BY 1)
+       SELECT f.l_returnflag, f.n_orders, m.by_status
+       FROM f JOIN m USING (l_returnflag) ORDER BY 1"""
+
   /** Shared oracle text: exact shingle-Jaccard pair discovery (used by
     * both the exact q21 and the LSH-accelerated q22 — the LSH variant is
     * exact-verified and loses no pairs at this corpus's jaccard levels). */
@@ -1027,20 +1057,8 @@ object SparkEntry {
       """SELECT o_orderstatus, count(o_totalprice) AS n,
          round(sum(o_totalprice), 2) AS rev
          FROM orders GROUP BY 1 ORDER BY 1""",
-    "q12_multigrain_map" ->
-      """WITH f AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
-                    FROM lineitem GROUP BY 1),
-            s AS (SELECT l_returnflag, l_linestatus,
-                         avg(l_quantity) AS avg_q
-                    FROM lineitem GROUP BY 1, 2),
-            m AS (SELECT l_returnflag,
-                         string_agg(l_linestatus || '=' ||
-                           CAST(CAST(floor(avg_q*10000.0 + 0.5) AS BIGINT)
-                                AS VARCHAR),
-                           ',' ORDER BY l_linestatus) AS by_status
-                    FROM s GROUP BY 1)
-         SELECT f.l_returnflag, f.n_orders, m.by_status
-         FROM f JOIN m USING (l_returnflag) ORDER BY 1""",
+    "q12_multigrain_map" -> multigrainSql,
+    "q55_multigrain_onescan" -> multigrainSql,
     "q23_simhash_dup" ->
       """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws
                       FROM documents),

@@ -26,6 +26,10 @@ object Events {
     * count each one as its own session. */
   def sessionize(df: DataFrame, user: Column, ts: Column,
                  gapSeconds: Long): DataFrame = {
+    val clash = df.columns.intersect(Seq("__new", "session_id"))
+    require(clash.isEmpty,
+      s"sessionize: input already has ${clash.mkString(", ")} — rename " +
+      "first (the working/output columns would silently overwrite it)")
     val w = Window.partitionBy(user).orderBy(ts)
     val clean = df.filter(ts.isNotNull)
     val newSession =
@@ -62,6 +66,13 @@ object Events {
   def sessionizeBucketed(df: DataFrame, user: Column, ts: Column,
                          gapSeconds: Long, bucketSeconds: Long): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val reserved = Seq("__sec", "__b", "__u", "__b2", "__prevmax", "__new",
+      "__u2", "__b3", "__bnews", "__off", "__sin", "session_id")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"sessionizeBucketed: input already has reserved working column(s) " +
+      s"${clash.mkString(", ")} — rename them first (withColumn would " +
+      "silently overwrite and the re-select would return internal state)")
     val outCols = df.columns.toSeq
     val clean = df.filter(ts.isNotNull)
     val e = clean.withColumn("__sec", unix_timestamp(ts))

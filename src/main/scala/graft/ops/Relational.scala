@@ -45,6 +45,9 @@ object Relational {
       s"topKPerGroup: rank column '$n' already exists on the input — " +
       "renaming __rn to it would produce two identically-named columns " +
       "and ambiguous downstream references"))
+    require(!df.columns.contains("__rn"),
+      "topKPerGroup: input already has a __rn column — it would be " +
+      "silently overwritten by the ranking; rename it first")
     val w = Window.partitionBy(groupBy: _*).orderBy(order: _*)
     val ranked = df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)

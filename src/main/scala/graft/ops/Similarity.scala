@@ -183,11 +183,17 @@ object Similarity {
         size(vec).cast("string"))))
     val e = Dedup.fanOut(df).filter(vec.isNotNull)
       .select(id.as("id"), vchecked.as("v"))
-    val bucketed = (0 until tables).map { t =>
-      val planes = Hyperplanes.generate(nPlanes, dim, seed = 42L + t)
-      e.withColumn("bucket", lshBucket(col("v"), planes))
-        .withColumn("table", lit(t))
-    }.reduce(_ union _)
+    // ONE pass emits every table's bucket id per row (explode over an
+    // inline struct array) — the union-of-branches form re-scanned the
+    // corpus once per table (26 reads at tables=24), which is exactly
+    // the cost this operator exists to avoid at scale
+    val bucketed = e.select(col("id"),
+        explode(array((0 until tables).map { t =>
+          val planes = Hyperplanes.generate(nPlanes, dim, seed = 42L + t)
+          struct(lit(t).as("table"), lshBucket(col("v"), planes).as("bucket"))
+        }: _*)).as("tb"))
+      .select(col("id"), col("tb.table").as("table"),
+              col("tb.bucket").as("bucket"))
     val cand = bucketed.as("a").join(bucketed.as("b"),
         col("a.table") === col("b.table") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

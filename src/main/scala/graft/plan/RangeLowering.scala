@@ -33,12 +33,16 @@ object RangeLowering {
     case RRowsDistinct(cols) =>
       bindings.select(cols.map { case (n, c) => c.as(n) }: _*).distinct()
     case r =>
+      // the one-scan-vs-join decision is taken ONCE per lowering (it
+      // runs the optimizer for the stats estimate; per-recursion calls
+      // would repeat that driver work at every nested level)
+      val oneScan = preferOneScan(bindings)
       val (keys, inner) = peel(r, Nil)
       inner match {
         case RStruct(fields) if fields.nonEmpty =>
-          flattenStruct(bindings, keys, fields)
+          flattenStruct(bindings, keys, fields, oneScan)
         case other =>
-          aggregate(bindings, keys, other, "value")
+          aggregate(bindings, keys, other, "value", oneScan)
       }
   }
 
@@ -48,7 +52,7 @@ object RangeLowering {
     range match {
       case RRows(cols) => lower(bindings, RRows(cols))
       case RRowsDistinct(cols) => lower(bindings, RRowsDistinct(cols))
-      case r => aggregate(bindings, Nil, r, "value")
+      case r => aggregate(bindings, Nil, r, "value", preferOneScan(bindings))
     }
 
   /** Peel outermost consecutive computed-key maps into key columns,
@@ -120,7 +124,7 @@ object RangeLowering {
   /** Lower `r` grouped by `keys`; result has the key columns plus one
     * `as`-named value column. */
   private def aggregate(df: DataFrame, keys: Seq[(String, Column)],
-                        r: Range, as: String): DataFrame = {
+                        r: Range, as: String, oneScan: Boolean): DataFrame = {
     val keyCols = keys.map { case (n, c) => c.as(n) }
     val keyNames = keys.map(_._1)
     simpleAgg(df, r) match {
@@ -129,7 +133,7 @@ object RangeLowering {
       case None => r match {
         case RMap(k, v) =>
           val kn = s"${as}__k${keys.size}" // depth-unique: nested RMaps must not collide
-          val inner = aggregate(df, keys :+ (kn -> k), v, as)
+          val inner = aggregate(df, keys :+ (kn -> k), v, as, oneScan)
           // group back up one level: entries → map
           inner
             .groupBy(keyNames.map(col): _*)
@@ -137,7 +141,7 @@ object RangeLowering {
               collect_list(struct(col(kn), col(as))), kn,
               inner.schema(kn).dataType, inner.schema(as).dataType).as(as))
         case RStruct(fields) =>
-          val flat = flattenStruct(df, keys, fields)
+          val flat = flattenStruct(df, keys, fields, oneScan)
           flat.select(
             keyNames.map(col) :+
               struct(fields.map { case (n, _) => col(n) }: _*).as(as): _*)
@@ -159,7 +163,8 @@ object RangeLowering {
     * MapType columns by joining *aggregated* (tiny) frames. Deeper
     * nesting falls back to one agg subplan per field joined on the keys. */
   private def flattenStruct(df: DataFrame, keys: Seq[(String, Column)],
-                            fields: Seq[(String, Range)]): DataFrame = {
+                            fields: Seq[(String, Range)],
+                            oneScan: Boolean): DataFrame = {
     require(fields.nonEmpty, "RStruct requires at least one field")
     val keyNames = keys.map(_._1)
     val (simple, complex) = fields.partition(f => isSimple(f._2))
@@ -172,10 +177,10 @@ object RangeLowering {
     // over the empty set plus (innerKey_i) still pays one scan where the
     // join path pays one per field
     val joined =
-      if (complex.nonEmpty && oneLevelMaps && preferOneScan(df))
+      if (complex.nonEmpty && oneLevelMaps && oneScan)
         flattenStructOneScan(df, keys, simple, complex)
       else
-        flattenStructJoin(df, keys, simple, complex)
+        flattenStructJoin(df, keys, simple, complex, oneScan)
     // preserve declared field order
     joined.select(keyNames.map(col) ++ fields.map(f => col(f._1)): _*)
   }
@@ -200,7 +205,8 @@ object RangeLowering {
     * on the group keys. */
   private def flattenStructJoin(df: DataFrame, keys: Seq[(String, Column)],
                                 simple: Seq[(String, Range)],
-                                complex: Seq[(String, Range)]): DataFrame = {
+                                complex: Seq[(String, Range)],
+                                oneScan: Boolean): DataFrame = {
     val keyCols = keys.map { case (n, c) => c.as(n) }
     val keyNames = keys.map(_._1)
     val base: Option[DataFrame] =
@@ -210,7 +216,8 @@ object RangeLowering {
                simple.tail.map { case (n, r) =>
                  simpleAgg(df, r).get.as(n) }: _*))
       else None
-    val complexDfs = complex.map { case (n, r) => aggregate(df, keys, r, n) }
+    val complexDfs = complex.map { case (n, r) =>
+      aggregate(df, keys, r, n, oneScan) }
     (base.toSeq ++ complexDfs).reduce { (a, b) =>
       if (keyNames.isEmpty) a.crossJoin(b)
       else {

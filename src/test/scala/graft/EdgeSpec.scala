@@ -98,10 +98,15 @@ class EdgeSpec extends AnyFunSuite {
       .select(floor(unix_timestamp(col("ts")) / 3600).as("b"))
       .distinct().count()
     assert(hotBuckets > 1)
-    // plan evidence: the event windows partition by the bucket column
+    // plan evidence: an EVENT-proportional window spec partitions by the
+    // bucket column (merely containing "__b" anywhere would also match
+    // the summary joins and prove nothing)
     val plan = Events.sessionizeBucketed(df, col("user_id"), col("ts"),
       1800, 3600).queryExecution.executedPlan.toString
-    assert(plan.contains("__b"))
+    val eventWindowBucketed =
+      "windowspecdefinition\\(user_id#\\d+[L]?, __b#\\d+".r
+        .findFirstIn(plan).isDefined
+    assert(eventWindowBucketed, plan.take(2000))
   }
 
   test("bucketed as-of join equals the per-key form on a power-law user") {
