@@ -31,8 +31,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q01_flagship_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * generated differential-conformance suite (q60+ — see
+    * [[graft.tools.FuzzConformance]]: one seeded AST emits both the DSL
+    * query and its DuckDB SQL, mechanizing the q01–q13 pattern). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.tools.FuzzConformance.specs
+      .map(sp => sp.name -> sp.query).toMap ++ Map(
 
     // O1/O5/O11/O18/O19-O20: row domain → two-level grouping → struct of
     // built-in reducers (count-distinct / avg / sum).
@@ -778,7 +783,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    graft.tools.FuzzConformance.specs
+      .map(sp => sp.name -> sp.sql).toMap ++ Map(
     "q20_dedup_exact" ->
       """SELECT array_to_string(list_slice(string_split(text,' '), 1, 8), ' ')
            AS dedup_key,

@@ -1,0 +1,186 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Transform
+import graft.dsl.Domain._
+import graft.dsl.Range._
+
+/** Differential conformance fuzzing: deterministic randomly-generated
+  * (domain, range, where) triples where ONE generated AST emits both the
+  * Spark DSL query and the equivalent DuckDB SQL — mechanizing what
+  * q01–q13 do by hand. The seed is fixed, so the driver's correctness
+  * gate (Verify → DuckDB → hash compare) replays the exact same specs
+  * every round; a lowering regression in projection/filter/grouping/
+  * aggregation/collection surfaces as a hash mismatch on some qN_fuzz.
+  *
+  * The expression vocabulary is restricted to the cross-engine-portable
+  * subset established by the hand-written queries: integer/string
+  * min/max/count/countDistinct, round(sum(double), 2), pmod on positive
+  * ints vs SQL %, ASCII string comparisons, sorted-list/set serialization
+  * to CSV strings (array columns crash the driver compare), and CAST on
+  * DuckDB integer sums (HUGEINT otherwise).
+  */
+object FuzzConformance {
+
+  final case class Spec(name: String,
+                        query: (SparkSession, String) => DataFrame,
+                        sql: String)
+
+  private final case class Cat(table: String, ints: Seq[String],
+                               doubles: Seq[String], strings: Seq[String])
+
+  private val catalogs = Seq(
+    Cat("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"),
+      Seq("l_quantity", "l_extendedprice"),
+      Seq("l_returnflag", "l_linestatus")),
+    Cat("orders",
+      Seq("o_orderkey", "o_custkey"),
+      Seq("o_totalprice"),
+      Seq("o_orderstatus", "o_orderpriority")))
+
+  /** One where-conjunct: Spark Column + SQL text + referenced column. */
+  private def genWhere(r: scala.util.Random, c: Cat)
+      : (Column, String, String) = r.nextInt(3) match {
+    case 0 =>
+      val i = c.ints(r.nextInt(c.ints.size))
+      val k = 10 + r.nextInt(2000)
+      (col(i) > k, s"$i > $k", i)
+    case 1 =>
+      // F..Y keeps most rows (flag/status/priority values start A..R) —
+      // a conjunct that empties the table verifies nothing
+      val s = c.strings(r.nextInt(c.strings.size))
+      val b = ('F' + r.nextInt(20)).toChar
+      (col(s) <= s"$b", s"$s <= '$b'", s)
+    case _ =>
+      val d = c.doubles(r.nextInt(c.doubles.size))
+      val k = 1 + r.nextInt(40)
+      (col(d) > k.toDouble, s"$d > $k.0", d)
+  }
+
+  /** One aggregate: output name + Spark Column + SQL text + referenced
+    * columns. */
+  private def genAgg(r: scala.util.Random, c: Cat, idx: Int)
+      : (String, Column, String, Seq[String]) = r.nextInt(5) match {
+    case 0 => (s"n$idx", count(lit(1)), "count(*)", Nil)
+    case 1 =>
+      val i = c.ints(r.nextInt(c.ints.size))
+      (s"nd$idx", countDistinct(col(i)), s"count(DISTINCT $i)", Seq(i))
+    case 2 =>
+      val x = (c.ints ++ c.strings)(r.nextInt(c.ints.size + c.strings.size))
+      (s"mn$idx", min(col(x)), s"min($x)", Seq(x))
+    case 3 =>
+      val x = (c.ints ++ c.strings)(r.nextInt(c.ints.size + c.strings.size))
+      (s"mx$idx", max(col(x)), s"max($x)", Seq(x))
+    case _ =>
+      val d = c.doubles(r.nextInt(c.doubles.size))
+      (s"s$idx", round(sum(col(d)), 2), s"round(sum($d), 2)", Seq(d))
+  }
+
+  /** A grouping key: output name + Spark Column + SQL expr + referenced
+    * column. pmod vs % agree on the positive ids used here. */
+  private def genKey(r: scala.util.Random, c: Cat, idx: Int)
+      : (String, Column, String, String) =
+    if (r.nextBoolean()) {
+      val s = c.strings(r.nextInt(c.strings.size))
+      (s, col(s), s, s)
+    } else {
+      val i = c.ints(r.nextInt(c.ints.size))
+      val m = 2 + r.nextInt(7)
+      (s"gk$idx", pmod(col(i), lit(m)).as(s"gk$idx"), s"$i % $m", i)
+    }
+
+  private def genSpec(r: scala.util.Random, n: Int): Spec = {
+    val c = catalogs(r.nextInt(catalogs.size))
+    val nWhere = r.nextInt(3)
+    val wheres = Seq.fill(nWhere)(genWhere(r, c))
+    val whereSql =
+      if (wheres.isEmpty) "" else wheres.map(_._2).mkString(" WHERE ", " AND ", "")
+    val name = s"q6${n}_fuzz"
+
+    r.nextInt(4) match {
+      case 0 => // projection (+ one computed column), total order
+        val nCols = 2 + r.nextInt(2)
+        val cols = r.shuffle(c.ints ++ c.strings).take(nCols)
+        val i = c.ints(r.nextInt(c.ints.size))
+        val m = 2 + r.nextInt(7)
+        val outs = cols.map(x => x -> col(x)) :+ ("m" -> pmod(col(i), lit(m)))
+        val bound = (cols ++ wheres.map(_._3) :+ i).distinct
+        val sql = s"SELECT ${cols.mkString(", ")}, $i % $m AS m " +
+          s"FROM ${c.table}$whereSql ORDER BY ${(1 to outs.size).mkString(", ")}"
+        Spec(name, (s, dir) =>
+          Transform.run(s.read.parquet(s"$dir/${c.table}.parquet"),
+            rows(bound: _*),
+            RRows(outs), where = wheres.map(_._1))
+            .orderBy(outs.map(o => col(o._1)): _*), sql)
+
+      case 1 => // one- or two-level grouping with an aggregate struct
+        val nKeys = 1 + r.nextInt(2)
+        val keys = {
+          val k0 = genKey(r, c, 0)
+          if (nKeys == 1) Seq(k0)
+          else {
+            // two identically-named keys (same string column twice) would
+            // collide in both the output schema and the SQL
+            var k1 = genKey(r, c, 1)
+            while (k1._1 == k0._1) k1 = genKey(r, c, 1)
+            Seq(k0, k1)
+          }
+        }
+        val nAggs = 1 + r.nextInt(3)
+        val aggs = (0 until nAggs).map(i => genAgg(r, c, i))
+        val bound =
+          (keys.map(_._4) ++ aggs.flatMap(_._4) ++ wheres.map(_._3)).distinct
+        val range = keys.foldRight(
+          RStruct(aggs.map(a => a._1 -> (RAgg(a._2): graft.dsl.Range)))
+            : graft.dsl.Range) { case (k, inner) => RMap(k._2, inner) }
+        val aggSql = aggs.map(a => s"${a._3} AS ${a._1}").mkString(", ")
+        val keySql = keys.map(k => s"${k._3} AS ${k._1}").mkString(", ")
+        val sql = s"SELECT $keySql, $aggSql FROM ${c.table}$whereSql " +
+          s"GROUP BY ${(1 to nKeys).mkString(", ")} " +
+          s"ORDER BY ${(1 to nKeys).mkString(", ")}"
+        Spec(name, (s, dir) =>
+          Transform.run(s.read.parquet(s"$dir/${c.table}.parquet"),
+            rows(bound: _*), range, where = wheres.map(_._1))
+            .orderBy(keys.map(k => col(k._1)): _*), sql)
+
+      case 2 => // grouped sorted list, serialized (q03 pattern)
+        val (kn, kc, ks, kref) = genKey(r, c, 0)
+        val v = c.ints(r.nextInt(c.ints.size))
+        val bound = (Seq(kref, v) ++ wheres.map(_._3)).distinct
+        val sql = s"SELECT $ks AS $kn, " +
+          s"array_to_string(list_sort(list($v)), ',') AS value " +
+          s"FROM ${c.table}$whereSql GROUP BY 1 ORDER BY 1"
+        Spec(name, (s, dir) =>
+          Transform.run(s.read.parquet(s"$dir/${c.table}.parquet"),
+            rows(bound: _*),
+            RMap(kc, RList(col(v), sorted = true)), where = wheres.map(_._1))
+            .withColumn("value",
+              array_join(transform(col("value"), _.cast("string")), ","))
+            .orderBy(kn), sql)
+
+      case _ => // grouped sorted set, serialized (q04 pattern)
+        val (kn, kc, ks, kref) = genKey(r, c, 0)
+        val v = (c.ints ++ c.strings)(r.nextInt(c.ints.size + c.strings.size))
+        val bound = (Seq(kref, v) ++ wheres.map(_._3)).distinct
+        val sql = s"SELECT $ks AS $kn, " +
+          s"array_to_string(list_sort(list(DISTINCT $v)), ',') AS value " +
+          s"FROM ${c.table}$whereSql GROUP BY 1 ORDER BY 1"
+        Spec(name, (s, dir) =>
+          Transform.run(s.read.parquet(s"$dir/${c.table}.parquet"),
+            rows(bound: _*),
+            RMap(kc, RSet(col(v))), where = wheres.map(_._1))
+            .withColumn("value",
+              array_join(transform(col("value"), _.cast("string")), ","))
+            .orderBy(kn), sql)
+    }
+  }
+
+  /** The fixed fuzz suite: same seed → same specs on every run, so the
+    * correctness gate is reproducible round over round. */
+  def specs: Seq[Spec] = {
+    val r = new scala.util.Random(20260812L)
+    (0 until 8).map(i => genSpec(r, i))
+  }
+}
