@@ -73,6 +73,25 @@ class PlanSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q49 candidate generation is a bucketed join, not a cartesian") {
+    // the whole point of the LSH path vs q28's exact baseline: candidates
+    // meet through equi-joins on (table, bucket) keys — a nested-loop
+    // plan would mean the bucketing silently degenerated to all-pairs
+    val df = SparkEntry.queries("q49_embedding_pairs_lsh")(spark, sf0001)
+    df.collect() // finalize under AQE
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p.take(2000))
+    // and the corpus is read once for bucketing, not once per table
+    // (verify-side id->vector lookups add their own scans; the pre-fix
+    // union form produced tables+2 = 26)
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans <= 4, s"expected <= 4 scans, got $scans")
+  }
+
   test("whole-stage codegen covers the dedup hashing pipeline") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val df = graft.ops.Dedup.minhashLshPairs(

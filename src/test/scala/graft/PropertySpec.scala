@@ -164,6 +164,28 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("root chunking under declared order equals grouped() for any k") {
+    val gen: Gen[(Int, List[Int])] = Gen.zip(
+      Gen.choose(2, 4),
+      Gen.listOfN(11, Gen.choose(0, 1000)).map(_.distinct))
+    val prop = Prop.forAll(gen) { case (k, ids) =>
+      val oracle = ids.sorted.grouped(k).map { g =>
+        (0 until k).map(j => if (j < g.size) (g(j): Any) else (null: Any))
+      }.toList
+      val in = scala.util.Random.shuffle(ids).toDF("id")
+      val pats = (0 until k).map(j =>
+        Entries(Seq((KField("id"): DKey) -> Leaf(s"e$j"))): graft.dsl.Domain)
+      val got = Transform(Vec(pats),
+          RRows((0 until k).map(j => s"e$j" -> col(s"e$j"))),
+          rootOrder = Seq("id"))
+        .apply(in).collect().map(_.toSeq.toIndexedSeq).toList
+      got.sortBy(_.head.asInstanceOf[Int]) ==
+        oracle.sortBy(_.head.asInstanceOf[Int])
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("group-by-key collects all values (README.md:91-129)") {
     val flat: Gen[List[(String, Int)]] =
       Gen.listOfN(12, Gen.zip(keyGen, Gen.choose(0, 50)))
