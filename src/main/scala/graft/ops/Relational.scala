@@ -129,7 +129,10 @@ object Relational {
     *
     * `bucketOf` maps a time value to its coarse bucket (e.g.
     * `t => floor(unix_micros(t) / hourMicros)`) and MUST be monotone in
-    * the time ordering; generic over the time type like the base op. */
+    * the time ordering; generic over the time type like the base op.
+    * Tie caveat (same as the base op): when several right rows share one
+    * (key, time), which payload wins is engine-arbitrary in both forms —
+    * keep (key, rightTime) unique if the match must be well-defined. */
   def asofJoinBackwardBucketed(left: DataFrame, right: DataFrame,
                                key: String, leftTime: String,
                                rightTime: String,

@@ -152,13 +152,18 @@ class PropertySpec extends AnyFunSuite {
       }.groupBy(identity).view.mapValues(_.size).toMap
       val left = ls.toDF("k", "t")
       val right = rs.toDF("k", "rt", "v")
-      val got = graft.ops.Relational.asofJoinBackward(left, right,
-          "k", "t", "rt", Map("v" -> "av"))
-        .collect()
+      def run(d: org.apache.spark.sql.DataFrame) = d.collect()
         .map(r => (r.getInt(0), r.getInt(1),
                    if (r.isNullAt(2)) None else Some(r.getInt(2))))
         .toList.groupBy(identity).view.mapValues(_.size).toMap
-      got == oracle
+      val got = run(graft.ops.Relational.asofJoinBackward(left, right,
+        "k", "t", "rt", Map("v" -> "av")))
+      // the skew-bucketed form must satisfy the same oracle (bucket size
+      // chosen so chunks, carry-ins, and empty buckets all occur)
+      val gotBucketed = run(graft.ops.Relational.asofJoinBackwardBucketed(
+        left, right, "k", "t", "rt", Map("v" -> "av"),
+        bucketOf = tc => floor(tc / 7)))
+      got == oracle && gotBucketed == oracle
     }
     val r = SCTest.check(params, prop)
     assert(r.passed, r.status.toString)
