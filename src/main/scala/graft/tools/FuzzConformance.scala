@@ -44,8 +44,12 @@ object FuzzConformance {
   private def genWhere(r: scala.util.Random, c: Cat)
       : (Column, String, String) = r.nextInt(3) match {
     case 0 =>
+      // threshold scaled to the column's range: a cutoff above the max
+      // (e.g. 2000 on 1..7-valued l_linenumber) empties the table and
+      // the spec verifies nothing
       val i = c.ints(r.nextInt(c.ints.size))
-      val k = 10 + r.nextInt(2000)
+      val k = if (i == "l_linenumber") 1 + r.nextInt(4)
+              else 10 + r.nextInt(2000)
       (col(i) > k, s"$i > $k", i)
     case 1 =>
       // F..Y keeps most rows (flag/status/priority values start A..R) —
@@ -99,7 +103,7 @@ object FuzzConformance {
       if (wheres.isEmpty) "" else wheres.map(_._2).mkString(" WHERE ", " AND ", "")
     val name = s"q6${n}_fuzz"
 
-    r.nextInt(4) match {
+    r.nextInt(5) match {
       case 0 => // projection (+ one computed column), total order
         val nCols = 2 + r.nextInt(2)
         val cols = r.shuffle(c.ints ++ c.strings).take(nCols)
@@ -160,7 +164,7 @@ object FuzzConformance {
               array_join(transform(col("value"), _.cast("string")), ","))
             .orderBy(kn), sql)
 
-      case _ => // grouped sorted set, serialized (q04 pattern)
+      case 3 => // grouped sorted set, serialized (q04 pattern)
         val (kn, kc, ks, kref) = genKey(r, c, 0)
         val v = (c.ints ++ c.strings)(r.nextInt(c.ints.size + c.strings.size))
         val bound = (Seq(kref, v) ++ wheres.map(_._3)).distinct
@@ -174,6 +178,46 @@ object FuzzConformance {
             .withColumn("value",
               array_join(transform(col("value"), _.cast("string")), ","))
             .orderBy(kn), sql)
+
+      case _ => // multi-granularity struct: aggregate + nested map at one
+        // level (the q12 shape — exercises the adaptive one-scan/join
+        // lowering). Inner aggregates stick to integers: double→VARCHAR
+        // formatting diverges between engines, integer text does not.
+        val (k1n, k1c, k1s, k1ref) = genKey(r, c, 0)
+        var k2 = genKey(r, c, 1)
+        while (k2._1 == k1n) k2 = genKey(r, c, 1)
+        val (k2n, k2c, k2s, k2ref) = k2
+        val (an, ac, as_, arefs) = genAgg(r, c, 0)
+        val (_, ic, is_, irefs) = {
+          var a = genAgg(r, c, 1)
+          while (a._3.contains("sum")) a = genAgg(r, c, 1) // ints only
+          a
+        }
+        val bound = (Seq(k1ref, k2ref) ++ arefs ++ irefs ++ wheres.map(_._3))
+          .distinct
+        val sql =
+          s"""WITH f AS (SELECT $k1s AS $k1n, $as_ AS $an
+                         FROM ${c.table}$whereSql GROUP BY 1),
+                s AS (SELECT $k1s AS $k1n, $k2s AS k2n, $is_ AS v
+                      FROM ${c.table}$whereSql GROUP BY 1, 2),
+                m AS (SELECT $k1n,
+                        string_agg(k2n || '=' || CAST(v AS VARCHAR),
+                                   ',' ORDER BY k2n) AS by_k
+                      FROM s GROUP BY 1)
+             SELECT f.$k1n, f.$an, m.by_k
+             FROM f JOIN m USING ($k1n) ORDER BY 1"""
+        Spec(name, (s, dir) =>
+          Transform.run(s.read.parquet(s"$dir/${c.table}.parquet"),
+            rows(bound: _*),
+            RMap(k1c, RStruct(Seq(
+              an -> RAgg(ac),
+              "by_k" -> RMap(k2c, RAgg(ic))))),
+            where = wheres.map(_._1))
+            .withColumn("by_k",
+              array_join(transform(array_sort(map_entries(col("by_k"))),
+                e => concat_ws("=", e.getField("key").cast("string"),
+                  e.getField("value").cast("string"))), ","))
+            .orderBy(k1n), sql)
     }
   }
 
@@ -181,6 +225,6 @@ object FuzzConformance {
     * correctness gate is reproducible round over round. */
   def specs: Seq[Spec] = {
     val r = new scala.util.Random(20260812L)
-    (0 until 8).map(i => genSpec(r, i))
+    (0 until 10).map(i => genSpec(r, i))
   }
 }
