@@ -581,6 +581,29 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Duplicate CLUSTERS, not just pairs: connected components over the
+    // MinHash-LSH pair graph — (id, comp) with comp = min reachable id,
+    // the canonical-representative assignment a transitive dedup policy
+    // needs. O(log diameter) rounds of min-propagation + pointer
+    // jumping; the oracle is an independent recursive-CTE closure over
+    // the exact jaccard pairs.
+    "q56_dedup_groups" -> ((s, dir) => {
+      val pairs = graft.ops.Dedup.minhashLshPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), tau = 0.6)
+      graft.ops.Dedup.connectedComponents(pairs, col("id1"), col("id2"))
+        .orderBy("id")
+    }),
+
+    // Cluster-policy near-dup removal through the PUBLIC Pipeline API:
+    // keep exactly one document (min id) per duplicate component.
+    "q57_dedup_keep_one" -> ((s, dir) => {
+      graft.ops.Pipeline(t(s, dir, "documents"), "doc_id", "text")
+        .removeNearDupClusters(0.6)
+        .result
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // The full LLM preprocessing funnel composed from the operators
     // above: language filter -> quality filter -> exact dedup
     // (keep-first by 8-token prefix) -> near-dup removal (drop the
@@ -690,6 +713,32 @@ object SparkEntry {
        SELECT id1, id2, round(co*1.0/(na+nb-co), 4) AS jaccard FROM pairs
        WHERE co*1.0/(na+nb-co) >= 0.6 ORDER BY 1, 2"""
 
+  /** Shared oracle text: duplicate components via an independent
+    * recursive-CTE transitive closure over the exact jaccard pair graph
+    * (tau 0.6 — the pair universe q21/q22 are proven against). Used by
+    * q56 (the components themselves) and q57 (keep-one-per-component
+    * survivors through the Pipeline API). */
+  private val dedupGroupsSql: String =
+    """WITH RECURSIVE
+       tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+       sh AS (SELECT doc_id, list_distinct(
+                [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                 FOR i IN range(1, len(ws)-1)]) AS shingles FROM tkn),
+       ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+       p AS (SELECT id1, id2 FROM (
+               SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
+                      any_value(a.n) AS na, any_value(b.n) AS nb
+               FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+             WHERE co*1.0/(na+nb-co) >= 0.6),
+       e AS (SELECT id1 AS a, id2 AS b FROM p
+             UNION SELECT id2, id1 FROM p),
+       reach(a, b) AS (
+         SELECT DISTINCT a, a FROM e
+         UNION
+         SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY 1)"""
+
   /** Shared oracle text: exact all-pairs cosine similarity (used by both
     * the exact q28 and the LSH-accelerated q49 — the LSH variant is
     * exact-verified and its nPlanes=2/tables=24 config reaches recall 1
@@ -793,6 +842,13 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY 2""",
     "q21_jaccard_pairs" -> jaccardPairsSql,
     "q22_minhash_lsh" -> jaccardPairsSql,
+    "q56_dedup_groups" ->
+      (dedupGroupsSql + "\n       SELECT id, comp FROM comp ORDER BY 1"),
+    "q57_dedup_keep_one" ->
+      (dedupGroupsSql + """
+       SELECT doc_id, source FROM documents
+       WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != comp)
+       ORDER BY 1"""),
     "q24_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),

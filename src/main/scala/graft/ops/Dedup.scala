@@ -182,6 +182,71 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list: the step that turns
+    * pairwise similarity output ([[jaccardPairs]] / [[minhashLshPairs]] /
+    * [[simhashPairs]] / [[Similarity.cosinePairsLsh]]) into duplicate
+    * CLUSTERS, so a pipeline can keep exactly one representative per
+    * cluster — the transitive policy real corpus dedup needs (a~b, b~c
+    * must collapse to one survivor even when a,c are not directly
+    * similar, which per-pair keep-lower-id does not guarantee).
+    *
+    * Returns `(id, comp)` for every node appearing in `pairs`, where
+    * `comp` is the minimum id reachable — a deterministic canonical
+    * representative. Nodes with no pairs are absent (they are their own
+    * singleton components; callers anti-join on `id =!= comp`).
+    *
+    * Scale design: iterative min-label propagation PLUS pointer jumping
+    * (label := label's label) per round, so convergence is O(log
+    * diameter) rounds, not O(diameter) — a 1M-long chain of near-dups
+    * converges in ~20 rounds. Each round is a constant number of
+    * shuffles on the label key with map-side partial min; nothing is
+    * ever collected to the driver. `localCheckpoint` truncates the
+    * iterative lineage each round (without it the plan doubles per
+    * iteration and Catalyst analysis itself becomes the bottleneck); on
+    * a real cluster with unreliable executors, swap in
+    * `spark.sparkContext.setCheckpointDir` + `.checkpoint()`. */
+  def connectedComponents(pairs: DataFrame, id1: Column, id2: Column,
+                          maxIters: Int = 50): DataFrame = {
+    val e0 = pairs.select(id1.as("src"), id2.as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+              col("src") =!= col("dst"))
+    // undirected: both directions; distinct collapses parallel edges
+    // (pair generators can emit the same pair once per colliding band)
+    val edges = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var iters = 0
+    var converged = labels.isEmpty
+    while (!converged) {
+      require(iters < maxIters,
+        s"connectedComponents did not converge in $maxIters rounds — " +
+        "with pointer jumping that needs a component of diameter " +
+        "~2^" + maxIters + "; raise maxIters only if that is real")
+      // 1-hop min propagation: each node offers its label to neighbors
+      val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nc"))
+      val prop = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+      // pointer jump: comp := comp's comp. The invariant comp <= id
+      // (init self, monotone min) makes the jump strictly non-increasing
+      // and the inner join always hit (comp is itself a node id).
+      val next = prop.as("x")
+        .join(prop.select(col("id").as("cid"), col("comp").as("cc")),
+              col("x.comp") === col("cid"))
+        .select(col("x.id").as("id"), col("cc").as("comp"))
+        .localCheckpoint()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .where(col("n.comp") =!= col("o.comp")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      iters += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup pairs above a cosine threshold — exact, via
     * block-nested all-pairs. Correct baseline for modest corpora; the
     * scale path is [[Similarity.cosinePairsLsh]] (bucketed). */

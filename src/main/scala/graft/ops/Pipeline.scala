@@ -74,6 +74,19 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
     copy(df = df.join(dups, Seq(idCol), "left_anti"))
   }
 
+  /** Near-dup removal by duplicate CLUSTER: connected components over
+    * the MinHash-LSH pair graph ([[Dedup.connectedComponents]]), keeping
+    * the minimum id per component. The transitive policy — a chain
+    * a~b~c collapses to one survivor even when a,c are not directly
+    * similar, where the per-pair policy of [[removeNearDups]] can keep
+    * both endpoints of an unseen transitive pair. */
+  def removeNearDupClusters(tau: Double): Pipeline = {
+    val cc = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(df, id, text, tau), col("id1"), col("id2"))
+    val drop = cc.filter(col("id") =!= col("comp")).select(col("id").as(idCol))
+    copy(df = df.join(drop, Seq(idCol), "left_anti"))
+  }
+
   /** Surviving documents, original schema. */
   def result: DataFrame = df
 

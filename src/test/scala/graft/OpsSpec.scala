@@ -44,6 +44,73 @@ class OpsSpec extends AnyFunSuite {
     assert(found.forall { case (a, b) => b - a == 10000 })
   }
 
+  test("connected components label every node with its component min") {
+    import spark.implicits._
+    // two clusters + a chain long enough to need pointer jumping, with
+    // ids deliberately ordered so min-labels must flow AGAINST edge
+    // direction, plus a duplicate and a reversed pair
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),                 // cluster min 1
+      (10L, 11L), (11L, 10L), (10L, 11L),           // dup + reversed
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L),
+      (24L, 25L), (25L, 26L), (26L, 27L)            // diameter-7 chain
+    ).toDF("id1", "id2")
+    val got = Dedup.connectedComponents(edges, col("id1"), col("id2"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L) ++
+      (20L to 27L).map(_ -> 20L).toMap)
+  }
+
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 0 until 5) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      val got = Dedup.connectedComponents(
+          edges.toDF("id1", "id2"), col("id1"), col("id2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    }
+  }
+
+  test("cluster dedup keeps one survivor per component, pair policy may not") {
+    import spark.implicits._
+    // star: 3~1 and 3~2 similar, 1~2 not. Pair policy drops only the
+    // higher id of each PAIR (3), keeping 1 AND 2; cluster policy keeps
+    // exactly the component min (1). Build texts that realize it: t1/t2
+    // each share >=60% shingles with t3 but <60% with each other.
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")   // 6 shingles a1..a6
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val t3 = a + " " + b                               // shares all of each
+    val docsDf = Seq((1L, a), (2L, b), (3L, t3)).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docsDf, col("doc_id"), col("text"), 0.4)
+    assert(pairSet(pairs) == Set((1L, 3L), (2L, 3L)))
+    val kept = Pipeline(docsDf, "doc_id", "text")
+      .removeNearDupClusters(0.4).result
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+    val keptPairPolicy = Pipeline(docsDf, "doc_id", "text")
+      .removeNearDups(0.4).result
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptPairPolicy == Set(1L, 2L))
+  }
+
   test("cosine LSH at tau 0.4 (q49 config) equals the exact pairs") {
     // the corpus's true pairs sit at cosine 0.40-0.55 (no planted
     // high-cosine dups), so recall must hold right at the threshold:
