@@ -15,7 +15,12 @@ object Bench {
     // JVM/codegen/scan-init warmup on the smallest SF so the first timed
     // query measures the query, not JIT + parquet footer caches.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional dev-loop filter (comma-separated names); driver sets no
+    // filter and benches the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces FULL evaluation of every output column
       // (count() lets Catalyst prune the final projection away)

@@ -198,15 +198,19 @@ object Dedup {
     * Scale design: iterative min-label propagation PLUS pointer jumping
     * (label := label's label) per round, so convergence is O(log
     * diameter) rounds, not O(diameter) — a 1M-long chain of near-dups
-    * converges in ~20 rounds. Each round is a constant number of
-    * shuffles on the label key with map-side partial min; nothing is
-    * ever collected to the driver. `localCheckpoint` truncates the
-    * iterative lineage each round (without it the plan doubles per
-    * iteration and Catalyst analysis itself becomes the bottleneck); on
-    * a real cluster with unreliable executors, swap in
-    * `spark.sparkContext.setCheckpointDir` + `.checkpoint()`. */
+    * converges in ~20 rounds. Each round is one join+groupBy and one
+    * join, shuffling on the label key with map-side partial min.
+    * `localCheckpoint` truncates the iterative lineage each round
+    * (without it the plan doubles per iteration and Catalyst analysis
+    * itself becomes the bottleneck); on a real cluster with unreliable
+    * executors, swap in `spark.sparkContext.setCheckpointDir` +
+    * `.checkpoint()`. Graphs at or below `driverThreshold` edges (and
+    * integral ids) instead run union-find on the driver — see the
+    * inline rationale. */
   def connectedComponents(pairs: DataFrame, id1: Column, id2: Column,
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50,
+                          driverThreshold: Long = 100000L): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     val e0 = pairs.select(id1.as("src"), id2.as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
               col("src") =!= col("dst"))
@@ -214,6 +218,44 @@ object Dedup {
     // (pair generators can emit the same pair once per colliding band)
     val edges = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val nEdges = edges.count()
+    val idType = edges.schema("src").dataType
+
+    // Small-graph fast path: the pair graph from near-dup discovery is
+    // normally minuscule relative to the corpus (256 edges for 5k docs
+    // on the bench corpus), and the distributed loop's per-round job
+    // overhead dwarfs the work. Below `driverThreshold` edges (~16 B
+    // each — default caps driver transfer at ~1.6 MB) run union-find on
+    // the driver in O(E α(E)). The threshold is an explicit, documented
+    // gate: above it — the 100 TB regime — the distributed loop below
+    // is the path, and both paths are differentially tested equal.
+    if (nEdges <= driverThreshold &&
+        (idType == LongType || idType == IntegerType)) {
+      val es = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = es.map(_._1).distinct.map(x => (x, find(x))).toIndexedSeq
+      return pairs.sparkSession.createDataFrame(out).toDF("id", "comp")
+        .select(col("id").cast(idType).as("id"),
+                col("comp").cast(idType).as("comp"))
+    }
+
+    // Distributed loop. Self-loops fold each node's own label into the
+    // min-over-neighbors aggregate, so one join+groupBy does the whole
+    // 1-hop propagation (and the self-loop row doubles as the carrier
+    // of the node's PREVIOUS label, making the convergence check free).
+    val withSelf = edges
+      .union(edges.select(col("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
@@ -224,23 +266,22 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds — " +
         "with pointer jumping that needs a component of diameter " +
         "~2^" + maxIters + "; raise maxIters only if that is real")
-      // 1-hop min propagation: each node offers its label to neighbors
-      val nbr = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("comp")).as("nc"))
-      val prop = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nc"), col("comp"))).as("comp"))
+      // 1-hop min propagation (self-loop included = least with own label)
+      val prop = withSelf
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("comp")).as("comp"),
+             max(when(col("src") === col("dst"), col("comp"))).as("oldc"))
       // pointer jump: comp := comp's comp. The invariant comp <= id
       // (init self, monotone min) makes the jump strictly non-increasing
       // and the inner join always hit (comp is itself a node id).
       val next = prop.as("x")
         .join(prop.select(col("id").as("cid"), col("comp").as("cc")),
               col("x.comp") === col("cid"))
-        .select(col("x.id").as("id"), col("cc").as("comp"))
+        .select(col("x.id").as("id"), col("cc").as("comp"), col("x.oldc").as("oldc"))
         .localCheckpoint()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.comp") =!= col("o.comp")).limit(1).count()
-      labels = next
+      val changed = next.where(col("comp") =!= col("oldc")).limit(1).count()
+      labels = next.select("id", "comp")
       converged = changed == 0L
       iters += 1
     }

@@ -12,7 +12,8 @@ import graft.dsl.Range._
   * q01–q13 do by hand. The seed is fixed, so the driver's correctness
   * gate (Verify → DuckDB → hash compare) replays the exact same specs
   * every round; a lowering regression in projection/filter/grouping/
-  * aggregation/collection surfaces as a hash mismatch on some qN_fuzz.
+  * aggregation/collection/distinct/root-chunking surfaces as a hash
+  * mismatch on some qN_fuzz.
   *
   * The expression vocabulary is restricted to the cross-engine-portable
   * subset established by the hand-written queries: integer/string
@@ -44,12 +45,18 @@ object FuzzConformance {
   private def genWhere(r: scala.util.Random, c: Cat)
       : (Column, String, String) = r.nextInt(3) match {
     case 0 =>
-      // threshold scaled to the column's range: a cutoff above the max
-      // (e.g. 2000 on 1..7-valued l_linenumber) empties the table and
-      // the spec verifies nothing
+      // threshold scaled to the column's range AT THE DRIVER'S sf0.01
+      // GATE: a cutoff above the column's max (keys scale with sf;
+      // l_suppkey only reaches 100 at sf0.01) empties the table and the
+      // spec verifies nothing
       val i = c.ints(r.nextInt(c.ints.size))
-      val k = if (i == "l_linenumber") 1 + r.nextInt(4)
-              else 10 + r.nextInt(2000)
+      val k = i match {
+        case "l_linenumber" => 1 + r.nextInt(4)
+        case "l_suppkey"    => 5 + r.nextInt(55)
+        case "l_partkey"    => 10 + r.nextInt(800)
+        case "o_custkey"    => 10 + r.nextInt(600)
+        case _              => 10 + r.nextInt(2000) // orderkeys: >=15k ids
+      }
       (col(i) > k, s"$i > $k", i)
     case 1 =>
       // F..Y keeps most rows (flag/status/priority values start A..R) —
@@ -95,15 +102,15 @@ object FuzzConformance {
       (s"gk$idx", pmod(col(i), lit(m)).as(s"gk$idx"), s"$i % $m", i)
     }
 
-  private def genSpec(r: scala.util.Random, n: Int): Spec = {
+  private def genSpec(r: scala.util.Random, n: Int, shape: Int): Spec = {
     val c = catalogs(r.nextInt(catalogs.size))
     val nWhere = r.nextInt(3)
     val wheres = Seq.fill(nWhere)(genWhere(r, c))
     val whereSql =
       if (wheres.isEmpty) "" else wheres.map(_._2).mkString(" WHERE ", " AND ", "")
-    val name = s"q6${n}_fuzz"
+    val name = s"q${60 + n}_fuzz"
 
-    r.nextInt(5) match {
+    shape match {
       case 0 => // projection (+ one computed column), total order
         val nCols = 2 + r.nextInt(2)
         val cols = r.shuffle(c.ints ++ c.strings).take(nCols)
@@ -179,6 +186,49 @@ object FuzzConformance {
               array_join(transform(col("value"), _.cast("string")), ","))
             .orderBy(kn), sql)
 
+      case 5 => // distinct-rows projection (q13 pattern)
+        val nCols = 2 + r.nextInt(2)
+        val cols = r.shuffle(c.ints ++ c.strings).take(nCols)
+        val bound = (cols ++ wheres.map(_._3)).distinct
+        val sql = s"SELECT DISTINCT ${cols.mkString(", ")} " +
+          s"FROM ${c.table}$whereSql ORDER BY ${(1 to nCols).mkString(", ")}"
+        Spec(name, (s, dir) =>
+          Transform.run(s.read.parquet(s"$dir/${c.table}.parquet"),
+            rows(bound: _*),
+            RRowsDistinct(cols.map(x => x -> col(x))),
+            where = wheres.map(_._1))
+            .orderBy(cols.map(col): _*), sql)
+
+      case 6 => // root-level n-at-a-time chunking under a declared order
+        // (q50 pattern — exercises the rootOrder row_number/lead
+        // lowering at random chunk widths). orders only: o_orderkey is
+        // the unique total order, and slot-1's key makes the output
+        // order deterministic. No wheres: fuzz conjuncts reference raw
+        // input columns, which chunking rebinds to slot names.
+        val nCh = 2 + r.nextInt(2)
+        val ordersCols = Seq("o_totalprice", "o_orderstatus", "o_orderpriority",
+                             "o_custkey")
+        val v = ordersCols(r.nextInt(ordersCols.size))
+        val slotPat = (i: Int) => Entries(Seq(
+          (KField("o_orderkey"): DKey) -> Leaf(s"k$i"),
+          (KField(v): DKey) -> Leaf(s"v$i")))
+        val outs = (1 to nCh).flatMap(i =>
+          Seq(s"k$i" -> col(s"k$i"), s"v$i" -> col(s"v$i")))
+        val slotSql = (1 to nCh).flatMap(i => Seq(
+          s"max(CASE WHEN rn % $nCh = ${i % nCh} THEN o_orderkey END) AS k$i",
+          s"max(CASE WHEN rn % $nCh = ${i % nCh} THEN $v END) AS v$i"))
+          .mkString(",\n                ")
+        val sql =
+          s"""WITH x AS (SELECT o_orderkey, $v,
+                row_number() OVER (ORDER BY o_orderkey) AS rn FROM orders)
+              SELECT $slotSql
+              FROM x GROUP BY (rn - 1) // $nCh ORDER BY 1"""
+        Spec(name, (s, dir) =>
+          Transform.run(s.read.parquet(s"$dir/orders.parquet"),
+            Vec((1 to nCh).map(slotPat)),
+            RRows(outs), rootOrder = Seq("o_orderkey"))
+            .orderBy("k1"), sql)
+
       case _ => // multi-granularity struct: aggregate + nested map at one
         // level (the q12 shape — exercises the adaptive one-scan/join
         // lowering). Inner aggregates stick to integers: double→VARCHAR
@@ -221,10 +271,13 @@ object FuzzConformance {
     }
   }
 
-  /** The fixed fuzz suite: same seed → same specs on every run, so the
-    * correctness gate is reproducible round over round. */
+  /** The fixed fuzz suite: the first 7 specs cycle through every grammar
+    * shape (so each lowering path is guaranteed a conformance check);
+    * the rest draw shapes randomly. Same seed → same specs every run. */
   def specs: Seq[Spec] = {
     val r = new scala.util.Random(20260812L)
-    (0 until 10).map(i => genSpec(r, i))
+    val nShapes = 7
+    (0 until 12).map(i =>
+      genSpec(r, i, if (i < nShapes) i else r.nextInt(nShapes)))
   }
 }

@@ -25,6 +25,23 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
 
+    if (args.contains("cc")) {  // connected-components phase profile
+      val pairs = time("lsh pairs materialize")(
+        graft.ops.Dedup.minhashLshPairs(d, col("doc_id"), col("text"), 0.6)
+          .localCheckpoint())
+      println(s"[profile] n pairs = ${pairs.count()}")
+      val cc = time("components total")(
+        graft.ops.Dedup.connectedComponents(pairs, col("id1"), col("id2")))
+      println(s"[profile] n labeled = ${cc.count()}")
+      val cc2 = time("components warm")(
+        graft.ops.Dedup.connectedComponents(pairs, col("id1"), col("id2")))
+      val drop = cc2.filter(col("id") =!= col("comp"))
+      time("anti-join survivors")(
+        d.join(drop.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").format("noop").save())
+      spark.stop(); return
+    }
+
     val sh = d.repartition(32)
       .select(col("doc_id").as("id"), shingles(col("text"), 3).as("sh"))
     time("shingles count")(sh.count())

@@ -55,12 +55,18 @@ class OpsSpec extends AnyFunSuite {
       (20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L),
       (24L, 25L), (25L, 26L), (26L, 27L)            // diameter-7 chain
     ).toDF("id1", "id2")
-    val got = Dedup.connectedComponents(edges, col("id1"), col("id2"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(
+    val want = Map(
       1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L) ++
-      (20L to 27L).map(_ -> 20L).toMap)
+      (20L to 27L).map(_ -> 20L).toMap
+    // both the driver union-find fast path (default threshold) and the
+    // distributed propagation loop (threshold 0) must agree
+    for (thr <- Seq(100000L, 0L)) {
+      val got = Dedup.connectedComponents(edges, col("id1"), col("id2"),
+          driverThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"driverThreshold=$thr")
+    }
   }
 
   test("connected components match a union-find oracle on random graphs") {
@@ -82,8 +88,11 @@ class OpsSpec extends AnyFunSuite {
       }
       val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(x => x -> find(x)).toMap
+      // distributed path forced (threshold 0): the random graphs are the
+      // differential test that the loop matches plain union-find
       val got = Dedup.connectedComponents(
-          edges.toDF("id1", "id2"), col("id1"), col("id2"))
+          edges.toDF("id1", "id2"), col("id1"), col("id2"),
+          driverThreshold = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == want)
     }
