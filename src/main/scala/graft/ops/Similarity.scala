@@ -187,26 +187,35 @@ object Similarity {
     // inline struct array) — the union-of-branches form re-scanned the
     // corpus once per table (26 reads at tables=24), which is exactly
     // the cost this operator exists to avoid at scale
-    val bucketed = e.select(col("id"),
+    val bucketed = e.select(col("id"), col("v"),
         explode(array((0 until tables).map { t =>
           val planes = Hyperplanes.generate(nPlanes, dim, seed = 42L + t)
           struct(lit(t).as("table"), lshBucket(col("v"), planes).as("bucket"))
         }: _*)).as("tb"))
-      .select(col("id"), col("tb.table").as("table"),
+      .select(col("id"), col("v"), col("tb.table").as("table"),
               col("tb.bucket").as("bucket"))
-    val cand = bucketed.as("a").join(bucketed.as("b"),
-        col("a.table") === col("b.table") &&
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    val v1 = e.select(col("id").as("id1"), col("v").as("v1"))
-    val v2 = e.select(col("id").as("id2"), col("v").as("v2"))
-    cand.join(v1, "id1").join(v2, "id2")
+    // The vectors RIDE THROUGH the bucket join so the exact verify is
+    // inline in the join's output stage: candidates stream join →
+    // cosine → threshold inside one codegen pipeline, and only the few
+    // PASSING pairs reach the dedup shuffle. The previous shape
+    // (distinct on raw candidates, then two joins to re-attach vectors)
+    // shuffled the full candidate volume — at low tau that approaches
+    // all-pairs (75M rows at 5k docs × 24 tables) and the distinct was
+    // the whole query's cost. Duplicate candidates (one per colliding
+    // table) recompute an identical cosine, which is cheap codegen'd
+    // arithmetic; shuffling them is not.
+    val cos0 = {
       // threshold on the RAW score, round only for output — same rule as
       // Dedup.embeddingPairs, so the LSH path stays a subset of the
       // exact baseline at the threshold
-      .withColumn("__c", cosine(col("v1"), col("v2")))
-      .filter(col("__c") >= tau)
-      .select(col("id1"), col("id2"), round(col("__c"), 6).as("cos"))
+      bucketed.as("a").join(bucketed.as("b"),
+          col("a.table") === col("b.table") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .withColumn("__c", cosine(col("a.v"), col("b.v")))
+        .filter(col("__c") >= tau)
+        .select(col("a.id").as("id1"), col("b.id").as("id2"),
+                round(col("__c"), 6).as("cos"))
+    }
+    cos0.distinct()
   }
 }
