@@ -16,6 +16,28 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.contains("cc")) {
+      // Distributed connected-components probe: worst-case topology (one
+      // chain = max diameter) at growing sizes. Pointer jumping should
+      // hold the ROUND count ~log2(n) while per-round cost scales with
+      // the edge count — the property that makes a billion-edge dup
+      // graph tractable where plain propagation (O(diameter) rounds)
+      // is not.
+      import spark.implicits._
+      for (n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
+        val chain = spark.range(n - 1)
+          .select(col("id").as("id1"), (col("id") + 1).as("id2"))
+        val t0 = System.nanoTime()
+        val cc = graft.ops.Dedup.connectedComponents(
+          chain.toDF(), col("id1"), col("id2"), driverThreshold = 0L)
+        val distinctComps = cc.select("comp").distinct().count()
+        println(f"[scale] cc chain n=$n%-8d ${(System.nanoTime() - t0) / 1e9}%8.1f s   comps=$distinctComps")
+        assert(distinctComps == 1L, s"chain must be one component")
+      }
+      spark.stop(); return
+    }
+
     val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = d.count()
     // 10 copies with distinct ids; tiny per-copy suffix so copies are
