@@ -604,6 +604,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Paragraph-granularity exact dedup: every distinct segment keeps
+    // only its first (id, position) occurrence corpus-wide, documents
+    // reassembled from survivors in order. The corpus has no newline
+    // structure, so segments are delimited by a common token — the
+    // operator is separator-generic; the machinery (posexplode →
+    // first-occurrence agg → join-back → ordered reassembly) is what's
+    // under test.
+    "q58_dedup_paragraphs" -> ((s, dir) => {
+      graft.ops.Dedup.dedupParagraphs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), sep = "table")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // The full LLM preprocessing funnel composed from the operators
     // above: language filter -> quality filter -> exact dedup
     // (keep-first by 8-token prefix) -> near-dup removal (drop the
@@ -849,6 +863,21 @@ object SparkEntry {
        SELECT doc_id, source FROM documents
        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != comp)
        ORDER BY 1"""),
+    "q58_dedup_paragraphs" ->
+      """WITH tkn AS (SELECT doc_id, string_split(text, 'table') AS ps
+                      FROM documents),
+         ex AS (SELECT doc_id, unnest(range(1, len(ps)+1)) AS pos, ps
+                FROM tkn),
+         e2 AS (SELECT doc_id, pos, ps[pos] AS para FROM ex),
+         r AS (SELECT doc_id, pos, para,
+                 row_number() OVER (PARTITION BY para
+                                    ORDER BY doc_id, pos) AS rn
+               FROM e2),
+         k AS (SELECT doc_id,
+                 string_agg(para, 'table' ORDER BY pos) AS text_deduped
+               FROM r WHERE rn = 1 GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(k.text_deduped, '') AS text_deduped
+         FROM documents d LEFT JOIN k USING (doc_id) ORDER BY 1""",
     "q24_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),

@@ -182,6 +182,42 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Paragraph-granularity exact dedup across the corpus: split each
+    * document on `sep`, keep only the FIRST occurrence (lowest (id,
+    * position)) of each distinct paragraph corpus-wide, and reassemble
+    * every document from its surviving paragraphs in original order —
+    * the boilerplate killer of CCNet/RefinedWeb-style pipelines
+    * (repeated headers/footers/navigation vanish from every document
+    * but their first). Documents whose paragraphs ALL duplicate earlier
+    * ones survive with empty text (callers filter as policy).
+    *
+    * Scale shape: one shuffle to find each paragraph's first occurrence
+    * (min(struct(id, pos)) — partial aggregation absorbs hot
+    * boilerplate paragraphs map-side), one join back on the paragraph
+    * (AQE skew-split handles mega-paragraphs), one shuffle to rebuild
+    * documents. Never an all-pairs comparison; cost is linear in total
+    * paragraph count. */
+  def dedupParagraphs(df: DataFrame, id: Column, text: Column,
+                      sep: String): DataFrame = {
+    val parts = split(text, java.util.regex.Pattern.quote(sep))
+    val ex = df.select(id.as("id"),
+        posexplode(parts).as(Seq("pos", "para")))
+    val first = ex.groupBy(col("para"))
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+      .select(col("para").as("kpara"),
+              col("f.id").as("fid"), col("f.pos").as("fpos"))
+    val surv = ex.join(first,
+        col("para") === col("kpara") &&
+        col("id") === col("fid") && col("pos") === col("fpos"))
+    val rebuilt = surv.groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+          _.getField("para")), sep).as("text_deduped"))
+    df.select(id.as("id")).join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+              coalesce(col("text_deduped"), lit("")).as("text_deduped"))
+  }
+
   /** Connected components over a near-dup pair list: the step that turns
     * pairwise similarity output ([[jaccardPairs]] / [[minhashLshPairs]] /
     * [[simhashPairs]] / [[Similarity.cosinePairsLsh]]) into duplicate

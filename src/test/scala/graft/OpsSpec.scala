@@ -165,6 +165,20 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("__t"))
   }
 
+  test("paragraph dedup keeps first occurrence corpus-wide, reassembles in order") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a|b|c"),  // all first occurrences
+      (2L, "b|d"),    // b dupes doc1 -> "d"
+      (3L, "a|b"),    // fully duplicated -> ""
+      (4L, "c|c"),    // c dupes doc1 (both copies) -> ""
+      (5L, "e|e")     // within-doc dup: first copy survives -> "e"
+    ).toDF("id", "text")
+    val got = Dedup.dedupParagraphs(corpus, col("id"), col("text"), sep = "|")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a|b|c", 2L -> "d", 3L -> "", 4L -> "", 5L -> "e"))
+  }
+
   test("exact dedup keeps the first doc per key deterministically") {
     val kept = Dedup.exactKeepFirst(docs,
       concat_ws(" ", slice(split(col("text"), " "), 1, 8)), col("doc_id"))
