@@ -618,6 +618,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Benchmark decontamination: treat source src0 as the held-out eval
+    // set, flag every other document sharing a distinct 4-gram with it
+    // (n=13 on real text; 4 fits this corpus's short docs). Eval
+    // shingle set broadcasts; corpus text never shuffles.
+    "q59_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.contaminatedDocs(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"),
+          col("doc_id"), col("text"), col("text"), n = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // The full LLM preprocessing funnel composed from the operators
     // above: language filter -> quality filter -> exact dedup
     // (keep-first by 8-token prefix) -> near-dup removal (drop the
@@ -878,6 +892,16 @@ object SparkEntry {
                FROM r WHERE rn = 1 GROUP BY doc_id)
          SELECT d.doc_id, coalesce(k.text_deduped, '') AS text_deduped
          FROM documents d LEFT JOIN k USING (doc_id) ORDER BY 1""",
+    "q59_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, source,
+                 array_to_string(list_slice(ws, pos, pos+3), ' ') AS ng
+               FROM w, unnest(range(1, len(ws)-4+2)) AS t(pos)),
+         ev AS (SELECT DISTINCT ng FROM g WHERE source = 'src0')
+         SELECT g.doc_id, count(DISTINCT g.ng) AS hits
+         FROM g JOIN ev USING (ng) WHERE g.source != 'src0'
+         GROUP BY 1 ORDER BY 1""",
     "q24_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),

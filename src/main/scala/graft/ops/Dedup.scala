@@ -113,6 +113,47 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Benchmark decontamination: find corpus documents sharing any word
+    * n-gram with an evaluation/benchmark corpus — the standard n-gram
+    * overlap check of LLM training pipelines (typically n=13 on real
+    * text; parameterized because this corpus's docs are short). Returns
+    * (id, hits) where hits = number of DISTINCT eval n-grams appearing
+    * in the document; use [[decontaminate]] to drop flagged docs.
+    *
+    * Scale shape: the eval side is benchmark-sized (MBs against a
+    * TB-scale corpus), so its distinct-shingle set is BROADCAST and the
+    * corpus streams through the membership check without shuffling any
+    * corpus text — the only shuffle is the per-doc hit-count agg, with
+    * map-side partial counts. If the eval set ever outgrows broadcast,
+    * removing the hint degrades gracefully to a shuffle join on the
+    * n-gram key; never an all-pairs comparison. */
+  def contaminatedDocs(corpus: DataFrame, evalSet: DataFrame,
+                       corpusId: Column, corpusText: Column,
+                       evalText: Column, n: Int = 13): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(shingles(evalText, n)).as("ng")).distinct()
+    // shingles() already emits DISTINCT n-grams per doc, so a plain
+    // count after the join is the distinct-hit count
+    fanOut(corpus)
+      .select(corpusId.as("id"), explode(shingles(corpusText, n)).as("ng"))
+      .join(broadcast(evalGrams), "ng")
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+  }
+
+  /** Drop corpus documents contaminated by the eval set (>= minHits
+    * shared distinct n-grams). The flagged-id list is tiny → broadcast
+    * anti-join; the corpus is never shuffled. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame,
+                    corpusId: Column, corpusText: Column,
+                    evalText: Column, n: Int = 13,
+                    minHits: Int = 1): DataFrame = {
+    val flagged = contaminatedDocs(corpus, evalSet, corpusId, corpusText,
+        evalText, n)
+      .filter(col("hits") >= minHits).select(col("id").as("__flagged_id"))
+    corpus.join(broadcast(flagged),
+        corpusId === col("__flagged_id"), "left_anti")
+  }
+
   /** MinHash + LSH near-dup pairs: band-bucket join generates candidates
     * (only docs sharing a band key meet), then exact Jaccard verifies.
     * With h=128 / 64 bands of 2, a pair at jaccard 0.6 is missed with

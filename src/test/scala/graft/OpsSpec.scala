@@ -179,6 +179,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "a|b|c", 2L -> "d", 3L -> "", 4L -> "", 5L -> "e"))
   }
 
+  test("decontamination flags exactly the docs sharing an eval n-gram") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "p q r s t u"),      // contains eval 4-gram "q r s t"
+      (2L, "a b c d e f"),      // clean
+      (3L, "x y z w q r s t")   // contaminated too
+    ).toDF("id", "text")
+    val ev = Seq("m n q r s t o").toDF("etext")
+    val hits = Dedup.contaminatedDocs(corpus, ev,
+        col("id"), col("text"), col("etext"), n = 4)
+    assert(hits.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 3L -> 1L))
+    // eval shingle set must broadcast: the corpus side never shuffles
+    assert(hits.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val clean = Dedup.decontaminate(corpus, ev,
+        col("id"), col("text"), col("etext"), n = 4)
+    assert(clean.select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("exact dedup keeps the first doc per key deterministically") {
     val kept = Dedup.exactKeepFirst(docs,
       concat_ws(" ", slice(split(col("text"), " "), 1, 8)), col("doc_id"))
