@@ -329,6 +329,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition quality filters: top/duplicate n-gram
+    // character-mass fractions (n=2,3), pure narrow column expressions
+    // (no explode/shuffle); the oracle recomputes them relationally
+    // via unnest + GROUP BY.
+    "q72_repetition" -> ((s, dir) => {
+      graft.ops.TextAnalysis.repetitionSignals(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // IVF approximate top-k ANN (scale path of q24). Deterministic
     // centroid bootstrap + round(6) ranking make the full
     // assignment/probe/score path SQL-expressible — exact oracle.
@@ -927,6 +937,30 @@ object SparkEntry {
            '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+'))
            AS INTEGER) AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+
+    "q72_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         g2 AS (SELECT doc_id,
+                  unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS g
+                FROM t),
+         g3 AS (SELECT doc_id,
+                  unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          FOR i IN range(1, len(ws)-1)]) AS g
+                FROM t),
+         s2 AS (SELECT doc_id, max(c*l) AS best, sum(c*l) AS tot, sum(l) AS dist
+                FROM (SELECT doc_id, g, count(*) AS c, length(g) AS l
+                      FROM g2 GROUP BY 1, 2) GROUP BY 1),
+         s3 AS (SELECT doc_id, max(c*l) AS best, sum(c*l) AS tot, sum(l) AS dist
+                FROM (SELECT doc_id, g, count(*) AS c, length(g) AS l
+                      FROM g3 GROUP BY 1, 2) GROUP BY 1)
+         SELECT t.doc_id,
+           CAST(len(t.ws) AS INTEGER) AS n_tokens,
+           CAST(coalesce(floor(s2.best*1.0/s2.tot*10000 + 0.5), 0) AS BIGINT) AS top2_x1e4,
+           CAST(coalesce(floor((s2.tot-s2.dist)*1.0/s2.tot*10000 + 0.5), 0) AS BIGINT) AS dup2_x1e4,
+           CAST(coalesce(floor(s3.best*1.0/s3.tot*10000 + 0.5), 0) AS BIGINT) AS top3_x1e4,
+           CAST(coalesce(floor((s3.tot-s3.dist)*1.0/s3.tot*10000 + 0.5), 0) AS BIGINT) AS dup3_x1e4
+         FROM t LEFT JOIN s2 USING(doc_id) LEFT JOIN s3 USING(doc_id)
+         ORDER BY doc_id""",
     "q25_langid" ->
       """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          sc AS (SELECT doc_id,

@@ -106,6 +106,58 @@ object TextAnalysis {
         new java.util.zip.Deflater(6)
     }
 
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    * duplicate/top n-gram filters every LLM-corpus pipeline applies):
+    * for each n in `ns`, the fraction of n-gram CHARACTER MASS held by
+    * the single most frequent n-gram (`top{n}_x1e4`, templated spam
+    * spikes this) and the fraction contributed by repeat occurrences
+    * beyond each gram's first (`dup{n}_x1e4`, loops/boilerplate spike
+    * this). Mass denominators are total n-gram characters, so the
+    * metric is self-contained per doc and tie-free (max over
+    * count*length needs no "which gram" tiebreak).
+    *
+    * Entirely narrow per-row column expressions — no explode, no
+    * shuffle, column pruning reaches the scan; at 100 TB this is a
+    * single map pass. The top-gram mass uses an array_sort + run-length
+    * fold (O(t log t) per doc) rather than the naive
+    * distinct×filter scan (O(t·d) — quadratic on big docs). Docs
+    * shorter than n tokens score 0 on both signals. */
+  def repetitionSignals(df: DataFrame, id: Column, text: Column,
+                        ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val toks = tokens(text)
+    def x1e4(c: Column): Column = floor(c * 10000.0 + 0.5).cast("long")
+    def signalsFor(n: Int): Seq[Column] = {
+      val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      // total character mass of all gram occurrences / of distinct grams
+      val tot  = aggregate(grams, lit(0L), (a, g) => a + length(g))
+      val dist = aggregate(array_distinct(grams), lit(0L),
+        (a, g) => a + length(g))
+      // max over grams of count*length == longest equal-run mass in the
+      // sorted gram array (struct accumulator: prev gram, run, best).
+      // Null prev on the first element falls through === to run = 1.
+      val best = aggregate(array_sort(grams),
+        struct(lit(null).cast("string").as("prev"),
+               lit(0L).as("run"), lit(0L).as("best")),
+        (acc, g) => {
+          val run = when(g === acc("prev"), acc("run") + 1L).otherwise(1L)
+          struct(g.as("prev"), run.as("run"),
+                 greatest(acc("best"), run * length(g)).as("best"))
+        },
+        acc => acc("best"))
+      Seq(
+        x1e4(when(tot === 0L, 0.0)
+          .otherwise(best.cast("double") / tot)).as(s"top${n}_x1e4"),
+        x1e4(when(tot === 0L, 0.0)
+          .otherwise((tot - dist).cast("double") / tot))
+          .as(s"dup${n}_x1e4"))
+    }
+    df.select(id.as("doc_id") +: size(toks).as("n_tokens") +:
+      ns.flatMap(signalsFor): _*)
+  }
+
   /** TF-IDF term scores: tf = in-doc count, idf = ln((N+1)/(df+1))
     * (smoothed), score = tf * idf. Two shuffles — (doc, term) counts,
     * then term document-frequencies joined back on the term. The df

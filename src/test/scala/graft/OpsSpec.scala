@@ -304,6 +304,26 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.values.forall(v => v > 0.0 && v <= 1.5))
   }
 
+  test("repetition signals match hand-computed gram masses") {
+    val sq = spark
+    import sq.implicits._
+    // "a b a b a": 2-grams [a b, b a, a b, b a] — every gram repeats,
+    // top gram mass 2*3/12, dup mass (12-6)/12; 3-grams [a b a, b a b,
+    // a b a] — top 2*5/15, dup (15-10)/15. "x" is too short for any
+    // gram (both signals 0); "p q r" has all-unique grams (dup 0, top
+    // = one gram's mass / total).
+    val out = TextAnalysis.repetitionSignals(
+        Seq((1L, "a b a b a"), (2L, "x"), (3L, "p q r"))
+          .toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out(1L) == ((5, 5000L, 5000L, 6667L, 3333L)))
+    assert(out(2L) == ((1, 0L, 0L, 0L, 0L)))
+    assert(out(3L) == ((3, 5000L, 0L, 10000L, 0L)))
+  }
+
   test("compiled transform is reusable across inputs (transformer, O2)") {
     val sq = spark
     import sq.implicits._
