@@ -339,6 +339,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Deterministic reproducibility layer: hash-based train/val/test
+    // assignment (q73) and weighted corpus mixture (q74). MINSTD id
+    // hash with integer thresholds — the oracle replays the identical
+    // formula, so the split is proven bit-reproducible cross-engine.
+    "q73_hash_split" -> ((s, dir) => {
+      graft.ops.Sampling.hashSplit(
+          t(s, dir, "documents").select("doc_id"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    }),
+    "q74_mix_corpora" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def src(name: String) =
+        d.filter(col("source") === name).select("doc_id")
+      graft.ops.Sampling.mixCorpora(Seq(
+          ("src0", src("src0"), 1.0),
+          ("src1", src("src1"), 0.5),
+          ("src2", src("src2"), 0.25)),
+        col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // IVF approximate top-k ANN (scale path of q24). Deterministic
     // centroid bootstrap + round(6) ranking make the full
     // assignment/probe/score path SQL-expressible — exact oracle.
@@ -960,6 +982,35 @@ object SparkEntry {
            CAST(coalesce(floor(s3.best*1.0/s3.tot*10000 + 0.5), 0) AS BIGINT) AS top3_x1e4,
            CAST(coalesce(floor((s3.tot-s3.dist)*1.0/s3.tot*10000 + 0.5), 0) AS BIGINT) AS dup3_x1e4
          FROM t LEFT JOIN s2 USING(doc_id) LEFT JOIN s3 USING(doc_id)
+         ORDER BY doc_id""",
+
+    // MINSTD hash thresholds: floor(0.8*(2^31-1)) and floor(0.9*(2^31-1))
+    // (the last split takes the full remainder up to 2^31-1).
+    "q73_hash_split" ->
+      """WITH h AS (SELECT doc_id,
+           ((((doc_id % 2147483647) + 2147483647) % 2147483647) * 48271)
+             % 2147483647 AS hv
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN hv < 1717986917 THEN 'train'
+                WHEN hv < 1932735282 THEN 'val'
+                ELSE 'test' END AS split
+         FROM h ORDER BY doc_id""",
+
+    // per-source seed offsets 1000003*(i+1); rates 1.0 / 0.5 / 0.25 ->
+    // integer thresholds 2147483647 / 1073741823 / 536870911
+    "q74_mix_corpora" ->
+      """WITH k AS (SELECT doc_id, source,
+           ((((doc_id + CASE source WHEN 'src0' THEN 1000003
+                                    WHEN 'src1' THEN 2000006
+                                    ELSE 3000009 END)
+              % 2147483647 + 2147483647) % 2147483647) * 48271)
+             % 2147483647 AS hv
+         FROM documents WHERE source IN ('src0','src1','src2'))
+         SELECT doc_id, source AS mix_source FROM k
+         WHERE (source = 'src0' AND hv < 2147483647)
+            OR (source = 'src1' AND hv < 1073741823)
+            OR (source = 'src2' AND hv < 536870911)
          ORDER BY doc_id""",
     "q25_langid" ->
       """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),

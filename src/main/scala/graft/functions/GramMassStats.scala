@@ -1,0 +1,93 @@
+package graft.functions
+
+import java.util.HashMap
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd word n-gram character-mass statistics of a text column —
+  * the kernel of Gopher-style repetition signals. One pass over the
+  * tokens with a per-row frequency map; returns
+  * `struct<tot, dist, best>` where, over all n-gram occurrences,
+  * `tot` = total gram characters, `dist` = characters of distinct
+  * grams (each counted once), and `best` = max over grams of
+  * count * length — the single most repeated gram's character mass.
+  *
+  * Exists because the higher-order-function formulation (transform +
+  * array_sort + run-length fold with a struct accumulator) evaluates
+  * interpreted, allocating per element — measured 33 s for 5k docs at
+  * sf0.1 vs sub-second here. Same lesson as [[MinHashSig]] /
+  * [[WordShingles]]: per-token inner loops belong in one compiled
+  * pass, not in nested Catalyst lambdas.
+  *
+  * Parity with the DuckDB oracle: tokens = every single-space split
+  * (empty tokens kept), gram = n consecutive tokens joined by one
+  * space, length = codepoint count (DuckDB `length`). Texts with
+  * fewer than n tokens return (0, 0, 0); null input → null.
+  */
+case class GramMassStats(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"gram_mass_stats requires a string argument and n > 0, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("tot", LongType, nullable = false),
+    StructField("dist", LongType, nullable = false),
+    StructField("best", LongType, nullable = false)))
+  override def prettyName: String = "gram_mass_stats"
+
+  override def nullSafeEval(a: Any): Any =
+    GramMassStats.compute(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.GramMassStats.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramMassStats =
+    copy(child = newChild)
+}
+
+object GramMassStats {
+  private val SPACE = UTF8String.fromString(" ")
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def compute(text: UTF8String, n: Int): InternalRow = {
+    val toks = text.split(SPACE, -1)
+    val m = toks.length
+    if (m < n) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val counts = new HashMap[UTF8String, Long](math.max(16, (m - n + 1) * 2))
+    var i = 0
+    while (i <= m - n) {
+      var g = toks(i)
+      var j = 1
+      while (j < n) { g = UTF8String.concat(g, SPACE, toks(i + j)); j += 1 }
+      counts.put(g, counts.getOrDefault(g, 0L) + 1L)
+      i += 1
+    }
+    var tot = 0L; var dist = 0L; var best = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val len = e.getKey.numChars().toLong
+      val c = e.getValue
+      tot += c * len
+      dist += len
+      if (c * len > best) best = c * len
+    }
+    new GenericInternalRow(Array[Any](tot, dist, best))
+  }
+
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(GramMassStats(ColumnBridge.catalystExpr(text), n))
+}

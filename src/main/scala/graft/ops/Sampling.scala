@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling, splitting, and corpus mixing —
+  * the reproducibility layer of a training-data pipeline. Every
+  * decision is a pure function of the row's id (MINSTD Lehmer hash,
+  * integer-only arithmetic), so runs are bit-reproducible across
+  * engines, re-runs, and cluster sizes: no RNG state, no
+  * partition-order dependence, and the DuckDB oracle replays the
+  * identical assignment with the identical formula. All ops are
+  * narrow (filter / projection — no shuffle): at 100 TB a split or a
+  * mixture re-weighting is a single map pass that preserves the
+  * upstream partitioning, and the hash predicate sits directly above
+  * the scan so column pruning and partition pruning survive. */
+object Sampling {
+
+  private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
+
+  /** MINSTD hash of an integer id into [0, 2^31-1): h = ((id + seed)
+    * mod p, made non-negative) * 48271 mod p. `seed` decorrelates
+    * independent sampling decisions on the same ids (sample-then-split
+    * must not reuse one hash, or the second decision is a deterministic
+    * function of the first and strata collapse). */
+  def idHash(id: Column, seed: Long = 0L): Column = {
+    val r = (id + lit(seed)) % P
+    (((r + P) % P) * 48271L) % P
+  }
+
+  /** Keep a deterministic `fraction` of rows: idHash(id) < floor(
+    * fraction * p). Integer threshold compare — no float boundary
+    * ambiguity between engines. */
+  def sampleByHash(df: DataFrame, id: Column, fraction: Double,
+                   seed: Long = 0L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    df.filter(idHash(id, seed) < math.floor(fraction * P).toLong)
+  }
+
+  /** Assign each row a split label ("train"/"val"/"test", any names)
+    * by consecutive integer hash ranges sized to `weights` (need not
+    * sum to 1 — normalized). Appends a `split` column; rows never move,
+    * so this is a zero-shuffle projection and the split is stable under
+    * corpus growth (a row's label never depends on other rows). */
+  def hashSplit(df: DataFrame, id: Column,
+                weights: Seq[(String, Double)],
+                seed: Long = 0L): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0) &&
+            weights.map(_._2).sum > 0.0,
+      "weights must be non-empty, non-negative, and not all zero")
+    val total = weights.map(_._2).sum
+    val cums = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+    // integer upper bounds per split; the last is forced to p so
+    // float rounding can never leave an unlabeled sliver at the top
+    val his = cums.tail.map(c => math.floor(c * P).toLong)
+      .updated(weights.size - 1, P)
+    val h = idHash(id, seed)
+    val los = 0L +: his.init
+    val labeled = weights.map(_._1).lazyZip(los).lazyZip(his).toSeq
+      .foldLeft(Option.empty[Column]) { case (acc, (name, lo, hi)) =>
+        val cond = h >= lo && h < hi
+        Some(acc.fold(when(cond, name))(_.when(cond, name)))
+      }.get
+    df.withColumn("split", labeled)
+  }
+
+  /** Weighted corpus mixture: union the sources, each deterministically
+    * downsampled to its rate, tagged with its source name. The standard
+    * "mixture weights" op (sample web at 0.3, books at 1.0, ...).
+    * Per-source seeds are offset so identical id spaces in different
+    * sources make independent keep decisions. Schemas must match
+    * (select your columns first); union is a zero-shuffle concat. */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)], id: Column,
+                 seed: Long = 0L): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    sources.zipWithIndex.map { case ((name, df, rate), i) =>
+      sampleByHash(df, id, rate, seed + 1000003L * (i + 1))
+        .withColumn("mix_source", lit(name))
+    }.reduce(_.unionByName(_))
+  }
+}

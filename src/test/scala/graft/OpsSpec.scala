@@ -324,6 +324,53 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((3, 5000L, 0L, 10000L, 0L)))
   }
 
+  test("hash split partitions every row exactly once, stable under reorder") {
+    val ids = docs.select("doc_id")
+    val split = Sampling.hashSplit(ids, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byLabel = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = ids.count()
+    assert(byLabel.values.sum == n)                 // total partition
+    assert(byLabel.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byLabel("train") > byLabel.getOrElse("val", 0L))
+    // label is a pure function of the id: shuffling the input changes
+    // nothing
+    val reordered = Sampling.hashSplit(
+        ids.orderBy(col("doc_id").desc), col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = split.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reordered == direct)
+  }
+
+  test("hash sampling is monotone in fraction and seed-sensitive") {
+    val ids = docs.select("doc_id")
+    def kept(frac: Double, seed: Long = 0L): Set[Long] =
+      Sampling.sampleByHash(ids, col("doc_id"), frac, seed)
+        .collect().map(_.getLong(0)).toSet
+    val half = kept(0.5)
+    assert(kept(0.25).subsetOf(half))    // nested thresholds
+    assert(half.subsetOf(kept(1.0)))
+    assert(kept(1.0).size == ids.count())
+    assert(kept(0.0).isEmpty)
+    assert(kept(0.5, seed = 7L) != half) // different seed, different draw
+  }
+
+  test("corpus mixture keeps each source at its own deterministic rate") {
+    val d = docs
+    def src(name: String) =
+      d.filter(col("source") === name).select("doc_id")
+    val mixed = Sampling.mixCorpora(Seq(
+        ("a", src("src0"), 1.0), ("b", src("src1"), 0.0)),
+      col("doc_id"))
+    val bySrc = mixed.groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") == src("src0").count()) // rate 1.0 keeps all
+    assert(!bySrc.contains("b"))              // rate 0.0 keeps none
+  }
+
   test("compiled transform is reusable across inputs (transformer, O2)") {
     val sq = spark
     import sq.implicits._
