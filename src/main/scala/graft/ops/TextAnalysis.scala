@@ -116,14 +116,47 @@ object TextAnalysis {
     * metric is self-contained per doc and tie-free (max over
     * count*length needs no "which gram" tiebreak).
     *
-    * Entirely narrow per-row column expressions — no explode, no
-    * shuffle, column pruning reaches the scan; at 100 TB this is a
-    * single map pass. The top-gram mass uses an array_sort + run-length
-    * fold (O(t log t) per doc) rather than the naive
-    * distinct×filter scan (O(t·d) — quadratic on big docs). Docs
-    * shorter than n tokens score 0 on both signals. */
+    * Entirely narrow per-row expressions — no explode, no shuffle,
+    * column pruning reaches the scan; at 100 TB this is a single map
+    * pass. The gram statistics come from the codegen'd
+    * [[graft.functions.GramMassStats]] expression: one compiled pass
+    * with a per-row frequency map. The HOF formulation it replaces
+    * ([[repetitionSignalsHof]], kept as the differential-test spec)
+    * evaluates interpreted, allocating per gram — measured 925 s for
+    * the 5k-doc sf0.1 corpus vs ~1 s native. Docs shorter than n
+    * tokens score 0 on both signals; null text scores 0 with a null
+    * n_tokens (unchanged from the HOF form). */
   def repetitionSignals(df: DataFrame, id: Column, text: Column,
                         ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    def x1e4(c: Column): Column = floor(c * 10000.0 + 0.5).cast("long")
+    def signalsFor(n: Int): Seq[Column] = {
+      // null text → null struct from the expression; coalesce to the
+      // zero struct so null docs score 0 exactly like the HOF form
+      // (whose `when` fell through to the empty-gram branch on null)
+      val st = coalesce(
+        graft.functions.GramMassStats(text, n),
+        struct(lit(0L).as("tot"), lit(0L).as("dist"), lit(0L).as("best")))
+      val tot = st("tot")
+      Seq(
+        x1e4(when(tot === 0L, 0.0)
+          .otherwise(st("best").cast("double") / tot)).as(s"top${n}_x1e4"),
+        x1e4(when(tot === 0L, 0.0)
+          .otherwise((tot - st("dist")).cast("double") / tot))
+          .as(s"dup${n}_x1e4"))
+    }
+    df.select(id.as("doc_id") +: size(tokens(text)).as("n_tokens") +:
+      ns.flatMap(signalsFor): _*)
+  }
+
+  /** Higher-order-function specification of [[repetitionSignals]] —
+    * semantically identical, interpreted (array lambdas don't codegen),
+    * ~900× slower on real corpora. Kept ONLY as the independent spec
+    * the native [[graft.functions.GramMassStats]] path is
+    * differential-tested against (FunctionsSpec); never use in a
+    * pipeline. */
+  private[graft] def repetitionSignalsHof(
+      df: DataFrame, id: Column, text: Column,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     val toks = tokens(text)
     def x1e4(c: Column): Column = floor(c * 10000.0 + 0.5).cast("long")
     def signalsFor(n: Int): Seq[Column] = {

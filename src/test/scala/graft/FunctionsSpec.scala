@@ -98,6 +98,29 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getLong(0) == row.getLong(1))
   }
 
+  test("repetitionSignals (native GramMassStats) equals its HOF specification") {
+    // corpus docs + the degenerate shapes the kernel special-cases:
+    // null text, empty text, single token, all-identical tokens,
+    // empty tokens from double spaces
+    val sq = spark
+    import sq.implicits._
+    val edge = Seq(Option.empty[String], Some(""), Some("one"),
+      Some("a a a a a"), Some("x  y   z"), Some(" leading"),
+      Some("ab ab ab cd cd")).toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id().cast("string"))
+    for (d <- Seq(docs, edge)) {
+      val native = graft.ops.TextAnalysis
+        .repetitionSignals(d, col("doc_id"), col("text"))
+      val spec = graft.ops.TextAnalysis
+        .repetitionSignalsHof(d, col("doc_id"), col("text"))
+      val cols = native.columns
+      assert(spec.columns.sameElements(cols))
+      // exceptAll is null-safe and counts multiplicity both ways
+      assert(native.exceptAll(spec).count() == 0)
+      assert(spec.exceptAll(native).count() == 0)
+    }
+  }
+
   test("ArrayDot equals the aggregate/zip_with specification") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
     val v = VectorFunctions.toDouble(col("embedding"))
