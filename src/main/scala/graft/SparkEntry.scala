@@ -361,6 +361,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-stratum rebalancing: downsample each language at its own
+    // deterministic rate (the "rebalance the language mix" op). Same
+    // MINSTD integer-threshold scheme as q73/q74 — bit-reproducible.
+    "q75_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          col("doc_id"), col("lang"),
+          Seq("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1,
+              "zh" -> 0.05))
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing over deterministically dirtied text (the synthetic
+    // corpus carries no PII, so both engines inject the same emails /
+    // IPs / account numbers keyed off doc_id, then redaction is
+    // exercised on real matches — not a vacuous all-zero pass).
+    "q76_pii_redact" -> ((s, dir) => {
+      val ids = col("doc_id").cast("string")
+      val dirty = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), ids, lit("@ex"),
+                 (col("doc_id") % 7).cast("string"), lit(".org now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 1,
+          concat(lit(" from 10."), (col("doc_id") % 200).cast("string"),
+                 lit(".0.1 host"))).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" acct 90011223"), (col("doc_id") % 10).cast("string"),
+                 lit("4"))).otherwise(lit("")))
+      graft.ops.TextAnalysis.redactPii(
+          t(s, dir, "documents").withColumn("dirty", dirty),
+          col("doc_id"), col("dirty"))
+        .orderBy("doc_id")
+    }),
+
+    // Corpus-unigram LM scoring: per-doc avg negative log-likelihood
+    // under the corpus's own unigram distribution.
+    "q77_unigram_nll" -> ((s, dir) => {
+      graft.ops.TextAnalysis.unigramNll(
+          t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // IVF approximate top-k ANN (scale path of q24). Deterministic
     // centroid bootstrap + round(6) ranking make the full
     // assignment/probe/score path SQL-expressible — exact oracle.
@@ -1012,6 +1055,68 @@ object SparkEntry {
             OR (source = 'src1' AND hv < 1073741823)
             OR (source = 'src2' AND hv < 536870911)
          ORDER BY doc_id""",
+    // per-stratum seeds 1000003*(i+1) over the ordered rate list
+    // (en,de,fr,es,zh); thresholds floor(rate * (2^31-1))
+    "q75_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, lang,
+           CASE lang WHEN 'en' THEN 1000003 WHEN 'de' THEN 2000006
+                     WHEN 'fr' THEN 3000009 WHEN 'es' THEN 4000012
+                     WHEN 'zh' THEN 5000015 ELSE 0 END AS sd
+         FROM documents)
+         SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             ((((doc_id + sd) % 2147483647 + 2147483647) % 2147483647)
+              * 48271) % 2147483647 AS hv
+           FROM h)
+         WHERE (lang = 'en' AND hv < 1073741823)
+            OR (lang = 'de' AND hv < 2147483647)
+            OR (lang = 'fr' AND hv < 536870911)
+            OR (lang = 'es' AND hv < 214748364)
+            OR (lang = 'zh' AND hv < 107374182)
+         ORDER BY doc_id""",
+
+    // same injected dirt, same RE2-subset regexes, same email->ip->num
+    // replacement order; counts taken on each stage's input
+    "q76_pii_redact" ->
+      """WITH dirty AS (SELECT doc_id, text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact u' ||
+                CAST(doc_id AS VARCHAR) || '@ex' ||
+                CAST(doc_id % 7 AS VARCHAR) || '.org now' ELSE '' END
+           || CASE WHEN doc_id % 3 = 1 THEN ' from 10.' ||
+                CAST(doc_id % 200 AS VARCHAR) || '.0.1 host' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0 THEN ' acct 90011223' ||
+                CAST(doc_id % 10 AS VARCHAR) || '4' ELSE '' END AS d
+         FROM documents),
+         s1 AS (SELECT doc_id,
+           CAST(len(regexp_extract_all(d,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER)
+             AS n_email,
+           regexp_replace(d, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t1
+         FROM dirty),
+         s2 AS (SELECT doc_id, n_email,
+           CAST(len(regexp_extract_all(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
+           regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+             '<IP>', 'g') AS t2
+         FROM s1)
+         SELECT doc_id,
+           regexp_replace(t2, '\b\d{9,}\b', '<NUM>', 'g') AS clean_text,
+           n_email, n_ip,
+           CAST(len(regexp_extract_all(t2, '\b\d{9,}\b')) AS INTEGER) AS n_num
+         FROM s2 ORDER BY doc_id""",
+
+    "q77_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, t AS tok FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS t
+             FROM documents) WHERE t <> ''),
+         freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+         tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS tot FROM freq)
+         SELECT doc_id, count(*) AS n_tokens,
+                round(avg(ln(tot / cnt)), 6) AS nll
+         FROM tok JOIN freq USING (tok) CROSS JOIN tot
+         GROUP BY doc_id ORDER BY doc_id""",
+
     "q25_langid" ->
       """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          sc AS (SELECT doc_id,

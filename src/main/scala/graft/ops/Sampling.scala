@@ -65,6 +65,34 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Per-stratum deterministic sampling: each row keeps or drops by the
+    * MINSTD hash of its id under its stratum's rate (e.g. downsample
+    * "en" to 0.5 while keeping all of "de"). The standard
+    * language/source-rebalancing op of a training-data pipeline.
+    *
+    * `rates` is ordered — stratum i hashes with seed offset
+    * 1000003*(i+1) (same decorrelation scheme as [[mixCorpora]]) so
+    * identical id spaces in different strata make independent keep
+    * decisions. Strata not listed fall to `defaultRate` (seed offset 0).
+    * Zero shuffle: the keep predicate is a pure projection over
+    * (id, stratum) sitting directly above the scan. */
+  def stratifiedSample(df: DataFrame, id: Column, strata: Column,
+                       rates: Seq[(String, Double)],
+                       defaultRate: Double = 0.0,
+                       seed: Long = 0L): DataFrame = {
+    require(rates.nonEmpty, "need at least one stratum rate")
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0.0 && r <= 1.0),
+      "rates must be in [0,1]")
+    val keep = rates.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (acc, ((name, rate), i)) =>
+        val cond = strata === name
+        val pass = idHash(id, seed + 1000003L * (i + 1)) <
+          math.floor(rate * P).toLong
+        Some(acc.fold(when(cond, pass))(_.when(cond, pass)))
+    }.get.otherwise(idHash(id, seed) < math.floor(defaultRate * P).toLong)
+    df.filter(keep)
+  }
+
   /** Weighted corpus mixture: union the sources, each deterministically
     * downsampled to its rate, tagged with its source name. The standard
     * "mixture weights" op (sample web at 0.3, books at 1.0, ...).

@@ -191,6 +191,52 @@ object TextAnalysis {
       ns.flatMap(signalsFor): _*)
   }
 
+  /** PII scrubbing — the pre-release pass every training corpus gets:
+    * emails, dotted-quad IPs, then 9+-digit runs replaced by typed
+    * placeholders, with a per-category match count for audit columns.
+    * Replacement ORDER is load-bearing: redacting emails first removes
+    * their digits before the IP/number passes, and redacting IPs
+    * removes dotted digits before the number pass, so no span is
+    * double-counted. Counts are taken on each stage's INPUT (what the
+    * stage actually saw). Patterns stay inside the RE2 subset so the
+    * DuckDB oracle runs the identical regexes; narrow per-row pass,
+    * no shuffle. Null text propagates null throughout. */
+  def redactPii(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val num = "\\b\\d{9,}\\b"
+    val t1 = regexp_replace(text, email, "<EMAIL>")
+    val t2 = regexp_replace(t1, ip, "<IP>")
+    val t3 = regexp_replace(t2, num, "<NUM>")
+    df.select(id.as("doc_id"), t3.as("clean_text"),
+      regexp_count(text, lit(email)).cast("int").as("n_email"),
+      regexp_count(t1, lit(ip)).cast("int").as("n_ip"),
+      regexp_count(t2, lit(num)).cast("int").as("n_num"))
+  }
+
+  /** Corpus-unigram negative log-likelihood per document — the cheap
+    * LM-quality signal (KenLM-style scoring with the corpus itself as
+    * the model): nll = avg over tokens of ln(corpus_tokens /
+    * token_count). Word-salad and boilerplate score low (every token
+    * common), rare-token noise scores high. Two shuffles: the token
+    * count (partial agg map-side) and the score join back on token;
+    * the frequency table is |vocab|-sized so the join is NOT hinted —
+    * AQE broadcasts it when it fits, shuffle-joins when a web-scale
+    * vocabulary doesn't (same contract as [[tfIdf]]). The corpus total
+    * is one row, broadcast. */
+  def unigramNll(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("tot"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+           round(avg(log(col("tot").cast("double") / col("cnt"))), 6)
+             .as("nll"))
+  }
+
   /** TF-IDF term scores: tf = in-doc count, idf = ln((N+1)/(df+1))
     * (smoothed), score = tf * idf. Two shuffles — (doc, term) counts,
     * then term document-frequencies joined back on the term. The df
