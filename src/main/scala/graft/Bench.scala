@@ -18,7 +18,11 @@ object Bench {
     // optional dev-loop filter (comma-separated names); driver sets no
     // filter and benches the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val results = SparkEntry.queries
+    // stable name order: Map iteration order varies with hashing, which
+    // makes per-query timings incomparable across rounds (and lets an
+    // allocation-heavy query's GC debris pollute a DIFFERENT set of
+    // successors each run — the r3 bench artifact)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -33,7 +37,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -432,6 +432,29 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Int8-quantized shortlist + exact-rescore ANN (memory/IO scale
+    // path of q24). The full quantize/shortlist/rescore pipeline is
+    // deterministic, so the oracle replays it end-to-end.
+    "q79_ann_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.quantizedTopK(
+          e, e.filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"),
+          col("vec_id"), col("embedding"), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // Sketch profiling (HLL++ distinct + KLL-ish quantiles): mergeable
+    // O(1)-per-group state, the survey pass before exact work. By
+    // design approximate -> NO oracleSql entry; the driver records the
+    // weaker rows-only check and OpsSpec pins error bounds vs exact.
+    "q80_sketch_profile" -> ((s, dir) => {
+      graft.ops.Sketches.profile(
+          t(s, dir, "lineitem"),
+          Seq(col("l_returnflag")), col("l_extendedprice"))
+        .orderBy("l_returnflag")
+    }),
+
     // Tumbling 1-hour window aggregation over events (batch form of the
     // streaming query in graft.streaming).
     "q30_window_hourly" -> ((s, dir) => {
@@ -700,6 +723,19 @@ object SparkEntry {
     "q59_decontaminate" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       graft.ops.Dedup.contaminatedDocs(
+          d.filter(col("source") =!= "src0"),
+          d.filter(col("source") === "src0"),
+          col("doc_id"), col("text"), col("text"), n = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-prefiltered decontamination (scale path of q59): identical
+    // results, but corpus grams are screened by a compact bloom filter
+    // in-scan before any join — checked against the exact oracle.
+    "q78_decontaminate_bloom" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.bloomContaminatedDocs(
           d.filter(col("source") =!= "src0"),
           d.filter(col("source") === "src0"),
           col("doc_id"), col("text"), col("text"), n = 4)
@@ -977,6 +1013,54 @@ object SparkEntry {
          SELECT g.doc_id, count(DISTINCT g.ng) AS hits
          FROM g JOIN ev USING (ng) WHERE g.source != 'src0'
          GROUP BY 1 ORDER BY 1""",
+    // the bloom path must produce EXACTLY the q59 answer — same oracle
+    "q78_decontaminate_bloom" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, source,
+                 array_to_string(list_slice(ws, pos, pos+3), ' ') AS ng
+               FROM w, unnest(range(1, len(ws)-4+2)) AS t(pos)),
+         ev AS (SELECT DISTINCT ng FROM g WHERE source = 'src0')
+         SELECT g.doc_id, count(DISTINCT g.ng) AS hits
+         FROM g JOIN ev USING (ng) WHERE g.source != 'src0'
+         GROUP BY 1 ORDER BY 1""",
+    // replays quantization (floor(x*127/ma + 0.5)), quantized shortlist
+    // of 4k by (round(c8,6) desc, nbr), exact-cosine rescore of the
+    // shortlist — every arithmetic step bit-reproducible cross-engine
+    "q79_ann_quantized" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         x AS (SELECT vec_id, v,
+                 list_max(list_transform(v, a -> abs(a))) AS ma FROM e),
+         q8 AS (SELECT vec_id, v,
+                 CASE WHEN ma = 0 THEN list_transform(v, a -> 0.0)
+                      ELSE list_transform(v, a -> floor(a * 127.0 / ma + 0.5))
+                 END AS v8 FROM x),
+         qq AS (SELECT vec_id AS qid, v AS qv, v8 AS q8v FROM q8
+                WHERE vec_id < 10),
+         cc AS (SELECT vec_id AS nbr, v, v8 FROM q8),
+         s8 AS (SELECT qid, nbr, qv, v,
+                  CASE WHEN sqrt(list_dot_product(q8v, q8v)) *
+                            sqrt(list_dot_product(v8, v8)) = 0 THEN 0.0
+                       ELSE list_dot_product(q8v, v8) /
+                            (sqrt(list_dot_product(q8v, q8v)) *
+                             sqrt(list_dot_product(v8, v8))) END AS c8
+                FROM qq, cc WHERE nbr != qid),
+         sh AS (SELECT qid, nbr, qv, v,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY round(c8, 6) DESC, nbr) AS rn FROM s8),
+         re AS (SELECT qid, nbr,
+                  round(CASE WHEN sqrt(list_dot_product(qv, qv)) *
+                                  sqrt(list_dot_product(v, v)) = 0 THEN 0.0
+                             ELSE list_dot_product(qv, v) /
+                                  (sqrt(list_dot_product(qv, qv)) *
+                                   sqrt(list_dot_product(v, v))) END, 6)
+                    AS score
+                FROM sh WHERE rn <= 20),
+         r AS (SELECT qid, nbr, score,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, nbr) AS INTEGER) AS rank FROM re)
+         SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
+         ORDER BY qid, rank""",
     "q24_ann_topk" ->
       """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
                     FROM embeddings WHERE vec_id < 10),
@@ -1027,12 +1111,13 @@ object SparkEntry {
          FROM t LEFT JOIN s2 USING(doc_id) LEFT JOIN s3 USING(doc_id)
          ORDER BY doc_id""",
 
-    // MINSTD hash thresholds: floor(0.8*(2^31-1)) and floor(0.9*(2^31-1))
-    // (the last split takes the full remainder up to 2^31-1).
+    // double-round MINSTD (see Sampling.idHash); thresholds
+    // floor(0.8*(2^31-1)) and floor(0.9*(2^31-1)) (the last split takes
+    // the full remainder up to 2^31-1).
     "q73_hash_split" ->
       """WITH h AS (SELECT doc_id,
-           ((((doc_id % 2147483647) + 2147483647) % 2147483647) * 48271)
-             % 2147483647 AS hv
+           (((((((doc_id + 1) % 2147483647) + 2147483647) % 2147483647)
+              * 48271) % 2147483647) * 48271) % 2147483647 AS hv
          FROM documents)
          SELECT doc_id,
            CASE WHEN hv < 1717986917 THEN 'train'
@@ -1040,33 +1125,33 @@ object SparkEntry {
                 ELSE 'test' END AS split
          FROM h ORDER BY doc_id""",
 
-    // per-source seed offsets 1000003*(i+1); rates 1.0 / 0.5 / 0.25 ->
-    // integer thresholds 2147483647 / 1073741823 / 536870911
+    // per-source seed offsets 1000003*(i+1) (+1 hash offset); rates
+    // 1.0 / 0.5 / 0.25 -> thresholds 2147483647 / 1073741823 / 536870911
     "q74_mix_corpora" ->
       """WITH k AS (SELECT doc_id, source,
-           ((((doc_id + CASE source WHEN 'src0' THEN 1000003
-                                    WHEN 'src1' THEN 2000006
-                                    ELSE 3000009 END)
-              % 2147483647 + 2147483647) % 2147483647) * 48271)
-             % 2147483647 AS hv
+           ((((((doc_id + CASE source WHEN 'src0' THEN 1000004
+                                      WHEN 'src1' THEN 2000007
+                                      ELSE 3000010 END)
+                % 2147483647 + 2147483647) % 2147483647) * 48271)
+              % 2147483647) * 48271) % 2147483647 AS hv
          FROM documents WHERE source IN ('src0','src1','src2'))
          SELECT doc_id, source AS mix_source FROM k
          WHERE (source = 'src0' AND hv < 2147483647)
             OR (source = 'src1' AND hv < 1073741823)
             OR (source = 'src2' AND hv < 536870911)
          ORDER BY doc_id""",
-    // per-stratum seeds 1000003*(i+1) over the ordered rate list
-    // (en,de,fr,es,zh); thresholds floor(rate * (2^31-1))
+    // per-stratum seeds 1000003*(i+1) (+1 hash offset) over the ordered
+    // rate list (en,de,fr,es,zh); thresholds floor(rate * (2^31-1))
     "q75_stratified_sample" ->
       """WITH h AS (SELECT doc_id, lang,
-           CASE lang WHEN 'en' THEN 1000003 WHEN 'de' THEN 2000006
-                     WHEN 'fr' THEN 3000009 WHEN 'es' THEN 4000012
-                     WHEN 'zh' THEN 5000015 ELSE 0 END AS sd
+           CASE lang WHEN 'en' THEN 1000004 WHEN 'de' THEN 2000007
+                     WHEN 'fr' THEN 3000010 WHEN 'es' THEN 4000013
+                     WHEN 'zh' THEN 5000016 ELSE 1 END AS sd
          FROM documents)
          SELECT doc_id, lang FROM (
            SELECT doc_id, lang,
-             ((((doc_id + sd) % 2147483647 + 2147483647) % 2147483647)
-              * 48271) % 2147483647 AS hv
+             ((((((doc_id + sd) % 2147483647 + 2147483647) % 2147483647)
+                * 48271) % 2147483647) * 48271) % 2147483647 AS hv
            FROM h)
          WHERE (lang = 'en' AND hv < 1073741823)
             OR (lang = 'de' AND hv < 2147483647)

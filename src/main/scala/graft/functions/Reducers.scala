@@ -61,4 +61,41 @@ object Reducers {
     val f = udaf(BottomKSample(k))
     (c: Column) => f(c)
   }
+
+  /** Mergeable top-k by (score desc, id asc) — the partial-aggregation
+    * form of "rank per group and keep k". The window formulation
+    * (row_number over partitionBy) must shuffle EVERY scored row to its
+    * group's partition before ranking; this aggregator keeps a k-sized
+    * buffer per group per map task, so only k rows per (task, group)
+    * cross the shuffle — at ANN scale (|corpus| x |queries| scored
+    * pairs, a handful of query groups) that's the difference between
+    * shuffling the whole score matrix and shuffling k rows per task.
+    * Total order (score desc, id asc) makes the result identical to
+    * the window form; `RelationalSpec` pins the equivalence. */
+  final case class TopKByScore(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)],
+                         Seq[(Double, Long)]] {
+    require(k >= 1, s"need k >= 1, got $k")
+    private val ord: Ordering[(Double, Long)] =
+      Ordering.by(t => (-t._1, t._2))
+
+    override def zero: Seq[(Double, Long)] = Nil
+
+    override def reduce(b: Seq[(Double, Long)],
+                        v: (Double, Long)): Seq[(Double, Long)] =
+      // full buffer whose worst entry beats the candidate: skip, no alloc
+      if (b.length == k && ord.lteq(b.last, v)) b
+      else ((v +: b).sorted(ord)).take(k)
+
+    override def merge(a: Seq[(Double, Long)],
+                       b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      (a ++ b).sorted(ord).take(k)
+
+    override def finish(r: Seq[(Double, Long)]): Seq[(Double, Long)] = r
+
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+      ExpressionEncoder[Seq[(Double, Long)]]()
+  }
 }

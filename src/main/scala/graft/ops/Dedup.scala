@@ -140,6 +140,60 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("hits"))
   }
 
+  /** [[contaminatedDocs]] with a Bloom-filter prefilter — the 100 TB
+    * path when the eval n-gram set is too large to probe as a broadcast
+    * hash relation per corpus gram. A driver-built blocked Bloom over
+    * the eval grams' xxhash64 (`bitsPerKey` bits/key, 8 probes drawn
+    * from disjoint windows of the 64-bit hash — shift-derived, so the
+    * probe is overflow-free codegen'd column arithmetic) screens every
+    * corpus gram in-scan; only the ~0.05% false-positive survivors plus
+    * true hits reach the exact string equi-join, so the broadcast probe
+    * work collapses by the selectivity of the benchmark vs the corpus.
+    * Results are IDENTICAL to [[contaminatedDocs]] (the exact join
+    * removes false positives; hashing never drops a true gram), which
+    * is how the oracle checks it.
+    *
+    * The driver-side collect is of the benchmark's distinct-gram
+    * hashes — eval-set-sized (MBs), the same justified-collect class as
+    * the IVF centroid bootstrap, NOT corpus-sized. */
+  def bloomContaminatedDocs(corpus: DataFrame, evalSet: DataFrame,
+                            corpusId: Column, corpusText: Column,
+                            evalText: Column, n: Int = 13,
+                            bitsPerKey: Int = 16): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(shingles(evalText, n)).as("ng")).distinct()
+    val hashes = evalGrams.select(xxhash64(col("ng")).as("h"))
+      .collect().map(_.getLong(0))
+    // next power of two >= bitsPerKey * n keys (min 1024 so tiny eval
+    // sets don't degenerate to an always-true filter)
+    val m = math.max(1024L,
+      java.lang.Long.highestOneBit(
+        math.max(1L, bitsPerKey.toLong * hashes.length) * 2 - 1))
+    val shifts = Seq(0, 7, 14, 21, 28, 35, 42, 49)
+    val words = new Array[Long]((m / 64).toInt)
+    for (x <- hashes; s <- shifts) {
+      val pos = ((x >>> s) & (m - 1)).toInt
+      words(pos >>> 6) |= 1L << (pos & 63)
+    }
+    val wordsLit = typedlit(words.toSeq)
+    def probe(h: Column, s: Int): Column = {
+      val pos = shiftrightunsigned(h, s).bitwiseAND(lit(m - 1))
+      val word = element_at(wordsLit,
+        shiftrightunsigned(pos, 6).cast("int") + 1)
+      word.bitwiseAND(
+        call_function("shiftleft", lit(1L),
+          pos.bitwiseAND(lit(63L)).cast("int"))) =!= lit(0L)
+    }
+    val mayMatch = shifts.map(probe(col("__h"), _)).reduce(_ && _)
+    fanOut(corpus)
+      .select(corpusId.as("id"), explode(shingles(corpusText, n)).as("ng"))
+      .withColumn("__h", xxhash64(col("ng")))
+      .filter(mayMatch)
+      .drop("__h")
+      .join(broadcast(evalGrams), "ng")
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+  }
+
   /** Drop corpus documents contaminated by the eval set (>= minHits
     * shared distinct n-grams). The flagged-id list is tiny → broadcast
     * anti-join; the corpus is never shuffled. */

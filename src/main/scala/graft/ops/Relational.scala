@@ -57,6 +57,30 @@ object Relational {
     }
   }
 
+  /** Top-k per group for the (score desc, id asc) ordering, via the
+    * mergeable [[graft.functions.Reducers.TopKByScore]] aggregator:
+    * map-side partial top-k means only k rows per (map task, group)
+    * cross the shuffle, where [[topKPerGroup]]'s window must shuffle
+    * every scored row before ranking. Use on the ANN hot paths (a
+    * scored |corpus| x |queries| stream collapsing to a few query
+    * groups); the window form remains the general tool for arbitrary
+    * ordering columns. Output: (group, id, score, rank) with rank
+    * 1-based in (score desc, id asc) order — identical rows to the
+    * window formulation. */
+  def topKScored(df: DataFrame, group: Column, score: Column, id: Column,
+                 k: Int, idName: String = "id",
+                 scoreName: String = "score",
+                 rankName: String = "rank"): DataFrame = {
+    val f = udaf(graft.functions.Reducers.TopKByScore(k))
+    df.groupBy(group)
+      .agg(f(score, id).as("__top"))
+      .select(col("*"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(df.select(group).columns.map(col).toSeq :+
+        col("__e._2").as(idName) :+
+        col("__e._1").as(scoreName) :+
+        (col("__pos") + 1).cast("int").as(rankName): _*)
+  }
+
   /** Backward (most-recent-at-or-before) as-of join: for each left row,
     * attach payload columns from the right row with the same `key` and
     * the greatest `rightTime` <= `leftTime` (null when none exists).

@@ -18,14 +18,25 @@ object Sampling {
 
   private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
 
-  /** MINSTD hash of an integer id into [0, 2^31-1): h = ((id + seed)
-    * mod p, made non-negative) * 48271 mod p. `seed` decorrelates
-    * independent sampling decisions on the same ids (sample-then-split
-    * must not reuse one hash, or the second decision is a deterministic
-    * function of the first and strata collapse). */
+  /** Double-round MINSTD hash of an integer id into [0, 2^31-1):
+    * x = (id + seed + 1) mod p made non-negative, then TWO Lehmer
+    * rounds (x * 48271 mod p, twice). One round is NOT enough: for a
+    * dense small id space (ids < ~22k), id * 48271 never reaches
+    * p/2, so every row of a small corpus would sort below any >=0.5
+    * threshold — a 0.5 "sample" that keeps 100%. The second round
+    * spreads those partial products across the full range. The +1
+    * offset moves id 0 off the Lehmer fixed point at 0 (which would
+    * land in the first split bucket under every seed). `seed`
+    * decorrelates independent sampling decisions on the same ids
+    * (sample-then-split must not reuse one hash, or the second
+    * decision is a deterministic function of the first and strata
+    * collapse). Still 100% integer arithmetic — no overflow (operands
+    * stay < 2^31 * 48271 < 2^47) and bit-reproducible in the oracle's
+    * SQL replay. */
   def idHash(id: Column, seed: Long = 0L): Column = {
-    val r = (id + lit(seed)) % P
-    (((r + P) % P) * 48271L) % P
+    val r = (id + lit(seed + 1L)) % P
+    val r1 = (((r + P) % P) * 48271L) % P
+    (r1 * 48271L) % P
   }
 
   /** Keep a deterministic `fraction` of rows: idHash(id) < floor(

@@ -30,9 +30,67 @@ object Similarity {
     val cos = when(d === 0.0, 0.0).otherwise(dot(col("qv"), col("v")) / d)
     val scored = c.join(broadcast(q), col("nbr") =!= col("qid"))
       .select(col("qid"), col("nbr"), round(cos, 6).as("score"))
-    Relational.topKPerGroup(scored,
-      Seq(col("qid")), Seq(col("score").desc, col("nbr").asc), k,
-      keepRankAs = Some("rank"))
+    // mergeable top-k: only k rows per (map task, query) reach the
+    // shuffle — the window form would shuffle the whole score matrix
+    Relational.topKScored(scored, col("qid"), col("score"), col("nbr"),
+      k, idName = "nbr")
+  }
+
+  /** Int8-quantized top-k with exact rescore — the memory/IO scale path:
+    * per-vector max-abs scaling to [-127, 127] integers (4x fewer bytes
+    * than float32, 8x fewer than float64, which is what actually bounds
+    * ANN throughput at corpus scale: scan bytes and broadcast size).
+    * The quantized pass ranks a deterministic shortlist of
+    * `shortlistFactor * k` per query; the shortlist is then rescored
+    * with EXACT double cosine and re-ranked, so quantization error can
+    * only cost recall (a true neighbor outside the shortlist), never
+    * precision — and the entire path (floor(x * 127 / maxabs + 0.5)
+    * quantization, integer-exact dots in double, round(6) ranking,
+    * id tie-breaks) is bit-reproducible, which is how the oracle
+    * replays it end-to-end. Quantized values are small integers whose
+    * dots are <= ~64 * 127^2 — exactly representable in double, so
+    * "integer arithmetic" and double arithmetic coincide.
+    *
+    * Here the quantized column is derived inline; the production shape
+    * stores v8 as a byte-array column at ingest and reads ONLY it for
+    * the shortlist pass (column pruning skips the float vectors until
+    * rescore). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame,
+                    id: Column, vec: Column, qid: Column, qvec: Column,
+                    k: Int, shortlistFactor: Int = 4): DataFrame = {
+    def quantize(v: Column): Column = {
+      val ma = array_max(transform(v, x => abs(x)))
+      when(ma === 0.0, transform(v, _ => lit(0.0)))
+        .otherwise(transform(v, x =>
+          floor(x * lit(127.0) / ma + 0.5).cast("double")))
+    }
+    val c = Dedup.fanOut(corpus).select(id.as("nbr"), toDouble(vec).as("v"))
+      .withColumn("v8", quantize(col("v")))
+      .withColumn("n8", l2norm(col("v8")))
+    val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+      .withColumn("q8", quantize(col("qv")))
+      .withColumn("qn8", l2norm(col("q8")))
+    val d8 = col("qn8") * col("n8")
+    val cos8 = when(d8 === 0.0, 0.0).otherwise(dot(col("q8"), col("v8")) / d8)
+    // shortlist pass carries ONLY (qid, nbr, s8) — in the production
+    // shape the scan reads just the quantized bytes here; full float
+    // vectors are fetched below for the shortlist rows alone
+    val cand = c.join(broadcast(q), col("nbr") =!= col("qid"))
+      .select(col("qid"), col("nbr"), round(cos8, 6).as("s8"))
+    val short = Relational.topKScored(cand, col("qid"), col("s8"),
+        col("nbr"), k * shortlistFactor, idName = "nbr",
+        scoreName = "s8")
+      .select("qid", "nbr")
+    // rescore fetch: the shortlist (|queries| * shortlist rows) is tiny
+    // -> broadcast both joins; the corpus streams, never shuffles
+    val rescored = c.select(col("nbr"), col("v"))
+      .join(broadcast(short), "nbr")
+      .join(broadcast(q.select(col("qid"), col("qv"))), "qid")
+    val dn = l2norm(col("qv")) * l2norm(col("v"))
+    val cos = when(dn === 0.0, 0.0).otherwise(dot(col("qv"), col("v")) / dn)
+    Relational.topKScored(
+      rescored.select(col("qid"), col("nbr"), round(cos, 6).as("score")),
+      col("qid"), col("score"), col("nbr"), k, idName = "nbr")
   }
 
   /** IVF (inverted-file) approximate top-k: the corpus is bucketed into
@@ -81,9 +139,8 @@ object Similarity {
       .filter(col("nbr") =!= col("qid"))
       .select(col("qid"), col("nbr"),
               round(cosine(col("qv"), col("v")), 6).as("score"))
-    Relational.topKPerGroup(scored,
-      Seq(col("qid")), Seq(col("score").desc, col("nbr").asc), k,
-      keepRankAs = Some("rank"))
+    Relational.topKScored(scored, col("qid"), col("score"), col("nbr"),
+      k, idName = "nbr")
   }
 
   /** Deterministic Lloyd k-means over an embedding column — the centroid

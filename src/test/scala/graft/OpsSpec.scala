@@ -456,4 +456,124 @@ class OpsSpec extends AnyFunSuite {
     val ranks = r.groupBy(_.getLong(0)).values.map(_.map(_.getInt(3)).sorted.toSeq)
     assert(ranks.forall(_ == Seq(1, 2, 3)))
   }
+
+  test("stratified sampling respects per-stratum rates and the default") {
+    val d = docs.select("doc_id", "lang")
+    val out = Sampling.stratifiedSample(d, col("doc_id"), col("lang"),
+      Seq("en" -> 0.5, "de" -> 1.0), defaultRate = 0.0)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = d.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") == total("de"))          // rate 1.0 keeps all
+    assert(byLang("en") < total("en"))           // rate 0.5 drops some
+    assert(byLang.keySet == Set("en", "de"))     // default 0 drops rest
+    // deterministic: identical second run
+    val again = Sampling.stratifiedSample(d, col("doc_id"), col("lang"),
+      Seq("en" -> 0.5, "de" -> 1.0), defaultRate = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == out.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("PII redaction scrubs emails, IPs, digit runs in order") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail bob.smith@corp.example.com then 10.1.2.3 acct 123456789 x"),
+      (2L, "no pii here"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    assert(r(0).getString(1) == "mail <EMAIL> then <IP> acct <NUM> x")
+    assert((r(0).getInt(2), r(0).getInt(3), r(0).getInt(4)) == ((1, 1, 1)))
+    assert(r(1).getString(1) == "no pii here")
+    assert((r(1).getInt(2), r(1).getInt(3), r(1).getInt(4)) == ((0, 0, 0)))
+    assert(r(2).isNullAt(1) && r(2).isNullAt(2))
+    // the email pass removes its digits before the IP/number passes:
+    // an address with a dotted-quad local part is ONE email, zero IPs
+    val t = Seq((1L, "a 1.2.3.4@x.co b")).toDF("doc_id", "text")
+    val row = TextAnalysis.redactPii(t, col("doc_id"), col("text")).head()
+    assert(row.getString(1) == "a <EMAIL> b")
+    assert((row.getInt(2), row.getInt(3)) == ((1, 0)))
+  }
+
+  test("unigram NLL matches the hand-computed corpus model") {
+    import spark.implicits._
+    // corpus: a:2 b:2 c:1, total 5
+    val d = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramNll(d, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(0).getLong(1) == 3 &&
+           r(0).getDouble(2) == r6(math.log(5.0 / 2)))
+    assert(r(1).getLong(1) == 2 &&
+           r(1).getDouble(2) == r6((math.log(5.0 / 2) + math.log(5.0)) / 2))
+  }
+
+  test("bloom-prefiltered decontamination equals the exact path") {
+    val corpus = docs.filter(col("source") =!= "src0")
+    val eval = docs.filter(col("source") === "src0")
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = m(Dedup.contaminatedDocs(corpus, eval,
+      col("doc_id"), col("text"), col("text"), n = 4))
+    val bloom = m(Dedup.bloomContaminatedDocs(corpus, eval,
+      col("doc_id"), col("text"), col("text"), n = 4))
+    assert(bloom == exact)
+    assert(exact.nonEmpty)
+  }
+
+  test("aggregator top-k equals the window top-k (partial-agg path)") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select(col("l_returnflag").as("g"),
+              col("l_extendedprice").as("score"),
+              col("l_orderkey").as("id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("g", "id", "score", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val window = rows(Relational.topKPerGroup(li, Seq(col("g")),
+      Seq(col("score").desc, col("id").asc), 7,
+      keepRankAs = Some("rank")))
+    val agg = rows(Relational.topKScored(li, col("g"), col("score"),
+      col("id"), 7))
+    assert(agg == window)
+    assert(agg.nonEmpty)
+  }
+
+  test("sketch profile tracks exact stats within documented bounds") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val approx = Sketches.profile(li, Seq(col("l_returnflag")),
+        col("l_extendedprice")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Double](3))).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           countDistinct(col("l_extendedprice")).as("d"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, (n, d)) <- exact) {
+      val (an, ad, qs) = approx(k)
+      assert(an == n)                              // count is exact
+      assert(math.abs(ad - d).toDouble / d < 0.15) // 3x rsd=0.05
+      assert(qs.size == 3 && qs == qs.sorted)      // quantiles ordered
+    }
+  }
+
+  test("quantized ANN with exact rescore recovers the brute-force top-k") {
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val exact = res(Similarity.bruteForceTopK(embs,
+      embs.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5))
+    val quant = res(Similarity.quantizedTopK(embs,
+      embs.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5))
+    // same (query, rank) keys; recall@5 of the quantized shortlist path
+    assert(quant.keySet == exact.keySet)
+    val agree = exact.count { case (k, v) => quant.get(k).contains(v) }
+    assert(agree >= (exact.size * 0.8).toInt,
+      s"quantized path agreed on $agree/${exact.size} (need >= 80%)")
+  }
 }
