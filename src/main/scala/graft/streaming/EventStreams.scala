@@ -42,6 +42,30 @@ object EventStreams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join: match each left event to right events
+    * for the same key within [leftTs - before, leftTs + after]. BOTH
+    * sides must be watermarked — the interval bound plus the watermarks
+    * is what lets the engine evict buffered rows (an unbounded
+    * stream-stream join would hold both streams' full history in
+    * state). State per side is bounded by (arrival rate x (watermark
+    * horizon + interval width)), partitioned by the join key — one
+    * shuffle per side, the same equi-join shape as batch. Inner join:
+    * append-mode output as matches arrive. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   before: String, after: String,
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+        l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"))
+      // one key column out (they are equal by the join predicate);
+      // keeping both makes every downstream col(key) ambiguous
+      .drop(r(key))
+  }
+
   final case class Ev(user_id: Long, tsSec: Long)
   final case class SessionState(lastTs: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long,

@@ -92,6 +92,36 @@ class PlanSpec extends AnyFunSuite {
     assert(scans <= 4, s"expected <= 4 scans, got $scans")
   }
 
+  test("ANN top-k aggregates partially before the shuffle") {
+    // the TopKByScore path: ObjectHashAggregate partial_topkbyscore on
+    // the map side means only k rows per (task, query) cross the
+    // exchange — a window plan would show Sort + Window AFTER an
+    // exchange of every scored row instead
+    val p = plan("q24_ann_topk")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      p.take(2000))
+    val firstAgg = p.linesIterator
+      .find(l => l.contains("partial_topkbyscore")).getOrElse("")
+    assert(firstAgg.nonEmpty, p.take(3000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q78 bloom probe filters the corpus in-scan before any join") {
+    val df = SparkEntry.queries("q78_decontaminate_bloom")(spark, sf0001)
+    df.collect() // finalize under AQE
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the gram stream is screened by the bloom Filter BELOW the
+    // broadcast join (probe arithmetic is plain column ops -> Filter),
+    // and the exact eval-gram join broadcasts
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val filterIdx = p.indexOf("shiftrightunsigned")
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    assert(filterIdx > joinIdx && joinIdx >= 0,
+      s"bloom filter should sit under the join (filter@$filterIdx, " +
+      s"join@$joinIdx)")
+  }
+
   test("whole-stage codegen covers the dedup hashing pipeline") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val df = graft.ops.Dedup.minhashLshPairs(

@@ -84,6 +84,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall(r => r.getAs[String]("c_mktsegment") != null))
   }
 
+  test("stream-stream interval join matches within the time bound only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = EventStreams.intervalJoin(
+      clicks.toDS().toDF("k", "cts"),
+      views.toDS().toDF("k", "vts"),
+      key = "k", leftTs = "cts", rightTs = "vts",
+      before = "5 minutes", after = "0 minutes",
+      watermark = "30 minutes")
+    val q = joined.select(col("k"), col("cts"), col("vts"))
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      // view at t3 within 5 min before click t5: match. view at t20:
+      // outside. key 2's view has no click: no row. events split across
+      // micro-batches to prove buffered-state matching.
+      views.addData((1L, t(3)), (1L, t(20)), (2L, t(4)))
+      q.processAllAvailable()
+      clicks.addData((1L, t(5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjoin").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2))).toSet
+    assert(got == Set((1L, t(3))), got.mkString(","))
+  }
+
   test("stateful sessionization carries state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
