@@ -57,6 +57,45 @@ object Relational {
     }
   }
 
+  /** Explicitly salted equi-join for pathological key skew: the left
+    * (large, skewed) side salts each row deterministically into one of
+    * `salt` sub-keys; the right side replicates each row across all
+    * sub-keys; the join runs on (key, salt), spreading one hot key over
+    * `salt` tasks. Results equal the plain join exactly.
+    *
+    * When to reach for this: AQE's skew-join split already handles hot
+    * PARTITIONS for sort-merge joins at runtime — prefer it. Explicit
+    * salting remains for shuffled-hash paths AQE won't split, for
+    * pinning a deterministic layout (e.g. a groupBy on the salted key
+    * downstream reuses the exchange), and for engines/jobs running
+    * with AQE off. Cost: the right side shuffles `salt` x its size —
+    * only worth it when the right side is far smaller than the hot
+    * key's row count (else broadcast it and skew vanishes anyway).
+    * Restricted to inner/left joins: right/full outer would emit one
+    * unmatched row PER REPLICA. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 salt: Int, joinType: String = "inner"): DataFrame = {
+    require(salt >= 2, s"salting with $salt buckets is a no-op")
+    require(Seq("inner", "left", "left_outer").contains(joinType),
+      s"saltedJoin supports inner/left joins, got $joinType " +
+      "(outer-right semantics would duplicate unmatched replicas)")
+    val reserved = Seq("__salt", "__rep")
+    val clash = (left.columns ++ right.columns).intersect(reserved)
+    require(clash.isEmpty,
+      s"saltedJoin: reserved working column(s) ${clash.mkString(", ")} " +
+      "already present — rename them first")
+    // deterministic per-row salt: hash of the whole row spreads even a
+    // single key value; any stable distribution works because the
+    // right replicas cover every salt bucket
+    val l = left.withColumn("__salt",
+      pmod(hash(left.columns.map(col): _*), lit(salt)))
+    val r = right.withColumn("__rep",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, l(key) === r(key) && col("__salt") === col("__rep"),
+        joinType)
+      .drop("__salt", "__rep").drop(r(key))
+  }
+
   /** Top-k per group for the (score desc, id asc) ordering, via the
     * mergeable [[graft.functions.Reducers.TopKByScore]] aggregator:
     * map-side partial top-k means only k rows per (map task, group)

@@ -65,6 +65,23 @@ object Sources {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
 
+  /** Range-partitioned, sorted parquet write: globally ordered output
+    * without a single-reducer global sort. `repartitionByRange` samples
+    * the sort keys to cut balanced ranges (one shuffle), each partition
+    * sorts locally, and files come out in disjoint, ordered key ranges —
+    * so parquet min/max page stats let every downstream range/point
+    * filter skip whole files. The write-side half of time-series and
+    * id-ordered layouts at the 100 TB tier (the read side is free:
+    * pushed filters + file skipping). */
+  def writeSortedParquet(df: DataFrame, path: String,
+                         sortCols: Seq[String],
+                         partitions: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    df.repartitionByRange(partitions, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Bucketed + sorted managed-table write: the co-located-join primitive.
     * Two tables bucketed the same way (same keys, same bucket count) join
     * or aggregate on those keys with NO shuffle — the single biggest win

@@ -523,6 +523,51 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("salted join equals the plain join on skewed keys") {
+    import spark.implicits._
+    // power-law left: one hot key with 5k rows, a long tail
+    val left = ((1 to 5000).map(i => (1L, i.toLong)) ++
+      (2 to 50).map(k => (k.toLong, 0L))).toDF("k", "payload")
+    val right = Seq((1L, "hot"), (2L, "a"), (99L, "unmatched"))
+      .toDF("k", "name")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "payload", "name").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq.sorted
+    val plainInner = rows(left.join(right, "k"))
+    assert(rows(Relational.saltedJoin(left, right, "k", 8)) == plainInner)
+    val plainLeft = rows(left.join(right, Seq("k"), "left"))
+    assert(rows(Relational.saltedJoin(left, right, "k", 8, "left"))
+      == plainLeft)
+    assert(plainLeft.size == plainInner.size + 48) // k=3..50 unmatched
+  }
+
+  test("range-partitioned sorted write emits disjoint ordered files") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_sorted").toString
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    graft.sources.Sources.writeSortedParquet(li, dir,
+      Seq("l_orderkey"), partitions = 4)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length >= 2, s"expected multiple range files in $dir")
+    // each file internally sorted; file key ranges must not overlap
+    val ranges = files.map { f =>
+      val keys = spark.read.parquet(f).select("l_orderkey")
+        .collect().map(_.getLong(0))
+      assert(keys.sameElements(keys.sorted), s"unsorted file $f")
+      (keys.min, keys.max)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo,
+        s"overlapping ranges: hi=$hi lo=$lo")
+      case _ =>
+    }
+    // total content preserved
+    assert(spark.read.parquet(dir).count() == li.count())
+  }
+
   test("aggregator top-k equals the window top-k (partial-agg path)") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
       .select(col("l_returnflag").as("g"),
