@@ -444,6 +444,26 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Sliding token-window chunking (context-window shaping): 40-token
+    // chunks every 30 tokens, partial tails allowed.
+    "q81_chunk_windows" -> ((s, dir) => {
+      graft.ops.TextAnalysis.chunkTokens(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          window = 40, stride = 30)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Sequence packing: corpus token stream in doc_id order cut into
+    // 256-token sequences; output = (sequence, doc, token span)
+    // manifest. Distributed prefix sum (range shuffle + O(partitions)
+    // driver offsets), never a single-task global window.
+    "q82_pack_sequences" -> ((s, dir) => {
+      graft.ops.Packing.packSequences(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          seqLen = 256)
+        .orderBy("seq_id", "doc_id")
+    }),
+
     // Sketch profiling (HLL++ distinct + KLL-ish quantiles): mergeable
     // O(1)-per-group state, the survey pass before exact work. By
     // design approximate -> NO oracleSql entry; the driver records the
@@ -1190,6 +1210,48 @@ object SparkEntry {
            n_email, n_ip,
            CAST(len(regexp_extract_all(t2, '\b\d{9,}\b')) AS INTEGER) AS n_num
          FROM s2 ORDER BY doc_id""",
+
+    // replay: starts = [0] when n <= 40 else [0, 30, 60, ...] up to
+    // (n-40+29)//30 * 30; chunk = slice(ws, start+1, start+40)
+    "q81_chunk_windows" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         s AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+         st AS (SELECT doc_id, ws, n,
+                  CASE WHEN n <= 40 THEN [0]
+                       ELSE list_transform(
+                         range(0, (n - 40 + 29) // 30 + 1), i -> i * 30)
+                  END AS starts
+                FROM s),
+         e AS (SELECT doc_id, ws, n, u.cid AS chunk_id, u.st AS start
+               FROM st, unnest(list_transform(
+                 range(1, len(starts) + 1),
+                 i -> {'cid': i - 1, 'st': starts[i]})) AS t(u))
+         SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           array_to_string(list_slice(ws, start + 1, start + 40), ' ')
+             AS chunk_text,
+           CAST(least(40, n - start) AS INTEGER) AS chunk_tokens
+         FROM e ORDER BY doc_id, chunk_id""",
+
+    // replay: exclusive prefix sum of token counts in doc_id order,
+    // each doc exploded into its overlapping 256-token sequences
+    "q82_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) > 0),
+         o AS (SELECT doc_id, n,
+                 CAST(sum(n) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                   AS BIGINT) AS off
+               FROM d),
+         e AS (SELECT doc_id, n, off,
+                 unnest(range(off // 256, (off + n - 1) // 256 + 1))
+                   AS seq_id
+               FROM o)
+         SELECT seq_id, doc_id,
+           greatest(0, seq_id * 256 - off) AS tok_from,
+           least(n, (seq_id + 1) * 256 - off) AS tok_to
+         FROM e ORDER BY seq_id, doc_id""",
 
     "q77_unigram_nll" ->
       """WITH tok AS (SELECT doc_id, t AS tok FROM (

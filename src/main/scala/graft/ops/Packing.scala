@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — laying a corpus's token stream end-to-end in a
+  * deterministic document order and cutting fixed-length training
+  * sequences, tracking which token span of which document lands in
+  * which sequence (the "pack short docs together, split long docs"
+  * step in front of every context-window-bound trainer).
+  */
+object Packing {
+
+  /** Exclusive prefix sum of `value` over the total order `order` —
+    * the distributed scan primitive. A naive window
+    * `sum() over (order by ...)` with no partitionBy collapses the
+    * whole table into ONE task; this form range-partitions on the
+    * order column, computes per-partition totals (tiny driver collect:
+    * one long per partition), and converts them to per-partition
+    * starting offsets added to a within-partition running sum — every
+    * stage distributed, the collect O(partitions). Output = input
+    * columns + `offset`. The result depends only on the total order,
+    * not on where range boundaries land, so it is deterministic even
+    * though repartitionByRange samples. `order` must be a key (total
+    * order); duplicate order values would make the within-duplicate
+    * offset assignment partition-dependent. */
+  def orderedCumsum(df: DataFrame, order: Column, value: Column,
+                    partitions: Int, offsetName: String = "offset")
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("__pid", "__v", offsetName)
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"orderedCumsum: column(s) ${clash.mkString(", ")} already exist")
+    val p = df.withColumn("__v", value.cast("long"))
+      .repartitionByRange(partitions, order)
+      .sortWithinPartitions(order)
+      .withColumn("__pid", spark_partition_id())
+    // per-partition totals -> prefix offsets (partition count rows)
+    val totals = p.groupBy("__pid").agg(sum(col("__v")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val prefix = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
+    val offsetOf = prefix.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("__pid") === pid, off).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid")).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn(offsetName, offsetOf + sum(col("__v")).over(w) - col("__v"))
+      .drop("__pid", "__v")
+  }
+
+  /** Pack the corpus token stream (docs laid end-to-end in `id` order)
+    * into `seqLen`-token sequences. Output: one row per (sequence,
+    * document) overlap — seq_id, doc_id, tok_from/tok_to (the doc's
+    * token span [from, to) inside that sequence) — i.e. the assignment
+    * manifest a sequence-building writer consumes. Short docs share a
+    * sequence; docs longer than seqLen span several. The only wide ops
+    * are [[orderedCumsum]]'s range shuffle and the per-doc explode
+    * into its (usually 1-2) overlapping sequences — no corpus-sized
+    * window, no driver data. Deterministic given the id order, and
+    * fully replayable as SQL. */
+  def packSequences(df: DataFrame, id: Column, text: Column,
+                    seqLen: Int, partitions: Int = 32): DataFrame = {
+    require(seqLen >= 1, s"need seqLen >= 1, got $seqLen")
+    val n = size(graft.functions.TextFunctions.tokens(text))
+    val withN = df.select(id.as("doc_id"), n.as("n_tok"))
+      .filter(col("n_tok") > 0)
+    // SQL `div` keeps the arithmetic in longs: corpus-scale token
+    // offsets can exceed the double-exact integer range
+    orderedCumsum(withN, col("doc_id"), col("n_tok"), partitions)
+      .withColumn("seq_id", explode(sequence(
+        expr(s"offset div $seqLen"),
+        expr(s"(offset + n_tok - 1) div $seqLen"))))
+      .select(col("seq_id"), col("doc_id"),
+        greatest(lit(0L), col("seq_id") * seqLen - col("offset"))
+          .as("tok_from"),
+        least(col("n_tok"),
+          (col("seq_id") + 1) * seqLen - col("offset")).as("tok_to"))
+  }
+}

@@ -237,6 +237,34 @@ object TextAnalysis {
              .as("nll"))
   }
 
+  /** Sliding token-window chunking — long documents split into
+    * `window`-token chunks every `stride` tokens (stride < window =
+    * overlap), the standard pre-tokenization shaping for context-bound
+    * models. Chunk count = 1 for docs of <= window tokens, else
+    * ceil((n - window)/stride) + 1 (integer form: (n - window +
+    * stride - 1) div stride + 1; the tail chunk may be partial).
+    * Narrow explode — no shuffle, chunk identity (doc_id, chunk_id) is
+    * deterministic, and the formula is replayed 1:1 by the oracle. */
+  def chunkTokens(df: DataFrame, id: Column, text: Column,
+                  window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1,
+      s"need window >= 1 and stride >= 1, got $window/$stride")
+    val toks = tokens(text)
+    val n = size(toks)
+    // floor((n - window + stride - 1) / stride): token counts are far
+    // below 2^53, so double division + floor is exact integer division
+    val lastIdx = floor((n - window + stride - 1) / stride).cast("int")
+    val starts = when(n <= window, array(lit(0)))
+      .otherwise(transform(sequence(lit(0), lastIdx), i => i * stride))
+    df.select(id.as("doc_id"), toks.as("__toks"),
+        posexplode(starts).as(Seq("chunk_id", "__start")))
+      .select(col("doc_id"), col("chunk_id"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(window)), " ")
+          .as("chunk_text"),
+        least(lit(window), size(col("__toks")) - col("__start"))
+          .as("chunk_tokens"))
+  }
+
   /** TF-IDF term scores: tf = in-doc count, idf = ln((N+1)/(df+1))
     * (smoothed), score = tf * idf. Two shuffles — (doc, term) counts,
     * then term document-frequencies joined back on the term. The df

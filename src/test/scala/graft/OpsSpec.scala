@@ -523,6 +523,53 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("token chunking covers every token with stride-spaced windows") {
+    import spark.implicits._
+    // 7 tokens, window 3, stride 2: starts 0,2,4 — the last window
+    // already reaches the end, so no partial tail. 8 tokens: starts
+    // 0,2,4,6 with a partial "g h" tail.
+    val d = Seq((1L, "a b c d e f g"), (2L, "x y"),
+      (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    val r = TextAnalysis.chunkTokens(d, col("doc_id"), col("text"), 3, 2)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2), x.getInt(3)))
+    assert(r.toSeq == Seq(
+      (1L, 0, "a b c", 3), (1L, 1, "c d e", 3), (1L, 2, "e f g", 3),
+      (2L, 0, "x y", 2),
+      (3L, 0, "a b c", 3), (3L, 1, "c d e", 3), (3L, 2, "e f g", 3),
+      (3L, 3, "g h", 2)))
+  }
+
+  test("sequence packing tiles the token stream, any partition count") {
+    def manifest(parts: Int) = Packing.packSequences(
+        docs, col("doc_id"), col("text"), seqLen = 64, partitions = parts)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3))).toSet
+    val m = manifest(4)
+    // partition count must not change the manifest (prefix sum is a
+    // function of the total order only)
+    assert(manifest(11) == m)
+    // every doc's spans concatenate to exactly [0, n_tok)
+    val byDoc = m.groupBy(_._2)
+    val nTok = docs.select(col("doc_id"), size(split(col("text"), " ")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((doc, spans) <- byDoc) {
+      val sorted = spans.toSeq.sortBy(_._1)
+      assert(sorted.head._3 == 0L)
+      assert(sorted.last._4 == nTok(doc).toLong)
+      sorted.sliding(2).foreach {
+        case Seq((_, _, _, hi), (_, _, lo, _)) => assert(hi == lo)
+        case _ =>
+      }
+    }
+    // every sequence except the last holds exactly 64 tokens
+    val seqFill = m.groupBy(_._1).view
+      .mapValues(_.toSeq.map(s => s._4 - s._3).sum)
+    val lastSeq = seqFill.keys.max
+    assert(seqFill.collect {
+      case (s, tot) if s != lastSeq => tot }.forall(_ == 64L))
+  }
+
   test("salted join equals the plain join on skewed keys") {
     import spark.implicits._
     // power-law left: one hot key with 5k rows, a long tail
