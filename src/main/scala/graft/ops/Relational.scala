@@ -105,7 +105,13 @@ object Relational {
     * groups); the window form remains the general tool for arbitrary
     * ordering columns. Output: (group, id, score, rank) with rank
     * 1-based in (score desc, id asc) order — identical rows to the
-    * window formulation. */
+    * window formulation.
+    *
+    * `score`/`id` must be non-null: the aggregator's primitive-typed
+    * input surfaces SQL nulls as 0.0/0L (a null score would silently
+    * rank as zero instead of sorting last like a window's NULLS LAST).
+    * Every ANN caller guards this (cosines coalesce to 0.0 explicitly,
+    * ids are key columns); filter nulls first for other inputs. */
   def topKScored(df: DataFrame, group: Column, score: Column, id: Column,
                  k: Int, idName: String = "id",
                  scoreName: String = "score",

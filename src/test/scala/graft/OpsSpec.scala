@@ -587,6 +587,15 @@ class OpsSpec extends AnyFunSuite {
     assert(rows(Relational.saltedJoin(left, right, "k", 8, "left"))
       == plainLeft)
     assert(plainLeft.size == plainInner.size + 48) // k=3..50 unmatched
+    // null keys never equi-match, salted or not
+    val lNull = left.union(Seq((null.asInstanceOf[java.lang.Long], 7L))
+      .toDF("k", "payload"))
+    def rowsN(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "payload", "name").collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSeq.sorted
+    assert(rowsN(Relational.saltedJoin(lNull, right, "k", 8, "left"))
+      == rowsN(lNull.join(right, Seq("k"), "left")))
   }
 
   test("range-partitioned sorted write emits disjoint ordered files") {
