@@ -108,7 +108,9 @@ object FuzzConformance {
     val wheres = Seq.fill(nWhere)(genWhere(r, c))
     val whereSql =
       if (wheres.isEmpty) "" else wheres.map(_._2).mkString(" WHERE ", " AND ", "")
-    val name = s"q${60 + n}_fuzz"
+    // q60..q71 for the original 12; later additions jump to q83+ (the
+    // q72..q82 block is taken by named queries)
+    val name = if (n < 12) s"q${60 + n}_fuzz" else s"q${71 + n}_fuzz"
 
     shape match {
       case 0 => // projection (+ one computed column), total order
@@ -273,11 +275,13 @@ object FuzzConformance {
 
   /** The fixed fuzz suite: the first 7 specs cycle through every grammar
     * shape (so each lowering path is guaranteed a conformance check);
-    * the rest draw shapes randomly. Same seed → same specs every run. */
+    * the rest draw shapes randomly. Same seed → same specs every run
+    * (specs 13+ consume randomness strictly after the first 12, so
+    * widening the suite never changes the existing queries). */
   def specs: Seq[Spec] = {
     val r = new scala.util.Random(20260812L)
     val nShapes = 7
-    (0 until 12).map(i =>
+    (0 until 16).map(i =>
       genSpec(r, i, if (i < nShapes) i else r.nextInt(nShapes)))
   }
 }
