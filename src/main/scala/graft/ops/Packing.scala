@@ -32,6 +32,12 @@ object Packing {
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
       s"orderedCumsum: column(s) ${clash.mkString(", ")} already exist")
+    // EXPLICIT partition count is load-bearing: the totals job below
+    // and the final job both re-execute this exchange, and a
+    // user-specified numPartitions is exempt from AQE coalescing, so
+    // both jobs see identical partition ids. (Range boundaries are
+    // sampled with deterministic per-partition seeds, so re-execution
+    // cuts the same ranges.)
     val p = df.withColumn("__v", value.cast("long"))
       .repartitionByRange(partitions, order)
       .sortWithinPartitions(order)
