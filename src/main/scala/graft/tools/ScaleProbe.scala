@@ -61,6 +61,27 @@ object ScaleProbe {
       corpus, col("doc_id"), col("text"), tau = 0.6).count())
     time("jaccard exact 50k")(graft.ops.Dedup.jaccardPairs(
       corpus, col("doc_id"), col("text"), tau = 0.6).count())
+    // decontamination at 10x: the bloom prefilter's win is corpus-side
+    // probe cost — both paths must flag the same docs, with the bloom
+    // path spending its join only on prefilter survivors
+    val eval = d.filter(col("source") === "src0")
+    time("decontam exact 50k")(graft.ops.Dedup.contaminatedDocs(
+      corpus, eval, col("doc_id"), col("text"), col("text"), n = 4)
+      .count())
+    time("decontam bloom 50k")(graft.ops.Dedup.bloomContaminatedDocs(
+      corpus, eval, col("doc_id"), col("text"), col("text"), n = 4)
+      .count())
+    // quantized ANN at 10x corpus: shortlist + rescore must track
+    // corpus size (one quantized pass + k-sized rescore), not blow up
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val bigE = (0 until 10).map { i =>
+      e.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+               col("embedding"))
+    }.reduce(_ union _)
+    time("ann_quantized 10x")(graft.ops.Similarity.quantizedTopK(
+      bigE, bigE.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      k = 5).count())
     spark.stop()
   }
 }
