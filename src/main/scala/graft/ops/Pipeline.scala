@@ -87,8 +87,52 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
     copy(df = df.join(drop, Seq(idCol), "left_anti"))
   }
 
+  /** Keep documents below a repetition ceiling: the n-gram duplicate
+    * character-mass fraction ([[TextAnalysis.repetitionSignals]],
+    * Gopher-style, x1e4 fixed-point) must stay under `maxDupX1e4`. */
+  def filterRepetition(maxDupX1e4: Long, n: Int = 2): Pipeline = {
+    val keep = TextAnalysis.repetitionSignals(df, id, text, Seq(n))
+      .filter(col(s"dup${n}_x1e4") <= maxDupX1e4)
+      .select(col("doc_id").as(idCol))
+    copy(df = df.join(keep, idCol))
+  }
+
+  /** Drop documents sharing >= minHits distinct n-grams with a held-out
+    * eval set ([[Dedup.decontaminate]] — broadcast eval shingles). */
+  def decontaminateAgainst(evalSet: DataFrame, evalText: Column,
+                           n: Int = 13, minHits: Int = 1): Pipeline =
+    copy(df = Dedup.decontaminate(df, evalSet, id, text, evalText,
+      n, minHits))
+
+  /** Scrub PII in place: the text column is replaced by its redacted
+    * form ([[TextAnalysis.redactPii]]'s replacement passes), schema
+    * otherwise unchanged. */
+  def redactPii(): Pipeline = {
+    val cleaned = TextAnalysis.redactPii(df, id, text)
+      .select(col("doc_id").as(idCol), col("clean_text"))
+    copy(df = df.drop(textCol).join(cleaned, idCol)
+      .withColumnRenamed("clean_text", textCol))
+  }
+
+  /** Deterministically downsample per stratum
+    * ([[Sampling.stratifiedSample]] — e.g. rebalance languages). */
+  def sampleStratified(strata: Column, rates: Seq[(String, Double)],
+                       defaultRate: Double = 0.0): Pipeline =
+    copy(df = Sampling.stratifiedSample(df, id, strata, rates,
+      defaultRate))
+
   /** Surviving documents, original schema. */
   def result: DataFrame = df
+
+  /** Terminal: context-window chunks of the surviving corpus
+    * ([[TextAnalysis.chunkTokens]]). */
+  def chunks(window: Int, stride: Int): DataFrame =
+    TextAnalysis.chunkTokens(df, id, text, window, stride)
+
+  /** Terminal: fixed-length sequence-packing manifest of the surviving
+    * corpus ([[Packing.packSequences]]). */
+  def packed(seqLen: Int, partitions: Int = 32): DataFrame =
+    Packing.packSequences(df, id, text, seqLen, partitions)
 
   /** One-row accounting: surviving docs + whitespace tokens. */
   def stats: DataFrame =

@@ -523,6 +523,35 @@ class OpsSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("extended Pipeline stages equal their hand-assembled ops") {
+    val evalSet = docs.filter(col("source") === "src0")
+    val p = Pipeline(docs, "doc_id", "text")
+      .filterRepetition(maxDupX1e4 = 6000)
+      .decontaminateAgainst(evalSet, col("text"), n = 4)
+      .sampleStratified(col("lang"), Seq("en" -> 1.0, "de" -> 0.5))
+      .redactPii()
+    // hand-assembled equivalent
+    val rep = TextAnalysis.repetitionSignals(docs, col("doc_id"),
+        col("text"), Seq(2))
+      .filter(col("dup2_x1e4") <= 6000).select("doc_id")
+    val base = docs.join(rep, "doc_id")
+    val decon = Dedup.decontaminate(base, evalSet, col("doc_id"),
+      col("text"), col("text"), n = 4, minHits = 1)
+    val strat = Sampling.stratifiedSample(decon, col("doc_id"),
+      col("lang"), Seq("en" -> 1.0, "de" -> 0.5))
+    val want = TextAnalysis.redactPii(strat, col("doc_id"), col("text"))
+      .select("doc_id", "clean_text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = p.result.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // terminal forms run on the surviving corpus
+    assert(p.chunks(window = 40, stride = 30).count() >= p.result.count())
+    val manifest = p.packed(seqLen = 128)
+    assert(manifest.select("doc_id").distinct().count() == p.result.count())
+  }
+
   test("token chunking covers every token with stride-spaced windows") {
     import spark.implicits._
     // 7 tokens, window 3, stride 2: starts 0,2,4 — the last window
