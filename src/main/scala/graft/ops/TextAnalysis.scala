@@ -77,12 +77,19 @@ object TextAnalysis {
   /** Deflate compressibility ratio (compressed/raw bytes) — the classic
     * "machine-generated or pathologically repetitive text" signal:
     * natural prose lands ~0.4-0.7, templated spam and repeated blocks
-    * much lower. JVM Deflater level 6, deterministic; the native zlib
-    * state is thread-local and reset()-reused across rows (constructing
-    * and freeing a Deflater per row would be billions of native
-    * alloc/free cycles at corpus scale). Narrow map, no shuffle.
-    * Empty text → 1.0 (incompressible by fiat). */
-  def compressionRatio(text: Column): Column = {
+    * much lower. The codegen'd [[graft.functions.DeflateRatio]]
+    * expression (this was the codebase's last Scala UDF — the UDF form
+    * survives only as [[compressionRatioUdf]], the differential-test
+    * spec). Narrow map, no shuffle. Empty text → 1.0 (incompressible
+    * by fiat); null → null (the UDF form returned 1.0 for null — the
+    * native expression propagates null like every other text op). */
+  def compressionRatio(text: Column): Column =
+    graft.functions.DeflateRatio(text)
+
+  /** UDF specification of [[compressionRatio]] — kept ONLY as the
+    * independent reference the native expression is differential-tested
+    * against (FunctionsSpec); never use in a pipeline. */
+  private[graft] def compressionRatioUdf(text: Column): Column = {
     val f = udf { (s: String) =>
       if (s == null || s.isEmpty) 1.0
       else {

@@ -129,4 +129,30 @@ class FunctionsSpec extends AnyFunSuite {
       .filter(col("native") =!= col("spec")) // bit-identical, same order
     assert(diff.count() == 0)
   }
+
+  test("DeflateRatio (native) equals the UDF specification") {
+    val sq = spark
+    import sq.implicits._
+    val edge = Seq(Some(""), Some("a"), Some("a" * 500),
+      Some("the quick brown fox jumps over the lazy dog"),
+      Some("ab " * 100)).toDF("text")
+    for (d <- Seq(docs, edge)) {
+      val diff = d.select(
+          graft.ops.TextAnalysis.compressionRatio(col("text")).as("n"),
+          graft.ops.TextAnalysis.compressionRatioUdf(col("text")).as("s"))
+        .filter(col("n") =!= col("s")) // zlib is deterministic per input
+      assert(diff.count() == 0)
+    }
+    // divergence by design on null: native propagates, UDF said 1.0
+    val nulls = Seq(Option.empty[String]).toDF("text")
+    assert(nulls.select(
+      graft.ops.TextAnalysis.compressionRatio(col("text"))).head().isNullAt(0))
+    // repetitive text compresses far below prose (the signal itself)
+    val pair = Seq("ab " * 200,
+      "the quick brown fox jumps over the lazy dog").toDF("text")
+      .orderBy(length(col("text")).desc)
+      .select(graft.ops.TextAnalysis.compressionRatio(col("text")))
+      .collect().map(_.getDouble(0))
+    assert(pair(0) < pair(1), pair.mkString(","))
+  }
 }
