@@ -599,6 +599,24 @@ class OpsSpec extends AnyFunSuite {
       case (s, tot) if s != lastSeq => tot }.forall(_ == 64L))
   }
 
+  test("packing splits a doc longer than the sequence length") {
+    import spark.implicits._
+    // doc 2 has 25 tokens with offset 10 -> spans sequences 1,2,3 of
+    // length 10; doc 1 fills sequence 0 and the start of 1
+    val d = Seq((1L, ("a " * 14).trim), (2L, ("b " * 25).trim))
+      .toDF("doc_id", "text")
+    val m = Packing.packSequences(d, col("doc_id"), col("text"),
+        seqLen = 10, partitions = 3)
+      .orderBy("seq_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(m.toSeq == Seq(
+      (0L, 1L, 0L, 10L),   // doc1 tokens 0-10 fill seq 0
+      (1L, 1L, 10L, 14L),  // doc1 tail
+      (1L, 2L, 0L, 6L),    // doc2 head completes seq 1
+      (2L, 2L, 6L, 16L),   // doc2 middle fills seq 2 alone
+      (3L, 2L, 16L, 25L))) // doc2 tail
+  }
+
   test("salted join equals the plain join on skewed keys") {
     import spark.implicits._
     // power-law left: one hot key with 5k rows, a long tail
