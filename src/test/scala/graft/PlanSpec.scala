@@ -122,6 +122,17 @@ class PlanSpec extends AnyFunSuite {
       s"join@$joinIdx)")
   }
 
+  test("q82 prefix sum range-partitions — no single-partition window") {
+    // the classic cumulative-sum trap is `sum() over (order by ...)`
+    // with no partitionBy: Spark plans it as Exchange SinglePartition
+    // and the whole corpus serializes through one task. orderedCumsum
+    // must show a rangepartitioning exchange and only pid-partitioned
+    // windows.
+    val p = plan("q82_pack_sequences").toLowerCase
+    assert(p.contains("rangepartitioning"), p.take(2000))
+    assert(!p.contains("singlepartition"), p.take(3000))
+  }
+
   test("whole-stage codegen covers the dedup hashing pipeline") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val df = graft.ops.Dedup.minhashLshPairs(
