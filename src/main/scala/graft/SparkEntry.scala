@@ -245,6 +245,21 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Eval-hygiene: near-dup pairs straddling a 50/50 hash split
+    // (train docs with held-out near-twins). LSH pair discovery +
+    // deterministic split replayed by the oracle.
+    "q87_split_leakage" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val split = graft.ops.Sampling.hashSplit(
+        d.select("doc_id"), col("doc_id"),
+        Seq("train" -> 0.5, "heldout" -> 0.5))
+      graft.ops.Dedup.crossSplitPairs(
+          graft.ops.Dedup.minhashLshPairs(d, col("doc_id"), col("text"),
+            tau = 0.6),
+          split, col("doc_id"), col("split"))
+        .orderBy("id1", "id2")
+    }),
+
     // MinHash+LSH near-dup: banded candidate generation + exact verify.
     // Same oracle as q21 — at the corpus's jaccard levels (>=0.9) the
     // 32x4 banding misses a true pair with probability < 1e-14.
@@ -1001,6 +1016,31 @@ object SparkEntry {
          FROM documents GROUP BY 1 ORDER BY 2""",
     "q21_jaccard_pairs" -> jaccardPairsSql,
     "q22_minhash_lsh" -> jaccardPairsSql,
+    // q21's pair CTEs + the double-round MINSTD split at 0.5/0.5
+    // (threshold floor(0.5 * (2^31-1)) = 1073741823)
+    "q87_split_leakage" ->
+      """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws)-1)]) AS shingles FROM tkn),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s FROM sh),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
+                          any_value(a.n) AS na, any_value(b.n) AS nb
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         pr AS (SELECT id1, id2, round(co*1.0/(na+nb-co), 4) AS jaccard
+                FROM pairs WHERE co*1.0/(na+nb-co) >= 0.6),
+         sp AS (SELECT doc_id,
+                  CASE WHEN (((((((doc_id + 1) % 2147483647) + 2147483647)
+                       % 2147483647) * 48271) % 2147483647) * 48271)
+                       % 2147483647 < 1073741823
+                       THEN 'train' ELSE 'heldout' END AS split
+                FROM documents)
+         SELECT p.id1, p.id2, p.jaccard,
+                a.split AS split1, b.split AS split2
+         FROM pr p JOIN sp a ON p.id1 = a.doc_id
+                   JOIN sp b ON p.id2 = b.doc_id
+         WHERE a.split != b.split ORDER BY 1, 2""",
     "q56_dedup_groups" ->
       (dedupGroupsSql + "\n       SELECT id, comp FROM comp ORDER BY 1"),
     "q57_dedup_keep_one" ->

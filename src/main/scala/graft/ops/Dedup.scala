@@ -208,6 +208,22 @@ object Dedup {
         corpusId === col("__flagged_id"), "left_anti")
   }
 
+  /** Cross-split contamination: near-dup pairs whose members landed in
+    * DIFFERENT splits — the eval-hygiene check run after any
+    * train/val/test assignment (a test doc with a train near-twin
+    * inflates benchmarks exactly like decontamination misses do).
+    * `pairs` is any (id1, id2, ...) pair frame (exact or LSH);
+    * `splits` maps id -> split label. Two equi-joins on the pair ids;
+    * the pair frame is duplicate-survivor-sized, so AQE broadcasts it
+    * when it fits. */
+  def crossSplitPairs(pairs: DataFrame, splits: DataFrame,
+                      splitId: Column, splitLabel: Column): DataFrame = {
+    val a = splits.select(splitId.as("id1"), splitLabel.as("split1"))
+    val b = splits.select(splitId.as("id2"), splitLabel.as("split2"))
+    pairs.join(a, "id1").join(b, "id2")
+      .filter(col("split1") =!= col("split2"))
+  }
+
   /** MinHash + LSH near-dup pairs: band-bucket join generates candidates
     * (only docs sharing a band key meet), then exact Jaccard verifies.
     * With h=128 / 64 bands of 2, a pair at jaccard 0.6 is missed with
