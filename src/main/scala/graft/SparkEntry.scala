@@ -260,6 +260,32 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // SemDeDup-style cluster-routed embedding near-dup: k-means route
+    // (same fixed-point trainer as q51, k=8/iters=2), exact pairs
+    // within clusters only — the oracle replays train→route→pair.
+    "q88_semdedup_pairs" -> ((s, dir) => {
+      graft.ops.Similarity.semDedupPairs(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), tau = 0.4, k = 8, iters = 2)
+        .orderBy("id1", "id2")
+    }),
+
+    // Length-bucketed batch manifest: width-32 token buckets, 16-doc
+    // batches, rank via the range-partitioned prefix sum (no few-bucket
+    // window skew).
+    "q89_length_batches" -> ((s, dir) => {
+      graft.ops.Packing.lengthBucketBatches(t(s, dir, "documents"),
+          col("doc_id"), col("text"), bucketWidth = 32, batchSize = 16)
+        .orderBy("bucket", "batch", "slot")
+    }),
+
+    // Deterministic global shuffle → 8 balanced shards (hash order +
+    // round-robin deal), replayed exactly by the oracle.
+    "q90_shuffle_shards" -> ((s, dir) => {
+      graft.ops.Packing.shuffleShards(t(s, dir, "documents"),
+          col("doc_id"), numShards = 8)
+        .orderBy("doc_id")
+    }),
+
     // MinHash+LSH near-dup: banded candidate generation + exact verify.
     // Same oracle as q21 — at the corpus's jaccard levels (>=0.9) the
     // 32x4 banding misses a true pair with probability < 1e-14.
@@ -1041,6 +1067,82 @@ object SparkEntry {
          FROM pr p JOIN sp a ON p.id1 = a.doc_id
                    JOIN sp b ON p.id2 = b.doc_id
          WHERE a.split != b.split ORDER BY 1, 2""",
+
+    // SemDeDup: the q51 fixed-point k-means CTEs (k=8, 2 Lloyd
+    // iterations, micro-unit centroids) route every vector, then pairs
+    // form within clusters only — raw-score threshold, round-6 output.
+    "q88_semdedup_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             [CAST(floor(x*1000000 + 0.5) AS BIGINT)
+              FOR x IN embedding::DOUBLE[]] AS q
+           FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       q AS cq
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         a1 AS (SELECT e.vec_id, e.q, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v,
+                      [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c0 c),
+         s1 AS (SELECT cid, d,
+                  CAST(floor(sum(q[d])*1.0/count(*)) AS BIGINT) AS m
+                FROM (SELECT * FROM a1 WHERE rn = 1), range(1, 65) AS t(d)
+                GROUP BY cid, d),
+         c1 AS (SELECT c0.cid, coalesce(l.mq, c0.cq) AS cq
+                FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS mq
+                                   FROM s1 GROUP BY cid) l USING (cid)),
+         a2 AS (SELECT e.vec_id, e.q, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v,
+                      [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c1 c),
+         s2 AS (SELECT cid, d,
+                  CAST(floor(sum(q[d])*1.0/count(*)) AS BIGINT) AS m
+                FROM (SELECT * FROM a2 WHERE rn = 1), range(1, 65) AS t(d)
+                GROUP BY cid, d),
+         c2 AS (SELECT c1.cid, coalesce(l.mq, c1.cq) AS cq
+                FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS mq
+                                   FROM s2 GROUP BY cid) l USING (cid)),
+         ac AS (SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v,
+                      [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c2 c),
+         asg AS (SELECT vec_id, v, cid FROM ac WHERE rn = 1)
+         SELECT a.vec_id AS id1, b.vec_id AS id2,
+                round(list_cosine_similarity(a.v, b.v), 6) AS cos
+         FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+         ORDER BY 1, 2""",
+
+    // Length-bucketed batching: width-32 buckets, 16-doc batches; the
+    // oracle's per-bucket window rank equals the engine's re-based
+    // distributed prefix sum over the same (bucket, doc_id) order.
+    "q89_length_batches" ->
+      """WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n
+                    FROM documents
+                    WHERE len(string_split(text, ' ')) > 0),
+         b AS (SELECT doc_id, n, ((n + 31) // 32) * 32 AS bucket FROM d),
+         r AS (SELECT doc_id, n, bucket,
+                 row_number() OVER (PARTITION BY bucket
+                                    ORDER BY doc_id) - 1 AS rk
+               FROM b)
+         SELECT bucket, rk // 16 AS batch, rk % 16 AS slot,
+                doc_id, n AS n_tok, bucket - n AS pad
+         FROM r ORDER BY bucket, batch, slot""",
+
+    // Deterministic shuffle shards: MINSTD hash order (q73's formula,
+    // seed 0) + round-robin deal into 8 shards.
+    "q90_shuffle_shards" ->
+      """WITH h AS (SELECT doc_id,
+           (((((((doc_id + 1) % 2147483647) + 2147483647) % 2147483647)
+              * 48271) % 2147483647) * 48271) % 2147483647 AS hv
+         FROM documents),
+         r AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY hv, doc_id) - 1 AS pos
+               FROM h)
+         SELECT doc_id, pos % 8 AS shard, pos // 8 AS pos_in_shard
+         FROM r ORDER BY doc_id""",
     "q56_dedup_groups" ->
       (dedupGroupsSql + "\n       SELECT id, comp FROM comp ORDER BY 1"),
     "q57_dedup_keep_one" ->

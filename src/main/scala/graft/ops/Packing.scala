@@ -84,4 +84,72 @@ object Packing {
         least(col("n_tok"),
           (col("seq_id") + 1) * seqLen - col("offset")).as("tok_to"))
   }
+
+  /** Length-bucketed batch manifest — the padding-minimizing batcher:
+    * docs are grouped into token-length buckets (bucket = n_tok rounded
+    * up to a multiple of `bucketWidth`), ordered by id within their
+    * bucket, and cut into `batchSize`-doc batches, so every batch pads
+    * to its bucket length instead of the corpus max. Output: one row
+    * per doc — (bucket, batch, slot, doc_id, n_tok, pad), where pad is
+    * the per-doc padding cost the bucketing bought down.
+    *
+    * The within-bucket rank is NOT a `Window.partitionBy(bucket)` —
+    * with ~maxLen/bucketWidth distinct buckets that window would
+    * collapse the corpus onto a handful of tasks. Instead the rank is
+    * the [[orderedCumsum]] distributed prefix sum over the total order
+    * (bucket, doc_id), re-based per bucket by subtracting the bucket's
+    * first position (a bucket-count-sized aggregate, broadcast back).
+    * Every stage is distributed; the only driver state is
+    * orderedCumsum's O(partitions) totals. Deterministic given ids,
+    * and fully replayable as SQL (q89). */
+  def lengthBucketBatches(df: DataFrame, id: Column, text: Column,
+                          bucketWidth: Int, batchSize: Int,
+                          partitions: Int = 32): DataFrame = {
+    require(bucketWidth >= 1, s"need bucketWidth >= 1, got $bucketWidth")
+    require(batchSize >= 1, s"need batchSize >= 1, got $batchSize")
+    val n = size(graft.functions.TextFunctions.tokens(text)).cast("long")
+    val withN = df.select(id.as("doc_id"), n.as("n_tok"))
+      .filter(col("n_tok") > 0)
+      .withColumn("bucket",
+        expr(s"((n_tok + ${bucketWidth - 1}) div $bucketWidth)") *
+          bucketWidth)
+    val pos = orderedCumsum(withN, struct(col("bucket"), col("doc_id")),
+      lit(1L), partitions, offsetName = "__pos")
+    // first global position of each bucket — O(#buckets) rows, broadcast
+    val starts = pos.groupBy("bucket").agg(min(col("__pos")).as("__b0"))
+    pos.join(broadcast(starts), "bucket")
+      .withColumn("__rank", col("__pos") - col("__b0"))
+      .select(col("bucket"),
+        expr(s"__rank div $batchSize").as("batch"),
+        (col("__rank") % batchSize).as("slot"),
+        col("doc_id"), col("n_tok"),
+        (col("bucket") - col("n_tok")).as("pad"))
+  }
+
+  /** Deterministic global corpus shuffle → balanced shard manifest:
+    * order the corpus by a seeded id hash ([[Sampling.idHash]] — pure
+    * integer, engine-portable) and deal positions round-robin into
+    * `numShards` shards, so shard sizes differ by at most one row and
+    * a shard's contents are a pseudo-random, *reproducible* sample of
+    * the corpus — the "shuffle once, shard for the trainer" step in
+    * front of sequential-read training loops. Output: (doc_id, shard,
+    * pos_in_shard); a writer partitionBy(shard) + sortWithinPartitions
+    * (pos_in_shard) materializes the physical layout.
+    *
+    * The global order is the [[orderedCumsum]] range-partitioned
+    * prefix sum (order key (hash, doc_id) — the id tie-break makes it
+    * total even on hash collisions), never a single-task
+    * `row_number() OVER (ORDER BY ...)`. Round-robin assignment needs
+    * no corpus count and is replayable as SQL (q90). */
+  def shuffleShards(df: DataFrame, id: Column, numShards: Int,
+                    seed: Long = 0L, partitions: Int = 32): DataFrame = {
+    require(numShards >= 1, s"need numShards >= 1, got $numShards")
+    val keyed = df.select(id.as("doc_id"))
+      .withColumn("__h", Sampling.idHash(col("doc_id"), seed))
+    val pos = orderedCumsum(keyed, struct(col("__h"), col("doc_id")),
+      lit(1L), partitions, offsetName = "__pos")
+    pos.select(col("doc_id"),
+      (col("__pos") % numShards).as("shard"),
+      expr(s"__pos div $numShards").as("pos_in_shard"))
+  }
 }

@@ -93,6 +93,22 @@ object Similarity {
       col("qid"), col("score"), col("nbr"), k, idName = "nbr")
   }
 
+  /** Indices of the `n` nearest of `centroids` to `v` by cosine
+    * (array_sort on (-score, idx) structs = score-descending,
+    * index-ascending on ties). Scores are rounded to 6 so a SQL
+    * oracle's ranking (which also rounds) agrees even when float
+    * summation order differs. Shared by [[ivfTopK]] (list routing)
+    * and [[semDedupPairs]] (cluster routing) — the two MUST rank
+    * identically or their oracles diverge. */
+  private def nearestCentroids(centroids: Seq[Seq[Double]], v: Column,
+                               n: Int): Column = {
+    val cents = typedlit(centroids)
+    val ranked = transform(sequence(lit(0), lit(centroids.size - 1)), i =>
+      struct((-round(cosine(v, element_at(cents, i + 1)), 6)).as("neg"),
+             i.as("idx")))
+    slice(transform(array_sort(ranked), s => s.getField("idx")), 1, n)
+  }
+
   /** IVF (inverted-file) approximate top-k: the corpus is bucketed into
     * `nLists` Voronoi cells around centroids; each query probes only its
     * `nProbe` nearest cells, so the scored fraction is ~nProbe/nLists of
@@ -118,18 +134,8 @@ object Similarity {
       return queries.select(qid.as("qid")).limit(0)
         .crossJoin(c.select(col("nbr")).limit(0))
         .withColumn("score", lit(0.0)).withColumn("rank", lit(0))
-    val cents = typedlit(centroids)
 
-    // indices of the n nearest centroids by cosine (array_sort on
-    // (-score, idx) structs = score-descending, index-ascending on ties).
-    // Scores are rounded to 6 so the SQL oracle's ranking (which also
-    // rounds) agrees even when float summation order differs.
-    def nearest(v: Column, n: Int): Column = {
-      val ranked = transform(sequence(lit(0), lit(nL - 1)), i =>
-        struct((-round(cosine(v, element_at(cents, i + 1)), 6)).as("neg"),
-               i.as("idx")))
-      slice(transform(array_sort(ranked), s => s.getField("idx")), 1, n)
-    }
+    def nearest(v: Column, n: Int): Column = nearestCentroids(centroids, v, n)
 
     val assigned = c.withColumn("list", element_at(nearest(col("v"), 1), 1))
     val probes = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
@@ -274,5 +280,47 @@ object Similarity {
                 round(col("__c"), 6).as("cos"))
     }
     cos0.distinct()
+  }
+
+  /** SemDeDup-style cluster-routed embedding near-dup pairs (Abbas et
+    * al. 2023, "SemDeDup"): k-means the corpus ([[kmeansCentroids]] —
+    * the same fixed-point trainer the IVF path uses), route every
+    * vector to its nearest centroid, and compare pairs ONLY within a
+    * cluster. Cross-cluster pairs are pruned *by design* — semantic
+    * duplicates land in the same cluster, and the k-way partition
+    * turns the n² pair space into k independent (n/k)² spaces.
+    *
+    * Scale design: one narrow assignment pass over the corpus
+    * (broadcast literal centroids), then a self-equi-join on the
+    * cluster id — a bucketed shuffle join that spreads across
+    * executors, never a BroadcastNestedLoopJoin. At 100 TB, k grows
+    * with the corpus (SemDeDup uses ~√n clusters) so per-cluster pair
+    * counts stay bounded; a pathologically hot cluster can be
+    * sub-bucketed by composing [[cosinePairsLsh]] *within* the
+    * cluster key. Every arithmetic step (micro-unit centroids,
+    * round-6 ranking with index tie-break, raw-score thresholding) is
+    * bit-reproducible, so q88's DuckDB oracle replays the whole
+    * train→route→pair pipeline exactly.
+    *
+    * Returns (id1, id2, cos) with id1 < id2 — the same pair schema as
+    * [[Dedup.embeddingPairs]] (exact baseline) and [[cosinePairsLsh]],
+    * so all three feed the same connected-components keep-one stage. */
+  def semDedupPairs(df: DataFrame, id: Column, vec: Column, tau: Double,
+                    k: Int = 8, iters: Int = 2): DataFrame = {
+    val nonNull = df.filter(vec.isNotNull)
+    val base = Dedup.fanOut(nonNull)
+      .select(id.as("id"), toDouble(vec).as("v"))
+    val centroids = kmeansCentroids(nonNull, id, vec, k, iters)
+    if (centroids.isEmpty)
+      return base.select(col("id").as("id1"), col("id").as("id2"),
+        lit(0.0).as("cos")).limit(0)
+    val assigned = base.withColumn("cl",
+      element_at(nearestCentroids(centroids, col("v"), 1), 1))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cl") === col("b.cl") && col("a.id") < col("b.id"))
+      .withColumn("__c", cosine(col("a.v"), col("b.v")))
+      .filter(col("__c") >= tau)
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+              round(col("__c"), 6).as("cos"))
   }
 }

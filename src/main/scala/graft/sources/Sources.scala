@@ -59,6 +59,21 @@ object Sources {
       .parquet(path)
   }
 
+  /** ORC read — the other columnar interior format (column pruning +
+    * predicate pushdown + stripe-level stats, same tier as parquet).
+    * Supported so a corpus already materialized as ORC (Hive-era lakes)
+    * reads without a conversion pass; parquet stays the canonical
+    * format for new writes. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .orc(path)
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
 

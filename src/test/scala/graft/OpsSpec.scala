@@ -724,4 +724,65 @@ class OpsSpec extends AnyFunSuite {
     assert(agree >= (exact.size * 0.8).toInt,
       s"quantized path agreed on $agree/${exact.size} (need >= 80%)")
   }
+
+  test("semdedup pairs: within-cluster subset of exact; k=1 is exact") {
+    val exact = pairSet(Dedup.embeddingPairs(
+      embs, col("vec_id"), col("embedding"), 0.4))
+    val sem = pairSet(Similarity.semDedupPairs(
+      embs, col("vec_id"), col("embedding"), 0.4, k = 8, iters = 2))
+    // precision 1 (exact-verified within clusters), cross-cluster pairs
+    // pruned by design — so a subset, non-trivially populated
+    assert(sem.subsetOf(exact))
+    assert(sem.nonEmpty)
+    // one cluster routes every vector together → exact baseline
+    val one = pairSet(Similarity.semDedupPairs(
+      embs, col("vec_id"), col("embedding"), 0.4, k = 1, iters = 1))
+    assert(one == exact)
+  }
+
+  test("length-bucketed batches: shape invariants, any partition count") {
+    val m = Packing.lengthBucketBatches(docs, col("doc_id"), col("text"),
+      bucketWidth = 32, batchSize = 16)
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    // every doc exactly once; pad < width; slot < batchSize
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    assert(rows.forall { r =>
+      val pad = r.getAs[Long]("pad"); pad >= 0 && pad < 32 })
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("slot"); s >= 0 && s < 16 })
+    // batches are full except possibly the last one of each bucket
+    val perBatch = rows.groupBy(r =>
+      (r.getAs[Long]("bucket"), r.getAs[Long]("batch")))
+    val lastOf = perBatch.keys.groupBy(_._1).map { case (b, ks) =>
+      b -> ks.map(_._2).max }
+    perBatch.foreach { case ((b, i), g) =>
+      assert(g.length <= 16)
+      if (i < lastOf(b)) assert(g.length == 16,
+        s"non-final batch ($b, $i) has ${g.length} docs") }
+    // the prefix-sum rank is partition-count-invariant
+    val alt = Packing.lengthBucketBatches(docs, col("doc_id"), col("text"),
+      32, 16, partitions = 7).collect()
+    assert(alt.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+  }
+
+  test("shuffle shards: balanced, contiguous, seed-sensitive") {
+    val rows = Packing.shuffleShards(docs, col("doc_id"), numShards = 8)
+      .collect()
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    val sizes = byShard.values.map(_.length)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    assert(sizes.max - sizes.min <= 1) // round-robin deal → balanced
+    byShard.foreach { case (_, g) => // positions contiguous from 0
+      assert(g.map(_.getAs[Long]("pos_in_shard")).sorted.toSeq ==
+        (0L until g.length).toSeq) }
+    // deterministic and partition-count-invariant
+    val again = Packing.shuffleShards(docs, col("doc_id"), 8,
+      partitions = 5).collect()
+    assert(again.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+    // a different seed deals a different permutation
+    val seeded = Packing.shuffleShards(docs, col("doc_id"), 8, seed = 7L)
+      .collect()
+    assert(seeded.map(_.toSeq).toSet != rows.map(_.toSeq).toSet)
+  }
 }

@@ -50,6 +50,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows(back) == rows(nation))
   }
 
+  test("orc round-trip; partitioned orc write prunes partitions on read") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    Sources.writeOrc(nation, dir, partitionBy = Seq("n_regionkey"))
+    val back = Sources.orc(spark, dir)
+      .select("n_nationkey", "n_name", "n_regionkey")
+    assert(rows(back) == rows(nation))
+    val one = Sources.orc(spark, dir).filter(col("n_regionkey") === 1)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(rows(one.select("n_nationkey", "n_name", "n_regionkey")) ==
+      rows(nation.filter(col("n_regionkey") === 1)))
+    assert(plan.contains("PartitionFilters") || plan.contains("n_regionkey"))
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Sources.writeParquet(nation, dir, partitionBy = Seq("n_regionkey"))
