@@ -87,6 +87,21 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
     copy(df = df.join(drop, Seq(idCol), "left_anti"))
   }
 
+  /** Semantic (embedding-space) near-dup removal, SemDeDup-style:
+    * cluster-route the document embeddings, find within-cluster cosine
+    * pairs ([[Similarity.semDedupPairs]]), drop the higher id of each —
+    * the same keep-lower-id policy as the lexical stages, so semantic
+    * and lexical dedup compose in either order. `embeddings` is the
+    * (doc id, vector) side table. */
+  def removeSemanticDups(embeddings: DataFrame, embId: Column,
+                         embVec: Column, tau: Double,
+                         k: Int = 8, iters: Int = 2): Pipeline = {
+    val dups = Similarity.semDedupPairs(embeddings, embId, embVec,
+        tau, k, iters)
+      .select(col("id2").as(idCol)).distinct()
+    copy(df = df.join(dups, Seq(idCol), "left_anti"))
+  }
+
   /** Keep documents below a repetition ceiling: the n-gram duplicate
     * character-mass fraction ([[TextAnalysis.repetitionSignals]],
     * Gopher-style, x1e4 fixed-point) must stay under `maxDupX1e4`. */
@@ -133,6 +148,20 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
     * corpus ([[Packing.packSequences]]). */
   def packed(seqLen: Int, partitions: Int = 32): DataFrame =
     Packing.packSequences(df, id, text, seqLen, partitions)
+
+  /** Terminal: length-bucketed batch manifest of the surviving corpus
+    * ([[Packing.lengthBucketBatches]] — pad to the bucket, not the
+    * corpus max). */
+  def batched(bucketWidth: Int, batchSize: Int,
+              partitions: Int = 32): DataFrame =
+    Packing.lengthBucketBatches(df, id, text, bucketWidth, batchSize,
+      partitions)
+
+  /** Terminal: deterministic shuffled-shard manifest of the surviving
+    * corpus ([[Packing.shuffleShards]]). */
+  def sharded(numShards: Int, seed: Long = 0L,
+              partitions: Int = 32): DataFrame =
+    Packing.shuffleShards(df, id, numShards, seed, partitions)
 
   /** One-row accounting: surviving docs + whitespace tokens. */
   def stats: DataFrame =

@@ -550,6 +550,25 @@ class OpsSpec extends AnyFunSuite {
     assert(p.chunks(window = 40, stride = 30).count() >= p.result.count())
     val manifest = p.packed(seqLen = 128)
     assert(manifest.select("doc_id").distinct().count() == p.result.count())
+    val batches = p.batched(bucketWidth = 32, batchSize = 16)
+    assert(batches.count() == p.result.count()) // docs have text -> n>0
+    val shards = p.sharded(numShards = 4)
+    assert(shards.count() == p.result.count())
+    assert(shards.select("shard").distinct().count() == 4)
+  }
+
+  test("semantic dedup stage equals the hand-assembled drop") {
+    val p = Pipeline(embs.withColumnRenamed("vec_id", "doc_id"),
+        "doc_id", "text2") // text col unused by this stage
+      .removeSemanticDups(embs, col("vec_id"), col("embedding"),
+        tau = 0.4)
+    val drop = Similarity.semDedupPairs(embs, col("vec_id"),
+        col("embedding"), 0.4).select("id2").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val got = p.result.select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = embs.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == all -- drop)
+    assert(drop.nonEmpty)
   }
 
   test("token chunking covers every token with stride-spaced windows") {
