@@ -133,6 +133,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("singlepartition"), p.take(3000))
   }
 
+  test("q88 semdedup pairs meet through a cluster-key equi-join") {
+    // SemDeDup's reason to exist: the pair space is partitioned by the
+    // k-means routing, so candidates meet through an equi-join on the
+    // cluster id — a nested-loop plan would mean the routing silently
+    // degenerated to q28's all-pairs baseline
+    val df = SparkEntry.queries("q88_semdedup_pairs")(spark, sf0001)
+    df.collect() // finalize under AQE
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q89/q90 manifests range-partition — no single-partition stage") {
+    // both ride orderedCumsum; a bare `row_number() over (order by ...)`
+    // or `partitionBy(bucket)` with few buckets would serialize the
+    // corpus through one (or few) tasks
+    for (q <- Seq("q89_length_batches", "q90_shuffle_shards")) {
+      val p = plan(q).toLowerCase
+      assert(p.contains("rangepartitioning"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("singlepartition"), s"$q: ${p.take(3000)}")
+    }
+  }
+
   test("whole-stage codegen covers the dedup hashing pipeline") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
     val df = graft.ops.Dedup.minhashLshPairs(
