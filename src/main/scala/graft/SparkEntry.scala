@@ -286,6 +286,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Quality-quantile curation: keep the top 25% of each source by
+    // quality score — rank-based (floor(0.25 * n) rows per source),
+    // ranked via the range-partitioned prefix sum.
+    "q91_top_fraction" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = graft.ops.TextAnalysis.quality(
+          d, col("doc_id"), col("text"))
+        .select(col("doc_id"), col("quality_x1e4"))
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "quality_x1e4")
+      graft.ops.Relational.topFractionPerGroup(scored,
+          col("source"), col("quality_x1e4"), col("doc_id"),
+          fraction = 0.25)
+        .orderBy("doc_id")
+    }),
+
+    // Epoch upsampling at rate 2.5: two full copies + a hash-sampled
+    // half copy, each tagged with its epoch.
+    "q92_epoch_upsample" -> ((s, dir) => {
+      graft.ops.Sampling.epochUpsample(
+          t(s, dir, "documents").select("doc_id"), col("doc_id"),
+          rate = 2.5)
+        .orderBy("doc_id", "epoch")
+    }),
+
     // MinHash+LSH near-dup: banded candidate generation + exact verify.
     // Same oracle as q21 — at the corpus's jaccard levels (>=0.9) the
     // 32x4 banding misses a true pair with probability < 1e-14.
@@ -1143,6 +1168,41 @@ object SparkEntry {
                FROM h)
          SELECT doc_id, pos % 8 AS shard, pos // 8 AS pos_in_shard
          FROM r ORDER BY doc_id""",
+
+    // Top-fraction curation: q26's quality formula, per-source rank
+    // (score desc, id asc), keep floor(0.25 * n) rows per source.
+    "q91_top_fraction" ->
+      """WITH tkn AS (SELECT doc_id, source, text,
+                        string_split(text,' ') AS ws FROM documents),
+         q AS (SELECT doc_id, source,
+                 CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5 +
+                   least(len(ws)/100.0, 1.0)*0.3 +
+                   len(list_filter(ws, t -> t IN
+                     ('the','a','of','and','to','in')))*1.0/len(ws)*0.2)
+                   *10000.0 + 0.5) AS BIGINT) AS quality_x1e4
+               FROM tkn),
+         r AS (SELECT doc_id, source, quality_x1e4,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY quality_x1e4 DESC, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+               FROM q)
+         SELECT doc_id, source, quality_x1e4
+         FROM r WHERE rn <= floor(n * 0.25) ORDER BY doc_id""",
+
+    // Epoch upsampling at 2.5: epochs 0,1 always kept; epoch 2 kept
+    // when the MINSTD hash (seed 1000003*3 = 3000009, +1 offset) is
+    // below floor(0.5 * (2^31-1)).
+    "q92_epoch_upsample" ->
+      """WITH c AS (SELECT doc_id, unnest(range(0, 3)) AS epoch
+                    FROM documents),
+         h AS (SELECT doc_id, epoch,
+                 (((((((doc_id + 3000010) % 2147483647) + 2147483647)
+                    % 2147483647) * 48271) % 2147483647) * 48271)
+                 % 2147483647 AS hv
+               FROM c)
+         SELECT doc_id, epoch FROM h
+         WHERE epoch < 2 OR hv < 1073741823
+         ORDER BY doc_id, epoch""",
     "q56_dedup_groups" ->
       (dedupGroupsSql + "\n       SELECT id, comp FROM comp ORDER BY 1"),
     "q57_dedup_keep_one" ->

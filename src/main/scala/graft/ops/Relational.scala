@@ -126,6 +126,43 @@ object Relational {
         (col("__pos") + 1).cast("int").as(rankName): _*)
   }
 
+  /** Keep the top `fraction` of rows per group by `score` (desc, id
+    * tie-break) — the quality-quantile curation op ("keep the best X%
+    * of each source by classifier score"). Keeps floor(fraction * n)
+    * rows per group, so a group smaller than 1/fraction contributes
+    * nothing — rank-based, not threshold-based, which makes the cut
+    * deterministic and engine-portable (quantile interpolation is not).
+    *
+    * Scale shape: the within-group rank is the [[Packing.orderedCumsum]]
+    * range-partitioned prefix sum over the total order
+    * (group, -score, id), re-based per group — NOT a
+    * `Window.partitionBy(group)`, which with a handful of sources would
+    * serialize the corpus through a handful of tasks. Group sizes are a
+    * group-count-sized aggregate, broadcast back. `id` must be unique
+    * (it makes the order total; ranking would otherwise be
+    * partition-dependent on score ties). Output = input columns. */
+  def topFractionPerGroup(df: DataFrame, group: Column, score: Column,
+                          id: Column, fraction: Double,
+                          partitions: Int = 32): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"fraction must be in [0,1], got $fraction")
+    val reserved = Seq("__g", "__ns", "__i", "__pos", "__g0", "__n")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"topFractionPerGroup: column(s) ${clash.mkString(", ")} reserved")
+    val keyed = df.withColumn("__g", group)
+      .withColumn("__ns", -score).withColumn("__i", id)
+    val pos = Packing.orderedCumsum(keyed,
+      struct(col("__g"), col("__ns"), col("__i")), lit(1L), partitions,
+      offsetName = "__pos")
+    val starts = pos.groupBy("__g")
+      .agg(min(col("__pos")).as("__g0"), count(lit(1)).as("__n"))
+    pos.join(broadcast(starts), "__g")
+      .filter(col("__pos") - col("__g0") <
+        floor(col("__n") * fraction).cast("long"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Backward (most-recent-at-or-before) as-of join: for each left row,
     * attach payload columns from the right row with the same `key` and
     * the greatest `rightTime` <= `leftTime` (null when none exists).

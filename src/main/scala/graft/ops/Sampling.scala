@@ -104,6 +104,31 @@ object Sampling {
     df.filter(keep)
   }
 
+  /** Deterministic epoch upsampling for rates ABOVE 1.0 — the "repeat
+    * the books corpus 2.5 times" side of mixture weighting
+    * ([[mixCorpora]] covers rates <= 1). Every row gets
+    * floor(rate) full copies plus a hash-sampled fractional copy,
+    * each tagged with an `epoch` column (0-based) so downstream
+    * shuffling/packing treats repeats as distinct rows. The fractional
+    * decision hashes with seed offset 1000003 * ceil(rate) — same
+    * decorrelation scheme as the other ops, so it is independent of
+    * splits/samples on the same ids. Narrow: an explode over a
+    * copies-sized literal range plus a filter, no shuffle; replayable
+    * as SQL (q92). */
+  def epochUpsample(df: DataFrame, id: Column, rate: Double,
+                    seed: Long = 0L): DataFrame = {
+    require(rate >= 0.0, s"rate must be >= 0, got $rate")
+    val full = math.floor(rate).toLong
+    val frac = rate - full
+    val copies = full + (if (frac > 0) 1L else 0L)
+    if (copies == 0L)
+      return df.withColumn("epoch", lit(0L)).limit(0)
+    val thresh = math.floor(frac * P).toLong
+    df.withColumn("epoch", explode(sequence(lit(0L), lit(copies - 1L))))
+      .filter(col("epoch") < full ||
+        idHash(id, seed + 1000003L * copies) < thresh)
+  }
+
   /** Weighted corpus mixture: union the sources, each deterministically
     * downsampled to its rate, tagged with its source name. The standard
     * "mixture weights" op (sample web at 0.3, books at 1.0, ...).

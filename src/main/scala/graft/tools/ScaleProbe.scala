@@ -82,6 +82,20 @@ object ScaleProbe {
       bigE, bigE.filter(col("vec_id") < 10),
       col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
       k = 5).count())
+    // semdedup at 10x: every base vector becomes a 10-copy clique, so
+    // the true-pair count is 45x the corpus — cluster routing must keep
+    // candidate cost ~sum over clusters of (n_c^2), never corpus^2.
+    // k scales with the corpus (SemDeDup's sqrt-n guidance, rounded).
+    time("semdedup 10x k=64")(graft.ops.Similarity.semDedupPairs(
+      bigE, col("vec_id"), col("embedding"), tau = 0.99, k = 64,
+      iters = 2).count())
+    // manifest ops at 10x: both are one range shuffle + narrow maps —
+    // cost must track corpus size with no single-task stage
+    time("length_batches 50k")(graft.ops.Packing.lengthBucketBatches(
+      corpus, col("doc_id"), col("text"), bucketWidth = 32,
+      batchSize = 16).count())
+    time("shuffle_shards 50k")(graft.ops.Packing.shuffleShards(
+      corpus, col("doc_id"), numShards = 128).count())
     spark.stop()
   }
 }

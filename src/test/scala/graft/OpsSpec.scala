@@ -785,6 +785,53 @@ class OpsSpec extends AnyFunSuite {
     assert(alt.map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
   }
 
+  test("top-fraction curation equals the window rank, any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextAnalysis.quality(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("quality_x1e4"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .select("doc_id", "source", "quality_x1e4")
+    val got = Relational.topFractionPerGroup(scored, col("source"),
+      col("quality_x1e4"), col("doc_id"), fraction = 0.25)
+      .collect().map(_.getLong(0)).toSet
+    // reference: the plain (skew-prone) window form
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality_x1e4").desc, col("doc_id"))
+    val want = scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("source")))
+      .filter(col("rn") <= floor(col("n") * 0.25))
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // partition-count invariance + the [0,1] edges
+    val alt = Relational.topFractionPerGroup(scored, col("source"),
+      col("quality_x1e4"), col("doc_id"), 0.25, partitions = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(alt == got)
+    assert(Relational.topFractionPerGroup(scored, col("source"),
+      col("quality_x1e4"), col("doc_id"), 0.0).count() == 0L)
+    assert(Relational.topFractionPerGroup(scored, col("source"),
+      col("quality_x1e4"), col("doc_id"), 1.0).count() == scored.count())
+  }
+
+  test("epoch upsampling repeats full epochs and samples the fraction") {
+    val n = docs.count()
+    val up = Sampling.epochUpsample(docs.select("doc_id"), col("doc_id"),
+      rate = 2.5).collect()
+    val byEpoch = up.groupBy(_.getAs[Long]("epoch")).view
+      .mapValues(_.length.toLong).toMap
+    assert(byEpoch(0L) == n && byEpoch(1L) == n) // full copies
+    // the fractional epoch keeps ~half (hash threshold at 0.5)
+    assert(byEpoch(2L) > n / 4 && byEpoch(2L) < 3 * n / 4)
+    // integer rate = exactly that many full copies, no extras
+    assert(Sampling.epochUpsample(docs.select("doc_id"), col("doc_id"),
+      rate = 1.0).count() == n)
+    assert(Sampling.epochUpsample(docs.select("doc_id"), col("doc_id"),
+      rate = 0.0).count() == 0L)
+  }
+
   test("shuffle shards: balanced, contiguous, seed-sensitive") {
     val rows = Packing.shuffleShards(docs, col("doc_id"), numShards = 8)
       .collect()
