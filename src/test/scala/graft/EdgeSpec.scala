@@ -150,6 +150,37 @@ class EdgeSpec extends AnyFunSuite {
       Seq(null, "early", "early"))
   }
 
+  test("manifest/curation ops survive empty, null-text, tiny inputs") {
+    val weird = Seq((1L, null.asInstanceOf[String]), (2L, ""),
+      (3L, "one tiny doc")).toDF("doc_id", "text")
+    for (d <- Seq(emptyDocs, weird)) {
+      // null text tokenizes to null -> excluded (same rule as packing);
+      // empty string splits to [""] (1 token), so it stays
+      val b = Packing.lengthBucketBatches(d, col("doc_id"), col("text"),
+        32, 16)
+      assert(b.count() == d.filter(col("text").isNotNull).count())
+      assert(Packing.shuffleShards(d, col("doc_id"), 8).count() ==
+        d.count())
+    }
+    // top-fraction: empty input and a group smaller than 1/fraction
+    val tiny = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("id", "g", "s")
+    val kept = Relational.topFractionPerGroup(tiny, col("g"), col("s"),
+      col("id"), 0.5).collect()
+    // floor(0.5*2)=1 from "a" (the higher score), floor(0.5*1)=0 from "b"
+    assert(kept.map(_.getLong(0)).toSet == Set(2L))
+    assert(Relational.topFractionPerGroup(tiny.limit(0), col("g"),
+      col("s"), col("id"), 0.5).count() == 0)
+    // semdedup: empty corpus and corpus smaller than k
+    val emptyV = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.semDedupPairs(emptyV, col("vec_id"),
+      col("embedding"), 0.5).count() == 0)
+    val twoV = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.semDedupPairs(twoV, col("vec_id"),
+      col("embedding"), 0.9, k = 8, iters = 2).count() == 1)
+  }
+
   test("transform of an empty frame yields empty relational result") {
     import graft.dsl.Domain._
     import graft.dsl.Range._

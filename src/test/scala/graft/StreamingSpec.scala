@@ -84,6 +84,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.forall(r => r.getAs[String]("c_mktsegment") != null))
   }
 
+  test("hash split / stratified sampling run unchanged on a stream") {
+    // the deterministic curation layer is stateless + narrow, so the
+    // SAME operators run under Structured Streaming with no rework —
+    // and, being pure functions of the id, a row's assignment on the
+    // stream equals its assignment in batch
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Long]
+    val split = graft.ops.Sampling.hashSplit(
+      ms.toDS().toDF("doc_id"), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.2))
+    val q = split.writeStream.format("memory").queryName("ssplit")
+      .outputMode("append").start()
+    try {
+      ms.addData(0L to 99L: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssplit").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = graft.ops.Sampling.hashSplit(
+      (0L to 99L).toDF("doc_id"), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.2)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.toSet == Set("train", "val"))
+  }
+
   test("stream-stream interval join matches within the time bound only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
