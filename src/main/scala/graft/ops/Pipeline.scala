@@ -129,6 +129,18 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
       .withColumnRenamed("clean_text", textCol))
   }
 
+  /** Keep the top `fraction` of each stratum by the built-in quality
+    * score ([[Relational.topFractionPerGroup]] over
+    * [[TextAnalysis.quality]] — the "best X% of each source by
+    * score" curation cut, rank-based and deterministic). */
+  def keepTopQuality(strata: Column, fraction: Double): Pipeline = {
+    val scored = TextAnalysis.quality(df, id, text)
+      .select(col("doc_id").as(idCol), col("quality_x1e4"))
+    val kept = Relational.topFractionPerGroup(
+      df.join(scored, idCol), strata, col("quality_x1e4"), id, fraction)
+    copy(df = kept.drop("quality_x1e4"))
+  }
+
   /** Deterministically downsample per stratum
     * ([[Sampling.stratifiedSample]] — e.g. rebalance languages). */
   def sampleStratified(strata: Column, rates: Seq[(String, Double)],
@@ -162,6 +174,13 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
   def sharded(numShards: Int, seed: Long = 0L,
               partitions: Int = 32): DataFrame =
     Packing.shuffleShards(df, id, numShards, seed, partitions)
+
+  /** Terminal: the surviving corpus repeated `rate` times with an
+    * `epoch` tag ([[Sampling.epochUpsample]]). Terminal because the
+    * id column stops being unique once rows repeat — run dedup and
+    * curation stages first, upsample last. */
+  def upsampled(rate: Double, seed: Long = 0L): DataFrame =
+    Sampling.epochUpsample(df, id, rate, seed)
 
   /** One-row accounting: surviving docs + whitespace tokens. */
   def stats: DataFrame =

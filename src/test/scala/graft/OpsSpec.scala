@@ -555,6 +555,19 @@ class OpsSpec extends AnyFunSuite {
     val shards = p.sharded(numShards = 4)
     assert(shards.count() == p.result.count())
     assert(shards.select("shard").distinct().count() == 4)
+    val up = p.upsampled(rate = 2.0)
+    assert(up.count() == 2 * p.result.count())
+    // curation stage: the kept set equals the hand-assembled cut
+    val q = Pipeline(docs, "doc_id", "text")
+      .keepTopQuality(col("source"), 0.25).result
+    val scored = TextAnalysis.quality(docs, col("doc_id"), col("text"))
+      .select(col("doc_id"), col("quality_x1e4"))
+      .join(docs, "doc_id")
+    val wantTop = Relational.topFractionPerGroup(scored, col("source"),
+        col("quality_x1e4"), col("doc_id"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q.select("doc_id").collect().map(_.getLong(0)).toSet == wantTop)
+    assert(q.columns.toSet == docs.columns.toSet)
   }
 
   test("semantic dedup stage equals the hand-assembled drop") {
