@@ -302,6 +302,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Window-granular exact-substring dedup: 20-token spans, keep-first
+    // corpus-wide, emit the cut manifest for repeated occurrences.
+    "q93_duplicate_spans" -> ((s, dir) => {
+      graft.ops.Dedup.duplicateSpans(t(s, dir, "documents"),
+          col("doc_id"), col("text"), window = 20)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Epoch upsampling at rate 2.5: two full copies + a hash-sampled
     // half copy, each tagged with its epoch.
     "q92_epoch_upsample" -> ((s, dir) => {
@@ -1188,6 +1196,40 @@ object SparkEntry {
                FROM q)
          SELECT doc_id, source, quality_x1e4
          FROM r WHERE rn <= floor(n * 0.25) ORDER BY doc_id""",
+
+    // Duplicate spans: q81's chunk construction at window=stride=20,
+    // q27's rolling-fingerprint fold per span, keep-first by
+    // (doc_id, chunk_id), cut rows for later occurrences.
+    "q93_duplicate_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         s AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+         st AS (SELECT doc_id, ws, n,
+                  CASE WHEN n <= 20 THEN [0]
+                       ELSE list_transform(
+                         range(0, (n - 20 + 19) // 20 + 1), i -> i * 20)
+                  END AS starts
+                FROM s),
+         e AS (SELECT doc_id, ws, n, u.cid AS chunk_id, u.st AS start
+               FROM st, unnest(list_transform(
+                 range(1, len(starts) + 1),
+                 i -> {'cid': i - 1, 'st': starts[i]})) AS t(u)),
+         c AS (SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+                 least(20, n - start) AS ctok,
+                 list_reduce(list_prepend(CAST(7 AS BIGINT),
+                   [CAST(31*length(t) + ascii(substr(t,1,1)) AS BIGINT)
+                    FOR t IN list_slice(ws, start + 1, start + 20)]),
+                   (acc, x) -> (acc*31 + x) % 2147483647) AS fp
+               FROM e),
+         r AS (SELECT doc_id, chunk_id, ctok, fp,
+                 row_number() OVER (PARTITION BY fp
+                   ORDER BY doc_id, chunk_id) AS rn,
+                 count(*) OVER (PARTITION BY fp) AS cnt
+               FROM c)
+         SELECT doc_id, chunk_id,
+           CAST(chunk_id AS BIGINT) * 20 AS tok_from,
+           CAST(chunk_id AS BIGINT) * 20 + ctok AS tok_to
+         FROM r WHERE cnt > 1 AND rn > 1 ORDER BY doc_id, chunk_id""",
 
     // Epoch upsampling at 2.5: epochs 0,1 always kept; epoch 2 kept
     // when the MINSTD hash (seed 1000003*3 = 3000009, +1 offset) is

@@ -329,6 +329,46 @@ object Dedup {
               coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
+  /** Corpus-wide duplicated-span manifest — the window-granular form of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", approximated at fixed
+    * token-window granularity): tile every document into
+    * non-overlapping `window`-token spans, keep the FIRST occurrence
+    * (min (doc_id, chunk_id)) of each distinct span corpus-wide, and
+    * emit a cut row (doc_id, chunk_id, tok_from, tok_to) for every
+    * other occurrence — the manifest a rewriting pass consumes to
+    * splice repeated boilerplate out of otherwise-unique documents,
+    * which document-level dedup cannot see.
+    *
+    * Scale design: spans meet through ONE shuffle keyed on the span's
+    * 31-bit rolling token fingerprint ([[graft.functions.TextFunctions
+    * .fingerprint]] — 8 bytes through the exchange instead of the span
+    * text), min/count partial-aggregated map-side. Equality is by
+    * fingerprint; at 31 bits collisions are possible at corpus scale —
+    * the production knob is the same fold widened to 62 bits
+    * ([[graft.functions.PortableHash]]), kept at 31 here so the DuckDB
+    * oracle replays the fold exactly (q93, q27's formula). Tail spans
+    * shorter than `window` participate like any other span. */
+  def duplicateSpans(df: DataFrame, id: Column, text: Column,
+                     window: Int): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, tokens}
+    val chunks = TextAnalysis.chunkTokens(fanOut(df), id, text,
+        window, stride = window)
+      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+        fingerprint(tokens(col("chunk_text"))).as("__fp"))
+    val first = chunks.groupBy("__fp")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__first"),
+           count(lit(1)).as("__n"))
+    chunks.join(first, "__fp")
+      .filter(col("__n") > 1 &&
+        !(col("doc_id") === col("__first.doc_id") &&
+          col("chunk_id") === col("__first.chunk_id")))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id").cast("long") * window).as("tok_from"),
+        (col("chunk_id").cast("long") * window + col("chunk_tokens"))
+          .as("tok_to"))
+  }
+
   /** Connected components over a near-dup pair list: the step that turns
     * pairwise similarity output ([[jaccardPairs]] / [[minhashLshPairs]] /
     * [[simhashPairs]] / [[Similarity.cosinePairsLsh]]) into duplicate

@@ -757,6 +757,27 @@ class OpsSpec extends AnyFunSuite {
       s"quantized path agreed on $agree/${exact.size} (need >= 80%)")
   }
 
+  test("duplicate spans cut later occurrences only, first kept") {
+    import spark.implicits._
+    // doc 1: spans A|B ; doc 2: spans B|C (B repeated) ; doc 3: A only
+    val a = (1 to 4).map(i => s"a$i").mkString(" ")
+    val b = (1 to 4).map(i => s"b$i").mkString(" ")
+    val c = (1 to 4).map(i => s"c$i").mkString(" ")
+    val d = Seq((1L, s"$a $b"), (2L, s"$b $c"), (3L, a))
+      .toDF("doc_id", "text")
+    val cuts = Dedup.duplicateSpans(d, col("doc_id"), col("text"),
+      window = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // B's first occurrence is (doc 1, chunk 1) -> cut (doc 2, chunk 0);
+    // A's first is (doc 1, chunk 0) -> cut doc 3's only span
+    assert(cuts == Set((2L, 0, 0L, 4L), (3L, 0, 0L, 4L)))
+    // dup-free corpus -> empty manifest
+    val clean = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    assert(Dedup.duplicateSpans(clean, col("doc_id"), col("text"),
+      4).count() == 0)
+  }
+
   test("semdedup pairs: within-cluster subset of exact; k=1 is exact") {
     val exact = pairSet(Dedup.embeddingPairs(
       embs, col("vec_id"), col("embedding"), 0.4))
