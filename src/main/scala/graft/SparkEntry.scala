@@ -310,6 +310,13 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // Rewrite side of q93: splice repeated spans out, reassemble docs.
+    "q94_dedup_spans" -> ((s, dir) => {
+      graft.ops.Dedup.dedupSpans(t(s, dir, "documents"),
+          col("doc_id"), col("text"), window = 20)
+        .orderBy("doc_id")
+    }),
+
     // Epoch upsampling at rate 2.5: two full copies + a hash-sampled
     // half copy, each tagged with its epoch.
     "q92_epoch_upsample" -> ((s, dir) => {
@@ -1230,6 +1237,44 @@ object SparkEntry {
            CAST(chunk_id AS BIGINT) * 20 AS tok_from,
            CAST(chunk_id AS BIGINT) * 20 + ctok AS tok_to
          FROM r WHERE cnt > 1 AND rn > 1 ORDER BY doc_id, chunk_id""",
+
+    // Span-dedup rewrite: q93's keep-first spans, reassembled in chunk
+    // order per doc; docs reduced to nothing (or null text) come back "".
+    "q94_dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents),
+         s AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+         st AS (SELECT doc_id, ws, n,
+                  CASE WHEN n <= 20 THEN [0]
+                       ELSE list_transform(
+                         range(0, (n - 20 + 19) // 20 + 1), i -> i * 20)
+                  END AS starts
+                FROM s),
+         e AS (SELECT doc_id, ws, n, u.cid AS chunk_id, u.st AS start
+               FROM st, unnest(list_transform(
+                 range(1, len(starts) + 1),
+                 i -> {'cid': i - 1, 'st': starts[i]})) AS t(u)),
+         c AS (SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+                 array_to_string(
+                   list_slice(ws, start + 1, start + 20), ' ') AS ctext,
+                 list_reduce(list_prepend(CAST(7 AS BIGINT),
+                   [CAST(31*length(t) + ascii(substr(t,1,1)) AS BIGINT)
+                    FOR t IN list_slice(ws, start + 1, start + 20)]),
+                   (acc, x) -> (acc*31 + x) % 2147483647) AS fp
+               FROM e),
+         r AS (SELECT doc_id, chunk_id, ctext, fp,
+                 row_number() OVER (PARTITION BY fp
+                   ORDER BY doc_id, chunk_id) AS rn,
+                 count(*) OVER (PARTITION BY fp) AS cnt
+               FROM c),
+         g AS (SELECT doc_id,
+                 string_agg(ctext, ' ' ORDER BY chunk_id)
+                   AS text_deduped
+               FROM r WHERE NOT (cnt > 1 AND rn > 1)
+               GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(g.text_deduped, '') AS text_deduped
+         FROM documents d LEFT JOIN g USING (doc_id)
+         ORDER BY d.doc_id""",
 
     // Epoch upsampling at 2.5: epochs 0,1 always kept; epoch 2 kept
     // when the MINSTD hash (seed 1000003*3 = 3000009, +1 offset) is

@@ -349,13 +349,22 @@ object Dedup {
     * ([[graft.functions.PortableHash]]), kept at 31 here so the DuckDB
     * oracle replays the fold exactly (q93, q27's formula). Tail spans
     * shorter than `window` participate like any other span. */
-  def duplicateSpans(df: DataFrame, id: Column, text: Column,
-                     window: Int): DataFrame = {
+  /** Non-overlapping `window`-token spans of each doc with the rolling
+    * token fingerprint per span — shared by [[duplicateSpans]] (the cut
+    * manifest) and [[dedupSpans]] (the rewrite). */
+  private def spanChunks(df: DataFrame, id: Column, text: Column,
+                         window: Int): DataFrame = {
     import graft.functions.TextFunctions.{fingerprint, tokens}
-    val chunks = TextAnalysis.chunkTokens(fanOut(df), id, text,
-        window, stride = window)
+    TextAnalysis.chunkTokens(fanOut(df), id, text, window,
+        stride = window)
       .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+        col("chunk_text"),
         fingerprint(tokens(col("chunk_text"))).as("__fp"))
+  }
+
+  /** (doc_id, chunk_id) of every span occurrence that is NOT the
+    * corpus-wide first for its fingerprint — the rows to cut. */
+  private def laterSpanOccurrences(chunks: DataFrame): DataFrame = {
     val first = chunks.groupBy("__fp")
       .agg(min(struct(col("doc_id"), col("chunk_id"))).as("__first"),
            count(lit(1)).as("__n"))
@@ -363,10 +372,36 @@ object Dedup {
       .filter(col("__n") > 1 &&
         !(col("doc_id") === col("__first.doc_id") &&
           col("chunk_id") === col("__first.chunk_id")))
+  }
+
+  def duplicateSpans(df: DataFrame, id: Column, text: Column,
+                     window: Int): DataFrame =
+    laterSpanOccurrences(spanChunks(df, id, text, window))
       .select(col("doc_id"), col("chunk_id"),
         (col("chunk_id").cast("long") * window).as("tok_from"),
         (col("chunk_id").cast("long") * window + col("chunk_tokens"))
           .as("tok_to"))
+
+  /** Rewrite side of [[duplicateSpans]]: splice the repeated spans out
+    * and reassemble each document from its surviving spans in order
+    * (the same keep-first / ordered-reassembly contract as
+    * [[dedupParagraphs]], at token-window granularity). Documents whose
+    * every span was cut (or with null text) come back as "". */
+  def dedupSpans(df: DataFrame, id: Column, text: Column,
+                 window: Int): DataFrame = {
+    val chunks = spanChunks(df, id, text, window)
+    val cuts = laterSpanOccurrences(chunks)
+      .select(col("doc_id"), col("chunk_id"))
+    val kept = chunks.join(cuts, Seq("doc_id", "chunk_id"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("chunk_id"),
+            col("chunk_text")))),
+          _.getField("chunk_text")), " ").as("text_deduped"))
+    df.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
 
   /** Connected components over a near-dup pair list: the step that turns

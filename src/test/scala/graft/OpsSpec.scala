@@ -778,6 +778,25 @@ class OpsSpec extends AnyFunSuite {
       4).count() == 0)
   }
 
+  test("dedupSpans splices repeated spans out and reassembles in order") {
+    import spark.implicits._
+    val a = (1 to 4).map(i => s"a$i").mkString(" ")
+    val b = (1 to 4).map(i => s"b$i").mkString(" ")
+    val c = (1 to 4).map(i => s"c$i").mkString(" ")
+    val d = Seq((1L, s"$a $b"), (2L, s"$b $c"), (3L, a), (4L, null))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(d, col("doc_id"), col("text"), window = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // doc 1 keeps both spans; doc 2 loses B (kept-first in doc 1) but
+    // keeps C; doc 3's lone span duplicates A -> empty; null text -> ""
+    assert(out == Map(1L -> s"$a $b", 2L -> c, 3L -> "", 4L -> ""))
+    // dup-free corpus is reassembled verbatim
+    val clean = Seq((1L, s"$a $b"), (2L, c)).toDF("doc_id", "text")
+    val verbatim = Dedup.dedupSpans(clean, col("doc_id"), col("text"), 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verbatim == Map(1L -> s"$a $b", 2L -> c))
+  }
+
   test("semdedup pairs: within-cluster subset of exact; k=1 is exact") {
     val exact = pairSet(Dedup.embeddingPairs(
       embs, col("vec_id"), col("embedding"), 0.4))
