@@ -38,7 +38,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // headline total LAST: the driver records only a bounded tail of
+    // stdout, and with ~90 queries a value printed up front would be
+    // truncated away before anyone reads it
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
     spark.stop()
   }
 }

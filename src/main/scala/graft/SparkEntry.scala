@@ -317,6 +317,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Cluster-policy near-dup removal keeping the BEST member per
+    // duplicate component (longest doc, ties -> min id) — the policy
+    // real pipelines use instead of q57's keep-lowest-id.
+    "q95_cluster_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashLshPairs(d, col("doc_id"),
+          col("text"), tau = 0.6)
+      graft.ops.Dedup.keepBestPerCluster(d, pairs, col("doc_id"),
+          col("n_chars"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Token-budget mixture head: per-source token budgets (even
+    // sources 800, odd 1200), documents taken in deterministic idHash
+    // order until each source's budget is exhausted.
+    "q96_token_budget" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val d = t(s, dir, "documents")
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+      val budgets = (0 until 20).map(i =>
+        s"src$i" -> (if (i % 2 == 0) 800L else 1200L)).toMap
+      graft.ops.Sampling.tokenBudget(d, col("doc_id"), col("source"),
+          col("n_tok"), budgets)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // Epoch upsampling at rate 2.5: two full copies + a hash-sampled
     // half copy, each tagged with its epoch.
     "q92_epoch_upsample" -> ((s, dir) => {
@@ -1275,6 +1303,36 @@ object SparkEntry {
          SELECT d.doc_id, coalesce(g.text_deduped, '') AS text_deduped
          FROM documents d LEFT JOIN g USING (doc_id)
          ORDER BY d.doc_id""",
+
+    // Keep-best cluster policy: same components as q56/q57, survivor =
+    // argmax(n_chars) per component (ties -> min doc_id); docs outside
+    // any component are their own singleton and always survive.
+    "q95_cluster_best" ->
+      (dedupGroupsSql + """
+       SELECT doc_id, source FROM (
+         SELECT d.doc_id, d.source,
+           row_number() OVER (PARTITION BY coalesce(c.comp, d.doc_id)
+             ORDER BY d.n_chars DESC, d.doc_id) AS rn
+         FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+       WHERE rn = 1 ORDER BY doc_id"""),
+
+    // Token-budget head: running token total per source in (hash, id)
+    // order; row kept iff its inclusive running total fits the
+    // source's budget (even-numbered sources 800, odd 1200).
+    "q96_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+           (((((((doc_id + 1) % 2147483647) + 2147483647) % 2147483647)
+              * 48271) % 2147483647) * 48271) % 2147483647 AS hv
+         FROM documents),
+         c AS (SELECT *, sum(n_tok) OVER (PARTITION BY source
+                 ORDER BY hv, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM t)
+         SELECT doc_id, source, n_tok FROM c
+         WHERE cum <= CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+                           THEN 800 ELSE 1200 END
+         ORDER BY doc_id""",
 
     // Epoch upsampling at 2.5: epochs 0,1 always kept; epoch 2 kept
     // when the MINSTD hash (seed 1000003*3 = 3000009, +1 offset) is

@@ -510,6 +510,41 @@ object Dedup {
     labels
   }
 
+  /** Collapse near-dup clusters keeping the BEST-scoring member of each
+    * (ties broken toward the smallest id) — the "keep the longest /
+    * highest-quality duplicate" policy production corpus dedup uses
+    * instead of keep-lowest-id, so the surviving copy is the most
+    * useful one (reference README.md's curation framing; the cluster
+    * step itself is [[connectedComponents]]).
+    *
+    * `pairs` is any near-dup pair list (`id1`/`id2` columns); rows of
+    * `df` absent from `pairs` are singleton clusters and always
+    * survive. Scale shape: the cluster labels join back to the corpus
+    * (labels are pair-graph-sized, usually broadcastable), then ONE
+    * aggregation per cluster — `max(struct(score, -id))` — picks the
+    * representative with map-side partial max; no per-cluster window,
+    * no skew sensitivity beyond the agg's own partial/final split. */
+  def keepBestPerCluster(df: DataFrame, pairs: DataFrame, id: Column,
+                         score: Column): DataFrame = {
+    val reserved = Seq("__kid", "__comp", "__best")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"keepBestPerCluster: column(s) ${clash.mkString(", ")} already exist")
+    val comp = connectedComponents(pairs, col("id1"), col("id2"))
+      .withColumnRenamed("id", "__kid").withColumnRenamed("comp", "__comp")
+    val labeled = df.withColumn("__kid", id)
+      .join(comp, Seq("__kid"), "left")
+      .withColumn("__comp", coalesce(col("__comp"), col("__kid")))
+    // argmax(score) per cluster: lexicographic max of (score, -id)
+    // makes the tiebreak the SMALLEST id, deterministically
+    val best = labeled.groupBy("__comp")
+      .agg(max(struct(score.as("s"), (-col("__kid")).as("negid")))
+        .as("__best"))
+      .select(col("__comp"), (-col("__best.negid")).as("__kid"))
+    labeled.join(best, Seq("__comp", "__kid"), "left_semi")
+      .drop("__kid", "__comp")
+  }
+
   /** Embedding near-dup pairs above a cosine threshold — exact, via
     * block-nested all-pairs. Correct baseline for modest corpora; the
     * scale path is [[Similarity.cosinePairsLsh]] (bucketed). */

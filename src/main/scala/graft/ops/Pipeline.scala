@@ -87,6 +87,14 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
     copy(df = df.join(drop, Seq(idCol), "left_anti"))
   }
 
+  /** [[removeNearDupClusters]] with a keep-BEST policy: the surviving
+    * member of each duplicate cluster is the one maximizing `score`
+    * (ties -> smallest id) instead of the smallest id — keep the
+    * longest / highest-quality copy ([[Dedup.keepBestPerCluster]]). */
+  def removeNearDupClustersKeepBest(tau: Double, score: Column): Pipeline =
+    copy(df = Dedup.keepBestPerCluster(df,
+      Dedup.minhashLshPairs(df, id, text, tau), id, score))
+
   /** Semantic (embedding-space) near-dup removal, SemDeDup-style:
     * cluster-route the document embeddings, find within-cluster cosine
     * pairs ([[Similarity.semDedupPairs]]), drop the higher id of each —

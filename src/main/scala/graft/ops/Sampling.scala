@@ -9,11 +9,13 @@ import org.apache.spark.sql.functions._
   * integer-only arithmetic), so runs are bit-reproducible across
   * engines, re-runs, and cluster sizes: no RNG state, no
   * partition-order dependence, and the DuckDB oracle replays the
-  * identical assignment with the identical formula. All ops are
-  * narrow (filter / projection — no shuffle): at 100 TB a split or a
-  * mixture re-weighting is a single map pass that preserves the
+  * identical assignment with the identical formula. All per-row ops
+  * are narrow (filter / projection — no shuffle): at 100 TB a split
+  * or a mixture re-weighting is a single map pass that preserves the
   * upstream partitioning, and the hash predicate sits directly above
-  * the scan so column pruning and partition pruning survive. */
+  * the scan so column pruning and partition pruning survive. The one
+  * inherently-wide op, [[tokenBudget]] (a running total), uses the
+  * distributed two-pass scan — see its doc. */
 object Sampling {
 
   private val P = 2147483647L // 2^31 - 1 (Mersenne prime)
@@ -142,5 +144,67 @@ object Sampling {
       sampleByHash(df, id, rate, seed + 1000003L * (i + 1))
         .withColumn("mix_source", lit(name))
     }.reduce(_.unionByName(_))
+  }
+
+  /** Token-budget head per group: keep each group's documents — in the
+    * deterministic [[idHash]] order, ties by id — until that group's
+    * token budget is exhausted (a row survives iff the running token
+    * total THROUGH it is <= the budget). This is mixture weighting the
+    * way trainers actually specify it: "200 B tokens of web, 40 B of
+    * books", not per-document keep rates ([[mixCorpora]]). Rows whose
+    * group has no budget are dropped.
+    *
+    * Scale shape — the naive form is a window
+    * `sum over (partition by group order by hash)`, which funnels each
+    * group onto ONE task (a handful of groups = a handful of straggler
+    * tasks at 100 TB). Instead, the same two-pass distributed scan as
+    * [[Packing.orderedCumsum]], grouped: range-partition on (group,
+    * hash, id), aggregate per-(partition, group) token totals
+    * (O(partitions x groups) rows to the driver), convert to
+    * per-(partition, group) starting offsets, broadcast them back, and
+    * finish with a within-partition running sum. Every stage is
+    * distributed; re-execution determinism follows the orderedCumsum
+    * argument (explicit partition count exempts the exchange from AQE
+    * coalescing; range boundaries are sampled with deterministic
+    * seeds). Ids must give a total order within each group. */
+  def tokenBudget(df: DataFrame, id: Column, group: Column, tokens: Column,
+                  budgets: Map[String, Long], seed: Long = 0L,
+                  partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty, "need at least one group budget")
+    require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
+    val reserved = Seq("__g", "__h", "__v", "__pid", "__base")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"tokenBudget: column(s) ${clash.mkString(", ")} already exist")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = df.withColumn("__g", group)
+      .filter(col("__g").isin(budgets.keys.toSeq: _*))
+      .withColumn("__h", idHash(id, seed))
+      .withColumn("__v", coalesce(tokens.cast("long"), lit(0L)))
+      .repartitionByRange(partitions, col("__g"), col("__h"), id)
+      .sortWithinPartitions(col("__g"), col("__h"), id)
+      .withColumn("__pid", spark_partition_id())
+    // per-(partition, group) totals -> per-group prefix offsets; the
+    // driver sees O(partitions x groups) longs, never row data
+    val totals = p.groupBy("__pid", "__g").agg(sum(col("__v")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val bases = totals.groupBy(_._2).iterator.flatMap { case (g, rows) =>
+      val byPid = rows.sortBy(_._1)
+      byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _)).map {
+        case (pid, off) => (pid, g, off)
+      }
+    }.toSeq.toDF("__pid", "__g", "__base")
+    val w = Window.partitionBy(col("__pid"), col("__g"))
+      .orderBy(col("__h"), id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetOf = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, b)) => when(col("__g") === g, b).otherwise(acc)
+    }
+    p.join(broadcast(bases), Seq("__pid", "__g"))
+      .withColumn("__cum", col("__base") + sum(col("__v")).over(w))
+      .filter(col("__cum") <= budgetOf)
+      .drop(reserved :+ "__cum": _*)
   }
 }

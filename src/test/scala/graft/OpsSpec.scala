@@ -797,6 +797,52 @@ class OpsSpec extends AnyFunSuite {
     assert(verbatim == Map(1L -> s"$a $b", 2L -> c))
   }
 
+  test("keepBestPerCluster keeps argmax score, min-id on ties, singletons") {
+    import spark.implicits._
+    // cluster {1,2,3} via chain 1-2, 2-3; doc 4 is a singleton
+    val d = Seq((1L, 10L, "a"), (2L, 30L, "b"), (3L, 30L, "c"),
+                (4L, 5L, "d")).toDF("doc_id", "score", "payload")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id1", "id2")
+    val kept = Dedup.keepBestPerCluster(d, pairs, col("doc_id"),
+      col("score")).select("doc_id").collect().map(_.getLong(0)).toSet
+    // best score 30 is tied between 2 and 3 -> min id 2; singleton 4 stays
+    assert(kept == Set(2L, 4L))
+    // empty pair list -> everything survives
+    val none = spark.emptyDataset[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.keepBestPerCluster(d, none, col("doc_id"),
+      col("score")).count() == 4)
+  }
+
+  test("tokenBudget takes hash-ordered head per group, exact boundary") {
+    import spark.implicits._
+    val d = Seq((1L, "g1", 4L), (2L, "g1", 4L), (3L, "g1", 4L),
+                (4L, "g2", 10L), (5L, "gX", 1L))
+      .toDF("id", "grp", "n")
+    // g1 budget fits exactly two docs (8 tokens); g2's first doc equals
+    // its budget exactly (boundary is inclusive); gX has no budget
+    val kept = Sampling.tokenBudget(d, col("id"), col("grp"), col("n"),
+        Map("g1" -> 8L, "g2" -> 10L), partitions = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(4L) && !kept.contains(5L))
+    assert(kept.count(Set(1L, 2L, 3L)) == 2)
+    // the two survivors are the first two in idHash order — replay it
+    val order = d.filter(col("grp") === "g1")
+      .select(col("id"), Sampling.idHash(col("id")).as("h"))
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted.map(_._2)
+    assert(kept.intersect(Set(1L, 2L, 3L)) == order.take(2).toSet)
+    // null tokens cost 0: they fit ANY budget (even 0 — the rule is
+    // "running total through the row <= budget", and 0 <= 0)
+    val z = Seq((1L, "g", null.asInstanceOf[java.lang.Long]),
+                (2L, "g", java.lang.Long.valueOf(3L)))
+      .toDF("id", "grp", "n")
+    val zeroKept = Sampling.tokenBudget(z, col("id"), col("grp"),
+        col("n"), Map("g" -> 0L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(zeroKept == Set(1L))
+    assert(Sampling.tokenBudget(z, col("id"), col("grp"), col("n"),
+      Map("g" -> 3L)).count() == 2)
+  }
+
   test("semdedup pairs: within-cluster subset of exact; k=1 is exact") {
     val exact = pairSet(Dedup.embeddingPairs(
       embs, col("vec_id"), col("embedding"), 0.4))
