@@ -133,6 +133,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("singlepartition"), p.take(3000))
   }
 
+  test("q96 token budget range-partitions — no one-task-per-group window") {
+    // the trap: `sum() over (partition by source order by hash)` puts
+    // each source on ONE task (20 straggler tasks at 100 TB).
+    // tokenBudget's grouped prefix sum must show a rangepartitioning
+    // exchange, windows keyed by (pid, group), and never a
+    // single-partition stage.
+    val p = plan("q96_token_budget").toLowerCase
+    assert(p.contains("rangepartitioning"), p.take(2000))
+    assert(!p.contains("singlepartition"), p.take(3000))
+  }
+
+  test("q95 keep-best survivor is one aggregation, no per-cluster window") {
+    // the representative choice must be max(struct(score, -id)) — an
+    // agg with map-side partials — not row_number over the cluster key
+    val p = plan("q95_cluster_best").toLowerCase
+    assert(!p.contains("window"), p.take(3000))
+  }
+
   test("q88 semdedup pairs meet through a cluster-key equi-join") {
     // SemDeDup's reason to exist: the pair space is partitioned by the
     // k-means routing, so candidates meet through an equi-join on the
