@@ -330,6 +330,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Naive Bayes seed classifier: src0 as the curated positive set,
+    // everything else as background; every document scored by mean
+    // token log-odds (micro-unit fixed point, oracle-exact).
+    "q97_nb_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.TextAnalysis.nbQualityScore(d, col("doc_id"), col("text"),
+          d.filter(col("source") === "src0"), col("text"),
+          d.filter(col("source") =!= "src0"), col("text"))
+        .select("doc_id", "lo_micro_sum", "n_tokens") // exact integers
+        .orderBy("doc_id")
+    }),
+
     // Token-budget mixture head: per-source token budgets (even
     // sources 800, odd 1200), documents taken in deterministic idHash
     // order until each source's budget is exhausted.
@@ -1315,6 +1327,35 @@ object SparkEntry {
              ORDER BY d.n_chars DESC, d.doc_id) AS rn
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
        WHERE rn = 1 ORDER BY doc_id"""),
+
+    // Naive Bayes: add-one-smoothed unigram log-odds over the union
+    // vocab (src0 = positive), quantized to integer micro-units, then
+    // mean per doc. ln() on identical double ratios both sides.
+    "q97_nb_quality" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                    FROM documents),
+         tk AS (SELECT doc_id, source, tok
+                FROM (SELECT doc_id, source, unnest(ws) AS tok FROM w)
+                WHERE tok != ''),
+         cp AS (SELECT tok, count(*) AS c FROM tk
+                WHERE source = 'src0' GROUP BY 1),
+         cn AS (SELECT tok, count(*) AS c FROM tk
+                WHERE source != 'src0' GROUP BY 1),
+         m0 AS (SELECT coalesce(cp.tok, cn.tok) AS tok,
+                  coalesce(cp.c, 0) AS cp, coalesce(cn.c, 0) AS cn
+                FROM cp FULL JOIN cn ON cp.tok = cn.tok),
+         s AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v
+               FROM m0),
+         m AS (SELECT tok,
+                 CAST(round((ln((cp + 1.0) / (np + v))
+                           - ln((cn + 1.0) / (nn + v))) * 1000000)
+                   AS BIGINT) AS lo
+               FROM m0, s)
+         SELECT doc_id,
+           CAST(sum(lo) AS BIGINT) AS lo_micro_sum,
+           count(*) AS n_tokens
+         FROM tk JOIN m USING (tok)
+         GROUP BY 1 ORDER BY 1""",
 
     // Token-budget head: running token total per source in (hash, id)
     // order; row kept iff its inclusive running total fits the

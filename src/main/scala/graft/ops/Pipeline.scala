@@ -87,6 +87,21 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
     copy(df = df.join(drop, Seq(idCol), "left_anti"))
   }
 
+  /** Keep documents the NB seed classifier scores at or above
+    * `minMeanMicro` micro-units of mean token log-odds
+    * ([[TextAnalysis.nbQualityScore]]; 0 = "more seed-like than
+    * background"). The cut compares integers — lo_micro_sum >=
+    * minMeanMicro * n_tokens — so it is exact and engine-portable. */
+  def filterSeedQuality(pos: DataFrame, posText: Column,
+                        neg: DataFrame, negText: Column,
+                        minMeanMicro: Long): Pipeline = {
+    val keep = TextAnalysis.nbQualityScore(df, id, text,
+        pos, posText, neg, negText)
+      .filter(col("lo_micro_sum") >= lit(minMeanMicro) * col("n_tokens"))
+      .select(col("doc_id").as(idCol))
+    copy(df = df.join(keep, Seq(idCol), "left_semi"))
+  }
+
   /** [[removeNearDupClusters]] with a keep-BEST policy: the surviving
     * member of each duplicate cluster is the one maximizing `score`
     * (ties -> smallest id) instead of the smallest id — keep the

@@ -244,6 +244,67 @@ object TextAnalysis {
              .as("nll"))
   }
 
+  /** Naive Bayes quality classifier — the CCNet/fastText-style seed
+    * classifier in closed form: unigram log-odds are trained from a
+    * positive (curated seed) and a negative (background) document set
+    * with add-one smoothing over the union vocabulary, and each
+    * document is scored by the MEAN token log-odds (positive score =
+    * looks like the seed). Reference framing: README.md's quality
+    * filtering stage; the standard web-corpus curation classifier.
+    *
+    * Scale shape: training is two token-count aggregations plus a
+    * vocab-sized full-outer join; the only driver state is three
+    * scalars (class totals + vocab size). Scoring is one explode, one
+    * model join (broadcast by default — vocab is tiny next to the
+    * corpus; pass broadcastModel=false to shuffle-join with AQE skew
+    * handling when the vocab itself is huge), one per-doc agg.
+    *
+    * Determinism: log-odds are quantized to integer MICRO-UNITS
+    * (round(lo*1e6) as long) before the per-doc sum, so the
+    * aggregation is order-independent integer arithmetic — same
+    * fixed-point discipline as the k-means trainer — and the oracle
+    * replays it exactly. The EXACT outputs are the integer pair
+    * (lo_micro_sum, n_tokens); nb_score = lo_micro_sum/1e6/n_tokens is
+    * derived for convenience and NOT oracle-compared, because a mean
+    * of integers can land on an exact .5 rounding boundary where
+    * engines' float-rounding conventions legitimately differ. Tokens
+    * absent from the model score as the smoothed unknown (count 0 in
+    * both classes). Docs with no tokens produce no row. Output:
+    * (doc_id, lo_micro_sum, n_tokens, nb_score). */
+  def nbQualityScore(df: DataFrame, id: Column, text: Column,
+                     pos: DataFrame, posText: Column,
+                     neg: DataFrame, negText: Column,
+                     broadcastModel: Boolean = true): DataFrame = {
+    def tokCounts(d: DataFrame, t: Column) =
+      d.select(explode(tokens(t)).as("tok")).filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+    val m0 = tokCounts(pos, posText).withColumnRenamed("c", "cp")
+      .join(tokCounts(neg, negText).withColumnRenamed("c", "cn"),
+            Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("cp"), lit(0L)).as("cp"),
+              coalesce(col("cn"), lit(0L)).as("cn"))
+    val row = m0.agg(sum("cp"), sum("cn"), count(lit(1))).collect()(0)
+    val (np, nn, v) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    require(np > 0 && nn > 0,
+      "nbQualityScore: both classes need at least one token")
+    def lo(c: Column, tot: Long): Column =
+      log((c.cast("double") + 1.0) / (tot + v).toDouble)
+    val model = m0.select(col("tok"),
+      round((lo(col("cp"), np) - lo(col("cn"), nn)) * 1e6)
+        .cast("long").as("__lo"))
+    val m = if (broadcastModel) broadcast(model) else model
+    val unk = math.round(
+      (math.log(1.0 / (np + v)) - math.log(1.0 / (nn + v))) * 1e6)
+    df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(m, Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(sum(coalesce(col("__lo"), lit(unk))).as("lo_micro_sum"),
+           count(lit(1)).as("n_tokens"))
+      .withColumn("nb_score",
+        col("lo_micro_sum") / 1e6 / col("n_tokens"))
+  }
+
   /** Sliding token-window chunking — long documents split into
     * `window`-token chunks every `stride` tokens (stride < window =
     * overlap), the standard pre-tokenization shaping for context-bound

@@ -797,6 +797,27 @@ class OpsSpec extends AnyFunSuite {
     assert(verbatim == Map(1L -> s"$a $b", 2L -> c))
   }
 
+  test("NB classifier separates seed from background; unknown scored smoothed") {
+    import spark.implicits._
+    val pos = Seq("good clean prose text", "clean good text").toDF("text")
+    val neg = Seq("spam junk garbage words bad", "junk spam words").toDF("text")
+    val corpus = Seq((1L, "good clean text"), (2L, "spam junk words"),
+                     (3L, "zzz yyy")).toDF("doc_id", "text")
+    val out = TextAnalysis.nbQualityScore(corpus, col("doc_id"),
+        col("text"), pos, col("text"), neg, col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L)._3 > 0, s"seed-like doc should score > 0: ${out(1L)}")
+    assert(out(2L)._3 < 0, s"background doc should score < 0: ${out(2L)}")
+    // doc 3 is all-unknown: each token scores the smoothed-unknown
+    // log-odds ln(1/(np+v)) - ln(1/(nn+v)); np=7, nn=8, v=9
+    val unk = math.round(
+      (math.log(1.0 / (7 + 9)) - math.log(1.0 / (8 + 9))) * 1e6)
+    assert(out(3L)._1 == 2 * unk && out(3L)._2 == 2L)
+    // derived mean is the integer pair's ratio
+    assert(math.abs(out(1L)._3 - out(1L)._1 / 1e6 / out(1L)._2) < 1e-12)
+  }
+
   test("keepBestPerCluster keeps argmax score, min-id on ties, singletons") {
     import spark.implicits._
     // cluster {1,2,3} via chain 1-2, 2-3; doc 4 is a singleton
