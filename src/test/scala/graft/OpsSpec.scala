@@ -797,6 +797,30 @@ class OpsSpec extends AnyFunSuite {
     assert(verbatim == Map(1L -> s"$a $b", 2L -> c))
   }
 
+  test("tokenBudget equals the naive one-task window form (differential)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // skewed groups: g0 has 60 docs, g1 has 3, g2 has 1
+    val rows = (1L to 60L).map(i => (i, "g0", i % 7 + 1)) ++
+      Seq((101L, "g1", 5L), (102L, "g1", 5L), (103L, "g1", 5L),
+          (200L, "g2", 9L))
+    val d = rows.toDF("id", "grp", "n")
+    val budgets = Map("g0" -> 50L, "g1" -> 10L, "g2" -> 4L)
+    val fast = Sampling.tokenBudget(d, col("id"), col("grp"), col("n"),
+        budgets, partitions = 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(Sampling.idHash(col("id")), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budgetOf = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (g, b)) => when(col("grp") === g, b).otherwise(acc) }
+    val naive = d.withColumn("cum", sum(col("n")).over(w))
+      .filter(col("cum") <= budgetOf)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(fast == naive)
+    assert(naive.nonEmpty && !naive.contains(200L)) // g2: 9 > 4 -> dropped
+  }
+
   test("NB classifier separates seed from background; unknown scored smoothed") {
     import spark.implicits._
     val pos = Seq("good clean prose text", "clean good text").toDF("text")
