@@ -96,6 +96,20 @@ object ScaleProbe {
       batchSize = 16).count())
     time("shuffle_shards 50k")(graft.ops.Packing.shuffleShards(
       corpus, col("doc_id"), numShards = 128).count())
+    // token-budget head at 10x with FOUR groups: the naive form would
+    // serialize the corpus through 4 window tasks; the grouped prefix
+    // sum must keep every stage at full parallelism
+    time("token_budget 50k/4grp")(graft.ops.Sampling.tokenBudget(
+      corpus.withColumn("grp", concat(lit("g"), col("doc_id") % 4))
+        .withColumn("n_tok", length(col("text"))),
+      col("doc_id"), col("grp"), col("n_tok"),
+      (0 until 4).map(i => s"g$i" -> 500000L).toMap).count())
+    // NB classifier at 10x: two count-aggs to train, one vocab join to
+    // score — cost must track token count, vocab stays tiny
+    time("nb_quality 50k")(graft.ops.TextAnalysis.nbQualityScore(
+      corpus, col("doc_id"), col("text"),
+      corpus.filter(col("doc_id") % 10 === 0), col("text"),
+      corpus.filter(col("doc_id") % 10 =!= 0), col("text")).count())
     spark.stop()
   }
 }
