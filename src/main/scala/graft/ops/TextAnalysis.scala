@@ -40,8 +40,19 @@ object TextAnalysis {
       length(text).as("n_chars"),
       x1e4(uniq).as("uniq_x1e4"),
       x1e4(stop).as("stop_x1e4"),
-      x1e4(uniq * 0.5 + least(nTok / lit(100.0), lit(1.0)) * 0.3 + stop * 0.2)
-        .as("quality_x1e4"))
+      qualityScoreX1e4(text).as("quality_x1e4"))
+  }
+
+  /** The composite quality score of [[quality]] as a bare Column —
+    * a pure per-row expression, so it runs identically on batch frames
+    * and unbounded streams (no shuffle, no state). */
+  def qualityScoreX1e4(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / nTok
+    val stop = langScore(toks, "en").cast("double") / nTok
+    floor((uniq * 0.5 + least(nTok / lit(100.0), lit(1.0)) * 0.3 +
+           stop * 0.2) * 10000.0 + 0.5).cast("long")
   }
 
   /** Rolling-hash fingerprint per document (content-defined identity

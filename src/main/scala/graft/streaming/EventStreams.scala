@@ -66,6 +66,45 @@ object EventStreams {
       .drop(r(key))
   }
 
+  /** Streaming document curation — the ingest-side funnel: language
+    * gate, composite-quality cut, PII scrub, then exact dedup on a
+    * token-prefix key within the watermark horizon. The first three
+    * stages are pure per-row expressions (the SAME expressions as the
+    * batch ops — [[graft.ops.TextAnalysis.qualityScoreX1e4]] etc.), so
+    * they add no state; the only stateful op is the dedup, bounded by
+    * (arrival rate x watermark horizon) and evicted by event time.
+    * One shuffle total (the dedup's key exchange). Streaming twin of
+    * `Pipeline.filterLang → filterQuality → redactPii →
+    * dedupExactByPrefix`; "keep-first" is arrival order here — an
+    * unbounded stream has no total id order to keep-min over.
+    *
+    * Expects columns (doc_id, text, `tsCol`); emits (doc_id, ts,
+    * clean_text, quality_x1e4). */
+  def curateDocStream(stream: DataFrame, lang: String,
+                      minQualityX1e4: Long, dedupPrefixTokens: Int,
+                      tsCol: String = "ts",
+                      watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.TextFunctions.{langId, tokens}
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val num = "\\b\\d{9,}\\b"
+    val scrubbed = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), email, "<EMAIL>"), ip, "<IP>"), num, "<NUM>")
+    stream
+      .filter(langId(tokens(col("text"))) === lang)
+      .filter(graft.ops.TextAnalysis.qualityScoreX1e4(col("text"))
+        >= minQualityX1e4)
+      .select(col("doc_id"), col(tsCol).as("ts"),
+        scrubbed.as("clean_text"),
+        graft.ops.TextAnalysis.qualityScoreX1e4(col("text"))
+          .as("quality_x1e4"),
+        concat_ws(" ", slice(tokens(col("text")), 1, dedupPrefixTokens))
+          .as("__prefix"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__prefix")
+      .drop("__prefix")
+  }
+
   final case class Ev(user_id: Long, tsSec: Long)
   final case class SessionState(lastTs: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long,

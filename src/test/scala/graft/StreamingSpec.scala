@@ -65,6 +65,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L, 3L)) // exactly one row per key
   }
 
+  test("streaming doc curation matches the batch funnel's keep set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    // real corpus docs + one planted PII doc, fed across two batches
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).take(60)
+    val pii = (9000L,
+      "the and is of a table row scan contact bob@example.com now " +
+      "the and is of a table row scan value key part merge sort")
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = ms.toDS().toDF("doc_id", "text", "ts")
+    val q = EventStreams.curateDocStream(stream, lang = "en",
+        minQualityX1e4 = 3000L, dedupPrefixTokens = 8)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.take(30).map { case (i, s) => (i, s, t(0)) }.toSeq: _*)
+      q.processAllAvailable()
+      ms.addData((docs.drop(30).map { case (i, s) => (i, s, t(1)) }
+        :+ ((pii._1, pii._2, t(1)))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("curated")
+    // PII is scrubbed in the emitted text
+    val piiRows = got.filter(col("doc_id") === 9000L)
+      .select("clean_text").collect()
+    if (piiRows.nonEmpty) {
+      assert(piiRows.head.getString(0).contains("<EMAIL>"))
+      assert(!piiRows.head.getString(0).contains("bob@example.com"))
+    }
+    // the batch funnel over the same rows: same lang/quality gates,
+    // same prefix-dedup KEY SET (keep policy differs: arrival vs min
+    // id — compare the set of surviving prefix keys, which is policy-
+    // invariant, and that each key survives exactly once)
+    val all = (docs :+ ((pii._1, pii._2))).toSeq.toDF("doc_id", "text")
+    val batch = ops.Pipeline(all, "doc_id", "text")
+      .filterLang("en").filterQuality(3000L).dedupExactByPrefix(8)
+      .result
+    def keyOf = concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+    val wantKeys = batch.select(keyOf).collect().map(_.getString(0)).toSet
+    val gotIds = got.select("doc_id").collect().map(_.getLong(0))
+    assert(gotIds.length == gotIds.distinct.length)
+    val gotKeys = all.join(got.select("doc_id"), "doc_id")
+      .select(keyOf).collect().map(_.getString(0)).toSet
+    assert(gotKeys == wantKeys)
+    assert(gotIds.length == wantKeys.size)
+  }
+
   test("stream-static broadcast dim join enriches micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
