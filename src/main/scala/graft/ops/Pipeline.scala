@@ -174,6 +174,15 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
   /** Surviving documents, original schema. */
   def result: DataFrame = df
 
+  /** Terminal: write the surviving corpus as deterministic shuffle
+    * shards (one partition dir per shard, `pos_in_shard` order key)
+    * and return the shard manifest
+    * ([[graft.sources.Sources.writeShards]]). */
+  def writeSharded(path: String, numShards: Int,
+                   seed: Long = 0L): DataFrame =
+    graft.sources.Sources.writeShards(df, id, textCol, path, numShards,
+      seed)
+
   /** Terminal: context-window chunks of the surviving corpus
     * ([[TextAnalysis.chunkTokens]]). */
   def chunks(window: Int, stride: Int): DataFrame =

@@ -97,6 +97,32 @@ object Sources {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Training-data delivery terminal: assign every document to a
+    * deterministic shuffle shard ([[graft.ops.Packing.shuffleShards]] —
+    * hash-ordered global positions, round-robin over shards, so shard
+    * sizes differ by at most one doc), write one partition directory
+    * per shard (with `pos_in_shard` preserved for deterministic
+    * in-shard order), and return the shard MANIFEST — (shard, n_docs,
+    * n_chars) — the sidecar a trainer's reader uses to size and resume
+    * per shard. Cost: shuffleShards' range exchange, a doc_id join, one
+    * shard-keyed exchange into the writer; the manifest is a tiny agg
+    * on the same frame. `df` must carry `textCol` and a unique `id`. */
+  def writeShards(df: DataFrame, id: org.apache.spark.sql.Column,
+                  textCol: String, path: String, numShards: Int,
+                  seed: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val assigned = graft.ops.Packing.shuffleShards(df, id, numShards, seed)
+    val data = df.withColumn("__id", id)
+      .join(assigned.withColumnRenamed("doc_id", "__id"), "__id")
+      .drop("__id")
+    data.repartition(numShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    data.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(length(col(textCol))).as("n_chars"))
+      .orderBy("shard")
+  }
+
   /** Bucketed + sorted managed-table write: the co-located-join primitive.
     * Two tables bucketed the same way (same keys, same bucket count) join
     * or aggregate on those keys with NO shuffle — the single biggest win

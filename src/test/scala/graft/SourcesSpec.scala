@@ -64,6 +64,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || plan.contains("n_regionkey"))
   }
 
+  test("sharded write produces balanced shard dirs and a true manifest") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val manifest = Sources.writeShards(docs, col("doc_id"), "text",
+      dir, numShards = 8).collect()
+    // all shards present, balanced to within one doc
+    assert(manifest.map(_.getLong(0)).toSeq == (0L until 8L))
+    val sizes = manifest.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1)
+    assert(sizes.sum == docs.count())
+    // manifest counts match what a reader actually finds per shard dir
+    // (partition-dir inference reads `shard` back as int)
+    val back = spark.read.parquet(dir)
+    val found = back.groupBy("shard").agg(
+        count(lit(1)).as("n"), sum(length(col("text"))).as("c"))
+      .collect().map(r => r.getInt(0).toLong -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    manifest.foreach { r =>
+      assert(found(r.getLong(0)) == ((r.getLong(1), r.getLong(2))))
+    }
+    // in-shard order key survives the round trip and is dense
+    val pos = back.filter(col("shard") === 0)
+      .select("pos_in_shard").collect().map(_.getLong(0)).sorted
+    assert(pos.head == 0L && pos.last == pos.length - 1L)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
     Sources.writeParquet(nation, dir, partitionBy = Seq("n_regionkey"))
