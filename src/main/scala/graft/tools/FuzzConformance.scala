@@ -108,9 +108,12 @@ object FuzzConformance {
     val wheres = Seq.fill(nWhere)(genWhere(r, c))
     val whereSql =
       if (wheres.isEmpty) "" else wheres.map(_._2).mkString(" WHERE ", " AND ", "")
-    // q60..q71 for the original 12; later additions jump to q83+ (the
-    // q72..q82 block is taken by named queries)
-    val name = if (n < 12) s"q${60 + n}_fuzz" else s"q${71 + n}_fuzz"
+    // q60..q71 for the original 12; the next 4 take q83..q86, later
+    // additions jump to q98+ (q72..q82 and q87..q97 are named queries)
+    val name =
+      if (n < 12) s"q${60 + n}_fuzz"
+      else if (n < 16) s"q${71 + n}_fuzz"
+      else s"q${82 + n}_fuzz"
 
     shape match {
       case 0 => // projection (+ one computed column), total order
@@ -281,7 +284,7 @@ object FuzzConformance {
   def specs: Seq[Spec] = {
     val r = new scala.util.Random(20260812L)
     val nShapes = 7
-    (0 until 16).map(i =>
+    (0 until 20).map(i =>
       genSpec(r, i, if (i < nShapes) i else r.nextInt(nShapes)))
   }
 }
