@@ -519,11 +519,15 @@ object Dedup {
     *
     * `pairs` is any near-dup pair list (`id1`/`id2` columns); rows of
     * `df` absent from `pairs` are singleton clusters and always
-    * survive. Scale shape: the cluster labels join back to the corpus
-    * (labels are pair-graph-sized, usually broadcastable), then ONE
-    * aggregation per cluster — `max(struct(score, -id))` — picks the
-    * representative with map-side partial max; no per-cluster window,
-    * no skew sensitivity beyond the agg's own partial/final split. */
+    * survive. Null scores sort below every non-null score (struct max
+    * ordering), so an unscored member never beats a scored one; an
+    * all-null cluster falls back to the min-id tiebreak. Ids must be
+    * numeric (the tiebreak negates them). Scale shape: the cluster
+    * labels join back to the corpus (labels are pair-graph-sized,
+    * usually broadcastable), then ONE aggregation per cluster —
+    * `max(struct(score, -id))` — picks the representative with
+    * map-side partial max; no per-cluster window, no skew sensitivity
+    * beyond the agg's own partial/final split. */
   def keepBestPerCluster(df: DataFrame, pairs: DataFrame, id: Column,
                          score: Column): DataFrame = {
     val reserved = Seq("__kid", "__comp", "__best")

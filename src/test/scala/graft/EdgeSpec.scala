@@ -23,6 +23,24 @@ class EdgeSpec extends AnyFunSuite {
     }
   }
 
+  test("keepBestPerCluster: null scores lose to any scored member") {
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2}: doc 1 unscored (null), doc 2 scored -> 2 survives;
+    // cluster {3,4}: both null -> struct tiebreak falls to min id 3
+    val d = Seq((1L, Option.empty[Long]), (2L, Some(5L)),
+                (3L, Option.empty[Long]), (4L, Option.empty[Long]))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id1", "id2")
+    val kept = Dedup.keepBestPerCluster(d, pairs, col("doc_id"),
+      col("score")).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // empty corpus with a (dangling) pair list: no rows survive, no crash
+    val none = emptyDocs.withColumn("score",
+      org.apache.spark.sql.functions.lit(1L))
+    assert(Dedup.keepBestPerCluster(none, pairs, col("doc_id"),
+      col("score")).count() == 0)
+  }
+
   test("text analysis handles empty corpus and empty strings") {
     val weird = Seq((1L, ""), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
     assert(TextAnalysis.langIdOf(weird, col("doc_id"), col("text")).count() == 3)
