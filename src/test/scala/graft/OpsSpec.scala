@@ -821,6 +821,18 @@ class OpsSpec extends AnyFunSuite {
     assert(naive.nonEmpty && !naive.contains(200L)) // g2: 9 > 4 -> dropped
   }
 
+  test("tokenBudget is partition-count invariant") {
+    import graft.functions.TextFunctions.tokens
+    val d = docs.withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+    val budgets = (0 until 20).map(i => s"src$i" -> 700L).toMap
+    def run(p: Int) = Sampling.tokenBudget(d, col("doc_id"),
+        col("source"), col("n_tok"), budgets, partitions = p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r2 = run(2)
+    assert(r2 == run(17) && r2 == run(64))
+    assert(r2.nonEmpty)
+  }
+
   test("NB classifier separates seed from background; unknown scored smoothed") {
     import spark.implicits._
     val pos = Seq("good clean prose text", "clean good text").toDF("text")
