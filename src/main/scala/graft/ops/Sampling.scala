@@ -146,6 +146,30 @@ object Sampling {
     }.reduce(_.unionByName(_))
   }
 
+  /** Temperature-scaled mixture (the multilingual-LM alpha-sampling
+    * knob): per-source keep rates proportional to n_i^(alpha-1),
+    * normalized so the most-upweighted source keeps everything —
+    * alpha=1 reproduces natural proportions (all rates 1), alpha->0
+    * approaches uniform over sources. Realized by [[mixCorpora]]'s
+    * deterministic hash sampling. Driver state: one count per source
+    * (a metadata-cheap agg each, never row data). */
+  def mixCorporaTemperature(sources: Seq[(String, DataFrame)],
+                            id: Column, alpha: Double,
+                            seed: Long = 0L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0,
+      s"alpha must be in (0, 1], got $alpha")
+    require(sources.nonEmpty, "need at least one source")
+    val weights = sources.map { case (name, df) =>
+      val n = df.count()
+      require(n > 0, s"source $name is empty")
+      name -> math.pow(n.toDouble, alpha - 1.0)
+    }.toMap
+    val maxW = weights.values.max
+    mixCorpora(sources.map { case (name, df) =>
+      (name, df, weights(name) / maxW)
+    }, id, seed)
+  }
+
   /** Token-budget head per group: keep each group's documents — in the
     * deterministic [[idHash]] order, ties by id — until that group's
     * token budget is exhausted (a row survives iff the running token

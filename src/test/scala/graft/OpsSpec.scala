@@ -821,6 +821,23 @@ class OpsSpec extends AnyFunSuite {
     assert(naive.nonEmpty && !naive.contains(200L)) // g2: 9 > 4 -> dropped
   }
 
+  test("temperature mixing upweights small sources, alpha=1 is natural") {
+    import spark.implicits._
+    val big = (1L to 1000L).map(i => (i, "b")).toDF("id", "payload")
+    val small = (10001L to 10100L).map(i => (i, "s")).toDF("id", "payload")
+    val mixed = Sampling.mixCorporaTemperature(
+        Seq("big" -> big, "small" -> small), col("id"), alpha = 0.5)
+      .groupBy("mix_source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rate_small = 1 (most upweighted); rate_big = (1000/100)^-0.5 = 0.316
+    assert(mixed("small") == 100L)
+    assert(mixed("big") > 250 && mixed("big") < 390, mixed.toString)
+    // alpha = 1: natural proportions, every source kept whole
+    val nat = Sampling.mixCorporaTemperature(
+        Seq("big" -> big, "small" -> small), col("id"), alpha = 1.0)
+    assert(nat.count() == 1100L)
+  }
+
   test("tokenBudget is partition-count invariant") {
     import graft.functions.TextFunctions.tokens
     val d = docs.withColumn("n_tok", size(tokens(col("text"))).cast("long"))
