@@ -197,7 +197,8 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     require(budgets.nonEmpty, "need at least one group budget")
     require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
-    val reserved = Seq("__g", "__h", "__v", "__pid", "__base")
+    val reserved = Seq("__g", "__h", "__v", "__pid", "__base",
+      "__budget", "__cum")
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
       s"tokenBudget: column(s) ${clash.mkString(", ")} already exist")
@@ -211,24 +212,24 @@ object Sampling {
       .sortWithinPartitions(col("__g"), col("__h"), id)
       .withColumn("__pid", spark_partition_id())
     // per-(partition, group) totals -> per-group prefix offsets; the
-    // driver sees O(partitions x groups) longs, never row data
+    // driver sees O(partitions x groups) longs, never row data. The
+    // group's budget rides along in the same broadcast frame (a
+    // when-ladder over budgets would grow a case expression per group
+    // — fine for 20 sources, pathological for 20k domains)
     val totals = p.groupBy("__pid", "__g").agg(sum(col("__v")).as("t"))
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
     val bases = totals.groupBy(_._2).iterator.flatMap { case (g, rows) =>
       val byPid = rows.sortBy(_._1)
       byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _)).map {
-        case (pid, off) => (pid, g, off)
+        case (pid, off) => (pid, g, off, budgets(g))
       }
-    }.toSeq.toDF("__pid", "__g", "__base")
+    }.toSeq.toDF("__pid", "__g", "__base", "__budget")
     val w = Window.partitionBy(col("__pid"), col("__g"))
       .orderBy(col("__h"), id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val budgetOf = budgets.foldLeft(lit(null).cast("long")) {
-      case (acc, (g, b)) => when(col("__g") === g, b).otherwise(acc)
-    }
     p.join(broadcast(bases), Seq("__pid", "__g"))
       .withColumn("__cum", col("__base") + sum(col("__v")).over(w))
-      .filter(col("__cum") <= budgetOf)
-      .drop(reserved :+ "__cum": _*)
+      .filter(col("__cum") <= col("__budget"))
+      .drop(reserved: _*)
   }
 }

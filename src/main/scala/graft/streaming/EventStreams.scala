@@ -92,14 +92,13 @@ object EventStreams {
       col("text"), email, "<EMAIL>"), ip, "<IP>"), num, "<NUM>")
     stream
       .filter(langId(tokens(col("text"))) === lang)
-      .filter(graft.ops.TextAnalysis.qualityScoreX1e4(col("text"))
-        >= minQualityX1e4)
       .select(col("doc_id"), col(tsCol).as("ts"),
         scrubbed.as("clean_text"),
         graft.ops.TextAnalysis.qualityScoreX1e4(col("text"))
           .as("quality_x1e4"),
         concat_ws(" ", slice(tokens(col("text")), 1, dedupPrefixTokens))
           .as("__prefix"))
+      .filter(col("quality_x1e4") >= minQualityX1e4)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__prefix")
       .drop("__prefix")
