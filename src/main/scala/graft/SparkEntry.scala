@@ -1144,9 +1144,9 @@ object SparkEntry {
                 FROM documents)
          SELECT p.id1, p.id2, p.jaccard,
                 a.split AS split1, b.split AS split2
-         FROM pr p JOIN sp a ON p.id1 = a.doc_id
-                   JOIN sp b ON p.id2 = b.doc_id
-         WHERE a.split != b.split ORDER BY 1, 2""",
+         FROM pr p LEFT JOIN sp a ON p.id1 = a.doc_id
+                   LEFT JOIN sp b ON p.id2 = b.doc_id
+         WHERE a.split IS DISTINCT FROM b.split ORDER BY 1, 2""",
 
     // SemDeDup: the q51 fixed-point k-means CTEs (k=8, 2 Lloyd
     // iterations, micro-unit centroids) route every vector, then pairs

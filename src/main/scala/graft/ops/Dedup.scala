@@ -169,22 +169,37 @@ object Dedup {
     val m = math.max(1024L,
       java.lang.Long.highestOneBit(
         math.max(1L, bitsPerKey.toLong * hashes.length) * 2 - 1))
-    val shifts = Seq(0, 7, 14, 21, 28, 35, 42, 49)
+    // Kirsch-Mitzenmacher double hashing: probe i at (h1 + i*h2) mod m
+    // with h1/h2 the hash halves and h2 forced odd (a generator mod a
+    // power of two). Shifted overlapping windows of one 64-bit hash
+    // (the previous scheme) correlate the probes — with log2(m) > 7
+    // adjacent windows share bits and the top window runs off the
+    // hash, inflating the false-positive rate well above the k=8
+    // sizing math; independent-probe FPR is what the bitsPerKey
+    // dimensioning assumes.
+    val nProbes = 8
     val words = new Array[Long]((m / 64).toInt)
-    for (x <- hashes; s <- shifts) {
-      val pos = ((x >>> s) & (m - 1)).toInt
-      words(pos >>> 6) |= 1L << (pos & 63)
+    for (x <- hashes) {
+      val h1 = x & 0xffffffffL
+      val h2 = (x >>> 32) | 1L
+      for (i <- 0 until nProbes) {
+        val pos = ((h1 + i * h2) & (m - 1)).toInt
+        words(pos >>> 6) |= 1L << (pos & 63)
+      }
     }
     val wordsLit = typedlit(words.toSeq)
-    def probe(h: Column, s: Int): Column = {
-      val pos = shiftrightunsigned(h, s).bitwiseAND(lit(m - 1))
+    def probe(h: Column, i: Int): Column = {
+      val h1 = h.bitwiseAND(lit(0xffffffffL))
+      val h2 = shiftrightunsigned(h, 32).bitwiseOR(lit(1L))
+      val pos = (h1 + lit(i.toLong) * h2).bitwiseAND(lit(m - 1))
       val word = element_at(wordsLit,
         shiftrightunsigned(pos, 6).cast("int") + 1)
       word.bitwiseAND(
         call_function("shiftleft", lit(1L),
           pos.bitwiseAND(lit(63L)).cast("int"))) =!= lit(0L)
     }
-    val mayMatch = shifts.map(probe(col("__h"), _)).reduce(_ && _)
+    val mayMatch = (0 until nProbes).map(probe(col("__h"), _))
+      .reduce(_ && _)
     fanOut(corpus)
       .select(corpusId.as("id"), explode(shingles(corpusText, n)).as("ng"))
       .withColumn("__h", xxhash64(col("ng")))
@@ -213,15 +228,20 @@ object Dedup {
     * train/val/test assignment (a test doc with a train near-twin
     * inflates benchmarks exactly like decontamination misses do).
     * `pairs` is any (id1, id2, ...) pair frame (exact or LSH);
-    * `splits` maps id -> split label. Two equi-joins on the pair ids;
-    * the pair frame is duplicate-survivor-sized, so AQE broadcasts it
-    * when it fits. */
+    * `splits` maps id -> split label. Two LEFT joins on the pair ids —
+    * a pair member missing from `splits` (stale or filtered
+    * assignment) surfaces with a NULL split and counts as leakage
+    * against any labeled twin, instead of silently vanishing from the
+    * report (an inner join would turn "this doc was never assigned"
+    * into "no leakage found"). Pairs where BOTH members are unlabeled
+    * are not cross-split and are dropped. The pair frame is
+    * duplicate-survivor-sized, so AQE broadcasts it when it fits. */
   def crossSplitPairs(pairs: DataFrame, splits: DataFrame,
                       splitId: Column, splitLabel: Column): DataFrame = {
     val a = splits.select(splitId.as("id1"), splitLabel.as("split1"))
     val b = splits.select(splitId.as("id2"), splitLabel.as("split2"))
-    pairs.join(a, "id1").join(b, "id2")
-      .filter(col("split1") =!= col("split2"))
+    pairs.join(a, Seq("id1"), "left").join(b, Seq("id2"), "left")
+      .filter(!(col("split1") <=> col("split2")))
   }
 
   /** MinHash + LSH near-dup pairs: band-bucket join generates candidates

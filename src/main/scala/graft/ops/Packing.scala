@@ -20,40 +20,53 @@ object Packing {
     * starting offsets added to a within-partition running sum — every
     * stage distributed, the collect O(partitions). Output = input
     * columns + `offset`. The result depends only on the total order,
-    * not on where range boundaries land, so it is deterministic even
-    * though repartitionByRange samples. `order` must be a key (total
+    * not on where range boundaries land. `order` must be a key (total
     * order); duplicate order values would make the within-duplicate
-    * offset assignment partition-dependent. */
+    * offset assignment partition-dependent.
+    *
+    * The partitioned frame is MATERIALIZED (localCheckpoint) before
+    * the totals job: the totals collect and the caller's final action
+    * are separate jobs, and RangePartitioner's reservoir sample is
+    * seeded from the (per-job) RDD id — on inputs big enough that the
+    * sample is a strict subsample, two executions could cut different
+    * range boundaries, silently pairing per-partition offsets with the
+    * wrong row sets. Pinning the exchange once removes the re-plan
+    * entirely (small fixtures are sampled in full and hide this, so
+    * it is a scale-only corruption — the worst kind). On a cluster
+    * with unreliable executors swap in a reliable `.checkpoint()`,
+    * same as [[graft.ops.Dedup.connectedComponents]]. */
   def orderedCumsum(df: DataFrame, order: Column, value: Column,
                     partitions: Int, offsetName: String = "offset")
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val reserved = Seq("__pid", "__v", offsetName)
+    val reserved = Seq("__pid", "__v", "__base", offsetName)
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
       s"orderedCumsum: column(s) ${clash.mkString(", ")} already exist")
-    // EXPLICIT partition count is load-bearing: the totals job below
-    // and the final job both re-execute this exchange, and a
-    // user-specified numPartitions is exempt from AQE coalescing, so
-    // both jobs see identical partition ids. (Range boundaries are
-    // sampled with deterministic per-partition seeds, so re-execution
-    // cuts the same ranges.)
+    // EXPLICIT partition count is load-bearing: a user-specified
+    // numPartitions is exempt from AQE coalescing, so the checkpointed
+    // partitioning is exactly what was asked for.
     val p = df.withColumn("__v", value.cast("long"))
       .repartitionByRange(partitions, order)
       .sortWithinPartitions(order)
       .withColumn("__pid", spark_partition_id())
-    // per-partition totals -> prefix offsets (partition count rows)
+      .localCheckpoint()
+    // per-partition totals -> prefix offsets (partition count rows),
+    // broadcast back as a frame (a when-ladder per partition would put
+    // an O(partitions)-branch case expression in every row's path)
     val totals = p.groupBy("__pid").agg(sum(col("__v")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val prefix = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _)).toMap
-    val offsetOf = prefix.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, off).otherwise(acc)
-    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bases = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
+      .toSeq.toDF("__pid", "__base")
     val w = Window.partitionBy(col("__pid")).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    p.withColumn(offsetName, offsetOf + sum(col("__v")).over(w) - col("__v"))
-      .drop("__pid", "__v")
+    p.join(broadcast(bases), Seq("__pid"))
+      .withColumn(offsetName,
+        col("__base") + sum(col("__v")).over(w) - col("__v"))
+      .drop("__pid", "__v", "__base")
   }
 
   /** Pack the corpus token stream (docs laid end-to-end in `id` order)

@@ -84,11 +84,16 @@ object Relational {
     require(clash.isEmpty,
       s"saltedJoin: reserved working column(s) ${clash.mkString(", ")} " +
       "already present — rename them first")
-    // deterministic per-row salt: hash of the whole row spreads even a
-    // single key value; any stable distribution works because the
-    // right replicas cover every salt bucket
+    // per-row salt: whole-row hash PLUS a per-row ordinal — skew in
+    // pre-dedup corpora is often exact duplicate rows, and a pure
+    // content hash would put the whole hot clump in ONE salt bucket
+    // (the original straggler, after paying the replication). The
+    // ordinal makes duplicates fan out; join RESULTS never depend on
+    // which bucket a row lands in (right replicas cover every bucket),
+    // so the physical nondeterminism of the ordinal is harmless.
     val l = left.withColumn("__salt",
-      pmod(hash(left.columns.map(col): _*), lit(salt)))
+      pmod(hash(left.columns.map(col) :+
+        monotonically_increasing_id(): _*), lit(salt)))
     val r = right.withColumn("__rep",
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(r, l(key) === r(key) && col("__salt") === col("__rep"),
@@ -146,18 +151,24 @@ object Relational {
                           partitions: Int = 32): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"fraction must be in [0,1], got $fraction")
-    val reserved = Seq("__g", "__ns", "__i", "__pos", "__g0", "__n")
+    val reserved = Seq("__g", "__nn", "__ns", "__i", "__pos", "__g0", "__n")
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
       s"topFractionPerGroup: column(s) ${clash.mkString(", ")} reserved")
+    // __nn ranks null scores LAST (false < true) — the window reference
+    // form (score desc = NULLS LAST) must agree, and -null is null,
+    // which ascending order would otherwise put FIRST (always kept)
     val keyed = df.withColumn("__g", group)
+      .withColumn("__nn", score.isNull)
       .withColumn("__ns", -score).withColumn("__i", id)
     val pos = Packing.orderedCumsum(keyed,
-      struct(col("__g"), col("__ns"), col("__i")), lit(1L), partitions,
-      offsetName = "__pos")
-    val starts = pos.groupBy("__g")
+      struct(col("__g"), col("__nn"), col("__ns"), col("__i")), lit(1L),
+      partitions, offsetName = "__pos")
+    val starts = pos.groupBy(col("__g").as("__g2"))
       .agg(min(col("__pos")).as("__g0"), count(lit(1)).as("__n"))
-    pos.join(broadcast(starts), "__g")
+    // null-SAFE group match: groupBy keeps a null group, a plain
+    // equi-join would silently drop its rows
+    pos.join(broadcast(starts), col("__g") <=> col("__g2"))
       .filter(col("__pos") - col("__g0") <
         floor(col("__n") * fraction).cast("long"))
       .select(df.columns.map(col).toIndexedSeq: _*)

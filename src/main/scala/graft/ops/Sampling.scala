@@ -204,6 +204,12 @@ object Sampling {
       s"tokenBudget: column(s) ${clash.mkString(", ")} already exist")
     val spark = df.sparkSession
     import spark.implicits._
+    // materialized (localCheckpoint) for the same reason as
+    // orderedCumsum: the totals job and the final job must see the
+    // SAME range boundaries, and RangePartitioner samples with a
+    // per-job rdd.id-derived seed — without the pin, a strict
+    // subsample at scale can cut different boundaries per job and
+    // mis-base the running totals
     val p = df.withColumn("__g", group)
       .filter(col("__g").isin(budgets.keys.toSeq: _*))
       .withColumn("__h", idHash(id, seed))
@@ -211,6 +217,7 @@ object Sampling {
       .repartitionByRange(partitions, col("__g"), col("__h"), id)
       .sortWithinPartitions(col("__g"), col("__h"), id)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // per-(partition, group) totals -> per-group prefix offsets; the
     // driver sees O(partitions x groups) longs, never row data. The
     // group's budget rides along in the same broadcast frame (a

@@ -22,9 +22,14 @@ object Similarity {
                      id: Column, vec: Column,
                      qid: Column, qvec: Column, k: Int): DataFrame = {
     // norms once per row, not per (query, corpus) pair — bit-identical
+    // null embeddings are not candidates or queries (same silent-
+    // exclusion contract as Dedup.embeddingPairs / cosinePairsLsh);
+    // without the filter a null score would rank as 0.0 in topKScored
     val c = Dedup.fanOut(corpus).select(id.as("nbr"), toDouble(vec).as("v"))
+      .filter(col("v").isNotNull)
       .withColumn("nrm", l2norm(col("v")))
     val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+      .filter(col("qv").isNotNull)
       .withColumn("qnrm", l2norm(col("qv")))
     val d = col("qnrm") * col("nrm")
     val cos = when(d === 0.0, 0.0).otherwise(dot(col("qv"), col("v")) / d)
@@ -65,9 +70,11 @@ object Similarity {
           floor(x * lit(127.0) / ma + 0.5).cast("double")))
     }
     val c = Dedup.fanOut(corpus).select(id.as("nbr"), toDouble(vec).as("v"))
+      .filter(col("v").isNotNull) // null embeddings excluded (see bruteForceTopK)
       .withColumn("v8", quantize(col("v")))
       .withColumn("n8", l2norm(col("v8")))
     val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+      .filter(col("qv").isNotNull)
       .withColumn("q8", quantize(col("qv")))
       .withColumn("qn8", l2norm(col("q8")))
     val d8 = col("qn8") * col("n8")
@@ -124,6 +131,7 @@ object Similarity {
               k: Int, nLists: Int = 16, nProbe: Int = 4,
               trained: Option[Seq[Seq[Double]]] = None): DataFrame = {
     val c = Dedup.fanOut(corpus).select(id.as("nbr"), toDouble(vec).as("v"))
+      .filter(col("v").isNotNull) // null embeddings excluded (see bruteForceTopK)
     val centroids: Seq[Seq[Double]] = trained.getOrElse(
       c.orderBy(col("nbr")).limit(nLists)
         .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq)
@@ -139,6 +147,7 @@ object Similarity {
 
     val assigned = c.withColumn("list", element_at(nearest(col("v"), 1), 1))
     val probes = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+      .filter(col("qv").isNotNull)
       .withColumn("list", explode(nearest(col("qv"), nProbe)))
     val scored = assigned
       .join(broadcast(probes), Seq("list"))
@@ -168,6 +177,7 @@ object Similarity {
   def kmeansCentroids(corpus: DataFrame, id: Column, vec: Column,
                       k: Int, iters: Int): Seq[Seq[Double]] = {
     val c = Dedup.fanOut(corpus).select(id.as("id"), toDouble(vec).as("v"))
+      .filter(col("v").isNotNull) // null embeddings carry no signal
       .withColumn("q", transform(col("v"),
         x => floor(x * 1e6 + lit(0.5)).cast("long")))
     var centsQ: Seq[Seq[Long]] = c.orderBy(col("id")).limit(k)

@@ -117,7 +117,11 @@ object Sources {
       .drop("__id")
     data.repartition(numShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    data.groupBy("shard")
+    // manifest from the FILES, not the lineage: recomputing `data`
+    // would re-run the whole assignment pipeline (double cost) and
+    // describe a recomputation rather than what a reader will find
+    df.sparkSession.read.parquet(path)
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
            sum(length(col(textCol))).as("n_chars"))
       .orderBy("shard")

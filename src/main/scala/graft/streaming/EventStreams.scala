@@ -95,10 +95,14 @@ object EventStreams {
       .select(col("doc_id"), col(tsCol).as("ts"),
         scrubbed.as("clean_text"),
         graft.ops.TextAnalysis.qualityScoreX1e4(col("text"))
-          .as("quality_x1e4"),
-        concat_ws(" ", slice(tokens(col("text")), 1, dedupPrefixTokens))
-          .as("__prefix"))
+          .as("quality_x1e4"))
       .filter(col("quality_x1e4") >= minQualityX1e4)
+      // dedup keys on the SCRUBBED text — the batch twin dedups after
+      // redactPii, so two docs differing only inside a redacted span
+      // must collide here too
+      .withColumn("__prefix",
+        concat_ws(" ", slice(tokens(col("clean_text")), 1,
+          dedupPrefixTokens)))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__prefix")
       .drop("__prefix")
