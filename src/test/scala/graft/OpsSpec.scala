@@ -838,6 +838,36 @@ class OpsSpec extends AnyFunSuite {
     assert(nat.count() == 1100L)
   }
 
+  test("crossSplitPairs surfaces pair members missing from the splits frame") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id1", "id2")
+    // 4 unassigned; 5 AND 6 unassigned (both-null: not cross-split)
+    val splits = Seq((1L, "train"), (2L, "test"), (3L, "train"))
+      .toDF("doc_id", "split")
+    val out = Dedup.crossSplitPairs(pairs, splits, col("doc_id"),
+        col("split"))
+      .collect().map(r => (r.getLong(1), r.getLong(0),
+        Option(r.getString(2)), Option(r.getString(3)))).toSet
+    assert(out == Set(
+      (1L, 2L, Some("train"), Some("test")),   // genuine leakage
+      (3L, 4L, Some("train"), None)))          // unassigned surfaces
+  }
+
+  test("topFractionPerGroup ranks null scores last, keeps null groups") {
+    import spark.implicits._
+    val d = Seq((1L, "g", Some(10L)), (2L, "g", Some(5L)),
+                (3L, "g", Option.empty[Long]), (4L, "g", Some(7L)),
+                (5L, null.asInstanceOf[String], Some(1L)),
+                (6L, null.asInstanceOf[String], Some(2L)))
+      .toDF("id", "grp", "score")
+    val kept = Relational.topFractionPerGroup(d, col("grp"), col("score"),
+        col("id"), 0.5).select("id").collect().map(_.getLong(0)).toSet
+    // g: top 2 of 4 by score = ids 1 (10) and 4 (7); the null score
+    // ranks LAST, never in the cut. null group: its own group of 2,
+    // top 1 = id 6 (score 2)
+    assert(kept == Set(1L, 4L, 6L))
+  }
+
   test("tokenBudget is partition-count invariant") {
     import graft.functions.TextFunctions.tokens
     val d = docs.withColumn("n_tok", size(tokens(col("text"))).cast("long"))

@@ -116,6 +116,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotIds.length == wantKeys.size)
   }
 
+  test("streaming curation dedups on the SCRUBBED prefix") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // identical docs except the email inside the 8-token prefix: after
+    // redaction both prefixes are "contact <EMAIL> about the a of is",
+    // so they must collide; raw-text keying would keep both
+    val tail = "the a of is and to in row scan table value part merge"
+    val d1 = (1L, s"contact alice@example.com about the a of is $tail", t0)
+    val d2 = (2L, s"contact bob@other.org about the a of is $tail", t0)
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = EventStreams.curateDocStream(
+        ms.toDS().toDF("doc_id", "text", "ts"), lang = "en",
+        minQualityX1e4 = 0L, dedupPrefixTokens = 8)
+      .writeStream.format("memory").queryName("scrubdedup")
+      .outputMode("append").start()
+    try { ms.addData(d1, d2); q.processAllAvailable() } finally q.stop()
+    val got = spark.table("scrubdedup").select("doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(got.length == 1, s"scrubbed prefixes must collide: $got")
+  }
+
   test("stream-static broadcast dim join enriches micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
