@@ -143,10 +143,11 @@ object Dedup {
   /** [[contaminatedDocs]] with a Bloom-filter prefilter — the 100 TB
     * path when the eval n-gram set is too large to probe as a broadcast
     * hash relation per corpus gram. A driver-built blocked Bloom over
-    * the eval grams' xxhash64 (`bitsPerKey` bits/key, 8 probes drawn
-    * from disjoint windows of the 64-bit hash — shift-derived, so the
-    * probe is overflow-free codegen'd column arithmetic) screens every
-    * corpus gram in-scan; only the ~0.05% false-positive survivors plus
+    * the eval grams' xxhash64 (`bitsPerKey` bits/key, 8 probes by
+    * Kirsch-Mitzenmacher double hashing of the hash halves — pairwise-
+    * independent positions in overflow-free codegen'd column
+    * arithmetic) screens every corpus gram in-scan; only the ~0.05%
+    * false-positive survivors plus
     * true hits reach the exact string equi-join, so the broadcast probe
     * work collapses by the selectivity of the benchmark vs the corpus.
     * Results are IDENTICAL to [[contaminatedDocs]] (the exact join
