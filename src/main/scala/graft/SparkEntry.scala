@@ -330,6 +330,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Round-4 funnel through the PUBLIC Pipeline API: NB seed-quality
+    // gate (keep docs scoring >= 0 mean log-odds vs the src0 seed),
+    // then near-dup cluster collapse keeping the LONGEST member.
+    // Composition of q97's classifier and q95's keep-best policy,
+    // end-to-end against one exact oracle.
+    "q102_funnel_seeded" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Pipeline(d, "doc_id", "text")
+        .filterSeedQuality(
+          d.filter(col("source") === "src0"), col("text"),
+          d.filter(col("source") =!= "src0"), col("text"),
+          minMeanMicro = 0L)
+        .removeNearDupClustersKeepBest(0.6, col("n_chars"))
+        .result.select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Naive Bayes seed classifier: src0 as the curated positive set,
     // everything else as background; every document scored by mean
     // token log-odds (micro-unit fixed point, oracle-exact).
@@ -1327,6 +1344,58 @@ object SparkEntry {
              ORDER BY d.n_chars DESC, d.doc_id) AS rn
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
        WHERE rn = 1 ORDER BY doc_id"""),
+
+    // Funnel v2: q97's NB gate (lo_sum >= 0) -> q56-style components
+    // over the SURVIVORS only -> q95's keep-longest rule.
+    "q102_funnel_seeded" ->
+      """WITH RECURSIVE
+         w AS (SELECT doc_id, source, n_chars, string_split(text,' ') AS ws
+               FROM documents),
+         tk AS (SELECT doc_id, source, tok
+                FROM (SELECT doc_id, source, unnest(ws) AS tok FROM w)
+                WHERE tok != ''),
+         cp AS (SELECT tok, count(*) AS c FROM tk
+                WHERE source = 'src0' GROUP BY 1),
+         cn AS (SELECT tok, count(*) AS c FROM tk
+                WHERE source != 'src0' GROUP BY 1),
+         m0 AS (SELECT coalesce(cp.tok, cn.tok) AS tok,
+                  coalesce(cp.c, 0) AS cp, coalesce(cn.c, 0) AS cn
+                FROM cp FULL JOIN cn ON cp.tok = cn.tok),
+         st AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v
+                FROM m0),
+         m AS (SELECT tok,
+                 CAST(round((ln((cp + 1.0) / (np + v))
+                           - ln((cn + 1.0) / (nn + v))) * 1000000)
+                   AS BIGINT) AS lo
+               FROM m0, st),
+         keep AS (SELECT doc_id FROM tk JOIN m USING (tok)
+                  GROUP BY 1 HAVING CAST(sum(lo) AS BIGINT) >= 0),
+         sh AS (SELECT w.doc_id, list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws)-1)]) AS shingles
+                FROM w JOIN keep USING (doc_id)),
+         ex AS (SELECT doc_id, len(shingles) AS nsh, unnest(shingles) AS sg
+                FROM sh),
+         p AS (SELECT id1, id2 FROM (
+                 SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
+                        any_value(a.nsh) AS na, any_value(b.nsh) AS nb
+                 FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+               WHERE co*1.0/(na+nb-co) >= 0.6),
+         e AS (SELECT id1 AS a, id2 AS b FROM p
+               UNION SELECT id2, id1 FROM p),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM e
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY 1)
+         SELECT doc_id, source FROM (
+           SELECT d.doc_id, d.source,
+             row_number() OVER (PARTITION BY coalesce(c.comp, d.doc_id)
+               ORDER BY d.n_chars DESC, d.doc_id) AS rn
+           FROM documents d JOIN keep USING (doc_id)
+           LEFT JOIN comp c ON d.doc_id = c.id)
+         WHERE rn = 1 ORDER BY doc_id""",
 
     // Naive Bayes: add-one-smoothed unigram log-odds over the union
     // vocab (src0 = positive), quantized to integer micro-units, then
