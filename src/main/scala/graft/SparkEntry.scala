@@ -330,6 +330,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-source capping (the C4/RefinedWeb domain-cap policy): keep
+    // only the top-5 quality docs per source, rank exposed.
+    "q103_source_cap" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("quality_x1e4",
+          graft.ops.TextAnalysis.qualityScoreX1e4(col("text")))
+      graft.ops.Relational.topKPerGroup(d, Seq(col("source")),
+          Seq(col("quality_x1e4").desc, col("doc_id").asc), 5,
+          keepRankAs = Some("rnk"))
+        .select("doc_id", "source", "quality_x1e4", "rnk")
+        .orderBy("doc_id")
+    }),
+
     // Round-4 funnel through the PUBLIC Pipeline API: NB seed-quality
     // gate (keep docs scoring >= 0 mean log-odds vs the src0 seed),
     // then near-dup cluster collapse keeping the LONGEST member.
@@ -1344,6 +1357,24 @@ object SparkEntry {
              ORDER BY d.n_chars DESC, d.doc_id) AS rn
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
        WHERE rn = 1 ORDER BY doc_id"""),
+
+    // Domain cap: q26's quality formula, row_number per source.
+    "q103_source_cap" ->
+      """WITH tkn AS (SELECT doc_id, source, string_split(text,' ') AS ws
+                      FROM documents),
+         c AS (SELECT doc_id, source,
+           CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5
+             + least(len(ws)/100.0, 1.0)*0.3
+             + len(list_filter(ws, t -> t IN
+                 ('the','a','of','and','to','in')))*1.0/len(ws)*0.2)
+             *10000.0 + 0.5) AS BIGINT) AS quality_x1e4
+          FROM tkn),
+         r AS (SELECT doc_id, source, quality_x1e4,
+                 CAST(row_number() OVER (PARTITION BY source
+                   ORDER BY quality_x1e4 DESC, doc_id) AS INTEGER) AS rnk
+               FROM c)
+         SELECT doc_id, source, quality_x1e4, rnk FROM r
+         WHERE rnk <= 5 ORDER BY doc_id""",
 
     // Funnel v2: q97's NB gate (lo_sum >= 0) -> q56-style components
     // over the SURVIVORS only -> q95's keep-longest rule.
