@@ -330,6 +330,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Curriculum sharding: shards dealt round-robin over the QUALITY
+    // order (easy-to-hard inside each shard via pos_in_shard, same
+    // difficulty profile across shards).
+    "q104_curriculum_shards" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Packing.orderedShards(d, col("doc_id"),
+          graft.ops.TextAnalysis.qualityScoreX1e4(col("text")),
+          numShards = 8)
+        .orderBy("doc_id")
+    }),
+
     // Per-source capping (the C4/RefinedWeb domain-cap policy): keep
     // only the top-5 quality docs per source, rank exposed.
     "q103_source_cap" -> ((s, dir) => {
@@ -1357,6 +1368,24 @@ object SparkEntry {
              ORDER BY d.n_chars DESC, d.doc_id) AS rn
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
        WHERE rn = 1 ORDER BY doc_id"""),
+
+    // Curriculum shards: global positions in (quality, id) order,
+    // dealt round-robin over 8 shards.
+    "q104_curriculum_shards" ->
+      """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws
+                      FROM documents),
+         c AS (SELECT doc_id,
+           CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5
+             + least(len(ws)/100.0, 1.0)*0.3
+             + len(list_filter(ws, t -> t IN
+                 ('the','a','of','and','to','in')))*1.0/len(ws)*0.2)
+             *10000.0 + 0.5) AS BIGINT) AS q
+          FROM tkn),
+         r AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY q, doc_id) - 1 AS pos
+               FROM c)
+         SELECT doc_id, pos % 8 AS shard, pos // 8 AS pos_in_shard
+         FROM r ORDER BY doc_id""",
 
     // Domain cap: q26's quality formula, row_number per source.
     "q103_source_cap" ->

@@ -155,11 +155,23 @@ object Packing {
     * `row_number() OVER (ORDER BY ...)`. Round-robin assignment needs
     * no corpus count and is replayable as SQL (q90). */
   def shuffleShards(df: DataFrame, id: Column, numShards: Int,
-                    seed: Long = 0L, partitions: Int = 32): DataFrame = {
+                    seed: Long = 0L, partitions: Int = 32): DataFrame =
+    orderedShards(df, id, Sampling.idHash(id, seed), numShards,
+      partitions)
+
+  /** Shard manifest over an ARBITRARY total order — [[shuffleShards]]
+    * is this with the deterministic hash as the order; a curriculum
+    * trainer passes a difficulty/quality score instead, so the
+    * round-robin deal gives every shard the same difficulty PROFILE
+    * (each shard gets every numShards-th doc of the sorted stream)
+    * while `pos_in_shard` preserves the easy-to-hard progression
+    * inside each shard. Ties in `orderCol` break on id (total order);
+    * same distributed prefix-sum shape as [[orderedCumsum]]. */
+  def orderedShards(df: DataFrame, id: Column, orderCol: Column,
+                    numShards: Int, partitions: Int = 32): DataFrame = {
     require(numShards >= 1, s"need numShards >= 1, got $numShards")
-    val keyed = df.select(id.as("doc_id"))
-      .withColumn("__h", Sampling.idHash(col("doc_id"), seed))
-    val pos = orderedCumsum(keyed, struct(col("__h"), col("doc_id")),
+    val keyed = df.select(id.as("doc_id"), orderCol.as("__o"))
+    val pos = orderedCumsum(keyed, struct(col("__o"), col("doc_id")),
       lit(1L), partitions, offsetName = "__pos")
     pos.select(col("doc_id"),
       (col("__pos") % numShards).as("shard"),
