@@ -289,11 +289,15 @@ object TextAnalysis {
     def tokCounts(d: DataFrame, t: Column) =
       d.select(explode(tokens(t)).as("tok")).filter(col("tok") =!= "")
         .groupBy("tok").agg(count(lit(1)).as("c"))
+    // vocab-sized; materialized because BOTH the scalar totals below
+    // and the scoring join consume it — without the pin each one
+    // re-runs the two full tokenize+count corpus scans
     val m0 = tokCounts(pos, posText).withColumnRenamed("c", "cp")
       .join(tokCounts(neg, negText).withColumnRenamed("c", "cn"),
             Seq("tok"), "full_outer")
       .select(col("tok"), coalesce(col("cp"), lit(0L)).as("cp"),
               coalesce(col("cn"), lit(0L)).as("cn"))
+      .localCheckpoint()
     val row = m0.agg(sum("cp"), sum("cn"), count(lit(1))).collect()(0)
     val (np, nn, v) = (row.getLong(0), row.getLong(1), row.getLong(2))
     require(np > 0 && nn > 0,
