@@ -245,7 +245,11 @@ object TextAnalysis {
   def unigramNll(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
       .filter(col("tok") =!= "")
+    // vocab-sized; materialized — the corpus total AND the scoring
+    // join both consume it, and unpinned each re-runs the full
+    // tokenize+count pass
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val tot = freq.agg(sum(col("cnt")).as("tot"))
     toks.join(freq, "tok")
       .crossJoin(broadcast(tot))
@@ -359,7 +363,11 @@ object TextAnalysis {
   def tfIdf(df: DataFrame, id: Column, text: Column,
             minDf: Int = 1): DataFrame = {
     val terms = df.select(id.as("doc_id"), explode(tokens(text)).as("term"))
+    // (doc, term)-sized; materialized — doc frequencies AND the final
+    // join both consume it, and unpinned each re-runs the full
+    // tokenize+aggregate pass
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     val n = df.select(countDistinct(id).as("n_docs"))
