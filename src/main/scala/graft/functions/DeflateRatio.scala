@@ -50,6 +50,15 @@ object DeflateRatio {
         new java.util.zip.Deflater(6)
     }
 
+  /** Per-thread grow-only scratch sink: only the deflate byte COUNT is
+    * used, so the buffer contents are discarded — allocating it per
+    * row (billions of short-lived multi-KB arrays at corpus scale)
+    * would undercut the whole point of the thread-local zlib state. */
+  private val localBuf: ThreadLocal[Array[Byte]] =
+    new ThreadLocal[Array[Byte]] {
+      override def initialValue(): Array[Byte] = new Array[Byte](8192)
+    }
+
   /** Static entry shared by interpreted eval and generated code. */
   def compute(text: UTF8String): Double = {
     val in = text.getBytes
@@ -57,7 +66,9 @@ object DeflateRatio {
     val d = localDeflater.get()
     d.reset()
     d.setInput(in); d.finish()
-    val buf = new Array[Byte](math.max(64, in.length / 2))
+    var buf = localBuf.get()
+    val want = math.max(64, in.length / 2)
+    if (buf.length < want) { buf = new Array[Byte](want); localBuf.set(buf) }
     var total = 0L
     while (!d.finished()) total += d.deflate(buf)
     total.toDouble / in.length

@@ -66,11 +66,13 @@ object GramMassStats {
     val m = toks.length
     if (m < n) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
     val counts = new HashMap[UTF8String, Long](math.max(16, (m - n + 1) * 2))
+    // single-allocation shingle assembly — see WordShingles.compute
+    val win = new Array[UTF8String](n)
     var i = 0
     while (i <= m - n) {
-      var g = toks(i)
-      var j = 1
-      while (j < n) { g = UTF8String.concat(g, SPACE, toks(i + j)); j += 1 }
+      var j = 0
+      while (j < n) { win(j) = toks(i + j); j += 1 }
+      val g = UTF8String.concatWs(SPACE, win: _*)
       counts.put(g, counts.getOrDefault(g, 0L) + 1L)
       i += 1
     }

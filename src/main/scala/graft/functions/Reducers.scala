@@ -30,6 +30,9 @@ object Reducers {
   final case class BottomKSample(k: Int)
       extends Aggregator[String, Seq[(Long, String)], String] {
 
+    require(k >= 1, s"BottomKSample needs k >= 1, got $k — k = 0 would " +
+      "crash on the first reduce (empty buffer treated as full)")
+
     override def zero: Seq[(Long, String)] = Nil
 
     private def insert(b: Seq[(Long, String)],

@@ -39,5 +39,11 @@ object Register {
     reg.createOrReplaceTempFunction("array_dot",
       es => { arity(es, 2, "array_dot")
               ArrayDot(es.head, es(1)) }, "scala_udf")
+    reg.createOrReplaceTempFunction("deflate_ratio",
+      es => { arity(es, 1, "deflate_ratio")
+              DeflateRatio(es.head) }, "scala_udf")
+    reg.createOrReplaceTempFunction("gram_mass_stats",
+      es => { arity(es, 2, "gram_mass_stats")
+              GramMassStats(es.head, intArg(es(1), "n")) }, "scala_udf")
   }
 }

@@ -57,9 +57,23 @@ object TextFunctions {
       s"need bands >= 1 and rowsPerBand >= 1 (got $bands x $rowsPerBand): " +
       "rowsPerBand = 0 makes every band key constant and LSH degenerates " +
       "into an all-pairs join")
+    // runtime guard: a signature shorter than bands*rowsPerBand would
+    // make the overrunning bands slice EMPTY — one constant key shared
+    // by every document, the same all-pairs degeneration as
+    // rowsPerBand = 0, but silent. Signature length is only known at
+    // runtime, so the check rides the expression (constant-folded
+    // comparison, no measurable cost).
+    val need = bands * rowsPerBand
+    val checked = when(sig.isNull, sig) // null signature stays null
+      .when(size(sig) >= need, sig)
+      .otherwise(raise_error(
+        concat(lit(s"minhashBands: signature has "),
+               size(sig).cast("string"),
+               lit(s" hashes, need >= $need ($bands bands x $rowsPerBand)"))))
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
-             hash(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))
+             hash(slice(checked, b * rowsPerBand + 1, lit(rowsPerBand)))
+               .as("key")))
   }
 
   /** Two independent 31-bit modular polynomial hashes over the characters

@@ -57,12 +57,15 @@ object WordShingles {
     val m = toks.length
     if (m < n) return new GenericArrayData(Array.empty[Any])
     val seen = new LinkedHashSet[UTF8String](math.max(16, (m - n + 1) * 2))
+    // one concatWs per shingle (single allocation) — incremental
+    // pairwise concat would allocate n-2 discarded intermediates per
+    // position with quadratic byte copying in n (n=13 for decontam)
+    val win = new Array[UTF8String](n)
     var i = 0
     while (i <= m - n) {
-      var g = toks(i)
-      var j = 1
-      while (j < n) { g = UTF8String.concat(g, SPACE, toks(i + j)); j += 1 }
-      seen.add(g)
+      var j = 0
+      while (j < n) { win(j) = toks(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(SPACE, win: _*))
       i += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])

@@ -35,8 +35,12 @@ object RangeLowering {
     case r =>
       // the one-scan-vs-join decision is taken ONCE per lowering (it
       // runs the optimizer for the stats estimate; per-recursion calls
-      // would repeat that driver work at every nested level)
-      val oneScan = preferOneScan(bindings)
+      // would repeat that driver work at every nested level) — and
+      // ONLY when the range can actually reach the grouping-sets
+      // branch (an RStruct with a map-valued field somewhere); plain
+      // aggregations never consult it, so they skip the extra
+      // analyze+optimize pass entirely
+      val oneScan = hasMultigrainStruct(r) && preferOneScan(bindings)
       val (keys, inner) = peel(r, Nil)
       inner match {
         case RStruct(fields) if fields.nonEmpty =>
@@ -52,7 +56,8 @@ object RangeLowering {
     range match {
       case RRows(cols) => lower(bindings, RRows(cols))
       case RRowsDistinct(cols) => lower(bindings, RRowsDistinct(cols))
-      case r => aggregate(bindings, Nil, r, "value", preferOneScan(bindings))
+      case r => aggregate(bindings, Nil, r, "value",
+        hasMultigrainStruct(r) && preferOneScan(bindings))
     }
 
   /** Peel outermost consecutive computed-key maps into key columns,
@@ -195,6 +200,23 @@ object RangeLowering {
     * one-scan everywhere — how the plan-shape tests pin the large-input
     * behavior; Long.MaxValue forces the join path). */
   val oneScanMinBytesKey = "spark.graft.multigrain.oneScanMinBytes"
+  /** Whether `r` contains an RStruct with any map-valued field — the
+    * only shape whose lowering consults the one-scan decision. Pure
+    * ADT walk; keeps [[preferOneScan]]'s optimizer pass off the plain
+    * aggregation paths. Conservative: a hit only means the estimate
+    * gets COMPUTED, the branch condition still decides the plan. */
+  private def hasMultigrainStruct(r: graft.dsl.Range): Boolean = {
+    import graft.dsl.Range._
+    r match {
+      case RStruct(fields) => fields.exists {
+        case (_, RMap(_, _)) => true
+        case (_, f) => hasMultigrainStruct(f)
+      }
+      case RMap(_, v) => hasMultigrainStruct(v)
+      case _ => false
+    }
+  }
+
   private def preferOneScan(df: DataFrame): Boolean = {
     val minBytes = BigInt(df.sparkSession.conf
       .get(oneScanMinBytesKey, (1L << 30).toString))
