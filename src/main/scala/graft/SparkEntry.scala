@@ -330,6 +330,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE tokenizer-training statistics: corpus-weighted adjacent
+    // character-pair counts (iteration 0 of the merge loop — the argmax
+    // of this table is the first learned merge). The corpus is first
+    // compressed to a word-frequency table, so the pair pass runs over
+    // VOCAB rows; the full iterative trainer (graft.ops.Bpe.train) and
+    // encoder are differential-tested in BpeSpec against a driver-side
+    // reference implementation.
+    "q105_bpe_pairs" -> ((s, dir) => {
+      graft.ops.Bpe.pairStats(t(s, dir, "documents"), col("text"), 50)
+        .orderBy(col("pair_count").desc, col("pair"))
+    }),
+
     // Curriculum sharding: shards dealt round-robin over the QUALITY
     // order (easy-to-hard inside each shard via pos_in_shard, same
     // difficulty profile across shards).
@@ -1368,6 +1380,20 @@ object SparkEntry {
              ORDER BY d.n_chars DESC, d.doc_id) AS rn
          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
        WHERE rn = 1 ORDER BY doc_id"""),
+
+    // BPE iteration-0 pair counts over the word-frequency table.
+    "q105_bpe_pairs" ->
+      """WITH w AS (SELECT tok AS word, count(*) AS cnt
+                    FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                          FROM documents)
+                    WHERE tok != '' GROUP BY 1),
+         p AS (SELECT unnest([substring(word, i, 2)
+                              FOR i IN range(1, length(word))]) AS pair,
+                      cnt
+               FROM w WHERE length(word) >= 2)
+         SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+         FROM p GROUP BY 1
+         ORDER BY pair_count DESC, pair LIMIT 50""",
 
     // Curriculum shards: global positions in (quality, id) order,
     // dealt round-robin over 8 shards.
