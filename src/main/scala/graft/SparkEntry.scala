@@ -342,6 +342,16 @@ object SparkEntry {
         .orderBy(col("pair_count").desc, col("pair"))
     }),
 
+    // Bigram LM scoring (one order up from q77): add-one-smoothed
+    // corpus-bigram model, per-doc mean conditional surprise. Bigrams
+    // form inside each row from the token array — never a corpus-wide
+    // lag window.
+    "q106_bigram_nll" -> ((s, dir) => {
+      graft.ops.TextAnalysis.bigramNll(
+          t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // Curriculum sharding: shards dealt round-robin over the QUALITY
     // order (easy-to-hard inside each shard via pos_in_shard, same
     // difficulty profile across shards).
@@ -1394,6 +1404,29 @@ object SparkEntry {
          SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
          FROM p GROUP BY 1
          ORDER BY pair_count DESC, pair LIMIT 50""",
+
+    // Bigram NLL: same smoothed model replayed relationally. The
+    // bigram key is "w1 w2" (tokens are space-split, no collision).
+    "q106_bigram_nll" ->
+      """WITH t AS (SELECT doc_id,
+             [x FOR x IN string_split(text, ' ') IF x <> ''] AS ts
+           FROM documents),
+         b AS (SELECT doc_id,
+                 unnest([ts[i] || ' ' || ts[i+1]
+                         FOR i IN range(1, len(ts))]) AS bg
+               FROM t WHERE len(ts) >= 2),
+         bc AS (SELECT bg, count(*) AS c12 FROM b GROUP BY 1),
+         cc AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS ctx
+                FROM b GROUP BY 1),
+         vv AS (SELECT count(DISTINCT tok) AS v FROM (
+                  SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents) WHERE tok <> '')
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(avg(ln((ctx + v) * 1.0 / (c12 + 1))), 6) AS nll2
+         FROM b JOIN bc USING (bg)
+              JOIN cc ON string_split(b.bg, ' ')[1] = cc.w1
+              CROSS JOIN vv
+         GROUP BY doc_id ORDER BY doc_id""",
 
     // Curriculum shards: global positions in (quality, id) order,
     // dealt round-robin over 8 shards.

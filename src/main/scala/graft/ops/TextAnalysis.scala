@@ -259,6 +259,48 @@ object TextAnalysis {
              .as("nll"))
   }
 
+  /** Corpus-bigram negative log-likelihood per document — one order up
+    * from [[unigramNll]]: an add-one-smoothed bigram model trained on
+    * the corpus itself scores each document by the mean conditional
+    * surprise of its adjacent token pairs, nll = avg over bigrams of
+    * ln((ctx + V) / (c12 + 1)), where c12 counts the bigram, ctx counts
+    * its first token as a context (bigram occurrences starting with it,
+    * so the smoothed conditional sums to 1), and V is the corpus
+    * unigram vocabulary. Fluent prose scores low; token-salad that
+    * passes unigram screening (common words, impossible order) scores
+    * high — the standard next step of LM-quality filtering.
+    *
+    * Scale shape: bigrams are formed INSIDE each row from the token
+    * array (narrow transform — never a corpus-wide window/lag shuffle,
+    * which would shuffle 100 TB just to see each row's neighbor). The
+    * bigram key is "w1 w2" (tokens are space-split so the separator
+    * cannot collide). Model tables are bigram-vocab-sized; like
+    * [[unigramNll]] the scoring joins are unhinted — AQE broadcasts
+    * them when they fit. V is one row, broadcast. Docs with < 2 tokens
+    * have no bigrams and produce no row (mirrored by the oracle). */
+  def bigramNll(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val ts = filter(tokens(text), t => t =!= "")
+    // sequence(1, 0) steps DOWN — guard single-token docs (see tokens)
+    val bg = df.select(id.as("doc_id"),
+      explode(when(size(ts) >= 2,
+          transform(sequence(lit(1), size(ts) - 1), i =>
+            concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val w1 = split(col("bg"), " ").getItem(0)
+    val bgCnt = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val ctxCnt = bg.groupBy(w1.as("w1")).agg(count(lit(1)).as("ctx"))
+    val vocab = df.select(explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.join(bgCnt, "bg")
+      .join(ctxCnt, w1 === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(log((col("ctx") + col("v")).cast("double") /
+                         (col("c12") + 1L))), 6).as("nll2"))
+  }
+
   /** Naive Bayes quality classifier — the CCNet/fastText-style seed
     * classifier in closed form: unigram log-odds are trained from a
     * positive (curated seed) and a negative (background) document set

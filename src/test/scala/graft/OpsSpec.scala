@@ -510,6 +510,26 @@ class OpsSpec extends AnyFunSuite {
            r(1).getDouble(2) == r6((math.log(5.0 / 2) + math.log(5.0)) / 2))
   }
 
+  test("bigram NLL matches the hand-computed smoothed model") {
+    import spark.implicits._
+    // bigrams: d1 = "a b","b a"; d2 = "b a". c12("a b")=1, c12("b a")=2;
+    // ctx(a)=1, ctx(b)=2; V=3 (a, b, and d3's x — vocab is UNIGRAM,
+    // so the single-token doc still contributes to V while emitting
+    // no bigram row of its own.
+    val d = Seq((1L, "a b a"), (2L, "b a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.bigramNll(d, col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.length == 2)
+    assert(r(0).getLong(1) == 2 &&
+           r(0).getDouble(2) ==
+             r6((math.log(4.0 / 2) + math.log(5.0 / 3)) / 2))
+    assert(r(1).getLong(1) == 1 &&
+           r(1).getDouble(2) == r6(math.log(5.0 / 3)))
+  }
+
   test("bloom-prefiltered decontamination equals the exact path") {
     val corpus = docs.filter(col("source") =!= "src0")
     val eval = docs.filter(col("source") === "src0")
