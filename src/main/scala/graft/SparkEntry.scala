@@ -352,6 +352,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SSL-prototypes diversity pruning: cosine-to-centroid score over
+    // the TRAINED k-means clusters (q51's fixed-point Lloyd), top 20%
+    // most prototypical of each cluster flagged for pruning. Rank runs
+    // on the distributed prefix sum, never a per-cluster window.
+    "q107_prototypes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val trained = graft.ops.Similarity.kmeansCentroids(
+        e, col("vec_id"), col("embedding"), k = 8, iters = 2)
+      graft.ops.Similarity.prototypicality(
+          e, col("vec_id"), col("embedding"), trained, pruneFrac = 0.2)
+        .orderBy("vec_id")
+    }),
+
     // Curriculum sharding: shards dealt round-robin over the QUALITY
     // order (easy-to-hard inside each shard via pos_in_shard, same
     // difficulty profile across shards).
@@ -1427,6 +1440,56 @@ object SparkEntry {
               JOIN cc ON string_split(b.bg, ' ')[1] = cc.w1
               CROSS JOIN vv
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // Prototypicality: q51's fixed-point Lloyd chain (c0->c2), then
+    // cosine-to-assigned-centroid score and per-cluster rank.
+    "q107_prototypes" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             [CAST(floor(x*1000000 + 0.5) AS BIGINT)
+              FOR x IN embedding::DOUBLE[]] AS q
+           FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       q AS cq
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         a1 AS (SELECT e.vec_id, e.q, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v,
+                      [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c0 c),
+         s1 AS (SELECT cid, d,
+                  CAST(floor(sum(q[d])*1.0/count(*)) AS BIGINT) AS m
+                FROM (SELECT * FROM a1 WHERE rn = 1), range(1, 65) AS t(d)
+                GROUP BY cid, d),
+         c1 AS (SELECT c0.cid, coalesce(l.mq, c0.cq) AS cq
+                FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS mq
+                                   FROM s1 GROUP BY cid) l USING (cid)),
+         a2 AS (SELECT e.vec_id, e.q, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v,
+                      [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c1 c),
+         s2 AS (SELECT cid, d,
+                  CAST(floor(sum(q[d])*1.0/count(*)) AS BIGINT) AS m
+                FROM (SELECT * FROM a2 WHERE rn = 1), range(1, 65) AS t(d)
+                GROUP BY cid, d),
+         c2 AS (SELECT c1.cid, coalesce(l.mq, c1.cq) AS cq
+                FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS mq
+                                   FROM s2 GROUP BY cid) l USING (cid)),
+         ac AS (SELECT e.vec_id, c.cid,
+                  round(list_cosine_similarity(e.v,
+                    [x/1000000.0 FOR x IN c.cq]), 6) AS s,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v,
+                      [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c2 c),
+         r AS (SELECT vec_id, cid, s AS proto_score,
+                 row_number() OVER (PARTITION BY cid
+                   ORDER BY s DESC, vec_id) - 1 AS pos,
+                 count(*) OVER (PARTITION BY cid) AS n
+               FROM ac WHERE rn = 1)
+         SELECT vec_id, CAST(cid AS INTEGER) AS cid, proto_score,
+                pos >= CAST(floor(n * 0.2) AS BIGINT) AS keep
+         FROM r ORDER BY vec_id""",
 
     // Curriculum shards: global positions in (quality, id) order,
     // dealt round-robin over 8 shards.

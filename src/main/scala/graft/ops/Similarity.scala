@@ -219,6 +219,53 @@ object Similarity {
     centsQ.map(_.map(_.toDouble / 1e6))
   }
 
+  /** SSL-prototypes diversity pruning (the curation step AFTER dedup in
+    * embedding-based pipelines): every vector is assigned to its
+    * nearest trained centroid, scored by cosine to that centroid
+    * ("prototypicality"), and the TOP `pruneFrac` most prototypical of
+    * each cluster are flagged keep=false — pruning each cluster's
+    * redundant core keeps the diverse shell, which preserves model
+    * quality better than random pruning at large scale.
+    *
+    * Scale shape: assignment + scoring is one narrow pass against a
+    * k×dim broadcast centroid literal; the per-cluster rank runs on
+    * the range-partitioned distributed prefix sum over
+    * (cid, -score, id) — never a per-cluster window, which would
+    * serialize billion-row clusters through single tasks. Cluster
+    * offsets/sizes are a k-row broadcast join back.
+    *
+    * Determinism: scores are rounded to 6 BEFORE ranking and ties
+    * break on id — the [[ivfTopK]]/[[semDedupPairs]] discipline, so an
+    * oracle replaying the fixed-point Lloyd chain (q51's CTEs) ranks
+    * identically. Null vectors are excluded (no cluster, no signal —
+    * the [[cosinePairsLsh]] convention). Output:
+    * (vec_id, cid, proto_score, keep). */
+  def prototypicality(df: DataFrame, id: Column, vec: Column,
+                      centroids: Seq[Seq[Double]], pruneFrac: Double,
+                      partitions: Int = 32): DataFrame = {
+    require(pruneFrac >= 0.0 && pruneFrac <= 1.0,
+      s"pruneFrac must be in [0,1], got $pruneFrac")
+    require(centroids.nonEmpty, "prototypicality: need >= 1 centroid")
+    val cents = typedlit(centroids)
+    val assigned = Dedup.fanOut(df)
+      .select(id.as("vec_id"), toDouble(vec).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("cid",
+        element_at(nearestCentroids(centroids, col("v"), 1), 1))
+      .withColumn("proto_score",
+        round(cosine(col("v"), element_at(cents, col("cid") + 1)), 6))
+      .drop("v")
+    val pos = Packing.orderedCumsum(assigned,
+      struct(col("cid"), -col("proto_score"), col("vec_id")), lit(1L),
+      partitions, offsetName = "__pos")
+    val sizes = pos.groupBy(col("cid").as("__c"))
+      .agg(min(col("__pos")).as("__g0"), count(lit(1)).as("__n"))
+    pos.join(broadcast(sizes), col("cid") === col("__c"))
+      .withColumn("keep", col("__pos") - col("__g0") >=
+        floor(col("__n") * pruneFrac).cast("long"))
+      .select("vec_id", "cid", "proto_score", "keep")
+  }
+
   /** Approximate cosine-similar pair discovery via sign-pattern LSH:
     * bucket on an nPlanes-bit signature, compare only within buckets,
     * verify exactly. Multi-table (`tables`) boosts recall; emitted pairs

@@ -530,6 +530,34 @@ class OpsSpec extends AnyFunSuite {
            r(1).getDouble(2) == r6(math.log(5.0 / 3)))
   }
 
+  test("prototypicality prunes exactly each cluster's top head") {
+    import org.apache.spark.sql.expressions.Window
+    val cents = Similarity.kmeansCentroids(
+      embs, col("vec_id"), col("embedding"), k = 4, iters = 1)
+    val r = Similarity.prototypicality(
+      embs, col("vec_id"), col("embedding"), cents, 0.25, partitions = 7)
+    // flag equals the single-task window form (differential check of
+    // the prefix-sum ranking; the oracle pins scores/assignment)
+    val w = Window.partitionBy("cid")
+      .orderBy(col("proto_score").desc, col("vec_id"))
+    val ref = r
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cid")))
+      .withColumn("keepRef",
+        (col("rn") - 1) >= floor(col("n") * 0.25).cast("long"))
+    assert(ref.filter(col("keep") =!= col("keepRef")).count() == 0)
+    // each cluster pruned floor(n/4) rows, and nothing vanished
+    val per = ref.groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+           sum(when(!col("keep"), 1L).otherwise(0L)).as("pruned"))
+      .collect()
+    assert(per.nonEmpty)
+    per.foreach(row =>
+      assert(row.getLong(2) == row.getLong(1) / 4,
+        s"cluster ${row.get(0)}"))
+    assert(r.count() == embs.count())
+  }
+
   test("bloom-prefiltered decontamination equals the exact path") {
     val corpus = docs.filter(col("source") =!= "src0")
     val eval = docs.filter(col("source") === "src0")
