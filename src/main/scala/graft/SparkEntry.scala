@@ -352,6 +352,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance weights: hashed-bucket (B=256) add-one log
+    // ratios of the src0 target distribution vs the full corpus,
+    // micro-unit integer fixed point (exact integer outputs only, the
+    // q97 discipline).
+    "q108_dsir_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.TextAnalysis.dsirWeights(d, col("doc_id"), col("text"),
+          d.filter(col("source") === "src0"), col("text"))
+        .select("doc_id", "w_micro_sum", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     // SSL-prototypes diversity pruning: cosine-to-centroid score over
     // the TRAINED k-means clusters (q51's fixed-point Lloyd), top 20%
     // most prototypical of each cluster flagged for pruning. Rank runs
@@ -1439,6 +1451,42 @@ object SparkEntry {
          FROM b JOIN bc USING (bg)
               JOIN cc ON string_split(b.bg, ' ')[1] = cc.w1
               CROSS JOIN vv
+         GROUP BY doc_id ORDER BY doc_id""",
+
+    // DSIR: identical char-fold hash (list_reduce) over the vocab,
+    // per-bucket smoothed log ratios, integer micro-unit sums.
+    "q108_dsir_weights" ->
+      """WITH tk AS (SELECT doc_id, source, tok
+                FROM (SELECT doc_id, source,
+                        unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                WHERE tok <> ''),
+         cr AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+         ct AS (SELECT tok, count(*) AS c FROM tk
+                WHERE source = 'src0' GROUP BY 1),
+         m0 AS (SELECT coalesce(cr.tok, ct.tok) AS tok,
+                  coalesce(cr.c, 0) AS cr, coalesce(ct.c, 0) AS ct
+                FROM cr FULL JOIN ct ON cr.tok = ct.tok),
+         hb AS (SELECT tok, cr, ct,
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      [CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                       FOR i IN range(1, length(tok) + 1)]),
+                    (a, c) -> (a * 31 + c) % 2147483647) % 256 AS b
+                FROM m0),
+         bc AS (SELECT b, CAST(sum(cr) AS BIGINT) AS crb,
+                       CAST(sum(ct) AS BIGINT) AS ctb
+                FROM hb GROUP BY 1),
+         s AS (SELECT CAST(sum(crb) AS BIGINT) AS tr,
+                      CAST(sum(ctb) AS BIGINT) AS tt FROM bc),
+         bm AS (SELECT b,
+                  CAST(round((ln((ctb + 1.0) / (tt + 256))
+                            - ln((crb + 1.0) / (tr + 256))) * 1000000)
+                    AS BIGINT) AS lo
+                FROM bc, s),
+         tm AS (SELECT tok, lo FROM hb JOIN bm USING (b))
+         SELECT doc_id, CAST(sum(lo) AS BIGINT) AS w_micro_sum,
+                count(*) AS n_tokens
+         FROM tk JOIN tm USING (tok)
          GROUP BY doc_id ORDER BY doc_id""",
 
     // Prototypicality: q51's fixed-point Lloyd chain (c0->c2), then

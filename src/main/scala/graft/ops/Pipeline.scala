@@ -102,6 +102,19 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
     copy(df = df.join(keep, Seq(idCol), "left_semi"))
   }
 
+  /** Keep documents DSIR prices at or above `minMeanMicro` micro-units
+    * of mean hashed-bucket target-vs-raw log ratio
+    * ([[TextAnalysis.dsirWeights]]; 0 = "more target-like than the raw
+    * corpus"). Same exact integer cut as [[filterSeedQuality]]. */
+  def filterDsir(target: DataFrame, targetText: Column,
+                 minMeanMicro: Long, buckets: Int = 256): Pipeline = {
+    val keep = TextAnalysis.dsirWeights(df, id, text,
+        target, targetText, buckets)
+      .filter(col("w_micro_sum") >= lit(minMeanMicro) * col("n_tokens"))
+      .select(col("doc_id").as(idCol))
+    copy(df = df.join(keep, Seq(idCol), "left_semi"))
+  }
+
   /** [[removeNearDupClusters]] with a keep-BEST policy: the surviving
     * member of each duplicate cluster is the one maximizing `score`
     * (ties -> smallest id) instead of the smallest id — keep the

@@ -366,6 +366,75 @@ object TextAnalysis {
         col("lo_micro_sum") / 1e6 / col("n_tokens"))
   }
 
+  /** DSIR-style importance weights (data selection via importance
+    * resampling): each document is weighted by how much more likely its
+    * tokens are under a TARGET corpus distribution than under the raw
+    * corpus distribution, both estimated over HASHED token buckets —
+    * the model is O(buckets) regardless of vocabulary size, which is
+    * what lets the method price 100 TB of raw text against a small
+    * high-quality target set. Per-bucket add-one-smoothed log ratio
+    * ln(p_target/p_raw), quantized to integer micro-units before the
+    * per-doc sum (the [[nbQualityScore]] fixed-point discipline:
+    * order-independent integer aggregation, bit-exact in the oracle).
+    *
+    * Scale shape: the char-fold bucket hash (PortableHash.h31 % B,
+    * replayed by the oracle as a list_reduce) runs ONLY on the
+    * vocab-sized count table — corpus occurrences reach their bucket
+    * via the (tok → lo) model join, so the interpreted fold never
+    * touches the hot path. Two corpus-wide count aggs + a vocab-sized
+    * full-outer join train the model; scoring is one explode, one
+    * model join (broadcast by default), one per-doc agg.
+    *
+    * Exact outputs are (w_micro_sum, n_tokens); the derived
+    * dsir_logw = w_micro_sum/1e6/n_tokens is convenience only (same
+    * rationale as nb_score). Docs with no tokens produce no row. */
+  def dsirWeights(df: DataFrame, id: Column, text: Column,
+                  target: DataFrame, targetText: Column,
+                  buckets: Int = 256,
+                  broadcastModel: Boolean = true): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def tokCounts(d: DataFrame, t: Column) =
+      d.select(explode(tokens(t)).as("tok")).filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+    // vocab-sized; the bucket agg AND the token-model join both
+    // consume it — pin once (nbQualityScore discipline)
+    val tok = col("tok")
+    val codes = transform(sequence(lit(1), length(tok)), i =>
+      ascii(tok.substr(i, lit(1))).cast("long"))
+    val hb = tokCounts(df, text).withColumnRenamed("c", "cr")
+      .join(tokCounts(target, targetText).withColumnRenamed("c", "ct"),
+            Seq("tok"), "full_outer")
+      .select(tok, coalesce(col("cr"), lit(0L)).as("cr"),
+              coalesce(col("ct"), lit(0L)).as("ct"))
+      .withColumn("b",
+        aggregate(codes, lit(7L),
+          (a, ch) => (a * 31L + ch) % 2147483647L) % buckets)
+      .localCheckpoint()
+    // B rows; consumed by the scalar totals and the per-bucket model
+    val bc = hb.groupBy("b")
+      .agg(sum("cr").as("crb"), sum("ct").as("ctb"))
+      .localCheckpoint()
+    val row = bc.agg(sum("crb"), sum("ctb")).collect()(0)
+    val (tr, tt) = (row.getLong(0), row.getLong(1))
+    require(tr > 0 && tt > 0,
+      "dsirWeights: both corpora need at least one token")
+    def lp(c: Column, tot: Long): Column =
+      log((c.cast("double") + 1.0) / (tot + buckets).toDouble)
+    val bm = bc.select(col("b"),
+      round((lp(col("ctb"), tt) - lp(col("crb"), tr)) * 1e6)
+        .cast("long").as("__lo"))
+    val tm0 = hb.join(bm, "b").select(tok, col("__lo"))
+    val tm = if (broadcastModel) broadcast(tm0) else tm0
+    df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .filter(tok =!= "")
+      .join(tm, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sum(col("__lo")).as("w_micro_sum"),
+           count(lit(1)).as("n_tokens"))
+      .withColumn("dsir_logw",
+        col("w_micro_sum") / 1e6 / col("n_tokens"))
+  }
+
   /** Sliding token-window chunking — long documents split into
     * `window`-token chunks every `stride` tokens (stride < window =
     * overlap), the standard pre-tokenization shaping for context-bound

@@ -530,6 +530,46 @@ class OpsSpec extends AnyFunSuite {
            r(1).getDouble(2) == r6(math.log(5.0 / 3)))
   }
 
+  test("DSIR weights match a driver-side hashed-bucket model") {
+    import spark.implicits._
+    val B = 16
+    val docs = Seq((1L, "a b"), (2L, "c c"), (3L, "a c"))
+    val tgtTexts = Seq("a b")
+    val d = docs.toDF("doc_id", "text")
+    val r = TextAnalysis.dsirWeights(d, col("doc_id"), col("text"),
+        tgtTexts.toDF("text"), col("text"), buckets = B)
+      .orderBy("doc_id").collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // driver-side reference: same hash, same smoothing, same rounding
+    def toks(ts: Seq[String]) =
+      ts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+    def bucket(t: String) = (graft.functions.PortableHash.h31(t) % B).toInt
+    val raw = toks(docs.map(_._2)).groupBy(bucket)
+      .map { case (b, o) => b -> o.size.toLong }
+    val tgt = toks(tgtTexts).groupBy(bucket)
+      .map { case (b, o) => b -> o.size.toLong }
+    val (tr, tt) = (raw.values.sum, tgt.values.sum)
+    def lo(b: Int): Long = math.round(
+      (math.log((tgt.getOrElse(b, 0L) + 1.0) / (tt + B)) -
+       math.log((raw.getOrElse(b, 0L) + 1.0) / (tr + B))) * 1e6)
+    docs.foreach { case (id, text) =>
+      val ts = toks(Seq(text))
+      assert(r(id) == (ts.map(t => lo(bucket(t))).sum, ts.size.toLong),
+        s"doc $id")
+    }
+  }
+
+  test("DSIR separates target-like documents on the real corpus") {
+    val d = docs
+    val r = TextAnalysis.dsirWeights(d, col("doc_id"), col("text"),
+        d.filter(col("source") === "src0"), col("text"))
+      .join(d.select("doc_id", "source"), "doc_id")
+    val m = r.groupBy(col("source") === "src0")
+      .agg(avg(col("dsir_logw"))).collect()
+      .map(x => x.getBoolean(0) -> x.getDouble(1)).toMap
+    assert(m(true) > m(false)) // target docs price above background
+  }
+
   test("prototypicality prunes exactly each cluster's top head") {
     import org.apache.spark.sql.expressions.Window
     val cents = Similarity.kmeansCentroids(
@@ -616,6 +656,23 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(q.select("doc_id").collect().map(_.getLong(0)).toSet == wantTop)
     assert(q.columns.toSet == docs.columns.toSet)
+    // DSIR gate: kept set equals the hand-assembled integer cut at a
+    // data-derived median threshold (a tiny target corpus prices most
+    // docs below 0 — smoothing mass dominates — so 0 would keep none)
+    val tgt = docs.filter(col("source") === "src0")
+    val scoredD = TextAnalysis.dsirWeights(docs, col("doc_id"),
+        col("text"), tgt, col("text"))
+      .select("doc_id", "w_micro_sum", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val means = scoredD.map(t => t._2.toDouble / t._3).sorted
+    val thr = math.floor(means(means.length / 2)).toLong
+    val dg = Pipeline(docs, "doc_id", "text")
+      .filterDsir(tgt, col("text"), minMeanMicro = thr).result
+    val wantDsir = scoredD
+      .filter(t => t._2 >= thr * t._3).map(_._1).toSet
+    assert(dg.select("doc_id").collect().map(_.getLong(0)).toSet
+      == wantDsir)
+    assert(wantDsir.nonEmpty && wantDsir.size < docs.count())
   }
 
   test("semantic dedup stage equals the hand-assembled drop") {
