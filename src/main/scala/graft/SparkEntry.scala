@@ -352,6 +352,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus health report: per-source volume / language spread /
+    // exact-dup load / quality mass, all integer-exact sums.
+    "q109_corpus_report" -> ((s, dir) => {
+      graft.ops.TextAnalysis.corpusReport(t(s, dir, "documents"),
+          col("source"), col("text"), col("lang"), col("n_chars"))
+        .orderBy("source")
+    }),
+
     // DSIR importance weights: hashed-bucket (B=256) add-one log
     // ratios of the src0 target distribution vs the full corpus,
     // micro-unit integer fixed point (exact integer outputs only, the
@@ -1452,6 +1460,23 @@ object SparkEntry {
               JOIN cc ON string_split(b.bg, ' ')[1] = cc.w1
               CROSS JOIN vv
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // Health report: q26's quality formula, integer sums per source.
+    "q109_corpus_report" ->
+      """WITH c AS (SELECT source, lang, text, n_chars,
+           CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5
+             + least(len(ws)/100.0, 1.0)*0.3
+             + len(list_filter(ws, t -> t IN
+                 ('the','a','of','and','to','in')))*1.0/len(ws)*0.2)
+             *10000.0 + 0.5) AS BIGINT) AS q
+           FROM (SELECT source, lang, text, n_chars,
+                   string_split(text, ' ') AS ws FROM documents))
+         SELECT source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT text) AS n_unique_texts,
+           CAST(sum(q) AS BIGINT) AS quality_x1e4_sum
+         FROM c GROUP BY source ORDER BY source""",
 
     // DSIR: identical char-fold hash (list_reduce) over the vocab,
     // per-bucket smoothed log ratios, integer micro-unit sums.

@@ -55,6 +55,25 @@ object TextAnalysis {
            stop * 0.2) * 10000.0 + 0.5).cast("long")
   }
 
+  /** Per-stratum corpus health report — the summary table a curation
+    * run starts and ends with: volume (docs, chars), language spread,
+    * exact-duplicate load (distinct texts vs docs), and total quality
+    * mass. All outputs are integer-exact (sums of per-row integers —
+    * no mean, so no cross-engine .5-rounding boundary). One group-key
+    * shuffle; the two count-distincts share the aggregation's Expand.
+    * At 100 TB this is the cheap survey pass that decides which
+    * sources need capping ([[graft.ops.Relational.topKPerGroup]]),
+    * rebalancing ([[graft.ops.Sampling.mixCorpora]]), or dedup
+    * budget. */
+  def corpusReport(df: DataFrame, strata: Column, text: Column,
+                   lang: Column, nChars: Column): DataFrame =
+    df.groupBy(strata.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(nChars).as("n_chars"),
+           countDistinct(lang).as("n_langs"),
+           countDistinct(text).as("n_unique_texts"),
+           sum(qualityScoreX1e4(text)).as("quality_x1e4_sum"))
+
   /** Rolling-hash fingerprint per document (content-defined identity
     * that survives storage/ordering changes, unlike file hashes). */
   def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
