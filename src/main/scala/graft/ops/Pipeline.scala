@@ -23,23 +23,25 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
   private def id: Column = col(idCol)
   private def text: Column = col(textCol)
 
-  /** Keep documents whose predicted language is `lang`
-    * ([[TextAnalysis.langIdOf]]). */
-  def filterLang(lang: String): Pipeline = {
-    val keep = TextAnalysis.langIdOf(df, id, text)
-      .filter(col("pred_lang") === lang)
-      .select(col("doc_id").as(idCol))
-    copy(df = df.join(keep, idCol))
-  }
+  /** Keep documents whose predicted language is `lang` — the same
+    * classifier as [[TextAnalysis.langIdOf]], applied as a pure
+    * per-row PREDICATE. An earlier form joined a derived score frame
+    * back on id; because each later stage derives its own frame from
+    * the current `df`, that join made every downstream stage re-run
+    * the whole upstream funnel once more (measured 7x on the q52
+    * funnel at sf0.1). A narrow filter fuses into the scan and keeps
+    * the funnel's lineage linear. */
+  def filterLang(lang: String): Pipeline =
+    copy(df = df.filter(
+      graft.functions.TextFunctions.langId(
+        graft.functions.TextFunctions.tokens(text)) === lang))
 
   /** Keep documents at or above the composite quality score
-    * ([[TextAnalysis.quality]], x1e4 fixed-point). */
-  def filterQuality(minQualityX1e4: Long): Pipeline = {
-    val keep = TextAnalysis.quality(df, id, text)
-      .filter(col("quality_x1e4") >= minQualityX1e4)
-      .select(col("doc_id").as(idCol))
-    copy(df = df.join(keep, idCol))
-  }
+    * ([[TextAnalysis.qualityScoreX1e4]], x1e4 fixed-point) — per-row
+    * predicate, same rationale as [[filterLang]]. */
+  def filterQuality(minQualityX1e4: Long): Pipeline =
+    copy(df = df.filter(
+      TextAnalysis.qualityScoreX1e4(text) >= minQualityX1e4))
 
   /** Keep documents whose compressibility is at or above `minRatio`
     * (repetitive/templated text crushes under deflate —

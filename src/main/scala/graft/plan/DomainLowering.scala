@@ -46,18 +46,20 @@ object DomainLowering {
     * each row's single `value` column (a DataFrame of whole nested
     * structures — per-row results deep-merge via the range's groupBys).
     *
-    * `rootOrder`: a declared total order (column names) that makes the
-    * table itself a *sequence*, enabling the reference's n-at-a-time
-    * chunking at the root (`compile.cljc:81-98`) over unordered storage:
-    * row_number over the order, chunk leaders keep their own row, and
-    * `lead(row, j)` supplies the j-th chunk element (the lead past the
-    * last row is null — the reference's partial-tail-binds-nil rule for
-    * free). Scale note: a global total order is inherently a single
-    * range-sort — the unpartitioned window collapses to one task, which
-    * is exactly what "chunk the whole dataset in order" means; at 100 TB
-    * chunk within groups instead (collect per key and chunk the array,
-    * as q07 does), which this same Vec(n) pattern handles under any
-    * array binding. */
+    * `rootOrder`: a declared total order (column names, which must form
+    * a KEY — ties would make chunk membership nondeterministic) that
+    * makes the table itself a *sequence*, enabling the reference's
+    * n-at-a-time chunking at the root (`compile.cljc:81-98`) over
+    * unordered storage. Lowered via the range-partitioned distributed
+    * prefix sum ([[graft.ops.Packing.orderedCumsum]]) plus one shuffle
+    * on `pos div k` — every stage distributed (no global window), with
+    * the missing-tail slots binding null (the reference's
+    * partial-tail-binds-nil rule for free). Note the prefix sum
+    * materializes the ordered frame (localCheckpoint), so lowering a
+    * root-chunk domain launches a job at plan-build time. For chunking
+    * WITHIN groups (collect per key and chunk the array, as q07 does)
+    * the same Vec(n) pattern under any array binding stays fully
+    * lazy. */
   def lower(input: DataFrame, domain: Domain, where: Seq[Column],
             rootOrder: Seq[String] = Nil): DataFrame = {
     // Isolate the input: binding columns are written under user-visible
@@ -90,16 +92,40 @@ object DomainLowering {
       case Vec(Nil) =>
         throw new IllegalArgumentException("empty vector pattern []")
       case Vec(ps) if rootOrder.nonEmpty =>
-        // table-as-sequence chunking under the declared order
-        import org.apache.spark.sql.expressions.Window
+        // Table-as-sequence chunking under the declared order, on the
+        // DISTRIBUTED prefix sum + one chunk-key shuffle. The previous
+        // form (row_number + lead over Window.orderBy with no
+        // partition) collapses the whole table into a single window
+        // task — correct, but at 100 TB it is the one-task sort the
+        // rest of this engine exists to avoid. Here positions come
+        // from the range-partitioned prefix sum and chunks assemble by
+        // grouping on `pos div k`: every stage distributed, identical
+        // results (PropertySpec pins equality with grouped() for any
+        // k). Each slot holds exactly one row, so first(..., ignore
+        // nulls) is deterministic; missing tail slots yield the
+        // reference's partial-tail-binds-nil for free. The chunk
+        // leader's own row is carried as the payload, preserving the
+        // previous lowering's binding environment.
         val k = ps.size
-        val w = Window.orderBy(rootOrder.map(n => col(s"__in_$n")): _*)
-        var d2 = st.df.withColumn("__elem0", rootValue)
-          .withColumn("__rn", row_number().over(w))
-        (1 until k).foreach { j =>
-          d2 = d2.withColumn(s"__elem$j", lead(col("__elem0"), j).over(w))
-        }
-        st.df = d2.filter(pmod(col("__rn") - 1, lit(k)) === 0)
+        val parts = math.max(1, st.df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "32").toInt)
+        val slotted = graft.ops.Packing.orderedCumsum(
+            st.df.withColumn("__elem0", rootValue),
+            struct(rootOrder.map(n => col(s"__in_$n")): _*), lit(1L),
+            parts, offsetName = "__pos")
+          .withColumn("__chunk", expr(s"__pos div $k"))
+          .withColumn("__slot", pmod(col("__pos"), lit(k)).cast("int"))
+        val elemAggs = (0 until k).map(j =>
+          first(when(col("__slot") === j, col("__elem0")),
+                ignoreNulls = true).as(s"__elem$j"))
+        val payload = first(when(col("__slot") === 0,
+            struct(inCols.map(c => col(s"__in_$c").as(s"__in_$c")): _*)),
+          ignoreNulls = true).as("__lead")
+        val asm = slotted.groupBy(col("__chunk"))
+          .agg(elemAggs.head, (elemAggs.tail :+ payload): _*)
+        st.df = inCols.foldLeft(asm) { (acc, c) =>
+          acc.withColumn(s"__in_$c", col("__lead")(s"__in_$c"))
+        }.drop("__lead", "__chunk")
         ps.zipWithIndex.foreach { case (p, j) =>
           st.step(col(s"__elem$j"), rootType, p)
         }

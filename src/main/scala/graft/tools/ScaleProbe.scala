@@ -110,6 +110,28 @@ object ScaleProbe {
       corpus, col("doc_id"), col("text"),
       corpus.filter(col("doc_id") % 10 === 0), col("text"),
       corpus.filter(col("doc_id") % 10 =!= 0), col("text")).count())
+    // BPE training at 10x: after the word-count compression each merge
+    // iteration runs over the VOCAB (unchanged by replication), so
+    // 10x corpus should cost ~1 extra count-agg, not 10x per merge
+    time("bpe_train 50k 4 merges") {
+      graft.ops.Bpe.train(corpus, col("text"), 4).size.toLong
+    }
+    // DSIR at 10x raw corpus vs the base target: model stays B-sized,
+    // scoring is one model join over the replicated corpus
+    time("dsir 50k")(graft.ops.TextAnalysis.dsirWeights(
+      corpus, col("doc_id"), col("text"), d, col("text")).count())
+    // bigram LM at 10x: model tables scale with bigram vocab (fixed
+    // under replication), scoring with corpus
+    time("bigram_nll 50k")(graft.ops.TextAnalysis.bigramNll(
+      corpus, col("doc_id"), col("text")).count())
+    // prototypicality at 10x embeddings: one narrow assignment pass +
+    // prefix-sum rank — no per-cluster window task
+    time("prototypes 10x") {
+      val cents = graft.ops.Similarity.kmeansCentroids(
+        bigE, col("vec_id"), col("embedding"), k = 8, iters = 2)
+      graft.ops.Similarity.prototypicality(
+        bigE, col("vec_id"), col("embedding"), cents, 0.2).count()
+    }
     spark.stop()
   }
 }
