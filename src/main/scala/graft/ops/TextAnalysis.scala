@@ -298,21 +298,36 @@ object TextAnalysis {
     * them when they fit. V is one row, broadcast. Docs with < 2 tokens
     * have no bigrams and produce no row (mirrored by the oracle). */
   def bigramNll(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val ts = filter(tokens(text), t => t =!= "")
+    // Project the token array BEFORE the per-element lambda:
+    // element_at(<full split expr>, i) inside transform re-evaluates
+    // the split for EVERY element (O(n_tokens^2) per row — measured 8x
+    // slower per corpus pass at sf0.1). Behind a named column the
+    // lambda reads a bound attribute once per row.
+    val toksD = df.select(id.as("doc_id"),
+      filter(tokens(text), t => t =!= "").as("__ts"))
+    val ts = col("__ts")
     // sequence(1, 0) steps DOWN — guard single-token docs (see tokens)
-    val bg = df.select(id.as("doc_id"),
+    val bg = toksD.select(col("doc_id"),
       explode(when(size(ts) >= 2,
           transform(sequence(lit(1), size(ts) - 1), i =>
             concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
         .otherwise(array().cast("array<string>"))).as("bg"))
     val w1 = split(col("bg"), " ").getItem(0)
+    // bigram-vocab-sized; materialized — context counts derive from it
+    // (sum per w1 over the MODEL, never a second corpus-wide shuffle)
+    // and the model join below consumes it again
     val bgCnt = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
-    val ctxCnt = bg.groupBy(w1.as("w1")).agg(count(lit(1)).as("ctx"))
+      .localCheckpoint()
+    val ctxCnt = bgCnt.groupBy(w1.as("w1")).agg(sum("c12").as("ctx"))
+    // fold ctx into the per-bigram model (model-sized join) so the
+    // CORPUS joins exactly one table — two corpus-wide probe joins
+    // would double the big shuffle
+    val model = bgCnt.join(ctxCnt, w1 === col("w1"))
+      .select(col("bg"), col("c12"), col("ctx"))
     val vocab = df.select(explode(tokens(text)).as("tok"))
       .filter(col("tok") =!= "")
       .agg(countDistinct(col("tok")).as("v"))
-    bg.join(bgCnt, "bg")
-      .join(ctxCnt, w1 === col("w1"))
+    bg.join(model, "bg")
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
