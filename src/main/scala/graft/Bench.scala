@@ -25,6 +25,12 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // isolate measurements: without a collection here, an
+      // allocation-heavy predecessor's garbage lands in THIS query's
+      // pauses (measured 2-4x inflation on mid-suite queries vs
+      // isolated runs; sorted order only made the pollution
+      // deterministic, not absent)
+      System.gc()
       val t0 = System.nanoTime()
       // noop sink: forces FULL evaluation of every output column
       // (count() lets Catalyst prune the final projection away)
