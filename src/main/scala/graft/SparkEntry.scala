@@ -352,6 +352,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Round-4 funnel v3 through the PUBLIC Pipeline API: DSIR
+    // importance gate (keep docs pricing above -0.14 mean log ratio vs
+    // the src0 target) then MinHash-LSH near-dup removal (tau 0.6, the
+    // pair universe q22 proves equal to exact jaccard). Composition of
+    // q108's weights and q21/q22's pairs against one exact oracle.
+    "q110_funnel_dsir" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Pipeline(d, "doc_id", "text")
+        .filterDsir(d.filter(col("source") === "src0"), col("text"),
+          minMeanMicro = -140000L)
+        .removeNearDupsLsh(0.6)
+        .result.select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus health report: per-source volume / language spread /
     // exact-dup load / quality mass, all integer-exact sums.
     "q109_corpus_report" -> ((s, dir) => {
@@ -1460,6 +1475,60 @@ object SparkEntry {
               JOIN cc ON string_split(b.bg, ' ')[1] = cc.w1
               CROSS JOIN vv
          GROUP BY doc_id ORDER BY doc_id""",
+
+    // Funnel v3: q108's DSIR chain gates survivors, then exact jaccard
+    // pairs (the q21 oracle shape, restricted to survivors) drop the
+    // higher id of each near-dup pair.
+    "q110_funnel_dsir" ->
+      """WITH tk AS (SELECT doc_id, source, tok
+                FROM (SELECT doc_id, source,
+                        unnest(string_split(text, ' ')) AS tok
+                      FROM documents)
+                WHERE tok <> ''),
+         cr AS (SELECT tok, count(*) AS c FROM tk GROUP BY 1),
+         ct AS (SELECT tok, count(*) AS c FROM tk
+                WHERE source = 'src0' GROUP BY 1),
+         m0 AS (SELECT coalesce(cr.tok, ct.tok) AS tok,
+                  coalesce(cr.c, 0) AS cr, coalesce(ct.c, 0) AS ct
+                FROM cr FULL JOIN ct ON cr.tok = ct.tok),
+         hb AS (SELECT tok, cr, ct,
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      [CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                       FOR i IN range(1, length(tok) + 1)]),
+                    (a, c) -> (a * 31 + c) % 2147483647) % 256 AS b
+                FROM m0),
+         bc AS (SELECT b, CAST(sum(cr) AS BIGINT) AS crb,
+                       CAST(sum(ct) AS BIGINT) AS ctb
+                FROM hb GROUP BY 1),
+         s AS (SELECT CAST(sum(crb) AS BIGINT) AS tr,
+                      CAST(sum(ctb) AS BIGINT) AS tt FROM bc),
+         bm AS (SELECT b,
+                  CAST(round((ln((ctb + 1.0) / (tt + 256))
+                            - ln((crb + 1.0) / (tr + 256))) * 1000000)
+                    AS BIGINT) AS lo
+                FROM bc, s),
+         tm AS (SELECT tok, lo FROM hb JOIN bm USING (b)),
+         scd AS (SELECT doc_id, CAST(sum(lo) AS BIGINT) AS w,
+                        count(*) AS n
+                 FROM tk JOIN tm USING (tok) GROUP BY doc_id),
+         surv AS (SELECT d.doc_id, d.source, d.text
+                  FROM documents d JOIN scd USING (doc_id)
+                  WHERE scd.w >= -140000 * scd.n),
+         tkn AS (SELECT doc_id, string_split(text, ' ') AS ws FROM surv),
+         sh AS (SELECT doc_id, list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws)-1)]) AS shingles FROM tkn),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                FROM sh),
+         p AS (SELECT id1, id2 FROM (
+                 SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
+                        any_value(a.n) AS na, any_value(b.n) AS nb
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2)
+               WHERE co*1.0/(na+nb-co) >= 0.6)
+         SELECT sv.doc_id, sv.source FROM surv sv
+         WHERE sv.doc_id NOT IN (SELECT id2 FROM p)
+         ORDER BY doc_id""",
 
     // Health report: q26's quality formula, integer sums per source.
     "q109_corpus_report" ->
