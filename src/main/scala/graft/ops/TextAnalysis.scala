@@ -469,6 +469,53 @@ object TextAnalysis {
         col("w_micro_sum") / 1e6 / col("n_tokens"))
   }
 
+  /** Closed DSIR model: per-bucket micro-unit log ratios plus the
+    * empty-bucket (unseen-at-training) score. O(buckets) driver state
+    * — small enough to ship into a plan as a literal, which is what
+    * makes the gate run on unbounded streams
+    * ([[graft.streaming.EventStreams.dsirGateStream]]). */
+  final case class DsirModel(byBucket: Map[Long, Long], unk: Long,
+                             buckets: Int)
+
+  /** Train the [[dsirWeights]] bucket model and CLOSE it (collect the
+    * B rows). Same counts, smoothing, and rounding as the frame-based
+    * op — a doc scores identically under either path. */
+  def dsirModel(df: DataFrame, text: Column,
+                target: DataFrame, targetText: Column,
+                buckets: Int = 256): DsirModel = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def tokCounts(d: DataFrame, t: Column) =
+      d.select(explode(tokens(t)).as("tok")).filter(col("tok") =!= "")
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+    val tok = col("tok")
+    val codes = transform(sequence(lit(1), length(tok)), i =>
+      ascii(tok.substr(i, lit(1))).cast("long"))
+    val bc = tokCounts(df, text).withColumnRenamed("c", "cr")
+      .join(tokCounts(target, targetText).withColumnRenamed("c", "ct"),
+            Seq("tok"), "full_outer")
+      .select(coalesce(col("cr"), lit(0L)).as("cr"),
+              coalesce(col("ct"), lit(0L)).as("ct"),
+              (aggregate(codes, lit(7L),
+                (a, ch) => (a * 31L + ch) % 2147483647L) % buckets)
+                .as("b"))
+      .groupBy("b").agg(sum("cr").as("crb"), sum("ct").as("ctb"))
+      .localCheckpoint()
+    val row = bc.agg(sum("crb"), sum("ctb")).collect()(0)
+    val (tr, tt) = (row.getLong(0), row.getLong(1))
+    require(tr > 0 && tt > 0,
+      "dsirModel: both corpora need at least one token")
+    def lp(c: Column, tot: Long): Column =
+      log((c.cast("double") + 1.0) / (tot + buckets).toDouble)
+    val m = bc.select(col("b"),
+        round((lp(col("ctb"), tt) - lp(col("crb"), tr)) * 1e6)
+          .cast("long").as("lo"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val unk = math.round(
+      (math.log(1.0 / (tt + buckets)) -
+       math.log(1.0 / (tr + buckets))) * 1e6)
+    DsirModel(m, unk, buckets)
+  }
+
   /** Sliding token-window chunking — long documents split into
     * `window`-token chunks every `stride` tokens (stride < window =
     * overlap), the standard pre-tokenization shaping for context-bound

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -106,6 +106,35 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("__prefix")
       .drop("__prefix")
+  }
+
+  /** DSIR importance gate on an unbounded stream — the payoff of the
+    * O(buckets) model: the closed model enters the plan as a map
+    * LITERAL and the whole gate is a pure per-row filter (no state, no
+    * shuffle, no watermark), so ingest can price documents against a
+    * target distribution the way the batch op
+    * ([[graft.ops.TextAnalysis.dsirWeights]] / `Pipeline.filterDsir`)
+    * does — a vocab-sized model could not ship per row. The bucket
+    * hash is the same char fold, the bucket scores the same micro-unit
+    * integers, so a doc passes the stream gate iff it passes the batch
+    * gate under the same trained model (StreamingSpec pins it). Tokens
+    * hashing to buckets unseen at training score `model.unk`. Docs
+    * with no tokens are dropped (batch: no scored row). */
+  def dsirGateStream(stream: DataFrame,
+                     model: graft.ops.TextAnalysis.DsirModel,
+                     minMeanMicro: Long,
+                     textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val m = typedlit(model.byBucket)
+    val toks = filter(tokens(col(textCol)), t => t =!= "")
+    def bucket(t: Column): Column =
+      aggregate(transform(sequence(lit(1), length(t)), i =>
+          ascii(t.substr(i, lit(1))).cast("long")),
+        lit(7L), (a, c) => (a * 31L + c) % 2147483647L) % model.buckets
+    val w = aggregate(toks, lit(0L), (acc, t) =>
+      acc + coalesce(element_at(m, bucket(t)), lit(model.unk)))
+    stream.filter(size(toks) > 0 &&
+      w >= lit(minMeanMicro) * size(toks))
   }
 
   final case class Ev(user_id: Long, tsSec: Long)

@@ -116,6 +116,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotIds.length == wantKeys.size)
   }
 
+  test("streaming DSIR gate keeps exactly the batch gate's docs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val tgt = d.filter(col("source") === "src0")
+    val model = ops.TextAnalysis.dsirModel(
+      d, col("text"), tgt, col("text"))
+    // threshold at the median so the gate splits nontrivially
+    val scored = ops.TextAnalysis.dsirWeights(
+        d, col("doc_id"), col("text"), tgt, col("text"))
+      .select("doc_id", "w_micro_sum", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val means = scored.map(t => t._2.toDouble / t._3).sorted
+    val thr = math.floor(means(means.length / 2)).toLong
+    val want = scored.filter(t => t._2 >= thr * t._3).map(_._1).toSet
+    assert(want.nonEmpty && want.size < scored.length)
+    val docs = d.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val q = EventStreams.dsirGateStream(
+        ms.toDS().toDF("doc_id", "text"), model, thr)
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs.take(200).toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(docs.drop(200).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dsir_gate").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
   test("streaming curation dedups on the SCRUBBED prefix") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
