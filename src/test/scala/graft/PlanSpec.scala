@@ -144,6 +144,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("singlepartition"), p.take(3000))
   }
 
+  test("q50 root chunking range-partitions — no global window") {
+    // root Vec(n) under a declared order previously planned an
+    // unpartitioned row_number/lead window (Exchange SinglePartition:
+    // the whole table through one task); the prefix-sum + chunk-key
+    // lowering must never show a single-partition stage
+    val p = plan("q50_chunk_root").toLowerCase
+    assert(p.contains("rangepartitioning"), p.take(2000))
+    assert(!p.contains("singlepartition"), p.take(3000))
+  }
+
+  test("q105 BPE pair stats: TakeOrdered top-N over a partial agg") {
+    // top-50 must plan as TakeOrderedAndProject (no global sort of the
+    // pair table) and the pair counts must partial-aggregate map-side
+    val p = plan("q105_bpe_pairs")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(p.contains("partial_sum") || p.contains("partial sum") ||
+           p.toLowerCase.contains("partial"), p.take(3000))
+  }
+
+  test("q107 prototypicality range-partitions — no per-cluster window") {
+    // per-cluster rank runs on the distributed prefix sum; cluster
+    // sizes come back through a broadcast join, never a window over
+    // the cluster key (billion-row clusters = straggler tasks)
+    val p = plan("q107_prototypes").toLowerCase
+    assert(p.contains("rangepartitioning"), p.take(2000))
+    assert(!p.contains("singlepartition"), p.take(3000))
+    assert(p.contains("broadcast"), p.take(3000))
+  }
+
+  test("q108 DSIR model joins broadcast; corpus is never shuffled for scoring") {
+    // the B-sized bucket model and vocab-sized token model must reach
+    // the corpus through broadcast joins — the corpus-side explode
+    // feeds a BroadcastHashJoin, not an Exchange hashpartitioning on
+    // tok
+    val p = plan("q108_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q95 keep-best survivor is one aggregation, no per-cluster window") {
     // the representative choice must be max(struct(score, -id)) — an
     // agg with map-side partials — not row_number over the cluster key
