@@ -367,6 +367,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Multi-suite decontamination matrix: one corpus gram pass audits
+    // BOTH eval suites (src0 and src1 as stand-in benchmarks); output
+    // is per-(doc, suite) distinct-overlap counts.
+    "q111_contamination_matrix" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.contaminationMatrix(
+          d.filter(!col("source").isin("src0", "src1")),
+          d.filter(col("source").isin("src0", "src1")),
+          col("doc_id"), col("text"), col("source"), col("text"), n = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id", "suite")
+    }),
+
     // Corpus health report: per-source volume / language spread /
     // exact-dup load / quality mass, all integer-exact sums.
     "q109_corpus_report" -> ((s, dir) => {
@@ -1529,6 +1542,20 @@ object SparkEntry {
          SELECT sv.doc_id, sv.source FROM surv sv
          WHERE sv.doc_id NOT IN (SELECT id2 FROM p)
          ORDER BY doc_id""",
+
+    // Matrix: q59's gram shape with the suite label carried through.
+    "q111_contamination_matrix" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                    FROM documents),
+         g AS (SELECT doc_id, source,
+                 array_to_string(list_slice(ws, pos, pos+3), ' ') AS ng
+               FROM w, unnest(range(1, len(ws)-4+2)) AS t(pos)),
+         ev AS (SELECT DISTINCT source AS suite, ng FROM g
+                WHERE source IN ('src0', 'src1'))
+         SELECT g.doc_id, ev.suite, count(DISTINCT g.ng) AS hits
+         FROM g JOIN ev USING (ng)
+         WHERE g.source NOT IN ('src0', 'src1')
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Health report: q26's quality formula, integer sums per source.
     "q109_corpus_report" ->

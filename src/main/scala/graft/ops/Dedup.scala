@@ -140,6 +140,28 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("hits"))
   }
 
+  /** Per-SUITE contamination matrix — [[contaminatedDocs]] across many
+    * benchmarks at once: eval rows carry a suite label, eval grams are
+    * distinct per (suite, gram), and each corpus doc reports its
+    * distinct overlapping gram count per suite. ONE corpus gram pass
+    * audits every suite (the gram join fans out only on actual
+    * matches), so checking ten benchmarks costs the same scan as one —
+    * the multi-benchmark audit a release pipeline runs before shipping
+    * a corpus. Output: (id, suite, hits). */
+  def contaminationMatrix(corpus: DataFrame, evalSet: DataFrame,
+                          corpusId: Column, corpusText: Column,
+                          evalSuite: Column, evalText: Column,
+                          n: Int = 13): DataFrame = {
+    val evalGrams = evalSet
+      .select(evalSuite.as("suite"),
+              explode(shingles(evalText, n)).as("ng"))
+      .distinct()
+    fanOut(corpus)
+      .select(corpusId.as("id"), explode(shingles(corpusText, n)).as("ng"))
+      .join(broadcast(evalGrams), "ng")
+      .groupBy("id", "suite").agg(count(lit(1)).as("hits"))
+  }
+
   /** [[contaminatedDocs]] with a Bloom-filter prefilter — the 100 TB
     * path when the eval n-gram set is too large to probe as a broadcast
     * hash relation per corpus gram. A driver-built blocked Bloom over

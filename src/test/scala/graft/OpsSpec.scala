@@ -530,6 +530,23 @@ class OpsSpec extends AnyFunSuite {
            r(1).getDouble(2) == r6(math.log(5.0 / 3)))
   }
 
+  test("contamination matrix equals per-suite single runs") {
+    val corpus = docs.filter(!col("source").isin("src0", "src1"))
+    val evals = docs.filter(col("source").isin("src0", "src1"))
+    val m = Dedup.contaminationMatrix(corpus, evals,
+        col("doc_id"), col("text"), col("source"), col("text"), n = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m.nonEmpty)
+    for (su <- Seq("src0", "src1")) {
+      val single = Dedup.contaminatedDocs(corpus,
+          evals.filter(col("source") === su),
+          col("doc_id"), col("text"), col("text"), n = 4)
+        .collect().map(r => (r.getLong(0), su) -> r.getLong(1)).toMap
+      assert(m.filter(_._1._2 == su) == single, su)
+    }
+  }
+
   test("DSIR weights match a driver-side hashed-bucket model") {
     import spark.implicits._
     val B = 16
