@@ -367,6 +367,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SpaceSaving frequent items per source: capacity above the
+    // per-source vocab puts the sketch in its exact regime (err 0,
+    // deterministic top-5), which the oracle checks bit-for-bit; the
+    // bounded approximate regime is spec-checked in OpsSpec.
+    "q112_heavy_hitters" -> ((s, dir) => {
+      val tok = t(s, dir, "documents").select(col("source"),
+          explode(graft.functions.TextFunctions.tokens(col("text")))
+            .as("tok"))
+        .filter(col("tok") =!= "")
+      graft.ops.Sketches.heavyHitters(tok, Seq(col("source")),
+          col("tok"), k = 5, capacity = 1 << 17)
+        .orderBy(col("source"), col("cnt_est").desc, col("item"))
+    }),
+
     // Multi-suite decontamination matrix: one corpus gram pass audits
     // BOTH eval suites (src0 and src1 as stand-in benchmarks); output
     // is per-(doc, suite) distinct-overlap counts.
@@ -1542,6 +1556,22 @@ object SparkEntry {
          SELECT sv.doc_id, sv.source FROM surv sv
          WHERE sv.doc_id NOT IN (SELECT id2 FROM p)
          ORDER BY doc_id""",
+
+    // Exact-regime frequent items: plain counts + per-source rank.
+    "q112_heavy_hitters" ->
+      """WITH tk AS (SELECT source, tok FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents) WHERE tok <> ''),
+         c AS (SELECT source, tok, count(*) AS cnt
+               FROM tk GROUP BY 1, 2),
+         r AS (SELECT source, tok, cnt,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY cnt DESC, tok) AS rn
+               FROM c)
+         SELECT source, tok AS item, cnt AS cnt_est,
+                CAST(0 AS BIGINT) AS err
+         FROM r WHERE rn <= 5
+         ORDER BY source, cnt_est DESC, item""",
 
     // Matrix: q59's gram shape with the suite label carried through.
     "q111_contamination_matrix" ->

@@ -65,6 +65,74 @@ object Reducers {
     (c: Column) => f(c)
   }
 
+  /** SpaceSaving heavy hitters — the frequent-items member of the
+    * sketch tier (HLL distinct / KLL quantiles live in
+    * [[graft.ops.Sketches.profile]]): approximate most-frequent items
+    * with O(capacity) mergeable state per group. Summary maps item ->
+    * (cnt, err): cnt over-counts the truth by at most err, and any
+    * item whose true frequency exceeds n/capacity is guaranteed
+    * present. An unseen item arriving at a full summary evicts the
+    * current minimum (ties: smallest key) and inherits its count as
+    * error — the Metwally et al. stream rule. Merge follows the
+    * mergeable-summaries construction: absent keys take the other
+    * side's full-summary minimum as (count, error), the union then
+    * truncates back to the top `capacity` by (count desc, key asc);
+    * the n/capacity error bound adds across merges.
+    *
+    * When a group holds fewer distinct items than `capacity`, nothing
+    * ever evicts: every count is EXACT with err 0 and the output is
+    * the deterministic top-k — the regime the q112 oracle checks
+    * bit-for-bit. The bounded approximate regime is spec-checked
+    * (`OpsSpec`) against the documented guarantees instead. */
+  final case class SpaceSaving(capacity: Int)
+      extends Aggregator[String, Map[String, (Long, Long)],
+                         Seq[(String, Long, Long)]] {
+    require(capacity >= 1, s"need capacity >= 1, got $capacity")
+
+    override def zero: Map[String, (Long, Long)] = Map.empty
+
+    private def minCount(b: Map[String, (Long, Long)]): Long =
+      if (b.size < capacity) 0L else b.valuesIterator.map(_._1).min
+
+    override def reduce(b: Map[String, (Long, Long)],
+                        v: String): Map[String, (Long, Long)] =
+      if (v == null) b
+      else b.get(v) match {
+        case Some((c, e)) => b.updated(v, (c + 1L, e))
+        case None if b.size < capacity => b.updated(v, (1L, 0L))
+        case None =>
+          val (mk, (mc, _)) = b.minBy { case (k, (c, _)) => (c, k) }
+          (b - mk).updated(v, (mc + 1L, mc))
+      }
+
+    override def merge(a: Map[String, (Long, Long)],
+                       b: Map[String, (Long, Long)])
+        : Map[String, (Long, Long)] = {
+      if (a.isEmpty) return b
+      if (b.isEmpty) return a
+      val (ma, mb) = (minCount(a), minCount(b))
+      val merged = (a.keySet ++ b.keySet).iterator.map { k =>
+        val (ca, ea) = a.getOrElse(k, (ma, ma))
+        val (cb, eb) = b.getOrElse(k, (mb, mb))
+        k -> (ca + cb, ea + eb)
+      }.toMap
+      if (merged.size <= capacity) merged
+      else merged.toSeq
+        .sortBy { case (k, (c, _)) => (-c, k) }
+        .take(capacity).toMap
+    }
+
+    override def finish(r: Map[String, (Long, Long)])
+        : Seq[(String, Long, Long)] =
+      r.toSeq.map { case (k, (c, e)) => (k, c, e) }
+        .sortBy { case (k, c, _) => (-c, k) }
+
+    override def bufferEncoder: Encoder[Map[String, (Long, Long)]] =
+      ExpressionEncoder[Map[String, (Long, Long)]]()
+    override def outputEncoder: Encoder[Seq[(String, Long, Long)]] =
+      ExpressionEncoder[Seq[(String, Long, Long)]]()
+  }
+
   /** Mergeable top-k by (score desc, id asc) — the partial-aggregation
     * form of "rank per group and keep k". The window formulation
     * (row_number over partitionBy) must shuffle EVERY scored row to its

@@ -26,4 +26,28 @@ object Sketches {
       percentile_approx(value,
         array(quantiles.map(lit): _*), lit(accuracy))
         .as("approx_quantiles"))
+
+  /** Per-group approximate frequent items via the mergeable
+    * [[graft.functions.Reducers.SpaceSaving]] summary: one shuffle of
+    * capacity-sized buffers with map-side partials — never a full
+    * per-group count table when only the head matters. Output one row
+    * per (group, hitter): (…group cols…, item, cnt_est, err), top `k`
+    * of each group's summary by (count desc, item asc). Size
+    * `capacity` to 1/threshold-frequency (items above n/capacity are
+    * guaranteed caught); with capacity above the group's distinct
+    * count the result is the exact deterministic top-k with err 0. */
+  def heavyHitters(df: DataFrame, groupBy: Seq[Column], item: Column,
+                   k: Int, capacity: Int): DataFrame = {
+    require(k >= 1 && capacity >= k,
+      s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
+    val f = udaf(graft.functions.Reducers.SpaceSaving(capacity))
+    df.groupBy(groupBy: _*)
+      .agg(slice(f(item), 1, k).as("__hh"))
+      .select(col("*"), explode(col("__hh")).as("__h"))
+      .drop("__hh")
+      .withColumn("item", col("__h._1"))
+      .withColumn("cnt_est", col("__h._2"))
+      .withColumn("err", col("__h._3"))
+      .drop("__h")
+  }
 }

@@ -530,6 +530,39 @@ class OpsSpec extends AnyFunSuite {
            r(1).getDouble(2) == r6(math.log(5.0 / 3)))
   }
 
+  test("SpaceSaving hitters: exact under capacity, bounded over it") {
+    import spark.implicits._
+    // exact regime on real tokens: equals the plain count top-k
+    val tok = docs.select(col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val got = Sketches.heavyHitters(tok, Seq(col("source")),
+        col("tok"), k = 3, capacity = 1 << 17)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getLong(3)))
+    assert(got.nonEmpty && got.forall(_._4 == 0L)) // err 0 everywhere
+    val want = tok.groupBy("source", "tok").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(t => (-t._3, t._2)).take(3).toSeq }.toSet
+    assert(got.map(t => (t._1, t._2, t._3)).toSet == want)
+    // bounded regime: planted hitter at 45% frequency, capacity 16,
+    // 200 cold singletons force constant eviction
+    val stream = (Seq.fill(180)("hot") ++
+      (0 until 200).map(i => s"cold$i")).map(("g", _))
+    val skew = stream.toDF("g", "item")
+    val hh = Sketches.heavyHitters(skew, Seq(col("g")), col("item"),
+        k = 16, capacity = 16)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val n = stream.size.toLong
+    val hot = hh.find(_._1 == "hot")
+    assert(hot.isDefined, "item above n/capacity must be present")
+    val (_, est, err) = hot.get
+    assert(est >= 180L && est - err <= 180L, s"est=$est err=$err")
+    assert(hh.forall { case (_, e2, r2) => e2 - r2 >= 0 && r2 <= n / 16 })
+  }
+
   test("contamination matrix equals per-suite single runs") {
     val corpus = docs.filter(!col("source").isin("src0", "src1"))
     val evals = docs.filter(col("source").isin("src0", "src1"))
