@@ -367,6 +367,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // JL sign projection 64 -> 16: seeded MINSTD ±1 matrix, one narrow
+    // pass of codegen'd dots; the oracle replays the identical integer
+    // sign derivation and multiply-by-reciprocal scaling.
+    "q113_jl_project" -> ((s, dir) => {
+      graft.ops.Similarity.jlProject(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), dim = 64, k = 16)
+        .orderBy("vec_id", "j")
+    }),
+
     // SpaceSaving frequent items per source: capacity above the
     // per-source vocab puts the sketch in its exact regime (err 0,
     // deterministic top-5), which the oracle checks bit-for-bit; the
@@ -1556,6 +1565,35 @@ object SparkEntry {
          SELECT sv.doc_id, sv.source FROM surv sv
          WHERE sv.doc_id NOT IN (SELECT id2 FROM p)
          ORDER BY doc_id""",
+
+    // JL projection: the murmur fmix32 finalizer replayed in integer
+    // SQL (xor / floor-div / HUGEINT multiply mod 2^32) builds the
+    // identical ±1 matrix, ordered lists keep the summation sequence.
+    "q113_jl_project" ->
+      """WITH sg AS (SELECT j, i,
+             1 - 2 * (xor(h4, h4 // 65536) % 2) AS sgn
+           FROM (SELECT j, i,
+                   CAST((CAST(xor(h2, h2 // 8192) AS HUGEINT)
+                         * 3266489909) % 4294967296 AS BIGINT) AS h4
+                 FROM (SELECT j, i,
+                         CAST((CAST(xor(x, x // 65536) AS HUGEINT)
+                               * 2246822507) % 4294967296 AS BIGINT) AS h2
+                       FROM (SELECT j, i, i*16 + j AS x
+                             FROM range(0, 16) t1(j),
+                                  range(0, 64) t2(i))))),
+         sm AS (SELECT list(row ORDER BY j) AS s FROM (
+                  SELECT j, list(sgn ORDER BY i) AS row
+                  FROM sg GROUP BY j)),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         SELECT vec_id, CAST(j AS INTEGER) AS j, p FROM (
+           SELECT vec_id,
+             unnest(range(0, 16)) AS j,
+             unnest([round(list_sum(
+                 [v[i+1] * s[j+1][i+1] FOR i IN range(0, 64)])
+               * (1.0/sqrt(16.0)), 6)
+               FOR j IN range(0, 16)]) AS p
+           FROM e, sm)
+         ORDER BY vec_id, j""",
 
     // Exact-regime frequent items: plain counts + per-source rank.
     "q112_heavy_hitters" ->

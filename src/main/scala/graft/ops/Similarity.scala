@@ -266,6 +266,53 @@ object Similarity {
       .select("vec_id", "cid", "proto_score", "keep")
   }
 
+  /** murmur3's 32-bit finalizer — the seeded sign source for
+    * [[jlProject]], replayable bit-for-bit in SQL (xor / floor-div /
+    * 128-bit multiply mod 2^32). A linear-congruential parity (the
+    * MINSTD family used for id hashing) is NOT usable here: its
+    * multiplier is even mod 2^31, so consecutive inputs produce long
+    * constant-parity runs and the "random" sign rows come out ~0.8
+    * correlated — measured 2x the ideal JL distortion. fmix32's
+    * avalanche restores true-random quality (row |corr| ~0.1, the
+    * random-matrix baseline). */
+  private def fmix32(x: Long): Long = {
+    val M = 0xFFFFFFFFL
+    var h = x & M
+    h ^= h >>> 16; h = (h * 0x85ebca6bL) & M
+    h ^= h >>> 13; h = (h * 0xc2b2ae35L) & M
+    h ^= h >>> 16
+    h
+  }
+
+  /** Johnson–Lindenstrauss sign projection: dim-d embeddings shrink to
+    * k dims against a seeded ±1 matrix derived from [[fmix32]] —
+    * identical on the driver, in every task, and in the oracle's
+    * integer SQL replay, so no RNG state ships anywhere. Pairwise
+    * geometry survives within (1 ± eps) w.h.p. at
+    * k ~ O(log n / eps²) — the standard scan-budget shrink BEFORE
+    * ANN when wide embeddings dominate IO (a 64→16 cut is 4× less
+    * scan/broadcast per stage downstream; linear maps preserve exact
+    * duplicates' collinearity outright). One narrow per-row pass of k
+    * codegen'd [[graft.functions.ArrayDot]]s — no lambda, no shuffle.
+    * Null vectors are excluded (the [[cosinePairsLsh]] convention).
+    * Output: (vec_id, j, p) rows, p rounded to 6. */
+  def jlProject(df: DataFrame, id: Column, vec: Column,
+                dim: Int, k: Int, seed: Long = 0L): DataFrame = {
+    require(dim >= 1 && k >= 1, s"need dim, k >= 1, got dim=$dim k=$k")
+    val signs: Seq[Seq[Double]] = (0 until k).map(j =>
+      (0 until dim).map(i =>
+        if ((fmix32(i.toLong * k + j + seed) & 1L) == 0L) 1.0 else -1.0))
+    // multiply by the reciprocal (NOT divide): the oracle mirrors the
+    // same op sequence so the IEEE results are bit-identical pre-round
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    val v = toDouble(vec)
+    val proj = array((0 until k).map(j =>
+      round(dot(v, typedlit(signs(j))) * scale, 6)): _*)
+    Dedup.fanOut(df).filter(v.isNotNull)
+      .select(id.as("vec_id"), posexplode(proj))
+      .withColumnRenamed("pos", "j").withColumnRenamed("col", "p")
+  }
+
   /** Approximate cosine-similar pair discovery via sign-pattern LSH:
     * bucket on an nPlanes-bit signature, compare only within buckets,
     * verify exactly. Multi-table (`tables`) boosts recall; emitted pairs

@@ -530,6 +530,48 @@ class OpsSpec extends AnyFunSuite {
            r(1).getDouble(2) == r6(math.log(5.0 / 3)))
   }
 
+  test("JL projection preserves collinearity and coarse geometry") {
+    import spark.implicits._
+    val p = Similarity.jlProject(embs, col("vec_id"), col("embedding"),
+        dim = 64, k = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3) }
+    assert(p.size == embs.count() && p.head._2.length == 16)
+    // linear map: a scaled copy projects to an exactly-parallel vector
+    val planted = embs.limit(5)
+      .select((col("vec_id") + 10000).as("vec_id"),
+              transform(col("embedding"), x => x * lit(2.0f))
+                .as("embedding"))
+    val pp = Similarity.jlProject(planted, col("vec_id"),
+        col("embedding"), dim = 64, k = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).map { case (id, rows) =>
+        id -> rows.sortBy(_._2).map(_._3) }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    pp.foreach { case (id, v) =>
+      assert(cos(v.toSeq, p(id - 10000).toSeq) > 0.999999, s"id $id") }
+    // coarse geometry: projected cosine tracks original cosine on a
+    // sample of pairs (JL with k=16 is lossy; demand correlation, not
+    // precision)
+    val origs = embs.limit(40)
+      .select(col("vec_id"), graft.functions.VectorFunctions
+        .toDouble(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val ids = origs.keys.toSeq.sorted
+    val pairs = for (i <- ids.indices; j <- (i + 1) until ids.length
+                     if (i + j) % 7 == 0) yield (ids(i), ids(j))
+    val diffs = pairs.map { case (a, b) =>
+      math.abs(cos(origs(a).toSeq, origs(b).toSeq) -
+               cos(p(a).toSeq, p(b).toSeq)) }
+    assert(diffs.nonEmpty)
+    assert(diffs.sum / diffs.size < 0.25,
+      f"mean distortion ${diffs.sum / diffs.size}%.3f")
+  }
+
   test("SpaceSaving hitters: exact under capacity, bounded over it") {
     import spark.implicits._
     // exact regime on real tokens: equals the plain count top-k
