@@ -367,7 +367,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // JL sign projection 64 -> 16: seeded MINSTD ±1 matrix, one narrow
+    // ANN in the projected space: 64 -> 16 JL cut, then exact
+    // brute-force top-5 over the 4x-smaller vectors — the composed
+    // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    "q114_ann_projected" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val p = graft.ops.Similarity.jlProjectVec(
+        e, col("vec_id"), col("embedding"), dim = 64, k = 16)
+      graft.ops.Similarity.bruteForceTopK(
+          p, p.filter(col("vec_id") < 10),
+          col("vec_id"), col("proj"), col("vec_id"), col("proj"), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // JL sign projection 64 -> 16: seeded fmix32 ±1 matrix, one narrow
     // pass of codegen'd dots; the oracle replays the identical integer
     // sign derivation and multiply-by-reciprocal scaling.
     "q113_jl_project" -> ((s, dir) => {
@@ -1565,6 +1578,42 @@ object SparkEntry {
          SELECT sv.doc_id, sv.source FROM surv sv
          WHERE sv.doc_id NOT IN (SELECT id2 FROM p)
          ORDER BY doc_id""",
+
+    // Projected ANN: q113's sign/projection CTEs, then q24's exact
+    // ranking shape over the 16-dim vectors.
+    "q114_ann_projected" ->
+      """WITH sg AS (SELECT j, i,
+             1 - 2 * (xor(h4, h4 // 65536) % 2) AS sgn
+           FROM (SELECT j, i,
+                   CAST((CAST(xor(h2, h2 // 8192) AS HUGEINT)
+                         * 3266489909) % 4294967296 AS BIGINT) AS h4
+                 FROM (SELECT j, i,
+                         CAST((CAST(xor(x, x // 65536) AS HUGEINT)
+                               * 2246822507) % 4294967296 AS BIGINT) AS h2
+                       FROM (SELECT j, i, i*16 + j AS x
+                             FROM range(0, 16) t1(j),
+                                  range(0, 64) t2(i))))),
+         sm AS (SELECT list(row ORDER BY j) AS s FROM (
+                  SELECT j, list(sgn ORDER BY i) AS row
+                  FROM sg GROUP BY j)),
+         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         pr AS (SELECT vec_id,
+                  [round(list_sum(
+                     [v[i+1] * s[j+1][i+1] FOR i IN range(0, 64)])
+                   * (1.0/sqrt(16.0)), 6)
+                   FOR j IN range(0, 16)] AS pv
+                FROM e, sm),
+         q AS (SELECT vec_id AS qid, pv AS qv FROM pr WHERE vec_id < 10),
+         sc AS (SELECT qid, vec_id AS nbr,
+                  round(list_cosine_similarity(qv, pv), 6) AS score
+                FROM q, pr WHERE vec_id != qid),
+         r AS (SELECT qid, nbr, score,
+                 CAST(row_number() OVER
+                   (PARTITION BY qid ORDER BY score DESC, nbr)
+                   AS INTEGER) AS rank
+               FROM sc)
+         SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
+         ORDER BY qid, rank""",
 
     // JL projection: the murmur fmix32 finalizer replayed in integer
     // SQL (xor / floor-div / HUGEINT multiply mod 2^32) builds the

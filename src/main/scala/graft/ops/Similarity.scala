@@ -296,8 +296,8 @@ object Similarity {
     * codegen'd [[graft.functions.ArrayDot]]s — no lambda, no shuffle.
     * Null vectors are excluded (the [[cosinePairsLsh]] convention).
     * Output: (vec_id, j, p) rows, p rounded to 6. */
-  def jlProject(df: DataFrame, id: Column, vec: Column,
-                dim: Int, k: Int, seed: Long = 0L): DataFrame = {
+  private def jlArray(vec: Column, dim: Int, k: Int,
+                      seed: Long): Column = {
     require(dim >= 1 && k >= 1, s"need dim, k >= 1, got dim=$dim k=$k")
     val signs: Seq[Seq[Double]] = (0 until k).map(j =>
       (0 until dim).map(i =>
@@ -306,11 +306,27 @@ object Similarity {
     // same op sequence so the IEEE results are bit-identical pre-round
     val scale = 1.0 / math.sqrt(k.toDouble)
     val v = toDouble(vec)
-    val proj = array((0 until k).map(j =>
+    array((0 until k).map(j =>
       round(dot(v, typedlit(signs(j))) * scale, 6)): _*)
+  }
+
+  def jlProject(df: DataFrame, id: Column, vec: Column,
+                dim: Int, k: Int, seed: Long = 0L): DataFrame = {
+    val v = toDouble(vec)
     Dedup.fanOut(df).filter(v.isNotNull)
-      .select(id.as("vec_id"), posexplode(proj))
+      .select(id.as("vec_id"), posexplode(jlArray(vec, dim, k, seed)))
       .withColumnRenamed("pos", "j").withColumnRenamed("col", "p")
+  }
+
+  /** Column form of [[jlProject]] (same matrix, same rounding):
+    * (vec_id, proj) with proj an array<double> of length k — the
+    * composable shape the ANN ops consume; q114 runs exact top-k in
+    * the projected space end to end against a replayed oracle. */
+  def jlProjectVec(df: DataFrame, id: Column, vec: Column,
+                   dim: Int, k: Int, seed: Long = 0L): DataFrame = {
+    val v = toDouble(vec)
+    Dedup.fanOut(df).filter(v.isNotNull)
+      .select(id.as("vec_id"), jlArray(vec, dim, k, seed).as("proj"))
   }
 
   /** Approximate cosine-similar pair discovery via sign-pattern LSH:

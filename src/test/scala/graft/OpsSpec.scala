@@ -572,6 +572,26 @@ class OpsSpec extends AnyFunSuite {
       f"mean distortion ${diffs.sum / diffs.size}%.3f")
   }
 
+  test("projected ANN still finds planted duplicates at rank 1") {
+    // collinearity survives any linear map, so a scaled copy is
+    // cosine-1 in the 16-dim space too — the projected index cannot
+    // miss exact duplicates, only near ones (probabilistically)
+    val planted = embs.limit(10)
+      .select((col("vec_id") + 10000).as("vec_id"),
+              transform(col("embedding"), x => x * lit(1.5f))
+                .as("embedding"))
+    val corpus = embs.select("vec_id", "embedding").union(planted)
+    val p = Similarity.jlProjectVec(corpus, col("vec_id"),
+      col("embedding"), dim = 64, k = 16)
+    val r = Similarity.bruteForceTopK(
+        p, p.filter(col("vec_id") >= 10000),
+        col("vec_id"), col("proj"), col("vec_id"), col("proj"), k = 1)
+      .select("qid", "nbr").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    (0 until 10).foreach { i =>
+      assert(r(i + 10000L) == i.toLong, s"query ${i + 10000}") }
+  }
+
   test("SpaceSaving hitters: exact under capacity, bounded over it") {
     import spark.implicits._
     // exact regime on real tokens: equals the plain count top-k
