@@ -108,12 +108,14 @@ object FuzzConformance {
     val wheres = Seq.fill(nWhere)(genWhere(r, c))
     val whereSql =
       if (wheres.isEmpty) "" else wheres.map(_._2).mkString(" WHERE ", " AND ", "")
-    // q60..q71 for the original 12; the next 4 take q83..q86, later
-    // additions jump to q98+ (q72..q82 and q87..q97 are named queries)
+    // q60..q71 for the original 12; the next 4 take q83..q86, the next
+    // 4 jump to q98..q101, later additions to q115+ (q72..q82,
+    // q87..q97, and q102..q114 are named queries)
     val name =
       if (n < 12) s"q${60 + n}_fuzz"
       else if (n < 16) s"q${71 + n}_fuzz"
-      else s"q${82 + n}_fuzz"
+      else if (n < 20) s"q${82 + n}_fuzz"
+      else s"q${95 + n}_fuzz"
 
     shape match {
       case 0 => // projection (+ one computed column), total order
@@ -284,7 +286,7 @@ object FuzzConformance {
   def specs: Seq[Spec] = {
     val r = new scala.util.Random(20260812L)
     val nShapes = 7
-    (0 until 20).map(i =>
+    (0 until 28).map(i =>
       genSpec(r, i, if (i < nShapes) i else r.nextInt(nShapes)))
   }
 }
