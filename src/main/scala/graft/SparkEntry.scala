@@ -370,6 +370,30 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Winnowing (MOSS) fingerprint selection: k-gram hashes, w-window
+    // minima, distinct per doc — the sublinear alignment-robust
+    // fingerprint set; the oracle replays the identical pack/fold
+    // hashes and takes the window min relationally.
+    "q123_winnow_fingerprints" -> ((s, dir) => {
+      graft.ops.TextAnalysis.winnowFingerprints(t(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 3, w = 4)
+        .orderBy("doc_id", "fp")
+    }),
+
+    // Leakage-safe split: near-dup components (same exact-jaccard
+    // oracle graph as q56) hash on their canonical representative, so
+    // no near-dup pair can straddle train/test; singletons fall back
+    // to the plain q73 assignment.
+    "q124_split_leakage_safe" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashLshPairs(d, col("doc_id"),
+          col("text"), tau = 0.6)
+      graft.ops.Sampling.leakageSafeSplit(d.select("doc_id"),
+          col("doc_id"), pairs, col("id1"), col("id2"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .orderBy("doc_id")
+    }),
+
     "q114_ann_projected" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val p = graft.ops.Similarity.jlProjectVec(
@@ -1581,6 +1605,41 @@ object SparkEntry {
 
     // Projected ANN: q113's sign/projection CTEs, then q24's exact
     // ranking shape over the 16-dim vectors.
+    "q123_winnow_fingerprints" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         p AS (SELECT doc_id,
+                 [CAST(31*length(w) + ascii(substr(w,1,1)) AS BIGINT)
+                  FOR w IN ws] AS ps
+               FROM t),
+         g AS (SELECT doc_id,
+                 unnest(range(1, len(ps) - 1)) AS pos,
+                 unnest([((((7*31 + ps[i]) % 2147483647) * 31 + ps[i+1])
+                          % 2147483647 * 31 + ps[i+2]) % 2147483647
+                         FOR i IN range(1, len(ps) - 1)]) AS h
+               FROM p WHERE len(ps) >= 3),
+         wmin AS (SELECT doc_id, pos,
+                    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                      AS fp,
+                    max(pos) OVER (PARTITION BY doc_id) AS mx
+                  FROM g)
+         SELECT DISTINCT doc_id, fp FROM wmin
+         WHERE pos <= greatest(mx - 3, 1)
+         ORDER BY 1, 2""",
+
+    "q124_split_leakage_safe" ->
+      (dedupGroupsSql + """
+         SELECT d.doc_id,
+           CASE WHEN hv < 1717986917 THEN 'train'
+                WHEN hv < 1932735282 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 (((((((coalesce(c.comp, doc_id) + 1) % 2147483647)
+                      + 2147483647) % 2147483647)
+                    * 48271) % 2147483647) * 48271) % 2147483647 AS hv
+               FROM documents LEFT JOIN comp c ON documents.doc_id = c.id) d
+         ORDER BY d.doc_id"""),
+
     "q114_ann_projected" ->
       """WITH sg AS (SELECT j, i,
              1 - 2 * (xor(h4, h4 // 65536) % 2) AS sgn

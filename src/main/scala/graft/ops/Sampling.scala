@@ -78,6 +78,39 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Split assignment that near-duplicate pairs can never straddle.
+    * Documents are first clustered into near-dup components
+    * ([[graft.ops.Dedup.connectedComponents]] over `pairs`), then every
+    * member of a component hashes on the component's canonical
+    * representative (minimum member id) instead of its own id — the
+    * whole cluster lands in one split by construction. Singletons (no
+    * near-dup pair) hash on their own id, so the assignment is
+    * IDENTICAL to [[hashSplit]] wherever no near-dup exists, and stays
+    * growth-stable there. This CLOSES the train/eval contamination
+    * channel that a split-leakage check (q87) merely measures: per-doc
+    * hashing lets a near-dup pair land in train and test and leak the
+    * eval answer into training; per-component hashing makes that
+    * impossible.
+    *
+    * Scale: the component frame is proportional to documents that HAVE
+    * a near-dup (a small fraction of any real corpus), keyed by id —
+    * the left join broadcasts when small and AQE picks a shuffle join
+    * past that; everything else is the same zero-shuffle projection as
+    * [[hashSplit]]. */
+  def leakageSafeSplit(df: DataFrame, id: Column, pairs: DataFrame,
+                       pid1: Column, pid2: Column,
+                       weights: Seq[(String, Double)],
+                       seed: Long = 0L): DataFrame = {
+    Seq("__lss_id", "__lss_comp").foreach(n =>
+      require(!df.columns.contains(n),
+        s"leakageSafeSplit: input already has reserved column '$n'"))
+    val comp = graft.ops.Dedup.connectedComponents(pairs, pid1, pid2)
+      .select(col("id").as("__lss_id"), col("comp").as("__lss_comp"))
+    hashSplit(df.join(comp, id === col("__lss_id"), "left"),
+              coalesce(col("__lss_comp"), id), weights, seed)
+      .drop("__lss_id", "__lss_comp")
+  }
+
   /** Per-stratum deterministic sampling: each row keeps or drops by the
     * MINSTD hash of its id under its stratum's rate (e.g. downsample
     * "en" to 0.5 while keeping all of "de"). The standard

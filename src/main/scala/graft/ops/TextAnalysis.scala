@@ -79,6 +79,56 @@ object TextAnalysis {
   def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.as("doc_id"), fingerprint(tokens(text)).as("fp"))
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    * the MOSS algorithm — the standard local document fingerprinting
+    * for partial-overlap detection in large corpora): hash every
+    * k-token gram, slide a w-wide window over
+    * the gram-hash sequence, and keep each window's MINIMUM hash. The
+    * classic guarantee follows: any run of >= w+k-1 tokens shared by two
+    * documents contributes at least one IDENTICAL selected fingerprint
+    * to both, while only ~2/(w+1) of all gram hashes are kept — a
+    * sublinear, alignment-robust fingerprint set (file hashes break on
+    * any edit; full gram sets are k x larger). Emits the distinct
+    * (doc_id, fp) rows; join fp-to-fp downstream for containment
+    * detection at any scale (the join key is a 31-bit int, never text).
+    *
+    * Gram hashes fold the same per-token packs as [[fingerprint]]
+    * (31*len + first-char code, mod 2^31-1 each step) so the DuckDB
+    * oracle replays them verbatim. All arrays are BOUND to named
+    * columns before any element_at lambda (a derived-array expression
+    * inside a lambda re-evaluates per element — measured O(n^2)).
+    * Docs shorter than k tokens have no grams and are absent; docs with
+    * 1 <= m < w grams yield the min of all m (one truncated window) so
+    * every doc with a gram has at least one fingerprint. Null text
+    * propagates to the empty gram set (absent). Narrow per-row pass +
+    * one explode — no shuffle; distinct-per-doc happens inside the row
+    * (array_distinct) not as a global distinct. */
+  def winnowFingerprints(df: DataFrame, id: Column, text: Column,
+                         k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(w >= 1, s"w must be >= 1, got $w")
+    val P = 2147483647L
+    val packed = df.select(id.as("doc_id"),
+      transform(tokens(text), t =>
+        (lit(31L) * length(t) + ascii(substring(t, 1, 1)))
+          .cast("long")).as("__packs"))
+    val n = size(col("__packs"))
+    val gramHashes = when(n >= k,
+      transform(sequence(lit(1), n - (k - 1)), i =>
+        (1 until k).foldLeft(
+          (lit(7L) * 31L + element_at(col("__packs"), i)) % P) {
+          (acc, j) => (acc * 31L + element_at(col("__packs"), i + j)) % P
+        }))
+      .otherwise(array().cast("array<bigint>"))
+    val hashed = packed.select(col("doc_id"), gramHashes.as("__gh"))
+    val m = size(col("__gh"))
+    val mins = when(m >= 1,
+      transform(sequence(lit(1), greatest(m - (w - 1), lit(1))), j =>
+        array_min(slice(col("__gh"), j, lit(w)))))
+      .otherwise(array().cast("array<bigint>"))
+    hashed.select(col("doc_id"), explode(array_distinct(mins)).as("fp"))
+  }
+
   /** Per-document token counting, both whitespace and BPE-ish regex
     * (the "what will this cost to train on" column). Narrow, no
     * shuffle; only id + text are scanned. */

@@ -109,8 +109,9 @@ object FuzzConformance {
     val whereSql =
       if (wheres.isEmpty) "" else wheres.map(_._2).mkString(" WHERE ", " AND ", "")
     // q60..q71 for the original 12; the next 4 take q83..q86, the next
-    // 4 jump to q98..q101, later additions to q115+ (q72..q82,
-    // q87..q97, and q102..q114 are named queries)
+    // 4 jump to q98..q101, the next 8 to q115..q122; later additions
+    // start at q125+ (q72..q82, q87..q97, q102..q114, and q123..q124
+    // are named queries)
     val name =
       if (n < 12) s"q${60 + n}_fuzz"
       else if (n < 16) s"q${71 + n}_fuzz"

@@ -1271,4 +1271,77 @@ class OpsSpec extends AnyFunSuite {
       .collect()
     assert(seeded.map(_.toSeq).toSet != rows.map(_.toSeq).toSet)
   }
+
+  /** Driver-side reference of the winnowing selection — same pack/fold
+    * hashes, scala collections. */
+  private def winnowRef(text: String, k: Int, w: Int): Set[Long] = {
+    val P = 2147483647L
+    val toks = text.split(" ", -1)
+    val packs = toks.map(t =>
+      31L * t.length + (if (t.isEmpty) 0L else t.charAt(0).toLong))
+    val gh =
+      if (packs.length >= k) (0 to packs.length - k).map { i =>
+        (1 until k).foldLeft((7L * 31 + packs(i)) % P)(
+          (a, j) => (a * 31 + packs(i + j)) % P)
+      } else Seq.empty[Long]
+    if (gh.isEmpty) Set.empty
+    else (0 until math.max(gh.length - w + 1, 1))
+      .map(j => gh.slice(j, j + w).min).toSet
+  }
+
+  test("winnowing equals the driver reference on the real corpus") {
+    val out = TextAnalysis.winnowFingerprints(
+        docs, col("doc_id"), col("text"), k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ref = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)))
+      .collect { case (id, Some(t)) if winnowRef(t, 3, 4).nonEmpty =>
+        id -> winnowRef(t, 3, 4) }.toMap
+    assert(out == ref)
+    assert(ref.nonEmpty)
+  }
+
+  test("winnowing guarantee: a shared >= w+k-1 token run shares a fp") {
+    import spark.implicits._
+    // two docs sharing a 6-token run (w+k-1 = 4+3-1 = 6) amid noise
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val d = Seq((1L, s"one two three $shared four five six"),
+                (2L, s"seven eight $shared nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowFingerprints(
+        d, col("doc_id"), col("text"), k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    // density: selection is sublinear (~2/(w+1) of grams kept)
+    val nGrams = shared.split(" ").length + 7 - 2 // doc1: 13 toks, 11 grams
+    assert(fps(1L).size < nGrams)
+  }
+
+  test("leakage-safe split keeps each near-dup component in one split") {
+    import spark.implicits._
+    val ids = (1L to 200L).toDF("doc_id")
+    // chain 1-2-3 (transitive), pair 50-60, pair 7-199
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 60L), (7L, 199L))
+      .toDF("id1", "id2")
+    val out = Sampling.leakageSafeSplit(ids, col("doc_id"), pairs,
+        col("id1"), col("id2"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == 200)
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(50L) == out(60L))
+    assert(out(7L) == out(199L))
+    // singletons fall back to the plain per-id assignment
+    val plain = Sampling.hashSplit(ids, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val members = Set(1L, 2L, 3L, 50L, 60L, 7L, 199L)
+    out.foreach { case (id, s) =>
+      if (!members.contains(id)) assert(s == plain(id), s"id $id") }
+    // and the clustered assignment is the representative's plain one
+    assert(out(1L) == plain(1L) && out(50L) == plain(50L) &&
+           out(7L) == plain(7L))
+  }
 }
