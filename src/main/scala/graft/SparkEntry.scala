@@ -370,6 +370,17 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Containment pairs over the winnowed fingerprints: shared-fp
+    // count with a hot-fp cap — catches long shared passages that
+    // whole-doc jaccard dilutes away; inverted-index join, never
+    // all-pairs.
+    "q125_containment_pairs" -> ((s, dir) => {
+      graft.ops.Dedup.winnowContainmentPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), k = 3, w = 4,
+          minShared = 3, maxDocFreq = 20)
+        .orderBy("id1", "id2")
+    }),
+
     // Winnowing (MOSS) fingerprint selection: k-gram hashes, w-window
     // minima, distinct per doc — the sublinear alignment-robust
     // fingerprint set; the oracle replays the identical pack/fold
@@ -1605,6 +1616,35 @@ object SparkEntry {
 
     // Projected ANN: q113's sign/projection CTEs, then q24's exact
     // ranking shape over the 16-dim vectors.
+    "q125_containment_pairs" ->
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         p AS (SELECT doc_id,
+                 [CAST(31*length(w) + ascii(substr(w,1,1)) AS BIGINT)
+                  FOR w IN ws] AS ps
+               FROM t),
+         g AS (SELECT doc_id,
+                 unnest(range(1, len(ps) - 1)) AS pos,
+                 unnest([((((7*31 + ps[i]) % 2147483647) * 31 + ps[i+1])
+                          % 2147483647 * 31 + ps[i+2]) % 2147483647
+                         FOR i IN range(1, len(ps) - 1)]) AS h
+               FROM p WHERE len(ps) >= 3),
+         wmin AS (SELECT doc_id, pos,
+                    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                      AS fp,
+                    max(pos) OVER (PARTITION BY doc_id) AS mx
+                  FROM g),
+         fps AS (SELECT DISTINCT doc_id, fp FROM wmin
+                 WHERE pos <= greatest(mx - 3, 1)),
+         hot AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
+         kept AS (SELECT f.doc_id, f.fp FROM fps f
+                  JOIN hot USING(fp) WHERE hot.c <= 20)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+                count(*) AS shared
+         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3
+         ORDER BY 1, 2""",
+
     "q123_winnow_fingerprints" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          p AS (SELECT doc_id,

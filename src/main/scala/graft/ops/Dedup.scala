@@ -246,7 +246,36 @@ object Dedup {
         corpusId === col("__flagged_id"), "left_anti")
   }
 
-  /** Cross-split contamination: near-dup pairs whose members landed in
+  /** Partial-overlap (containment) pair discovery over WINNOWED
+    * fingerprints ([[graft.ops.TextAnalysis.winnowFingerprints]]):
+    * documents sharing >= `minShared` selected fingerprints. This
+    * catches what whole-doc Jaccard misses by design — a long shared
+    * PASSAGE inside otherwise-different documents (quotes, boilerplate
+    * inclusions, wrapped copies) dilutes global Jaccard below any
+    * useful tau, but winnowing guarantees every shared run of
+    * >= w+k-1 tokens contributes an identical fingerprint to both
+    * sides. Same inverted-index shape as [[jaccardPairs]]: shuffle on
+    * the 31-bit fingerprint key, never all-pairs, with the hot-key cap
+    * (`maxDocFreq`) dropping template fingerprints that would cost
+    * |docs|^2 join rows while signalling nothing about any single
+    * pair. At 100 TB the fingerprint frame is ~2/(w+1) the gram count
+    * and the join key is an int — the index is also a natural bucketed
+    * artifact for incremental reuse. */
+  def winnowContainmentPairs(df: DataFrame, id: Column, text: Column,
+                             k: Int = 3, w: Int = 4,
+                             minShared: Int = 3,
+                             maxDocFreq: Int = 20): DataFrame = {
+    val fps = TextAnalysis.winnowFingerprints(fanOut(df), id, text, k, w)
+    val freq = fps.groupBy("fp").count().filter(col("count") <= maxDocFreq)
+    val kept = fps.join(freq.select("fp"), "fp")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
+  /** Near-dup pairs whose two members were assigned
     * DIFFERENT splits — the eval-hygiene check run after any
     * train/val/test assignment (a test doc with a train near-twin
     * inflates benchmarks exactly like decontamination misses do).

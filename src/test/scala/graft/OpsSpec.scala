@@ -1319,6 +1319,28 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("containment pairs catch a shared passage global jaccard misses") {
+    import spark.implicits._
+    // a 12-token passage embedded in two long otherwise-disjoint docs:
+    // global jaccard is far below any useful tau, but winnowing
+    // guarantees shared fingerprints from the common run
+    val passage = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val noise1 = (1 to 80).map(i => s"left$i").mkString(" ")
+    val noise2 = (1 to 80).map(i => s"right$i").mkString(" ")
+    val d = Seq((1L, s"$noise1 $passage"), (2L, s"$passage $noise2"),
+                (3L, (1 to 90).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val jac = pairSet(Dedup.jaccardPairs(d, col("doc_id"), col("text"), 0.2))
+    assert(!jac.contains((1L, 2L))) // diluted below tau
+    // the guarantee is >= 1 DISTINCT shared fp per shared run (window
+    // minima inside one run can all collapse to the run's min gram),
+    // so the spec asserts at minShared = 1
+    val cont = Dedup.winnowContainmentPairs(d, col("doc_id"), col("text"),
+        minShared = 1, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cont == Set((1L, 2L)))
+  }
+
   test("leakage-safe split keeps each near-dup component in one split") {
     import spark.implicits._
     val ids = (1L to 200L).toDF("doc_id")
