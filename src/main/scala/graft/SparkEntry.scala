@@ -370,6 +370,19 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // BM25 keyword retrieval: inverted tf index cut down by a
+    // broadcast query-term join, partial-top-k ranking; float exprs
+    // structured identically to the oracle, scores rounded at 1e-6
+    // before ranking.
+    "q126_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark hash join"), (2L, "window sort table"),
+                   (3L, "fast merge batch")).toDF("qid", "qtext")
+      graft.ops.Retrieval.bm25(t(s, dir, "documents"), col("doc_id"),
+          col("text"), qs, col("qid"), col("qtext"), k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     // Containment pairs over the winnowed fingerprints: shared-fp
     // count with a hot-fp cap — catches long shared passages that
     // whole-doc jaccard dilutes away; inverted-index join, never
@@ -1616,6 +1629,38 @@ object SparkEntry {
 
     // Projected ANN: q113's sign/projection CTEs, then q24's exact
     // ranking shape over the 16-dim vectors.
+    "q126_bm25" ->
+      """WITH q(qid, qtext) AS (VALUES
+           (CAST(1 AS BIGINT), 'spark hash join'),
+           (2, 'window sort table'), (3, 'fast merge batch')),
+         qt AS (SELECT qid,
+                  unnest(list_distinct(string_split(qtext,' '))) AS term
+                FROM q),
+         tk AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         lens AS (SELECT doc_id, len(ws) AS dl FROM tk),
+         terms AS (SELECT doc_id, t AS term FROM (
+             SELECT doc_id, unnest(ws) AS t FROM tk) WHERE t <> ''),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens),
+         scored AS (SELECT qt.qid, tf.doc_id,
+             round(sum(
+               ln(1.0 + ((stats.n_docs - dfreq.df) + 0.5)
+                        / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * ((1.0 - 0.75)
+                     + 0.75 * (lens.dl * stats.n_docs
+                               / stats.total_dl))))), 6) AS score
+           FROM tf JOIN qt USING(term) JOIN dfreq USING(term)
+                JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats
+           GROUP BY 1, 2),
+         r AS (SELECT qid, doc_id, score,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+               FROM scored)
+         SELECT qid, doc_id, score, rank FROM r
+         WHERE rank <= 10 ORDER BY qid, rank""",
+
     "q125_containment_pairs" ->
       """WITH t AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
          p AS (SELECT doc_id,

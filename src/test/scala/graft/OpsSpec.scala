@@ -1319,6 +1319,25 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("bm25 ranks term coverage, rarity, and length-norm correctly") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "needle common common common"),        // rare term, short doc
+      (2L, "needle " + ("common " * 60).trim),    // rare term, long doc
+      (3L, ("common " * 10).trim),                // common term only
+      (4L, "unrelated words entirely here")
+    ).toDF("doc_id", "text")
+    val qs = Seq((1L, "needle common")).toDF("qid", "qtext")
+    val out = Retrieval.bm25(d, col("doc_id"), col("text"),
+        qs, col("qid"), col("qtext"), k = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    // both needle docs beat the common-only doc (idf dominance); the
+    // short needle doc beats the long one (length normalization); the
+    // no-match doc is absent entirely
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("containment pairs catch a shared passage global jaccard misses") {
     import spark.implicits._
     // a 12-token passage embedded in two long otherwise-disjoint docs:
