@@ -370,6 +370,17 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Top principal component by fixed-point power iteration: integer
+    // micro-units end to end (decimal(38,0) sums = DuckDB's HUGEINT),
+    // so the oracle replays the whole 2-iteration loop bit-for-bit.
+    "q127_top_pc" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Similarity.topPrincipalComponent(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          iters = 2)
+        .toDF("j", "v").orderBy("j")
+    }),
+
     // BM25 keyword retrieval: inverted tf index cut down by a
     // broadcast query-term join, partial-top-k ranking; float exprs
     // structured identically to the oracle, scores rounded at 1e-6
@@ -1629,6 +1640,45 @@ object SparkEntry {
 
     // Projected ANN: q113's sign/projection CTEs, then q24's exact
     // ranking shape over the 16-dim vectors.
+    "q127_top_pc" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+                    FROM embeddings WHERE embedding IS NOT NULL),
+         q AS (SELECT vec_id,
+                 [CAST(floor(x*1000000 + 0.5) AS BIGINT) FOR x IN ev] AS qv
+               FROM e),
+         nn AS (SELECT count(*) AS n FROM q),
+         lf AS (SELECT vec_id, unnest(qv) AS x,
+                  unnest(range(1, len(qv)+1)) AS j FROM q),
+         mu AS (SELECT j, CAST(floor(sum(x)*1.0/any_value(nn.n)) AS BIGINT)
+                  AS m
+                FROM lf CROSS JOIN nn GROUP BY j),
+         c AS (SELECT vec_id, lf.j, lf.x - mu.m AS c
+               FROM lf JOIN mu USING (j)),
+         v0 AS (SELECT j, c AS v FROM c
+                WHERE vec_id = (SELECT min(vec_id) FROM q)),
+         d1 AS (SELECT vec_id,
+                  CAST(floor(sum(c.c * v0.v)*1.0/1000000) AS BIGINT) AS ds
+                FROM c JOIN v0 USING (j) GROUP BY vec_id),
+         s1 AS (SELECT j, sum(c.c * d1.ds) AS s
+                FROM c JOIN d1 USING (vec_id) GROUP BY j),
+         m1 AS (SELECT max(abs(s)) AS ma FROM s1),
+         v1 AS (SELECT j, CASE WHEN m1.ma = 0 THEN 0
+                  ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
+                  END AS v
+                FROM s1 CROSS JOIN m1),
+         d2 AS (SELECT vec_id,
+                  CAST(floor(sum(c.c * v1.v)*1.0/1000000) AS BIGINT) AS ds
+                FROM c JOIN v1 USING (j) GROUP BY vec_id),
+         s2 AS (SELECT j, sum(c.c * d2.ds) AS s
+                FROM c JOIN d2 USING (vec_id) GROUP BY j),
+         m2 AS (SELECT max(abs(s)) AS ma FROM s2),
+         v2 AS (SELECT j, CASE WHEN m2.ma = 0 THEN 0
+                  ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
+                  END AS v
+                FROM s2 CROSS JOIN m2)
+         SELECT CAST(j AS INTEGER) AS j, CAST(v AS BIGINT) AS v
+         FROM v2 ORDER BY j""",
+
     "q126_bm25" ->
       """WITH q(qid, qtext) AS (VALUES
            (CAST(1 AS BIGINT), 'spark hash join'),

@@ -219,6 +219,108 @@ object Similarity {
     centsQ.map(_.map(_.toDouble / 1e6))
   }
 
+  /** Top principal component of an embedding column by deterministic
+    * FIXED-POINT power iteration — the trainer for common-direction
+    * removal ([[removeTopComponent]], the SIF/"all-but-the-top"
+    * post-processing that measurably improves embedding similarity by
+    * deleting the dominant frequency direction every encoder produces).
+    *
+    * Arithmetic is integer end-to-end so the whole loop is
+    * bit-reproducible in the oracle's SQL replay (same scheme as
+    * [[kmeansCentroids]]): vectors quantize to 1e-6 micro-units
+    * (`floor(x*1e6 + 0.5)`, explicit half-up), the mean is a
+    * floor-divided integer, centering is exact subtraction, and each
+    * iteration is two distributed passes — (1) per-row dot with the
+    * broadcast current direction, floor-scaled back to micro-units;
+    * (2) d exact column sums of `dot * centered`, accumulated in
+    * DECIMAL(38,0) (matching DuckDB's sum(BIGINT) -> HUGEINT) so a
+    * billion-row corpus cannot overflow. The new direction normalizes
+    * to max-abs = 1e6 by exact BigInt floor division on the driver
+    * (d values only). Init = the centered vector of the minimum-id row
+    * (deterministic; any vector not orthogonal to the PC converges).
+    *
+    * Scale: driver state is d longs; each iteration is 2 narrow
+    * aggregate jobs (no shuffle beyond partial agg); the centered
+    * frame is localCheckpoint'd once so 2*iters jobs re-read columnar
+    * storage, not the lineage. Returns the d (dimension, value) pairs
+    * in micro-units; empty corpus -> Nil; an all-zero centered corpus
+    * (every vector identical) returns the zero direction. */
+  def topPrincipalComponent(corpus: DataFrame, id: Column, vec: Column,
+                            iters: Int = 2): Seq[(Int, Long)] = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = Dedup.fanOut(corpus)
+      .select(id.as("id"), transform(toDouble(vec),
+        x => floor(x * 1e6 + lit(0.5)).cast("long")).as("q"))
+      .filter(col("q").isNotNull)
+    val firstRow = q.orderBy(col("id")).limit(1).collect()
+    if (firstRow.isEmpty) return Nil
+    val dim = firstRow.head.getSeq[Long](1).size
+    val n = q.count()
+    val sumAggs = (0 until dim).map(d =>
+      sum(element_at(col("q"), d + 1)).as(s"s$d"))
+    val sums = q.agg(sumAggs.head, sumAggs.tail: _*).collect().head
+    val mean = (0 until dim).map(d => Math.floorDiv(sums.getLong(d), n))
+    val meanLit = typedlit(mean)
+    val centered = q.select(col("id"),
+        zip_with(col("q"), meanLit, (x, m) => x - m).as("c"))
+      .localCheckpoint()
+    var v: IndexedSeq[Long] = centered
+      .orderBy(col("id")).limit(1).collect()
+      .head.getSeq[Long](1).toIndexedSeq
+    for (_ <- 0 until iters) {
+      val vLit = typedlit(v)
+      // pass 1: per-row dot with v, floor-scaled to micro-units
+      val dot = aggregate(zip_with(col("c"), vLit, (x, y) => x * y),
+        lit(0L), (a, x) => a + x)
+      val ds = floor(dot.cast("double") / 1e6).cast("long")
+      val scored = centered.select(col("c"), ds.as("ds"))
+      // pass 2: d exact decimal sums of ds * c_j
+      val aggs = (0 until dim).map(d =>
+        sum((element_at(col("c"), d + 1) * col("ds"))
+          .cast(DecimalType(38, 0))).as(s"s$d"))
+      val row = scored.agg(aggs.head, aggs.tail: _*).collect().head
+      val s = (0 until dim).map(d =>
+        if (row.isNullAt(d)) BigInt(0)
+        else BigInt(row.getDecimal(d).toBigInteger))
+      val maxAbs = s.map(_.abs).max
+      v =
+        if (maxAbs == 0) IndexedSeq.fill(dim)(0L)
+        else s.map { x =>
+          val num = x * 1000000
+          // exact floor division (truncation-safe: subtract floor-mod)
+          val fm = ((num % maxAbs) + maxAbs) % maxAbs
+          ((num - fm) / maxAbs).toLong
+        }.toIndexedSeq
+    }
+    (0 until dim).map(d => (d + 1, v(d)))
+  }
+
+  /** Common-direction removal ("all-but-the-top"): subtract each
+    * vector's projection onto the top principal component, x' = x -
+    * (x·u)u with u the L2-normalized direction from
+    * [[topPrincipalComponent]]. Plain double arithmetic (the OUTPUT is
+    * float-typed embedding post-processing, not an oracle surface —
+    * orthogonality and idempotence are spec-pinned instead); one
+    * narrow pass, broadcast literal direction, no shuffle. A zero
+    * direction (degenerate corpus) passes vectors through unchanged. */
+  def removeTopComponent(df: DataFrame, id: Column, vec: Column,
+                         pcMicro: Seq[(Int, Long)]): DataFrame = {
+    val raw = pcMicro.sortBy(_._1).map(_._2.toDouble / 1e6)
+    val norm = math.sqrt(raw.map(x => x * x).sum)
+    val u = if (norm == 0.0) raw else raw.map(_ / norm)
+    val uLit = typedlit(u)
+    // the projection scalar is BOUND to a column before the subtraction
+    // lambda — a derived expression inside a HOF lambda re-evaluates
+    // per element (O(d^2) per row, measured on bigramNll)
+    val proj = aggregate(zip_with(col("__v"), uLit, (x, y) => x * y),
+      lit(0.0), (a, x) => a + x)
+    df.select(id.as("id"), toDouble(vec).as("__v"))
+      .withColumn("__p", proj)
+      .select(col("id"),
+        zip_with(col("__v"), uLit,
+          (x, y) => x - col("__p") * y).as("v"))
+  }
+
   /** SSL-prototypes diversity pruning (the curation step AFTER dedup in
     * embedding-based pipelines): every vector is assigned to its
     * nearest trained centroid, scored by cosine to that centroid

@@ -1319,6 +1319,46 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("power iteration recovers a planted dominant direction") {
+    import spark.implicits._
+    val dim = 8
+    val u = Array(0.6, -0.3, 0.5, 0.1, -0.4, 0.2, -0.2, 0.1)
+    val rnd = new scala.util.Random(7)
+    // strong signal along u, weak isotropic noise
+    val rows = (0 until 200).map { i =>
+      val a = if (i % 2 == 0) 3.0 else -3.0
+      (i.toLong, (0 until dim).map(j =>
+        (a * u(j) + 0.05 * rnd.nextGaussian()).toFloat).toArray)
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val pc = Similarity.topPrincipalComponent(d, col("vec_id"),
+      col("embedding"), iters = 3)
+    val v = pc.sortBy(_._1).map(_._2.toDouble / 1e6).toArray
+    val cos = {
+      val dot = v.zip(u).map { case (a, b) => a * b }.sum
+      dot / (math.sqrt(v.map(x => x * x).sum) *
+             math.sqrt(u.map(x => x * x).sum))
+    }
+    assert(math.abs(cos) > 0.99, s"recovered direction cos=$cos")
+  }
+
+  test("removeTopComponent leaves vectors orthogonal to the direction") {
+    val pc = Similarity.topPrincipalComponent(embs, col("vec_id"),
+      col("embedding"), iters = 2)
+    val u = pc.sortBy(_._1).map(_._2.toDouble / 1e6)
+    val norm = math.sqrt(u.map(x => x * x).sum)
+    val un = u.map(_ / norm)
+    val out = Similarity.removeTopComponent(embs, col("vec_id"),
+      col("embedding"), pc)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val proj = v.zip(un).map { case (a, b) => a * b }.sum
+      assert(math.abs(proj) < 1e-9, s"vec ${r.getLong(0)} proj=$proj")
+    }
+  }
+
   test("bm25 ranks term coverage, rarity, and length-norm correctly") {
     import spark.implicits._
     val d = Seq(
