@@ -370,6 +370,40 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Event-type transition matrix (path analysis), lag window per
+    // user with a deterministic event-id tiebreak.
+    "q130_transitions" -> ((s, dir) => {
+      graft.ops.Events.eventTransitions(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"),
+          col("event_id"))
+        .orderBy("from_type", "to_type")
+    }),
+
+    // Sequential conversion funnel: stage-i completion must be
+    // STRICTLY AFTER stage i-1's earliest completion; nulls from the
+    // first uncompleted stage propagate.
+    "q128_funnel" -> ((s, dir) => {
+      def fmt(c: String) =
+        date_format(col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(c)
+      graft.ops.Events.funnel(t(s, dir, "events"), col("user_id"),
+          col("ts"), col("event_type"),
+          Seq("signup", "view", "click", "purchase"))
+        .select(col("user_id"), fmt("t1"), fmt("t2"), fmt("t3"),
+                fmt("t4"))
+        .orderBy("user_id")
+    }),
+
+    // Cohort retention matrix: users bucketed by first-event day,
+    // counted once per active day offset.
+    "q129_retention" -> ((s, dir) => {
+      graft.ops.Events.retentionCohorts(t(s, dir, "events"),
+          col("user_id"), col("ts"))
+        .select(date_format(col("cohort_day"), "yyyy-MM-dd")
+                  .as("cohort_day"),
+                col("day_offset"), col("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
     // Top principal component by fixed-point power iteration: integer
     // micro-units end to end (decimal(38,0) sums = DuckDB's HUGEINT),
     // so the oracle replays the whole 2-iteration loop bit-for-bit.
@@ -1640,6 +1674,55 @@ object SparkEntry {
 
     // Projected ANN: q113's sign/projection CTEs, then q24's exact
     // ranking shape over the 16-dim vectors.
+    "q130_transitions" ->
+      """WITH x AS (SELECT event_type AS to_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS from_type
+           FROM events WHERE ts IS NOT NULL)
+         SELECT from_type, to_type, count(*) AS n FROM x
+         WHERE from_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q128_funnel" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+                    WHERE ts IS NOT NULL),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, s1.t1,
+                  min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+                FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+                  AND e.event_type = 'view'
+                GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+                  min(CASE WHEN e.ts > s2.t2 THEN e.ts END) AS t3
+                FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+                  AND e.event_type = 'click'
+                GROUP BY 1, 2, 3),
+         s4 AS (SELECT s3.user_id, s3.t1, s3.t2, s3.t3,
+                  min(CASE WHEN e.ts > s3.t3 THEN e.ts END) AS t4
+                FROM s3 LEFT JOIN e ON e.user_id = s3.user_id
+                  AND e.event_type = 'purchase'
+                GROUP BY 1, 2, 3, 4)
+         SELECT user_id,
+           strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS t1,
+           strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS t2,
+           strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS t3,
+           strftime(t4, '%Y-%m-%d %H:%M:%S.%f') AS t4
+         FROM s4 ORDER BY user_id""",
+
+    "q129_retention" ->
+      """WITH c AS (SELECT user_id, date_trunc('day', min(ts))
+                      AS cohort_day
+                    FROM events WHERE ts IS NOT NULL GROUP BY 1),
+         a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+               FROM events WHERE ts IS NOT NULL)
+         SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS INTEGER)
+             AS day_offset,
+           count(*) AS n_users
+         FROM a JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q127_top_pc" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev
                     FROM embeddings WHERE embedding IS NOT NULL),

@@ -120,4 +120,86 @@ object Events {
       .groupBy(user.as("user_id"))
       .agg(max(col("session_id")).as("n_sessions"),
            count(lit(1)).as("n_events"))
+
+  /** Sequential conversion funnel: per user, the earliest timestamp of
+    * stage 1, then the earliest stage-2 event STRICTLY AFTER it, and so
+    * on — the standard product-analytics "signup → view → click →
+    * purchase" question, where naive per-stage minima overcount (a
+    * purchase BEFORE the signup must not complete the funnel). Output
+    * is one row per user who completed stage 1, with `t1..tk`
+    * timestamps, null from the first uncompleted stage onward (nulls
+    * propagate: a null t_i makes every later stage null by comparison
+    * semantics, no special-casing).
+    *
+    * Scale shape: stage i is one user-keyed left join of the current
+    * funnel frame (users-completing-stage-1-sized, shrinking) against
+    * only that stage's events (filter pushed to the scan) followed by
+    * a partial-aggregating min — k-1 equi-joins on the same user key,
+    * which AQE plans broadcast once the funnel frame shrinks below the
+    * threshold. No window over all events, no per-user sort. Null
+    * timestamps are excluded up front (an event with no position in
+    * time can neither start nor advance a funnel). */
+  def funnel(df: DataFrame, user: Column, ts: Column, eventType: Column,
+             stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      "funnel stages must be distinct (a repeated stage name would " +
+      "match the same events twice)")
+    val clean = df.filter(ts.isNotNull)
+    var cur = clean.filter(eventType === stages.head)
+      .groupBy(user.as("user_id")).agg(min(ts).as("t1"))
+    for (i <- 1 until stages.size) {
+      val evs = clean.filter(eventType === stages(i))
+        .select(user.as("user_id"), ts.as("__ts"))
+      val keys = col("user_id") +: (1 to i).map(j => col(s"t$j"))
+      cur = cur.join(evs, Seq("user_id"), "left")
+        .groupBy(keys: _*)
+        .agg(min(when(col("__ts") > col(s"t$i"), col("__ts")))
+          .as(s"t${i + 1}"))
+    }
+    cur
+  }
+
+  /** Per-user event-type transition counts — the Markov matrix behind
+    * path analysis ("what do users do after an error?"). One window
+    * shuffle on the user key, identical shape to [[sessionize]] (and
+    * with the same skew remedy available: a power-law user serializes
+    * its partition, so pre-bucket by coarse time exactly as
+    * [[sessionizeBucketed]] does if that ever dominates). Ties on a
+    * user's timestamp are broken by `order` (must make the per-user
+    * order total, e.g. an event id) so the lag is deterministic; the
+    * first event of each user has no predecessor and contributes no
+    * transition. Null timestamps are excluded (no position in time). */
+  def eventTransitions(df: DataFrame, user: Column, ts: Column,
+                       eventType: Column, order: Column): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts, order)
+    df.filter(ts.isNotNull)
+      .select(user.as("user_id"), eventType.as("to_type"),
+        lag(eventType, 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Cohort retention matrix: users grouped by the day of their FIRST
+    * event (their cohort), counted by how many are active on each
+    * later day-offset — the analytics table behind every retention
+    * curve. Two shuffles: the per-user first-day aggregate and the
+    * (cohort, offset) count over the DISTINCT (user, day) activity
+    * frame (distinct first, so a burst of same-day events counts one
+    * active user once). The activity-to-cohort join is user-keyed;
+    * the cohort frame is user-sized and AQE-broadcast when small. */
+  def retentionCohorts(df: DataFrame, user: Column, ts: Column)
+      : DataFrame = {
+    val clean = df.filter(ts.isNotNull)
+    val cohort = clean.groupBy(user.as("user_id"))
+      .agg(date_trunc("DAY", min(ts)).as("cohort_day"))
+    val activity = clean
+      .select(user.as("user_id"), date_trunc("DAY", ts).as("day"))
+      .distinct()
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

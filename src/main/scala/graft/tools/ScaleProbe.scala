@@ -132,6 +132,31 @@ object ScaleProbe {
       graft.ops.Similarity.prototypicality(
         bigE, col("vec_id"), col("embedding"), cents, 0.2).count()
     }
+    // winnowing at 10x: fingerprint selection is narrow per-row (cost
+    // tracks token count); the containment join shuffles on the 31-bit
+    // fp key with the hot-fp cap bounding any bucket — replication
+    // multiplies every fp's doc-freq by 10, so the cap is the lever
+    // that keeps template fps from exploding the join
+    time("winnow_fps 50k")(graft.ops.TextAnalysis.winnowFingerprints(
+      corpus, col("doc_id"), col("text")).count())
+    time("containment 50k cap=200")(graft.ops.Dedup.winnowContainmentPairs(
+      corpus, col("doc_id"), col("text"), minShared = 3,
+      maxDocFreq = 200).count())
+    // BM25 at 10x: the tf index scales with the corpus, everything
+    // after the broadcast query-term join is query-sized
+    import spark.implicits._
+    time("bm25 50k 3q")(graft.ops.Retrieval.bm25(
+      corpus, col("doc_id"), col("text"),
+      Seq((1L, "spark hash join"), (2L, "window sort table"),
+          (3L, "fast merge batch"))
+        .toDF("qid", "qtext"),
+      col("qid"), col("qtext"), k = 10).count())
+    // top-PC at 10x embeddings: 2 narrow aggregate jobs per iteration,
+    // d-long driver state — pure linear passes
+    time("top_pc 10x") {
+      graft.ops.Similarity.topPrincipalComponent(
+        bigE, col("vec_id"), col("embedding"), iters = 2).size.toLong
+    }
     spark.stop()
   }
 }

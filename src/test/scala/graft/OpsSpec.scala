@@ -1319,6 +1319,77 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("funnel requires strictly-ordered stage completion") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, t("2024-01-01 10:00:00"), "signup"),
+      (1L, t("2024-01-01 11:00:00"), "view"),
+      (1L, t("2024-01-01 12:00:00"), "click"),
+      // user 2: clicked BEFORE viewing — click must not complete
+      (2L, t("2024-01-01 10:00:00"), "signup"),
+      (2L, t("2024-01-01 09:00:00"), "click"),
+      (2L, t("2024-01-01 11:00:00"), "view"),
+      // user 3: never signed up — absent from the funnel
+      (3L, t("2024-01-01 08:00:00"), "view"),
+      // user 4: signup only
+      (4L, t("2024-01-01 07:00:00"), "signup")
+    ).toDF("user_id", "ts", "event_type")
+    val f = Events.funnel(ev, col("user_id"), col("ts"),
+        col("event_type"), Seq("signup", "view", "click"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)),
+         Option(r.getTimestamp(3)))).toMap
+    assert(f.keySet == Set(1L, 2L, 4L))
+    assert(f(1L) == (Some(t("2024-01-01 10:00:00")),
+      Some(t("2024-01-01 11:00:00")), Some(t("2024-01-01 12:00:00"))))
+    // user 2's click at 09:00 precedes the view at 11:00 — no click
+    assert(f(2L)._2 == Some(t("2024-01-01 11:00:00")) &&
+           f(2L)._3.isEmpty)
+    assert(f(4L)._2.isEmpty && f(4L)._3.isEmpty) // nulls propagate
+  }
+
+  test("event transitions lag within user, tie-broken by event id") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (10L, 1L, t("2024-01-01 10:00:00"), "a"),
+      (11L, 1L, t("2024-01-01 11:00:00"), "b"),
+      (12L, 1L, t("2024-01-01 11:00:00"), "c"), // tie: id 11 before 12
+      (20L, 2L, t("2024-01-01 09:00:00"), "b"), // other user: no a->b
+      (21L, 2L, t("2024-01-01 10:00:00"), "a")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val m = Events.eventTransitions(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m == Map(("a", "b") -> 1L, ("b", "c") -> 1L,
+                    ("b", "a") -> 1L))
+  }
+
+  test("retention counts a user once per active day against its cohort") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 23:00:00"), "click"), // same day: counts once
+      (1L, t("2024-01-03 10:00:00"), "view"),  // offset 2
+      (2L, t("2024-01-01 09:00:00"), "view"),
+      (2L, t("2024-01-02 09:00:00"), "view"),  // offset 1
+      (3L, t("2024-01-02 12:00:00"), "view")   // its own cohort
+    ).toDF("user_id", "ts", "event_type")
+    val m = Events.retentionCohorts(ev, col("user_id"), col("ts"))
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getInt(1)) -> r.getLong(2)).toMap
+    assert(m == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 1) -> 1L,
+      ("2024-01-01", 2) -> 1L, ("2024-01-02", 0) -> 1L))
+  }
+
   test("power iteration recovers a planted dominant direction") {
     import spark.implicits._
     val dim = 8
