@@ -370,6 +370,20 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Funnel v4 through the PUBLIC Pipeline API: quality gate ->
+    // containment removal (winnowed fingerprints) -> leakage-safe
+    // split — the round's ops composed end to end, one exact oracle.
+    "q131_funnel_guarded" -> ((s, dir) => {
+      graft.ops.Pipeline(t(s, dir, "documents"), "doc_id", "text")
+        .filterQuality(4500)
+        .removeContained(minShared = 3, maxDocFreq = 20)
+        .splitLeakageSafe(
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .result
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    }),
+
     // Event-type transition matrix (path analysis), lag window per
     // user with a deterministic event-id tiebreak.
     "q130_transitions" -> ((s, dir) => {
@@ -1674,6 +1688,77 @@ object SparkEntry {
 
     // Projected ANN: q113's sign/projection CTEs, then q24's exact
     // ranking shape over the 16-dim vectors.
+    "q131_funnel_guarded" ->
+      """WITH RECURSIVE
+         tkn AS (SELECT doc_id, string_split(text,' ') AS ws
+                 FROM documents),
+         ql AS (SELECT doc_id FROM (
+                  SELECT doc_id,
+                    CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5
+                      + least(len(ws)/100.0, 1.0)*0.3
+                      + len(list_filter(ws, t -> t IN ('the','a','of','and','to','in')))*1.0/len(ws)*0.2)
+                      *10000.0 + 0.5) AS BIGINT) AS q
+                  FROM tkn)
+                WHERE q >= 4500),
+         pool AS (SELECT t.doc_id, t.ws FROM tkn t JOIN ql USING (doc_id)),
+         pk AS (SELECT doc_id,
+                  [CAST(31*length(w) + ascii(substr(w,1,1)) AS BIGINT)
+                   FOR w IN ws] AS ps
+                FROM pool),
+         gg AS (SELECT doc_id,
+                  unnest(range(1, len(ps) - 1)) AS pos,
+                  unnest([((((7*31 + ps[i]) % 2147483647) * 31 + ps[i+1])
+                           % 2147483647 * 31 + ps[i+2]) % 2147483647
+                          FOR i IN range(1, len(ps) - 1)]) AS h
+                FROM pk WHERE len(ps) >= 3),
+         wmin AS (SELECT doc_id, pos,
+                    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                      AS fp,
+                    max(pos) OVER (PARTITION BY doc_id) AS mx
+                  FROM gg),
+         fps AS (SELECT DISTINCT doc_id, fp FROM wmin
+                 WHERE pos <= greatest(mx - 3, 1)),
+         hot AS (SELECT fp, count(*) AS c FROM fps GROUP BY 1),
+         kf AS (SELECT f.doc_id, f.fp FROM fps f
+                JOIN hot USING (fp) WHERE hot.c <= 20),
+         cont AS (SELECT DISTINCT id2 AS doc_id FROM (
+                    SELECT a.doc_id AS id1, b.doc_id AS id2,
+                           count(*) AS shared
+                    FROM kf a JOIN kf b
+                      ON a.fp = b.fp AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2 HAVING count(*) >= 3)),
+         surv AS (SELECT * FROM pool
+                  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         sh AS (SELECT doc_id, list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws)-1)]) AS shingles FROM surv),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                FROM sh),
+         pr AS (SELECT id1, id2 FROM (
+                  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
+                         any_value(a.n) AS na, any_value(b.n) AS nb
+                  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+                WHERE co*1.0/(na+nb-co) >= 0.6),
+         e AS (SELECT id1 AS a, id2 AS b FROM pr
+               UNION SELECT id2, id1 FROM pr),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM e
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY 1)
+         SELECT s.doc_id,
+           CASE WHEN hv < 1717986917 THEN 'train'
+                WHEN hv < 1932735282 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT surv.doc_id,
+                 (((((((coalesce(c.comp, surv.doc_id) + 1) % 2147483647)
+                      + 2147483647) % 2147483647)
+                    * 48271) % 2147483647) * 48271) % 2147483647 AS hv
+               FROM surv LEFT JOIN comp c ON surv.doc_id = c.id) s
+         ORDER BY s.doc_id""",
+
     "q130_transitions" ->
       """WITH x AS (SELECT event_type AS to_type,
              lag(event_type) OVER (PARTITION BY user_id

@@ -89,6 +89,30 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
     copy(df = df.join(drop, Seq(idCol), "left_anti"))
   }
 
+  /** Containment (partial-overlap) removal: drop the higher id of every
+    * pair sharing >= `minShared` winnowed fingerprints
+    * ([[Dedup.winnowContainmentPairs]]) — the stage that catches a long
+    * duplicated PASSAGE inside otherwise-different documents, which the
+    * whole-doc jaccard stages dilute below any workable tau. */
+  def removeContained(minShared: Int = 3, maxDocFreq: Int = 20): Pipeline = {
+    val dups = Dedup.winnowContainmentPairs(df, id, text,
+        minShared = minShared, maxDocFreq = maxDocFreq)
+      .select(col("id2").as(idCol)).distinct()
+    copy(df = df.join(dups, Seq(idCol), "left_anti"))
+  }
+
+  /** Leakage-safe train/val/test assignment over the CURRENT funnel
+    * frame ([[Sampling.leakageSafeSplit]] on the MinHash-LSH pair
+    * graph): appends `split`, guaranteeing no near-dup pair straddles
+    * splits. Run AFTER the dedup stages — what survives them is what
+    * the split must protect. */
+  def splitLeakageSafe(weights: Seq[(String, Double)], tau: Double = 0.6,
+                       seed: Long = 0L): Pipeline = {
+    val pairs = Dedup.minhashLshPairs(df, id, text, tau)
+    copy(df = Sampling.leakageSafeSplit(df, id, pairs,
+      col("id1"), col("id2"), weights, seed))
+  }
+
   /** Keep documents the NB seed classifier scores at or above
     * `minMeanMicro` micro-units of mean token log-odds
     * ([[TextAnalysis.nbQualityScore]]; 0 = "more seed-like than
