@@ -370,6 +370,22 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Incremental dedup at LSH cost: batch and corpus each build a
+    // reusable (id, shingles, signature) index; candidates come from
+    // the banded signature join, exact-verified — same results as
+    // q43's full inverted-index join (shared oracle).
+    "q132_incremental_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val batch = graft.ops.Dedup.minhashIndex(
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        col("doc_id"), col("text"))
+      val corpus = graft.ops.Dedup.minhashIndex(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        col("doc_id"), col("text"))
+      graft.ops.Dedup.minhashLshPairsBetween(batch, corpus, tau = 0.6)
+        .orderBy("id1", "id2")
+    }),
+
     // Funnel v4 through the PUBLIC Pipeline API: quality gate ->
     // containment removal (winnowed fingerprints) -> leakage-safe
     // split — the round's ops composed end to end, one exact oracle.
@@ -1336,6 +1352,26 @@ object SparkEntry {
 
   /** Shared oracle text: the LLM preprocessing funnel (q42 hand-assembled,
     * q52 through the fluent Pipeline API — identical semantics). */
+  /** Shared oracle text: exact jaccard pairs BETWEEN the odd-id batch
+    * and the even-id corpus (q43's inverted-index form and q132's
+    * signature-index LSH form compute the same pair set — the LSH
+    * banding recalls every tau>=0.6 pair on this corpus, exactly as
+    * q22-vs-q21 established for the within-corpus variant). */
+  private val incrementalPairsSql: String =
+    """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws)-1)]) AS shingles FROM tkn),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                FROM sh),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
+                          any_value(a.n) AS na, any_value(b.n) AS nb
+                   FROM ex a JOIN ex b ON a.s = b.s
+                   WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+                   GROUP BY 1, 2)
+         SELECT id1, id2, round(co*1.0/(na+nb-co), 4) AS jaccard FROM pairs
+         WHERE co*1.0/(na+nb-co) >= 0.6 ORDER BY 1, 2"""
+
   private val pipelineFunnelSql: String =
     """WITH tkn AS (SELECT doc_id, text, source, string_split(text,' ') AS ws
                     FROM documents),
@@ -2718,20 +2754,8 @@ object SparkEntry {
                    GROUP BY 1, 2)
          SELECT id1, id2, round(co*1.0/(na+nb-co), 4) AS jaccard FROM pairs
          WHERE co*1.0/(na+nb-co) >= 0.5 ORDER BY 1, 2""",
-    "q43_dedup_incremental" ->
-      """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
-         sh AS (SELECT doc_id, list_distinct(
-                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-                   FOR i IN range(1, len(ws)-1)]) AS shingles FROM tkn),
-         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
-                FROM sh),
-         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS co,
-                          any_value(a.n) AS na, any_value(b.n) AS nb
-                   FROM ex a JOIN ex b ON a.s = b.s
-                   WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-                   GROUP BY 1, 2)
-         SELECT id1, id2, round(co*1.0/(na+nb-co), 4) AS jaccard FROM pairs
-         WHERE co*1.0/(na+nb-co) >= 0.6 ORDER BY 1, 2""",
+    "q43_dedup_incremental" -> incrementalPairsSql,
+    "q132_incremental_lsh" -> incrementalPairsSql,
     "q42_pipeline_funnel" -> pipelineFunnelSql,
     "q52_pipeline_fluent" -> pipelineFunnelSql,
     "q40_join_enrich" ->

@@ -334,6 +334,59 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** MinHash signature index: (id, distinct shingle set, h-hash
+    * signature) per document — the REUSABLE artifact of incremental
+    * LSH dedup. At scale this is what you persist (write it bucketed
+    * by id; the signature column is h*8 bytes/doc vs the full text):
+    * daily batches compute their own index once and join it against
+    * the stored corpus index via [[minhashLshPairsBetween]] without
+    * ever re-reading, re-shingling, or re-hashing the corpus.
+    * Shingle-less docs are dropped (no near-dup semantics; degenerate
+    * signatures would collide into one giant candidate clique). */
+  def minhashIndex(df: DataFrame, id: Column, text: Column,
+                   n: Int = 3, h: Int = 128): DataFrame =
+    fanOut(df).select(id.as("id"), shingles(text, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), minhashSignature(col("sh"), h).as("sig"))
+
+  /** Incremental near-dup discovery at LSH cost: pairs (id1, id2) with
+    * exact jaccard >= tau BETWEEN two [[minhashIndex]] frames — the
+    * "dedupe today's batch against the standing corpus" shape of
+    * [[jaccardPairsBetween]], but candidate generation is the banded
+    * signature join, so the corpus side contributes band-bucket rows
+    * (bands/doc), not one row per (doc, shingle). Same 64x2 banding
+    * miss-bound as [[minhashLshPairs]] (both sides derive bands from
+    * the same signature scheme), and candidates are exact-verified
+    * against the stored shingle sets, so precision is 1 and results
+    * match [[jaccardPairsBetween]] wherever the banding recalls the
+    * pair. Identical ids are excluded: re-running after the batch has
+    * merged into the corpus must not report every shared doc as its
+    * own duplicate. */
+  def minhashLshPairsBetween(leftIndex: DataFrame, rightIndex: DataFrame,
+                             tau: Double, h: Int = 128,
+                             bands: Int = 64): DataFrame = {
+    require(bands >= 1 && h % bands == 0,
+      s"bands must divide h (got h=$h, bands=$bands)")
+    val r = h / bands
+    def banded(ix: DataFrame) = ix
+      .select(col("id"), explode(minhashBands(col("sig"), bands, r))
+        .as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded(leftIndex).as("a").join(banded(rightIndex).as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(leftIndex.select(col("id").as("id1"), col("sh").as("sh1")),
+        "id1")
+      .join(rightIndex.select(col("id").as("id2"), col("sh").as("sh2")),
+        "id2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band buckets (a pair within
     * hamming distance 3 shares ≥1 band), verified with exact Jaccard.
     * Fully deterministic & portable (polynomial char hashes) so the

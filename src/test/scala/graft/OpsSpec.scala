@@ -1319,6 +1319,24 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("incremental LSH pairs equal the inverted-index exact pairs") {
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val exact = Dedup.jaccardPairsBetween(odd, even,
+        col("doc_id"), col("doc_id"), col("text"), col("text"), tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bIx = Dedup.minhashIndex(odd, col("doc_id"), col("text"))
+    val cIx = Dedup.minhashIndex(even, col("doc_id"), col("text"))
+    val lsh = Dedup.minhashLshPairsBetween(bIx, cIx, tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+    assert(exact.nonEmpty)
+    // shared ids never self-pair (the post-merge re-run hazard)
+    val selfRun = Dedup.minhashLshPairsBetween(bIx, bIx, tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(selfRun.forall { case (a, b) => a != b })
+  }
+
   test("funnel requires strictly-ordered stage completion") {
     import spark.implicits._
     import java.sql.Timestamp
