@@ -370,6 +370,15 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Hashing-trick features: vocab-side char-fold bucket + sign,
+    // integer-exact sparse (doc, j, v) vectors — featurization with
+    // no trained model.
+    "q133_hash_features" -> ((s, dir) => {
+      graft.ops.TextAnalysis.hashFeatures(t(s, dir, "documents"),
+          col("doc_id"), col("text"), dim = 64)
+        .orderBy("doc_id", "j")
+    }),
+
     // Incremental dedup at LSH cost: batch and corpus each build a
     // reusable (id, shingles, signature) index; candidates come from
     // the banded signature join, exact-verified — same results as
@@ -2756,6 +2765,24 @@ object SparkEntry {
          WHERE co*1.0/(na+nb-co) >= 0.5 ORDER BY 1, 2""",
     "q43_dedup_incremental" -> incrementalPairsSql,
     "q132_incremental_lsh" -> incrementalPairsSql,
+
+    "q133_hash_features" ->
+      """WITH tk AS (SELECT doc_id, tok FROM (
+             SELECT doc_id, unnest(string_split(text,' ')) AS tok
+             FROM documents) WHERE tok <> ''),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM tk GROUP BY 1, 2),
+         vh AS (SELECT tok,
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      [CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                       FOR i IN range(1, length(tok) + 1)]),
+                    (a, c) -> (a * 31 + c) % 2147483647) AS h
+                FROM (SELECT DISTINCT tok FROM tf)),
+         hb AS (SELECT tok, CAST(h % 64 AS INTEGER) AS j,
+                  1 - 2 * ((h * 48271) % 2147483647 % 2) AS sgn
+                FROM vh)
+         SELECT doc_id, j, CAST(sum(sgn * tf) AS BIGINT) AS v
+         FROM tf JOIN hb USING (tok)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q42_pipeline_funnel" -> pipelineFunnelSql,
     "q52_pipeline_fluent" -> pipelineFunnelSql,
     "q40_join_enrich" ->

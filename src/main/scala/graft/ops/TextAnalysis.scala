@@ -278,6 +278,45 @@ object TextAnalysis {
       ns.flatMap(signalsFor): _*)
   }
 
+  /** Hashing-trick document feature vectors (Weinberger et al. 2009):
+    * every term folds to a bucket j in [0, dim) and an independent ±1
+    * sign (one extra Lehmer round — deriving sign from the same
+    * residue as the bucket would correlate them and bias collisions
+    * upward instead of cancelling them); the doc's sparse vector is
+    * v_j = Σ sign(t)·tf(t). Embedding-free featurization: fixed-dim
+    * vectors for clustering/similarity with NO trained model, and
+    * integer-exact end to end (counts times ±1 — no floats anywhere),
+    * so the oracle replays it bit-for-bit.
+    *
+    * Scale shape: the char-fold hash runs once per DISTINCT term (the
+    * vocab frame — the [[dsirWeights]] discipline), never per
+    * occurrence; the tf frame is the one (doc, term)-sized artifact
+    * (pinned: the vocab derivation and the scoring join both consume
+    * it) and the output agg shuffles on (doc, j) with map-side
+    * partials. Emits sparse (doc_id, j, v) rows; absent buckets are
+    * implicit zeros (sign cancellation CAN produce explicit zeros —
+    * both engines keep them, same rows). */
+  def hashFeatures(df: DataFrame, id: Column, text: Column,
+                   dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val P = 2147483647L
+    val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val tok = col("tok")
+    val codes = transform(sequence(lit(1), length(tok)), i =>
+      ascii(tok.substr(i, lit(1))).cast("long"))
+    val h = aggregate(codes, lit(7L), (a, ch) => (a * 31L + ch) % P)
+    val hashed = tf.select("tok").distinct()
+      .select(tok, pmod(h, lit(dim.toLong)).cast("int").as("j"),
+              (lit(1L) - lit(2L) * pmod((h * 48271L) % P, lit(2L)))
+                .as("sgn"))
+    tf.join(hashed, "tok")
+      .groupBy("doc_id", "j")
+      .agg(sum(col("sgn") * col("tf")).as("v"))
+  }
+
   /** PII scrubbing — the pre-release pass every training corpus gets:
     * emails, dotted-quad IPs, then 9+-digit runs replaced by typed
     * placeholders, with a per-category match count for audit columns.

@@ -1319,6 +1319,31 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("hash features match a driver-side reference, dups identical") {
+    import spark.implicits._
+    val P = 2147483647L
+    def h(t: String) = t.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % P)
+    def ref(text: String, dim: Int): Map[Int, Long] =
+      text.split(" ", -1).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap.toSeq
+        .map { case (t, tf) =>
+          val hv = h(t)
+          ((hv % dim).toInt, (1L - 2L * ((hv * 48271L) % P % 2L)) * tf) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val d = Seq((1L, "spark hash spark table"),
+                (2L, "spark hash spark table"), // exact dup of 1
+                (3L, "window sort"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.hashFeatures(d, col("doc_id"), col("text"),
+        dim = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    assert(out(1L) == ref("spark hash spark table", 16))
+    assert(out(3L) == ref("window sort", 16))
+    assert(out(1L) == out(2L)) // featurization is content-determined
+  }
+
   test("incremental LSH pairs equal the inverted-index exact pairs") {
     val odd = docs.filter(col("doc_id") % 2 === 1)
     val even = docs.filter(col("doc_id") % 2 === 0)
