@@ -370,6 +370,19 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Reciprocal-rank fusion of two BM25 parameterizations — the
+    // rank-only retrieval ensemble (raw scores never compared).
+    "q134_rrf_fusion" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1L, "spark hash join"), (2L, "window sort table"),
+                   (3L, "fast merge batch")).toDF("qid", "qtext")
+      val d = t(s, dir, "documents")
+      def run(k1: Double) = graft.ops.Retrieval.bm25(d, col("doc_id"),
+        col("text"), qs, col("qid"), col("qtext"), k = 10, k1 = k1)
+      graft.ops.Retrieval.rrfFuse(Seq(run(1.2), run(2.0)), k = 10)
+        .orderBy("qid", "rank")
+    }),
+
     // Hashing-trick features: vocab-side char-fold bucket + sign,
     // integer-exact sparse (doc, j, v) vectors — featurization with
     // no trained model.
@@ -2765,6 +2778,64 @@ object SparkEntry {
          WHERE co*1.0/(na+nb-co) >= 0.5 ORDER BY 1, 2""",
     "q43_dedup_incremental" -> incrementalPairsSql,
     "q132_incremental_lsh" -> incrementalPairsSql,
+
+    "q134_rrf_fusion" ->
+      """WITH q(qid, qtext) AS (VALUES
+           (CAST(1 AS BIGINT), 'spark hash join'),
+           (2, 'window sort table'), (3, 'fast merge batch')),
+         qt AS (SELECT qid,
+                  unnest(list_distinct(string_split(qtext,' '))) AS term
+                FROM q),
+         tk AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+         lens AS (SELECT doc_id, len(ws) AS dl FROM tk),
+         terms AS (SELECT doc_id, t AS term FROM (
+             SELECT doc_id, unnest(ws) AS t FROM tk) WHERE t <> ''),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM lens),
+         sa AS (SELECT qt.qid, tf.doc_id,
+             round(sum(
+               ln(1.0 + ((stats.n_docs - dfreq.df) + 0.5)
+                        / (dfreq.df + 0.5))
+               * (tf.tf * (1.2 + 1.0)
+                  / (tf.tf + 1.2 * ((1.0 - 0.75)
+                     + 0.75 * (lens.dl * stats.n_docs
+                               / stats.total_dl))))), 6) AS score
+           FROM tf JOIN qt USING(term) JOIN dfreq USING(term)
+                JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats
+           GROUP BY 1, 2),
+         ra AS (SELECT qid, doc_id,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+                FROM sa),
+         sb AS (SELECT qt.qid, tf.doc_id,
+             round(sum(
+               ln(1.0 + ((stats.n_docs - dfreq.df) + 0.5)
+                        / (dfreq.df + 0.5))
+               * (tf.tf * (2.0 + 1.0)
+                  / (tf.tf + 2.0 * ((1.0 - 0.75)
+                     + 0.75 * (lens.dl * stats.n_docs
+                               / stats.total_dl))))), 6) AS score
+           FROM tf JOIN qt USING(term) JOIN dfreq USING(term)
+                JOIN lens ON tf.doc_id = lens.doc_id CROSS JOIN stats
+           GROUP BY 1, 2),
+         rb AS (SELECT qid, doc_id,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+                FROM sb),
+         u AS (SELECT qid, doc_id, 1.0/(60 + rank) AS c FROM ra
+               WHERE rank <= 10
+               UNION ALL
+               SELECT qid, doc_id, 1.0/(60 + rank) AS c FROM rb
+               WHERE rank <= 10),
+         f AS (SELECT qid, doc_id, round(sum(c), 6) AS score FROM u
+               GROUP BY 1, 2),
+         r AS (SELECT qid, doc_id, score,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+               FROM f)
+         SELECT qid, doc_id, score, rank FROM r
+         WHERE rank <= 10 ORDER BY qid, rank""",
 
     "q133_hash_features" ->
       """WITH tk AS (SELECT doc_id, tok FROM (

@@ -67,4 +67,31 @@ object Retrieval {
     Relational.topKScored(scored, col("qid"), col("score"),
       col("doc_id"), k, idName = "doc_id")
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of ranked
+    * retrieval lists: score(q, d) = Σ over lists of 1/(k0 + rank) —
+    * the standard way to ensemble heterogeneous retrievers (BM25 +
+    * dense ANN, different parameterizations, ...) because it needs
+    * only RANKS, never the incomparable raw scores. Each input frame
+    * must carry (qid, doc_id, rank); a doc absent from a list simply
+    * contributes nothing (no imputation — the usual convention).
+    *
+    * Determinism: every term is 1/(k0 + rank) with integer
+    * denominators — identical IEEE division in any engine — and the
+    * per-doc sum has at most `lists.size` addends, rounded half-even
+    * at 1e-6 before the final ranking (ties by doc id). Scale: inputs
+    * are top-k-sized (k rows per query per list — retrieval output,
+    * not corpora); the union + (qid, doc) agg + partial top-k all
+    * operate on that tiny frame. */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 10,
+              k0: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val contrib = lists.map(_.select(col("qid"), col("doc_id"),
+      (lit(1.0) / (lit(k0) + col("rank"))).as("__c")))
+    val scored = contrib.reduce(_ unionByName _)
+      .groupBy("qid", "doc_id")
+      .agg(round(sum(col("__c")), 6).as("score"))
+    Relational.topKScored(scored, col("qid"), col("score"),
+      col("doc_id"), k, idName = "doc_id")
+  }
 }

@@ -1319,6 +1319,25 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("rrf fusion rewards agreement across lists, needs only ranks") {
+    import spark.implicits._
+    // doc 100 is mid-rank in BOTH lists; docs 1 and 2 top one list
+    // each but miss the other — agreement must win under RRF
+    val l1 = Seq((1L, 1L, 1), (1L, 100L, 2), (1L, 3L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val l2 = Seq((1L, 2L, 1), (1L, 100L, 2), (1L, 4L, 3))
+      .toDF("qid", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(l1, l2), k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3)))
+    assert(fused.head._1 == 100L) // 2/(60+2) beats 1/61
+    assert(fused.map(_._1).toSet == Set(100L, 1L, 2L, 3L, 4L))
+    // ties (1 vs 2, 3 vs 4: identical contributions) break by doc id
+    val order = fused.map(_._1).toSeq
+    assert(order.indexOf(1L) < order.indexOf(2L))
+    assert(order.indexOf(3L) < order.indexOf(4L))
+  }
+
   test("hash features match a driver-side reference, dups identical") {
     import spark.implicits._
     val P = 2147483647L
