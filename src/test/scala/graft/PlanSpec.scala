@@ -230,4 +230,36 @@ class PlanSpec extends AnyFunSuite {
     val sigLine = p.linesIterator.find(_.contains("minhash_sig")).getOrElse("")
     assert(sigLine.contains("*("), sigLine)
   }
+
+  test("q125 containment pairs meet through the fp equi-join, no nested loop") {
+    // winnowing's reason to exist at scale: candidates meet on the
+    // 31-bit fingerprint key — a nested-loop plan would mean the
+    // inverted index degenerated to all-pairs
+    val df = SparkEntry.queries("q125_containment_pairs")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"), p.take(2000))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+           p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q126 bm25 broadcasts the query terms; stage scans are filtered") {
+    val df = SparkEntry.queries("q126_bm25")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the query-term join must be the broadcast side — shuffling the
+    // corpus tf index to meet 8 query terms is exactly backwards
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
+  test("q128 funnel pushes each stage's event-type filter to the scan") {
+    val p = plan("q128_funnel")
+    // per-stage scans read only matching events; an unfiltered scan
+    // feeding a post-filter would read every event k times
+    assert(p.contains("PushedFilters") &&
+           (p.contains("EqualTo(event_type,signup)") ||
+            p.contains("EqualTo(event_type, signup)")), p.take(3000))
+  }
 }
