@@ -137,6 +137,24 @@ object EventStreams {
       w >= lit(minMeanMicro) * size(toks))
   }
 
+  /** Stream-side containment screen: every incoming document's winnowed
+    * fingerprints ([[graft.ops.TextAnalysis.winnowFingerprints]] — the
+    * SAME narrow expression as batch) probe a STATIC corpus fingerprint
+    * index; emits one (doc_id, fp, corpus_id) row per shared
+    * fingerprint. Stateless (a stream-static inner equi-join on the
+    * 31-bit fp key — append mode, no watermark, no state store); the
+    * corpus index is the reusable artifact, loaded once and broadcast
+    * or shuffled by Spark as its size dictates. Aggregation to
+    * "flagged iff >= minShared matches" is the consumer's one-liner —
+    * kept OUT of the op so the stream stays stateless. */
+  def containmentScreenStream(stream: DataFrame, id: Column, text: Column,
+                              corpusIndex: DataFrame, corpusId: Column,
+                              corpusFp: Column,
+                              k: Int = 3, w: Int = 4): DataFrame =
+    graft.ops.TextAnalysis.winnowFingerprints(stream, id, text, k, w)
+      .join(corpusIndex.select(corpusId.as("corpus_id"),
+        corpusFp.as("fp")), "fp")
+
   final case class Ev(user_id: Long, tsSec: Long)
   final case class SessionState(lastTs: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long,

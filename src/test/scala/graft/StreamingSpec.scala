@@ -116,6 +116,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotIds.length == wantKeys.size)
   }
 
+  test("streaming containment screen matches the batch fp join") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // corpus = even ids (static index), stream = odd ids in two batches
+    val corpus = docs.filter(_._1 % 2 == 0).toSeq.toDF("doc_id", "text")
+    val corpusIx = ops.TextAnalysis.winnowFingerprints(
+      corpus, col("doc_id"), col("text"))
+    val odd = docs.filter(_._1 % 2 == 1)
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDS().toDF("doc_id", "text")
+    val q = EventStreams.containmentScreenStream(stream, col("doc_id"),
+        col("text"), corpusIx, col("doc_id"), col("fp"))
+      .writeStream.format("memory").queryName("screen")
+      .outputMode("append").start()
+    try {
+      ms.addData(odd.take(20).toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(odd.drop(20).take(20).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("screen")
+      .select("doc_id", "fp", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = odd.take(40).toSeq.toDF("doc_id", "text")
+    val want = ops.TextAnalysis.winnowFingerprints(
+        streamed, col("doc_id"), col("text"))
+      .join(corpusIx.select(col("doc_id").as("corpus_id"), col("fp")),
+        "fp")
+      .select("doc_id", "fp", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the corpus plants near-dups across parity
+  }
+
   test("streaming DSIR gate keeps exactly the batch gate's docs") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
