@@ -370,6 +370,36 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Bucketed interval join: price bands meet orders through a
+    // bucket equi-join (never Spark's default nested-loop BETWEEN
+    // plan), exact BETWEEN verified inside the join.
+    "q143_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 50000.0),
+                      ("mid", 50000.0, 150000.0),
+                      ("high", 150000.0, 600000.0))
+        .toDF("band", "lo", "hi")
+      graft.ops.Relational.rangeJoin(
+          t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+          bands, col("o_totalprice"), col("lo"), col("hi"),
+          bucketWidth = 50000L)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("band")
+    }),
+
+    // Pivot (wide aggregation): per-source language counts as columns;
+    // absent combinations are explicit zeros on both engines.
+    "q144_pivot" -> ((s, dir) => {
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      val p = t(s, dir, "documents").groupBy("source")
+        .pivot("lang", langs).agg(count(lit(1)))
+      p.select(col("source") +:
+          langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy("source")
+    }),
+
     // Reciprocal-rank fusion of two BM25 parameterizations — the
     // rank-only retrieval ensemble (raw scores never compared).
     "q134_rrf_fusion" -> ((s, dir) => {
@@ -2778,6 +2808,24 @@ object SparkEntry {
          WHERE co*1.0/(na+nb-co) >= 0.5 ORDER BY 1, 2""",
     "q43_dedup_incremental" -> incrementalPairsSql,
     "q132_incremental_lsh" -> incrementalPairsSql,
+
+    "q143_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+           ('low', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+           ('high', 150000.0, 600000.0))
+         SELECT band, count(*) AS n,
+                round(sum(o_totalprice), 2) AS total
+         FROM orders JOIN bands ON o_totalprice BETWEEN lo AND hi
+         GROUP BY 1 ORDER BY 1""",
+
+    "q144_pivot" ->
+      """SELECT source,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+           CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+           CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+           CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+           CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "q134_rrf_fusion" ->
       """WITH q(qid, qtext) AS (VALUES

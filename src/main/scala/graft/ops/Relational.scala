@@ -342,6 +342,46 @@ object Relational {
            merge.tail.map { case (n, c) => c.as(n) }: _*)
   }
 
+  /** Interval (range) join done scale-right: points join intervals
+    * with lo <= v <= hi. Spark plans a raw BETWEEN join as a
+    * BroadcastNestedLoopJoin — every point against every interval,
+    * the quiet scale killer of range joins. Here both sides derive a
+    * BUCKET key (floor(v / bucketWidth); each interval explodes into
+    * the buckets it overlaps) so candidates meet through an equi-join
+    * on the bucket and the exact BETWEEN predicate verifies inside
+    * the join — the shuffle carries only same-bucket pairs. Pick
+    * `bucketWidth` near the typical interval length: much smaller
+    * multiplies interval replication (explode rows ~ length/width),
+    * much larger degrades toward all-pairs within a bucket. Intervals
+    * with lo > hi are empty (explode emits nothing — sequence() on a
+    * descending pair would THROW, so they are filtered, matching
+    * BETWEEN's empty semantics); null bounds/values drop the row
+    * (three-valued BETWEEN would drop it anyway).
+    *
+    * Output: every point column + every interval column (caller
+    * pre-selects/aliases to avoid collisions — fail-fast require
+    * below). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                v: Column, lo: Column, hi: Column,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val clash = points.columns.toSet intersect intervals.columns.toSet
+    require(clash.isEmpty,
+      s"rangeJoin: both sides have ${clash.mkString(", ")} — alias first")
+    require(!points.columns.contains("__rb") &&
+            !intervals.columns.contains("__rb"),
+      "rangeJoin: reserved column __rb present")
+    val p = points.filter(v.isNotNull)
+      .withColumn("__rb", floor(v / bucketWidth.toDouble).cast("long"))
+    val iv = intervals.filter(lo.isNotNull && hi.isNotNull && lo <= hi)
+      .withColumn("__rb", explode(sequence(
+        floor(lo / bucketWidth.toDouble).cast("long"),
+        floor(hi / bucketWidth.toDouble).cast("long"))))
+    p.join(iv, Seq("__rb"))
+      .filter(v >= lo && v <= hi)
+      .drop("__rb")
+  }
+
   /** Tagged three-way set split (corpus diff): rows only in `a`
     * (`a_only`), only in `b` (`b_only`), and in `both`. Schemas must
     * match. Set semantics (deduplicating), like SQL INTERSECT/EXCEPT;

@@ -1319,6 +1319,40 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("rangeJoin equals the naive BETWEEN join, edge-inclusive") {
+    import spark.implicits._
+    val pts = Seq((1L, 0.0), (2L, 10.0), (3L, 10.5), (4L, 25.0),
+                  (5L, 99.9), (6L, -3.0)).toDF("pid", "v")
+    val ivs = Seq(("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 30.0, 25.0),
+                  ("d", 90.0, 200.0)).toDF("iv", "lo", "hi")
+    val got = Relational.rangeJoin(pts, ivs, col("v"), col("lo"),
+        col("hi"), bucketWidth = 7L)
+      .select("pid", "iv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iv").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    // boundary 10.0 is in BOTH a and b (inclusive ends); empty interval
+    // c matches nothing; negative point 6 matches nothing
+    assert(want.contains((2L, "a")) && want.contains((2L, "b")))
+    assert(!want.exists(_._2 == "c"))
+  }
+
+  test("rangeJoin plans a bucket equi-join, not a nested loop") {
+    import spark.implicits._
+    val pts = (1L to 100L).map(i => (i, i.toDouble)).toDF("pid", "v")
+    val ivs = Seq(("x", 10.0, 40.0), ("y", 35.0, 90.0))
+      .toDF("iv", "lo", "hi")
+    val df = Relational.rangeJoin(pts, ivs, col("v"), col("lo"),
+      col("hi"), bucketWidth = 25L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("rrf fusion rewards agreement across lists, needs only ranks") {
     import spark.implicits._
     // doc 100 is mid-rank in BOTH lists; docs 1 and 2 top one list
