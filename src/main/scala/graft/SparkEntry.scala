@@ -370,6 +370,14 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Fuzzy name matching: distinct values, lossless length-window
+    // blocking, levenshtein verified inside the equi-join.
+    "q145_fuzzy_names" -> ((s, dir) => {
+      graft.ops.Relational.fuzzyMatchPairs(t(s, dir, "part"),
+          col("p_name"), maxDist = 2)
+        .orderBy("name1", "name2")
+    }),
+
     // Bucketed interval join: price bands meet orders through a
     // bucket equi-join (never Spark's default nested-loop BETWEEN
     // plan), exact BETWEEN verified inside the join.
@@ -2808,6 +2816,16 @@ object SparkEntry {
          WHERE co*1.0/(na+nb-co) >= 0.5 ORDER BY 1, 2""",
     "q43_dedup_incremental" -> incrementalPairsSql,
     "q132_incremental_lsh" -> incrementalPairsSql,
+
+    "q145_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+                    WHERE p_name IS NOT NULL)
+         SELECT a.name AS name1, b.name AS name2,
+                CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+         FROM n a JOIN n b ON a.name < b.name
+           AND abs(length(a.name) - length(b.name)) <= 2
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY 1, 2""",
 
     "q143_range_join" ->
       """WITH bands(band, lo, hi) AS (VALUES

@@ -382,6 +382,35 @@ object Relational {
       .drop("__rb")
   }
 
+  /** Fuzzy (edit-distance) value matching with LOSSLESS blocking — the
+    * entity-resolution primitive ("which of these names are typos of
+    * each other"). Operates on DISTINCT values (match values once, map
+    * rows back by equi-join — matching raw rows on a low-cardinality
+    * column would square every duplicate group for nothing). Candidates
+    * block on a length window: one side explodes each value into the
+    * lengths it could match (len±maxDist — an edit changes length by at
+    * most 1), the other keys on its exact length, so every true pair
+    * meets EXACTLY once through an equi-join and `levenshtein` verifies
+    * inside the join. Never an all-pairs nested loop; the block key is
+    * an int. For corpora where one length class is still huge, compose
+    * a q-gram count prefilter before the verify (names within distance
+    * d share >= maxLen-q+1 - d*q q-grams) — same lossless-then-verify
+    * discipline. */
+  def fuzzyMatchPairs(df: DataFrame, value: Column,
+                      maxDist: Int): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val names = df.select(value.as("name"))
+      .filter(col("name").isNotNull).distinct()
+    val probe = names.withColumn("__lb", explode(sequence(
+      length(col("name")) - maxDist, length(col("name")) + maxDist)))
+    val base = names.withColumn("__lb", length(col("name")))
+    probe.as("a").join(base.as("b"),
+        col("a.__lb") === col("b.__lb") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name1"), col("b.name").as("name2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Tagged three-way set split (corpus diff): rows only in `a`
     * (`a_only`), only in `b` (`b_only`), and in `both`. Schemas must
     * match. Set semantics (deduplicating), like SQL INTERSECT/EXCEPT;

@@ -1319,6 +1319,26 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("fuzzy matching equals the naive all-pairs filter (lossless block)") {
+    import spark.implicits._
+    val d = Seq("red widget", "ted widget", "red gadget", "bolt",
+                "boltt", "bbolttt", "entirely different", "")
+      .map(Tuple1(_)).toDF("name")
+    val got = Relational.fuzzyMatchPairs(d, col("name"), maxDist = 2)
+      .select("name1", "name2").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val n = d.distinct().withColumnRenamed("name", "n1")
+    val want = n.crossJoin(d.distinct().withColumnRenamed("name", "n2"))
+      .filter(col("n1") < col("n2") &&
+              levenshtein(col("n1"), col("n2")) <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == want)
+    // the length window is the lossless part: bolt<->bbolttt differ by
+    // 3 chars in length and must be absent; bolt<->boltt present
+    assert(want.contains(("bolt", "boltt")))
+    assert(!want.contains(("bbolttt", "bolt")))
+  }
+
   test("rangeJoin equals the naive BETWEEN join, edge-inclusive") {
     import spark.implicits._
     val pts = Seq((1L, 0.0), (2L, 10.0), (3L, 10.5), (4L, 25.0),
