@@ -370,6 +370,28 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Correlation from exact integer moment sums (decimal38 = DuckDB
+    // HUGEINT): the portable form of corr() — float only in the final
+    // identically-structured expression.
+    "q146_exact_corr" -> ((s, dir) => {
+      graft.ops.Relational.exactCorr(t(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity").cast("long"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .select(col("g").as("l_returnflag"), col("n"), col("corr"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Unpivot (melt): wide per-source metrics back to long form.
+    "q147_unpivot" -> ((s, dir) => {
+      t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_chars")).as("sum_chars"))
+        .select(col("source"), expr(
+          "stack(2, 'n_docs', n_docs, 'sum_chars', sum_chars) " +
+          "AS (metric, value)"))
+        .orderBy("source", "metric")
+    }),
+
     // Fuzzy name matching: distinct values, lossless length-window
     // blocking, levenshtein verified inside the equi-join.
     "q145_fuzzy_names" -> ((s, dir) => {
@@ -2816,6 +2838,29 @@ object SparkEntry {
          WHERE co*1.0/(na+nb-co) >= 0.5 ORDER BY 1, 2""",
     "q43_dedup_incremental" -> incrementalPairsSql,
     "q132_incremental_lsh" -> incrementalPairsSql,
+
+    "q146_exact_corr" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS y
+           FROM lineitem),
+         a AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+               FROM b GROUP BY 1)
+         SELECT g AS l_returnflag, n,
+           round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                 (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS corr
+         FROM a ORDER BY 1""",
+
+    "q147_unpivot" ->
+      """WITH w AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                    FROM documents GROUP BY 1)
+         SELECT source, 'n_docs' AS metric, n_docs AS value FROM w
+         UNION ALL
+         SELECT source, 'sum_chars' AS metric, sum_chars AS value FROM w
+         ORDER BY 1, 2""",
 
     "q145_fuzzy_names" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part

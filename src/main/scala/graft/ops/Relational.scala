@@ -382,6 +382,42 @@ object Relational {
       .drop("__rb")
   }
 
+  /** Pearson correlation per group from EXACT integer moment sums —
+    * engine-portable where the built-in `corr` is not: streaming
+    * co-moment updates accumulate float error in a partition-order-
+    * dependent way, so two engines (or two runs with different
+    * partitioning) disagree in late digits. Here the caller integerizes
+    * x and y (e.g. cents via `floor(x*100 + 0.5)`), the five moment
+    * sums accumulate EXACTLY in DECIMAL(38,0) (= DuckDB's HUGEINT
+    * sums), and the only float ops are the final cast/sqrt/divide —
+    * one identically-structured expression on both engines. Products
+    * x*x, x*y, y*y form in LONG before widening: keep scaled inputs
+    * under ~3e9 so products fit (pre-scale or widen to decimal
+    * multiplication beyond that). Partial aggregation applies to all
+    * five sums — one shuffle, map-side combine, O(groups) rows out. */
+  def exactCorr(df: DataFrame, group: Column, x: Column, y: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    df.select(group.as("g"), x.as("x"), y.as("y"))
+      .groupBy("g")
+      .agg(count(lit(1)).cast(dec).as("n"),
+           sum(col("x").cast(dec)).as("sx"),
+           sum(col("y").cast(dec)).as("sy"),
+           sum((col("x") * col("x")).cast(dec)).as("sxx"),
+           sum((col("y") * col("y")).cast(dec)).as("syy"),
+           sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      .select(col("g"),
+        col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double"))), 6)
+          .as("corr"))
+  }
+
   /** Fuzzy (edit-distance) value matching with LOSSLESS blocking — the
     * entity-resolution primitive ("which of these names are typos of
     * each other"). Operates on DISTINCT values (match values once, map

@@ -1319,6 +1319,22 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("exactCorr matches the built-in corr within float tolerance") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val d = (1 to 500).map { i =>
+      val x = rnd.nextInt(100).toLong
+      ("g" + (i % 2), x, 3 * x + rnd.nextInt(40).toLong) }
+      .toDF("g", "x", "y")
+    val got = Relational.exactCorr(d, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val want = d.groupBy("g").agg(corr(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (g, v) =>
+      assert(math.abs(v - want(g)) < 1e-6, s"$g: $v vs ${want(g)}")
+      assert(v > 0.9, s"$g: planted strong positive correlation") }
+  }
+
   test("fuzzy matching equals the naive all-pairs filter (lossless block)") {
     import spark.implicits._
     val d = Seq("red widget", "ted widget", "red gadget", "bolt",
