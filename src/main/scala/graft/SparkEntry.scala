@@ -370,6 +370,14 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Deterministic mode per group (ties -> smallest value).
+    "q148_mode" -> ((s, dir) => {
+      graft.ops.Relational.modePerGroup(t(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity").cast("long"))
+        .select(col("g").as("l_returnflag"), col("n"), col("mode"))
+        .orderBy("l_returnflag")
+    }),
+
     // Correlation from exact integer moment sums (decimal38 = DuckDB
     // HUGEINT): the portable form of corr() — float only in the final
     // identically-structured expression.
@@ -2838,6 +2846,16 @@ object SparkEntry {
          WHERE co*1.0/(na+nb-co) >= 0.5 ORDER BY 1, 2""",
     "q43_dedup_incremental" -> incrementalPairsSql,
     "q132_incremental_lsh" -> incrementalPairsSql,
+
+    "q148_mode" ->
+      """WITH c AS (SELECT l_returnflag AS g,
+                      CAST(l_quantity AS BIGINT) AS v, count(*) AS cnt
+                    FROM lineitem WHERE l_quantity IS NOT NULL
+                    GROUP BY 1, 2),
+         b AS (SELECT g, max(cnt) AS cnt FROM c GROUP BY 1)
+         SELECT c.g AS l_returnflag, c.cnt AS n, min(c.v) AS mode
+         FROM c JOIN b ON c.g = b.g AND c.cnt = b.cnt
+         GROUP BY 1, 2 ORDER BY 1""",
 
     "q146_exact_corr" ->
       """WITH b AS (SELECT l_returnflag AS g,

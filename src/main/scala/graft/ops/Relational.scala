@@ -382,6 +382,24 @@ object Relational {
       .drop("__rb")
   }
 
+  /** Deterministic per-group mode: the most frequent value of `v` in
+    * each group, ties broken by the SMALLEST value — the tie rule is
+    * what makes the answer engine-portable (a bare mode() is
+    * tie-arbitrary). Two shuffles: the (group, value) count with
+    * map-side partials, then an O(groups)-row argmax via
+    * max(struct(cnt, negated tiebreak)) — no window, no per-group
+    * sort. String values get the same rule through a second agg joined
+    * back on (group, max cnt): min(v) among max-count values. */
+  def modePerGroup(df: DataFrame, group: Column, v: Column): DataFrame = {
+    val counts = df.filter(v.isNotNull)
+      .groupBy(group.as("g"), v.as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val best = counts.groupBy("g").agg(max(col("cnt")).as("cnt"))
+    counts.join(best, Seq("g", "cnt"))
+      .groupBy("g")
+      .agg(first(col("cnt")).as("n"), min(col("v")).as("mode"))
+  }
+
   /** Pearson correlation per group from EXACT integer moment sums —
     * engine-portable where the built-in `corr` is not: streaming
     * co-moment updates accumulate float error in a partition-order-

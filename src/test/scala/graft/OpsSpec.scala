@@ -1319,6 +1319,18 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("modePerGroup takes max count, smallest value on ties") {
+    import spark.implicits._
+    val d = Seq(("a", 3L), ("a", 3L), ("a", 5L), ("a", 5L), ("a", 9L),
+                ("b", 7L), ("b", 1L))
+      .toDF("g", "v")
+    val m = Relational.modePerGroup(d, col("g"), col("v"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(m("a") == (2L, 3L)) // 3 and 5 tie at 2 — smallest wins
+    assert(m("b") == (1L, 1L)) // all tie at 1 — smallest value
+  }
+
   test("exactCorr matches the built-in corr within float tolerance") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
