@@ -370,6 +370,21 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // ANN over the de-noised space: q127's trained direction removed
+    // from every embedding (SIF/all-but-the-top), then exact cosine
+    // top-k — the trainer feeding a checked consumer.
+    "q157_ann_denoised" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pc = graft.ops.Similarity.topPrincipalComponent(
+        e, col("vec_id"), col("embedding"), iters = 2)
+      val r = graft.ops.Similarity.removeTopComponent(
+        e, col("vec_id"), col("embedding"), pc)
+      graft.ops.Similarity.bruteForceTopK(
+          r, r.filter(col("id") < 10),
+          col("id"), col("v"), col("id"), col("v"), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // Deterministic mode per group (ties -> smallest value).
     "q148_mode" -> ((s, dir) => {
       graft.ops.Relational.modePerGroup(t(s, dir, "lineitem"),
@@ -1442,6 +1457,47 @@ object SparkEntry {
 
   /** Shared oracle text: the LLM preprocessing funnel (q42 hand-assembled,
     * q52 through the fluent Pipeline API — identical semantics). */
+  /** Shared oracle text: the q127 fixed-point power-iteration CTE
+    * chain (through `v2`, the trained direction in micro-units) —
+    * reused by q157, which consumes the direction for common-direction
+    * removal before ANN. */
+  private val topPcCteSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev
+                    FROM embeddings WHERE embedding IS NOT NULL),
+         q AS (SELECT vec_id,
+                 [CAST(floor(x*1000000 + 0.5) AS BIGINT) FOR x IN ev] AS qv
+               FROM e),
+         nn AS (SELECT count(*) AS n FROM q),
+         lf AS (SELECT vec_id, unnest(qv) AS x,
+                  unnest(range(1, len(qv)+1)) AS j FROM q),
+         mu AS (SELECT j, CAST(floor(sum(x)*1.0/any_value(nn.n)) AS BIGINT)
+                  AS m
+                FROM lf CROSS JOIN nn GROUP BY j),
+         c AS (SELECT vec_id, lf.j, lf.x - mu.m AS c
+               FROM lf JOIN mu USING (j)),
+         v0 AS (SELECT j, c AS v FROM c
+                WHERE vec_id = (SELECT min(vec_id) FROM q)),
+         d1 AS (SELECT vec_id,
+                  CAST(floor(sum(c.c * v0.v)*1.0/1000000) AS BIGINT) AS ds
+                FROM c JOIN v0 USING (j) GROUP BY vec_id),
+         s1 AS (SELECT j, sum(c.c * d1.ds) AS s
+                FROM c JOIN d1 USING (vec_id) GROUP BY j),
+         m1 AS (SELECT max(abs(s)) AS ma FROM s1),
+         v1 AS (SELECT j, CASE WHEN m1.ma = 0 THEN 0
+                  ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
+                  END AS v
+                FROM s1 CROSS JOIN m1),
+         d2 AS (SELECT vec_id,
+                  CAST(floor(sum(c.c * v1.v)*1.0/1000000) AS BIGINT) AS ds
+                FROM c JOIN v1 USING (j) GROUP BY vec_id),
+         s2 AS (SELECT j, sum(c.c * d2.ds) AS s
+                FROM c JOIN d2 USING (vec_id) GROUP BY j),
+         m2 AS (SELECT max(abs(s)) AS ma FROM s2),
+         v2 AS (SELECT j, CASE WHEN m2.ma = 0 THEN 0
+                  ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
+                  END AS v
+                FROM s2 CROSS JOIN m2)"""
+
   /** Shared oracle text: exact jaccard pairs BETWEEN the odd-id batch
     * and the even-id corpus (q43's inverted-index form and q132's
     * signature-index LSH form compute the same pair set — the LSH
@@ -1935,43 +1991,39 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q127_top_pc" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev
-                    FROM embeddings WHERE embedding IS NOT NULL),
-         q AS (SELECT vec_id,
-                 [CAST(floor(x*1000000 + 0.5) AS BIGINT) FOR x IN ev] AS qv
-               FROM e),
-         nn AS (SELECT count(*) AS n FROM q),
-         lf AS (SELECT vec_id, unnest(qv) AS x,
-                  unnest(range(1, len(qv)+1)) AS j FROM q),
-         mu AS (SELECT j, CAST(floor(sum(x)*1.0/any_value(nn.n)) AS BIGINT)
-                  AS m
-                FROM lf CROSS JOIN nn GROUP BY j),
-         c AS (SELECT vec_id, lf.j, lf.x - mu.m AS c
-               FROM lf JOIN mu USING (j)),
-         v0 AS (SELECT j, c AS v FROM c
-                WHERE vec_id = (SELECT min(vec_id) FROM q)),
-         d1 AS (SELECT vec_id,
-                  CAST(floor(sum(c.c * v0.v)*1.0/1000000) AS BIGINT) AS ds
-                FROM c JOIN v0 USING (j) GROUP BY vec_id),
-         s1 AS (SELECT j, sum(c.c * d1.ds) AS s
-                FROM c JOIN d1 USING (vec_id) GROUP BY j),
-         m1 AS (SELECT max(abs(s)) AS ma FROM s1),
-         v1 AS (SELECT j, CASE WHEN m1.ma = 0 THEN 0
-                  ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
-                  END AS v
-                FROM s1 CROSS JOIN m1),
-         d2 AS (SELECT vec_id,
-                  CAST(floor(sum(c.c * v1.v)*1.0/1000000) AS BIGINT) AS ds
-                FROM c JOIN v1 USING (j) GROUP BY vec_id),
-         s2 AS (SELECT j, sum(c.c * d2.ds) AS s
-                FROM c JOIN d2 USING (vec_id) GROUP BY j),
-         m2 AS (SELECT max(abs(s)) AS ma FROM s2),
-         v2 AS (SELECT j, CASE WHEN m2.ma = 0 THEN 0
-                  ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
-                  END AS v
-                FROM s2 CROSS JOIN m2)
+      (topPcCteSql + """
          SELECT CAST(j AS INTEGER) AS j, CAST(v AS BIGINT) AS v
-         FROM v2 ORDER BY j""",
+         FROM v2 ORDER BY j"""),
+
+    "q157_ann_denoised" ->
+      (topPcCteSql + """,
+         sq AS (SELECT sum(v*v) AS ss FROM v2),
+         u AS (SELECT j, CASE WHEN sq.ss = 0 THEN 0.0
+                 ELSE v / sqrt(CAST(sq.ss AS DOUBLE)) END AS u
+               FROM v2 CROSS JOIN sq),
+         lfx AS (SELECT vec_id, unnest(ev) AS x,
+                   unnest(range(1, len(ev)+1)) AS j FROM e),
+         pj AS (SELECT vec_id, sum(x * u) AS proj
+                FROM lfx JOIN u USING (j) GROUP BY 1),
+         rr AS (SELECT lfx.vec_id, lfx.j, lfx.x - pj.proj * u.u AS r
+                FROM lfx JOIN u USING (j) JOIN pj USING (vec_id)),
+         nmv AS (SELECT vec_id, sqrt(sum(r*r)) AS nrm FROM rr GROUP BY 1),
+         sc0 AS (SELECT a.vec_id AS qid, b.vec_id AS nbr,
+                   sum(a.r * b.r) AS dp
+                 FROM rr a JOIN rr b ON a.j = b.j
+                 WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+                 GROUP BY 1, 2),
+         sc AS (SELECT qid, nbr,
+                  round(CASE WHEN qa.nrm * qb.nrm = 0 THEN 0.0
+                        ELSE dp / (qa.nrm * qb.nrm) END, 6) AS score
+                FROM sc0 JOIN nmv qa ON qa.vec_id = sc0.qid
+                     JOIN nmv qb ON qb.vec_id = sc0.nbr),
+         rk AS (SELECT qid, nbr, score,
+                  CAST(row_number() OVER (PARTITION BY qid
+                    ORDER BY score DESC, nbr) AS INTEGER) AS rank
+                FROM sc)
+         SELECT qid, nbr, score, rank FROM rk WHERE rank <= 5
+         ORDER BY qid, rank"""),
 
     "q126_bm25" ->
       """WITH q(qid, qtext) AS (VALUES

@@ -305,9 +305,16 @@ object Similarity {
     * direction (degenerate corpus) passes vectors through unchanged. */
   def removeTopComponent(df: DataFrame, id: Column, vec: Column,
                          pcMicro: Seq[(Int, Long)]): DataFrame = {
-    val raw = pcMicro.sortBy(_._1).map(_._2.toDouble / 1e6)
-    val norm = math.sqrt(raw.map(x => x * x).sum)
-    val u = if (norm == 0.0) raw else raw.map(_ / norm)
+    val v = pcMicro.sortBy(_._1).map(_._2)
+    // normalize against the EXACT integer sum of squares: u_j =
+    // v_j / sqrt(Σ v_j²) — every float op here (int→double, sqrt,
+    // divide) is IEEE correctly-rounded, so an oracle replaying
+    // HUGEINT sums reproduces u bit-for-bit (a double fold over
+    // v_j²/1e12 would be summation-order-dependent instead)
+    val ss = v.map(x => x * x).sum
+    val u =
+      if (ss == 0L) v.map(_ => 0.0)
+      else v.map(_.toDouble / math.sqrt(ss.toDouble))
     val uLit = typedlit(u)
     // the projection scalar is BOUND to a column before the subtraction
     // lambda — a derived expression inside a HOF lambda re-evaluates
