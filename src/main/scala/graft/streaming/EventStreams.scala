@@ -155,6 +155,50 @@ object EventStreams {
       .join(corpusIndex.select(corpusId.as("corpus_id"),
         corpusFp.as("fp")), "fp")
 
+  final case class FEv(user_id: Long, tsSec: Long, event_type: String)
+  final case class FunnelState(ts: Seq[Long])
+  final case class UserFunnel(user_id: Long, completed: Int, ts: Seq[Long])
+
+  /** Stateful streaming conversion funnel — the incremental form of
+    * [[graft.ops.Events.funnel]]: per-user state = the earliest
+    * completion time of each stage (set-once, `Long.MinValue` =
+    * unset); each micro-batch's events are sorted by time inside the
+    * group and folded through the same strictly-after rule (stage i
+    * completes at the first event with its type AFTER stage i-1's
+    * time). For in-order feeds the final state equals the batch
+    * funnel exactly (StreamingSpec pins it). An out-of-order arrival
+    * that would retroactively LOWER an already-set stage time is out
+    * of scope for this state model — same contract as
+    * [[sessionCounts]]: use the batch form for reprocessing. State is
+    * k longs per user, bounded by user cardinality. */
+  def funnelStages(events: Dataset[FEv], stages: Seq[String])
+      : Dataset[UserFunnel] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      "stages must be non-empty and distinct")
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, UserFunnel](
+        GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[FunnelState]) =>
+          val t = state.getOption
+            .map(_.ts.toArray)
+            .getOrElse(Array.fill(stages.size)(Long.MinValue))
+          evs.toSeq.sortBy(_.tsSec).foreach { e =>
+            val i = stages.indexOf(e.event_type)
+            if (i == 0) {
+              if (t(0) == Long.MinValue) t(0) = e.tsSec
+            } else if (i > 0 && t(i) == Long.MinValue &&
+                       t(i - 1) != Long.MinValue && e.tsSec > t(i - 1)) {
+              t(i) = e.tsSec
+            }
+          }
+          state.update(FunnelState(t.toIndexedSeq))
+          UserFunnel(user, t.takeWhile(_ != Long.MinValue).length,
+                     t.toIndexedSeq)
+      }
+  }
+
   final case class Ev(user_id: Long, tsSec: Long)
   final case class SessionState(lastTs: Long, sessions: Long, events: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long,

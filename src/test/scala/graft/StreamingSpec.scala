@@ -284,6 +284,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, t(3))), got.mkString(","))
   }
 
+  test("streaming funnel equals the batch funnel on an in-order feed") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val stages = Seq("signup", "view", "click", "purchase")
+    val evs = events
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsSec"),
+              col("event_type"))
+      .as[EventStreams.FEv]
+      .collect().sortBy(e => (e.tsSec, e.user_id))
+    val (first, second) = evs.splitAt(evs.length / 2)
+
+    val ms = MemoryStream[EventStreams.FEv]
+    val q = EventStreams.funnelStages(ms.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // completed-stage count is monotone: latest update = max
+    val got = spark.table("funnel_stream")
+      .groupBy("user_id").agg(max("completed").as("completed"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // batch funnel on the SAME second-granularity data
+    val batchIn = evs.toSeq.toDF("user_id", "tsSec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("tsSec")))
+    val want = ops.Events.funnel(batchIn, col("user_id"), col("ts"),
+        col("event_type"), stages)
+      .collect().map { r =>
+        val n = (1 to 4).count(i => !r.isNullAt(i))
+        r.getLong(0) -> n }.toMap
+    // batch emits only stage-1 completers; streaming tracks everyone
+    want.foreach { case (u, n) => assert(got(u) == n, s"user $u") }
+    got.foreach { case (u, n) =>
+      if (!want.contains(u)) assert(n == 0, s"user $u never signed up") }
+    assert(want.nonEmpty)
+  }
+
   test("stateful sessionization carries state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
