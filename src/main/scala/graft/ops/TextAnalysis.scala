@@ -94,9 +94,10 @@ object TextAnalysis {
     *
     * Gram hashes fold the same per-token packs as [[fingerprint]]
     * (31*len + first-char code, mod 2^31-1 each step) so the DuckDB
-    * oracle replays them verbatim. All arrays are BOUND to named
-    * columns before any element_at lambda (a derived-array expression
-    * inside a lambda re-evaluates per element — measured O(n^2)).
+    * oracle replays them verbatim. The per-row kernel is the codegen'd
+    * [[graft.functions.WinnowFps]] expression (one O(grams) monotonic-
+    * deque pass; the interpreted HOF formulation is kept as
+    * [[winnowFingerprintsHof]], the differential-spec reference only).
     * Docs shorter than k tokens have no grams and are absent; docs with
     * 1 <= m < w grams yield the min of all m (one truncated window) so
     * every doc with a gram has at least one fingerprint. Null text
@@ -107,6 +108,19 @@ object TextAnalysis {
                          k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
+    df.select(id.as("doc_id"),
+        explode(graft.functions.WinnowFps(text, k, w)).as("fp"))
+  }
+
+  /** Higher-order-function specification of [[winnowFingerprints]] —
+    * semantically identical, interpreted (O(grams*w) array lambdas vs
+    * the native kernel's one O(grams) deque pass). Kept ONLY as the
+    * independent reference [[graft.functions.WinnowFps]] is
+    * differential-tested against (FunctionsSpec); never use in a
+    * pipeline. */
+  private[graft] def winnowFingerprintsHof(
+      df: DataFrame, id: Column, text: Column,
+      k: Int = 3, w: Int = 4): DataFrame = {
     val P = 2147483647L
     val packed = df.select(id.as("doc_id"),
       transform(tokens(text), t =>

@@ -157,6 +157,26 @@ object ScaleProbe {
       graft.ops.Similarity.topPrincipalComponent(
         bigE, col("vec_id"), col("embedding"), iters = 2).size.toLong
     }
+    // incremental dedup at 10x: a 5k-doc "daily batch" against the 45k
+    // "standing corpus". The point of the signature index is AMORTIZED
+    // reuse — the corpus index is built once (outside the timer, like
+    // the daily job that reads yesterday's artifact), so the timed
+    // work is batch-index build + banded join + exact verify. The
+    // inverted-index baseline re-shingles the corpus every run by
+    // construction.
+    val batch10 = corpus.filter(col("doc_id") < 1000000L)
+    val corp10 = corpus.filter(col("doc_id") >= 1000000L)
+    time("incr jaccard 5k vs 45k")(graft.ops.Dedup.jaccardPairsBetween(
+      batch10, corp10, col("doc_id"), col("doc_id"),
+      col("text"), col("text"), tau = 0.6).count())
+    graft.ops.Dedup.minhashIndex(corp10, col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet("/tmp/graft_scale_corpus_ix")
+    val cIx = spark.read.parquet("/tmp/graft_scale_corpus_ix")
+    time("incr lsh-index 5k vs 45k (stored ix)") {
+      val bIx = graft.ops.Dedup.minhashIndex(batch10, col("doc_id"),
+        col("text"))
+      graft.ops.Dedup.minhashLshPairsBetween(bIx, cIx, tau = 0.6).count()
+    }
     spark.stop()
   }
 }

@@ -155,4 +155,27 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(_.getDouble(0))
     assert(pair(0) < pair(1), pair.mkString(","))
   }
+
+  test("WinnowFps (native deque) equals its HOF specification") {
+    import spark.implicits._
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // real corpus + the edge shapes: empty, single token, fewer grams
+    // than the window, doubled spaces (empty tokens), null
+    val edge = Seq(Some(""), Some("one"), Some("a b c"), Some("a b c d"),
+                   Some("x  y   z q r"), None)
+      .zipWithIndex.map { case (t, i) => (9000L + i, t) }
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((3, 4), (2, 5), (1, 1), (4, 2))) {
+      for (d <- Seq(docs.select(col("doc_id"), col("text")), edge)) {
+        val native = sets(graft.ops.TextAnalysis.winnowFingerprints(
+          d, col("doc_id"), col("text"), k, w))
+        val hof = sets(graft.ops.TextAnalysis.winnowFingerprintsHof(
+          d, col("doc_id"), col("text"), k, w))
+        assert(native == hof, s"k=$k w=$w")
+      }
+    }
+  }
 }
