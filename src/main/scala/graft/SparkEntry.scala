@@ -370,6 +370,31 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // One-pass data-quality audit: every rule a conditional sum in a
+    // single scan; null predicate = violation.
+    "q158_data_quality" -> ((s, dir) => {
+      graft.ops.Checks.ruleViolations(t(s, dir, "documents"), Seq(
+          "text_null" -> col("text").isNull,
+          "chars_mismatch" -> (col("n_chars") =!= length(col("text"))),
+          "lang_unknown" ->
+            !col("lang").isin("en", "de", "fr", "es", "zh"),
+          "id_negative" -> (col("doc_id") < 0)))
+        .orderBy("rule")
+    }),
+
+    // Keyed snapshot diff: added/removed/changed/unchanged between
+    // two deterministic views of the corpus.
+    "q159_keyed_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val old = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val neu = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(col("doc_id"), when(pmod(col("doc_id"), lit(5)) === 0,
+          upper(col("text"))).otherwise(col("text")).as("text"))
+      graft.ops.Checks.keyedDiff(old, neu, col("doc_id"), col("doc_id"),
+          col("text"), col("text"))
+        .orderBy("key")
+    }),
+
     // ANN over the de-noised space: q127's trained direction removed
     // from every embedding (SIF/all-but-the-top), then exact cosine
     // top-k — the trainer feeding a checked consumer.
@@ -2898,6 +2923,40 @@ object SparkEntry {
          WHERE co*1.0/(na+nb-co) >= 0.5 ORDER BY 1, 2""",
     "q43_dedup_incremental" -> incrementalPairsSql,
     "q132_incremental_lsh" -> incrementalPairsSql,
+
+    "q158_data_quality" ->
+      """WITH w AS (SELECT
+           sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS text_null,
+           sum(CASE WHEN coalesce(n_chars <> length(text), TRUE)
+                    THEN 1 ELSE 0 END) AS chars_mismatch,
+           sum(CASE WHEN coalesce(lang NOT IN ('en','de','fr','es','zh'),
+                                  TRUE)
+                    THEN 1 ELSE 0 END) AS lang_unknown,
+           sum(CASE WHEN coalesce(doc_id < 0, TRUE) THEN 1 ELSE 0 END)
+             AS id_negative
+           FROM documents)
+         SELECT rule, CAST(n_bad AS BIGINT) AS n_bad FROM (
+           SELECT 'text_null' AS rule, text_null AS n_bad FROM w
+           UNION ALL SELECT 'chars_mismatch', chars_mismatch FROM w
+           UNION ALL SELECT 'lang_unknown', lang_unknown FROM w
+           UNION ALL SELECT 'id_negative', id_negative FROM w)
+         ORDER BY rule""",
+
+    "q159_keyed_diff" ->
+      """WITH old AS (SELECT doc_id, text FROM documents
+                      WHERE doc_id % 3 <> 0),
+         neu AS (SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN upper(text)
+                        ELSE text END AS text
+                 FROM documents WHERE doc_id % 7 <> 0)
+         SELECT coalesce(old.doc_id, neu.doc_id) AS key,
+           CASE WHEN old.doc_id IS NULL THEN 'added'
+                WHEN neu.doc_id IS NULL THEN 'removed'
+                WHEN old.text IS NOT DISTINCT FROM neu.text
+                  THEN 'unchanged'
+                ELSE 'changed' END AS status
+         FROM old FULL JOIN neu ON old.doc_id = neu.doc_id
+         ORDER BY key""",
 
     "q148_mode" ->
       """WITH c AS (SELECT l_returnflag AS g,

@@ -1319,6 +1319,34 @@ class OpsSpec extends AnyFunSuite {
     assert(fps(1L).size < nGrams)
   }
 
+  test("rule violations count in one pass, null predicates violate") {
+    import spark.implicits._
+    val d = Seq((1L, Some("ok")), (2L, None), (3L, Some("bad")))
+      .toDF("id", "s")
+    val out = Checks.ruleViolations(d, Seq(
+        "s_null" -> col("s").isNull,
+        "s_is_bad" -> (col("s") === "bad"),      // null s -> null -> bad
+        "id_big" -> (col("id") > 100L)))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("s_null" -> 1L, "s_is_bad" -> 2L, "id_big" -> 0L))
+    assert(Checks.duplicateKeys(d.union(d), col("id")).count() == 3)
+    assert(Checks.duplicateKeys(d, col("id")).count() == 0)
+  }
+
+  test("keyedDiff classifies added/removed/changed/unchanged, null-safe") {
+    import spark.implicits._
+    val old = Seq((1L, Some("a")), (2L, Some("b")), (3L, Option.empty[String]),
+                  (4L, Some("d"))).toDF("id", "fp")
+    val neu = Seq((1L, Some("a")), (2L, Some("B")), (3L, Option.empty[String]),
+                  (5L, Some("e"))).toDF("id", "fp")
+    val out = Checks.keyedDiff(old, neu, col("id"), col("id"),
+        col("fp"), col("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "unchanged", // both null fingerprints: present, equal
+      4L -> "removed", 5L -> "added"))
+  }
+
   test("modePerGroup takes max count, smallest value on ties") {
     import spark.implicits._
     val d = Seq(("a", 3L), ("a", 3L), ("a", 5L), ("a", 5L), ("a", 9L),
