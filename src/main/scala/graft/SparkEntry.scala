@@ -370,6 +370,20 @@ object SparkEntry {
     // ANN in the projected space: 64 -> 16 JL cut, then exact
     // brute-force top-5 over the 4x-smaller vectors — the composed
     // "shrink before ANN" pipeline, replayed end to end by the oracle.
+    // Time-bounded funnel: each stage must complete within 24h of the
+    // previous one (per-step conversion window).
+    "q160_funnel_windowed" -> ((s, dir) => {
+      def fmt(c: String) =
+        date_format(col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(c)
+      graft.ops.Events.funnel(t(s, dir, "events"), col("user_id"),
+          col("ts"), col("event_type"),
+          Seq("signup", "view", "click", "purchase"),
+          withinSeconds = Some(86400L))
+        .select(col("user_id"), fmt("t1"), fmt("t2"), fmt("t3"),
+                fmt("t4"))
+        .orderBy("user_id")
+    }),
+
     // One-pass data-quality audit: every rule a conditional sum in a
     // single scan; null predicate = violation.
     "q158_data_quality" -> ((s, dir) => {
@@ -2923,6 +2937,39 @@ object SparkEntry {
          WHERE co*1.0/(na+nb-co) >= 0.5 ORDER BY 1, 2""",
     "q43_dedup_incremental" -> incrementalPairsSql,
     "q132_incremental_lsh" -> incrementalPairsSql,
+
+    "q160_funnel_windowed" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+                    WHERE ts IS NOT NULL),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, s1.t1,
+                  min(CASE WHEN e.ts > s1.t1
+                            AND date_diff('second', s1.t1, e.ts) <= 86400
+                           THEN e.ts END) AS t2
+                FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+                  AND e.event_type = 'view'
+                GROUP BY 1, 2),
+         s3 AS (SELECT s2.user_id, s2.t1, s2.t2,
+                  min(CASE WHEN e.ts > s2.t2
+                            AND date_diff('second', s2.t2, e.ts) <= 86400
+                           THEN e.ts END) AS t3
+                FROM s2 LEFT JOIN e ON e.user_id = s2.user_id
+                  AND e.event_type = 'click'
+                GROUP BY 1, 2, 3),
+         s4 AS (SELECT s3.user_id, s3.t1, s3.t2, s3.t3,
+                  min(CASE WHEN e.ts > s3.t3
+                            AND date_diff('second', s3.t3, e.ts) <= 86400
+                           THEN e.ts END) AS t4
+                FROM s3 LEFT JOIN e ON e.user_id = s3.user_id
+                  AND e.event_type = 'purchase'
+                GROUP BY 1, 2, 3, 4)
+         SELECT user_id,
+           strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS t1,
+           strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS t2,
+           strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS t3,
+           strftime(t4, '%Y-%m-%d %H:%M:%S.%f') AS t4
+         FROM s4 ORDER BY user_id""",
 
     "q158_data_quality" ->
       """WITH w AS (SELECT

@@ -140,11 +140,13 @@ object Events {
     * timestamps are excluded up front (an event with no position in
     * time can neither start nor advance a funnel). */
   def funnel(df: DataFrame, user: Column, ts: Column, eventType: Column,
-             stages: Seq[String]): DataFrame = {
+             stages: Seq[String],
+             withinSeconds: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct.size == stages.size,
       "funnel stages must be distinct (a repeated stage name would " +
       "match the same events twice)")
+    require(withinSeconds.forall(_ > 0), "withinSeconds must be positive")
     val clean = df.filter(ts.isNotNull)
     var cur = clean.filter(eventType === stages.head)
       .groupBy(user.as("user_id")).agg(min(ts).as("t1"))
@@ -152,10 +154,16 @@ object Events {
       val evs = clean.filter(eventType === stages(i))
         .select(user.as("user_id"), ts.as("__ts"))
       val keys = col("user_id") +: (1 to i).map(j => col(s"t$j"))
+      // strictly after the previous stage; with a conversion window,
+      // also within `withinSeconds` OF THAT STAGE (per-step bound —
+      // the common product-analytics definition)
+      val ok = withinSeconds.foldLeft(col("__ts") > col(s"t$i")) {
+        (c, sec) => c && unix_timestamp(col("__ts")) -
+          unix_timestamp(col(s"t$i")) <= sec
+      }
       cur = cur.join(evs, Seq("user_id"), "left")
         .groupBy(keys: _*)
-        .agg(min(when(col("__ts") > col(s"t$i"), col("__ts")))
-          .as(s"t${i + 1}"))
+        .agg(min(when(ok, col("__ts"))).as(s"t${i + 1}"))
     }
     cur
   }

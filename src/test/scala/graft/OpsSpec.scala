@@ -1542,6 +1542,33 @@ class OpsSpec extends AnyFunSuite {
                     ("b", "a") -> 1L))
   }
 
+  test("windowed funnel rejects conversions outside the step bound") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 10:00:00"), "signup"),
+      (1L, t("2024-01-01 10:30:00"), "view"),   // inside 1h window
+      (2L, t("2024-01-01 10:00:00"), "signup"),
+      (2L, t("2024-01-01 12:00:01"), "view")    // outside 1h: no view
+    ).toDF("user_id", "ts", "event_type")
+    val f = Events.funnel(ev, col("user_id"), col("ts"),
+        col("event_type"), Seq("signup", "view"),
+        withinSeconds = Some(3600L))
+      .collect().map(r => r.getLong(0) -> Option(r.getTimestamp(2))).toMap
+    assert(f(1L).contains(t("2024-01-01 10:30:00")))
+    assert(f(2L).isEmpty)
+    // boundary: exactly the window is IN (<=)
+    val edge = Seq(
+      (3L, t("2024-01-01 10:00:00"), "signup"),
+      (3L, t("2024-01-01 11:00:00"), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val g = Events.funnel(edge, col("user_id"), col("ts"),
+        col("event_type"), Seq("signup", "view"),
+        withinSeconds = Some(3600L)).collect()
+    assert(!g.head.isNullAt(2))
+  }
+
   test("retention counts a user once per active day against its cohort") {
     import spark.implicits._
     import java.sql.Timestamp
