@@ -103,4 +103,25 @@ class SourcesSpec extends AnyFunSuite {
       rows(nation.filter(org.apache.spark.sql.functions.col("n_regionkey") === 1)))
     assert(plan.contains("PartitionFilters") || plan.contains("n_regionkey"))
   }
+
+  test("schema evolution: mergeSchema unions columns across file versions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // v1 files wrote (id, a); the pipeline later added column b — the
+    // standard additive-evolution situation of a long-lived corpus dir
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_evolve").toString
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "z", 30L)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "a", "b"))
+    val rows = merged.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    // old files surface the new column as null — no rewrite needed
+    assert(rows.toSeq == Seq((1L, "x", None), (2L, "y", None),
+      (3L, "z", Some(30L))))
+  }
 }
