@@ -384,6 +384,18 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Link analysis: fixed-point weighted PageRank over the part
+    // co-purchase graph (items linked when ordered together) — the
+    // crawl-graph ranking step of a curation pipeline at corpus scale,
+    // integer-exact so the oracle replays the identical loop.
+    "q161_pagerank" -> ((s, dir) => {
+      val e = graft.ops.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      graft.ops.Graph.pageRank(e, iters = 3)
+        .select(col("id").as("part_id"), col("r").as("rank_fp"))
+        .orderBy(desc("rank_fp"), col("part_id")).limit(20)
+    }),
+
     // One-pass data-quality audit: every rule a conditional sum in a
     // single scan; null predicate = violation.
     "q158_data_quality" -> ((s, dir) => {
@@ -1407,6 +1419,33 @@ object SparkEntry {
   /** Shared oracle text: exact shingle-Jaccard pair discovery (used by
     * both the exact q21 and the LSH-accelerated q22 — the LSH variant is
     * exact-verified and loses no pairs at this corpus's jaccard levels). */
+  /** DuckDB replay of [[graft.ops.Graph.pageRank]] over the part
+    * co-purchase graph: one CTE per iteration, the same micro-unit
+    * integer arithmetic (`//` there, `div` in Spark — both exact floor
+    * on the nonnegative values). sum(BIGINT) is HUGEINT in DuckDB, so
+    * every iteration casts its rank back to BIGINT. */
+  private def pagerankSql(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS (SELECT e.dst AS id,
+            CAST(150000 + (17 * sum((r.r * e.w) // ow.out_w)) // 20
+                 AS BIGINT) AS r
+          FROM e JOIN r${i - 1} r ON e.src = r.id
+                 JOIN ow ON e.src = ow.src
+          GROUP BY e.dst)"""
+    }.mkString(",\n         ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        e AS (SELECT a.p AS src, b.p AS dst, count(*) AS w
+              FROM lp a JOIN lp b ON a.o = b.o AND a.p <> b.p
+              GROUP BY 1, 2),
+        ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+               FROM e GROUP BY 1),
+        r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM ow),
+        $chain
+        SELECT id AS part_id, r AS rank_fp FROM r$iters
+        ORDER BY rank_fp DESC, part_id LIMIT 20"""
+  }
+
   private val jaccardPairsSql: String =
     """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
        sh AS (SELECT doc_id, list_distinct(
@@ -2970,6 +3009,8 @@ object SparkEntry {
            strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS t3,
            strftime(t4, '%Y-%m-%d %H:%M:%S.%f') AS t4
          FROM s4 ORDER BY user_id""",
+
+    "q161_pagerank" -> pagerankSql(3),
 
     "q158_data_quality" ->
       """WITH w AS (SELECT

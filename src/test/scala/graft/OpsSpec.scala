@@ -1670,6 +1670,36 @@ class OpsSpec extends AnyFunSuite {
     assert(cont == Set((1L, 2L)))
   }
 
+  test("pageRank matches a hand-replayed fixed-point iteration") {
+    import spark.implicits._
+    // two baskets: {1,2} and {1,2,3} — edges 1↔2 (w=2), 1↔3, 2↔3 (w=1)
+    val baskets = Seq((10L, 1L), (10L, 2L),
+                      (20L, 1L), (20L, 2L), (20L, 3L))
+      .toDF("o", "p")
+    val e = Graph.coOccurrenceEdges(baskets, col("o"), col("p"))
+    val ew = e.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(ew == Map((1L, 2L) -> 2L, (2L, 1L) -> 2L, (1L, 3L) -> 1L,
+                     (3L, 1L) -> 1L, (2L, 3L) -> 1L, (3L, 2L) -> 1L))
+    // driver replay of the same integer arithmetic
+    val outW = Map(1L -> 3L, 2L -> 3L, 3L -> 2L)
+    var r = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+    for (_ <- 0 until 2) {
+      val inbound = ew.toSeq
+        .map { case ((s, d), w) => d -> (r(s) * w) / outW(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      r = inbound.map { case (d, s) => d -> (150000L + 17L * s / 20L) }
+        .toMap
+    }
+    val got = Graph.pageRank(e, iters = 2).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(got == r)
+    // mass sanity: teleport floor holds, hub (deg-2 node 1) outranks
+    // the rest symmetrically with node 2, leaf 3 trails
+    assert(got.values.forall(_ >= 150000L))
+    assert(got(1L) == got(2L) && got(3L) < got(1L))
+  }
+
   test("leakage-safe split keeps each near-dup component in one split") {
     import spark.implicits._
     val ids = (1L to 200L).toDF("doc_id")
