@@ -396,6 +396,19 @@ object SparkEntry {
         .orderBy(desc("rank_fp"), col("part_id")).limit(20)
     }),
 
+    // SCD2 dimension build: each user's event_type treated as a
+    // changing attribute — collapse repeats, close versions with the
+    // next version's start, flag the open interval.
+    "q162_scd2" -> ((s, dir) => {
+      def fmt(c: String) =
+        date_format(col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(c)
+      graft.ops.Events.scd2Intervals(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .select(col("key").as("user_id"), col("attr"),
+                fmt("eff_from"), fmt("eff_to"), col("is_current"))
+        .orderBy("user_id", "eff_from")
+    }),
+
     // One-pass data-quality audit: every rule a conditional sum in a
     // single scan; null predicate = violation.
     "q158_data_quality" -> ((s, dir) => {
@@ -3011,6 +3024,25 @@ object SparkEntry {
          FROM s4 ORDER BY user_id""",
 
     "q161_pagerank" -> pagerankSql(3),
+
+    "q162_scd2" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events WHERE ts IS NOT NULL),
+         ch AS (SELECT user_id, ts, event_id, event_type FROM s
+                WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+         iv AS (SELECT user_id, event_type AS attr, ts AS f,
+                  lead(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS t
+                FROM ch)
+         SELECT user_id, attr,
+           strftime(f, '%Y-%m-%d %H:%M:%S.%f') AS eff_from,
+           strftime(t, '%Y-%m-%d %H:%M:%S.%f') AS eff_to,
+           (t IS NULL) AS is_current
+         FROM iv ORDER BY user_id, eff_from""",
 
     "q158_data_quality" ->
       """WITH w AS (SELECT

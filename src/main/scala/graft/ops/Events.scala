@@ -210,4 +210,33 @@ object Events {
         datediff(col("day"), col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Slowly-changing-dimension (type 2) interval build from a change
+    * log: per key, collapse consecutive repeats of `attr` (ordered by
+    * `ts`, ties by `tiebreak`) to their first occurrence, then close
+    * each surviving version with the next version's start —
+    * half-open validity [eff_from, eff_to), open (null) interval =
+    * current. Null-safe change detection (`<=>`): a null attr value is
+    * a version like any other; null timestamps are excluded (no
+    * position in time). One shuffle on the key; both windows run
+    * sorted inside the same user partition (Spark plans a single
+    * sort). At 100 TB the change log is the big side and this is its
+    * only shuffle — the classic dimension-build step of an
+    * incremental warehouse load.
+    *
+    * Returns (key, attr, eff_from, eff_to, is_current). */
+  def scd2Intervals(df: DataFrame, key: Column, ts: Column, attr: Column,
+                    tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("eff_from"), col("__tb"))
+    df.filter(ts.isNotNull)
+      .select(key.as("__k"), ts.as("eff_from"), attr.as("attr"),
+              tiebreak.as("__tb"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev", lag(col("attr"), 1).over(w))
+      .filter(col("__rn") === 1 || !(col("attr") <=> col("__prev")))
+      .withColumn("eff_to", lead(col("eff_from"), 1).over(w))
+      .select(col("__k").as("key"), col("attr"), col("eff_from"),
+              col("eff_to"), col("eff_to").isNull.as("is_current"))
+  }
 }

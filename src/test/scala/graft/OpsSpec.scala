@@ -1700,6 +1700,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == got(2L) && got(3L) < got(1L))
   }
 
+  test("scd2Intervals collapses repeats and closes versions in order") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1: A A B A  → A[1,3) B[3,4) A[4,∞); user 2: single version
+    val log = Seq((1L, 1L, "A"), (1L, 2L, "A"), (1L, 3L, "B"),
+                  (1L, 4L, "A"), (2L, 5L, "X"))
+      .map { case (u, t0, a) => (u, ts(t0), a, t0) }
+      .toDF("u", "t", "a", "eid")
+    val got = Events.scd2Intervals(log, col("u"), col("t"), col("a"),
+        col("eid"))
+      .orderBy("key", "eff_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+                 r.getTimestamp(2).getTime / 1000L,
+                 Option(r.getTimestamp(3)).map(_.getTime / 1000L),
+                 r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "A", 1L, Some(3L), false),
+      (1L, "B", 3L, Some(4L), false),
+      (1L, "A", 4L, None, true),
+      (2L, "X", 5L, None, true)))
+  }
+
   test("leakage-safe split keeps each near-dup component in one split") {
     import spark.implicits._
     val ids = (1L to 200L).toDF("doc_id")
