@@ -409,6 +409,19 @@ object SparkEntry {
         .orderBy("user_id", "eff_from")
     }),
 
+    // Trailing-7-day revenue per customer: a time-RANGE window frame
+    // (gaps shrink it, same-day peers share it) over exact cents.
+    "q163_rolling_window" -> ((s, dir) => {
+      graft.ops.Relational.rollingTimeAgg(t(s, dir, "orders"),
+          col("o_custkey"), col("o_orderdate"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"),
+          windowSeconds = 7L * 86400)
+        .select(col("o_orderkey"), col("o_custkey"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"),
+                col("roll_sum"), col("roll_n"))
+        .orderBy("o_orderkey")
+    }),
+
     // One-pass data-quality audit: every rule a conditional sum in a
     // single scan; null predicate = violation.
     "q158_data_quality" -> ((s, dir) => {
@@ -3024,6 +3037,19 @@ object SparkEntry {
          FROM s4 ORDER BY user_id""",
 
     "q161_pagerank" -> pagerankSql(3),
+
+    "q163_rolling_window" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders)
+         SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS d,
+           CAST(sum(cents) OVER w AS BIGINT) AS roll_sum,
+           count(*) OVER w AS roll_n
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+         ORDER BY o_orderkey""",
 
     "q162_scd2" ->
       """WITH s AS (SELECT user_id, ts, event_id, event_type,

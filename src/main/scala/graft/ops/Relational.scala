@@ -470,6 +470,35 @@ object Relational {
     * match. Set semantics (deduplicating), like SQL INTERSECT/EXCEPT;
     * each leg is a shuffle on the full row — co-partitioned by Catalyst
     * since the keys agree. */
+  /** Rolling time-RANGE aggregate: per partition key, the sum/count of
+    * `value` over the trailing `windowSeconds` (inclusive both ends —
+    * the frame is [t - windowSeconds, t], Spark's rangeBetween and
+    * ANSI `RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW`
+    * agree). Time-valued frames differ from the ROWS frames of
+    * running aggregates: same-timestamp peers all enter the frame
+    * together, and gaps in activity shrink it — the correct semantics
+    * for trailing-7-day revenue / QPS / abuse-rate features. One
+    * shuffle on the partition key; the frame is evaluated with a
+    * sliding two-pointer pass over each sorted partition, O(rows),
+    * no per-row rescan. Callers pass `value` pre-scaled to an integer
+    * unit (cents, micro-units) — an exact sum, immune to the
+    * float summation-order drift a rolling double sum would have.
+    * Appends roll_sum / roll_n. */
+  def rollingTimeAgg(df: DataFrame, part: Column, ts: Column,
+                     value: Column, windowSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clash = df.columns.intersect(Seq("__sec", "roll_sum", "roll_n"))
+    require(clash.isEmpty,
+      s"rollingTimeAgg: reserved columns ${clash.mkString(",")} " +
+      "already on the input — rename them first")
+    val w = Window.partitionBy(part).orderBy(col("__sec"))
+      .rangeBetween(-windowSeconds, 0)
+    df.withColumn("__sec", unix_timestamp(ts))
+      .withColumn("roll_sum", sum(value).over(w))
+      .withColumn("roll_n", count(lit(1)).over(w))
+      .drop("__sec")
+  }
+
   def setSplit(a: DataFrame, b: DataFrame): DataFrame =
     a.intersect(b).withColumn("which", lit("both"))
       .unionByName(a.except(b).withColumn("which", lit("a_only")))

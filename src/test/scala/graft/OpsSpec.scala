@@ -1723,6 +1723,23 @@ class OpsSpec extends AnyFunSuite {
       (2L, "X", 5L, None, true)))
   }
 
+  test("rollingTimeAgg: inclusive bounds, same-ts peers, gaps shrink") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(d: Long) = new Timestamp(d * 86400L * 1000L)
+    // days 0, 0 (peer), 7 (boundary: still inside [0,7]), 20 (gap)
+    val rows = Seq((1L, 0L, 10L), (2L, 0L, 20L), (3L, 7L, 5L),
+                   (4L, 20L, 1L))
+      .map { case (id, d, v) => (id, ts(d), v) }.toDF("id", "t", "v")
+    val got = Relational.rollingTimeAgg(rows, lit(1), col("t"), col("v"),
+        windowSeconds = 7L * 86400)
+      .select("id", "roll_sum", "roll_n").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 30L, 2L), (2L, 30L, 2L), // peers share frame
+                      (3L, 35L, 3L),                // boundary inclusive
+                      (4L, 1L, 1L)))                // gap reset
+  }
+
   test("leakage-safe split keeps each near-dup component in one split") {
     import spark.implicits._
     val ids = (1L to 200L).toDF("doc_id")
