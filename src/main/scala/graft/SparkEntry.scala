@@ -422,6 +422,17 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // Source-reputation curation: per-source dup load + mean quality
+    // decide the keep set; verdicts broadcast back, corpus unshuffled.
+    "q164_source_reputation" -> ((s, dir) => {
+      graft.ops.TextAnalysis.filterBySourceReputation(
+          t(s, dir, "documents"), col("source"), col("doc_id"),
+          col("text"), maxDupPermille = 50, minMeanQualityX1e4 = 4250L)
+        .select(col("doc_id"), col("source"), col("src_docs"),
+                col("src_dup_permille"))
+        .orderBy("doc_id")
+    }),
+
     // One-pass data-quality audit: every rule a conditional sum in a
     // single scan; null predicate = violation.
     "q158_data_quality" -> ((s, dir) => {
@@ -3037,6 +3048,29 @@ object SparkEntry {
          FROM s4 ORDER BY user_id""",
 
     "q161_pagerank" -> pagerankSql(3),
+
+    "q164_source_reputation" ->
+      """WITH tkn AS (SELECT doc_id, source, text,
+             string_split(text,' ') AS ws FROM documents),
+         c AS (SELECT doc_id, source, text,
+           CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5 +
+                       least(len(ws)/100.0, 1.0)*0.3 +
+                       len(list_filter(ws, t -> t IN
+                         ('the','a','of','and','to','in')))*1.0/len(ws)*0.2
+                      )*10000.0 + 0.5) AS BIGINT) AS q
+           FROM tkn),
+         st AS (SELECT source, count(*) AS src_docs,
+                  count(DISTINCT text) AS u,
+                  CAST(sum(q) AS BIGINT) AS sq
+                FROM c GROUP BY 1),
+         kept AS (SELECT source, src_docs,
+                    ((src_docs - u) * 1000) // src_docs AS src_dup_permille
+                  FROM st
+                  WHERE ((src_docs - u) * 1000) // src_docs <= 50
+                    AND sq >= 4250 * src_docs)
+         SELECT d.doc_id, d.source, kept.src_docs, kept.src_dup_permille
+         FROM documents d JOIN kept ON d.source = kept.source
+         ORDER BY d.doc_id""",
 
     "q163_rolling_window" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,

@@ -74,6 +74,36 @@ object TextAnalysis {
            countDistinct(text).as("n_unique_texts"),
            sum(qualityScoreX1e4(text)).as("quality_x1e4_sum"))
 
+  /** Source-reputation filter — the act-on-the-report step after
+    * [[corpusReport]] (C4-style domain curation: a bad DOMAIN predicts
+    * bad documents better than any per-document signal). A source is
+    * kept when its exact-duplicate load is at most `maxDupPermille`
+    * (permille of docs that are repeats of an earlier identical text)
+    * AND its mean quality clears `minMeanQualityX1e4`. Both rules are
+    * integer comparisons on exact sums — `sum_q >= min * n` instead of
+    * a float mean, `(dups*1000) div n` instead of a ratio — so the
+    * keep set is bit-stable across engines and partitionings. One
+    * group-key shuffle for the stats; the per-source verdict frame is
+    * tiny (one row per source) and broadcast back onto the corpus —
+    * the corpus itself never shuffles, which is the property that
+    * matters when it is 100 TB and the verdict table is kilobytes. */
+  def filterBySourceReputation(df: DataFrame, source: Column, id: Column,
+                               text: Column, maxDupPermille: Int,
+                               minMeanQualityX1e4: Long): DataFrame = {
+    val stats = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("src_docs"),
+           countDistinct(text).as("src_unique"),
+           sum(qualityScoreX1e4(text)).as("src_quality"))
+      .withColumn("src_dup_permille",
+        expr("((src_docs - src_unique) * 1000) div src_docs"))
+    val kept = stats.filter(
+      col("src_dup_permille") <= maxDupPermille &&
+      col("src_quality") >= lit(minMeanQualityX1e4) * col("src_docs"))
+    df.select(id.as("doc_id"), source.as("source"))
+      .join(broadcast(kept.select("source", "src_docs",
+                                  "src_dup_permille")), Seq("source"))
+  }
+
   /** Rolling-hash fingerprint per document (content-defined identity
     * that survives storage/ordering changes, unlike file hashes). */
   def fingerprints(df: DataFrame, id: Column, text: Column): DataFrame =

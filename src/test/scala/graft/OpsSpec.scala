@@ -1740,6 +1740,22 @@ class OpsSpec extends AnyFunSuite {
                       (4L, 1L, 1L)))                // gap reset
   }
 
+  test("source reputation drops dup-heavy sources, keeps clean ones") {
+    import spark.implicits._
+    val good = (1L to 10L).map(i =>
+      (i, "good", s"the quick brown fox number $i jumps of and to in"))
+    // 10 docs, 2 distinct texts → 800 permille duplicates
+    val spammy = (11L to 20L).map(i =>
+      (i, "spam", s"buy now ${i % 2} the of and to in a repeated line"))
+    val out = TextAnalysis.filterBySourceReputation(
+        (good ++ spammy).toDF("doc_id", "src", "text"),
+        col("src"), col("doc_id"), col("text"),
+        maxDupPermille = 100, minMeanQualityX1e4 = 0L)
+      .collect().map(r => (r.getLong(1), r.getString(0))).toSet
+    assert(out.map(_._2) == Set("good"))
+    assert(out.map(_._1) == (1L to 10L).toSet)
+  }
+
   test("leakage-safe split keeps each near-dup component in one split") {
     import spark.implicits._
     val ids = (1L to 200L).toDF("doc_id")
