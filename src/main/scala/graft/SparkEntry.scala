@@ -433,6 +433,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Best-first token budget: the highest-quality 600 tokens per
+    // source (quality-ordered head, exact running-total boundary).
+    "q165_token_budget_best" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val d = t(s, dir, "documents")
+        .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+        .withColumn("q",
+          graft.ops.TextAnalysis.qualityScoreX1e4(col("text")))
+      val budgets = (0 until 20).map(i => s"src$i" -> 600L).toMap
+      graft.ops.Sampling.tokenBudgetBestFirst(d, col("doc_id"),
+          col("source"), col("n_tok"), col("q"), budgets)
+        .select(col("doc_id"), col("source"), col("n_tok"), col("q"))
+        .orderBy("doc_id")
+    }),
+
     // One-pass data-quality audit: every rule a conditional sum in a
     // single scan; null predicate = violation.
     "q158_data_quality" -> ((s, dir) => {
@@ -3048,6 +3063,23 @@ object SparkEntry {
          FROM s4 ORDER BY user_id""",
 
     "q161_pagerank" -> pagerankSql(3),
+
+    "q165_token_budget_best" ->
+      """WITH tkn AS (SELECT doc_id, source,
+             string_split(text,' ') AS ws FROM documents),
+         c AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tok,
+           CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5 +
+                       least(len(ws)/100.0, 1.0)*0.3 +
+                       len(list_filter(ws, t -> t IN
+                         ('the','a','of','and','to','in')))*1.0/len(ws)*0.2
+                      )*10000.0 + 0.5) AS BIGINT) AS q
+           FROM tkn),
+         cum AS (SELECT doc_id, source, n_tok, q,
+           CAST(sum(n_tok) OVER (PARTITION BY source
+             ORDER BY q DESC, doc_id) AS BIGINT) AS cum
+           FROM c)
+         SELECT doc_id, source, n_tok, q FROM cum
+         WHERE cum <= 600 ORDER BY doc_id""",
 
     "q164_source_reputation" ->
       """WITH tkn AS (SELECT doc_id, source, text,

@@ -223,10 +223,16 @@ object Sampling {
     * distributed; re-execution determinism follows the orderedCumsum
     * argument (explicit partition count exempts the exchange from AQE
     * coalescing; range boundaries are sampled with deterministic
-    * seeds). Ids must give a total order within each group. */
+    * seeds). Ids must give a total order within each group.
+    *
+    * `orderKey` overrides the hash sort key: pass a numeric column and
+    * the budget head is taken in ITS ascending order (ties by id)
+    * instead of the uniform-random one — see [[tokenBudgetBestFirst]]
+    * for the quality-ordered form. */
   def tokenBudget(df: DataFrame, id: Column, group: Column, tokens: Column,
                   budgets: Map[String, Long], seed: Long = 0L,
-                  partitions: Int = 32): DataFrame = {
+                  partitions: Int = 32,
+                  orderKey: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgets.nonEmpty, "need at least one group budget")
     require(budgets.values.forall(_ >= 0L), "budgets must be >= 0")
@@ -245,7 +251,7 @@ object Sampling {
     // mis-base the running totals
     val p = df.withColumn("__g", group)
       .filter(col("__g").isin(budgets.keys.toSeq: _*))
-      .withColumn("__h", idHash(id, seed))
+      .withColumn("__h", orderKey.getOrElse(idHash(id, seed)))
       .withColumn("__v", coalesce(tokens.cast("long"), lit(0L)))
       .repartitionByRange(partitions, col("__g"), col("__h"), id)
       .sortWithinPartitions(col("__g"), col("__h"), id)
@@ -272,4 +278,20 @@ object Sampling {
       .filter(col("__cum") <= col("__budget"))
       .drop(reserved: _*)
   }
+
+  /** Best-first token-budget curation: [[tokenBudget]] taken in
+    * `score`-DESCENDING order (ties by id) instead of the uniform
+    * hash — "the highest-quality N tokens per domain", the budgeted
+    * complement of quality-quantile curation
+    * ([[graft.ops.Relational.topFractionPerGroup]]: that keeps a
+    * fraction of DOCS, this keeps the best docs that fit a TOKEN
+    * budget). Same distributed grouped prefix sum; `score` must be an
+    * integer column (fixed-point quality) so its negation is an exact
+    * range-partitionable sort key. */
+  def tokenBudgetBestFirst(df: DataFrame, id: Column, group: Column,
+                           tokens: Column, score: Column,
+                           budgets: Map[String, Long],
+                           partitions: Int = 32): DataFrame =
+    tokenBudget(df, id, group, tokens, budgets, partitions = partitions,
+                orderKey = Some((score * -1).cast("long")))
 }

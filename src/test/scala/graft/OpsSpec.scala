@@ -1756,6 +1756,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_._1) == (1L to 10L).toSet)
   }
 
+  test("tokenBudgetBestFirst keeps the quality-ordered head per group") {
+    import spark.implicits._
+    // grp A: scores 9,8,7,... sizes 10 each, budget 25 → top 2 survive
+    // (cum 10, 20; the 7-score doc would hit 30 > 25)
+    val d = (1L to 5L).map(i => (i, "A", 10L, 10L - i))
+      .toDF("id", "grp", "n", "sc")
+    val kept = Sampling.tokenBudgetBestFirst(d, col("id"), col("grp"),
+        col("n"), col("sc"), Map("A" -> 25L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L)) // the two highest scores
+    // score ties fall back to id order: same scores, budget fits 3
+    val ties = (1L to 5L).map(i => (i, "A", 10L, 7L))
+      .toDF("id", "grp", "n", "sc")
+    val keptTies = Sampling.tokenBudgetBestFirst(ties, col("id"),
+        col("grp"), col("n"), col("sc"), Map("A" -> 30L))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptTies == Set(1L, 2L, 3L))
+  }
+
   test("leakage-safe split keeps each near-dup component in one split") {
     import spark.implicits._
     val ids = (1L to 200L).toDF("doc_id")
