@@ -448,6 +448,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Quality-weighted sample: 5 docs per source, selection mass
+    // proportional to the quality score (Efraimidis–Spirakis keys).
+    "q166_weighted_sample" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("q",
+        graft.ops.TextAnalysis.qualityScoreX1e4(col("text")))
+      graft.ops.Sampling.weightedSample(d, col("doc_id"), col("source"),
+          col("q"), k = 5)
+        .select(col("doc_id"), col("source"), col("key_fp"))
+        .orderBy("doc_id")
+    }),
+
     // One-pass data-quality audit: every rule a conditional sum in a
     // single scan; null predicate = violation.
     "q158_data_quality" -> ((s, dir) => {
@@ -3063,6 +3074,30 @@ object SparkEntry {
          FROM s4 ORDER BY user_id""",
 
     "q161_pagerank" -> pagerankSql(3),
+
+    "q166_weighted_sample" ->
+      """WITH tkn AS (SELECT doc_id, source,
+             string_split(text,' ') AS ws FROM documents),
+         c AS (SELECT doc_id, source,
+           CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5 +
+                       least(len(ws)/100.0, 1.0)*0.3 +
+                       len(list_filter(ws, t -> t IN
+                         ('the','a','of','and','to','in')))*1.0/len(ws)*0.2
+                      )*10000.0 + 0.5) AS BIGINT) AS q
+           FROM tkn),
+         h AS (SELECT doc_id, source, q,
+           ((((doc_id + 1) % 2147483647 + 2147483647) % 2147483647
+             * 48271) % 2147483647 * 48271) % 2147483647 AS hh
+           FROM c WHERE q > 0),
+         k AS (SELECT doc_id, source,
+           (CAST(floor(-ln((hh + 1) / 2147483647.0) * 1000000.0 + 0.5)
+                 AS BIGINT) * 1000000) // q AS key_fp
+           FROM h),
+         r AS (SELECT doc_id, source, key_fp,
+           row_number() OVER (PARTITION BY source
+             ORDER BY key_fp, doc_id) AS rn FROM k)
+         SELECT doc_id, source, key_fp FROM r WHERE rn <= 5
+         ORDER BY doc_id""",
 
     "q165_token_budget_best" ->
       """WITH tkn AS (SELECT doc_id, source,

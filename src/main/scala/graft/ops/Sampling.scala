@@ -279,6 +279,49 @@ object Sampling {
       .drop(reserved: _*)
   }
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis exponential keys): per stratum, keep the k
+    * rows with the smallest `-ln(u)/w` where u is the row's [[idHash]]
+    * uniform and w its weight — selection probability proportional to
+    * weight, no RNG state, reproducible under re-runs, engine replays,
+    * and corpus repartitioning. The quality-WEIGHTED middle ground
+    * between the uniform hash sample (all docs equal) and best-first
+    * curation (only the top docs survive): high-quality docs are
+    * favored, low-quality ones still appear at their proportional
+    * rate — the mixture actually wanted for "mostly good with a long
+    * tail" training sets.
+    *
+    * Portability: u = (hash+1)/(2^31-1) is an IEEE-exact division,
+    * ln is rounded to micro-units (`floor(-ln(u)*1e6 + 0.5)` — the
+    * proven cross-engine idiom), and the final key is the exact
+    * integer `(eln * 1e6) div w`, so the selected set is identical in
+    * the SQL replay. Weights must be positive integers (fixed-point
+    * scores); nonpositive/null weights mean zero selection mass and
+    * those rows are excluded. One shuffle on the stratum key via the
+    * per-group top-k window; at 100 TB swap in the map-side
+    * [[graft.functions.Reducers]] partial top-k like the ANN paths. */
+  def weightedSample(df: DataFrame, id: Column, stratum: Column,
+                     weight: Column, k: Int, seed: Long = 0L)
+      : DataFrame = {
+    require(k > 0, s"weightedSample: k must be positive, got $k")
+    val reserved = Seq("__eln", "__w", "__wkey")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"weightedSample: reserved column(s) ${clash.mkString(", ")} " +
+      "already on the input — rename them first")
+    val u = (idHash(id, seed) + lit(1L)).cast("double") / lit(P.toDouble)
+    val keyed = df
+      .withColumn("__w", weight.cast("long"))
+      .filter(col("__w") > 0L)
+      .withColumn("__eln",
+        floor(-log(u) * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("__wkey", expr("(__eln * 1000000) div __w"))
+    Relational.topKPerGroup(keyed, Seq(stratum),
+        Seq(col("__wkey").asc, id.asc), k)
+      .withColumnRenamed("__wkey", "key_fp")
+      .drop("__eln", "__w")
+  }
+
   /** Best-first token-budget curation: [[tokenBudget]] taken in
     * `score`-DESCENDING order (ties by id) instead of the uniform
     * hash — "the highest-quality N tokens per domain", the budgeted

@@ -1775,6 +1775,26 @@ class OpsSpec extends AnyFunSuite {
     assert(keptTies == Set(1L, 2L, 3L))
   }
 
+  test("weightedSample tracks weights and excludes nonpositive mass") {
+    import spark.implicits._
+    // id 1 holds half the total mass; across seeds it should win the
+    // k=1 slot about half the time (uniform would give it 1/10)
+    val d = ((1L, 9000L) +: (2L to 10L).map(i => (i, 1000L)))
+      .toDF("id", "w").withColumn("grp", lit("g"))
+    val wins = (0 until 40).count { seed =>
+      Sampling.weightedSample(d, col("id"), col("grp"), col("w"),
+          k = 1, seed = seed.toLong)
+        .select("id").collect().head.getLong(0) == 1L
+    }
+    assert(wins >= 12 && wins <= 28, s"heavy item won $wins/40")
+    // zero/negative/null weights carry no selection mass
+    val z = Seq((1L, 0L), (2L, -5L), (3L, 10L)).toDF("id", "w")
+      .withColumn("grp", lit("g"))
+    val kept = Sampling.weightedSample(z, col("id"), col("grp"),
+        col("w"), k = 3).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+  }
+
   test("leakage-safe split keeps each near-dup component in one split") {
     import spark.implicits._
     val ids = (1L to 200L).toDF("doc_id")
