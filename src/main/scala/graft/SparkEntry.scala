@@ -459,6 +459,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Robust outlier screen: per-priority median/MAD over exact
+    // cents, 3.5-MAD flags, rank-based [p05,p95] winsorization.
+    "q167_winsorize" -> ((s, dir) => {
+      graft.ops.Checks.robustWinsorize(t(s, dir, "orders"),
+          col("o_orderpriority"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .select(col("id"), col("group").as("o_orderpriority"),
+                col("v"), col("v_wins"), col("is_outlier"))
+        .orderBy("id")
+    }),
+
     // One-pass data-quality audit: every rule a conditional sum in a
     // single scan; null predicate = violation.
     "q158_data_quality" -> ((s, dir) => {
@@ -3074,6 +3085,33 @@ object SparkEntry {
          FROM s4 ORDER BY user_id""",
 
     "q161_pagerank" -> pagerankSql(3),
+
+    "q167_winsorize" ->
+      """WITH b AS (SELECT o_orderkey AS id, o_orderpriority AS g,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+           FROM orders),
+         r AS (SELECT id, g, v,
+             count(*) OVER (PARTITION BY g) AS n,
+             row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn
+           FROM b),
+         med AS (SELECT g, v AS med FROM r WHERE rn = (n + 1) // 2),
+         p05 AS (SELECT g, v AS p05 FROM r
+                 WHERE rn = greatest(1, (5 * n) // 100)),
+         p95 AS (SELECT g, v AS p95 FROM r
+                 WHERE rn = greatest(1, (95 * n) // 100)),
+         d AS (SELECT b.id, b.g, b.v, abs(b.v - med.med) AS dev
+               FROM b JOIN med ON b.g = med.g),
+         dr AS (SELECT id, g, v, dev,
+             count(*) OVER (PARTITION BY g) AS n,
+             row_number() OVER (PARTITION BY g ORDER BY dev, id) AS rn
+           FROM d),
+         mad AS (SELECT g, dev AS mad FROM dr WHERE rn = (n + 1) // 2)
+         SELECT d.id, d.g AS o_orderpriority, d.v,
+           least(greatest(d.v, p05.p05), p95.p95) AS v_wins,
+           (d.dev * 10 > mad.mad * 35) AS is_outlier
+         FROM d JOIN mad ON d.g = mad.g
+                JOIN p05 ON d.g = p05.g JOIN p95 ON d.g = p95.g
+         ORDER BY d.id""",
 
     "q166_weighted_sample" ->
       """WITH tkn AS (SELECT doc_id, source,

@@ -59,4 +59,48 @@ object Checks {
           .when(col("__fp_old") <=> col("__fp_new"), "unchanged")
           .otherwise("changed").as("status"))
   }
+
+  /** Robust per-group outlier screen + winsorization over an INTEGER
+    * metric column (cents / micro-units): median and MAD by exact
+    * rank (lower median — the value at rank `(n+1) div 2` — not the
+    * interpolated midpoint, so every statistic is a value that
+    * actually occurs and the whole op stays integer-exact across
+    * engines), outlier = deviation beyond 3.5 MAD (the standard
+    * robust-z cut, compared as `dev*10 > mad*35` — no floats), and
+    * values clipped to the rank-based [p05, p95]. Median/MAD resist
+    * the very outliers a mean/stddev screen would absorb — the right
+    * screen for skewed web metrics (doc lengths, prices, latencies).
+    *
+    * Scale shape: two sorted windows over the group key (value order,
+    * then deviation order) and three O(groups)-row stat frames joined
+    * back — AQE broadcasts them; the data's only shuffles are the two
+    * group-key sorts. Ids must be unique (row_number tiebreak).
+    * Returns (id, group, v, v_wins, is_outlier). */
+  def robustWinsorize(df: DataFrame, group: Column, id: Column,
+                      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy(col("__g"))
+    val wv = wg.orderBy(col("v"), col("id"))
+    val base = df.select(group.as("__g"), id.as("id"),
+      value.cast("long").as("v"))
+    val r = base.withColumn("n", count(lit(1)).over(wg))
+      .withColumn("rn", row_number().over(wv))
+    def at(rank: String, as: String) =
+      r.filter(col("rn") === expr(rank))
+        .select(col("__g"), col("v").as(as))
+    val med = at("(n + 1) div 2", "med")
+    val p05 = at("greatest(1, (5 * n) div 100)", "p05")
+    val p95 = at("greatest(1, (95 * n) div 100)", "p95")
+    val dev = base.join(med, Seq("__g"))
+      .withColumn("dev", abs(col("v") - col("med")))
+    val wd = wg.orderBy(col("dev"), col("id"))
+    val mad = dev.withColumn("n", count(lit(1)).over(wg))
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("__g"), col("dev").as("mad"))
+    dev.join(mad, Seq("__g")).join(p05, Seq("__g")).join(p95, Seq("__g"))
+      .select(col("id"), col("__g").as("group"), col("v"),
+        least(greatest(col("v"), col("p05")), col("p95")).as("v_wins"),
+        (col("dev") * 10 > col("mad") * 35).as("is_outlier"))
+  }
 }

@@ -1795,6 +1795,23 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == Set(3L))
   }
 
+  test("robustWinsorize: MAD flags the outlier the mean would absorb") {
+    import spark.implicits._
+    // 20 tight values + one wild outlier; med=111 (rank 11 of 21),
+    // mad=5 → cut at 3.5*5=17.5; only the outlier's dev (99889) clears
+    val vals = (1L to 20L).map(i => (i, 100L + i)) :+ (21L, 100000L)
+    val d = vals.toDF("id", "v").withColumn("g", lit("x"))
+    val out = Checks.robustWinsorize(d, col("g"), col("id"), col("v"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(21L)._3)                        // flagged
+    assert(vals.init.forall(v => !out(v._1)._3)) // no false flags
+    // winsorized to rank-based p95 (rank (95*21)//100 = 19 → v=119)
+    assert(out(21L)._2 == 119L)
+    // p05: rank max(1, 105//100 = 1) → v=101; min stays itself
+    assert(out(1L)._2 == 101L && !out(1L)._3)
+  }
+
   test("leakage-safe split keeps each near-dup component in one split") {
     import spark.implicits._
     val ids = (1L to 200L).toDF("doc_id")
