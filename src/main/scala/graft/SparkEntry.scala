@@ -723,6 +723,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Leakage-safe 5-fold CV: near-dup components fold together on
+    // their canonical representative; singletons fold as themselves.
+    "q168_kfold_leakage_safe" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val pairs = graft.ops.Dedup.minhashLshPairs(d, col("doc_id"),
+          col("text"), tau = 0.6)
+      graft.ops.Sampling.kFoldLeakageSafe(d.select("doc_id"),
+          col("doc_id"), pairs, col("id1"), col("id2"), k = 5)
+        .orderBy("doc_id")
+    }),
+
     "q114_ann_projected" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val p = graft.ops.Similarity.jlProjectVec(
@@ -2266,6 +2277,16 @@ object SparkEntry {
            CASE WHEN hv < 1717986917 THEN 'train'
                 WHEN hv < 1932735282 THEN 'val'
                 ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 (((((((coalesce(c.comp, doc_id) + 1) % 2147483647)
+                      + 2147483647) % 2147483647)
+                    * 48271) % 2147483647) * 48271) % 2147483647 AS hv
+               FROM documents LEFT JOIN comp c ON documents.doc_id = c.id) d
+         ORDER BY d.doc_id"""),
+
+    "q168_kfold_leakage_safe" ->
+      (dedupGroupsSql + """
+         SELECT d.doc_id, hv % 5 AS fold
          FROM (SELECT doc_id,
                  (((((((coalesce(c.comp, doc_id) + 1) % 2147483647)
                       + 2147483647) % 2147483647)

@@ -111,6 +111,37 @@ object Sampling {
       .drop("__lss_id", "__lss_comp")
   }
 
+  /** Deterministic k-fold cross-validation assignment: fold =
+    * idHash mod k — every row labeled 0..k-1, folds near-equal-sized,
+    * stable under corpus growth (a row's fold never depends on other
+    * rows) and decorrelated from splits/samples on the same ids via
+    * `seed`. Zero shuffle: a pure projection above the scan. */
+  def kFold(df: DataFrame, id: Column, k: Int, seed: Long = 0L)
+      : DataFrame = {
+    require(k >= 2, s"kFold: need k >= 2 folds, got $k")
+    require(!df.columns.contains("fold"),
+      "kFold: input already has a 'fold' column — rename it first")
+    df.withColumn("fold", pmod(idHash(id, seed), lit(k.toLong)))
+  }
+
+  /** Leakage-safe k-fold: near-duplicate components fold on their
+    * canonical representative (smallest member id), so no near-dup
+    * pair ever straddles a train/eval fold boundary — the same
+    * contamination guarantee as [[leakageSafeSplit]], in fold form.
+    * Singletons get exactly their plain [[kFold]] assignment. */
+  def kFoldLeakageSafe(df: DataFrame, id: Column, pairs: DataFrame,
+                       pid1: Column, pid2: Column, k: Int,
+                       seed: Long = 0L): DataFrame = {
+    Seq("__lss_id", "__lss_comp").foreach(n =>
+      require(!df.columns.contains(n),
+        s"kFoldLeakageSafe: input already has reserved column '$n'"))
+    val comp = graft.ops.Dedup.connectedComponents(pairs, pid1, pid2)
+      .select(col("id").as("__lss_id"), col("comp").as("__lss_comp"))
+    kFold(df.join(comp, id === col("__lss_id"), "left"),
+          coalesce(col("__lss_comp"), id), k, seed)
+      .drop("__lss_id", "__lss_comp")
+  }
+
   /** Per-stratum deterministic sampling: each row keeps or drops by the
     * MINSTD hash of its id under its stratum's rate (e.g. downsample
     * "en" to 0.5 while keeping all of "de"). The standard

@@ -1812,6 +1812,25 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L)._2 == 101L && !out(1L)._3)
   }
 
+  test("kFoldLeakageSafe keeps components together, balances folds") {
+    import spark.implicits._
+    val ids = (1L to 500L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 60L)).toDF("id1", "id2")
+    val out = Sampling.kFoldLeakageSafe(ids, col("doc_id"), pairs,
+        col("id1"), col("id2"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1)
+    assert(out(50L) == out(60L))
+    // singletons match the plain assignment; folds roughly balanced
+    val plain = Sampling.kFold(ids, col("doc_id"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val members = Set(1L, 2L, 3L, 50L, 60L)
+    out.foreach { case (id, f) =>
+      if (!members.contains(id)) assert(f == plain(id)) }
+    val sizes = plain.values.groupBy(identity).map(_._2.size)
+    assert(sizes.size == 5 && sizes.forall(s => s > 50 && s < 150))
+  }
+
   test("leakage-safe split keeps each near-dup component in one split") {
     import spark.implicits._
     val ids = (1L to 200L).toDF("doc_id")
