@@ -352,6 +352,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Top collocations by PMI over the bigram model (count floor 5,
+    // position-marginal PMI, micro-unit fixed point).
+    "q169_pmi_collocations" -> ((s, dir) => {
+      graft.ops.TextAnalysis.pmiCollocations(
+          t(s, dir, "documents"), col("doc_id"), col("text"),
+          minCount = 5L, k = 50)
+        .orderBy(desc("pmi_fp"), col("bg"))
+    }),
+
     // Round-4 funnel v3 through the PUBLIC Pipeline API: DSIR
     // importance gate (keep docs pricing above -0.14 mean log ratio vs
     // the src0 target) then MinHash-LSH near-dup removal (tau 0.6, the
@@ -1956,6 +1965,28 @@ object SparkEntry {
 
     // Bigram NLL: same smoothed model replayed relationally. The
     // bigram key is "w1 w2" (tokens are space-split, no collision).
+    "q169_pmi_collocations" ->
+      """WITH t AS (SELECT doc_id,
+             [x FOR x IN string_split(text, ' ') IF x <> ''] AS ts
+           FROM documents),
+         b AS (SELECT unnest([ts[i] || ' ' || ts[i+1]
+                              FOR i IN range(1, len(ts))]) AS bg
+               FROM t WHERE len(ts) >= 2),
+         bc AS (SELECT bg, count(*) AS c12 FROM b GROUP BY 1),
+         c1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+                  CAST(sum(c12) AS BIGINT) AS c1 FROM bc GROUP BY 1),
+         c2 AS (SELECT string_split(bg, ' ')[2] AS w2,
+                  CAST(sum(c12) AS BIGINT) AS c2 FROM bc GROUP BY 1),
+         nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bc)
+         SELECT bg, c12,
+           CAST(floor(ln((c12 * n) * 1.0 / (c1 * c2)) * 1000000.0 + 0.5)
+                AS BIGINT) AS pmi_fp
+         FROM bc JOIN c1 ON string_split(bc.bg, ' ')[1] = c1.w1
+                 JOIN c2 ON string_split(bc.bg, ' ')[2] = c2.w2
+                 CROSS JOIN nn
+         WHERE c12 >= 5
+         ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
     "q106_bigram_nll" ->
       """WITH t AS (SELECT doc_id,
              [x FOR x IN string_split(text, ' ') IF x <> ''] AS ts

@@ -430,21 +430,29 @@ object TextAnalysis {
     * [[unigramNll]] the scoring joins are unhinted — AQE broadcasts
     * them when they fit. V is one row, broadcast. Docs with < 2 tokens
     * have no bigrams and produce no row (mirrored by the oracle). */
-  def bigramNll(df: DataFrame, id: Column, text: Column): DataFrame = {
-    // Project the token array BEFORE the per-element lambda:
-    // element_at(<full split expr>, i) inside transform re-evaluates
-    // the split for EVERY element (O(n_tokens^2) per row — measured 8x
-    // slower per corpus pass at sf0.1). Behind a named column the
-    // lambda reads a bound attribute once per row.
+  /** Per-row adjacent-bigram stream (doc_id, bg = "w1 w2"). Narrow:
+    * bigrams form INSIDE each row from the token array — never a
+    * corpus-wide lag shuffle. The token array is projected BEFORE the
+    * per-element lambda: element_at(<full split expr>, i) inside
+    * transform re-evaluates the split for EVERY element
+    * (O(n_tokens^2) per row — measured 8x slower per corpus pass at
+    * sf0.1); behind a named column the lambda reads a bound attribute
+    * once per row. sequence(1, 0) steps DOWN, so docs with < 2 tokens
+    * are guarded to an empty array (they produce no bigrams). */
+  private def bigramStream(df: DataFrame, id: Column, text: Column)
+      : DataFrame = {
     val toksD = df.select(id.as("doc_id"),
       filter(tokens(text), t => t =!= "").as("__ts"))
     val ts = col("__ts")
-    // sequence(1, 0) steps DOWN — guard single-token docs (see tokens)
-    val bg = toksD.select(col("doc_id"),
+    toksD.select(col("doc_id"),
       explode(when(size(ts) >= 2,
           transform(sequence(lit(1), size(ts) - 1), i =>
             concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
         .otherwise(array().cast("array<string>"))).as("bg"))
+  }
+
+  def bigramNll(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val bg = bigramStream(df, id, text)
     val w1 = split(col("bg"), " ").getItem(0)
     // bigram-vocab-sized; materialized — context counts derive from it
     // (sum per w1 over the MODEL, never a second corpus-wide shuffle)
@@ -466,6 +474,43 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
            round(avg(log((col("ctx") + col("v")).cast("double") /
                          (col("c12") + 1L))), 6).as("nll2"))
+  }
+
+  /** PMI collocation extraction: the corpus's top multiword
+    * expressions by pointwise mutual information over the adjacent-
+    * bigram distribution, `pmi = ln(c12·N / (c1·c2))` with c1/c2 the
+    * POSITION marginals of the bigram table (first-word / second-word
+    * occurrence mass — the margins sum to N, so this is exact PMI of
+    * the joint (first, second) distribution). A `minCount` floor
+    * removes the low-frequency noise that otherwise dominates PMI
+    * (hapax pairs score ln N). The standard vocabulary-induction /
+    * tokenizer-seeding pass of a corpus pipeline.
+    *
+    * Scale shape: one corpus-wide shuffle builds the bigram model;
+    * marginals and the total derive from the MODEL (bigram-vocab-
+    * sized), never a second corpus pass. The frequent-bigram frame is
+    * filtered BEFORE its marginal joins, so the ranking join graph is
+    * model-sized; top-k plans as TakeOrdered (no global sort). The
+    * products stay < 2^53, so the double quotient is IEEE-exact and
+    * micro-unit-rounded ln is engine-portable (the proven idiom). */
+  def pmiCollocations(df: DataFrame, id: Column, text: Column,
+                      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    val bg = bigramStream(df, id, text)
+    val w1 = split(col("bg"), " ").getItem(0)
+    val w2 = split(col("bg"), " ").getItem(1)
+    val bgCnt = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // model consumed by 3 aggregates + the join
+    val c1 = bgCnt.groupBy(w1.as("w1")).agg(sum("c12").as("c1"))
+    val c2 = bgCnt.groupBy(w2.as("w2")).agg(sum("c12").as("c2"))
+    val n = bgCnt.agg(sum("c12").as("n"))
+    bgCnt.filter(col("c12") >= minCount)
+      .join(c1, w1 === col("w1")).join(c2, w2 === col("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("bg"), col("c12"),
+        floor(log((col("c12") * col("n")).cast("double") /
+                  (col("c1") * col("c2")).cast("double")) *
+              lit(1000000.0) + lit(0.5)).cast("long").as("pmi_fp"))
+      .orderBy(desc("pmi_fp"), col("bg")).limit(k)
   }
 
   /** Naive Bayes quality classifier — the CCNet/fastText-style seed
