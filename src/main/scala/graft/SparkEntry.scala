@@ -361,6 +361,15 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Corpus-health diagnostic: per-language Zipf's-law fit — OLS of
+    // ln(freq) on ln(rank) over the vocab table, exact decimal(38,0)
+    // sufficient statistics, floats only in the final closed form.
+    "q170_zipf_fit" -> ((s, dir) => {
+      graft.ops.TextAnalysis.zipfFit(t(s, dir, "documents"),
+          col("lang"), col("text"), minFreq = 2L)
+        .orderBy("stratum")
+    }),
+
     // Round-4 funnel v3 through the PUBLIC Pipeline API: DSIR
     // importance gate (keep docs pricing above -0.14 mean log ratio vs
     // the src0 target) then MinHash-LSH near-dup removal (tau 0.6, the
@@ -1986,6 +1995,42 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Zipf fit: the oracle replays the identical vocab ranking and
+    // integer sufficient statistics; sum(BIGINT) -> HUGEINT is exact,
+    // and the closed-form slope/intercept shares the Spark side's
+    // float expression structure over correctly-rounded casts.
+    "q170_zipf_fit" ->
+      """WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+         tf AS (SELECT lang AS stratum, tok, count(*) AS freq
+                FROM tk WHERE tok <> '' GROUP BY 1, 2),
+         rk AS (SELECT stratum, freq,
+                  row_number() OVER (PARTITION BY stratum
+                                     ORDER BY freq DESC, tok) AS rank
+                FROM tf WHERE freq >= 2),
+         fp AS (SELECT stratum,
+                  CAST(floor(ln(rank) * 1000000.0 + 0.5) AS BIGINT) AS x,
+                  CAST(floor(ln(freq) * 1000000.0 + 0.5) AS BIGINT) AS y
+                FROM rk),
+         ag AS (SELECT stratum, count(*) AS n_types,
+                  sum(x) AS sx, sum(y) AS sy,
+                  sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM fp GROUP BY 1),
+         sl AS (SELECT stratum, n_types,
+                  CAST(n_types AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                  CAST(sy AS DOUBLE) AS syd,
+                  (CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_raw
+                FROM ag
+                WHERE n_types >= 2
+                  AND CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0)
+         SELECT stratum, n_types, round(slope_raw, 6) AS slope,
+                round((syd - slope_raw * sxd) / nd, 6) AS intercept
+         FROM sl ORDER BY stratum""",
 
     "q106_bigram_nll" ->
       """WITH t AS (SELECT doc_id,

@@ -103,4 +103,41 @@ object Checks {
         least(greatest(col("v"), col("p05")), col("p95")).as("v_wins"),
         (col("dev") * 10 > col("mad") * 35).as("is_outlier"))
   }
+
+  /** Per-group ordinary-least-squares line fit over integer fixed-point
+    * points — the engine-portable form of `regr_slope`/`regr_intercept`
+    * (whose internal accumulation order engines don't specify). The five
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulate as EXACT
+    * decimal(38,0) integers — order-independent, so partial aggregation
+    * commutes and the result is bit-reproducible on any partitioning —
+    * and only the final closed-form slope/intercept touches floats, as
+    * one shared expression over correctly-rounded int→double casts
+    * (the [[graft.ops.Similarity]] fixed-point discipline).
+    *
+    * One shuffle on the group key with map-side partials; O(1) state
+    * per group. Precondition: |x|,|y| < 3e9 so x·y and x² fit a long
+    * before the decimal cast (micro-unit ln/ratio encodings are ~2e7).
+    * Groups with < 2 points or zero x-variance have no defined line and
+    * are dropped (a null slope would poison downstream ranking).
+    * Output: (group, n_points, slope, intercept), floats rounded to 6. */
+  def olsFitFp(df: DataFrame, group: Column, x: Column, y: Column)
+      : DataFrame = {
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val b = df.select(group.as("group"),
+      x.cast("long").as("x"), y.cast("long").as("y"))
+    val ag = b.groupBy("group").agg(
+      count(lit(1)).as("n_points"),
+      sum(col("x").cast(d38)).as("sx"),
+      sum(col("y").cast(d38)).as("sy"),
+      sum((col("x") * col("y")).cast(d38)).as("sxy"),
+      sum((col("x") * col("x")).cast(d38)).as("sxx"))
+    def d(c: String): Column = col(c).cast("double")
+    val den = d("n_points") * d("sxx") - d("sx") * d("sx")
+    val slope = (d("n_points") * d("sxy") - d("sx") * d("sy")) / den
+    ag.filter(col("n_points") >= 2 && den =!= 0.0)
+      .select(col("group"), col("n_points"),
+        round(slope, 6).as("slope"),
+        round((d("sy") - slope * d("sx")) / d("n_points"), 6)
+          .as("intercept"))
+  }
 }

@@ -198,6 +198,48 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("token").asc)
       .limit(topN)
 
+  /** Zipf's-law fit per corpus stratum: OLS slope/intercept of
+    * ln(frequency) against ln(rank) over the per-stratum token
+    * frequency table — the standard corpus-health diagnostic (natural
+    * language tracks slope ≈ -1; templated/generated text bends the
+    * curve, so a per-source fit flags synthetic strata wholesale,
+    * complementing the per-document [[repetitionSignals]]).
+    *
+    * Scale shape: one corpus token explode + (stratum, token) count —
+    * the same vocab-sized frame every model op here builds — then a
+    * rank window over VOCAB rows only (never corpus occurrences; a
+    * stratum's vocabulary is bounded by Heaps' law at ~O(√corpus), and
+    * the frequency-floor filter shrinks it further before the window).
+    * Logs quantize to micro-units (floor(ln·1e6+0.5), the
+    * [[pmiCollocations]] discipline) so the fit runs on exact integers
+    * via [[Checks.olsFitFp]]. `minFreq` drops the hapax shelf that
+    * otherwise dominates the regression (standard practice — the fit
+    * targets the power-law body, not the noise tail).
+    *
+    * Determinism: rank ties (equal frequency) break by token, so the
+    * (rank, freq) point set — and therefore the fit — is unique.
+    * Output: (stratum, n_types, slope, intercept). */
+  def zipfFit(df: DataFrame, stratum: Column, text: Column,
+              minFreq: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(stratum.as("stratum"),
+        explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("stratum", "tok").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") >= minFreq)
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("freq").desc, col("tok").asc)
+    val fp = tf.withColumn("rank", row_number().over(w))
+      .select(col("stratum"),
+        floor(log(col("rank").cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("x"),
+        floor(log(col("freq").cast("double")) * 1000000.0 + 0.5)
+          .cast("long").as("y"))
+    Checks.olsFitFp(fp, col("stratum"), col("x"), col("y"))
+      .withColumnRenamed("group", "stratum")
+      .withColumnRenamed("n_points", "n_types")
+  }
+
   /** Deflate compressibility ratio (compressed/raw bytes) — the classic
     * "machine-generated or pathologically repetitive text" signal:
     * natural prose lands ~0.4-0.7, templated spam and repeated blocks

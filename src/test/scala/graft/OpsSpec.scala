@@ -1856,4 +1856,41 @@ class OpsSpec extends AnyFunSuite {
     assert(out(1L) == plain(1L) && out(50L) == plain(50L) &&
            out(7L) == plain(7L))
   }
+
+  test("olsFitFp recovers an exact line and drops degenerate groups") {
+    import spark.implicits._
+    // group a: y = 3x + 5 exactly at x = 0, 1e6, 2e6 — slope/intercept
+    // come back exact (all arithmetic on integers until the closed form)
+    // group b: a single point; group c: zero x-variance — both dropped
+    val pts = Seq(
+      ("a", 0L, 5L), ("a", 1000000L, 3000005L), ("a", 2000000L, 6000005L),
+      ("b", 7L, 9L),
+      ("c", 4L, 1L), ("c", 4L, 2L)).toDF("g", "x", "y")
+    val out = Checks.olsFitFp(pts, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set("a"))
+    assert(out("a") == ((3L, 3.0, 5.0)))
+  }
+
+  test("zipfFit slope tracks the planted power law") {
+    import spark.implicits._
+    // frequencies 64,32,16,8,4,2 over ranks 1..6: ln f = ln 128 - ln 2
+    // * ln r / ... not a perfect line in ln-ln (geometric freqs vs
+    // arithmetic ranks), so just pin the sign and rough magnitude — and
+    // that a second identical stratum fits identically.
+    val words = (0 until 6).flatMap { i =>
+      Seq.fill(1 << (6 - i))(s"w$i") }
+    val docs = Seq(("s1", words.mkString(" ")), ("s2", words.mkString(" ")))
+      .toDF("src", "text")
+    val out = TextAnalysis.zipfFit(docs, col("src"), col("text"),
+        minFreq = 1L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out.keySet == Set("s1", "s2"))
+    assert(out("s1") == out("s2"))
+    val (n, slope, _) = out("s1")
+    assert(n == 6L)
+    assert(slope < -1.5 && slope > -3.5, s"slope $slope")
+  }
 }
