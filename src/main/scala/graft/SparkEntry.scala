@@ -361,6 +361,34 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Per-source Count-Min point-frequency probes: O(depth*width)
+    // mergeable grid per stratum instead of a vocab-sized count table;
+    // estimates carry the one-sided guarantee (est >= exact, both
+    // emitted — width 32 forces real collisions at this sf).
+    "q171_count_min" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.TextFunctions.tokens
+      val d = t(s, dir, "documents")
+      val occ = d.select(col("source"),
+          explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+      val grid = graft.ops.Sketches.countMin(occ, col("source"),
+        col("tok"), depth = 3, width = 32)
+      val probes = occ.select("source").distinct()
+        .crossJoin(Seq("table", "row", "spark", "hash", "merge",
+                       "quantum").toDF("tok"))
+      val exact = occ.groupBy(col("source").as("grp"), col("tok"))
+        .agg(count(lit(1)).as("exact_cnt"))
+      graft.ops.Sketches.countMinEstimate(grid, probes, col("source"),
+          col("tok"), depth = 3, width = 32)
+        .join(exact, col("group") === col("grp") &&
+                     col("item") === col("tok"), "left")
+        .select(col("group").as("source"), col("item").as("token"),
+                col("cm_est"), coalesce(col("exact_cnt"), lit(0L))
+                  .as("exact_cnt"))
+        .orderBy("source", "token")
+    }),
+
     // Corpus-health diagnostic: per-language Zipf's-law fit — OLS of
     // ln(freq) on ln(rank) over the vocab table, exact decimal(38,0)
     // sufficient statistics, floats only in the final closed form.
@@ -1995,6 +2023,61 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Count-Min: the oracle rebuilds the identical grid — same two
+    // char-fold hashes (seeds 7/11), same double-hashed buckets, sums
+    // exact — then replays the min-over-rows probe.
+    "q171_count_min" ->
+      """WITH occ AS (SELECT source, tok FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents) WHERE tok <> ''),
+         tc AS (SELECT source, tok, count(*) AS cnt
+                FROM occ GROUP BY 1, 2),
+         vh AS (SELECT tok,
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      [CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                       FOR i IN range(1, length(tok) + 1)]),
+                    (a, c) -> (a * 31 + c) % 2147483647) AS h1,
+                  list_reduce(list_prepend(CAST(11 AS BIGINT),
+                      [CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                       FOR i IN range(1, length(tok) + 1)]),
+                    (a, c) -> (a * 31 + c) % 2147483647) AS h2
+                FROM (SELECT DISTINCT tok FROM tc)),
+         rows_ AS (SELECT unnest([0, 1, 2]) AS row),
+         grid AS (SELECT source, row,
+                    CAST((h1 + row * h2) % 2147483647 % 32 AS INTEGER)
+                      AS bucket,
+                    CAST(sum(cnt) AS BIGINT) AS c
+                  FROM tc JOIN vh USING (tok) CROSS JOIN rows_
+                  GROUP BY 1, 2, 3),
+         pk AS (SELECT unnest(['table', 'row', 'spark', 'hash',
+                               'merge', 'quantum']) AS tok),
+         ph AS (SELECT tok,
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      [CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                       FOR i IN range(1, length(tok) + 1)]),
+                    (a, c) -> (a * 31 + c) % 2147483647) AS h1,
+                  list_reduce(list_prepend(CAST(11 AS BIGINT),
+                      [CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                       FOR i IN range(1, length(tok) + 1)]),
+                    (a, c) -> (a * 31 + c) % 2147483647) AS h2
+                FROM pk),
+         pc AS (SELECT s.source, p.tok, r.row,
+                  CAST((p.h1 + r.row * p.h2) % 2147483647 % 32
+                       AS INTEGER) AS bucket
+                FROM (SELECT DISTINCT source FROM occ) s
+                CROSS JOIN ph p CROSS JOIN rows_ r),
+         est AS (SELECT pc.source, pc.tok,
+                   min(coalesce(g.c, 0)) AS cm_est
+                 FROM pc LEFT JOIN grid g
+                   ON pc.source = g.source AND pc.row = g.row
+                      AND pc.bucket = g.bucket
+                 GROUP BY 1, 2)
+         SELECT est.source, est.tok AS token, cm_est,
+                coalesce(tc.cnt, 0) AS exact_cnt
+         FROM est LEFT JOIN tc
+           ON est.source = tc.source AND est.tok = tc.tok
+         ORDER BY est.source, token""",
 
     // Zipf fit: the oracle replays the identical vocab ranking and
     // integer sufficient statistics; sum(BIGINT) -> HUGEINT is exact,

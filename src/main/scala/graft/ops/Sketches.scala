@@ -27,6 +27,82 @@ object Sketches {
         array(quantiles.map(lit): _*), lit(accuracy))
         .as("approx_quantiles"))
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005): per-group
+    * depth×width counter grids supporting point-frequency queries with
+    * one-sided error (estimate >= truth, overshoot bounded by
+    * Σcounts·e/width with probability 1 - e^-depth). The pipeline use:
+    * a tiny mergeable summary answering "how often does THIS token /
+    * URL / shingle appear per stratum" without materializing the full
+    * per-stratum count table — O(depth·width) state per group versus a
+    * vocabulary-sized frame.
+    *
+    * Scale shape: occurrences aggregate to the (group, item) count
+    * frame first (map-side partials), the char-fold hash runs once per
+    * DISTINCT item ([[TextAnalysis.hashFeatures]] discipline), and the
+    * depth rows explode from that vocab frame — so the counter build
+    * is one shuffle on (group, row, bucket) and the grid is mergeable
+    * across any partitioning (integer sums commute). Buckets derive
+    * from two independent 31-bit char-folds via Kirsch–Mitzenmacher
+    * double hashing (h1 + i·h2 mod P mod width) — depth independent
+    * functions from two evaluations, and the oracle replays the exact
+    * arithmetic. Deterministic end to end: no floats, no RNG.
+    *
+    * Returns the counter grid (group, row, bucket, c) — sparse, absent
+    * buckets are zero. Feed to [[countMinEstimate]]. */
+  def countMin(df: DataFrame, group: Column, item: Column,
+               depth: Int = 3, width: Int = 32): DataFrame = {
+    require(depth >= 1 && width >= 1,
+      s"need depth, width >= 1, got depth=$depth width=$width")
+    val tc = df.select(group.as("grp"), item.as("it"))
+      .filter(col("it").isNotNull)
+      .groupBy("grp", "it").agg(count(lit(1)).as("cnt"))
+    val hashed = tc.select("it").distinct()
+      .select(col("it"), cmBuckets(col("it"), depth, width).as("bks"))
+    tc.join(hashed, "it")
+      .select(col("grp"), col("cnt"), explode(col("bks")).as("rb"))
+      .groupBy(col("grp").as("group"), col("rb.row").as("row"),
+               col("rb.bucket").as("bucket"))
+      .agg(sum("cnt").as("c"))
+  }
+
+  /** Point-frequency estimates from a [[countMin]] grid: for each
+    * (group, probe item) the minimum counter over the depth rows —
+    * missing cells read zero (sparse grid). `probes` is the small
+    * (group, item) frame to query (typically groups × a key list);
+    * it broadcasts against the grid. Output:
+    * (group, item, cm_est) with the one-sided guarantee
+    * cm_est >= true count. */
+  def countMinEstimate(counters: DataFrame, probes: DataFrame,
+                       group: Column, item: Column,
+                       depth: Int = 3, width: Int = 32): DataFrame = {
+    val p = probes.select(group.as("group"), item.as("it")).distinct()
+      .select(col("group"), col("it"),
+              explode(cmBuckets(col("it"), depth, width)).as("rb"))
+      .select(col("group"), col("it"),
+              col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+    p.join(counters, Seq("group", "row", "bucket"), "left")
+      .groupBy(col("group"), col("it").as("item"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
+  }
+
+  /** The depth (row, bucket) pairs for one item: two independent
+    * 31-bit modular char-folds (seeds 7 and 11), rows via double
+    * hashing. Runs on vocab-sized frames only. */
+  private def cmBuckets(it: Column, depth: Int, width: Int): Column = {
+    val P = 2147483647L
+    val codes = transform(sequence(lit(1), length(it)), i =>
+      ascii(it.substr(i, lit(1))).cast("long"))
+    def fold(seed: Long) =
+      aggregate(codes, lit(seed), (a, ch) => (a * 31L + ch) % P)
+    val h1 = fold(7L)
+    val h2 = fold(11L)
+    array((0 until depth).map { i =>
+      struct(lit(i).as("row"),
+             ((h1 + lit(i.toLong) * h2) % P % width)
+               .cast("int").as("bucket"))
+    }: _*)
+  }
+
   /** Per-group approximate frequent items via the mergeable
     * [[graft.functions.Reducers.SpaceSaving]] summary: one shuffle of
     * capacity-sized buffers with map-side partials — never a full

@@ -1857,6 +1857,30 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("countMin estimates are one-sided and exact at wide widths") {
+    import spark.implicits._
+    val occ = Seq.tabulate(300)(i => ("g", s"w${i % 17}")) ++
+      Seq.tabulate(50)(i => ("h", s"w${i % 5}"))
+    val df = occ.toDF("grp", "it")
+    val exact = occ.groupBy(identity).map { case ((g, w), xs) =>
+      (g, w) -> xs.size.toLong }
+    def est(width: Int): Map[(String, String), Long] = {
+      val grid = Sketches.countMin(df, col("grp"), col("it"),
+        depth = 3, width = width)
+      val probes = df.distinct()
+      Sketches.countMinEstimate(grid, probes, col("grp"), col("it"),
+          depth = 3, width = width)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getLong(2)).toMap
+    }
+    // tight width: collisions can only INFLATE (one-sided guarantee)
+    val tight = est(4)
+    exact.foreach { case (k, c) =>
+      assert(tight(k) >= c, s"$k: est ${tight(k)} < exact $c") }
+    // width >> distinct items: every estimate collapses to exact
+    assert(est(4096) == exact)
+  }
+
   test("olsFitFp recovers an exact line and drops degenerate groups") {
     import spark.implicits._
     // group a: y = 3x + 5 exactly at x = 0, 1e6, 2e6 — slope/intercept
