@@ -361,6 +361,21 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Last-touch attribution: every purchase credits the latest
+    // view/click at-or-before it within 48h — as-of join shape, no
+    // range explosion; stale touches attribute null.
+    "q172_attribution" -> ((s, dir) => {
+      def fmt(c: String) =
+        date_format(col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(c)
+      graft.ops.Events.lastTouchAttribution(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"),
+          touchTypes = Seq("view", "click"), convType = "purchase",
+          withinSeconds = 48L * 3600)
+        .select(col("conv_id"), col("user_id"), fmt("conv_ts"),
+                col("touch_id"), col("touch_type"), fmt("touch_ts"))
+        .orderBy("conv_id")
+    }),
+
     // Per-source Count-Min point-frequency probes: O(depth*width)
     // mergeable grid per stratum instead of a vocab-sized count table;
     // estimates carry the one-sided guarantee (est >= exact, both
@@ -2023,6 +2038,34 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Attribution: the oracle picks each conversion's winner by
+    // (ts DESC, event_id DESC) — identical to the engine's
+    // dedup-then-asof (struct-max at equal time, latest-at-or-before).
+    "q172_attribution" ->
+      """WITH conv AS (SELECT event_id AS conv_id, user_id,
+                         ts AS conv_ts
+                       FROM events
+                       WHERE event_type = 'purchase' AND ts IS NOT NULL)
+         SELECT c.conv_id, c.user_id,
+           strftime(c.conv_ts, '%Y-%m-%d %H:%M:%S.%f') AS conv_ts,
+           CASE WHEN date_diff('second', t.touch_ts, c.conv_ts)
+                     <= 172800 THEN t.touch_id END AS touch_id,
+           CASE WHEN date_diff('second', t.touch_ts, c.conv_ts)
+                     <= 172800 THEN t.touch_type END AS touch_type,
+           CASE WHEN date_diff('second', t.touch_ts, c.conv_ts)
+                     <= 172800
+                THEN strftime(t.touch_ts, '%Y-%m-%d %H:%M:%S.%f')
+           END AS touch_ts
+         FROM conv c LEFT JOIN LATERAL (
+           SELECT e.event_id AS touch_id, e.event_type AS touch_type,
+                  e.ts AS touch_ts
+           FROM events e
+           WHERE e.user_id = c.user_id
+             AND e.event_type IN ('view', 'click')
+             AND e.ts IS NOT NULL AND e.ts <= c.conv_ts
+           ORDER BY e.ts DESC, e.event_id DESC LIMIT 1) t ON TRUE
+         ORDER BY conv_id""",
 
     // Count-Min: the oracle rebuilds the identical grid — same two
     // char-fold hashes (seeds 7/11), same double-hashed buckets, sums

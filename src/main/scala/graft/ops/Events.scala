@@ -168,6 +168,55 @@ object Events {
     cur
   }
 
+  /** Last-touch attribution: each conversion event credits the most
+    * recent touch event (same user, touch time <= conversion time, ASOF
+    * semantics) of an allowed touch type, provided it happened within
+    * `withinSeconds`; stale or absent touches attribute null. The
+    * standard marketing/product-analytics credit assignment, and the
+    * same shape as "which crawl snapshot produced this document".
+    *
+    * Scale shape: rides [[Relational.asofJoinBackward]] — one shuffle
+    * on the user key, no per-pair range explosion. Touches pre-reduce
+    * to one row per (user, ts) keeping the max event id (struct-max,
+    * map-side partials), which makes the at-equal-time winner — and
+    * therefore the whole result — deterministic; conversion ties at one
+    * timestamp each independently take the same carried payload.
+    * Freshness truncates both sides to epoch seconds (the [[funnel]]
+    * parity rule). Output: (conv_id, user_id, conv_ts, touch_id,
+    * touch_type, touch_ts). */
+  def lastTouchAttribution(df: DataFrame, user: Column, ts: Column,
+                           eventType: Column, eventId: Column,
+                           touchTypes: Seq[String], convType: String,
+                           withinSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "need at least one touch type")
+    require(!touchTypes.contains(convType),
+      s"conversion type '$convType' cannot also be a touch type — a " +
+      "conversion would attribute to itself")
+    require(withinSeconds > 0, "withinSeconds must be positive")
+    val conv = df.filter(eventType === convType && ts.isNotNull)
+      .select(eventId.as("conv_id"), user.as("user_id"),
+              ts.as("conv_ts"))
+    val touches = df
+      .filter(eventType.isin(touchTypes: _*) && ts.isNotNull)
+      .groupBy(user.as("user_id"), ts.as("touch_ts"))
+      .agg(max(struct(eventId.as("touch_id"),
+                      eventType.as("touch_type"))).as("__p"))
+      .select(col("user_id"), col("touch_ts"),
+              col("__p.touch_id").as("touch_id"),
+              col("__p.touch_type").as("touch_type"))
+    val j = Relational.asofJoinBackward(conv, touches,
+      "user_id", "conv_ts", "touch_ts",
+      Map("touch_id" -> "touch_id", "touch_type" -> "touch_type",
+          "touch_ts" -> "touch_ts"))
+    val fresh = col("touch_ts").isNotNull &&
+      unix_timestamp(col("conv_ts")) - unix_timestamp(col("touch_ts")) <=
+        withinSeconds
+    j.select(col("conv_id"), col("user_id"), col("conv_ts"),
+      when(fresh, col("touch_id")).as("touch_id"),
+      when(fresh, col("touch_type")).as("touch_type"),
+      when(fresh, col("touch_ts")).as("touch_ts"))
+  }
+
   /** Per-user event-type transition counts — the Markov matrix behind
     * path analysis ("what do users do after an error?"). One window
     * shuffle on the user key, identical shape to [[sessionize]] (and

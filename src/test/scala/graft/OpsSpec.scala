@@ -1857,6 +1857,35 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("lastTouchAttribution: asof inclusivity, ties, stale window") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      // u1: touch at t=100 (two ties — ids 11 and 12), purchase AT 100
+      (11L, ts(100), 1L, "view"), (12L, ts(100), 1L, "click"),
+      (13L, ts(100), 1L, "purchase"),
+      // u2: touch at t=0, purchase at t=10 (fresh, window 50)
+      (21L, ts(0), 2L, "view"), (22L, ts(10), 2L, "purchase"),
+      // u3: touch at t=0, purchase at t=100 (stale at window 50)
+      (31L, ts(0), 3L, "click"), (32L, ts(100), 3L, "purchase"),
+      // u4: purchase with no touch at all
+      (41L, ts(5), 4L, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.lastTouchAttribution(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"),
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        withinSeconds = 50L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+         Option(r.getString(4)))).toMap
+    // equal-time touch matches (ASOF <=); tie resolves to max event_id
+    assert(out(13L) == ((Some(12L), Some("click"))))
+    assert(out(22L) == ((Some(21L), Some("view"))))
+    assert(out(32L) == ((None, None)))  // stale
+    assert(out(41L) == ((None, None)))  // never touched
+  }
+
   test("countMin estimates are one-sided and exact at wide widths") {
     import spark.implicits._
     val occ = Seq.tabulate(300)(i => ("g", s"w${i % 17}")) ++
