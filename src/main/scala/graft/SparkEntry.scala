@@ -361,6 +361,17 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Sparse-to-dense hourly series: per-event-type counts over the
+    // global hour spine, missing cells explicit zeros.
+    "q173_gap_fill" -> ((s, dir) => {
+      graft.ops.Events.gapFillHourly(t(s, dir, "events"),
+          col("event_type"), col("ts"))
+        .select(col("key").as("event_type"),
+                date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("h"),
+                col("n"))
+        .orderBy("event_type", "h")
+    }),
+
     // Last-touch attribution: every purchase credits the latest
     // view/click at-or-before it within 48h — as-of join shape, no
     // range explosion; stale touches attribute null.
@@ -2038,6 +2049,26 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Gap fill: generate_series spine (inclusive both ends, same as
+    // Spark sequence) x distinct keys, left-joined counts.
+    "q173_gap_fill" ->
+      """WITH base AS (SELECT event_type AS key,
+                         date_trunc('hour', ts) AS h
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         counts AS (SELECT key, h, count(*) AS n FROM base GROUP BY 1, 2),
+         spine AS (SELECT unnest(generate_series(h0, h1,
+                            INTERVAL 1 HOUR)) AS h
+                   FROM (SELECT min(h) AS h0, max(h) AS h1 FROM base)
+                   WHERE h0 IS NOT NULL),
+         keys AS (SELECT DISTINCT key FROM counts)
+         SELECT k.key AS event_type,
+                strftime(s.h, '%Y-%m-%d %H:%M:%S') AS h,
+                coalesce(c.n, 0) AS n
+         FROM keys k CROSS JOIN spine s
+         LEFT JOIN counts c ON c.key = k.key AND c.h = s.h
+         ORDER BY event_type, h""",
 
     // Attribution: the oracle picks each conversion's winner by
     // (ts DESC, event_id DESC) — identical to the engine's

@@ -168,6 +168,34 @@ object Events {
     cur
   }
 
+  /** Dense hourly series with explicit zeros: per-key hourly event
+    * counts over the corpus-wide [min, max] hour span, absent
+    * (key, hour) cells filled with 0 — downstream rate/anomaly math
+    * needs aligned series, and "no data" must be distinguishable from
+    * "not scanned". The sparse→dense step every monitoring pipeline
+    * runs after a raw event count.
+    *
+    * Scale shape: events reduce to the sparse (key, hour) count frame
+    * first (ONE corpus shuffle with map-side partials); the dense grid
+    * is distinct-keys × hour-spine — both tiny derived frames (the
+    * spine is span-hours rows from a 2-row aggregate; keys are the
+    * stratum cardinality), so the fill join is broadcast-sized and the
+    * corpus is never touched again. Null keys/timestamps drop (they
+    * have no cell). Output: (key, h, n). */
+  def gapFillHourly(df: DataFrame, key: Column, ts: Column): DataFrame = {
+    val base = df.filter(ts.isNotNull && key.isNotNull)
+      .select(key.as("key"), date_trunc("hour", ts).as("h"))
+    val counts = base.groupBy("key", "h").agg(count(lit(1)).as("n"))
+    val spine = base.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .filter(col("h0").isNotNull)
+      .select(explode(sequence(col("h0"), col("h1"),
+        expr("interval 1 hour"))).as("h"))
+    counts.select("key").distinct()
+      .crossJoin(broadcast(spine))
+      .join(counts, Seq("key", "h"), "left")
+      .select(col("key"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Last-touch attribution: each conversion event credits the most
     * recent touch event (same user, touch time <= conversion time, ASOF
     * semantics) of an allowed touch type, provided it happened within

@@ -1857,6 +1857,25 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("gapFillHourly zero-fills the full spine; empty input is empty") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(h: Long) = new Timestamp(h * 3600L * 1000L)
+    // key a at hours 0 and 3, key b at hour 1 → spine 0..3, 8 cells
+    val ev = Seq(("a", ts(0)), ("a", ts(0)), ("a", ts(3)), ("b", ts(1)))
+      .toDF("k", "t")
+    val out = Events.gapFillHourly(ev, col("k"), col("t"))
+      .collect().map(r => (r.getString(0),
+        r.getTimestamp(1).getTime / 3600000L) -> r.getLong(2)).toMap
+    assert(out.size == 8)
+    assert(out(("a", 0L)) == 2L && out(("a", 3L)) == 1L)
+    assert(out(("a", 1L)) == 0L && out(("a", 2L)) == 0L)
+    assert(out(("b", 1L)) == 1L && out(("b", 0L)) == 0L)
+    val empty = Events.gapFillHourly(
+      Seq.empty[(String, Timestamp)].toDF("k", "t"), col("k"), col("t"))
+    assert(empty.count() == 0L)
+  }
+
   test("lastTouchAttribution: asof inclusivity, ties, stale window") {
     import spark.implicits._
     import java.sql.Timestamp
