@@ -361,6 +361,22 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Calibration: quality-score deciles vs exact-duplicate rate —
+    // rank-exact global cut via the distributed prefix sum, integer
+    // permille per bin.
+    "q174_lift_table" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dup = d.groupBy(md5(col("text")).as("__dg"))
+        .agg(count(lit(1)).as("__dn"))
+      val flagged = d.withColumn("__dg", md5(col("text")))
+        .join(dup, "__dg")
+        .withColumn("is_dup", col("__dn") > 1)
+      graft.ops.Checks.liftTable(flagged, col("doc_id"),
+          graft.ops.TextAnalysis.qualityScoreX1e4(col("text")),
+          col("is_dup"), buckets = 10)
+        .orderBy("bucket")
+    }),
+
     // Sparse-to-dense hourly series: per-event-type counts over the
     // global hour spine, missing cells explicit zeros.
     "q173_gap_fill" -> ((s, dir) => {
@@ -2049,6 +2065,36 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Lift table: the oracle replays the q26 quality formula, the
+    // md5-group dup flag, the 0-based rank and the identical integer
+    // bin cut and permille.
+    "q174_lift_table" ->
+      """WITH tkn AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                      FROM documents),
+         q AS (SELECT doc_id,
+                 CAST(floor((len(list_distinct(ws)) * 1.0 / len(ws) * 0.5
+                   + least(len(ws) / 100.0, 1.0) * 0.3
+                   + len(list_filter(ws, t -> t IN
+                       ('the','a','of','and','to','in'))) * 1.0
+                     / len(ws) * 0.2) * 10000.0 + 0.5) AS BIGINT) AS s,
+                 text
+               FROM tkn),
+         dg AS (SELECT md5(text) AS g, count(*) AS dn
+                FROM documents GROUP BY 1),
+         b AS (SELECT q.doc_id AS id, q.s,
+                 (dg.dn > 1) AS f
+               FROM q JOIN dg ON md5(q.text) = dg.g),
+         r AS (SELECT id, s, f,
+                 row_number() OVER (ORDER BY s DESC, id) - 1 AS rnk,
+                 count(*) OVER () AS n FROM b),
+         d AS (SELECT CAST((rnk * 10) // n + 1 AS INTEGER) AS bucket, f
+               FROM r)
+         SELECT bucket, count(*) AS n_rows,
+           CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_flag,
+           CAST((1000 * sum(CASE WHEN f THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS flag_permille
+         FROM d GROUP BY 1 ORDER BY bucket""",
 
     // Gap fill: generate_series spine (inclusive both ends, same as
     // Spark sequence) x distinct keys, left-joined counts.

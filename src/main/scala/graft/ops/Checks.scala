@@ -104,6 +104,39 @@ object Checks {
         (col("dev") * 10 > col("mad") * 35).as("is_outlier"))
   }
 
+  /** Score-decile lift table — the calibration check for every scoring
+    * model in the pipeline (quality classifiers, dedup risk, DSIR
+    * weights): rank all rows by score, cut into `buckets` rank-exact
+    * bins, and report each bin's flag rate in integer permille. A
+    * score that predicts the flag shows a monotone permille ramp; a
+    * flat table says the model is noise. Integer-exact end to end.
+    *
+    * Scale shape: the global rank comes from the two-pass distributed
+    * prefix sum ([[Packing.orderedCumsum]] over struct(-score, id) —
+    * range shuffle + O(partitions) driver offsets), NEVER a
+    * single-partition `row_number() OVER ()` window; the bin cut
+    * `(rank·buckets) div n` needs only the total count riding in via
+    * one broadcast scalar. Ties break by id, so bins are unique.
+    * A null flag counts as false (unflagged), matching "no evidence".
+    * Output: (bucket 1..buckets, n_rows, n_flag, flag_permille). */
+  def liftTable(df: DataFrame, id: Column, score: Column, flag: Column,
+                buckets: Int = 10, partitions: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df.select(id.as("id"), score.cast("long").as("s"),
+      coalesce(flag.cast("boolean"), lit(false)).as("f"))
+    val ranked = Packing.orderedCumsum(base,
+      struct((-col("s")).as("sneg"), col("id").as("id")), lit(1L),
+      partitions, offsetName = "rnk")
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("bucket",
+        expr(s"(rnk * $buckets) div n_total + 1").cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("f"), 1L).otherwise(0L)).as("n_flag"))
+      .withColumn("flag_permille", expr("(1000 * n_flag) div n_rows"))
+  }
+
   /** Per-group ordinary-least-squares line fit over integer fixed-point
     * points — the engine-portable form of `regr_slope`/`regr_intercept`
     * (whose internal accumulation order engines don't specify). The five

@@ -1857,6 +1857,22 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("liftTable cuts rank-exact bins and reports integer permille") {
+    import spark.implicits._
+    // 20 rows, score = id, flag = top 5 scores → deciles of 2 rows;
+    // buckets 1-2 fully flagged, bucket 3 half, rest zero
+    val d = (1L to 20L).map(i => (i, i, i > 15L)).toDF("id", "s", "f")
+    val out = Checks.liftTable(d, col("id"), col("s"), col("f"),
+        buckets = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 10)
+    assert(out.values.forall(_._1 == 2L))
+    assert(out(1) == ((2L, 2L, 1000L)) && out(2) == ((2L, 2L, 1000L)))
+    assert(out(3) == ((2L, 1L, 500L)))
+    (4 to 10).foreach(b => assert(out(b) == ((2L, 0L, 0L)), s"b$b"))
+  }
+
   test("gapFillHourly zero-fills the full spine; empty input is empty") {
     import spark.implicits._
     import java.sql.Timestamp
