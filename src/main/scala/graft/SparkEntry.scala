@@ -361,6 +361,15 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Embedding-free synonym mining: PPMI context vectors (±2 window),
+    // cosine over the context inverted index — hub contexts self-prune
+    // via the positivity cut.
+    "q175_ppmi_similarity" -> ((s, dir) => {
+      graft.ops.TextAnalysis.ppmiTermSimilarity(t(s, dir, "documents"),
+          col("doc_id"), col("text"), window = 2, minCount = 10L, k = 30)
+        .orderBy(desc("sim"), col("t1"), col("t2"))
+    }),
+
     // Calibration: quality-score deciles vs exact-duplicate rate —
     // rank-exact global cut via the distributed prefix sum, integer
     // permille per bin.
@@ -2065,6 +2074,46 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // PPMI similarity: the oracle replays pair formation at both
+    // offsets, the symmetrized counts, micro-unit PPMI, HUGEINT
+    // dots/norms, and the shared final float expression.
+    "q175_ppmi_similarity" ->
+      """WITH t AS (SELECT [x FOR x IN string_split(text, ' ')
+                            IF x <> ''] AS ts FROM documents),
+         p1 AS (SELECT unnest([[ts[i], ts[i+1]]
+                              FOR i IN range(1, len(ts))]) AS p
+                FROM t WHERE len(ts) >= 2),
+         p2 AS (SELECT unnest([[ts[i], ts[i+2]]
+                              FOR i IN range(1, len(ts) - 1)]) AS p
+                FROM t WHERE len(ts) >= 3),
+         fwd AS (SELECT p[1] AS a, p[2] AS b FROM p1
+                 UNION ALL SELECT p[1] AS a, p[2] AS b FROM p2),
+         sym AS (SELECT a, b FROM fwd UNION ALL SELECT b AS a, a AS b
+                 FROM fwd),
+         cc AS (SELECT a, b, count(*) AS ctc FROM sym GROUP BY 1, 2),
+         ct AS (SELECT a, CAST(sum(ctc) AS BIGINT) AS ctm
+                FROM cc GROUP BY 1),
+         nn AS (SELECT CAST(sum(ctc) AS BIGINT) AS nn FROM cc),
+         pp AS (SELECT cc.a, cc.b,
+                  CAST(floor(ln((ctc * nn) * 1.0 / (ca.ctm * cb.ctm))
+                             * 1000000.0 + 0.5) AS BIGINT) AS w
+                FROM cc JOIN ct ca ON cc.a = ca.a
+                        JOIN ct cb ON cc.b = cb.a
+                        CROSS JOIN nn
+                WHERE ctc >= 10),
+         ppf AS (SELECT * FROM pp WHERE w > 0),
+         nrm AS (SELECT a, sum(w * w) AS nsq FROM ppf GROUP BY 1),
+         dots AS (SELECT l.a AS t1, r.a AS t2, sum(l.w * r.w) AS dot
+                  FROM ppf l JOIN ppf r ON l.b = r.b AND l.a < r.a
+                  GROUP BY 1, 2)
+         SELECT t1, t2,
+           round(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(n1.nsq AS DOUBLE))
+                    * sqrt(CAST(n2.nsq AS DOUBLE))), 6) AS sim
+         FROM dots JOIN nrm n1 ON dots.t1 = n1.a
+                   JOIN nrm n2 ON dots.t2 = n2.a
+         ORDER BY sim DESC, t1, t2 LIMIT 30""",
 
     // Lift table: the oracle replays the q26 quality formula, the
     // md5-group dup flag, the 0-based rank and the identical integer

@@ -555,6 +555,79 @@ object TextAnalysis {
       .orderBy(desc("pmi_fp"), col("bg")).limit(k)
   }
 
+  /** Distributional term similarity over PPMI context vectors
+    * (Levy & Goldberg 2014's count baseline): each term's sparse
+    * vector holds the positive pointwise mutual information of its
+    * ±`window` co-occurring contexts; term pairs rank by cosine. The
+    * embedding-free synonym/variant miner — "which tokens behave
+    * alike" — feeding vocabulary normalization and query expansion,
+    * trained by counting alone so the oracle replays it exactly.
+    *
+    * Scale shape: co-occurrence pairs form INSIDE each row (offset
+    * slices over the bound token array — never a corpus-wide
+    * position self-join), reduce to the (term, ctx) count frame, and
+    * PMI derives from that frame's own marginals (one pass, two
+    * vocab-sized aggregates, a broadcast total). The cosine stage is
+    * an inverted-index equi-join on the CONTEXT key — pair cost
+    * tracks shared-context mass, never vocab² — and the PPMI
+    * positivity cut is itself the hub killer: a context co-occurring
+    * with everything has PMI <= 0 against every term and vanishes,
+    * so the index's hot keys self-prune (the frequency-cap lever
+    * [[Dedup]] needs is built into the weighting here). PPMI
+    * quantizes to micro-units; dots and norms accumulate as exact
+    * decimal(38,0); floats appear only in the final
+    * dot/(sqrt·sqrt) — the [[Checks.olsFitFp]] discipline.
+    * Output: top-`k` (t1, t2, sim) by cosine, ties by term pair. */
+  def ppmiTermSimilarity(df: DataFrame, id: Column, text: Column,
+                         window: Int = 2, minCount: Long = 10L,
+                         k: Int = 30): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val toksD = df.select(filter(tokens(text), t => t =!= "").as("__ts"))
+    val ts = col("__ts")
+    // one (a, b) row per ordered pair at each offset 1..window; the
+    // symmetrized union makes context counts direction-free
+    val fwd = (1 to window).map { off =>
+      toksD.filter(size(ts) > off)
+        .select(explode(transform(sequence(lit(1), size(ts) - off), i =>
+          struct(element_at(ts, i).as("a"),
+                 element_at(ts, i + off).as("b")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+    }.reduce(_ unionByName _)
+    val sym = fwd.unionByName(
+      fwd.select(col("b").as("a"), col("a").as("b")))
+    val cc = sym.groupBy("a", "b").agg(count(lit(1)).as("ctc"))
+      .localCheckpoint() // marginals + total + ppmi all consume it
+    val ct = cc.groupBy("a").agg(sum("ctc").as("ctm"))
+    val n = cc.agg(sum("ctc").as("nn"))
+    val ppmi = cc.filter(col("ctc") >= minCount)
+      .join(ct, "a")
+      .join(ct.select(col("a").as("b"), col("ctm").as("ccm")), "b")
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"),
+        floor(log((col("ctc") * col("nn")).cast("double") /
+                  (col("ctm") * col("ccm")).cast("double")) *
+              lit(1000000.0) + lit(0.5)).cast("long").as("w"))
+      .filter(col("w") > 0L)
+      .localCheckpoint() // consumed by norms + both join sides
+    val norms = ppmi.groupBy("a")
+      .agg(sum((col("w") * col("w")).cast(d38)).as("nsq"))
+    val dots = ppmi.select(col("a").as("t1"), col("b"), col("w").as("w1"))
+      .join(ppmi.select(col("a").as("t2"), col("b"), col("w").as("w2")),
+            "b")
+      .filter(col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(sum((col("w1") * col("w2")).cast(d38)).as("dot"))
+    dots
+      .join(norms.select(col("a").as("t1"), col("nsq").as("n1")), "t1")
+      .join(norms.select(col("a").as("t2"), col("nsq").as("n2")), "t2")
+      .select(col("t1"), col("t2"),
+        round(col("dot").cast("double") /
+              (sqrt(col("n1").cast("double")) *
+               sqrt(col("n2").cast("double"))), 6).as("sim"))
+      .orderBy(desc("sim"), col("t1"), col("t2")).limit(k)
+  }
+
   /** Naive Bayes quality classifier — the CCNet/fastText-style seed
     * classifier in closed form: unigram log-odds are trained from a
     * positive (curated seed) and a negative (background) document set

@@ -1857,6 +1857,21 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("ppmiTermSimilarity ranks a planted synonym pair at cosine 1") {
+    import spark.implicits._
+    // apple and pear occur in IDENTICAL context distributions →
+    // identical PPMI vectors → cosine exactly 1.0
+    val docs = (Seq.fill(8)("we eat apple now here") ++
+                Seq.fill(8)("we eat pear now here"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ppmiTermSimilarity(docs, col("doc_id"),
+        col("text"), window = 2, minCount = 5L, k = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDouble(2)).toMap
+    assert(out(("apple", "pear")) == 1.0)
+  }
+
   test("liftTable cuts rank-exact bins and reports integer permille") {
     import spark.implicits._
     // 20 rows, score = id, flag = top 5 scores → deciles of 2 rows;
