@@ -361,6 +361,20 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Streaks: per-user maximal consecutive-active-day islands via the
+    // distributed day-minus-row_number grouping.
+    "q184_islands" -> ((s, dir) => {
+      graft.ops.Events.activityIslands(t(s, dir, "events"),
+          col("user_id"), col("ts"))
+        .select(col("user").as("user_id"),
+                date_format(col("island_start"), "yyyy-MM-dd")
+                  .as("island_start"),
+                date_format(col("island_end"), "yyyy-MM-dd")
+                  .as("island_end"),
+                col("n_days"))
+        .orderBy("user_id", "island_start")
+    }),
+
     // Embedding-free synonym mining: PPMI context vectors (±2 window),
     // cosine over the context inverted index — hub contexts self-prune
     // via the positivity cut.
@@ -2074,6 +2088,24 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Islands: same day - row_number() grouping (DATE - INTEGER is a
+    // DATE in both engines).
+    "q184_islands" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         g AS (SELECT user_id, day,
+                 day - CAST(row_number() OVER (PARTITION BY user_id
+                                               ORDER BY day) AS INTEGER)
+                   AS grp
+               FROM d)
+         SELECT user_id,
+           strftime(min(day), '%Y-%m-%d') AS island_start,
+           strftime(max(day), '%Y-%m-%d') AS island_end,
+           count(*) AS n_days
+         FROM g GROUP BY user_id, grp
+         ORDER BY user_id, island_start""",
 
     // PPMI similarity: the oracle replays pair formation at both
     // offsets, the symmetrized counts, micro-unit PPMI, HUGEINT

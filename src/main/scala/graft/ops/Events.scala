@@ -168,6 +168,35 @@ object Events {
     cur
   }
 
+  /** Gaps-and-islands over activity days: each user's maximal runs of
+    * CONSECUTIVE active days (an island breaks at the first missing
+    * day). The classic streak/churn primitive — "how long do users
+    * stay active", "find coverage holes in a feed" — and the canonical
+    * day-minus-row_number grouping trick, here run distributed.
+    *
+    * Scale shape: events collapse to the distinct (user, day) frame
+    * first (one corpus shuffle with map-side partials — the window
+    * never sees raw events); the row_number window then orders each
+    * user's DAYS (bounded by the calendar span, thousands at most, so
+    * per-user skew is structurally capped no matter how hot the user's
+    * event stream is). `day - row_number` is constant within a
+    * consecutive run and strictly drops at every gap, so grouping by
+    * it yields the islands. Output:
+    * (user, island_start, island_end, n_days). */
+  def activityIslands(df: DataFrame, user: Column, ts: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val days = df.filter(user.isNotNull && ts.isNotNull)
+      .select(user.as("user"), to_date(ts).as("day")).distinct()
+    val w = Window.partitionBy(col("user")).orderBy(col("day"))
+    days.withColumn("__grp", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col("user"), col("__grp"))
+      .agg(min(col("day")).as("island_start"),
+           max(col("day")).as("island_end"),
+           count(lit(1)).as("n_days"))
+      .drop("__grp")
+  }
+
   /** Dense hourly series with explicit zeros: per-key hourly event
     * counts over the corpus-wide [min, max] hour span, absent
     * (key, hour) cells filled with 0 — downstream rate/anomaly math

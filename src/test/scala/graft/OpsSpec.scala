@@ -1857,6 +1857,25 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("activityIslands splits runs at missing days") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int, h: Int) =
+      new Timestamp((day * 86400L + h * 3600L) * 1000L)
+    // u1 active days 1,2,3 | 5 | 7,8 (multiple events per day collapse)
+    val ev = (Seq((1L, ts(1, 1)), (1L, ts(1, 9)), (1L, ts(2, 0)),
+      (1L, ts(3, 5)), (1L, ts(5, 0)), (1L, ts(7, 0)), (1L, ts(8, 0)),
+      (2L, ts(4, 0)))).toDF("u", "t")
+    val out = Events.activityIslands(ev, col("u"), col("t"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString,
+        r.getDate(2).toString, r.getLong(3))).toSet
+    assert(out == Set(
+      (1L, "1970-01-02", "1970-01-04", 3L),
+      (1L, "1970-01-06", "1970-01-06", 1L),
+      (1L, "1970-01-08", "1970-01-09", 2L),
+      (2L, "1970-01-05", "1970-01-05", 1L)))
+  }
+
   test("ppmiTermSimilarity ranks a planted synonym pair at cosine 1") {
     import spark.implicits._
     // apple and pear occur in IDENTICAL context distributions →
