@@ -361,6 +361,15 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Keyness: Dunning G² of src0 vocabulary vs the rest of the
+    // corpus — one token pass, vocab-row scoring, exact-integer
+    // direction test.
+    "q185_keyness_g2" -> ((s, dir) => {
+      graft.ops.TextAnalysis.keynessG2(t(s, dir, "documents"),
+          col("text"), col("source") === "src0", minCount = 5L, k = 40)
+        .orderBy(desc("g2_fp"), col("term"))
+    }),
+
     // Streaks: per-user maximal consecutive-active-day islands via the
     // distributed day-minus-row_number grouping.
     "q184_islands" -> ((s, dir) => {
@@ -2088,6 +2097,36 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Keyness: identical conditional-sum counts, identical float
+    // expression over exact integer casts, micro-unit floor.
+    "q185_keyness_g2" ->
+      """WITH tk AS (SELECT (source = 'src0') AS tgt, tok FROM (
+             SELECT source, unnest(string_split(text, ' ')) AS tok
+             FROM documents) WHERE tok <> ''),
+         c AS (SELECT tok,
+                 CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT)
+                   AS a,
+                 CAST(sum(CASE WHEN tgt THEN 0 ELSE 1 END) AS BIGINT)
+                   AS b
+               FROM tk GROUP BY 1 HAVING a + b >= 5),
+         t AS (SELECT CAST(sum(a) AS BIGINT) AS at,
+                      CAST(sum(b) AS BIGINT) AS bt FROM c)
+         SELECT tok AS term, a AS tgt_cnt, b AS ref_cnt,
+           CAST(floor(2.0 * (
+             (CASE WHEN a = 0 THEN 0.0
+                   ELSE CAST(a AS DOUBLE) *
+                     ln((CAST(a AS DOUBLE) * CAST(at + bt AS DOUBLE))
+                        / (CAST(at AS DOUBLE) * CAST(a + b AS DOUBLE)))
+              END)
+             + (CASE WHEN b = 0 THEN 0.0
+                     ELSE CAST(b AS DOUBLE) *
+                       ln((CAST(b AS DOUBLE) * CAST(at + bt AS DOUBLE))
+                          / (CAST(bt AS DOUBLE) * CAST(a + b AS DOUBLE)))
+                END)) * 1000000.0 + 0.5) AS BIGINT) AS g2_fp,
+           (a * bt > b * at) AS overused
+         FROM c CROSS JOIN t
+         ORDER BY g2_fp DESC, term LIMIT 40""",
 
     // Islands: same day - row_number() grouping (DATE - INTEGER is a
     // DATE in both engines).

@@ -555,6 +555,54 @@ object TextAnalysis {
       .orderBy(desc("pmi_fp"), col("bg")).limit(k)
   }
 
+  /** Dunning log-likelihood (G²) keyness: ranks terms by how strongly
+    * their frequency in a TARGET slice diverges from the reference
+    * slice (Dunning 1993) — the standard "what vocabulary
+    * characterizes this source/language/time-slice" probe, more robust
+    * than raw ratio at low counts and the statistically-grounded
+    * sibling of [[nbQualityScore]]'s log-odds. `overused` tells the
+    * direction (term over- vs under-represented in the target),
+    * decided by exact integer cross-multiplication.
+    *
+    * Scale shape: ONE token pass produces the per-term (target count,
+    * reference count) frame via conditional sums (map-side partials);
+    * class totals are a 1-row broadcast. G² = 2·Σ obs·ln(obs/exp)
+    * evaluates per VOCAB row only, quantized to micro-units with the
+    * expected-count ratios expressed over exact integer products, so
+    * both engines walk the identical float expression. Terms with
+    * a zero observed count contribute 0 from that side (the 0·ln 0
+    * limit). Output: top-`k` (term, tgt_cnt, ref_cnt, g2_fp,
+    * overused), ties by term. */
+  def keynessG2(df: DataFrame, text: Column, isTarget: Column,
+                minCount: Long = 5L, k: Int = 40): DataFrame = {
+    val tk = df.select(isTarget.as("tgt"),
+        explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+    val counts = tk.groupBy("tok").agg(
+        sum(when(col("tgt"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("tgt"), 0L).otherwise(1L)).as("b"))
+      .filter(col("a") + col("b") >= minCount)
+      .localCheckpoint() // totals + scoring both consume it
+    val tot = counts.agg(sum("a").as("at"), sum("b").as("bt"))
+    def d(c: Column): Column = c.cast("double")
+    val ab = col("a") + col("b")
+    val nab = col("at") + col("bt")
+    // obs/exp as exact-integer cross products: a/E1 = a·(A+B)/(A·(a+b))
+    val t1 = when(col("a") === 0L, 0.0)
+      .otherwise(d(col("a")) *
+        log((d(col("a")) * d(nab)) / (d(col("at")) * d(ab))))
+    val t2 = when(col("b") === 0L, 0.0)
+      .otherwise(d(col("b")) *
+        log((d(col("b")) * d(nab)) / (d(col("bt")) * d(ab))))
+    counts.crossJoin(broadcast(tot))
+      .select(col("tok").as("term"), col("a").as("tgt_cnt"),
+        col("b").as("ref_cnt"),
+        floor(lit(2.0) * (t1 + t2) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("g2_fp"),
+        (col("a") * col("bt") > col("b") * col("at")).as("overused"))
+      .orderBy(desc("g2_fp"), col("term")).limit(k)
+  }
+
   /** Distributional term similarity over PPMI context vectors
     * (Levy & Goldberg 2014's count baseline): each term's sparse
     * vector holds the positive pointwise mutual information of its

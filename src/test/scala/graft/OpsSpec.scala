@@ -1857,6 +1857,24 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("keynessG2 surfaces a planted target-only term as overused") {
+    import spark.implicits._
+    val docs = (Seq.fill(10)(("t", "xyzzy xyzzy common words here")) ++
+      Seq.fill(10)(("r", "common words here also fine")))
+      .zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+      .toDF("id", "grp", "text")
+    val out = TextAnalysis.keynessG2(docs, col("text"),
+        col("grp") === "t", minCount = 5L, k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    // the planted term ranks first, counts exact, direction overused
+    val (term, (a, b, g2, over)) = out.head
+    assert(term == "xyzzy" && a == 20L && b == 0L && over && g2 > 0L)
+    // a term present only in the reference slice is NOT overused
+    val also = out.toMap.get("also")
+    assert(also.forall(v => !v._4))
+  }
+
   test("activityIslands splits runs at missing days") {
     import spark.implicits._
     import java.sql.Timestamp
