@@ -361,6 +361,17 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Score calibration: per-source quality quantile-normalized onto
+    // the pooled distribution — rank-exact, two prefix-sum passes.
+    "q186_quantile_norm" -> ((s, dir) => {
+      graft.ops.Checks.quantileNormalize(t(s, dir, "documents"),
+          col("doc_id"), col("source"),
+          graft.ops.TextAnalysis.qualityScoreX1e4(col("text")))
+        .select(col("id").as("doc_id"), col("group").as("source"),
+                col("v"), col("v_norm"))
+        .orderBy("doc_id")
+    }),
+
     // Keyness: Dunning G² of src0 vocabulary vs the rest of the
     // corpus — one token pass, vocab-row scoring, exact-integer
     // direction test.
@@ -2097,6 +2108,32 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Quantile normalization: window ranks tie-broken by id, the same
+    // integer target-rank formula, one rank-key join.
+    "q186_quantile_norm" ->
+      """WITH tkn AS (SELECT doc_id, source,
+                        string_split(text, ' ') AS ws
+                      FROM documents),
+         b AS (SELECT doc_id AS id, source AS grp,
+                 CAST(floor((len(list_distinct(ws)) * 1.0 / len(ws) * 0.5
+                   + least(len(ws) / 100.0, 1.0) * 0.3
+                   + len(list_filter(ws, t -> t IN
+                       ('the','a','of','and','to','in'))) * 1.0
+                     / len(ws) * 0.2) * 10000.0 + 0.5) AS BIGINT) AS v
+               FROM tkn),
+         l AS (SELECT id, grp, v,
+                 row_number() OVER (PARTITION BY grp ORDER BY v, id)
+                   AS r,
+                 count(*) OVER (PARTITION BY grp) AS ng
+               FROM b),
+         g AS (SELECT v AS v_norm,
+                 row_number() OVER (ORDER BY v, id) AS grank FROM b),
+         tot AS (SELECT count(*) AS n FROM b)
+         SELECT l.id AS doc_id, l.grp AS source, l.v, g.v_norm
+         FROM l CROSS JOIN tot
+         JOIN g ON ((l.r - 1) * tot.n) // l.ng + 1 = g.grank
+         ORDER BY doc_id""",
 
     // Keyness: identical conditional-sum counts, identical float
     // expression over exact integer casts, micro-unit floor.

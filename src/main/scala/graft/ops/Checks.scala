@@ -137,6 +137,45 @@ object Checks {
       .withColumn("flag_permille", expr("(1000 * n_flag) div n_rows"))
   }
 
+  /** Cross-stratum quantile normalization: each row's score is replaced
+    * by the GLOBAL score at its within-stratum quantile — the
+    * batch-effect correction that makes per-source scorer biases
+    * comparable before one global threshold cuts the corpus (a source
+    * whose scorer runs hot stops flooding the keep set). Rank-based
+    * and integer-exact: within-stratum rank r of n_g maps to global
+    * rank ((r-1)·N) div n_g + 1, ties broken by id on both sides, so
+    * the result is deterministic and engine-replayable.
+    *
+    * Scale shape: both rank passes are the two-pass distributed prefix
+    * sum ([[Packing.orderedCumsum]]) — stratum-major and global — never
+    * a single-partition window; per-stratum starts/sizes and the total
+    * are O(strata) broadcast frames, and the final lookup is ONE
+    * equi-join on the computed global rank. Output:
+    * (id, group, v, v_norm). */
+  def quantileNormalize(df: DataFrame, id: Column, group: Column,
+                        value: Column, partitions: Int = 32)
+      : DataFrame = {
+    val base = df.select(id.as("id"), group.as("grp"),
+      value.cast("long").as("v"))
+    val bySrc = Packing.orderedCumsum(base,
+      struct(col("grp").as("g"), col("v").as("v"), col("id").as("id")),
+      lit(1L), partitions, offsetName = "goff")
+    val starts = bySrc.groupBy("grp")
+      .agg(min(col("goff")).as("g0"), count(lit(1)).as("ng"))
+    val tot = base.agg(count(lit(1)).as("n"))
+    val local = bySrc.join(broadcast(starts), Seq("grp"))
+      .crossJoin(broadcast(tot))
+      .withColumn("r", col("goff") - col("g0") + 1L)
+      .withColumn("tr", expr("(r - 1) * n div ng + 1"))
+    val glob = Packing.orderedCumsum(base,
+        struct(col("v").as("v"), col("id").as("id")), lit(1L),
+        partitions, offsetName = "off")
+      .select((col("off") + 1L).as("tr"), col("v").as("v_norm"))
+    local.join(glob, Seq("tr"))
+      .select(col("id"), col("grp").as("group"), col("v"),
+              col("v_norm"))
+  }
+
   /** Per-group ordinary-least-squares line fit over integer fixed-point
     * points — the engine-portable form of `regr_slope`/`regr_intercept`
     * (whose internal accumulation order engines don't specify). The five

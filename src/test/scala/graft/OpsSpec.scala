@@ -1857,6 +1857,23 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("quantileNormalize maps hot-scorer strata onto the pooled scale") {
+    import spark.implicits._
+    // group X scores 100x hotter than Y but both are uniform — after
+    // normalization both straddle the same pooled values
+    val d = (Seq((1L, "X", 1000L), (2L, "X", 2000L)) ++
+      (3L to 10L).map(i => (i, "Y", i))).toDF("id", "g", "v")
+    val out = Checks.quantileNormalize(d, col("id"), col("g"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out.size == 10)
+    // X rank 1 of 2 → global rank (0*10)/2+1 = 1 → smallest pooled v
+    // (3); X rank 2 → (1*10)/2+1 = 6 → 6th pooled value (8)
+    assert(out(1L) == 3L && out(2L) == 8L)
+    // Y rank r of 8 → global rank (r-1)*10/8+1: 1,2,3,4,6,7,8,9
+    assert((3L to 10L).map(out) ==
+      Seq(3L, 4L, 5L, 6L, 8L, 9L, 10L, 1000L))
+  }
+
   test("keynessG2 surfaces a planted target-only term as overused") {
     import spark.implicits._
     val docs = (Seq.fill(10)(("t", "xyzzy xyzzy common words here")) ++
