@@ -361,6 +361,16 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Churn signal: halving-per-day decayed activity, exact integer
+    // weights from a literal 2^k table (no pow()).
+    "q187_decayed_activity" -> ((s, dir) => {
+      graft.ops.Events.decayedActivity(t(s, dir, "events"),
+          col("user_id"), col("ts"), horizonDays = 10)
+        .select(col("user").as("user_id"), col("score"),
+                col("n_recent"), col("n_total"))
+        .orderBy("user_id")
+    }),
+
     // Score calibration: per-source quality quantile-normalized onto
     // the pooled distribution — rank-exact, two prefix-sum passes.
     "q186_quantile_norm" -> ((s, dir) => {
@@ -2108,6 +2118,27 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Decayed activity: identical literal weight table indexed by age.
+    "q187_decayed_activity" ->
+      """WITH a AS (SELECT max(CAST(ts AS DATE)) AS d_max FROM events
+                    WHERE ts IS NOT NULL),
+         e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+               WHERE user_id IS NOT NULL),
+         w AS (SELECT user_id,
+                 CASE WHEN day IS NOT NULL
+                       AND CAST(date_diff('day', day, d_max) AS INTEGER)
+                           BETWEEN 0 AND 10
+                      THEN [1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1]
+                        [CAST(date_diff('day', day, d_max) AS INTEGER)
+                         + 1]
+                      ELSE 0 END AS wt
+               FROM e CROSS JOIN a)
+         SELECT user_id, CAST(sum(wt) AS BIGINT) AS score,
+           CAST(sum(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_recent,
+           count(*) AS n_total
+         FROM w GROUP BY 1 ORDER BY 1""",
 
     // Quantile normalization: window ranks tie-broken by id, the same
     // integer target-rank formula, one rank-key join.

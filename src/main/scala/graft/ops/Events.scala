@@ -168,6 +168,43 @@ object Events {
     cur
   }
 
+  /** Recency-decayed activity score: each event inside the
+    * `horizonDays` lookback contributes 2^(horizon - age_days), so
+    * today's events weigh 2^horizon and weights halve per day of age —
+    * the standard churn/engagement ranking signal, here EXACTLY
+    * integer (the decay table is a literal array of longs indexed by
+    * age; no pow(), whose rounding differs across engines). Score =
+    * Σ weights is an order-independent integer sum — mergeable,
+    * partition-proof, oracle-replayable.
+    *
+    * Scale shape: one corpus aggregate keyed by user with map-side
+    * partials; the corpus max-day anchor is a 1-row broadcast. Events
+    * older than the horizon (or with null time) contribute nothing but
+    * still count toward n_total. Output:
+    * (user, score, n_recent, n_total). */
+  def decayedActivity(df: DataFrame, user: Column, ts: Column,
+                      horizonDays: Int = 30): DataFrame = {
+    require(horizonDays >= 0 && horizonDays <= 62,
+      s"horizonDays must be in [0, 62] (2^h must fit a long), " +
+      s"got $horizonDays")
+    val weights = typedlit((0 to horizonDays)
+      .map(age => 1L << (horizonDays - age)))
+    val anchor = df.filter(ts.isNotNull)
+      .agg(max(to_date(ts)).as("d_max"))
+    df.filter(user.isNotNull)
+      .select(user.as("user"), to_date(ts).as("day"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("__age", datediff(col("d_max"), col("day")))
+      .withColumn("__w",
+        when(col("__age").isNotNull && col("__age") >= 0 &&
+             col("__age") <= horizonDays,
+          element_at(weights, col("__age") + 1)).otherwise(0L))
+      .groupBy("user")
+      .agg(sum(col("__w")).as("score"),
+           sum(when(col("__w") > 0L, 1L).otherwise(0L)).as("n_recent"),
+           count(lit(1)).as("n_total"))
+  }
+
   /** Gaps-and-islands over activity days: each user's maximal runs of
     * CONSECUTIVE active days (an island breaks at the first missing
     * day). The classic streak/churn primitive — "how long do users

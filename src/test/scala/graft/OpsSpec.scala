@@ -1857,6 +1857,22 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("decayedActivity halves per day and zeros beyond the horizon") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400L * 1000L)
+    // anchor day = 20; u1 events at ages 0, 1, 3; u2 only at age 25
+    // (outside horizon 10) → score 0 but n_total counts it
+    val ev = Seq((1L, ts(20)), (1L, ts(19)), (1L, ts(17)),
+                 (2L, ts(-5))).toDF("u", "t")
+    val out = Events.decayedActivity(ev, col("u"), col("t"),
+        horizonDays = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((1024L + 512L + 128L, 3L, 3L)))
+    assert(out(2L) == ((0L, 0L, 1L)))
+  }
+
   test("quantileNormalize maps hot-scorer strata onto the pooled scale") {
     import spark.implicits._
     // group X scores 100x hotter than Y but both are uniform — after
