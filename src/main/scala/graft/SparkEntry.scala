@@ -361,6 +361,43 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Burstiness: Church-Gale variance-to-mean per term — bursty
+    // content terms vs Poisson background, integer sufficient stats.
+    "q190_burstiness" -> ((s, dir) => {
+      graft.ops.TextAnalysis.burstiness(t(s, dir, "documents"),
+          col("doc_id"), col("text"), minCount = 20L, k = 40)
+        .orderBy(desc("vmr_x1e4"), col("term"))
+    }),
+
+    // OLAP cube: all 2^2 grouping sets over (status, priority) in one
+    // pass — the CUBE sibling of q33's ROLLUP, exact cents.
+    "q188_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("o_totalprice") * 100 + lit(0.5))
+               .cast("long")).as("cents"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("st"),
+                coalesce(col("o_orderpriority"), lit("(all)")).as("pr"),
+                col("n"), col("cents"))
+        .orderBy("st", "pr")
+    }),
+
+    // Ops-monitoring composition: robust MAD outlier screen over the
+    // zero-filled hourly series — gapFillHourly feeding
+    // robustWinsorize, anomalous hours only.
+    "q189_hourly_anomaly" -> ((s, dir) => {
+      val series = graft.ops.Events.gapFillHourly(t(s, dir, "events"),
+          col("event_type"), col("ts"))
+        .withColumn("hid", expr("unix_timestamp(h) div 3600"))
+      graft.ops.Checks.robustWinsorize(series, col("key"), col("hid"),
+          col("n"))
+        .filter(col("is_outlier"))
+        .select(col("group").as("event_type"), col("id").as("hour_id"),
+                col("v").as("n"), col("v_wins"))
+        .orderBy("event_type", "hour_id")
+    }),
+
     // Churn signal: halving-per-day decayed activity, exact integer
     // weights from a literal 2^k table (no pow()).
     "q187_decayed_activity" -> ((s, dir) => {
@@ -2118,6 +2155,75 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Burstiness: identical integer sufficient statistics, one shared
+    // float division, 1e-4 floor.
+    "q190_burstiness" ->
+      """WITH tc AS (SELECT d, tok, count(*) AS c FROM (
+             SELECT doc_id AS d, unnest(string_split(text, ' ')) AS tok
+             FROM documents) WHERE tok <> '' GROUP BY 1, 2),
+         st AS (SELECT tok, count(*) AS df_docs,
+                  CAST(sum(c) AS BIGINT) AS sc,
+                  CAST(sum(c * c) AS BIGINT) AS sc2
+                FROM tc GROUP BY 1 HAVING sc >= 20),
+         nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents)
+         SELECT tok AS term, df_docs, sc AS total_cnt,
+           CAST(floor(CAST(nd * sc2 - sc * sc AS DOUBLE)
+                      / CAST((nd - 1) * sc AS DOUBLE)
+                      * 10000.0 + 0.5) AS BIGINT) AS vmr_x1e4
+         FROM st CROSS JOIN nd
+         ORDER BY vmr_x1e4 DESC, term LIMIT 40""",
+
+    // Cube: GROUP BY CUBE with the q33 null-marker convention.
+    "q188_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS st,
+                coalesce(o_orderpriority, '(all)') AS pr,
+                count(*) AS n,
+                CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS cents
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY 1, 2""",
+
+    // Hourly anomaly: q173's dense spine feeding q167's median/MAD
+    // screen, hour index = epoch hours.
+    "q189_hourly_anomaly" ->
+      """WITH base AS (SELECT event_type AS key,
+                         date_trunc('hour', ts) AS h
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+         counts AS (SELECT key, h, count(*) AS n FROM base GROUP BY 1, 2),
+         spine AS (SELECT unnest(generate_series(h0, h1,
+                            INTERVAL 1 HOUR)) AS h
+                   FROM (SELECT min(h) AS h0, max(h) AS h1 FROM base)
+                   WHERE h0 IS NOT NULL),
+         b AS (SELECT k.key AS g, epoch_ms(s.h) // 3600000 AS id,
+                 coalesce(c.n, 0) AS v
+               FROM (SELECT DISTINCT key FROM counts) k
+               CROSS JOIN spine s
+               LEFT JOIN counts c ON c.key = k.key AND c.h = s.h),
+         r AS (SELECT id, g, v,
+                 count(*) OVER (PARTITION BY g) AS n,
+                 row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn
+               FROM b),
+         med AS (SELECT g, v AS med FROM r WHERE rn = (n + 1) // 2),
+         p05 AS (SELECT g, v AS p05 FROM r
+                 WHERE rn = greatest(1, (5 * n) // 100)),
+         p95 AS (SELECT g, v AS p95 FROM r
+                 WHERE rn = greatest(1, (95 * n) // 100)),
+         d AS (SELECT b.id, b.g, b.v, abs(b.v - med.med) AS dev
+               FROM b JOIN med ON b.g = med.g),
+         dr AS (SELECT id, g, v, dev,
+                 count(*) OVER (PARTITION BY g) AS n,
+                 row_number() OVER (PARTITION BY g ORDER BY dev, id)
+                   AS rn
+               FROM d),
+         mad AS (SELECT g, dev AS mad FROM dr WHERE rn = (n + 1) // 2)
+         SELECT d.g AS event_type, d.id AS hour_id, d.v AS n,
+           least(greatest(d.v, p05.p05), p95.p95) AS v_wins
+         FROM d JOIN mad ON d.g = mad.g
+                JOIN p05 ON d.g = p05.g JOIN p95 ON d.g = p95.g
+         WHERE d.dev * 10 > mad.mad * 35
+         ORDER BY event_type, hour_id""",
 
     // Decayed activity: identical literal weight table indexed by age.
     "q187_decayed_activity" ->

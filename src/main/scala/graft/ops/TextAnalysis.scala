@@ -555,6 +555,43 @@ object TextAnalysis {
       .orderBy(desc("pmi_fp"), col("bg")).limit(k)
   }
 
+  /** Term burstiness (Church & Gale): variance-to-mean ratio of a
+    * term's per-document count across the corpus — ~1 for Poisson
+    * "background" terms (function words), large for bursty content
+    * terms that pile into few documents. The cheap topicality signal:
+    * feature selection for the NB/DSIR classifiers, stopword discovery
+    * for [[tfIdf]], template detection (a boilerplate phrase's tokens
+    * are extremely bursty).
+    *
+    * Exactness: VMR = (N·Σc² − (Σc)²) / ((N−1)·Σc) with all sufficient
+    * statistics exact integer sums (zero-count documents enter through
+    * N alone — no dense zero frame is materialized); numerator and
+    * denominator stay integers until ONE shared float division,
+    * quantized to 1e-4 ([[Checks.olsFitFp]] discipline).
+    *
+    * Scale shape: one token pass to the (doc, term) count frame, one
+    * vocab aggregate, a 1-row doc-count broadcast; top-k plans as
+    * TakeOrdered. Output: (term, df_docs, total_cnt, vmr_x1e4). */
+  def burstiness(df: DataFrame, id: Column, text: Column,
+                 minCount: Long = 20L, k: Int = 40): DataFrame = {
+    val tc = df.select(id.as("d"), explode(tokens(text)).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("d", "tok").agg(count(lit(1)).as("c"))
+    val nd = df.agg(countDistinct(id).as("nd"))
+    val stats = tc.groupBy("tok").agg(
+        count(lit(1)).as("df_docs"), sum("c").as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+      .filter(col("sc") >= minCount)
+    stats.crossJoin(broadcast(nd))
+      .select(col("tok").as("term"), col("df_docs"),
+        col("sc").as("total_cnt"),
+        floor((col("nd") * col("sc2") - col("sc") * col("sc"))
+                .cast("double") /
+              ((col("nd") - 1L) * col("sc")).cast("double") *
+              lit(10000.0) + lit(0.5)).cast("long").as("vmr_x1e4"))
+      .orderBy(desc("vmr_x1e4"), col("term")).limit(k)
+  }
+
   /** Dunning log-likelihood (G²) keyness: ranks terms by how strongly
     * their frequency in a TARGET slice diverges from the reference
     * slice (Dunning 1993) — the standard "what vocabulary

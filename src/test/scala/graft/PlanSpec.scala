@@ -262,4 +262,21 @@ class PlanSpec extends AnyFunSuite {
            (p.contains("EqualTo(event_type,signup)") ||
             p.contains("EqualTo(event_type, signup)")), p.take(3000))
   }
+
+  test("q174/q186 rank passes range-partition — no single-partition window") {
+    // both global-rank consumers must ride orderedCumsum's
+    // range-partitioned prefix sum; a `row_number() over (order by)`
+    // regression would reappear as an Exchange SinglePartition feeding
+    // a Window. The scalar total-count aggregate legitimately funnels
+    // O(partitions) partial counts through one task — allow exactly
+    // that shape (the exchange's child is a keyless hashaggregate).
+    Seq("q174_lift_table", "q186_quantile_norm").foreach { q =>
+      val p = plan(q).toLowerCase
+      assert(p.contains("rangepartitioning"), s"$q: ${p.take(2000)}")
+      p.split("exchange singlepartition").drop(1).foreach { after =>
+        assert(after.take(200).contains("hashaggregate(keys=[]"),
+          s"$q: non-scalar single-partition stage: ${after.take(400)}")
+      }
+    }
+  }
 }
