@@ -361,6 +361,48 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Trend: per-priority revenue drift over the order date — the
+    // exact-OLS core consuming a time axis (cents/day slope).
+    "q191_revenue_trend" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderpriority").as("pr"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+            .cast("long").as("x"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("y"))
+      graft.ops.Checks.olsFitFp(o, col("pr"), col("x"), col("y"))
+        .select(col("group").as("o_orderpriority"), col("n_points"),
+                col("slope"), col("intercept"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Join health: events whose user never signed up, per event type —
+    // one anti-style left join against the distinct parent keys.
+    "q192_orphan_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.ops.Checks.orphanAudit(
+          ev.filter(col("event_type") =!= "signup"), col("user_id"),
+          col("event_type"),
+          ev.filter(col("event_type") === "signup"), col("user_id"))
+        .select(col("group").as("event_type"), col("n_rows"),
+                col("n_orphans"), col("orphan_permille"))
+        .orderBy("event_type")
+    }),
+
+    // WITH TIES: the 3 highest order-cent values per priority, every
+    // tied row kept (rank <= k, no arbitrary tiebreak).
+    "q193_topk_ties" -> ((s, dir) => {
+      graft.ops.Relational.topKPerGroupWithTies(
+          t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+                .as("cents")),
+          Seq(col("o_orderpriority")), Seq(col("cents").desc), k = 3)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+                col("cents"), col("rnk"))
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    }),
+
     // Burstiness: Church-Gale variance-to-mean per term — bursty
     // content terms vs Poisson background, integer sufficient stats.
     "q190_burstiness" -> ((s, dir) => {
@@ -2155,6 +2197,62 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Revenue trend: same epoch-day x axis, exact HUGEINT sufficient
+    // statistics, shared closed-form float expression (q170's shape).
+    "q191_revenue_trend" ->
+      """WITH b AS (SELECT o_orderpriority AS g,
+                 CAST(date_diff('day', DATE '1970-01-01', o_orderdate)
+                      AS BIGINT) AS x,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS y
+               FROM orders),
+         ag AS (SELECT g, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM b GROUP BY 1),
+         sl AS (SELECT g, n, CAST(n AS DOUBLE) AS nd,
+                  CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    AS slope_raw
+                FROM ag
+                WHERE n >= 2
+                  AND CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0)
+         SELECT g AS o_orderpriority, n AS n_points,
+                round(slope_raw, 6) AS slope,
+                round((syd - slope_raw * sxd) / nd, 6) AS intercept
+         FROM sl ORDER BY 1""",
+
+    // Orphans: left join against distinct signup users; null-safe
+    // (null user never matches → orphan).
+    "q192_orphan_audit" ->
+      """WITH p AS (SELECT DISTINCT user_id AS pk FROM events
+                    WHERE event_type = 'signup'),
+         c AS (SELECT event_type AS g, user_id AS ck FROM events
+               WHERE event_type <> 'signup')
+         SELECT g AS event_type, count(*) AS n_rows,
+           CAST(sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_orphans,
+           CAST((1000 * sum(CASE WHEN pk IS NULL THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS orphan_permille
+         FROM c LEFT JOIN p ON c.ck = p.pk
+         GROUP BY 1 ORDER BY 1""",
+
+    // WITH TIES: rank() <= k replayed verbatim.
+    "q193_topk_ties" ->
+      """WITH b AS (SELECT o_orderkey, o_orderpriority,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+               FROM orders),
+         r AS (SELECT o_orderkey, o_orderpriority, cents,
+                 rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY cents DESC) AS rnk
+               FROM b)
+         SELECT o_orderkey, o_orderpriority, cents, CAST(rnk AS INTEGER) AS rnk
+         FROM r WHERE rnk <= 3
+         ORDER BY o_orderpriority, rnk, o_orderkey""",
 
     // Burstiness: identical integer sufficient statistics, one shared
     // float division, 1e-4 floor.

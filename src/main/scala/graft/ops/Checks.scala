@@ -137,6 +137,31 @@ object Checks {
       .withColumn("flag_permille", expr("(1000 * n_flag) div n_rows"))
   }
 
+  /** Referential-integrity orphan audit: per group, how many child
+    * rows reference a key absent from the parent key set — dangling
+    * foreign keys, events from users who never signed up, chunks
+    * pointing at deleted documents. The join-health check a pipeline
+    * runs after every incremental merge.
+    *
+    * One left join against the DISTINCT parent-key frame plus one
+    * grouped conditional sum (map-side partials); a null child key is
+    * an orphan (it can never reference anything — same convention as
+    * [[ruleViolations]]'s null-predicate rule). Output:
+    * (group, n_rows, n_orphans, orphan_permille). */
+  def orphanAudit(child: DataFrame, childKey: Column, group: Column,
+                  parent: DataFrame, parentKey: Column): DataFrame = {
+    val p = parent.select(parentKey.as("__pk")).distinct()
+      .withColumn("__hit", lit(1))
+    child.select(group.as("group"), childKey.as("__ck"))
+      .join(p, col("__ck") === col("__pk"), "left")
+      .groupBy("group")
+      .agg(count(lit(1)).as("n_rows"),
+           sum(when(col("__hit").isNull, 1L).otherwise(0L))
+             .as("n_orphans"))
+      .withColumn("orphan_permille",
+        expr("(1000 * n_orphans) div n_rows"))
+  }
+
   /** Cross-stratum quantile normalization: each row's score is replaced
     * by the GLOBAL score at its within-stratum quantile — the
     * batch-effect correction that makes per-source scorer biases

@@ -57,6 +57,23 @@ object Relational {
     }
   }
 
+  /** Top-k per group WITH TIES (SQL `FETCH FIRST k ROWS WITH TIES`):
+    * every row whose `rank()` — equal order values share a rank — is
+    * <= k survives, so the k-th place's ties all come back instead of
+    * an arbitrary tiebreak picking one. Use when the order value is
+    * coarse (scores, dates) and dropping a tied row would be
+    * arbitrary; [[topKPerGroup]] is the exact-k row_number form.
+    * Same single-shuffle window shape and the same hot-group caveat. */
+  def topKPerGroupWithTies(df: DataFrame, groupBy: Seq[Column],
+                           order: Seq[Column], k: Int,
+                           rankAs: String = "rnk"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains(rankAs),
+      s"topKPerGroupWithTies: rank column '$rankAs' already exists")
+    val w = Window.partitionBy(groupBy: _*).orderBy(order: _*)
+    df.withColumn(rankAs, rank().over(w)).filter(col(rankAs) <= k)
+  }
+
   /** Explicitly salted equi-join for pathological key skew: the left
     * (large, skewed) side salts each row deterministically into one of
     * `salt` sub-keys; the right side replicates each row across all

@@ -1857,6 +1857,30 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("orphanAudit counts missing parents and null keys as orphans") {
+    import spark.implicits._
+    val parent = Seq(1L, 2L, 3L).toDF("k")
+    val child = Seq(("a", Some(1L)), ("a", Some(9L)), ("a", None),
+                    ("b", Some(2L))).toDF("g", "k")
+    val out = Checks.orphanAudit(child, col("k"), col("g"),
+        parent, col("k"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((3L, 2L, 666L))) // id 9 missing + null key
+    assert(out("b") == ((1L, 0L, 0L)))
+  }
+
+  test("topKPerGroupWithTies keeps every row tied at the k-th rank") {
+    import spark.implicits._
+    val d = Seq(("g", 1L, 30L), ("g", 2L, 20L), ("g", 3L, 20L),
+                ("g", 4L, 20L), ("g", 5L, 10L)).toDF("g", "id", "v")
+    val out = Relational.topKPerGroupWithTies(d, Seq(col("g")),
+        Seq(col("v").desc), k = 2)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    // rank 2 is a three-way tie → 4 rows survive, id 5 (rank 5) drops
+    assert(out == Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 2))
+  }
+
   test("decayedActivity halves per day and zeros beyond the horizon") {
     import spark.implicits._
     import java.sql.Timestamp
