@@ -361,6 +361,24 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Corpus provenance: exact shingle-set Jaccard between every
+    // source pair — inverted self-join, pair fan bounded by strata².
+    "q194_source_overlap" -> ((s, dir) => {
+      graft.ops.Dedup.strataOverlap(t(s, dir, "documents"),
+          col("source"), col("text"), n = 3)
+        .orderBy("src_a", "src_b")
+    }),
+
+    // Policy filter: categorized phrase-blocklist screen, one
+    // word-boundary alternation regex per category.
+    "q195_blocklist" -> ((s, dir) => {
+      graft.ops.TextAnalysis.blocklistScreen(t(s, dir, "documents"),
+          col("doc_id"), col("text"), Seq(
+            "latency" -> Seq("slow query", "merge batch"),
+            "layout" -> Seq("table window", "a row")))
+        .orderBy("doc_id")
+    }),
+
     // Trend: per-priority revenue drift over the order date — the
     // exact-OLS core consuming a time axis (cents/day slope).
     "q191_revenue_trend" -> ((s, dir) => {
@@ -2197,6 +2215,45 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Source overlap: q21's shingle CTEs lifted to the stratum level,
+    // inclusion-exclusion union, shared float division.
+    "q194_source_overlap" ->
+      """WITH tkn AS (SELECT source, string_split(text, ' ') AS ws
+                      FROM documents),
+         shl AS (SELECT source, unnest(list_distinct(
+                   [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                    FOR i IN range(1, len(ws) - 1)])) AS s
+                 FROM tkn),
+         sh AS (SELECT DISTINCT source AS src, s FROM shl),
+         sz AS (SELECT src, count(*) AS nsh FROM sh GROUP BY 1),
+         it AS (SELECT a.src AS src_a, b.src AS src_b,
+                  count(*) AS inter
+                FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
+                GROUP BY 1, 2)
+         SELECT src_a, src_b, inter,
+           (na.nsh + nb.nsh - inter) AS uni,
+           CAST(floor(CAST(inter AS DOUBLE)
+                      / CAST(na.nsh + nb.nsh - inter AS DOUBLE)
+                      * 10000.0 + 0.5) AS BIGINT) AS jaccard_x1e4
+         FROM it JOIN sz na ON it.src_a = na.src
+                 JOIN sz nb ON it.src_b = nb.src
+         ORDER BY src_a, src_b""",
+
+    // Blocklist: identical alternation regexes, non-overlapping
+    // match counts (q76's regexp_extract_all idiom).
+    "q195_blocklist" ->
+      """SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '\b(?:slow query|merge batch)\b')) AS INTEGER)
+             AS n_latency,
+           CAST(len(regexp_extract_all(text,
+             '\b(?:table window|a row)\b')) AS INTEGER) AS n_layout,
+           (len(regexp_extract_all(text,
+              '\b(?:slow query|merge batch)\b')) > 0
+            OR len(regexp_extract_all(text,
+              '\b(?:table window|a row)\b')) > 0) AS blocked
+         FROM documents ORDER BY doc_id""",
 
     // Revenue trend: same epoch-day x axis, exact HUGEINT sufficient
     // statistics, shared closed-form float expression (q170's shape).

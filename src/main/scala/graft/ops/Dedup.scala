@@ -694,4 +694,46 @@ object Dedup {
       .filter(col("c") >= tau) // threshold on the raw score, round for output
       .select(col("id1"), col("id2"), round(col("c"), 6).as("cos"))
   }
+
+  /** Corpus-provenance overlap matrix: exact shingle-set Jaccard
+    * between every pair of STRATA (sources, snapshots, languages) —
+    * "which feeds are re-crawls of each other", the corpus-level
+    * sibling of the per-document pair ops above, and the first
+    * question asked before mixing corpora ([[graft.ops.Sampling
+    * .mixCorpora]] rates assume the sources are distinct material).
+    *
+    * Scale shape: one pass to the per-stratum DISTINCT shingle frame
+    * (n-gram shingles dedup inside the row via the codegen'd
+    * [[graft.functions.WordShingles]], then one (stratum, shingle)
+    * distinct shuffle); intersections come from the inverted
+    * self-join on the shingle key — a shingle shared by s strata
+    * fans into s·(s-1)/2 pair rows, bounded by the STRATA count
+    * squared, never by corpus size; unions are inclusion-exclusion
+    * from per-stratum sizes. Integer counts, one shared float
+    * division. Output: (src_a, src_b, inter, uni, jaccard_x1e4)
+    * for src_a < src_b; pairs with an EMPTY intersection produce no
+    * row (nothing meets in the index) — absence means jaccard 0. */
+  def strataOverlap(df: DataFrame, stratum: Column, text: Column,
+                    n: Int = 3): DataFrame = {
+    val sh = df.select(stratum.as("src"),
+        explode(graft.functions.WordShingles(text, n)).as("s"))
+      .distinct()
+      .localCheckpoint() // sizes + both self-join sides consume it
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("nsh"))
+    val inter = sh
+      .join(sh.select(col("src").as("src2"), col("s")), "s")
+      .filter(col("src") < col("src2"))
+      .groupBy(col("src").as("src_a"), col("src2").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("src").as("src_a"), col("nsh").as("na")),
+            "src_a")
+      .join(sizes.select(col("src").as("src_b"), col("nsh").as("nb")),
+            "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        floor(col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")).cast("double") *
+              lit(10000.0) + lit(0.5)).cast("long").as("jaccard_x1e4"))
+  }
 }

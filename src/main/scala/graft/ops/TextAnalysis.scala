@@ -555,6 +555,36 @@ object TextAnalysis {
       .orderBy(desc("pmi_fp"), col("bg")).limit(k)
   }
 
+  /** Blocklist screen: per-document match counts against categorized
+    * phrase lists (NSFW terms, spam templates, boilerplate markers) —
+    * the policy-filter stage of every web-corpus pipeline. Each
+    * category compiles to ONE word-boundary alternation regex inside
+    * the RE2 subset (same contract as [[redactPii]]), so a category
+    * costs one codegen'd scan of the text regardless of phrase count,
+    * counts are non-overlapping left-to-right in both engines, and the
+    * oracle runs the identical pattern. Narrow per-row map, no
+    * shuffle; null text yields null counts and a null flag.
+    * Output: (doc_id, n_<category>..., blocked). */
+  def blocklistScreen(df: DataFrame, id: Column, text: Column,
+                      categories: Seq[(String, Seq[String])])
+      : DataFrame = {
+    require(categories.nonEmpty, "need at least one category")
+    require(categories.map(_._1).distinct.size == categories.size,
+      "category names must be distinct")
+    val pats = categories.map { case (cat, phrases) =>
+      require(phrases.nonEmpty, s"category '$cat' has no phrases")
+      phrases.foreach(p => require(p.matches("[a-z0-9 ]+"),
+        s"phrase '$p' outside [a-z0-9 ] — escaping differs by engine"))
+      cat -> ("\\b(?:" + phrases.mkString("|") + ")\\b")
+    }
+    val counted = df.select(id.as("doc_id") +: pats.map {
+      case (cat, pat) =>
+        regexp_count(text, lit(pat)).cast("int").as(s"n_$cat")
+    }: _*)
+    counted.withColumn("blocked",
+      pats.map(p => col(s"n_${p._1}") > 0).reduce(_ || _))
+  }
+
   /** Term burstiness (Church & Gale): variance-to-mean ratio of a
     * term's per-document count across the corpus — ~1 for Poisson
     * "background" terms (function words), large for bursty content

@@ -1857,6 +1857,36 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("strataOverlap: identical strata hit 1.0, disjoint pairs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "alpha beta gamma delta"), ("s2", "alpha beta gamma delta"),
+      ("s3", "one two three four five")).toDF("src", "text")
+    val out = Dedup.strataOverlap(docs, col("src"), col("text"), n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // s1 and s2 share both 3-shingles exactly → jaccard 1.0
+    assert(out(("s1", "s2")) == ((2L, 2L, 10000L)))
+    // s3 shares nothing — zero-intersection pairs produce no row
+    assert(out.keySet == Set(("s1", "s2")))
+  }
+
+  test("blocklistScreen counts per category and propagates null text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("the slow query hit a row in the slow query log")),
+      (2L, Some("nothing to see")),
+      (3L, None: Option[String])).toDF("doc_id", "text")
+    val out = TextAnalysis.blocklistScreen(docs, col("doc_id"),
+        col("text"), Seq("lat" -> Seq("slow query"),
+                         "lay" -> Seq("a row"))).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)))).toMap
+    assert(out(1L) == ((Some(2), Some(1), Some(true))))
+    assert(out(2L) == ((Some(0), Some(0), Some(false))))
+    assert(out(3L) == ((None, None, None)))
+  }
+
   test("orphanAudit counts missing parents and null keys as orphans") {
     import spark.implicits._
     val parent = Seq(1L, 2L, 3L).toDF("k")
