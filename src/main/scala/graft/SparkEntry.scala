@@ -361,6 +361,47 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Policy funnel v6 (Pipeline API): blocklist gate → quality gate →
+    // corpus-relative novelty gate, one composed exact oracle.
+    "q199_pipeline_policy" -> ((s, dir) => {
+      graft.ops.Pipeline(t(s, dir, "documents"), "doc_id", "text")
+        .filterBlocklist(Seq(
+          "latency" -> Seq("slow query", "merge batch")))
+        .filterQuality(4000L)
+        .filterNovelty(400L)
+        .result.select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // Coverage curation: first-contribution shingle novelty per doc
+    // (greedy max-coverage signal; ~0 = nothing new here).
+    "q196_coverage_novelty" -> ((s, dir) => {
+      graft.ops.TextAnalysis.coverageNovelty(t(s, dir, "documents"),
+          col("doc_id"), col("text"), n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // Path mining: sessions serialized to ordered event-type strings,
+    // (ts, event_id) total order.
+    "q197_session_paths" -> ((s, dir) => {
+      def fmt(c: String) =
+        date_format(col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS").as(c)
+      graft.ops.Events.sessionPaths(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"),
+          gapSeconds = 1800L)
+        .select(col("user").as("user_id"), col("session_id"),
+                fmt("t0"), col("n_events"), col("path"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Privacy: k-anonymity risk of (priority, status, order day)
+    // quasi-identifiers at k=5.
+    "q198_k_anonymity" -> ((s, dir) => {
+      graft.ops.Checks.kAnonymityAudit(t(s, dir, "orders"),
+          Seq(col("o_orderpriority"), col("o_orderstatus"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd")), k = 5L)
+    }),
+
     // Corpus provenance: exact shingle-set Jaccard between every
     // source pair — inverted self-join, pair fan bounded by strata².
     "q194_source_overlap" -> ((s, dir) => {
@@ -2215,6 +2256,105 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Policy funnel: the three gates replayed in sequence — novelty is
+    // computed over the SURVIVORS of the first two gates, like the
+    // Pipeline's lineage does.
+    "q199_pipeline_policy" ->
+      """WITH g1 AS (SELECT doc_id, source, text FROM documents
+             WHERE NOT coalesce(len(regexp_extract_all(text,
+               '\b(?:slow query|merge batch)\b')) > 0, TRUE)),
+         tk AS (SELECT doc_id, source, text,
+                  string_split(text, ' ') AS ws FROM g1),
+         g2 AS (SELECT doc_id, source, text, ws FROM tk
+                WHERE CAST(floor((len(list_distinct(ws)) * 1.0 / len(ws)
+                    * 0.5
+                  + least(len(ws) / 100.0, 1.0) * 0.3
+                  + len(list_filter(ws, t -> t IN
+                      ('the','a','of','and','to','in'))) * 1.0
+                    / len(ws) * 0.2) * 10000.0 + 0.5) AS BIGINT)
+                  >= 4000),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws) - 1)])) AS s FROM g2),
+         tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         nov AS (SELECT doc_id, count(*) AS novel FROM (
+                   SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY 1)
+                 GROUP BY 1),
+         keep AS (SELECT g2.doc_id FROM g2
+                  LEFT JOIN tot ON g2.doc_id = tot.doc_id
+                  LEFT JOIN nov ON g2.doc_id = nov.doc_id
+                  WHERE CASE WHEN coalesce(tot.n_sh, 0) = 0 THEN 0
+                             ELSE (1000 * coalesce(nov.novel, 0))
+                                  // coalesce(tot.n_sh, 0) END >= 400)
+         SELECT g2.doc_id, g2.source FROM g2
+         JOIN keep ON g2.doc_id = keep.doc_id
+         ORDER BY g2.doc_id""",
+
+    // Novelty: keep-first on the shingle key, counts by winning doc,
+    // zeros via left joins.
+    "q196_coverage_novelty" ->
+      """WITH tkn AS (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws) - 1)])) AS s
+                FROM tkn),
+         tot AS (SELECT doc_id, count(*) AS n_shingles
+                 FROM sh GROUP BY 1),
+         nov AS (SELECT doc_id, count(*) AS novel FROM (
+                   SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY 1)
+                 GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(tot.n_shingles, 0) AS n_shingles,
+           coalesce(nov.novel, 0) AS novel,
+           CASE WHEN coalesce(tot.n_shingles, 0) = 0 THEN 0
+                ELSE CAST((1000 * coalesce(nov.novel, 0))
+                          // coalesce(tot.n_shingles, 0) AS BIGINT)
+           END AS novelty_permille
+         FROM documents d
+         LEFT JOIN tot ON d.doc_id = tot.doc_id
+         LEFT JOIN nov ON d.doc_id = nov.doc_id
+         ORDER BY d.doc_id""",
+
+    // Session paths: identical gap rule (q31's), (ts, event_id) total
+    // order on both the boundary window and the path string_agg.
+    "q197_session_paths" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type
+                    FROM events
+                    WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         l AS (SELECT *,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN date_diff('second', lag(ts) OVER w, ts)
+                           > 1800 THEN 1 ELSE 0 END AS nw
+               FROM e
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts, event_id, event_type,
+                 sum(nw) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM l)
+         SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS t0,
+           count(*) AS n_events,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // K-anonymity: class-count frame then a scalar class aggregate.
+    "q198_k_anonymity" ->
+      """WITH c AS (SELECT count(*) AS n FROM orders
+                    GROUP BY o_orderpriority, o_orderstatus,
+                             strftime(o_orderdate, '%Y-%m-%d'))
+         SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           count(*) AS n_classes,
+           CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_classes_at_risk,
+           CAST((1000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END))
+                // sum(n) AS BIGINT) AS risk_permille
+         FROM c""",
 
     // Source overlap: q21's shingle CTEs lifted to the stratum level,
     // inclusion-exclusion union, shared float division.

@@ -137,6 +137,33 @@ object Checks {
       .withColumn("flag_permille", expr("(1000 * n_flag) div n_rows"))
   }
 
+  /** K-anonymity audit: how much of the table sits in quasi-identifier
+    * equivalence classes smaller than `k` — the re-identification risk
+    * screen run before releasing any dataset with demographic-ish
+    * columns. A row whose (quasi-id tuple) is shared by fewer than k
+    * rows is "at risk" (k-anonymity, Sweeney 2002). Null quasi-id
+    * values group together (SQL GROUP BY semantics — a null tuple is
+    * its own class).
+    *
+    * One shuffle to the equivalence-class count frame, then a scalar
+    * aggregate over CLASSES (class-count rows, not data rows).
+    * Output (one row): (n_rows, n_classes, n_rows_at_risk,
+    * n_classes_at_risk, risk_permille). */
+  def kAnonymityAudit(df: DataFrame, quasiIds: Seq[Column], k: Long)
+      : DataFrame = {
+    require(quasiIds.nonEmpty, "need at least one quasi-identifier")
+    require(k >= 1L, s"k must be >= 1, got $k")
+    df.groupBy(quasiIds: _*).agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")).as("n_rows"),
+           count(lit(1)).as("n_classes"),
+           sum(when(col("__n") < k, col("__n")).otherwise(0L))
+             .as("n_rows_at_risk"),
+           sum(when(col("__n") < k, 1L).otherwise(0L))
+             .as("n_classes_at_risk"))
+      .withColumn("risk_permille",
+        expr("(1000 * n_rows_at_risk) div n_rows"))
+  }
+
   /** Referential-integrity orphan audit: per group, how many child
     * rows reference a key absent from the parent key set — dangling
     * foreign keys, events from users who never signed up, chunks

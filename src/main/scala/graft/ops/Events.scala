@@ -25,12 +25,18 @@ object Events {
     * have no position in time, and NULLS FIRST ordering would otherwise
     * count each one as its own session. */
   def sessionize(df: DataFrame, user: Column, ts: Column,
-                 gapSeconds: Long): DataFrame = {
+                 gapSeconds: Long,
+                 tieBreak: Seq[Column] = Nil): DataFrame = {
+    // tieBreak totalizes the per-user order when timestamps can
+    // collide: a tie GROUP can never straddle a session boundary (the
+    // gap between tied rows is 0), but the running session-id sum
+    // walks rows in window order, so an id assigned mid-tie-group
+    // would be engine/partitioning-dependent without a total order.
     val clash = df.columns.intersect(Seq("__new", "session_id"))
     require(clash.isEmpty,
       s"sessionize: input already has ${clash.mkString(", ")} — rename " +
       "first (the working/output columns would silently overwrite it)")
-    val w = Window.partitionBy(user).orderBy(ts)
+    val w = Window.partitionBy(user).orderBy(ts +: tieBreak: _*)
     val clean = df.filter(ts.isNotNull)
     val newSession =
       when(unix_timestamp(ts) - unix_timestamp(lag(ts, 1).over(w)) >
@@ -41,6 +47,32 @@ object Events {
       .withColumn("session_id",
         sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
       .drop("__new")
+  }
+
+  /** Session path strings: each session serialized as its ordered
+    * event-type sequence ("signup>view>click") — the path-mining /
+    * session-replay export behind "what do users do before X", and the
+    * input to any frequent-path count. Events order by (ts, event id)
+    * — a TOTAL order, so tied timestamps cannot make the path string
+    * partitioning-dependent (the same tiebreak feeds [[sessionize]]).
+    *
+    * Scale shape: sessionization's per-user window (its skew caveat —
+    * and [[sessionizeBucketed]] remedy — apply), then ONE grouped
+    * collect per session; the sort runs inside each session's array,
+    * bounded by session length, never corpus-wide. Output:
+    * (user, session_id, t0, n_events, path). */
+  def sessionPaths(df: DataFrame, user: Column, ts: Column,
+                   eventType: Column, eventId: Column,
+                   gapSeconds: Long): DataFrame = {
+    val sess = sessionize(df.filter(user.isNotNull), user, ts,
+      gapSeconds, tieBreak = Seq(eventId))
+    sess.groupBy(user.as("user"), col("session_id"))
+      .agg(min(ts).as("t0"), count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(ts.as("t"), eventId.as("e"),
+              eventType.as("et")))),
+            x => x.getField("et")), ">").as("path"))
   }
 
   /** Per-user session stats from [[sessionize]]. */

@@ -49,6 +49,34 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
   def filterCompressibility(minRatio: Double): Pipeline =
     copy(df = df.filter(TextAnalysis.compressionRatio(text) >= minRatio))
 
+  /** Drop documents matching ANY category of a phrase blocklist
+    * ([[TextAnalysis.blocklistScreen]]'s flag as a pure per-row
+    * predicate — one word-boundary alternation regex per category,
+    * fused into the scan; same narrow-stage rationale as
+    * [[filterLang]]). Null text is dropped (cannot be screened). */
+  def filterBlocklist(categories: Seq[(String, Seq[String])]): Pipeline = {
+    val hit = categories.map { case (cat, phrases) =>
+      require(phrases.nonEmpty, s"category '$cat' has no phrases")
+      phrases.foreach(p => require(p.matches("[a-z0-9 ]+"),
+        s"phrase '$p' outside [a-z0-9 ] — escaping differs by engine"))
+      regexp_count(text,
+        lit("\\b(?:" + phrases.mkString("|") + ")\\b")) > 0
+    }.reduce(_ || _)
+    copy(df = df.filter(!coalesce(hit, lit(true))))
+  }
+
+  /** Keep documents contributing at least `minPermille` first-seen
+    * shingles ([[TextAnalysis.coverageNovelty]]) — drops "nothing new
+    * here" rehash against the whole corpus. A derived-frame stage
+    * (novelty is corpus-relative), joined back on id like
+    * [[removeNearDups]]. */
+  def filterNovelty(minPermille: Long, n: Int = 3): Pipeline = {
+    val keep = TextAnalysis.coverageNovelty(df, id, text, n)
+      .filter(col("novelty_permille") >= minPermille)
+      .select(col("doc_id").as(idCol))
+    copy(df = df.join(keep, idCol))
+  }
+
   /** Exact dedup: keep the lowest id per `nTokens`-token prefix key
     * ([[Dedup.exactKeepFirst]]). */
   def dedupExactByPrefix(nTokens: Int): Pipeline = {

@@ -555,6 +555,38 @@ object TextAnalysis {
       .orderBy(desc("pmi_fp"), col("bg")).limit(k)
   }
 
+  /** Coverage novelty: how many distinct n-gram shingles each document
+    * contributes FIRST (no earlier-id document contains them) — the
+    * greedy submodular-coverage signal: curating by novelty descending
+    * approximates max-coverage selection, and a ~zero-novelty document
+    * is pure template/rehash ([[graft.ops.Dedup]] catches near-twins;
+    * this catches "nothing new here" against the whole corpus).
+    *
+    * Scale shape: one shingle explode (per-row dedup inside
+    * [[graft.functions.WordShingles]]), one min-aggregate on the
+    * shingle key (map-side partials — the keep-first discipline of
+    * [[graft.ops.Dedup.dedupParagraphs]]), one count by winning doc,
+    * one broadcast-right join back to the id frame for explicit
+    * zeros. Integer permille; docs with no shingles report 0/0/0.
+    * Output: (doc_id, n_shingles, novel, novelty_permille). */
+  def coverageNovelty(df: DataFrame, id: Column, text: Column,
+                      n: Int = 3): DataFrame = {
+    val sh = df.select(id.as("doc_id"),
+      explode(graft.functions.WordShingles(text, n)).as("s"))
+    val totals = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy("s").agg(min(col("doc_id")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("novel"))
+    df.select(id.as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("novel"), lit(0L)).as("novel"))
+      .withColumn("novelty_permille",
+        when(col("n_shingles") === 0L, 0L)
+          .otherwise(expr("(1000 * novel) div n_shingles")))
+  }
+
   /** Blocklist screen: per-document match counts against categorized
     * phrase lists (NSFW terms, spam templates, boilerplate markers) —
     * the policy-filter stage of every web-corpus pipeline. Each

@@ -177,6 +177,28 @@ object ScaleProbe {
         col("text"))
       graft.ops.Dedup.minhashLshPairsBetween(bIx, cIx, tau = 0.6).count()
     }
+    // PPMI at 10x: co-occurrence pairs form inside rows, so the count
+    // frame's VALUES scale 10x but its vocab-bounded row count does
+    // not; the cosine stage joins on contexts whose hubs the
+    // positivity cut pruned — cost must track shared-context mass
+    time("ppmi_similarity 50k")(graft.ops.TextAnalysis
+      .ppmiTermSimilarity(corpus, col("doc_id"), col("text"),
+        window = 2, minCount = 10L, k = 30).count())
+    // strata overlap at 10x with 40 strata (copies get distinct
+    // sources): per-stratum distinct shingle frames scale with text
+    // volume, the pair fan with strata^2 — never corpus^2
+    time("strata_overlap 50k/40src") {
+      val strat = corpus.withColumn("src",
+        concat(lit("s"), pmod(col("doc_id"), lit(40))))
+      graft.ops.Dedup.strataOverlap(strat, col("src"), col("text"))
+        .count()
+    }
+    // count-min at 10x: grid stays depth x width per group; the build
+    // is the (group, item) count agg + a vocab-sized hash pass
+    time("count_min 50k")(graft.ops.Sketches.countMin(
+      corpus.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(20))))
+        .select(col("src"), explode(split(col("text"), " ")).as("tok")),
+      col("src"), col("tok")).count())
     spark.stop()
   }
 }

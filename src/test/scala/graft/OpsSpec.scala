@@ -1857,6 +1857,47 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("coverageNovelty credits first contribution only") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.coverageNovelty(docs, col("doc_id"),
+        col("text"), n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == ((2L, 2L, 1000L))) // both shingles first-seen
+    assert(out(2L) == ((2L, 0L, 0L)))    // pure rehash
+    assert(out(3L) == ((0L, 0L, 0L)))    // too short for a shingle
+  }
+
+  test("sessionPaths orders by (ts, event_id) and splits on the gap") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (10L, ts(100), 1L, "view"), (11L, ts(100), 1L, "click"), // tie
+      (12L, ts(200), 1L, "purchase"),
+      (13L, ts(5000), 1L, "error")) // > 1800s gap → session 2
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.sessionPaths(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"), gapSeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(3), r.getString(4))).toMap
+    assert(out((1L, 1L)) == ((3L, "view>click>purchase")))
+    assert(out((1L, 2L)) == ((1L, "error")))
+  }
+
+  test("kAnonymityAudit counts small equivalence classes") {
+    import spark.implicits._
+    // classes: ("a") x1, ("b") x2, ("c") x5 → at k=3: 3 rows, 2
+    // classes at risk
+    val d = (Seq("a") ++ Seq.fill(2)("b") ++ Seq.fill(5)("c")).toDF("q")
+    val r = Checks.kAnonymityAudit(d, Seq(col("q")), k = 3L)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4)) == ((8L, 3L, 3L, 2L, 375L)))
+  }
+
   test("strataOverlap: identical strata hit 1.0, disjoint pairs absent") {
     import spark.implicits._
     val docs = Seq(
