@@ -361,6 +361,35 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Path mining II: the 20 most frequent session paths.
+    "q200_frequent_paths" -> ((s, dir) => {
+      graft.ops.Events.sessionPaths(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"),
+          gapSeconds = 1800L)
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path")).limit(20)
+    }),
+
+    // Sequence-model baseline: order-1 Markov argmax accuracy per
+    // source state (ties to the smallest type).
+    "q201_markov_accuracy" -> ((s, dir) => {
+      graft.ops.Events.markovAccuracy(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .orderBy("from_type")
+    }),
+
+    // Time-to-convert histogram: whole-day delay buckets from first
+    // signup to first subsequent purchase.
+    "q202_conversion_delay" -> ((s, dir) => {
+      graft.ops.Events.funnel(t(s, dir, "events"), col("user_id"),
+          col("ts"), col("event_type"), Seq("signup", "purchase"))
+        .filter(col("t2").isNotNull)
+        .select(expr("(unix_timestamp(t2) - unix_timestamp(t1)) div 86400")
+          .as("delay_days"))
+        .groupBy("delay_days").agg(count(lit(1)).as("n_users"))
+        .orderBy("delay_days")
+    }),
+
     // Policy funnel v6 (Pipeline API): blocklist gate → quality gate →
     // corpus-relative novelty gate, one composed exact oracle.
     "q199_pipeline_policy" -> ((s, dir) => {
@@ -2256,6 +2285,70 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    // Frequent paths: q197's session chain + a path count.
+    "q200_frequent_paths" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type
+                    FROM events
+                    WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         l AS (SELECT *,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN date_diff('second', lag(ts) OVER w, ts)
+                           > 1800 THEN 1 ELSE 0 END AS nw
+               FROM e
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts, event_id, event_type,
+                 sum(nw) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM l),
+         p AS (SELECT user_id, session_id,
+                 string_agg(event_type, '>' ORDER BY ts, event_id)
+                   AS path
+               FROM s GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions FROM p
+         GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""",
+
+    // Markov accuracy: q130's lagged pair stream, argmax with the
+    // smallest-type tie rule, one model join.
+    "q201_markov_accuracy" ->
+      """WITH x AS (SELECT event_type AS to_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS from_type
+               FROM events WHERE ts IS NOT NULL),
+         p AS (SELECT from_type, to_type FROM x
+               WHERE from_type IS NOT NULL),
+         t AS (SELECT from_type, to_type, count(*) AS n
+               FROM p GROUP BY 1, 2),
+         b AS (SELECT from_type, max(n) AS n FROM t GROUP BY 1),
+         m AS (SELECT t.from_type, min(t.to_type) AS predicted
+               FROM t JOIN b ON t.from_type = b.from_type AND t.n = b.n
+               GROUP BY 1)
+         SELECT p.from_type, m.predicted, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN p.to_type = m.predicted THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_correct,
+           CAST((1000 * sum(CASE WHEN p.to_type = m.predicted THEN 1
+                            ELSE 0 END)) // count(*) AS BIGINT)
+             AS acc_permille
+         FROM p JOIN m ON p.from_type = m.from_type
+         GROUP BY 1, 2 ORDER BY 1""",
+
+    // Conversion delay: q128's two funnel CTEs + whole-day buckets.
+    "q202_conversion_delay" ->
+      """WITH e AS (SELECT user_id, ts, event_type FROM events
+                    WHERE ts IS NOT NULL),
+         s1 AS (SELECT user_id, min(ts) AS t1 FROM e
+                WHERE event_type = 'signup' GROUP BY 1),
+         s2 AS (SELECT s1.user_id, s1.t1,
+                  min(CASE WHEN e.ts > s1.t1 THEN e.ts END) AS t2
+                FROM s1 LEFT JOIN e ON e.user_id = s1.user_id
+                  AND e.event_type = 'purchase'
+                GROUP BY 1, 2)
+         SELECT date_diff('second', t1, t2) // 86400 AS delay_days,
+                count(*) AS n_users
+         FROM s2 WHERE t2 IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
 
     // Policy funnel: the three gates replayed in sequence — novelty is
     // computed over the SURVIVORS of the first two gates, like the

@@ -364,6 +364,41 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Markov next-event accuracy: train the order-1 transition model
+    * ([[eventTransitions]]) and score it on the SAME stream — for each
+    * source state, the argmax next event (ties to the smallest type,
+    * the [[Relational.modePerGroup]] rule) and the fraction of real
+    * transitions it gets right. The in-engine eval loop for "is
+    * last-event a useful predictor", and the baseline every sequence
+    * model must beat before it earns a deployment.
+    *
+    * Scale shape: one lag window for the pair stream (per-user,
+    * [[sessionizeBucketed]]'s skew remedy applies), two state-type²
+    * aggregates for the model, then ONE broadcast model join back
+    * over the pairs with a conditional-sum accuracy aggregate. All
+    * integer counts. Output:
+    * (from_type, predicted, n_pairs, n_correct, acc_permille). */
+  def markovAccuracy(df: DataFrame, user: Column, ts: Column,
+                     eventType: Column, order: Column): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts, order)
+    val pairs = df.filter(ts.isNotNull)
+      .select(eventType.as("to_type"),
+        lag(eventType, 1).over(w).as("from_type"))
+      .filter(col("from_type").isNotNull)
+    val trans = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val best = trans.groupBy("from_type").agg(max("n").as("n"))
+    val model = trans.join(best, Seq("from_type", "n"))
+      .groupBy("from_type").agg(min("to_type").as("predicted"))
+    pairs.join(broadcast(model), "from_type")
+      .groupBy("from_type", "predicted")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum(when(col("to_type") === col("predicted"), 1L)
+             .otherwise(0L)).as("n_correct"))
+      .withColumn("acc_permille",
+        expr("(1000 * n_correct) div n_pairs"))
+  }
+
   /** Cohort retention matrix: users grouped by the day of their FIRST
     * event (their cohort), counted by how many are active on each
     * later day-offset — the analytics table behind every retention

@@ -1857,6 +1857,25 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("markovAccuracy scores the argmax model on the pair stream") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // one user, type sequence a b a b a c b → pairs a→b ×2, a→c,
+    // b→a ×2, c→b; model a→b, b→a, c→b
+    val seqTypes = Seq("a", "b", "a", "b", "a", "c", "b")
+    val ev = seqTypes.zipWithIndex.map { case (t, i) =>
+      (i.toLong, new Timestamp(i * 1000L), 1L, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.markovAccuracy(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("a") == (("b", 3L, 2L, 666L)))
+    assert(out("b") == (("a", 2L, 2L, 1000L)))
+    assert(out("c") == (("b", 1L, 1L, 1000L)))
+  }
+
   test("coverageNovelty credits first contribution only") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y"))
