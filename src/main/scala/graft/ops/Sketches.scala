@@ -87,8 +87,11 @@ object Sketches {
 
   /** The depth (row, bucket) pairs for one item: two independent
     * 31-bit modular char-folds (seeds 7 and 11), rows via double
-    * hashing. Runs on vocab-sized frames only. */
-  private def cmBuckets(it: Column, depth: Int, width: Int): Column = {
+    * hashing. Runs on vocab-sized frames in batch;
+    * [[graft.streaming.EventStreams.countMinStream]] evaluates it
+    * per occurrence (streams have no materialized vocab frame). */
+  private[graft] def cmBuckets(it: Column, depth: Int, width: Int)
+      : Column = {
     val P = 2147483647L
     val codes = transform(sequence(lit(1), length(it)), i =>
       ascii(it.substr(i, lit(1))).cast("long"))

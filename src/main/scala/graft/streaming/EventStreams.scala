@@ -17,6 +17,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** Streaming Count-Min maintenance: the same (group, row, bucket)
+    * counter grid as [[graft.ops.Sketches.countMin]], kept current
+    * over a stream — the sketch is a pure integer-sum aggregate, so
+    * streaming partial aggregation maintains it with O(depth·width)
+    * state per group and the final grid equals the batch build over
+    * the same rows (StreamingSpec pins the parity). Buckets evaluate
+    * per OCCURRENCE here (a stream has no vocab frame to hash once —
+    * that optimization is batch-only; the hash is a codegen'd fold,
+    * so the cost is per-row arithmetic, not a shuffle). Run in
+    * update/complete mode: counters only grow. */
+  def countMinStream(stream: DataFrame, group: Column, item: Column,
+                     depth: Int = 3, width: Int = 32): DataFrame =
+    stream.filter(item.isNotNull)
+      .select(group.as("group"),
+        explode(graft.ops.Sketches.cmBuckets(item, depth, width))
+          .as("rb"))
+      .groupBy(col("group"), col("rb.row").as("row"),
+               col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
   /** Streaming tumbling-window aggregation (append mode with watermark,
     * or complete mode for tests). Same output schema as
     * `Events.tumbling`. */

@@ -43,6 +43,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming count-min grid equals the batch sketch") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val occ = Seq.tabulate(300)(i => (s"s${i % 3}", s"w${i % 17}"))
+    val batch = ops.Sketches.countMin(occ.toDF("g", "it"),
+        col("g"), col("it"), depth = 3, width = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    val ms = MemoryStream[(String, String)]
+    val q = EventStreams.countMinStream(ms.toDS().toDF("g", "it"),
+        col("g"), col("it"), depth = 3, width = 8)
+      .writeStream.format("memory").queryName("cm_grid")
+      .outputMode("complete").start()
+    try {
+      ms.addData(occ.take(100): _*)
+      q.processAllAvailable()
+      ms.addData(occ.drop(100): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("cm_grid").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    assert(got == batch)
+  }
+
   test("streaming dedup keeps one row per key within the watermark") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
