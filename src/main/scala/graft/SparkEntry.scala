@@ -361,6 +361,37 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Model eval in-engine: 5-fold cross-validated NB source
+    // classifier — per fold, train on the complement (q97's exact
+    // model), score the fold, sign-vs-label accuracy.
+    "q203_nb_crossval" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val folds = 5
+      // fold key (doc_id div 20) % folds: doc_id % 20 IS the source in
+      // this corpus, so a bare doc_id % folds fold would put all of
+      // src0 in one fold and empty its training class
+      val fk = expr(s"(doc_id div 20) % $folds")
+      val scored = (0 until folds).map { f =>
+        val train = d.filter(fk =!= f)
+        val test = d.filter(fk === f)
+        graft.ops.TextAnalysis.nbQualityScore(test, col("doc_id"),
+            col("text"),
+            train.filter(col("source") === "src0"), col("text"),
+            train.filter(col("source") =!= "src0"), col("text"))
+          .select(col("doc_id"), col("lo_micro_sum"))
+          .withColumn("fold", lit(f))
+      }.reduce(_ unionByName _)
+      val lab = d.select(col("doc_id"),
+        (col("source") === "src0").as("pos"))
+      scored.join(lab, "doc_id")
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when((col("lo_micro_sum") > 0L) === col("pos"), 1L)
+               .otherwise(0L)).as("n_correct"))
+        .withColumn("acc_permille", expr("(1000 * n_correct) div n_docs"))
+        .orderBy("fold")
+    }),
+
     // Path mining II: the 20 most frequent session paths.
     "q200_frequent_paths" -> ((s, dir) => {
       graft.ops.Events.sessionPaths(t(s, dir, "events"),
@@ -1839,6 +1870,49 @@ object SparkEntry {
         ORDER BY rank_fp DESC, part_id LIMIT 20"""
   }
 
+  /** DuckDB replay of the q203 cross-validation: one q97-shaped NB
+    * model per fold (trained on the complement), scored on the fold,
+    * sign-vs-label accuracy. CTE names carry the fold suffix so the
+    * whole CV sits in one WITH chain. */
+  private def nbCrossvalSql(folds: Int): String = {
+    val blocks = (0 until folds).map { f =>
+      s"""tr$f AS (SELECT * FROM tk WHERE (doc_id // 20) % $folds != $f),
+         te$f AS (SELECT * FROM tk WHERE (doc_id // 20) % $folds = $f),
+         cp$f AS (SELECT tok, count(*) AS c FROM tr$f
+                  WHERE source = 'src0' GROUP BY 1),
+         cn$f AS (SELECT tok, count(*) AS c FROM tr$f
+                  WHERE source != 'src0' GROUP BY 1),
+         m0$f AS (SELECT coalesce(cp$f.tok, cn$f.tok) AS tok,
+                    coalesce(cp$f.c, 0) AS cp, coalesce(cn$f.c, 0) AS cn
+                  FROM cp$f FULL JOIN cn$f ON cp$f.tok = cn$f.tok),
+         s$f AS (SELECT sum(cp) AS np, sum(cn) AS nn, count(*) AS v
+                 FROM m0$f),
+         m$f AS (SELECT tok,
+                   CAST(round((ln((cp + 1.0) / (np + v))
+                             - ln((cn + 1.0) / (nn + v))) * 1000000)
+                     AS BIGINT) AS lo
+                 FROM m0$f, s$f),
+         sc$f AS (SELECT doc_id, CAST(sum(lo) AS BIGINT) AS lo
+                  FROM te$f JOIN m$f USING (tok) GROUP BY 1),
+         r$f AS (SELECT $f AS fold, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN (sc$f.lo > 0) = l.pos
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+                 FROM sc$f JOIN lab l USING (doc_id))"""
+    }.mkString(",\n         ")
+    val union = (0 until folds).map(f => s"SELECT * FROM r$f")
+      .mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                   FROM documents),
+        tk AS (SELECT doc_id, source, tok
+               FROM (SELECT doc_id, source, unnest(ws) AS tok FROM w)
+               WHERE tok != ''),
+        lab AS (SELECT doc_id, (source = 'src0') AS pos FROM documents),
+        $blocks
+        SELECT fold, n_docs, n_correct,
+          CAST((1000 * n_correct) // n_docs AS BIGINT) AS acc_permille
+        FROM ($union) ORDER BY fold"""
+  }
+
   private val jaccardPairsSql: String =
     """WITH tkn AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
        sh AS (SELECT doc_id, list_distinct(
@@ -2285,6 +2359,8 @@ object SparkEntry {
                  CROSS JOIN nn
          WHERE c12 >= 5
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
+
+    "q203_nb_crossval" -> nbCrossvalSql(5),
 
     // Frequent paths: q197's session chain + a path count.
     "q200_frequent_paths" ->
