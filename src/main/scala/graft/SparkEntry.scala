@@ -361,6 +361,27 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Threshold tuning: jaccard-decile pair histogram + cumulative
+    // survivors per candidate tau — exact integer buckets.
+    "q204_dedup_curve" -> ((s, dir) => {
+      graft.ops.Dedup.dedupThresholdCurve(t(s, dir, "documents"),
+          col("doc_id"), col("text"), minBucket = 0)
+        .orderBy(desc("tau_bucket"))
+    }),
+
+    // Shard diversity: per-shard source-mixture entropy over the q90
+    // round-robin deal (micro-nat fixed point).
+    "q205_shard_entropy" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val sh = graft.ops.Packing.shuffleShards(d, col("doc_id"),
+          numShards = 8)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+      graft.ops.Checks.mixtureEntropy(sh, col("shard"), col("source"))
+        .select(col("group").as("shard"), col("n_rows"),
+                col("n_cats").as("n_sources"), col("entropy_fp"))
+        .orderBy("shard")
+    }),
+
     // Model eval in-engine: 5-fold cross-validated NB source
     // classifier — per fold, train on the complement (q97's exact
     // model), score the fold, sign-vs-label accuracy.
@@ -2361,6 +2382,54 @@ object SparkEntry {
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
 
     "q203_nb_crossval" -> nbCrossvalSql(5),
+
+    // Dedup curve: q21's pair CTEs, exact integer decile buckets,
+    // cumulative over the tiny histogram.
+    "q204_dedup_curve" ->
+      """WITH tkn AS (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents),
+         sh AS (SELECT doc_id, list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws) - 1)]) AS shingles
+                FROM tkn),
+         ex AS (SELECT doc_id, len(shingles) AS n, unnest(shingles) AS s
+                FROM sh),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                     count(*) AS co, any_value(a.n) AS na,
+                     any_value(b.n) AS nb
+                   FROM ex a JOIN ex b
+                     ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+         bk AS (SELECT CAST((10 * co) // (na + nb - co) AS INTEGER)
+                  AS tau_bucket FROM pairs),
+         h AS (SELECT tau_bucket, count(*) AS n_pairs FROM bk
+               WHERE tau_bucket >= 0 GROUP BY 1)
+         SELECT tau_bucket, n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY tau_bucket DESC
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum
+         FROM h ORDER BY tau_bucket DESC""",
+
+    // Shard entropy: q90's shard assignment + per-term-quantized
+    // entropy estimator.
+    "q205_shard_entropy" ->
+      """WITH h AS (SELECT doc_id, source,
+           (((((((doc_id + 1) % 2147483647) + 2147483647) % 2147483647)
+              * 48271) % 2147483647) * 48271) % 2147483647 AS hv
+         FROM documents),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (ORDER BY hv, doc_id) - 1 AS pos
+               FROM h),
+         a AS (SELECT pos % 8 AS shard, source FROM r),
+         c AS (SELECT shard, source, count(*) AS n FROM a GROUP BY 1, 2),
+         g AS (SELECT shard, CAST(sum(n) AS BIGINT) AS n_rows,
+                 count(*) AS n_sources,
+                 CAST(sum(CAST(floor(n * ln(n) * 1000000.0 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS clnc
+               FROM c GROUP BY 1)
+         SELECT shard, n_rows, n_sources,
+           CAST(floor(ln(n_rows) * 1000000.0 + 0.5) AS BIGINT)
+             - (clnc // n_rows) AS entropy_fp
+         FROM g ORDER BY shard""",
 
     // Frequent paths: q197's session chain + a path count.
     "q200_frequent_paths" ->

@@ -137,6 +137,32 @@ object Checks {
       .withColumn("flag_permille", expr("(1000 * n_flag) div n_rows"))
   }
 
+  /** Per-group category-mixture entropy (nats, micro-fixed-point):
+    * H = ln(T) − (Σ c·ln c)/T over the group's category counts — the
+    * diversity check run per shard/fold/day after any partitioning op
+    * ("did round-robin actually mix the sources?"; a shard that
+    * collapsed to one source reads 0). Each c·ln c term quantizes to
+    * integer micro-units BEFORE the sum, so the aggregate is
+    * order-independent integer arithmetic and both engines agree
+    * bit-for-bit (a float Σ c·ln c would be partition-order-dependent);
+    * the result is the quantized estimator, deterministic by
+    * definition. Two aggregates, category-frame sized.
+    * Output: (group, n_rows, n_cats, entropy_fp). */
+  def mixtureEntropy(df: DataFrame, group: Column, category: Column)
+      : DataFrame = {
+    val counts = df.groupBy(group.as("g"), category.as("c"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy("g").agg(
+        sum("n").as("n_rows"),
+        count(lit(1)).as("n_cats"),
+        sum(floor(col("n").cast("double") * log(col("n").cast("double"))
+              * lit(1000000.0) + lit(0.5)).cast("long")).as("__clnc"))
+      .select(col("g").as("group"), col("n_rows"), col("n_cats"),
+        (floor(log(col("n_rows").cast("double")) * lit(1000000.0)
+           + lit(0.5)).cast("long")
+         - expr("__clnc div n_rows")).as("entropy_fp"))
+  }
+
   /** K-anonymity audit: how much of the table sits in quasi-identifier
     * equivalence classes smaller than `k` — the re-identification risk
     * screen run before releasing any dataset with demographic-ish

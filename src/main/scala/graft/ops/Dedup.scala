@@ -695,6 +695,42 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("c"), 6).as("cos"))
   }
 
+  /** Dedup operating curve: the pair-count histogram by Jaccard
+    * decile, with a cumulative "pairs surviving tau >= bucket/10"
+    * column — the threshold-tuning artifact you produce ONCE before
+    * committing a dedup tau to a 100 TB run (how many pairs does each
+    * candidate threshold implicate?). Buckets come from EXACT integer
+    * division (10·co) div (union) — never floor(10·jaccard) on a
+    * rounded float, whose representation boundary at e.g. 0.6 would
+    * flip buckets between engines.
+    *
+    * Same inverted-shingle-index plan as [[jaccardPairs]] (pair cost
+    * tracks shared-shingle mass); the cumulative window runs over the
+    * <= 11-row histogram, not data. Output:
+    * (tau_bucket 10..minBucket, n_pairs, n_cum), descending. */
+  def dedupThresholdCurve(df: DataFrame, id: Column, text: Column,
+                          minBucket: Int = 3, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minBucket >= 0 && minBucket <= 10,
+      s"minBucket must be in [0, 10], got $minBucket")
+    val sh = fanOut(df).select(id.as("id"), shingles(text, n).as("sh"))
+      .withColumn("n", size(col("sh")))
+    val ex = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
+    val hist = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+      .agg(count(lit(1)).as("co"),
+           first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .select(expr("(10 * co) div (na + nb - co)").cast("int")
+        .as("tau_bucket"))
+      .filter(col("tau_bucket") >= minBucket)
+      .groupBy("tau_bucket").agg(count(lit(1)).as("n_pairs"))
+    hist.withColumn("n_cum",
+      sum(col("n_pairs")).over(Window.orderBy(col("tau_bucket").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("tau_bucket").desc)
+  }
+
   /** Corpus-provenance overlap matrix: exact shingle-set Jaccard
     * between every pair of STRATA (sources, snapshots, languages) —
     * "which feeds are re-crawls of each other", the corpus-level

@@ -1857,6 +1857,34 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("mixtureEntropy: uniform two-way mix is ln 2, pure shard is 0") {
+    import spark.implicits._
+    val d = (Seq.fill(50)(("s1", "a")) ++ Seq.fill(50)(("s1", "b")) ++
+             Seq.fill(30)(("s2", "a"))).toDF("shard", "src")
+    val out = Checks.mixtureEntropy(d, col("shard"), col("src"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // H(s1) = ln(100) - 2*floor(50 ln 50 *1e6+.5)/100 ≈ ln 2
+    assert(out("s1")._1 == 100L && out("s1")._2 == 2L)
+    assert(math.abs(out("s1")._3 - 693147L) <= 1L, out("s1").toString)
+    assert(out("s2") == ((30L, 1L, 0L)))
+  }
+
+  test("dedupThresholdCurve buckets exactly and accumulates downward") {
+    import spark.implicits._
+    // docs 1,2 identical (jaccard 1 → bucket 10); doc 3 shares one of
+    // its three shingles with them: co=1, na=2, nb=3 → 10//4 = 2
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d"),
+                   (3L, "a b c x y")).toDF("doc_id", "text")
+    val out = Dedup.dedupThresholdCurve(docs, col("doc_id"),
+        col("text"), minBucket = 0)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out(10) == ((1L, 1L)))
+    assert(out(2) == ((2L, 3L))) // pairs (1,3) and (2,3), cum includes 10
+    assert(out.size == 2)
+  }
+
   test("markovAccuracy scores the argmax model on the pair stream") {
     import spark.implicits._
     import java.sql.Timestamp
