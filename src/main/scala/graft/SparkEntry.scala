@@ -361,6 +361,24 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Fabrication screen: Benford first-digit audit over exact cents.
+    "q206_benford" -> ((s, dir) => {
+      graft.ops.Checks.benfordAudit(t(s, dir, "orders"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .orderBy("digit")
+    }),
+
+    // Entity triage: 3x3x3 RFM segment census over customers,
+    // rank-exact tiers via the prefix sum.
+    "q207_rfm_segments" -> ((s, dir) => {
+      graft.ops.Relational.rfmSegments(t(s, dir, "orders"),
+          col("o_custkey"),
+          datediff(col("o_orderdate"), to_date(lit("1970-01-01"))),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"),
+          buckets = 3)
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    }),
+
     // Threshold tuning: jaccard-decile pair histogram + cumulative
     // survivors per candidate tau — exact integer buckets.
     "q204_dedup_curve" -> ((s, dir) => {
@@ -2382,6 +2400,51 @@ object SparkEntry {
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
 
     "q203_nb_crossval" -> nbCrossvalSql(5),
+
+    // Benford: decimal-string leading digit, shared float shares.
+    "q206_benford" ->
+      """WITH d AS (SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1)
+                      AS INTEGER) AS digit
+                    FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+                            AS BIGINT) AS v FROM orders)
+                    WHERE v > 0),
+         c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+         x AS (SELECT digit, n,
+                 CAST(floor(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS obs_fp,
+                 CAST(floor(ln(1.0 + 1.0 / digit) / ln(10.0)
+                      * 1000000.0 + 0.5) AS BIGINT) AS benford_fp
+               FROM c CROSS JOIN t)
+         SELECT digit, n, obs_fp, benford_fp,
+                abs(obs_fp - benford_fp) AS dev_fp
+         FROM x ORDER BY digit""",
+
+    // RFM: per-entity reduce, three ranked tier cuts with the
+    // identical integer formula, segment census.
+    "q207_rfm_segments" ->
+      """WITH base AS (SELECT o_custkey AS e,
+                 max(CAST(date_diff('day', DATE '1970-01-01',
+                     o_orderdate) AS BIGINT)) AS r,
+                 count(*) AS f,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS m
+               FROM orders GROUP BY 1),
+         nn AS (SELECT count(*) AS nt FROM base),
+         t1 AS (SELECT base.*, nt,
+                  CAST(((row_number() OVER (ORDER BY r, e)) - 1) * 3
+                       // nt + 1 AS INTEGER) AS r_bucket
+                FROM base CROSS JOIN nn),
+         t2 AS (SELECT t1.*,
+                  CAST(((row_number() OVER (ORDER BY f, e)) - 1) * 3
+                       // nt + 1 AS INTEGER) AS f_bucket
+                FROM t1),
+         t3 AS (SELECT t2.*,
+                  CAST(((row_number() OVER (ORDER BY m, e)) - 1) * 3
+                       // nt + 1 AS INTEGER) AS m_bucket
+                FROM t2)
+         SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_entities
+         FROM t3 GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     // Dedup curve: q21's pair CTEs, exact integer decile buckets,
     // cumulative over the tiny histogram.

@@ -137,6 +137,34 @@ object Checks {
       .withColumn("flag_permille", expr("(1000 * n_flag) div n_rows"))
   }
 
+  /** Benford's-law first-digit audit: the distribution of leading
+    * digits of a positive integer measure vs the Benford expectation
+    * log10(1 + 1/d) — the classic fabricated-numbers / broken-ETL
+    * screen (organically-grown magnitudes track Benford; truncated,
+    * capped, or synthesized columns don't). One scan to 9 digit
+    * counts; observed and expected shares in micro fixed point with
+    * the single float division shared between engines. The leading
+    * digit comes from the DECIMAL STRING head — no float log10 on the
+    * value, whose boundary rounding at powers of ten would misbucket.
+    * Nonpositive/null values are excluded (no leading digit).
+    * Output: (digit 1..9, n, obs_fp, benford_fp, dev_fp). */
+  def benfordAudit(df: DataFrame, value: Column): DataFrame = {
+    val digits = df.select(value.cast("long").as("v"))
+      .filter(col("v") > 0L)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        floor(col("n").cast("double") / col("t").cast("double")
+          * lit(1000000.0) + lit(0.5)).cast("long").as("obs_fp"),
+        floor(log(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          / log(lit(10.0)) * lit(1000000.0) + lit(0.5)).cast("long")
+          .as("benford_fp"))
+      .withColumn("dev_fp", abs(col("obs_fp") - col("benford_fp")))
+  }
+
   /** Per-group category-mixture entropy (nats, micro-fixed-point):
     * H = ln(T) − (Σ c·ln c)/T over the group's category counts — the
     * diversity check run per shard/fold/day after any partitioning op

@@ -57,6 +57,46 @@ object Relational {
     }
   }
 
+  /** RFM segmentation: customers bucketed into `buckets` rank-exact
+    * tiers on each of Recency (latest order day), Frequency (order
+    * count), and Monetary (exact cents) — the standard
+    * customer-base / data-source triage grid (here: which ENTITIES
+    * deserve crawl/refresh budget). Tier cut = the
+    * [[graft.ops.Checks.liftTable]] integer formula on per-dimension
+    * ranks, ties by entity id, so the grid is deterministic.
+    *
+    * Scale shape: orders reduce to the per-entity (r, f, m) frame
+    * first (one shuffle, map-side partials); each dimension ranks via
+    * the range-partitioned prefix sum ([[graft.ops.Packing
+    * .orderedCumsum]] — entity-frame sized, never a single-partition
+    * window); the output is the `buckets`³-row segment census.
+    * Output: (r_bucket, f_bucket, m_bucket, n_entities), tiers
+    * ascending (bucket `buckets` = most recent / most frequent /
+    * highest spend). */
+  def rfmSegments(df: DataFrame, entity: Column, dateDay: Column,
+                  amount: Column, buckets: Int = 3,
+                  partitions: Int = 32): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = df.select(entity.as("e"), dateDay.cast("long").as("d"),
+        amount.cast("long").as("a"))
+      .groupBy("e")
+      .agg(max(col("d")).as("r"), count(lit(1)).as("f"),
+           sum(col("a")).as("m"))
+    val tot = base.agg(count(lit(1)).as("n_total"))
+    def tier(in: DataFrame, metric: String, as: String): DataFrame =
+      Packing.orderedCumsum(in,
+          struct(col(metric).as("v"), col("e").as("e")), lit(1L),
+          partitions, offsetName = "__rk")
+        .crossJoin(broadcast(tot))
+        .withColumn(as,
+          expr(s"(__rk * $buckets) div n_total + 1").cast("int"))
+        .drop("__rk", "n_total")
+    val tiered = tier(tier(tier(base, "r", "r_bucket"),
+      "f", "f_bucket"), "m", "m_bucket")
+    tiered.groupBy("r_bucket", "f_bucket", "m_bucket")
+      .agg(count(lit(1)).as("n_entities"))
+  }
+
   /** Top-k per group WITH TIES (SQL `FETCH FIRST k ROWS WITH TIES`):
     * every row whose `rank()` — equal order values share a rank — is
     * <= k survives, so the k-th place's ties all come back instead of

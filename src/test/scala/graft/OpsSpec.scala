@@ -1857,6 +1857,38 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("benfordAudit reads decimal heads and excludes nonpositives") {
+    import spark.implicits._
+    val d = Seq(100L, 19L, 25L, 999L, 1L, 0L, -7L).toDF("v")
+    val out = Checks.benfordAudit(d, col("v"))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // digits: 1 (100, 19, 1), 2 (25), 9 (999); 0 and -7 excluded
+    assert(out(1)._1 == 3L && out(2)._1 == 1L && out(9)._1 == 1L)
+    assert(out(1)._2 == 600000L) // 3/5 in micro units
+    assert(out(1)._3 == 301030L) // log10(2) micro
+    assert(out.size == 3)
+  }
+
+  test("rfmSegments cuts rank-exact tiers per dimension") {
+    import spark.implicits._
+    // 6 customers, 1 order each on distinct days/amounts: every
+    // dimension splits 2/2/2 and r,f,m tiers follow the metric order
+    val orders = (1L to 6L).map(i => (i, i * 10, i * 100L))
+      .toDF("cust", "day", "cents")
+    val out = Relational.rfmSegments(orders, col("cust"), col("day"),
+        col("cents"), buckets = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) ->
+        r.getLong(3)).toMap
+    // f is constant (1 per customer) → f tiers split by id ties; r and
+    // m both follow i, so r_bucket == m_bucket always
+    assert(out.values.sum == 6L)
+    assert(out.keys.forall { case (r, _, m) => r == m })
+    val rTotals = out.groupBy(_._1._1).map { case (k, v) =>
+      k -> v.values.sum }
+    assert(rTotals == Map(1 -> 2L, 2 -> 2L, 3 -> 2L))
+  }
+
   test("mixtureEntropy: uniform two-way mix is ln 2, pure shard is 0") {
     import spark.implicits._
     val d = (Seq.fill(50)(("s1", "a")) ++ Seq.fill(50)(("s1", "b")) ++
