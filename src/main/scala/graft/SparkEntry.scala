@@ -361,6 +361,33 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Triage: ABC/Pareto classes over part revenue (A = first 80% of
+    // value, B to 95%, C the tail) — exact integer cut comparisons.
+    "q208_pareto" -> ((s, dir) => {
+      graft.ops.Relational.paretoClasses(t(s, dir, "lineitem"),
+          col("l_partkey"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"))
+        .orderBy("cls")
+    }),
+
+    // Profiling: per-column null + exact distinct census in one scan.
+    "q209_column_profile" -> ((s, dir) => {
+      graft.ops.Checks.columnProfile(t(s, dir, "events")
+          .withColumn("ts_s",
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")),
+          Seq("event_id", "user_id", "event_type", "ts_s"))
+        .orderBy("column")
+    }),
+
+    // Distribution shape: equal-width histogram over order cents with
+    // EXPLICIT empty bins (width 50k cents).
+    "q210_histogram" -> ((s, dir) => {
+      graft.ops.Checks.histogram(t(s, dir, "orders"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"),
+          binWidth = 5000000L)
+        .orderBy("bin")
+    }),
+
     // Fabrication screen: Benford first-digit audit over exact cents.
     "q206_benford" -> ((s, dir) => {
       graft.ops.Checks.benfordAudit(t(s, dir, "orders"),
@@ -2400,6 +2427,74 @@ object SparkEntry {
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
 
     "q203_nb_crossval" -> nbCrossvalSql(5),
+
+    // Pareto: inclusive cumulative value window, identical integer
+    // cut comparisons, class census.
+    "q208_pareto" ->
+      """WITH base AS (SELECT l_partkey AS e,
+                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS v
+               FROM lineitem GROUP BY 1),
+         tt AS (SELECT CAST(sum(v) AS BIGINT) AS vt FROM base),
+         r AS (SELECT e, v,
+                 CAST(sum(v) OVER (ORDER BY v DESC, e
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+               FROM base),
+         cl AS (SELECT v,
+                 CASE WHEN cum * 1000 <= 800 * vt THEN 'A'
+                      WHEN cum * 1000 <= 950 * vt THEN 'B'
+                      ELSE 'C' END AS cls
+               FROM r CROSS JOIN tt)
+         SELECT cls, count(*) AS n_entities,
+           CAST(sum(v) AS BIGINT) AS value_total,
+           CAST((1000 * sum(v)) // (SELECT vt FROM tt) AS BIGINT)
+             AS share_permille
+         FROM cl GROUP BY 1 ORDER BY cls""",
+
+    // Column profile: per-column conditional sums + exact distincts,
+    // unpivoted via UNION ALL.
+    "q209_column_profile" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                      strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s
+                    FROM events)
+         SELECT * FROM (
+           SELECT 'event_id' AS "column", count(*) AS n_rows,
+             CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null,
+             count(DISTINCT event_id) AS n_distinct FROM e
+           UNION ALL
+           SELECT 'user_id', count(*),
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT user_id) FROM e
+           UNION ALL
+           SELECT 'event_type', count(*),
+             CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT event_type) FROM e
+           UNION ALL
+           SELECT 'ts_s', count(*),
+             CAST(sum(CASE WHEN ts_s IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             count(DISTINCT ts_s) FROM e)
+         ORDER BY "column"""",
+
+    // Histogram: identical sign-safe floor division, generated spine,
+    // explicit zeros.
+    "q210_histogram" ->
+      """WITH b AS (SELECT (v - ((v % 5000000 + 5000000) % 5000000))
+                      // 5000000 AS bin
+                    FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5)
+                            AS BIGINT) AS v FROM orders)
+                    WHERE v IS NOT NULL),
+         c AS (SELECT bin, count(*) AS n FROM b GROUP BY 1),
+         s AS (SELECT unnest(generate_series(b0, b1)) AS bin
+               FROM (SELECT min(bin) AS b0, max(bin) AS b1 FROM b)
+               WHERE b0 IS NOT NULL)
+         SELECT s.bin, s.bin * 5000000 AS lo,
+           (s.bin + 1) * 5000000 - 1 AS hi, coalesce(c.n, 0) AS n
+         FROM s LEFT JOIN c ON s.bin = c.bin
+         ORDER BY s.bin""",
 
     // Benford: decimal-string leading digit, shared float shares.
     "q206_benford" ->

@@ -137,6 +137,58 @@ object Checks {
       .withColumn("flag_permille", expr("(1000 * n_flag) div n_rows"))
   }
 
+  /** Column-completeness and cardinality profile: per listed column,
+    * its null count and exact distinct count in ONE scan (conditional
+    * sums + distinct aggregates fused into a single aggregate, then
+    * unpivoted to a row per column) — the first thing a pipeline
+    * prints about an unfamiliar table. Exact countDistinct is the
+    * point at audit time; swap [[Sketches.profile]]'s HLL when the
+    * column is ultra-wide. Output: (column, n_rows, n_null,
+    * n_distinct), one row per listed column. */
+  def columnProfile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "need at least one column")
+    require(columns.forall(df.columns.contains),
+      s"unknown column(s): ${columns.filterNot(df.columns.contains)}")
+    val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+      countDistinct(col(c)).as(s"__nd_$c")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(columns.map(c =>
+        struct(lit(c).as("column"), col("__n").as("n_rows"),
+               col(s"__null_$c").as("n_null"),
+               col(s"__nd_$c").as("n_distinct"))): _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Equal-width histogram with EXPLICIT empty bins: integer values
+    * bucketed by `binWidth` over the [min, max] bin span — empty bins
+    * matter (a gap in a distribution is a finding, and downstream
+    * plotting/drift math needs aligned bins). Floor division uses the
+    * sign-safe `(v - ((v % w + w) % w)) / w` identity — Spark's `div`
+    * truncates toward zero on negatives while DuckDB's `//` floors,
+    * so a bare div would disagree below zero. One scan to the sparse
+    * bin counts; the spine explodes from a 2-row aggregate
+    * ([[Events.gapFillHourly]]'s shape). Output: (bin, lo, hi, n). */
+  def histogram(df: DataFrame, value: Column, binWidth: Long)
+      : DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    val b = df.select(value.cast("long").as("v")).filter(col("v").isNotNull)
+      // the adjusted numerator divides EXACTLY, so truncating `div`
+      // equals floor division — and stays in integer arithmetic
+      // (a `/` would detour through double and lose precision on
+      // large longs)
+      .select(expr(s"(v - ((v % $binWidth + $binWidth) % $binWidth))" +
+        s" div $binWidth").as("bin"))
+    val counts = b.groupBy("bin").agg(count(lit(1)).as("n"))
+    val spine = b.agg(min(col("bin")).as("b0"), max(col("bin")).as("b1"))
+      .filter(col("b0").isNotNull)
+      .select(explode(sequence(col("b0"), col("b1"))).as("bin"))
+    spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"), (col("bin") * binWidth).as("lo"),
+        ((col("bin") + 1) * binWidth - 1).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Benford's-law first-digit audit: the distribution of leading
     * digits of a positive integer measure vs the Benford expectation
     * log10(1 + 1/d) — the classic fabricated-numbers / broken-ETL

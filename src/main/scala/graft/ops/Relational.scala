@@ -57,6 +57,50 @@ object Relational {
     }
   }
 
+  /** Pareto/ABC analysis: entities ranked by value descending,
+    * classified by where their INCLUSIVE cumulative share crosses the
+    * cut points ("A" holds the first `cuts(0)` permille of total
+    * value, ...) — the 80/20 triage behind storage tiering, crawl
+    * budgets, and cache sizing. Cuts compare as exact integer cross
+    * products (cum·1000 <= cut·total — no float shares), ties by
+    * entity id, so the classing is deterministic.
+    *
+    * Scale shape: per-entity reduce, then ONE range-partitioned
+    * prefix sum over the entity frame accumulating VALUE (not row
+    * counts — [[graft.ops.Packing.orderedCumsum]] sums the passed
+    * column), a broadcast total, and a class-count census. Output:
+    * (cls, n_entities, value_total, share_permille) ordered A->. */
+  def paretoClasses(df: DataFrame, entity: Column, value: Column,
+                    cutsPermille: Seq[Int] = Seq(800, 950),
+                    partitions: Int = 32): DataFrame = {
+    require(cutsPermille.nonEmpty &&
+      cutsPermille == cutsPermille.sorted &&
+      cutsPermille.forall(c => c > 0 && c < 1000),
+      s"cuts must be ascending permille in (0, 1000), got $cutsPermille")
+    val base = df.select(entity.as("e"), value.cast("long").as("v"))
+      .groupBy("e").agg(sum(col("v")).as("v"))
+    val ranked = Packing.orderedCumsum(base,
+      struct((-col("v")).as("vneg"), col("e").as("e")), col("v"),
+      partitions, offsetName = "cumx")
+    val tot = base.agg(sum(col("v")).as("vt"))
+    val labels = cutsPermille.zipWithIndex.map { case (c, i) =>
+      (c, ('A' + i).toChar.toString) }
+    val tailName = ('A' + cutsPermille.size).toChar.toString
+    val cls = labels.foldLeft(
+        when(lit(false), "")) { case (acc, (cut, name)) =>
+        acc.when((col("cumx") + col("v")) * 1000 <= lit(cut.toLong) *
+          col("vt"), name)
+      }.otherwise(tailName)
+    ranked.crossJoin(broadcast(tot))
+      .select(cls.as("cls"), col("v"))
+      .groupBy("cls")
+      .agg(count(lit(1)).as("n_entities"), sum(col("v")).as("value_total"))
+      .crossJoin(broadcast(tot))
+      .withColumn("share_permille",
+        expr("(1000 * value_total) div vt"))
+      .drop("vt")
+  }
+
   /** RFM segmentation: customers bucketed into `buckets` rank-exact
     * tiers on each of Recency (latest order day), Frequency (order
     * count), and Monetary (exact cents) — the standard

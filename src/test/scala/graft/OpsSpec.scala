@@ -1857,6 +1857,44 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("paretoClasses cuts at inclusive cumulative shares") {
+    import spark.implicits._
+    val d = Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("e", "v")
+    val out = Relational.paretoClasses(d, col("e"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("A") == ((1L, 80L, 800L)))
+    assert(out("B") == ((1L, 15L, 150L)))
+    assert(out("C") == ((1L, 5L, 50L)))
+  }
+
+  test("columnProfile counts nulls and exact distincts per column") {
+    import spark.implicits._
+    val d = Seq((Some(1L), Some("x")), (Some(1L), None),
+                (None, Some("y"))).toDF("a", "b")
+    val out = Checks.columnProfile(d, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("a") == ((3L, 1L, 1L)))
+    assert(out("b") == ((3L, 1L, 2L)))
+  }
+
+  test("histogram floors negative bins and emits empty bins") {
+    import spark.implicits._
+    val d = Seq(-11L, -1L, 0L, 9L, 35L).toDF("v")
+    val out = Checks.histogram(d, col("v"), binWidth = 10L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // -11 → bin -2; -1 → bin -1 (floor, NOT trunc-to-zero); 0,9 →
+    // bin 0; 35 → bin 3; bins 1,2 explicit zeros
+    assert(out(-2L) == ((-20L, -11L, 1L)))
+    assert(out(-1L) == ((-10L, -1L, 1L)))
+    assert(out(0L) == ((0L, 9L, 2L)))
+    assert(out(1L) == ((10L, 19L, 0L)) && out(2L) == ((20L, 29L, 0L)))
+    assert(out(3L) == ((30L, 39L, 1L)))
+    assert(out.size == 6)
+  }
+
   test("benfordAudit reads decimal heads and excludes nonpositives") {
     import spark.implicits._
     val d = Seq(100L, 19L, 25L, 999L, 1L, 0L, -7L).toDF("v")
