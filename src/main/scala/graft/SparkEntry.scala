@@ -361,6 +361,23 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Multi-objective curation: the quality x novelty Pareto frontier
+    // — docs no other doc beats on both axes.
+    "q219_skyline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = graft.ops.TextAnalysis.coverageNovelty(d,
+          col("doc_id"), col("text"), n = 3)
+        .select(col("doc_id"), col("novel"))
+        .join(d.select(col("doc_id"),
+          graft.ops.TextAnalysis.qualityScoreX1e4(col("text"))
+            .as("q")), "doc_id")
+      graft.ops.Relational.skyline2d(scored, col("doc_id"),
+          col("q"), col("novel"))
+        .select(col("id").as("doc_id"), col("x").as("quality_x1e4"),
+                col("y").as("novel"))
+        .orderBy("doc_id")
+    }),
+
     // Triage: ABC/Pareto classes over part revenue (A = first 80% of
     // value, B to 95%, C the tail) — exact integer cut comparisons.
     "q208_pareto" -> ((s, dir) => {
@@ -2427,6 +2444,39 @@ object SparkEntry {
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
 
     "q203_nb_crossval" -> nbCrossvalSql(5),
+
+    // Skyline: q26's quality + q196's novelty, per-x maxima, strict-
+    // prefix max, identical dominance predicate.
+    "q219_skyline" ->
+      """WITH tkn AS (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents),
+         q AS (SELECT doc_id,
+                 CAST(floor((len(list_distinct(ws)) * 1.0 / len(ws)
+                     * 0.5
+                   + least(len(ws) / 100.0, 1.0) * 0.3
+                   + len(list_filter(ws, t -> t IN
+                       ('the','a','of','and','to','in'))) * 1.0
+                     / len(ws) * 0.2) * 10000.0 + 0.5) AS BIGINT) AS x
+               FROM tkn),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws) - 1)])) AS s FROM tkn),
+         nov AS (SELECT doc_id, count(*) AS novel FROM (
+                   SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY 1)
+                 GROUP BY 1),
+         b AS (SELECT q.doc_id AS id, q.x,
+                 coalesce(nov.novel, 0) AS y
+               FROM q LEFT JOIN nov ON q.doc_id = nov.doc_id),
+         px AS (SELECT x, max(y) AS my FROM b GROUP BY 1),
+         pm AS (SELECT x, my,
+                  max(my) OVER (ORDER BY x DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS pmax
+                FROM px)
+         SELECT b.id AS doc_id, b.x AS quality_x1e4, b.y AS novel
+         FROM b JOIN pm ON b.x = pm.x
+         WHERE NOT (coalesce(pm.pmax >= b.y, FALSE) OR pm.my > b.y)
+         ORDER BY doc_id""",
 
     // Pareto: inclusive cumulative value window, identical integer
     // cut comparisons, class census.

@@ -57,6 +57,37 @@ object Relational {
     }
   }
 
+  /** 2-D skyline (Pareto frontier, maxima variant): rows not
+    * DOMINATED on (x, y) — p dominates q when p.x >= q.x, p.y >= q.y,
+    * and p beats q strictly on at least one axis. Multi-objective
+    * curation ("highest quality AND most novel"), price/performance
+    * frontiers. Rows tying on BOTH axes dominate neither and all
+    * survive; null coordinates drop (no position, no frontier seat).
+    *
+    * Scale shape: dominance collapses to two checks — a strictly
+    * greater x with y' >= y (a PREFIX MAX over the per-x maxima in x-
+    * descending order) or an equal x with y' > y (the per-x max
+    * itself) — so the corpus reduces to the per-x maxima frame (one
+    * shuffle; bounded by x's QUANTIZED cardinality, e.g. 1e4+1 rows
+    * for an x1e4 score, never corpus size), the prefix-max window
+    * runs over THAT frame only, and one broadcast-sized join back
+    * flags each row. Output: the surviving (id, x, y) rows. */
+  def skyline2d(df: DataFrame, id: Column, x: Column, y: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(id.as("id"), x.cast("long").as("x"),
+        y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    val perX = base.groupBy("x").agg(max(col("y")).as("my"))
+    val w = Window.orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pm = perX.withColumn("pmax", max(col("my")).over(w))
+    base.join(broadcast(pm), Seq("x"))
+      .filter(!(coalesce(col("pmax") >= col("y"), lit(false)) ||
+                col("my") > col("y")))
+      .select(col("id"), col("x"), col("y"))
+  }
+
   /** Pareto/ABC analysis: entities ranked by value descending,
     * classified by where their INCLUSIVE cumulative share crosses the
     * cut points ("A" holds the first `cuts(0)` permille of total

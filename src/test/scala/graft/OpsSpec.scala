@@ -1857,6 +1857,19 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("skyline2d keeps exactly the non-dominated rows") {
+    import spark.implicits._
+    // (5,1) and (1,5) are frontier corners; (3,3) survives (nobody
+    // beats it on both); (2,2) is dominated by (3,3); (3,1) by (3,3)
+    // via the equal-x rule; duplicated frontier point both survive
+    val d = Seq((1L, 5L, 1L), (2L, 1L, 5L), (3L, 3L, 3L),
+                (4L, 2L, 2L), (5L, 3L, 1L), (6L, 3L, 3L))
+      .toDF("id", "x", "y")
+    val out = Relational.skyline2d(d, col("id"), col("x"), col("y"))
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L, 3L, 6L))
+  }
+
   test("paretoClasses cuts at inclusive cumulative shares") {
     import spark.implicits._
     val d = Seq((1L, 80L), (2L, 15L), (3L, 5L)).toDF("e", "v")
