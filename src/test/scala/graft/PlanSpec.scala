@@ -263,6 +263,25 @@ class PlanSpec extends AnyFunSuite {
             p.contains("EqualTo(event_type, signup)")), p.take(3000))
   }
 
+  test("q194 strata overlap meets through the shingle equi-join") {
+    val p = plan("q194_source_overlap").toLowerCase
+    // candidate pairs must form on the shingle key; a nested-loop
+    // cross of strata shingle sets would be corpus^2
+    assert(!p.contains("broadcastnestedloopjoin") &&
+           !p.contains("cartesianproduct"), p.take(3000))
+  }
+
+  test("q207/q208 rank passes range-partition, scalar funnels only") {
+    Seq("q207_rfm_segments", "q208_pareto").foreach { q =>
+      val p = plan(q).toLowerCase
+      assert(p.contains("rangepartitioning"), s"$q: ${p.take(2000)}")
+      p.split("exchange singlepartition").drop(1).foreach { after =>
+        assert(after.take(200).contains("hashaggregate(keys=[]"),
+          s"$q: non-scalar single-partition stage: ${after.take(400)}")
+      }
+    }
+  }
+
   test("q174/q186 rank passes range-partition — no single-partition window") {
     // both global-rank consumers must ride orderedCumsum's
     // range-partitioned prefix sum; a `row_number() over (order by)`
