@@ -361,6 +361,60 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Star-schema flatten: fact → customer → nation → region, every
+    // dim broadcast (PlanSpec pins it), revenue per region/nation.
+    "q220_star_flatten" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name").as("region"), col("n_name").as("nation"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(floor(col("o_totalprice") * 100 + lit(0.5))
+               .cast("long")).as("cents"))
+        .orderBy("region", "nation")
+    }),
+
+    // Engagement health: bounce rate (single-event sessions) per user
+    // cohort of total sessions — composed from the session frame.
+    "q221_bounce_rate" -> ((s, dir) => {
+      val sess = graft.ops.Events.sessionPaths(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"),
+        gapSeconds = 1800L)
+      sess.agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L))
+            .as("n_bounces"))
+        .withColumn("bounce_permille",
+          expr("(1000 * n_bounces) div n_sessions"))
+    }),
+
+    // Ratio-to-parent: each nation's share of its region's revenue —
+    // window-free (child agg joined to parent agg), integer permille.
+    "q222_ratio_to_parent" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      val flat = o
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("cents"))
+      val byNation = flat.groupBy("region", "nation")
+        .agg(sum("cents").as("cents"))
+      val byRegion = byNation.groupBy("region")
+        .agg(sum("cents").as("region_cents"))
+      byNation.join(byRegion, "region")
+        .withColumn("share_permille",
+          expr("(1000 * cents) div region_cents"))
+        .orderBy("region", "nation")
+    }),
+
     // Multi-objective curation: the quality x novelty Pareto frontier
     // — docs no other doc beats on both axes.
     "q219_skyline" -> ((s, dir) => {
@@ -2444,6 +2498,62 @@ object SparkEntry {
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
 
     "q203_nb_crossval" -> nbCrossvalSql(5),
+
+    // Star flatten: the same 3-dim join chain.
+    "q220_star_flatten" ->
+      """SELECT r_name AS region, n_name AS nation,
+         count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // Bounce rate: q197's session frame, single-event share.
+    "q221_bounce_rate" ->
+      """WITH e AS (SELECT user_id, ts, event_id FROM events
+                    WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         l AS (SELECT *,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN date_diff('second', lag(ts) OVER w, ts)
+                           > 1800 THEN 1 ELSE 0 END AS nw
+               FROM e
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts, event_id)),
+         s AS (SELECT user_id,
+                 sum(nw) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM l),
+         g AS (SELECT user_id, session_id, count(*) AS n_events
+               FROM s GROUP BY 1, 2)
+         SELECT count(*) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bounces,
+           CAST((1000 * sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS bounce_permille
+         FROM g""",
+
+    // Ratio to parent: child and parent aggregates joined.
+    "q222_ratio_to_parent" ->
+      """WITH flat AS (SELECT r_name AS region, n_name AS nation,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+               FROM orders
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               JOIN region ON n_regionkey = r_regionkey),
+         bn AS (SELECT region, nation, CAST(sum(cents) AS BIGINT)
+                  AS cents FROM flat GROUP BY 1, 2),
+         br AS (SELECT region, CAST(sum(cents) AS BIGINT)
+                  AS region_cents FROM bn GROUP BY 1)
+         SELECT bn.region, bn.nation, bn.cents, br.region_cents,
+           CAST((1000 * bn.cents) // br.region_cents AS BIGINT)
+             AS share_permille
+         FROM bn JOIN br ON bn.region = br.region
+         ORDER BY bn.region, bn.nation""",
 
     // Skyline: q26's quality + q196's novelty, per-x maxima, strict-
     // prefix max, identical dominance predicate.

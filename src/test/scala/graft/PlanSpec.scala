@@ -263,6 +263,14 @@ class PlanSpec extends AnyFunSuite {
             p.contains("EqualTo(event_type, signup)")), p.take(3000))
   }
 
+  test("q220 star flatten broadcasts every dimension join") {
+    // the fact table must stream through three BroadcastHashJoins; a
+    // SortMergeJoin would shuffle the fact once per dimension
+    val p = plan("q220_star_flatten").toLowerCase
+    assert(p.contains("broadcasthashjoin"), p.take(2000))
+    assert(!p.contains("sortmergejoin"), p.take(3000))
+  }
+
   test("q194 strata overlap meets through the shingle equi-join") {
     val p = plan("q194_source_overlap").toLowerCase
     // candidate pairs must form on the shingle key; a nested-loop
