@@ -361,6 +361,31 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Drift: PSI between the two q159-style snapshot views over
+    // quality-score bins (width 1000 x1e4-units), add-one smoothed.
+    "q223_psi_drift" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("q",
+        graft.ops.TextAnalysis.qualityScoreX1e4(col("text")))
+      val old = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val neu = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      graft.ops.Checks.psiDrift(old, neu, expr("q div 1000"))
+        .orderBy("bin")
+    }),
+
+    // Independence: chi-square contributions of each source against
+    // the language distribution.
+    "q224_chi_square" -> ((s, dir) => {
+      graft.ops.Checks.chiSquareContrib(t(s, dir, "documents"),
+          col("source"), col("lang"))
+        .orderBy("group")
+    }),
+
+    // Balance: Gini concentration of character volume across sources.
+    "q225_gini" -> ((s, dir) => {
+      graft.ops.Checks.giniConcentration(t(s, dir, "documents"),
+          col("source"), length(col("text")).cast("long"))
+    }),
+
     // Star-schema flatten: fact → customer → nation → region, every
     // dim broadcast (PlanSpec pins it), revenue per region/nation.
     "q220_star_flatten" -> ((s, dir) => {
@@ -2498,6 +2523,84 @@ object SparkEntry {
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
 
     "q203_nb_crossval" -> nbCrossvalSql(5),
+
+    // PSI: same smoothed shares, one shared float term per bin.
+    "q223_psi_drift" ->
+      """WITH tkn AS (SELECT doc_id, string_split(text, ' ') AS ws
+                      FROM documents),
+         qq AS (SELECT doc_id,
+                 CAST(floor((len(list_distinct(ws)) * 1.0 / len(ws)
+                     * 0.5
+                   + least(len(ws) / 100.0, 1.0) * 0.3
+                   + len(list_filter(ws, t -> t IN
+                       ('the','a','of','and','to','in'))) * 1.0
+                     / len(ws) * 0.2) * 10000.0 + 0.5) AS BIGINT) AS q
+               FROM tkn),
+         ob AS (SELECT q // 1000 AS bin, count(*) AS n FROM qq
+                WHERE doc_id % 3 != 0 GROUP BY 1),
+         nb AS (SELECT q // 1000 AS bin, count(*) AS n FROM qq
+                WHERE doc_id % 7 != 0 GROUP BY 1),
+         j AS (SELECT coalesce(ob.bin, nb.bin) AS bin,
+                 coalesce(ob.n, 0) AS n_base, coalesce(nb.n, 0) AS n_cur
+               FROM ob FULL JOIN nb ON ob.bin = nb.bin),
+         t AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+                 CAST(sum(n_cur) AS BIGINT) AS tc,
+                 count(*) AS nbins FROM j)
+         SELECT bin, n_base, n_cur,
+           CAST(floor(((CAST(n_base AS DOUBLE) + 1.0)
+                       / (CAST(tb AS DOUBLE) + CAST(nbins AS DOUBLE))
+                      - (CAST(n_cur AS DOUBLE) + 1.0)
+                       / (CAST(tc AS DOUBLE) + CAST(nbins AS DOUBLE)))
+                     * ln(((CAST(n_base AS DOUBLE) + 1.0)
+                       / (CAST(tb AS DOUBLE) + CAST(nbins AS DOUBLE)))
+                       / ((CAST(n_cur AS DOUBLE) + 1.0)
+                       / (CAST(tc AS DOUBLE) + CAST(nbins AS DOUBLE))))
+                     * 1000000.0 + 0.5) AS BIGINT) AS psi_term_fp
+         FROM j CROSS JOIN t ORDER BY bin""",
+
+    // Chi-square: integer-lifted (oN - rc)^2 / (rcN) per cell,
+    // micro-quantized, summed per group.
+    "q224_chi_square" ->
+      """WITH cells AS (SELECT source AS g, lang AS c, count(*) AS o
+               FROM documents
+               WHERE source IS NOT NULL AND lang IS NOT NULL
+               GROUP BY 1, 2),
+         r AS (SELECT g, CAST(sum(o) AS BIGINT) AS r
+               FROM cells GROUP BY 1),
+         cl AS (SELECT c, CAST(sum(o) AS BIGINT) AS cc
+                FROM cells GROUP BY 1),
+         n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+         t AS (SELECT cells.g, o,
+                 CAST(floor((CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+                        - CAST(r.r AS DOUBLE) * CAST(cl.cc AS DOUBLE))
+                      * (CAST(o AS DOUBLE) * CAST(nn AS DOUBLE)
+                        - CAST(r.r AS DOUBLE) * CAST(cl.cc AS DOUBLE))
+                      / (CAST(r.r AS DOUBLE) * CAST(cl.cc AS DOUBLE)
+                         * CAST(nn AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS t
+               FROM cells JOIN r ON cells.g = r.g
+                          JOIN cl ON cells.c = cl.c
+                          CROSS JOIN n)
+         SELECT g AS "group", CAST(sum(o) AS BIGINT) AS n_rows,
+           CAST(sum(t) AS BIGINT) AS chi2_fp
+         FROM t GROUP BY 1 ORDER BY 1""",
+
+    // Gini: ascending rank formula over the strata frame, exact
+    // rank-weighted sum, one shared float expression.
+    "q225_gini" ->
+      """WITH b AS (SELECT source AS g,
+                 CAST(sum(length(text)) AS BIGINT) AS x
+               FROM documents GROUP BY 1),
+         r AS (SELECT g, x, row_number() OVER (ORDER BY x, g) AS i
+               FROM b)
+         SELECT count(*) AS n_groups, CAST(sum(x) AS BIGINT) AS total,
+           CAST(floor((2.0 * CAST(sum(i * x) AS DOUBLE)
+                       / (CAST(count(*) AS DOUBLE)
+                          * CAST(sum(x) AS DOUBLE))
+                      - (CAST(count(*) AS DOUBLE) + 1.0)
+                        / CAST(count(*) AS DOUBLE))
+                     * 1000000.0 + 0.5) AS BIGINT) AS gini_fp
+         FROM r""",
 
     // Star flatten: the same 3-dim join chain.
     "q220_star_flatten" ->

@@ -137,6 +137,99 @@ object Checks {
       .withColumn("flag_permille", expr("(1000 * n_flag) div n_rows"))
   }
 
+  /** Population Stability Index per bin: the standard score-drift
+    * metric between a baseline and a current snapshot,
+    * PSI = Σ (p−q)·ln(p/q) over score bins, with add-one smoothing on
+    * the bin counts ((c+1)/(T+B)) so empty bins stay defined — run it
+    * per deploy to catch "the quality scorer shifted under us".
+    * Convention: PSI < 0.1 stable, > 0.25 investigate.
+    *
+    * Each bin's term evaluates ONE shared float expression over exact
+    * integer counts and quantizes to micro-units (so the total is an
+    * order-independent integer sum, [[mixtureEntropy]] discipline).
+    * Bins are the integer `bin` values present in EITHER snapshot.
+    * Two scans → two bin-count frames → one full-outer join, all
+    * bin-frame sized after the count aggregates.
+    * Output: (bin, n_base, n_cur, psi_term_fp), plus total via sum. */
+  def psiDrift(base: DataFrame, cur: DataFrame, bin: Column)
+      : DataFrame = {
+    def counts(df: DataFrame) = df.select(bin.cast("long").as("bin"))
+      .filter(col("bin").isNotNull)
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val cb = counts(base)
+    val cc = counts(cur)
+    val joined = cb.withColumnRenamed("n", "n_base")
+      .join(cc.withColumnRenamed("n", "n_cur"), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("n_base"), lit(0L)).as("n_base"),
+              coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      .localCheckpoint() // totals + the term pass both consume it
+    val tots = joined.agg(sum("n_base").as("tb"), sum("n_cur").as("tc"),
+      count(lit(1)).as("nb"))
+    def d(c: Column) = c.cast("double")
+    val p = (d(col("n_base")) + 1.0) / (d(col("tb")) + d(col("nb")))
+    val q = (d(col("n_cur")) + 1.0) / (d(col("tc")) + d(col("nb")))
+    joined.crossJoin(broadcast(tots))
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        floor((p - q) * log(p / q) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("psi_term_fp"))
+  }
+
+  /** Chi-square independence contributions: for a two-way contingency
+    * (group × category), each group's Σ over categories of
+    * (o−e)²/e with e = row·col/N — "is language independent of
+    * source", the drift/bias screen over any pair of labels. The
+    * per-cell term is algebraically lifted to integer products,
+    * (o·N − r·c)² / (r·c·N), evaluated as ONE shared float expression
+    * over exact integer aggregates and quantized micro before the
+    * per-group integer sum. Frames after the first count are
+    * contingency-sized. Output: (group, n_rows, chi2_fp); the global
+    * statistic is the sum, dof = (groups−1)(cats−1). */
+  def chiSquareContrib(df: DataFrame, group: Column, category: Column)
+      : DataFrame = {
+    val cells = df.select(group.as("g"), category.as("c"))
+      .filter(col("g").isNotNull && col("c").isNotNull)
+      .groupBy("g", "c").agg(count(lit(1)).as("o"))
+      .localCheckpoint() // marginals + term pass consume it
+    val rows = cells.groupBy("g").agg(sum("o").as("r"))
+    val cols_ = cells.groupBy("c").agg(sum("o").as("cc"))
+    val n = cells.agg(sum("o").as("nn"))
+    def d(c: Column) = c.cast("double")
+    val num = d(col("o")) * d(col("nn")) - d(col("r")) * d(col("cc"))
+    val term = num * num /
+      (d(col("r")) * d(col("cc")) * d(col("nn")))
+    cells.join(rows, "g").join(cols_, "c").crossJoin(broadcast(n))
+      .select(col("g"), col("o"),
+        floor(term * lit(1000000.0) + lit(0.5)).cast("long").as("t"))
+      .groupBy(col("g").as("group"))
+      .agg(sum("o").as("n_rows"), sum("t").as("chi2_fp"))
+  }
+
+  /** Gini coefficient of a per-group measure (volume concentration):
+    * 0 = perfectly even, →1 = one group holds everything — the
+    * one-number corpus-balance report ("is the mixture dominated by
+    * two sources?"). Standard rank formula
+    * G = (2·Σ i·x_(i))/(n·Σx) − (n+1)/n over ascending-sorted group
+    * totals (ties by group id for a total order). Σ i·x_i accumulates
+    * exactly in decimal(38,0); one shared float expression at the
+    * end. The rank window runs over the GROUP frame (strata-sized).
+    * Output (one row): (n_groups, total, gini_fp). */
+  def giniConcentration(df: DataFrame, group: Column, value: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val base = df.select(group.as("g"), value.cast("long").as("v"))
+      .groupBy("g").agg(sum(col("v")).as("x"))
+    val ranked = base.withColumn("i",
+      row_number().over(Window.orderBy(col("x"), col("g"))))
+    def d(c: Column) = c.cast("double")
+    ranked.agg(count(lit(1)).as("n"), sum(col("x")).as("tot"),
+        sum((col("i") * col("x")).cast(d38)).as("ix"))
+      .select(col("n").as("n_groups"), col("tot").as("total"),
+        floor((lit(2.0) * d(col("ix")) / (d(col("n")) * d(col("tot")))
+               - (d(col("n")) + 1.0) / d(col("n")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("gini_fp"))
+  }
+
   /** Column-completeness and cardinality profile: per listed column,
     * its null count and exact distinct count in ONE scan (conditional
     * sums + distinct aggregates fused into a single aggregate, then

@@ -1857,6 +1857,48 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("psiDrift is zero on identical snapshots, positive on shift") {
+    import spark.implicits._
+    val a = (Seq.fill(50)(1L) ++ Seq.fill(50)(2L)).toDF("bin")
+    val b = (Seq.fill(90)(1L) ++ Seq.fill(10)(2L)).toDF("bin")
+    val same = Checks.psiDrift(a, a, col("bin"))
+      .collect().map(_.getLong(3))
+    assert(same.forall(_ == 0L))
+    val drift = Checks.psiDrift(a, b, col("bin"))
+      .collect().map(_.getLong(3)).sum
+    assert(drift > 250000L, s"psi $drift") // way past the 0.25 alarm
+  }
+
+  test("chiSquareContrib is zero under independence, positive under bias") {
+    import spark.implicits._
+    val indep = (for { g <- Seq("s1", "s2"); c <- Seq("en", "de");
+                       _ <- 1 to 25 } yield (g, c)).toDF("g", "c")
+    val iOut = Checks.chiSquareContrib(indep, col("g"), col("c"))
+      .collect().map(r => r.getLong(2)).sum
+    assert(iOut == 0L)
+    val biased = (Seq.fill(40)(("s1", "en")) ++ Seq.fill(10)(("s1", "de")) ++
+                  Seq.fill(10)(("s2", "en")) ++ Seq.fill(40)(("s2", "de")))
+      .toDF("g", "c")
+    val bOut = Checks.chiSquareContrib(biased, col("g"), col("c"))
+      .collect().map(r => r.getLong(2)).sum
+    assert(bOut > 30000000L, s"chi2 $bOut") // 36.0 in micro units
+  }
+
+  test("giniConcentration: 0 when even, (n-1)/n when one group holds all") {
+    import spark.implicits._
+    val even = Seq(("a", 10L), ("b", 10L), ("c", 10L), ("d", 10L))
+      .toDF("g", "v")
+    val g0 = Checks.giniConcentration(even, col("g"), col("v"))
+      .collect().head
+    assert((g0.getLong(0), g0.getLong(1), g0.getLong(2)) ==
+      ((4L, 40L, 0L)))
+    val one = Seq(("a", 0L), ("b", 0L), ("c", 0L), ("d", 100L))
+      .toDF("g", "v")
+    val g1 = Checks.giniConcentration(one, col("g"), col("v"))
+      .collect().head.getLong(2)
+    assert(g1 == 750000L) // (n-1)/n = 0.75
+  }
+
   test("skyline2d keeps exactly the non-dominated rows") {
     import spark.implicits._
     // (5,1) and (1,5) are frontier corners; (3,3) survives (nobody
