@@ -361,6 +361,22 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Ops table: stage-by-stage attrition through the q199 policy
+    // funnel (input → blocklist → quality → novelty).
+    "q226_attrition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      def pipe(p: graft.ops.Pipeline) = p.result
+      val p0 = graft.ops.Pipeline(d, "doc_id", "text")
+      val p1 = p0.filterBlocklist(Seq(
+        "latency" -> Seq("slow query", "merge batch")))
+      val p2 = p1.filterQuality(4000L)
+      val p3 = p2.filterNovelty(400L)
+      graft.ops.Checks.stageAttrition(Seq(
+          "input" -> pipe(p0), "blocklist" -> pipe(p1),
+          "quality" -> pipe(p2), "novelty" -> pipe(p3)))
+        .orderBy("stage_idx")
+    }),
+
     // Drift: PSI between the two q159-style snapshot views over
     // quality-score bins (width 1000 x1e4-units), add-one smoothed.
     "q223_psi_drift" -> ((s, dir) => {
@@ -2523,6 +2539,42 @@ object SparkEntry {
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
 
     "q203_nb_crossval" -> nbCrossvalSql(5),
+
+    // Attrition: q199's gate chain, one count per stage.
+    "q226_attrition" ->
+      """WITH g1 AS (SELECT doc_id, text FROM documents
+             WHERE NOT coalesce(len(regexp_extract_all(text,
+               '\b(?:slow query|merge batch)\b')) > 0, TRUE)),
+         tk AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+                FROM g1),
+         g2 AS (SELECT doc_id, text, ws FROM tk
+                WHERE CAST(floor((len(list_distinct(ws)) * 1.0 / len(ws)
+                    * 0.5
+                  + least(len(ws) / 100.0, 1.0) * 0.3
+                  + len(list_filter(ws, t -> t IN
+                      ('the','a','of','and','to','in'))) * 1.0
+                    / len(ws) * 0.2) * 10000.0 + 0.5) AS BIGINT)
+                  >= 4000),
+         sh AS (SELECT doc_id, unnest(list_distinct(
+                  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   FOR i IN range(1, len(ws) - 1)])) AS s FROM g2),
+         tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         nov AS (SELECT doc_id, count(*) AS novel FROM (
+                   SELECT s, min(doc_id) AS doc_id FROM sh GROUP BY 1)
+                 GROUP BY 1),
+         g3 AS (SELECT g2.doc_id FROM g2
+                LEFT JOIN tot ON g2.doc_id = tot.doc_id
+                LEFT JOIN nov ON g2.doc_id = nov.doc_id
+                WHERE CASE WHEN coalesce(tot.n_sh, 0) = 0 THEN 0
+                           ELSE (1000 * coalesce(nov.novel, 0))
+                                // coalesce(tot.n_sh, 0) END >= 400)
+         SELECT * FROM (
+           SELECT 0 AS stage_idx, 'input' AS stage, count(*) AS n_rows
+           FROM documents
+           UNION ALL SELECT 1, 'blocklist', count(*) FROM g1
+           UNION ALL SELECT 2, 'quality', count(*) FROM g2
+           UNION ALL SELECT 3, 'novelty', count(*) FROM g3)
+         ORDER BY stage_idx""",
 
     // PSI: same smoothed shares, one shared float term per bin.
     "q223_psi_drift" ->

@@ -137,6 +137,21 @@ object Checks {
       .withColumn("flag_permille", expr("(1000 * n_flag) div n_rows"))
   }
 
+  /** Funnel attrition report: one row per named pipeline stage with
+    * its surviving row count — the per-deploy sanity table ("the
+    * quality gate suddenly eats 90%" is a bug you want BEFORE the
+    * 100 TB run). Each stage is a scalar count over its (lazy) frame;
+    * Spark shares the common lineage prefix between stages' scans.
+    * Output: (stage_idx, stage, n_rows) in declaration order. */
+  def stageAttrition(stages: Seq[(String, DataFrame)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    stages.zipWithIndex.map { case ((name, df), i) =>
+      df.agg(count(lit(1)).as("n_rows"))
+        .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+                col("n_rows"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Population Stability Index per bin: the standard score-drift
     * metric between a baseline and a current snapshot,
     * PSI = Σ (p−q)·ln(p/q) over score bins, with add-one smoothing on
