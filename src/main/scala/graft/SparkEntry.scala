@@ -361,6 +361,25 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Entity resolution II: sorted-neighborhood blocking over part
+    // names (rank-bucket equi-join, never rows²), levenshtein verify.
+    "q227_sorted_neighborhood" -> ((s, dir) => {
+      graft.ops.Relational.sortedNeighborhoodPairs(
+          t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+            .distinct(),
+          col("p_partkey"), col("p_name"), window = 5, maxDist = 8)
+        .orderBy("id1", "id2")
+    }),
+
+    // Market-basket: session association rules (support/confidence/
+    // lift) over distinct event-type memberships.
+    "q228_associations" -> ((s, dir) => {
+      graft.ops.Events.sessionAssociations(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"),
+          gapSeconds = 1800L, minSupport = 5L)
+        .orderBy("a", "b")
+    }),
+
     // Ops table: stage-by-stage attrition through the q199 policy
     // funnel (input → blocklist → quality → novelty).
     "q226_attrition" -> ((s, dir) => {
@@ -2539,6 +2558,56 @@ object SparkEntry {
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
 
     "q203_nb_crossval" -> nbCrossvalSql(5),
+
+    // Sorted neighborhood: rank window + rank-distance join, same
+    // levenshtein (the engines agree — q145).
+    "q227_sorted_neighborhood" ->
+      """WITH b AS (SELECT DISTINCT p_partkey AS id, p_name AS k
+                    FROM part WHERE p_name IS NOT NULL),
+         r AS (SELECT id, k,
+                 row_number() OVER (ORDER BY k, id) - 1 AS rnk FROM b)
+         SELECT a.id AS id1, c.id AS id2, a.k AS k1, c.k AS k2,
+           CAST(levenshtein(a.k, c.k) AS INTEGER) AS dist
+         FROM r a JOIN r c
+           ON c.rnk > a.rnk AND c.rnk - a.rnk <= 5
+         WHERE levenshtein(a.k, c.k) <= 8
+         ORDER BY id1, id2""",
+
+    // Associations: q197's session chain, distinct memberships,
+    // within-session pair join, shared lift expression.
+    "q228_associations" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type
+                    FROM events
+                    WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         l AS (SELECT *,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN date_diff('second', lag(ts) OVER w, ts)
+                           > 1800 THEN 1 ELSE 0 END AS nw
+               FROM e
+               WINDOW w AS (PARTITION BY user_id
+                            ORDER BY ts, event_id)),
+         s AS (SELECT user_id AS u, event_type AS t,
+                 sum(nw) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+               FROM l),
+         m AS (SELECT DISTINCT u, sid, t FROM s),
+         ns AS (SELECT count(*) AS ns FROM
+                  (SELECT DISTINCT u, sid FROM m)),
+         it AS (SELECT t, count(*) AS n FROM m GROUP BY 1),
+         pr AS (SELECT a.t AS a, c.t AS b, count(*) AS n_ab
+                FROM m a JOIN m c ON a.u = c.u AND a.sid = c.sid
+                  AND a.t < c.t
+                GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT pr.a, pr.b, n_ab,
+           CAST((1000 * n_ab) // ia.n AS BIGINT) AS conf_ab_permille,
+           CAST(floor(CAST(n_ab AS DOUBLE) * CAST(ns.ns AS DOUBLE)
+                / (CAST(ia.n AS DOUBLE) * CAST(ib.n AS DOUBLE))
+                * 1000000.0 + 0.5) AS BIGINT) AS lift_fp
+         FROM pr JOIN it ia ON pr.a = ia.t
+                 JOIN it ib ON pr.b = ib.t
+                 CROSS JOIN ns
+         ORDER BY pr.a, pr.b""",
 
     // Attrition: q199's gate chain, one count per stage.
     "q226_attrition" ->

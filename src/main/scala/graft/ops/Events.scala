@@ -364,6 +364,51 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Session association rules: support/confidence/lift for ordered
+    * event-type pairs co-occurring in one session (sessions are the
+    * baskets, types the items — the market-basket analysis of "users
+    * who hit errors also purchase?"). Counts are over DISTINCT
+    * (session, type) — a burst of repeats is one basket membership.
+    * lift = P(ab)/(P(a)P(b)) as integer cross products in one shared
+    * float expression (micro units); confidence in exact permille,
+    * directional (a→b uses n_a).
+    *
+    * Scale shape: sessionization (its skew remedies apply), one
+    * distinct to basket membership, per-type counts, and the
+    * pair self-join INSIDE each session key — pair fan bounded by
+    * (types per session)², never corpus². Output:
+    * (a, b, n_ab, conf_ab_permille, lift_fp) for a < b. */
+  def sessionAssociations(df: DataFrame, user: Column, ts: Column,
+                          eventType: Column, eventId: Column,
+                          gapSeconds: Long,
+                          minSupport: Long = 5L): DataFrame = {
+    val sess = sessionize(df.filter(user.isNotNull), user, ts,
+        gapSeconds, tieBreak = Seq(eventId))
+      .select(user.as("u"), col("session_id").as("sid"),
+              eventType.as("t"))
+      .distinct()
+      .localCheckpoint() // item counts + both join sides consume it
+    val nSess = sess.select("u", "sid").distinct()
+      .agg(count(lit(1)).as("ns"))
+    val items = sess.groupBy("t").agg(count(lit(1)).as("n"))
+    val pairs = sess.select(col("u"), col("sid"), col("t").as("a"))
+      .join(sess.select(col("u"), col("sid"), col("t").as("b")),
+            Seq("u", "sid"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    def d(c: Column) = c.cast("double")
+    pairs
+      .join(items.select(col("t").as("a"), col("n").as("n_a")), "a")
+      .join(items.select(col("t").as("b"), col("n").as("n_b")), "b")
+      .crossJoin(broadcast(nSess))
+      .select(col("a"), col("b"), col("n_ab"),
+        expr("(1000 * n_ab) div n_a").as("conf_ab_permille"),
+        floor(d(col("n_ab")) * d(col("ns")) /
+              (d(col("n_a")) * d(col("n_b"))) * lit(1000000.0) +
+              lit(0.5)).cast("long").as("lift_fp"))
+  }
+
   /** Markov next-event accuracy: train the order-1 transition model
     * ([[eventTransitions]]) and score it on the SAME stream — for each
     * source state, the argmax next event (ties to the smallest type,

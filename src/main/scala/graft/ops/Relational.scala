@@ -57,6 +57,47 @@ object Relational {
     }
   }
 
+  /** Sorted-neighborhood duplicate candidates (Hernández & Stolfo):
+    * rows sort by the blocking key and only rank-neighbors within
+    * `window` positions compare — the OTHER classic entity-resolution
+    * blocking next to [[fuzzyMatchPairs]]-style length blocking:
+    * length blocking catches same-length typos, sorted-neighborhood
+    * catches prefix-sharing variants regardless of length drift.
+    * Survivors verify with an in-join levenshtein <= `maxDist`.
+    *
+    * Scale shape: the global rank is the range-partitioned prefix sum
+    * (never a single-partition window); candidate pairs meet through
+    * an EQUI-join on the rank BUCKET (bucket = rank div window; a
+    * window-mate is always in the same or adjacent bucket, so each
+    * row joins 2 bucket keys and the exact rank-distance filter runs
+    * inside the join) — pair cost is rows × window, never rows².
+    * Output: (id1, id2, k1, k2, dist) with rank(id1) < rank(id2). */
+  def sortedNeighborhoodPairs(df: DataFrame, id: Column, key: Column,
+                              window: Int = 5, maxDist: Int = 3,
+                              partitions: Int = 32): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val base = df.select(id.as("id"), key.cast("string").as("k"))
+      .filter(col("k").isNotNull)
+    val ranked = Packing.orderedCumsum(base,
+      struct(col("k").as("k"), col("id").as("id")), lit(1L),
+      partitions, offsetName = "rnk")
+    val left = ranked.select(col("id").as("id1"), col("k").as("k1"),
+        col("rnk").as("r1"),
+        explode(array(expr(s"rnk div $window"),
+          expr(s"rnk div $window + 1"))).as("bkt"))
+    val right = ranked.select(col("id").as("id2"), col("k").as("k2"),
+      col("rnk").as("r2"), expr(s"rnk div $window").as("bkt"))
+    left.join(right, Seq("bkt"))
+      .filter(col("r2") > col("r1") && col("r2") - col("r1") <= window)
+      .withColumn("dist", levenshtein(col("k1"), col("k2")))
+      .filter(col("dist") <= maxDist)
+      // each qualifying pair meets in exactly ONE bucket (the right
+      // row's bucket is one of the left row's two emissions), so no
+      // dedup pass is needed
+      .select(col("id1"), col("id2"), col("k1"), col("k2"), col("dist"))
+  }
+
   /** 2-D skyline (Pareto frontier, maxima variant): rows not
     * DOMINATED on (x, y) — p dominates q when p.x >= q.x, p.y >= q.y,
     * and p beats q strictly on at least one axis. Multi-objective

@@ -1857,6 +1857,39 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("sortedNeighborhoodPairs compares rank-neighbors only") {
+    import spark.implicits._
+    val d = Seq((1L, "aaa"), (2L, "aab"), (3L, "zzz")).toDF("id", "k")
+    val out = Relational.sortedNeighborhoodPairs(d, col("id"),
+        col("k"), window = 1, maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(4)))
+    // (aaa, aab) adjacent and dist 1; (aab, zzz) adjacent but dist 3;
+    // (aaa, zzz) outside the window entirely
+    assert(out.toSeq == Seq((1L, 2L, 1)))
+  }
+
+  test("sessionAssociations computes support, confidence, and lift") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // 4 sessions (distinct users, so gaps don't merge): {a,b},{a,b},
+    // {a},{c} → n_a=3, n_b=2, n_ab=2, ns=4
+    val ev = Seq(
+      (1L, 1L, "a"), (2L, 1L, "b"),
+      (3L, 2L, "a"), (4L, 2L, "b"),
+      (5L, 3L, "a"), (6L, 4L, "c")).map { case (eid, u, t) =>
+        (eid, ts(eid * 10), u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.sessionAssociations(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"), gapSeconds = 1800L,
+        minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // conf a→b = 2/3 → 666‰; lift = (2·4)/(3·2) = 4/3 → 1333333 micro
+    assert(out(("a", "b")) == ((2L, 666L, 1333333L)))
+    assert(out.size == 1)
+  }
+
   test("psiDrift is zero on identical snapshots, positive on shift") {
     import spark.implicits._
     val a = (Seq.fill(50)(1L) ++ Seq.fill(50)(2L)).toDF("bin")
