@@ -361,6 +361,25 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Product health: DAU / trailing-7-day WAU stickiness with gap
+    // days explicit — the distinct-over-range done right.
+    "q229_active_users" -> ((s, dir) => {
+      graft.ops.Events.rollingActiveUsers(t(s, dir, "events"),
+          col("user_id"), col("ts"), windowDays = 7)
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+                col("dau"), col("wau"), col("stickiness_permille"))
+        .orderBy("day")
+    }),
+
+    // Survival: Kaplan-Meier signup→purchase curve in log space,
+    // right-censored at the corpus horizon.
+    "q230_survival" -> ((s, dir) => {
+      graft.ops.Events.survivalCurve(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"),
+          startType = "signup", endType = "purchase")
+        .orderBy("t_days")
+    }),
+
     // Entity resolution II: sorted-neighborhood blocking over part
     // names (rank-bucket equi-join, never rows²), levenshtein verify.
     "q227_sorted_neighborhood" -> ((s, dir) => {
@@ -2558,6 +2577,74 @@ object SparkEntry {
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
 
     "q203_nb_crossval" -> nbCrossvalSql(5),
+
+    // Active users: distinct (user, day) frame, bounded cover
+    // explode, day spine with zeros.
+    "q229_active_users" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE)
+                        AS d
+                      FROM events
+                      WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         dau AS (SELECT d, count(*) AS dau FROM act GROUP BY 1),
+         cov AS (SELECT cd, count(*) AS wau FROM (
+                   SELECT DISTINCT u, d + CAST(x AS INTEGER) AS cd
+                   FROM act CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4,
+                     5, 6]) AS x)) GROUP BY 1),
+         spine AS (SELECT d0 + CAST(unnest(generate_series(0,
+                      date_diff('day', d0, d1))) AS INTEGER) AS d
+                   FROM (SELECT min(d) AS d0, max(d) AS d1 FROM act))
+         SELECT strftime(s.d, '%Y-%m-%d') AS day,
+           coalesce(dau.dau, 0) AS dau, coalesce(cov.wau, 0) AS wau,
+           CASE WHEN coalesce(cov.wau, 0) = 0 THEN 0
+                ELSE CAST((1000 * coalesce(dau.dau, 0))
+                     // coalesce(cov.wau, 0) AS BIGINT) END
+             AS stickiness_permille
+         FROM spine s LEFT JOIN dau ON s.d = dau.d
+                      LEFT JOIN cov ON s.d = cov.cd
+         ORDER BY day""",
+
+    // Survival: identical life table, log-space cumulative curve,
+    // same -99e6 curve-ended sentinel.
+    "q230_survival" ->
+      """WITH c AS (SELECT user_id, ts, event_type FROM events
+                    WHERE ts IS NOT NULL),
+         st AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS t0
+                FROM c WHERE event_type = 'signup' GROUP BY 1),
+         en AS (SELECT user_id AS u, min(CAST(ts AS DATE)) AS te
+                FROM c WHERE event_type = 'purchase' GROUP BY 1),
+         hz AS (SELECT max(CAST(ts AS DATE)) AS h FROM c),
+         sub AS (SELECT st.u,
+                   (en.te IS NOT NULL AND en.te >= st.t0) AS conv,
+                   CAST(CASE WHEN en.te IS NOT NULL AND en.te >= st.t0
+                        THEN date_diff('day', st.t0, en.te)
+                        ELSE date_diff('day', st.t0, hz.h) END
+                     AS BIGINT) AS t
+                 FROM st LEFT JOIN en ON st.u = en.u CROSS JOIN hz),
+         tt AS (SELECT count(*) AS n_total FROM sub),
+         days AS (SELECT t AS t_days,
+                    CAST(sum(CASE WHEN conv THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_events,
+                    CAST(sum(CASE WHEN conv THEN 0 ELSE 1 END)
+                         AS BIGINT) AS n_censored
+                  FROM sub GROUP BY 1),
+         rk AS (SELECT days.*, tt.n_total,
+                  CAST(coalesce(sum(n_events + n_censored) OVER (
+                    ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS cum
+                FROM days CROSS JOIN tt),
+         tm AS (SELECT t_days, n_events, n_censored,
+                  (n_total - cum) AS n_risk,
+                  CASE WHEN n_events = 0 THEN 0
+                       WHEN n_events >= n_total - cum THEN -99000000
+                       ELSE CAST(floor(ln(1.0 - CAST(n_events AS DOUBLE)
+                              / CAST(n_total - cum AS DOUBLE))
+                            * 1000000.0 + 0.5) AS BIGINT)
+                  END AS term
+                FROM rk)
+         SELECT t_days, n_risk, n_events, n_censored,
+           CAST(sum(term) OVER (ORDER BY t_days
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ln_surv_fp
+         FROM tm ORDER BY t_days""",
 
     // Sorted neighborhood: rank window + rank-distance join, same
     // levenshtein (the engines agree — q145).

@@ -364,6 +364,111 @@ object Events {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Rolling active users (DAU / trailing-WAU "stickiness"): for every
+    * day in the span, how many distinct users were active that day and
+    * within the trailing `windowDays` — the product-health curve, and
+    * a DISTINCT-over-range aggregate no plain window frame computes
+    * (count(distinct) over a moving range isn't decomposable; the
+    * correct distributed shape is below).
+    *
+    * Scale shape: events collapse to the distinct (user, day) frame
+    * (one corpus shuffle); each activity day then emits its
+    * `windowDays` covering days (a bounded explode of the SMALL
+    * frame), and the per-(cover day, user) distinct + count is a
+    * day-keyed aggregate — cost is active-days × window, never
+    * events × window. The day spine rides from a 2-row aggregate so
+    * gap days report zeros. Output: (day, dau, wau,
+    * stickiness_permille). */
+  def rollingActiveUsers(df: DataFrame, user: Column, ts: Column,
+                         windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val act = df.filter(user.isNotNull && ts.isNotNull)
+      .select(user.as("u"), to_date(ts).as("d")).distinct()
+      .localCheckpoint() // dau + the cover explode both consume it
+    val dau = act.groupBy("d").agg(count(lit(1)).as("dau"))
+    val cover = act.select(col("u"),
+        explode(sequence(col("d"),
+          date_add(col("d"), windowDays - 1))).as("d"))
+      .distinct()
+      .groupBy("d").agg(count(lit(1)).as("wau"))
+    val spine = act.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .filter(col("d0").isNotNull)
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    spine.join(dau, Seq("d"), "left").join(cover, Seq("d"), "left")
+      .select(col("d").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("wau"), lit(0L)).as("wau"))
+      .withColumn("stickiness_permille",
+        when(col("wau") === 0L, 0L)
+          .otherwise(expr("(1000 * dau) div wau")))
+  }
+
+  /** Kaplan-Meier survival (single-event, right-censored): for the
+    * signup→purchase delay, the estimated probability of still being
+    * "unconverted" after t days. Users who never convert are censored
+    * at the observation horizon (the corpus max day). Standard
+    * estimator S(t) = Π over event days <= t of (1 − d_i/n_i),
+    * carried in LOG space as a cumulative integer sum of per-day
+    * quantized ln(1 − d/n) terms (the [[graft.ops.Checks
+    * .mixtureEntropy]] discipline — a float product would be
+    * order-dependent), so the curve is bit-reproducible; consumers
+    * exp() it for display. Days where every at-risk subject converts
+    * (survival hits 0) end the curve.
+    *
+    * Scale shape: users reduce to one (entry, delay, converted) row
+    * each; the life table is a DAY-keyed aggregate (at-risk counts
+    * derive from total minus cumulative exits via one prefix window
+    * over the day frame, which is span-bounded, not user-bounded).
+    * Output: (t_days, n_risk, n_events, n_censored, ln_surv_fp). */
+  def survivalCurve(df: DataFrame, user: Column, ts: Column,
+                    eventType: Column, startType: String,
+                    endType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clean = df.filter(ts.isNotNull)
+    val starts = clean.filter(eventType === startType)
+      .groupBy(user.as("u")).agg(min(to_date(ts)).as("t0"))
+    val ends = clean.filter(eventType === endType)
+      .select(user.as("u"), to_date(ts).as("te"))
+    val horizon = clean.agg(max(to_date(ts)).as("h"))
+    val subjects = starts
+      .join(ends.groupBy("u").agg(min(col("te")).as("te")), Seq("u"),
+            "left")
+      .crossJoin(broadcast(horizon))
+      // conversion = the subject's FIRST-EVER end event, provided it
+      // is at/after the start; a first end before the start censors
+      // (simple, deterministic convention — mirrored by the oracle)
+      .withColumn("conv",
+        col("te").isNotNull && col("te") >= col("t0"))
+      .withColumn("t",
+        when(col("conv"), datediff(col("te"), col("t0")))
+          .otherwise(datediff(col("h"), col("t0"))).cast("long"))
+    val total = subjects.agg(count(lit(1)).as("n_total"))
+    val days = subjects.groupBy(col("t").as("t_days"))
+      .agg(sum(when(col("conv"), 1L).otherwise(0L)).as("n_events"),
+           sum(when(col("conv"), 0L).otherwise(1L)).as("n_censored"))
+    val w = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    days.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(
+          sum(col("n_events") + col("n_censored")).over(w), lit(0L)))
+      .withColumn("__term",
+        when(col("n_events") === 0L, 0L)
+          // every at-risk subject converting makes ln(0) = -inf; emit
+          // a documented floor sentinel (curve has ended) instead of
+          // a NaN-poisoned cumulative sum
+          .when(col("n_events") >= col("n_risk"), lit(-99000000L))
+          .otherwise(floor(
+            log(lit(1.0) - col("n_events").cast("double") /
+                col("n_risk").cast("double")) * lit(1000000.0) +
+            lit(0.5)).cast("long")))
+      .withColumn("ln_surv_fp",
+        sum(col("__term")).over(Window.orderBy(col("t_days"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("t_days"), col("n_risk"), col("n_events"),
+              col("n_censored"), col("ln_surv_fp"))
+  }
+
   /** Session association rules: support/confidence/lift for ordered
     * event-type pairs co-occurring in one session (sessions are the
     * baskets, types the items — the market-basket analysis of "users

@@ -1857,6 +1857,44 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("rollingActiveUsers covers the trailing window with zero gaps") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400L * 1000L)
+    val ev = Seq((1L, ts(10)), (2L, ts(10)), (1L, ts(13)))
+      .toDF("u", "t")
+    val out = Events.rollingActiveUsers(ev, col("u"), col("t"),
+        windowDays = 7)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.size == 4) // spine days 10..13, gaps included
+    assert(out("1970-01-11") == ((2L, 2L, 1000L)))
+    assert(out("1970-01-12") == ((0L, 2L, 0L))) // gap day, wau carries
+    assert(out("1970-01-14") == ((1L, 2L, 500L)))
+  }
+
+  test("survivalCurve builds the KM life table in log space") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(day: Int) = new Timestamp(day * 86400L * 1000L)
+    // all sign up day 0; A,B convert day 1, C day 3, D never
+    // (censored at the day-3 horizon)
+    val ev = (Seq("A", "B", "C", "D").zipWithIndex.map { case (u, i) =>
+        (i.toLong * 4 + 1, ts(0), u, "signup") } ++ Seq(
+        (101L, ts(1), "A", "purchase"), (102L, ts(1), "B", "purchase"),
+        (103L, ts(3), "C", "purchase")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.survivalCurve(ev, col("user_id"), col("ts"),
+        col("event_type"), "signup", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // t=1: risk 4, 2 events → ln(1/2); t=3: risk 2, 1 event + 1
+    // censored → another ln(1/2)
+    assert(out(1L) == ((4L, 2L, 0L, -693147L)))
+    assert(out(3L) == ((2L, 1L, 1L, -1386294L)))
+    assert(out.size == 2)
+  }
+
   test("sortedNeighborhoodPairs compares rank-neighbors only") {
     import spark.implicits._
     val d = Seq((1L, "aaa"), (2L, "aab"), (3L, "zzz")).toDF("id", "k")
