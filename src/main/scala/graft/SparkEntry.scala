@@ -361,6 +361,14 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Chunk-stable segmentation: content-defined boundaries (rolling
+    // 4-token hash ≡ 0 mod 16) — insertion-robust chunk identities.
+    "q231_content_chunks" -> ((s, dir) => {
+      graft.ops.TextAnalysis.contentChunks(t(s, dir, "documents"),
+          col("doc_id"), col("text"), window = 4, modulus = 16)
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // Product health: DAU / trailing-7-day WAU stickiness with gap
     // days explicit — the distinct-over-range done right.
     "q229_active_users" -> ((s, dir) => {
@@ -2577,6 +2585,47 @@ object SparkEntry {
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
 
     "q203_nb_crossval" -> nbCrossvalSql(5),
+
+    // CDC: identical per-token folds, gram folds, boundary rule, and
+    // span reassembly.
+    "q231_content_chunks" ->
+      """WITH t AS (SELECT doc_id, [x FOR x IN string_split(text, ' ')
+                      IF x <> ''] AS ts FROM documents),
+         t2 AS (SELECT doc_id,
+                  [list_reduce(list_prepend(CAST(7 AS BIGINT),
+                     [CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                      FOR i IN range(1, length(tok) + 1)]),
+                    (a, c) -> (a * 31 + c) % 2147483647)
+                   FOR tok IN ts] AS th
+                FROM t WHERE len(ts) > 0),
+         e0 AS (SELECT doc_id, th,
+                  CASE WHEN len(th) >= 4 THEN
+                    [e FOR e IN range(4, len(th) + 1)
+                     IF list_reduce(list_prepend(CAST(7 AS BIGINT),
+                          th[e-3:e]),
+                          (a, h) -> (a * 31 + h) % 2147483647)
+                        % 16 = 0]
+                  ELSE [] END AS ends
+                FROM t2),
+         -- order-stable tail append (list_distinct would REORDER)
+         e AS (SELECT doc_id, th,
+                 CASE WHEN len(ends) > 0 AND ends[len(ends)] = len(th)
+                      THEN ends ELSE list_append(ends, len(th)) END
+                   AS e2
+               FROM e0),
+         sp AS (SELECT doc_id, th,
+                  unnest([{'idx': j,
+                    'cf': (CASE WHEN j = 1 THEN 0 ELSE e2[j-1] END) + 1,
+                    'ct': e2[j]}
+                    FOR j IN range(1, len(e2) + 1)]) AS c
+                FROM e)
+         SELECT doc_id, CAST(c.idx AS INTEGER) AS chunk_idx,
+           CAST(c.cf AS INTEGER) AS tok_from,
+           CAST(c.ct AS INTEGER) AS tok_to,
+           CAST(c.ct - c.cf + 1 AS INTEGER) AS n_toks,
+           list_reduce(list_prepend(CAST(7 AS BIGINT), th[c.cf:c.ct]),
+             (a, h) -> (a * 31 + h) % 2147483647) AS chunk_hash
+         FROM sp ORDER BY doc_id, chunk_idx""",
 
     // Active users: distinct (user, day) frame, bounded cover
     // explode, day spine with zeros.

@@ -555,6 +555,63 @@ object TextAnalysis {
       .orderBy(desc("pmi_fp"), col("bg")).limit(k)
   }
 
+  /** Content-defined chunking (Rabin/CDC at token granularity): chunk
+    * boundaries fall where the rolling `window`-token hash ≡ 0 mod
+    * `modulus`, so boundaries depend on LOCAL content only — insert a
+    * paragraph and every chunk outside it keeps its identity (fixed-
+    * size chunking shifts every later chunk; this is the rsync/
+    * backup-dedup trick, and the chunk-stable unit you want for
+    * chunk-level dedup and incremental re-embedding). Expected chunk
+    * length ≈ `modulus` tokens; the trailing span always closes at
+    * the document end.
+    *
+    * Scale shape: entirely within-row array math over the bound
+    * token-hash array (per-token char-fold computed ONCE, gram folds
+    * O(n·window)) + one explode — no shuffle, no state; the hashes
+    * are the [[pmiCollocations]]-family portable folds so the oracle
+    * replays every boundary. Docs with no tokens emit nothing.
+    * Output: (doc_id, chunk_idx, tok_from, tok_to, n_toks,
+    * chunk_hash) with 1-based inclusive token spans. */
+  def contentChunks(df: DataFrame, id: Column, text: Column,
+                    window: Int = 4, modulus: Int = 16): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(modulus >= 1, s"modulus must be >= 1, got $modulus")
+    val P = 2147483647L
+    val toksD = df.select(id.as("doc_id"),
+        filter(tokens(text), t => t =!= "").as("__ts"))
+      .filter(size(col("__ts")) > 0)
+      .withColumn("__th", transform(col("__ts"), t =>
+        aggregate(
+          transform(sequence(lit(1), length(t)), i =>
+            ascii(t.substr(i, lit(1))).cast("long")),
+          lit(7L), (a, ch) => (a * 31L + ch) % P)))
+    val th = col("__th")
+    val n = size(th)
+    def gram(e: Column): Column =
+      aggregate(slice(th, e - (window - 1), lit(window)), lit(7L),
+        (a, h) => (a * 31L + h) % P)
+    val ends = filter(sequence(lit(window), n),
+      e => gram(e) % modulus === 0L)
+    val withTail = array_distinct(concat(ends, array(n)))
+    val spans = transform(sequence(lit(1), size(col("__e2"))), j =>
+      struct(j.as("idx"),
+        (when(j === 1, 0).otherwise(element_at(col("__e2"), j - 1)) + 1)
+          .as("from"),
+        element_at(col("__e2"), j).as("to")))
+    toksD
+      .withColumn("__e2",
+        when(n >= window, withTail).otherwise(array(n)))
+      .select(col("doc_id"), th.as("__th"),
+        explode(spans).as("c"))
+      .select(col("doc_id"), col("c.idx").as("chunk_idx"),
+        col("c.from").as("tok_from"), col("c.to").as("tok_to"),
+        (col("c.to") - col("c.from") + 1).as("n_toks"),
+        aggregate(
+          slice(col("__th"), col("c.from"),
+            col("c.to") - col("c.from") + 1),
+          lit(7L), (a, h) => (a * 31L + h) % P).as("chunk_hash"))
+  }
+
   /** Coverage novelty: how many distinct n-gram shingles each document
     * contributes FIRST (no earlier-id document contains them) — the
     * greedy submodular-coverage signal: curating by novelty descending

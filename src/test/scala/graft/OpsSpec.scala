@@ -1857,6 +1857,33 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("contentChunks tiles exactly and survives an insertion") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val base = Seq.fill(200)("w" + rng.nextInt(50))
+    val edited = base.take(100) ++ Seq("inserted", "tokens", "here") ++
+      base.drop(100)
+    val docs = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.contentChunks(docs, col("doc_id"),
+        col("text")).collect()
+      .groupBy(_.getLong(0))
+    // spans tile each doc: contiguous, 1-based, ending at n
+    Seq(1L -> 200, 2L -> 203).foreach { case (id, n) =>
+      val spans = out(id).sortBy(_.getInt(1))
+        .map(r => (r.getInt(2), r.getInt(3)))
+      assert(spans.head._1 == 1 && spans.last._2 == n)
+      spans.sliding(2).foreach { case Array(a, b) =>
+        assert(b._1 == a._2 + 1); case _ => }
+    }
+    // content-defined: most chunk hashes survive the mid-doc insertion
+    val h1 = out(1L).map(_.getLong(5)).toSet
+    val h2 = out(2L).map(_.getLong(5)).toSet
+    val shared = (h1 & h2).size
+    assert(shared >= h1.size - 3,
+      s"only $shared of ${h1.size} chunks survived the insertion")
+  }
+
   test("rollingActiveUsers covers the trailing window with zero gaps") {
     import spark.implicits._
     import java.sql.Timestamp
