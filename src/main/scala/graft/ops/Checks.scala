@@ -122,8 +122,12 @@ object Checks {
   def liftTable(df: DataFrame, id: Column, score: Column, flag: Column,
                 buckets: Int = 10, partitions: Int = 32): DataFrame = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    // null scores drop rather than rank: engines disagree on null
+    // placement under DESC ordering, so a null-scored row would make
+    // the bin cut partitioning-dependent
     val base = df.select(id.as("id"), score.cast("long").as("s"),
-      coalesce(flag.cast("boolean"), lit(false)).as("f"))
+        coalesce(flag.cast("boolean"), lit(false)).as("f"))
+      .filter(col("s").isNotNull)
     val ranked = Packing.orderedCumsum(base,
       struct((-col("s")).as("sneg"), col("id").as("id")), lit(1L),
       partitions, offsetName = "rnk")
@@ -461,8 +465,12 @@ object Checks {
   def olsFitFp(df: DataFrame, group: Column, x: Column, y: Column)
       : DataFrame = {
     val d38 = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    // a null coordinate is not a point: without the filter the count
+    // n would include rows the Σ aggregates skipped, silently bending
+    // every fit that sees a null
     val b = df.select(group.as("group"),
-      x.cast("long").as("x"), y.cast("long").as("y"))
+        x.cast("long").as("x"), y.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
     val ag = b.groupBy("group").agg(
       count(lit(1)).as("n_points"),
       sum(col("x").cast(d38)).as("sx"),

@@ -149,7 +149,10 @@ object Relational {
       cutsPermille == cutsPermille.sorted &&
       cutsPermille.forall(c => c > 0 && c < 1000),
       s"cuts must be ascending permille in (0, 1000), got $cutsPermille")
+    // null entities/values drop: a null key can't be classed and a
+    // null value would null the group's total
     val base = df.select(entity.as("e"), value.cast("long").as("v"))
+      .filter(col("e").isNotNull && col("v").isNotNull)
       .groupBy("e").agg(sum(col("v")).as("v"))
     val ranked = Packing.orderedCumsum(base,
       struct((-col("v")).as("vneg"), col("e").as("e")), col("v"),

@@ -76,6 +76,7 @@ object Sketches {
                        group: Column, item: Column,
                        depth: Int = 3, width: Int = 32): DataFrame = {
     val p = probes.select(group.as("group"), item.as("it")).distinct()
+      .filter(col("it").isNotNull) // a null probe has no buckets
       .select(col("group"), col("it"),
               explode(cmBuckets(col("it"), depth, width)).as("rb"))
       .select(col("group"), col("it"),
