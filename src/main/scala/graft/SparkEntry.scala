@@ -361,6 +361,45 @@ object SparkEntry {
         .orderBy(desc("pmi_fp"), col("bg"))
     }),
 
+    // Planner food: equi-join size between the even- and odd-source
+    // token streams, estimated from two Count-Min grids (AMS inner
+    // product) beside the exact answer.
+    "q232_join_size_est" -> ((s, dir) => {
+      import graft.functions.TextFunctions.tokens
+      val d = t(s, dir, "documents")
+      def occ(f: org.apache.spark.sql.DataFrame) =
+        f.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+      val a = occ(d.filter(expr("CAST(substr(source, 4) AS INT) % 2 = 0")))
+      val b = occ(d.filter(expr("CAST(substr(source, 4) AS INT) % 2 = 1")))
+      val est = graft.ops.Sketches.joinSizeEstimate(
+        graft.ops.Sketches.countMin(a, col("lang"), col("tok"),
+          depth = 3, width = 64),
+        graft.ops.Sketches.countMin(b, col("lang"), col("tok"),
+          depth = 3, width = 64))
+      val ca = a.groupBy(col("lang").as("grp"), col("tok"))
+        .agg(count(lit(1)).as("ca"))
+      val cb = b.groupBy(col("lang").as("grp"), col("tok"))
+        .agg(count(lit(1)).as("cb"))
+      val exact = ca.join(cb, Seq("grp", "tok"))
+        .groupBy("grp").agg(sum(col("ca") * col("cb")).as("exact"))
+      est.join(exact, col("group") === col("grp"))
+        .select(col("group").as("lang"), col("est"), col("exact"))
+        .orderBy("lang")
+    }),
+
+    // Robust center: rank-exact 5%-trimmed mean of order cents per
+    // priority (outliers dropped, not clamped).
+    "q233_trimmed_mean" -> ((s, dir) => {
+      graft.ops.Checks.trimmedMean(t(s, dir, "orders"),
+          col("o_orderpriority"), col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"),
+          loPermille = 50, hiPermille = 950)
+        .select(col("group").as("o_orderpriority"), col("n_kept"),
+                col("sum_kept"), col("mean_fp"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Chunk-stable segmentation: content-defined boundaries (rolling
     // 4-token hash ≡ 0 mod 16) — insertion-robust chunk identities.
     "q231_content_chunks" -> ((s, dir) => {
@@ -2585,6 +2624,77 @@ object SparkEntry {
          ORDER BY pmi_fp DESC, bg LIMIT 50""",
 
     "q203_nb_crossval" -> nbCrossvalSql(5),
+
+    // Join-size estimate: both grids rebuilt with the q171 hash
+    // arithmetic at width 64, row inner products, min; exact beside.
+    "q232_join_size_est" ->
+      """WITH occ AS (SELECT lang, CAST(substr(source, 4) AS INT) % 2
+                        AS par, tok
+                      FROM (SELECT lang, source,
+                              unnest(string_split(text, ' ')) AS tok
+                            FROM documents) WHERE tok <> ''),
+         tca AS (SELECT lang, tok, count(*) AS cnt FROM occ
+                 WHERE par = 0 GROUP BY 1, 2),
+         tcb AS (SELECT lang, tok, count(*) AS cnt FROM occ
+                 WHERE par = 1 GROUP BY 1, 2),
+         vh AS (SELECT tok,
+                  list_reduce(list_prepend(CAST(7 AS BIGINT),
+                      [CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                       FOR i IN range(1, length(tok) + 1)]),
+                    (a, c) -> (a * 31 + c) % 2147483647) AS h1,
+                  list_reduce(list_prepend(CAST(11 AS BIGINT),
+                      [CAST(ascii(substring(tok, i, 1)) AS BIGINT)
+                       FOR i IN range(1, length(tok) + 1)]),
+                    (a, c) -> (a * 31 + c) % 2147483647) AS h2
+                FROM (SELECT DISTINCT tok FROM occ)),
+         rows_ AS (SELECT unnest([0, 1, 2]) AS row),
+         ga AS (SELECT lang, row,
+                  CAST((h1 + row * h2) % 2147483647 % 64 AS INTEGER)
+                    AS bucket,
+                  CAST(sum(cnt) AS BIGINT) AS c
+                FROM tca JOIN vh USING (tok) CROSS JOIN rows_
+                GROUP BY 1, 2, 3),
+         gb AS (SELECT lang, row,
+                  CAST((h1 + row * h2) % 2147483647 % 64 AS INTEGER)
+                    AS bucket,
+                  CAST(sum(cnt) AS BIGINT) AS c
+                FROM tcb JOIN vh USING (tok) CROSS JOIN rows_
+                GROUP BY 1, 2, 3),
+         ip AS (SELECT ga.lang, ga.row,
+                  CAST(sum(ga.c * gb.c) AS BIGINT) AS ip
+                FROM ga JOIN gb ON ga.lang = gb.lang
+                  AND ga.row = gb.row AND ga.bucket = gb.bucket
+                GROUP BY 1, 2),
+         est AS (SELECT lang, CAST(min(ip) AS BIGINT) AS est
+                 FROM ip GROUP BY 1),
+         ex AS (SELECT tca.lang,
+                  CAST(sum(tca.cnt * tcb.cnt) AS BIGINT) AS exact
+                FROM tca JOIN tcb ON tca.lang = tcb.lang
+                  AND tca.tok = tcb.tok
+                GROUP BY 1)
+         SELECT est.lang, est.est, ex.exact
+         FROM est JOIN ex ON est.lang = ex.lang
+         ORDER BY est.lang""",
+
+    // Trimmed mean: q167's rank CTEs, drop outside (lo, hi], exact
+    // sums, one shared float ratio.
+    "q233_trimmed_mean" ->
+      """WITH b AS (SELECT o_orderkey AS id, o_orderpriority AS g,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+               FROM orders),
+         r AS (SELECT id, g, v,
+                 count(*) OVER (PARTITION BY g) AS n,
+                 row_number() OVER (PARTITION BY g ORDER BY v, id)
+                   AS rn
+               FROM b),
+         k AS (SELECT g, v FROM r
+               WHERE rn > (50 * n) // 1000 AND rn <= (950 * n) // 1000)
+         SELECT g AS o_orderpriority, count(*) AS n_kept,
+           CAST(sum(v) AS BIGINT) AS sum_kept,
+           CAST(floor(CAST(sum(v) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS mean_fp
+         FROM k GROUP BY 1 ORDER BY 1""",
 
     // CDC: identical per-token folds, gram folds, boundary rule, and
     // span reassembly.

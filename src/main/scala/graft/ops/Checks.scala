@@ -141,6 +141,42 @@ object Checks {
       .withColumn("flag_permille", expr("(1000 * n_flag) div n_rows"))
   }
 
+  /** Rank-exact trimmed mean per group: the mean over values whose
+    * within-group rank sits in (lo_permille, hi_permille] — outliers
+    * are DROPPED, not clamped (the [[robustWinsorize]] sibling;
+    * trimming is the right call when extremes are garbage rather than
+    * censored). Rank cuts use the integer formulas of
+    * [[robustWinsorize]] (ties by id), sums are exact, and the mean is
+    * emitted as the exact integer pair (sum, n) plus a convenience
+    * micro-fixed-point ratio from one shared float division.
+    * One group-keyed rank window (per-group row counts bound it) and
+    * one conditional aggregate.
+    * Output: (group, n_kept, sum_kept, mean_fp). */
+  def trimmedMean(df: DataFrame, group: Column, id: Column,
+                  value: Column, loPermille: Int = 50,
+                  hiPermille: Int = 950): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(0 <= loPermille && loPermille < hiPermille &&
+      hiPermille <= 1000,
+      s"need 0 <= lo < hi <= 1000, got $loPermille/$hiPermille")
+    val base = df.select(group.as("__g"), id.as("id"),
+        value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val wg = Window.partitionBy(col("__g"))
+    val r = base
+      .withColumn("n", count(lit(1)).over(wg))
+      .withColumn("rn",
+        row_number().over(wg.orderBy(col("v"), col("id"))))
+      .filter(col("rn") > expr(s"($loPermille * n) div 1000") &&
+              col("rn") <= expr(s"($hiPermille * n) div 1000"))
+    r.groupBy(col("__g").as("group"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("v")).as("sum_kept"))
+      .withColumn("mean_fp",
+        floor(col("sum_kept").cast("double") /
+              col("n_kept").cast("double") * lit(1000000.0) +
+              lit(0.5)).cast("long"))
+  }
+
   /** Funnel attrition report: one row per named pipeline stage with
     * its surviving row count — the per-deploy sanity table ("the
     * quality gate suddenly eats 90%" is a bug you want BEFORE the

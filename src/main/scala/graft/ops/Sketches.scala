@@ -86,6 +86,25 @@ object Sketches {
       .agg(min(coalesce(col("c"), lit(0L))).as("cm_est"))
   }
 
+  /** Equi-join size estimation from two [[countMin]] grids (the
+    * AMS/CM inner-product estimator): |A ⋈ B| on the sketched key =
+    * Σ_k a_k·b_k, estimated as min over rows of Σ_buckets A[r,b]·B[r,b]
+    * — one-sided like the point estimate (collisions only ADD), and
+    * computed from two O(depth·width) summaries WITHOUT touching
+    * either input again. This is how a planner prices a join between
+    * corpora it only has sketches of. Grids must share depth/width/
+    * group keys; the group column pairs strata (pass lit("") grids
+    * for global). Output: (group, est) per group present in BOTH
+    * grids. */
+  def joinSizeEstimate(gridA: DataFrame, gridB: DataFrame): DataFrame =
+    gridA.select(col("group"), col("row"), col("bucket"),
+        col("c").as("ca"))
+      .join(gridB.select(col("group"), col("row"), col("bucket"),
+        col("c").as("cb")), Seq("group", "row", "bucket"))
+      .groupBy("group", "row")
+      .agg(sum(col("ca") * col("cb")).as("ip"))
+      .groupBy("group").agg(min(col("ip")).as("est"))
+
   /** The depth (row, bucket) pairs for one item: two independent
     * 31-bit modular char-folds (seeds 7 and 11), rows via double
     * hashing. Runs on vocab-sized frames in batch;

@@ -1857,6 +1857,33 @@ class OpsSpec extends AnyFunSuite {
            out(7L) == plain(7L))
   }
 
+  test("joinSizeEstimate is one-sided and exact at wide widths") {
+    import spark.implicits._
+    val a = (Seq.fill(30)("x") ++ Seq.fill(10)("y") ++ Seq.fill(5)("z"))
+      .map(("g", _)).toDF("grp", "it")
+    val b = (Seq.fill(7)("x") ++ Seq.fill(3)("y") ++ Seq.fill(20)("w"))
+      .map(("g", _)).toDF("grp", "it")
+    val exact = 30L * 7 + 10L * 3 // z and w don't meet
+    def est(width: Int): Long = Sketches.joinSizeEstimate(
+        Sketches.countMin(a, col("grp"), col("it"), 3, width),
+        Sketches.countMin(b, col("grp"), col("it"), 3, width))
+      .collect().head.getLong(1)
+    assert(est(2) >= exact)       // collisions only inflate
+    assert(est(1024) == exact)    // no collisions → exact
+  }
+
+  test("trimmedMean drops the tails by rank and averages the body") {
+    import spark.implicits._
+    val d = ((1L to 20L) :+ 1000L).zipWithIndex
+      .map { case (v, i) => (i.toLong, "g", v) }.toDF("id", "g", "v")
+    val out = Checks.trimmedMean(d, col("g"), col("id"), col("v"))
+      .collect().head
+    // n=21: drop rn <= (50*21)//1000 = 1 and rn > (950*21)//1000 = 19
+    // → keep values 2..19: n=18, sum=189, mean 10.5
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((18L, 189L, 10500000L)))
+  }
+
   test("contentChunks tiles exactly and survives an insertion") {
     import spark.implicits._
     val rng = new scala.util.Random(7)
