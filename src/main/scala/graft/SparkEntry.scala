@@ -400,6 +400,36 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Set-similarity join III: PPJoin prefix filtering — candidates
+    // come from each doc's ~5% rarest tokens only, then exact-verify.
+    // Provably equal to the full inverted index at a fraction of its
+    // join cost, with stop-token skew structurally excluded (the
+    // scale-path answer to jaccardPairs' lossy maxShingleFreq cap).
+    "q242_prefix_filter_pairs" -> ((s, dir) => {
+      graft.ops.Dedup.prefixFilterPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"), tauNum = 19, tauDen = 20)
+        .orderBy("id1", "id2")
+    }),
+
+    // Entity resolution III: the golden record. Fuzzy name pairs →
+    // transitive closure → survivorship (members, variants, canonical
+    // name, exact-cents consolidated price) — the full ER merge whose
+    // pieces q145/q56/q148 check one at a time.
+    "q243_golden_record" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val ent = graft.ops.Relational.resolveEntities(part,
+          col("p_partkey"), col("p_name"), maxDist = 2)
+      part.join(ent, col("p_partkey") === col("rid"))
+        .groupBy("entity")
+        .agg(count(lit(1)).as("n_members"),
+             countDistinct(col("p_name")).as("n_variants"),
+             min(col("p_name")).as("canonical_name"),
+             sum(floor(col("p_retailprice") * 100 + lit(0.5))
+                   .cast("long")).as("price_cents"),
+             max(col("p_size")).as("max_size"))
+        .orderBy("entity")
+    }),
+
     // Chunk-stable segmentation: content-defined boundaries (rolling
     // 4-token hash ≡ 0 mod 16) — insertion-robust chunk identities.
     "q231_content_chunks" -> ((s, dir) => {
@@ -2695,6 +2725,55 @@ object SparkEntry {
                       / CAST(count(*) AS DOUBLE)
                       * 1000000.0 + 0.5) AS BIGINT) AS mean_fp
          FROM k GROUP BY 1 ORDER BY 1""",
+
+    // Prefix filtering is exact, so the oracle is the plain full
+    // inverted-index word-jaccard join — no prefix logic to replay.
+    // Same cross-multiplied integer threshold (19/20), same one shared
+    // rounded float.
+    "q242_prefix_filter_pairs" ->
+      """WITH tkn AS (SELECT doc_id,
+                 list_distinct([x FOR x IN string_split(text, ' ')
+                                IF x <> '']) AS ws
+               FROM documents),
+         ex AS (SELECT doc_id, len(ws) AS n, unnest(ws) AS tk
+                FROM tkn WHERE len(ws) > 0),
+         pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+                          count(*) AS co,
+                          any_value(a.n) AS na, any_value(b.n) AS nb
+                   FROM ex a JOIN ex b
+                     ON a.tk = b.tk AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2)
+         SELECT id1, id2, round(co*1.0/(na+nb-co), 4) AS jaccard
+         FROM pairs WHERE 20*co >= 19*(na+nb-co) ORDER BY 1, 2""",
+
+    // Golden record: name-rep graph + recursive-CTE closure (the q56
+    // pattern), then the identical survivorship aggregates.
+    "q243_golden_record" ->
+      """WITH RECURSIVE
+         names AS (SELECT p_name AS name, min(p_partkey) AS rep
+                   FROM part GROUP BY 1),
+         pr AS (SELECT a.rep AS r1, b.rep AS r2
+                FROM names a JOIN names b
+                  ON a.name < b.name
+                 AND levenshtein(a.name, b.name) <= 2),
+         e AS (SELECT r1 AS a, r2 AS b FROM pr
+               UNION SELECT r2, r1 FROM pr),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM e
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY 1),
+         ent AS (SELECT p.p_name, p.p_retailprice, p.p_size,
+                   coalesce(c.comp, n.rep) AS entity
+                 FROM part p JOIN names n ON p.p_name = n.name
+                   LEFT JOIN comp c ON n.rep = c.id)
+         SELECT entity, count(*) AS n_members,
+           count(DISTINCT p_name) AS n_variants,
+           min(p_name) AS canonical_name,
+           CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents,
+           max(p_size) AS max_size
+         FROM ent GROUP BY 1 ORDER BY 1""",
 
     // CDC: identical per-token folds, gram folds, boundary rule, and
     // span reassembly.

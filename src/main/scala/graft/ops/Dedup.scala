@@ -772,4 +772,75 @@ object Dedup {
               (col("na") + col("nb") - col("inter")).cast("double") *
               lit(10000.0) + lit(0.5)).cast("long").as("jaccard_x1e4"))
   }
+
+  /** PPJoin-style prefix-filtered set-similarity self-join (Chaudhuri
+    * et al. ICDE'06 prefix filtering; Xiao, Wang, Lin & Yu WWW'08):
+    * word-token Jaccard pairs ≥ tauNum/tauDen, with candidate
+    * generation restricted to each document's PREFIX — its
+    * n − ⌈τ·n⌉ + 1 globally-RAREST tokens under the canonical
+    * (corpus-frequency asc, token) total order — instead of its full
+    * token set. Exact, not approximate: the prefix-filtering theorem
+    * guarantees any pair with Jaccard ≥ τ shares at least one prefix
+    * token (if all shared tokens sat outside both prefixes, the overlap
+    * would be ≤ ⌈τ·n⌉ − 1 on each side, below the ⌈τ·max(na,nb)⌉ that
+    * J ≥ τ forces), and every candidate is then verified with the exact
+    * Jaccard on the full token sets.
+    *
+    * Scale shape vs the full inverted index ([[jaccardPairs]]): only the
+    * (1−τ) prefix fraction of each document is exploded and joined, and
+    * because the canonical order is rarest-first, the posting lists that
+    * exist are the SHORT ones — stop-words sort last and structurally
+    * never enter a prefix unless a document consists of nothing but
+    * them. The quadratic per-posting-list cost that forces
+    * `maxShingleFreq`'s lossy cap on the full index simply never
+    * materializes here, with no loss of exactness. Cost: one extra
+    * vocab-keyed join (token → corpus frequency) and a per-document
+    * window rank — both shuffles on high-cardinality keys.
+    *
+    * τ is a rational (`tauNum/tauDen`) so ⌈τ·n⌉ is exact integer
+    * arithmetic — `ceil(0.7 * n)` in doubles misrounds exactly at the
+    * multiples of 10 where it matters. The verify filter is the
+    * cross-multiplied `tauDen·co ≥ tauNum·(na+nb−co)` — no float
+    * threshold anywhere; the reported jaccard is the one shared float
+    * expression, rounded. Returns (id1, id2, jaccard). */
+  def prefixFilterPairs(df: DataFrame, id: Column, text: Column,
+                        tauNum: Int, tauDen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tauNum > 0 && tauNum <= tauDen,
+      s"prefixFilterPairs: need 0 < tauNum <= tauDen, got $tauNum/$tauDen")
+    val toks = fanOut(df)
+      .select(id.as("id"),
+              array_distinct(filter(tokens(text), t => t =!= "")).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") > 0) // null/empty texts have no tokens, no pairs
+      .localCheckpoint() // prefix generation + both verify joins reuse it
+    val ex = toks.select(col("id"), col("n"), explode(col("ts")).as("tk"))
+    val freq = ex.groupBy("tk").agg(count(lit(1)).as("tf"))
+    // rarest-first canonical rank inside each doc; (tf, tk) is total so
+    // the prefix is deterministic. Window partitions by doc — never a
+    // global sort.
+    val w = Window.partitionBy("id").orderBy(col("tf"), col("tk"))
+    val prefix = ex.join(freq, "tk")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        expr(s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1"))
+      .select("id", "tk")
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+            col("a.tk") === col("b.tk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    val sets = toks.select(col("id"), col("ts"), col("n"))
+    cand
+      .join(sets.select(col("id").as("id1"), col("ts").as("t1"),
+                        col("n").as("na")), "id1")
+      .join(sets.select(col("id").as("id2"), col("ts").as("t2"),
+                        col("n").as("nb")), "id2")
+      .withColumn("co", size(array_intersect(col("t1"), col("t2"))))
+      .filter(col("co") * tauDen >=
+              (col("na") + col("nb") - col("co")) * tauNum)
+      .select(col("id1"), col("id2"),
+              round(col("co").cast("double") /
+                    (col("na") + col("nb") - col("co")), 4).as("jaccard"))
+  }
 }

@@ -641,6 +641,40 @@ object Relational {
       .filter(col("dist") <= maxDist)
   }
 
+  /** End-to-end entity resolution: records collapse into one entity
+    * when their `name`s are exact duplicates OR within `maxDist` edits
+    * of each other (transitively — A~B, B~C puts all three in one
+    * entity even when A and C differ by 2·maxDist; that is the standard
+    * ER closure, deliberate and documented). Composition of the three
+    * primitives this engine already checks separately:
+    * [[fuzzyMatchPairs]] (lossless length-blocked candidate pairs) →
+    * [[Dedup.connectedComponents]] (min-label closure) → an equi-join
+    * mapping every record back through its name.
+    *
+    * Scale shape: matching runs on DISTINCT names represented by their
+    * min record id — the pair join, the component loop, and the closure
+    * all operate on vocabulary-sized frames, never on the record
+    * stream; records rejoin through one name-keyed equi-join at the
+    * end. Entity label = min record id of the cluster (deterministic).
+    * Returns (rid, entity) for every record with non-null id and name. */
+  def resolveEntities(df: DataFrame, id: Column, name: Column,
+                      maxDist: Int): DataFrame = {
+    val recs = df.select(id.as("rid"), name.as("name"))
+      .filter(col("rid").isNotNull && col("name").isNotNull)
+    val rep = recs.groupBy("name").agg(min(col("rid")).as("rep"))
+    val np = fuzzyMatchPairs(rep, col("name"), maxDist)
+    val rp = np
+      .join(rep.select(col("name").as("name1"), col("rep").as("r1")),
+            "name1")
+      .join(rep.select(col("name").as("name2"), col("rep").as("r2")),
+            "name2")
+    val comp = Dedup.connectedComponents(rp, col("r1"), col("r2"))
+    recs.join(rep, "name")
+      .join(comp.withColumnRenamed("id", "rep"), Seq("rep"), "left")
+      .select(col("rid"),
+              coalesce(col("comp"), col("rep")).as("entity"))
+  }
+
   /** Tagged three-way set split (corpus diff): rows only in `a`
     * (`a_only`), only in `b` (`b_only`), and in `both`. Schemas must
     * match. Set semantics (deduplicating), like SQL INTERSECT/EXCEPT;

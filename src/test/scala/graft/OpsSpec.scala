@@ -23,6 +23,38 @@ class OpsSpec extends AnyFunSuite {
     assert(truth.nonEmpty) // corpus has planted near-dups
   }
 
+  test("prefix-filtered pairs equal the exact word-jaccard join") {
+    // driver-side exact reference: all-pairs over the full corpus
+    val sets = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+                 Option(r.getString(1)).getOrElse("")
+                   .split(" ").filter(_.nonEmpty).toSet))
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      co = (sa & sb).size
+      if co * 20 >= (sa.size + sb.size - co) * 19
+    } yield (a, b)).toSet
+    val got = pairSet(Dedup.prefixFilterPairs(
+      docs, col("doc_id"), col("text"), tauNum = 19, tauDen = 20))
+    assert(got == expected)
+    assert(expected.nonEmpty) // corpus has planted near-dups
+  }
+
+  test("prefix filtering is exact under a corpus-wide stop token") {
+    import spark.implicits._
+    // every doc shares "the" (hot token, sorts LAST in the canonical
+    // order); pairs must still surface even though "the" never enters
+    // any prefix. J(1,2) = 3/5 = 0.6 >= 3/5; J with doc 3 is below.
+    val d = Seq(
+      (1L, "the alpha beta gamma xray"),
+      (2L, "the alpha beta gamma yankee"),
+      (3L, "the zulu omega psi chi")).toDF("doc_id", "text")
+    val got = pairSet(Dedup.prefixFilterPairs(
+      d, col("doc_id"), col("text"), tauNum = 3, tauDen = 5))
+    assert(got == Set((1L, 2L)))
+  }
+
   test("simhash candidates are a high-recall subset of true pairs") {
     val truth = pairSet(Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.6))
     val sim = pairSet(Dedup.simhashPairs(docs, col("doc_id"), col("text"), 0.6))
