@@ -430,6 +430,18 @@ object SparkEntry {
         .orderBy("entity")
     }),
 
+    // Graph III: per-part triangle counts of the order-co-occurrence
+    // graph — local density (community cores / link farms), the
+    // counting sibling of q161's global PageRank, via degree-ordered
+    // wedge enumeration (never hub-quadratic).
+    "q244_triangles" -> ((s, dir) => {
+      val e = graft.ops.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      graft.ops.Graph.triangleCounts(e, col("src"), col("dst"))
+        .select(col("id").as("part_id"), col("n_tri"))
+        .orderBy(desc("n_tri"), col("part_id")).limit(50)
+    }),
+
     // Chunk-stable segmentation: content-defined boundaries (rolling
     // 4-token hash ≡ 0 mod 16) — insertion-robust chunk identities.
     "q231_content_chunks" -> ((s, dir) => {
@@ -2774,6 +2786,25 @@ object SparkEntry {
                 AS BIGINT) AS price_cents,
            max(p_size) AS max_size
          FROM ent GROUP BY 1 ORDER BY 1""",
+
+    // Triangles: the oracle skips the degree orientation (a pure
+    // performance device — the enumerated set is identical) and lists
+    // each a<b<c triangle once via the canonical 3-way edge join.
+    "q244_triangles" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+         e AS (SELECT DISTINCT a.p AS u, b.p AS v
+               FROM m a JOIN m b ON a.o = b.o AND a.p < b.p),
+         tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                 FROM e e1
+                   JOIN e e2 ON e2.u = e1.v
+                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         corners AS (SELECT a AS id FROM tri
+                     UNION ALL SELECT b FROM tri
+                     UNION ALL SELECT c FROM tri)
+         SELECT id AS part_id, count(*) AS n_tri
+         FROM corners GROUP BY 1
+         ORDER BY n_tri DESC, part_id LIMIT 50""",
 
     // CDC: identical per-token folds, gram folds, boundary rule, and
     // span reassembly.

@@ -73,4 +73,60 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts of the undirected graph whose edges are
+    * the (id1, id2) pairs of `edges` (direction and multiplicity
+    * ignored; self-loops and null endpoints dropped). Triangles are the
+    * graph's local-density signal — clustering coefficients, community
+    * cores, and link-spam farms (tightly interlinked crawl domains) all
+    * start from this count.
+    *
+    * Scale shape — the standard degree-ordered orientation (Cohen's
+    * MapReduce triangle enumeration, Suri & Vassilvitskii WWW'11):
+    * each undirected edge is oriented from its (degree, id)-smaller to
+    * its (degree, id)-larger endpoint, making the graph a DAG in which
+    * every node's OUT-degree is O(√m). Wedges are enumerated only at
+    * each triangle's unique out-degree-2 apex — `join` of the oriented
+    * list with itself on the source key — so a power-law hub with 10⁶
+    * neighbors contributes wedges only toward its few
+    * HIGHER-degree peers, not the 10¹² pairs a naive neighbor-pair
+    * expansion would emit; the closing-edge check is one more
+    * equi-join against the canonical edge list. Three shuffles total
+    * (degree agg, wedge self-join, closing join), never a nested loop.
+    *
+    * Returns (id, n_tri) for every node in at least one triangle —
+    * each triangle credits all three corners. */
+  def triangleCounts(edges: DataFrame, id1: Column, id2: Column)
+      : DataFrame = {
+    val e = edges
+      .select(least(id1, id2).as("u"), greatest(id1, id2).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+              col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    // orient by the (degree, id) total order; ties broken by id keep
+    // the orientation a DAG even on regular graphs
+    val oriented = e
+      .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("d")))
+          .otherwise(struct(col("v").as("s"), col("u").as("d")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
+    // wedges at the apex: two out-edges of one source; y < z in id
+    // order so each unordered wedge is formed exactly once
+    val wedges = oriented.as("a")
+      .join(oriented.as("b"),
+            col("a.s") === col("b.s") && col("a.d") < col("b.d"))
+      .select(col("a.s").as("x"), col("a.d").as("y"), col("b.d").as("z"))
+    // close against the canonical (u < v) edge list — y < z already
+    val tri = wedges.join(e,
+      col("u") === col("y") && col("v") === col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
 }

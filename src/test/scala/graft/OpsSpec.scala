@@ -1732,6 +1732,18 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L) == got(2L) && got(3L) < got(1L))
   }
 
+  test("triangleCounts enumerates each triangle once per corner") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    // 4–5 edge (in no triangle) and noise: duplicate + reversed edges
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (1L, 2L), (2L, 1L)))
+      .toDF("x", "y")
+    val got = Graph.triangleCounts(edges, col("x"), col("y"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
   test("scd2Intervals collapses repeats and closes versions in order") {
     import spark.implicits._
     import java.sql.Timestamp
