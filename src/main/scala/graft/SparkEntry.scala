@@ -442,6 +442,26 @@ object SparkEntry {
         .orderBy(desc("n_tri"), col("part_id")).limit(50)
     }),
 
+    // Interval algebra: which users' sessions overlap in wall-clock
+    // time — concurrency analysis (load attribution, co-presence)
+    // via the bucketed interval-overlap join, never a theta nested
+    // loop. Session ids packed as user*100000+seq for a total order.
+    "q245_session_overlap" -> ((s, dir) => {
+      val iv = graft.ops.Events.sessionize(t(s, dir, "events"),
+          col("user_id"), col("ts"), gapSeconds = 1800)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("s"),
+             max(unix_timestamp(col("ts"))).as("e"))
+        .withColumn("sid",
+          col("user_id") * 100000L + col("session_id"))
+      graft.ops.Relational.intervalOverlapJoin(
+          iv, col("sid"), col("s"), col("e"),
+          iv, col("sid"), col("s"), col("e"),
+          bucketSize = 3600L, strictPairs = true)
+        .select(col("id1"), col("id2"), col("overlap").as("overlap_secs"))
+        .orderBy("id1", "id2")
+    }),
+
     // Chunk-stable segmentation: content-defined boundaries (rolling
     // 4-token hash ≡ 0 mod 16) — insertion-robust chunk identities.
     "q231_content_chunks" -> ((s, dir) => {
@@ -2805,6 +2825,33 @@ object SparkEntry {
          SELECT id AS part_id, count(*) AS n_tri
          FROM corners GROUP BY 1
          ORDER BY n_tri DESC, part_id LIMIT 50""",
+
+    // Session overlap: q31's sessionization CTE builds the intervals;
+    // the oracle then joins them with the plain overlap theta predicate
+    // (bucket decomposition is a pure performance device).
+    "q245_session_overlap" ->
+      """WITH x AS (SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      IS NULL THEN 1
+                  WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+                       CAST(floor(epoch(lag(ts) OVER
+                         (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+                       > 1800 THEN 1
+                  ELSE 0 END AS ns
+             FROM events WHERE ts IS NOT NULL),
+         y AS (SELECT user_id, ts,
+                 CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+               FROM x),
+         iv AS (SELECT user_id * 100000 + session_id AS sid,
+                  CAST(floor(epoch(min(ts))) AS BIGINT) AS s,
+                  CAST(floor(epoch(max(ts))) AS BIGINT) AS e
+                FROM y GROUP BY user_id, session_id)
+         SELECT a.sid AS id1, b.sid AS id2,
+                least(a.e, b.e) - greatest(a.s, b.s) AS overlap_secs
+         FROM iv a JOIN iv b
+           ON a.sid < b.sid AND a.s <= b.e AND b.s <= a.e
+         ORDER BY 1, 2""",
 
     // CDC: identical per-token folds, gram folds, boundary rule, and
     // span reassembly.

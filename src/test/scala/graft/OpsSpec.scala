@@ -1744,6 +1744,26 @@ class OpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("intervalOverlapJoin counts bucket-spanning pairs exactly once") {
+    import spark.implicits._
+    // [0,10000] spans 3 hourly buckets shared with [5000,9000];
+    // [9000,9000] touches it at a point (overlap 0); [20000,30000] is
+    // disjoint; empty (e<s) and null rows drop
+    val iv = Seq((1L, 0L, 10000L), (2L, 5000L, 9000L),
+                 (3L, 9000L, 9000L), (4L, 20000L, 30000L),
+                 (5L, 50L, 10L))
+      .toDF("id", "s", "e")
+      .union(Seq((6L, Option.empty[Long], Option(1L)))
+        .toDF("id", "s", "e"))
+    val got = Relational.intervalOverlapJoin(
+        iv, col("id"), col("s"), col("e"),
+        iv, col("id"), col("s"), col("e"),
+        bucketSize = 3600L, strictPairs = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, 2L, 4000L), (1L, 3L, 0L), (2L, 3L, 0L)))
+  }
+
   test("scd2Intervals collapses repeats and closes versions in order") {
     import spark.implicits._
     import java.sql.Timestamp
