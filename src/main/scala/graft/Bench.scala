@@ -41,13 +41,33 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // headline total LAST: the driver records only a bounded tail of
-    // stdout, and with ~90 queries a value printed up front would be
-    // truncated away before anyone reads it
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}""")
+    // the driver keeps only a ~2000-char stdout TAIL: a ~240-query map
+    // (~8 KB) printed as one line loses most timings (the r4 artifact —
+    // 171 of 236 vanished). So: (1) persist the COMPLETE per-query map
+    // as a repo file the round-end commit picks up, (2) print the full
+    // map early (visible in full logs), (3) make the LAST line a
+    // compact parseable summary that always fits the tail.
+    // locale-independent formatting (f"" honors the default locale,
+    // which can emit comma decimal separators — invalid JSON)
+    def fmt(v: Double, dp: Int): String = {
+      val p = math.pow(10, dp)
+      (math.round(v * p) / p).toString
+    }
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
+    val fullJson =
+      s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      fullJson.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    println(fullJson)
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries_file":"BENCH_FULL.json","top20":$top,"value":$total}""")
     spark.stop()
   }
 }

@@ -15,13 +15,22 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) in parquet, surfaced as long nanos via
-    // spark.sql.legacy.parquet.nanosAsLong — rebuild a proper timestamp.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer division: `/` is double division whose rounding can land
-      // one microsecond above the truncation DuckDB applies to nanos
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // events.ts has shifted encodings across driver versions — TIMESTAMP
+    // (NANOS) surfaced as long nanos under nanosAsLong, then TIMESTAMP_NTZ
+    // micros. Normalize BOTH to TimestampType (session TZ is UTC, so the
+    // NTZ cast preserves every wall-clock-derived value): leaving NTZ in
+    // place silently breaks analysis for TIMESTAMP-only expressions like
+    // unix_micros, which cost q37/q54 their r4 correctness rows.
+    if (name == "events")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // integer division: `/` is double division whose rounding can
+          // land one microsecond above DuckDB's nanos truncation
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df
+      }
     else df
   }
 
@@ -460,6 +469,21 @@ object SparkEntry {
           bucketSize = 3600L, strictPairs = true)
         .select(col("id1"), col("id2"), col("overlap").as("overlap_secs"))
         .orderBy("id1", "id2")
+    }),
+
+    // Real multimodal codec: deterministic PCM synthesis → RIFF/WAVE
+    // PCM-16 ENCODE → general chunk-walking DECODE (the partition-batch
+    // seam with a real kernel, not the stub) → exact integer stats the
+    // oracle replays arithmetically. Any header/layout/endianness bug
+    // in either direction breaks the hash match.
+    "q246_wav_decode" -> ((s, dir) => {
+      val wavs = graft.ops.Multimodal.synthWavPcm16(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Multimodal.decodeWavStatsDf(wavs, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("sample_rate"),
+                col("channels"), col("bits"), col("n_samples"),
+                col("sum_abs"), col("peak"))
+        .orderBy("doc_id")
     }),
 
     // Chunk-stable segmentation: content-defined boundaries (rolling
@@ -1773,12 +1797,13 @@ object SparkEntry {
         .orderBy("seq_id", "doc_id")
     }),
 
-    // Sketch profiling (HLL++ distinct + KLL-ish quantiles): mergeable
-    // O(1)-per-group state, the survey pass before exact work. By
-    // design approximate -> NO oracleSql entry; the driver records the
-    // weaker rows-only check and OpsSpec pins error bounds vs exact.
+    // Sketch profiling. The oracle-checked row is the EXACT scalar twin
+    // (exact distinct + interpolated percentile -> hash-matchable, no
+    // array column to crash the driver compare); the approx HLL++/KLL
+    // sketch path ([[graft.ops.Sketches.profile]]) stays the 100 TB
+    // survey pass and is pinned by OpsSpec within its error bounds.
     "q80_sketch_profile" -> ((s, dir) => {
-      graft.ops.Sketches.profile(
+      graft.ops.Sketches.profileExact(
           t(s, dir, "lineitem"),
           Seq(col("l_returnflag")), col("l_extendedprice"))
         .orderBy("l_returnflag")
@@ -2852,6 +2877,21 @@ object SparkEntry {
          FROM iv a JOIN iv b
            ON a.sid < b.sid AND a.s <= b.e AND b.s <= a.e
          ORDER BY 1, 2""",
+
+    // arithmetic replay of the synthesized PCM (the oracle never sees
+    // the WAV bytes — agreement proves encode→decode round-trips them)
+    "q246_wav_decode" ->
+      """WITH s AS (SELECT doc_id, 20 + (doc_id % 50) AS n FROM documents),
+         e AS (SELECT doc_id, n,
+                 [abs(((doc_id + 1) * 7919 + i * 104729) % 65521 - 32760)
+                  FOR i IN range(n)] AS a
+               FROM s)
+         SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(a) AS BIGINT) AS sum_abs,
+           CAST(list_max(a) AS BIGINT) AS peak
+         FROM e ORDER BY doc_id""",
 
     // CDC: identical per-token folds, gram folds, boundary rule, and
     // span reassembly.
@@ -4899,6 +4939,17 @@ object SparkEntry {
            n_email, n_ip,
            CAST(len(regexp_extract_all(t2, '\b\d{9,}\b')) AS INTEGER) AS n_num
          FROM s2 ORDER BY doc_id""",
+
+    // exact scalar profile: Spark's `percentile` and DuckDB's
+    // quantile_cont share the linear-interpolation definition, so the
+    // rounded values hash-match
+    "q80_sketch_profile" ->
+      """SELECT l_returnflag, count(*) AS n,
+           count(DISTINCT l_extendedprice) AS n_distinct,
+           round(quantile_cont(l_extendedprice, 0.25), 2) AS q25,
+           round(quantile_cont(l_extendedprice, 0.50), 2) AS q50,
+           round(quantile_cont(l_extendedprice, 0.75), 2) AS q75
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // replay: starts = [0] when n <= 40 else [0, 30, 60, ...] up to
     // (n-40+29)//30 * 30; chunk = slice(ws, start+1, start+40)

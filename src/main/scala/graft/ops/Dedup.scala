@@ -786,16 +786,30 @@ object Dedup {
     * J ≥ τ forces), and every candidate is then verified with the exact
     * Jaccard on the full token sets.
     *
-    * Scale shape vs the full inverted index ([[jaccardPairs]]): only the
-    * (1−τ) prefix fraction of each document is exploded and joined, and
-    * because the canonical order is rarest-first, the posting lists that
-    * exist are the SHORT ones — stop-words sort last and structurally
-    * never enter a prefix unless a document consists of nothing but
-    * them. The quadratic per-posting-list cost that forces
-    * `maxShingleFreq`'s lossy cap on the full index simply never
-    * materializes here, with no loss of exactness. Cost: one extra
-    * vocab-keyed join (token → corpus frequency) and a per-document
-    * window rank — both shuffles on high-cardinality keys.
+    * Scale shape vs the full inverted index ([[jaccardPairs]]): the
+    * pair search runs over DISTINCT token sets, not documents — on
+    * boilerplate-heavy corpora (tiny effective vocabulary, exact-dup
+    * clusters) that collapses the hub structure before any join fires,
+    * and identical-set doc pairs (J = 1) fall out of a set-id
+    * self-join with no similarity work at all. Over the distinct sets,
+    * candidates come from the rarest-first prefix join with PPJoin's
+    * two prunes applied inside the join (Xiao et al., WWW'08):
+    *
+    *  - length filter: J ≥ τ forces τ·max(na,nb) ≤ min(na,nb), checked
+    *    cross-multiplied on both orderings;
+    *  - positional filter: with both sets sorted by the one global
+    *    (freq asc, token) order, shared tokens keep their relative
+    *    order, so over a pair's matched prefix tokens the true overlap
+    *    is ≤ matches-so-far + min(na − max rankₐ, nb − max rank_b);
+    *    prune when that bound is below the equivalent-overlap threshold
+    *    α = ⌈τ/(1+τ)·(na+nb)⌉.
+    *
+    * Surviving pairs are verified by INDEX-SIDE co-counting — join the
+    * candidate list back to the narrow (set, token) frame and count
+    * matches per pair — so full token arrays are never shuffled through
+    * the verify step (the r4 bench showed array-carrying verification
+    * degenerating to 40% of suite runtime on a 31-token-vocabulary
+    * corpus whose posting lists approach all-pairs).
     *
     * τ is a rational (`tauNum/tauDen`) so ⌈τ·n⌉ is exact integer
     * arithmetic — `ceil(0.7 * n)` in doubles misrounds exactly at the
@@ -810,37 +824,78 @@ object Dedup {
       s"prefixFilterPairs: need 0 < tauNum <= tauDen, got $tauNum/$tauDen")
     val toks = fanOut(df)
       .select(id.as("id"),
-              array_distinct(filter(tokens(text), t => t =!= "")).as("ts"))
+              sort_array(array_distinct(
+                filter(tokens(text), t => t =!= ""))).as("ts"))
       .withColumn("n", size(col("ts")))
       .filter(col("n") > 0) // null/empty texts have no tokens, no pairs
-      .localCheckpoint() // prefix generation + both verify joins reuse it
-    val ex = toks.select(col("id"), col("n"), explode(col("ts")).as("tk"))
+      // set-id = min doc id per distinct token set: one shuffle on the
+      // set key; a window min (not groupBy+collect_list) so a massive
+      // duplicate cluster never materializes as one giant row
+      .withColumn("sid", min(col("id"))
+        .over(Window.partitionBy(col("ts"))))
+      .localCheckpoint() // set extraction + expansion joins reuse it
+    // docs whose sets are identical: J = 1 ≥ τ always — emit directly
+    val intra = toks.select(col("sid"), col("id")).as("a")
+      .join(toks.select(col("sid"), col("id").as("id2")).as("b"), "sid")
+      .filter(col("id") < col("id2"))
+      .select(col("id").as("id1"), col("id2"), lit(1.0).as("jaccard"))
+    // one representative row per distinct token set
+    val sets = toks.filter(col("id") === col("sid"))
+      .select(col("sid"), col("ts"), col("n"))
+    val ex = sets.select(col("sid"), col("n"), explode(col("ts")).as("tk"))
     val freq = ex.groupBy("tk").agg(count(lit(1)).as("tf"))
-    // rarest-first canonical rank inside each doc; (tf, tk) is total so
-    // the prefix is deterministic. Window partitions by doc — never a
+    // rarest-first canonical rank inside each set; (tf, tk) is total so
+    // the prefix is deterministic. Window partitions by set — never a
     // global sort.
-    val w = Window.partitionBy("id").orderBy(col("tf"), col("tk"))
+    val w = Window.partitionBy("sid").orderBy(col("tf"), col("tk"))
     val prefix = ex.join(freq, "tk")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         expr(s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1"))
-      .select("id", "tk")
+      .select("sid", "tk", "rn", "n")
+    // α = ⌈τ/(1+τ)·(na+nb)⌉ in exact integer arithmetic (div, not /)
+    val alpha = expr(
+      s"($tauNum * (na + nb) + $tauNum + $tauDen - 1) div " +
+      s"${tauNum + tauDen}")
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-            col("a.tk") === col("b.tk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id1"), col("b.id").as("id2"))
-      .distinct()
-    val sets = toks.select(col("id"), col("ts"), col("n"))
-    cand
-      .join(sets.select(col("id").as("id1"), col("ts").as("t1"),
-                        col("n").as("na")), "id1")
-      .join(sets.select(col("id").as("id2"), col("ts").as("t2"),
-                        col("n").as("nb")), "id2")
-      .withColumn("co", size(array_intersect(col("t1"), col("t2"))))
+            col("a.tk") === col("b.tk") && col("a.sid") < col("b.sid") &&
+            // length filter, both orderings (pairs sort by sid, not n)
+            col("a.n") * tauDen >= col("b.n") * tauNum &&
+            col("b.n") * tauDen >= col("a.n") * tauNum)
+      .select(col("a.sid").as("sid1"), col("b.sid").as("sid2"),
+              col("a.rn").as("ra"), col("b.rn").as("rb"),
+              col("a.n").as("na"), col("b.n").as("nb"))
+      // positional filter over ALL matched prefix tokens of the pair:
+      // overlap ≤ prefix matches + tokens left after the last match
+      .groupBy("sid1", "sid2", "na", "nb")
+      .agg(count(lit(1)).as("pm"),
+           max(col("ra")).as("mra"), max(col("rb")).as("mrb"))
+      .filter(col("pm") +
+              least(col("na") - col("mra"), col("nb") - col("mrb"))
+              >= alpha)
+      .select("sid1", "sid2", "na", "nb")
+    // exact verify by co-counting on the narrow token index — the full
+    // arrays stay in place, only (sid, tk) pairs move
+    val ix = ex.select(col("sid"), col("tk"))
+    val cross = cand
+      .join(ix.select(col("sid").as("sid1"), col("tk")), "sid1")
+      .join(ix.select(col("sid").as("sid2"), col("tk")), Seq("sid2", "tk"))
+      .groupBy("sid1", "sid2", "na", "nb")
+      .agg(count(lit(1)).as("co"))
       .filter(col("co") * tauDen >=
               (col("na") + col("nb") - col("co")) * tauNum)
-      .select(col("id1"), col("id2"),
+      .select(col("sid1"), col("sid2"),
               round(col("co").cast("double") /
                     (col("na") + col("nb") - col("co")), 4).as("jaccard"))
+    // expand set pairs back to doc pairs (distinct sets → every cross
+    // doc pair qualifies; order each pair by id)
+    val docs = toks.select(col("sid"), col("id"))
+    val inter = cross
+      .join(docs.select(col("sid").as("sid1"), col("id").as("da")), "sid1")
+      .join(docs.select(col("sid").as("sid2"), col("id").as("db")), "sid2")
+      .select(least(col("da"), col("db")).as("id1"),
+              greatest(col("da"), col("db")).as("id2"), col("jaccard"))
+    intra.unionByName(inter)
   }
 }

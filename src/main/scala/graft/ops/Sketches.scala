@@ -27,6 +27,25 @@ object Sketches {
         array(quantiles.map(lit): _*), lit(accuracy))
         .as("approx_quantiles"))
 
+  /** Exact scalar twin of [[profile]]: same survey shape, but exact
+    * `count(distinct)` + exact interpolated `percentile`, one scalar
+    * column per quantile (`q25`/`q50`/`q75`, rounded) instead of an
+    * array. This is the oracle-hashable variant — array columns crash
+    * the driver's pandas compare, and approx values can't hash-match
+    * DuckDB anyway. Costs a real distinct + sort per group (fine at
+    * audit scale; the [[profile]] sketch remains the 100 TB survey
+    * pass and is spec-pinned against this within its error bounds). */
+  def profileExact(df: DataFrame, groupBy: Seq[Column], value: Column,
+                   quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75))
+      : DataFrame = {
+    val aggs =
+      count(lit(1)).as("n") +: countDistinct(value).as("n_distinct") +:
+      quantiles.map(q =>
+        round(percentile(value, lit(q)), 2)
+          .as("q" + math.round(q * 100).toInt))
+    df.groupBy(groupBy: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005): per-group
     * depth×width counter grids supporting point-frequency queries with
     * one-sided error (estimate >= truth, overshoot bounded by

@@ -46,4 +46,45 @@ class MultimodalSpec extends AnyFunSuite {
     // feature 0 of the stub kernel is the byte length
     assert(got.forall { case (id, f) => f.head == lens(id) })
   }
+
+  test("WAV PCM-16 encode → decode round-trips exact sample stats") {
+    val samples = Array.tabulate(257)(i =>
+      ((i * 9973) % 65521 - 32760).toShort)
+    val bytes = Multimodal.encodeWavPcm16(samples, sampleRate = 44100)
+    val st = Multimodal.decodeWavPcm16(bytes)
+    assert(st.sampleRate == 44100 && st.channels == 1 && st.bits == 16)
+    assert(st.nSamples == samples.length)
+    assert(st.sumAbs == samples.map(s => math.abs(s.toLong)).sum)
+    assert(st.peak == samples.map(s => math.abs(s.toLong)).max)
+  }
+
+  test("WAV decoder walks chunks (LIST skipped) and rejects garbage") {
+    // the encoder plants a LIST chunk before data — a fixed-44-byte
+    // "parser" would misread; the walker must reach the data chunk
+    val bytes = Multimodal.encodeWavPcm16(Array[Short](1, -2, 3), 8000)
+    assert(new String(bytes.slice(36, 40), "US-ASCII") == "LIST")
+    assert(Multimodal.decodeWavPcm16(bytes).nSamples == 3L)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWavPcm16("not a wav at all".getBytes)
+    }
+    intercept[IllegalArgumentException] { // truncated data chunk
+      Multimodal.decodeWavPcm16(bytes.dropRight(2))
+    }
+  }
+
+  test("distributed WAV synth+decode matches the driver-side codec") {
+    import spark.implicits._
+    val ids = (0L until 60L).toDF("doc_id")
+    val stats = Multimodal.decodeWavStatsDf(
+      Multimodal.synthWavPcm16(ids, "doc_id"), "asset_id", "media")
+    val got = stats.collect()
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    for (id <- 0L until 60L) {
+      val n = (20 + (id % 50)).toInt
+      val abs = Array.tabulate(n)(i =>
+        math.abs(((id + 1) * 7919L + i * 104729L) % 65521L - 32760L))
+      assert(got(id) == ((n.toLong, abs.sum, abs.max)), s"id $id")
+    }
+  }
 }

@@ -988,6 +988,21 @@ class OpsSpec extends AnyFunSuite {
       assert(math.abs(ad - d).toDouble / d < 0.15) // 3x rsd=0.05
       assert(qs.size == 3 && qs == qs.sorted)      // quantiles ordered
     }
+    // the exact scalar twin (oracle-checked as q80) agrees with the
+    // inline exact stats, and the sketch's quantiles land within 5% of
+    // the exact interpolated percentiles
+    val exactTwin = Sketches.profileExact(li, Seq(col("l_returnflag")),
+        col("l_extendedprice")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(exactTwin.keySet == exact.keySet)
+    for ((k, (n, d)) <- exact) {
+      val (tn, td, tqs) = exactTwin(k)
+      assert(tn == n && td == d)
+      val (_, _, qs) = approx(k)
+      for ((aq, eq) <- qs.zip(tqs))
+        assert(math.abs(aq - eq) / eq < 0.05, s"$k: approx $aq vs $eq")
+    }
   }
 
   test("quantized ANN with exact rescore recovers the brute-force top-k") {

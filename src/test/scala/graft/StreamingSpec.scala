@@ -11,24 +11,32 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import TestSpark.sf0001
 
-  private def events = {
-    val df = spark.read.parquet(s"$sf0001/events.parquet")
-    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  // the testdata's events.ts has shifted types across driver versions
+  // (long nanos under nanosAsLong; TIMESTAMP_NTZ micros today) — dispatch
+  // on the actual schema instead of assuming one encoding
+  private def normTs(df: org.apache.spark.sql.DataFrame) =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
+  private def events =
+    normTs(spark.read.parquet(s"$sf0001/events.parquet"))
 
   test("streaming tumbling window equals batch tumbling (complete mode)") {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // take the stream schema from the file itself so the batch and
+    // stream sides agree whatever encoding the driver wrote
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
     // the file stream source needs a directory, not a single file
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_events")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf0001/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = normTs(spark.readStream.schema(schema)
+      .parquet(dir.toString))
     val q = EventStreams.tumbling(stream, "1 hour")
       .writeStream.format("memory").queryName("hourly")
       .outputMode("complete").start()
