@@ -804,12 +804,17 @@ object Dedup {
     *    prune when that bound is below the equivalent-overlap threshold
     *    α = ⌈τ/(1+τ)·(na+nb)⌉.
     *
-    * Surviving pairs are verified by INDEX-SIDE co-counting — join the
-    * candidate list back to the narrow (set, token) frame and count
-    * matches per pair — so full token arrays are never shuffled through
-    * the verify step (the r4 bench showed array-carrying verification
-    * degenerating to 40% of suite runtime on a 31-token-vocabulary
-    * corpus whose posting lists approach all-pairs).
+    * Surviving candidates are verified on the distinct-set frame: the
+    * candidate list (∝ true pairs after the filters) joins the sets'
+    * sorted token arrays and takes `array_intersect` sizes. Because
+    * candidates and the set frame are both collapsed (set-level, not
+    * doc-level), AQE broadcasts whichever side is small at runtime and
+    * the arrays never shuffle on the common path; when the set frame
+    * IS huge the join degrades to a candidate-bounded sort-merge —
+    * the same bytes the narrow co-count alternative would shuffle,
+    * in fewer rows. (The r4 regression was different in kind:
+    * DOC-level candidates approaching all-pairs, each carrying full
+    * arrays through two wide joins + a distinct.)
     *
     * τ is a rational (`tauNum/tauDen`) so ⌈τ·n⌉ is exact integer
     * arithmetic — `ceil(0.7 * n)` in doubles misrounds exactly at the
@@ -828,20 +833,24 @@ object Dedup {
                 filter(tokens(text), t => t =!= ""))).as("ts"))
       .withColumn("n", size(col("ts")))
       .filter(col("n") > 0) // null/empty texts have no tokens, no pairs
-      // set-id = min doc id per distinct token set: one shuffle on the
-      // set key; a window min (not groupBy+collect_list) so a massive
-      // duplicate cluster never materializes as one giant row
-      .withColumn("sid", min(col("id"))
-        .over(Window.partitionBy(col("ts"))))
-      .localCheckpoint() // set extraction + expansion joins reuse it
+      .localCheckpoint() // set extraction + doc-map joins reuse it
+    // distinct token sets: one shuffle on the sorted-array key; the
+    // aggregate is O(1) state per group (min id), never a collected
+    // id list, so a massive duplicate cluster stays row-shaped
+    val sets = toks.groupBy("ts")
+      .agg(min(col("id")).as("sid"), first(col("n")).as("n"))
+      .select(col("sid"), col("ts"), col("n"))
+      .localCheckpoint() // prefix build + verify + expansion reuse it
+    // doc → set-id map (AQE broadcasts the set side when small; the
+    // array equi-join key is exact — both sides sorted+distinct)
+    val docsMap = toks
+      .join(sets.select(col("ts"), col("sid")), "ts")
+      .select(col("sid"), col("id"))
     // docs whose sets are identical: J = 1 ≥ τ always — emit directly
-    val intra = toks.select(col("sid"), col("id")).as("a")
-      .join(toks.select(col("sid"), col("id").as("id2")).as("b"), "sid")
+    val intra = docsMap.as("a")
+      .join(docsMap.select(col("sid"), col("id").as("id2")).as("b"), "sid")
       .filter(col("id") < col("id2"))
       .select(col("id").as("id1"), col("id2"), lit(1.0).as("jaccard"))
-    // one representative row per distinct token set
-    val sets = toks.filter(col("id") === col("sid"))
-      .select(col("sid"), col("ts"), col("n"))
     val ex = sets.select(col("sid"), col("n"), explode(col("ts")).as("tk"))
     val freq = ex.groupBy("tk").agg(count(lit(1)).as("tf"))
     // rarest-first canonical rank inside each set; (tf, tk) is total so
@@ -853,6 +862,10 @@ object Dedup {
       .filter(col("rn") <=
         expr(s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1"))
       .select("sid", "tk", "rn", "n")
+      // (1−τ)-fraction of the distinct-set tokens — small by
+      // construction; without this the self-join recomputes the
+      // freq-join + window once per side (measured ~2× prefix cost)
+      .localCheckpoint()
     // α = ⌈τ/(1+τ)·(na+nb)⌉ in exact integer arithmetic (div, not /)
     val alpha = expr(
       s"($tauNum * (na + nb) + $tauNum + $tauDen - 1) div " +
@@ -875,14 +888,15 @@ object Dedup {
               least(col("na") - col("mra"), col("nb") - col("mrb"))
               >= alpha)
       .select("sid1", "sid2", "na", "nb")
-    // exact verify by co-counting on the narrow token index — the full
-    // arrays stay in place, only (sid, tk) pairs move
-    val ix = ex.select(col("sid"), col("tk"))
+    // exact verify on the candidate-bounded set frame: sorted arrays,
+    // intersect size in one codegen'd pass; AQE broadcasts `sets`
+    // when it is small, else the join stays candidate-bounded
     val cross = cand
-      .join(ix.select(col("sid").as("sid1"), col("tk")), "sid1")
-      .join(ix.select(col("sid").as("sid2"), col("tk")), Seq("sid2", "tk"))
-      .groupBy("sid1", "sid2", "na", "nb")
-      .agg(count(lit(1)).as("co"))
+      .join(sets.select(col("sid").as("sid1"), col("ts").as("t1")),
+            "sid1")
+      .join(sets.select(col("sid").as("sid2"), col("ts").as("t2")),
+            "sid2")
+      .withColumn("co", size(array_intersect(col("t1"), col("t2"))))
       .filter(col("co") * tauDen >=
               (col("na") + col("nb") - col("co")) * tauNum)
       .select(col("sid1"), col("sid2"),
@@ -890,10 +904,11 @@ object Dedup {
                     (col("na") + col("nb") - col("co")), 4).as("jaccard"))
     // expand set pairs back to doc pairs (distinct sets → every cross
     // doc pair qualifies; order each pair by id)
-    val docs = toks.select(col("sid"), col("id"))
     val inter = cross
-      .join(docs.select(col("sid").as("sid1"), col("id").as("da")), "sid1")
-      .join(docs.select(col("sid").as("sid2"), col("id").as("db")), "sid2")
+      .join(docsMap.select(col("sid").as("sid1"), col("id").as("da")),
+            "sid1")
+      .join(docsMap.select(col("sid").as("sid2"), col("id").as("db")),
+            "sid2")
       .select(least(col("da"), col("db")).as("id1"),
               greatest(col("da"), col("db")).as("id2"), col("jaccard"))
     intra.unionByName(inter)

@@ -50,9 +50,9 @@ object Graph {
     * every division an exact floor `div`, so the result is deterministic
     * bit-for-bit regardless of partitioning (floats would drift with
     * summation order). Nodes = edge endpoints (symmetric input ⇒ no
-    * dangling mass). Lineage grows one join+agg per iteration; callers
-    * running deep iteration counts should localCheckpoint every ~10
-    * rounds — at the 3–5 iterations link-curation needs, not required.
+    * dangling mass). Lineage grows one join+agg per iteration, so the
+    * loop localCheckpoints every 10 rounds — deep runs (50+) keep a
+    * bounded plan while shallow link-curation runs (3–5) never pay it.
     *
     * Returns (id, rank_fp) with rank_fp the micro-unit rank. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
@@ -62,7 +62,7 @@ object Graph {
     // loop-invariant so it happens once, outside the iteration
     val routed = edges.join(outW, Seq("src"))
     var ranks = outW.select(col("src").as("id"), lit(1000000L).as("r"))
-    for (_ <- 0 until iters) {
+    for (i <- 1 to iters) {
       ranks = routed
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst"), expr("(r * w) div out_w").as("contrib"))
@@ -70,6 +70,10 @@ object Graph {
         .agg((lit(150000L) +
               expr("(17 * sum(contrib)) div 20")).as("r"))
         .select(col("id"), col("r"))
+      // bound lineage on deep runs: without this, 50+ iterations stack
+      // 100+ plan nodes and analysis/codegen time blows up; the cut is
+      // value-invariant (exact integer ranks), only the DAG is truncated
+      if (i % 10 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
@@ -98,25 +102,8 @@ object Graph {
     * each triangle credits all three corners. */
   def triangleCounts(edges: DataFrame, id1: Column, id2: Column)
       : DataFrame = {
-    val e = edges
-      .select(least(id1, id2).as("u"), greatest(id1, id2).as("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull &&
-              col("u") =!= col("v"))
-      .distinct()
-    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("dg"))
-    // orient by the (degree, id) total order; ties broken by id keep
-    // the orientation a DAG even on regular graphs
-    val oriented = e
-      .join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
-      .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
-      .select(
-        when(col("du") < col("dv") ||
-             (col("du") === col("dv") && col("u") < col("v")),
-          struct(col("u").as("s"), col("v").as("d")))
-          .otherwise(struct(col("v").as("s"), col("u").as("d")))
-          .as("e"))
-      .select(col("e.s").as("s"), col("e.d").as("d"))
+    val e = canonicalEdges(edges, id1, id2)
+    val oriented = orientedEdges(edges, id1, id2)
     // wedges at the apex: two out-edges of one source; y < z in id
     // order so each unordered wedge is formed exactly once
     val wedges = oriented.as("a")
@@ -128,5 +115,41 @@ object Graph {
       col("u") === col("y") && col("v") === col("z"))
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Canonical undirected edge list: u < v, nulls/self-loops dropped,
+    * duplicates and reverse duplicates collapsed. The DISTINCT here is
+    * load-bearing — a multi-edge surviving into the orientation would
+    * mint phantom wedges (and phantom triangles when it closes), and
+    * its cost is one shuffle the degree count needs anyway. */
+  private[graft] def canonicalEdges(edges: DataFrame, id1: Column,
+                                  id2: Column): DataFrame =
+    edges
+      .select(least(id1, id2).as("u"), greatest(id1, id2).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+              col("u") =!= col("v"))
+      .distinct()
+
+  /** Degree-orientation of [[canonicalEdges]]: each edge points from
+    * its (degree, id)-smaller to its (degree, id)-larger endpoint — a
+    * DAG whose per-node out-degree is O(√m), which bounds the wedge
+    * volume at Σ_s C(outdeg(s), 2). Exposed for the wedge-volume
+    * property spec; production enumeration sits on top. */
+  private[graft] def orientedEdges(edges: DataFrame, id1: Column,
+                                 id2: Column): DataFrame = {
+    val e = canonicalEdges(edges, id1, id2)
+    val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    // orient by the (degree, id) total order; ties broken by id keep
+    // the orientation a DAG even on regular graphs
+    e.join(deg.select(col("id").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("dg").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("d")))
+          .otherwise(struct(col("v").as("s"), col("u").as("d")))
+          .as("e"))
+      .select(col("e.s").as("s"), col("e.d").as("d"))
   }
 }

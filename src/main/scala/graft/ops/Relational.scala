@@ -375,6 +375,13 @@ object Relational {
     require(clash.isEmpty,
       s"asofJoinBackward: left frame already has reserved working " +
       s"column(s) ${clash.mkString(", ")} — rename them before joining")
+    val outClash = payload.values.toSeq.intersect(left.columns)
+    require(outClash.isEmpty,
+      s"asofJoinBackward: payload output name(s) " +
+      s"${outClash.mkString(", ")} already exist on the left frame — " +
+      "the withColumn would silently REPLACE the left column")
+    require(payload.values.toSeq.distinct.size == payload.size,
+      "asofJoinBackward: duplicate payload output names")
     // The payload travels as ONE struct per right row: carrying columns
     // individually with last(..., ignoreNulls) would skip a matched
     // row's legitimate null and stitch values from DIFFERENT right rows.
@@ -437,6 +444,13 @@ object Relational {
     require(clash.isEmpty,
       s"asofJoinBackwardBucketed: left frame already has reserved working " +
       s"column(s) ${clash.mkString(", ")} — rename them before joining")
+    val outClash = payload.values.toSeq.intersect(left.columns)
+    require(outClash.isEmpty,
+      s"asofJoinBackwardBucketed: payload output name(s) " +
+      s"${outClash.mkString(", ")} already exist on the left frame — " +
+      "the withColumn would silently REPLACE the left column")
+    require(payload.values.toSeq.distinct.size == payload.size,
+      "asofJoinBackwardBucketed: duplicate payload output names")
 
     // right side: null times never match, null keys never equi-match
     // (same rule as the base op)

@@ -197,6 +197,31 @@ class OpsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("__t"))
   }
 
+  test("asofJoinBackward rejects payload names colliding with the left") {
+    val left = docs.select(col("doc_id"), col("source"))
+    val ex = intercept[IllegalArgumentException] {
+      Relational.asofJoinBackward(left, docs.select("doc_id"),
+        key = "doc_id", leftTime = "doc_id", rightTime = "doc_id",
+        payload = Map("doc_id" -> "source")) // would clobber left.source
+    }
+    assert(ex.getMessage.contains("source"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Relational.asofJoinBackwardBucketed(left, docs.select("doc_id"),
+        key = "doc_id", leftTime = "doc_id", rightTime = "doc_id",
+        payload = Map("doc_id" -> "source"), bucketOf = identity)
+    }
+    assert(ex2.getMessage.contains("source"))
+  }
+
+  test("topKPerGroup rejects a pre-existing __rn working column") {
+    val ex = intercept[IllegalArgumentException] {
+      Relational.topKPerGroup(
+        docs.select(col("doc_id"), col("doc_id").as("__rn")),
+        Seq(col("doc_id")), Seq(col("doc_id").asc), 3)
+    }
+    assert(ex.getMessage.contains("__rn"))
+  }
+
   test("paragraph dedup keeps first occurrence corpus-wide, reassembles in order") {
     import spark.implicits._
     val corpus = Seq(
@@ -1757,6 +1782,53 @@ class OpsSpec extends AnyFunSuite {
     val got = Graph.triangleCounts(edges, col("x"), col("y"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangle wedge volume matches the out-degree bound formula") {
+    import spark.implicits._
+    // dup/reversed noise MUST vanish before orientation: a surviving
+    // multi-edge would inflate out-degrees and mint phantom wedges
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val edges = (k4 ++ k4 ++ Seq((4L, 5L), (5L, 4L), (1L, 2L)))
+      .toDF("x", "y")
+    val oriented = Graph.orientedEdges(edges, col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // canonical K4 + pendant = 7 distinct edges, each oriented once
+    assert(oriented.length == 7 && oriented.distinct.length == 7)
+    // wedge volume two ways: Σ_s C(outdeg(s), 2) from the oriented
+    // list must equal the enumeration join's row count
+    val outDeg = oriented.groupBy(_._1).view.mapValues(_.size)
+    val wedgeFormula = outDeg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val o = Graph.orientedEdges(edges, col("x"), col("y"))
+    val wedgeRows = o.as("a")
+      .join(o.as("b"), col("a.s") === col("b.s") && col("a.d") < col("b.d"))
+      .count()
+    assert(wedgeRows == wedgeFormula)
+    assert(wedgeFormula <= 7L * 7L) // O(m·√m) bound sanity
+  }
+
+  test("pageRank at 50 iterations (lineage checkpoints) stays exact") {
+    import spark.implicits._
+    val baskets = Seq((10L, 1L), (10L, 2L),
+                      (20L, 1L), (20L, 2L), (20L, 3L))
+      .toDF("o", "p")
+    val e = Graph.coOccurrenceEdges(baskets, col("o"), col("p"))
+    val ew = e.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val outW = Map(1L -> 3L, 2L -> 3L, 3L -> 2L)
+    var r = Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L)
+    for (_ <- 0 until 50) {
+      val inbound = ew.toSeq
+        .map { case ((s, d), w) => d -> (r(s) * w) / outW(s) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      r = inbound.map { case (d, s) => d -> (150000L + 17L * s / 20L) }
+        .toMap
+    }
+    // crosses four localCheckpoint cuts; values must be bit-identical
+    // to the uncut driver replay
+    val got = Graph.pageRank(e, iters = 50).collect()
+      .map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(got == r)
   }
 
   test("intervalOverlapJoin counts bucket-spanning pairs exactly once") {
