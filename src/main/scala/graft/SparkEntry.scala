@@ -486,6 +486,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Set-similarity join IV: deletion-neighborhood blocking — the
+    // high-τ regime where prefix filtering degenerates (near-identical
+    // docs, symdiff ≤ 1). Signatures ∝ tokens, candidates ∝ true
+    // pairs, exact verify; FastSS-style blocking lifted to token sets.
+    "q247_deletion_neighbors" -> ((s, dir) => {
+      graft.ops.Dedup.deletionNeighborPairs(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("id1", "id2")
+    }),
+
+    // Real multimodal codec II (image): deterministic pixel synthesis →
+    // 24-bpp BMP encode (bottom-up rows, 4-byte padding) → header-driven
+    // decode → exact channel sums + the top-left-pixel probe that
+    // catches row-order bugs a global sum hides.
+    "q248_bmp_decode" -> ((s, dir) => {
+      val bmps = graft.ops.Multimodal.synthBmp24(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Multimodal.decodeBmpStatsDf(bmps, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("width"), col("height"),
+                col("sum_r"), col("sum_g"), col("sum_b"), col("first_px"))
+        .orderBy("doc_id")
+    }),
+
     // Chunk-stable segmentation: content-defined boundaries (rolling
     // 4-token hash ≡ 0 mod 16) — insertion-robust chunk identities.
     "q231_content_chunks" -> ((s, dir) => {
@@ -2891,6 +2914,42 @@ object SparkEntry {
            CAST(n AS BIGINT) AS n_samples,
            CAST(list_sum(a) AS BIGINT) AS sum_abs,
            CAST(list_max(a) AS BIGINT) AS peak
+         FROM e ORDER BY doc_id""",
+
+    // the oracle computes symdiff <= 1 pairs directly (all-pairs is
+    // fine at oracle scale; the Spark plan is the blocked one)
+    "q247_deletion_neighbors" ->
+      """WITH tkn AS (SELECT doc_id,
+                 list_sort(list_distinct(
+                   [x FOR x IN string_split(text, ' ') IF x <> ''])) AS ws
+               FROM documents),
+         s AS (SELECT doc_id, ws, len(ws) AS n FROM tkn WHERE len(ws) > 0)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(a.n + b.n - 2 * len(list_intersect(a.ws, b.ws))
+                AS INTEGER) AS symdiff
+         FROM s a JOIN s b ON a.doc_id < b.doc_id
+         WHERE a.n + b.n - 2 * len(list_intersect(a.ws, b.ws)) <= 1
+         ORDER BY 1, 2""",
+
+    // pixel-arithmetic replay; x = i mod w, y = i div w over range(w*h)
+    "q248_bmp_decode" ->
+      """WITH s AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+                      5 + doc_id % 7 AS h FROM documents),
+         e AS (SELECT doc_id, w, h,
+           [(doc_id*3 + (i % w)*7 + (i // w)*11) % 256
+              FOR i IN range(w*h)] AS rs,
+           [(doc_id*5 + (i % w)*13 + (i // w)*3) % 256
+              FOR i IN range(w*h)] AS gs,
+           [(doc_id*7 + (i % w) + (i // w)*17) % 256
+              FOR i IN range(w*h)] AS bs
+         FROM s)
+         SELECT doc_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(list_sum(rs) AS BIGINT) AS sum_r,
+           CAST(list_sum(gs) AS BIGINT) AS sum_g,
+           CAST(list_sum(bs) AS BIGINT) AS sum_b,
+           CAST((doc_id*3 % 256) * 65536 + (doc_id*5 % 256) * 256 +
+                (doc_id*7 % 256) AS BIGINT) AS first_px
          FROM e ORDER BY doc_id""",
 
     // CDC: identical per-token folds, gram folds, boundary rule, and

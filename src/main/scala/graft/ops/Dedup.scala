@@ -913,4 +913,92 @@ object Dedup {
               greatest(col("da"), col("db")).as("id2"), col("jaccard"))
     intra.unionByName(inter)
   }
+
+  /** Deletion-neighborhood near-identical pairs: doc pairs whose
+    * DISTINCT token sets differ by symmetric difference ≤ 1 (equal, or
+    * one set is the other plus a single token). This is the high-τ
+    * regime where prefix filtering degenerates — on a boilerplate
+    * corpus the prefix posting lists approach all-pairs
+    * ([[prefixFilterPairs]]'s measured hazard), while deletion
+    * signatures stay EXACTLY output-bounded: two sets with |A△B| ≤ 1
+    * must collide on a signature (A = B: the full-set signature;
+    * B = A ∪ {x}: A's full signature equals B's x-deletion), so
+    * candidates ∝ true pairs + hash collisions, and every candidate is
+    * verified with the exact intersection. The idea is the
+    * deletion-neighborhood blocking used for edit-distance-1 string
+    * joins (FastSS; symmetric delete spell correction), lifted from
+    * character strings to token sets.
+    *
+    * Scale shape: identical sets collapse first (set-id groupBy, the
+    * [[prefixFilterPairs]] discipline — identical-set doc pairs emit
+    * from the set-id self-join with no signature work); each distinct
+    * set emits n+1 64-bit signatures (full + one per deleted rank), so
+    * the signature index is Σ(n+1) narrow rows shuffled once on the
+    * signature key; the pair join runs per-signature-bucket. A
+    * signature hash collision can only ADD a candidate, never drop a
+    * true pair — verification is exact set arithmetic.
+    *
+    * Returns (id1, id2, symdiff) with id1 < id2, symdiff ∈ {0, 1}. */
+  def deletionNeighborPairs(df: DataFrame, id: Column, text: Column)
+      : DataFrame = {
+    val toks = fanOut(df)
+      .select(id.as("id"),
+              sort_array(array_distinct(
+                filter(tokens(text), t => t =!= ""))).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") > 0)
+      .localCheckpoint()
+    val sets = toks.groupBy("ts")
+      .agg(min(col("id")).as("sid"), first(col("n")).as("n"))
+      .select(col("sid"), col("ts"), col("n"))
+      .localCheckpoint()
+    val docsMap = toks
+      .join(sets.select(col("ts"), col("sid")), "ts")
+      .select(col("sid"), col("id"))
+    // identical sets: symdiff 0, no signatures needed
+    val intra = docsMap.as("a")
+      .join(docsMap.select(col("sid"), col("id").as("id2")).as("b"),
+            "sid")
+      .filter(col("id") < col("id2"))
+      .select(col("id").as("id1"), col("id2"), lit(0).as("symdiff"))
+    // signatures: hash of the full sorted set + hash of each
+    // one-token-deleted variant (signature -1 marks the full set)
+    val sigs = sets.select(col("sid"), col("ts"), col("n"),
+        explode(sequence(lit(-1), col("n") - 1)).as("del"))
+      .select(col("sid"), col("n"), col("del"),
+        xxhash64(concat_ws("\u0001",
+          when(col("del") < 0, col("ts"))
+            .otherwise(array_remove_at(col("ts"), col("del")))))
+          .as("sig"))
+    // candidate pairs: any shared signature; sizes may differ by ≤ 1
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+            col("a.sig") === col("b.sig") && col("a.sid") < col("b.sid") &&
+            abs(col("a.n") - col("b.n")) <= 1)
+      .select(col("a.sid").as("sid1"), col("b.sid").as("sid2"))
+      .distinct()
+    // exact verify: |A△B| = na + nb − 2·|A∩B| ≤ 1
+    val inter = cand
+      .join(sets.select(col("sid").as("sid1"), col("ts").as("t1"),
+                        col("n").as("na")), "sid1")
+      .join(sets.select(col("sid").as("sid2"), col("ts").as("t2"),
+                        col("n").as("nb")), "sid2")
+      .withColumn("co", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("symdiff", col("na") + col("nb") - lit(2) * col("co"))
+      .filter(col("symdiff") <= 1)
+      .select(col("sid1"), col("sid2"), col("symdiff"))
+      .join(docsMap.select(col("sid").as("sid1"), col("id").as("da")),
+            "sid1")
+      .join(docsMap.select(col("sid").as("sid2"), col("id").as("db")),
+            "sid2")
+      .select(least(col("da"), col("db")).as("id1"),
+              greatest(col("da"), col("db")).as("id2"), col("symdiff"))
+    intra.unionByName(inter)
+  }
+
+  // slice-and-concat "remove element at rank" — Spark has no
+  // array_remove_at builtin; array_remove removes by VALUE (all
+  // occurrences), wrong for rank deletion
+  private def array_remove_at(a: Column, i: Column): Column =
+    concat(slice(a, lit(1), i), slice(a, i + 2, size(a)))
 }

@@ -200,6 +200,137 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ---- Real codec: BMP (Windows DIB, 24 bpp) -------------------------
+  //
+  // The image-side sibling of the WAV codec: BITMAPFILEHEADER +
+  // BITMAPINFOHEADER parsing with the details a fixed-offset reader
+  // gets wrong — the pixel-data offset is read from the file header
+  // (not assumed 54), rows are 4-byte padded, stored BOTTOM-UP when
+  // biHeight > 0 and top-down when negative.
+
+  /** Decoded summary of one 24-bpp BMP: dimensions, exact per-channel
+    * sums, and the packed top-left pixel (r·65536 + g·256 + b) — the
+    * positional probe that catches row-order bugs a global sum hides. */
+  final case class BmpStats(width: Int, height: Int,
+                            sumR: Long, sumG: Long, sumB: Long,
+                            firstPx: Long)
+
+  /** Encode a 24-bpp bottom-up BMP from a pixel function
+    * ((x, y) → (r, g, b), origin top-left). */
+  def encodeBmp24(width: Int, height: Int,
+                  px: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    require(width > 0 && height > 0, "empty image")
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imageSize = (rowBytes + pad) * height
+    val bb = java.nio.ByteBuffer.allocate(54 + imageSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte)
+      .putInt(54 + imageSize).putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(width).putInt(height)
+      .putShort(1).putShort(24).putInt(0).putInt(imageSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    // bottom-up: last image row stored first; channel order B, G, R
+    for (y <- height - 1 to 0 by -1) {
+      for (x <- 0 until width) {
+        val (r, g, b) = px(x, y)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      for (_ <- 0 until pad) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  /** Decode a 24-bpp uncompressed BMP (bottom-up or top-down):
+    * header-driven data offset, padded rows, exact integer stats. */
+  def decodeBmp24(bytes: Array[Byte]): BmpStats = {
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte &&
+            bytes(1) == 'M'.toByte, "not a BMP stream")
+    val dataOff = le32(bytes, 10)
+    val hdrSize = le32(bytes, 14)
+    require(hdrSize >= 40, s"unsupported DIB header size $hdrSize")
+    val width = le32(bytes, 18)
+    val rawH = le32(bytes, 22)
+    val topDown = rawH < 0
+    val height = math.abs(rawH)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    require(bpp == 24 && compression == 0,
+      s"only uncompressed 24 bpp supported (bpp=$bpp comp=$compression)")
+    require(width > 0 && height > 0, "degenerate dimensions")
+    val rowBytes = width * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    require(dataOff.toLong + stride.toLong * height <= bytes.length,
+      "pixel data overruns the stream")
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var firstPx = -1L
+    var y = 0
+    while (y < height) {
+      // image row y sits at stored row (height-1-y) when bottom-up
+      val stored = if (topDown) y else height - 1 - y
+      var o = dataOff + stored * stride
+      var x = 0
+      while (x < width) {
+        val b = bytes(o) & 0xff
+        val g = bytes(o + 1) & 0xff
+        val r = bytes(o + 2) & 0xff
+        sumR += r; sumG += g; sumB += b
+        if (x == 0 && y == 0) firstPx = r * 65536L + g * 256L + b
+        o += 3; x += 1
+      }
+      y += 1
+    }
+    BmpStats(width, height, sumR, sumG, sumB, firstPx)
+  }
+
+  /** Partition-batch BMP decode over a binary column. */
+  def decodeBmpStatsDf(df: DataFrame, idCol: String, mediaCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("first_px", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val st = decodeBmp24(r.getAs[Array[Byte]](mIdx))
+        Row(r.getLong(idIdx), st.width, st.height,
+            st.sumR, st.sumG, st.sumB, st.firstPx)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic per-id image synthesis + BMP encode:
+    * w = 8 + id mod 9, h = 5 + id mod 7,
+    * r = (id·3 + x·7 + y·11) mod 256, g = (id·5 + x·13 + y·3) mod 256,
+    * b = (id·7 + x + y·17) mod 256 — arithmetic a SQL oracle replays. */
+  def synthBmp24(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("media", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (8 + id % 9).toInt
+        val h = (5 + id % 7).toInt
+        val bytes = encodeBmp24(w, h, (x, y) => (
+          ((id * 3 + x * 7 + y * 11) % 256).toInt,
+          ((id * 5 + x * 13 + y * 3) % 256).toInt,
+          ((id * 7 + x + y * 17) % 256).toInt))
+        Row(id, bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic per-id PCM synthesis + WAV encode (the testdata has
     * no real audio files, so the corpus is synthesized from doc ids with
     * arithmetic a SQL oracle replays exactly): nSamples = 20 + id % 50,

@@ -72,6 +72,59 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP 24bpp encode → decode round-trips dims, sums, and origin") {
+    // 5x3 so rows carry 15 bytes + 1 pad byte — exercises the padding
+    val bytes = Multimodal.encodeBmp24(5, 3, (x, y) =>
+      ((x * 40 + y) % 256, (y * 80 + x) % 256, (x ^ y) % 256))
+    val st = Multimodal.decodeBmp24(bytes)
+    assert(st.width == 5 && st.height == 3)
+    val px = for { y <- 0 until 3; x <- 0 until 5 }
+      yield ((x * 40 + y) % 256, (y * 80 + x) % 256, (x ^ y) % 256)
+    assert(st.sumR == px.map(_._1.toLong).sum)
+    assert(st.sumG == px.map(_._2.toLong).sum)
+    assert(st.sumB == px.map(_._3.toLong).sum)
+    assert(st.firstPx == 0L * 65536 + 0L * 256 + 0L) // (0,0) probe
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeBmp24("GIF89a nope".getBytes)
+    }
+  }
+
+  test("BMP decoder honors top-down (negative height) row order") {
+    // hand-flip the encoded bottom-up image into a top-down one: negate
+    // height and reverse the stored row order; decode must agree
+    val up = Multimodal.encodeBmp24(3, 2, (x, y) => (x + y * 3, 0, 0))
+    val stride = 3 * 3 + 3 // 9 pixel bytes + 3 pad
+    val rows = up.drop(54).grouped(stride).toArray
+    val down = up.take(54) ++ rows.reverse.flatten
+    val bb = java.nio.ByteBuffer.wrap(down)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -2) // biHeight := -2 (top-down)
+    val a = Multimodal.decodeBmp24(up)
+    val b = Multimodal.decodeBmp24(bb.array())
+    assert(a == b) // same image, both encodings
+    assert(a.firstPx == 0L)
+  }
+
+  test("distributed BMP synth+decode matches the driver-side codec") {
+    import spark.implicits._
+    val ids = (0L until 40L).toDF("doc_id")
+    val stats = Multimodal.decodeBmpStatsDf(
+      Multimodal.synthBmp24(ids, "doc_id"), "asset_id", "media")
+    val got = stats.collect().map(r => r.getLong(0) ->
+      (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+       r.getLong(5), r.getLong(6))).toMap
+    for (id <- 0L until 40L) {
+      val w = (8 + id % 9).toInt; val h = (5 + id % 7).toInt
+      val px = for { y <- 0 until h; x <- 0 until w } yield
+        ((id * 3 + x * 7 + y * 11) % 256, (id * 5 + x * 13 + y * 3) % 256,
+         (id * 7 + x + y * 17) % 256)
+      val first = (id * 3 % 256) * 65536 + (id * 5 % 256) * 256 +
+        id * 7 % 256
+      assert(got(id) == ((w, h, px.map(_._1).sum, px.map(_._2).sum,
+                          px.map(_._3).sum, first)), s"id $id")
+    }
+  }
+
   test("distributed WAV synth+decode matches the driver-side codec") {
     import spark.implicits._
     val ids = (0L until 60L).toDF("doc_id")

@@ -41,6 +41,39 @@ class OpsSpec extends AnyFunSuite {
     assert(expected.nonEmpty) // corpus has planted near-dups
   }
 
+  test("deletion-neighborhood pairs equal brute-force symdiff <= 1") {
+    val sets = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+                 Option(r.getString(1)).getOrElse("")
+                   .split(" ").filter(_.nonEmpty).toSet))
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      d = (sa -- sb).size + (sb -- sa).size
+      if d <= 1
+    } yield (a, b, d)).toSet
+    val got = Dedup.deletionNeighborPairs(docs, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty) // corpus has planted near-dups
+  }
+
+  test("deletion-neighborhood catches add, remove, and swap of one token") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma"),          // 1 minus delta  -> symdiff 1
+      (3L, "alpha beta gamma delta eps"),// 1 plus eps     -> symdiff 1
+      (4L, "alpha beta gamma zeta"),     // swap vs 1: symdiff 2 ->
+                                         // excluded; vs 2: +zeta -> 1
+      (5L, "delta gamma beta alpha")     // same set as 1, reordered -> 0
+    ).toDF("doc_id", "text")
+    val got = Dedup.deletionNeighborPairs(d, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 1), (1L, 3L, 1), (1L, 5L, 0),
+                      (2L, 4L, 1), (2L, 5L, 1), (3L, 5L, 1)))
+  }
+
   test("prefix filtering is exact under a corpus-wide stop token") {
     import spark.implicits._
     // every doc shares "the" (hot token, sorts LAST in the canonical
