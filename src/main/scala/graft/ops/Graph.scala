@@ -102,8 +102,12 @@ object Graph {
     * each triangle credits all three corners. */
   def triangleCounts(edges: DataFrame, id1: Column, id2: Column)
       : DataFrame = {
-    val e = canonicalEdges(edges, id1, id2)
-    val oriented = orientedEdges(edges, id1, id2)
+    // materialize the canonical list ONCE: its upstream (often a
+    // container self-join) is the expensive part, and it feeds the
+    // degree count, the orientation join, and the closing join —
+    // recomputing it per consumer tripled the edge-build cost
+    val e = canonicalEdges(edges, id1, id2).localCheckpoint()
+    val oriented = orientFrom(e).localCheckpoint() // both wedge sides
     // wedges at the apex: two out-edges of one source; y < z in id
     // order so each unordered wedge is formed exactly once
     val wedges = oriented.as("a")
@@ -136,8 +140,10 @@ object Graph {
     * volume at Σ_s C(outdeg(s), 2). Exposed for the wedge-volume
     * property spec; production enumeration sits on top. */
   private[graft] def orientedEdges(edges: DataFrame, id1: Column,
-                                 id2: Column): DataFrame = {
-    val e = canonicalEdges(edges, id1, id2)
+                                 id2: Column): DataFrame =
+    orientFrom(canonicalEdges(edges, id1, id2))
+
+  private def orientFrom(e: DataFrame): DataFrame = {
     val deg = e.select(explode(array(col("u"), col("v"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("dg"))
     // orient by the (degree, id) total order; ties broken by id keep

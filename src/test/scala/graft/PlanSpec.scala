@@ -290,6 +290,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q242/q247 set-similarity candidates meet through equi-joins") {
+    // both joins exist to AVOID all-pairs: prefix tokens (q242) and
+    // deletion signatures (q247) are equi-join keys; a nested-loop
+    // plan would mean the blocking silently degenerated
+    Seq("q242_prefix_filter_pairs", "q247_deletion_neighbors").foreach {
+      q =>
+        val df = SparkEntry.queries(q)(spark, sf0001)
+        df.collect() // finalize under AQE
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+               !p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+        assert(p.contains("SortMergeJoin") ||
+               p.contains("ShuffledHashJoin") ||
+               p.contains("BroadcastHashJoin"), s"$q: ${p.take(2000)}")
+    }
+  }
+
   test("q174/q186 rank passes range-partition — no single-partition window") {
     // both global-rank consumers must ride orderedCumsum's
     // range-partitioned prefix sum; a `row_number() over (order by)`
