@@ -509,6 +509,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Contrastive-training data prep: globally-mined hard negatives —
+    // top-k cosine neighbors under a DIFFERENT label, label filter
+    // fused into the candidate join before ranking (labels synthesized
+    // as vec_id mod 5: the op cares about the anti-join mechanics).
+    "q249_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("lbl", pmod(col("vec_id"), lit(5)))
+      graft.ops.Similarity.hardNegatives(
+          e, e.filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), col("lbl"),
+          col("vec_id"), col("embedding"), col("lbl"), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
+    // Incremental near-identical screen: odd-id batch vs even-id
+    // corpus through the deletion-signature index (the q43/q132
+    // batch-vs-corpus shape for the symdiff ≤ 1 regime).
+    "q250_deletion_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.ops.Dedup.deletionNeighborPairsBetween(
+          d.filter(col("doc_id") % 2 === 1),
+          d.filter(col("doc_id") % 2 === 0),
+          col("doc_id"), col("doc_id"), col("text"), col("text"))
+        .orderBy("left_id", "right_id")
+    }),
+
     // Chunk-stable segmentation: content-defined boundaries (rolling
     // 4-token hash ≡ 0 mod 16) — insertion-robust chunk identities.
     "q231_content_chunks" -> ((s, dir) => {
@@ -2951,6 +2977,40 @@ object SparkEntry {
            CAST((doc_id*3 % 256) * 65536 + (doc_id*5 % 256) * 256 +
                 (doc_id*7 % 256) AS BIGINT) AS first_px
          FROM e ORDER BY doc_id""",
+
+    // q24's replay + the label anti-filter before ranking
+    "q249_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+                      vec_id % 5 AS ql
+                    FROM embeddings WHERE vec_id < 10),
+            e AS (SELECT vec_id AS nbr, embedding::DOUBLE[] AS v,
+                      vec_id % 5 AS nl
+                    FROM embeddings),
+            sc AS (SELECT qid, nbr, nl,
+                     round(list_cosine_similarity(qv, v), 6) AS score
+                   FROM q, e WHERE nbr != qid AND nl != ql),
+            r AS (SELECT qid, nbr, nl, score,
+                    CAST(row_number() OVER
+                      (PARTITION BY qid ORDER BY score DESC, nbr)
+                      AS INTEGER) AS rank
+                  FROM sc)
+         SELECT qid, nbr, nl AS nbr_label, score, rank
+         FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    // parity-split all-pairs replay of the symdiff <= 1 screen
+    "q250_deletion_incremental" ->
+      """WITH tkn AS (SELECT doc_id,
+                 list_sort(list_distinct(
+                   [x FOR x IN string_split(text, ' ') IF x <> ''])) AS ws
+               FROM documents),
+         s AS (SELECT doc_id, ws, len(ws) AS n FROM tkn WHERE len(ws) > 0)
+         SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+           CAST(a.n + b.n - 2 * len(list_intersect(a.ws, b.ws))
+                AS INTEGER) AS symdiff
+         FROM s a JOIN s b
+           ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+         WHERE a.n + b.n - 2 * len(list_intersect(a.ws, b.ws)) <= 1
+         ORDER BY 1, 2""",
 
     // CDC: identical per-token folds, gram folds, boundary rule, and
     // span reassembly.

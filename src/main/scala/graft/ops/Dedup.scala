@@ -996,6 +996,57 @@ object Dedup {
     intra.unionByName(inter)
   }
 
+  /** Incremental [[deletionNeighborPairs]]: near-identical pairs
+    * (symdiff ≤ 1) BETWEEN two corpora — "screen today's batch against
+    * the standing corpus" (same contract split as
+    * [[jaccardPairsBetween]]). Each side builds its own one-deletion
+    * signature index; the join is batch-index × corpus-index, so cost
+    * scales with the batch. The corpus-side index is the reusable
+    * artifact: persist it (sid, sig) bucketed by sig and daily runs
+    * join shuffle-free without re-tokenizing the corpus. Identical ids
+    * are excluded so re-screening after a merge reports nothing.
+    *
+    * Returns (left_id, right_id, symdiff). */
+  def deletionNeighborPairsBetween(left: DataFrame, right: DataFrame,
+                                   leftId: Column, rightId: Column,
+                                   leftText: Column, rightText: Column)
+      : DataFrame = {
+    def index(df: DataFrame, id: Column, text: Column) = {
+      val toks = fanOut(df)
+        .select(id.as("id"),
+                sort_array(array_distinct(
+                  filter(tokens(text), t => t =!= ""))).as("ts"))
+        .withColumn("n", size(col("ts")))
+        .filter(col("n") > 0)
+        .localCheckpoint()
+      val sigs = toks.select(col("id"), col("ts"), col("n"),
+          explode(sequence(lit(-1), col("n") - 1)).as("del"))
+        .select(col("id"), col("n"), col("del"),
+          xxhash64(concat_ws("\u0001",
+            when(col("del") < 0, col("ts"))
+              .otherwise(array_remove_at(col("ts"), col("del")))))
+            .as("sig"))
+      (toks, sigs)
+    }
+    val (lt, ls) = index(left, leftId, leftText)
+    val (rt, rs) = index(right, rightId, rightText)
+    val cand = ls.as("a")
+      .join(rs.as("b"),
+            col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id") &&
+            abs(col("a.n") - col("b.n")) <= 1)
+      .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
+      .distinct()
+    cand
+      .join(lt.select(col("id").as("left_id"), col("ts").as("t1"),
+                      col("n").as("na")), "left_id")
+      .join(rt.select(col("id").as("right_id"), col("ts").as("t2"),
+                      col("n").as("nb")), "right_id")
+      .withColumn("co", size(array_intersect(col("t1"), col("t2"))))
+      .withColumn("symdiff", col("na") + col("nb") - lit(2) * col("co"))
+      .filter(col("symdiff") <= 1)
+      .select(col("left_id"), col("right_id"), col("symdiff"))
+  }
+
   // slice-and-concat "remove element at rank" — Spark has no
   // array_remove_at builtin; array_remove removes by VALUE (all
   // occurrences), wrong for rank deletion

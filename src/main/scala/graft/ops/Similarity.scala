@@ -552,4 +552,47 @@ object Similarity {
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
               round(col("__c"), 6).as("cos"))
   }
+
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-COSINE-similar corpus vectors carrying a
+    * DIFFERENT label — the "looks like a positive, isn't one" examples
+    * that make embedding models actually separate classes (the standard
+    * in-batch-negatives upgrade: mine globally, not per batch).
+    *
+    * Plan shape = [[bruteForceTopK]] with the label anti-filter fused
+    * into the candidate join (queries broadcast; corpus streams; only k
+    * rows per (task, query) reach the shuffle via the mergeable partial
+    * top-k). The filter must sit BEFORE ranking — post-filtering a
+    * same-label-polluted top-k would under-fill it. At corpus scales
+    * where brute force is too hot, route candidates through [[ivfTopK]]
+    * with an over-fetch and the same label filter; ranking semantics
+    * (round(6) scores, id tie-break) are identical.
+    *
+    * Returns (qid, nbr, nbr_label, score, rank), rank 1..k. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    id: Column, vec: Column, label: Column,
+                    qid: Column, qvec: Column, qlabel: Column,
+                    k: Int): DataFrame = {
+    val c = Dedup.fanOut(corpus)
+      .select(id.as("nbr"), toDouble(vec).as("v"), label.as("nl"))
+      .filter(col("v").isNotNull)
+      .withColumn("nrm", l2norm(col("v")))
+    val q = queries
+      .select(qid.as("qid"), toDouble(qvec).as("qv"), qlabel.as("ql"))
+      .filter(col("qv").isNotNull)
+      .withColumn("qnrm", l2norm(col("qv")))
+    val d = col("qnrm") * col("nrm")
+    val cos = when(d === 0.0, 0.0).otherwise(dot(col("qv"), col("v")) / d)
+    val scored = c.join(broadcast(q),
+        col("nbr") =!= col("qid") && col("nl") =!= col("ql"))
+      .select(col("qid"), col("nbr"), round(cos, 6).as("score"))
+    // rank first (partial top-k keeps only k rows per task per query),
+    // then decorate the k·|queries| survivors with their label — a
+    // result-sized join AQE broadcasts, never a corpus shuffle
+    Relational.topKScored(scored, col("qid"), col("score"), col("nbr"),
+        k, idName = "nbr")
+      .join(c.select(col("nbr"), col("nl").as("nbr_label")), "nbr")
+      .select(col("qid"), col("nbr"), col("nbr_label"),
+              col("score"), col("rank"))
+  }
 }

@@ -74,6 +74,48 @@ class OpsSpec extends AnyFunSuite {
                       (2L, 4L, 1), (2L, 5L, 1), (3L, 5L, 1)))
   }
 
+  test("incremental deletion screen equals brute force across the split") {
+    val sets = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0),
+                 Option(r.getString(1)).getOrElse("")
+                   .split(" ").filter(_.nonEmpty).toSet))
+      .filter(_._2.nonEmpty)
+    val expected = (for {
+      (a, sa) <- sets if a % 2 == 1
+      (b, sb) <- sets if b % 2 == 0
+      d = (sa -- sb).size + (sb -- sa).size
+      if d <= 1
+    } yield (a, b, d)).toSet
+    val got = Dedup.deletionNeighborPairsBetween(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("doc_id"), col("text"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("hard negatives exclude same-label neighbors and fill the top-k") {
+    import spark.implicits._
+    // 1-D directions: label 0 vectors point +x, label 1 point -x; the
+    // nearest same-direction vector is ALWAYS same-label, so a
+    // post-filter top-k would differ from the fused anti-filter
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f), 0L), (1L, Array(0.9f, 0.1f), 0L),
+      (2L, Array(0.8f, 0.2f), 0L), (3L, Array(-1.0f, 0.0f), 1L),
+      (4L, Array(-0.9f, -0.1f), 1L), (5L, Array(0.0f, 1.0f), 2L))
+      .toDF("vec_id", "embedding", "lbl")
+    val got = Similarity.hardNegatives(
+        vs, vs.filter(col("vec_id") === 0),
+        col("vec_id"), col("embedding"), col("lbl"),
+        col("vec_id"), col("embedding"), col("lbl"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(4)))
+    // for the +x query: best non-0-label is the orthogonal label-2
+    // (cos 0), then the -x label-1s (cos < 0); never vec 1 or 2
+    assert(got.map(_._1).toSeq == Seq(5L, 4L))
+    assert(got.forall(_._2 != 0L))
+  }
+
   test("prefix filtering is exact under a corpus-wide stop token") {
     import spark.implicits._
     // every doc shares "the" (hot token, sorts LAST in the canonical
