@@ -7,11 +7,13 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * The actual codecs (JPEG decode, audio resample, video frame extract)
-  * are NOT available in this container — the decode kernels below are
-  * clearly-marked deterministic STUBS. Everything around them — schema,
-  * batch shape, partitioning, the expression-level fast paths, and the
-  * mapPartitions seam a real codec plugs into — is real and tested.
+  * Two REAL self-contained codecs run behind the partition-batch seam —
+  * RIFF/WAVE PCM-16 (audio) and 24-bpp BMP (image), both encode AND
+  * decode, oracle-checked end to end. Formats needing external
+  * libraries (JPEG, MP3, video) aren't available in this container;
+  * for those the deterministic stub kernels below mark the seam —
+  * same binary → features shape, swap the kernel and nothing else
+  * changes.
   *
   * Scale notes: media blobs dominate row size; keep
   * `spark.sql.files.maxPartitionBytes` small enough that a partition of

@@ -199,6 +199,27 @@ object ScaleProbe {
       corpus.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(20))))
         .select(col("src"), explode(split(col("text"), " ")).as("tok")),
       col("src"), col("tok")).count())
+    // PPJoin prefix filter at 10x: τ=9/10 puts every 10-copy clique's
+    // cross pairs (J ≈ 0.92) IN the answer — ~225k true pairs — so
+    // this probes the output-bounded claim, not an empty result. The
+    // set-dedup layer sees 50k distinct sets (each copy's probe token
+    // differs), i.e. the no-collapse worst case.
+    time("prefix_pairs 50k tau=.9")(graft.ops.Dedup.prefixFilterPairs(
+      corpus, col("doc_id"), col("text"), tauNum = 9, tauDen = 10)
+      .count())
+    // deletion screen at 10x: copies differ by 2 tokens (probe suffix),
+    // so the true symdiff<=1 set is ~empty — probes pure index cost:
+    // 50k docs x (n+1) signatures, candidates only from real overlap
+    time("deletion_pairs 50k")(graft.ops.Dedup.deletionNeighborPairs(
+      corpus, col("doc_id"), col("text")).count())
+    // hard negatives at 10x embeddings: broadcast queries, label
+    // anti-filter in-join, partial top-k — cost tracks corpus scan
+    time("hard_negatives 10x")(graft.ops.Similarity.hardNegatives(
+      bigE.withColumn("lbl", pmod(col("vec_id"), lit(5))),
+      bigE.withColumn("lbl", pmod(col("vec_id"), lit(5)))
+        .filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("lbl"),
+      col("vec_id"), col("embedding"), col("lbl"), k = 5).count())
     spark.stop()
   }
 }
