@@ -194,9 +194,15 @@ object Multimodal {
     val mIdx = df.schema.fieldIndex(mediaCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val st = decodeWavPcm16(r.getAs[Array[Byte]](mIdx))
-        Row(r.getLong(idIdx), st.sampleRate, st.channels, st.bits,
-            st.nSamples, st.sumAbs, st.peak)
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null) // missing media: null stats, not a crash —
+          // MALFORMED media still throws (decodeWavPcm16's contract)
+          Row(r.getLong(idIdx), null, null, null, null, null, null)
+        else {
+          val st = decodeWavPcm16(bytes)
+          Row(r.getLong(idIdx), st.sampleRate, st.channels, st.bits,
+              st.nSamples, st.sumAbs, st.peak)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)
@@ -300,9 +306,14 @@ object Multimodal {
     val mIdx = df.schema.fieldIndex(mediaCol)
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
-        val st = decodeBmp24(r.getAs[Array[Byte]](mIdx))
-        Row(r.getLong(idIdx), st.width, st.height,
-            st.sumR, st.sumG, st.sumB, st.firstPx)
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null) // missing media: null stats (see WAV twin)
+          Row(r.getLong(idIdx), null, null, null, null, null, null)
+        else {
+          val st = decodeBmp24(bytes)
+          Row(r.getLong(idIdx), st.width, st.height,
+              st.sumR, st.sumG, st.sumB, st.firstPx)
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -568,6 +568,11 @@ object Similarity {
     * with an over-fetch and the same label filter; ranking semantics
     * (round(6) scores, id tie-break) are identical.
     *
+    * Null handling: null embeddings are excluded on both sides (the
+    * bruteForceTopK contract); a null LABEL excludes its row too —
+    * `nl =!= ql` is SQL-null when either side is null, and an
+    * unlabeled example is not a usable negative.
+    *
     * Returns (qid, nbr, nbr_label, score, rank), rank 1..k. */
   def hardNegatives(corpus: DataFrame, queries: DataFrame,
                     id: Column, vec: Column, label: Column,

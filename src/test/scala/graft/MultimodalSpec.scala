@@ -125,6 +125,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("null media decodes to null stats; malformed media still throws") {
+    import spark.implicits._
+    val good = Multimodal.encodeWavPcm16(Array[Short](1, 2, 3), 8000)
+    val rows = Seq((1L, Some(good)), (2L, Option.empty[Array[Byte]]))
+      .toDF("asset_id", "media")
+    val got = Multimodal.decodeWavStatsDf(rows, "asset_id", "media")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(4)).toMap
+    assert(got == Map(1L -> false, 2L -> true))
+    val bad = Seq((3L, "garbage".getBytes)).toDF("asset_id", "media")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeWavStatsDf(bad, "asset_id", "media").collect()
+    }
+  }
+
   test("distributed WAV synth+decode matches the driver-side codec") {
     import spark.implicits._
     val ids = (0L until 60L).toDF("doc_id")
