@@ -111,10 +111,10 @@ object FuzzConformance {
     // q60..q71 for the original 12; the next 4 take q83..q86, the next
     // 4 jump to q98..q101, the next 8 to q115..q122, the next 8 to
     // q135..q142, the next 8 to q149..q156, the next 8 to q176..q183,
-    // the next 8 to q211..q218, the next 8 to q234..q241; later
-    // additions start at q242+ (q72..q82, q87..q97, q102..q114,
-    // q123..q134, q143..q148, q157..q175, q184..q210, and
-    // q219..q233 are named queries)
+    // the next 8 to q211..q218, the next 8 to q234..q241, the next 12
+    // to q251..q262 (q72..q82, q87..q97, q102..q114, q123..q134,
+    // q143..q148, q157..q175, q184..q210, q219..q233, and
+    // q242..q250 are named queries)
     val name =
       if (n < 12) s"q${60 + n}_fuzz"
       else if (n < 16) s"q${71 + n}_fuzz"
@@ -124,7 +124,8 @@ object FuzzConformance {
       else if (n < 44) s"q${113 + n}_fuzz"
       else if (n < 52) s"q${132 + n}_fuzz"
       else if (n < 60) s"q${159 + n}_fuzz"
-      else s"q${174 + n}_fuzz"
+      else if (n < 68) s"q${174 + n}_fuzz"
+      else s"q${183 + n}_fuzz" // q251+: after the named q242-q250 block
 
     shape match {
       case 0 => // projection (+ one computed column), total order
@@ -295,7 +296,7 @@ object FuzzConformance {
   def specs: Seq[Spec] = {
     val r = new scala.util.Random(20260812L)
     val nShapes = 7
-    (0 until 68).map(i =>
+    (0 until 80).map(i =>
       genSpec(r, i, if (i < nShapes) i else r.nextInt(nShapes)))
   }
 }
