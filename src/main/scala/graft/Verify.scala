@@ -22,6 +22,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // r04 lesson: two queries (q37/q54) silently vanished from the
+    // driver's correctness report because a failure here only went to
+    // stderr and the driver records only queries with parquet output.
+    // Record per-query status, retry once on transient failure, and
+    // print a loud FAILED summary on stdout.
+    val failed = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -35,10 +41,16 @@ object Verify {
         }
         rm(qDir)
       }
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
+      try attempt()
+      catch { case e1: Throwable =>
+        System.err.println(s"[verify] $name failed once: ${e1.getMessage}; retrying")
+        try attempt()
+        catch { case e2: Throwable =>
+          failed += name -> s"${e2.getClass.getSimpleName}: ${e2.getMessage}"
+          System.err.println(s"[verify] $name FAILED: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -57,6 +69,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val statusJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"), statusJson)
+    if (failed.nonEmpty)
+      println(s"[verify] FAILED ${failed.size} queries: " +
+        failed.map(_._1).mkString(", "))
+    else println(s"[verify] all queries wrote OK")
     spark.stop()
   }
 }
