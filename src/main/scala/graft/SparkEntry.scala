@@ -535,6 +535,19 @@ object SparkEntry {
         .orderBy("left_id", "right_id")
     }),
 
+    // Graph IV: bounded k-core peel of the co-occurrence graph — the
+    // dense-subgraph screen (link farms survive, tendrils peel).
+    // Fixed 4 rounds at k=80 so the result is a deterministic function
+    // of the input at any SF; the oracle replays the same 4 peels.
+    "q263_kcore" -> ((s, dir) => {
+      val e = graft.ops.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      graft.ops.Graph.kCorePeel(e, col("src"), col("dst"),
+          k = 80, rounds = 4)
+        .select(col("id").as("part_id"), col("core_deg"))
+        .orderBy("part_id")
+    }),
+
     // Chunk-stable segmentation: content-defined boundaries (rolling
     // 4-token hash ≡ 0 mod 16) — insertion-robust chunk identities.
     "q231_content_chunks" -> ((s, dir) => {
@@ -2385,6 +2398,33 @@ object SparkEntry {
               count(*) AS n_events
        FROM y GROUP BY 1 ORDER BY 1"""
 
+  /** Generated oracle text for q263: the bounded k-core peel replayed
+    * as a CTE chain — one (degree, keep, filter) stage per round, the
+    * same fixed-round semantics the Spark op commits to. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val head =
+      """WITH m AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+         e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+                FROM m a JOIN m b ON a.o = b.o AND a.p < b.p)"""
+    val stages = (1 to rounds).map { i =>
+      val p = i - 1
+      s""",
+         d$i AS (SELECT id, count(*) AS c FROM
+                   (SELECT u AS id FROM e$p UNION ALL SELECT v FROM e$p)
+                 GROUP BY 1),
+         n$i AS (SELECT id FROM d$i WHERE c >= $k),
+         e$i AS (SELECT u, v FROM e$p
+                 WHERE u IN (SELECT id FROM n$i)
+                   AND v IN (SELECT id FROM n$i))"""
+    }.mkString
+    head + stages +
+      s"""
+         SELECT id AS part_id, count(*) AS core_deg FROM
+           (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+         GROUP BY 1 ORDER BY 1"""
+  }
+
   /** Shared oracle text: backward as-of join via DuckDB's native ASOF
     * (q37 and its skew-resistant bucketed form q54). */
   private val asofSql: String =
@@ -3011,6 +3051,10 @@ object SparkEntry {
            ON a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
          WHERE a.n + b.n - 2 * len(list_intersect(a.ws, b.ws)) <= 1
          ORDER BY 1, 2""",
+
+    // bounded k-core peel replayed as a generated CTE chain (4 rounds,
+    // k=80) — fixed-round semantics make this exact at any SF
+    "q263_kcore" -> kcoreSql(k = 80, rounds = 4),
 
     // CDC: identical per-token folds, gram folds, boundary rule, and
     // span reassembly.

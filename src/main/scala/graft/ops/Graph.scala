@@ -121,6 +121,45 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Bounded k-core peel: `rounds` iterations of "drop every node
+    * whose degree in the surviving subgraph is < k", over the
+    * undirected graph of (id1, id2) pairs (direction/multiplicity
+    * ignored). The k-core is the classic dense-subgraph screen — link
+    * farms and community cores survive, tendrils and one-off
+    * co-occurrences peel away. A FIXED round count (rather than
+    * loop-until-stable) keeps the result a deterministic function of
+    * the input at every scale factor — the oracle replays the same R
+    * peels as a generated CTE chain — and matches how a 100 TB run
+    * budgets the pass anyway: each round is one degree aggregation
+    * plus two semi-joins on the node key (3 shuffles), so R is chosen,
+    * not discovered. Convergence, when wanted, is `coreDegrees(...,
+    * rounds = diameter-ish)` — extra rounds past the fixed point are
+    * no-ops on an already-stable subgraph.
+    *
+    * Returns (id, core_deg): nodes surviving all `rounds` peels with
+    * their degree inside the surviving subgraph (≥ k iff stable). */
+  def kCorePeel(edges: DataFrame, id1: Column, id2: Column,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"kCorePeel: k must be >= 1, got $k")
+    require(rounds >= 1, s"kCorePeel: rounds must be >= 1, got $rounds")
+    var e = canonicalEdges(edges, id1, id2).localCheckpoint()
+    def degrees(ed: DataFrame): DataFrame = ed
+      .select(explode(array(col("u"), col("v"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    for (i <- 1 to rounds) {
+      val keep = degrees(e).filter(col("dg") >= k).select("id")
+      // semi-joins keep the edge frame narrow (u, v) — no degree
+      // columns ride along into the next round's aggregation
+      e = e.join(keep.withColumnRenamed("id", "u"), "u", "left_semi")
+        .join(keep.withColumnRenamed("id", "v"), "v", "left_semi")
+        .select("u", "v")
+      // same lineage bound as pageRank: each round stacks a join+agg;
+      // the cut changes no values, only truncates the DAG
+      if (i % 5 == 0 && i < rounds) e = e.localCheckpoint()
+    }
+    degrees(e).select(col("id"), col("dg").as("core_deg"))
+  }
+
   /** Canonical undirected edge list: u < v, nulls/self-loops dropped,
     * duplicates and reverse duplicates collapsed. The DISTINCT here is
     * load-bearing — a multi-edge surviving into the orientation would

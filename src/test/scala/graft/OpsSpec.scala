@@ -1882,6 +1882,27 @@ class OpsSpec extends AnyFunSuite {
     assert(wedgeFormula <= 7L * 7L) // O(m·√m) bound sanity
   }
 
+  test("kCorePeel removes cascades round by round, fixed-round exact") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (3-core) + a path 4–5–6 hanging off it, plus
+    // dup/reversed noise. Peeling k=2: round 1 drops 6 (deg 1), which
+    // leaves 5 at deg 1 — the CASCADE only falls in round 2. A 1-round
+    // peel must still show 5; a 2-round peel reaches the stable 2-core.
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b)
+    val edges = (k4 ++ Seq((4L, 5L), (5L, 6L), (5L, 4L), (6L, 5L)))
+      .toDF("x", "y")
+    def run(rounds: Int) =
+      Graph.kCorePeel(edges, col("x"), col("y"), k = 2, rounds = rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L,
+                         4L -> 4L, 5L -> 1L))
+    val stable = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    assert(run(2) == stable)
+    // extra rounds past the fixed point are no-ops (crosses the
+    // round-5 localCheckpoint cut)
+    assert(run(7) == stable)
+  }
+
   test("pageRank at 50 iterations (lineage checkpoints) stays exact") {
     import spark.implicits._
     val baskets = Seq((10L, 1L), (10L, 2L),
