@@ -1811,6 +1811,21 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Packed IVF (the stream-static index shape): postings packed one
+    // row per list at build time, probes ranked INSIDE the row — the
+    // same stateless kernel the streaming ANN runs per micro-batch.
+    // Bit-identical to ivfTopK at nProbe = 1, so the oracle is q35's
+    // with a single-probe routing.
+    "q264_ann_packed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, packed) = graft.ops.Similarity.ivfPack(
+        e, col("vec_id"), col("embedding"), nLists = 16)
+      graft.ops.Similarity.ivfTopKPacked(
+          e.filter(col("vec_id") < 10), cents, packed,
+          col("vec_id"), col("embedding"), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // Trained IVF: the kmeansCentroids -> ivfTopK production path, fully
     // oracle-checked. The trainer's fixed-point arithmetic (micro-unit
     // integer sums, floor-div means, round(6) assignment, first-k init)
@@ -5836,6 +5851,31 @@ object SparkEntry {
          asg AS (SELECT vec_id AS nbr, v, cid AS lst FROM ac WHERE rn = 1),
          prb AS (SELECT vec_id AS qid, v AS qv, cid AS lst
                  FROM ac WHERE vec_id < 10 AND rn <= 4),
+         sc AS (SELECT p.qid, a.nbr,
+                  round(list_cosine_similarity(p.qv, a.v), 6) AS score
+                FROM prb p JOIN asg a USING (lst) WHERE a.nbr != p.qid),
+         r AS (SELECT qid, nbr, score,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, nbr) AS INTEGER) AS rank
+               FROM sc)
+         SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
+         ORDER BY qid, rank""",
+
+    // packed-IVF probe = q35's routing at nProbe = 1 (prb rn = 1): the
+    // in-row ranking must be bit-identical to the join+window form
+    "q264_ann_packed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                          v AS cv
+                   FROM (SELECT * FROM e ORDER BY vec_id LIMIT 16)),
+         ac AS (SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC,
+                             c.cid) AS rn
+                FROM e CROSS JOIN cents c),
+         asg AS (SELECT vec_id AS nbr, v, cid AS lst FROM ac WHERE rn = 1),
+         prb AS (SELECT vec_id AS qid, v AS qv, cid AS lst
+                 FROM ac WHERE vec_id < 10 AND rn = 1),
          sc AS (SELECT p.qid, a.nbr,
                   round(list_cosine_similarity(p.qv, a.v), 6) AS score
                 FROM prb p JOIN asg a USING (lst) WHERE a.nbr != p.qid),

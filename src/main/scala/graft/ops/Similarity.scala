@@ -158,6 +158,68 @@ object Similarity {
       k, idName = "nbr")
   }
 
+  /** IVF index packed for stream-static ANN: every corpus vector is
+    * assigned to its nearest centroid, and each list becomes ONE row
+    * `(list, postings: array<struct<nbr, v>>)`. The packing shuffle
+    * happens once, at index-build time — the artifact is a static
+    * frame a stream (or repeated batch probes) equi-joins per
+    * micro-batch with no further corpus work. Posting-array size is
+    * corpus/nLists rows; at 100 TB you raise `nLists` (the knob IVF
+    * already has) so a list stays executor-memory-sized, same as any
+    * IVF deployment. Returns (centroids, packed). */
+  def ivfPack(corpus: DataFrame, id: Column, vec: Column,
+              nLists: Int = 16,
+              trained: Option[Seq[Seq[Double]]] = None)
+      : (Seq[Seq[Double]], DataFrame) = {
+    val c = Dedup.fanOut(corpus).select(id.as("nbr"), toDouble(vec).as("v"))
+      .filter(col("v").isNotNull) // null embeddings excluded (see bruteForceTopK)
+    val centroids: Seq[Seq[Double]] = trained.getOrElse(
+      c.orderBy(col("nbr")).limit(nLists)
+        .collect().map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq)
+    val packed =
+      if (centroids.isEmpty)
+        c.withColumn("list", lit(1))
+          .groupBy("list")
+          .agg(collect_list(struct(col("nbr"), col("v"))).as("postings"))
+          .limit(0)
+      else c
+        .withColumn("list",
+          element_at(nearestCentroids(centroids, col("v"), 1), 1))
+        .groupBy("list")
+        .agg(collect_list(struct(col("nbr"), col("v"))).as("postings"))
+    (centroids, packed)
+  }
+
+  /** Probe side of [[ivfPack]]: route each query to its nearest list
+    * (nProbe = 1), equi-join the packed index, and rank that list's
+    * postings INSIDE the row (transform → array_sort → slice) — no
+    * aggregation, so the whole plan is stateless and runs unchanged on
+    * a Structured Streaming query frame in append mode (the
+    * stream-static inner equi-join keeps no state store). Scoring and
+    * tie-breaks are bit-identical to [[ivfTopK]] at nProbe = 1
+    * (round(cos, 6) desc, id asc; self-matches excluded), which is
+    * what the spec pins. Returns (qid, nbr, score, rank). */
+  def ivfTopKPacked(queries: DataFrame, centroids: Seq[Seq[Double]],
+                    packed: DataFrame, qid: Column, qvec: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"ivfTopKPacked: k must be >= 1, got $k")
+    require(centroids.nonEmpty, "ivfTopKPacked: empty centroid set")
+    val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+      .filter(col("qv").isNotNull)
+      .withColumn("list",
+        element_at(nearestCentroids(centroids, col("qv"), 1), 1))
+    q.join(packed, Seq("list"))
+      .withColumn("top", slice(array_sort(transform(
+          filter(col("postings"), p => p.getField("nbr") =!= col("qid")),
+          p => struct(
+            (-round(cosine(col("qv"), p.getField("v")), 6)).as("neg"),
+            p.getField("nbr").as("nbr")))), 1, k))
+      .select(col("qid"), posexplode(col("top")).as(Seq("__pos", "__e")))
+      .select(col("qid"), col("__e.nbr").as("nbr"),
+              (-col("__e.neg")).as("score"),
+              (col("__pos") + 1).cast("int").as("rank"))
+  }
+
   /** Deterministic Lloyd k-means over an embedding column — the centroid
     * trainer for [[ivfTopK]]'s production path. Init = first k vectors by
     * id (deterministic); each iteration is one distributed pass: assign

@@ -175,6 +175,23 @@ object EventStreams {
       .join(corpusIndex.select(corpusId.as("corpus_id"),
         corpusFp.as("fp")), "fp")
 
+  /** Streaming ANN: each incoming query embedding routes to its
+    * nearest IVF centroid and ranks ONLY that list's packed postings
+    * ([[graft.ops.Similarity.ivfPack]] builds the static index once;
+    * [[graft.ops.Similarity.ivfTopKPacked]] is the shared stateless
+    * kernel — per-row transform/sort/slice, no aggregation, no state
+    * store, append mode). The nProbe = 1 routing is the stateless
+    * contract: multi-probe merge needs a per-query aggregation, which
+    * is the batch op's job ([[graft.ops.Similarity.ivfTopK]]) — rerank
+    * recall-critical hits there. Emits (qid, nbr, score, rank) rows as
+    * queries arrive; bit-identical to the batch op at nProbe = 1
+    * (StreamingSpec pins it). */
+  def annTopKStream(queries: DataFrame, centroids: Seq[Seq[Double]],
+                    packedIndex: DataFrame, qid: Column, qvec: Column,
+                    k: Int): DataFrame =
+    graft.ops.Similarity.ivfTopKPacked(queries, centroids, packedIndex,
+      qid, qvec, k)
+
   final case class FEv(user_id: Long, tsSec: Long, event_type: String)
   final case class FunnelState(ts: Seq[Long])
   final case class UserFunnel(user_id: Long, completed: Int, ts: Seq[Long])

@@ -287,6 +287,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.toSet == Set("train", "val"))
   }
 
+  test("streaming ANN equals batch ivfTopK at nProbe = 1") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (centroids, packed) = graft.ops.Similarity.ivfPack(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    // the index is the reusable artifact: materialize once, probe
+    // every micro-batch against the same frame
+    val idx = packed.localCheckpoint()
+    val queryRows = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val ann = EventStreams.annTopKStream(
+      ms.toDS().toDF("vec_id", "embedding"), centroids, idx,
+      col("vec_id"), col("embedding"), k = 5)
+    val q = ann.writeStream.format("memory").queryName("ann")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: results must accumulate query by query
+      ms.addData(queryRows.take(4).toSeq); q.processAllAvailable()
+      ms.addData(queryRows.drop(4).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ann")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val want = graft.ops.Similarity.ivfTopK(
+        corpus, corpus.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nLists = 8, nProbe = 1, trained = Some(centroids))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("stream-stream interval join matches within the time bound only") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
