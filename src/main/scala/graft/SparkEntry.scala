@@ -444,9 +444,10 @@ object SparkEntry {
     // counting sibling of q161's global PageRank, via degree-ordered
     // wedge enumeration (never hub-quadratic).
     "q244_triangles" -> ((s, dir) => {
-      val e = graft.ops.Graph.coOccurrenceEdges(
+      val e = graft.ops.Graph.coOccurrencePairs(
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"))
-      graft.ops.Graph.triangleCounts(e, col("src"), col("dst"))
+      graft.ops.Graph.triangleCounts(e, col("u"), col("v"),
+          inputCanonical = true)
         .select(col("id").as("part_id"), col("n_tri"))
         .orderBy(desc("n_tri"), col("part_id")).limit(50)
     }),
@@ -540,9 +541,9 @@ object SparkEntry {
     // Fixed 4 rounds at k=80 so the result is a deterministic function
     // of the input at any SF; the oracle replays the same 4 peels.
     "q263_kcore" -> ((s, dir) => {
-      val e = graft.ops.Graph.coOccurrenceEdges(
+      val e = graft.ops.Graph.coOccurrencePairs(
         t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"))
-      graft.ops.Graph.kCorePeel(e, col("src"), col("dst"),
+      graft.ops.Graph.kCorePeel(e, col("u"), col("v"),
           k = 80, rounds = 4)
         .select(col("id").as("part_id"), col("core_deg"))
         .orderBy("part_id")
