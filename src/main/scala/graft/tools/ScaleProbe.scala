@@ -220,6 +220,27 @@ object ScaleProbe {
         .filter(col("vec_id") < 10),
       col("vec_id"), col("embedding"), col("lbl"),
       col("vec_id"), col("embedding"), col("lbl"), k = 5).count())
+    // packed IVF at 10x embeddings: the index build is one shuffle,
+    // each probe is a single-list in-row ranking — probe cost tracks
+    // corpus/nLists, and nLists is the lever that bounds a posting row
+    time("ivf_packed 10x") {
+      val (cents, packed) = graft.ops.Similarity.ivfPack(
+        bigE, col("vec_id"), col("embedding"), nLists = 64)
+      val idx = packed.localCheckpoint()
+      graft.ops.Similarity.ivfTopKPacked(
+        bigE.filter(col("vec_id") < 10), cents, idx,
+        col("vec_id"), col("embedding"), k = 5).count()
+    }
+    // graph ops at 10x-scale edge volume: the lineitem co-occurrence
+    // graph already stresses wedge volume at sf0.1 (41M wedges); the
+    // probes pin the full-width wedge stage and the per-round peel cost
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val pairs = graft.ops.Graph.coOccurrencePairs(
+      li, col("l_orderkey"), col("l_partkey")).localCheckpoint()
+    time("triangles sf0.1")(graft.ops.Graph.triangleCounts(
+      pairs, col("u"), col("v"), inputCanonical = true).count())
+    time("kcore_peel sf0.1 r=4")(graft.ops.Graph.kCorePeel(
+      pairs, col("u"), col("v"), k = 80, rounds = 4).count())
     spark.stop()
   }
 }
