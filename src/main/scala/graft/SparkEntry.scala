@@ -1986,6 +1986,26 @@ object SparkEntry {
     // most recent click at-or-before it (union + carry-forward window —
     // one shuffle, no range explosion). DuckDB's native ASOF JOIN is the
     // oracle.
+    // Forward as-of: next click AT OR AFTER each purchase (response
+    // latency) — the mirrored carry lowering, one shuffle.
+    "q265_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val joined = graft.ops.Relational.asofJoinForward(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Map("ts" -> "click_ts"))
+      joined.groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+             count(col("click_ts")).as("n_matched"),
+             coalesce(sum(unix_micros(col("click_ts")) -
+                          unix_micros(col("ts"))), lit(0L))
+               .as("sum_gap_us"))
+        .orderBy("user_id")
+    }),
+
     "q37_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val joined = graft.ops.Relational.asofJoinBackward(
@@ -5240,6 +5260,18 @@ object SparkEntry {
     "q53_sessions_bucketed" -> sessionsSql,
     "q37_asof_join" -> asofSql,
     "q54_asof_bucketed" -> asofSql,
+    // mirrored ASOF direction: DuckDB picks the smallest c.ts >= p.ts
+    "q265_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+            j AS (SELECT p.user_id, p.ts AS pts, c.ts AS cts
+                  FROM p ASOF LEFT JOIN c
+                    ON p.user_id = c.user_id AND p.ts <= c.ts)
+         SELECT user_id, count(*) AS n_purchases, count(cts) AS n_matched,
+                CAST(coalesce(sum(epoch_us(cts) - epoch_us(pts)), 0)
+                     AS BIGINT) AS sum_gap_us
+         FROM j GROUP BY 1 ORDER BY 1""",
     "q32_topk_orders" ->
       """WITH r AS (SELECT o_orderstatus, o_orderkey, o_totalprice,
            row_number() OVER (PARTITION BY o_orderstatus

@@ -412,6 +412,53 @@ object Relational {
       .drop("__t", "__side", "__payload", "__matched")
   }
 
+  /** Forward (earliest-at-or-after) as-of join: for each left row,
+    * attach payload columns from the right row with the same `key` and
+    * the SMALLEST `rightTime` >= `leftTime` (null when none follows) —
+    * the response-time twin of [[asofJoinBackward]] (next click after
+    * a purchase, next heartbeat after a deploy). Same
+    * union-and-carry lowering, mirrored: one window per key, frame
+    * current-row → unbounded FOLLOWING, `first(_, ignoreNulls)`
+    * pulling the nearest later right payload into each left row; left
+    * rows sort before right rows at equal time so an exactly-
+    * simultaneous right row IS matched (>= semantics, DuckDB ASOF
+    * `left.t <= right.t`). ONE shuffle on the key, no range explosion. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      key: String, leftTime: String, rightTime: String,
+                      payload: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("__t", "__side", "__payload", "__matched")
+    val clash = left.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"asofJoinForward: left frame already has reserved working " +
+      s"column(s) ${clash.mkString(", ")} — rename them before joining")
+    val outClash = payload.values.toSeq.intersect(left.columns)
+    require(outClash.isEmpty,
+      s"asofJoinForward: payload output name(s) " +
+      s"${outClash.mkString(", ")} already exist on the left frame — " +
+      "the withColumn would silently REPLACE the left column")
+    require(payload.values.toSeq.distinct.size == payload.size,
+      "asofJoinForward: duplicate payload output names")
+    val r = right
+      .filter(col(rightTime).isNotNull && col(key).isNotNull)
+      .select(
+        col(key), col(rightTime).as("__t"), lit(1).as("__side"),
+        struct(payload.toSeq.map { case (from, to) => col(from).as(to) }: _*)
+          .as("__payload"))
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = unioned.withColumn("__matched",
+      first(col("__payload"), ignoreNulls = true).over(w))
+    payload.values.foldLeft(carried.filter(col("__side") === 0)) { (d, out) =>
+        d.withColumn(out, col("__matched").getField(out))
+      }
+      .drop("__t", "__side", "__payload", "__matched")
+  }
+
   /** Skew-resistant [[asofJoinBackward]]: identical semantics, but the
     * carry-forward window partitions on (key, coarse time bucket) instead
     * of the key alone, so ONE power-law key spreads over its buckets

@@ -542,6 +542,39 @@ class OpsSpec extends AnyFunSuite {
       (2L, 5L, None)))        // no right rows for key 2
   }
 
+  test("asof forward join picks smallest right time >= left time") {
+    val sq = spark
+    import sq.implicits._
+    val left = Seq((1L, 10L), (1L, 20L), (1L, 25L), (2L, 5L))
+      .toDF("k", "t")
+    val right = Seq((1L, 8L, "a"), (1L, 15L, "b"), (1L, 20L, "c"),
+                    (3L, 1L, "x")).toDF("k", "rt", "v")
+    val out = Relational.asofJoinForward(left, right,
+        key = "k", leftTime = "t", rightTime = "rt", payload = Map("v" -> "av"))
+      .select("k", "t", "av").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(out == Set(
+      (1L, 10L, Some("b")),   // 10 < 15, nearest follower
+      (1L, 20L, Some("c")),   // equal time matches (>= semantics)
+      (1L, 25L, None),        // nothing follows
+      (2L, 5L, None)))        // no right rows for key 2
+  }
+
+  test("asofJoinForward rejects reserved and colliding names") {
+    val sq = spark
+    import sq.implicits._
+    val bad = Seq((1L, 2L)).toDF("k", "__t")
+    intercept[IllegalArgumentException] {
+      Relational.asofJoinForward(bad, bad.select(col("k"), col("__t")),
+        "k", "__t", "__t", Map("k" -> "k2"))
+    }
+    val l2 = Seq((1L, 2L, "x")).toDF("k", "t", "existing")
+    intercept[IllegalArgumentException] {
+      Relational.asofJoinForward(l2, l2.select(col("k"), col("t")),
+        "k", "t", "t", Map("t" -> "existing"))
+    }
+  }
+
   test("asof join returns the matched row's null payload, not an older value") {
     val sq = spark
     import sq.implicits._
