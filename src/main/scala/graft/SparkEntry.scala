@@ -2122,6 +2122,21 @@ object SparkEntry {
     // Incremental dedup: near-dup pairs BETWEEN a "new batch" (odd
     // doc_ids) and the "existing corpus" (even doc_ids) — cost scales
     // with the batch, not the corpus.
+    // The stateless batch/stream screen kernel, collapsed to distinct
+    // verified pairs — must equal q43/q132 (banding recalls every pair
+    // on this corpus; StreamingSpec pins stream == batch rows).
+    "q266_lsh_screen" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = graft.ops.Dedup.minhashIndex(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        col("doc_id"), col("text"))
+      graft.ops.Dedup.lshScreen(
+          d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          col("doc_id"), col("text"), idx, tau = 0.6)
+        .select("id1", "id2", "jaccard").distinct()
+        .orderBy("id1", "id2")
+    }),
+
     "q43_dedup_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       graft.ops.Dedup.jaccardPairsBetween(
@@ -5384,6 +5399,7 @@ object SparkEntry {
          WHERE co*1.0/(na+nb-co) >= 0.5 ORDER BY 1, 2""",
     "q43_dedup_incremental" -> incrementalPairsSql,
     "q132_incremental_lsh" -> incrementalPairsSql,
+    "q266_lsh_screen" -> incrementalPairsSql,
 
     "q160_funnel_windowed" ->
       """WITH e AS (SELECT user_id, ts, event_type FROM events

@@ -387,6 +387,49 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Stateless near-dup screen of incoming docs against a standing
+    * [[minhashIndex]]: each document's signature bands probe the
+    * corpus band index, and every candidate is exact-verified against
+    * the stored corpus shingles IN THE SAME ROW — no aggregation
+    * anywhere, so the identical plan runs under Structured Streaming
+    * in append mode (two stream-static equi-joins, no state store).
+    * Emits one row per (doc, corpus doc, colliding band) with the
+    * exact jaccard — a pair colliding in several bands appears once
+    * per band, same evidence-row contract as
+    * [[graft.streaming.EventStreams.containmentScreenStream]]; the
+    * distinct-pairs set equals [[minhashLshPairsBetween]]'s answer
+    * (dedup/aggregation is the consumer's one-liner, kept out so the
+    * stream stays stateless). Corpus-side banding replicates only
+    * (band, key, id) — shingle arrays are joined per CANDIDATE, not
+    * per band. Returns (id1, id2, band, jaccard). */
+  def lshScreen(docs: DataFrame, id: Column, text: Column,
+                corpusIndex: DataFrame, tau: Double,
+                n: Int = 3, h: Int = 128, bands: Int = 64): DataFrame = {
+    require(bands >= 1 && h % bands == 0,
+      s"bands must divide h (got h=$h, bands=$bands)")
+    val r = h / bands
+    val probe = docs
+      .select(id.as("id1"), shingles(text, n).as("sh1"))
+      .filter(size(col("sh1")) > 0)
+      .withColumn("sig", minhashSignature(col("sh1"), h))
+      .select(col("id1"), col("sh1"),
+        explode(minhashBands(col("sig"), bands, r)).as("bk"))
+      .select(col("id1"), col("sh1"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val corpusBands = corpusIndex
+      .select(col("id").as("id2"),
+        explode(minhashBands(col("sig"), bands, r)).as("bk"))
+      .select(col("id2"), col("bk.band").as("band"), col("bk.key").as("key"))
+    probe.join(corpusBands, Seq("band", "key"))
+      .filter(col("id1") =!= col("id2"))
+      .join(corpusIndex.select(col("id").as("id2"), col("sh").as("sh2")),
+        "id2")
+      .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id1"), col("id2"), col("band"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** SimHash near-dup pairs: 4×16-bit band buckets (a pair within
     * hamming distance 3 shares ≥1 band), verified with exact Jaccard.
     * Fully deterministic & portable (polynomial char hashes) so the

@@ -175,6 +175,22 @@ object EventStreams {
       .join(corpusIndex.select(corpusId.as("corpus_id"),
         corpusFp.as("fp")), "fp")
 
+  /** Streaming near-dup screen: every incoming document's MinHash
+    * signature bands probe a standing [[graft.ops.Dedup.minhashIndex]]
+    * and candidates exact-verify against the stored corpus shingles —
+    * two stream-static equi-joins, stateless, append mode
+    * ([[graft.ops.Dedup.lshScreen]] is the shared kernel). One
+    * evidence row per (doc, corpus doc, colliding band); the distinct
+    * pair set equals the batch [[graft.ops.Dedup.minhashLshPairsBetween]]
+    * (StreamingSpec pins it). The corpus index is the reusable
+    * artifact — build once, screen every micro-batch. */
+  def lshScreenStream(stream: DataFrame, id: Column, text: Column,
+                      corpusIndex: DataFrame, tau: Double,
+                      n: Int = 3, h: Int = 128,
+                      bands: Int = 64): DataFrame =
+    graft.ops.Dedup.lshScreen(stream, id, text, corpusIndex, tau,
+      n, h, bands)
+
   /** Streaming ANN: each incoming query embedding routes to its
     * nearest IVF centroid and ranks ONLY that list's packed postings
     * ([[graft.ops.Similarity.ivfPack]] builds the static index once;

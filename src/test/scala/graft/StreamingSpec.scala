@@ -287,6 +287,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.toSet == Set("train", "val"))
   }
 
+  test("streaming LSH screen matches the batch between-index pairs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // "standing corpus" = even ids; "arriving batch" = odd ids
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val idx = graft.ops.Dedup.minhashIndex(
+      corpus, col("doc_id"), col("text")).localCheckpoint()
+    val batchRows = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val screen = EventStreams.lshScreenStream(
+      ms.toDS().toDF("doc_id", "text"),
+      col("doc_id"), col("text"), idx, tau = 0.6)
+    val q = screen.writeStream.format("memory").queryName("lshscreen")
+      .outputMode("append").start()
+    try {
+      ms.addData(batchRows.take(batchRows.length / 2).toSeq)
+      q.processAllAvailable()
+      ms.addData(batchRows.drop(batchRows.length / 2).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // evidence rows collapse to distinct verified pairs = the batch op
+    val got = spark.table("lshscreen")
+      .select("id1", "id2", "jaccard").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val batchIx = graft.ops.Dedup.minhashIndex(
+      docs.filter(col("doc_id") % 2 === 1), col("doc_id"), col("text"))
+    val want = graft.ops.Dedup.minhashLshPairsBetween(batchIx, idx,
+        tau = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("streaming ANN equals batch ivfTopK at nProbe = 1") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
