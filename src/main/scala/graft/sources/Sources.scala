@@ -74,6 +74,38 @@ object Sources {
       .orc(path)
   }
 
+  /** Raw media ingestion: one row per file — (path, modificationTime,
+    * length, content: binary) via Spark's binaryFile source. This is
+    * how image/audio/video assets ENTER the multimodal pipeline: read
+    * the bytes here, derive an asset id from the path, and hand the
+    * binary column to [[graft.ops.Multimodal]]'s partition-batch
+    * decoders. `pathGlob` prunes at LISTING time (e.g. "*.bmp");
+    * `maxBytes` guards the executor against a stray multi-GB file —
+    * Spark refuses files over the limit rather than OOMing mid-scan
+    * (filter or chunk oversized assets upstream). */
+  def binaryFiles(spark: SparkSession, path: String,
+                  pathGlob: String = "*",
+                  maxBytes: Long = 512L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob)
+      .load(path)
+      .filter(org.apache.spark.sql.functions.col("length") <= maxBytes)
+
+  /** Line-oriented text ingestion: one row per line, column `value` —
+    * the rawest corpus doorstep (logs, JSONL before schema, plain-text
+    * dumps). Splittable, so a 100 TB directory parallelizes by block;
+    * downstream parses with `from_json`/`split`/regex columns. */
+  def textLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+
+  /** Whole-file text ingestion: one row per FILE (`wholetext`) — for
+    * document-per-file corpora where line splitting would shred the
+    * unit of meaning. NOT splittable (a file = one task's row); keep
+    * files document-sized, not shard-sized — a 10 GB file here is one
+    * 10 GB row, which is an upstream layout bug, not a reader knob. */
+  def wholeTextFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", "true").text(path)
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
     df.write.mode("overwrite").option("header", header.toString).csv(path)
 

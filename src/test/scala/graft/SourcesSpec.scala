@@ -104,6 +104,53 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || plan.contains("n_regionkey"))
   }
 
+  test("binaryFiles ingests .bmp assets that decode identically to in-memory") {
+    import org.apache.spark.sql.functions._
+    // write real BMP files to a directory (plus a decoy the glob must
+    // skip), ingest via the binaryFile source, decode, and compare
+    // against decoding the same synthesized frames directly
+    val dir = java.nio.file.Files.createTempDirectory("graft_bmp").toString
+    val ids = (1L to 6L)
+    val synth = graft.ops.Multimodal.synthBmp24(
+      { import spark.implicits._; ids.toDF("doc_id") }, "doc_id")
+    synth.collect().foreach { r =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/asset_${r.getLong(0)}.bmp"),
+        r.getAs[Array[Byte]](1))
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/notes.txt"),
+      "not an image".getBytes)
+    val files = Sources.binaryFiles(spark, dir, pathGlob = "*.bmp")
+      .select(
+        regexp_extract(col("path"), "asset_(\\d+)\\.bmp$", 1)
+          .cast("long").as("asset_id"),
+        col("content").as("media"))
+    val viaFiles = graft.ops.Multimodal
+      .decodeBmpStatsDf(files, "asset_id", "media")
+      .collect().map(_.toSeq).toSet
+    val direct = graft.ops.Multimodal
+      .decodeBmpStatsDf(synth, "asset_id", "media")
+      .collect().map(_.toSeq).toSet
+    assert(viaFiles.size == ids.size) // decoy pruned at listing time
+    assert(viaFiles == direct)
+  }
+
+  test("textLines and wholeTextFiles split where their contracts say") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/a.txt"), "l1\nl2\n".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/b.txt"), "l3\n".getBytes)
+    val lines = Sources.textLines(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    assert(lines == Set("l1", "l2", "l3"))
+    val whole = Sources.wholeTextFiles(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    // one row per FILE, newlines intact
+    assert(whole == Set("l1\nl2\n", "l3\n"))
+  }
+
   test("schema evolution: mergeSchema unions columns across file versions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
