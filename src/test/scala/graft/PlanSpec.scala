@@ -308,6 +308,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q244 triangle close is a broadcast join under the edge-size gate") {
+    // the closing join's wedge side outnumbers the edge side ~30:1; at
+    // test scale the edge list is under the gate, so the wedge stream
+    // must NOT shuffle — a SortMergeJoin here means the broadcast gate
+    // silently stopped firing and 100x data pays a wedge-sized shuffle
+    val df = SparkEntry.queries("q244_triangles")(spark, sf0001)
+    df.collect() // finalize under AQE
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q264 packed-IVF probe plan has no aggregation (stateless claim)") {
+    // the in-row ranking is what lets the SAME kernel run append-mode
+    // under Structured Streaming; an aggregate sneaking into the probe
+    // path would break that contract before StreamingSpec noticed.
+    // (ivfPack's index build may aggregate — checked frame is the probe:
+    // packed index precomputed here, exactly like the streaming setup.)
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (cents, packed) = graft.ops.Similarity.ivfPack(
+      e, col("vec_id"), col("embedding"), nLists = 8)
+    val probe = graft.ops.Similarity.ivfTopKPacked(
+      e.filter(col("vec_id") < 10), cents, packed.localCheckpoint(),
+      col("vec_id"), col("embedding"), k = 5)
+    val p = probe.queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate")
+           && !p.contains("ObjectHashAggregate"), p.take(2000))
+  }
+
   test("q174/q186 rank passes range-partition — no single-partition window") {
     // both global-rank consumers must ride orderedCumsum's
     // range-partitioned prefix sum; a `row_number() over (order by)`
