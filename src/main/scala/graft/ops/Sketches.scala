@@ -57,6 +57,36 @@ object Sketches {
     }.drop("__ps")
   }
 
+  /** Sketch-once, roll-up-everywhere distinct counts: build a
+    * Datasketches HLL sketch per finest-granularity group ONE scan of
+    * the corpus, persist the (group keys, hll binary) frame, and
+    * answer every coarser-granularity distinct question by merging
+    * sketches — [[rollupDistinct]] — without ever rescanning. This is
+    * THE 100 TB distinct-count discipline: `approx_count_distinct`
+    * answers one grouping per corpus pass, while a stored sketch
+    * frame (thousands of rows, kilobytes each) serves the whole
+    * rollup lattice from the driver's coffee break. `lgK` trades
+    * sketch size (2^lgK registers) for error (~1.04/√2^lgK rsd;
+    * lgK=12 → ~1.6%). Returns (groupBy..., hll: binary). */
+  def distinctSketches(df: DataFrame, groupBy: Seq[Column], value: Column,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy(groupBy: _*)
+      .agg(hll_sketch_agg(value, lit(lgK)).as("hll"))
+
+  /** Merge a [[distinctSketches]] frame down to coarser keys: one
+    * aggregation over SKETCHES (no corpus access), same error bounds
+    * as building at the coarse granularity directly — HLL union is
+    * lossless over register maxima. `estimateAs` ≠ null appends the
+    * rounded estimate while keeping the merged sketch for further
+    * rollups. */
+  def rollupDistinct(sketches: DataFrame, keep: Seq[Column],
+                     hll: Column = col("hll"),
+                     estimateAs: String = "approx_distinct"): DataFrame =
+    sketches.groupBy(keep: _*)
+      .agg(hll_union_agg(hll).as("hll"))
+      .withColumn(estimateAs,
+        round(hll_sketch_estimate(col("hll"))).cast("long"))
+
   /** Count-Min sketch (Cormode & Muthukrishnan 2005): per-group
     * depth×width counter grids supporting point-frequency queries with
     * one-sided error (estimate >= truth, overshoot bounded by

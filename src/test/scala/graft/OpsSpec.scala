@@ -1103,6 +1103,32 @@ class OpsSpec extends AnyFunSuite {
     assert(agg.nonEmpty)
   }
 
+  test("HLL sketch rollup equals direct sketching, tracks exact counts") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    // sketch at the finest granularity once...
+    val fine = Sketches.distinctSketches(li,
+      Seq(col("l_returnflag"), col("l_linestatus")), col("l_partkey"))
+      .localCheckpoint()
+    // ...then answer the coarser question by MERGING, corpus untouched
+    val rolled = Sketches.rollupDistinct(fine, Seq(col("l_returnflag")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rolled.keySet == exact.keySet)
+    for ((k, d) <- exact)
+      assert(math.abs(rolled(k) - d).toDouble / d < 0.05,
+        s"$k: rolled=${rolled(k)} exact=$d") // ~3x the lgK=12 rsd
+    // union is lossless over register maxima: merging the fine
+    // sketches must estimate exactly what direct coarse sketching does
+    val direct = Sketches.rollupDistinct(
+        Sketches.distinctSketches(li, Seq(col("l_returnflag"),
+          col("l_linestatus")), col("l_partkey")),
+        Seq(col("l_returnflag")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(direct == rolled)
+  }
+
   test("sketch profile tracks exact stats within documented bounds") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val approx = Sketches.profile(li, Seq(col("l_returnflag")),
