@@ -1986,6 +1986,22 @@ object SparkEntry {
     // most recent click at-or-before it (union + carry-forward window —
     // one shuffle, no range explosion). DuckDB's native ASOF JOIN is the
     // oracle.
+    // OHLC hourly bars over the event value series: open/close via
+    // min_by/max_by over the (ts, event_id) total order — one partial+
+    // final aggregation, never a per-bar sort.
+    "q267_ohlc_bars" -> ((s, dir) => {
+      graft.ops.Events.ohlcBars(t(s, dir, "events"),
+          col("ts"), col("event_id"), col("value"))
+        .select(date_format(col("bar_start"), "yyyy-MM-dd HH:mm:ss")
+                  .as("bar_start"),
+                round(col("open"), 4).as("open"),
+                round(col("high"), 4).as("high"),
+                round(col("low"), 4).as("low"),
+                round(col("close"), 4).as("close"),
+                col("n"), col("sum_cents"))
+        .orderBy("bar_start")
+    }),
+
     // Forward as-of: next click AT OR AFTER each purchase (response
     // latency) — the mirrored carry lowering, one shuffle.
     "q265_asof_forward" -> ((s, dir) => {
@@ -5275,6 +5291,28 @@ object SparkEntry {
     "q53_sessions_bucketed" -> sessionsSql,
     "q37_asof_join" -> asofSql,
     "q54_asof_bucketed" -> asofSql,
+    // open/close replayed with first_value/last_value over the
+    // (ts, event_id) total order; cents sum is order-independent
+    "q267_ohlc_bars" ->
+      """WITH e AS (SELECT date_trunc('hour', ts) AS h, ts, event_id,
+                      value
+                    FROM events WHERE ts IS NOT NULL
+                      AND value IS NOT NULL),
+         w AS (SELECT h, value,
+                 row_number() OVER (PARTITION BY h
+                   ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY h) AS cnt
+               FROM e)
+         SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS bar_start,
+           round(max(CASE WHEN rn = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rn = cnt THEN value END), 4) AS close,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+         FROM w GROUP BY h ORDER BY 1""",
+
     // mirrored ASOF direction: DuckDB picks the smallest c.ts >= p.ts
     "q265_asof_forward" ->
       """WITH p AS (SELECT user_id, ts FROM events

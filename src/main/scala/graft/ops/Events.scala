@@ -18,6 +18,34 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** OHLC resampling: per tumbling bar, the series' open (value at the
+    * smallest (ts, order)), close (largest), high, low, row count, and
+    * an order-independent integer-cents sum — the time-series
+    * downsampling every metrics/market-data pipeline runs before
+    * charting or feature extraction. ONE aggregation, no window function: open and
+    * close ride `min_by`/`max_by` over the (ts, order) struct, so the
+    * plan is a plain partial+final groupBy on the bar key — the same
+    * map-side-combine shape as [[tumbling]], and the 100 TB path
+    * (a per-bar sort would shuffle the raw series; this shuffles one
+    * row per bar per map task). `order` must make (ts, order) unique
+    * (an event id) or open/close are partition-dependent on ts ties.
+    * Null timestamps and null values are excluded: a null has no bar
+    * and no price. Returns
+    * (bar_start, open, high, low, close, n, sum_cents). */
+  def ohlcBars(df: DataFrame, ts: Column, order: Column, value: Column,
+               barDuration: String = "1 hour"): DataFrame =
+    df.filter(ts.isNotNull && value.isNotNull)
+      .groupBy(window(ts, barDuration).as("w"))
+      .agg(
+        min_by(value, struct(ts, order)).as("open"),
+        max(value).as("high"),
+        min(value).as("low"),
+        max_by(value, struct(ts, order)).as("close"),
+        count(lit(1)).as("n"),
+        sum(floor(value * 100 + lit(0.5)).cast("long")).as("sum_cents"))
+      .select(col("w.start").as("bar_start"), col("open"), col("high"),
+              col("low"), col("close"), col("n"), col("sum_cents"))
+
   /** Gap-based sessionization: a new session starts when the gap from
     * the previous event of the same user exceeds `gapSeconds`. One
     * shuffle on user_id; the cumulative-sum window runs sorted within
