@@ -1986,6 +1986,34 @@ object SparkEntry {
     // most recent click at-or-before it (union + carry-forward window —
     // one shuffle, no range explosion). DuckDB's native ASOF JOIN is the
     // oracle.
+    // Crawl-frontier URL dedup: deterministic URL synthesis (case
+    // shuffle, default port, trailing slash, tracking params,
+    // fragments) -> canonicalize -> exact dedup census per canonical
+    // URL. The oracle replays synthesis AND canonicalization verbatim.
+    "q268_url_canonical" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("url", concat(
+          when(col("doc_id") % 2 === 0, lit("http"))
+            .otherwise(lit("HTTP")), lit("://"),
+          when(col("doc_id") % 4 < 2, lit("Example"))
+            .otherwise(lit("example")),
+          (col("doc_id") % 10).cast("string"), lit(".com"),
+          when(col("doc_id") % 8 === 3, lit(":80")).otherwise(lit("")),
+          lit("/page/"), (col("doc_id") % 20).cast("string"),
+          when(col("doc_id") % 16 === 5, lit("/")).otherwise(lit("")),
+          lit("?id="), (col("doc_id") % 40).cast("string"),
+          lit("&utm_source=s"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("&ref=r"), col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit(""))))
+      d.withColumn("curl",
+          graft.ops.TextAnalysis.canonicalizeUrl(col("url")))
+        .groupBy("curl")
+        .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("first_id"))
+        .orderBy("curl")
+    }),
+
     // OHLC hourly bars over the event value series: open/close via
     // min_by/max_by over the (ts, event_id) total order — one partial+
     // final aggregation, never a per-bar sort.
@@ -5291,6 +5319,52 @@ object SparkEntry {
     "q53_sessions_bucketed" -> sessionsSql,
     "q37_asof_join" -> asofSql,
     "q54_asof_bucketed" -> asofSql,
+    // synthesis + canonicalization replayed with the same regexes;
+    // param filter/sort via list comprehension + list_sort
+    "q268_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTP' END,
+               '://',
+               CASE WHEN doc_id % 4 < 2 THEN 'Example' ELSE 'example' END,
+               CAST(doc_id % 10 AS VARCHAR), '.com',
+               CASE WHEN doc_id % 8 = 3 THEN ':80' ELSE '' END,
+               '/page/', CAST(doc_id % 20 AS VARCHAR),
+               CASE WHEN doc_id % 16 = 5 THEN '/' ELSE '' END,
+               '?id=', CAST(doc_id % 40 AS VARCHAR),
+               '&utm_source=s', CAST(doc_id AS VARCHAR),
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat('&ref=r', CAST(doc_id AS VARCHAR))
+                    ELSE '' END,
+               CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         c AS (SELECT doc_id,
+             regexp_replace(url, '#.*$', '') AS nf FROM u),
+         p AS (SELECT doc_id,
+             lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             regexp_replace(
+               lower(regexp_extract(nf,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               ':(80|443)$', '') AS host,
+             regexp_replace(
+               regexp_extract(nf,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '/+$', '') AS pth,
+             list_sort([x FOR x IN
+                 string_split(regexp_extract(nf, '\?([^#]*)', 1), '&')
+                 IF x <> '' AND NOT regexp_matches(x,
+                   '^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=')]) AS ps
+           FROM c),
+         k AS (SELECT doc_id,
+             concat(scheme, '://', host, pth,
+               CASE WHEN len(ps) > 0
+                    THEN concat('?', array_to_string(ps, '&'))
+                    ELSE '' END) AS curl
+           FROM p)
+         SELECT curl, count(*) AS n_dups, min(doc_id) AS first_id
+         FROM k GROUP BY 1 ORDER BY 1""",
+
     // open/close replayed with first_value/last_value over the
     // (ts, event_id) total order; cents sum is order-independent
     "q267_ohlc_bars" ->

@@ -190,6 +190,39 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** URL canonicalization for crawl dedup: the same page arrives under
+    * case-shuffled scheme/host, default ports, trailing slashes,
+    * tracking params, and fragments — canonicalize BEFORE the content
+    * pipeline and exact URL dedup collapses the easy multiples for
+    * free (every crawl curation stack's first move). Rules:
+    * lowercase scheme+host, drop :80/:443, strip trailing path
+    * slashes, drop the fragment, drop utm_, gclid, fbclid, ref params,
+    * and SORT surviving params (order-insensitive key). Pure column
+    * expression over regex extract/filter/sort — no UDF, and every
+    * pattern stays in the Java-regex ∩ RE2 subset so the DuckDB
+    * oracle replays it verbatim. Non-URL strings (no scheme) pass
+    * through lowercased-scheme extraction to '' → returned null. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(hostPort, ":(80|443)$", "")
+    val path = regexp_replace(
+      regexp_extract(noFrag,
+        "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1),
+      "/+$", "")
+    val params = array_sort(filter(
+      split(regexp_extract(noFrag, "\\?([^#]*)", 1), "&"),
+      p => p =!= "" &&
+        !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|ref)=")))
+    val query = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    when(scheme === "" || host === "", lit(null).cast("string"))
+      .otherwise(concat(scheme, lit("://"), host, path, query))
+  }
+
   /** Corpus-level token frequency (the classic wordcount — explode +
     * count, partial aggregation map-side). */
   def tokenFrequency(df: DataFrame, text: Column, topN: Int): DataFrame =

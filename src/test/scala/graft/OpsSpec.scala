@@ -1103,6 +1103,40 @@ class OpsSpec extends AnyFunSuite {
     assert(agg.nonEmpty)
   }
 
+  test("canonicalizeUrl collapses case/port/slash/tracking/fragment noise") {
+    val sq = spark
+    import sq.implicits._
+    val cases = Seq(
+      // the same page six ways
+      "HTTP://Example.COM:80/a/?utm_source=x&id=1#top",
+      "http://example.com/a?id=1",
+      "http://example.com/a/?id=1&utm_campaign=z",
+      "http://EXAMPLE.com:80/a?gclid=abc&id=1",
+      "http://example.com/a/?fbclid=f&id=1#frag",
+      "http://example.com/a?ref=tw&id=1",
+      // param ORDER must not matter
+      "https://h.com/p?b=2&a=1",
+      "https://h.com/p?a=1&b=2",
+      // default 443 stripped; explicit nonstandard port kept
+      "HTTPS://H.com:443/p?a=1&b=2",
+      "https://h.com:8080/p",
+      // no query, root path, bare host
+      "http://x.com/",
+      "http://x.com",
+      // not a URL
+      "no scheme here")
+    val got = cases.toDF("u")
+      .select(graft.ops.TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.take(6).distinct.toSeq ==
+      Seq(Some("http://example.com/a?id=1")))
+    assert(got(6) == got(7) && got(7) == got(8) &&
+      got(6) == Some("https://h.com/p?a=1&b=2"))
+    assert(got(9) == Some("https://h.com:8080/p"))
+    assert(got(10) == Some("http://x.com") && got(11) == got(10))
+    assert(got(12).isEmpty)
+  }
+
   test("HLL sketch rollup equals direct sketching, tracks exact counts") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     // sketch at the finest granularity once...
