@@ -1986,6 +1986,70 @@ object SparkEntry {
     // most recent click at-or-before it (union + carry-forward window —
     // one shuffle, no range explosion). DuckDB's native ASOF JOIN is the
     // oracle.
+    // TPC-H Q3 shape (shipping priority): the canonical 3-table
+    // fact-dim join + filtered agg. Revenue is per-row cents (floor of
+    // the double product) summed as integers — order-independent, so
+    // the hash compare is exact.
+    "q269_tpch_q3" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long")
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-07-01"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-07-01"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(cents).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape (local-supplier volume): the 6-table snowflake —
+    // region prunes nations, customer and supplier must share the
+    // nation — with dims broadcast and one fact-side shuffle.
+    "q270_tpch_q5" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long")
+      t(s, dir, "region").filter(col("r_name") === "ASIA")
+        .join(t(s, dir, "nation"),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(t(s, dir, "supplier"),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "lineitem"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+                col("o_orderdate") < lit("1998-01-01"))
+        .join(t(s, dir, "customer"),
+          col("c_custkey") === col("o_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("n_name"))
+    }),
+
+    // TPC-H Q10 shape (returned-item reporting): quarter of orders,
+    // returned lines only, top customers by lost revenue.
+    "q271_tpch_q10" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long")
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1997-10-01") &&
+                col("o_orderdate") < lit("1998-01-01"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+            .as("acctbal_cents"),
+          col("n_name"))
+        .agg(sum(cents).as("revenue_cents"))
+        .orderBy(desc("revenue_cents"), col("c_custkey"))
+        .limit(20)
+    }),
+
     // Crawl-frontier URL dedup: deterministic URL synthesis (case
     // shuffle, default port, trailing slash, tracking params,
     // fragments) -> canonicalize -> exact dedup census per canonical
@@ -5319,6 +5383,55 @@ object SparkEntry {
     "q53_sessions_bucketed" -> sessionsSql,
     "q37_asof_join" -> asofSql,
     "q54_asof_bucketed" -> asofSql,
+    "q269_tpch_q3" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_orderpriority,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-07-01'
+           AND l_shipdate > TIMESTAMP '1998-07-01'
+         GROUP BY 1, 2, 3
+         ORDER BY revenue_cents DESC, l_orderkey LIMIT 10""",
+
+    "q270_tpch_q5" ->
+      """SELECT n_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+         FROM region
+           JOIN nation ON n_regionkey = r_regionkey
+           JOIN supplier ON s_nationkey = n_nationkey
+           JOIN lineitem ON l_suppkey = s_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+                        AND c_nationkey = s_nationkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1997-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY revenue_cents DESC, n_name""",
+
+    "q271_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+           n_name,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1997-10-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_returnflag = 'R'
+         GROUP BY 1, 2, 3, 4
+         ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+
     // synthesis + canonicalization replayed with the same regexes;
     // param filter/sort via list comprehension + list_sort
     "q268_url_canonical" ->
