@@ -1986,6 +1986,21 @@ object SparkEntry {
     // most recent click at-or-before it (union + carry-forward window —
     // one shuffle, no range explosion). DuckDB's native ASOF JOIN is the
     // oracle.
+    // TPC-H Q13 shape (customer order distribution): LEFT join keeps
+    // zero-order customers, then a histogram OF the per-customer
+    // counts — the agg-of-agg shape with outer-join null arithmetic.
+    "q272_tpch_q13" -> ((s, dir) => {
+      val perCust = t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
     // TPC-H Q3 shape (shipping priority): the canonical 3-table
     // fact-dim join + filtered agg. Revenue is per-row cents (floor of
     // the double product) summed as integers — order-independent, so
@@ -5383,6 +5398,15 @@ object SparkEntry {
     "q53_sessions_bucketed" -> sessionsSql,
     "q37_asof_join" -> asofSql,
     "q54_asof_bucketed" -> asofSql,
+    "q272_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+               FROM customer LEFT JOIN orders
+                 ON c_custkey = o_custkey
+                AND o_orderpriority <> '1-URGENT'
+               GROUP BY c_custkey)
+         GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+
     "q269_tpch_q3" ->
       """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
            o_orderpriority,

@@ -175,6 +175,19 @@ object EventStreams {
       .join(corpusIndex.select(corpusId.as("corpus_id"),
         corpusFp.as("fp")), "fp")
 
+  /** Streaming OHLC resampling: [[graft.ops.Events.ohlcBars]] run as a
+    * streaming aggregation — min_by/max_by carry mergeable (value,
+    * order-key) state, so bars finalize identically however the rows
+    * were micro-batched (StreamingSpec pins stream == batch). Complete
+    * or update output mode (append needs a watermark on the caller's
+    * side); the event-id order column keeps open/close deterministic
+    * across arrival orders. */
+  def ohlcBarsStream(stream: DataFrame, barDuration: String = "1 hour",
+                     tsCol: String = "ts", orderCol: String = "event_id",
+                     valueCol: String = "value"): DataFrame =
+    graft.ops.Events.ohlcBars(stream, col(tsCol), col(orderCol),
+      col(valueCol), barDuration)
+
   /** Streaming near-dup screen: every incoming document's MinHash
     * signature bands probe a standing [[graft.ops.Dedup.minhashIndex]]
     * and candidates exact-verify against the stored corpus shingles —

@@ -287,6 +287,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.toSet == Set("train", "val"))
   }
 
+  test("streaming OHLC bars equal the batch resample (complete mode)") {
+    // min_by/max_by are mergeable aggregates, so the SAME ohlcBars
+    // call runs as a streaming aggregation — bars finalize identically
+    // however the rows were micro-batched
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_ohlc_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = normTs(spark.readStream.schema(schema)
+      .parquet(dir.toString))
+    val q = EventStreams.ohlcBarsStream(stream, "1 hour")
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ohlc").collect().map(_.toSeq).toSet
+    val want = ops.Events.ohlcBars(events, col("ts"), col("event_id"),
+        col("value")).collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("streaming LSH screen matches the batch between-index pairs") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
