@@ -1986,6 +1986,54 @@ object SparkEntry {
     // most recent click at-or-before it (union + carry-forward window —
     // one shuffle, no range explosion). DuckDB's native ASOF JOIN is the
     // oracle.
+    // TPC-H Q18 shape (large-volume orders): HAVING-filtered semi-join
+    // — the "orders whose own aggregate clears a bar" pattern. The
+    // qualifying set comes from one groupBy, then a left_semi join
+    // keeps fact rows; quantities are integer-valued doubles so sums
+    // are exact and order-independent.
+    "q273_tpch_q18" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+        .filter(col("q") > 250)
+        .select(col("l_orderkey").as("big_okey"))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+            .as("totalprice_cents"))
+        .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+        .orderBy(desc("totalprice_cents"), col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q22 shape (global sales opportunity): anti-join + scalar
+    // subquery — rich customers LAPSED since 2000 (no order at or
+    // after the cutoff; this corpus has no never-ordered customers),
+    // per nation. The threshold is the integer-cents floor-average
+    // (exact in any summation order), not a float avg.
+    "q274_tpch_q22" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .withColumn("bal_cents",
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("long"))
+      val thresh = cust.filter(col("bal_cents") > 0)
+        .agg(expr("sum(bal_cents) div count(1)").as("avg_cents"))
+      cust.crossJoin(broadcast(thresh))
+        .filter(col("bal_cents") > col("avg_cents"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("2000-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+             sum(col("bal_cents")).as("totacctbal_cents"))
+        .orderBy("n_name")
+    }),
+
     // TPC-H Q13 shape (customer order distribution): LEFT join keeps
     // zero-order customers, then a histogram OF the per-customer
     // counts — the agg-of-agg shape with outer-join null arithmetic.
@@ -5398,6 +5446,38 @@ object SparkEntry {
     "q53_sessions_bucketed" -> sessionsSql,
     "q37_asof_join" -> asofSql,
     "q54_asof_bucketed" -> asofSql,
+    "q273_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             AS totalprice_cents,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN
+           (SELECT l_orderkey FROM lineitem
+            GROUP BY 1 HAVING sum(l_quantity) > 250)
+         GROUP BY 1, 2, 3, 4, 5
+         ORDER BY totalprice_cents DESC, o_orderkey LIMIT 20""",
+
+    "q274_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+           FROM customer),
+         t AS (SELECT sum(bal_cents) // count(*) AS avg_cents
+               FROM c WHERE bal_cents > 0),
+         rich AS (SELECT c.* FROM c CROSS JOIN t
+                  WHERE bal_cents > avg_cents
+                    AND NOT EXISTS
+                      (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey
+                         AND o_orderdate >= TIMESTAMP '2000-01-01'))
+         SELECT n_name, count(*) AS numcust,
+           CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+         FROM rich JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+
     "q272_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
          FROM (SELECT c_custkey, count(o_orderkey) AS c_count
