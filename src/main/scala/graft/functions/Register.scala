@@ -26,24 +26,28 @@ object Register {
     if (es.length != n) throw new IllegalArgumentException(
       s"$fn expects $n arguments, got ${es.length}")
 
+  /** The single source of truth for name → expression builder — shared
+    * by the per-session [[all]] registration and the
+    * `spark.sql.extensions` path ([[graft.GraftExtensions]]). */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      "word_shingles" -> (es => { arity(es, 2, "word_shingles")
+        WordShingles(es.head, intArg(es(1), "n")) }),
+      "minhash_sig" -> (es => { arity(es, 2, "minhash_sig")
+        MinHashSig(es.head, intArg(es(1), "numHashes")) }),
+      "simhash62" -> (es => { arity(es, 1, "simhash62")
+        SimHash62(es.head) }),
+      "array_dot" -> (es => { arity(es, 2, "array_dot")
+        ArrayDot(es.head, es(1)) }),
+      "deflate_ratio" -> (es => { arity(es, 1, "deflate_ratio")
+        DeflateRatio(es.head) }),
+      "gram_mass_stats" -> (es => { arity(es, 2, "gram_mass_stats")
+        GramMassStats(es.head, intArg(es(1), "n")) }))
+
   def all(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("word_shingles",
-      es => { arity(es, 2, "word_shingles")
-              WordShingles(es.head, intArg(es(1), "n")) }, "scala_udf")
-    reg.createOrReplaceTempFunction("minhash_sig",
-      es => { arity(es, 2, "minhash_sig")
-              MinHashSig(es.head, intArg(es(1), "numHashes")) }, "scala_udf")
-    reg.createOrReplaceTempFunction("simhash62",
-      es => { arity(es, 1, "simhash62"); SimHash62(es.head) }, "scala_udf")
-    reg.createOrReplaceTempFunction("array_dot",
-      es => { arity(es, 2, "array_dot")
-              ArrayDot(es.head, es(1)) }, "scala_udf")
-    reg.createOrReplaceTempFunction("deflate_ratio",
-      es => { arity(es, 1, "deflate_ratio")
-              DeflateRatio(es.head) }, "scala_udf")
-    reg.createOrReplaceTempFunction("gram_mass_stats",
-      es => { arity(es, 2, "gram_mass_stats")
-              GramMassStats(es.head, intArg(es(1), "n")) }, "scala_udf")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

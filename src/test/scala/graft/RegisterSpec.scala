@@ -9,6 +9,22 @@ class RegisterSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("extensions hook resolves native functions with no Register call") {
+    // TestSpark builds the session withExtensions(new GraftExtensions);
+    // SQL text must resolve the injected functions cold — no
+    // Register.all in this test, by design
+    val r = spark.sql(
+      "SELECT array_dot(array(2.0d, 3.0d), array(5.0d, 7.0d))").collect()
+    assert(r.head.getDouble(0) == 31.0)
+    // and the injection survives session forks (newSession shares the
+    // extensions), which is what cluster SQL entry points rely on
+    val forked = spark.newSession()
+    val f = forked.sql(
+      "SELECT size(minhash_sig(word_shingles('a b c d', 3), 16))")
+      .collect()
+    assert(f.head.getInt(0) == 16)
+  }
+
   test("registered SQL functions match the Column API expressions") {
     graft.functions.Register.all(spark)
     Seq((1L, "a b c d e f"), (2L, "x y"))

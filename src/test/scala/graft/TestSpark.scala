@@ -9,6 +9,11 @@ object TestSpark {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
+      // the production installation path: native SQL functions arrive
+      // via the extensions hook, not a per-session Register.all call —
+      // RegisterSpec exercising SQL text through THIS session is the
+      // end-to-end proof the hook wires them in
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
