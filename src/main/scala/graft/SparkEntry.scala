@@ -2624,19 +2624,25 @@ object SparkEntry {
     * as a CTE chain — one (degree, keep, filter) stage per round, the
     * same fixed-round semantics the Spark op commits to. */
   private def kcoreSql(k: Int, rounds: Int): String = {
+    // every eN is referenced twice by round N+1 (degree count + edge
+    // filter); DuckDB inlines plain CTEs, which re-evaluates the whole
+    // prefix exponentially per round — MATERIALIZED keeps each stage
+    // computed once (semantics unchanged; sf0.1 went from stuck to
+    // seconds)
     val head =
-      """WITH m AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+      """WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+                      l_partkey AS p
                     FROM lineitem),
-         e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+         e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
                 FROM m a JOIN m b ON a.o = b.o AND a.p < b.p)"""
     val stages = (1 to rounds).map { i =>
       val p = i - 1
       s""",
-         d$i AS (SELECT id, count(*) AS c FROM
+         d$i AS MATERIALIZED (SELECT id, count(*) AS c FROM
                    (SELECT u AS id FROM e$p UNION ALL SELECT v FROM e$p)
                  GROUP BY 1),
-         n$i AS (SELECT id FROM d$i WHERE c >= $k),
-         e$i AS (SELECT u, v FROM e$p
+         n$i AS MATERIALIZED (SELECT id FROM d$i WHERE c >= $k),
+         e$i AS MATERIALIZED (SELECT u, v FROM e$p
                  WHERE u IN (SELECT id FROM n$i)
                    AND v IN (SELECT id FROM n$i))"""
     }.mkString
