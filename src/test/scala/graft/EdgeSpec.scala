@@ -199,6 +199,45 @@ class EdgeSpec extends AnyFunSuite {
       col("embedding"), 0.9, k = 8, iters = 2).count() == 1)
   }
 
+  test("round-5 ops survive empty / degenerate inputs") {
+    val emptyE = Seq.empty[(Long, Long)].toDF("u", "v")
+    // k-core on no edges, and on a graph the first peel clears
+    assert(Graph.kCorePeel(emptyE, col("u"), col("v"), 2, 3).count() == 0)
+    val line = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    assert(Graph.kCorePeel(line, col("u"), col("v"), 2, 2).count() == 0)
+    // OHLC: all-null values and all-null timestamps produce no bars
+    val ev = Seq((Option.empty[java.sql.Timestamp], 1L,
+      Option.empty[Double])).toDF("ts", "event_id", "value")
+    assert(ops.Events.ohlcBars(ev, col("ts"), col("event_id"),
+      col("value")).count() == 0)
+    // LSH screen: empty corpus index and empty batch both yield nothing
+    val idx = Dedup.minhashIndex(emptyDocs, col("doc_id"), col("text"))
+    assert(Dedup.lshScreen(oneDoc, col("doc_id"), col("text"),
+      idx, 0.5).count() == 0)
+    val idx2 = Dedup.minhashIndex(oneDoc, col("doc_id"), col("text"))
+    assert(Dedup.lshScreen(emptyDocs, col("doc_id"), col("text"),
+      idx2, 0.5).count() == 0)
+    // packed IVF: empty query set; corpus smaller than nLists
+    val tiny = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val (cents, packed) = Similarity.ivfPack(tiny, col("vec_id"),
+      col("embedding"), nLists = 16)
+    assert(cents.size == 2)
+    assert(Similarity.ivfTopKPacked(
+      tiny.filter(col("vec_id") < 0), cents, packed,
+      col("vec_id"), col("embedding"), k = 3).count() == 0)
+    // canonicalizeUrl: null in, null out (no NPE in the regex chain)
+    val nulls = Seq(Option.empty[String]).toDF("u")
+      .select(ops.TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+    assert(nulls.collect().head.isNullAt(0))
+    // forward as-of with empty right side left-joins nulls
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq.empty[(Long, Long, String)].toDF("k", "rt", "p")
+    val out = Relational.asofJoinForward(l, r, "k", "t", "rt",
+      Map("p" -> "pv")).collect()
+    assert(out.length == 1 && out.head.isNullAt(out.head.fieldIndex("pv")))
+  }
+
   test("transform of an empty frame yields empty relational result") {
     import graft.dsl.Domain._
     import graft.dsl.Range._

@@ -207,4 +207,60 @@ class PropertySpec extends AnyFunSuite {
     val r = SCTest.check(params, prop)
     assert(r.passed, r.status.toString)
   }
+
+  test("kCorePeel equals a driver-side reference peel on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(18, Gen.zip(Gen.choose(1L, 8L), Gen.choose(1L, 8L)))
+    val prop = Prop.forAll(edgeGen, Gen.choose(1, 3),
+                           Gen.choose(1, 4)) { (es, k, rounds) =>
+      // reference: canonicalize, then `rounds` exact peels
+      var e = es.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      for (_ <- 1 to rounds) {
+        val deg = e.flatMap(p => Seq(p._1, p._2))
+          .groupBy(identity).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        e = e.filter(p => keep(p._1) && keep(p._2))
+      }
+      val want = e.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = ops.Graph.kCorePeel(es.toDF("x", "y"), col("x"), col("y"),
+          k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("asofJoinForward equals a driver-side nearest-follower scan") {
+    // unique (k, rt) on the right so the matched payload is
+    // well-defined (the op documents ties as engine-arbitrary)
+    val leftGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(8, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 30L)))
+    val rightGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(8, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 30L)))
+        .map(_.distinct)
+    val prop = Prop.forAll(leftGen, rightGen) { (ls, rs0) =>
+      val rs = rs0.zipWithIndex.map { case ((k, t), i) =>
+        (k, t, s"p$i") }
+      val want = ls.map { case (k, t) =>
+        val cand = rs.filter(r => r._1 == k && r._2 >= t)
+        (k, t, if (cand.isEmpty) None
+               else Some(cand.minBy(r => (r._2, r._3))._3))
+      }.groupBy(x => x).view.mapValues(_.size).toMap
+      val got = ops.Relational.asofJoinForward(
+          ls.toDF("k", "t"), rs.toDF("k", "rt", "p"),
+          "k", "t", "rt", Map("p" -> "pv"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getString(r.fieldIndex("pv")))))
+        .groupBy(x => x).view.mapValues(_.size).toMap
+      // rs has unique (k, rt) so min-by-(rt, p) == min-by-rt: the
+      // reference is deterministic exactly where the op promises it
+      got == want
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
 }
