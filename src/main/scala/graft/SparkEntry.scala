@@ -2113,6 +2113,22 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Real multimodal codec III (video): deterministic multi-frame
+    // synthesis -> GFV1 frame-indexed container encode -> SAMPLED
+    // decode (stride 2 — the index walk slices only sampled frames,
+    // the mp4-stbl pattern). Any index/offset/stride bug breaks the
+    // per-frame hash match.
+    "q275_video_sample" -> ((s, dir) => {
+      val vids = graft.ops.Multimodal.synthVideo(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Multimodal.sampleFrameStatsDf(
+          vids, "asset_id", "media", stride = 2)
+        .select(col("asset_id").as("doc_id"), col("n_frames"),
+                col("frame_idx"), col("width"), col("height"),
+                col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Crawl-frontier URL dedup: deterministic URL synthesis (case
     // shuffle, default port, trailing slash, tracking params,
     // fragments) -> canonicalize -> exact dedup census per canonical
@@ -5452,6 +5468,29 @@ object SparkEntry {
     "q53_sessions_bucketed" -> sessionsSql,
     "q37_asof_join" -> asofSql,
     "q54_asof_bucketed" -> asofSql,
+    // arithmetic replay of the sampled frames only (stride 2): the
+    // oracle never sees the container bytes — agreement proves the
+    // index walk slices exactly the frames the formulas predict
+    "q275_video_sample" ->
+      """WITH s AS (SELECT doc_id, 2 + doc_id % 4 AS n,
+                      6 + doc_id % 5 AS w, 4 + doc_id % 5 AS h
+                    FROM documents),
+         f AS (SELECT doc_id, n, w, h, unnest([x FOR x IN range(n)
+                 IF x % 2 = 0]) AS fi
+               FROM s),
+         e AS (SELECT doc_id, n, w, h, fi,
+                 doc_id * 31 + fi * 7 AS fid FROM f)
+         SELECT doc_id, CAST(n AS INTEGER) AS n_frames,
+           CAST(fi AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(list_sum([(fid*3 + (i % w)*7 + (i // w)*11) % 256
+                          FOR i IN range(w*h)]) AS BIGINT) AS sum_r,
+           CAST(list_sum([(fid*5 + (i % w)*13 + (i // w)*3) % 256
+                          FOR i IN range(w*h)]) AS BIGINT) AS sum_g,
+           CAST(list_sum([(fid*7 + (i % w) + (i // w)*17) % 256
+                          FOR i IN range(w*h)]) AS BIGINT) AS sum_b
+         FROM e ORDER BY doc_id, frame_idx""",
+
     "q273_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,
            strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,

@@ -367,4 +367,115 @@ object Multimodal {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  // ----- video: frame-indexed container + SAMPLED decode -------------
+
+  /** GFV1 frame container: `GFV1` magic, int32 frame count, int64
+    * absolute offsets (one per frame), then the frames — each a
+    * standalone BMP. The offset INDEX is the point: frame sampling
+    * reads the header and slices only the sampled frames, never
+    * decoding (or at real scale, never even fetching — pair with a
+    * ranged read) the frames between. That index-then-partial-decode
+    * walk is the shape every real video pipeline (mp4 stbl/stco,
+    * mkv cues) has; the container is minimal so the whole path stays
+    * dependency-free and oracle-replayable. */
+  def encodeFrameSeq(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "empty frame sequence")
+    val headerLen = 8 + 8 * frames.size
+    val offsets = frames.scanLeft(headerLen.toLong)(_ + _.length)
+    val bb = java.nio.ByteBuffer
+      .allocate(offsets.last.toInt)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('G'.toByte).put('F'.toByte).put('V'.toByte).put('1'.toByte)
+    bb.putInt(frames.size)
+    offsets.init.foreach(bb.putLong)
+    frames.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Walk a [[encodeFrameSeq]] container's index and decode ONLY every
+    * `stride`-th frame (0, stride, 2·stride, …). Returns
+    * (nFrames, sampled (frameIdx, stats)). */
+  def sampleFrameStats(bytes: Array[Byte], stride: Int)
+      : (Int, Seq[(Int, BmpStats)]) = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    require(bytes.length >= 8 && bytes(0) == 'G'.toByte &&
+      bytes(1) == 'F'.toByte && bytes(2) == 'V'.toByte &&
+      bytes(3) == '1'.toByte, "not a GFV1 stream")
+    val n = le32(bytes, 4)
+    require(n >= 1 && bytes.length >= 8 + 8 * n, "corrupt frame index")
+    def off(i: Int): Long =
+      java.nio.ByteBuffer.wrap(bytes, 8 + 8 * i, 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    val sampled = (0 until n by stride).map { i =>
+      val from = off(i)
+      val until = if (i == n - 1) bytes.length.toLong else off(i + 1)
+      i -> decodeBmp24(
+        java.util.Arrays.copyOfRange(bytes, from.toInt, until.toInt))
+    }
+    (n, sampled)
+  }
+
+  /** Partition-batch frame sampling over a binary video column: one
+    * output row per SAMPLED frame —
+    * (asset_id, n_frames, frame_idx, width, height, sum_r, sum_g,
+    * sum_b). Missing media yields no rows (nothing to sample). */
+  def sampleFrameStatsDf(df: DataFrame, idCol: String, mediaCol: String,
+                         stride: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null) Iterator.empty
+        else {
+          val (n, sampled) = sampleFrameStats(bytes, stride)
+          sampled.iterator.map { case (i, st) =>
+            Row(r.getLong(idIdx), n, i, st.width, st.height,
+              st.sumR, st.sumG, st.sumB)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic per-id video synthesis: n = 2 + id mod 4 frames,
+    * each frame a BMP of fixed size w = 6 + id mod 5, h = 4 + id mod 5
+    * whose pixels run the [[synthBmp24]] channel formulas with
+    * fid = id·31 + frame·7 — pure arithmetic a SQL oracle replays. */
+  def synthVideo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("media", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val n = (2 + id % 4).toInt
+        val w = (6 + id % 5).toInt
+        val h = (4 + id % 5).toInt
+        val frames = (0 until n).map { f =>
+          val fid = id * 31 + f * 7
+          encodeBmp24(w, h, (x, y) => (
+            ((fid * 3 + x * 7 + y * 11) % 256).toInt,
+            ((fid * 5 + x * 13 + y * 3) % 256).toInt,
+            ((fid * 7 + x + y * 17) % 256).toInt))
+        }
+        Row(id, encodeFrameSeq(frames))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

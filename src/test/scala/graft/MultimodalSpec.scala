@@ -154,4 +154,36 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got(id) == ((n.toLong, abs.sum, abs.max)), s"id $id")
     }
   }
+
+  test("GFV1 container: index walk decodes ONLY the sampled frames") {
+    import graft.ops.Multimodal._
+    val f0 = encodeBmp24(3, 2, (x, y) => (x, y, x + y))
+    val f1 = encodeBmp24(3, 2, (x, y) => (10 + x, y, 0))
+    val f2 = encodeBmp24(3, 2, (x, y) => (0, 20 + y, x))
+    val vid = encodeFrameSeq(Seq(f0, f1, f2))
+    // stride 2 samples frames 0 and 2
+    val (n, sampled) = sampleFrameStats(vid, 2)
+    assert(n == 3 && sampled.map(_._1) == Seq(0, 2))
+    assert(sampled.head._2 == decodeBmp24(f0))
+    assert(sampled(1)._2 == decodeBmp24(f2))
+    // stride 1 = full decode; stride > n samples only frame 0
+    assert(sampleFrameStats(vid, 1)._2.map(_._1) == Seq(0, 1, 2))
+    assert(sampleFrameStats(vid, 5)._2.map(_._1) == Seq(0))
+    // the partial-decode PROOF: corrupt the un-sampled middle frame in
+    // place — stride-2 sampling must not notice (it never touches those
+    // bytes), while full decode must throw on the mangled frame
+    val corrupted = vid.clone()
+    val middleOff = java.nio.ByteBuffer.wrap(vid, 8 + 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+    corrupted(middleOff) = 'X'.toByte // breaks frame 1's BMP magic
+    assert(sampleFrameStats(corrupted, 2)._2.map(_._2) ==
+           sampled.map(_._2))
+    intercept[IllegalArgumentException] {
+      sampleFrameStats(corrupted, 1)
+    }
+    // garbage container rejected
+    intercept[IllegalArgumentException] {
+      sampleFrameStats("not a video".getBytes, 1)
+    }
+  }
 }
