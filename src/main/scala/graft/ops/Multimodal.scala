@@ -450,6 +450,37 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** Typed row for the streaming-capable frame-sampling seam. */
+  final case class FrameRow(asset_id: Long, n_frames: Int, frame_idx: Int,
+                            width: Int, height: Int,
+                            sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Streaming-capable frame sampling: the SAME index-walk kernel as
+    * [[sampleFrameStatsDf]], but through `Dataset.mapPartitions` with
+    * encoders instead of `df.rdd` — an RDD hop is illegal on a
+    * streaming frame, while typed mapPartitions runs identically in
+    * batch and under Structured Streaming (stateless, append mode).
+    * Input: (asset_id, media) tuples; null media yields no rows.
+    * This is the decode seam a stream of arriving assets actually
+    * uses; StreamingSpec pins stream == batch == arithmetic oracle. */
+  def sampleFrameStatsTyped(
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+      stride: Int): org.apache.spark.sql.Dataset[FrameRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        if (bytes == null) Iterator.empty
+        else {
+          val (n, sampled) = sampleFrameStats(bytes, stride)
+          sampled.iterator.map { case (i, st) =>
+            FrameRow(id, n, i, st.width, st.height,
+              st.sumR, st.sumG, st.sumB)
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic per-id video synthesis: n = 2 + id mod 4 frames,
     * each frame a BMP of fixed size w = 6 + id mod 5, h = 4 + id mod 5
     * whose pixels run the [[synthBmp24]] channel formulas with

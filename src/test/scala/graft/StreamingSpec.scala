@@ -287,6 +287,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.values.toSet == Set("train", "val"))
   }
 
+  test("streaming video frame sampling equals the batch decode") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // synthesize containers in batch, stream the (id, bytes) tuples
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id")).limit(20)
+    val vids = graft.ops.Multimodal.synthVideo(docs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val out = graft.ops.Multimodal.sampleFrameStatsTyped(
+      ms.toDS(), stride = 2)
+    val q = out.writeStream.format("memory").queryName("vframes")
+      .outputMode("append").start()
+    try {
+      ms.addData(vids.take(10).toSeq); q.processAllAvailable()
+      ms.addData(vids.drop(10).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("vframes").collect().map(_.toSeq).toSet
+    val want = graft.ops.Multimodal.sampleFrameStatsDf(
+        graft.ops.Multimodal.synthVideo(docs, "doc_id"),
+        "asset_id", "media", stride = 2)
+      .collect().map(_.toSeq).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("streaming OHLC bars equal the batch resample (complete mode)") {
     // min_by/max_by are mergeable aggregates, so the SAME ohlcBars
     // call runs as a streaming aggregation — bars finalize identically
