@@ -74,6 +74,42 @@ object Sources {
       .orc(path)
   }
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetFileBytes` each. The 100 TB failure mode this
+    * serves: streaming sinks and over-parallel writers leave millions
+    * of KB-sized files, and every later scan pays a task + footer read
+    * per file (a listing stampede long before any data moves). The
+    * partition count comes from the LISTED byte size (compressed,
+    * which is what downstream scans pay), floor-capped at 1 so an
+    * empty/tiny input still writes. Returns (filesBefore, filesAfter).
+    * Rewrite is to a NEW directory — compact-in-place via rename is a
+    * separate, storage-specific concern. */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024)
+      : (Int, Int) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.hadoop.fs.FileStatus]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += st
+      }
+      buf.toSeq
+    }
+    val before = parquetFiles(inPath)
+    val totalBytes = before.map(_.getLen).sum
+    val nOut = math.max(1L,
+      (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (before.size, parquetFiles(outPath).size)
+  }
+
   /** Raw media ingestion: one row per file — (path, modificationTime,
     * length, content: binary) via Spark's binaryFile source. This is
     * how image/audio/video assets ENTER the multimodal pipeline: read

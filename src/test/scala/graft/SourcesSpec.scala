@@ -104,6 +104,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || plan.contains("n_regionkey"))
   }
 
+  test("compactParquet collapses a small-file spray, content unchanged") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact")
+      .toString
+    // 40-file spray (the streaming-sink debris shape)
+    (1L to 2000L).toDF("id").withColumn("v", col("id") * 3)
+      .repartition(40).write.mode("overwrite").parquet(in)
+    val (before, after) = Sources.compactParquet(spark, in, out,
+      targetFileBytes = 64 * 1024)
+    assert(before == 40)
+    assert(after < before, s"no compaction: $before -> $after")
+    val a = spark.read.parquet(in).orderBy("id").collect().map(_.toSeq)
+    val b = spark.read.parquet(out).orderBy("id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // empty input still produces a readable (empty) output
+    val emptyIn = java.nio.file.Files.createTempDirectory("graft_e1").toString
+    val emptyOut = java.nio.file.Files.createTempDirectory("graft_e2").toString
+    Seq.empty[(Long, Long)].toDF("id", "v")
+      .write.mode("overwrite").parquet(emptyIn)
+    Sources.compactParquet(spark, emptyIn, emptyOut)
+    assert(spark.read.parquet(emptyOut).count() == 0)
+  }
+
   test("binaryFiles ingests .bmp assets that decode identically to in-memory") {
     import org.apache.spark.sql.functions._
     // write real BMP files to a directory (plus a decoy the glob must
