@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Source/sink surface. The reference has NO I/O at all — it transforms
@@ -72,6 +72,55 @@ object Sources {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .orc(path)
+  }
+
+  /** Morton (Z-order) interleave of two `bits`-bit non-negative ints:
+    * bit i of `a` lands at position 2i, bit i of `b` at 2i+1 — points
+    * close in BOTH dimensions get close z-values. Pure column
+    * arithmetic (shifts and masks), no UDF. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.functions._
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    (0 until bits).map { i =>
+      val abit = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+      val bbit = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      abit.bitwiseOR(bbit)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustered parquet write: rows are laid out along the
+    * Morton curve of TWO numeric columns, so parquet min/max file
+    * stats stay tight in BOTH dimensions — point/range filters on
+    * either column (or both) skip most files, where a plain sort
+    * keeps only its leading column tight and the second spans every
+    * file. This is the OPTIMIZE ZORDER technique, built from a rank
+    * scale (min/max → 2^bits buckets; 4 longs of driver state) + the
+    * [[zValue]] interleave + one range shuffle with local sort —
+    * exactly [[writeSortedParquet]]'s shape on a derived key.
+    * Constant columns degrade gracefully (zero range → bucket 0 —
+    * the curve collapses to a plain sort on the other dimension). */
+  def writeZOrdered(df: DataFrame, path: String,
+                    colA: String, colB: String,
+                    partitions: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val Array(minA, maxA, minB, maxB) =
+      df.agg(min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+             min(col(colB)).cast("double"), max(col(colB)).cast("double"))
+        .collect()(0).toSeq.map(v =>
+          Option(v).map(_.asInstanceOf[Double]).getOrElse(0.0)).toArray
+    val buckets = (1L << bits) - 1
+    def scaled(c: String, lo: Double, hi: Double): Column =
+      if (hi <= lo) lit(0L)
+      else least(lit(buckets), floor(
+        (col(c).cast("double") - lit(lo)) / lit(hi - lo) * buckets)
+        .cast("long"))
+    val z = zValue(scaled(colA, minA, maxA), scaled(colB, minB, maxB),
+      bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(partitions, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Small-file compaction: rewrite a parquet directory into files of

@@ -104,6 +104,36 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") || plan.contains("n_regionkey"))
   }
 
+  test("writeZOrdered keeps BOTH dimensions tight per file") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a 128x128 grid; 16 output files should tile it ~4x4 on the
+    // Morton curve, so each file's per-dimension extent is ~1/4 of the
+    // global range — while a plain sort on x leaves y spanning every
+    // file. Content must survive the layout change untouched.
+    val grid = (for { x <- 0 until 128; y <- 0 until 128 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    Sources.writeZOrdered(grid, dir, "x", "y", partitions = 16, bits = 7)
+    def fileRanges(colName: String): Seq[Long] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(colName), max(colName)).collect()(0)
+          r.getLong(1) - r.getLong(0)
+        }
+    val xr = fileRanges("x"); val yr = fileRanges("y")
+    assert(xr.size == 16)
+    // both dimensions stay well under half the global range on average
+    assert(xr.sum.toDouble / xr.size < 64, s"x ranges: $xr")
+    assert(yr.sum.toDouble / yr.size < 64, s"y ranges: $yr")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 128L * 128)
+    assert(back.agg(sum(col("x") * col("y"))).collect()(0).getLong(0) ==
+      grid.agg(sum(col("x") * col("y"))).collect()(0).getLong(0))
+  }
+
   test("compactParquet collapses a small-file spray, content unchanged") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
