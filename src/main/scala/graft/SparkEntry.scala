@@ -2113,6 +2113,52 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // CDC upsert-apply: merge a synthetic change batch into the part
+    // snapshot — mod-7 keys take updated prices, mod-11 keys
+    // tombstone out, one new key inserts. One full-outer join.
+    "q276_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"),
+          floor(col("p_retailprice") * 100 + lit(0.5)).cast("long")
+            .as("price_cents"))
+      // mod-77 keys would be BOTH updated and tombstoned — the change
+      // batch must stay unique per key (the op's contract), so the
+      // tombstone wins and updates exclude those keys
+      val updates = base.filter(col("p_partkey") % 7 === 0 &&
+          col("p_partkey") % 11 =!= 0)
+        .select(col("p_partkey"), col("p_name"),
+          (col("price_cents") + 999L).as("price_cents"))
+        .withColumn("is_del", lit(false))
+      val dels = base.filter(col("p_partkey") % 11 === 0)
+        .select(col("p_partkey"), col("p_name"), col("price_cents"))
+        .withColumn("is_del", lit(true))
+      val ins = s.range(1).select(lit(99999999L).as("p_partkey"),
+        lit("brand new part").as("p_name"), lit(123L).as("price_cents"),
+        lit(false).as("is_del"))
+      graft.ops.Relational.applyUpsert(base,
+          updates.unionByName(dels).unionByName(ins),
+          key = "p_partkey", deleted = col("is_del"))
+        .orderBy("p_partkey")
+    }),
+
+    // SCD-2 entity history: each user's event-value observations become
+    // validity intervals (valid_from = own ts, valid_to = next ts,
+    // current state open-ended) — one lead window per key.
+    "q277_scd2" -> ((s, dir) => {
+      graft.ops.Events.scd2(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"),
+          Seq(col("event_type"),
+            floor(col("value") * 100 + lit(0.5)).cast("long")
+              .as("value_cents")))
+        .select(col("key").as("user_id"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_from"),
+          col("event_type"), col("value_cents"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"))
+        .orderBy("user_id", "valid_from", "event_type", "value_cents")
+    }),
+
     // Real multimodal codec III (video): deterministic multi-frame
     // synthesis -> GFV1 frame-indexed container encode -> SAMPLED
     // decode (stride 2 — the index walk slices only sampled frames,
@@ -5468,6 +5514,37 @@ object SparkEntry {
     "q53_sessions_bucketed" -> sessionsSql,
     "q37_asof_join" -> asofSql,
     "q54_asof_bucketed" -> asofSql,
+    // MERGE-semantics replay: updated keys take change rows, tombstoned
+    // keys vanish, the new key inserts
+    "q276_upsert" ->
+      """WITH base AS (SELECT p_partkey, p_name,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+               AS price_cents FROM part),
+         upd AS (SELECT p_partkey, p_name, price_cents + 999 AS price_cents
+                 FROM base WHERE p_partkey % 7 = 0),
+         ins AS (SELECT CAST(99999999 AS BIGINT) AS p_partkey,
+                   'brand new part' AS p_name,
+                   CAST(123 AS BIGINT) AS price_cents)
+         SELECT coalesce(u.p_partkey, b.p_partkey) AS p_partkey,
+                coalesce(u.p_name, b.p_name) AS p_name,
+                coalesce(u.price_cents, b.price_cents) AS price_cents
+         FROM base b FULL OUTER JOIN upd u USING (p_partkey)
+         WHERE b.p_partkey IS NULL OR b.p_partkey % 11 <> 0
+         UNION ALL SELECT * FROM ins
+         ORDER BY 1""",
+
+    // lead() over the identical (ts, event_id) per-user order
+    "q277_scd2" ->
+      """SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+           strftime(lead(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to
+         FROM events WHERE ts IS NOT NULL
+         ORDER BY user_id, valid_from, event_type, value_cents""",
+
     // arithmetic replay of the sampled frames only (stride 2): the
     // oracle never sees the container bytes — agreement proves the
     // index walk slices exactly the frames the formulas predict

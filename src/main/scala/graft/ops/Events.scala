@@ -18,6 +18,25 @@ object Events {
       .select(col("w.start").as("window_start"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** SCD-2 history build: turn a per-key stream of observed states
+    * into validity intervals — each observation is valid from its own
+    * timestamp until the NEXT observation of the same key (the current
+    * state gets a null `valid_to`). The slowly-changing-dimension
+    * pattern every warehouse keeps entity history with; one window per
+    * key (`lead` over (ts, order)), one shuffle. `order` totalizes ties
+    * the same way [[sessionize]]'s tieBreak does. Consecutive equal
+    * states are NOT collapsed — this is the raw-observation form
+    * (audit trails, sensor readings, every observation is a row);
+    * [[scd2Intervals]] is the change-log sibling that collapses
+    * repeats before closing versions. */
+  def scd2(df: DataFrame, key: Column, ts: Column, order: Column,
+           attrs: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, order)
+    df.filter(ts.isNotNull)
+      .select((key.as("key") +: ts.as("valid_from") +: attrs) :+
+        lead(ts, 1).over(w).as("valid_to"): _*)
+  }
+
   /** OHLC resampling: per tumbling bar, the series' open (value at the
     * smallest (ts, order)), close (largest), high, low, row count, and
     * an order-independent integer-cents sum — the time-series

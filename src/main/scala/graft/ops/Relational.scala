@@ -412,6 +412,39 @@ object Relational {
       .drop("__t", "__side", "__payload", "__matched")
   }
 
+  /** CDC upsert-apply: merge a change batch into a base snapshot —
+    * matched keys take the CHANGE row wholesale, unmatched change keys
+    * insert, tombstones (change rows where `deleted` is true) remove
+    * the key. This is the MERGE INTO kernel every incremental corpus
+    * maintains its standing tables with, as one full-outer join on the
+    * key (one shuffle; AQE broadcasts a small change batch). Both
+    * frames must share the schema (minus the left-out `deleted`
+    * marker); the key must be unique per side — enforce upstream, a
+    * duplicate key would fan the join. Returns the new snapshot with
+    * the base's column set. */
+  def applyUpsert(base: DataFrame, changes: DataFrame, key: String,
+                  deleted: Column = lit(false)): DataFrame = {
+    val cols = base.columns.toSeq
+    require(cols.contains(key), s"applyUpsert: base lacks key '$key'")
+    val missing = cols.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"applyUpsert: changes lack base column(s) ${missing.mkString(", ")}")
+    // rename BOTH sides into disjoint namespaces before joining: the
+    // change batch routinely derives from the base (same lineage), and
+    // dataset-qualified references would trip the ambiguous-self-join
+    // check
+    val b = cols.foldLeft(base) { (d, c) =>
+      d.withColumnRenamed(c, s"__b_$c") }
+    val c = cols.foldLeft(changes.withColumn("__del", deleted)) {
+      (d, cn) => d.withColumnRenamed(cn, s"__c_$cn") }
+    val inChange = col(s"__c_$key").isNotNull
+    b.join(c, col(s"__b_$key") <=> col(s"__c_$key"), "full_outer")
+      .filter(!(inChange && col("__del"))) // tombstone removes the key
+      .select(cols.map { cn =>
+        when(inChange, col(s"__c_$cn")).otherwise(col(s"__b_$cn")).as(cn)
+      }: _*)
+  }
+
   /** Forward (earliest-at-or-after) as-of join: for each left row,
     * attach payload columns from the right row with the same `key` and
     * the SMALLEST `rightTime` >= `leftTime` (null when none follows) —

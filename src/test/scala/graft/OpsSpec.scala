@@ -1103,6 +1103,48 @@ class OpsSpec extends AnyFunSuite {
     assert(agg.nonEmpty)
   }
 
+  test("applyUpsert: update wins, insert lands, tombstone deletes") {
+    val sq = spark
+    import sq.implicits._
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "b2", 21L, false),  // update
+      (4L, "d", 40L, false),   // insert
+      (3L, "c", 30L, true),    // tombstone
+      (9L, "x", 0L, true))     // tombstone for an absent key: no-op
+      .toDF("k", "name", "v", "del")
+    val got = Relational.applyUpsert(base, changes, "k", col("del"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == Set((1L, "a", 10L), (2L, "b2", 21L), (4L, "d", 40L)))
+    // missing columns and missing key are rejected up front
+    intercept[IllegalArgumentException] {
+      Relational.applyUpsert(base, changes.drop("v"), "k", col("del"))
+    }
+    intercept[IllegalArgumentException] {
+      Relational.applyUpsert(base.drop("k"), changes, "k", col("del"))
+    }
+  }
+
+  test("scd2 builds validity intervals; open-ended current state") {
+    val sq = spark
+    import sq.implicits._
+    val obs = Seq((1L, 10L, 100L, "s1"), (1L, 20L, 101L, "s2"),
+                  (1L, 20L, 102L, "s3"), (2L, 5L, 103L, "s4"))
+      .toDF("k", "t", "eid", "state")
+    val got = ops.Events.scd2(obs, col("k"), col("t"), col("eid"),
+        Seq(col("state")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSet
+    // equal timestamps order by the event id, so s2 closes at s3's ts
+    assert(got == Set(
+      (1L, 10L, "s1", Some(20L)),
+      (1L, 20L, "s2", Some(20L)),
+      (1L, 20L, "s3", None),
+      (2L, 5L, "s4", None)))
+  }
+
   test("canonicalizeUrl collapses case/port/slash/tracking/fragment noise") {
     val sq = spark
     import sq.implicits._
