@@ -2113,6 +2113,20 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // C4-style line screen, rules tuned to the corpus's structure
+    // (segments delimited by 'table' as in q58; terminal tokens and a
+    // line-blocker drawn from the vocabulary): per-doc accounting plus
+    // the reassembled clean text — every rule misfire breaks the hash.
+    "q278_c4_screen" -> ((s, dir) => {
+      graft.ops.TextAnalysis.c4Screen(t(s, dir, "documents"),
+          col("doc_id"), col("text"), sep = "table",
+          terminalPattern = "(join|scan|merge)\\s*$",
+          minLineWords = 5, minKeptLines = 2,
+          blockSubstrings = Seq("lorem ipsum", "{"),
+          lineBlockWord = "slow")
+        .orderBy("doc_id")
+    }),
+
     // CDC upsert-apply: merge a synthetic change batch into the part
     // snapshot — mod-7 keys take updated prices, mod-11 keys
     // tombstone out, one new key inserts. One full-outer join.
@@ -5514,6 +5528,32 @@ object SparkEntry {
     "q53_sessions_bucketed" -> sessionsSql,
     "q37_asof_join" -> asofSql,
     "q54_asof_bucketed" -> asofSql,
+    // line-rule replay: same split, trim, terminal-regex, word-count,
+    // and blocker logic in DuckDB list comprehensions
+    "q278_c4_screen" ->
+      """WITH s AS (SELECT doc_id, text,
+             [x FOR x IN string_split(text, 'table')
+              IF trim(x) <> ''] AS segs
+           FROM documents),
+         k AS (SELECT doc_id, text, segs,
+             [x FOR x IN segs
+              IF regexp_matches(trim(x), '(join|scan|merge)\s*$')
+                 AND len([w FOR w IN string_split(trim(x), ' ')
+                          IF w <> '']) >= 5
+                 AND NOT contains(lower(x), 'slow')] AS kept
+           FROM s),
+         f AS (SELECT doc_id,
+             CAST(len(segs) AS INTEGER) AS n_segments,
+             CAST(len(kept) AS INTEGER) AS n_kept,
+             (NOT (contains(lower(text), 'lorem ipsum')
+                   OR contains(lower(text), '{')))
+               AND len(kept) >= 2 AS keep,
+             array_to_string(kept, 'table') AS ct
+           FROM k)
+         SELECT doc_id, n_segments, n_kept, keep,
+           CASE WHEN keep THEN ct END AS clean_text
+         FROM f ORDER BY doc_id""",
+
     // MERGE-semantics replay: updated keys take change rows, tombstoned
     // keys vanish, the new key inserts
     "q276_upsert" ->

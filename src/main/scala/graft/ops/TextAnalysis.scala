@@ -190,6 +190,49 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** C4-style line-level cleaning screen (Raffel et al. 2020 §2.2's
+    * public heuristics, parameterized): segments split on `sep`; a
+    * segment is KEPT iff it ends in the terminal pattern, has at least
+    * `minLineWords` whitespace words, and does not contain
+    * `lineBlockWord` (case-insensitive); the whole document is kept
+    * iff no corpus-level blocker substring appears AND at least
+    * `minKeptLines` segments survive. Defaults are the paper's rules
+    * for newline-structured web text (terminal punctuation, >= 5
+    * words, >= 3 lines, "lorem ipsum"/"{" blockers, "javascript"
+    * line-drop); every knob is a parameter because real corpora need
+    * tuned thresholds. One pure per-row expression chain — no
+    * shuffle, no state, runs identically on a stream.
+    *
+    * Returns (doc_id, n_segments, n_kept, keep, clean_text) with
+    * clean_text the kept segments rejoined on `sep` (null when the
+    * document is dropped — a dropped doc has no clean text). */
+  def c4Screen(df: DataFrame, id: Column, text: Column,
+               sep: String = "\n",
+               terminalPattern: String = "[.!?\"]\\s*$",
+               minLineWords: Int = 5, minKeptLines: Int = 3,
+               blockSubstrings: Seq[String] = Seq("lorem ipsum", "{"),
+               lineBlockWord: String = "javascript"): DataFrame = {
+    val segs = filter(split(text, java.util.regex.Pattern.quote(sep)),
+      s => trim(s) =!= "")
+    val kept = filter(segs, s =>
+      trim(s).rlike(terminalPattern) &&
+      size(filter(split(trim(s), " +"), w => w =!= "")) >= minLineWords &&
+      !lower(s).contains(lineBlockWord))
+    val blocked = blockSubstrings
+      .map(b => lower(text).contains(b.toLowerCase))
+      .reduce(_ || _)
+    df.select(
+        id.as("doc_id"),
+        size(segs).as("n_segments"),
+        size(kept).as("n_kept"),
+        // null text must DROP (keep = false), not propagate null
+        coalesce(!coalesce(blocked, lit(false)) &&
+          size(kept) >= minKeptLines, lit(false)).as("keep"),
+        array_join(kept, sep).as("__clean"))
+      .withColumn("clean_text",
+        when(col("keep"), col("__clean"))).drop("__clean")
+  }
+
   /** URL canonicalization for crawl dedup: the same page arrives under
     * case-shuffled scheme/host, default ports, trailing slashes,
     * tracking params, and fragments — canonicalize BEFORE the content

@@ -1103,6 +1103,37 @@ class OpsSpec extends AnyFunSuite {
     assert(agg.nonEmpty)
   }
 
+  test("c4Screen applies the paper's default line rules") {
+    val sq = spark
+    import sq.implicits._
+    val goodLine = "This sentence has more than five words total."
+    val doc = Seq(
+      goodLine,
+      "Too short here.",                       // < 5 words → dropped
+      "No terminal punctuation on this line",  // no [.!?"] → dropped
+      "Enable javascript to view this page.",  // line-blocker → dropped
+      goodLine + " Again!",
+      "A third fine sentence closes the document?").mkString("\n")
+    val docs = Seq(
+      (1L, doc),                               // keeps 3 lines → kept
+      (2L, s"$goodLine\nlorem ipsum dolor."),  // corpus blocker → drop
+      (3L, s"$goodLine\nfunction() { code }"), // brace blocker → drop
+      (4L, goodLine),                          // 1 kept line < 3 → drop
+      (5L, null.asInstanceOf[String]))         // null text → drop
+      .toDF("doc_id", "text")
+    val got = ops.TextAnalysis.c4Screen(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(r.fieldIndex("keep")),
+         if (r.isNullAt(r.fieldIndex("clean_text"))) None
+         else Some(r.getString(r.fieldIndex("clean_text"))))).toMap
+    assert(got(1L) == ((true, Some(Seq(goodLine, goodLine + " Again!",
+      "A third fine sentence closes the document?").mkString("\n")))))
+    assert(got(2L)._1 == false && got(2L)._2.isEmpty)
+    assert(got(3L)._1 == false)
+    assert(got(4L)._1 == false)
+    assert(got(5L)._1 == false)
+  }
+
   test("applyUpsert: update wins, insert lands, tombstone deletes") {
     val sq = spark
     import sq.implicits._
