@@ -2113,6 +2113,15 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Kneser-Ney bigram surprisal — the continuation-probability
+    // smoothing add-k can't express; d = 3/4 exactly representable so
+    // the float pipeline is engine-identical.
+    "q279_kn_nll" -> ((s, dir) => {
+      graft.ops.TextAnalysis.kneserNeyNll(t(s, dir, "documents"),
+          col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    }),
+
     // C4-style line screen, rules tuned to the corpus's structure
     // (segments delimited by 'table' as in q58; terminal tokens and a
     // line-blocker drawn from the vocabulary): per-doc accounting plus
@@ -5528,6 +5537,33 @@ object SparkEntry {
     "q53_sessions_bucketed" -> sessionsSql,
     "q37_asof_join" -> asofSql,
     "q54_asof_bucketed" -> asofSql,
+    // identical parenthesization on the probability so the doubles
+    // match bit-for-bit before ln/avg/round
+    "q279_kn_nll" ->
+      """WITH t AS (SELECT doc_id,
+             [x FOR x IN string_split(text, ' ') IF x <> ''] AS ts
+           FROM documents),
+         b AS (SELECT doc_id,
+                 unnest([ts[i] || ' ' || ts[i+1]
+                         FOR i IN range(1, len(ts))]) AS bg
+               FROM t WHERE len(ts) >= 2),
+         bc AS (SELECT bg, count(*) AS c12 FROM b GROUP BY 1),
+         w1a AS (SELECT string_split(bg, ' ')[1] AS w1,
+                   sum(c12) AS ctx, count(*) AS nf
+                 FROM bc GROUP BY 1),
+         w2a AS (SELECT string_split(bg, ' ')[2] AS w2, count(*) AS np
+                 FROM bc GROUP BY 1),
+         tt AS (SELECT count(*) AS tt FROM bc),
+         m AS (SELECT bg, c12, ctx, nf, np
+               FROM bc JOIN w1a ON string_split(bc.bg, ' ')[1] = w1a.w1
+                       JOIN w2a ON string_split(bc.bg, ' ')[2] = w2a.w2)
+         SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(-ln((c12 - 0.75) / ctx +
+                         0.75 * nf / ctx * (np * 1.0 / tt))), 6)
+             AS kn_nll
+         FROM b JOIN m USING (bg) CROSS JOIN tt
+         GROUP BY doc_id ORDER BY doc_id""",
+
     // line-rule replay: same split, trim, terminal-regex, word-count,
     // and blocker logic in DuckDB list comprehensions
     "q278_c4_screen" ->

@@ -190,6 +190,51 @@ object TextAnalysis {
     trim(regexp_replace(
       regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Kneser-Ney smoothed bigram surprisal (Kneser & Ney 1995; the
+    * absolute-discount interpolated form): for corpus bigrams,
+    * P(w2|w1) = (c12 − d)/ctx(w1) + d·N1+(w1·)/ctx(w1) · Pcont(w2)
+    * with Pcont(w2) = N1+(·w2)/|bigram types| — the continuation
+    * probability that makes "Francisco" cheap only after "San", which
+    * add-k smoothing ([[bigramNll]]) cannot express. d defaults to the
+    * standard 3/4 (exactly representable, so both engines compute the
+    * identical doubles). Scoring corpus bigrams means every bigram is
+    * SEEN (c12 ≥ 1 > d) — the unseen-bigram backoff branch never
+    * fires, which keeps the whole model four count aggregates.
+    *
+    * Scale shape mirrors [[bigramNll]]: bigrams form inside rows, the
+    * model is bigram-vocab-sized (w1 and w2 aggregates fold in via
+    * model-sized joins), and the corpus probes exactly one model
+    * table plus a broadcast scalar. Returns
+    * (doc_id, n_bigrams, kn_nll). */
+  def kneserNeyNll(df: DataFrame, id: Column, text: Column,
+                   dNum: Int = 3, dDen: Int = 4): DataFrame = {
+    require(dNum > 0 && dNum < dDen,
+      s"discount must be in (0,1), got $dNum/$dDen")
+    val bg = bigramStream(df, id, text)
+    def first(c: Column): Column = split(c, " ").getItem(0)
+    def second(c: Column): Column = split(c, " ").getItem(1)
+    val bgCnt = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // three aggregates + the model join reuse it
+    val w1agg = bgCnt.groupBy(first(col("bg")).as("w1"))
+      .agg(sum("c12").as("ctx"), count(lit(1)).as("nf"))
+    val w2agg = bgCnt.groupBy(second(col("bg")).as("w2"))
+      .agg(count(lit(1)).as("np"))
+    val types = bgCnt.agg(count(lit(1)).as("tt"))
+    val model = bgCnt
+      .join(w1agg, first(col("bg")) === col("w1"))
+      .join(w2agg, second(col("bg")) === col("w2"))
+      .select(col("bg"), col("c12"), col("ctx"), col("nf"), col("np"))
+    val d = lit(dNum.toDouble / dDen)
+    bg.join(model, "bg")
+      .crossJoin(broadcast(types))
+      .withColumn("__p",
+        (col("c12") - d) / col("ctx") +
+        d * col("nf") / col("ctx") * (col("np") * 1.0 / col("tt")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+           round(avg(-log(col("__p"))), 6).as("kn_nll"))
+  }
+
   /** C4-style line-level cleaning screen (Raffel et al. 2020 §2.2's
     * public heuristics, parameterized): segments split on `sep`; a
     * segment is KEPT iff it ends in the terminal pattern, has at least

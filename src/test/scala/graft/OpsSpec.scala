@@ -1103,6 +1103,36 @@ class OpsSpec extends AnyFunSuite {
     assert(agg.nonEmpty)
   }
 
+  test("kneserNeyNll matches a hand-computed KN model") {
+    val sq = spark
+    import sq.implicits._
+    val docs = Seq((1L, "a b a b a c"), (2L, "b a")).toDF("doc_id", "text")
+    // corpus bigrams: doc1 = ab, ba, ab, ba, ac; doc2 = ba.
+    // c12: ab=2, ba=3, ac=1; ctx: a=3, b=3; nf: a=2, b=1;
+    // np: a=1(ba), b=1(ab), c=1(ac); bigram types tt=3; d=0.75
+    val d = 0.75
+    def p(c12: Double, ctx: Double, nf: Double, np: Double): Double =
+      (c12 - d) / ctx + d * nf / ctx * (np * 1.0 / 3)
+    val pab = p(2, 3, 2, 1); val pba = p(3, 3, 1, 1); val pac = p(1, 3, 2, 1)
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val want = Map(
+      1L -> (5L, r6(-(math.log(pab) * 2 + math.log(pba) * 2 +
+        math.log(pac)) / 5)),
+      2L -> (1L, r6(-math.log(pba))))
+    val got = ops.TextAnalysis.kneserNeyNll(docs, col("doc_id"),
+        col("text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, (n, v)) <- want) {
+      assert(got(k)._1 == n, s"doc $k bigram count")
+      assert(math.abs(got(k)._2 - v) < 1e-9, s"doc $k: ${got(k)._2} vs $v")
+    }
+    // the Kneser-Ney point: equal raw counts, different continuation
+    // mass => different probability (add-k would tie them)
+    assert(p(1, 3, 2, 2) > p(1, 3, 2, 1))
+  }
+
   test("c4Screen applies the paper's default line rules") {
     val sq = spark
     import sq.implicits._
