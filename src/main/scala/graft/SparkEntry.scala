@@ -2034,6 +2034,327 @@ object SparkEntry {
         .orderBy("n_name")
     }),
 
+    // TPC-H Q2 shape (min-cost supplier): the correlated-MIN subquery —
+    // for each LARGE small part, the supplier rows attaining the MINIMUM
+    // lineitem price for that part. Decorrelated the Spark-first way:
+    // per-part min as an aggregate, joined back on (part, price); a
+    // (part, supplier) pair can attain the min through several
+    // lineitems, so the join-back distincts. No partsupp table in this
+    // corpus — lineitem IS the part↔supplier price relation.
+    "q280_tpch_q2" -> ((s, dir) => {
+      val price = floor(col("l_extendedprice") * 100 + lit(0.5))
+        .cast("long").as("price_cents")
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), price)
+      val minPrice = li.groupBy(col("l_partkey"))
+        .agg(min(col("price_cents")).as("min_cents"))
+      li.join(minPrice,
+          li("l_partkey") === minPrice("l_partkey") &&
+            col("price_cents") === col("min_cents"))
+        .drop(minPrice("l_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("price_cents"))
+        .distinct()
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_type") === "LARGE" && col("p_size") <= 10)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(
+          floor(col("s_acctbal") * 100 + lit(0.5)).cast("long")
+            .as("s_acctbal_cents"),
+          col("s_name"), col("n_name"), col("p_partkey"),
+          col("p_name"), col("price_cents"))
+        .orderBy(desc("s_acctbal_cents"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q4 shape (order priority checking): EXISTS with a
+    // cross-table inequality — orders in one quarter having at least
+    // one lineitem shipped >60 days after the order date. The
+    // correlated EXISTS lowers to a left-semi join whose condition
+    // spans both tables; Spark keeps it one shuffle join, no distinct.
+    "q281_tpch_q4" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                col("o_orderdate") < lit("1996-04-01"))
+        .join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q11 shape (important stock): HAVING against a SCALAR
+    // subquery over the whole fact — parts whose revenue exceeds
+    // 1.5× the MEAN per-part revenue. The threshold is scale-free
+    // (mean share, not an absolute fraction, so it selects at every
+    // SF); the global (count, sum) is a 1-row aggregate cross-joined
+    // (broadcast) into the per-part frame and the compare is integer
+    // cross-multiplication, no float epsilon.
+    "q282_tpch_q11" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val perPart = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents).as("value_cents"))
+      val total = perPart.agg(sum(col("value_cents")).as("total_cents"),
+        count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value_cents") * col("n_parts") * 2 >
+                col("total_cents") * 3)
+        .select(col("l_partkey"), col("value_cents"))
+        .orderBy(desc("value_cents"), col("l_partkey"))
+    }),
+
+    // TPC-H Q15 shape (top supplier): equality against a scalar MAX
+    // subquery — supplier(s) whose windowed revenue equals the global
+    // maximum. Two consumers of one aggregate (the per-supplier frame
+    // feeds both the max and the equality filter).
+    "q283_tpch_q15" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(cents).as("total_revenue_cents"))
+      val mx = rev.agg(max(col("total_revenue_cents")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue_cents") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_revenue_cents"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q16 shape (parts/supplier relationship): NOT IN subquery
+    // (suppliers in bad standing) as a left-anti join, then a
+    // COUNT(DISTINCT) per part attribute group. The anti-join runs on
+    // the small supplier side (broadcast); the distinct count is the
+    // only shuffle on the fact.
+    "q284_tpch_q16" -> ((s, dir) => {
+      val badSupp = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_suppkey"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_type") =!= "PROMO" &&
+                    col("p_brand") =!= "Brand#1")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSupp),
+          col("l_suppkey") === col("bad_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_size"))
+        .limit(100)
+    }),
+
+    // TPC-H Q17 shape (small-quantity revenue): the correlated-AVG
+    // subquery — lineitems of one brand with quantity below 20% of
+    // that part's average quantity. avg = sum/cnt decorrelates to the
+    // exact integer cross-multiplication 5·qty·cnt < sum (quantities
+    // are integer-valued), so Spark and the oracle agree bit-for-bit.
+    "q285_tpch_q17" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("qty", col("l_quantity").cast("long"))
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("cnt"))
+      li.join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") === "Brand#2")),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("qty") * 5 * col("cnt") < col("sum_qty"))
+        .agg(
+          sum(floor(col("l_extendedprice") * 100 + lit(0.5))
+            .cast("long")).as("total_cents"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q20 shape (excess-stock suppliers): nested correlated
+    // subqueries — suppliers who shipped MORE THAN 3× an average
+    // supplier's share of some red part's volume. Per-(supplier, part)
+    // sums compare against per-part totals and supplier counts by
+    // integer cross-multiplication (3× the mean share is scale-free —
+    // it selects at every SF); the qualifying supplier set semi-joins
+    // back to supplier.
+    "q286_tpch_q20" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").like("%red%"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val perSuppPart = li.groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("qty")).as("sp_qty"))
+      val perPart = li.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty")).as("p_qty"),
+             countDistinct(col("l_suppkey")).as("ns"))
+      val dominant = perSuppPart
+        .join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("sp_qty") * col("ns") > col("p_qty") * 3)
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy("s_name")
+    }),
+
+    // TPC-H Q21 shape (waiting orders): EXISTS + NOT-EXISTS over the
+    // same fact — in multi-supplier orders, the supplier who shipped
+    // STRICTLY LAST (their latest shipment is the order's latest, no
+    // other supplier ties it). Both existentials decorrelate into one
+    // per-(order, supplier) aggregate joined to a per-order frame that
+    // carries supplier count and number of max-attaining suppliers.
+    "q287_tpch_q21" -> ((s, dir) => {
+      val perOrdSupp = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("supp_last"))
+      val perOrd = perOrdSupp.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("nsupp"),
+             max(col("supp_last")).as("ord_last"))
+      val lastAttainers = perOrdSupp
+        .join(perOrd, col("l_orderkey") === col("ok") &&
+                      col("supp_last") === col("ord_last"))
+        .withColumn("n_attain",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_orderkey"))))
+      lastAttainers
+        .filter(col("nsupp") >= 2 && col("n_attain") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(20)
+    }),
+
+    // TPC-H Q7 shape (volume shipping): nation-pair trade flows — the
+    // classic 6-table join with a symmetric pair predicate, revenue by
+    // (supplier nation, customer nation, ship year) for two nations in
+    // both directions. Dimensions broadcast; the only fact shuffle is
+    // the final aggregate.
+    "q288_tpch_q7" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val suppNat = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val custNat = t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+                col("l_shipdate") < lit("1998-01-01"))
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .filter(
+          (col("supp_nation") === "NATION_1" &&
+           col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+           col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(cents).as("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // TPC-H Q8 shape (national market share): one nation's share of a
+    // region's ECONOMY-part order volume per year. Both the numerator
+    // (conditional sum) and denominator are exact integer cents — the
+    // share itself is left to the reader so the result stays
+    // hash-exact across engines.
+    "q289_tpch_q8" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long")
+      val custRegion = t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("c_custkey"))
+      val suppNat = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_type") === "ECONOMY")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1996-01-01") &&
+                    col("o_orderdate") < lit("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custRegion),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(suppNat), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7", cents)
+            .otherwise(lit(0L))).as("nation_cents"),
+          sum(cents).as("total_cents"))
+        .orderBy("o_year")
+    }),
+
+    // TPC-H Q14 shape (promotion effect): conditional-aggregate ratio
+    // — per ship month, PROMO-part revenue beside total revenue, both
+    // exact cents (the ratio is derived, not stored, for hash
+    // stability).
+    "q290_tpch_q14" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+                col("l_shipdate") < lit("1998-01-01"))
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", cents).otherwise(lit(0L)))
+            .as("promo_cents"),
+          sum(cents).as("total_cents"))
+        .orderBy("month")
+    }),
+
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    // three OR-blocks each touching BOTH join sides (brand+size from
+    // part, quantity from lineitem) — the pushdown-hostile shape.
+    // Catalyst still prunes columns and pushes the per-table residuals
+    // (size ≥ 1, quantity bounds) below the join.
+    "q291_tpch_q19" -> ((s, dir) => {
+      val cents = floor(col("l_extendedprice") *
+        (lit(1.0) - col("l_discount")) * 100 + lit(0.5)).cast("long")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+            && col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+            && col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
+            && col("l_quantity").between(20, 30)))
+        .agg(sum(cents).as("revenue_cents"),
+             count(lit(1)).as("n_items"))
+    }),
+
     // TPC-H Q13 shape (customer order distribution): LEFT join keeps
     // zero-order customers, then a histogram OF the per-customer
     // counts — the agg-of-agg shape with outer-join null arithmetic.
@@ -5675,6 +5996,187 @@ object SparkEntry {
            CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
          FROM rich JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1 ORDER BY 1""",
+
+    "q280_tpch_q2" ->
+      """WITH li AS (SELECT l_partkey, l_suppkey,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS price_cents
+           FROM lineitem),
+         mn AS (SELECT l_partkey AS mpk, min(price_cents) AS min_cents
+                FROM li GROUP BY 1),
+         best AS (SELECT DISTINCT l_partkey, l_suppkey, price_cents
+                  FROM li JOIN mn
+                    ON l_partkey = mpk AND price_cents = min_cents)
+         SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT)
+                  AS s_acctbal_cents,
+                s_name, n_name, p_partkey, p_name, price_cents
+         FROM best
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+         WHERE p_type = 'LARGE' AND p_size <= 10
+         ORDER BY s_acctbal_cents DESC, s_name, p_partkey LIMIT 100""",
+
+    "q281_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+         FROM orders o
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1996-04-01'
+           AND EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o.o_orderkey
+                         AND l_shipdate > o.o_orderdate
+                                          + INTERVAL 60 DAY)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q282_tpch_q11" ->
+      """WITH pp AS (SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+               * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+           FROM lineitem GROUP BY 1)
+         SELECT l_partkey, value_cents FROM pp
+         WHERE value_cents * (SELECT count(*) FROM pp) * 2 >
+           (SELECT CAST(sum(value_cents) AS BIGINT) FROM pp) * 3
+         ORDER BY value_cents DESC, l_partkey""",
+
+    "q283_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+               * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_revenue_cents
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1996-04-01'
+           GROUP BY 1)
+         SELECT s_suppkey, s_name, total_revenue_cents
+         FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         WHERE total_revenue_cents =
+           (SELECT max(total_revenue_cents) FROM rev)
+         ORDER BY s_suppkey""",
+
+    "q284_tpch_q16" ->
+      """SELECT p_brand, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_type <> 'PROMO' AND p_brand <> 'Brand#1'
+           AND l_suppkey NOT IN
+             (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+         GROUP BY 1, 2
+         ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 100""",
+
+    "q285_tpch_q17" ->
+      """WITH pp AS (SELECT l_partkey AS pk,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             count(*) AS cnt
+           FROM lineitem GROUP BY 1)
+         SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS total_cents,
+                count(*) AS n_items
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN pp ON l_partkey = pk
+         WHERE p_brand = 'Brand#2'
+           AND CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty""",
+
+    "q286_tpch_q20" ->
+      """WITH li AS (SELECT l_suppkey, l_partkey,
+             CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem
+           WHERE l_partkey IN
+             (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')),
+         sp AS (SELECT l_suppkey, l_partkey,
+                  CAST(sum(qty) AS BIGINT) AS sp_qty
+                FROM li GROUP BY 1, 2),
+         p AS (SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS p_qty,
+                 count(DISTINCT l_suppkey) AS ns
+               FROM li GROUP BY 1)
+         SELECT s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE s_suppkey IN
+           (SELECT l_suppkey FROM sp JOIN p ON l_partkey = pk
+            WHERE sp_qty * ns > p_qty * 3)
+         ORDER BY s_name""",
+
+    "q287_tpch_q21" ->
+      """WITH pos AS (SELECT l_orderkey, l_suppkey,
+             max(l_shipdate) AS supp_last
+           FROM lineitem GROUP BY 1, 2),
+         po AS (SELECT l_orderkey AS ok, count(*) AS nsupp,
+                  max(supp_last) AS ord_last
+                FROM pos GROUP BY 1),
+         att AS (SELECT pos.l_orderkey, pos.l_suppkey, nsupp,
+                   count(*) OVER (PARTITION BY pos.l_orderkey)
+                     AS n_attain
+                 FROM pos JOIN po
+                   ON pos.l_orderkey = ok AND supp_last = ord_last)
+         SELECT s_name, count(*) AS numwait
+         FROM att JOIN supplier ON l_suppkey = s_suppkey
+         WHERE nsupp >= 2 AND n_attain = 1
+         GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""",
+
+    "q288_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS l_year,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation cn ON c_nationkey = cn.n_nationkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') OR
+                (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "q289_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CASE WHEN sn.n_name = 'NATION_7'
+             THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
+               * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS nation_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation sn ON s_nationkey = sn.n_nationkey
+         WHERE p_type = 'ECONOMY'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND o_custkey IN
+             (SELECT c_custkey FROM customer
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA')
+         GROUP BY 1 ORDER BY 1""",
+
+    "q290_tpch_q14" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(floor(l_extendedprice * (1.0 - l_discount)
+               * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+             AS promo_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+         GROUP BY 1 ORDER BY 1""",
+
+    "q291_tpch_q19" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)""",
 
     "q272_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
