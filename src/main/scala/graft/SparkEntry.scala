@@ -2355,6 +2355,28 @@ object SparkEntry {
              count(lit(1)).as("n_items"))
     }),
 
+    // Graph V: label-propagation communities on the co-purchase
+    // graph — deterministic sync LPA (most-frequent neighbor label,
+    // ties to the smallest), 3 fixed rounds; the oracle replays the
+    // identical rounds as a QUALIFY-argmax CTE chain.
+    "q292_lpa_communities" -> ((s, dir) => {
+      val e = graft.ops.Graph.coOccurrencePairs(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      graft.ops.Graph.labelPropagation(e, col("u"), col("v"),
+          rounds = 3)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(desc("n_members"), col("community"))
+    }),
+
+    // Operability: the key-skew report consulted before salting /
+    // broadcast / AQE-threshold decisions — per-key count
+    // distribution of events.user_id in one row.
+    "q293_skew_report" -> ((s, dir) => {
+      graft.ops.Relational.skewReport(t(s, dir, "events"),
+        col("user_id"))
+    }),
+
     // TPC-H Q13 shape (customer order distribution): LEFT join keeps
     // zero-order customers, then a histogram OF the per-customer
     // counts — the agg-of-agg shape with outer-join null arithmetic.
@@ -3057,6 +3079,37 @@ object SparkEntry {
          SELECT id AS part_id, count(*) AS core_deg FROM
            (SELECT u AS id FROM e$rounds UNION ALL SELECT v FROM e$rounds)
          GROUP BY 1 ORDER BY 1"""
+  }
+
+  /** Generated oracle for q292: replays [[graft.ops.Graph
+    * .labelPropagation]]'s deterministic sync rounds as a CTE chain —
+    * per round, each node adopts its neighbors' most frequent label
+    * (ties to the smallest) via a QUALIFY row_number argmax.
+    * MATERIALIZED for the same inline-explosion reason as
+    * [[kcoreSql]]. */
+  private def lpaSql(rounds: Int): String = {
+    val head =
+      """WITH m AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+                      l_partkey AS p
+                    FROM lineitem),
+         e AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
+                FROM m a JOIN m b ON a.o = b.o AND a.p < b.p),
+         adj AS MATERIALIZED (SELECT u AS id, v AS nb FROM e
+                UNION ALL SELECT v, u FROM e),
+         l0 AS MATERIALIZED (SELECT DISTINCT id, id AS lbl FROM adj)"""
+    val stages = (1 to rounds).map { i =>
+      s""",
+         l$i AS MATERIALIZED (SELECT id, lbl FROM
+                 (SELECT a.id AS id, l.lbl AS lbl, count(*) AS c
+                  FROM adj a JOIN l${i - 1} l ON a.nb = l.id
+                  GROUP BY 1, 2)
+               QUALIFY row_number() OVER
+                 (PARTITION BY id ORDER BY c DESC, lbl) = 1)"""
+    }.mkString
+    head + stages +
+      s"""
+         SELECT lbl AS community, count(*) AS n_members FROM l$rounds
+         GROUP BY 1 ORDER BY n_members DESC, community"""
   }
 
   /** Shared oracle text: backward as-of join via DuckDB's native ASOF
@@ -6177,6 +6230,23 @@ object SparkEntry {
                 AND l_quantity BETWEEN 10 AND 20)
             OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                 AND l_quantity BETWEEN 20 AND 30)""",
+
+    "q292_lpa_communities" -> lpaSql(rounds = 3),
+
+    "q293_skew_report" ->
+      """WITH c AS (SELECT user_id AS k, count(*) AS cnt
+                    FROM events GROUP BY 1)
+         SELECT count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total_rows,
+           max(cnt) AS max_cnt,
+           quantile_cont(cnt, 0.5) AS p50_cnt,
+           quantile_cont(cnt, 0.9) AS p90_cnt,
+           quantile_cont(cnt, 0.99) AS p99_cnt,
+           max(cnt) * 1000000 // CAST(sum(cnt) AS BIGINT) AS top1_ppm,
+           (SELECT CAST(sum(cnt) AS BIGINT) FROM
+              (SELECT cnt FROM c ORDER BY cnt DESC, k LIMIT 10))
+             * 1000000 // CAST(sum(cnt) AS BIGINT) AS top10_ppm
+         FROM c""",
 
     "q272_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist

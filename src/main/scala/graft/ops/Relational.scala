@@ -861,4 +861,40 @@ object Relational {
     a.intersect(b).withColumn("which", lit("both"))
       .unionByName(a.except(b).withColumn("which", lit("a_only")))
       .unionByName(b.except(a).withColumn("which", lit("b_only")))
+
+  /** Key-skew diagnostic: the one-row report read BEFORE choosing a
+    * join/agg strategy on a key at scale — salting, AQE skew-join
+    * thresholds, and broadcast decisions all hang off this shape.
+    * Reports the per-key count distribution: n_keys, total_rows,
+    * max_cnt, exact p50/p90/p99 of per-key counts (interpolated over
+    * integer counts — both engines' continuous quantile agrees
+    * bit-for-bit on longs), the share of the heaviest key and the
+    * heaviest 10 in parts-per-million (integer floor division — no
+    * float ratio in the hashed columns).
+    *
+    * Scale shape: one shuffle for the per-key count (map-side partial
+    * agg), then the distribution stats run over the KEY frame — one
+    * row per distinct key, not per input row. The top-10 sum is a
+    * TakeOrdered (O(keys) scan, no global sort); percentiles sort the
+    * per-key counts only. A 100 TB input with 1e9 keys diagnoses from
+    * a 1e9-row intermediate, never re-reading the corpus. */
+  def skewReport(df: DataFrame, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val top10 = counts.orderBy(desc("cnt"), col("k")).limit(10)
+      .agg(sum(col("cnt")).as("top10_rows"))
+    counts
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"),
+        max(col("cnt")).as("max_cnt"),
+        expr("percentile(cnt, 0.5)").as("p50_cnt"),
+        expr("percentile(cnt, 0.9)").as("p90_cnt"),
+        expr("percentile(cnt, 0.99)").as("p99_cnt"))
+      .crossJoin(broadcast(top10))
+      .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+        col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
+        expr("max_cnt * 1000000 div total_rows").as("top1_ppm"),
+        expr("top10_rows * 1000000 div total_rows").as("top10_ppm"))
+  }
 }

@@ -2099,6 +2099,50 @@ class OpsSpec extends AnyFunSuite {
     assert(run(7) == stable)
   }
 
+  test("labelPropagation: two cliques joined by a bridge, min tie-break") {
+    import spark.implicits._
+    // K3 {1,2,3} — bridge 3–4 — K3 {4,5,6}. Hand-traced sync rounds
+    // with the min tie-break: r1 = {1→2, 2→1, 3→1, 4→3, 5→4, 6→4};
+    // r2 = {1→1, 2→1, 3→1, 4→4, 5→3, 6→3} (5 and 6 tie {3,4} → 3);
+    // r3 settles both cliques: {1,2,3}→1, and {4,5,6}→3 — the right
+    // clique's community name is the label the BRIDGE injected in r1,
+    // which then won 4's 2-of-3 neighbor vote. Two communities, split
+    // exactly at the bridge.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+                    (4L, 5L), (4L, 6L), (5L, 6L)).toDF("x", "y")
+    def run(rounds: Int): Map[Long, Long] =
+      Graph.labelPropagation(edges, col("x"), col("y"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(run(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                         4L -> 4L, 5L -> 3L, 6L -> 3L))
+    assert(run(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                         4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // reversed/dup edges canonicalize away — same communities
+    val noisy = edges.unionByName(
+      Seq((2L, 1L), (3L, 2L), (6L, 4L)).toDF("x", "y"))
+    assert(Graph.labelPropagation(noisy, col("x"), col("y"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      run(3))
+  }
+
+  test("skewReport matches a hand-computed distribution") {
+    import spark.implicits._
+    // per-key counts: a→6, b→2, c→1, d→1 (10 rows, 4 keys)
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = Relational.skewReport(df, col("k")).collect()(0)
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("total_rows") == 10L)
+    assert(r.getAs[Long]("max_cnt") == 6L)
+    // counts sorted: [1,1,2,6]; p50 = interp(1.5)=1.5, p90 = 4.8,
+    // p99 between 2 and 6 at fraction .97 → 5.88
+    assert(r.getAs[Double]("p50_cnt") == 1.5)
+    assert(math.abs(r.getAs[Double]("p90_cnt") - 4.8) < 1e-9)
+    assert(math.abs(r.getAs[Double]("p99_cnt") - 5.88) < 1e-9)
+    assert(r.getAs[Long]("top1_ppm") == 600000L)
+    assert(r.getAs[Long]("top10_ppm") == 1000000L) // ≤10 keys: all rows
+  }
+
   test("pageRank at 50 iterations (lineage checkpoints) stays exact") {
     import spark.implicits._
     val baskets = Seq((10L, 1L), (10L, 2L),

@@ -233,6 +233,33 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("labelPropagation equals a driver-side sync LPA on random graphs") {
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(16, Gen.zip(Gen.choose(1L, 7L), Gen.choose(1L, 7L)))
+    val prop = Prop.forAll(edgeGen, Gen.choose(1, 4)) { (es, rounds) =>
+      val e = es.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b)) }.distinct
+      val adj = (e ++ e.map(_.swap)).groupBy(_._1).view
+        .mapValues(_.map(_._2)).toMap
+      var lbl = adj.keySet.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        lbl = adj.map { case (n, nbs) =>
+          // most frequent neighbor label, ties to the smallest
+          val hist = nbs.map(lbl).groupBy(identity).view
+            .mapValues(_.size).toMap
+          val mx = hist.values.max
+          n -> hist.collect { case (l, c) if c == mx => l }.min
+        }
+      }
+      val got = ops.Graph.labelPropagation(es.toDF("x", "y"),
+          col("x"), col("y"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == lbl
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("asofJoinForward equals a driver-side nearest-follower scan") {
     // unique (k, rt) on the right so the matched payload is
     // well-defined (the op documents ties as engine-arbitrary)
