@@ -2377,6 +2377,30 @@ object SparkEntry {
         col("user_id"))
     }),
 
+    // Snapshot diff: recover the change log from two full dumps —
+    // adds (doc_id%7=0 ∧ %5≠0), removes (%5=0 ∧ %7≠0), and in-place
+    // text edits (%3=0 → uppercased) fall out of one full-outer join.
+    "q294_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 3 === 0, upper(col("text")))
+            .otherwise(col("text")))
+      graft.ops.Relational.snapshotDiff(oldSnap, newSnap,
+          col("doc_id"))
+        .orderBy("id")
+    }),
+
+    // Operability: equi-depth revenue histogram — the boundary picker
+    // behind range partitioning and length-bucketed batching, 8
+    // buckets over lineitem price cents.
+    "q295_equidepth_hist" -> ((s, dir) => {
+      graft.ops.Relational.equiDepthHistogram(t(s, dir, "lineitem"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)), k = 8)
+        .orderBy("bucket")
+    }),
+
     // TPC-H Q13 shape (customer order distribution): LEFT join keeps
     // zero-order customers, then a histogram OF the per-customer
     // counts — the agg-of-agg shape with outer-join null arithmetic.
@@ -6247,6 +6271,44 @@ object SparkEntry {
               (SELECT cnt FROM c ORDER BY cnt DESC, k LIMIT 10))
              * 1000000 // CAST(sum(cnt) AS BIGINT) AS top10_ppm
          FROM c""",
+
+    "q294_snapshot_diff" ->
+      """WITH o AS (SELECT * FROM documents WHERE doc_id % 7 <> 0),
+         n AS (SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN upper(text)
+                      ELSE text END AS text,
+                 lang, source, n_chars
+               FROM documents WHERE doc_id % 5 <> 0),
+         j AS (SELECT coalesce(o.doc_id, n.doc_id) AS id,
+                 CASE WHEN o.doc_id IS NULL THEN 'added'
+                      WHEN n.doc_id IS NULL THEN 'removed'
+                      ELSE 'changed' END AS change,
+                 CASE WHEN o.doc_id IS NULL OR n.doc_id IS NULL THEN ''
+                   ELSE concat_ws(',',
+                     CASE WHEN o.doc_id IS DISTINCT FROM n.doc_id
+                          THEN 'doc_id' END,
+                     CASE WHEN o.lang IS DISTINCT FROM n.lang
+                          THEN 'lang' END,
+                     CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars
+                          THEN 'n_chars' END,
+                     CASE WHEN o.source IS DISTINCT FROM n.source
+                          THEN 'source' END,
+                     CASE WHEN o.text IS DISTINCT FROM n.text
+                          THEN 'text' END) END AS changed_cols
+               FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         SELECT id, change, changed_cols FROM j
+         WHERE change <> 'changed' OR changed_cols <> ''
+         ORDER BY id""",
+
+    "q295_equidepth_hist" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5)
+                      AS BIGINT) AS v FROM lineitem),
+         b AS (SELECT quantile_cont(v, [0.0, 0.125, 0.25, 0.375, 0.5,
+                 0.625, 0.75, 0.875, 1.0]) AS bs FROM v)
+         SELECT CAST(len(list_filter(bs[2:8],
+                  x -> x < CAST(v AS DOUBLE))) AS INTEGER) AS bucket,
+           count(*) AS n_rows, min(v) AS lo, max(v) AS hi
+         FROM v, b GROUP BY 1 ORDER BY 1""",
 
     "q272_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist

@@ -862,6 +862,71 @@ object Relational {
       .unionByName(a.except(b).withColumn("which", lit("a_only")))
       .unionByName(b.except(a).withColumn("which", lit("b_only")))
 
+  /** Snapshot diff: what changed between two versions of a table
+    * keyed by `id` — the audit complement of [[graft.ops.Pipeline]]'s
+    * CDC upsert-apply (that op APPLIES a change log; this one
+    * RECOVERS the change log from two full snapshots, the shape of a
+    * daily-dump ingest with no upstream CDC). Emits one row per
+    * differing key: change ∈ added | removed | changed, and for
+    * changed rows the sorted comma-joined list of columns whose
+    * values differ (null-safe compare — null→value and value→null
+    * both count as a change). Identical rows emit nothing.
+    *
+    * Scale shape: one full-outer shuffle join on the key, the same
+    * cost class as the CDC apply; per-column compares are codegen'd
+    * null-safe equality, no per-row collection. Column set =
+    * non-key columns SHARED by both snapshots (schema evolution is
+    * diffed by the caller comparing schemas, not by this row-level
+    * op). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, id: Column)
+      : DataFrame = {
+    val o = oldDf.select(id.as("__id"), struct(col("*")).as("__o"))
+    val n = newDf.select(id.as("__id"), struct(col("*")).as("__n"))
+    val shared = oldDf.columns.intersect(newDf.columns).sorted
+    val diffCols = shared.map { c =>
+      when(!(col(s"__o.$c") <=> col(s"__n.$c")), lit(c))
+    }
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as("id"),
+        when(col("__o").isNull, lit("added"))
+          .when(col("__n").isNull, lit("removed"))
+          .otherwise(lit("changed")).as("change"),
+        when(col("__o").isNull || col("__n").isNull, lit(""))
+          .otherwise(concat_ws(",", diffCols: _*)).as("changed_cols"))
+      .filter(col("change") =!= "changed" || col("changed_cols") =!= "")
+  }
+
+  /** Equi-depth histogram: k buckets holding ~equal row counts — the
+    * boundary picker behind range partitioning, z-order scaling, and
+    * length-bucketed batching. Boundaries are the exact interpolated
+    * i/k quantiles; a value lands in bucket = (number of INTERNAL
+    * boundaries strictly below it), so boundary-valued rows fall
+    * left, deterministically in any engine evaluating the same rule.
+    *
+    * Scale shape: the quantile pass aggregates to ONE row (k+1
+    * doubles), broadcast back over the corpus; bucket assignment is
+    * a codegen'd array filter, and the per-bucket stats are one
+    * map-side-combined groupBy on k keys. No driver collect — the
+    * boundary frame never leaves the cluster. Returns (bucket,
+    * n_rows, lo, hi) with exact long min/max per bucket. */
+  def equiDepthHistogram(df: DataFrame, value: Column, k: Int)
+      : DataFrame = {
+    require(k >= 2, s"equiDepthHistogram: k >= 2, got $k")
+    val v = df.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val fracs = (0 to k).map(i => i.toDouble / k)
+    val bounds = v.agg(expr(
+      s"percentile(v, array(${fracs.mkString(",")}))").as("bs"))
+    v.crossJoin(broadcast(bounds))
+      // internal boundaries only: bs[1..k-1]
+      .withColumn("bucket",
+        size(filter(slice(col("bs"), 2, k - 1),
+          b => b < col("v").cast("double"))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
   /** Key-skew diagnostic: the one-row report read BEFORE choosing a
     * join/agg strategy on a key at scale — salting, AQE skew-join
     * thresholds, and broadcast decisions all hang off this shape.

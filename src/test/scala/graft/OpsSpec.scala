@@ -2125,6 +2125,44 @@ class OpsSpec extends AnyFunSuite {
       run(3))
   }
 
+  test("snapshotDiff classifies adds/removes/changes, null-safe") {
+    import spark.implicits._
+    val oldSnap = Seq(
+      (1L, Some("a"), 10L), (2L, Some("b"), 20L),
+      (3L, Option.empty[String], 30L), (5L, Some("e"), 50L)
+    ).toDF("id0", "s", "n")
+    val newSnap = Seq(
+      (2L, Some("B"), 20L),             // s changed
+      (3L, Some("c"), 31L),             // null→value AND n changed
+      (4L, Some("d"), 40L),             // added
+      (5L, Some("e"), 50L)              // identical → no row
+    ).toDF("id0", "s", "n")
+    val got = Relational.snapshotDiff(oldSnap, newSnap, col("id0"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(2))).toSet
+    assert(got == Set(
+      (1L, "removed", ""), (2L, "changed", "s"),
+      (3L, "changed", "n,s"), (4L, "added", "")))
+  }
+
+  test("equiDepthHistogram: uniform 1..8 into 4 exact buckets") {
+    import spark.implicits._
+    // internal boundaries = interpolated quartiles of 1..8:
+    // (2.75, 4.5, 6.25) → buckets {1,2|3,4|5,6|7,8}, 2 rows each
+    val df = (1L to 8L).toDF("v")
+    val got = Relational.equiDepthHistogram(df, col("v"), k = 4)
+      .collect().map(r => (r.getInt(0),
+        r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0, 2L, 1L, 2L), (1, 2L, 3L, 4L),
+                      (2, 2L, 5L, 6L), (3, 2L, 7L, 8L)))
+    // boundary-valued rows fall LEFT: constant column → one bucket
+    val const = Seq.fill(6)(42L).toDF("v")
+    val one = Relational.equiDepthHistogram(const, col("v"), k = 3)
+      .collect()
+    assert(one.length == 1 && one(0).getInt(0) == 0 &&
+      one(0).getLong(1) == 6L)
+  }
+
   test("skewReport matches a hand-computed distribution") {
     import spark.implicits._
     // per-key counts: a→6, b→2, c→1, d→1 (10 rows, 4 keys)
