@@ -1004,15 +1004,12 @@ object Dedup {
             "sid")
       .filter(col("id") < col("id2"))
       .select(col("id").as("id1"), col("id2"), lit(0).as("symdiff"))
-    // signatures: hash of the full sorted set + hash of each
-    // one-token-deleted variant (signature -1 marks the full set)
-    val sigs = sets.select(col("sid"), col("ts"), col("n"),
-        explode(sequence(lit(-1), col("n") - 1)).as("del"))
-      .select(col("sid"), col("n"), col("del"),
-        xxhash64(concat_ws("\u0001",
-          when(col("del") < 0, col("ts"))
-            .otherwise(array_remove_at(col("ts"), col("del")))))
-          .as("sig"))
+    // signatures: one codegen'd O(n) pass emits the full-set signature
+    // and every one-token-deleted signature together — the concat-and-
+    // rehash formulation this replaces hashed Θ(n²) bytes per set
+    // ([[graft.functions.DeletionSigs]])
+    val sigs = sets.select(col("sid"), col("n"),
+        explode(graft.functions.DeletionSigs(col("ts"))).as("sig"))
     // candidate pairs: any shared signature; sizes may differ by ≤ 1
     val cand = sigs.as("a")
       .join(sigs.as("b"),
@@ -1062,13 +1059,8 @@ object Dedup {
         .withColumn("n", size(col("ts")))
         .filter(col("n") > 0)
         .localCheckpoint()
-      val sigs = toks.select(col("id"), col("ts"), col("n"),
-          explode(sequence(lit(-1), col("n") - 1)).as("del"))
-        .select(col("id"), col("n"), col("del"),
-          xxhash64(concat_ws("\u0001",
-            when(col("del") < 0, col("ts"))
-              .otherwise(array_remove_at(col("ts"), col("del")))))
-            .as("sig"))
+      val sigs = toks.select(col("id"), col("n"),
+          explode(graft.functions.DeletionSigs(col("ts"))).as("sig"))
       (toks, sigs)
     }
     val (lt, ls) = index(left, leftId, leftText)
@@ -1090,9 +1082,4 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("symdiff"))
   }
 
-  // slice-and-concat "remove element at rank" — Spark has no
-  // array_remove_at builtin; array_remove removes by VALUE (all
-  // occurrences), wrong for rank deletion
-  private def array_remove_at(a: Column, i: Column): Column =
-    concat(slice(a, lit(1), i), slice(a, i + 2, size(a)))
 }

