@@ -2401,6 +2401,22 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // Operability: join-explosion forecast for the events self-join
+    // on user_id — per-key multiplicity products, the many-to-many
+    // guard consulted before shipping a join at scale.
+    "q296_join_forecast" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      graft.ops.Relational.joinExplosionReport(ev, ev,
+        col("user_id"), col("user_id"), topN = 10)
+    }),
+
+    // Operability: one-scan column profile of documents — null /
+    // distinct counts and typed extremes per column.
+    "q297_column_profile" -> ((s, dir) => {
+      graft.ops.Relational.profileColumns(t(s, dir, "documents"))
+        .orderBy("column")
+    }),
+
     // TPC-H Q13 shape (customer order distribution): LEFT join keeps
     // zero-order customers, then a histogram OF the per-customer
     // counts — the agg-of-agg shape with outer-join null arithmetic.
@@ -6309,6 +6325,28 @@ object SparkEntry {
                   x -> x < CAST(v AS DOUBLE))) AS INTEGER) AS bucket,
            count(*) AS n_rows, min(v) AS lo, max(v) AS hi
          FROM v, b GROUP BY 1 ORDER BY 1""",
+
+    "q296_join_forecast" ->
+      """WITH lc AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                       count(*) AS left_rows
+                     FROM events GROUP BY 1),
+         rc AS (SELECT CAST(user_id AS VARCHAR) AS key,
+                  count(*) AS right_rows
+                FROM events GROUP BY 1)
+         SELECT key, left_rows, right_rows,
+           left_rows * right_rows AS predicted_rows
+         FROM lc JOIN rc USING (key)
+         ORDER BY predicted_rows DESC, key LIMIT 10""",
+
+    "q297_column_profile" -> Seq(
+        "doc_id", "lang", "n_chars", "source", "text").map { c =>
+        s"""SELECT '$c' AS "column", count($c) AS n_nonnull,
+              count(*) - count($c) AS n_null,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min($c) AS VARCHAR) AS min_value,
+              CAST(max($c) AS VARCHAR) AS max_value
+            FROM documents"""
+      }.mkString("", " UNION ALL ", """ ORDER BY "column""""),
 
     "q272_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist

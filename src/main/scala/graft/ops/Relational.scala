@@ -862,6 +862,63 @@ object Relational {
       .unionByName(a.except(b).withColumn("which", lit("a_only")))
       .unionByName(b.except(a).withColumn("which", lit("b_only")))
 
+  /** Join-explosion forecast: BEFORE running a join, predict its
+    * output size from per-key multiplicities — the guard against the
+    * silent many-to-many that turns a 100 TB join into a 10 PB
+    * shuffle. Per join key: left count, right count, predicted output
+    * rows (their product); returns the top-`topN` keys by predicted
+    * contribution. The forecast is exact for an inner equi-join (the
+    * output IS Σ la·rb over shared keys).
+    *
+    * Scale shape: two per-key counts (map-side combined) and a join
+    * between KEY frames — one row per distinct key, never touching
+    * full fact rows; the top-N is a TakeOrdered. */
+  def joinExplosionReport(left: DataFrame, right: DataFrame,
+                          leftKey: Column, rightKey: Column,
+                          topN: Int = 10): DataFrame = {
+    val lc = left.groupBy(leftKey.cast("string").as("key"))
+      .agg(count(lit(1)).as("left_rows"))
+    val rc = right.groupBy(rightKey.cast("string").as("key"))
+      .agg(count(lit(1)).as("right_rows"))
+    lc.join(rc, "key")
+      .withColumn("predicted_rows", col("left_rows") * col("right_rows"))
+      .orderBy(desc("predicted_rows"), col("key"))
+      .limit(topN)
+  }
+
+  /** Column profile: the one-scan data-quality report — per column,
+    * non-null / null / exact distinct counts and native-typed min and
+    * max (stringified AFTER the typed aggregation, so numeric columns
+    * report numeric extremes, not lexicographic ones).
+    *
+    * Scale shape: ONE aggregate pass over the input computes every
+    * column's stats together (Spark's multi-distinct lowers to one
+    * Expand — ncols× row multiplication, linear, no per-column
+    * rescans); the per-column rows are then unpivoted from the single
+    * result row. The exact distinct is the oracle-checkable choice —
+    * at larger cardinalities swap in approx_count_distinct, same
+    * shape. */
+  def profileColumns(df: DataFrame): DataFrame = {
+    val cols = df.columns.sorted
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+          countDistinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).cast("string").as(s"__mn_$c"),
+          max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__total")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__nn_$c").as("n_nonnull"),
+        (col("__total") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"))
+    }
+    one.select(explode(array(stacked: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** Snapshot diff: what changed between two versions of a table
     * keyed by `id` — the audit complement of [[graft.ops.Pipeline]]'s
     * CDC upsert-apply (that op APPLIES a change log; this one

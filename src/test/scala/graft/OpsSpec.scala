@@ -2125,6 +2125,36 @@ class OpsSpec extends AnyFunSuite {
       run(3))
   }
 
+  test("joinExplosionReport predicts exact inner-join sizes per key") {
+    import spark.implicits._
+    val l = Seq("a", "a", "a", "b", "c").toDF("k")
+    val r = Seq("a", "b", "b", "b", "d").toDF("k")
+    val rep = Relational.joinExplosionReport(l, r, col("k"), col("k"))
+      .collect().map(x => (x.getString(0), x.getLong(1),
+        x.getLong(2), x.getLong(3)))
+    // only shared keys forecast; a: 3*1=3, b: 1*3=3 (tie → key asc);
+    // the forecast must equal the real inner-join row count
+    assert(rep.toSeq == Seq(("a", 3L, 1L, 3L), ("b", 1L, 3L, 3L)))
+    assert(rep.map(_._4).sum ==
+      l.join(r, "k").count())
+  }
+
+  test("profileColumns: one-scan nulls/distincts/typed extremes") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(10L), Some("b")), (Some(2L), None),
+      (None, Some("a")), (Some(10L), Some("c"))
+    ).toDF("num", "s")
+    val got = Relational.profileColumns(df)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getString(4), r.getString(5))).toMap
+    // numeric extremes are typed: min 2, max 10 — lexicographic
+    // string-cast would have said min "10", max "2"
+    assert(got("num") == ((3L, 1L, 2L, "2", "10")))
+    assert(got("s") == ((3L, 1L, 3L, "a", "c")))
+  }
+
   test("snapshotDiff classifies adds/removes/changes, null-safe") {
     import spark.implicits._
     val oldSnap = Seq(
