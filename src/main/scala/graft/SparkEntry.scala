@@ -2417,6 +2417,19 @@ object SparkEntry {
         .orderBy("column")
     }),
 
+    // Graph VI: personalized PageRank seeded on the size-1 parts —
+    // teleport mass pinned to a trusted core (TrustRank-style
+    // expansion), integer-exact so the oracle replays the loop.
+    "q298_ppr" -> ((s, dir) => {
+      val e = graft.ops.Graph.coOccurrenceEdges(
+        t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"))
+      val seeds = t(s, dir, "part").filter(col("p_size") === 1)
+        .select(col("p_partkey").as("id"))
+      graft.ops.Graph.personalizedPageRank(e, seeds, iters = 3)
+        .select(col("id").as("part_id"), col("r").as("rank_fp"))
+        .orderBy(desc("rank_fp"), col("part_id")).limit(20)
+    }),
+
     // TPC-H Q13 shape (customer order distribution): LEFT join keeps
     // zero-order customers, then a histogram OF the per-customer
     // counts — the agg-of-agg shape with outer-join null arithmetic.
@@ -2969,6 +2982,41 @@ object SparkEntry {
         r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM ow),
         $chain
         SELECT id AS part_id, r AS rank_fp FROM r$iters
+        ORDER BY rank_fp DESC, part_id LIMIT 20"""
+  }
+
+  /** Generated oracle for q298: replays [[graft.ops.Graph
+    * .personalizedPageRank]]'s integer loop — teleport pinned to the
+    * seed set, every node re-pinned per round via the LEFT join so
+    * zero-inbound nodes keep their seed mass. */
+  private def pprSql(iters: Int): String = {
+    val chain = (1 to iters).map { i =>
+      s"""r$i AS (SELECT n.id,
+            CAST(n.is_seed * 150000 +
+                 (17 * coalesce(s.c, 0)) // 20 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN
+            (SELECT e.dst AS id,
+               CAST(sum((r.r * e.w) // ow.out_w) AS BIGINT) AS c
+             FROM e JOIN r${i - 1} r ON e.src = r.id
+                    JOIN ow ON e.src = ow.src
+             GROUP BY 1) s ON n.id = s.id)"""
+    }.mkString(",\n         ")
+    s"""WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                    FROM lineitem),
+        e AS (SELECT a.p AS src, b.p AS dst, count(*) AS w
+              FROM lp a JOIN lp b ON a.o = b.o AND a.p <> b.p
+              GROUP BY 1, 2),
+        ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w
+               FROM e GROUP BY 1),
+        nodes AS (SELECT ow.src AS id,
+                    CASE WHEN ow.src IN
+                      (SELECT p_partkey FROM part WHERE p_size = 1)
+                      THEN 1 ELSE 0 END AS is_seed
+                  FROM ow),
+        r0 AS (SELECT id, CAST(is_seed * 1000000 AS BIGINT) AS r
+               FROM nodes),
+        $chain
+        SELECT id AS part_id, r AS rank_fp FROM r$iters WHERE r > 0
         ORDER BY rank_fp DESC, part_id LIMIT 20"""
   }
 
@@ -6634,6 +6682,8 @@ object SparkEntry {
          FROM s4 ORDER BY user_id""",
 
     "q161_pagerank" -> pagerankSql(3),
+
+    "q298_ppr" -> pprSql(3),
 
     "q167_winsorize" ->
       """WITH b AS (SELECT o_orderkey AS id, o_orderpriority AS g,

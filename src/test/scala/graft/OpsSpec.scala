@@ -2099,6 +2099,24 @@ class OpsSpec extends AnyFunSuite {
     assert(run(7) == stable)
   }
 
+  test("personalizedPageRank pins teleport mass to the seed set") {
+    import spark.implicits._
+    // 2-cycle 1↔2, seed {1}. Exact integer trace: r0 = (1e6, 0);
+    // r1 = (150000, 850000); r2 = (150000+17·850000/20,
+    // 17·150000/20) = (872500, 127500).
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.personalizedPageRank(edges, seeds, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 872500L, 2L -> 127500L))
+    // a node never reached from the seeds holds no rank: 3↔4 island
+    val withIsland = edges.unionByName(
+      Seq((3L, 4L, 1L), (4L, 3L, 1L)).toDF("src", "dst", "w"))
+    val ranks = Graph.personalizedPageRank(withIsland, seeds, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks == Map(1L -> 872500L, 2L -> 127500L))
+  }
+
   test("labelPropagation: two cliques joined by a bridge, min tie-break") {
     import spark.implicits._
     // K3 {1,2,3} — bridge 3–4 — K3 {4,5,6}. Hand-traced sync rounds
