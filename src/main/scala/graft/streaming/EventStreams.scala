@@ -270,6 +270,44 @@ object EventStreams {
   final case class UserSessions(user_id: Long, n_sessions: Long,
                                 n_events: Long)
 
+  final case class Chg(key: Long, tsSec: Long, value: String,
+                       deleted: Boolean)
+  final case class UpsertState(tsSec: Long, value: String,
+                               deleted: Boolean)
+  final case class Current(key: Long, value: String, ts_sec: Long)
+
+  /** Streaming SCD1 (current-state view): the streaming twin of
+    * [[graft.ops.Pipeline]]'s batch CDC upsert-apply — maintain the
+    * LATEST value per key over a change stream, tombstones deleting.
+    * Latest is by (event time, arrival) with event time authoritative:
+    * a late-arriving OLDER change must not overwrite a newer state, so
+    * the state update is guarded by the stored timestamp (same
+    * monotone-guard reasoning as [[sessionCounts]]' lastTs). Emits the
+    * key's current row each micro-batch it changes in (update mode);
+    * deleted keys emit value null so downstream sinks can propagate
+    * the tombstone instead of silently keeping the old row.
+    *
+    * Scale shape: state is ONE (ts, value, deleted) triple per live
+    * key — bounded by key cardinality like any keyed-state view, one
+    * shuffle per micro-batch on the key. */
+  def upsertLatestStream(changes: Dataset[Chg]): Dataset[Current] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .mapGroupsWithState[UpsertState, Current](
+        GroupStateTimeout.NoTimeout) {
+        (key, chs, state: GroupState[UpsertState]) =>
+          val newest = chs.toSeq.maxBy(_.tsSec)
+          val cur = state.getOption
+          val next =
+            if (cur.exists(_.tsSec > newest.tsSec)) cur.get
+            else UpsertState(newest.tsSec, newest.value, newest.deleted)
+          state.update(next)
+          Current(key, if (next.deleted) null else next.value,
+            next.tsSec)
+      }
+  }
+
   /** Stateful gap-based sessionization with mapGroupsWithState: per-user
     * state = (latest event time, session count). Within a micro-batch
     * the group's events are sorted by time; across batches the state

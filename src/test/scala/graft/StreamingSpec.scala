@@ -479,6 +479,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming upsert keeps the latest state, late changes ignored") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val batch1 = Seq(
+      EventStreams.Chg(1L, 10L, "a1", deleted = false),
+      EventStreams.Chg(2L, 10L, "b1", deleted = false),
+      EventStreams.Chg(1L, 20L, "a2", deleted = false))
+    val batch2 = Seq(
+      EventStreams.Chg(1L, 15L, "a-late", deleted = false), // older ts
+      EventStreams.Chg(2L, 30L, "b2", deleted = true),      // tombstone
+      EventStreams.Chg(3L, 5L, "c1", deleted = false))
+
+    val ms = MemoryStream[EventStreams.Chg]
+    val q = EventStreams.upsertLatestStream(ms.toDS())
+      .writeStream.format("memory").queryName("current_state")
+      .outputMode("update").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+
+    // final state = the max-ts_sec row per key across all updates
+    val got = spark.table("current_state")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("key").orderBy(desc("ts_sec"))))
+      .filter(col("rn") === 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // driver reference: fold every change in ts order
+    val want = (batch1 ++ batch2).groupBy(_.key).map { case (k, cs) =>
+      val last = cs.maxBy(_.tsSec)
+      (k, if (last.deleted) null else last.value)
+    }.toSet
+    assert(got == want)
+    assert(got == Set((1L, "a2"), (2L, null), (3L, "c1")))
+  }
+
   test("stateful sessionization carries state across micro-batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
