@@ -35,6 +35,43 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q282/q283 scalar-subquery thresholds broadcast the 1-row side") {
+    for (q <- Seq("q282_tpch_q11", "q283_tpch_q15")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+             p.contains("BroadcastExchange"), s"$q: ${p.take(2000)}")
+      // the threshold never forces the fact side through an extra
+      // exchange beyond its own aggregation
+      assert("HashAggregate".r.findAllIn(p).size >= 2, q)
+    }
+  }
+
+  test("q295 equi-depth boundaries broadcast — no driver collect") {
+    val p = plan("q295_equidepth_hist")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastExchange"), p.take(2000))
+    // quantile pass (ObjectHashAggregate for percentile) + the bucket
+    // count both aggregate partially
+    assert(("HashAggregate".r.findAllIn(p).size +
+            "ObjectHashAggregate".r.findAllIn(p).size) >= 2,
+      p.take(2000))
+  }
+
+  test("q296 join forecast runs on key frames, never fact rows") {
+    val p = plan("q296_join_forecast")
+    // both sides aggregate to per-key counts BEFORE meeting; the top-N
+    // is a TakeOrdered, not a global sort
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q292 LPA argmax is an aggregation, not a per-node window") {
+    val p = plan("q292_lpa_communities")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(p.contains("max_by") || p.contains("HashAggregate"),
+      p.take(2000))
+  }
+
   test("q01 aggregates partially before the shuffle (map-side combine)") {
     val p = plan("q01_flagship_agg")
     // partial + final pairs appear as two HashAggregate levels
