@@ -241,6 +241,14 @@ object ScaleProbe {
       pairs, col("u"), col("v"), inputCanonical = true).count())
     time("kcore_peel sf0.1 r=4")(graft.ops.Graph.kCorePeel(
       pairs, col("u"), col("v"), k = 80, rounds = 4).count())
+    time("lpa sf0.1 r=3")(graft.ops.Graph.labelPropagation(
+      pairs, col("u"), col("v"), rounds = 3).count())
+    val we = graft.ops.Graph.coOccurrenceEdges(
+      li, col("l_orderkey"), col("l_partkey")).localCheckpoint()
+    val seeds = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
+      .filter(col("p_size") === 1).select(col("p_partkey").as("id"))
+    time("ppr sf0.1 i=3")(graft.ops.Graph.personalizedPageRank(
+      we, seeds, iters = 3).count())
     spark.stop()
   }
 }
