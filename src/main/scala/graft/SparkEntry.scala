@@ -2417,6 +2417,48 @@ object SparkEntry {
         .orderBy("column")
     }),
 
+    // SQL-surface sweep: the full ranking-window family in one
+    // oracle-checked query — rank/dense_rank/percent_rank/cume_dist/
+    // ntile plus lag/lead, all over a total (ties-free) per-customer
+    // order so every engine agrees bit-for-bit. percent_rank and
+    // cume_dist stay double on both sides.
+    "q299_window_suite" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .withColumn("cents",
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          percent_rank().over(w).as("prnk"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).as("quartile"),
+          lag(col("cents"), 1).over(w).as("prev_cents"),
+          lead(col("cents"), 1).over(w).as("next_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // SQL-surface sweep: BAG-semantics set operations — INTERSECT ALL
+    // keeps min(multiplicity), EXCEPT ALL subtracts multiplicities —
+    // over the (custkey, priority) pairs of two order-status slices.
+    "q300_bag_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def side(status: String) = o
+        .filter(col("o_orderstatus") === status)
+        .select(col("o_custkey"), col("o_orderpriority"))
+      val inter = side("F").intersectAll(side("O"))
+        .withColumn("which", lit("inter_all"))
+      val exc = side("F").exceptAll(side("O"))
+        .withColumn("which", lit("except_all"))
+      inter.unionByName(exc)
+        .groupBy(col("which"), col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("multiplicity"))
+        .orderBy("which", "o_custkey", "o_orderpriority")
+    }),
+
     // Graph VI: personalized PageRank seeded on the size-1 parts —
     // teleport mass pinned to a trusted core (TrustRank-style
     // expansion), integer-exact so the oracle replays the loop.
@@ -6684,6 +6726,37 @@ object SparkEntry {
     "q161_pagerank" -> pagerankSql(3),
 
     "q298_ppr" -> pprSql(3),
+
+    "q299_window_suite" ->
+      """SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           lag(cents, 1) OVER w AS prev_cents,
+           lead(cents, 1) OVER w AS next_cents
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   AS cents
+               FROM orders WHERE o_custkey % 100 = 0)
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+
+    "q300_bag_setops" ->
+      """WITH f AS (SELECT o_custkey, o_orderpriority FROM orders
+                    WHERE o_orderstatus = 'F'),
+         o AS (SELECT o_custkey, o_orderpriority FROM orders
+               WHERE o_orderstatus = 'O'),
+         both_ AS (SELECT 'inter_all' AS which, *
+                   FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM o)
+                   UNION ALL
+                   SELECT 'except_all' AS which, *
+                   FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM o))
+         SELECT which, o_custkey, o_orderpriority,
+           count(*) AS multiplicity
+         FROM both_ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "q167_winsorize" ->
       """WITH b AS (SELECT o_orderkey AS id, o_orderpriority AS g,
