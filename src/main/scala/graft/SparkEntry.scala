@@ -510,6 +510,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Real multimodal codec III (image resize): synth → encode →
+    // nearest-neighbor resize to 6×4 → decode — the thumbnail pass;
+    // the oracle replays the x·w div 6 / y·h div 4 source mapping
+    // arithmetically.
+    "q301_bmp_resize" -> ((s, dir) => {
+      val bmps = graft.ops.Multimodal.synthBmp24(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Multimodal.resizeBmpStatsDf(bmps, "asset_id", "media",
+          newW = 6, newH = 4)
+        .select(col("asset_id").as("doc_id"), col("width"), col("height"),
+                col("sum_r"), col("sum_g"), col("sum_b"), col("first_px"))
+        .orderBy("doc_id")
+    }),
+
     // Contrastive-training data prep: globally-mined hard negatives —
     // top-k cosine neighbors under a DIFFERENT label, label filter
     // fused into the candidate join before ranking (labels synthesized
@@ -3828,6 +3842,29 @@ object SparkEntry {
          FROM s)
          SELECT doc_id, CAST(w AS INTEGER) AS width,
            CAST(h AS INTEGER) AS height,
+           CAST(list_sum(rs) AS BIGINT) AS sum_r,
+           CAST(list_sum(gs) AS BIGINT) AS sum_g,
+           CAST(list_sum(bs) AS BIGINT) AS sum_b,
+           CAST((doc_id*3 % 256) * 65536 + (doc_id*5 % 256) * 256 +
+                (doc_id*7 % 256) AS BIGINT) AS first_px
+         FROM e ORDER BY doc_id""",
+
+    "q301_bmp_resize" ->
+      """WITH s AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+                      5 + doc_id % 7 AS h FROM documents),
+         e AS (SELECT doc_id, w, h,
+           [(doc_id*3 + ((i % 6) * w // 6)*7
+                       + ((i // 6) * h // 4)*11) % 256
+              FOR i IN range(24)] AS rs,
+           [(doc_id*5 + ((i % 6) * w // 6)*13
+                       + ((i // 6) * h // 4)*3) % 256
+              FOR i IN range(24)] AS gs,
+           [(doc_id*7 + ((i % 6) * w // 6)
+                       + ((i // 6) * h // 4)*17) % 256
+              FOR i IN range(24)] AS bs
+         FROM s)
+         SELECT doc_id, CAST(6 AS INTEGER) AS width,
+           CAST(4 AS INTEGER) AS height,
            CAST(list_sum(rs) AS BIGINT) AS sum_r,
            CAST(list_sum(gs) AS BIGINT) AS sum_g,
            CAST(list_sum(bs) AS BIGINT) AS sum_b,

@@ -290,6 +290,74 @@ object Multimodal {
     BmpStats(width, height, sumR, sumG, sumB, firstPx)
   }
 
+  /** Nearest-neighbor resize of a 24-bpp uncompressed BMP (bottom-up
+    * or top-down input) to `newW`×`newH`, emitting a fresh bottom-up
+    * 24-bpp BMP — the resize leg of the decode/feature/resize/sample
+    * quartet. The source pixel for output (x, y) is
+    * (x·w div newW, y·h div newH): exact integer arithmetic, no
+    * filtering kernel, so an oracle can replay the mapping
+    * arithmetically. Identity dimensions reproduce the image
+    * byte-for-byte (modulo header normalization to bottom-up). */
+  def resizeBmp24(bytes: Array[Byte], newW: Int, newH: Int)
+      : Array[Byte] = {
+    require(newW > 0 && newH > 0, "degenerate target dimensions")
+    require(bytes.length >= 54 && bytes(0) == 'B'.toByte &&
+            bytes(1) == 'M'.toByte, "not a BMP stream")
+    val dataOff = le32(bytes, 10)
+    val width = le32(bytes, 18)
+    val rawH = le32(bytes, 22)
+    val topDown = rawH < 0
+    val height = math.abs(rawH)
+    val bpp = le16(bytes, 28)
+    val compression = le32(bytes, 30)
+    require(bpp == 24 && compression == 0,
+      s"only uncompressed 24 bpp supported (bpp=$bpp comp=$compression)")
+    require(width > 0 && height > 0, "degenerate dimensions")
+    val rowBytes = width * 3
+    val stride = rowBytes + (4 - rowBytes % 4) % 4
+    require(dataOff.toLong + stride.toLong * height <= bytes.length,
+      "pixel data overruns the stream")
+    encodeBmp24(newW, newH, (x, y) => {
+      val sx = (x.toLong * width / newW).toInt
+      val sy = (y.toLong * height / newH).toInt
+      val stored = if (topDown) sy else height - 1 - sy
+      val o = dataOff + stored * stride + sx * 3
+      ((bytes(o + 2) & 0xff, bytes(o + 1) & 0xff, bytes(o) & 0xff))
+    })
+  }
+
+  /** Partition-batch resize-then-stats over a binary column: each
+    * asset is resized to `newW`×`newH` and the RESIZED image's stats
+    * are emitted — the thumbnail-feature pass of an image pipeline,
+    * one partition-local map, no shuffle. */
+  def resizeBmpStatsDf(df: DataFrame, idCol: String, mediaCol: String,
+                       newW: Int, newH: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("first_px", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null)
+          Row(r.getLong(idIdx), null, null, null, null, null, null)
+        else {
+          val st = decodeBmp24(resizeBmp24(bytes, newW, newH))
+          Row(r.getLong(idIdx), st.width, st.height,
+              st.sumR, st.sumG, st.sumB, st.firstPx)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Partition-batch BMP decode over a binary column. */
   def decodeBmpStatsDf(df: DataFrame, idCol: String, mediaCol: String)
       : DataFrame = {

@@ -105,6 +105,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.firstPx == 0L)
   }
 
+  test("BMP nearest-neighbor resize: identity, downscale, top-down") {
+    val src = Multimodal.encodeBmp24(5, 3, (x, y) =>
+      ((x * 40 + y) % 256, (y * 80 + x) % 256, (x ^ y) % 256))
+    // identity resize reproduces every stat (nearest-neighbor with
+    // equal dims maps x→x, y→y)
+    assert(Multimodal.decodeBmp24(
+      Multimodal.resizeBmp24(src, 5, 3)) == Multimodal.decodeBmp24(src))
+    // 1×1 thumbnail = the origin pixel alone
+    val one = Multimodal.decodeBmp24(Multimodal.resizeBmp24(src, 1, 1))
+    assert(one.width == 1 && one.height == 1 &&
+      one.firstPx == Multimodal.decodeBmp24(src).firstPx &&
+      one.sumR == 0L && one.sumG == 0L && one.sumB == 0L)
+    // downscale 5x3 → 2x2: source pixels (x·5 div 2, y·3 div 2) =
+    // x∈{0,2}, y∈{0,1}
+    val small = Multimodal.decodeBmp24(Multimodal.resizeBmp24(src, 2, 2))
+    val picked = for { y <- Seq(0, 1); x <- Seq(0, 2) }
+      yield ((x * 40 + y) % 256, (y * 80 + x) % 256, (x ^ y) % 256)
+    assert(small.sumR == picked.map(_._1.toLong).sum &&
+           small.sumG == picked.map(_._2.toLong).sum &&
+           small.sumB == picked.map(_._3.toLong).sum)
+    // a top-down source resizes identically to its bottom-up twin
+    val stride = 5 * 3 + 1
+    val rows = src.drop(54).grouped(stride).toArray
+    val down = src.take(54) ++ rows.reverse.flatten
+    val bb = java.nio.ByteBuffer.wrap(down)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(22, -3)
+    assert(Multimodal.decodeBmp24(Multimodal.resizeBmp24(bb.array(), 2, 2))
+      == small)
+  }
+
   test("distributed BMP synth+decode matches the driver-side codec") {
     import spark.implicits._
     val ids = (0L until 40L).toDF("doc_id")
