@@ -510,6 +510,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Real multimodal codec IV (audio decimation): synth → encode →
+    // keep every 3rd sample, re-encode at rate/3 → decode — the
+    // downsample pass; the oracle replays the i mod 3 = 0 keep set.
+    "q302_wav_resample" -> ((s, dir) => {
+      val wavs = graft.ops.Multimodal.synthWavPcm16(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Multimodal.resampleWavStatsDf(wavs, "asset_id", "media",
+          factor = 3)
+        .select(col("asset_id").as("doc_id"), col("sample_rate"),
+                col("channels"), col("bits"), col("n_samples"),
+                col("sum_abs"), col("peak"))
+        .orderBy("doc_id")
+    }),
+
     // Real multimodal codec III (image resize): synth → encode →
     // nearest-neighbor resize to 6×4 → decode — the thumbnail pass;
     // the oracle replays the x·w div 6 / y·h div 4 source mapping
@@ -3847,6 +3861,19 @@ object SparkEntry {
            CAST(list_sum(bs) AS BIGINT) AS sum_b,
            CAST((doc_id*3 % 256) * 65536 + (doc_id*5 % 256) * 256 +
                 (doc_id*7 % 256) AS BIGINT) AS first_px
+         FROM e ORDER BY doc_id""",
+
+    "q302_wav_resample" ->
+      """WITH s AS (SELECT doc_id, 20 + (doc_id % 50) AS n FROM documents),
+         e AS (SELECT doc_id, n,
+                 [abs(((doc_id + 1) * 7919 + i * 104729) % 65521 - 32760)
+                  FOR i IN range(n) IF i % 3 = 0] AS a
+               FROM s)
+         SELECT doc_id, CAST(8000 // 3 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+           CAST(len(a) AS BIGINT) AS n_samples,
+           CAST(list_sum(a) AS BIGINT) AS sum_abs,
+           CAST(list_max(a) AS BIGINT) AS peak
          FROM e ORDER BY doc_id""",
 
     "q301_bmp_resize" ->

@@ -176,6 +176,84 @@ object Multimodal {
     WavStats(sampleRate, channels, bits, nSamples, sumAbs, peak)
   }
 
+  /** Integer-stride WAV decimation: keep every `factor`-th sample of
+    * a PCM-16 mono stream and re-encode at rate/factor — the audio
+    * twin of [[resizeBmp24]] (no anti-alias filter; the point is the
+    * exact, oracle-replayable index mapping i → i·factor, the
+    * downsample shape a feature pipeline uses before framing).
+    * Chunk-walks like [[decodeWavPcm16]], so LIST/fact chunks in the
+    * source are dropped, not copied. */
+  def resampleWavPcm16(bytes: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" &&
+            tag(bytes, 8) == "WAVE", "not a RIFF/WAVE stream")
+    var off = 12
+    var sampleRate = -1; var bits = -1
+    val out = scala.collection.mutable.ArrayBuffer.empty[Short]
+    var sawData = false
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val len = le32(bytes, off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"chunk $id overruns the stream")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "fmt chunk too short")
+          require(le16(bytes, off + 8) == 1, "not PCM")
+          require(le16(bytes, off + 10) == 1,
+            "resample supports mono only")
+          sampleRate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+          require(bits == 16, s"only PCM-16 supported, got $bits")
+        case "data" =>
+          require(bits == 16, "data chunk before fmt")
+          sawData = true
+          var k = 0L
+          var i = off + 8
+          val end = off + 8 + len
+          while (i + 1 < end) {
+            if (k % factor == 0) out += le16(bytes, i).toShort
+            k += 1; i += 2
+          }
+        case _ => ()
+      }
+      off += 8 + len + (len & 1)
+    }
+    require(sawData, "no data chunk")
+    encodeWavPcm16(out.toArray, math.max(sampleRate / factor, 1))
+  }
+
+  /** Partition-batch decimate-then-stats over a binary column — one
+    * partition-local map, no shuffle ([[resizeBmpStatsDf]]'s audio
+    * sibling). */
+  def resampleWavStatsDf(df: DataFrame, idCol: String, mediaCol: String,
+                         factor: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("sample_rate", IntegerType),
+      StructField("channels", IntegerType),
+      StructField("bits", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sum_abs", LongType),
+      StructField("peak", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null)
+          Row(r.getLong(idIdx), null, null, null, null, null, null)
+        else {
+          val st = decodeWavPcm16(resampleWavPcm16(bytes, factor))
+          Row(r.getLong(idIdx), st.sampleRate, st.channels, st.bits,
+              st.nSamples, st.sumAbs, st.peak)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Partition-batch WAV decode over a binary column: the real-codec
     * instantiation of [[decodePartitions]]'s seam. Returns exact
     * integer stats per asset (hash-matchable downstream). */

@@ -105,6 +105,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.firstPx == 0L)
   }
 
+  test("WAV integer decimation keeps exactly the stride samples") {
+    val samples = Array.tabulate(11)(i => (i * 100 - 500).toShort)
+    val wav = Multimodal.encodeWavPcm16(samples, 8000)
+    // factor 1 = identity
+    assert(Multimodal.decodeWavPcm16(
+      Multimodal.resampleWavPcm16(wav, 1)) == Multimodal.decodeWavPcm16(wav))
+    // factor 3 keeps indices 0,3,6,9 at rate 2666
+    val st = Multimodal.decodeWavPcm16(Multimodal.resampleWavPcm16(wav, 3))
+    val kept = Seq(0, 3, 6, 9).map(samples(_).toLong)
+    assert(st.sampleRate == 2666 && st.nSamples == 4 &&
+      st.sumAbs == kept.map(math.abs).sum &&
+      st.peak == kept.map(math.abs).max)
+    intercept[IllegalArgumentException] {
+      Multimodal.resampleWavPcm16("RIFFxxxxnope".getBytes, 2)
+    }
+  }
+
   test("BMP nearest-neighbor resize: identity, downscale, top-down") {
     val src = Multimodal.encodeBmp24(5, 3, (x, y) =>
       ((x * 40 + y) % 256, (y * 80 + x) % 256, (x ^ y) % 256))
