@@ -125,7 +125,8 @@ object FuzzConformance {
       else if (n < 52) s"q${132 + n}_fuzz"
       else if (n < 60) s"q${159 + n}_fuzz"
       else if (n < 68) s"q${174 + n}_fuzz"
-      else s"q${183 + n}_fuzz" // q251+: after the named q242-q250 block
+      else if (n < 80) s"q${183 + n}_fuzz" // q251..q262
+      else s"q${223 + n}_fuzz" // q303+: after the named q263-q302 block
 
     shape match {
       case 0 => // projection (+ one computed column), total order
@@ -296,7 +297,7 @@ object FuzzConformance {
   def specs: Seq[Spec] = {
     val r = new scala.util.Random(20260812L)
     val nShapes = 7
-    (0 until 80).map(i =>
+    (0 until 120).map(i =>
       genSpec(r, i, if (i < nShapes) i else r.nextInt(nShapes)))
   }
 }
