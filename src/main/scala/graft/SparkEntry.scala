@@ -510,6 +510,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Boilerplate strip: CCNet's document-frequency segment filter —
+    // tokens present in > half of all documents are template noise on
+    // this corpus (closed vocabulary); survivors reassemble in order.
+    "q343_boilerplate" -> ((s, dir) => {
+      graft.ops.Dedup.stripBoilerplate(t(s, dir, "documents"),
+          col("doc_id"), col("text"), sep = " ",
+          maxDocNum = 1, maxDocDen = 2)
+        .orderBy("id")
+    }),
+
     // Real multimodal codec IV (audio decimation): synth → encode →
     // keep every 3rd sample, re-encode at rate/3 → decode — the
     // downsample pass; the oracle replays the i mod 3 = 0 keep set.
@@ -3862,6 +3872,37 @@ object SparkEntry {
            CAST((doc_id*3 % 256) * 65536 + (doc_id*5 % 256) * 256 +
                 (doc_id*7 % 256) AS BIGINT) AS first_px
          FROM e ORDER BY doc_id""",
+
+    "q343_boilerplate" ->
+      """WITH ex AS (SELECT doc_id, i AS pos, seg FROM
+           (SELECT doc_id,
+              [{'i': i, 's': l[i+1]} FOR i IN range(len(l))] AS z
+            FROM (SELECT doc_id,
+                    list_filter(split(text, ' '), s -> s <> '') AS l
+                  FROM documents)),
+           LATERAL (SELECT unnest(z, recursive := false) AS u),
+           LATERAL (SELECT u.i AS i, u.s AS seg)),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         boiler AS (SELECT seg FROM
+             (SELECT seg, count(DISTINCT doc_id) AS df_cnt FROM ex
+              GROUP BY 1), nd
+           WHERE df_cnt * 2 > n_docs * 1),
+         surv AS (SELECT * FROM ex
+                  WHERE seg NOT IN (SELECT seg FROM boiler)),
+         reb AS (SELECT doc_id,
+                   string_agg(seg, ' ' ORDER BY pos) AS text_clean,
+                   count(*) AS n_kept
+                 FROM surv GROUP BY 1),
+         tot AS (SELECT doc_id, count(*) AS n_segs FROM ex GROUP BY 1)
+         SELECT d.doc_id AS id,
+           coalesce(reb.text_clean, '') AS text_clean,
+           coalesce(reb.n_kept, 0) AS n_kept,
+           coalesce(tot.n_segs, 0) - coalesce(reb.n_kept, 0)
+             AS n_dropped
+         FROM documents d
+           LEFT JOIN reb ON d.doc_id = reb.doc_id
+           LEFT JOIN tot ON d.doc_id = tot.doc_id
+         ORDER BY id""",
 
     "q302_wav_resample" ->
       """WITH s AS (SELECT doc_id, 20 + (doc_id % 50) AS n FROM documents),

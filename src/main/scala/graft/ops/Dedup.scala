@@ -957,6 +957,58 @@ object Dedup {
     intra.unionByName(inter)
   }
 
+  /** Document-frequency boilerplate strip (the CCNet/RefinedWeb line
+    * filter re-expressed): drop every segment (line, sentence, token —
+    * `sep` decides the granularity) that occurs in MORE than
+    * `maxDocNum/maxDocDen` of all documents, and reassemble the
+    * survivors in original order. Complements [[dedupParagraphs]]
+    * (keep-FIRST keeps one copy of a repeated segment somewhere;
+    * boilerplate headers/footers/cookie banners need ZERO copies —
+    * their document frequency, not their multiplicity, is the
+    * signal). The threshold is a rational compared by integer
+    * cross-multiplication, no float epsilon.
+    *
+    * Scale shape: one distinct (segment, doc) shuffle for document
+    * frequencies over DISTINCT segments, the flag joins back on the
+    * segment key, and reassembly is one groupBy(doc) with an in-row
+    * sort — no all-pairs, no driver state; the doc count is a 1-row
+    * broadcast. Returns (id, text_clean, n_kept, n_dropped). */
+  def stripBoilerplate(df: DataFrame, id: Column, text: Column,
+                       sep: String, maxDocNum: Int, maxDocDen: Int)
+      : DataFrame = {
+    require(maxDocNum > 0 && maxDocDen > 0,
+      s"stripBoilerplate: need a positive threshold fraction, " +
+      s"got $maxDocNum/$maxDocDen")
+    val base = fanOut(df).select(id.as("id"), text.as("t"))
+      .localCheckpoint() // segment explode + doc count + final join
+    val ex = base.select(col("id"),
+        posexplode(filter(
+          split(col("t"), java.util.regex.Pattern.quote(sep)),
+          s => s =!= "")).as(Seq("pos", "seg")))
+    val nDocs = base.agg(count(lit(1)).as("n_docs"))
+    val boiler = ex.select(col("seg"), col("id")).distinct()
+      .groupBy("seg").agg(count(lit(1)).as("df_cnt"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df_cnt") * maxDocDen > col("n_docs") * maxDocNum)
+      .select(col("seg"))
+    val surv = ex.join(boiler, Seq("seg"), "left_anti")
+    val rebuilt = surv.groupBy(col("id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          _.getField("seg")), sep).as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    val totals = ex.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_segs"))
+    base.select(col("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .join(totals, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("n_segs"), lit(0L)) -
+         coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+  }
+
   /** Deletion-neighborhood near-identical pairs: doc pairs whose
     * DISTINCT token sets differ by symmetric difference ≤ 1 (equal, or
     * one set is the other plus a single token). This is the high-τ

@@ -2143,6 +2143,24 @@ class OpsSpec extends AnyFunSuite {
       run(3))
   }
 
+  test("stripBoilerplate drops high-DF segments, keeps order") {
+    import spark.implicits._
+    // 'foot' is in 3/4 docs (df > 1/2), 'rare'/'mid' are not; doc 4
+    // is ALL boilerplate and must survive as an empty row, not vanish
+    val df = Seq(
+      (1L, "rare foot end"), (2L, "foot mid"), (3L, "mid end x"),
+      (4L, "foot")
+    ).toDF("id0", "txt")
+    val out = Dedup.stripBoilerplate(df, col("id0"), col("txt"),
+        sep = " ", maxDocNum = 1, maxDocDen = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("rare end", 2L, 1L)))
+    assert(out(2L) == (("mid", 1L, 1L)))
+    assert(out(3L) == (("mid end x", 3L, 0L)))
+    assert(out(4L) == (("", 0L, 1L)))
+  }
+
   test("joinExplosionReport predicts exact inner-join sizes per key") {
     import spark.implicits._
     val l = Seq("a", "a", "a", "b", "c").toDF("k")
