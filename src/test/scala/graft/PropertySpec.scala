@@ -233,6 +233,55 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("stripBoilerplate equals a driver-side DF filter on random docs") {
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docGen: Gen[List[String]] = Gen.listOfN(6,
+      Gen.listOfN(5, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val prop = Prop.forAll(docGen, Gen.choose(1, 3)) { (texts, num) =>
+      val den = 4
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val n = docs.length
+      val dfCnt = docs.flatMap { case (id, t) =>
+        t.split(" ").filter(_.nonEmpty).distinct.map(w => (w, id)) }
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val boiler = dfCnt.filter { case (_, c) => c * den > n * num }.keySet
+      val want = docs.map { case (id, t) =>
+        val segs = t.split(" ").filter(_.nonEmpty).toSeq
+        val kept = segs.filterNot(boiler)
+        id -> ((kept.mkString(" "), kept.size.toLong,
+          (segs.size - kept.size).toLong))
+      }.toMap
+      val got = ops.Dedup.stripBoilerplate(docs.toDF("id0", "txt"),
+          col("id0"), col("txt"), " ", num, den)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+      got == want
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("equiDepthHistogram partitions all rows with ordered buckets") {
+    val valGen: Gen[List[Long]] =
+      Gen.nonEmptyListOf(Gen.choose(-50L, 50L))
+    val prop = Prop.forAll(valGen, Gen.choose(2, 6)) { (vs, k) =>
+      val rows = ops.Relational.equiDepthHistogram(
+          vs.toDF("v"), col("v"), k)
+        .collect().map(r => (r.getInt(0), r.getLong(1),
+          r.getLong(2), r.getLong(3)))
+      val total = rows.map(_._2).sum == vs.length.toLong
+      val ordered = rows.sortBy(_._1).sliding(2).forall {
+        case Array((_, _, _, hi1), (_, _, lo2, _)) => hi1 <= lo2
+        case _ => true
+      }
+      val bounds = rows.forall { case (b, _, lo, hi) =>
+        b >= 0 && b < k && lo <= hi }
+      total && ordered && bounds
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("labelPropagation equals a driver-side sync LPA on random graphs") {
     val edgeGen: Gen[List[(Long, Long)]] =
       Gen.listOfN(16, Gen.zip(Gen.choose(1L, 7L), Gen.choose(1L, 7L)))
