@@ -510,6 +510,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Span-corruption manifest: T5/UL2 denoising masks — 3-token
+    // spans covering ~15% of each doc, stratified placement at
+    // portable-hash offsets so the oracle replays every position.
+    "q344_span_mask" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.ops.Packing.spanMaskManifest(docs, col("doc_id"),
+          size(filter(split(col("text"), " "), s => s =!= "")),
+          spanLen = 3, maskNum = 3, maskDen = 20, seed = 7L)
+        .orderBy("id", "span_idx")
+    }),
+
     // Boilerplate strip: CCNet's document-frequency segment filter —
     // tokens present in > half of all documents are template noise on
     // this corpus (closed vocabulary); survivors reassemble in order.
@@ -3872,6 +3883,27 @@ object SparkEntry {
            CAST((doc_id*3 % 256) * 65536 + (doc_id*5 % 256) * 256 +
                 (doc_id*7 % 256) AS BIGINT) AS first_px
          FROM e ORDER BY doc_id""",
+
+    "q344_span_mask" ->
+      """WITH d AS (SELECT doc_id,
+             len(list_filter(split(text, ' '), s -> s <> '')) AS n
+           FROM documents),
+         s AS (SELECT doc_id, n,
+                 least((n * 3) // 60, n // 3) AS n_spans FROM d),
+         f AS (SELECT doc_id, n_spans, n // n_spans AS stratum
+               FROM s WHERE n_spans >= 1),
+         e AS (SELECT doc_id, u.k AS span_idx, u.st AS start_tok FROM
+           (SELECT doc_id,
+              [{'k': k, 'st': k * stratum +
+                 ((((doc_id*131 + k + 8) % 2147483647) * 48271
+                    % 2147483647) * 48271 % 2147483647)
+                   % (stratum - 2)}
+               FOR k IN range(n_spans)] AS z
+            FROM f),
+           LATERAL (SELECT unnest(z, recursive := false) AS u))
+         SELECT doc_id AS id, span_idx, start_tok,
+           start_tok + 3 AS end_tok
+         FROM e ORDER BY id, span_idx""",
 
     "q343_boilerplate" ->
       """WITH ex AS (SELECT doc_id, i AS pos, seg FROM

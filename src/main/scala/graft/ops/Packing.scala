@@ -177,4 +177,43 @@ object Packing {
       (col("__pos") % numShards).as("shard"),
       expr(s"__pos div $numShards").as("pos_in_shard"))
   }
+
+  /** T5/UL2-style span-corruption manifest: for each document,
+    * deterministic non-overlapping mask spans covering ≈
+    * `maskNum/maskDen` of its tokens in `spanLen`-token runs. The
+    * document is cut into one equal stratum per span and the span
+    * lands at a [[graft.ops.Sampling.idHash]]-derived offset inside
+    * its stratum — non-overlap by construction, every position
+    * integer arithmetic, so a SQL oracle replays the exact spans (the
+    * paper's i.i.d. span sampling needs a rejection loop an oracle
+    * can't replay; stratified placement keeps the same expected
+    * coverage and spacing statistics for training purposes).
+    *
+    * nSpans = (n·maskNum) div (maskDen·spanLen), clamped so a stratum
+    * always fits its span; docs too short for one span emit nothing.
+    * Output: (id, span_idx, start_tok, end_tok), end exclusive, token
+    * positions 0-based over the whitespace tokenization.
+    *
+    * Scale shape: pure per-row expressions + one explode — no
+    * shuffle, no state; composes with [[packSequences]] downstream. */
+  def spanMaskManifest(df: DataFrame, id: Column, nTokens: Column,
+                       spanLen: Int, maskNum: Int, maskDen: Int,
+                       seed: Long = 0L): DataFrame = {
+    require(spanLen >= 1, s"spanLen >= 1, got $spanLen")
+    require(maskNum > 0 && maskDen > 0 && maskNum <= maskDen,
+      s"mask fraction must be in (0,1], got $maskNum/$maskDen")
+    val base = df.select(id.as("id"), nTokens.as("n"))
+      .withColumn("n_spans",
+        least(expr(s"(n * $maskNum) div (${maskDen.toLong * spanLen})"),
+              expr(s"n div $spanLen")))
+      .filter(col("n_spans") >= 1)
+      .withColumn("stratum", expr("n div n_spans"))
+    base.select(col("id"), col("stratum"),
+        explode(expr("sequence(0, n_spans - 1)")).as("span_idx"))
+      .select(col("id"), col("span_idx"),
+        (col("span_idx") * col("stratum") +
+          Sampling.idHash(col("id") * 131L + col("span_idx"), seed) %
+            (col("stratum") - spanLen + 1)).as("start_tok"))
+      .withColumn("end_tok", col("start_tok") + spanLen)
+  }
 }

@@ -2143,6 +2143,30 @@ class OpsSpec extends AnyFunSuite {
       run(3))
   }
 
+  test("spanMaskManifest: stratified non-overlapping spans, clamped") {
+    import spark.implicits._
+    val docs = Seq((5L, 60L), (6L, 2L), (7L, 10L)).toDF("id0", "n0")
+    // 15%-ish at spanLen 3 on n=60 → 3 spans in 20-token strata
+    val spans = Packing.spanMaskManifest(docs, col("id0"), col("n0"),
+        spanLen = 3, maskNum = 3, maskDen = 20, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val d5 = spans.filter(_._1 == 5L).sortBy(_._2)
+    assert(d5.length == 3)
+    d5.foreach { case (_, k, st, en) =>
+      assert(en == st + 3)
+      assert(st >= k * 20 && en <= (k + 1) * 20) // stays in stratum
+    }
+    // too short for one span → no rows
+    assert(!spans.exists(_._1 == 6L))
+    // full-rate clamp: n=10, rate 1 → nSpans = n div spanLen = 3,
+    // stratum 3, zero freedom → exactly back-to-back spans
+    val full = Packing.spanMaskManifest(docs.filter(col("id0") === 7),
+        col("id0"), col("n0"), spanLen = 3, maskNum = 1, maskDen = 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).sorted
+    assert(full.toSeq == Seq((0L, 3L), (3L, 6L), (6L, 9L)))
+  }
+
   test("stripBoilerplate drops high-DF segments, keeps order") {
     import spark.implicits._
     // 'foot' is in 3/4 docs (df > 1/2), 'rare'/'mid' are not; doc 4
