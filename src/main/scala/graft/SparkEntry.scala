@@ -510,6 +510,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Hierarchy closure: decimal-digit taxonomy over part keys
+    // (parent = key div 10) — every (node, ancestor, depth ≤ 6) pair
+    // by pointer doubling; the oracle walks the same closure with a
+    // bounded recursive CTE.
+    "q345_ancestors" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("c"),
+          expr("p_partkey div 10").as("par"))
+        .filter(col("c") >= 10) // single-digit keys are roots
+      graft.ops.Graph.ancestorClosure(p, col("c"), col("par"),
+          maxDepth = 6)
+        .orderBy("node", "depth")
+    }),
+
     // Span-corruption manifest: T5/UL2 denoising masks — 3-token
     // spans covering ~15% of each doc, stratified placement at
     // portable-hash offsets so the oracle replays every position.
@@ -3883,6 +3897,19 @@ object SparkEntry {
            CAST((doc_id*3 % 256) * 65536 + (doc_id*5 % 256) * 256 +
                 (doc_id*7 % 256) AS BIGINT) AS first_px
          FROM e ORDER BY doc_id""",
+
+    "q345_ancestors" ->
+      """WITH RECURSIVE anc AS (
+           SELECT p_partkey AS node, p_partkey // 10 AS anc,
+             CAST(1 AS BIGINT) AS depth
+           FROM part WHERE p_partkey >= 10
+           UNION
+           SELECT a.node, p.p_partkey // 10 AS anc, a.depth + 1
+           FROM anc a JOIN part p ON a.anc = p.p_partkey
+           WHERE p.p_partkey >= 10 AND a.depth < 6)
+         SELECT node, anc, depth FROM anc
+         WHERE node <> anc
+         ORDER BY node, depth""",
 
     "q344_span_mask" ->
       """WITH d AS (SELECT doc_id,

@@ -2143,6 +2143,25 @@ class OpsSpec extends AnyFunSuite {
       run(3))
   }
 
+  test("ancestorClosure doubles to exactly the bounded chain") {
+    import spark.implicits._
+    // chain 1→2→3→4→5 (parent pointers), plus a 2-node tree 10→11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+                    (10L, 11L)).toDF("c", "p")
+    def run(d: Int): Set[(Long, Long, Long)] =
+      Graph.ancestorClosure(edges, col("c"), col("p"), d)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getLong(2))).toSet
+    // maxDepth 3: node 1 reaches 2,3,4; never 5
+    assert(run(3) == Set(
+      (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 3L),
+      (2L, 3L, 1L), (2L, 4L, 2L), (2L, 5L, 3L),
+      (3L, 4L, 1L), (3L, 5L, 2L), (4L, 5L, 1L),
+      (10L, 11L, 1L)))
+    // maxDepth past the longest chain is the full closure, stable
+    assert(run(4) == run(9) && run(4).size == 11)
+  }
+
   test("spanMaskManifest: stratified non-overlapping spans, clamped") {
     import spark.implicits._
     val docs = Seq((5L, 60L), (6L, 2L), (7L, 10L)).toDF("id0", "n0")
