@@ -51,6 +51,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.nonEmpty)
   }
 
+  test("streaming windowed approx-distinct equals the batch sketch") {
+    // distinct users per hourly window: exact countDistinct is not
+    // available under streaming aggregation, approx_count_distinct is
+    // — and the HLL++ sketch is deterministic, so stream == batch
+    // exactly on identical rows
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_acd")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = normTs(spark.readStream.schema(schema)
+      .parquet(dir.toString))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("u"))
+      .select(col("window.start").as("ws"), col("u"))
+    val q = agg.writeStream.format("memory").queryName("acd")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("acd").collect().map(_.toSeq).toSet
+    val want = events
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id")).as("u"))
+      .select(col("window.start").as("ws"), col("u"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
   test("streaming count-min grid equals the batch sketch") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
