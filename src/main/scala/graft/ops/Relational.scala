@@ -960,12 +960,13 @@ object Relational {
     * boundaries strictly below it), so boundary-valued rows fall
     * left, deterministically in any engine evaluating the same rule.
     *
-    * Scale shape: the quantile pass aggregates to ONE row (k+1
-    * doubles), broadcast back over the corpus; bucket assignment is
-    * a codegen'd array filter, and the per-bucket stats are one
-    * map-side-combined groupBy on k keys. No driver collect — the
-    * boundary frame never leaves the cluster. Returns (bucket,
-    * n_rows, lo, hi) with exact long min/max per bucket. */
+    * Scale shape: the boundary frame never leaves the cluster (1-row
+    * broadcast back over the corpus; bucket assignment is a codegen'd
+    * array filter, per-bucket stats one map-side-combined groupBy).
+    * BUT the EXACT `percentile` aggregate buffers every value in one
+    * final aggregation state — fine to ~10^8 rows, the oracle-exact
+    * choice here; past that use [[equiDepthHistogramApprox]], whose
+    * boundary pass is a mergeable sketch. */
   def equiDepthHistogram(df: DataFrame, value: Column, k: Int)
       : DataFrame = {
     require(k >= 2, s"equiDepthHistogram: k >= 2, got $k")
@@ -979,6 +980,32 @@ object Relational {
       .withColumn("bucket",
         size(filter(slice(col("bs"), 2, k - 1),
           b => b < col("v").cast("double"))))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
+
+  /** The 100 TB form of [[equiDepthHistogram]]: identical bucket rule,
+    * boundaries from `approx_percentile` — a mergeable KLL-style
+    * sketch whose partial states combine across partitions in O(k·log)
+    * memory, so the quantile pass never buffers the column. Accuracy
+    * knob is `accuracy` (inverse relative rank error, Spark default
+    * 10000: boundary ranks are within n/accuracy of exact). Spec-
+    * tested against the exact form; the exact form stays the
+    * oracle-checked one (sketch internals are engine-specific). */
+  def equiDepthHistogramApprox(df: DataFrame, value: Column, k: Int,
+                               accuracy: Int = 10000): DataFrame = {
+    require(k >= 2, s"equiDepthHistogramApprox: k >= 2, got $k")
+    val v = df.select(value.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val fracs = (0 to k).map(i => i.toDouble / k)
+    val bounds = v.agg(expr(
+      s"approx_percentile(v, array(${fracs.mkString(",")}), $accuracy)")
+      .as("bs"))
+    v.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        size(filter(slice(col("bs"), 2, k - 1),
+          b => b < col("v"))))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_rows"),
            min(col("v")).as("lo"), max(col("v")).as("hi"))

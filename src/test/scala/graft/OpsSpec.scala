@@ -2272,6 +2272,27 @@ class OpsSpec extends AnyFunSuite {
       one(0).getLong(1) == 6L)
   }
 
+  test("equiDepthHistogramApprox tracks the exact histogram") {
+    import spark.implicits._
+    val vs = (1L to 5000L).map(i => (i * 7919L) % 10007L)
+    val df = vs.toDF("v")
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val exact = toMap(Relational.equiDepthHistogram(df, col("v"), 8)
+      .collect())
+    val approx = toMap(
+      Relational.equiDepthHistogramApprox(df, col("v"), 8).collect())
+    // same buckets, per-bucket counts within the sketch's rank error
+    // (n/accuracy = 0.5 at default accuracy — effectively exact here,
+    // allow a loose band anyway)
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (b, n) =>
+      assert(math.abs(approx(b) - n) <= vs.length / 100,
+        s"bucket $b: approx ${approx(b)} vs exact $n")
+    }
+    assert(approx.values.sum == vs.length.toLong)
+  }
+
   test("skewReport matches a hand-computed distribution") {
     import spark.implicits._
     // per-key counts: a→6, b→2, c→1, d→1 (10 rows, 4 keys)
