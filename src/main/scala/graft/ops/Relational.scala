@@ -1024,22 +1024,26 @@ object Relational {
     * Scale shape: one shuffle for the per-key count (map-side partial
     * agg), then the distribution stats run over the KEY frame — one
     * row per distinct key, not per input row. The top-10 sum is a
-    * TakeOrdered (O(keys) scan, no global sort); percentiles sort the
-    * per-key counts only. A 100 TB input with 1e9 keys diagnoses from
-    * a 1e9-row intermediate, never re-reading the corpus. */
-  def skewReport(df: DataFrame, key: Column): DataFrame = {
+    * TakeOrdered (O(keys) scan, no global sort). The default EXACT
+    * percentiles buffer the per-key counts in one aggregation state —
+    * the oracle-exact choice, fine to ~10^8 distinct keys; set
+    * `approx = true` past that for approx_percentile's mergeable
+    * sketch (same report, engine-specific boundary rounding). */
+  def skewReport(df: DataFrame, key: Column,
+                 approx: Boolean = false): DataFrame = {
     val counts = df.groupBy(key.as("k"))
       .agg(count(lit(1)).as("cnt"))
     val top10 = counts.orderBy(desc("cnt"), col("k")).limit(10)
       .agg(sum(col("cnt")).as("top10_rows"))
+    val pct = if (approx) "approx_percentile" else "percentile"
     counts
       .agg(
         count(lit(1)).as("n_keys"),
         sum(col("cnt")).as("total_rows"),
         max(col("cnt")).as("max_cnt"),
-        expr("percentile(cnt, 0.5)").as("p50_cnt"),
-        expr("percentile(cnt, 0.9)").as("p90_cnt"),
-        expr("percentile(cnt, 0.99)").as("p99_cnt"))
+        expr(s"cast($pct(cnt, 0.5) as double)").as("p50_cnt"),
+        expr(s"cast($pct(cnt, 0.9) as double)").as("p90_cnt"),
+        expr(s"cast($pct(cnt, 0.99) as double)").as("p99_cnt"))
       .crossJoin(broadcast(top10))
       .select(col("n_keys"), col("total_rows"), col("max_cnt"),
         col("p50_cnt"), col("p90_cnt"), col("p99_cnt"),
