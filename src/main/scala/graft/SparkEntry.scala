@@ -510,6 +510,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Governance: salted SHA-2 pseudonymization of user ids — same
+    // value → same pseudonym (joinability survives), raw id does not;
+    // per-pseudonym event counts prove the mapping is stable and
+    // cardinality-preserving.
+    "q346_pseudonymize" -> ((s, dir) => {
+      graft.ops.Relational.pseudonymizeColumns(t(s, dir, "events"),
+          salt = "graft-r5", cols = Seq("user_id"))
+        .groupBy(col("user_id").as("pseudo"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("pseudo")
+    }),
+
+    // Governance: order-independent table content checksum over
+    // documents — the integrity attestation a copy/migration job
+    // compares before swapping pointers.
+    "q347_table_checksum" -> ((s, dir) => {
+      graft.ops.Relational.tableChecksum(t(s, dir, "documents"))
+    }),
+
     // Hierarchy closure: decimal-digit taxonomy over part keys
     // (parent = key div 10) — every (node, ancestor, depth ≤ 6) pair
     // by pointer doubling; the oracle walks the same closure with a
@@ -3897,6 +3916,34 @@ object SparkEntry {
            CAST((doc_id*3 % 256) * 65536 + (doc_id*5 % 256) * 256 +
                 (doc_id*7 % 256) AS BIGINT) AS first_px
          FROM e ORDER BY doc_id""",
+
+    "q346_pseudonymize" ->
+      """SELECT sha256('graft-r5' || CAST(user_id AS VARCHAR)) AS pseudo,
+           count(*) AS n_events
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "q347_table_checksum" ->
+      """WITH r AS (SELECT
+             coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) ||
+             coalesce(lang, chr(2)) || chr(1) ||
+             coalesce(CAST(n_chars AS VARCHAR), chr(2)) || chr(1) ||
+             coalesce(source, chr(2)) || chr(1) ||
+             coalesce(text, chr(2)) AS s
+           FROM documents),
+         h AS (SELECT
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+               [CAST(ascii(s[i]) AS BIGINT)
+                FOR i IN range(1, length(s)+1)]),
+               (a, c) -> (a*31+c) % 2147483647) AS h1,
+             list_reduce(list_prepend(CAST(11 AS BIGINT),
+               [CAST(ascii(s[i]) AS BIGINT)
+                FOR i IN range(1, length(s)+1)]),
+               (a, c) -> (a*37+c) % 2147483629) AS h2
+           FROM r)
+         SELECT count(*) AS n_rows,
+           CAST(sum(h1) AS BIGINT) AS sum_h1,
+           CAST(sum(h2) AS BIGINT) AS sum_h2
+         FROM h""",
 
     "q345_ancestors" ->
       """WITH RECURSIVE anc AS (

@@ -862,6 +862,51 @@ object Relational {
       .unionByName(a.except(b).withColumn("which", lit("a_only")))
       .unionByName(b.except(a).withColumn("which", lit("b_only")))
 
+  /** Salted SHA-2 pseudonymization: replace identifier columns with
+    * sha2-256(salt ‖ value) hex — the governance primitive for
+    * PII-safe exports where JOINABILITY must survive (the same value
+    * maps to the same pseudonym everywhere the same salt is used)
+    * but the raw identifier must not. Complements
+    * [[graft.ops.TextAnalysis.redactPii]] (that scrubs free text;
+    * this rewrites key columns). Per-row codegen'd digest, no
+    * shuffle; rotate the salt to break linkability across releases. */
+  def pseudonymizeColumns(df: DataFrame, salt: String,
+                          cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "pseudonymizeColumns: no columns given")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"pseudonymizeColumns: no such column(s) ${missing.mkString(", ")}")
+    cols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        sha2(concat(lit(salt), col(c).cast("string")), 256))
+    }
+  }
+
+  /** Order-independent table content checksum: fold each row's
+    * canonical string (sorted column order, unit-separator joined,
+    * nulls marked distinctly from empty strings) through the
+    * portable character-fold hash, and SUM the two fold components —
+    * commutative, so the checksum is partitioning- and
+    * row-order-invariant, and any single value change moves it
+    * (collisions would need folds canceling exactly — negligible for
+    * an integrity attestation, use a cryptographic MAC for an
+    * adversarial setting). The cross-engine twin of a content hash:
+    * the oracle replays the identical fold in SQL.
+    *
+    * Scale shape: one codegen'd pass + a 3-value aggregate; sums stay
+    * exact to 2^32 rows (components < 2^31). Returns one row
+    * (n_rows, sum_h1, sum_h2). */
+  def tableChecksum(df: DataFrame): DataFrame = {
+    val parts = df.columns.sorted.map(c =>
+      coalesce(col(c).cast("string"), lit("")))
+    val h = graft.functions.TextFunctions.polyHash62(
+      concat_ws("", parts: _*))
+    df.select(h.as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(expr("h div 2147483648")).as("sum_h1"),
+           sum(col("h") % 2147483648L).as("sum_h2"))
+  }
+
   /** Join-explosion forecast: BEFORE running a join, predict its
     * output size from per-key multiplicities — the guard against the
     * silent many-to-many that turns a 100 TB join into a 10 PB

@@ -2143,6 +2143,39 @@ class OpsSpec extends AnyFunSuite {
       run(3))
   }
 
+  test("tableChecksum is row-order invariant and change-sensitive") {
+    import spark.implicits._
+    val a = Seq((1L, "x"), (2L, "y"), (3L, Option.empty[String].orNull))
+      .toDF("id0", "s")
+    def sums(d: org.apache.spark.sql.DataFrame) = {
+      val r = Relational.tableChecksum(d).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val base = sums(a)
+    // partitioning / row order never moves the checksum
+    assert(sums(a.repartition(5)) == base)
+    assert(sums(a.orderBy(desc("id0"))) == base)
+    // a single changed value moves it; null vs empty are distinct
+    assert(sums(a.withColumn("s",
+      when(col("id0") === 2, "z").otherwise(col("s")))) != base)
+    assert(sums(a.na.fill("", Seq("s"))) != base)
+  }
+
+  test("pseudonymizeColumns keeps joinability, hides the raw id") {
+    import spark.implicits._
+    val d1 = Seq((7L, "a"), (8L, "b")).toDF("uid", "v1")
+    val d2 = Seq((7L, "c"), (9L, "d")).toDF("uid", "v2")
+    val p1 = Relational.pseudonymizeColumns(d1, "salt!", Seq("uid"))
+    val p2 = Relational.pseudonymizeColumns(d2, "salt!", Seq("uid"))
+    // same salt → same pseudonym → the join still finds uid 7
+    val joined = p1.join(p2, "uid").collect()
+    assert(joined.length == 1 && joined(0).getAs[String]("v1") == "a")
+    // pseudonyms are 64-hex and never the raw value; new salt unlinks
+    assert(p1.collect().forall(_.getString(0).matches("[0-9a-f]{64}")))
+    val other = Relational.pseudonymizeColumns(d1, "salt2", Seq("uid"))
+    assert(p1.join(other.withColumnRenamed("v1", "v3"), "uid").count() == 0)
+  }
+
   test("ancestorClosure doubles to exactly the bounded chain") {
     import spark.implicits._
     // chain 1→2→3→4→5 (parent pointers), plus a 2-node tree 10→11
