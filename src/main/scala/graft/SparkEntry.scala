@@ -510,6 +510,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Skyline: the (cheapest, largest-quantity) Pareto frontier of
+    // lineitems — no row survives that something else beats on both
+    // axes; the oracle is the NOT EXISTS domination definition.
+    "q348_skyline" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+            .as("price_cents"),
+          col("l_quantity").cast("long").as("qty"))
+      graft.ops.Relational.skyline2D(li,
+          col("price_cents"), col("qty"))
+        .orderBy("price_cents", "qty", "l_orderkey", "l_linenumber")
+    }),
+
     // Governance: salted SHA-2 pseudonymization of user ids — same
     // value → same pseudonym (joinability survives), raw id does not;
     // per-pseudonym event counts prove the mapping is stable and
@@ -3916,6 +3930,19 @@ object SparkEntry {
            CAST((doc_id*3 % 256) * 65536 + (doc_id*5 % 256) * 256 +
                 (doc_id*7 % 256) AS BIGINT) AS first_px
          FROM e ORDER BY doc_id""",
+
+    "q348_skyline" ->
+      """WITH li AS (SELECT l_orderkey, l_linenumber,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               AS price_cents,
+             CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem)
+         SELECT * FROM li t
+         WHERE NOT EXISTS
+           (SELECT 1 FROM li o
+            WHERE o.price_cents <= t.price_cents AND o.qty >= t.qty
+              AND (o.price_cents < t.price_cents OR o.qty > t.qty))
+         ORDER BY price_cents, qty, l_orderkey, l_linenumber""",
 
     "q346_pseudonymize" ->
       """SELECT sha256('graft-r5' || CAST(user_id AS VARCHAR)) AS pseudo,

@@ -862,6 +862,65 @@ object Relational {
       .unionByName(a.except(b).withColumn("which", lit("a_only")))
       .unionByName(b.except(a).withColumn("which", lit("b_only")))
 
+  /** 2-D skyline (Pareto frontier): rows not dominated under
+    * (minimize x, maximize y) — row j dominates i when x_j ≤ x_i and
+    * y_j ≥ y_i with at least one strict; exact (x, y) ties dominate
+    * neither way and all survive. The classic price-vs-quality
+    * shortlist operator, O(n log n) with NO self-join and no n²: a
+    * running max-y over strictly-smaller x catches cross-x
+    * domination, a per-x group max catches same-x domination. The
+    * naive `Window.orderBy(x)` form would collapse the table into one
+    * task, so the running max is DISTRIBUTED the [[graft.ops.Packing
+    * .orderedCumsum]] way: range-partition on x (equal x always
+    * colocate — partition is a function of the key), per-partition
+    * maxima collect O(partitions) longs, and each partition's rows
+    * see (per-partition prefix base) ⊔ (within-partition range-frame
+    * max). x and y must be integer-valued (cast to long internally);
+    * the oracle states the NOT EXISTS definition directly. */
+  def skyline2D(df: DataFrame, x: Column, y: Column,
+                partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("__x", "__y", "__pid", "__base", "__m1", "__m2")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"skyline2D: reserved working column(s) ${clash.mkString(",")} " +
+      "already on the input — rename them first")
+    val p = df
+      .withColumn("__x", x.cast("long")).withColumn("__y", y.cast("long"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .repartitionByRange(partitions, col("__x"))
+      .sortWithinPartitions(col("__x"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint() // same re-plan hazard as orderedCumsum
+    val maxes = p.groupBy("__pid").agg(max(col("__y")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // base(pid) = max y over all PREVIOUS partitions (strictly
+    // smaller x by the range invariant); first partition has none
+    val bases = maxes.map(_._1)
+      .zip(maxes.map(_._2).scanLeft(Option.empty[Long]) {
+        (acc, t) => Some(acc.fold(t)(math.max(_, t)))
+      })
+      .map { case (pid, b) => (pid, b) }.toSeq
+      .toDF("__pid", "__base")
+    val wPrev = Window.partitionBy(col("__pid")).orderBy(col("__x"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    // same (partition, order) spec with a [0,0] range frame = the
+    // same-x group max, evaluated in the SAME WindowExec sort — and
+    // equal x always colocate, so the per-partition group max is the
+    // global one
+    val wSame = Window.partitionBy(col("__pid")).orderBy(col("__x"))
+      .rangeBetween(0, 0)
+    p.join(broadcast(bases), Seq("__pid"))
+      .withColumn("__m1",
+        greatest(max(col("__y")).over(wPrev), col("__base")))
+      .withColumn("__m2", max(col("__y")).over(wSame))
+      .filter(coalesce(col("__m1") < col("__y"), lit(true)) &&
+              col("__m2") <= col("__y"))
+      .drop(reserved: _*)
+  }
+
   /** Salted SHA-2 pseudonymization: replace identifier columns with
     * sha2-256(salt ‖ value) hex — the governance primitive for
     * PII-safe exports where JOINABILITY must survive (the same value

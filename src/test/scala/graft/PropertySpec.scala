@@ -233,6 +233,25 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("skyline2D equals the quadratic domination scan on random points") {
+    val ptsGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+    val prop = Prop.forAll(ptsGen) { pts =>
+      val want = pts.zipWithIndex.filterNot { case ((x, y), i) =>
+        pts.zipWithIndex.exists { case ((ox, oy), j) =>
+          j != i && ox <= x && oy >= y && (ox < x || oy > y)
+        }
+      }.map(_._1).groupBy(identity).view.mapValues(_.size).toMap
+      val got = ops.Relational.skyline2D(pts.toDF("x", "y"),
+          col("x"), col("y"), partitions = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      got == want
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("stripBoilerplate equals a driver-side DF filter on random docs") {
     val vocab = Vector("a", "b", "c", "d", "e")
     val docGen: Gen[List[String]] = Gen.listOfN(6,
