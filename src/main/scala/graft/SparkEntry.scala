@@ -524,6 +524,50 @@ object SparkEntry {
         .orderBy("price_cents", "qty", "l_orderkey", "l_linenumber")
     }),
 
+    // EWMA per user: the zero-init recency-weighted value recurrence
+    // e_i = 0.8·e_{i−1} + 0.2·x_i folded IN-ROW over each user's
+    // (ts, event_id)-sorted series — a deterministic left fold the
+    // oracle replays step-for-step with a recursive CTE (bit-identical
+    // IEEE op order on both engines, so the rounded doubles hash-match).
+    "q349_ewma" -> ((s, dir) => {
+      graft.ops.Events.ewmaFinal(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          alphaNum = 1, alphaDen = 5)
+        .select(col("key").as("user_id"), col("n_events"), col("ewma"))
+        .orderBy("user_id")
+    }),
+
+    // Forward fill (LOCF): nulls planted deterministically (every
+    // 'click' loses its value) are repaired from the same user's most
+    // recent earlier value; leading nulls stay null. One window, one
+    // shuffle — the gap-repair step before resampling or training.
+    "q350_forward_fill" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "click", lit(null))
+            .otherwise(col("value")).as("v"))
+      graft.ops.Events.forwardFill(e, col("user_id"), col("ts"),
+          col("event_id"), Seq("v"))
+        .select(col("user_id"), col("event_id"),
+                round(col("v"), 2).as("v_filled"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // q350's semantics on the skew-resistant path: fills partition on
+    // (user, hour bucket); the carry INTO a bucket comes from per-bucket
+    // last-non-null summaries. Same oracle as q350.
+    "q351_forward_fill_bucketed" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          when(col("event_type") === "click", lit(null))
+            .otherwise(col("value")).as("v"))
+      graft.ops.Events.forwardFillBucketed(e, col("user_id"), col("ts"),
+          col("event_id"), "v", bucketSeconds = 3600)
+        .select(col("user_id"), col("event_id"),
+                round(col("v"), 2).as("v_filled"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Governance: salted SHA-2 pseudonymization of user ids — same
     // value → same pseudonym (joinability survives), raw id does not;
     // per-pseudonym event counts prove the mapping is stable and
@@ -3943,6 +3987,53 @@ object SparkEntry {
             WHERE o.price_cents <= t.price_cents AND o.qty >= t.qty
               AND (o.price_cents < t.price_cents OR o.qty > t.qty))
          ORDER BY price_cents, qty, l_orderkey, l_linenumber""",
+
+    // the recursive CTE replays the engine's exact zero-init fold:
+    // identical IEEE double ops in identical order (a = 1/5 as the same
+    // double division, base = 0·(1−a) + v·a = v·a), so no tolerance is
+    // needed — the 6dp rounding is cosmetic
+    "q349_ewma" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(value AS DOUBLE) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         mx AS (SELECT user_id, max(rn) AS mr FROM ev GROUP BY 1),
+         r AS (
+           SELECT user_id, rn, v * (CAST(1 AS DOUBLE) / 5) AS e
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT ev.user_id, ev.rn,
+             r.e * (1 - CAST(1 AS DOUBLE) / 5)
+               + ev.v * (CAST(1 AS DOUBLE) / 5)
+           FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1)
+         SELECT r.user_id, CAST(mx.mr AS BIGINT) AS n_events,
+           round(r.e, 6) AS ewma
+         FROM r JOIN mx ON r.user_id = mx.user_id AND r.rn = mx.mr
+         ORDER BY r.user_id""",
+
+    "q350_forward_fill" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+           FROM events WHERE ts IS NOT NULL)
+         SELECT user_id, event_id,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS v_filled
+         FROM e ORDER BY user_id, event_id""",
+
+    "q351_forward_fill_bucketed" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+           FROM events WHERE ts IS NOT NULL)
+         SELECT user_id, event_id,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS v_filled
+         FROM e ORDER BY user_id, event_id""",
 
     "q346_pseudonymize" ->
       """SELECT sha256('graft-r5' || CAST(user_id AS VARCHAR)) AS pseudo,

@@ -646,4 +646,145 @@ object Events {
       .select(col("__k").as("key"), col("attr"), col("eff_from"),
               col("eff_to"), col("eff_to").isNull.as("is_current"))
   }
+
+  /** Forward fill (LOCF — last observation carried forward): per key,
+    * each null in `valueCols` takes the most recent non-null value of
+    * the same column at or before it in (ts, order); leading nulls
+    * (nothing to carry) stay null. The gap-repair step every sensor /
+    * metrics / feature pipeline runs before resampling or training.
+    * All columns fill over ONE window spec, so Catalyst plans a single
+    * shuffle + sort regardless of how many columns fill. `order` must
+    * totalize ts ties (an event id) or the carried value at a tie is
+    * partition-dependent. Null timestamps are excluded — they have no
+    * position to carry from or to. */
+  def forwardFill(df: DataFrame, key: Column, ts: Column, order: Column,
+                  valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, order)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    valueCols.foldLeft(df.filter(ts.isNotNull)) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Skew-resistant [[forwardFill]] (single column): identical output,
+    * but the event-proportional window partitions on (key, coarse time
+    * bucket) so one power-law key spreads over its buckets instead of
+    * serializing into a single straggler sort — the same stitching
+    * discipline as [[sessionizeBucketed]]. The carry INTO a bucket is
+    * the latest non-null value of any earlier bucket, computed from
+    * per-bucket summaries (rows ~ active buckets, bounded by
+    * time range / `bucketSeconds`, never by event count). */
+  def forwardFillBucketed(df: DataFrame, key: Column, ts: Column,
+                          order: Column, valueCol: String,
+                          bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val reserved = Seq("__b", "__u", "__b2", "__carry", "__bl")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"forwardFillBucketed: input already has reserved working " +
+      s"column(s) ${clash.mkString(", ")} — rename them first")
+    val outCols = df.columns.toSeq
+    val e = df.filter(ts.isNotNull)
+      .withColumn("__b", floor(unix_timestamp(ts) / bucketSeconds))
+    val wIn = Window.partitionBy(key, col("__b")).orderBy(ts, order)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // per (key, bucket): the bucket's LAST non-null value. EVERY bucket
+    // with events must appear (an all-null bucket still needs the carry
+    // to flow INTO it), so the frame is grouped over all rows and the
+    // null-valued ones drop out inside the aggregate: max over a
+    // struct ordered by (ts, order) ignores the nulls the `when` plants.
+    val sums = e
+      .groupBy(key.as("__u"), col("__b").as("__b2"))
+      .agg(max(when(col(valueCol).isNotNull,
+             struct(ts.as("__t"), order.as("__o"),
+                    col(valueCol).as("__v")))).as("__s"))
+      .withColumn("__bl", col("__s.__v")).drop("__s")
+    // carry into bucket b = latest earlier bucket's last value (summary
+    // rows only; strictly-before frame keeps the bucket's own values out)
+    val wB = Window.partitionBy(col("__u")).orderBy(col("__b2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carries = sums
+      .withColumn("__carry", last(col("__bl"), ignoreNulls = true).over(wB))
+      .drop("__bl")
+    e.join(carries, key <=> col("__u") && col("__b") <=> col("__b2"), "left")
+      .withColumn(valueCol,
+        coalesce(last(col(valueCol), ignoreNulls = true).over(wIn),
+                 col("__carry")))
+      .select(outCols.map(col): _*)
+  }
+
+  /** Exponentially weighted moving average, final value per key:
+    * e_i = (1 − α)·e_{i−1} + α·x_i over the (ts, order)-sorted series
+    * with e_0 = 0 (the pure zero-init recurrence — every step is the
+    * same affine map, which is what lets the chunked form below
+    * compose), α = alphaNum/alphaDen evaluated in double precision.
+    * The recency-weighted feature every engagement / rate-limiter /
+    * monitoring pipeline keeps per entity.
+    *
+    * The fold runs IN-ROW over the key's collected, sorted series —
+    * a deterministic left fold, so the float result is bit-stable
+    * across partitionings and replayable by a sequential oracle. One
+    * shuffle (the groupBy); per-key state is the key's event array —
+    * the exact form's documented bound. For power-law keys at 100 TB
+    * use [[ewmaChunked]], whose per-task state is one time bucket.
+    * Null ts/values are excluded. Returns (key, n_events, ewma). */
+  def ewmaFinal(df: DataFrame, key: Column, ts: Column, order: Column,
+                value: Column, alphaNum: Int, alphaDen: Int): DataFrame = {
+    require(alphaNum > 0 && alphaNum <= alphaDen,
+      s"ewmaFinal: need 0 < alphaNum <= alphaDen, got $alphaNum/$alphaDen")
+    df.filter(ts.isNotNull && value.isNotNull)
+      .groupBy(key.as("key"))
+      .agg(sort_array(collect_list(struct(ts.as("t"), order.as("o"),
+             value.cast("double").as("v")))).as("__xs"))
+      .withColumn("ewma", expr(
+        s"""round(aggregate(__xs, CAST(0 AS DOUBLE),
+           (acc, x) -> acc * (1 - CAST($alphaNum AS DOUBLE) / $alphaDen)
+                       + x.v * (CAST($alphaNum AS DOUBLE) / $alphaDen)),
+           6)"""))
+      .select(col("key"), size(col("__xs")).cast("long").as("n_events"),
+              col("ewma"))
+  }
+
+  /** Scale form of [[ewmaFinal]]: per (key, time bucket) the zero-init
+    * fold is the affine map out = d·in + c with d = (1−α)^n (folded, not
+    * pow) and c the bucket's own zero-init EWMA — so buckets compose by
+    * folding (d, c) summaries in bucket order: e = d_b·e + c_b. Level 1
+    * is a groupBy whose per-task state is ONE bucket's slice of one key;
+    * level 2 folds O(active buckets) summary rows per key (bounded by
+    * time range / bucketSeconds, never event count). Float caveat: the
+    * two-level fold associates differently from the exact sequential
+    * fold — results agree to ~1e-12 relative, not bit-exactly
+    * (spec-pinned); the exact form stays the oracle surface. */
+  def ewmaChunked(df: DataFrame, key: Column, ts: Column, order: Column,
+                  value: Column, alphaNum: Int, alphaDen: Int,
+                  bucketSeconds: Long): DataFrame = {
+    require(alphaNum > 0 && alphaNum <= alphaDen,
+      s"ewmaChunked: need 0 < alphaNum <= alphaDen, got $alphaNum/$alphaDen")
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val a = s"(CAST($alphaNum AS DOUBLE) / $alphaDen)"
+    val fold = s"(acc, x) -> acc * (1 - $a) + x.v * $a"
+    df.filter(ts.isNotNull && value.isNotNull)
+      .withColumn("__b", floor(unix_timestamp(ts) / bucketSeconds))
+      .groupBy(key.as("key"), col("__b"))
+      .agg(sort_array(collect_list(struct(ts.as("t"), order.as("o"),
+             value.cast("double").as("v")))).as("__xs"))
+      .withColumn("__c", expr(
+        s"aggregate(__xs, CAST(0 AS DOUBLE), $fold)"))
+      // d = (1-α)^n by the same repeated multiply as the fold (pow()
+      // rounds differently; staying with the fold's own product keeps
+      // the chunk map exactly the fold's affine coefficients)
+      .withColumn("__d", expr(
+        s"aggregate(__xs, CAST(1 AS DOUBLE), (acc, x) -> acc * (1 - $a))"))
+      .withColumn("__n", size(col("__xs")).cast("long"))
+      .drop("__xs")
+      .groupBy(col("key"))
+      .agg(sort_array(collect_list(struct(col("__b").as("b"),
+             col("__d").as("d"), col("__c").as("c"),
+             col("__n").as("n")))).as("__bs"))
+      .withColumn("ewma", expr(
+        """round(aggregate(__bs, CAST(0 AS DOUBLE),
+           (acc, x) -> x.d * acc + x.c), 6)"""))
+      .select(col("key"), expr("aggregate(__bs, 0L, (acc, x) -> acc + x.n)")
+                .as("n_events"), col("ewma"))
+  }
 }

@@ -246,4 +246,62 @@ class EdgeSpec extends AnyFunSuite {
       RMap(col("k"), RAgg(sum(col("v")))))
     assert(out.count() == 0)
   }
+
+  test("bucketed forward fill equals the per-key form on a power-law key") {
+    val rnd = new scala.util.Random(13)
+    // hot key: thousands of events across many hour buckets, ~half null;
+    // includes whole buckets with no non-null value (carry must jump
+    // over them) and a leading-null stretch
+    val hot = (0 until 3000).map { i =>
+      val sec = 1700000000L + rnd.nextInt(400000).toLong
+      val v: Option[Double] =
+        if (sec % 7200 < 3600 || rnd.nextBoolean()) None
+        else Some(rnd.nextInt(1000).toDouble)
+      (1L, i.toLong, sec, v)
+    }
+    val cold = (2L to 15L).flatMap(u => (0 until 8).map { i =>
+      (u, 100000L + u * 100 + i, 1700000000L + rnd.nextInt(400000).toLong,
+       if (i % 3 == 0) None else Some(i.toDouble))
+    })
+    val df = (hot ++ cold).toDF("u", "id", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("u", "id", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+                   if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val base = rows(Events.forwardFill(df, col("u"), col("ts"), col("id"),
+      Seq("v")))
+    val bucketed = rows(Events.forwardFillBucketed(df, col("u"), col("ts"),
+      col("id"), "v", bucketSeconds = 3600))
+    assert(bucketed == base)
+    // the hot key genuinely spreads over >1 (key, bucket) partition
+    assert(df.filter(col("u") === 1)
+      .select(floor(unix_timestamp(col("ts")) / 3600).as("b"))
+      .distinct().count() > 1)
+  }
+
+  test("chunked EWMA matches the exact in-row fold to 1e-9 relative") {
+    val rnd = new scala.util.Random(17)
+    val hot = (0 until 2000).map { i =>
+      (1L, i.toLong, 1700000000L + rnd.nextInt(400000).toLong,
+       rnd.nextInt(1000).toDouble) }
+    val cold = (2L to 10L).flatMap(u => (0 until 10).map { i =>
+      (u, 10000L + u * 100 + i, 1700000000L + rnd.nextInt(400000).toLong,
+       rnd.nextInt(1000).toDouble) })
+    val df = (hot ++ cold).toDF("u", "id", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .map(t => (t._1, t._2) -> t._3).toMap
+    val exact = m(Events.ewmaFinal(df, col("u"), col("ts"), col("id"),
+      col("v"), 1, 5))
+    val chunked = m(Events.ewmaChunked(df, col("u"), col("ts"), col("id"),
+      col("v"), 1, 5, bucketSeconds = 3600))
+    assert(chunked.keySet == exact.keySet) // same keys AND same n_events
+    exact.foreach { case (k, e) =>
+      val c = chunked(k)
+      assert(math.abs(c - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+        s"key $k: exact $e vs chunked $c")
+    }
+  }
 }

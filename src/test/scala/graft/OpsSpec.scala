@@ -3146,4 +3146,37 @@ class OpsSpec extends AnyFunSuite {
     assert(n == 6L)
     assert(slope < -1.5 && slope > -3.5, s"slope $slope")
   }
+
+  test("forwardFill carries the last non-null; leading nulls stay null") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 1L, 100L, Some(10.0)), (1L, 2L, 200L, None),
+      (1L, 3L, 300L, None),       (1L, 4L, 400L, Some(40.0)),
+      (1L, 5L, 500L, None),
+      (2L, 6L, 100L, None),       (2L, 7L, 200L, Some(7.0)))
+      .toDF("u", "id", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Events.forwardFill(e, col("u"), col("ts"), col("id"),
+        Seq("v"))
+      .collect().map(r => r.getLong(1) ->
+        (if (r.isNullAt(3)) null else r.getDouble(3))).toMap
+    assert(out == Map(1L -> 10.0, 2L -> 10.0, 3L -> 10.0, 4L -> 40.0,
+      5L -> 40.0, 6L -> null, 7L -> 7.0))
+  }
+
+  test("ewmaFinal replays the zero-init recurrence exactly") {
+    import spark.implicits._
+    // alpha = 1/2 is a power of two: every step is exact in doubles,
+    // so the hand recurrence is equality, not tolerance.
+    // u=1: e = .5*10 = 5; .5*5+.5*20 = 12.5; .5*12.5+.5*5 = 8.75
+    val e = Seq((1L, 1L, 100L, 10.0), (1L, 2L, 200L, 20.0),
+                (1L, 3L, 300L, 5.0), (2L, 4L, 100L, 8.0))
+      .toDF("u", "id", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Events.ewmaFinal(e, col("u"), col("ts"), col("id"),
+        col("v"), alphaNum = 1, alphaDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(out == Set((1L, 3L, 8.75), (2L, 1L, 4.0)))
+  }
 }
