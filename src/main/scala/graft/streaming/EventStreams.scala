@@ -270,6 +270,49 @@ object EventStreams {
   final case class UserSessions(user_id: Long, n_sessions: Long,
                                 n_events: Long)
 
+  final case class VEv(user_id: Long, tsSec: Long, order: Long, v: Double)
+  final case class EwmaState(lastTs: Long, lastOrd: Long, n: Long,
+                             e: Double)
+  final case class UserEwma(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming EWMA — the stateful twin of
+    * [[graft.ops.Events.ewmaFinal]]: per key, the zero-init recurrence
+    * e ← (1−α)·e + α·x carried across micro-batches as ONE
+    * (lastTs, lastOrd, n, e) tuple. Within a batch the group's events
+    * fold sorted by (tsSec, order); ACROSS batches the fold can only
+    * move forward — an event at or behind the high-water mark is
+    * DROPPED (an EWMA cannot retro-insert without replaying everything
+    * after it; the batch form is the reprocessing path, same division
+    * of labor as [[sessionCounts]]). With batches arriving in event
+    * order the float math is the batch fold's exact op sequence, so
+    * stream == batch bit-for-bit (spec-pinned). State is one tuple per
+    * key; one shuffle per micro-batch. */
+  def ewmaStream(events: Dataset[VEv], alphaNum: Int, alphaDen: Int)
+      : Dataset[UserEwma] = {
+    import events.sparkSession.implicits._
+    require(alphaNum > 0 && alphaNum <= alphaDen,
+      s"ewmaStream: need 0 < alphaNum <= alphaDen, got $alphaNum/$alphaDen")
+    val a = alphaNum.toDouble / alphaDen
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, UserEwma](
+        GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[EwmaState]) =>
+          val init = state.getOption
+            .getOrElse(EwmaState(Long.MinValue, Long.MinValue, 0L, 0.0))
+          val sorted = evs.toSeq.sortBy(e => (e.tsSec, e.order))
+          val out = sorted.foldLeft(init) { (st, e) =>
+            val stale = e.tsSec < st.lastTs ||
+              (e.tsSec == st.lastTs && e.order <= st.lastOrd)
+            if (stale) st
+            else EwmaState(e.tsSec, e.order, st.n + 1,
+                           st.e * (1 - a) + e.v * a)
+          }
+          state.update(out)
+          UserEwma(user, out.n, out.e)
+      }
+  }
+
   final case class Chg(key: Long, tsSec: Long, value: String,
                        deleted: Boolean)
   final case class UpsertState(tsSec: Long, value: String,

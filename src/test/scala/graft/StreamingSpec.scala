@@ -572,4 +572,48 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  test("streaming EWMA equals the batch fold bit-for-bit; stale dropped") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = events
+      .filter(col("ts").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsSec"),
+              col("event_id").as("order"), col("value").as("v"))
+      .as[EventStreams.VEv]
+      .collect().sortBy(e => (e.tsSec, e.order))
+    val (first, second) = evs.splitAt(evs.length / 2)
+
+    val ms = MemoryStream[EventStreams.VEv]
+    val q = EventStreams.ewmaStream(ms.toDS(), alphaNum = 1, alphaDen = 5)
+      .writeStream.format("memory").queryName("ewma")
+      .outputMode("update").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+      // a stale replay of batch-1 events must change NOTHING: every one
+      // is at or behind its user's high-water mark
+      ms.addData(first.take(50).toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    // latest update per user (n monotone) = final state; round like the
+    // batch surface does
+    val got = spark.table("ewma")
+      .groupBy("user_id")
+      .agg(max_by(col("ewma"), col("n_events")).as("ewma"),
+           max("n_events").as("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+                 BigDecimal(r.getDouble(1)).setScale(6,
+                   BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    // batch on second-truncated timestamps so both sides fold the same
+    // (tsSec, event_id) order
+    val batchIn = events.withColumn("ts",
+      timestamp_seconds(unix_timestamp(col("ts"))))
+    val want = ops.Events.ewmaFinal(batchIn, col("user_id"), col("ts"),
+        col("event_id"), col("value"), 1, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+  }
 }
