@@ -568,6 +568,19 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // Token-bucket rate-limiter replay: which traffic WOULD a
+    // 3-token bucket (1M µtok cost, 100 µtok/s refill) throttle —
+    // the clamp recurrence folded in-row in pure integer arithmetic,
+    // replayed bit-for-bit by the oracle's recursive CTE.
+    "q352_token_bucket" -> ((s, dir) => {
+      graft.ops.Events.tokenBucketAudit(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"),
+          capacity = 3000000L, refillPerSec = 100L, cost = 1000000L)
+        .select(col("key").as("user_id"), col("n_events"),
+                col("n_admitted"), col("n_throttled"), col("final_tokens"))
+        .orderBy("user_id")
+    }),
+
     // Governance: salted SHA-2 pseudonymization of user ids — same
     // value → same pseudonym (joinability survives), raw id does not;
     // per-pseudonym event counts prove the mapping is stable and
@@ -4034,6 +4047,40 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
              AS v_filled
          FROM e ORDER BY user_id, event_id""",
+
+    // sequential replay of the integer clamp recurrence; the base case
+    // is the engine's "bucket starts full" first event (cap >= cost is
+    // a require, so it is always admitted)
+    "q352_token_bucket" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(floor(epoch(ts)) AS BIGINT) AS s
+           FROM events WHERE ts IS NOT NULL),
+         mx AS (SELECT user_id, max(rn) AS mr FROM ev GROUP BY 1),
+         r AS (
+           SELECT user_id, rn, s,
+             CAST(2000000 AS BIGINT) AS tok, CAST(1 AS BIGINT) AS adm
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT ev.user_id, ev.rn, ev.s,
+             CASE WHEN least(3000000, r.tok + (ev.s - r.s) * 100)
+                       >= 1000000
+                  THEN least(3000000, r.tok + (ev.s - r.s) * 100)
+                       - 1000000
+                  ELSE least(3000000, r.tok + (ev.s - r.s) * 100) END,
+             r.adm + CASE WHEN least(3000000,
+                                     r.tok + (ev.s - r.s) * 100)
+                               >= 1000000 THEN 1 ELSE 0 END
+           FROM r JOIN ev ON ev.user_id = r.user_id
+                         AND ev.rn = r.rn + 1)
+         SELECT r.user_id, CAST(mx.mr AS BIGINT) AS n_events,
+           r.adm AS n_admitted,
+           CAST(mx.mr AS BIGINT) - r.adm AS n_throttled,
+           r.tok AS final_tokens
+         FROM r JOIN mx ON r.user_id = mx.user_id AND r.rn = mx.mr
+         ORDER BY r.user_id""",
 
     "q346_pseudonymize" ->
       """SELECT sha256('graft-r5' || CAST(user_id AS VARCHAR)) AS pseudo,

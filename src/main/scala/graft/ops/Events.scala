@@ -787,4 +787,52 @@ object Events {
       .select(col("key"), expr("aggregate(__bs, 0L, (acc, x) -> acc + x.n)")
                 .as("n_events"), col("ewma"))
   }
+
+  /** Token-bucket rate-limiter replay (audit form): per key, walk the
+    * (ts, order)-sorted events through a bucket that starts FULL at the
+    * first event, refills `refillPerSec` micro-tokens per elapsed
+    * second (clamped at `capacity`), and admits an event iff the
+    * refilled level covers `cost`. The capacity-planning / abuse-audit
+    * question — "which traffic WOULD this limit throttle" — answered
+    * in-engine before the limit ships.
+    *
+    * The clamp makes the recurrence non-affine (no chunked composition
+    * like [[ewmaChunked]]; a chunk's throttle COUNT as a function of
+    * entry level is a step function, not O(1) state), so this is the
+    * exact in-row fold: ALL integer arithmetic, replayable
+    * bit-for-bit by a sequential oracle. One shuffle; per-key state is
+    * the key's event array — [[ewmaFinal]]'s documented bound. Returns
+    * (key, n_events, n_admitted, n_throttled, final_tokens). */
+  def tokenBucketAudit(df: DataFrame, key: Column, ts: Column,
+                       order: Column, capacity: Long, refillPerSec: Long,
+                       cost: Long): DataFrame = {
+    require(capacity > 0 && refillPerSec > 0 && cost > 0,
+      "tokenBucketAudit: capacity, refillPerSec, cost must be positive")
+    require(cost <= capacity,
+      "tokenBucketAudit: cost > capacity would throttle every event")
+    // the refilled level t appears in three places; inlined twice —
+    // duplicate integer expressions, deterministic either way
+    val lvl = s"least(CAST($capacity AS BIGINT), " +
+      s"st.tok + (x.s - st.last) * CAST($refillPerSec AS BIGINT))"
+    df.filter(ts.isNotNull)
+      .groupBy(key.as("key"))
+      .agg(sort_array(collect_list(struct(
+             unix_timestamp(ts).as("s"), order.as("o")))).as("__xs"))
+      .withColumn("__st", expr(
+        s"""aggregate(__xs,
+             named_struct('tok', CAST($capacity AS BIGINT),
+                          'last', __xs[0].s,
+                          'adm', CAST(0 AS BIGINT)),
+             (st, x) -> named_struct(
+               'tok', CASE WHEN $lvl >= $cost
+                           THEN $lvl - $cost ELSE $lvl END,
+               'last', x.s,
+               'adm', st.adm + CASE WHEN $lvl >= $cost
+                                    THEN 1 ELSE 0 END))"""))
+      .select(col("key"), size(col("__xs")).cast("long").as("n_events"),
+              col("__st.adm").as("n_admitted"),
+              (size(col("__xs")).cast("long") - col("__st.adm"))
+                .as("n_throttled"),
+              col("__st.tok").as("final_tokens"))
+  }
 }

@@ -3164,6 +3164,29 @@ class OpsSpec extends AnyFunSuite {
       5L -> 40.0, 6L -> null, 7L -> 7.0))
   }
 
+  test("tokenBucketAudit replays the clamp recurrence by hand") {
+    import spark.implicits._
+    // cap 10, refill 1/s, cost 4. u=1 at secs 0,1,2,20:
+    //   t0: full 10 -> admit, 6;  t1: 6+1=7 -> admit, 3
+    //   t2: 3+1=4 -> admit, 0;    t20: 0+18=10 (clamped) -> admit, 6
+    // u=2 at secs 0,1: t0: admit, 6; t1: 7 -> admit, 3
+    // u=3 at secs 0,1,2: 10->6, 7->3, 4->0 all admitted; then sec 3:
+    //   0+1=1 < 4 -> THROTTLED, tokens stay 1
+    val e = Seq((1L, 1L, 0L), (1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 20L),
+                (2L, 5L, 0L), (2L, 6L, 1L),
+                (3L, 7L, 0L), (3L, 8L, 1L), (3L, 9L, 2L), (3L, 10L, 3L))
+      .toDF("u", "id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Events.tokenBucketAudit(e, col("u"), col("ts"), col("id"),
+        capacity = 10L, refillPerSec = 1L, cost = 4L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out == Map(1L -> ((4L, 4L, 0L, 6L)),
+                      2L -> ((2L, 2L, 0L, 3L)),
+                      3L -> ((4L, 3L, 1L, 1L))))
+  }
+
   test("ewmaFinal replays the zero-init recurrence exactly") {
     import spark.implicits._
     // alpha = 1/2 is a power of two: every step is exact in doubles,
