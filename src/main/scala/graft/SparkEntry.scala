@@ -568,6 +568,35 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // Gopher quality rules (Rae et al. 2021): the MassiveText per-doc
+    // screen — word count / mean word length / symbol ratio / bullet
+    // + ellipsis lines / alpha words / stop words, every comparison
+    // integer cross-multiplied, per-rule booleans for the curation
+    // report. One expression chain, no shuffle.
+    "q354_gopher_rules" -> ((s, dir) => {
+      // stop list adapted to this corpus's vocabulary (its "function
+      // words" are query-plan terms); the paper's English list would
+      // zero the rule on synthetic text
+      graft.ops.TextAnalysis.gopherScreen(t(s, dir, "documents"),
+          col("doc_id"), col("text"), minWords = 20,
+          stopWords = Seq("join", "hash"))
+        .orderBy("doc_id")
+    }),
+
+    // Rolling robust z-score: each event judged against its own
+    // trailing-25 frame's median/MAD — the drift-aware anomaly screen
+    // (a level shift flags once, not forever). In-row exact order
+    // statistics; the oracle replays the same list math per frame.
+    "q353_rolling_robust_z" -> ((s, dir) => {
+      graft.ops.Checks.rollingRobustZ(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          windowRows = 25)
+        .select(col("key").as("user_id"), col("id").as("event_id"),
+                round(col("v"), 2).as("v"), round(col("med"), 4).as("med"),
+                round(col("mad"), 4).as("mad"), col("is_outlier"))
+        .orderBy("user_id", "event_id")
+    }),
+
     // Token-bucket rate-limiter replay: which traffic WOULD a
     // 3-token bucket (1M µtok cost, 100 µtok/s refill) throttle —
     // the clamp recurrence folded in-row in pure integer arithmetic,
@@ -4047,6 +4076,79 @@ object SparkEntry {
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
              AS v_filled
          FROM e ORDER BY user_id, event_id""",
+
+    // same tokenization (\s+ split, trimmed lines), same integer
+    // cross-multiplied rule cuts; patterns in the Java-regex ∩ RE2
+    // shared subset
+    "q354_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t
+           FROM documents),
+         w AS (SELECT doc_id, t,
+           list_filter(regexp_split_to_array(t, '\s+'),
+                       x -> x <> '') AS ws,
+           list_filter(list_transform(string_split(t, chr(10)),
+                       x -> trim(x)), x -> x <> '') AS ls
+           FROM d),
+         c AS (SELECT doc_id, len(ws) AS nw, len(ls) AS nl,
+           coalesce(list_sum(list_transform(ws,
+             x -> CAST(length(x) AS BIGINT))), 0) AS sumlen,
+           (length(t) - length(replace(t, '#', '')))
+             + (len(regexp_split_to_array(t, '(\.\.\.|…)')) - 1) AS nsym,
+           len(list_filter(ls, x -> x LIKE '•%' OR x LIKE '- %'
+                                 OR x LIKE '* %')) AS nbul,
+           len(list_filter(ls, x -> x LIKE '%...' OR x LIKE '%…'))
+             AS nell,
+           len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+             AS nalpha,
+           len(list_intersect(
+             list_distinct(list_transform(ws, x -> lower(x))),
+             ['join','hash'])) AS nstops
+           FROM w)
+         SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+           CAST(nl AS BIGINT) AS n_lines,
+           (nw >= 20 AND nw <= 100000) AS r_words,
+           (nw > 0 AND 3 * nw <= sumlen AND sumlen <= 10 * nw)
+             AS r_wordlen,
+           (10 * nsym <= nw) AS r_symbol,
+           (10 * nbul <= 9 * nl) AS r_bullet,
+           (10 * nell <= 3 * nl) AS r_ellipsis,
+           (5 * nalpha >= 4 * nw) AS r_alpha,
+           (nstops >= 2) AS r_stops,
+           ((nw >= 20 AND nw <= 100000)
+            AND (nw > 0 AND 3 * nw <= sumlen AND sumlen <= 10 * nw)
+            AND (10 * nsym <= nw)
+            AND (10 * nbul <= 9 * nl)
+            AND (10 * nell <= 3 * nl)
+            AND (5 * nalpha >= 4 * nw)
+            AND (nstops >= 2)) AS keep
+         FROM c ORDER BY doc_id""",
+
+    // same frame list, same sorted-median/MAD list math, 1-indexed
+    // where Spark is 0-indexed; both engines run the identical double
+    // interpolate/abs/compare sequence so the boolean cut agrees
+    "q353_rolling_robust_z" ->
+      """WITH e AS (SELECT user_id, event_id, ts, value FROM events
+           WHERE ts IS NOT NULL AND value IS NOT NULL),
+         w AS (SELECT user_id, event_id, value,
+           list_sort(list(value) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id
+             ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS l
+           FROM e),
+         m AS (SELECT *, CASE WHEN len(l) % 2 = 1
+             THEN l[len(l) // 2 + 1]
+             ELSE (l[len(l) // 2] + l[len(l) // 2 + 1]) / 2 END AS med
+           FROM w),
+         d AS (SELECT *,
+           list_sort(list_transform(l, x -> abs(x - med))) AS dl
+           FROM m),
+         z AS (SELECT *, CASE WHEN len(dl) % 2 = 1
+             THEN dl[len(dl) // 2 + 1]
+             ELSE (dl[len(dl) // 2] + dl[len(dl) // 2 + 1]) / 2 END AS mad
+           FROM d)
+         SELECT user_id, event_id, round(value, 2) AS v,
+           round(med, 4) AS med, round(mad, 4) AS mad,
+           (2 * abs(value - med) > 7 * mad) AS is_outlier
+         FROM z ORDER BY user_id, event_id""",
 
     // sequential replay of the integer clamp recurrence; the base case
     // is the engine's "bucket starts full" first event (cap >= cost is

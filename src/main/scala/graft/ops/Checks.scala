@@ -104,6 +104,58 @@ object Checks {
         (col("dev") * 10 > col("mad") * 35).as("is_outlier"))
   }
 
+  /** Rolling robust z-score anomaly flags: per key, each value is
+    * judged against the median and MAD of its own trailing
+    * `windowRows`-row frame (itself included) in (ts, order) —
+    * outlier = deviation beyond 3.5 rolling MADs. The streaming-shaped
+    * sibling of [[robustWinsorize]]: global statistics flag a level
+    * shift forever, a rolling frame flags only the CHANGE — the right
+    * screen for drifting per-entity series (latencies, spend, rates).
+    *
+    * Median/MAD are computed IN-ROW from the frame's collected values
+    * (sorted array, interpolated midpoint — both at most `windowRows`
+    * doubles), so the whole row costs O(W log W) with no second
+    * window pass; the frame collect itself is the op's cost: each row
+    * carries its W-value list through the one per-key sort, a
+    * windowRows× row-width blowup that is the documented price of
+    * exact rolling order statistics (keep W modest — 25/50/100; an
+    * approximate-sketch rolling form can't answer a per-row exact
+    * MAD). The MAD frame is centered on the CURRENT row's median,
+    * which is what makes it inexpressible as a plain window aggregate
+    * in either engine — the oracle replays the same list math. Floats
+    * stay deterministic: both engines sort the same doubles and run
+    * the identical interpolate/abs/compare sequence, and the 3.5-MAD
+    * cut is the cross-multiplied `2·dev > 7·mad`.
+    * Returns (key, id, v, med, mad, is_outlier). */
+  def rollingRobustZ(df: DataFrame, key: Column, ts: Column, order: Column,
+                     value: Column, windowRows: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowRows >= 2,
+      s"rollingRobustZ: windowRows must be >= 2, got $windowRows")
+    val reserved = Seq("__l", "__med", "__mad")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"rollingRobustZ: input already has reserved working column(s) " +
+      s"${clash.mkString(", ")} — rename them first")
+    val w = Window.partitionBy(key).orderBy(ts, order)
+      .rowsBetween(-(windowRows - 1), 0)
+    def medOf(arr: String) =
+      s"""CASE WHEN size($arr) % 2 = 1 THEN $arr[size($arr) div 2]
+          ELSE ($arr[size($arr) div 2 - 1] + $arr[size($arr) div 2]) / 2
+          END"""
+    df.filter(ts.isNotNull && value.isNotNull)
+      .withColumn("__l",
+        sort_array(collect_list(value.cast("double")).over(w)))
+      .withColumn("__med", expr(medOf("__l")))
+      .withColumn("__mad", expr(medOf(
+        "sort_array(transform(__l, x -> abs(x - __med)))")))
+      .select(key.as("key"), order.as("id"),
+        value.cast("double").as("v"),
+        col("__med").as("med"), col("__mad").as("mad"),
+        (abs(value.cast("double") - col("__med")) * 2 >
+           col("__mad") * 7).as("is_outlier"))
+  }
+
   /** Score-decile lift table — the calibration check for every scoring
     * model in the pipeline (quality classifiers, dedup risk, DSIR
     * weights): rank all rows by score, cut into `buckets` rank-exact

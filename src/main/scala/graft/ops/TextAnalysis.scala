@@ -278,6 +278,67 @@ object TextAnalysis {
         when(col("keep"), col("__clean"))).drop("__clean")
   }
 
+  /** Gopher quality rules (Rae et al. 2021, table A1 — the public
+    * web-text screen MassiveText shipped with, sibling of [[c4Screen]]'s
+    * line rules): per document,
+    *  - word count within [minWords, maxWords];
+    *  - mean word length within [3, 10] — compared integer-exactly as
+    *    3·n ≤ Σlen ≤ 10·n, no float mean anywhere;
+    *  - symbol-to-word ratio ('#' chars + '...'/'…' runs) ≤ 1/10;
+    *  - ≤ 90% of lines start with a bullet, ≤ 30% end with an
+    *    ellipsis (both cross-multiplied);
+    *  - ≥ 80% of words contain an alphabetic character;
+    *  - at least 2 distinct Gopher stop words
+    *    (the/be/to/of/and/that/have/with) appear.
+    * One per-row expression chain over split/filter/size — no UDF, no
+    * shuffle, stream-safe, and every pattern sits in the Java-regex ∩
+    * RE2 subset so the oracle replays it verbatim. Null text fails
+    * every populated rule (keep = false, counts 0). Returns per-rule
+    * booleans so a curation report can histogram WHICH rule bites
+    * before committing to the cut. */
+  def gopherScreen(df: DataFrame, id: Column, text: Column,
+                   minWords: Int = 50, maxWords: Int = 100000,
+                   stopWords: Seq[String] = Seq("the", "be", "to", "of",
+                     "and", "that", "have", "with")): DataFrame = {
+    require(stopWords.nonEmpty, "gopherScreen: stopWords must be non-empty")
+    val words = filter(split(coalesce(text, lit("")), "\\s+"),
+      w => w =!= "")
+    val lines = filter(transform(split(coalesce(text, lit("")), "\n"),
+      l => trim(l)), l => l =!= "")
+    val nWords = size(words)
+    val nLines = size(lines)
+    val sumLen = coalesce(aggregate(words, lit(0L),
+      (acc, w) => acc + length(w)), lit(0L))
+    val nSymbols =
+      (length(coalesce(text, lit(""))) -
+        length(regexp_replace(coalesce(text, lit("")), "#", ""))) +
+      (size(split(coalesce(text, lit("")), "(\\.\\.\\.|…)", -1)) - 1)
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
+    val nEllipsis = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…")))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val stops = array(stopWords.map(lit): _*)
+    val nStops = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))), stops))
+    df.select(
+      id.as("doc_id"),
+      nWords.cast("long").as("n_words"),
+      nLines.cast("long").as("n_lines"),
+      (nWords >= minWords && nWords <= maxWords).as("r_words"),
+      (nWords > 0 && lit(3L) * nWords <= sumLen &&
+        sumLen <= lit(10L) * nWords).as("r_wordlen"),
+      (lit(10L) * nSymbols <= nWords).as("r_symbol"),
+      (lit(10L) * nBullet <= lit(9L) * nLines).as("r_bullet"),
+      (lit(10L) * nEllipsis <= lit(3L) * nLines).as("r_ellipsis"),
+      (lit(5L) * nAlpha >= lit(4L) * nWords).as("r_alpha"),
+      (nStops >= 2).as("r_stops"))
+      .withColumn("keep",
+        col("r_words") && col("r_wordlen") && col("r_symbol") &&
+        col("r_bullet") && col("r_ellipsis") && col("r_alpha") &&
+        col("r_stops"))
+  }
+
   /** URL canonicalization for crawl dedup: the same page arrives under
     * case-shuffled scheme/host, default ports, trailing slashes,
     * tracking params, and fragments — canonicalize BEFORE the content

@@ -313,6 +313,55 @@ object EventStreams {
       }
   }
 
+  final case class TbState(tok: Long, lastTs: Long, lastOrd: Long,
+                           n: Long, adm: Long)
+  final case class UserBucket(user_id: Long, n_events: Long,
+                              n_admitted: Long, n_throttled: Long,
+                              final_tokens: Long)
+
+  /** Streaming token-bucket rate limiter — the stateful twin of
+    * [[graft.ops.Events.tokenBucketAudit]], and the form a limiter
+    * actually RUNS as (the batch form is the capacity-planning
+    * replay). Per key the state is one (tokens, lastTs, lastOrd, n,
+    * admitted) tuple; each micro-batch folds the group's new events
+    * sorted by (tsSec, order) through the same integer clamp
+    * recurrence, so with batches arriving in event order
+    * stream == batch exactly (spec-pinned). Events at or behind the
+    * high-water mark are dropped — a limiter's decisions are
+    * append-only ([[ewmaStream]]'s guard, same reasoning). The bucket
+    * starts FULL at each key's first-ever event. */
+  def tokenBucketStream(events: Dataset[VEv], capacity: Long,
+                        refillPerSec: Long, cost: Long)
+      : Dataset[UserBucket] = {
+    import events.sparkSession.implicits._
+    require(capacity > 0 && refillPerSec > 0 && cost > 0,
+      "tokenBucketStream: capacity, refillPerSec, cost must be positive")
+    require(cost <= capacity,
+      "tokenBucketStream: cost > capacity would throttle every event")
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[TbState, UserBucket](
+        GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[TbState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsSec, e.order))
+          val out = sorted.foldLeft(state.getOption.orNull) { (st, e) =>
+            if (st == null) // first-ever event: full bucket, zero gap
+              TbState(capacity - cost, e.tsSec, e.order, 1L, 1L)
+            else if (e.tsSec < st.lastTs ||
+                     (e.tsSec == st.lastTs && e.order <= st.lastOrd)) st
+            else {
+              val lvl = math.min(capacity,
+                st.tok + (e.tsSec - st.lastTs) * refillPerSec)
+              val ok = lvl >= cost
+              TbState(if (ok) lvl - cost else lvl, e.tsSec, e.order,
+                      st.n + 1, st.adm + (if (ok) 1L else 0L))
+            }
+          }
+          state.update(out)
+          UserBucket(user, out.n, out.adm, out.n - out.adm, out.tok)
+      }
+  }
+
   final case class Chg(key: Long, tsSec: Long, value: String,
                        deleted: Boolean)
   final case class UpsertState(tsSec: Long, value: String,

@@ -3164,6 +3164,56 @@ class OpsSpec extends AnyFunSuite {
       5L -> 40.0, 6L -> null, 7L -> 7.0))
   }
 
+  test("gopherScreen rules bite individually on crafted docs") {
+    import spark.implicits._
+    val good = (("the quick brown fox jumps over that lazy dog and " * 3) +
+      "it went to all of them with haste").trim
+    val docs = Seq(
+      (1L, good),                               // passes everything
+      (2L, "short text"),                       // r_words (min)
+      (3L, ("aa " * 40).trim),                  // mean len 2 -> r_wordlen
+      (4L, ("the of " * 20).trim + " ## # ## ##"), // 6 '#' / 45 w -> r_symbol
+      (5L, (1 to 30).map(i => s"- item $i of the set").mkString("\n")),
+      (6L, ("the to " * 20).trim + " " + ("999 " * 170).trim), // r_alpha
+      (7L, ("zig zag zog wibble wobble " * 8).trim),  // no stops -> r_stops
+      (8L, null.asInstanceOf[String]))          // null -> keep false
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.gopherScreen(docs, col("doc_id"), col("text"),
+        minWords = 20)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getBoolean(10), out(1L).toString)          // keep
+    assert(!out(2L).getBoolean(3) && !out(2L).getBoolean(10)) // r_words
+    assert(!out(3L).getBoolean(4))                            // r_wordlen
+    assert(!out(4L).getBoolean(5), out(4L).toString)          // r_symbol
+    assert(!out(5L).getBoolean(6), out(5L).toString)          // r_bullet
+    assert(!out(6L).getBoolean(8), out(6L).toString)          // r_alpha
+    assert(!out(7L).getBoolean(9))                            // r_stops
+    assert(!out(8L).getBoolean(10) && out(8L).getLong(1) == 0L)
+  }
+
+  test("rollingRobustZ flags a spike against its trailing frame only") {
+    import spark.implicits._
+    // key 1, window 3: values 10,10,10,100,10.
+    //   row4 (frame 10,10,100): med=10, dev=90, mad = median(0,0,90)=0
+    //     -> 180 > 0 OUTLIER
+    //   row5 (frame 10,100,10 sorted 10,10,100): med=10, dev=0 -> ok
+    //   row3 (frame 10,10,10): mad=0, dev=0, 0 > 0 false -> ok
+    val e = Seq((1L, 1L, 100L, 10.0), (1L, 2L, 200L, 10.0),
+                (1L, 3L, 300L, 10.0), (1L, 4L, 400L, 100.0),
+                (1L, 5L, 500L, 10.0))
+      .toDF("u", "id", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Checks.rollingRobustZ(e, col("u"), col("ts"), col("id"),
+        col("v"), windowRows = 3)
+      .collect().map(r => r.getLong(1) ->
+        (r.getDouble(3), r.getDouble(4), r.getBoolean(5))).toMap
+    assert(out(1L) == ((10.0, 0.0, false)))
+    assert(out(2L) == ((10.0, 0.0, false)))   // frame 10,10: med 10 mad 0
+    assert(out(3L) == ((10.0, 0.0, false)))
+    assert(out(4L) == ((10.0, 0.0, true)))    // the spike
+    assert(out(5L) == ((10.0, 0.0, false)))   // spike in frame, not self
+  }
+
   test("tokenBucketAudit replays the clamp recurrence by hand") {
     import spark.implicits._
     // cap 10, refill 1/s, cost 4. u=1 at secs 0,1,2,20:

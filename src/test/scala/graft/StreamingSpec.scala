@@ -616,4 +616,41 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(got == want)
   }
+
+  test("streaming token bucket equals the batch replay across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsSec"),
+              col("event_id").as("order"), lit(0.0).as("v"))
+      .as[EventStreams.VEv]
+      .collect().sortBy(e => (e.tsSec, e.order))
+    val (first, second) = evs.splitAt(evs.length / 2)
+
+    val ms = MemoryStream[EventStreams.VEv]
+    val q = EventStreams.tokenBucketStream(ms.toDS(),
+        capacity = 3000000L, refillPerSec = 100L, cost = 1000000L)
+      .writeStream.format("memory").queryName("tbucket")
+      .outputMode("update").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("tbucket")
+      .groupBy("user_id")
+      .agg(max("n_events").as("n"),
+           max_by(col("n_admitted"), col("n_events")).as("adm"),
+           max_by(col("final_tokens"), col("n_events")).as("tok"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = ops.Events.tokenBucketAudit(events, col("user_id"),
+        col("ts"), col("event_id"), 3000000L, 100L, 1000000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSet
+    assert(got == want)
+  }
 }
