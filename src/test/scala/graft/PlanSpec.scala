@@ -391,4 +391,40 @@ class PlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q350 multi-column forward fill plans ONE shuffle and ONE sort") {
+    // the docstring's claim: every filled column shares the same window
+    // spec, so Catalyst folds them into a single Window over a single
+    // exchange + sort — filling 3 columns must not triple the shuffles
+    import org.apache.spark.sql.functions._
+    // plan shape only — the raw long ts orders the window just as well
+    val e = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("v1"), col("value").as("v2"), col("value").as("v3"))
+    val p = ops.Events.forwardFill(e, col("user_id"), col("ts"),
+        col("event_id"), Seq("v1", "v2", "v3"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(2000))
+    assert("\\[Sort ".r.findAllIn(p).size <= 1 &&
+           "Window ".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("q354 gopher screen is shuffle-free (pure expression chain)") {
+    val p = plan("q354_gopher_rules").toLowerCase
+    // orderBy adds the output range exchange; nothing else may shuffle
+    assert(!p.contains("hashpartitioning"), p.take(2000))
+    assert(!p.contains("hashaggregate"), p.take(2000))
+  }
+
+  test("q349/q352 per-key folds are one partial-free hash shuffle each") {
+    for (q <- Seq("q349_ewma", "q352_token_bucket")) {
+      val p = plan(q)
+      // collect_list cannot combine map-side meaningfully, but the
+      // plan must still be a single hashpartitioning on the key —
+      // no second data shuffle beyond the output sort
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"$q: ${p.take(2000)}")
+    }
+  }
 }
