@@ -597,6 +597,19 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // CUSUM change-point monitor: two-sided cumulative drift against
+    // each user's own integer-cents mean, alarm-and-reset at h —
+    // integer clamp recurrence folded in-row, recursive-CTE replay.
+    "q355_cusum" -> ((s, dir) => {
+      graft.ops.Checks.cusumChangePoints(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          slackCents = 500L, thresholdCents = 3000L)
+        .select(col("key").as("user_id"), col("n_events"),
+                col("mu_cents"), col("n_up_alarms"), col("n_down_alarms"),
+                col("final_s_up"), col("final_s_dn"))
+        .orderBy("user_id")
+    }),
+
     // Token-bucket rate-limiter replay: which traffic WOULD a
     // 3-token bucket (1M µtok cost, 100 µtok/s refill) throttle —
     // the clamp recurrence folded in-row in pure integer arithmetic,
@@ -4149,6 +4162,50 @@ object SparkEntry {
            round(med, 4) AS med, round(mad, 4) AS mad,
            (2 * abs(value - med) > 7 * mad) AS is_outlier
          FROM z ORDER BY user_id, event_id""",
+
+    // sequential replay of the two-sided integer clamp recurrence with
+    // alarm-and-reset; mu is the same truncated integer mean
+    "q355_cusum" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         mu AS (SELECT user_id, max(rn) AS n,
+                  CAST(sum(c) AS BIGINT) // max(rn) AS mu FROM ev GROUP BY 1),
+         r AS (
+           SELECT e.user_id, e.rn,
+             CAST(CASE WHEN greatest(0, e.c - m.mu - 500) > 3000
+               THEN 0 ELSE greatest(0, e.c - m.mu - 500) END
+               AS BIGINT) AS su,
+             CAST(CASE WHEN greatest(0, m.mu - e.c - 500) > 3000
+               THEN 0 ELSE greatest(0, m.mu - e.c - 500) END
+               AS BIGINT) AS sd,
+             CAST(CASE WHEN greatest(0, e.c - m.mu - 500) > 3000
+               THEN 1 ELSE 0 END AS BIGINT) AS nu,
+             CAST(CASE WHEN greatest(0, m.mu - e.c - 500) > 3000
+               THEN 1 ELSE 0 END AS BIGINT) AS nd
+           FROM ev e JOIN mu m ON e.user_id = m.user_id
+           WHERE e.rn = 1
+           UNION ALL
+           SELECT e.user_id, e.rn,
+             CASE WHEN greatest(0, r.su + e.c - m.mu - 500) > 3000
+               THEN 0 ELSE greatest(0, r.su + e.c - m.mu - 500) END,
+             CASE WHEN greatest(0, r.sd + m.mu - e.c - 500) > 3000
+               THEN 0 ELSE greatest(0, r.sd + m.mu - e.c - 500) END,
+             r.nu + CASE WHEN greatest(0, r.su + e.c - m.mu - 500)
+               > 3000 THEN 1 ELSE 0 END,
+             r.nd + CASE WHEN greatest(0, r.sd + m.mu - e.c - 500)
+               > 3000 THEN 1 ELSE 0 END
+           FROM r JOIN ev e ON e.user_id = r.user_id
+                           AND e.rn = r.rn + 1
+                  JOIN mu m ON m.user_id = r.user_id)
+         SELECT r.user_id, CAST(m.n AS BIGINT) AS n_events,
+           m.mu AS mu_cents, r.nu AS n_up_alarms, r.nd AS n_down_alarms,
+           r.su AS final_s_up, r.sd AS final_s_dn
+         FROM r JOIN mu m ON r.user_id = m.user_id AND r.rn = m.n
+         ORDER BY r.user_id""",
 
     // sequential replay of the integer clamp recurrence; the base case
     // is the engine's "bucket starts full" first event (cap >= cost is

@@ -156,6 +156,62 @@ object Checks {
            col("__mad") * 7).as("is_outlier"))
   }
 
+  /** CUSUM change-point detection (Page 1954): per key, the classic
+    * two-sided cumulative-sum monitor over the (ts, order) series —
+    * s⁺ ← max(0, s⁺ + (x − μ − k)), s⁻ ← max(0, s⁻ + (μ − x − k)),
+    * alarm and reset when a side exceeds h — with μ the key's OWN
+    * integer-cents mean (self-referenced drift: "did this entity's
+    * level shift against its history"). The sibling of
+    * [[rollingRobustZ]]: the rolling screen flags single spikes, CUSUM
+    * accumulates small persistent shifts a per-point test never sees.
+    *
+    * Everything is integer (cents, truncated mean, slack k and
+    * threshold h in cents), folded in-row over the key's sorted
+    * series like [[graft.ops.Events.tokenBucketAudit]] — the
+    * max(0,·) clamp breaks affine composition, so the exact
+    * sequential fold is the form, bit-replayable by a recursive-CTE
+    * oracle; per-key state is the key's event array (the documented
+    * bound). One shuffle. Returns (key, n_events, mu_cents,
+    * n_up_alarms, n_down_alarms, final_s_up, final_s_dn). */
+  def cusumChangePoints(df: DataFrame, key: Column, ts: Column,
+                        order: Column, value: Column,
+                        slackCents: Long, thresholdCents: Long): DataFrame = {
+    require(slackCents >= 0, "cusumChangePoints: slackCents must be >= 0")
+    require(thresholdCents > 0,
+      "cusumChangePoints: thresholdCents must be > 0")
+    val k = slackCents; val h = thresholdCents
+    def step(s: String, dev: String) =
+      s"greatest(CAST(0 AS BIGINT), st.$s + ($dev - $k))"
+    df.filter(ts.isNotNull && value.isNotNull)
+      .groupBy(key.as("key"))
+      .agg(sort_array(collect_list(struct(ts.as("t"), order.as("o"),
+             floor(value * 100 + lit(0.5)).cast("long").as("c"))))
+             .as("__xs"),
+           sum(floor(value * 100 + lit(0.5)).cast("long")).as("__sum"),
+           count(lit(1)).as("n_events"))
+      .withColumn("mu_cents", expr("__sum div n_events"))
+      .withColumn("__st", expr(
+        s"""aggregate(__xs,
+             named_struct('su', CAST(0 AS BIGINT), 'sd', CAST(0 AS BIGINT),
+                          'nu', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT)),
+             (st, x) -> named_struct(
+               'su', CASE WHEN ${step("su", "(x.c - mu_cents)")} > $h
+                          THEN CAST(0 AS BIGINT)
+                          ELSE ${step("su", "(x.c - mu_cents)")} END,
+               'sd', CASE WHEN ${step("sd", "(mu_cents - x.c)")} > $h
+                          THEN CAST(0 AS BIGINT)
+                          ELSE ${step("sd", "(mu_cents - x.c)")} END,
+               'nu', st.nu + CASE WHEN ${step("su", "(x.c - mu_cents)")}
+                                       > $h THEN 1 ELSE 0 END,
+               'nd', st.nd + CASE WHEN ${step("sd", "(mu_cents - x.c)")}
+                                       > $h THEN 1 ELSE 0 END))"""))
+      .select(col("key"), col("n_events"), col("mu_cents"),
+              col("__st.nu").as("n_up_alarms"),
+              col("__st.nd").as("n_down_alarms"),
+              col("__st.su").as("final_s_up"),
+              col("__st.sd").as("final_s_dn"))
+  }
+
   /** Score-decile lift table — the calibration check for every scoring
     * model in the pipeline (quality classifiers, dedup risk, DSIR
     * weights): rank all rows by score, cut into `buckets` rank-exact

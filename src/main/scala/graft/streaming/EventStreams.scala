@@ -313,6 +313,49 @@ object EventStreams {
       }
   }
 
+  final case class NEv(user_id: Long, tsSec: Long, order: Long,
+                       v: Option[Double])
+  final case class FillState(lastTs: Long, lastOrd: Long,
+                             carry: Option[Double])
+  final case class FilledEv(user_id: Long, order: Long,
+                            v_filled: Option[Double])
+
+  /** Streaming forward fill — the stateful twin of
+    * [[graft.ops.Events.forwardFill]]: per key the state is the last
+    * non-null value seen (plus the high-water mark), and every event
+    * is emitted with its null repaired from that carry. Within a
+    * micro-batch the group's events fold sorted by (tsSec, order);
+    * events at or behind the high-water mark are emitted with the
+    * CURRENT carry but do not move state (a late value cannot
+    * retroactively re-fill rows already emitted — batch is the
+    * reprocessing path). flatMapGroupsWithState in append mode: each
+    * input event produces exactly one output row. Leading nulls
+    * (no carry yet) stay null, exactly like batch. */
+  def forwardFillStream(events: Dataset[NEv]): Dataset[FilledEv] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FillState, FilledEv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[FillState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsSec, e.order))
+          val init = state.getOption
+            .getOrElse(FillState(Long.MinValue, Long.MinValue, None))
+          val (outs, fin) = sorted.foldLeft(
+            (Vector.empty[FilledEv], init)) { case ((acc, st), e) =>
+            val stale = e.tsSec < st.lastTs ||
+              (e.tsSec == st.lastTs && e.order <= st.lastOrd)
+            val filled = e.v.orElse(st.carry)
+            val next =
+              if (stale) st
+              else FillState(e.tsSec, e.order, e.v.orElse(st.carry))
+            (acc :+ FilledEv(user, e.order, filled), next)
+          }
+          state.update(fin)
+          outs.iterator
+      }
+  }
+
   final case class TbState(tok: Long, lastTs: Long, lastOrd: Long,
                            n: Long, adm: Long)
   final case class UserBucket(user_id: Long, n_events: Long,

@@ -3214,6 +3214,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L) == ((10.0, 0.0, false)))   // spike in frame, not self
   }
 
+  test("cusumChangePoints accumulates drift, alarms, and resets by hand") {
+    import spark.implicits._
+    // values (cents via *100): 10,10,10,40,40,40 -> mu = 25 dollars
+    //   = 2500 cents; k=500, h=1000.
+    // up side (c - 2500 - 500): -2000 x3 (clamped 0), +500, +1000,
+    //   +1500 -> su: 0,0,0,500,1500 > 1000 ALARM reset 0, then 500+0?
+    //   step5: su=500+1000=1500 > 1000 -> alarm, reset 0
+    //   step6: su=0+1000=1000, NOT > 1000 -> su=1000, no alarm
+    // down side (2500 - c - 500): +1000? c=1000: 2500-1000-500=1000 ->
+    //   sd: 1000 (not >1000), 2000 > 1000 ALARM reset, 1000, then
+    //   c=4000: -2000 -> 0,0,0
+    //   steps: sd1=1000, sd2=2000>h alarm->0, sd3=1000, sd4..6 clamp 0
+    val e = Seq((1L, 1L, 10.0), (1L, 2L, 10.0), (1L, 3L, 10.0),
+                (1L, 4L, 40.0), (1L, 5L, 40.0), (1L, 6L, 40.0))
+      .map { case (u, i, v) => (u, i, i * 100L, v) }
+      .toDF("u", "id", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Checks.cusumChangePoints(e, col("u"), col("ts"), col("id"),
+        col("v"), slackCents = 500L, thresholdCents = 1000L)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).head
+    assert(out == ((6L, 2500L, 1L, 1L, 1000L, 0L)))
+  }
+
   test("tokenBucketAudit replays the clamp recurrence by hand") {
     import spark.implicits._
     // cap 10, refill 1/s, cost 4. u=1 at secs 0,1,2,20:

@@ -617,6 +617,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming forward fill equals the batch fill across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // plant the q350 nulls: every 'click' loses its value
+    val evs = events
+      .filter(col("ts").isNotNull)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("tsSec"),
+              col("event_id").as("order"),
+              when(col("event_type") === "click", lit(null))
+                .otherwise(col("value")).as("v"))
+      .as[EventStreams.NEv]
+      .collect().sortBy(e => (e.tsSec, e.order))
+    val (first, second) = evs.splitAt(evs.length / 2)
+
+    val ms = MemoryStream[EventStreams.NEv]
+    val q = EventStreams.forwardFillStream(ms.toDS())
+      .writeStream.format("memory").queryName("ffill")
+      .outputMode("append").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    val got = asMap(spark.table("ffill").select("order", "v_filled"))
+    val batchIn = events
+      .select(col("user_id"), col("event_id"),
+        timestamp_seconds(unix_timestamp(col("ts"))).as("ts"),
+        when(col("event_type") === "click", lit(null))
+          .otherwise(col("value")).as("v"))
+    val want = asMap(ops.Events.forwardFill(batchIn, col("user_id"),
+        col("ts"), col("event_id"), Seq("v"))
+      .select("event_id", "v"))
+    assert(got == want)
+    assert(got.size == evs.length) // append mode: one row per event
+  }
+
   test("streaming token bucket equals the batch replay across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
