@@ -610,6 +610,87 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Autocorrelation of the hourly per-type value series at lags
+    // 1..3 — seasonality/memory detection; exact integer
+    // cross-multiplication (q146's discipline), float only in the one
+    // shared final expression.
+    "q356_acf" -> ((s, dir) => {
+      val hourly = t(s, dir, "events")
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+        .agg(sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("v"))
+      graft.ops.Events.autocorrelation(hourly,
+          col("event_type"), col("hr"), col("v"), maxLag = 3)
+        .select(col("series").as("event_type"), col("lag"),
+                col("n"), col("acf"))
+        .orderBy("event_type", "lag")
+    }),
+
+    // Exact weighted median (quantity-weighted price) per return flag:
+    // cumulative integer weights over pre-aggregated distinct values,
+    // rational threshold compare — no float anywhere.
+    "q357_weighted_median" -> ((s, dir) => {
+      graft.ops.Relational.weightedQuantile(t(s, dir, "lineitem"),
+          col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"),
+          col("l_quantity").cast("long"), qNum = 1, qDen = 2)
+        .select(col("g").as("l_returnflag"), col("q_value"),
+                col("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Incremental view maintenance: fold a signed CDC batch (1997
+    // inserts + key%7 deletions of pre-1997 rows) into the
+    // materialized per-customer (cnt, sum) state at delta cost; the
+    // oracle recomputes from scratch and must agree exactly —
+    // including groups that disappear at cnt 0.
+    "q358_ivm_apply" -> ((s, dir) => {
+      val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+      val orders = t(s, dir, "orders")
+      val state = orders.filter(col("o_orderdate") < lit("1997-01-01"))
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("cnt"), sum(cents).as("sum_cents"))
+      val changes = orders
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+                col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_custkey"), lit(1L).as("sign"), cents.as("v"))
+        .unionByName(orders
+          .filter(col("o_orderdate") < lit("1997-01-01") &&
+                  col("o_orderkey") % 7 === 0)
+          .select(col("o_custkey"), lit(-1L).as("sign"), cents.as("v")))
+      graft.ops.Relational.ivmApplySumCount(
+          state, col("custkey"), changes, col("o_custkey"),
+          col("sign"), col("v"), cntCol = "cnt", sumCol = "sum_cents")
+        .select(col("k").as("custkey"), col("cnt"), col("sum_cents"))
+        .orderBy("custkey")
+    }),
+
+    // Semi-structured VARIANT path: props parses ONCE (Spark 4
+    // variant, not per-field get_json_object re-parse), typed field
+    // extraction + a missing-path probe, aggregated per event type.
+    "q359_variant_extract" -> ((s, dir) => {
+      graft.ops.SemiStructured.variantExtract(t(s, dir, "events"),
+          col("props"),
+          Seq(("k_val", "$.k", "bigint"),
+              ("absent", "$.no_such_field", "bigint")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+             count(col("k_val")).as("n_with_k"),
+             sum(col("k_val")).as("sum_k"),
+             min(col("k_val")).as("min_k"),
+             max(col("k_val")).as("max_k"),
+             count(col("absent")).as("n_absent_hits"))
+        .orderBy("event_type")
+    }),
+
+    // Embedding-space outliers: diagonal standardized distance in ppm
+    // — exact integer moments per dim, integer floor-divided terms,
+    // integer sum; top-20 via TakeOrdered.
+    "q360_embedding_outliers" -> ((s, dir) => {
+      graft.ops.Similarity.embeddingOutliers(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), topK = 20)
+    }),
+
     // Token-bucket rate-limiter replay: which traffic WOULD a
     // 3-token bucket (1M µtok cost, 100 µtok/s refill) throttle —
     // the clamp recurrence folded in-row in pure integer arithmetic,
@@ -7790,6 +7871,98 @@ object SparkEntry {
                    ORDER BY score DESC, nbr) AS INTEGER) AS rank
                FROM sc)
          SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
-         ORDER BY qid, rank"""
+         ORDER BY qid, rank""",
+
+    // identical IEEE final expression as q146 (integer sums up to the
+    // one shared double expression), so no tolerance is needed
+    "q356_acf" ->
+      """WITH h AS (SELECT event_type,
+             date_trunc('hour', ts) AS hr,
+             SUM(CAST(floor(value*100 + 0.5) AS BIGINT)) AS v
+           FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+           GROUP BY 1, 2),
+         l AS (SELECT event_type, v,
+             lag(v, 1) OVER (PARTITION BY event_type ORDER BY hr) AS y1,
+             lag(v, 2) OVER (PARTITION BY event_type ORDER BY hr) AS y2,
+             lag(v, 3) OVER (PARTITION BY event_type ORDER BY hr) AS y3
+           FROM h),
+         p AS (
+           SELECT event_type, 1 AS lag, v AS x, y1 AS y FROM l
+           WHERE y1 IS NOT NULL
+           UNION ALL
+           SELECT event_type, 2, v, y2 FROM l WHERE y2 IS NOT NULL
+           UNION ALL
+           SELECT event_type, 3, v, y3 FROM l WHERE y3 IS NOT NULL),
+         a AS (SELECT event_type, lag, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+                 sum(y*y) AS syy, sum(x*y) AS sxy
+               FROM p GROUP BY 1, 2)
+         SELECT event_type, CAST(lag AS INTEGER) AS lag,
+           CAST(n AS BIGINT) AS n,
+           round(CAST(n*sxy - sx*sy AS DOUBLE) /
+                 (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+                  * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) AS acf
+         FROM a ORDER BY 1, 2""",
+
+    "q357_weighted_median" ->
+      """WITH pv AS (SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+           FROM lineitem GROUP BY 1, 2),
+         c AS (SELECT g, v,
+             CAST(SUM(w) OVER (PARTITION BY g ORDER BY v) AS BIGINT)
+               AS cumw,
+             CAST(SUM(w) OVER (PARTITION BY g) AS BIGINT) AS totw
+           FROM pv)
+         SELECT g AS l_returnflag, min(v) AS q_value,
+                max(totw) AS total_weight
+         FROM c WHERE cumw * 2 >= totw * 1
+         GROUP BY 1 ORDER BY 1""",
+
+    // from-scratch recomputation over (base minus deletions) plus the
+    // insert window — must match the engine's state+delta fold exactly
+    "q358_ivm_apply" ->
+      """SELECT o_custkey AS custkey, count(*) AS cnt,
+           CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+         FROM orders
+         WHERE (o_orderdate < DATE '1997-01-01' AND o_orderkey % 7 <> 0)
+            OR (o_orderdate >= DATE '1997-01-01'
+                AND o_orderdate < DATE '1998-01-01')
+         GROUP BY 1 HAVING count(*) > 0 ORDER BY 1""",
+
+    "q359_variant_extract" ->
+      """WITH x AS (SELECT event_type,
+             CAST(props->>'$.k' AS BIGINT) AS k_val,
+             CAST(props->>'$.no_such_field' AS BIGINT) AS absent
+           FROM events)
+         SELECT event_type, count(*) AS n_rows,
+           count(k_val) AS n_with_k,
+           CAST(sum(k_val) AS BIGINT) AS sum_k,
+           min(k_val) AS min_k, max(k_val) AS max_k,
+           count(absent) AS n_absent_hits
+         FROM x GROUP BY 1 ORDER BY 1""",
+
+    // integer moments + ppm floor-divided terms: HUGEINT arithmetic
+    // mirrors the engine's decimal(38,0); // is floor division on
+    // non-negative operands, matching Spark's integral `div`
+    "q360_embedding_outliers" ->
+      """WITH c AS (SELECT vec_id,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)*1000000 + 0.5)
+                  AS BIGINT) AS x
+           FROM embeddings WHERE embedding IS NOT NULL),
+         st AS (SELECT d, CAST(count(*) AS HUGEINT) AS n,
+                  CAST(sum(x) AS HUGEINT) AS s,
+                  CAST(sum(x*x) AS HUGEINT) AS ss
+                FROM c GROUP BY 1),
+         t AS (SELECT c.vec_id,
+             CASE WHEN st.n*st.ss - st.s*st.s = 0 THEN 0
+                  ELSE ((st.n*c.x - st.s)*(st.n*c.x - st.s)*1000000)
+                       // (st.n*st.ss - st.s*st.s) END AS term
+           FROM c JOIN st USING (d))
+         SELECT vec_id, CAST(SUM(term) AS BIGINT) AS score_ppm
+         FROM t GROUP BY 1
+         ORDER BY score_ppm DESC, vec_id LIMIT 20"""
   )
 }

@@ -835,4 +835,56 @@ object Events {
                 .as("n_throttled"),
               col("__st.tok").as("final_tokens"))
   }
+
+  /** Autocorrelation function per series: Pearson correlation between
+    * the series and its own lag-ℓ shift, for ℓ = 1..maxLag — the
+    * seasonality/memory detector (an hourly-period series spikes at
+    * lag 24; white noise sits near 0 everywhere). Estimator is the
+    * pairwise-complete Pearson corr over the (v_t, v_{t−ℓ}) pairs —
+    * the same exact-integer cross-multiplication discipline as
+    * [[Relational.exactCorr]] (decimal(38,0) sums; float only in the
+    * one final shared expression), so the result is bit-portable
+    * across engines.
+    *
+    * Shape at 100 TB: ONE window shuffle on the series key computes
+    * all maxLag lag columns in-row (a single pass over each sorted
+    * series, not one window per lag); the per-(series, lag) sums then
+    * re-aggregate map-side before the final agg-sized shuffle. No
+    * driver state. `value` must be integral (fixed-point upstream —
+    * same contract as exactCorr); `order` must totalize ties. */
+  def autocorrelation(df: DataFrame, series: Column, order: Column,
+                      value: Column, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("__s")).orderBy(col("__o"))
+    val base = df.select(series.as("__s"), order.as("__o"),
+                         value.cast("long").as("__v"))
+    val withLags = (1 to maxLag).foldLeft(base)((d, l) =>
+      d.withColumn(s"__l$l", lag(col("__v"), l).over(w)))
+    // stack to (series, lag, x=v_t, y=v_{t-lag}) and drop the ramp-up
+    // rows where the lag is undefined (pairwise-complete estimator)
+    val stacked = withLags.select(col("__s") +: (1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col("__v").as("x"),
+               col(s"__l$l").as("y")).as(s"__p$l")): _*)
+      .select(col("__s"),
+        explode(array((1 to maxLag).map(l => col(s"__p$l")): _*)).as("p"))
+      .filter(col("p.y").isNotNull)
+    stacked
+      .groupBy(col("__s").as("series"), col("p.lag").as("lag"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+           sum(col("p.x").cast(dec)).as("sx"),
+           sum(col("p.y").cast(dec)).as("sy"),
+           sum((col("p.x") * col("p.x")).cast(dec)).as("sxx"),
+           sum((col("p.y") * col("p.y")).cast(dec)).as("syy"),
+           sum((col("p.x") * col("p.y")).cast(dec)).as("sxy"))
+      .select(col("series"), col("lag"), col("n").cast("long").as("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+          (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast("double")) *
+           sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+            .cast("double"))), 6)
+          .as("acf"))
+  }
 }

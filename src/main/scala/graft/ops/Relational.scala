@@ -1154,4 +1154,77 @@ object Relational {
         expr("max_cnt * 1000000 div total_rows").as("top1_ppm"),
         expr("top10_rows * 1000000 div total_rows").as("top10_ppm"))
   }
+
+  /** Exact weighted lower quantile per group: the smallest `value` v
+    * whose cumulative weight reaches q = qNum/qDen of the group's
+    * total weight (weighted median at 1/2). The estimator decisions
+    * that need "median price weighted by volume" / "token-weighted
+    * median document length" land here — unweighted percentile over
+    * row-exploded weights would shuffle Σw rows; this shuffles one row
+    * per input row and compares cumulative weights as integers
+    * (cumw·qDen >= totw·qNum — no float threshold, bit-portable).
+    *
+    * Shape at 100 TB: values pre-aggregate per (group, value) —
+    * map-side combine collapses duplicate values BEFORE the window —
+    * then one window shuffle on the group key walks each group's
+    * distinct values in order. Groups × distinct-values rows in the
+    * window, never raw rows. `weight` must be a non-negative integer
+    * column. */
+  def weightedQuantile(df: DataFrame, group: Column, value: Column,
+                       weight: Column, qNum: Int, qDen: Int): DataFrame = {
+    require(qDen >= 1 && qNum >= 1 && qNum <= qDen,
+      s"quantile $qNum/$qDen must sit in (0, 1]")
+    val perValue = df
+      .select(group.as("g"), value.as("v"),
+              weight.cast("long").as("__w"))
+      .groupBy(col("g"), col("v"))
+      .agg(sum(col("__w")).as("__w"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("g"))
+    perValue
+      .withColumn("__cumw", sum(col("__w")).over(w))
+      .withColumn("__totw", sum(col("__w")).over(wTot))
+      .filter(col("__cumw") * qDen >= col("__totw") * qNum)
+      .groupBy(col("g"))
+      .agg(min(col("v")).as("q_value"),
+           max(col("__totw")).as("total_weight"))
+  }
+
+  /** Incremental view maintenance for count/sum aggregates: fold a
+    * signed change batch into a materialized aggregate state WITHOUT
+    * rescanning the base data — the pattern that keeps a 100 TB-derived
+    * rollup fresh from a CDC feed at delta cost. `state` is the
+    * materialized (key..., cnt, sum) table; `changes` carries sign +1
+    * (insert) / −1 (delete) per affected row. Count and sum are
+    * self-maintainable under deletion (unlike min/max, which need the
+    * base — see [[applyUpsert]] for full-row merge); groups whose count
+    * reaches zero disappear, matching a recomputation exactly.
+    *
+    * Shape: the delta pre-aggregates map-side to one row per touched
+    * key, then a single shuffle co-groups delta partials with state
+    * rows (state is already one row per key). Cost ∝ |delta| +
+    * |state|, never ∝ |base|. */
+  def ivmApplySumCount(state: DataFrame, stateKey: Column,
+                       changes: DataFrame, changeKey: Column,
+                       sign: Column, value: Column,
+                       cntCol: String = "cnt", sumCol: String = "sum")
+      : DataFrame = {
+    require(state.columns.contains(cntCol) && state.columns.contains(sumCol),
+      s"state must carry '$cntCol' and '$sumCol' columns")
+    val deltas = changes
+      .select(changeKey.as("k"), sign.cast("long").as("__sg"),
+              value.cast("long").as("__v"))
+      .groupBy(col("k"))
+      .agg(sum(col("__sg")).as("dc"),
+           sum(col("__sg") * col("__v")).as("ds"))
+    val st = state.select(stateKey.as("k"),
+      col(cntCol).cast("long").as("dc"),
+      col(sumCol).cast("long").as("ds"))
+    st.unionByName(deltas)
+      .groupBy(col("k"))
+      .agg(sum(col("dc")).as(cntCol), sum(col("ds")).as(sumCol))
+      .filter(col(cntCol) > 0)
+  }
 }

@@ -662,4 +662,49 @@ object Similarity {
       .select(col("qid"), col("nbr"), col("nbr_label"),
               col("score"), col("rank"))
   }
+
+  /** Distributional outliers in embedding space: per-vector diagonal
+    * standardized distance Σ_d ((x_d − μ_d)/σ_d)² — the cheap
+    * Mahalanobis (diagonal covariance) that flags encoder glitches,
+    * off-manifold junk, and mislabeled modalities before they poison
+    * ANN buckets or k-means training. Everything is fixed-point
+    * integer: coordinates quantize at 1e6 (the corpus-wide convention
+    * here — see [[kmeansCentroids]]), per-dim terms are the exact
+    * rational (n·x_d − s_d)²/(n·ss_d − s_d²) floor-quantized to ppm,
+    * and the score is their integer sum — bit-portable, no float
+    * accumulation order anywhere. Constant dims (zero variance)
+    * contribute 0 rather than dividing by zero.
+    *
+    * Shape at 100 TB: per-dim moment frame is dims-sized (one shuffle
+    * with map-side partials over the exploded coordinates), broadcast
+    * back; the per-vector re-sum has map-side combine on vec id. The
+    * top-k is a TakeOrdered, never a global sort. */
+  def embeddingOutliers(df: DataFrame, id: Column, vec: Column,
+                        topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val coords = df
+      .select(id.as("vec_id"), transform(toDouble(vec),
+        x => floor(x * 1e6 + lit(0.5)).cast("long")).as("q"))
+      .filter(col("q").isNotNull)
+      .select(col("vec_id"), posexplode(col("q")).as(Seq("d", "x")))
+    val stats = coords.groupBy(col("d"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+           sum(col("x").cast(dec)).as("s"),
+           sum((col("x") * col("x")).cast(dec)).as("ss"))
+    coords.join(broadcast(stats), "d")
+      .withColumn("__num", (col("n") * col("x") - col("s")) *
+                           (col("n") * col("x") - col("s")) * lit(1000000))
+      .withColumn("__den", col("n") * col("ss") - col("s") * col("s"))
+      // IntegralDivide on decimals yields an exact long; num >= 0 and
+      // den > 0 so truncation == floor (matches the oracle's //)
+      .select(col("vec_id"),
+        when(col("__den") === lit(0), lit(0L))
+          .otherwise(expr("__num div __den")).as("__term"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("__term")).as("score_ppm"))
+      .orderBy(desc("score_ppm"), col("vec_id"))
+      .limit(topK)
+  }
 }

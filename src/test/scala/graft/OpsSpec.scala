@@ -3276,4 +3276,87 @@ class OpsSpec extends AnyFunSuite {
       .toSet
     assert(out == Set((1L, 3L, 8.75), (2L, 1L, 4.0)))
   }
+
+  test("autocorrelation flags the alternating series exactly") {
+    import spark.implicits._
+    // series a alternates 0,10,0,10,... : lag-1 pairs are perfectly
+    // anti-correlated (acf = -1), lag-2 pairs perfectly correlated
+    // (acf = +1) — exact in the integer cross-multiplication
+    val s = (1 to 8).map(i => ("a", i.toLong, if (i % 2 == 0) 10L else 0L))
+      .toDF("k", "t", "v")
+    val out = Events.autocorrelation(s, col("k"), col("t"), col("v"), 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set((1, 7L, -1.0), (2, 6L, 1.0)))
+  }
+
+  test("weighted quantile lands on the cumulative-weight boundary") {
+    import spark.implicits._
+    // values 1,2,3 with weights 1,2,7: total 10, half 5 — cum(1)=1,
+    // cum(2)=3, cum(3)=10 → weighted median is 3; unweighted median
+    // of the same rows would be 2 (the point of weighting)
+    val d = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 7L))
+      .toDF("k", "v", "w")
+    val out = Relational.weightedQuantile(d, col("k"), col("v"),
+        col("w"), 1, 2).collect().head
+    assert(out.getLong(1) == 3L && out.getLong(2) == 10L)
+    // q=3/10 needs cumw >= 3: value 2 (duplicate-value pre-agg path)
+    val out2 = Relational.weightedQuantile(d, col("k"), col("v"),
+        col("w"), 3, 10).collect().head
+    assert(out2.getLong(1) == 2L)
+    intercept[IllegalArgumentException] {
+      Relational.weightedQuantile(d, col("k"), col("v"), col("w"), 3, 2)
+    }
+  }
+
+  test("ivm apply matches recomputation, drops zeroed groups, adds new") {
+    import spark.implicits._
+    val state = Seq(("a", 2L, 100L), ("b", 1L, 50L))
+      .toDF("k", "cnt", "sum")
+    // a: +1 row of 30; b: the one row retracted (group disappears);
+    // c: brand-new group from the delta
+    val changes = Seq(("a", 1L, 30L), ("b", -1L, 50L), ("c", 1L, 7L))
+      .toDF("k", "sign", "v")
+    val out = Relational.ivmApplySumCount(state, col("k"),
+        changes, col("k"), col("sign"), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(("a", 3L, 130L), ("c", 1L, 7L)))
+  }
+
+  test("embedding outliers: planted off-manifold vector ranks first") {
+    import spark.implicits._
+    val base = (1L to 40L).map(i =>
+      (i, Array.fill(8)(((i % 5) - 2).toFloat / 10f)))
+    val planted = Seq((99L, Array.fill(8)(25.0f)))
+    val d = (base ++ planted).toDF("vec_id", "embedding")
+    val top = Similarity.embeddingOutliers(d, col("vec_id"),
+        col("embedding"), topK = 3).collect()
+    assert(top.head.getLong(0) == 99L)
+    assert(top.head.getLong(1) > top(1).getLong(1) * 5,
+      "planted outlier should dominate the in-manifold scores")
+  }
+
+  test("variant extract survives schema drift; profile merges schemas") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "t1", """{"k": 5, "tag": "x"}"""),
+      (2L, "t1", """{"k": "12"}"""),     // type drift: string number
+      (3L, "t2", """{"other": true}"""), // field missing entirely
+      (4L, "t2", "not json at all"))     // malformed → null row
+      .toDF("id", "et", "props")
+    val out = SemiStructured.variantExtract(d, col("props"),
+        Seq(("k_val", "$.k", "bigint"), ("tag", "$.tag", "string")))
+      .select("id", "k_val", "tag").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    // "12" coerces to 12L (variant_get casts within the variant),
+    // missing/malformed are null — no row errors anywhere
+    assert(out == Set((1L, Some(5L), Some("x")), (2L, Some(12L), None),
+                      (3L, None, None), (4L, None, None)))
+    val prof = SemiStructured.variantSchemaProfile(d, col("et"),
+        col("props")).collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    // t1's merged schema must mention k; t2's must mention other
+    assert(prof("t1").contains("k") && prof("t2").contains("other"))
+  }
 }
