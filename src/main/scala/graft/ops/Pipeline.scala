@@ -285,4 +285,16 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
   def stats: DataFrame =
     df.agg(count(lit(1)).as("n_docs"),
            sum(size(split(text, " "))).as("sum_tokens"))
+
+  /** Plant a free row/token counter at this point in the funnel via
+    * Spark's Observation API: the metrics ride the SAME action that
+    * materializes the result (accumulator-backed plan node), so
+    * per-stage attrition accounting costs ZERO extra scans — at
+    * 100 TB the alternative (`.count()` between stages) re-runs the
+    * whole upstream funnel once per stage. Read `obs.get` after the
+    * terminal action completes. Each Observation name must be unique
+    * within one query. */
+  def observed(obs: org.apache.spark.sql.Observation): Pipeline =
+    copy(df = df.observe(obs, count(lit(1)).as("n_rows"),
+      sum(size(split(text, " "))).as("n_tokens")))
 }

@@ -37,6 +37,29 @@ object EventStreams {
                col("rb.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
 
+  /** Streaming heavy hitters: the SAME mergeable SpaceSaving state as
+    * the batch [[graft.ops.Sketches.heavyHitters]] (Metwally et al.),
+    * maintained across micro-batches by streaming aggregation — the
+    * state store holds one O(capacity) summary per group, each batch's
+    * partial summaries merge in, and the current top-k is emitted in
+    * update/complete mode. When capacity >= the group's distinct-item
+    * count the summary is EXACT (no evictions, err 0) and the stream
+    * equals the batch build regardless of batch boundaries; past that
+    * it keeps the SpaceSaving guarantee (any item with true frequency
+    * > n/capacity is present). Same output schema as the batch op. */
+  def heavyHittersStream(stream: DataFrame, group: Column, item: Column,
+                         k: Int, capacity: Int): DataFrame = {
+    require(k >= 1 && capacity >= k,
+      s"need 1 <= k <= capacity, got k=$k capacity=$capacity")
+    val f = udaf(graft.functions.Reducers.SpaceSaving(capacity))
+    stream.filter(item.isNotNull)
+      .groupBy(group.as("group"))
+      .agg(slice(f(item), 1, k).as("__hh"))
+      .select(col("group"), explode(col("__hh")).as("__h"))
+      .select(col("group"), col("__h._1").as("item"),
+              col("__h._2").as("cnt_est"), col("__h._3").as("err"))
+  }
+
   /** Streaming tumbling-window aggregation (append mode with watermark,
     * or complete mode for tests). Same output schema as
     * `Events.tumbling`. */

@@ -3359,4 +3359,22 @@ class OpsSpec extends AnyFunSuite {
     // t1's merged schema must mention k; t2's must mention other
     assert(prof("t1").contains("k") && prof("t2").contains("other"))
   }
+
+  test("pipeline observation meters attrition with zero extra scans") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+                (3L, "delta epsilon"), (4L, "zeta eta theta iota"))
+      .toDF("doc_id", "text")
+    val obsIn = org.apache.spark.sql.Observation("funnel_in")
+    val obsOut = org.apache.spark.sql.Observation("funnel_out")
+    // one action materializes the funnel AND both counters; the
+    // exact-dedup stage drops doc 2 (same 2-token prefix as doc 1)
+    Pipeline(d, "doc_id", "text")
+      .observed(obsIn)
+      .dedupExactByPrefix(nTokens = 2)
+      .observed(obsOut)
+      .result.write.format("noop").mode("overwrite").save()
+    assert(obsIn.get("n_rows") == 4L && obsIn.get("n_tokens") == 12L)
+    assert(obsOut.get("n_rows") == 3L && obsOut.get("n_tokens") == 9L)
+  }
 }

@@ -427,4 +427,40 @@ class PlanSpec extends AnyFunSuite {
         s"$q: ${p.take(2000)}")
     }
   }
+
+  test("q356 acf computes all lags under ONE window pass") {
+    // the docstring's claim: maxLag lag columns share one window spec,
+    // so one Window node / one sort — lags must not multiply shuffles
+    val p = plan("q356_acf")
+    assert("Window ".r.findAllIn(p).size == 1, p.take(2000))
+  }
+
+  test("q360 outlier per-dim moments broadcast back to the coordinates") {
+    // the dims-sized stats frame must come back as a broadcast join —
+    // re-shuffling the full coordinate frame on dim id would be a
+    // corpus-sized exchange for a 64-row lookup
+    val p = plan("q360_embedding_outliers")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // TakeOrdered for the top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q358 ivm plan cost is state+delta: no join back to base rows") {
+    // union-of-partials + one final agg; the base orders relation
+    // appears only in building state/changes, never re-joined
+    val p = plan("q358_ivm_apply")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+
+  test("q359 variant parses the payload ONCE for all extracted paths") {
+    // the docstring's claim vs get_json_object: one parseJson node
+    // feeds every try_variant_get — per-field re-parses would show as
+    // one parseJson per path
+    val p = plan("q359_variant_extract")
+    assert("parseJson".r.findAllIn(p).size == 1, p.take(2000))
+    assert("try_variant_get".r.findAllIn(p).size == 2, p.take(2000))
+    // and the aggregation combines map-side before the shuffle
+    assert(p.contains("partial_count"), p.take(2000))
+  }
 }

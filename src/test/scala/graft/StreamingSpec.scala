@@ -692,4 +692,34 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(got == want)
   }
+
+  test("streaming heavy hitters equals batch at exact capacity") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // 11 distinct items, capacity 16 >= distinct: the SpaceSaving
+    // summary is exact, so stream == batch independent of where the
+    // micro-batch boundary lands (and of partitioning merge order)
+    val occ = Seq.tabulate(400)(i => (s"g${i % 2}", s"w${i % 11}"))
+    val batch = ops.Sketches.heavyHitters(occ.toDF("g", "it"),
+        Seq(col("g")), col("it"), k = 5, capacity = 16)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getLong(3))).toSet
+    val ms = MemoryStream[(String, String)]
+    val q = EventStreams.heavyHittersStream(ms.toDS().toDF("g", "it"),
+        col("g"), col("it"), k = 5, capacity = 16)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(occ.take(150): _*)
+      q.processAllAvailable()
+      ms.addData(occ.drop(150): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hh_stream").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+                 r.getLong(3))).toSet
+    assert(got == batch)
+    assert(got.forall(_._4 == 0L), "exact capacity means zero error")
+  }
 }
