@@ -691,6 +691,53 @@ object SparkEntry {
           col("vec_id"), col("embedding"), topK = 20)
     }),
 
+    // Native session_window aggregation — the streaming-capable
+    // session grouping (state merges incrementally; the sessionize
+    // window-id form can't stream). Boundary semantics: a gap of
+    // EXACTLY 30 min starts a new session (end-exclusive).
+    "q361_session_native" -> ((s, dir) => {
+      graft.ops.Events.sessionAgg(t(s, dir, "events"),
+          col("user_id"), col("ts"), gapSeconds = 1800L)
+        .orderBy("user_id", "session_start")
+    }),
+
+    // Join-key discovery over four candidate id columns: distinct
+    // value frames, one value-keyed equi-join, integer-ppm
+    // containment — the FK signals (o_custkey ⊆ c_custkey,
+    // l_orderkey ⊆ o_orderkey) must surface at 1000000 ppm.
+    "q362_join_keys" -> ((s, dir) => {
+      graft.ops.Checks.inclusionDependencies(Seq(
+          ("orders.o_custkey", t(s, dir, "orders"), "o_custkey"),
+          ("customer.c_custkey", t(s, dir, "customer"), "c_custkey"),
+          ("lineitem.l_orderkey", t(s, dir, "lineitem"), "l_orderkey"),
+          ("orders.o_orderkey", t(s, dir, "orders"), "o_orderkey")))
+        .orderBy("col_a", "col_b")
+    }),
+
+    // Linear interpolation of a deterministically-masked value series
+    // (event_id % 5 == 0 nulled): exact integer numerator/denominator,
+    // ONE double division — leading/trailing gaps stay null.
+    "q363_interpolate" -> ((s, dir) => {
+      val masked = t(s, dir, "events")
+        .withColumn("cents",
+          when(col("event_id") % 5 === 0, lit(null))
+            .otherwise(floor(col("value") * 100 + lit(0.5)).cast("long")))
+      graft.ops.Events.interpolateLinear(masked,
+          col("user_id"), col("ts"), col("event_id"), col("cents"))
+        .select(col("user_id"), col("event_id"), col("filled"),
+                col("was_interpolated"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Path mining: the 20 most-walked 3-step event-type sequences —
+    // n-1 leads in one window pass, TakeOrdered with (cnt, path)
+    // total order.
+    "q364_frequent_paths" -> ((s, dir) => {
+      graft.ops.Events.frequentPaths(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          n = 3, topK = 20)
+    }),
+
     // Token-bucket rate-limiter replay: which traffic WOULD a
     // 3-token bucket (1M µtok cost, 100 µtok/s refill) throttle —
     // the clamp recurrence folded in-row in pure integer arithmetic,
@@ -7963,6 +8010,100 @@ object SparkEntry {
            FROM c JOIN st USING (d))
          SELECT vec_id, CAST(SUM(term) AS BIGINT) AS score_ppm
          FROM t GROUP BY 1
-         ORDER BY score_ppm DESC, vec_id LIMIT 20"""
+         ORDER BY score_ppm DESC, vec_id LIMIT 20""",
+
+    // gap-merge replay with Spark's end-exclusive boundary (diff of
+    // exactly the gap starts a NEW session)
+    "q361_session_native" ->
+      """WITH e AS (SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 1800 SECOND
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events WHERE ts IS NOT NULL),
+         sid AS (SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS s
+           FROM e)
+         SELECT user_id, min(ts) AS session_start,
+                count(*) AS n_events
+         FROM sid GROUP BY user_id, s
+         ORDER BY user_id, session_start""",
+
+    "q362_join_keys" ->
+      """WITH vals AS (
+           SELECT 'orders.o_custkey' AS l,
+                  CAST(o_custkey AS VARCHAR) AS v FROM orders
+             WHERE o_custkey IS NOT NULL
+           UNION
+           SELECT 'customer.c_custkey', CAST(c_custkey AS VARCHAR)
+             FROM customer WHERE c_custkey IS NOT NULL
+           UNION
+           SELECT 'lineitem.l_orderkey', CAST(l_orderkey AS VARCHAR)
+             FROM lineitem WHERE l_orderkey IS NOT NULL
+           UNION
+           SELECT 'orders.o_orderkey', CAST(o_orderkey AS VARCHAR)
+             FROM orders WHERE o_orderkey IS NOT NULL),
+         sizes AS (SELECT l, count(*) AS n FROM vals GROUP BY 1),
+         pairs AS (SELECT a.l AS col_a, b.l AS col_b,
+                     count(*) AS n_common
+                   FROM vals a JOIN vals b ON a.v = b.v AND a.l <> b.l
+                   GROUP BY 1, 2)
+         SELECT col_a, col_b, sa.n AS n_a, sb.n AS n_b, n_common,
+                n_common * 1000000 // sa.n AS containment_ppm
+         FROM pairs JOIN sizes sa ON sa.l = col_a
+                    JOIN sizes sb ON sb.l = col_b
+         ORDER BY 1, 2""",
+
+    // same exact integer numerator/denominator and the ONE double
+    // division; IGNORE NULLS carries (t, v) of the nearest observed
+    // neighbors
+    "q363_interpolate" ->
+      """WITH b AS (SELECT user_id, event_id,
+             CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS t,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE CAST(floor(value*100 + 0.5) AS BIGINT) END AS v
+           FROM events WHERE ts IS NOT NULL),
+         n AS (SELECT user_id, event_id, t, v,
+             last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pt,
+             first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS nt
+           FROM b)
+         SELECT user_id, event_id,
+           CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                WHEN pv IS NULL OR nv IS NULL THEN NULL
+                WHEN nt = pt THEN CAST(pv AS DOUBLE)
+                ELSE round(CAST(pv*(nt - t) + nv*(t - pt) AS DOUBLE)
+                           / CAST(nt - pt AS DOUBLE), 6) END AS filled,
+           (v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL)
+             AS was_interpolated
+         FROM n ORDER BY user_id, event_id""",
+
+    "q364_frequent_paths" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS s1,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS s2
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IS NOT NULL)
+         SELECT event_type || '>' || s1 || '>' || s2 AS path,
+                count(*) AS cnt
+         FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+         GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20"""
   )
 }

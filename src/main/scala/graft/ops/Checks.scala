@@ -630,4 +630,44 @@ object Checks {
         round((d("sy") - slope * d("sx")) / d("n_points"), 6)
           .as("intercept"))
   }
+
+  /** Join-key discovery (inclusion-dependency mining): for every
+    * ordered pair of candidate columns, how much of column A's
+    * distinct value set is contained in column B's — containment at
+    * 1000000 ppm means every A value joins, the foreign-key signal
+    * schema archaeology on an undocumented lake starts from.
+    * `candidates` is (label, frame, column); values compare as
+    * strings so cross-typed columns (int id vs varchar id) still
+    * match textually.
+    *
+    * Shape at 100 TB: each candidate collapses to its DISTINCT value
+    * frame first (map-side combine), the pairwise meet is ONE
+    * value-keyed equi-join over those deduplicated frames — candidate
+    * pairs never enumerate raw rows, and the counts frame is
+    * labels²-sized. Containment is integer ppm (floor division). */
+  def inclusionDependencies(candidates: Seq[(String, DataFrame, String)])
+      : DataFrame = {
+    require(candidates.size >= 2, "need at least two candidate columns")
+    require(candidates.map(_._1).distinct.size == candidates.size,
+      "candidate labels must be distinct")
+    val values = candidates.map { case (label, df, c) =>
+        df.select(col(c).cast("string").as("v"))
+          .filter(col("v").isNotNull).distinct()
+          .select(lit(label).as("l"), col("v"))
+      }.reduce(_ unionByName _)
+    val sizes = values.groupBy(col("l")).agg(count(lit(1)).as("n"))
+    val common = values.as("a")
+      .join(values.as("b"), col("a.v") === col("b.v"))
+      .filter(col("a.l") =!= col("b.l"))
+      .groupBy(col("a.l").as("col_a"), col("b.l").as("col_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("l").as("col_a"),
+        col("n").as("n_a"))), "col_a")
+      .join(broadcast(sizes.select(col("l").as("col_b"),
+        col("n").as("n_b"))), "col_b")
+      .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        expr("n_common * 1000000 div n_a").as("containment_ppm"))
+  }
 }

@@ -887,4 +887,101 @@ object Events {
             .cast("double"))), 6)
           .as("acf"))
   }
+
+  /** Session aggregation on Spark's NATIVE `session_window` — the
+    * gap-merge the engine's [[sessionize]] builds by hand, expressed
+    * as the built-in grouping so the SAME code runs under Structured
+    * Streaming (where the window-id form can't: a running session-id
+    * prefix sum needs the whole history, but session_window state
+    * merges incrementally and closes at the watermark). Emits one row
+    * per (key, session): start, end, event count. Batch output equals
+    * grouping [[sessionize]]'s ids — `OpsSpec` pins the parity. Use
+    * sessionize when later stages need per-EVENT session ids; use
+    * this when they need per-SESSION rows (one fewer window pass). */
+  def sessionAgg(df: DataFrame, user: Column, ts: Column,
+                 gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    df.filter(ts.isNotNull)
+      .groupBy(user.as("user_id"),
+        session_window(ts, s"$gapSeconds seconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+              col("n_events"))
+  }
+
+  /** Linear interpolation of missing values in a keyed time series:
+    * each null takes the straight line between its nearest non-null
+    * neighbors (by time); leading/trailing nulls stay null (no
+    * extrapolation — the forecastless choice [[forwardFill]] callers
+    * also get). The interpolated value is the exact rational
+    * (vPrev·(tNext−t) + vNext·(t−tPrev)) / (tNext−tPrev) computed in
+    * integer arithmetic and divided ONCE as doubles — bit-portable.
+    * Equal-timestamp neighbors (den 0) fall back to the previous
+    * value, forward-fill style.
+    *
+    * Shape at 100 TB: one window shuffle on the key; both the
+    * carry-back and carry-forward run over the same (ts, order) sort
+    * (ignoreNulls last/first over mirrored frames), so Catalyst plans
+    * one exchange + one sort. `value` must be integral fixed-point;
+    * `order` totalizes ties. */
+  def interpolateLinear(df: DataFrame, key: Column, ts: Column,
+                        order: Column, value: Column): DataFrame = {
+    val reserved = Seq("__sec", "__v", "__prev", "__next")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"interpolateLinear: input already has ${clash.mkString(", ")}")
+    val base = df.filter(ts.isNotNull)
+      .withColumn("__sec", unix_timestamp(ts))
+      .withColumn("__v", value.cast("long"))
+    val wPrev = Window.partitionBy(key).orderBy(col("__sec"), order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(key).orderBy(col("__sec"), order)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val obs = when(col("__v").isNotNull,
+      struct(col("__sec").as("t"), col("__v").as("v")))
+    val interp = base
+      .withColumn("__prev", last(obs, ignoreNulls = true).over(wPrev))
+      .withColumn("__next", first(obs, ignoreNulls = true).over(wNext))
+    val den = col("__next.t") - col("__prev.t")
+    val num = col("__prev.v") * (col("__next.t") - col("__sec")) +
+              col("__next.v") * (col("__sec") - col("__prev.t"))
+    interp.withColumn("filled",
+      when(col("__v").isNotNull, col("__v").cast("double"))
+        .when(col("__prev").isNull || col("__next").isNull, lit(null))
+        .when(den === 0, col("__prev.v").cast("double"))
+        .otherwise(round(num.cast("double") / den.cast("double"), 6)))
+      .withColumn("was_interpolated",
+        col("__v").isNull && col("filled").isNotNull)
+      .drop("__sec", "__v", "__prev", "__next")
+  }
+
+  /** Frequent event paths: the global top-k most common length-`n`
+    * event-type sequences walked per key in time order — the
+    * "what do users actually do" mining primitive behind funnel
+    * design (funnels TEST a hypothesized path; this DISCOVERS the
+    * candidates). One window shuffle computes the n−1 lead columns
+    * in-row, complete n-grams aggregate with map-side combine, and
+    * the top-k is a TakeOrdered with a deterministic (count desc,
+    * path asc) order. */
+  def frequentPaths(df: DataFrame, key: Column, ts: Column,
+                    order: Column, step: Column,
+                    n: Int, topK: Int): DataFrame = {
+    require(n >= 2, s"path length must be >= 2, got $n")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val base = df.filter(ts.isNotNull && step.isNotNull)
+      .select(key.as("__k"), ts.as("__t"), order.as("__o"),
+              step.as("__s0"))
+    val withLeads = (1 until n).foldLeft(base)((d, i) =>
+      d.withColumn(s"__s$i",
+        lead(col("__s0"), i).over(
+          Window.partitionBy(col("__k")).orderBy(col("__t"), col("__o")))))
+    val steps = (0 until n).map(i => col(s"__s$i"))
+    withLeads
+      .filter(steps.map(_.isNotNull).reduce(_ && _))
+      .select(concat_ws(">", steps: _*).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("path"))
+      .limit(topK)
+  }
 }

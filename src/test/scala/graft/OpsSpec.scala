@@ -3377,4 +3377,73 @@ class OpsSpec extends AnyFunSuite {
     assert(obsIn.get("n_rows") == 4L && obsIn.get("n_tokens") == 12L)
     assert(obsOut.get("n_rows") == 3L && obsOut.get("n_tokens") == 9L)
   }
+
+  test("native session_window agg equals sessionize's grouping") {
+    import spark.implicits._
+    val e = Seq((1L, 100L), (1L, 200L), (1L, 2300L), (1L, 2400L),
+                (2L, 50L))
+      .toDF("u", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+    val native = Events.sessionAgg(e, col("u"), col("ts"), 1800L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2))).toSet
+    // sessionize with the same gap: group events by (user, session_id)
+    val viaIds = Events.sessionize(e, col("u"), col("ts"), 1800L)
+      .groupBy(col("u"), col("session_id"))
+      .agg(min(col("ts")).as("st"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2).getTime / 1000,
+        r.getLong(3))).toSet
+    assert(native == viaIds)
+    assert(native == Set((1L, 100L, 2L), (1L, 2300L, 2L), (2L, 50L, 1L)))
+  }
+
+  test("linear interpolation hits the exact line; edges stay null") {
+    import spark.implicits._
+    // t=0 v=10, t=10 null, t=40 v=70: interpolated at t=10 is
+    // 10 + (70-10)*10/40 = 25; leading null at t=-5 stays null
+    val e = Seq((1L, -5L, None), (1L, 0L, Some(10L)), (1L, 10L, None),
+                (1L, 40L, Some(70L)), (1L, 50L, None))
+      .toDF("u", "sec", "v")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Events.interpolateLinear(e, col("u"), col("ts"),
+        col("sec"), col("v"))
+      .select("sec", "filled", "was_interpolated").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+        r.getBoolean(2))).toSet
+    assert(out == Set((-5L, None, false), (0L, Some(10.0), false),
+      (10L, Some(25.0), true), (40L, Some(70.0), false),
+      (50L, None, false)))
+  }
+
+  test("frequent paths counts sliding n-grams with total-order top-k") {
+    import spark.implicits._
+    val e = Seq((1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"),
+                (1L, 4L, "a"), (1L, 5L, "b"), (1L, 6L, "c"),
+                (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "c"))
+      .toDF("u", "sec", "et")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Events.frequentPaths(e, col("u"), col("ts"), col("sec"),
+        col("et"), n = 3, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toList
+    // a>b>c occurs 3x (twice for u1 via sliding, once u2 — note
+    // u1's windows are a>b>c, b>c>a, c>a>b, a>b>c)
+    assert(out == List(("a>b>c", 3L), ("b>c>a", 1L)))
+  }
+
+  test("inclusion dependencies find the FK direction, not the reverse") {
+    import spark.implicits._
+    val dim = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val fact = Seq(1L, 1L, 2L).toDF("fk")
+    val res = Checks.inclusionDependencies(Seq(
+        ("fact.fk", fact, "fk"), ("dim.id", dim, "id"))).collect()
+    val out = res.map { r =>
+      (r.getAs[String]("col_a"), r.getAs[String]("col_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_common"), r.getAs[Long]("containment_ppm")))
+    }.toMap
+    // fk ⊆ id at 100%: (n_a=2 distinct, n_b=4, common=2, 1e6 ppm)
+    assert(out(("fact.fk", "dim.id")) == ((2L, 4L, 2L, 1000000L)))
+    // reverse containment is 2/4 = 50%
+    assert(out(("dim.id", "fact.fk")) == ((4L, 2L, 2L, 500000L)))
+  }
 }
