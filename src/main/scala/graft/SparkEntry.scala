@@ -738,6 +738,57 @@ object SparkEntry {
           n = 3, topK = 20)
     }),
 
+    // TPC-H Q6 shape (forecast revenue change): the pure
+    // scan-filter-aggregate — no join, no shuffle beyond the one-row
+    // final agg; every predicate must reach the parquet scan.
+    "q365_tpch_q6" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+                col("l_shipdate") < lit("1998-01-01") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 100 +
+               lit(0.5)).cast("long")).as("revenue_cents"),
+             count(lit(1)).as("n_items"))
+    }),
+
+    // TPC-H Q9 shape (product-type profit by nation and year),
+    // adapted to this schema: no partsupp table, so supply cost
+    // proxies at 10% of p_retailprice per unit; parts filtered by a
+    // name infix, dims broadcast, one fact-side shuffle for the agg.
+    "q366_tpch_q9" -> ((s, dir) => {
+      val profit = floor(col("l_extendedprice") * (lit(1.0) -
+          col("l_discount")) * 100 + lit(0.5)).cast("long") -
+        floor(col("p_retailprice") * col("l_quantity") * 10 + lit(0.5))
+          .cast("long")
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+          .filter(col("p_name").contains("al"))), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+                 year(col("o_orderdate")).as("o_year"))
+        .agg(sum(profit).as("profit_cents"))
+        .orderBy(col("nation"), desc("o_year"))
+    }),
+
+    // TPC-H Q12 shape (late-shipment priority accounting), adapted:
+    // no l_receiptdate/l_shipmode here, so "late" is ship > 60 days
+    // after order, bucketed by linestatus — the CASE-sum join.
+    "q367_tpch_q12" -> ((s, dir) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+             sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
     // Token-bucket rate-limiter replay: which traffic WOULD a
     // 3-token bucket (1M µtok cost, 100 µtok/s refill) throttle —
     // the clamp recurrence folded in-row in pure integer arithmetic,
@@ -8104,6 +8155,41 @@ object SparkEntry {
          SELECT event_type || '>' || s1 || '>' || s2 AS path,
                 count(*) AS cnt
          FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
-         GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20"""
+         GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""",
+
+    "q365_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100
+                  + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           AND l_shipdate < TIMESTAMP '1998-01-01'
+           AND l_discount >= 0.05 AND l_discount <= 0.07
+           AND l_quantity < 24""",
+
+    "q366_tpch_q9" ->
+      """SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                    * 100 + 0.5) AS BIGINT)
+                  - CAST(floor(p_retailprice * l_quantity * 10 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS profit_cents
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+             AND p_name LIKE '%al%'
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+
+    "q367_tpch_q12" ->
+      """SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE date_diff('day', o_orderdate, l_shipdate) > 60
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -453,6 +453,25 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q365 tpch-q6 predicates all reach the parquet scan") {
+    val p = plan("q365_tpch_q6")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters"))
+      .getOrElse("")
+    assert(pushed.contains("l_shipdate") && pushed.contains("l_discount")
+      && pushed.contains("l_quantity"), pushed)
+    // no join, no wide shuffle: the only exchange is the one-row final
+    assert(!p.contains("Join"), p.take(1500))
+  }
+
+  test("q366 tpch-q9 broadcasts every dimension; fact shuffles once") {
+    val p = plan("q366_tpch_q9")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2500))
+    // orders join may be sort-merge (both fact-sized) but part,
+    // supplier and nation must never shuffle the fact side
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      p.take(2500))
+  }
+
   test("q359 variant parses the payload ONCE for all extracted paths") {
     // the docstring's claim vs get_json_object: one parseJson node
     // feeds every try_variant_get — per-field re-parses would show as
