@@ -109,6 +109,30 @@ object EventStreams {
       .drop(r(key))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[intervalJoin]],
+    * but left rows that never meet a right row inside the time bound
+    * still emit — null-padded — once the watermark passes the bound
+    * and Spark can PROVE no match can arrive. The enrich-or-flag
+    * pattern (every request row must appear downstream, matched to a
+    * response or marked unanswered) that an inner join silently drops.
+    * State eviction is identical to the inner form: both sides keyed
+    * in the state store, bounded by watermark + interval width. The
+    * unmatched row's emission is delayed by up to the watermark — the
+    * price of a provably-complete answer on an unbounded stream. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+                            leftTs: String, rightTs: String,
+                            before: String, after: String,
+                            watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+        l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"INTERVAL $before") &&
+        r(rightTs) <= l(leftTs) + expr(s"INTERVAL $after"),
+        "leftOuter")
+      .drop(r(key))
+  }
+
   /** Streaming document curation — the ingest-side funnel: language
     * gate, composite-quality cut, PII scrub, then exact dedup on a
     * token-prefix key within the watermark horizon. The first three

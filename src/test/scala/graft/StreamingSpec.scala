@@ -469,6 +469,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, t(3))), got.mkString(","))
   }
 
+  test("outer interval join emits unmatched rows after the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(base.getTime + m * 60000L)
+    val reqs = MemoryStream[(Long, java.sql.Timestamp)]
+    val resps = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = EventStreams.intervalJoinLeftOuter(
+      reqs.toDS().toDF("k", "rts"),
+      resps.toDS().toDF("k", "sts"),
+      key = "k", leftTs = "rts", rightTs = "sts",
+      before = "0 minutes", after = "5 minutes",
+      watermark = "10 minutes")
+    val q = joined.select(col("k"), col("rts"), col("sts"))
+      .writeStream.format("memory").queryName("ssouter")
+      .outputMode("append").start()
+    try {
+      // request 1 answered at t2; request 2 never answered
+      reqs.addData((1L, t(0)), (2L, t(0)))
+      resps.addData((1L, t(2)))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past t0+5min+10min so Spark can
+      // prove request 2 is unmatchable and release the null row
+      reqs.addData((9L, t(60)))
+      resps.addData((9L, t(60)))
+      q.processAllAvailable()
+      reqs.addData((9L, t(120)))
+      resps.addData((9L, t(120)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssouter").collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(2)))).toSet
+    assert(got.contains((1L, Some(t(2)))), got.mkString(","))
+    assert(got.contains((2L, None)),
+      s"unanswered request must emit null-padded: ${got.mkString(",")}")
+  }
+
   test("streaming funnel equals the batch funnel on an in-order feed") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
