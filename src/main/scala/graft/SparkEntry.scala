@@ -789,6 +789,35 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // Bloom-prefiltered semi-join: dim keys (large parts) fold into a
+    // bloom that drops non-joining fact rows at the scan; the exact
+    // semi-join clears false positives — results identical to the
+    // plain semi-join the oracle runs.
+    "q368_bloom_semijoin" -> ((s, dir) => {
+      val bigParts = t(s, dir, "part").filter(col("p_size") >= 48)
+      graft.ops.Relational.bloomSemiJoin(
+          t(s, dir, "lineitem"), col("l_partkey"),
+          bigParts, col("p_partkey"), expectedItems = 2000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+             sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Bloom-accelerated anti-join (blocklist shape): rows the bloom
+    // provably clears bypass the join; only the might-contain sliver
+    // rides the exact anti-join. Must equal the plain NOT IN.
+    "q369_bloom_antijoin" -> ((s, dir) => {
+      val bigParts = t(s, dir, "part").filter(col("p_size") >= 48)
+      graft.ops.Relational.bloomAntiJoin(
+          t(s, dir, "lineitem"), col("l_partkey"),
+          bigParts, col("p_partkey"), expectedItems = 2000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+             sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Token-bucket rate-limiter replay: which traffic WOULD a
     // 3-token bucket (1M µtok cost, 100 µtok/s refill) throttle —
     // the clamp recurrence folded in-row in pure integer arithmetic,
@@ -8190,6 +8219,24 @@ object SparkEntry {
                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE date_diff('day', o_orderdate, l_shipdate) > 60
+         GROUP BY 1 ORDER BY 1""",
+
+    // plain semi-join: the bloom is a prefilter only, results must be
+    // exactly these
+    "q368_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey IN
+           (SELECT p_partkey FROM part WHERE p_size >= 48)
+         GROUP BY 1 ORDER BY 1""",
+
+    "q369_bloom_antijoin" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem
+         WHERE l_partkey NOT IN
+           (SELECT p_partkey FROM part WHERE p_size >= 48)
          GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -1227,4 +1227,80 @@ object Relational {
       .agg(sum(col("dc")).as(cntCol), sum(col("ds")).as(sumCol))
       .filter(col(cntCol) > 0)
   }
+
+  /** Bloom-prefiltered semi-join: the EXPLICIT form of Spark's
+    * row-level runtime filtering for the regime its auto-injection
+    * skips (dim too large to broadcast-join but whose KEY SET fits a
+    * bloom; non-equi pipelines; filters applied several stages before
+    * the join). A bloom of the dim keys drops non-joining fact rows AT
+    * THE SCAN — before the shuffle that dominates a 100 TB semi-join —
+    * and the exact semi-join afterwards clears the false positives, so
+    * results are EXACTLY the plain semi-join's. The bloom itself is
+    * the one piece of driver state: O(numBits/8) bytes (default sizing
+    * ~1.2 GB per 10^9 keys at 3% fp), the same order Spark's own
+    * injected filter ships through its scalar subquery.
+    *
+    * `expectedItems` sizes the filter (overestimate is safe, just
+    * bigger); fp rate only costs prefilter selectivity, never
+    * correctness. Null fact keys drop (semi-join semantics). */
+  def bloomSemiJoin(fact: DataFrame, factKey: Column,
+                    dim: DataFrame, dimKey: Column,
+                    expectedItems: Long): DataFrame = {
+    require(expectedItems > 0,
+      s"expectedItems must be positive, got $expectedItems")
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val buildHash = new XxHash64(Seq(ColumnBridge.catalystExpr(dimKey)))
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(buildHash, expectedItems)
+        .toAggregateExpression())
+    // one dim-side aggregation job, result is the serialized bloom
+    val bloomBytes = dim.agg(bloomAgg.as("b")).head.getAs[Array[Byte]](0)
+    val probeHash = new XxHash64(Seq(ColumnBridge.catalystExpr(factKey)))
+    val mightContain = ColumnBridge.column(
+      BloomFilterMightContain(Literal(bloomBytes, BinaryType), probeHash))
+    val keys = dim.select(dimKey.as("__bsj_k")).distinct()
+    fact.filter(mightContain)
+      .join(keys, factKey === col("__bsj_k"), "left_semi")
+  }
+
+  /** Bloom-accelerated ANTI-join (the decontamination/blocklist shape:
+    * keep fact rows whose key is NOT in dim). The bloom's one-sided
+    * guarantee flips roles here: a row the filter rejects is PROVABLY
+    * absent from dim — it bypasses the join entirely and is kept —
+    * so only the might-contain sliver (true matches + fp rate) rides
+    * the exact anti-join shuffle. With a selective blocklist that is
+    * ~fp-rate of the corpus instead of all of it. Results are exactly
+    * the plain anti-join's: the two filter branches partition the
+    * fact (might_contain never evaluates null — the hash is total),
+    * bypassed rows are kept as the anti-join would keep them, and the
+    * sliver is exact-verified. Null fact keys match nothing, so
+    * whichever branch they land in keeps them. */
+  def bloomAntiJoin(fact: DataFrame, factKey: Column,
+                    dim: DataFrame, dimKey: Column,
+                    expectedItems: Long): DataFrame = {
+    require(expectedItems > 0,
+      s"expectedItems must be positive, got $expectedItems")
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val buildHash = new XxHash64(Seq(ColumnBridge.catalystExpr(dimKey)))
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(buildHash, expectedItems)
+        .toAggregateExpression())
+    val bloomBytes = dim.agg(bloomAgg.as("b")).head.getAs[Array[Byte]](0)
+    val probeHash = new XxHash64(Seq(ColumnBridge.catalystExpr(factKey)))
+    val mightContain = ColumnBridge.column(
+      BloomFilterMightContain(Literal(bloomBytes, BinaryType), probeHash))
+    val keys = dim.select(dimKey.as("__baj_k")).distinct()
+    val sliver = fact.filter(mightContain)
+      .join(keys, factKey === col("__baj_k"), "left_anti")
+    val bypass = fact.filter(!mightContain)
+    sliver.unionByName(bypass)
+  }
 }

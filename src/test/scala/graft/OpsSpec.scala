@@ -3446,4 +3446,44 @@ class OpsSpec extends AnyFunSuite {
     // reverse containment is 2/4 = 50%
     assert(out(("dim.id", "fact.fk")) == ((4L, 2L, 2L, 500000L)))
   }
+
+  test("bloom semi-join equals the plain semi-join even when tiny") {
+    import spark.implicits._
+    val fact = (1L to 500L).map(i => (i, i % 97)).toDF("row_id", "fk")
+    val dim = Seq(3L, 11L, 42L).toDF("id")
+    // expectedItems deliberately undersized relative to the probe key
+    // space → false positives are likely; the exact verify must clear
+    // every one of them
+    val viaBloom = Relational.bloomSemiJoin(fact, col("fk"),
+        dim, col("id"), expectedItems = 3L)
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    val exact = fact.join(dim, col("fk") === col("id"), "left_semi")
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact && exact.nonEmpty)
+    // the prefilter must sit in the plan as a might_contain filter on
+    // the FACT side, before the join (parquet-backed frames — a
+    // LocalRelation would evaluate the filter at optimize time)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val parts = spark.read.parquet(s"$sf0001/part.parquet")
+      .filter(col("p_size") >= 48)
+    val p = Relational.bloomSemiJoin(li, col("l_partkey"),
+        parts, col("p_partkey"), 100L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p.take(1500))
+  }
+
+  test("bloom anti-join partitions exactly; fp sliver exact-verified") {
+    import spark.implicits._
+    val fact = (1L to 500L).map(i => (i, i % 97)).toDF("row_id", "fk")
+    val dim = Seq(3L, 11L, 42L).toDF("id")
+    val viaBloom = Relational.bloomAntiJoin(fact, col("fk"),
+        dim, col("id"), expectedItems = 3L)
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    val exact = fact.join(dim, col("fk") === col("id"), "left_anti")
+      .select("row_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom == exact)
+    // no duplication across the bypass/sliver branches
+    assert(Relational.bloomAntiJoin(fact, col("fk"), dim, col("id"), 3L)
+      .count() == exact.size)
+  }
 }
