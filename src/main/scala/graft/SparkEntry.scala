@@ -818,6 +818,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Interval-set union per customer: 30-day service windows from
+    // each order merged into maximal covered spans (touching merges,
+    // gap splits) — the sweep with one window shuffle.
+    "q400_interval_merge" -> ((s, dir) => {
+      val sec = unix_timestamp(col("o_orderdate"))
+      val iv = t(s, dir, "orders")
+        .select(col("o_custkey"), sec.as("s"),
+                (sec + lit(30L * 86400L)).as("e"))
+      graft.ops.Events.mergeIntervals(iv, col("o_custkey"),
+          col("s"), col("e"))
+        .select(col("key").as("custkey"), col("span_start"),
+                col("span_end"), col("covered"), col("n_intervals"))
+        .orderBy("custkey", "span_start")
+    }),
+
     // Token-bucket rate-limiter replay: which traffic WOULD a
     // 3-token bucket (1M µtok cost, 100 µtok/s refill) throttle —
     // the clamp recurrence folded in-row in pure integer arithmetic,
@@ -8237,6 +8252,33 @@ object SparkEntry {
          FROM lineitem
          WHERE l_partkey NOT IN
            (SELECT p_partkey FROM part WHERE p_size >= 48)
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+
+    // the same sweep: span breaks where start exceeds the running max
+    // of prior ends (touching intervals merge)
+    "q400_interval_merge" ->
+      """WITH iv AS (SELECT o_custkey,
+             CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT) AS s,
+             CAST(floor(extract(epoch FROM o_orderdate)) AS BIGINT)
+               + 30*86400 AS e
+           FROM orders
+           WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+         m AS (SELECT o_custkey, s, e,
+             max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pmax
+           FROM iv),
+         b AS (SELECT o_custkey, s, e,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+           FROM m),
+         sp AS (SELECT o_custkey, s, e,
+             SUM(brk) OVER (PARTITION BY o_custkey ORDER BY s, e
+                            ROWS UNBOUNDED PRECEDING) AS span
+           FROM b)
+         SELECT o_custkey AS custkey,
+           min(s) AS span_start, max(e) AS span_end,
+           max(e) - min(s) AS covered, count(*) AS n_intervals
+         FROM sp GROUP BY o_custkey, span
+         ORDER BY custkey, span_start"""
   )
 }

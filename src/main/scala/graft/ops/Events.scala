@@ -984,4 +984,47 @@ object Events {
       .orderBy(desc("cnt"), col("path"))
       .limit(topK)
   }
+
+  /** Interval-set union per key: merge overlapping/touching [start,
+    * end] intervals into maximal covered spans — total uptime from
+    * overlapping sessions, covered calendar from per-order service
+    * windows, lock-coverage audits. Touching intervals (next.start ==
+    * prev.end) merge; a gap strictly greater than zero splits. The
+    * classic sweep: one window per key orders intervals by (start,
+    * end), a span begins where start exceeds the running max of prior
+    * ends, and the span id is the running count of such breaks —
+    * [[activityIslands]]' day-granular variant generalized to
+    * arbitrary interval columns (integer units; cast timestamps to
+    * epoch upstream).
+    *
+    * One shuffle on the key; both windows share the (start, end) sort
+    * order so Catalyst plans one exchange + one sort. */
+  def mergeIntervals(df: DataFrame, key: Column, start: Column,
+                     end: Column): DataFrame = {
+    val reserved = Seq("__s", "__e", "__pmax", "__brk", "__span")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"mergeIntervals: input already has ${clash.mkString(", ")}")
+    val base = df
+      .select(key.as("key"), start.cast("long").as("__s"),
+              end.cast("long").as("__e"))
+      .filter(col("__s").isNotNull && col("__e").isNotNull &&
+              col("__s") <= col("__e"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__s"), col("__e"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("__pmax", max(col("__e")).over(wRun))
+      .withColumn("__brk",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__span", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("key"), col("__span"))
+      .agg(min(col("__s")).as("span_start"),
+           max(col("__e")).as("span_end"),
+           count(lit(1)).as("n_intervals"))
+      .select(col("key"), col("span_start"), col("span_end"),
+              (col("span_end") - col("span_start")).as("covered"),
+              col("n_intervals"))
+  }
 }

@@ -3486,4 +3486,23 @@ class OpsSpec extends AnyFunSuite {
     assert(Relational.bloomAntiJoin(fact, col("fk"), dim, col("id"), 3L)
       .count() == exact.size)
   }
+
+  test("interval merge: overlap and touch merge, gaps split") {
+    import spark.implicits._
+    // [0,10] ∪ [5,20] overlap; [20,30] touches (merges); [31,40] gaps
+    val iv = Seq(("k", 0L, 10L), ("k", 5L, 20L), ("k", 20L, 30L),
+                 ("k", 31L, 40L), ("k2", 1L, 2L))
+      .toDF("key", "s", "e")
+    val out = Events.mergeIntervals(iv, col("key"), col("s"), col("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == Set(("k", 0L, 30L, 30L, 3L), ("k", 31L, 40L, 9L, 1L),
+                      ("k2", 1L, 2L, 1L, 1L)))
+    // contained interval must not extend the span
+    val iv2 = Seq(("k", 0L, 100L), ("k", 10L, 20L), ("k", 150L, 160L))
+      .toDF("key", "s", "e")
+    val out2 = Events.mergeIntervals(iv2, col("key"), col("s"), col("e"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out2 == Set((0L, 100L), (150L, 160L)))
+  }
 }
