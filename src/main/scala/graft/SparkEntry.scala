@@ -818,6 +818,27 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // As-of join with a staleness bound: last click within ONE HOUR
+    // of the purchase (nearest predecessor chosen first, THEN gated —
+    // an older in-bound click never substitutes for a stale nearest).
+    "q401_asof_within" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val joined = graft.ops.Relational.asofJoinBackwardWithin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Map("ts" -> "click_ts"), maxStalenessSec = 3600L)
+      joined.groupBy("user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+             count(col("click_ts")).as("n_matched"),
+             coalesce(sum(unix_micros(col("ts")) -
+                          unix_micros(col("click_ts"))), lit(0L))
+               .as("sum_gap_us"))
+        .orderBy("user_id")
+    }),
+
     // Interval-set union per customer: 30-day service windows from
     // each order merged into maximal covered spans (touching merges,
     // gap splits) — the sweep with one window shuffle.
@@ -8279,6 +8300,24 @@ object SparkEntry {
            min(s) AS span_start, max(e) AS span_end,
            max(e) - min(s) AS covered, count(*) AS n_intervals
          FROM sp GROUP BY o_custkey, span
-         ORDER BY custkey, span_start"""
+         ORDER BY custkey, span_start""",
+
+    // nearest predecessor via native ASOF, then the staleness gate —
+    // identical choose-first-gate-second semantics
+    "q401_asof_within" ->
+      """WITH p AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, ts FROM events
+                 WHERE event_type = 'click'),
+           j AS (SELECT p.user_id, p.ts AS pts,
+                   CASE WHEN CAST(floor(epoch(p.ts)) AS BIGINT)
+                             - CAST(floor(epoch(c.ts)) AS BIGINT) > 3600
+                        THEN NULL ELSE c.ts END AS cts
+                 FROM p ASOF LEFT JOIN c
+                   ON p.user_id = c.user_id AND p.ts >= c.ts)
+         SELECT user_id, count(*) AS n_purchases, count(cts) AS n_matched,
+                CAST(coalesce(sum(epoch_us(pts) - epoch_us(cts)), 0)
+                     AS BIGINT) AS sum_gap_us
+         FROM j GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -412,6 +412,40 @@ object Relational {
       .drop("__t", "__side", "__payload", "__matched")
   }
 
+  /** [[asofJoinBackward]] with a STALENESS BOUND: a matched payload
+    * older than `maxStalenessSec` at the left row's time is treated as
+    * no-match (null payload) — quotes expire, sensor readings go
+    * stale, sessions time out. Same union-and-carry single-shuffle
+    * plan; the bound is a pure post-predicate on the carried right
+    * time, so the join's cost and shape are identical to the
+    * unbounded form. The nearest-predecessor choice happens FIRST and
+    * the gate second (an older within-bound row never substitutes for
+    * a stale nearest one) — the semantics DuckDB's ASOF JOIN + CASE
+    * replays. */
+  def asofJoinBackwardWithin(left: DataFrame, right: DataFrame,
+                             key: String, leftTime: String,
+                             rightTime: String,
+                             payload: Map[String, String],
+                             maxStalenessSec: Long): DataFrame = {
+    require(maxStalenessSec >= 0,
+      s"maxStalenessSec must be >= 0, got $maxStalenessSec")
+    val rtClash = Seq("__asof_rt_src", "__asof_rt")
+      .intersect(left.columns ++ right.columns ++ payload.values.toSeq)
+    require(rtClash.isEmpty,
+      s"asofJoinBackwardWithin: reserved ${rtClash.mkString(", ")} in use")
+    val joined = asofJoinBackward(left,
+      right.withColumn("__asof_rt_src", col(rightTime)),
+      key, leftTime, rightTime,
+      payload + ("__asof_rt_src" -> "__asof_rt"))
+    val stale = col("__asof_rt").isNull ||
+      unix_timestamp(col(leftTime)) - unix_timestamp(col("__asof_rt")) >
+        maxStalenessSec
+    payload.values.foldLeft(joined) { (d, out) =>
+        d.withColumn(out, when(stale, lit(null)).otherwise(col(out)))
+      }
+      .drop("__asof_rt")
+  }
+
   /** CDC upsert-apply: merge a change batch into a base snapshot —
     * matched keys take the CHANGE row wholesale, unmatched change keys
     * insert, tombstones (change rows where `deleted` is true) remove

@@ -3487,6 +3487,35 @@ class OpsSpec extends AnyFunSuite {
       .count() == exact.size)
   }
 
+  test("as-of within: stale nearest nulls out, never substituted") {
+    import spark.implicits._
+    val left = Seq((1L, 1000L), (1L, 5000L)).toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    // nearest predecessors: t=1000 → 100 (gap 900), t=5000 → 4000
+    // (gap 1000); at bound 600 both are stale and null out, at bound
+    // 1000 both survive — the gate acts on the NEAREST row only
+    val right = Seq((1L, 100L), (1L, 4000L)).toDF("k", "sec")
+      .withColumn("rts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = Relational.asofJoinBackwardWithin(left, right,
+        key = "k", leftTime = "ts", rightTime = "rts",
+        payload = Map("rts" -> "m"), maxStalenessSec = 600L)
+      .select(col("ts"), col("m")).collect()
+      .map(r => unixSec(r.getTimestamp(0)) ->
+        Option(r.getTimestamp(1)).map(unixSec)).toMap
+    assert(out(1000L) == None)       // gap 900 > 600: stale
+    assert(out(5000L) == None)       // gap 1000 > 600: stale
+    val out2 = Relational.asofJoinBackwardWithin(left, right,
+        key = "k", leftTime = "ts", rightTime = "rts",
+        payload = Map("rts" -> "m"), maxStalenessSec = 1000L)
+      .select(col("ts"), col("m")).collect()
+      .map(r => unixSec(r.getTimestamp(0)) ->
+        Option(r.getTimestamp(1)).map(unixSec)).toMap
+    assert(out2(1000L) == Some(100L)) // gap 900 <= 1000: kept
+    assert(out2(5000L) == Some(4000L))
+  }
+
+  private def unixSec(t: java.sql.Timestamp): Long = t.getTime / 1000L
+
   test("interval merge: overlap and touch merge, gaps split") {
     import spark.implicits._
     // [0,10] ∪ [5,20] overlap; [20,30] touches (merges); [31,40] gaps
