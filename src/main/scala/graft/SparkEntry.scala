@@ -818,6 +818,31 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Perceptual image hashing: 64-bit aHash (8×8 nearest-neighbor
+    // resize, integer luma, strict-mean threshold) over real decoded
+    // BMP bytes; the oracle replays the pixel arithmetic end to end.
+    "q402_phash" -> ((s, dir) => {
+      val bmps = graft.ops.Multimodal.synthBmp24(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Multimodal.aHashDf(bmps, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("hash_hi"),
+                col("hash_lo"))
+        .orderBy("doc_id")
+    }),
+
+    // Near-dup IMAGES by hamming distance on the aHash: byte-banded
+    // candidates (pigeonhole-lossless at maxDist <= 7), exact popcount
+    // verify in-join — never all-pairs.
+    "q403_phash_pairs" -> ((s, dir) => {
+      val bmps = graft.ops.Multimodal.synthBmp24(
+        t(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 2000), "doc_id")
+      val hashes = graft.ops.Multimodal.aHashDf(bmps, "asset_id", "media")
+      graft.ops.Dedup.hammingPairs64(hashes, col("asset_id"),
+          col("hash_hi"), col("hash_lo"), maxDist = 6)
+        .orderBy("id1", "id2")
+    }),
+
     // As-of join with a staleness bound: last click within ONE HOUR
     // of the purchase (nearest predecessor chosen first, THEN gated —
     // an older in-bound click never substitutes for a stale nearest).
@@ -8318,6 +8343,47 @@ object SparkEntry {
          SELECT user_id, count(*) AS n_purchases, count(cts) AS n_matched,
                 CAST(coalesce(sum(epoch_us(pts) - epoch_us(cts)), 0)
                      AS BIGINT) AS sum_gap_us
-         FROM j GROUP BY 1 ORDER BY 1"""
+         FROM j GROUP BY 1 ORDER BY 1""",
+
+    // full pixel-arithmetic replay: synth image -> 8x8 nearest
+    // neighbor -> integer luma -> strict-mean threshold -> bit pack
+    "q402_phash" -> phashCteSql(
+      "SELECT doc_id, hi AS hash_hi, lo AS hash_lo FROM h ORDER BY doc_id",
+      subset = ""),
+
+    "q403_phash_pairs" -> phashCteSql(
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS BIGINT) AS dist
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
+         ORDER BY id1, id2""",
+      subset = " WHERE doc_id < 2000")
   )
+
+  /** Shared oracle text: the aHash pixel-arithmetic replay CTE chain
+    * (through `h`: doc_id, hi, lo), parameterized by the final SELECT
+    * and an optional corpus subset. */
+  private def phashCteSql(finalSelect: String, subset: String): String =
+    s"""WITH s AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+                     5 + doc_id % 7 AS h FROM documents$subset),
+        l AS (SELECT doc_id,
+          [ ( (doc_id*3 + ((i % 8) * w // 8)*7
+                        + ((i // 8) * h // 8)*11) % 256
+            + (doc_id*5 + ((i % 8) * w // 8)*13
+                        + ((i // 8) * h // 8)*3) % 256
+            + (doc_id*7 + ((i % 8) * w // 8)
+                        + ((i // 8) * h // 8)*17) % 256 ) // 3
+            FOR i IN range(64) ] AS ls
+          FROM s),
+        m AS (SELECT doc_id, ls, list_sum(ls) // 64 AS mean FROM l),
+        h AS (SELECT doc_id,
+          CAST(list_sum([CASE WHEN ls[i+33] > mean
+                         THEN (1::BIGINT << i) ELSE 0 END
+                         FOR i IN range(32)]) AS BIGINT) AS hi,
+          CAST(list_sum([CASE WHEN ls[i+1] > mean
+                         THEN (1::BIGINT << i) ELSE 0 END
+                         FOR i IN range(32)]) AS BIGINT) AS lo
+        FROM m)
+        $finalSelect"""
 }

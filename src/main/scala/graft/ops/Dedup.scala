@@ -1134,4 +1134,46 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("symdiff"))
   }
 
+  /** Hamming-distance pairs over a 64-bit fingerprint given as two
+    * non-negative 32-bit halves (e.g. [[graft.ops.Multimodal.aHash64]]
+    * perceptual hashes): all unordered pairs with distance ≤ maxDist.
+    * Banding by the 8 BYTES of the fingerprint — two values within
+    * distance ≤ 7 must agree on at least one whole byte (pigeonhole),
+    * so candidates meet through a (band, byte) equi-join over the
+    * candidate-bounded posting lists and the exact popcount verifies
+    * in-join; all-pairs never materializes. Same discipline as
+    * [[simhashPairs]]'s 4×16 banding, factored for ANY 64-bit
+    * fingerprint column pair. */
+  def hammingPairs64(df: DataFrame, id: Column, hi: Column, lo: Column,
+                     maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"8-byte banding guarantees recall only for maxDist <= 7, got $maxDist")
+    val f = df.select(id.as("id"), hi.cast("long").as("hi"),
+                      lo.cast("long").as("lo"))
+      .filter(col("id").isNotNull && col("hi").isNotNull &&
+              col("lo").isNotNull)
+    // 8 byte-bands: j in 0..3 from lo, 4..7 from hi
+    val banded = f.select(col("id"), col("hi"), col("lo"),
+        explode(array((0 until 8).map { j =>
+          val src = if (j < 4) col("lo") else col("hi")
+          val sh = (j % 4) * 8
+          struct(lit(j).as("band"),
+                 shiftright(src, sh).bitwiseAND(lit(255L)).as("byte"))
+            : Column
+        }: _*)).as("bk"))
+      .select(col("id"), col("hi"), col("lo"),
+              col("bk.band").as("band"), col("bk.byte").as("byte"))
+    val a = banded.select(col("band"), col("byte"), col("id").as("id1"),
+                          col("hi").as("h1"), col("lo").as("l1"))
+    val b = banded.select(col("band"), col("byte"), col("id").as("id2"),
+                          col("hi").as("h2"), col("lo").as("l2"))
+    a.join(b, Seq("band", "byte"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (bit_count(col("h1").bitwiseXOR(col("h2"))) +
+         bit_count(col("l1").bitwiseXOR(col("l2")))).cast("long")
+          .as("dist"))
+      .filter(col("dist") <= maxDist)
+      .distinct()
+  }
 }

@@ -465,6 +465,73 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** 64-bit average hash (aHash) of a 24-bpp BMP: nearest-neighbor
+    * resize to 8×8 (the same `x·w div 8` mapping as [[resizeBmp24]]),
+    * integer luma (r+g+b) div 3 per cell, threshold each cell at the
+    * integer mean (strictly greater) — the classic perceptual
+    * fingerprint: resize/re-encode/brightness-shift survivors hash
+    * near-identically, so near-dup IMAGE detection becomes hamming
+    * distance on 64 bits. Returned as two non-negative 32-bit halves
+    * (hi = bits 32..63, lo = bits 0..31): a single signed long would
+    * trap bit 63 in the sign, and split halves let both engines (and
+    * the hamming joiner) use plain bit_count/xor arithmetic. */
+  def aHash64(bytes: Array[Byte]): (Long, Long) = {
+    val small = resizeBmp24(bytes, 8, 8)
+    val dataOff = le32(small, 10)
+    // encodeBmp24 output: bottom-up, stride 8*3 = 24 (already 4-aligned)
+    val lumas = new Array[Long](64)
+    var sum = 0L
+    var y = 0
+    while (y < 8) {
+      var o = dataOff + (7 - y) * 24
+      var x = 0
+      while (x < 8) {
+        val b = small(o) & 0xff
+        val g = small(o + 1) & 0xff
+        val r = small(o + 2) & 0xff
+        val l = (r + g + b) / 3
+        lumas(y * 8 + x) = l
+        sum += l
+        o += 3; x += 1
+      }
+      y += 1
+    }
+    val mean = sum / 64
+    var hi = 0L; var lo = 0L
+    var i = 0
+    while (i < 64) {
+      if (lumas(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
+  /** Per-asset aHash frame: (asset_id, hash_hi, hash_lo) — the same
+    * typed partition-local seam as the stats decoders (no shuffle;
+    * missing media yields null halves). */
+  def aHashDf(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("hash_hi", LongType),
+      StructField("hash_lo", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null) Row(r.getLong(idIdx), null, null)
+        else {
+          val (hi, lo) = aHash64(bytes)
+          Row(r.getLong(idIdx), hi, lo)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Deterministic per-id image synthesis + BMP encode:
     * w = 8 + id mod 9, h = 5 + id mod 7,
     * r = (id·3 + x·7 + y·11) mod 256, g = (id·5 + x·13 + y·3) mod 256,

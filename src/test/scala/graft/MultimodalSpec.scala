@@ -234,4 +234,31 @@ class MultimodalSpec extends AnyFunSuite {
       sampleFrameStats("not a video".getBytes, 1)
     }
   }
+
+  test("aHash: brightness-invariant, resize-stable, flat image zero") {
+    import graft.ops.Multimodal._
+    // a flat image has no pixel strictly above the mean: hash (0, 0)
+    val flat = encodeBmp24(16, 12, (_, _) => (80, 80, 80))
+    assert(aHash64(flat) == ((0L, 0L)))
+    // gradient image with a distinct bright half
+    def grad(shift: Int) = encodeBmp24(32, 24,
+      (x, y) => (math.min(255, x * 6 + shift),
+                 math.min(255, x * 6 + shift),
+                 math.min(255, x * 6 + shift)))
+    val base = aHash64(grad(0))
+    assert(base != ((0L, 0L)))
+    // +1 on every channel shifts every luma and the mean by one:
+    // the hash is brightness-shift invariant (saturation avoided by
+    // the min-255 clamp never firing below shift 63: 31*6+1 < 255)
+    assert(aHash64(grad(1)) == base)
+    // upscaling the same scene leaves the 8x8 downsample's structure:
+    // hashes stay within a small hamming distance
+    val up = encodeBmp24(64, 48,
+      (x, y) => (math.min(255, x * 3), math.min(255, x * 3),
+                 math.min(255, x * 3)))
+    val (h1, l1) = base; val (h2, l2) = aHash64(up)
+    val dist = java.lang.Long.bitCount(h1 ^ h2) +
+               java.lang.Long.bitCount(l1 ^ l2)
+    assert(dist <= 6, s"resize moved the hash too far: $dist")
+  }
 }

@@ -3487,6 +3487,32 @@ class OpsSpec extends AnyFunSuite {
       .count() == exact.size)
   }
 
+  test("hamming pairs equal brute force; banding is lossless to 7") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // clustered fingerprints: groups of 4 share a base with a few
+    // flipped bits, so distances 0..7 all occur within groups while
+    // cross-group pairs stay far
+    val bases = Array.fill(30)(rnd.nextLong())
+    val rows = (0 until 120).map { k =>
+      val base = bases(k / 4)
+      val hi = ((base >>> 32) ^ (k % 4)) & 0xffffffffL
+      val lo = ((base & 0xffffffffL) ^ ((k % 3).toLong << 7)) & 0xffffffffL
+      ((k + 1).toLong, hi, lo)
+    }
+    val df = rows.toDF("id", "hi", "lo")
+    val got = Dedup.hammingPairs64(df, col("id"), col("hi"), col("lo"),
+        maxDist = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val brute = (for {
+      (i, hi, li) <- rows; (j, hj, lj) <- rows if i < j
+      d = java.lang.Long.bitCount(hi ^ hj) + java.lang.Long.bitCount(li ^ lj)
+      if d <= 7
+    } yield (i, j) -> d.toLong).toMap
+    assert(got == brute && brute.nonEmpty)
+  }
+
   test("as-of within: stale nearest nulls out, never substituted") {
     import spark.implicits._
     val left = Seq((1L, 1000L), (1L, 5000L)).toDF("k", "sec")
