@@ -818,6 +818,18 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Audio loudness fingerprint: 32-bit energy contour over real
+    // decoded PCM-16 bytes (32 equal windows, integer mean-|sample|
+    // energies, strict-mean threshold) — oracle replays the sample
+    // arithmetic end to end.
+    "q404_audio_ehash" -> ((s, dir) => {
+      val wavs = graft.ops.Multimodal.synthWavPcm16(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Multimodal.audioEnergyHashDf(wavs, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("ehash"))
+        .orderBy("doc_id")
+    }),
+
     // Perceptual image hashing: 64-bit aHash (8×8 nearest-neighbor
     // resize, integer luma, strict-mean threshold) over real decoded
     // BMP bytes; the oracle replays the pixel arithmetic end to end.
@@ -8350,6 +8362,27 @@ object SparkEntry {
     "q402_phash" -> phashCteSql(
       "SELECT doc_id, hi AS hash_hi, lo AS hash_lo FROM h ORDER BY doc_id",
       subset = ""),
+
+    // full sample-arithmetic replay of the energy-contour hash
+    "q404_audio_ehash" ->
+      """WITH s AS (SELECT doc_id, 20 + doc_id % 50 AS n FROM documents),
+         sm AS (SELECT doc_id, n,
+           [ ((doc_id+1)*7919 + i*104729) % 65521 - 32760
+             FOR i IN range(n) ] AS xs
+           FROM s),
+         en AS (SELECT doc_id, n, xs,
+           [ CASE WHEN (j+1)*n//32 > j*n//32
+                  THEN list_sum([abs(xs[i+1]) FOR i IN range(n)
+                                 IF i >= j*n//32 AND i < (j+1)*n//32])
+                       // ((j+1)*n//32 - j*n//32)
+                  ELSE 0 END FOR j IN range(32) ] AS es
+           FROM sm),
+         m AS (SELECT doc_id, es, list_sum(es) // 32 AS mean FROM en)
+         SELECT doc_id,
+           CAST(list_sum([CASE WHEN es[j+1] > mean
+                          THEN (1::BIGINT << j) ELSE 0 END
+                          FOR j IN range(32)]) AS BIGINT) AS ehash
+         FROM m ORDER BY doc_id""",
 
     "q403_phash_pairs" -> phashCteSql(
       """SELECT a.doc_id AS id1, b.doc_id AS id2,

@@ -508,6 +508,88 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** 32-bit energy-contour fingerprint of a PCM-16 WAV — the audio
+    * sibling of [[aHash64]]: the sample stream splits into 32 equal
+    * windows (window j covers samples [j·n div 32, (j+1)·n div 32);
+    * empty windows, possible when n < 32, contribute energy 0), each
+    * window's energy is the integer mean of |sample|, and bit j sets
+    * when window j's energy strictly exceeds the integer mean of the
+    * 32 energies. Loudness-profile near-dups (re-encodes, small
+    * trims) land within small hamming distance; silence hashes to 0.
+    * All arithmetic integer — a SQL oracle replays it exactly. */
+  def audioEnergyHash32(bytes: Array[Byte]): Long = {
+    val samples = scala.collection.mutable.ArrayBuffer.empty[Int]
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" &&
+            tag(bytes, 8) == "WAVE", "not a RIFF/WAVE stream")
+    var off = 12
+    var bits = -1
+    while (off + 8 <= bytes.length) {
+      val id = tag(bytes, off)
+      val len = le32(bytes, off + 4)
+      require(len >= 0 && off + 8 + len <= bytes.length,
+        s"chunk $id overruns the stream")
+      id match {
+        case "fmt " =>
+          require(len >= 16, "fmt chunk too short")
+          require(le16(bytes, off + 8) == 1, "not PCM")
+          require(le16(bytes, off + 10) == 1, "mono only")
+          bits = le16(bytes, off + 22)
+          require(bits == 16, s"only PCM-16 supported, got $bits")
+        case "data" =>
+          require(bits == 16, "data chunk before fmt")
+          var i = off + 8
+          val end = off + 8 + len
+          while (i + 1 < end) {
+            samples += le16(bytes, i).toShort.toInt
+            i += 2
+          }
+        case _ => ()
+      }
+      off += 8 + len + (len & 1)
+    }
+    val n = samples.length
+    if (n == 0) return 0L
+    val energies = new Array[Long](32)
+    var j = 0
+    var esum = 0L
+    while (j < 32) {
+      val from = j * n / 32
+      val to = (j + 1) * n / 32
+      var s = 0L; var i = from
+      while (i < to) { s += math.abs(samples(i)); i += 1 }
+      energies(j) = if (to > from) s / (to - from) else 0L
+      esum += energies(j)
+      j += 1
+    }
+    val mean = esum / 32
+    var h = 0L; var k = 0
+    while (k < 32) {
+      if (energies(k) > mean) h |= 1L << k
+      k += 1
+    }
+    h
+  }
+
+  /** Per-asset energy-hash frame: (asset_id, ehash) — typed
+    * partition-local seam, no shuffle, null media → null hash. */
+  def audioEnergyHashDf(df: DataFrame, idCol: String, mediaCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("ehash", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null) Row(r.getLong(idIdx), null)
+        else Row(r.getLong(idIdx), audioEnergyHash32(bytes))
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Per-asset aHash frame: (asset_id, hash_hi, hash_lo) — the same
     * typed partition-local seam as the stats decoders (no shuffle;
     * missing media yields null halves). */

@@ -235,6 +235,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio energy hash: silence zero, loud windows set their bits") {
+    import graft.ops.Multimodal._
+    // silence: every energy 0, nothing strictly above the mean
+    val silent = encodeWavPcm16(Array.fill[Short](640)(0), 8000)
+    assert(audioEnergyHash32(silent) == 0L)
+    // loud back half: windows 16..31 carry all the energy
+    val halfLoud = encodeWavPcm16(
+      (Array.fill[Short](320)(0) ++
+       Array.fill[Short](320)(10000)).toArray, 8000)
+    assert(audioEnergyHash32(halfLoud) == 0xffff0000L)
+    // small trim wiggles the hash only slightly (windows realign)
+    val trimmed = encodeWavPcm16(
+      (Array.fill[Short](315)(0) ++
+       Array.fill[Short](320)(10000)).toArray, 8000)
+    val d = java.lang.Long.bitCount(
+      audioEnergyHash32(halfLoud) ^ audioEnergyHash32(trimmed))
+    assert(d <= 2, s"trim moved the hash too far: $d")
+  }
+
   test("aHash: brightness-invariant, resize-stable, flat image zero") {
     import graft.ops.Multimodal._
     // a flat image has no pixel strictly above the mean: hash (0, 0)

@@ -730,6 +730,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("native session_window agg streams: state merges across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // one session split across micro-batches must MERGE (the
+    // incremental-state property the window-id sessionize cannot
+    // stream); a later event past the gap opens a second session
+    val mk = (u: Long, sec: Long) => (u, new java.sql.Timestamp(sec * 1000))
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = graft.ops.Events.sessionAgg(
+        ms.toDS().toDF("u", "ts"), col("u"), col("ts"), gapSeconds = 100L)
+      .writeStream.format("memory").queryName("sess_native")
+      .outputMode("complete").start()
+    try {
+      ms.addData(mk(1L, 1000L), mk(1L, 1050L))
+      q.processAllAvailable()
+      // batch 2: 1090 extends the same session (within gap of 1050);
+      // 5000 starts a new one
+      ms.addData(mk(1L, 1090L), mk(1L, 5000L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_native").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+        r.getLong(2))).toSet
+    assert(got == Set((1L, 1000L, 3L), (1L, 5000L, 1L)), got.mkString(","))
+  }
+
   test("streaming heavy hitters equals batch at exact capacity") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
