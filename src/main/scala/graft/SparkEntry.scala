@@ -818,6 +818,26 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // End-to-end multimodal dedup: decode → perceptual hash → banded
+    // hamming pairs → connected components → keep the min-id image
+    // per duplicate cluster. The full q57 funnel, for IMAGES.
+    "q405_phash_dedup" -> ((s, dir) => {
+      val bmps = graft.ops.Multimodal.synthBmp24(
+        t(s, dir, "documents").select(col("doc_id"))
+          .filter(col("doc_id") < 2000), "doc_id")
+      val hashes = graft.ops.Multimodal.aHashDf(bmps, "asset_id", "media")
+      val pairs = graft.ops.Dedup.hammingPairs64(hashes, col("asset_id"),
+          col("hash_hi"), col("hash_lo"), maxDist = 6)
+      val comps = graft.ops.Dedup.connectedComponents(pairs,
+          col("id1"), col("id2"))
+      // survivors: everything except non-representative members
+      hashes.select(col("asset_id").as("doc_id"))
+        .join(comps.filter(col("id") =!= col("comp"))
+                .select(col("id").as("doc_id")),
+              Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    }),
+
     // Audio loudness fingerprint: 32-bit energy contour over real
     // decoded PCM-16 bytes (32 equal windows, integer mean-|sample|
     // energies, strict-mean threshold) — oracle replays the sample
@@ -8391,14 +8411,36 @@ object SparkEntry {
          FROM h a JOIN h b ON a.doc_id < b.doc_id
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
          ORDER BY id1, id2""",
+      subset = " WHERE doc_id < 2000"),
+
+    // same hash replay, then min-propagation components and the
+    // keep-representative filter — q57's recursive-CTE oracle, for
+    // image clusters
+    "q405_phash_dedup" -> phashCteSql(
+      """, p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+             FROM h a JOIN h b ON a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.hi, b.hi))
+                   + bit_count(xor(a.lo, b.lo)) <= 6),
+         e AS (SELECT id1 AS a, id2 AS b FROM p
+               UNION SELECT id2, id1 FROM p),
+         reach(a, b) AS (
+           SELECT DISTINCT a, a FROM e
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+         comp AS (SELECT a AS id, min(b) AS comp FROM reach GROUP BY 1)
+         SELECT doc_id FROM h
+         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != comp)
+         ORDER BY 1""",
       subset = " WHERE doc_id < 2000")
   )
 
   /** Shared oracle text: the aHash pixel-arithmetic replay CTE chain
     * (through `h`: doc_id, hi, lo), parameterized by the final SELECT
-    * and an optional corpus subset. */
+    * and an optional corpus subset. `finalSelect` may START with ","
+    * to extend the WITH list (q405 appends the recursive component
+    * CTEs — hence the RECURSIVE keyword, harmless when unused). */
   private def phashCteSql(finalSelect: String, subset: String): String =
-    s"""WITH s AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+    s"""WITH RECURSIVE s AS (SELECT doc_id, 8 + doc_id % 9 AS w,
                      5 + doc_id % 7 AS h FROM documents$subset),
         l AS (SELECT doc_id,
           [ ( (doc_id*3 + ((i % 8) * w // 8)*7

@@ -358,4 +358,59 @@ class PropertySpec extends AnyFunSuite {
     val r = SCTest.check(params, prop)
     assert(r.passed, r.status.toString)
   }
+
+  test("weighted quantile: driver-oracle equality + monotone in q") {
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(-50L, 50L), Gen.choose(1L, 9L))).map(_.take(12))
+    val prop = Prop.forAll(gen) { vw =>
+      val df = vw.toDF("v", "w").withColumn("g", lit("g"))
+      def q(n: Int, d: Int): Long =
+        ops.Relational.weightedQuantile(df, col("g"), col("v"),
+          col("w"), n, d).collect().head.getLong(1)
+      // driver oracle: smallest v with cumw*den >= tot*num over the
+      // per-value-collapsed ascending walk
+      def oracle(num: Int, den: Int): Long = {
+        val byV = vw.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+          .toSeq.sortBy(_._1)
+        val tot = byV.map(_._2).sum
+        var cum = 0L
+        byV.collectFirst {
+          case (v, w) if { cum += w; cum * den >= tot * num } => v
+        }.get
+      }
+      q(1, 2) == oracle(1, 2) && q(1, 4) == oracle(1, 4) &&
+        q(9, 10) == oracle(9, 10) &&
+        // monotone: a higher quantile never selects a smaller value
+        q(1, 4) <= q(1, 2) && q(1, 2) <= q(9, 10) && q(9, 10) <= q(1, 1)
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("interval merge: spans disjoint, cover every input, keep mass") {
+    val gen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 15L))).map(_.take(15))
+    val prop = Prop.forAll(gen) { se =>
+      val iv = se.map { case (s, len) => ("k", s, s + len) }
+      val spans = ops.Events.mergeIntervals(
+          iv.toDF("k", "s", "e"), col("k"), col("s"), col("e"))
+        .collect().map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      // disjoint with real gaps between consecutive spans
+      val disjoint = spans.sliding(2).forall {
+        case Array((_, e1), (s2, _)) => s2 > e1
+        case _ => true
+      }
+      // every input interval sits inside exactly one span
+      val covered = iv.forall { case (_, s, e) =>
+        spans.count(sp => sp._1 <= s && e <= sp._2) == 1 }
+      // covered mass equals the exact union length (point-count oracle)
+      val unionLen = iv.flatMap { case (_, s, e) => s until e }
+        .distinct.size.toLong
+      val spanLen = spans.map { case (s, e) => e - s }.sum
+      disjoint && covered && spanLen == unionLen
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
 }
