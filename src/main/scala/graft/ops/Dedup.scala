@@ -1148,21 +1148,7 @@ object Dedup {
                      maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"8-byte banding guarantees recall only for maxDist <= 7, got $maxDist")
-    val f = df.select(id.as("id"), hi.cast("long").as("hi"),
-                      lo.cast("long").as("lo"))
-      .filter(col("id").isNotNull && col("hi").isNotNull &&
-              col("lo").isNotNull)
-    // 8 byte-bands: j in 0..3 from lo, 4..7 from hi
-    val banded = f.select(col("id"), col("hi"), col("lo"),
-        explode(array((0 until 8).map { j =>
-          val src = if (j < 4) col("lo") else col("hi")
-          val sh = (j % 4) * 8
-          struct(lit(j).as("band"),
-                 shiftright(src, sh).bitwiseAND(lit(255L)).as("byte"))
-            : Column
-        }: _*)).as("bk"))
-      .select(col("id"), col("hi"), col("lo"),
-              col("bk.band").as("band"), col("bk.byte").as("byte"))
+    val banded = banded64(df, id, hi, lo)
     val a = banded.select(col("band"), col("byte"), col("id").as("id1"),
                           col("hi").as("h1"), col("lo").as("l1"))
     val b = banded.select(col("band"), col("byte"), col("id").as("id2"),
@@ -1175,5 +1161,68 @@ object Dedup {
           .as("dist"))
       .filter(col("dist") <= maxDist)
       .distinct()
+  }
+
+  /** [[hammingPairs64]] between two frames: `left` fingerprints probe
+    * `right`'s (an incremental batch vs a standing index, or an
+    * unbounded STREAM vs a static index — the probe side band-explodes
+    * per row, the join is stream-static-safe stateless equi-join, and
+    * the popcount verifies in-row). Self-pairs (same id both sides)
+    * are excluded; each qualifying (left, right) pair emits once. */
+  def hammingPairs64Between(left: DataFrame, lId: Column, lHi: Column,
+                            lLo: Column, right: DataFrame, rId: Column,
+                            rHi: Column, rLo: Column,
+                            maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"8-byte banding guarantees recall only for maxDist <= 7, got $maxDist")
+    val a = banded64(left, lId, lHi, lLo)
+      .select(col("band"), col("byte"), col("id").as("id1"),
+              col("hi").as("h1"), col("lo").as("l1"))
+    val b = banded64(right, rId, rHi, rLo)
+      .select(col("band"), col("byte"), col("id").as("id2"),
+              col("hi").as("h2"), col("lo").as("l2"))
+    // a pair meeting through k agreeing bands would emit k times;
+    // keeping only the MINIMAL agreeing band dedups STATELESSLY
+    // (pure row predicate — no dropDuplicates state store, so the
+    // same plan runs under streaming append mode)
+    val minAgree = (0 until 8).foldRight(lit(-1): Column) { (j, rest) =>
+      val src1 = if (j < 4) col("l1") else col("h1")
+      val src2 = if (j < 4) col("l2") else col("h2")
+      val sh = (j % 4) * 8
+      when(shiftright(src1, sh).bitwiseAND(lit(255L)) ===
+           shiftright(src2, sh).bitwiseAND(lit(255L)), lit(j))
+        .otherwise(rest)
+    }
+    a.join(b, Seq("band", "byte"))
+      .filter(col("id1") =!= col("id2"))
+      .filter(col("band") === minAgree)
+      .select(col("id1"), col("id2"),
+        (bit_count(col("h1").bitwiseXOR(col("h2"))) +
+         bit_count(col("l1").bitwiseXOR(col("l2")))).cast("long")
+          .as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  // 8 byte-bands of a 64-bit fingerprint split into 32-bit halves:
+  // j in 0..3 from lo, 4..7 from hi. A hub byte value (e.g. the
+  // all-zero band of flat images) fattens its posting list — at scale
+  // compose a band-frequency cap upstream, same remedy as
+  // maxShingleFreq; the exact verify keeps found pairs correct.
+  private def banded64(df: DataFrame, id: Column, hi: Column,
+                       lo: Column): DataFrame = {
+    val f = df.select(id.as("id"), hi.cast("long").as("hi"),
+                      lo.cast("long").as("lo"))
+      .filter(col("id").isNotNull && col("hi").isNotNull &&
+              col("lo").isNotNull)
+    f.select(col("id"), col("hi"), col("lo"),
+        explode(array((0 until 8).map { j =>
+          val src = if (j < 4) col("lo") else col("hi")
+          val sh = (j % 4) * 8
+          struct(lit(j).as("band"),
+                 shiftright(src, sh).bitwiseAND(lit(255L)).as("byte"))
+            : Column
+        }: _*)).as("bk"))
+      .select(col("id"), col("hi"), col("lo"),
+              col("bk.band").as("band"), col("bk.byte").as("byte"))
   }
 }

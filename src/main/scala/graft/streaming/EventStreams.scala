@@ -251,6 +251,19 @@ object EventStreams {
     graft.ops.Dedup.lshScreen(stream, id, text, corpusIndex, tau,
       n, h, bands)
 
+  /** Streaming perceptual-hash screen: incoming image fingerprints
+    * (e.g. [[graft.ops.Multimodal.aHash64]] halves) probe a STANDING
+    * hash index for hamming-≤-maxDist near-dups — the image twin of
+    * [[lshScreenStream]]. Stateless by construction: band-explode is
+    * per-row, the (band, byte) join is stream-static, and duplicate
+    * suppression is the minimal-agreeing-band predicate instead of a
+    * stateful dropDuplicates — append mode, no state store. */
+  def phashScreenStream(stream: DataFrame, id: Column, hi: Column,
+                        lo: Column, index: DataFrame, maxDist: Int)
+      : DataFrame =
+    graft.ops.Dedup.hammingPairs64Between(stream, id, hi, lo,
+      index, col("asset_id"), col("hash_hi"), col("hash_lo"), maxDist)
+
   /** Streaming ANN: each incoming query embedding routes to its
     * nearest IVF centroid and ranks ONLY that list's packed postings
     * ([[graft.ops.Similarity.ivfPack]] builds the static index once;

@@ -756,6 +756,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1000L, 3L), (1L, 5000L, 1L)), got.mkString(","))
   }
 
+  test("streaming phash screen matches the batch between-pairs") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val bases = Array.fill(10)(rnd.nextLong())
+    def fp(k: Int) = {
+      val b = bases(k % 10)
+      (((b >>> 32) ^ (k % 3)) & 0xffffffffL,
+       (b & 0xffffffffL) ^ ((k % 2).toLong << 9) & 0xffffffffL)
+    }
+    val index = (0 until 40).map(k => (k.toLong, fp(k)._1, fp(k)._2))
+      .toDF("asset_id", "hash_hi", "hash_lo")
+    val probes = (100 until 130).map(k =>
+      (k.toLong, fp(k)._1, fp(k)._2))
+    val batch = graft.ops.Dedup.hammingPairs64Between(
+        probes.toDF("id", "hi", "lo"), col("id"), col("hi"), col("lo"),
+        index, col("asset_id"), col("hash_hi"), col("hash_lo"),
+        maxDist = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(batch.nonEmpty)
+    val ms = MemoryStream[(Long, Long, Long)]
+    val q = EventStreams.phashScreenStream(
+        ms.toDS().toDF("id", "hi", "lo"), col("id"), col("hi"),
+        col("lo"), index, maxDist = 5)
+      .writeStream.format("memory").queryName("phash_screen")
+      .outputMode("append").start()
+    try {
+      ms.addData(probes.take(15): _*)
+      q.processAllAvailable()
+      ms.addData(probes.drop(15): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("phash_screen").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch)
+  }
+
   test("streaming heavy hitters equals batch at exact capacity") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
