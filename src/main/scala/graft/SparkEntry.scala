@@ -818,6 +818,19 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Video fingerprinting: perceptual hash per sampled frame (the
+    // near-dup-video key); index-walking partial decode slices only
+    // sampled frames, the oracle replays every frame's pixel math.
+    "q406_video_phash" -> ((s, dir) => {
+      val vids = graft.ops.Multimodal.synthVideo(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Multimodal.videoFrameHashesDf(vids, "asset_id", "media",
+          stride = 1)
+        .select(col("asset_id").as("doc_id"), col("n_frames"),
+                col("frame_idx"), col("hash_hi"), col("hash_lo"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // End-to-end multimodal dedup: decode → perceptual hash → banded
     // hamming pairs → connected components → keep the min-id image
     // per duplicate cluster. The full q57 funnel, for IMAGES.
@@ -8412,6 +8425,31 @@ object SparkEntry {
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
          ORDER BY id1, id2""",
       subset = " WHERE doc_id < 2000"),
+
+    // per-frame replay of the same pixel arithmetic with the video
+    // synth's fid = id*31 + f*7 and per-id dims
+    "q406_video_phash" ->
+      """WITH s AS (SELECT doc_id, CAST(2 + doc_id % 4 AS INTEGER) AS n,
+               6 + doc_id % 5 AS w, 4 + doc_id % 5 AS h FROM documents),
+         fr AS (SELECT doc_id, n, w, h, unnest(range(n)) AS f FROM s),
+         l AS (SELECT doc_id, n, CAST(f AS INTEGER) AS f,
+           [ ( ((doc_id*31 + f*7)*3 + ((i % 8) * w // 8)*7
+                                    + ((i // 8) * h // 8)*11) % 256
+             + ((doc_id*31 + f*7)*5 + ((i % 8) * w // 8)*13
+                                    + ((i // 8) * h // 8)*3) % 256
+             + ((doc_id*31 + f*7)*7 + ((i % 8) * w // 8)
+                                    + ((i // 8) * h // 8)*17) % 256 ) // 3
+             FOR i IN range(64) ] AS ls
+           FROM fr),
+         m AS (SELECT doc_id, n, f, ls, list_sum(ls) // 64 AS mean FROM l)
+         SELECT doc_id, n AS n_frames, f AS frame_idx,
+           CAST(list_sum([CASE WHEN ls[i+33] > mean
+                          THEN (1::BIGINT << i) ELSE 0 END
+                          FOR i IN range(32)]) AS BIGINT) AS hash_hi,
+           CAST(list_sum([CASE WHEN ls[i+1] > mean
+                          THEN (1::BIGINT << i) ELSE 0 END
+                          FOR i IN range(32)]) AS BIGINT) AS hash_lo
+         FROM m ORDER BY doc_id, frame_idx""",
 
     // same hash replay, then min-propagation components and the
     // keep-representative filter — q57's recursive-CTE oracle, for

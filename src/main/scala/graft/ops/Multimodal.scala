@@ -780,6 +780,55 @@ object Multimodal {
     * each frame a BMP of fixed size w = 6 + id mod 5, h = 4 + id mod 5
     * whose pixels run the [[synthBmp24]] channel formulas with
     * fid = id·31 + frame·7 — pure arithmetic a SQL oracle replays. */
+  /** Per-sampled-frame perceptual hashes of a GFV1 video column:
+    * (asset_id, n_frames, frame_idx, hash_hi, hash_lo) — the video
+    * fingerprint is its frame-hash sequence, the unit every
+    * near-dup-video screen keys on (shared-frame matching via
+    * [[graft.ops.Dedup.hammingPairs64Between]], clip containment via
+    * subsequence overlap). Index-walking partial decode: only sampled
+    * frames are sliced and hashed, same contract as
+    * [[sampleFrameStats]]. */
+  def videoFrameHashesDf(df: DataFrame, idCol: String, mediaCol: String,
+                         stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("n_frames", IntegerType),
+      StructField("frame_idx", IntegerType),
+      StructField("hash_hi", LongType),
+      StructField("hash_lo", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null) Iterator.empty
+        else {
+          require(bytes.length >= 8 && bytes(0) == 'G'.toByte &&
+            bytes(1) == 'F'.toByte && bytes(2) == 'V'.toByte &&
+            bytes(3) == '1'.toByte, "not a GFV1 stream")
+          val n = le32(bytes, 4)
+          require(n >= 1 && bytes.length >= 8 + 8 * n,
+            "corrupt frame index")
+          def off(i: Int): Long =
+            java.nio.ByteBuffer.wrap(bytes, 8 + 8 * i, 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+          val id = r.getLong(idIdx)
+          (0 until n by stride).iterator.map { i =>
+            val from = off(i)
+            val until = if (i == n - 1) bytes.length.toLong
+                        else off(i + 1)
+            val (hi, lo) = aHash64(java.util.Arrays.copyOfRange(
+              bytes, from.toInt, until.toInt))
+            Row(id, n, i, hi, lo)
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   def synthVideo(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(

@@ -235,6 +235,31 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("video frame hashes: stride-2 partial decode skips bad frames") {
+    import graft.ops.Multimodal._
+    val frames = (0 until 3).map(f =>
+      encodeBmp24(8, 8, (x, y) => (x * 30 + f, y * 30, (x + y) * 15)))
+    val vid = encodeFrameSeq(frames)
+    val expect = frames.map(aHash64)
+    import spark.implicits._
+    val df = Seq((1L, vid)).toDF("asset_id", "media")
+    val all = videoFrameHashesDf(df, "asset_id", "media", stride = 1)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSeq
+    assert(all == expect)
+    // corrupt the unsampled middle frame: stride 2 must not notice
+    val corrupted = vid.clone()
+    val middleOff = java.nio.ByteBuffer.wrap(vid, 8 + 8, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toInt
+    corrupted(middleOff) = 'X'.toByte
+    val sampled = videoFrameHashesDf(
+        Seq((1L, corrupted)).toDF("asset_id", "media"),
+        "asset_id", "media", stride = 2)
+      .orderBy("frame_idx").collect()
+      .map(r => (r.getInt(2), (r.getLong(3), r.getLong(4)))).toSeq
+    assert(sampled == Seq(0 -> expect(0), 2 -> expect(2)))
+  }
+
   test("audio energy hash: silence zero, loud windows set their bits") {
     import graft.ops.Multimodal._
     // silence: every energy 0, nothing strictly above the mean
