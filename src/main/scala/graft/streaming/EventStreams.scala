@@ -373,6 +373,51 @@ object EventStreams {
       }
   }
 
+  final case class RunStats(n: Long, sum_cents: Long, max_cents: Long)
+  final case class UserStats(user_id: Long, n: Long, sum_cents: Long,
+                             max_cents: Long)
+
+  /** Per-key running stats on the `transformWithState` arbitrary-state
+    * API (Spark 4's successor to mapGroupsWithState: typed composite
+    * state handles, timers, per-state TTL, RocksDB-backed — the
+    * forward path for stateful pipelines). Functionally the count/
+    * sum/max fold [[ewmaStream]] would do on v1; the point pinned by
+    * the spec is the v2 machinery: a ValueState survives across
+    * micro-batches under the RocksDB provider and each batch emits the
+    * key's updated running row (update mode). Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (transformWithState's contract). */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, VEv, UserStats] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[RunStats] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[RunStats]("run", TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[VEv],
+                                 timers: TimerValues)
+        : Iterator[UserStats] = {
+      val init = if (st.exists()) st.get() else RunStats(0L, 0L, Long.MinValue)
+      val out = rows.foldLeft(init) { (s, e) =>
+        val cents = math.floor(e.v * 100 + 0.5).toLong
+        RunStats(s.n + 1, s.sum_cents + cents, math.max(s.max_cents, cents))
+      }
+      st.update(out)
+      Iterator.single(UserStats(key, out.n, out.sum_cents, out.max_cents))
+    }
+  }
+
+  def runningStatsStream(events: Dataset[VEv])
+      : Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   final case class NEv(user_id: Long, tsSec: Long, order: Long,
                        v: Option[Double])
   final case class FillState(lastTs: Long, lastOrd: Long,

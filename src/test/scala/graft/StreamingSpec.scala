@@ -756,6 +756,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1000L, 3L), (1L, 5000L, 1L)), got.mkString(","))
   }
 
+  test("transformWithState running stats carry RocksDB state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState's contract: RocksDB provider only
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evs = Seq(
+        EventStreams.VEv(1L, 100L, 1L, 10.0),
+        EventStreams.VEv(1L, 200L, 2L, 2.5),
+        EventStreams.VEv(2L, 100L, 3L, 7.0),
+        EventStreams.VEv(1L, 300L, 4L, 40.0))
+      val ms = MemoryStream[EventStreams.VEv]
+      val q = EventStreams.runningStatsStream(ms.toDS())
+        .writeStream.format("memory").queryName("runstats")
+        .outputMode("update").start()
+      try {
+        ms.addData(evs.take(2)); q.processAllAvailable()
+        ms.addData(evs.drop(2)); q.processAllAvailable()
+      } finally q.stop()
+      // latest emission per user must fold ALL batches: state survived
+      val got = spark.table("runstats")
+        .groupBy("user_id")
+        .agg(max_by(struct(col("n"), col("sum_cents"), col("max_cents")),
+          col("n")).as("s"))
+        .collect()
+        .map(r => r.getLong(0) -> {
+          val s = r.getStruct(1)
+          (s.getLong(0), s.getLong(1), s.getLong(2)) }).toMap
+      assert(got(1L) == ((3L, 5250L, 4000L)))
+      assert(got(2L) == ((1L, 700L, 700L)))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming phash screen matches the batch between-pairs") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
