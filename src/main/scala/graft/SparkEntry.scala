@@ -818,6 +818,26 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Pure-SQL entry point: the same engine drives from SQL text
+    // (temp views + spark.sql) — users who live in SQL get the
+    // injected native functions and the identical Catalyst plans.
+    "q407_sql_surface" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("li_v")
+      t(s, dir, "orders").createOrReplaceTempView("ord_v")
+      s.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               sum(top_cents) AS sum_top_cents
+        FROM (
+          SELECT o.o_orderkey, o.o_orderpriority,
+                 max(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS top_cents
+          FROM ord_v o JOIN li_v l ON l.l_orderkey = o.o_orderkey
+          GROUP BY o.o_orderkey, o.o_orderpriority)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    }),
+
     // Video fingerprinting: perceptual hash per sampled frame (the
     // near-dup-video key); index-walking partial decode slices only
     // sampled frames, the oracle replays every frame's pixel math.
@@ -8425,6 +8445,17 @@ object SparkEntry {
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
          ORDER BY id1, id2""",
       subset = " WHERE doc_id < 2000"),
+
+    "q407_sql_surface" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(SUM(top_cents) AS BIGINT) AS sum_top_cents
+         FROM (
+           SELECT o.o_orderkey, o.o_orderpriority,
+             max(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS top_cents
+           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           GROUP BY o.o_orderkey, o.o_orderpriority) t
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // per-frame replay of the same pixel arithmetic with the video
     // synth's fid = id*31 + f*7 and per-id dims

@@ -206,6 +206,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(whole == Set("l1\nl2\n", "l3\n"))
   }
 
+  test("file provenance: the hidden _metadata column names the source") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // at 100 TB the first question about a bad row is "which file":
+    // _metadata rides every file-based scan for free
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_provenance").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(1).write.mode("append").parquet(dir)
+    val rows = spark.read.parquet(dir)
+      .select(col("id"), col("_metadata.file_path").as("fp"),
+              col("_metadata.row_index").as("ri"))
+      .orderBy("id").collect()
+    assert(rows.forall(_.getString(1).contains("graft_provenance")))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 1L))
+  }
+
   test("schema evolution: mergeSchema unions columns across file versions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
