@@ -418,6 +418,79 @@ object EventStreams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  final case class SessState(startSec: Long, lastSec: Long, n: Long)
+  final case class ClosedSession(user_id: Long, session_start: Long,
+                                 session_end: Long, n_events: Long)
+
+  /** Timer-driven session closer on the v2 state API: a session emits
+    * ONLY when it closes — when the gap elapses with no new event —
+    * via an event-time timer (`handleExpiredTimer`), not when a later
+    * event happens to arrive. mapGroupsWithState can only observe a
+    * key when input for it shows up or a coarse group timeout fires;
+    * the v2 timer is per-key precise, so the downstream consumer gets
+    * exactly one (start, end, count) row per finished session and
+    * in-flight sessions hold their peace. Each arriving event extends
+    * the session and re-arms the timer to lastEvent + gap; an event
+    * past the gap closes the previous session (emitting it) and opens
+    * a new one. Event-time mode: the watermark drives timer firing. */
+  class SessionCloserProcessor(gapSec: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Ev, ClosedSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var st: ValueState[SessState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      import implicits._
+      st = getHandle.getValueState[SessState]("sess", TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+                                 timers: TimerValues)
+        : Iterator[ClosedSession] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+      rows.toSeq.sortBy(_.tsSec).foreach { e =>
+        val cur = if (st.exists()) Some(st.get()) else None
+        cur match {
+          case Some(s) if e.tsSec - s.lastSec <= gapSec =>
+            st.update(SessState(s.startSec, math.max(s.lastSec, e.tsSec),
+                                s.n + 1))
+          case Some(s) => // gap exceeded in-stream: close + reopen
+            out += ClosedSession(key, s.startSec, s.lastSec, s.n)
+            st.update(SessState(e.tsSec, e.tsSec, 1L))
+          case None =>
+            st.update(SessState(e.tsSec, e.tsSec, 1L))
+        }
+      }
+      // re-arm: one timer at lastEvent + gap (clear any stale one)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (st.exists())
+        getHandle.registerTimer((st.get().lastSec + gapSec) * 1000L + 1)
+      out.iterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      if (!st.exists()) Iterator.empty
+      else {
+        val s = st.get()
+        st.clear()
+        Iterator.single(ClosedSession(key, s.startSec, s.lastSec, s.n))
+      }
+    }
+  }
+
+  /** Closed sessions only, emitted by per-key event-time timers. The
+    * input needs a watermarked event-time column named `ts` on the
+    * UNDERLYING DataFrame before the typed conversion — the watermark
+    * is what advances timers. */
+  def closedSessionsStream(events: Dataset[Ev], gapSec: Long)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionCloserProcessor(gapSec),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   final case class NEv(user_id: Long, tsSec: Long, order: Long,
                        v: Option[Double])
   final case class FillState(lastTs: Long, lastOrd: Long,

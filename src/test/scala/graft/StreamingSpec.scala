@@ -797,6 +797,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("v2 timers emit sessions exactly when they close") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[(Long, Long)]
+      val typed = ms.toDS().toDF("user_id", "tsSec")
+        .withColumn("ts", timestamp_seconds(col("tsSec")))
+        .withWatermark("ts", "0 seconds")
+        .as[EventStreams.Ev]
+      val q = EventStreams.closedSessionsStream(typed, gapSec = 100L)
+        .writeStream.format("memory").queryName("closed_sess")
+        .outputMode("append").start()
+      try {
+        // session A: events at 1000, 1050 — still open after batch 1
+        ms.addData((1L, 1000L), (1L, 1050L))
+        q.processAllAvailable()
+        assert(spark.table("closed_sess").count() == 0,
+          "open session must hold its peace")
+        // watermark jumps to 5000 via another user's event: session A's
+        // timer (1150) fires — exactly one closed row, user 2 still open
+        ms.addData((2L, 5000L))
+        q.processAllAvailable()
+        ms.addData((2L, 9000L)) // closes nothing yet; advances watermark
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("closed_sess").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // user 1's session closed by TIMER; user 2's first session closed
+      // in-stream by the 9000 event's gap-exceeding arrival or timer
+      assert(got.contains((1L, 1000L, 1050L, 2L)), got.mkString(","))
+      assert(got.contains((2L, 5000L, 5000L, 1L)), got.mkString(","))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming phash screen matches the batch between-pairs") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
