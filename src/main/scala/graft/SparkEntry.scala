@@ -818,6 +818,20 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Row quarantine: first-violated-rule tagging as one fused
+    // expression; good path and dead-letter fork share the scan.
+    "q408_quarantine" -> ((s, dir) => {
+      graft.ops.Checks.quarantineRows(t(s, dir, "lineitem"), Seq(
+          ("high_qty", col("l_quantity") > 45),
+          ("low_price", col("l_extendedprice") < 1500),
+          ("tax_gt_2disc", col("l_tax") > col("l_discount") * 2)))
+        .groupBy(coalesce(col("violated_rule"), lit("clean")).as("rule"))
+        .agg(count(lit(1)).as("n"),
+             sum(floor(col("l_extendedprice") * 100 + lit(0.5))
+               .cast("long")).as("sum_cents"))
+        .orderBy("rule")
+    }),
+
     // Pure-SQL entry point: the same engine drives from SQL text
     // (temp views + spark.sql) — users who live in SQL get the
     // injected native functions and the identical Catalyst plans.
@@ -8445,6 +8459,24 @@ object SparkEntry {
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
          ORDER BY id1, id2""",
       subset = " WHERE doc_id < 2000"),
+
+    // first-match CASE chain; a rule whose predicate is NULL counts
+    // as violated (the engine's coalesce(bad, true) contract)
+    "q408_quarantine" ->
+      """WITH t AS (SELECT *,
+             CASE WHEN l_quantity > 45 OR l_quantity IS NULL
+                    THEN 'high_qty'
+                  WHEN l_extendedprice < 1500 OR l_extendedprice IS NULL
+                    THEN 'low_price'
+                  WHEN l_tax > l_discount * 2
+                       OR l_tax IS NULL OR l_discount IS NULL
+                    THEN 'tax_gt_2disc'
+                  ELSE 'clean' END AS rule
+           FROM lineitem)
+         SELECT rule, count(*) AS n,
+           CAST(SUM(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+         FROM t GROUP BY 1 ORDER BY 1""",
 
     "q407_sql_surface" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -631,6 +631,28 @@ object Checks {
           .as("intercept"))
   }
 
+  /** Row quarantine: tag every row with the FIRST rule it violates
+    * (null when clean) — the split behind every ingest pipeline's
+    * good-path/dead-letter fork. One pure expression per row (a
+    * coalesced when-chain in declaration order), so the tagging fuses
+    * into the scan and both forks (`filter(violated_rule.isNull)` /
+    * `.isNotNull`) share it; a rule that cannot evaluate (null
+    * predicate) counts as violated, same contract as
+    * [[ruleViolations]]. */
+  def quarantineRows(df: DataFrame, rules: Seq[(String, Column)])
+      : DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be distinct")
+    require(!df.columns.contains("violated_rule"),
+      "input already has a violated_rule column")
+    val tag = rules.foldRight(lit(null).cast("string")) {
+      case ((name, bad), rest) =>
+        when(coalesce(bad, lit(true)), lit(name)).otherwise(rest)
+    }
+    df.withColumn("violated_rule", tag)
+  }
+
   /** Join-key discovery (inclusion-dependency mining): for every
     * ordered pair of candidate columns, how much of column A's
     * distinct value set is contained in column B's — containment at

@@ -244,6 +244,60 @@ object Sources {
       .orderBy("shard")
   }
 
+  /** Manifest-driven incremental ingest: read ONLY the parquet files
+    * under `dir` that a previous run has not processed, and append the
+    * newly-seen file paths to the manifest — file-granular
+    * exactly-once batch ingest over a landing directory that upstream
+    * keeps appending to (the batch half of the kappa setup; the
+    * streaming half is `readStream` with its own file tracking). The
+    * manifest is a small parquet table of processed paths; new files
+    * are found by DIFFING the filesystem listing against it — one
+    * list call, zero reads of already-processed data files.
+    *
+    * Returns the new-rows frame; call `commit()` on the result holder
+    * AFTER the downstream write succeeds so a failed run retries the
+    * same files (at-least-once per file until commit, exactly-once
+    * after). */
+  def incrementalParquet(spark: SparkSession, dir: String,
+                         manifestPath: String): IncrementalBatch = {
+    import spark.implicits._
+    val seen: Set[String] =
+      if (new java.io.File(manifestPath).exists())
+        spark.read.parquet(manifestPath)
+          .select("file_path").as[String].collect().toSet
+      else Set.empty
+    // filesystem LISTING, not a data scan: old files cost one
+    // namenode/object-store list call, zero reads (flat landing dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(_.isFile)
+      .map(_.getPath.toString)
+      .filter(p => p.endsWith(".parquet") &&
+        !p.contains("_SUCCESS"))
+      .toSet
+    val fresh = (all -- seen).toSeq.sorted
+    val rows =
+      if (fresh.isEmpty)
+        spark.read.parquet(dir).limit(0)
+      else spark.read.parquet(fresh: _*)
+    IncrementalBatch(rows, fresh, manifestPath, spark)
+  }
+
+  final case class IncrementalBatch(rows: org.apache.spark.sql.DataFrame,
+                                    newFiles: Seq[String],
+                                    manifestPath: String,
+                                    spark: SparkSession) {
+    /** Record the batch's files as processed — call after the
+      * downstream write lands. */
+    def commit(): Unit = {
+      import spark.implicits._
+      if (newFiles.nonEmpty)
+        newFiles.toDF("file_path")
+          .coalesce(1).write.mode("append").parquet(manifestPath)
+    }
+  }
+
   /** Bucketed + sorted managed-table write: the co-located-join primitive.
     * Two tables bucketed the same way (same keys, same bucket count) join
     * or aggregate on those keys with NO shuffle — the single biggest win

@@ -223,6 +223,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 1L))
   }
 
+  test("incremental ingest reads only unseen files; uncommitted retries") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_incr").toString
+    val manifest = s"$dir/../graft_incr_manifest"
+    Seq(1L, 2L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(dir)
+    val b1 = Sources.incrementalParquet(spark, dir, manifest)
+    assert(b1.rows.select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // NOT committed: the same files come back (failed-run retry)
+    val retry = Sources.incrementalParquet(spark, dir, manifest)
+    assert(retry.rows.count() == 2)
+    b1.commit()
+    // committed: nothing new until upstream appends
+    val b2 = Sources.incrementalParquet(spark, dir, manifest)
+    assert(b2.rows.count() == 0 && b2.newFiles.isEmpty)
+    Seq(3L).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val b3 = Sources.incrementalParquet(spark, dir, manifest)
+    assert(b3.rows.select("id").as[Long].collect().toSet == Set(3L))
+    b3.commit()
+    assert(Sources.incrementalParquet(spark, dir, manifest)
+      .rows.count() == 0)
+  }
+
   test("schema evolution: mergeSchema unions columns across file versions") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
