@@ -298,6 +298,42 @@ object Sources {
     }
   }
 
+  /** Write-audit-publish: stage the frame to a hidden sibling dir, run
+    * the audit rules over WHAT WAS WRITTEN (the files a reader will
+    * see, not the lineage that produced them), and only then move the
+    * staging dir into place — readers never observe a half-written or
+    * rule-violating table. On any violation the staging dir is removed
+    * and the exception lists per-rule counts; the previous published
+    * contents (if any) stay untouched. The rename is the publish
+    * atom — single-filesystem moves are atomic on HDFS and local
+    * disks; object stores substitute their own commit protocol. */
+  def writeAuditPublish(df: DataFrame, path: String,
+                        rules: Seq[(String, org.apache.spark.sql.Column)])
+      : Unit = {
+    require(rules.nonEmpty, "write-audit-publish needs at least one rule")
+    val spark = df.sparkSession
+    val staging = new org.apache.hadoop.fs.Path(
+      path + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(staging.toString)
+    try {
+      val audit = graft.ops.Checks
+        .ruleViolations(spark.read.parquet(staging.toString), rules)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+        .filter(_._2 > 0)
+      if (audit.nonEmpty)
+        throw new IllegalStateException(
+          "audit failed, nothing published: " +
+          audit.map { case (n, c) => s"$n=$c" }.mkString(", "))
+      if (fs.exists(target)) fs.delete(target, true)
+      require(fs.rename(staging, target),
+        s"publish rename failed: $staging -> $target")
+    } finally {
+      if (fs.exists(staging)) fs.delete(staging, true)
+    }
+  }
+
   /** Bucketed + sorted managed-table write: the co-located-join primitive.
     * Two tables bucketed the same way (same keys, same bucket count) join
     * or aggregate on those keys with NO shuffle — the single biggest win

@@ -223,6 +223,58 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 1L))
   }
 
+  test("write-audit-publish: bad data never lands, good data replaces") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_wap").toString
+    val path = s"$base/table"
+    val rules = Seq[(String, org.apache.spark.sql.Column)](
+      ("neg_id", col("id") < 0))
+    Sources.writeAuditPublish(Seq(1L, 2L).toDF("id"), path, rules)
+    assert(spark.read.parquet(path).count() == 2)
+    // violating batch: publish refused, PREVIOUS contents intact
+    intercept[IllegalStateException] {
+      Sources.writeAuditPublish(Seq(3L, -9L).toDF("id"), path, rules)
+    }
+    assert(spark.read.parquet(path)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // no staging debris
+    assert(new java.io.File(base).listFiles().map(_.getName).toSeq
+      .filter(_.contains("staging")).isEmpty)
+    // clean batch replaces
+    Sources.writeAuditPublish(Seq(7L).toDF("id"), path, rules)
+    assert(spark.read.parquet(path)
+      .select("id").as[Long].collect().toSet == Set(7L))
+  }
+
+  test("dynamic partition overwrite touches only the written partitions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dyn").toString + "/t"
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "dynamic")
+      Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "p")
+        .write.partitionBy("p").mode("overwrite").parquet(dir)
+      // overwrite ONLY partition b — the backfill/restatement pattern:
+      // static mode would wipe partition a; dynamic replaces just b
+      Seq((9L, "b")).toDF("id", "p")
+        .write.partitionBy("p").mode("overwrite").parquet(dir)
+      val got = spark.read.parquet(dir)
+        .select("id", "p").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "a"), (9L, "b")))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("incremental ingest reads only unseen files; uncommitted retries") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
