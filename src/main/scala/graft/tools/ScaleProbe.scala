@@ -17,6 +17,28 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (args.contains("phash")) {
+      // Hamming-banded pair discovery at growing corpus size with a
+      // FIXED per-item duplication rate: candidate volume must track
+      // the true-pair count (clusters of 4), not corpus² — the byte
+      // posting lists stay thin because random 32-bit halves spread
+      // over 256 values per band.
+      import spark.implicits._
+      for (n <- Seq(100000L, 400000L, 1000000L)) {
+        val fp = spark.range(n).select(col("id"),
+            pmod(hash(expr("id div 4")), lit(1L << 32))
+              .bitwiseXOR(pmod(col("id"), lit(4))).as("hi"),
+            pmod(hash(expr("(id div 4) * 7 + 1")), lit(1L << 32)).as("lo"))
+          .localCheckpoint()
+        val t0 = System.nanoTime()
+        val pairs = graft.ops.Dedup.hammingPairs64(
+          fp.toDF(), col("id"), col("hi"), col("lo"), maxDist = 7)
+        val cnt = pairs.count()
+        println(f"[scale] phash n=$n%-8d ${(System.nanoTime() - t0) / 1e9}%8.1f s   pairs=$cnt (expect ~${n / 4 * 6})")
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("cc")) {
       // Distributed connected-components probe: worst-case topology (one
       // chain = max diameter) at growing sizes. Pointer jumping should
