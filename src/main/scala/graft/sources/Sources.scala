@@ -334,6 +334,41 @@ object Sources {
     }
   }
 
+  /** Idempotent micro-batch writer for `writeStream.foreachBatch`: each
+    * batch lands in its own `batch=<id>` subdir with a `_published`
+    * marker written AFTER the data. Structured Streaming re-delivers a
+    * batch (same batchId, same data) after a crash between sink write
+    * and checkpoint commit — the marker check turns that at-least-once
+    * re-delivery into exactly-once output, the standard recipe for
+    * sinks without native transactions. Readers take only marked
+    * batches. */
+  def idempotentBatchWriter(path: String)
+      : (org.apache.spark.sql.DataFrame, Long) => Unit = { (df, batchId) =>
+    val target = new org.apache.hadoop.fs.Path(s"$path/batch=$batchId")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$path/batch=$batchId/_published")
+    val fs = target.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      df.write.mode("overwrite").parquet(target.toString)
+      fs.create(marker, true).close()
+    }
+  }
+
+  /** Read back only the batches the idempotent writer fully published
+    * (unmarked dirs are in-flight or crashed writes). */
+  def readPublishedBatches(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val published = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_published")))
+      .map(_.toString)
+    require(published.nonEmpty, s"no published batches under $path")
+    spark.read.parquet(published.toSeq: _*)
+  }
+
   /** Bucketed + sorted managed-table write: the co-located-join primitive.
     * Two tables bucketed the same way (same keys, same bucket count) join
     * or aggregate on those keys with NO shuffle — the single biggest win

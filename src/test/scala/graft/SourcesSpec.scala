@@ -223,6 +223,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 1L))
   }
 
+  test("idempotent batch writer: re-delivered batches write once") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sink").toString + "/out"
+    val write = Sources.idempotentBatchWriter(path)
+    write(Seq(1L, 2L).toDF("id"), 0L)
+    write(Seq(3L).toDF("id"), 1L)
+    // crash-replay: batch 1 re-delivered — must be a no-op even if the
+    // replayed frame differed (the marker, not the data, is the guard)
+    write(Seq(99L).toDF("id"), 1L)
+    val got = Sources.readPublishedBatches(spark, path)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L, 3L))
+    // an unmarked (crashed mid-write) batch dir is invisible to readers
+    val crashed = new java.io.File(s"$path/batch=2")
+    crashed.mkdirs()
+    assert(Sources.readPublishedBatches(spark, path)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("write-audit-publish: bad data never lands, good data replaces") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
