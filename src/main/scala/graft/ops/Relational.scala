@@ -1270,9 +1270,9 @@ object Relational {
     * THE SCAN — before the shuffle that dominates a 100 TB semi-join —
     * and the exact semi-join afterwards clears the false positives, so
     * results are EXACTLY the plain semi-join's. The bloom itself is
-    * the one piece of driver state: O(numBits/8) bytes (default sizing
-    * ~1.2 GB per 10^9 keys at 3% fp), the same order Spark's own
-    * injected filter ships through its scalar subquery.
+    * the one piece of driver state: O(numBits/8) bytes (sizing detail below), the same order Spark's own
+    * injected filter ships through its scalar subquery (optimal
+    * sizing ~7.3 bits/key at 3% fp — ~0.9 GB per 10^9 keys).
     *
     * `expectedItems` sizes the filter (overestimate is safe, just
     * bigger); fp rate only costs prefilter selectivity, never
