@@ -223,6 +223,55 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).toSeq == Seq(0L, 1L))
   }
 
+  test("ingest pipeline integration: incremental -> quarantine -> WAP") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the operational composition a landing zone actually runs:
+    // only-new files in, bad rows to the dead letter, clean rows
+    // published atomically, manifest committed last
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_e2e").toString
+    val landing = s"$base/landing"
+    val manifest = s"$base/manifest"
+    val published = s"$base/published"
+    val deadLetter = s"$base/dead"
+    val rules = Seq[(String, org.apache.spark.sql.Column)](
+      ("neg_id", col("id") < 0))
+
+    def runOnce(): Unit = {
+      val batch = Sources.incrementalParquet(spark, landing, manifest)
+      if (batch.newFiles.nonEmpty) {
+        val tagged = graft.ops.Checks.quarantineRows(batch.rows, rules)
+        tagged.filter(col("violated_rule").isNotNull)
+          .write.mode("append").parquet(deadLetter)
+        Sources.writeAuditPublish(
+          tagged.filter(col("violated_rule").isNull).drop("violated_rule"),
+          published, rules)
+        batch.commit()
+      }
+    }
+
+    Seq(1L, -5L, 2L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(landing)
+    runOnce()
+    assert(spark.read.parquet(published)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(spark.read.parquet(deadLetter)
+      .select("id").as[Long].collect().toSet == Set(-5L))
+    // second run with no new files: everything untouched
+    runOnce()
+    assert(spark.read.parquet(published).count() == 2)
+    // a second landing batch REPLACES the published table (WAP
+    // overwrite semantics) and appends its bad rows
+    Seq(7L, -8L).toDF("id").coalesce(1)
+      .write.mode("append").parquet(landing)
+    runOnce()
+    assert(spark.read.parquet(published)
+      .select("id").as[Long].collect().toSet == Set(7L))
+    assert(spark.read.parquet(deadLetter)
+      .select("id").as[Long].collect().toSet == Set(-5L, -8L))
+  }
+
   test("idempotent batch writer: re-delivered batches write once") {
     import spark.implicits._
     val path = java.nio.file.Files

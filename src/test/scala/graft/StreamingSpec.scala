@@ -797,6 +797,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("query metrics listener records per-batch rows and state size") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val listener = new graft.streaming.QueryMetricsListener()
+    spark.streams.addListener(listener)
+    try {
+      val ms = MemoryStream[(String, String)]
+      val q = EventStreams.countMinStream(ms.toDS().toDF("g", "it"),
+          col("g"), col("it"), depth = 3, width = 8)
+        .writeStream.format("memory").queryName("metered")
+        .outputMode("complete").start()
+      try {
+        ms.addData(("a", "x"), ("a", "y")); q.processAllAvailable()
+        ms.addData(("b", "z")); q.processAllAvailable()
+      } finally q.stop()
+      // progress events are delivered asynchronously post-batch
+      val deadline = System.nanoTime() + 10_000_000_000L
+      def mine() = listener.batches.filter(_.queryName == "metered")
+      while (mine().map(_.inputRows).sum < 3 &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      val b = mine()
+      assert(b.map(_.inputRows).sum == 3, b.mkString(","))
+      assert(b.forall(_.durationMs >= 0))
+      // the count-min grid keeps aggregation state: visible rows > 0
+      assert(b.exists(_.stateRows > 0), b.mkString(","))
+      val df = listener.toDF(spark)
+        .filter(col("query_name") === "metered")
+      assert(df.agg(sum("input_rows")).head.getLong(0) == 3L)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("v2 timers emit sessions exactly when they close") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
