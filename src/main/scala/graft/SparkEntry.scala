@@ -818,6 +818,16 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Exactly-k per group, deterministically: the k smallest MINSTD
+    // hashes (id tiebreak) per source (10 of each 25) — the eval-set cut
+    // fraction sampling can't express.
+    "q409_sample_exact_k" -> ((s, dir) => {
+      graft.ops.Sampling.sampleExactK(t(s, dir, "documents"),
+          col("doc_id"), col("source"), k = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id")
+    }),
+
     // Row quarantine: first-violated-rule tagging as one fused
     // expression; good path and dead-letter fork share the scan.
     "q408_quarantine" -> ((s, dir) => {
@@ -8459,6 +8469,19 @@ object SparkEntry {
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
          ORDER BY id1, id2""",
       subset = " WHERE doc_id < 2000"),
+
+    // q73's double-round MINSTD replay + per-group rank
+    "q409_sample_exact_k" ->
+      """WITH h AS (SELECT doc_id, source,
+           (((((((doc_id + 1) % 2147483647) + 2147483647) % 2147483647)
+              * 48271) % 2147483647) * 48271) % 2147483647 AS hv
+         FROM documents),
+         r AS (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY hv, doc_id) AS rk
+           FROM h)
+         SELECT doc_id, source FROM r WHERE rk <= 10
+         ORDER BY source, doc_id""",
 
     // first-match CASE chain; a rule whose predicate is NULL counts
     // as violated (the engine's coalesce(bad, true) contract)

@@ -51,6 +51,30 @@ object Sampling {
     df.filter(idHash(id, seed) < math.floor(fraction * P).toLong)
   }
 
+  /** EXACTLY k rows per group, deterministically: the k smallest
+    * [[idHash]] values (ties broken by id) — the fixed-size per-group
+    * sample fractions can't give ("200 eval docs per source", "k
+    * examples per class for the eyeball file"). Because the hash is a
+    * fixed function of the id, a row's membership changes only when
+    * its RANK does — stable under appends that don't displace it, and
+    * bit-reproducible in a SQL replay. One shuffle on the group key;
+    * the window keeps k per group (partial top-k would also work; the
+    * window form keeps the rank visible). */
+  def sampleExactK(df: DataFrame, id: Column, group: Column, k: Int,
+                   seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val reserved = Seq("__h", "__rk")
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"sampleExactK: input already has ${clash.mkString(", ")}")
+    val w = Window.partitionBy(group).orderBy(col("__h"), id)
+    df.withColumn("__h", idHash(id, seed))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__h", "__rk")
+  }
+
   /** Assign each row a split label ("train"/"val"/"test", any names)
     * by consecutive integer hash ranges sized to `weights` (need not
     * sum to 1 — normalized). Appends a `split` column; rows never move,
