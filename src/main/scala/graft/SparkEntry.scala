@@ -818,6 +818,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Capped sessionization: gap 30 min OR total duration 2 h splits
+    // — the duration rule depends on the running session start, a
+    // sequential recurrence folded in-row; the oracle replays the
+    // state machine with a recursive CTE.
+    "q410_session_capped" -> ((s, dir) => {
+      graft.ops.Events.sessionStatsCapped(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"),
+          gapSeconds = 1800L, capSeconds = 7200L)
+        .orderBy("user_id")
+    }),
+
     // Exactly-k per group, deterministically: the k smallest MINSTD
     // hashes (id tiebreak) per source (10 of each 25) — the eval-set cut
     // fraction sampling can't express.
@@ -8469,6 +8480,38 @@ object SparkEntry {
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
          ORDER BY id1, id2""",
       subset = " WHERE doc_id < 2000"),
+
+    // exact state-machine replay: prev is always the current event's
+    // time; a split rolls the closed session into `longest`
+    "q410_session_capped" ->
+      """WITH RECURSIVE ev AS (
+           SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS s
+           FROM events WHERE ts IS NOT NULL),
+         mx AS (SELECT user_id, max(rn) AS mr FROM ev GROUP BY 1),
+         r AS (
+           SELECT user_id, rn, s AS start, s AS prev,
+                  CAST(1 AS BIGINT) AS n, CAST(0 AS BIGINT) AS longest
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.user_id, e.rn,
+             CASE WHEN e.s - r.prev > 1800 OR e.s - r.start > 7200
+                  THEN e.s ELSE r.start END,
+             e.s,
+             r.n + CASE WHEN e.s - r.prev > 1800 OR e.s - r.start > 7200
+                        THEN 1 ELSE 0 END,
+             CASE WHEN e.s - r.prev > 1800 OR e.s - r.start > 7200
+                  THEN greatest(r.longest, r.prev - r.start)
+                  ELSE r.longest END
+           FROM r JOIN ev e ON e.user_id = r.user_id
+                           AND e.rn = r.rn + 1)
+         SELECT r.user_id, CAST(mx.mr AS BIGINT) AS n_events,
+                r.n AS n_sessions,
+                greatest(r.longest, r.prev - r.start) AS longest_sec
+         FROM r JOIN mx ON mx.user_id = r.user_id AND r.rn = mx.mr
+         ORDER BY r.user_id""",
 
     // q73's double-round MINSTD replay + per-group rank
     "q409_sample_exact_k" ->

@@ -985,6 +985,58 @@ object Events {
       .limit(topK)
   }
 
+  /** Capped sessionization summary: sessions split on EITHER a gap
+    * exceeding `gapSeconds` OR total session duration exceeding
+    * `capSeconds` — the bot/kiosk guard plain gap sessionization
+    * lacks (a pinger emitting every minute for a week is ONE gap
+    * session; the cap slices it). The duration rule makes session
+    * membership depend on the running session START, a sequential
+    * recurrence no window can express — so each user's sorted events
+    * fold IN-ROW (same discipline as [[tokenBucketAudit]]): one
+    * shuffle on the key, O(1) fold state, summary out
+    * (n_events, n_sessions, longest closed-or-final session seconds).
+    * The oracle replays the identical state machine with a recursive
+    * CTE. */
+  def sessionStatsCapped(df: DataFrame, user: Column, ts: Column,
+                         order: Column, gapSeconds: Long,
+                         capSeconds: Long): DataFrame = {
+    require(gapSeconds > 0 && capSeconds > 0,
+      "sessionStatsCapped: gap and cap must be positive")
+    require(capSeconds >= gapSeconds,
+      "a cap below the gap would split every extension; use gap alone")
+    df.filter(ts.isNotNull)
+      .groupBy(user.as("user_id"))
+      .agg(sort_array(collect_list(struct(
+             unix_timestamp(ts).as("s"), order.as("o")))).as("__xs"))
+      .withColumn("__st", expr(
+        s"""aggregate(__xs,
+             named_struct('start', __xs[0].s, 'prev', __xs[0].s,
+                          'n', CAST(1 AS BIGINT),
+                          'longest', CAST(0 AS BIGINT),
+                          'first', true),
+             (st, x) -> CASE
+               WHEN st.first THEN
+                 named_struct('start', st.start, 'prev', st.prev,
+                              'n', st.n, 'longest', st.longest,
+                              'first', false)
+               WHEN x.s - st.prev > ${gapSeconds}L
+                    OR x.s - st.start > ${capSeconds}L THEN
+                 named_struct('start', x.s, 'prev', x.s,
+                              'n', st.n + 1,
+                              'longest', greatest(st.longest,
+                                                  st.prev - st.start),
+                              'first', false)
+               ELSE
+                 named_struct('start', st.start, 'prev', x.s,
+                              'n', st.n, 'longest', st.longest,
+                              'first', false) END)"""))
+      .select(col("user_id"),
+        size(col("__xs")).cast("long").as("n_events"),
+        col("__st.n").as("n_sessions"),
+        greatest(col("__st.longest"),
+                 col("__st.prev") - col("__st.start")).as("longest_sec"))
+  }
+
   /** Interval-set union per key: merge overlapping/touching [start,
     * end] intervals into maximal covered spans — total uptime from
     * overlapping sessions, covered calendar from per-order service

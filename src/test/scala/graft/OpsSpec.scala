@@ -3542,6 +3542,29 @@ class OpsSpec extends AnyFunSuite {
 
   private def unixSec(t: java.sql.Timestamp): Long = t.getTime / 1000L
 
+  test("capped sessionization splits the pinger a gap never would") {
+    import spark.implicits._
+    // one event per 60 s for 50 min: gap sessionization (gap 300)
+    // sees ONE session; cap 600 slices it into ceil-by-duration
+    // pieces — splits at the first event past start+600
+    val e = (0 until 50).map(i => (1L, i.toLong, 60L * i))
+      .toDF("u", "id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val out = Events.sessionStatsCapped(e, col("u"), col("ts"),
+        col("id"), gapSeconds = 300L, capSeconds = 600L)
+      .collect().head
+    // sessions: [0..600] (11 events), then restart at 660... each
+    // covers start..start+600 = 11 events, last one partial
+    assert(out.getLong(1) == 50L)
+    assert(out.getLong(2) == 5L, out.toString)
+    assert(out.getLong(3) == 600L)
+    // plain gap behavior preserved when cap is huge
+    val loose = Events.sessionStatsCapped(e, col("u"), col("ts"),
+        col("id"), gapSeconds = 300L, capSeconds = 1000000L)
+      .collect().head
+    assert(loose.getLong(2) == 1L && loose.getLong(3) == 49L * 60L)
+  }
+
   test("interval merge: overlap and touch merge, gaps split") {
     import spark.implicits._
     // [0,10] ∪ [5,20] overlap; [20,30] touches (merges); [31,40] gaps
