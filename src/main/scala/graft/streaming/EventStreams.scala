@@ -583,6 +583,48 @@ object EventStreams {
       }
   }
 
+  final case class CapState(start: Long, prev: Long, lastOrd: Long,
+                            n: Long, longest: Long, nEvents: Long)
+  final case class UserCapped(user_id: Long, n_events: Long,
+                              n_sessions: Long, longest_sec: Long)
+
+  /** Streaming twin of [[graft.ops.Events.sessionStatsCapped]]: the
+    * gap-OR-duration split folded across micro-batches in
+    * mapGroupsWithState — same state machine, state carries (session
+    * start, last event, counts) per user; stale (late, already-folded)
+    * events are dropped by the monotone guard like [[ewmaStream]].
+    * Emits the user's updated summary each batch (update mode). */
+  def cappedSessionStream(events: Dataset[VEv], gapSec: Long,
+                          capSec: Long): Dataset[UserCapped] = {
+    import events.sparkSession.implicits._
+    require(gapSec > 0 && capSec >= gapSec,
+      "cappedSessionStream: need 0 < gapSec <= capSec")
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CapState, UserCapped](
+        GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[CapState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsSec, e.order))
+          val out = sorted.foldLeft(state.getOption.orNull) { (st, e) =>
+            if (st == null)
+              CapState(e.tsSec, e.tsSec, e.order, 1L, 0L, 1L)
+            else if (e.tsSec < st.prev ||
+                     (e.tsSec == st.prev && e.order <= st.lastOrd)) st
+            else if (e.tsSec - st.prev > gapSec ||
+                     e.tsSec - st.start > capSec)
+              CapState(e.tsSec, e.tsSec, e.order, st.n + 1,
+                       math.max(st.longest, st.prev - st.start),
+                       st.nEvents + 1)
+            else
+              CapState(st.start, e.tsSec, e.order, st.n, st.longest,
+                       st.nEvents + 1)
+          }
+          state.update(out)
+          UserCapped(user, out.nEvents, out.n,
+                     math.max(out.longest, out.prev - out.start))
+      }
+  }
+
   final case class Chg(key: Long, tsSec: Long, value: String,
                        deleted: Boolean)
   final case class UpsertState(tsSec: Long, value: String,

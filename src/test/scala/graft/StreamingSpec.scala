@@ -797,6 +797,42 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming capped sessions equal the batch fold across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val evs = events.filter(col("value").isNotNull)
+      .select(col("user_id"),
+        unix_timestamp(col("ts")).as("tsSec"),
+        col("event_id").as("order"), col("value").as("v"))
+      .as[EventStreams.VEv]
+      .collect().sortBy(e => (e.tsSec, e.order))
+    val (first, second) = evs.splitAt(evs.length / 2)
+    val ms = MemoryStream[EventStreams.VEv]
+    val q = EventStreams.cappedSessionStream(ms.toDS(),
+        gapSec = 1800L, capSec = 7200L)
+      .writeStream.format("memory").queryName("capsess")
+      .outputMode("update").start()
+    try {
+      ms.addData(first.toSeq); q.processAllAvailable()
+      ms.addData(second.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("capsess")
+      .groupBy("user_id")
+      .agg(max("n_events").as("ne"),
+           max_by(col("n_sessions"), col("n_events")).as("ns"),
+           max_by(col("longest_sec"), col("n_events")).as("ls"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = ops.Events.sessionStatsCapped(
+        events.filter(col("value").isNotNull),
+        col("user_id"), col("ts"), col("event_id"), 1800L, 7200L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == want)
+  }
+
   test("query metrics listener records per-batch rows and state size") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
