@@ -818,6 +818,22 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Concurrency curve over gap sessions: the ±1 sweep's global
+    // running sum on the distributed prefix machinery — peak
+    // simultaneous sessions per hour.
+    "q411_concurrency" -> ((s, dir) => {
+      val sess = graft.ops.Events.sessionize(t(s, dir, "events"),
+          col("user_id"), col("ts"), gapSeconds = 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_timestamp(col("ts"))).as("s"),
+             max(unix_timestamp(col("ts"))).as("e"))
+      graft.ops.Events.concurrencyCurve(sess, col("s"), col("e"))
+        .groupBy((col("t") - pmod(col("t"), lit(3600L))).as("hour_sec"))
+        .agg(max(col("concurrent")).as("peak_concurrent"),
+             count(lit(1)).as("n_boundaries"))
+        .orderBy("hour_sec")
+    }),
+
     // Capped sessionization: gap 30 min OR total duration 2 h splits
     // — the duration rule depends on the running session start, a
     // sequential recurrence folded in-row; the oracle replays the
@@ -8480,6 +8496,38 @@ object SparkEntry {
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
          ORDER BY id1, id2""",
       subset = " WHERE doc_id < 2000"),
+
+    // q31's session CTE -> intervals -> the same ±1 sweep; ends sort
+    // before starts at equal times (end-exclusive)
+    "q411_concurrency" ->
+      """WITH x AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     IS NULL THEN 1
+                WHEN CAST(floor(epoch(ts)) AS BIGINT) -
+                     CAST(floor(epoch(lag(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts))) AS BIGINT)
+                     > 1800 THEN 1
+                ELSE 0 END AS ns
+           FROM events WHERE ts IS NOT NULL),
+         y AS (SELECT user_id, ts,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+               FROM x),
+         iv AS (SELECT user_id, sid,
+                  min(CAST(floor(epoch(ts)) AS BIGINT)) AS s,
+                  max(CAST(floor(epoch(ts)) AS BIGINT)) AS e
+                FROM y GROUP BY 1, 2),
+         dl AS (SELECT s AS t, CAST(1 AS BIGINT) AS d FROM iv
+                UNION ALL
+                SELECT e, CAST(-1 AS BIGINT) FROM iv),
+         c AS (SELECT t, d,
+                 sum(d) OVER (ORDER BY t, d ROWS UNBOUNDED PRECEDING)
+                   AS concurrent
+               FROM dl)
+         SELECT t - t % 3600 AS hour_sec,
+                CAST(max(concurrent) AS BIGINT) AS peak_concurrent,
+                count(*) AS n_boundaries
+         FROM c GROUP BY 1 ORDER BY 1""",
 
     // exact state-machine replay: prev is always the current event's
     // time; a split rolls the closed session into `longest`

@@ -1037,6 +1037,37 @@ object Events {
                  col("__st.prev") - col("__st.start")).as("longest_sec"))
   }
 
+  /** Concurrency curve: how many intervals are simultaneously open at
+    * each boundary event — peak-load sizing, license-seat audits,
+    * "how many users were on at once". The classic ±1 sweep: every
+    * interval contributes +1 at its start and −1 at its end, and the
+    * running sum over the (time, end-before-start) order is the step
+    * function. End-exclusive: an interval ending exactly when another
+    * starts does not overlap it.
+    *
+    * The running sum is GLOBAL — the one shape a per-key window can't
+    * partition — so it rides [[Packing.orderedCumsum]]'s distributed
+    * prefix sum: range shuffle + per-partition sort + an
+    * O(partitions) driver offset frame, never a single-partition
+    * window. Ties inside one (time, sign) group commute (the sum is
+    * over identical deltas), so downstream per-bucket aggregates are
+    * deterministic without a per-row tiebreak. */
+  def concurrencyCurve(sessions: DataFrame, start: Column, end: Column,
+                       partitions: Int = 32): DataFrame = {
+    val deltas = sessions
+      .select(start.cast("long").as("t"), lit(1L).as("d"))
+      .unionByName(sessions
+        .select(end.cast("long").as("t"), lit(-1L).as("d")))
+      .filter(col("t").isNotNull)
+      // ends sort before starts at the same instant (end-exclusive)
+      .withColumn("__ord",
+        col("t") * 2 + when(col("d") === 1L, 1L).otherwise(0L))
+    Packing.orderedCumsum(deltas, col("__ord"), col("d"), partitions,
+        offsetName = "__pre")
+      .select(col("t"), col("d"),
+              (col("__pre") + col("d")).as("concurrent"))
+  }
+
   /** Interval-set union per key: merge overlapping/touching [start,
     * end] intervals into maximal covered spans — total uptime from
     * overlapping sessions, covered calendar from per-order service

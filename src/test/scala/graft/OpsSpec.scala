@@ -3542,6 +3542,20 @@ class OpsSpec extends AnyFunSuite {
 
   private def unixSec(t: java.sql.Timestamp): Long = t.getTime / 1000L
 
+  test("concurrency curve: overlap counts, end-exclusive touch") {
+    import spark.implicits._
+    // [0,10] and [5,20] overlap (peak 2); [20,30] starts exactly as
+    // [5,20] ends — end-exclusive, concurrency stays 1 there
+    val iv = Seq((0L, 10L), (5L, 20L), (20L, 30L)).toDF("s", "e")
+    val out = Events.concurrencyCurve(iv, col("s"), col("e"),
+        partitions = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(x => (x._1, x._2)).toList
+    assert(out == List((0L, 1L, 1L), (5L, 1L, 2L), (10L, -1L, 1L),
+      (20L, -1L, 0L), (20L, 1L, 1L), (30L, -1L, 0L)))
+    assert(out.map(_._3).max == 2L)
+  }
+
   test("capped sessionization splits the pinger a gap never would") {
     import spark.implicits._
     // one event per 60 s for 50 min: gap sessionization (gap 300)
