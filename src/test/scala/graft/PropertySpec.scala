@@ -387,6 +387,42 @@ class PropertySpec extends AnyFunSuite {
     assert(r.passed, r.status.toString)
   }
 
+  test("capped sessions match a driver replay; cap only ever splits") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 5000L)).map(_.take(20))
+    val prop = Prop.forAll(gen) { ts0 =>
+      val ts = ts0.distinct.sorted
+      val df = ts.zipWithIndex.map { case (t, i) => (1L, i.toLong, t) }
+        .toDF("u", "o", "sec")
+        .withColumn("ts", timestamp_seconds(col("sec")))
+      def engine(gap: Long, cap: Long): (Long, Long, Long) = {
+        val r = ops.Events.sessionStatsCapped(df, col("u"), col("ts"),
+          col("o"), gap, cap).collect().head
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      def replay(gap: Long, cap: Long): (Long, Long, Long) = {
+        var start = ts.head; var prev = ts.head
+        var n = 1L; var longest = 0L
+        ts.tail.foreach { t =>
+          if (t - prev > gap || t - start > cap) {
+            longest = math.max(longest, prev - start)
+            start = t; n += 1
+          }
+          prev = t
+        }
+        (ts.size.toLong, n, math.max(longest, prev - start))
+      }
+      val cases = Seq((300L, 900L), (100L, 100L), (1000L, 4000L))
+      cases.forall { case (g, c) =>
+        val e = engine(g, c)
+        e == replay(g, c) &&
+          // the cap can only SPLIT relative to plain gap sessions
+          e._2 >= engine(g, 1000000L)._2
+      }
+    }
+    val r = SCTest.check(params, prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("interval merge: spans disjoint, cover every input, keep mass") {
     val gen = Gen.nonEmptyListOf(
       Gen.zip(Gen.choose(0L, 60L), Gen.choose(0L, 15L))).map(_.take(15))
