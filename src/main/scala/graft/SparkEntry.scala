@@ -818,6 +818,31 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Latency distribution of view -> first purchase (forward as-of
+    // attach, then exact integer percentiles of the gap) — the
+    // response-time SLO panel per attribution cohort.
+    "q412_latency_pct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val joined = graft.ops.Relational.asofJoinForward(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts")),
+        key = "user_id", leftTime = "ts", rightTime = "ts",
+        payload = Map("ts" -> "p_ts"))
+      joined
+        .filter(col("p_ts").isNotNull)
+        .select(pmod(col("user_id"), lit(4)).as("cohort"),
+          (unix_timestamp(col("p_ts")) - unix_timestamp(col("ts")))
+            .as("gap_s"))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n"),
+             expr("cast(percentile(gap_s, 0.5) as double)").as("p50_s"),
+             expr("cast(percentile(gap_s, 0.9) as double)").as("p90_s"),
+             max(col("gap_s")).as("max_s"))
+        .orderBy("cohort")
+    }),
+
     // Concurrency curve over gap sessions: the ±1 sweep's global
     // running sum on the distributed prefix machinery — peak
     // simultaneous sessions per hour.
@@ -8496,6 +8521,25 @@ object SparkEntry {
          WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 6
          ORDER BY id1, id2""",
       subset = " WHERE doc_id < 2000"),
+
+    // native forward ASOF + continuous quantiles (bit-identical on
+    // integer gaps, the skewReport-established parity)
+    "q412_latency_pct" ->
+      """WITH v AS (SELECT user_id, ts FROM events
+                    WHERE event_type = 'view'),
+           p AS (SELECT user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+           j AS (SELECT v.user_id,
+                   CAST(floor(epoch(p.ts)) AS BIGINT)
+                     - CAST(floor(epoch(v.ts)) AS BIGINT) AS gap_s
+                 FROM v ASOF LEFT JOIN p
+                   ON v.user_id = p.user_id AND p.ts >= v.ts)
+         SELECT user_id % 4 AS cohort, count(*) AS n,
+                CAST(quantile_cont(gap_s, 0.5) AS DOUBLE) AS p50_s,
+                CAST(quantile_cont(gap_s, 0.9) AS DOUBLE) AS p90_s,
+                max(gap_s) AS max_s
+         FROM j WHERE gap_s IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
 
     // q31's session CTE -> intervals -> the same ±1 sweep; ends sort
     // before starts at equal times (end-exclusive)
