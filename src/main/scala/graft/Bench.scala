@@ -58,11 +58,17 @@ object Bench {
       s"\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","unit":"sec","sf":"$sfDir","queries":$qs,"value":$total}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      fullJson.getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // only an UNFILTERED run may overwrite the committed full artifact —
+    // a dev-loop SPARK_GRAFT_ONLY run would silently shrink it to the
+    // filtered subset (and RegisterSpec's parity pin would then fail)
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_FULL.json"),
+        fullJson.getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    else System.err.println(
+      "[bench] filtered run: BENCH_FULL.json left untouched")
     println(fullJson)
     val top = results.sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v, 2) }

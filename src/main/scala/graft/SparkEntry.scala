@@ -510,6 +510,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Real multimodal codec III (image, compressed): the SAME pixel
+    // synthesis as q248 encoded as real PNGs — DEFLATE + scanline
+    // filters, with the filter type CYCLING over all five
+    // (None/Sub/Up/Average/Paeth) by doc id — then chunk-walked,
+    // CRC-verified, inflated, reconstructed. The oracle replays the
+    // pixel arithmetic; a single wrong reconstruction path breaks the
+    // hash.
+    "q415_png_decode" -> ((s, dir) => {
+      val pngs = graft.ops.Multimodal.synthPng(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Multimodal.decodePngStatsDf(pngs, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("width"), col("height"),
+                col("sum_r"), col("sum_g"), col("sum_b"), col("first_px"))
+        .orderBy("doc_id")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -841,6 +857,44 @@ object SparkEntry {
              expr("cast(percentile(gap_s, 0.9) as double)").as("p90_s"),
              max(col("gap_s")).as("max_s"))
         .orderBy("cohort")
+    }),
+
+    // O3 for-each as a HASHABLE surface: visit every binding tuple on
+    // executors, folding into Spark accumulators (the one legal
+    // executor→driver side-effect channel; updates inside an action
+    // are applied exactly once per successful task, so the totals are
+    // deterministic), then return them as a one-row frame the oracle
+    // recomputes declaratively (reference `for-each`, core.cljc:38-43).
+    "q413_foreach" -> ((s, dir) => {
+      import s.implicits._
+      val nRows = s.sparkContext.longAccumulator("graft_foreach_rows")
+      val sumLn = s.sparkContext.longAccumulator("graft_foreach_ln")
+      Transform(rows("l_orderkey", "l_linenumber"),
+          RRows(Seq("l_orderkey" -> col("l_orderkey"))))
+        .forEach(t(s, dir, "lineitem")) { r =>
+          nRows.add(1L)
+          sumLn.add(r.getAs[Int]("l_linenumber").toLong)
+        }
+      Seq((nRows.value: Long, sumLn.value: Long))
+        .toDF("n_rows", "sum_ln")
+    }),
+
+    // O9 explicit SetOf-domain iteration: the input models sets as
+    // arrays (collect_set per order); the domain consumes the SET
+    // pattern (reference `[:set]`, parse_domain.cljc:74-79) and the
+    // range re-aggregates per key.
+    "q414_set_domain" -> ((s, dir) => {
+      val sets = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(collect_set(col("l_partkey")).as("parts"))
+      Transform.run(sets,
+        Vec(Entries(Seq(
+          (KField("l_orderkey"): DKey) -> Leaf("l_orderkey"),
+          (KField("parts"): DKey) -> SetOf(Leaf("pk"))))),
+        RMap(col("l_orderkey"), RStruct(Seq(
+          "n_parts" -> RAgg(count(col("pk"))),
+          "max_pk"  -> RAgg(max(col("pk")))))))
+        .orderBy("l_orderkey")
     }),
 
     // Concurrency curve over gap sessions: the ±1 sweep's global
@@ -4440,6 +4494,28 @@ object SparkEntry {
                 (doc_id*7 % 256) AS BIGINT) AS first_px
          FROM e ORDER BY doc_id""",
 
+    // identical pixel-arithmetic replay to q248: the PNG encode→decode
+    // round trip (all five filters across the corpus) must be lossless
+    "q415_png_decode" ->
+      """WITH s AS (SELECT doc_id, 8 + doc_id % 9 AS w,
+                      5 + doc_id % 7 AS h FROM documents),
+         e AS (SELECT doc_id, w, h,
+           [(doc_id*3 + (i % w)*7 + (i // w)*11) % 256
+              FOR i IN range(w*h)] AS rs,
+           [(doc_id*5 + (i % w)*13 + (i // w)*3) % 256
+              FOR i IN range(w*h)] AS gs,
+           [(doc_id*7 + (i % w) + (i // w)*17) % 256
+              FOR i IN range(w*h)] AS bs
+         FROM s)
+         SELECT doc_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(list_sum(rs) AS BIGINT) AS sum_r,
+           CAST(list_sum(gs) AS BIGINT) AS sum_g,
+           CAST(list_sum(bs) AS BIGINT) AS sum_b,
+           CAST((doc_id*3 % 256) * 65536 + (doc_id*5 % 256) * 256 +
+                (doc_id*7 % 256) AS BIGINT) AS first_px
+         FROM e ORDER BY doc_id""",
+
     "q348_skyline" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber,
              CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
@@ -4656,28 +4732,37 @@ object SparkEntry {
            count(*) AS n_events
          FROM events GROUP BY 1 ORDER BY 1""",
 
+    // column-wise: hash each cell (null -> chr(2) marker), then fold
+    // the per-column components across the row with the same
+    // recurrences — the exact arithmetic of Relational.tableChecksum
     "q347_table_checksum" ->
-      """WITH r AS (SELECT
-             coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) ||
-             coalesce(lang, chr(2)) || chr(1) ||
-             coalesce(CAST(n_chars AS VARCHAR), chr(2)) || chr(1) ||
-             coalesce(source, chr(2)) || chr(1) ||
-             coalesce(text, chr(2)) AS s
+      """WITH c AS (SELECT
+             [coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+              coalesce(lang, chr(2)),
+              coalesce(CAST(n_chars AS VARCHAR), chr(2)),
+              coalesce(source, chr(2)),
+              coalesce(text, chr(2))] AS cells
            FROM documents),
          h AS (SELECT
-             list_reduce(list_prepend(CAST(7 AS BIGINT),
-               [CAST(ascii(s[i]) AS BIGINT)
-                FOR i IN range(1, length(s)+1)]),
-               (a, c) -> (a*31+c) % 2147483647) AS h1,
-             list_reduce(list_prepend(CAST(11 AS BIGINT),
-               [CAST(ascii(s[i]) AS BIGINT)
-                FOR i IN range(1, length(s)+1)]),
-               (a, c) -> (a*37+c) % 2147483629) AS h2
-           FROM r)
+             [list_reduce(list_prepend(CAST(7 AS BIGINT),
+                [CAST(ascii(s[i]) AS BIGINT)
+                 FOR i IN range(1, length(s)+1)]),
+                (a, x) -> (a*31+x) % 2147483647) FOR s IN cells] AS h1s,
+             [list_reduce(list_prepend(CAST(11 AS BIGINT),
+                [CAST(ascii(s[i]) AS BIGINT)
+                 FOR i IN range(1, length(s)+1)]),
+                (a, x) -> (a*37+x) % 2147483629) FOR s IN cells] AS h2s
+           FROM c),
+         f AS (SELECT
+             list_reduce(list_prepend(CAST(7 AS BIGINT), h1s),
+               (a, x) -> (a*31+x) % 2147483647) AS r1,
+             list_reduce(list_prepend(CAST(11 AS BIGINT), h2s),
+               (a, x) -> (a*37+x) % 2147483629) AS r2
+           FROM h)
          SELECT count(*) AS n_rows,
-           CAST(sum(h1) AS BIGINT) AS sum_h1,
-           CAST(sum(h2) AS BIGINT) AS sum_h2
-         FROM h""",
+           CAST(sum(r1) AS BIGINT) AS sum_h1,
+           CAST(sum(r2) AS BIGINT) AS sum_h2
+         FROM f""",
 
     "q345_ancestors" ->
       """WITH RECURSIVE anc AS (
@@ -8309,6 +8394,7 @@ object SparkEntry {
                               ROWS UNBOUNDED PRECEDING) AS s
            FROM e)
          SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL 1800 SECOND AS session_end,
                 count(*) AS n_events
          FROM sid GROUP BY user_id, s
          ORDER BY user_id, session_start""",
@@ -8540,6 +8626,19 @@ object SparkEntry {
                 max(gap_s) AS max_s
          FROM j WHERE gap_s IS NOT NULL
          GROUP BY 1 ORDER BY 1""",
+
+    // the accumulator totals recomputed declaratively
+    "q413_foreach" ->
+      """SELECT count(*) AS n_rows,
+           CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+         FROM lineitem""",
+
+    // the set domain replayed as DISTINCT aggregation
+    "q414_set_domain" ->
+      """SELECT l_orderkey,
+           count(DISTINCT l_partkey) AS n_parts,
+           max(l_partkey) AS max_pk
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // q31's session CTE -> intervals -> the same ±1 sweep; ends sort
     // before starts at equal times (end-exclusive)

@@ -894,10 +894,18 @@ object Events {
     * Streaming (where the window-id form can't: a running session-id
     * prefix sum needs the whole history, but session_window state
     * merges incrementally and closes at the watermark). Emits one row
-    * per (key, session): start, end, event count. Batch output equals
-    * grouping [[sessionize]]'s ids — `OpsSpec` pins the parity. Use
-    * sessionize when later stages need per-EVENT session ids; use
-    * this when they need per-SESSION rows (one fewer window pass). */
+    * per (key, session): start, end (last event + gap, Spark's
+    * session_window convention), event count.
+    *
+    * Boundary semantics differ from [[sessionize]] by design:
+    * session_window is END-EXCLUSIVE — two events EXACTLY gapSeconds
+    * apart fall in different sessions (diff >= gap splits), while
+    * sessionize splits only at diff > gap, so such boundary pairs
+    * land in ONE session there. Away from that boundary the grouping
+    * is identical (`OpsSpec` pins the parity on off-boundary data;
+    * the q361 oracle encodes the >= split). Use sessionize when later
+    * stages need per-EVENT session ids; use this when they need
+    * per-SESSION rows (one fewer window pass). */
   def sessionAgg(df: DataFrame, user: Column, ts: Column,
                  gapSeconds: Long): DataFrame = {
     require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
@@ -906,7 +914,7 @@ object Events {
         session_window(ts, s"$gapSeconds seconds").as("sw"))
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("sw.start").as("session_start"),
-              col("n_events"))
+              col("sw.end").as("session_end"), col("n_events"))
   }
 
   /** Linear interpolation of missing values in a keyed time series:

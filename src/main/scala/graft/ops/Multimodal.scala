@@ -465,6 +465,347 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  // ---- Real codec: PNG (8-bit truecolor, JDK-only) -------------------
+  //
+  // PNG is DEFLATE (java.util.zip.Deflater/Inflater) plus five per-
+  // scanline byte filters — the one mainstream image format fully
+  // implementable offline with the JDK alone (JPEG/MP3/MP4 stay
+  // documented stub seams: their entropy/transform coders need
+  // external libs). The encoder writes 8-bit truecolor (color type 2),
+  // non-interlaced, with a SELECTABLE filter applied to every row; the
+  // decoder is chunk-walking (CRC-verified, multiple IDAT chunks
+  // concatenated) and reconstructs ALL FIVE filter types
+  // (None/Sub/Up/Average/Paeth) — [[synthPng]] cycles the encode
+  // filter by id so the oracle corpus exercises every reconstruction
+  // path, not just the filter-0 fast case.
+
+  private val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    .map(_.toByte)
+
+  /** One PNG chunk: big-endian length, 4-char type, data, CRC32 over
+    * type+data (the spec's chunk framing). */
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    require(t.length == 4, s"bad chunk type '$typ'")
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length) // big-endian
+    bb.putInt(data.length).put(t).put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** Paeth predictor (PNG spec §9.4): the neighbor (left, up, upper-
+    * left) closest to left + up − upperleft, ties broken left, up,
+    * upper-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b)
+    val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Encode an 8-bit truecolor non-interlaced PNG from a pixel
+    * function ((x, y) → (r, g, b), origin top-left), filtering every
+    * scanline with `filterType` (0=None 1=Sub 2=Up 3=Average 4=Paeth —
+    * any choice decodes to the same pixels; non-zero types exist to
+    * exercise decoder reconstruction). */
+  def encodePng(width: Int, height: Int,
+                px: (Int, Int) => (Int, Int, Int),
+                filterType: Int = 0): Array[Byte] = {
+    require(width > 0 && height > 0, "empty image")
+    require(filterType >= 0 && filterType <= 4,
+      s"filter type must be 0..4, got $filterType")
+    val bpp = 3
+    val stride = width * bpp
+    // raw scanline bytes of the current and previous row (unfiltered)
+    val raw = new Array[Byte]((stride + 1) * height)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride) // row above; zeros for row 0
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = px(x, y)
+        cur(x * bpp) = r & 0xff
+        cur(x * bpp + 1) = g & 0xff
+        cur(x * bpp + 2) = b & 0xff
+        x += 1
+      }
+      val o = y * (stride + 1)
+      raw(o) = filterType.toByte
+      var i = 0
+      while (i < stride) {
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = prev(i)
+        val ul = if (i >= bpp) prev(i - bpp) else 0
+        val f = filterType match {
+          case 0 => cur(i)
+          case 1 => cur(i) - left
+          case 2 => cur(i) - up
+          case 3 => cur(i) - (left + up) / 2
+          case 4 => cur(i) - paeth(left, up, ul)
+        }
+        raw(o + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      zOut.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .array()
+    pngSig ++ pngChunk("IHDR", ihdr) ++
+      pngChunk("IDAT", zOut.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decoded summary of one 8-bit truecolor PNG — the [[BmpStats]]
+    * shape (exact channel sums + the top-left-pixel probe that catches
+    * row/filter reconstruction bugs a global sum hides), so PNG- and
+    * BMP-backed pipelines share downstream schema. */
+  final case class PngStats(width: Int, height: Int,
+                            sumR: Long, sumG: Long, sumB: Long,
+                            firstPx: Long)
+
+  /** Decode an 8-bit truecolor non-interlaced PNG: signature + CRC-
+    * verified chunk walk, IDAT concatenation, full inflate, and
+    * scanline reconstruction for all five filter types. */
+  def decodePng(bytes: Array[Byte]): PngStats = {
+    require(bytes.length > 8 + 12 * 2 &&
+      pngSig.indices.forall(i => bytes(i) == pngSig(i)),
+      "not a PNG stream")
+    var off = 8
+    var width = -1; var height = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+      ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    while (off + 12 <= bytes.length && !seenIend) {
+      val len = be32(off)
+      require(len >= 0 && off + 12L + len <= bytes.length,
+        s"chunk overruns the stream at offset $off")
+      val typ = new String(bytes, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(bytes, off + 4, 4 + len)
+      require(crc.getValue.toInt == be32(off + 8 + len),
+        s"bad CRC on $typ chunk")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"IHDR length $len")
+          width = be32(off + 8); height = be32(off + 12)
+          val bitDepth = bytes(off + 16) & 0xff
+          val colorType = bytes(off + 17) & 0xff
+          val interlace = bytes(off + 20) & 0xff
+          require(bitDepth == 8 && colorType == 2 && interlace == 0,
+            s"only 8-bit truecolor non-interlaced supported " +
+            s"(depth=$bitDepth color=$colorType interlace=$interlace)")
+          require(width > 0 && height > 0, "degenerate dimensions")
+          seenIhdr = true
+        case "IDAT" => idat.write(bytes, off + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks skipped
+      }
+      off += 12 + len
+    }
+    require(seenIhdr, "no IHDR chunk")
+    require(seenIend, "no IEND chunk")
+    require(idat.size() > 0, "no IDAT data")
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var filled = 0
+    while (filled < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, filled, raw.length - filled)
+      require(n > 0 || inflater.finished(),
+        "truncated or corrupt IDAT stream")
+      filled += n
+    }
+    inflater.end()
+    require(filled == raw.length,
+      s"inflated $filled bytes, expected ${raw.length}")
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var firstPx = -1L
+    var y = 0
+    while (y < height) {
+      val o = y * (stride + 1)
+      val ft = raw(o) & 0xff
+      require(ft <= 4, s"bad filter type $ft on row $y")
+      var i = 0
+      while (i < stride) {
+        val f = raw(o + 1 + i) & 0xff
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = prev(i)
+        val ul = if (i >= bpp) prev(i - bpp) else 0
+        cur(i) = (ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, ul)
+        }) & 0xff
+        i += 1
+      }
+      var x = 0
+      while (x < width) {
+        val r = cur(x * bpp); val g = cur(x * bpp + 1)
+        val b = cur(x * bpp + 2)
+        sumR += r; sumG += g; sumB += b
+        if (x == 0 && y == 0) firstPx = r * 65536L + g * 256L + b
+        x += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    PngStats(width, height, sumR, sumG, sumB, firstPx)
+  }
+
+  /** Nearest-neighbor resize of an 8-bit truecolor PNG (same integer
+    * mapping as [[resizeBmp24]]: source pixel for output (x, y) is
+    * (x·w div newW, y·h div newH)), re-encoded with filter 0. */
+  def resizePng(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
+    require(newW > 0 && newH > 0, "degenerate target dimensions")
+    val (w, h, pixels) = decodePngPixels(bytes)
+    encodePng(newW, newH, (x, y) => {
+      val sx = (x.toLong * w / newW).toInt
+      val sy = (y.toLong * h / newH).toInt
+      val o = (sy * w + sx) * 3
+      ((pixels(o) & 0xff, pixels(o + 1) & 0xff, pixels(o + 2) & 0xff))
+    })
+  }
+
+  /** Full pixel decode (row-major RGB bytes, origin top-left) — the
+    * [[resizePng]] backing; stats-only callers use [[decodePng]] which
+    * never materializes the image. */
+  private def decodePngPixels(bytes: Array[Byte])
+      : (Int, Int, Array[Byte]) = {
+    // reuse the chunk walk via a pixel-capturing variant would double
+    // the code; a decode to stats first validates the stream, then a
+    // second targeted inflate would re-pay the work — so this does the
+    // one full pass itself, sharing the filter reconstruction shape.
+    val st = decodePng(bytes) // validates signature/CRC/filters
+    val w = st.width; val h = st.height
+    val bpp = 3; val stride = w * bpp
+    // re-inflate (cheap at thumbnail sizes; large-image pipelines
+    // should decode once per partition and carry pixels forward)
+    var off = 8
+    val idat = new java.io.ByteArrayOutputStream()
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+      ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    while (off + 12 <= bytes.length) {
+      val len = be32(off)
+      if (new String(bytes, off + 4, 4, "US-ASCII") == "IDAT")
+        idat.write(bytes, off + 8, len)
+      off += 12 + len
+    }
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var filled = 0
+    while (filled < raw.length && !inflater.finished())
+      filled += inflater.inflate(raw, filled, raw.length - filled)
+    inflater.end()
+    val out = new Array[Byte](stride * h)
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val o = y * (stride + 1)
+      val ft = raw(o) & 0xff
+      var i = 0
+      while (i < stride) {
+        val f = raw(o + 1 + i) & 0xff
+        val left = if (i >= bpp) cur(i - bpp) else 0
+        val up = prev(i)
+        val ul = if (i >= bpp) prev(i - bpp) else 0
+        cur(i) = (ft match {
+          case 0 => f
+          case 1 => f + left
+          case 2 => f + up
+          case 3 => f + (left + up) / 2
+          case 4 => f + paeth(left, up, ul)
+        }) & 0xff
+        out(y * stride + i) = cur(i).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    (w, h, out)
+  }
+
+  /** Partition-batch PNG decode over a binary column (the BMP twin's
+    * schema, so downstream feature passes are format-agnostic). */
+  def decodePngStatsDf(df: DataFrame, idCol: String, mediaCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_r", LongType),
+      StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("first_px", LongType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        if (bytes == null)
+          Row(r.getLong(idIdx), null, null, null, null, null, null)
+        else {
+          val st = decodePng(bytes)
+          Row(r.getLong(idIdx), st.width, st.height,
+              st.sumR, st.sumG, st.sumB, st.firstPx)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic per-id PNG synthesis — the SAME pixel arithmetic as
+    * [[synthBmp24]] (so the SQL oracle replay is shared), with the
+    * scanline filter CYCLING over all five types by id: a corpus where
+    * every reconstruction path (None/Sub/Up/Average/Paeth) must be
+    * exact for the aggregate to hash-match. */
+  def synthPng(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("media", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (8 + id % 9).toInt
+        val h = (5 + id % 7).toInt
+        val bytes = encodePng(w, h, (x, y) => (
+          ((id * 3 + x * 7 + y * 11) % 256).toInt,
+          ((id * 5 + x * 13 + y * 3) % 256).toInt,
+          ((id * 7 + x + y * 17) % 256).toInt),
+          filterType = (id % 5).toInt)
+        Row(id, bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** 64-bit average hash (aHash) of a 24-bpp BMP: nearest-neighbor
     * resize to 8×8 (the same `x·w div 8` mapping as [[resizeBmp24]]),
     * integer luma (r+g+b) div 3 per cell, threshold each cell at the

@@ -975,29 +975,44 @@ object Relational {
     }
   }
 
-  /** Order-independent table content checksum: fold each row's
-    * canonical string (sorted column order, unit-separator joined,
-    * nulls marked distinctly from empty strings) through the
-    * portable character-fold hash, and SUM the two fold components —
-    * commutative, so the checksum is partitioning- and
+  /** Order-independent table content checksum: hash each CELL's
+    * canonical string (null marked distinctly from empty) through the
+    * portable character-fold pair, combine the per-column components
+    * across the row with the same polynomial fold (sorted column
+    * order, column hashes as the "characters"), and SUM the two row
+    * components — commutative, so the checksum is partitioning- and
     * row-order-invariant, and any single value change moves it
     * (collisions would need folds canceling exactly — negligible for
     * an integrity attestation, use a cryptographic MAC for an
     * adversarial setting). The cross-engine twin of a content hash:
-    * the oracle replays the identical fold in SQL.
+    * the oracle replays the identical folds in SQL.
     *
-    * Scale shape: one codegen'd pass + a 3-value aggregate; sums stay
-    * exact to 2^32 rows (components < 2^31). Returns one row
-    * (n_rows, sum_h1, sum_h2). */
+    * Column-wise hashing (vs hashing one concatenated row string)
+    * avoids materializing a full-row string per row — the per-cell
+    * kernel is the codegen'd [[graft.functions.PolyHash62E]], one
+    * primitive char loop with no intermediate codes array — and makes
+    * cell-boundary shifts like ("ab","c") vs ("a","bc") distinct by
+    * construction rather than by separator choice.
+    *
+    * Scale shape: one whole-stage-codegen pass + a 3-value aggregate;
+    * sums stay exact to 2^32 rows (components < 2^31). Returns one
+    * row (n_rows, sum_h1, sum_h2). */
   def tableChecksum(df: DataFrame): DataFrame = {
-    val parts = df.columns.sorted.map(c =>
-      coalesce(col(c).cast("string"), lit("")))
-    val h = graft.functions.TextFunctions.polyHash62(
-      concat_ws("", parts: _*))
-    df.select(h.as("h"))
+    val cellHashes = df.columns.sorted.map(c =>
+      graft.functions.PolyHash62E(
+        coalesce(col(c).cast("string"), lit(""))))
+    // per-row combine: fold the columns' 31-bit components through the
+    // same (seed 7, ×31 mod 2147483647) / (seed 11, ×37 mod 2147483629)
+    // recurrences the char folds use. acc < 2^31, so acc*37 + h < 2^37
+    // — no overflow.
+    val r1 = cellHashes.foldLeft(lit(7L))((a, h) =>
+      (a * 31L + shiftrightunsigned(h, 31)) % 2147483647L)
+    val r2 = cellHashes.foldLeft(lit(11L))((a, h) =>
+      (a * 37L + h % 2147483648L) % 2147483629L)
+    df.select(r1.as("r1"), r2.as("r2"))
       .agg(count(lit(1)).as("n_rows"),
-           sum(expr("h div 2147483648")).as("sum_h1"),
-           sum(col("h") % 2147483648L).as("sum_h2"))
+           sum(col("r1")).as("sum_h1"),
+           sum(col("r2")).as("sum_h2"))
   }
 
   /** Join-explosion forecast: BEFORE running a join, predict its
@@ -1293,6 +1308,12 @@ object Relational {
         .toAggregateExpression())
     // one dim-side aggregation job, result is the serialized bloom
     val bloomBytes = dim.agg(bloomAgg.as("b")).head.getAs[Array[Byte]](0)
+    // Empty dim: BloomFilterAggregate over zero rows yields NULL, and
+    // BloomFilterMightContain(null, h) is NULL — a filter on it would
+    // drop every row, which here happens to be the right answer for a
+    // semi-join, but only by accident. Return the plain semi-join's
+    // exact result (empty) explicitly instead of riding the null.
+    if (bloomBytes == null) return fact.limit(0)
     val probeHash = new XxHash64(Seq(ColumnBridge.catalystExpr(factKey)))
     val mightContain = ColumnBridge.column(
       BloomFilterMightContain(Literal(bloomBytes, BinaryType), probeHash))
@@ -1309,7 +1330,9 @@ object Relational {
     * the exact anti-join shuffle. With a selective blocklist that is
     * ~fp-rate of the corpus instead of all of it. Results are exactly
     * the plain anti-join's: the two filter branches partition the
-    * fact (might_contain never evaluates null — the hash is total),
+    * fact (with a non-empty dim, might_contain never evaluates null —
+    * the hash is total; an EMPTY dim yields a null bloom and is
+    * short-circuited to `fact` unchanged, the plain anti-join's answer),
     * bypassed rows are kept as the anti-join would keep them, and the
     * sliver is exact-verified. Null fact keys match nothing, so
     * whichever branch they land in keeps them. */
@@ -1328,6 +1351,12 @@ object Relational {
       new BloomFilterAggregate(buildHash, expectedItems)
         .toAggregateExpression())
     val bloomBytes = dim.agg(bloomAgg.as("b")).head.getAs[Array[Byte]](0)
+    // Empty dim (e.g. an empty blocklist): the bloom aggregate is NULL
+    // and BloomFilterMightContain(null, h) is NULL, so BOTH filter
+    // branches below would evaluate false and the whole corpus would be
+    // silently dropped — the exact opposite of the plain anti-join,
+    // which keeps every fact row. Short-circuit to that exact result.
+    if (bloomBytes == null) return fact
     val probeHash = new XxHash64(Seq(ColumnBridge.catalystExpr(factKey)))
     val mightContain = ColumnBridge.column(
       BloomFilterMightContain(Literal(bloomBytes, BinaryType), probeHash))

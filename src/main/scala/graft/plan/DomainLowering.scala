@@ -139,22 +139,49 @@ object DomainLowering {
     st.finish()
   }
 
-  /** Mutable single-pass lowering state: the growing DataFrame, the set of
-    * bound names, and the not-yet-applicable where conjuncts. */
+  /** Mutable single-pass lowering state: the growing DataFrame, the
+    * name→value-expression environment, and the not-yet-applicable
+    * where conjuncts.
+    *
+    * Bound names are NOT materialized as columns mid-stack — the
+    * environment carries each binding's value expression (over the
+    * reserved `__in_*`/`__gN` columns) and [[finish]] emits all the
+    * user-named aliases in ONE final select above every Generate.
+    * Materializing them eagerly put same-name aliases of source
+    * attributes (e.g. binding `l_orderkey` from an input whose column
+    * is also `l_orderkey`) BELOW a Generate, where Spark 4.1's
+    * RemoveRedundantAliases/ColumnPruning interplay mis-prunes the
+    * plan (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND: the Generate's
+    * unrequiredChildIndex is computed against an output the alias
+    * removal then rewrites). Keeping every below-Generate alias on a
+    * reserved name (never equal to its child attribute's name)
+    * sidesteps the trigger for every domain shape; where-conjuncts and
+    * computed keys that reference bound names are substituted through
+    * the environment instead of resolving against mid-stack columns. */
   private final class State(var df: DataFrame, var pending: Seq[Where]) {
-    private var env: Set[String] = Set.empty
+    private var env: Map[String, Column] = Map.empty
     private var n = 0
     private def fresh(): String = { n += 1; s"__g$n" }
 
-    /** Add a binding column and fire any newly-satisfiable predicates. */
+    /** Rewrite bound-variable references in a user-written Column to
+      * their value expressions (bound names only become real columns in
+      * the final select). */
+    private def subst(c: Column): Column = {
+      import org.apache.spark.sql.graftbridge.ColumnBridge
+      ColumnBridge.column(ColumnBridge.catalystExpr(c).transform {
+        case a: UnresolvedAttribute if env.contains(a.name) =>
+          ColumnBridge.catalystExpr(env(a.name))
+      })
+    }
+
+    /** Record a binding and fire any newly-satisfiable predicates. */
     private def bind(name: String, value: Column): Unit = {
       require(!env.contains(name), s"duplicate binding '$name' in domain")
       require(!name.startsWith("__"), s"binding name '$name' is reserved")
-      df = df.withColumn(name, value)
-      env += name
-      val (ready, rest) = pending.partition(_.vars.subsetOf(env))
+      env += name -> value
+      val (ready, rest) = pending.partition(_.vars.subsetOf(env.keySet))
       pending = rest
-      ready.foreach(w => df = df.filter(w.cond))
+      ready.foreach(w => df = df.filter(subst(w.cond)))
     }
 
     private def structField(st: StructType, f: String): DataType =
@@ -171,7 +198,7 @@ object DomainLowering {
 
       case As(name, inner) =>
         bind(name, value)
-        step(col(name), dt, inner)
+        step(value, dt, inner)
 
       case SetOf(p) => step(value, dt, Vec(Seq(p)))
 
@@ -218,11 +245,14 @@ object DomainLowering {
                 s"field '$f' lookup on non-struct/map ${other.simpleString}")
             }
           case (KExpr(kc), sub) =>
+            // the key expression may reference earlier-bound variables
+            // (reference `parse_domain.cljc:111-119`) — substitute them
+            val k = subst(kc)
             dt match {
               case mt: MapType =>
-                step(try_element_at(value, kc), mt.valueType, sub)
+                step(try_element_at(value, k), mt.valueType, sub)
               case ArrayType(t, _) =>
-                step(try_element_at(value, kc), t, sub)
+                step(try_element_at(value, k), t, sub)
               case other => throw new IllegalArgumentException(
                 s"computed-key lookup on non-map/array ${other.simpleString}")
             }
@@ -248,10 +278,14 @@ object DomainLowering {
     }
 
     def finish(): DataFrame = {
+      // one select materializes every binding under its user name —
+      // the only place user-named aliases enter the plan (see class doc)
+      var out = df.select(env.toSeq.sortBy(_._1)
+        .map { case (nm, c) => c.as(nm) }: _*)
       // Any leftover predicate references a never-bound name — surface the
       // analysis error rather than silently dropping the filter.
-      pending.foreach(w => df = df.filter(w.cond))
-      df.select(env.toSeq.sorted.map(col): _*)
+      pending.foreach(w => out = out.filter(w.cond))
+      out
     }
   }
 }

@@ -261,11 +261,6 @@ object Sources {
   def incrementalParquet(spark: SparkSession, dir: String,
                          manifestPath: String): IncrementalBatch = {
     import spark.implicits._
-    val seen: Set[String] =
-      if (new java.io.File(manifestPath).exists())
-        spark.read.parquet(manifestPath)
-          .select("file_path").as[String].collect().toSet
-      else Set.empty
     // filesystem LISTING, not a data scan: old files cost one
     // namenode/object-store list call, zero reads (flat landing dir)
     val fs = new org.apache.hadoop.fs.Path(dir)
@@ -275,8 +270,26 @@ object Sources {
       .map(_.getPath.toString)
       .filter(p => p.endsWith(".parquet") &&
         !p.contains("_SUCCESS"))
-      .toSet
-    val fresh = (all -- seen).toSeq.sorted
+    // Manifest existence through the SAME Hadoop filesystem that reads
+    // and writes it — a java.io.File check is always false on HDFS/S3
+    // and would silently re-ingest everything on exactly the
+    // deployments the listing comment above is about. The new-file
+    // diff is a distributed ANTI-JOIN against the manifest frame, not
+    // a driver Set: a years-old landing dir has millions of processed
+    // paths, and only the fresh sliver (bounded by one batch's
+    // arrivals) ever comes back to the driver.
+    val manifestFs = new org.apache.hadoop.fs.Path(manifestPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasManifest =
+      manifestFs.exists(new org.apache.hadoop.fs.Path(manifestPath))
+    val listing = all.toSeq.toDF("file_path")
+    val fresh: Seq[String] =
+      (if (hasManifest)
+         listing.join(spark.read.parquet(manifestPath)
+             .select("file_path"),
+           Seq("file_path"), "left_anti")
+       else listing)
+        .as[String].collect().toSeq.sorted
     val rows =
       if (fresh.isEmpty)
         spark.read.parquet(dir).limit(0)
@@ -306,7 +319,18 @@ object Sources {
     * and the exception lists per-rule counts; the previous published
     * contents (if any) stay untouched. The rename is the publish
     * atom — single-filesystem moves are atomic on HDFS and local
-    * disks; object stores substitute their own commit protocol. */
+    * disks; object stores substitute their own commit protocol.
+    *
+    * Swap protocol: the OLD published dir is renamed aside to a
+    * `.prev-*` backup BEFORE staging renames in, and the backup is
+    * deleted only after the new data is in place. If the publish
+    * rename fails, the backup is renamed back — at no point are both
+    * the previous contents and the new data deleted (a bare
+    * delete-then-rename would lose both on a failed rename). The one
+    * residual window — a crash between the two renames — leaves the
+    * table briefly absent but fully recoverable from the `.prev-*`
+    * dir; closing that too needs a metastore pointer swap or a table
+    * format's atomic commit, out of scope for a plain-directory sink. */
   def writeAuditPublish(df: DataFrame, path: String,
                         rules: Seq[(String, org.apache.spark.sql.Column)])
       : Unit = {
@@ -316,6 +340,8 @@ object Sources {
       path + ".staging-" + java.util.UUID.randomUUID().toString.take(8))
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(
+      path + ".prev-" + java.util.UUID.randomUUID().toString.take(8))
     df.write.mode("overwrite").parquet(staging.toString)
     try {
       val audit = graft.ops.Checks
@@ -326,9 +352,22 @@ object Sources {
         throw new IllegalStateException(
           "audit failed, nothing published: " +
           audit.map { case (n, c) => s"$n=$c" }.mkString(", "))
-      if (fs.exists(target)) fs.delete(target, true)
-      require(fs.rename(staging, target),
-        s"publish rename failed: $staging -> $target")
+      val hadOld = fs.exists(target)
+      if (hadOld)
+        require(fs.rename(target, backup),
+          s"publish backup rename failed: $target -> $backup")
+      try {
+        require(fs.rename(staging, target),
+          s"publish rename failed: $staging -> $target")
+      } catch {
+        case e: Throwable =>
+          // restore the previous published contents before rethrowing;
+          // the staging copy is reproducible from `df`, the published
+          // table is not
+          if (hadOld && !fs.exists(target)) fs.rename(backup, target)
+          throw e
+      }
+      if (hadOld && fs.exists(backup)) fs.delete(backup, true)
     } finally {
       if (fs.exists(staging)) fs.delete(staging, true)
     }

@@ -60,6 +60,85 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("decade")) {
+      // One order of magnitude past the 50k/1M probes: 500k docs in
+      // 50k 10-copy near-dup cliques (synthetic token streams, so
+      // cross-clique similarity is ~0 and the true-pair count is a
+      // KNOWN 50k x C(10,2) = 2.25M), 10M events over 500k users, and
+      // a 5M-edge synthetic graph. The decade run is the cheapest way
+      // to catch a memory/spill cliff before real scale: every cost
+      // below must stay ~linear in its true driver (pairs, events,
+      // edges) with no OOM at local[32]/128 GiB.
+      import spark.implicits._
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
+      }
+      val nDocs = 500000L
+      // 60 pseudo-random tokens per doc from a 1M-token space, shared
+      // within the 10-copy clique (id div 10); one per-copy tail token
+      // makes copies near- (J ~ 0.97), not byte-identical
+      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+          concat(
+            concat_ws(" ", transform(sequence(lit(0), lit(59)), j =>
+              concat(lit("w"), pmod(hash(expr("id div 10"), j),
+                lit(1000000L))))),
+            lit(" t"), pmod(col("id"), lit(10))).as("text"))
+        .repartition(64)
+        .localCheckpoint()
+      println(s"[scale] decade corpus: ${docs.count()} docs")
+      time("minhash_lsh 500k tau=.6")(graft.ops.Dedup.minhashLshPairs(
+        docs, col("doc_id"), col("text"), tau = 0.6).count())
+      time("prefix_pairs 500k tau=.9")(graft.ops.Dedup.prefixFilterPairs(
+        docs, col("doc_id"), col("text"), tauNum = 9, tauDen = 10)
+        .count())
+      time("simhash 500k tau=.6")(graft.ops.Dedup.simhashPairs(
+        docs, col("doc_id"), col("text"), tau = 0.6).count())
+      time("deletion_pairs 500k")(graft.ops.Dedup.deletionNeighborPairs(
+        docs, col("doc_id"), col("text")).count())
+      time("exact_dedup 500k")(graft.ops.Dedup.exactKeepFirst(
+        docs, col("text"), col("doc_id")).count())
+      // 10M events / 500k users / ~20 events each, pseudo-random gaps
+      // spanning session boundaries at the 1800 s gap
+      val nEv = 10000000L
+      val events = spark.range(nEv).select(
+          expr("id div 20").as("user_id"),
+          timestamp_seconds(lit(1700000000L) + expr("id div 20") +
+            pmod(col("id"), lit(20)) *
+            (lit(300L) + pmod(hash(col("id")), lit(2400L))))
+            .as("ts"))
+        .repartition(64)
+        .localCheckpoint()
+      println(s"[scale] decade events: ${events.count()}")
+      time("sessionize 10M ev")(graft.ops.Events.sessionize(
+        events, col("user_id"), col("ts"), gapSeconds = 1800L).count())
+      time("session_agg 10M ev")(graft.ops.Events.sessionAgg(
+        events, col("user_id"), col("ts"), gapSeconds = 1800L).count())
+      // 5M-edge synthetic graph over 1M nodes (~10 neighbors/node,
+      // hash hops): an order past the sf0.1 co-occurrence graph
+      val nNode = 1000000L
+      val edges = spark.range(5000000L).select(
+          pmod(col("id"), lit(nNode)).as("u"),
+          pmod(hash(col("id"), lit(1)), lit(nNode)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .repartition(64)
+        .localCheckpoint()
+      println(s"[scale] decade edges: ${edges.count()}")
+      time("triangles 5M edges")(graft.ops.Graph.triangleCounts(
+        edges, col("u"), col("v")).count())
+      time("lpa 5M edges r=3")(graft.ops.Graph.labelPropagation(
+        edges, col("u"), col("v"), rounds = 3).count())
+      val we = edges.select(col("u").as("src"), col("v").as("dst"),
+        lit(1L).as("w"))
+      val seeds = spark.range(100L).select(col("id"))
+      time("ppr 5M edges i=3")(graft.ops.Graph.personalizedPageRank(
+        we, seeds, iters = 3).count())
+      time("pagerank 5M edges i=8")(graft.ops.Graph.pageRank(
+        we, iters = 8).count())
+      spark.stop(); return
+    }
+
     val d = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     val n = d.count()
     // 10 copies with distinct ids; tiny per-copy suffix so copies are

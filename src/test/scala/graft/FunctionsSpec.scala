@@ -103,6 +103,21 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == 7L * 2147483648L + 11L) // just the two seeds
   }
 
+  test("PolyHash62E equals the column-function polyHash62 everywhere") {
+    val sq = spark
+    import sq.implicits._
+    // the codegen'd scalar must agree with the transform/aggregate
+    // column formulation on real text, the empty string, and null
+    val d = docs.select(col("text").as("s"))
+      .union(Seq("", "a", "zz9").toDF("s"))
+      .union(Seq(Option.empty[String]).toDF("s"))
+    val diff = d.select(
+        graft.functions.PolyHash62E(col("s")).as("native"),
+        polyHash62(col("s")).as("spec"))
+      .filter(!(col("native") <=> col("spec")))
+    assert(diff.count() == 0)
+  }
+
   test("hash expressions skip null array elements instead of crashing") {
     val sq = spark
     import sq.implicits._

@@ -3,6 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import graft.ops.Multimodal
+import graft.ops.Multimodal.{encodePng, decodePng, resizePng, synthPng,
+  decodePngStatsDf, encodeBmp24, decodeBmp24, resizeBmp24}
 
 /** The multimodal plumbing is real (schema, batching, partition seam);
   * only the codec kernel is a deterministic stub. */
@@ -304,5 +306,87 @@ class MultimodalSpec extends AnyFunSuite {
     val dist = java.lang.Long.bitCount(h1 ^ h2) +
                java.lang.Long.bitCount(l1 ^ l2)
     assert(dist <= 6, s"resize moved the hash too far: $dist")
+  }
+
+  test("PNG encode → decode round-trips under ALL five filters") {
+    val px = (x: Int, y: Int) => ((x * 31 + y * 7) % 256,
+                                  (x * 3 + y * 53) % 256,
+                                  (x + y * 19) % 256)
+    val want = decodePng(encodePng(13, 9, px, filterType = 0))
+    // every filter type stores DIFFERENT bytes but must reconstruct
+    // the identical image — the adaptive-filter property real PNGs use
+    (1 to 4).foreach { ft =>
+      val enc = encodePng(13, 9, px, filterType = ft)
+      assert(decodePng(enc) == want, s"filter $ft diverged")
+      assert(!java.util.Arrays.equals(enc, encodePng(13, 9, px, 0)),
+        s"filter $ft stored identical bytes to filter 0")
+    }
+    assert(want.width == 13 && want.height == 9)
+    // positional probe: top-left pixel
+    assert(want.firstPx == 0L * 65536 + 0L * 256 + 0L)
+    val shifted = decodePng(encodePng(4, 4, (_, _) => (1, 2, 3), 4))
+    assert(shifted.firstPx == 1L * 65536 + 2 * 256 + 3 &&
+           shifted.sumR == 16 && shifted.sumG == 32 && shifted.sumB == 48)
+  }
+
+  test("PNG decoder verifies CRC, walks chunks, rejects garbage") {
+    val good = encodePng(6, 5, (x, y) => (x, y, x + y), filterType = 3)
+    // flip one IDAT byte: CRC must catch it
+    val bad = good.clone()
+    val idatOff = {
+      var o = 8; var found = -1
+      while (found < 0) {
+        val len = ((bad(o) & 0xff) << 24) | ((bad(o + 1) & 0xff) << 16) |
+                  ((bad(o + 2) & 0xff) << 8) | (bad(o + 3) & 0xff)
+        if (new String(bad, o + 4, 4, "US-ASCII") == "IDAT") found = o + 8
+        else o += 12 + len
+      }
+      found
+    }
+    bad(idatOff) = (bad(idatOff) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](decodePng(bad))
+    assert(e.getMessage.contains("CRC"))
+    // not-a-PNG and truncated streams are refused, not misparsed
+    intercept[IllegalArgumentException](
+      decodePng("NOTAPNGNOTAPNG".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      decodePng(good.take(good.length - 8)))
+  }
+
+  test("PNG nearest-neighbor resize matches the BMP resize mapping") {
+    val px = (x: Int, y: Int) => ((x * 5 + y) % 256, (y * 9) % 256,
+                                  (x + 3 * y) % 256)
+    // identity resize reproduces the pixels (stats identical)
+    val base = encodePng(10, 8, px, filterType = 2)
+    assert(decodePng(resizePng(base, 10, 8)) == decodePng(base))
+    // downscale agrees with the BMP codec's identical integer mapping
+    val viaPng = decodePng(resizePng(base, 4, 3))
+    val viaBmp = decodeBmp24(resizeBmp24(encodeBmp24(10, 8, px), 4, 3))
+    assert((viaPng.width, viaPng.height, viaPng.sumR, viaPng.sumG,
+            viaPng.sumB, viaPng.firstPx) ==
+           (viaBmp.width, viaBmp.height, viaBmp.sumR, viaBmp.sumG,
+            viaBmp.sumB, viaBmp.firstPx))
+  }
+
+  test("distributed PNG synth+decode matches the driver-side codec") {
+    import spark.implicits._
+    val ids = (0L until 24L).toDF("doc_id")
+    val stats = decodePngStatsDf(synthPng(ids, "doc_id"),
+        "asset_id", "media")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // 24 ids cycle the filter type (id % 5) through every value; the
+    // decoded stats must equal the BMP synth's (same pixel arithmetic)
+    (0L until 24L).foreach { id =>
+      val w = (8 + id % 9).toInt; val h = (5 + id % 7).toInt
+      val st = decodeBmp24(encodeBmp24(w, h, (x, y) => (
+        ((id * 3 + x * 7 + y * 11) % 256).toInt,
+        ((id * 5 + x * 13 + y * 3) % 256).toInt,
+        ((id * 7 + x + y * 17) % 256).toInt)))
+      assert(stats(id) ==
+        ((st.width, st.height, st.sumR, st.sumG, st.sumB, st.firstPx)),
+        s"id $id (filter ${id % 5})")
+    }
   }
 }

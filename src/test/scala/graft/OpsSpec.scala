@@ -3385,7 +3385,11 @@ class OpsSpec extends AnyFunSuite {
       .toDF("u", "sec").withColumn("ts", timestamp_seconds(col("sec")))
     val native = Events.sessionAgg(e, col("u"), col("ts"), 1800L)
       .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
-        r.getLong(2))).toSet
+        r.getLong(3))).toSet
+    // session_end = last event + gap
+    assert(Events.sessionAgg(e, col("u"), col("ts"), 1800L)
+      .collect().map(r => r.getTimestamp(2).getTime / 1000).toSet ==
+      Set(200L + 1800L, 2400L + 1800L, 50L + 1800L))
     // sessionize with the same gap: group events by (user, session_id)
     val viaIds = Events.sessionize(e, col("u"), col("ts"), 1800L)
       .groupBy(col("u"), col("session_id"))
@@ -3485,6 +3489,24 @@ class OpsSpec extends AnyFunSuite {
     // no duplication across the bypass/sliver branches
     assert(Relational.bloomAntiJoin(fact, col("fk"), dim, col("id"), 3L)
       .count() == exact.size)
+  }
+
+  test("bloom joins with an EMPTY dim equal the plain joins") {
+    import spark.implicits._
+    // BloomFilterAggregate over zero rows yields a NULL bloom and
+    // might_contain(null, h) is NULL — without the guard, BOTH anti
+    // branches evaluate false and the whole corpus vanishes for an
+    // empty blocklist. Pin the plain-join equivalence.
+    val fact = (1L to 50L).map(i => (i, i % 7)).toDF("row_id", "fk")
+    val emptyDim = Seq.empty[Long].toDF("id")
+    assert(Relational.bloomAntiJoin(fact, col("fk"),
+      emptyDim, col("id"), expectedItems = 10L).count() == 50L)
+    assert(Relational.bloomSemiJoin(fact, col("fk"),
+      emptyDim, col("id"), expectedItems = 10L).count() == 0L)
+    // a dim that FILTERS to empty (bloom agg still runs over 0 rows)
+    val dim = Seq(3L, 11L).toDF("id").filter(col("id") > 100L)
+    assert(Relational.bloomAntiJoin(fact, col("fk"),
+      dim, col("id"), expectedItems = 10L).count() == 50L)
   }
 
   test("hamming pairs equal brute force; banding is lossless to 7") {

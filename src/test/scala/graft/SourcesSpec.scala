@@ -315,6 +315,10 @@ class SourcesSpec extends AnyFunSuite {
     Sources.writeAuditPublish(Seq(7L).toDF("id"), path, rules)
     assert(spark.read.parquet(path)
       .select("id").as[Long].collect().toSet == Set(7L))
+    // no backup debris either: the .prev-* dir must be cleaned up
+    // after a successful swap
+    assert(new java.io.File(base).listFiles().map(_.getName).toSeq
+      .filter(n => n.contains("staging") || n.contains(".prev-")).isEmpty)
   }
 
   test("dynamic partition overwrite touches only the written partitions") {

@@ -752,8 +752,81 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     val got = spark.table("sess_native").collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
-        r.getLong(2))).toSet
-    assert(got == Set((1L, 1000L, 3L), (1L, 5000L, 1L)), got.mkString(","))
+        r.getTimestamp(2).getTime / 1000, r.getLong(3))).toSet
+    // session_end = last event + gap (session_window convention)
+    assert(got == Set((1L, 1000L, 1190L, 3L), (1L, 5000L, 5100L, 1L)),
+      got.mkString(","))
+  }
+
+  test("transformWithState state survives a QUERY RESTART from " +
+       "checkpoint (RocksDB changelog checkpointing)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val clogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevClog = spark.conf.getOption(clogKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(clogKey, "true")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_tws_restart").toString
+    try {
+      // the SAME MemoryStream feeds both query incarnations — the
+      // checkpoint records its offsets, so the restarted query resumes
+      // exactly after batch 1 and must FOLD ONTO the persisted state,
+      // not re-derive it (durability, not just cross-batch liveness).
+      // Sink: the memory sink refuses checkpoint recovery, so the
+      // emissions land through foreachBatch + the idempotent batch
+      // writer — the recoverable-sink recipe the ingest ops document.
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_tws_out").toString
+      val ms = MemoryStream[EventStreams.VEv]
+      def start() = EventStreams.runningStatsStream(ms.toDS())
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[EventStreams.UserStats],
+           id: Long) =>
+            graft.sources.Sources.idempotentBatchWriter(out)(ds.toDF(), id)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val q1 = start()
+      try {
+        ms.addData(EventStreams.VEv(1L, 100L, 1L, 10.0),
+                   EventStreams.VEv(1L, 200L, 2L, 2.5))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // process death simulated by the stop; data lands while down
+      ms.addData(EventStreams.VEv(1L, 300L, 3L, 40.0),
+                 EventStreams.VEv(2L, 100L, 4L, 7.0))
+      val q2 = start()
+      try q2.processAllAvailable() finally q2.stop()
+      // the LAST emission per user must carry the full fold (user 1:
+      // n=3 across the restart boundary) — state came back from the
+      // checkpoint, not from reprocessing batch 1
+      val got = graft.sources.Sources.readPublishedBatches(spark, out)
+        .groupBy("user_id")
+        .agg(max_by(struct(col("n"), col("sum_cents"), col("max_cents")),
+          col("n")).as("s"))
+        .collect()
+        .map(r => r.getLong(0) -> {
+          val s = r.getStruct(1)
+          (s.getLong(0), s.getLong(1), s.getLong(2)) }).toMap
+      assert(got(1L) == ((3L, 5250L, 4000L)),
+        s"state did not survive the restart: $got")
+      assert(got(2L) == ((1L, 700L, 700L)))
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+      prevClog match {
+        case Some(v) => spark.conf.set(clogKey, v)
+        case None => spark.conf.unset(clogKey)
+      }
+    }
   }
 
   test("transformWithState running stats carry RocksDB state") {

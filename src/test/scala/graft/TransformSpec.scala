@@ -470,4 +470,36 @@ class TransformSpec extends AnyFunSuite {
       .forEach(in)(r => acc.add(r.getInt(0)))
     assert(acc.value == 6)
   }
+
+  test("same-name root binding beside a sibling explode over an " +
+       "aggregated input lowers to a valid plan") {
+    // regression: binding a field under ITS OWN name (k) next to a
+    // SetOf/Vec explode, with an upstream groupBy, used to put a
+    // same-name alias of the grouping key below the Generate — which
+    // Spark 4.1's RemoveRedundantAliases/ColumnPruning interplay
+    // mis-pruned (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). The env-based
+    // lowering keeps user-named aliases in one select ABOVE every
+    // Generate; this pins both the execution and the alias placement.
+    val in = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("k", "v")
+      .groupBy("k").agg(collect_set(col("v")).as("vs"))
+    val b = Transform(
+      Vec(Entries(Seq(
+        (KField("k"): DKey) -> Leaf("k"),
+        (KField("vs"): DKey) -> SetOf(Leaf("x"))))),
+      RMap(col("k"), RAgg(sum(col("x")))))
+    val got = b.apply(in).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 30L, 2L -> 30L))
+    // no user-named alias below the Generate in the optimized plan
+    val opt = b.bindings(in).queryExecution.optimizedPlan
+    val gens = opt.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g }
+    assert(gens.nonEmpty)
+    gens.foreach(g => g.child.foreach {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.foreach(e =>
+          assert(!e.name.matches("k|x"), s"user alias below Generate: $e"))
+      case _ => ()
+    })
+  }
 }
