@@ -526,6 +526,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Real multimodal codec IV (image, LOSSY): baseline sequential
+    // JPEG — FDCT, quantization, zigzag, DC prediction, canonical
+    // Huffman with byte stuffing — grayscale, JDK-only. Oracle trick
+    // for a lossy codec: aligned-8x8-constant MOSAICS have DC-only
+    // spectra, and with a flat quant table the full real pipeline is
+    // BIT-EXACT on them, so the decoded stats replay arithmetically.
+    "q416_jpeg_decode" -> ((s, dir) => {
+      val jpgs = graft.ops.Jpeg.synthJpeg(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Jpeg.decodeJpegStatsDf(jpgs, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("width"), col("height"),
+                col("sum_y"), col("first_px"))
+        .orderBy("doc_id")
+    }),
+
+    // Real multimodal codec IV-b (color JPEG + restart markers): the
+    // full baseline color pipeline — fixed-point RGB→YCbCr, three
+    // interleaved 4:4:4 components, RSTn resync with DC-predictor
+    // reset on every other image, fixed-point inverse — exact on
+    // mosaics, replayed cell-by-cell by the oracle.
+    "q417_jpeg_color" -> ((s, dir) => {
+      val jpgs = graft.ops.Jpeg.synthJpegColor(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Jpeg.decodeJpegColorStatsDf(jpgs, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("width"), col("height"),
+                col("sum_r"), col("sum_g"), col("sum_b"), col("first_px"))
+        .orderBy("doc_id")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -4515,6 +4544,70 @@ object SparkEntry {
            CAST((doc_id*3 % 256) * 65536 + (doc_id*5 % 256) * 256 +
                 (doc_id*7 % 256) AS BIGINT) AS first_px
          FROM e ORDER BY doc_id""",
+
+    // mosaic-cell replay: luma depends only on (x div 8, y div 8), so
+    // the lossy JPEG round trip is exact (DC-only blocks, flat quant)
+    "q416_jpeg_decode" ->
+      """WITH s AS (SELECT doc_id, 9 + doc_id % 17 AS w,
+                      6 + doc_id % 11 AS h FROM documents),
+         e AS (SELECT doc_id, w, h,
+           [(doc_id*31 + ((i % w) // 8)*7 + ((i // w) // 8)*13) % 256
+              FOR i IN range(w*h)] AS ys
+           FROM s)
+         SELECT doc_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(list_sum(ys) AS BIGINT) AS sum_y,
+           CAST(doc_id*31 % 256 AS BIGINT) AS first_px
+         FROM e ORDER BY doc_id""",
+
+    // per-CELL replay of the full fixed-point color chain: mosaic RGB
+    // -> floor((x·1e6 + 5e5)/1e6) YCbCr -> (exact DC-only round trip)
+    // -> fixed-point inverse -> clamp; sums weight each cell by its
+    // cropped pixel count. floor on doubles is exact here (|v| < 2^40)
+    "q417_jpeg_color" ->
+      """WITH s AS (SELECT doc_id, 9 + doc_id % 17 AS w,
+                      6 + doc_id % 11 AS h FROM documents),
+         cells AS (SELECT doc_id, w, h,
+             unnest([{'cx': i % ((w+7)//8), 'cy': i // ((w+7)//8)}
+                     FOR i IN range(((w+7)//8) * ((h+7)//8))]) AS c
+           FROM s),
+         v AS (SELECT doc_id, w, h, c.cx AS cx, c.cy AS cy,
+             (doc_id*3 + c.cx*7 + c.cy*11) % 256 AS r0,
+             (doc_id*5 + c.cx*13 + c.cy*3) % 256 AS g0,
+             (doc_id*7 + c.cx + c.cy*17) % 256 AS b0,
+             least(8, w - c.cx*8) AS cw,
+             least(8, h - c.cy*8) AS ch
+           FROM cells),
+         ycc AS (SELECT *,
+             greatest(0, least(255, CAST(floor(
+               (299000*r0 + 587000*g0 + 114000*b0 + 500000)
+                 / 1000000.0) AS BIGINT))) AS yy,
+             greatest(0, least(255, CAST(floor(
+               (-168736*r0 - 331264*g0 + 500000*b0 + 128000000
+                + 500000) / 1000000.0) AS BIGINT))) AS cb,
+             greatest(0, least(255, CAST(floor(
+               (500000*r0 - 418688*g0 - 81312*b0 + 128000000
+                + 500000) / 1000000.0) AS BIGINT))) AS cr
+           FROM v),
+         rgb AS (SELECT *,
+             greatest(0, least(255, CAST(floor(
+               (1000000*yy + 1402000*(cr-128) + 500000)
+                 / 1000000.0) AS BIGINT))) AS r1,
+             greatest(0, least(255, CAST(floor(
+               (1000000*yy - 344136*(cb-128) - 714136*(cr-128)
+                + 500000) / 1000000.0) AS BIGINT))) AS g1,
+             greatest(0, least(255, CAST(floor(
+               (1000000*yy + 1772000*(cb-128) + 500000)
+                 / 1000000.0) AS BIGINT))) AS b1
+           FROM ycc)
+         SELECT doc_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(sum(r1*cw*ch) AS BIGINT) AS sum_r,
+           CAST(sum(g1*cw*ch) AS BIGINT) AS sum_g,
+           CAST(sum(b1*cw*ch) AS BIGINT) AS sum_b,
+           CAST(max(CASE WHEN cx = 0 AND cy = 0
+                THEN r1*65536 + g1*256 + b1 END) AS BIGINT) AS first_px
+         FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""",
 
     "q348_skyline" ->
       """WITH li AS (SELECT l_orderkey, l_linenumber,

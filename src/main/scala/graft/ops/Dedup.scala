@@ -72,7 +72,22 @@ object Dedup {
         kept.drop("n").join(sizes, "id").withColumnRenamed("nf", "n")
       case None => ex0
     }
-    ex.as("a").join(ex.as("b"),
+    // merge-hint discipline (all pair ops): every side here is
+    // corpus-sized BY CONSTRUCTION, but Catalyst's STATIC size
+    // estimate for text-derived frames is schema-default bytes
+    // (string 20 B regardless of length, array = ONE element) — off
+    // 20-100x on real text/shingle data, and RDD-backed inputs
+    // (localCheckpoint) inherit the underestimate. A statically
+    // planned broadcast of a corpus-sized side kills the driver at
+    // scale (found by the 500k-doc decade probe: an 8 GiB driver OOM'd
+    // broadcasting the banded frame). The MERGE hint vetoes the static
+    // broadcast; sort-merge spills, so no process ever holds a
+    // corpus-sized relation. (shuffle_hash was tried and rejected: its
+    // per-partition hash build cannot spill — the same decade probe
+    // killed an executor with "Can't acquire memory to build hash
+    // relation" — and it measured SLOWER at 500k docs, 64 s vs 37 s
+    // for the minhash probe.)
+    ex.as("a").hint("merge").join(ex.as("b").hint("merge"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("co"),
@@ -102,7 +117,7 @@ object Dedup {
     val exR = index(right, rightId, rightText)
     // exclude identical ids: re-running after the batch has merged into
     // the corpus must not report every shared doc as its own duplicate
-    exL.as("a").join(exR.as("b"),
+    exL.as("a").hint("merge").join(exR.as("b").hint("merge"),  // no static broadcast — see jaccardPairs
         col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
       .agg(count(lit(1)).as("co"),
@@ -265,10 +280,15 @@ object Dedup {
                              k: Int = 3, w: Int = 4,
                              minShared: Int = 3,
                              maxDocFreq: Int = 20): DataFrame = {
+    // materialized once: the winnowing pass (the expensive part) feeds
+    // the doc-freq count AND both self-join sides — without this the
+    // shuffle-hash join recomputes it per side (broadcast used to hide
+    // that by materializing one side as the broadcast relation)
     val fps = TextAnalysis.winnowFingerprints(fanOut(df), id, text, k, w)
+      .localCheckpoint()
     val freq = fps.groupBy("fp").count().filter(col("count") <= maxDocFreq)
     val kept = fps.join(freq.select("fp"), "fp")
-    kept.as("a").join(kept.as("b"),
+    kept.as("a").hint("merge").join(kept.as("b").hint("merge"),  // no static broadcast — see jaccardPairs
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("shared"))
@@ -321,14 +341,17 @@ object Dedup {
       .select(col("id"), minhashSignature(col("sh"), h).as("sig"))
       .withColumn("band", explode(minhashBands(col("sig"), bands, r)))
       .select(col("id"), col("band.band").as("band"), col("band.key").as("key"))
-    val cand = banded.as("a").join(banded.as("b"),
+    val cand = banded.as("a").hint("merge")
+      .join(banded.as("b").hint("merge"),  // no static broadcast — see jaccardPairs
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     cand
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1"))
+        .hint("merge"), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2"))
+        .hint("merge"), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= tau)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
@@ -372,15 +395,18 @@ object Dedup {
       .select(col("id"), explode(minhashBands(col("sig"), bands, r))
         .as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded(leftIndex).as("a").join(banded(rightIndex).as("b"),
+    val cand = banded(leftIndex).as("a").hint("merge")
+      .join(banded(rightIndex).as("b").hint("merge"),  // no static broadcast — see jaccardPairs
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     cand
-      .join(leftIndex.select(col("id").as("id1"), col("sh").as("sh1")),
+      .join(leftIndex.select(col("id").as("id1"), col("sh").as("sh1"))
+        .hint("merge"),
         "id1")
-      .join(rightIndex.select(col("id").as("id2"), col("sh").as("sh2")),
+      .join(rightIndex.select(col("id").as("id2"), col("sh").as("sh2"))
+        .hint("merge"),
         "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= tau)
@@ -420,9 +446,11 @@ object Dedup {
       .select(col("id").as("id2"),
         explode(minhashBands(col("sig"), bands, r)).as("bk"))
       .select(col("id2"), col("bk.band").as("band"), col("bk.key").as("key"))
-    probe.join(corpusBands, Seq("band", "key"))
+    probe.hint("merge").join(corpusBands.hint("merge"),  // no static broadcast — see jaccardPairs
+      Seq("band", "key"))
       .filter(col("id1") =!= col("id2"))
-      .join(corpusIndex.select(col("id").as("id2"), col("sh").as("sh2")),
+      .join(corpusIndex.select(col("id").as("id2"), col("sh").as("sh2"))
+        .hint("merge"),
         "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= tau)
@@ -448,14 +476,17 @@ object Dedup {
           struct(lit(b).as("band"),
                  simhashBand(col("simhash"), b).as("key"))): _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.as("a").join(banded.as("b"),
+    val cand = banded.as("a").hint("merge")
+      .join(banded.as("b").hint("merge"),  // no static broadcast — see jaccardPairs
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     cand
-      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), "id2")
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1"))
+        .hint("merge"), "id1")
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2"))
+        .hint("merge"), "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= tau)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
@@ -485,14 +516,14 @@ object Dedup {
       .agg(min(struct(col("id"), col("pos"))).as("f"))
       .select(col("para").as("kpara"),
               col("f.id").as("fid"), col("f.pos").as("fpos"))
-    val surv = ex.join(first,
+    val surv = ex.hint("merge").join(first.hint("merge"),  // no static broadcast — see jaccardPairs
         col("para") === col("kpara") &&
         col("id") === col("fid") && col("pos") === col("fpos"))
     val rebuilt = surv.groupBy(col("id"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("para")))),
           _.getField("para")), sep).as("text_deduped"))
-    df.select(id.as("id")).join(rebuilt, Seq("id"), "left")
+    df.select(id.as("id")).join(rebuilt.hint("merge"), Seq("id"), "left")
       .select(col("id"),
               coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
@@ -567,7 +598,7 @@ object Dedup {
           array_sort(collect_list(struct(col("chunk_id"),
             col("chunk_text")))),
           _.getField("chunk_text")), " ").as("text_deduped"))
-    df.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+    df.select(id.as("doc_id")).join(rebuilt.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("text_deduped"), lit("")).as("text_deduped"))
   }
@@ -799,8 +830,8 @@ object Dedup {
       .distinct()
       .localCheckpoint() // sizes + both self-join sides consume it
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("nsh"))
-    val inter = sh
-      .join(sh.select(col("src").as("src2"), col("s")), "s")
+    val inter = sh.hint("merge")
+      .join(sh.select(col("src").as("src2"), col("s")).hint("merge"), "s")
       .filter(col("src") < col("src2"))
       .groupBy(col("src").as("src_a"), col("src2").as("src_b"))
       .agg(count(lit(1)).as("inter"))
@@ -886,12 +917,13 @@ object Dedup {
       .localCheckpoint() // prefix build + verify + expansion reuse it
     // doc → set-id map (AQE broadcasts the set side when small; the
     // array equi-join key is exact — both sides sorted+distinct)
-    val docsMap = toks
-      .join(sets.select(col("ts"), col("sid")), "ts")
+    val docsMap = toks.hint("merge")
+      .join(sets.select(col("ts"), col("sid")).hint("merge"), "ts")
       .select(col("sid"), col("id"))
     // docs whose sets are identical: J = 1 ≥ τ always — emit directly
-    val intra = docsMap.as("a")
-      .join(docsMap.select(col("sid"), col("id").as("id2")).as("b"), "sid")
+    val intra = docsMap.as("a").hint("merge")
+      .join(docsMap.select(col("sid"), col("id").as("id2")).as("b")
+        .hint("merge"), "sid")
       .filter(col("id") < col("id2"))
       .select(col("id").as("id1"), col("id2"), lit(1.0).as("jaccard"))
     val ex = sets.select(col("sid"), col("n"), explode(col("ts")).as("tk"))
@@ -913,8 +945,8 @@ object Dedup {
     val alpha = expr(
       s"($tauNum * (na + nb) + $tauNum + $tauDen - 1) div " +
       s"${tauNum + tauDen}")
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
+    val cand = prefix.as("a").hint("merge")
+      .join(prefix.as("b").hint("merge"),  // no static broadcast — see jaccardPairs
             col("a.tk") === col("b.tk") && col("a.sid") < col("b.sid") &&
             // length filter, both orderings (pairs sort by sid, not n)
             col("a.n") * tauDen >= col("b.n") * tauNum &&
@@ -932,13 +964,14 @@ object Dedup {
               >= alpha)
       .select("sid1", "sid2", "na", "nb")
     // exact verify on the candidate-bounded set frame: sorted arrays,
-    // intersect size in one codegen'd pass; AQE broadcasts `sets`
-    // when it is small, else the join stays candidate-bounded
+    // intersect size in one codegen'd pass (merge-hinted: the ts
+    // arrays make `sets` exactly the under-estimated corpus-sized
+    // shape — see jaccardPairs)
     val cross = cand
-      .join(sets.select(col("sid").as("sid1"), col("ts").as("t1")),
-            "sid1")
-      .join(sets.select(col("sid").as("sid2"), col("ts").as("t2")),
-            "sid2")
+      .join(sets.select(col("sid").as("sid1"), col("ts").as("t1"))
+        .hint("merge"), "sid1")
+      .join(sets.select(col("sid").as("sid2"), col("ts").as("t2"))
+        .hint("merge"), "sid2")
       .withColumn("co", size(array_intersect(col("t1"), col("t2"))))
       .filter(col("co") * tauDen >=
               (col("na") + col("nb") - col("co")) * tauNum)
@@ -1000,7 +1033,7 @@ object Dedup {
     val totals = ex.groupBy(col("id"))
       .agg(count(lit(1)).as("n_segs"))
     base.select(col("id"))
-      .join(rebuilt, Seq("id"), "left")
+      .join(rebuilt.hint("merge"), Seq("id"), "left")
       .join(totals, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
@@ -1047,13 +1080,13 @@ object Dedup {
       .agg(min(col("id")).as("sid"), first(col("n")).as("n"))
       .select(col("sid"), col("ts"), col("n"))
       .localCheckpoint()
-    val docsMap = toks
-      .join(sets.select(col("ts"), col("sid")), "ts")
+    val docsMap = toks.hint("merge")
+      .join(sets.select(col("ts"), col("sid")).hint("merge"), "ts")
       .select(col("sid"), col("id"))
     // identical sets: symdiff 0, no signatures needed
-    val intra = docsMap.as("a")
-      .join(docsMap.select(col("sid"), col("id").as("id2")).as("b"),
-            "sid")
+    val intra = docsMap.as("a").hint("merge")
+      .join(docsMap.select(col("sid"), col("id").as("id2")).as("b")
+        .hint("merge"), "sid")
       .filter(col("id") < col("id2"))
       .select(col("id").as("id1"), col("id2"), lit(0).as("symdiff"))
     // signatures: one codegen'd O(n) pass emits the full-set signature
@@ -1063,8 +1096,8 @@ object Dedup {
     val sigs = sets.select(col("sid"), col("n"),
         explode(graft.functions.DeletionSigs(col("ts"))).as("sig"))
     // candidate pairs: any shared signature; sizes may differ by ≤ 1
-    val cand = sigs.as("a")
-      .join(sigs.as("b"),
+    val cand = sigs.as("a").hint("merge")
+      .join(sigs.as("b").hint("merge"),  // no static broadcast — see jaccardPairs
             col("a.sig") === col("b.sig") && col("a.sid") < col("b.sid") &&
             abs(col("a.n") - col("b.n")) <= 1)
       .select(col("a.sid").as("sid1"), col("b.sid").as("sid2"))
@@ -1072,9 +1105,9 @@ object Dedup {
     // exact verify: |A△B| = na + nb − 2·|A∩B| ≤ 1
     val inter = cand
       .join(sets.select(col("sid").as("sid1"), col("ts").as("t1"),
-                        col("n").as("na")), "sid1")
+                        col("n").as("na")).hint("merge"), "sid1")
       .join(sets.select(col("sid").as("sid2"), col("ts").as("t2"),
-                        col("n").as("nb")), "sid2")
+                        col("n").as("nb")).hint("merge"), "sid2")
       .withColumn("co", size(array_intersect(col("t1"), col("t2"))))
       .withColumn("symdiff", col("na") + col("nb") - lit(2) * col("co"))
       .filter(col("symdiff") <= 1)
@@ -1117,17 +1150,17 @@ object Dedup {
     }
     val (lt, ls) = index(left, leftId, leftText)
     val (rt, rs) = index(right, rightId, rightText)
-    val cand = ls.as("a")
-      .join(rs.as("b"),
+    val cand = ls.as("a").hint("merge")
+      .join(rs.as("b").hint("merge"),  // no static broadcast — see jaccardPairs
             col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id") &&
             abs(col("a.n") - col("b.n")) <= 1)
       .select(col("a.id").as("left_id"), col("b.id").as("right_id"))
       .distinct()
     cand
       .join(lt.select(col("id").as("left_id"), col("ts").as("t1"),
-                      col("n").as("na")), "left_id")
+                      col("n").as("na")).hint("merge"), "left_id")
       .join(rt.select(col("id").as("right_id"), col("ts").as("t2"),
-                      col("n").as("nb")), "right_id")
+                      col("n").as("nb")).hint("merge"), "right_id")
       .withColumn("co", size(array_intersect(col("t1"), col("t2"))))
       .withColumn("symdiff", col("na") + col("nb") - lit(2) * col("co"))
       .filter(col("symdiff") <= 1)

@@ -465,19 +465,23 @@ object Multimodal {
     spark.createDataFrame(rdd, outSchema)
   }
 
-  // ---- Real codec: PNG (8-bit truecolor, JDK-only) -------------------
+  // ---- Real codec: PNG (8-bit truecolor ± alpha, Adam7, JDK-only) ----
   //
   // PNG is DEFLATE (java.util.zip.Deflater/Inflater) plus five per-
   // scanline byte filters — the one mainstream image format fully
   // implementable offline with the JDK alone (JPEG/MP3/MP4 stay
   // documented stub seams: their entropy/transform coders need
-  // external libs). The encoder writes 8-bit truecolor (color type 2),
-  // non-interlaced, with a SELECTABLE filter applied to every row; the
-  // decoder is chunk-walking (CRC-verified, multiple IDAT chunks
-  // concatenated) and reconstructs ALL FIVE filter types
-  // (None/Sub/Up/Average/Paeth) — [[synthPng]] cycles the encode
-  // filter by id so the oracle corpus exercises every reconstruction
-  // path, not just the filter-0 fast case.
+  // external libs). The encoder writes 8-bit truecolor (color type 2)
+  // or truecolor+alpha (type 6), plain or Adam7-INTERLACED, with a
+  // SELECTABLE filter applied to every row; the decoder is
+  // chunk-walking (CRC-verified, multiple IDAT chunks concatenated)
+  // and reconstructs ALL FIVE filter types (None/Sub/Up/Average/
+  // Paeth) across ALL SEVEN Adam7 passes — each pass is its own
+  // filtered sub-image with its own row history, the detail naive
+  // decoders get wrong. [[synthPng]] cycles the encode filter by id
+  // (and [[MultimodalSpec]] crosses filters x interlace x alpha) so
+  // every reconstruction path is exercised, not just the
+  // filter-0/sequential fast case.
 
   private val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
     .map(_.toByte)
@@ -505,88 +509,123 @@ object Multimodal {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode an 8-bit truecolor non-interlaced PNG from a pixel
-    * function ((x, y) → (r, g, b), origin top-left), filtering every
-    * scanline with `filterType` (0=None 1=Sub 2=Up 3=Average 4=Paeth —
-    * any choice decodes to the same pixels; non-zero types exist to
-    * exercise decoder reconstruction). */
+  /** Adam7 pass geometry (xStart, yStart, xStep, yStep); a
+    * non-interlaced image is the single full pass. */
+  private val adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+  private def pngPasses(interlaced: Boolean) =
+    if (interlaced) adam7 else Array((0, 0, 1, 1))
+
+  /** Encode an 8-bit PNG from a pixel function ((x, y) → (r, g, b),
+    * origin top-left): truecolor, or truecolor+alpha when `alpha` is
+    * given, plain or Adam7-interlaced, filtering every scanline with
+    * `filterType` (0=None 1=Sub 2=Up 3=Average 4=Paeth — any choice
+    * decodes to the same pixels; non-zero types exist to exercise
+    * decoder reconstruction). */
   def encodePng(width: Int, height: Int,
                 px: (Int, Int) => (Int, Int, Int),
-                filterType: Int = 0): Array[Byte] = {
+                filterType: Int = 0,
+                alpha: Option[(Int, Int) => Int] = None,
+                interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, "empty image")
     require(filterType >= 0 && filterType <= 4,
       s"filter type must be 0..4, got $filterType")
-    val bpp = 3
-    val stride = width * bpp
-    // raw scanline bytes of the current and previous row (unfiltered)
-    val raw = new Array[Byte]((stride + 1) * height)
-    val cur = new Array[Int](stride)
-    val prev = new Array[Int](stride) // row above; zeros for row 0
+    val bpp = if (alpha.isDefined) 4 else 3
+    val img = new Array[Int](width * height * bpp)
     var y = 0
     while (y < height) {
       var x = 0
       while (x < width) {
         val (r, g, b) = px(x, y)
-        cur(x * bpp) = r & 0xff
-        cur(x * bpp + 1) = g & 0xff
-        cur(x * bpp + 2) = b & 0xff
+        val o = (y * width + x) * bpp
+        img(o) = r & 0xff; img(o + 1) = g & 0xff; img(o + 2) = b & 0xff
+        alpha.foreach(a => img(o + 3) = a(x, y) & 0xff)
         x += 1
       }
-      val o = y * (stride + 1)
-      raw(o) = filterType.toByte
-      var i = 0
-      while (i < stride) {
-        val left = if (i >= bpp) cur(i - bpp) else 0
-        val up = prev(i)
-        val ul = if (i >= bpp) prev(i - bpp) else 0
-        val f = filterType match {
-          case 0 => cur(i)
-          case 1 => cur(i) - left
-          case 2 => cur(i) - up
-          case 3 => cur(i) - (left + up) / 2
-          case 4 => cur(i) - paeth(left, up, ul)
-        }
-        raw(o + 1 + i) = (f & 0xff).toByte
-        i += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
     }
+    val raw = new java.io.ByteArrayOutputStream(img.length + height + 64)
+    pngPasses(interlaced).foreach { case (xs, ys, xStep, yStep) =>
+      val pw = if (width > xs) (width - xs + xStep - 1) / xStep else 0
+      val ph = if (height > ys) (height - ys + yStep - 1) / yStep else 0
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val prev = new Array[Int](stride) // zeros at each pass start
+        val cur = new Array[Int](stride)
+        var ry = 0
+        while (ry < ph) {
+          var rx = 0
+          while (rx < pw) {
+            val src = ((ys + ry * yStep) * width + (xs + rx * xStep)) * bpp
+            var c = 0
+            while (c < bpp) { cur(rx * bpp + c) = img(src + c); c += 1 }
+            rx += 1
+          }
+          raw.write(filterType)
+          var i = 0
+          while (i < stride) {
+            val left = if (i >= bpp) cur(i - bpp) else 0
+            val up = prev(i)
+            val ul = if (i >= bpp) prev(i - bpp) else 0
+            val f = filterType match {
+              case 0 => cur(i)
+              case 1 => cur(i) - left
+              case 2 => cur(i) - up
+              case 3 => cur(i) - (left + up) / 2
+              case 4 => cur(i) - paeth(left, up, ul)
+            }
+            raw.write(f & 0xff)
+            i += 1
+          }
+          System.arraycopy(cur, 0, prev, 0, stride)
+          ry += 1
+        }
+      }
+    }
     val deflater = new java.util.zip.Deflater()
-    deflater.setInput(raw); deflater.finish()
-    val zOut = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream(raw.size() / 2 + 64)
     val buf = new Array[Byte](8192)
     while (!deflater.finished())
       zOut.write(buf, 0, deflater.deflate(buf))
     deflater.end()
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(width).putInt(height)
-      .put(8.toByte)  // bit depth
-      .put(2.toByte)  // color type: truecolor
-      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+      .put(8.toByte)                            // bit depth
+      .put((if (bpp == 4) 6 else 2).toByte)     // color type
+      .put(0.toByte).put(0.toByte)              // deflate / adaptive
+      .put((if (interlaced) 1 else 0).toByte)   // interlace method
       .array()
     pngSig ++ pngChunk("IHDR", ihdr) ++
       pngChunk("IDAT", zOut.toByteArray) ++
       pngChunk("IEND", Array.emptyByteArray)
   }
 
-  /** Decoded summary of one 8-bit truecolor PNG — the [[BmpStats]]
-    * shape (exact channel sums + the top-left-pixel probe that catches
-    * row/filter reconstruction bugs a global sum hides), so PNG- and
-    * BMP-backed pipelines share downstream schema. */
+  /** Decoded summary of one 8-bit PNG — the [[BmpStats]] shape (exact
+    * channel sums + the top-left-pixel probe that catches row/filter/
+    * pass reconstruction bugs a global sum hides), so PNG- and
+    * BMP-backed pipelines share downstream schema. Alpha, when
+    * present, is validated by the reconstruction but excluded from the
+    * sums (color-channel parity with the alpha-less formats). */
   final case class PngStats(width: Int, height: Int,
                             sumR: Long, sumG: Long, sumB: Long,
                             firstPx: Long)
 
-  /** Decode an 8-bit truecolor non-interlaced PNG: signature + CRC-
-    * verified chunk walk, IDAT concatenation, full inflate, and
-    * scanline reconstruction for all five filter types. */
-  def decodePng(bytes: Array[Byte]): PngStats = {
+  /** Full decode to a row-major RGB buffer: signature + CRC-verified
+    * chunk walk, IDAT concatenation, exact-size inflate, per-PASS
+    * scanline reconstruction (all five filters; Adam7 passes each
+    * carry their own row history and interleave back by the pass
+    * geometry). Supports color types 2 (RGB) and 6 (RGBA, alpha
+    * dropped after reconstruction), bit depth 8. */
+  private def decodePngRgb(bytes: Array[Byte])
+      : (Int, Int, Array[Byte]) = {
     require(bytes.length > 8 + 12 * 2 &&
       pngSig.indices.forall(i => bytes(i) == pngSig(i)),
       "not a PNG stream")
     var off = 8
     var width = -1; var height = -1
+    var bppIn = -1; var interlaced = false
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     def be32(o: Int): Int =
@@ -608,10 +647,13 @@ object Multimodal {
           val bitDepth = bytes(off + 16) & 0xff
           val colorType = bytes(off + 17) & 0xff
           val interlace = bytes(off + 20) & 0xff
-          require(bitDepth == 8 && colorType == 2 && interlace == 0,
-            s"only 8-bit truecolor non-interlaced supported " +
+          require(bitDepth == 8 && (colorType == 2 || colorType == 6) &&
+                  interlace <= 1,
+            s"only 8-bit truecolor(+alpha) supported " +
             s"(depth=$bitDepth color=$colorType interlace=$interlace)")
           require(width > 0 && height > 0, "degenerate dimensions")
+          bppIn = if (colorType == 6) 4 else 3
+          interlaced = interlace == 1
           seenIhdr = true
         case "IDAT" => idat.write(bytes, off + 8, len)
         case "IEND" => seenIend = true
@@ -622,9 +664,15 @@ object Multimodal {
     require(seenIhdr, "no IHDR chunk")
     require(seenIend, "no IEND chunk")
     require(idat.size() > 0, "no IDAT data")
-    val bpp = 3
-    val stride = width * bpp
-    val raw = new Array[Byte]((stride + 1) * height)
+    val passes = pngPasses(interlaced).map { case (xs, ys, xStep, yStep) =>
+      val pw = if (width > xs) (width - xs + xStep - 1) / xStep else 0
+      val ph = if (height > ys) (height - ys + yStep - 1) / yStep else 0
+      (xs, ys, xStep, yStep, pw, ph)
+    }.filter(p => p._5 > 0 && p._6 > 0)
+    val rawLen = passes.map { case (_, _, _, _, pw, ph) =>
+      ph.toLong * (1L + pw.toLong * bppIn) }.sum
+    require(rawLen <= Int.MaxValue, "image too large")
+    val raw = new Array[Byte](rawLen.toInt)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     var filled = 0
@@ -637,116 +685,80 @@ object Multimodal {
     inflater.end()
     require(filled == raw.length,
       s"inflated $filled bytes, expected ${raw.length}")
-    val cur = new Array[Int](stride)
-    val prev = new Array[Int](stride)
-    var sumR = 0L; var sumG = 0L; var sumB = 0L; var firstPx = -1L
-    var y = 0
-    while (y < height) {
-      val o = y * (stride + 1)
-      val ft = raw(o) & 0xff
-      require(ft <= 4, s"bad filter type $ft on row $y")
-      var i = 0
-      while (i < stride) {
-        val f = raw(o + 1 + i) & 0xff
-        val left = if (i >= bpp) cur(i - bpp) else 0
-        val up = prev(i)
-        val ul = if (i >= bpp) prev(i - bpp) else 0
-        cur(i) = (ft match {
-          case 0 => f
-          case 1 => f + left
-          case 2 => f + up
-          case 3 => f + (left + up) / 2
-          case 4 => f + paeth(left, up, ul)
-        }) & 0xff
-        i += 1
+    val out = new Array[Byte](width * height * 3)
+    var ro = 0
+    passes.foreach { case (xs, ys, xStep, yStep, pw, ph) =>
+      val stride = pw * bppIn
+      val cur = new Array[Int](stride)
+      val prev = new Array[Int](stride)
+      java.util.Arrays.fill(prev, 0)
+      var ry = 0
+      while (ry < ph) {
+        val ft = raw(ro) & 0xff; ro += 1
+        require(ft <= 4, s"bad filter type $ft")
+        var i = 0
+        while (i < stride) {
+          val f = raw(ro + i) & 0xff
+          val left = if (i >= bppIn) cur(i - bppIn) else 0
+          val up = prev(i)
+          val ul = if (i >= bppIn) prev(i - bppIn) else 0
+          cur(i) = (ft match {
+            case 0 => f
+            case 1 => f + left
+            case 2 => f + up
+            case 3 => f + (left + up) / 2
+            case 4 => f + paeth(left, up, ul)
+          }) & 0xff
+          i += 1
+        }
+        ro += stride
+        var rx = 0
+        while (rx < pw) {
+          val dst = ((ys + ry * yStep) * width + (xs + rx * xStep)) * 3
+          out(dst) = cur(rx * bppIn).toByte
+          out(dst + 1) = cur(rx * bppIn + 1).toByte
+          out(dst + 2) = cur(rx * bppIn + 2).toByte
+          rx += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        ry += 1
       }
-      var x = 0
-      while (x < width) {
-        val r = cur(x * bpp); val g = cur(x * bpp + 1)
-        val b = cur(x * bpp + 2)
-        sumR += r; sumG += g; sumB += b
-        if (x == 0 && y == 0) firstPx = r * 65536L + g * 256L + b
-        x += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
     }
-    PngStats(width, height, sumR, sumG, sumB, firstPx)
+    (width, height, out)
   }
 
-  /** Nearest-neighbor resize of an 8-bit truecolor PNG (same integer
-    * mapping as [[resizeBmp24]]: source pixel for output (x, y) is
-    * (x·w div newW, y·h div newH)), re-encoded with filter 0. */
+  /** Decode an 8-bit PNG to exact integer stats (see [[decodePngRgb]]
+    * for the supported surface). */
+  def decodePng(bytes: Array[Byte]): PngStats = {
+    val (w, h, px) = decodePngRgb(bytes)
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      sumR += px(i * 3) & 0xff
+      sumG += px(i * 3 + 1) & 0xff
+      sumB += px(i * 3 + 2) & 0xff
+      i += 1
+    }
+    val firstPx = (px(0) & 0xff) * 65536L + (px(1) & 0xff) * 256L +
+      (px(2) & 0xff)
+    PngStats(w, h, sumR, sumG, sumB, firstPx)
+  }
+
+  /** Nearest-neighbor resize of an 8-bit PNG (same integer mapping as
+    * [[resizeBmp24]]: source pixel for output (x, y) is
+    * (x·w div newW, y·h div newH)), re-encoded as plain truecolor
+    * with filter 0 — interlaced/alpha inputs normalize on the way
+    * through. */
   def resizePng(bytes: Array[Byte], newW: Int, newH: Int): Array[Byte] = {
     require(newW > 0 && newH > 0, "degenerate target dimensions")
-    val (w, h, pixels) = decodePngPixels(bytes)
+    val (w, h, pixels) = decodePngRgb(bytes)
     encodePng(newW, newH, (x, y) => {
       val sx = (x.toLong * w / newW).toInt
       val sy = (y.toLong * h / newH).toInt
       val o = (sy * w + sx) * 3
       ((pixels(o) & 0xff, pixels(o + 1) & 0xff, pixels(o + 2) & 0xff))
     })
-  }
-
-  /** Full pixel decode (row-major RGB bytes, origin top-left) — the
-    * [[resizePng]] backing; stats-only callers use [[decodePng]] which
-    * never materializes the image. */
-  private def decodePngPixels(bytes: Array[Byte])
-      : (Int, Int, Array[Byte]) = {
-    // reuse the chunk walk via a pixel-capturing variant would double
-    // the code; a decode to stats first validates the stream, then a
-    // second targeted inflate would re-pay the work — so this does the
-    // one full pass itself, sharing the filter reconstruction shape.
-    val st = decodePng(bytes) // validates signature/CRC/filters
-    val w = st.width; val h = st.height
-    val bpp = 3; val stride = w * bpp
-    // re-inflate (cheap at thumbnail sizes; large-image pipelines
-    // should decode once per partition and carry pixels forward)
-    var off = 8
-    val idat = new java.io.ByteArrayOutputStream()
-    def be32(o: Int): Int =
-      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
-      ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
-    while (off + 12 <= bytes.length) {
-      val len = be32(off)
-      if (new String(bytes, off + 4, 4, "US-ASCII") == "IDAT")
-        idat.write(bytes, off + 8, len)
-      off += 12 + len
-    }
-    val raw = new Array[Byte]((stride + 1) * h)
-    val inflater = new java.util.zip.Inflater()
-    inflater.setInput(idat.toByteArray)
-    var filled = 0
-    while (filled < raw.length && !inflater.finished())
-      filled += inflater.inflate(raw, filled, raw.length - filled)
-    inflater.end()
-    val out = new Array[Byte](stride * h)
-    val cur = new Array[Int](stride)
-    val prev = new Array[Int](stride)
-    var y = 0
-    while (y < h) {
-      val o = y * (stride + 1)
-      val ft = raw(o) & 0xff
-      var i = 0
-      while (i < stride) {
-        val f = raw(o + 1 + i) & 0xff
-        val left = if (i >= bpp) cur(i - bpp) else 0
-        val up = prev(i)
-        val ul = if (i >= bpp) prev(i - bpp) else 0
-        cur(i) = (ft match {
-          case 0 => f
-          case 1 => f + left
-          case 2 => f + up
-          case 3 => f + (left + up) / 2
-          case 4 => f + paeth(left, up, ul)
-        }) & 0xff
-        out(y * stride + i) = cur(i).toByte
-        i += 1
-      }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
-    }
-    (w, h, out)
   }
 
   /** Partition-batch PNG decode over a binary column (the BMP twin's
@@ -781,9 +793,10 @@ object Multimodal {
 
   /** Deterministic per-id PNG synthesis — the SAME pixel arithmetic as
     * [[synthBmp24]] (so the SQL oracle replay is shared), with the
-    * scanline filter CYCLING over all five types by id: a corpus where
-    * every reconstruction path (None/Sub/Up/Average/Paeth) must be
-    * exact for the aggregate to hash-match. */
+    * scanline filter CYCLING over all five types by id AND every third
+    * image Adam7-interlaced: a corpus where every reconstruction path
+    * (filters x pass geometry) must be exact for the aggregate to
+    * hash-match. */
   def synthPng(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
@@ -799,7 +812,8 @@ object Multimodal {
           ((id * 3 + x * 7 + y * 11) % 256).toInt,
           ((id * 5 + x * 13 + y * 3) % 256).toInt,
           ((id * 7 + x + y * 17) % 256).toInt),
-          filterType = (id % 5).toInt)
+          filterType = (id % 5).toInt,
+          interlaced = id % 3 == 0)
         Row(id, bytes)
       }
     }

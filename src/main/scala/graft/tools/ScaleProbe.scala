@@ -60,6 +60,47 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("skew")) {
+      // Whale-key stress: 9M events over 450k normal users (~20 each)
+      // plus ONE user with 1M events — the skew profile that turns a
+      // per-user window into a single straggler task. sessionize
+      // (window per user) must survive it; sessionizeBucketed (time
+      // buckets + boundary merge) must beat it; groupBy paths
+      // (sessionAgg) ride AQE skew handling. Recording both times is
+      // the point: the gap IS the skew lever's value.
+      import spark.implicits._
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
+      }
+      val normal = spark.range(9000000L).select(
+        expr("id div 20").as("user_id"),
+        timestamp_seconds(lit(1700000000L) +
+          pmod(col("id"), lit(20)) *
+          (lit(300L) + pmod(hash(col("id")), lit(2400L)))).as("ts"))
+      val whale = spark.range(1000000L).select(
+        lit(999999999L).as("user_id"),
+        timestamp_seconds(lit(1700000000L) +
+          col("id") * (lit(1L) + pmod(hash(col("id")), lit(5L))))
+          .as("ts"))
+      val ev = normal.unionByName(whale).repartition(64).localCheckpoint()
+      println(s"[scale] skew events: ${ev.count()} (1M on one user)")
+      // count(session_id) forces the window/bucket machinery (a bare
+      // count() would let Catalyst prune it and time an empty scan)
+      time("sessionize 10M whale")(graft.ops.Events.sessionize(
+        ev, col("user_id"), col("ts"), gapSeconds = 1800L)
+        .agg(count(col("session_id"))).head().getLong(0))
+      time("sessionize_bucketed 10M whale")(
+        graft.ops.Events.sessionizeBucketed(
+          ev, col("user_id"), col("ts"), gapSeconds = 1800L,
+          bucketSeconds = 86400L)
+        .agg(count(col("session_id"))).head().getLong(0))
+      time("session_agg 10M whale")(graft.ops.Events.sessionAgg(
+        ev, col("user_id"), col("ts"), gapSeconds = 1800L).count())
+      spark.stop(); return
+    }
+
     if (args.contains("decade")) {
       // One order of magnitude past the 50k/1M probes: 500k docs in
       // 50k 10-copy near-dup cliques (synthetic token streams, so
@@ -111,8 +152,11 @@ object ScaleProbe {
         .repartition(64)
         .localCheckpoint()
       println(s"[scale] decade events: ${events.count()}")
+      // count(session_id), not count(): a bare count() lets Catalyst
+      // prune the window away and times an empty scan
       time("sessionize 10M ev")(graft.ops.Events.sessionize(
-        events, col("user_id"), col("ts"), gapSeconds = 1800L).count())
+        events, col("user_id"), col("ts"), gapSeconds = 1800L)
+        .agg(count(col("session_id"))).head().getLong(0))
       time("session_agg 10M ev")(graft.ops.Events.sessionAgg(
         events, col("user_id"), col("ts"), gapSeconds = 1800L).count())
       // 5M-edge synthetic graph over 1M nodes (~10 neighbors/node,
@@ -136,6 +180,42 @@ object ScaleProbe {
         we, seeds, iters = 3).count())
       time("pagerank 5M edges i=8")(graft.ops.Graph.pageRank(
         we, iters = 8).count())
+      // 500k x 64-dim embeddings in the same 10-copy clique layout
+      // (copies perturbed ~1e-4, cross-clique vectors pseudo-random):
+      // ArrayType is THE static-underestimate hazard class (est = one
+      // element's width), so the ANN/semdedup family must survive the
+      // decade without a mis-broadcast just like the text ops
+      val nVec = 500000L
+      val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            ((pmod(hash(expr("id div 10"), j), lit(2000L)) - 1000L)
+               .cast("double") / 1000.0 +
+             pmod(col("id"), lit(10)).cast("double") * 0.0001)
+              .cast("float")).as("embedding"))
+        .repartition(64)
+        .localCheckpoint()
+      println(s"[scale] decade embeddings: ${vecs.count()}")
+      time("semdedup 500k k=256")(graft.ops.Similarity.semDedupPairs(
+        vecs, col("vec_id"), col("embedding"), tau = 0.999, k = 256,
+        iters = 2).count())
+      time("ann_quantized 500k")(graft.ops.Similarity.quantizedTopK(
+        vecs, vecs.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5).count())
+      time("ivf_packed 500k") {
+        val (cents, packed) = graft.ops.Similarity.ivfPack(
+          vecs, col("vec_id"), col("embedding"), nLists = 256)
+        val idx = packed.localCheckpoint()
+        graft.ops.Similarity.ivfTopKPacked(
+          vecs.filter(col("vec_id") < 10), cents, idx,
+          col("vec_id"), col("embedding"), k = 5).count()
+      }
+      time("hard_negatives 500k")(graft.ops.Similarity.hardNegatives(
+        vecs.withColumn("lbl", pmod(col("vec_id"), lit(5))),
+        vecs.withColumn("lbl", pmod(col("vec_id"), lit(5)))
+          .filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), col("lbl"),
+        col("vec_id"), col("embedding"), col("lbl"), k = 5).count())
       spark.stop(); return
     }
 

