@@ -555,6 +555,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Real multimodal codec IV-c (4:2:0 JPEG — the camera/phone
+    // layout): full-res Y + 2x2-subsampled chroma, four Y blocks per
+    // MCU, nearest-neighbor upsampling on decode, restart markers on
+    // every other image. 16x16-aligned mosaic cells keep BOTH the Y
+    // and the subsampled-chroma blocks constant, so the whole lossy
+    // 4:2:0 pipeline is exact and the oracle replays it per cell.
+    "q418_jpeg_420" -> ((s, dir) => {
+      val jpgs = graft.ops.Jpeg.synthJpeg420(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Jpeg.decodeJpegColorStatsDf(jpgs, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("width"), col("height"),
+                col("sum_r"), col("sum_g"), col("sum_b"), col("first_px"))
+        .orderBy("doc_id")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -4559,6 +4574,52 @@ object SparkEntry {
            CAST(list_sum(ys) AS BIGINT) AS sum_y,
            CAST(doc_id*31 % 256 AS BIGINT) AS first_px
          FROM e ORDER BY doc_id""",
+
+    // q417's cell replay at 16x16 cells (the 4:2:0 exactness grain)
+    "q418_jpeg_420" ->
+      """WITH s AS (SELECT doc_id, 17 + doc_id % 18 AS w,
+                      10 + doc_id % 14 AS h FROM documents),
+         cells AS (SELECT doc_id, w, h,
+             unnest([{'cx': i % ((w+15)//16), 'cy': i // ((w+15)//16)}
+                     FOR i IN range(((w+15)//16) * ((h+15)//16))]) AS c
+           FROM s),
+         v AS (SELECT doc_id, w, h, c.cx AS cx, c.cy AS cy,
+             (doc_id*3 + c.cx*7 + c.cy*11) % 256 AS r0,
+             (doc_id*5 + c.cx*13 + c.cy*3) % 256 AS g0,
+             (doc_id*7 + c.cx + c.cy*17) % 256 AS b0,
+             least(16, w - c.cx*16) AS cw,
+             least(16, h - c.cy*16) AS ch
+           FROM cells),
+         ycc AS (SELECT *,
+             greatest(0, least(255, CAST(floor(
+               (299000*r0 + 587000*g0 + 114000*b0 + 500000)
+                 / 1000000.0) AS BIGINT))) AS yy,
+             greatest(0, least(255, CAST(floor(
+               (-168736*r0 - 331264*g0 + 500000*b0 + 128000000
+                + 500000) / 1000000.0) AS BIGINT))) AS cb,
+             greatest(0, least(255, CAST(floor(
+               (500000*r0 - 418688*g0 - 81312*b0 + 128000000
+                + 500000) / 1000000.0) AS BIGINT))) AS cr
+           FROM v),
+         rgb AS (SELECT *,
+             greatest(0, least(255, CAST(floor(
+               (1000000*yy + 1402000*(cr-128) + 500000)
+                 / 1000000.0) AS BIGINT))) AS r1,
+             greatest(0, least(255, CAST(floor(
+               (1000000*yy - 344136*(cb-128) - 714136*(cr-128)
+                + 500000) / 1000000.0) AS BIGINT))) AS g1,
+             greatest(0, least(255, CAST(floor(
+               (1000000*yy + 1772000*(cb-128) + 500000)
+                 / 1000000.0) AS BIGINT))) AS b1
+           FROM ycc)
+         SELECT doc_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(sum(r1*cw*ch) AS BIGINT) AS sum_r,
+           CAST(sum(g1*cw*ch) AS BIGINT) AS sum_g,
+           CAST(sum(b1*cw*ch) AS BIGINT) AS sum_b,
+           CAST(max(CASE WHEN cx = 0 AND cy = 0
+                THEN r1*65536 + g1*256 + b1 END) AS BIGINT) AS first_px
+         FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""",
 
     // per-CELL replay of the full fixed-point color chain: mosaic RGB
     // -> floor((x·1e6 + 5e5)/1e6) YCbCr -> (exact DC-only round trip)

@@ -5,13 +5,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Real baseline JPEG codec (ITU-T T.81 sequential DCT, 8-bit,
-  * grayscale AND YCbCr 4:4:4 color, restart markers), JDK-only:
-  * marker segments, quantization, zigzag, DC prediction, canonical
-  * Huffman entropy coding with byte stuffing, and the 2-D DCT — no
-  * external library. This closes the "JPEG is a stub seam" gap for
-  * the baseline process; progressive scans and chroma subsampling
-  * stay out of scope (the multi-scan IDCT state machine buys no new
-  * Spark-side structure).
+  * grayscale and YCbCr color at 4:4:4 OR 4:2:0 chroma subsampling —
+  * the camera/phone layout — plus restart markers), JDK-only: marker
+  * segments, quantization, zigzag, DC prediction, canonical Huffman
+  * entropy coding with byte stuffing, and the 2-D DCT — no external
+  * library. This closes the "JPEG is a stub seam" gap for the
+  * baseline process; progressive scans stay out of scope (the
+  * multi-scan IDCT state machine buys no new Spark-side structure).
   *
   * Oracle strategy for a LOSSY codec: an image whose every aligned
   * 8x8 block is CONSTANT has a DC-only spectrum (F00 = 8*(v-128),
@@ -266,11 +266,15 @@ object Jpeg {
      fx(1000000L * y + 1772000L * (cb - 128)))
   }
 
-  /** Shared entropy-encode of one or three component planes
-    * ((x, y) → 0..255 each), MCU-interleaved for color, with optional
-    * restart markers every `restartInterval` MCUs. */
+  /** Shared entropy-encode of one or three component planes, each
+    * given in ITS OWN resolution (accessor in component coordinates +
+    * sampling factors (hi, vi)), MCU-interleaved, with optional
+    * restart markers every `restartInterval` MCUs. 4:4:4 is all-1x1;
+    * 4:2:0 is Y at 2x2 with chroma at 1x1 (four Y blocks then one Cb
+    * and one Cr per MCU). */
   private def encodePlanes(width: Int, height: Int,
                            planes: Array[(Int, Int) => Int],
+                           sampling: Array[(Int, Int)],
                            quant: Array[Int],
                            restartInterval: Int): Array[Byte] = {
     require(width > 0 && height > 0, "empty image")
@@ -278,6 +282,9 @@ object Jpeg {
       "quant table must be 64 entries in 1..255")
     require(restartInterval >= 0, "negative restart interval")
     val nComp = planes.length
+    require(sampling.length == nComp, "one (hi, vi) per component")
+    val maxH = sampling.map(_._1).max
+    val maxV = sampling.map(_._2).max
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, body: Array[Int]): Unit = {
@@ -289,7 +296,8 @@ object Jpeg {
     marker(0xd8) // SOI
     seg(0xe0, Array('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
     seg(0xdb, 0 +: zigzag.map(quant)) // DQT table 0, zigzag order
-    val sofComps = (1 to nComp).flatMap(c => Seq(c, 0x11, 0)).toArray
+    val sofComps = (0 until nComp).flatMap(c =>
+      Seq(c + 1, (sampling(c)._1 << 4) | sampling(c)._2, 0)).toArray
     seg(0xc0, Array(8, height >> 8, height & 0xff, width >> 8,
       width & 0xff, nComp) ++ sofComps)
     seg(0xc4, (0 +: dcBits.drop(1)) ++ dcVals)          // DHT DC 0
@@ -299,15 +307,20 @@ object Jpeg {
     val sosComps = (1 to nComp).flatMap(c => Seq(c, 0x00)).toArray
     seg(0xda, Array(nComp) ++ sosComps ++ Array(0, 63, 0))
     val bw = new BitWriter
-    val blocksX = (width + 7) / 8
-    val blocksY = (height + 7) / 8
+    // per-component plane dims (T.81 A.1.1)
+    val compW = sampling.map { case (hi, _) =>
+      (width * hi + maxH - 1) / maxH }
+    val compH = sampling.map { case (_, vi) =>
+      (height * vi + maxV - 1) / maxV }
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
     val prevDc = new Array[Int](nComp)
     var mcu = 0
     var rstN = 0
-    var by = 0
-    while (by < blocksY) {
-      var bx = 0
-      while (bx < blocksX) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           bw.restartMarker(rstN)
           rstN = (rstN + 1) & 7
@@ -315,54 +328,64 @@ object Jpeg {
         }
         var comp = 0
         while (comp < nComp) {
+          val (hi, vi) = sampling(comp)
           val px = planes(comp)
-          val block = new Array[Double](64)
-          var r = 0
-          while (r < 8) {
-            var c = 0
-            while (c < 8) {
-              // edge replication for partial border blocks
-              val sx = math.min(bx * 8 + c, width - 1)
-              val sy = math.min(by * 8 + r, height - 1)
-              block(r * 8 + c) = (px(sx, sy) & 0xff) - 128.0
-              c += 1
-            }
-            r += 1
-          }
-          val coef = fdct(block)
-          val q = new Array[Int](64)
-          var i = 0
-          while (i < 64) {
-            q(i) = math.round(coef(zigzag(i)) / quant(zigzag(i))).toInt
-            i += 1
-          }
-          val (dcCat, dcBitsVal) = magnitude(q(0) - prevDc(comp))
-          prevDc(comp) = q(0)
-          val (dcCode, dcLen) = dcEnc(dcCat)
-          bw.put(dcCode, dcLen)
-          if (dcCat > 0) bw.put(dcBitsVal, dcCat)
-          var k = 1
-          var run = 0
-          while (k < 64) {
-            if (q(k) == 0) run += 1
-            else {
-              while (run > 15) {
-                val (zc, zl) = acEnc(0xf0); bw.put(zc, zl); run -= 16
+          var v = 0
+          while (v < vi) {
+            var h = 0
+            while (h < hi) {
+              val block = new Array[Double](64)
+              var r = 0
+              while (r < 8) {
+                var c = 0
+                while (c < 8) {
+                  // edge replication (component space) for partial
+                  // border blocks
+                  val sx = math.min((mx * hi + h) * 8 + c, compW(comp) - 1)
+                  val sy = math.min((my * vi + v) * 8 + r, compH(comp) - 1)
+                  block(r * 8 + c) = (px(sx, sy) & 0xff) - 128.0
+                  c += 1
+                }
+                r += 1
               }
-              val (cat, bitsVal) = magnitude(q(k))
-              val (c2, l2) = acEnc((run << 4) | cat)
-              bw.put(c2, l2); bw.put(bitsVal, cat)
-              run = 0
+              val coef = fdct(block)
+              val q = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                q(i) = math.round(coef(zigzag(i)) / quant(zigzag(i))).toInt
+                i += 1
+              }
+              val (dcCat, dcBitsVal) = magnitude(q(0) - prevDc(comp))
+              prevDc(comp) = q(0)
+              val (dcCode, dcLen) = dcEnc(dcCat)
+              bw.put(dcCode, dcLen)
+              if (dcCat > 0) bw.put(dcBitsVal, dcCat)
+              var k = 1
+              var run = 0
+              while (k < 64) {
+                if (q(k) == 0) run += 1
+                else {
+                  while (run > 15) {
+                    val (zc, zl) = acEnc(0xf0); bw.put(zc, zl); run -= 16
+                  }
+                  val (cat, bitsVal) = magnitude(q(k))
+                  val (c2, l2) = acEnc((run << 4) | cat)
+                  bw.put(c2, l2); bw.put(bitsVal, cat)
+                  run = 0
+                }
+                k += 1
+              }
+              if (run > 0) { val (ec, el) = acEnc(0x00); bw.put(ec, el) }
+              h += 1
             }
-            k += 1
+            v += 1
           }
-          if (run > 0) { val (ec, el) = acEnc(0x00); bw.put(ec, el) }
           comp += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
     out.write(bw.finish())
     marker(0xd9) // EOI
@@ -376,14 +399,19 @@ object Jpeg {
   def encodeJpeg(width: Int, height: Int, px: (Int, Int) => Int,
                  quant: Array[Int] = flatQuant,
                  restartInterval: Int = 0): Array[Byte] =
-    encodePlanes(width, height, Array(px), quant, restartInterval)
+    encodePlanes(width, height, Array(px), Array((1, 1)), quant,
+      restartInterval)
 
-  /** Encode an RGB image as a baseline sequential YCbCr 4:4:4 color
-    * JPEG (fixed-point color conversion — see [[rgbToYcc]]). */
+  /** Encode an RGB image as a baseline sequential YCbCr color JPEG
+    * (fixed-point color conversion — see [[rgbToYcc]]): 4:4:4 by
+    * default, or 4:2:0 (Y full-resolution, chroma nearest-neighbor
+    * subsampled 2x2 — the camera/phone layout) with
+    * `subsample420 = true`. */
   def encodeJpegColor(width: Int, height: Int,
                       px: (Int, Int) => (Int, Int, Int),
                       quant: Array[Int] = flatQuant,
-                      restartInterval: Int = 0): Array[Byte] = {
+                      restartInterval: Int = 0,
+                      subsample420: Boolean = false): Array[Byte] = {
     // materialize the conversion once per pixel (a closure per
     // component would run rgbToYcc three times per access)
     val yP = new Array[Int](width * height)
@@ -402,11 +430,26 @@ object Jpeg {
       }
       yy += 1
     }
-    val planes: Array[(Int, Int) => Int] = Array(
-      (x, y) => yP(y * width + x),
-      (x, y) => cbP(y * width + x),
-      (x, y) => crP(y * width + x))
-    encodePlanes(width, height, planes, quant, restartInterval)
+    if (!subsample420) {
+      val planes: Array[(Int, Int) => Int] = Array(
+        (x, y) => yP(y * width + x),
+        (x, y) => cbP(y * width + x),
+        (x, y) => crP(y * width + x))
+      encodePlanes(width, height, planes,
+        Array((1, 1), (1, 1), (1, 1)), quant, restartInterval)
+    } else {
+      // chroma planes at half resolution, nearest-neighbor (top-left
+      // of each 2x2) — the decoder replicates back, so chroma constant
+      // over each 2x2 round-trips exactly
+      val planes: Array[(Int, Int) => Int] = Array(
+        (x, y) => yP(y * width + x),
+        (x, y) => cbP(math.min(2 * y, height - 1) * width +
+                      math.min(2 * x, width - 1)),
+        (x, y) => crP(math.min(2 * y, height - 1) * width +
+                      math.min(2 * x, width - 1)))
+      encodePlanes(width, height, planes,
+        Array((2, 2), (1, 1), (1, 1)), quant, restartInterval)
+    }
   }
 
   /** Decoded summary of one grayscale JPEG: dims, exact luma sum, and
@@ -523,6 +566,8 @@ object Jpeg {
     var width = -1; var height = -1
     var nComp = 0
     var compQuant: Array[Int] = null
+    var compHi: Array[Int] = null
+    var compVi: Array[Int] = null
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
     var restartInterval = 0
@@ -555,10 +600,16 @@ object Jpeg {
           require(nComp == 1 || nComp == 3,
             s"only 1- or 3-component frames, got $nComp")
           compQuant = new Array[Int](nComp)
+          compHi = new Array[Int](nComp)
+          compVi = new Array[Int](nComp)
           var c = 0
           while (c < nComp) {
-            require((bytes(body + 7 + 3 * c) & 0xff) == 0x11,
-              "only 1x1 sampling (no chroma subsampling)")
+            val hv = bytes(body + 7 + 3 * c) & 0xff
+            compHi(c) = hv >> 4
+            compVi(c) = hv & 0x0f
+            require(compHi(c) >= 1 && compHi(c) <= 2 &&
+                    compVi(c) >= 1 && compVi(c) <= 2,
+              s"sampling factors must be 1 or 2, got ${hv.toHexString}")
             compQuant(c) = bytes(body + 8 + 3 * c) & 0xff
             c += 1
           }
@@ -613,16 +664,24 @@ object Jpeg {
       pos += 2 + len
     }
     val br = new BitReader(bytes, pos)
-    val blocksX = (width + 7) / 8
-    val blocksY = (height + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Int](width * height))
+    val maxH = compHi.max
+    val maxV = compVi.max
+    // per-component plane dims (T.81 A.1.1)
+    val compW = Array.tabulate(nComp)(c =>
+      (width * compHi(c) + maxH - 1) / maxH)
+    val compH = Array.tabulate(nComp)(c =>
+      (height * compVi(c) + maxV - 1) / maxV)
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    val compPlanes = Array.tabulate(nComp)(c =>
+      new Array[Int](compW(c) * compH(c)))
     val prevDc = new Array[Int](nComp)
     var mcu = 0
     var rstN = 0
-    var by = 0
-    while (by < blocksY) {
-      var bx = 0
-      while (bx < blocksX) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
           br.syncRestart(rstN)
           rstN = (rstN + 1) & 7
@@ -631,50 +690,80 @@ object Jpeg {
         var comp = 0
         while (comp < nComp) {
           val quant = quantTables(compQuant(comp))
-          val coef = new Array[Double](64)
-          val dcCat = br.decode(dcTables(compDc(comp)))
-          prevDc(comp) += extend(br.bits(dcCat), dcCat)
-          coef(0) = prevDc(comp).toDouble * quant(0)
-          var k = 1
-          var done = false
-          while (k < 64 && !done) {
-            val rs = br.decode(acTables(compAc(comp)))
-            val run = rs >> 4
-            val cat = rs & 0x0f
-            if (cat == 0) {
-              if (run == 15) k += 16 // ZRL
-              else done = true       // EOB
-            } else {
-              k += run
-              require(k < 64, "AC run overflows the block")
-              coef(zigzag(k)) = extend(br.bits(cat), cat).toDouble *
-                quant(zigzag(k))
-              k += 1
-            }
-          }
-          val pix = idct(coef)
-          var r = 0
-          while (r < 8) {
-            val y = by * 8 + r
-            if (y < height) {
-              var c = 0
-              while (c < 8) {
-                val x = bx * 8 + c
-                if (x < width) {
-                  planes(comp)(y * width + x) = math.max(0, math.min(255,
-                    math.round(pix(r * 8 + c) + 128.0).toInt))
+          var v = 0
+          while (v < compVi(comp)) {
+            var h = 0
+            while (h < compHi(comp)) {
+              val coef = new Array[Double](64)
+              val dcCat = br.decode(dcTables(compDc(comp)))
+              prevDc(comp) += extend(br.bits(dcCat), dcCat)
+              coef(0) = prevDc(comp).toDouble * quant(0)
+              var k = 1
+              var done = false
+              while (k < 64 && !done) {
+                val rs = br.decode(acTables(compAc(comp)))
+                val run = rs >> 4
+                val cat = rs & 0x0f
+                if (cat == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else done = true       // EOB
+                } else {
+                  k += run
+                  require(k < 64, "AC run overflows the block")
+                  coef(zigzag(k)) = extend(br.bits(cat), cat).toDouble *
+                    quant(zigzag(k))
+                  k += 1
                 }
-                c += 1
               }
+              val pix = idct(coef)
+              var r = 0
+              while (r < 8) {
+                val y = (my * compVi(comp) + v) * 8 + r
+                if (y < compH(comp)) {
+                  var c = 0
+                  while (c < 8) {
+                    val x = (mx * compHi(comp) + h) * 8 + c
+                    if (x < compW(comp)) {
+                      compPlanes(comp)(y * compW(comp) + x) =
+                        math.max(0, math.min(255,
+                          math.round(pix(r * 8 + c) + 128.0).toInt))
+                    }
+                    c += 1
+                  }
+                }
+                r += 1
+              }
+              h += 1
             }
-            r += 1
+            v += 1
           }
           comp += 1
         }
         mcu += 1
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
+    }
+    // upsample every component to full resolution (nearest neighbor —
+    // the standard replication for subsampled chroma; 1x1 components
+    // copy through)
+    val planes = Array.tabulate(nComp) { c =>
+      if (compHi(c) == maxH && compVi(c) == maxV) compPlanes(c)
+      else {
+        val full = new Array[Int](width * height)
+        var y = 0
+        while (y < height) {
+          val sy = math.min(y * compVi(c) / maxV, compH(c) - 1)
+          var x = 0
+          while (x < width) {
+            val sx = math.min(x * compHi(c) / maxH, compW(c) - 1)
+            full(y * width + x) = compPlanes(c)(sy * compW(c) + sx)
+            x += 1
+          }
+          y += 1
+        }
+        full
+      }
     }
     (width, height, planes)
   }
@@ -782,6 +871,34 @@ object Jpeg {
         val h = (6 + id % 11).toInt
         val bytes = encodeJpeg(w, h, (x, y) =>
           ((id * 31 + (x / 8) * 7 + (y / 8) * 13) % 256).toInt)
+        Row(id, bytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** 4:2:0 COLOR mosaic synthesis: 16x16-aligned cells (so both the
+    * full-res Y blocks AND the 2x2-subsampled chroma blocks are
+    * constant — the subsampled-exactness condition), encoded with
+    * chroma subsampling and a restart interval on every other image.
+    * The common camera layout, oracle-exact end to end. */
+  def synthJpeg420(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType),
+      StructField("media", BinaryType)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (17 + id % 18).toInt
+        val h = (10 + id % 14).toInt
+        val bytes = encodeJpegColor(w, h, (x, y) => (
+            ((id * 3 + (x / 16) * 7 + (y / 16) * 11) % 256).toInt,
+            ((id * 5 + (x / 16) * 13 + (y / 16) * 3) % 256).toInt,
+            ((id * 7 + (x / 16) + (y / 16) * 17) % 256).toInt),
+          restartInterval = if (id % 2 == 0) 2 else 0,
+          subsample420 = true)
         Row(id, bytes)
       }
     }

@@ -8,6 +8,20 @@ import org.apache.spark.sql.functions._
   * profile) and time the dedup operators. Checks the knee of the curve:
   * candidate generation must scale with true-pair count, not corpus^2. */
 object ScaleProbe {
+
+  /** The decade corpus: 500k docs, 50k 10-copy near-dup cliques of 60
+    * pseudo-random tokens from a 1M-token space; one per-copy tail
+    * token makes copies near- (J ~ 0.97), not byte-identical. */
+  private def decadeDocs(spark: SparkSession): DataFrame =
+    spark.range(500000L).select(col("id").as("doc_id"),
+        concat(
+          concat_ws(" ", transform(sequence(lit(0), lit(59)), j =>
+            concat(lit("w"), pmod(hash(expr("id div 10"), j),
+              lit(1000000L))))),
+          lit(" t"), pmod(col("id"), lit(10))).as("text"))
+      .repartition(64)
+      .localCheckpoint()
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -101,6 +115,37 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("decadetext")) {
+      // remaining text-op family at the decade (same hazard class:
+      // text-derived frames with under-estimated static stats)
+      import spark.implicits._
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
+      }
+      val docs = decadeDocs(spark)
+      println(s"[scale] decade corpus: ${docs.count()} docs")
+      time("winnow_containment 500k")(graft.ops.Dedup
+        .winnowContainmentPairs(docs, col("doc_id"), col("text"),
+          minShared = 3, maxDocFreq = 200).count())
+      time("bm25 500k 3q")(graft.ops.Retrieval.bm25(
+        docs, col("doc_id"), col("text"),
+        Seq((1L, "w1 w2 w3"), (2L, "w500 w600"), (3L, "w77 w88 w99"))
+          .toDF("qid", "qtext"),
+        col("qid"), col("qtext"), k = 10).count())
+      // sum over the REBUILT text, not count(): a bare count() lets
+      // Catalyst eliminate the unique-key left joins and the rebuild
+      time("boilerplate 500k")(graft.ops.Dedup.stripBoilerplate(
+        docs, col("doc_id"), col("text"), sep = " ",
+        maxDocNum = 1, maxDocDen = 100)
+        .agg(sum(length(col("text_clean")))).head().getLong(0))
+      time("dedup_paragraphs 500k")(graft.ops.Dedup.dedupParagraphs(
+        docs, col("doc_id"), col("text"), sep = " ")
+        .agg(sum(length(col("text_deduped")))).head().getLong(0))
+      spark.stop(); return
+    }
+
     if (args.contains("decade")) {
       // One order of magnitude past the 50k/1M probes: 500k docs in
       // 50k 10-copy near-dup cliques (synthetic token streams, so
@@ -116,18 +161,7 @@ object ScaleProbe {
         val r = f
         println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
       }
-      val nDocs = 500000L
-      // 60 pseudo-random tokens per doc from a 1M-token space, shared
-      // within the 10-copy clique (id div 10); one per-copy tail token
-      // makes copies near- (J ~ 0.97), not byte-identical
-      val docs = spark.range(nDocs).select(col("id").as("doc_id"),
-          concat(
-            concat_ws(" ", transform(sequence(lit(0), lit(59)), j =>
-              concat(lit("w"), pmod(hash(expr("id div 10"), j),
-                lit(1000000L))))),
-            lit(" t"), pmod(col("id"), lit(10))).as("text"))
-        .repartition(64)
-        .localCheckpoint()
+      val docs = decadeDocs(spark)
       println(s"[scale] decade corpus: ${docs.count()} docs")
       time("minhash_lsh 500k tau=.6")(graft.ops.Dedup.minhashLshPairs(
         docs, col("doc_id"), col("text"), tau = 0.6).count())

@@ -502,6 +502,77 @@ class MultimodalSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Jpeg.decodeJpegColor(g))
   }
 
+  test("4:2:0 JPEG: exact on 16-aligned mosaics, tolerant on 8-grain; " +
+       "restarts compose; odd dims crop") {
+    import graft.ops.Jpeg
+    // 16x16 cells: Y blocks AND subsampled chroma blocks constant —
+    // the full 4:2:0 pipeline (4 Y + Cb + Cr per MCU, upsample) exact
+    val m16 = (x: Int, y: Int) =>
+      (((x / 16) * 41 + 13) % 256, ((y / 16) * 29 + 7) % 256,
+       ((x / 16) + (y / 16) * 59) % 256)
+    def expect(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int)) = {
+      var sr = 0L; var sg = 0L; var sb = 0L; var fp = -1L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r0, g0, b0) = px(x, y)
+        val (yy, cb, cr) = Jpeg.rgbToYcc(r0, g0, b0)
+        val (r1, g1, b1) = Jpeg.yccToRgb(yy, cb, cr)
+        sr += r1; sg += g1; sb += b1
+        if (x == 0 && y == 0) fp = r1 * 65536L + g1 * 256L + b1
+      }
+      Jpeg.JpegColorStats(w, h, sr, sg, sb, fp)
+    }
+    // odd dims: partial MCUs both directions, chroma plane 17x12 -> 9x6
+    val enc = Jpeg.encodeJpegColor(33, 23, m16, subsample420 = true)
+    assert(Jpeg.decodeJpegColor(enc) == expect(33, 23, m16))
+    // with restart markers: identical decode, different bytes
+    val rst = Jpeg.encodeJpegColor(33, 23, m16, restartInterval = 1,
+      subsample420 = true)
+    assert(Jpeg.decodeJpegColor(rst) == expect(33, 23, m16))
+    assert(!java.util.Arrays.equals(rst, enc))
+    // the 4:2:0 stream is SMALLER than 4:4:4 of the same image (the
+    // point of subsampling: half the chroma blocks)
+    assert(enc.length < Jpeg.encodeJpegColor(33, 23, m16).length)
+    // 8-grain mosaic under 4:2:0: chroma blocks span 4 cells (real AC
+    // energy) — no longer exact, but flat-quant error stays tiny
+    val m8 = (x: Int, y: Int) =>
+      (((x / 8) * 41) % 256, ((y / 8) * 29) % 256,
+       ((x / 8) + (y / 8) * 3) % 256)
+    val approx = Jpeg.decodeJpegColor(
+      Jpeg.encodeJpegColor(32, 24, m8, subsample420 = true))
+    val ex = expect(32, 24, m8)
+    assert(approx.width == 32 && approx.height == 24)
+    assert(math.abs(approx.sumR - ex.sumR) <= 32 * 24 * 4 &&
+           math.abs(approx.sumG - ex.sumG) <= 32 * 24 * 4 &&
+           math.abs(approx.sumB - ex.sumB) <= 32 * 24 * 4,
+      s"got $approx want ~$ex")
+  }
+
+  test("distributed 4:2:0 synth+decode matches the 16-cell replay") {
+    import spark.implicits._
+    import graft.ops.Jpeg
+    val ids = (0L until 20L).toDF("doc_id")
+    val got = Jpeg.decodeJpegColorStatsDf(
+        Jpeg.synthJpeg420(ids, "doc_id"), "asset_id", "media")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    (0L until 20L).foreach { id =>
+      val w = (17 + id % 18).toInt; val h = (10 + id % 14).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L; var fp = -1L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (yy, cb, cr) = Jpeg.rgbToYcc(
+          ((id * 3 + (x / 16) * 7 + (y / 16) * 11) % 256).toInt,
+          ((id * 5 + (x / 16) * 13 + (y / 16) * 3) % 256).toInt,
+          ((id * 7 + (x / 16) + (y / 16) * 17) % 256).toInt)
+        val (r1, g1, b1) = Jpeg.yccToRgb(yy, cb, cr)
+        sr += r1; sg += g1; sb += b1
+        if (x == 0 && y == 0) fp = r1 * 65536L + g1 * 256L + b1
+      }
+      assert(got(id) == ((w, h, sr, sg, sb, fp)),
+        s"id $id (rst=${id % 2 == 0})")
+    }
+  }
+
   test("distributed color JPEG synth+decode matches the cell replay") {
     import spark.implicits._
     import graft.ops.Jpeg
