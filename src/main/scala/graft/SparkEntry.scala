@@ -570,6 +570,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Product-quantization ANN (Jégou et al. 2011): per-subspace
+    // integer-L2 codebooks (one Lloyd iteration), m-code corpus
+    // encode, ADC lookup-table shortlist, exact-cosine rescore —
+    // the 32-64x memory-compression scale path. Every stage is
+    // integer fixed point, so the oracle replays train -> encode ->
+    // table -> shortlist -> rescore bit-for-bit.
+    "q419_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.pqTopK(
+          e, e.filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"),
+          col("vec_id"), col("embedding"), k = 5,
+          m = 8, ksub = 8, iters = 1, shortlistFactor = 4)
+        .orderBy("qid", "rank")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -4620,6 +4636,87 @@ object SparkEntry {
            CAST(max(CASE WHEN cx = 0 AND cy = 0
                 THEN r1*65536 + g1*256 + b1 END) AS BIGINT) AS first_px
          FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""",
+
+    // full PQ replay, all-integer until two float steps (the ADC
+    // cosine's one division and the final exact cosine): seed
+    // codebooks from the first 8 vectors' subvector slices, one
+    // integer-L2 Lloyd update (floor-div means, empty codes keep
+    // their seed), re-encode, ADC cosine = summed integer dot-table
+    // lookups over exact integer norms, shortlist (s8 desc, nbr asc,
+    // top 20), exact-cosine re-rank top 5
+    "q419_ann_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             [CAST(floor(x*1000000 + 0.5) AS BIGINT)
+              FOR x IN embedding::DOUBLE[]] AS q
+           FROM embeddings),
+         seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, q
+                  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         c0 AS (SELECT t.j, s.cid, t2.d, s.q[t.j*8 + t2.d + 1] AS cv
+                FROM seed s, range(0,8) t(j), range(0,8) t2(d)),
+         d1 AS (SELECT e.vec_id, c.j, c.cid,
+                  sum((e.q[c.j*8 + c.d + 1] - c.cv)
+                    * (e.q[c.j*8 + c.d + 1] - c.cv)) AS dist
+                FROM e CROSS JOIN c0 c GROUP BY e.vec_id, c.j, c.cid),
+         a1 AS (SELECT vec_id, j, cid,
+                  row_number() OVER (PARTITION BY vec_id, j
+                    ORDER BY dist, cid) AS rn
+                FROM d1),
+         s1 AS (SELECT a1.j, a1.cid, t2.d,
+                  CAST(floor(sum(e.q[a1.j*8 + t2.d + 1])*1.0/count(*))
+                    AS BIGINT) AS mv
+                FROM a1 JOIN e USING (vec_id), range(0,8) t2(d)
+                WHERE a1.rn = 1
+                GROUP BY a1.j, a1.cid, t2.d),
+         c1 AS (SELECT c0.j, c0.cid, c0.d, coalesce(s1.mv, c0.cv) AS cv
+                FROM c0 LEFT JOIN s1 ON s1.j = c0.j AND s1.cid = c0.cid
+                                    AND s1.d = c0.d),
+         d2 AS (SELECT e.vec_id, c.j, c.cid,
+                  sum((e.q[c.j*8 + c.d + 1] - c.cv)
+                    * (e.q[c.j*8 + c.d + 1] - c.cv)) AS dist
+                FROM e CROSS JOIN c1 c GROUP BY e.vec_id, c.j, c.cid),
+         enc AS (SELECT vec_id AS nbr, j, cid AS code
+                 FROM (SELECT vec_id, j, cid,
+                        row_number() OVER (PARTITION BY vec_id, j
+                          ORDER BY dist, cid) AS rn
+                       FROM d2) WHERE rn = 1),
+         cbn2 AS (SELECT j, cid, sum(cv*cv) AS n2
+                  FROM c1 GROUP BY j, cid),
+         cn2 AS (SELECT n.nbr, sum(b.n2) AS cn2
+                 FROM enc n JOIN cbn2 b ON b.j = n.j AND b.cid = n.code
+                 GROUP BY n.nbr),
+         qn2 AS (SELECT vec_id AS qid,
+                   (SELECT sum(x*x) FROM unnest(q) t(x)) AS qn2
+                 FROM e WHERE vec_id < 10),
+         dt AS (SELECT e.vec_id, c.j, c.cid,
+                  sum(e.q[c.j*8 + c.d + 1] * c.cv) AS dp
+                FROM e CROSS JOIN c1 c
+                WHERE e.vec_id < 10
+                GROUP BY e.vec_id, c.j, c.cid),
+         ad AS (SELECT d.vec_id AS qid, n.nbr, sum(d.dp) AS adot
+                FROM dt d JOIN enc n ON n.j = d.j AND n.code = d.cid
+                WHERE n.nbr != d.vec_id
+                GROUP BY d.vec_id, n.nbr),
+         s8 AS (SELECT a.qid, a.nbr,
+                  CASE WHEN q.qn2 = 0 OR c.cn2 = 0 THEN 0.0
+                       ELSE round((a.adot*1.0) /
+                         (sqrt(q.qn2*1.0) * sqrt(c.cn2*1.0)), 6)
+                  END AS s8
+                FROM ad a JOIN qn2 q USING (qid)
+                          JOIN cn2 c USING (nbr)),
+         short AS (SELECT qid, nbr FROM (SELECT qid, nbr,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY s8 DESC, nbr) AS rn
+                   FROM s8) WHERE rn <= 20),
+         sc AS (SELECT s.qid, s.nbr,
+                  round(list_cosine_similarity(eq.v, en.v), 6) AS score
+                FROM short s JOIN e eq ON eq.vec_id = s.qid
+                             JOIN e en ON en.vec_id = s.nbr),
+         r AS (SELECT qid, nbr, score,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, nbr) AS INTEGER) AS rank
+               FROM sc)
+         SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
+         ORDER BY qid, rank""",
 
     // per-CELL replay of the full fixed-point color chain: mosaic RGB
     // -> floor((x·1e6 + 5e5)/1e6) YCbCr -> (exact DC-only round trip)

@@ -707,4 +707,217 @@ object Similarity {
       .orderBy(desc("score_ppm"), col("vec_id"))
       .limit(topK)
   }
+
+  /** Micro-unit quantization shared by the PQ path: the corpus-wide
+    * 1e6 fixed-point convention (see [[kmeansCentroids]]). */
+  private def microQ(v: Column): Column =
+    transform(v, x => floor(x * 1e6 + lit(0.5)).cast("long"))
+
+  /** Squared-L2 distance between the j-th subvector of micro-quantized
+    * `q` and codebook row `cb[cidx]` (both in micro-units) — EXACT
+    * integer: coords are ≤ ~1e6 in magnitude, diffs² ≤ 4e12, summed
+    * over ≤ 64 dims ≤ 2.6e14, far inside long range. */
+  private def pqSubDist(q: Column, cb: Column, j: Int, sub: Int,
+                        cidx: Column): Column =
+    aggregate(sequence(lit(0), lit(sub - 1)), lit(0L).cast("long"),
+      (acc, d) => {
+        val diff = element_at(q, lit(j * sub) + d + 1) -
+          element_at(element_at(cb, cidx + 1), d + 1)
+        acc + diff * diff
+      })
+
+  /** Argmin centroid index for subspace j (distance asc, index asc on
+    * ties — array_sort's struct order), as a Column. */
+  private def pqAssign(q: Column, cb: Column, j: Int, sub: Int,
+                       kk: Int): Column = {
+    val ranked = transform(sequence(lit(0), lit(kk - 1)), i =>
+      struct(pqSubDist(q, cb, j, sub, i).as("d"), i.as("idx")))
+    element_at(transform(array_sort(ranked), s => s.getField("idx")), 1)
+  }
+
+  /** Exact integer dot of the j-th subvector of micro-quantized `q`
+    * with codebook row `cb[cidx]` — products ≤ 1e12, subspace sums
+    * ≤ 8e12, full-vector sums ≤ 6.4e13: exact in long AND in double
+    * (< 2^53), which is what lets the ADC cosine divide once. */
+  private def pqSubDot(q: Column, cb: Column, j: Int, sub: Int,
+                       cidx: Column): Column =
+    aggregate(sequence(lit(0), lit(sub - 1)), lit(0L).cast("long"),
+      (acc, d) => acc + element_at(q, lit(j * sub) + d + 1) *
+        element_at(element_at(cb, cidx + 1), d + 1))
+
+  /** Product-quantization codebook trainer (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search"): the d-dim
+    * space splits into `m` orthogonal subspaces of d/m dims; each gets
+    * its own `ksub`-centroid Lloyd k-means under squared-L2. A corpus
+    * vector then compresses to m small codes (m bytes at ksub ≤ 256)
+    * — a 32–64× memory cut over float32, which is what lets a 100 TB
+    * embedding corpus live in executor memory as codes.
+    *
+    * Everything is INTEGER: vectors quantize to 1e6 micro-units, all
+    * distances are exact long sums of squared diffs, centroid updates
+    * are floorDiv(coordinate sum, count), ties break on the smaller
+    * index — the whole training loop is bit-reproducible in a SQL
+    * oracle with no float accumulation anywhere (simpler even than
+    * [[kmeansCentroids]]'s round-6 cosine ranking).
+    *
+    * Scale shape: init is a ksub-row driver collect; each iteration is
+    * ONE distributed pass — a narrow all-m-subspaces assignment, an
+    * explode to (subspace, code) keys, and a single groupBy whose
+    * result (m·ksub·(d/m) = d·ksub longs) is the only driver state.
+    *
+    * Returns codebooks(j)(c) = micro-unit centroid of code c in
+    * subspace j; fewer than ksub rows yield that many codes, an empty
+    * corpus yields Nil. */
+  def pqCodebooks(corpus: DataFrame, id: Column, vec: Column,
+                  m: Int, ksub: Int, iters: Int): Seq[Seq[Seq[Long]]] = {
+    require(m >= 1 && ksub >= 1 && iters >= 0,
+      s"pqCodebooks: m=$m ksub=$ksub iters=$iters must be positive")
+    val c = Dedup.fanOut(corpus)
+      .select(id.as("id"), toDouble(vec).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("q", microQ(col("v")))
+    val seeds: Seq[Seq[Long]] = c.orderBy(col("id")).limit(ksub)
+      .collect().map(_.getSeq[Long](2).toIndexedSeq).toIndexedSeq
+    if (seeds.isEmpty) return Nil
+    val dim = seeds.head.size
+    require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    var books: IndexedSeq[IndexedSeq[Seq[Long]]] =
+      IndexedSeq.tabulate(m)(j =>
+        seeds.map(_.slice(j * sub, (j + 1) * sub)).toIndexedSeq)
+    val kk = seeds.size
+    for (_ <- 0 until iters) {
+      val lits = books.map(b => typedlit(b))
+      // one pass: every row emits (subspace, assigned code) for all m
+      // subspaces, one shuffle keyed on (j, code) updates every
+      // codebook together
+      val codes = array((0 until m).map(j =>
+        struct(lit(j).as("j"),
+               pqAssign(col("q"), lits(j), j, sub, kk).as("code"))): _*)
+      val aggs = count(lit(1)).as("n") +:
+        (0 until sub).map(d =>
+          sum(element_at(col("q"), col("j") * sub + d + 1)).as(s"s$d"))
+      val updated = c.select(col("q"), explode(codes).as("jc"))
+        .select(col("q"), col("jc.j").as("j"), col("jc.code").as("code"))
+        .groupBy("j", "code")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(2)
+          (r.getInt(0), r.getAs[Number](1).intValue) ->
+            (0 until sub).map(d => Math.floorDiv(r.getLong(d + 3), n))
+        }
+        .toMap
+      // empty codes keep their previous centroid (kmeansCentroids rule)
+      books = IndexedSeq.tabulate(m)(j =>
+        books(j).indices.map(cc =>
+          updated.getOrElse((j, cc), books(j)(cc)): Seq[Long]))
+    }
+    books
+  }
+
+  /** PQ/ADC top-k (asymmetric distance computation): corpus vectors
+    * are stored as m PQ codes; each query precomputes one m×ksub
+    * lookup table of exact integer subvector DOTS with every codebook
+    * entry, and a candidate's approximate cosine is m table lookups
+    * summed over the reconstruction, divided once by the (exact
+    * integer) query and reconstruction norms — no per-pair vector
+    * math at all. A deterministic shortlist of `shortlistFactor·k`
+    * per query is then rescored with EXACT double cosine (the
+    * [[quantizedTopK]] contract: compression costs recall only,
+    * never precision).
+    *
+    * Codebooks minimize L2 reconstruction error (the PQ objective);
+    * the ADC RANKING is approximate cosine — q·recon(c) /
+    * (|q|·|recon(c)|) — so the shortlist agrees with the brute-force
+    * cosine ordering even on unnormalized corpora (ranking raw ADC L2
+    * against a cosine ground truth collapses recall when vector norms
+    * vary).
+    *
+    * Scale shape: encode is one narrow corpus pass against broadcast
+    * literal codebooks (production stores the codes column at ingest
+    * and the shortlist scan reads ONLY it — 32–64× fewer bytes than
+    * the float vectors, the actual ANN bottleneck at corpus scale);
+    * queries broadcast with their lookup tables; only shortlist rows
+    * fetch float vectors for rescore. Compose with [[ivfTopK]]'s list
+    * routing for IVF-PQ when even the full code scan is too hot.
+    *
+    * Determinism: dots and norms are exact integers (< 2^53, so the
+    * one double division + round(6) is bit-portable); both rankings
+    * tie-break id asc — the oracle replays train → encode → table →
+    * shortlist → rescore bit-for-bit.
+    * Returns (qid, nbr, score, rank). */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             id: Column, vec: Column, qid: Column, qvec: Column,
+             k: Int, m: Int = 8, ksub: Int = 8, iters: Int = 1,
+             shortlistFactor: Int = 4,
+             trained: Option[Seq[Seq[Seq[Long]]]] = None): DataFrame = {
+    require(k >= 1 && shortlistFactor >= 1,
+      s"pqTopK: k=$k shortlistFactor=$shortlistFactor must be >= 1")
+    val books = trained.getOrElse(pqCodebooks(corpus, id, vec, m, ksub, iters))
+    val c = Dedup.fanOut(corpus)
+      .select(id.as("nbr"), toDouble(vec).as("v"))
+      .filter(col("v").isNotNull) // null embeddings excluded (see bruteForceTopK)
+    if (books.isEmpty)
+      return queries.select(qid.as("qid")).limit(0)
+        .crossJoin(c.select(col("nbr")).limit(0))
+        .withColumn("score", lit(0.0)).withColumn("rank", lit(0))
+    val sub = books.head.head.size
+    val kk = books.head.size
+    val lits = books.map(b => typedlit(b))
+    // squared norms of every codebook entry, computed driver-side —
+    // a candidate's reconstruction norm is m literal lookups
+    val norm2s: Seq[Seq[Long]] = books.map(_.map(cb =>
+      cb.map(x => x * x).sum))
+    val n2lits = norm2s.map(n => typedlit(n))
+    def qNorm2(q: Column): Column =
+      aggregate(q, lit(0L).cast("long"), (acc, x) => acc + x * x)
+    // corpus side: m codes per row — the compressed representation —
+    // plus the reconstruction's squared norm (a code-table lookup)
+    val enc = c.withColumn("q", microQ(col("v")))
+      .withColumn("codes", array((0 until m).map(j =>
+        pqAssign(col("q"), lits(j), j, sub, kk)): _*))
+      .withColumn("cn2", (0 until m).map(j =>
+        element_at(n2lits(j), element_at(col("codes"), j + 1) + 1))
+        .reduce(_ + _))
+      .select(col("nbr"), col("v"), col("codes"), col("cn2"))
+    // query side: the ADC lookup table — ltab(j)(c) = exact integer
+    // dot of the query's j-th subvector with codebook entry c
+    val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+      .filter(col("qv").isNotNull)
+      .withColumn("qq", microQ(col("qv")))
+      .withColumn("ltab", array((0 until m).map(j =>
+        transform(sequence(lit(0), lit(kk - 1)), i =>
+          pqSubDot(col("qq"), lits(j), j, sub, i))): _*))
+      .withColumn("qn2", qNorm2(col("qq")))
+      .select(col("qid"), col("qv"), col("ltab"), col("qn2"))
+    // ADC cosine: m lookups per (query, candidate), ONE division —
+    // all integer inputs are < 2^53, exact in double
+    val adot = (0 until m).map(j =>
+        element_at(element_at(col("ltab"), j + 1),
+                   element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val aden = sqrt(col("qn2").cast("double")) *
+               sqrt(col("cn2").cast("double"))
+    val cand = enc.join(
+        broadcast(q.select(col("qid"), col("ltab"), col("qn2"))),
+        col("nbr") =!= col("qid"))
+      .select(col("qid"), col("nbr"),
+        when(col("qn2") === 0L || col("cn2") === 0L, 0.0)
+          .otherwise(round(adot.cast("double") / aden, 6)).as("s8"))
+    val short = Relational.topKScored(cand, col("qid"), col("s8"),
+        col("nbr"), k * shortlistFactor, idName = "nbr",
+        scoreName = "s8")
+      .select("qid", "nbr")
+    // rescore fetch: shortlist is |queries|·(k·sf) rows — broadcast
+    // both joins, the corpus streams (quantizedTopK's shape)
+    val rescored = c.select(col("nbr"), col("v"))
+      .join(broadcast(short), "nbr")
+      .join(broadcast(q.select(col("qid"), col("qv"))), "qid")
+    val dn = l2norm(col("qv")) * l2norm(col("v"))
+    val cos = when(dn === 0.0, 0.0).otherwise(dot(col("qv"), col("v")) / dn)
+    Relational.topKScored(
+      rescored.select(col("qid"), col("nbr"), round(cos, 6).as("score")),
+      col("qid"), col("score"), col("nbr"), k, idName = "nbr")
+  }
 }

@@ -1317,6 +1317,74 @@ class OpsSpec extends AnyFunSuite {
       s"quantized path agreed on $agree/${exact.size} (need >= 80%)")
   }
 
+  test("PQ/ADC ANN recovers the brute-force top-k on clustered data") {
+    import spark.implicits._
+    // PQ's operating regime is a corpus with local structure (codes
+    // reconstruct well); on the isotropic random fixture an 8-entry
+    // codebook is lossy by construction, so recall asserts on a
+    // PLANTED corpus: 8 prototypes, 16 members each, deterministic
+    // per-member perturbation small enough that clusters stay apart
+    val protos = embs.orderBy("vec_id").limit(8).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val corpus = (0 until 128).map { i =>
+      val p = protos(i / 16)
+      (i.toLong, p.indices.map(d =>
+        p(d) + ((i * 31 + d) % 7 - 3) * 1e-3f).toArray)
+    }.toDF("vec_id", "embedding")
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val exact = res(Similarity.bruteForceTopK(corpus,
+      corpus.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5))
+    val pq = res(Similarity.pqTopK(corpus,
+      corpus.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5))
+    assert(pq.keySet == exact.keySet)
+    val agree = exact.count { case (k, v) => pq.get(k).contains(v) }
+    assert(agree >= (exact.size * 0.9).toInt,
+      s"PQ path agreed on $agree/${exact.size} (need >= 90%)")
+  }
+
+  test("PQ rescore scores are exact cosines even on hostile data") {
+    // on the random fixture recall is data-limited, but the precision
+    // contract must hold: every returned (qid, nbr) carries the same
+    // round-6 cosine the exhaustive ranking assigns that pair
+    val full = Similarity.bruteForceTopK(embs,
+        embs.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        499).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pq = Similarity.pqTopK(embs, embs.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5)
+      .collect()
+    assert(pq.length == 50)
+    pq.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      assert(full(key) == r.getDouble(2),
+        s"$key: pq score ${r.getDouble(2)} != exact ${full(key)}")
+    }
+  }
+
+  test("PQ codebooks: shapes, determinism, degenerate corpora") {
+    val books = Similarity.pqCodebooks(embs, col("vec_id"),
+      col("embedding"), m = 8, ksub = 8, iters = 1)
+    assert(books.size == 8 && books.forall(_.size == 8) &&
+           books.forall(_.forall(_.size == 8)))
+    // retrain is bit-identical (fixed-point arithmetic, ordered init)
+    assert(books == Similarity.pqCodebooks(embs, col("vec_id"),
+      col("embedding"), m = 8, ksub = 8, iters = 1))
+    // corpus smaller than ksub clamps; empty corpus yields Nil
+    val tiny = Similarity.pqCodebooks(embs.filter(col("vec_id") < 3),
+      col("vec_id"), col("embedding"), m = 8, ksub = 8, iters = 1)
+    assert(tiny.forall(_.size == 3))
+    assert(Similarity.pqCodebooks(embs.filter(col("vec_id") < 0),
+      col("vec_id"), col("embedding"), 8, 8, 1).isEmpty)
+    // empty corpus flows through pqTopK as an empty result
+    assert(Similarity.pqTopK(embs.filter(col("vec_id") < 0),
+      embs.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), 5).count() == 0)
+  }
+
   test("duplicate spans cut later occurrences only, first kept") {
     import spark.implicits._
     // doc 1: spans A|B ; doc 2: spans B|C (B repeated) ; doc 3: A only
