@@ -586,6 +586,25 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Theta-sketch set operations (Dasgupta et al.): KMV bottom-64
+    // sketches of the pre-/post-1995 customer cohorts per order
+    // priority, then union / intersection / difference distinct
+    // estimates computed from the sketches alone — the set algebra
+    // HLL cannot do. Deterministic (portable polynomial hash, no
+    // RNG), so the oracle rebuilds the identical sketches and the
+    // estimates hash-match exactly.
+    "q420_theta_sketch" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = graft.ops.Sketches.kmvSketch(
+        o.filter(col("o_orderdate") < lit("1998-01-01")),
+        Seq(col("o_orderpriority")), col("o_custkey"), k = 64)
+      val b = graft.ops.Sketches.kmvSketch(
+        o.filter(col("o_orderdate") >= lit("1998-01-01")),
+        Seq(col("o_orderpriority")), col("o_custkey"), k = 64)
+      graft.ops.Sketches.kmvSetOps(a, b, Seq("o_orderpriority"), k = 64)
+        .orderBy("o_orderpriority")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -4717,6 +4736,75 @@ object SparkEntry {
                FROM sc)
          SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
          ORDER BY qid, rank""",
+
+    // identical KMV sketches rebuilt with ORDER BY hash LIMIT k per
+    // cohort (polyHash62 scattered by the double-round MINSTD
+    // permutation — the engine's uniformizer for short keys), then
+    // the same multiply/divide/floor doubles (all numerators exact
+    // in double, identical IEEE op order): est = floor((k-1)·M /
+    // h_(k)) saturated, exact size otherwise; intersection/
+    // difference scale sub-theta sample counts by M/theta
+    "q420_theta_sketch" ->
+      """WITH h0 AS (SELECT o_orderpriority AS g,
+             o_orderdate < DATE '1998-01-01' AS pre,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 [CAST(ascii(substring(CAST(o_custkey AS VARCHAR), i, 1))
+                   AS BIGINT)
+                  FOR i IN range(1, length(CAST(o_custkey AS VARCHAR)) + 1)]),
+               (a, c) -> (a * 31 + c) % 2147483647) * 2147483648
+             + list_reduce(list_prepend(CAST(11 AS BIGINT),
+                 [CAST(ascii(substring(CAST(o_custkey AS VARCHAR), i, 1))
+                   AS BIGINT)
+                  FOR i IN range(1, length(CAST(o_custkey AS VARCHAR)) + 1)]),
+               (a, c) -> (a * 37 + c) % 2147483629) AS h62
+           FROM orders),
+         h AS (SELECT g, pre,
+             (((((h62 + 1) % 2147483647) + 2147483647) % 2147483647
+               * 48271) % 2147483647 * 48271) % 2147483647 AS hv
+           FROM h0),
+         da AS (SELECT DISTINCT g, hv FROM h WHERE pre),
+         db AS (SELECT DISTINCT g, hv FROM h WHERE NOT pre),
+         ka AS (SELECT g, list(hv ORDER BY hv) AS ks
+                FROM (SELECT g, hv, row_number() OVER
+                        (PARTITION BY g ORDER BY hv) AS rn FROM da)
+                WHERE rn <= 64 GROUP BY g),
+         kb AS (SELECT g, list(hv ORDER BY hv) AS ks
+                FROM (SELECT g, hv, row_number() OVER
+                        (PARTITION BY g ORDER BY hv) AS rn FROM db)
+                WHERE rn <= 64 GROUP BY g),
+         j AS (SELECT coalesce(ka.g, kb.g) AS g,
+                 coalesce(ka.ks, []) AS la, coalesce(kb.ks, []) AS lb
+               FROM ka FULL OUTER JOIN kb ON ka.g = kb.g),
+         u AS (SELECT g, la, lb,
+                 list_sort(list_distinct(la || lb))[1:64] AS lu,
+                 least(CASE WHEN len(la) < 64
+                        THEN 2147483647 ELSE la[64] END,
+                       CASE WHEN len(lb) < 64
+                        THEN 2147483647 ELSE lb[64] END)
+                   AS theta
+               FROM j),
+         est AS (SELECT g,
+                 CASE WHEN len(la) < 64 THEN CAST(len(la) AS BIGINT)
+                  ELSE CAST(floor(135291469761.0 / la[64]) AS BIGINT)
+                 END AS ea,
+                 CASE WHEN len(lb) < 64 THEN CAST(len(lb) AS BIGINT)
+                  ELSE CAST(floor(135291469761.0 / lb[64]) AS BIGINT)
+                 END AS eb,
+                 CASE WHEN len(lu) < 64 THEN CAST(len(lu) AS BIGINT)
+                  ELSE CAST(floor(135291469761.0 / lu[64]) AS BIGINT)
+                 END AS eu,
+                 CAST(floor(len([x FOR x IN la
+                           IF list_contains(lb, x) AND x < theta])
+                   * 2147483647.0 / theta) AS BIGINT) AS ei,
+                 CAST(floor(len([x FOR x IN la
+                           IF NOT list_contains(lb, x) AND x < theta])
+                   * 2147483647.0 / theta) AS BIGINT) AS ed
+               FROM u)
+         SELECT g AS o_orderpriority, ea AS est_a,
+           eb AS est_b, eu AS est_union,
+           ei AS est_intersect,
+           ed AS est_diff
+         FROM est ORDER BY o_orderpriority""",
 
     // per-CELL replay of the full fixed-point color chain: mosaic RGB
     // -> floor((x·1e6 + 5e5)/1e6) YCbCr -> (exact DC-only round trip)

@@ -65,6 +65,50 @@ object Reducers {
     (c: Column) => f(c)
   }
 
+  /** KMV theta-sketch buffer: the k smallest DISTINCT hash values seen.
+    * Input is an already-hashed long (compute
+    * [[TextFunctions.polyHash62]] as a codegen'd column upstream so the
+    * per-row hash stays in whole-stage codegen; the aggregator only
+    * maintains the O(k) buffer). Nulls (null keys) carry no signal.
+    *
+    * This is the mergeable-state form of a distinct sketch: partials
+    * combine by "bottom-k of the union", so a 100 TB scan keeps k longs
+    * per group per task, never a distinct shuffle of the keys. Output
+    * is the sorted hash array — [[graft.ops.Sketches]] derives distinct
+    * estimates and theta set operations from it. */
+  final case class KmvBottomK(k: Int)
+      extends Aggregator[java.lang.Long, Seq[Long], Seq[Long]] {
+
+    require(k >= 2, s"KmvBottomK needs k >= 2, got $k — the estimator " +
+      "divides by the k-th minimum and a 1-sketch has no spacing signal")
+
+    override def zero: Seq[Long] = Nil
+
+    private def insert(b: Seq[Long], h: Long): Seq[Long] =
+      if (b.length == k && b.last <= h) b
+      else if (b.contains(h)) b
+      else ((h +: b).sorted).take(k)
+
+    override def reduce(b: Seq[Long], v: java.lang.Long): Seq[Long] =
+      if (v == null) b else insert(b, v.longValue)
+
+    override def merge(a: Seq[Long], b: Seq[Long]): Seq[Long] =
+      (a ++ b).distinct.sorted.take(k)
+
+    override def finish(r: Seq[Long]): Seq[Long] = r
+
+    override def bufferEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      ExpressionEncoder[Seq[Long]]()
+  }
+
+  /** `kmvBottomK(k)(hashes)` as a Column aggregate. */
+  def kmvBottomK(k: Int): Column => Column = {
+    val f = udaf(KmvBottomK(k))
+    (c: Column) => f(c)
+  }
+
   /** SpaceSaving heavy hitters — the frequent-items member of the
     * sketch tier (HLL distinct / KLL quantiles live in
     * [[graft.ops.Sketches.profile]]): approximate most-frequent items

