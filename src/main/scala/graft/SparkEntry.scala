@@ -605,6 +605,19 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Link prediction over the strong-co-purchase graph (parts
+    // sharing an order at quantity >= 25): resource-allocation index
+    // (Zhou et al. 2009) + common-neighbor count for non-adjacent
+    // pairs, integer micro-unit RA, hub apexes capped at degree 64
+    // (the wedge-volume guard), top-40 under a total order.
+    "q421_link_prediction" -> ((s, dir) => {
+      val pairs = graft.ops.Graph.coOccurrencePairs(
+        t(s, dir, "lineitem").filter(col("l_quantity") >= 25),
+        col("l_orderkey"), col("l_partkey"))
+      graft.ops.Graph.linkPrediction(pairs, col("u"), col("v"),
+        topK = 40, maxDegree = 64, inputCanonical = true)
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -4805,6 +4818,30 @@ object SparkEntry {
            ei AS est_intersect,
            ed AS est_diff
          FROM est ORDER BY o_orderpriority""",
+
+    // wedge enumeration at the shared-neighbor apex, integer RA
+    // (1000000 // deg), NOT EXISTS against the edge list, the same
+    // (ra desc, cn desc, x, y) total order
+    "q421_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             FROM lineitem WHERE l_quantity >= 25),
+         e AS (SELECT DISTINCT least(a.p, b.p) AS u,
+                 greatest(a.p, b.p) AS v
+               FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+         adj AS (SELECT u AS w, v AS x FROM e
+                 UNION ALL SELECT v, u FROM e),
+         d AS (SELECT w, count(*) AS dg FROM adj GROUP BY w),
+         cap AS (SELECT adj.w, adj.x, 1000000 // d.dg AS ra_w
+                 FROM adj JOIN d USING (w) WHERE d.dg <= 64),
+         wg AS (SELECT a.x AS u, b.x AS v, a.ra_w
+                FROM cap a JOIN cap b ON a.w = b.w AND a.x < b.x),
+         nw AS (SELECT u, v, count(*) AS cn, sum(ra_w) AS ra_ppm
+                FROM wg WHERE NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.u = wg.u AND e.v = wg.v)
+                GROUP BY u, v)
+         SELECT u AS x, v AS y, CAST(cn AS BIGINT) AS cn,
+           CAST(ra_ppm AS BIGINT) AS ra_ppm
+         FROM nw ORDER BY ra_ppm DESC, cn DESC, x, y LIMIT 40""",
 
     // per-CELL replay of the full fixed-point color chain: mosaic RGB
     // -> floor((x·1e6 + 5e5)/1e6) YCbCr -> (exact DC-only round trip)

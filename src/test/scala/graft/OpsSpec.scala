@@ -1266,6 +1266,29 @@ class OpsSpec extends AnyFunSuite {
     assert(direct == rolled)
   }
 
+  test("link prediction: RA/CN hand case, existing edges and hubs out") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4-1: the two diagonals are the only predictions,
+    // each with two degree-2 common neighbors -> cn 2, ra 1000000
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.linkPrediction(cyc, col("a"), col("b"),
+        topK = 10, maxDegree = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    // star 0-{1..5}: every leaf pair shares only the hub; capping the
+    // hub's apex role (deg 5 > 4) leaves nothing to predict...
+    val star = (1L to 5L).map(i => (0L, i)).toDF("a", "b")
+    assert(Graph.linkPrediction(star, col("a"), col("b"),
+      topK = 10, maxDegree = 4).count() == 0)
+    // ...and with the cap lifted, all C(5,2) leaf pairs appear with
+    // the hub's exact 1/5 contribution
+    val full = Graph.linkPrediction(star, col("a"), col("b"),
+        topK = 100, maxDegree = 64).collect()
+    assert(full.length == 10 &&
+      full.forall(r => r.getLong(2) == 1L && r.getLong(3) == 200000L))
+  }
+
   test("KMV theta set ops: exact below saturation, bounded above it") {
     import spark.implicits._
     // exact regime: all distinct hashes retained (k > distinct count)
