@@ -618,6 +618,19 @@ object SparkEntry {
         topK = 40, maxDegree = 64, inputCanonical = true)
     }),
 
+    // Real multimodal codec V (GIF89a): palette-indexed LZW with
+    // variable-width codes, block-walked extensions, every third
+    // image interlaced. Lossless, so the oracle replays the palette
+    // arithmetic directly — no spectral argument needed.
+    "q422_gif_decode" -> ((s, dir) => {
+      val gifs = graft.ops.Gif.synthGif(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Gif.decodeGifStatsDf(gifs, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("width"), col("height"),
+                col("sum_r"), col("sum_g"), col("sum_b"), col("first_px"))
+        .orderBy("doc_id")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -4842,6 +4855,28 @@ object SparkEntry {
          SELECT u AS x, v AS y, CAST(cn AS BIGINT) AS cn,
            CAST(ra_ppm AS BIGINT) AS ra_ppm
          FROM nw ORDER BY ra_ppm DESC, cn DESC, x, y LIMIT 40""",
+
+    // lossless palette replay: index (id*3 + x*7 + y*11) % 256 through
+    // the global-palette formulas (r=i, g=(i*7+3)%256, b=(i*13+5)%256)
+    "q422_gif_decode" ->
+      """WITH s AS (SELECT doc_id, 7 + doc_id % 12 AS w,
+                      5 + doc_id % 9 AS h FROM documents),
+         cells AS (SELECT doc_id, w, h,
+             unnest([i FOR i IN range(w*h)]) AS p
+           FROM s),
+         rgb AS (SELECT doc_id, w, h, p,
+             i AS r, (i*7 + 3) % 256 AS g, (i*13 + 5) % 256 AS b
+           FROM (SELECT doc_id, w, h, p,
+                   (doc_id*3 + (p % w)*7 + (p // w)*11) % 256 AS i
+                 FROM cells))
+         SELECT doc_id, CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(sum(r) AS BIGINT) AS sum_r,
+           CAST(sum(g) AS BIGINT) AS sum_g,
+           CAST(sum(b) AS BIGINT) AS sum_b,
+           CAST(max(CASE WHEN p = 0 THEN r*65536 + g*256 + b END)
+             AS BIGINT) AS first_px
+         FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""",
 
     // per-CELL replay of the full fixed-point color chain: mosaic RGB
     // -> floor((x·1e6 + 5e5)/1e6) YCbCr -> (exact DC-only round trip)

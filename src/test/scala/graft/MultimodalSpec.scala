@@ -636,4 +636,98 @@ class MultimodalSpec extends AnyFunSuite {
         s"id $id (filter ${id % 5})")
     }
   }
+
+  // ---- GIF ------------------------------------------------------------
+
+  test("GIF LZW round-trips exactly across code-width boundaries") {
+    import graft.ops.Gif
+    // pseudo-random 120x80 = 9600 px: the dictionary crosses the
+    // 512/1024/2048 width bumps AND the 4096 clear-reset — any
+    // handshake off-by-one corrupts pixels long before the end
+    def idx(x: Int, y: Int): Int = ((x * 7919 + y * 104729) ^ (x * y)) & 0xff
+    for ((w, h) <- Seq((1, 1), (1, 7), (9, 1), (13, 11), (120, 80))) {
+      val (dw, dh, px) = Gif.decodeGifRgb(Gif.encodeGif(w, h, idx))
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = idx(x, y)
+        assert(px(y * w + x) ==
+          ((Gif.paletteR(i), Gif.paletteG(i), Gif.paletteB(i))),
+          s"($w x $h) pixel ($x,$y)")
+      }
+    }
+    // constant image: the KwKwK code==nextCode branch fires immediately
+    val (_, _, const) = Gif.decodeGifRgb(Gif.encodeGif(50, 3, (_, _) => 77))
+    assert(const.forall(_ == ((Gif.paletteR(77), Gif.paletteG(77),
+      Gif.paletteB(77)))))
+  }
+
+  test("GIF interlaced decode equals sequential; bytes differ") {
+    import graft.ops.Gif
+    def idx(x: Int, y: Int): Int = (x * 31 + y * 17) & 0xff
+    val plain = Gif.encodeGif(19, 13, idx)
+    val inter = Gif.encodeGif(19, 13, idx, interlaced = true)
+    assert(!java.util.Arrays.equals(plain, inter))
+    assert(Gif.decodeGifRgb(plain)._3.toSeq ==
+           Gif.decodeGifRgb(inter)._3.toSeq)
+    // heights smaller than the later passes' offsets (empty passes)
+    for (h <- Seq(1, 2, 3, 4, 5, 8, 9))
+      assert(Gif.decodeGifRgb(Gif.encodeGif(6, h, idx,
+        interlaced = true))._3.toSeq ==
+        Gif.decodeGifRgb(Gif.encodeGif(6, h, idx))._3.toSeq, s"h=$h")
+  }
+
+  test("GIF differential vs the JDK's own ImageIO reader") {
+    import graft.ops.Gif
+    def idx(x: Int, y: Int): Int = ((x * 37 + y * 101 + x * y) % 256)
+    for (interlaced <- Seq(false, true)) {
+      val bytes = Gif.encodeGif(33, 21, idx, interlaced = interlaced)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, "ImageIO could not parse the GIF")
+      assert(img.getWidth == 33 && img.getHeight == 21)
+      for (y <- 0 until 21; x <- 0 until 33) {
+        val i = idx(x, y)
+        val expect = 0xff000000 | (Gif.paletteR(i) << 16) |
+          (Gif.paletteG(i) << 8) | Gif.paletteB(i)
+        assert(img.getRGB(x, y) == expect,
+          s"interlaced=$interlaced pixel ($x,$y)")
+      }
+    }
+  }
+
+  test("GIF decoder walks blocks and refuses garbage") {
+    import graft.ops.Gif
+    val good = Gif.encodeGif(9, 7, (x, y) => (x + y) & 0xff)
+    // the planted comment extension is really in the stream
+    assert(good.indexOfSlice("graft".getBytes("US-ASCII")) > 0)
+    intercept[IllegalArgumentException] {
+      Gif.decodeGifRgb("NOTAGIF".getBytes("US-ASCII") ++ good)
+    }
+    intercept[Exception] { // truncated LZW data must surface
+      Gif.decodeGifRgb(good.dropRight(12))
+    }
+  }
+
+  test("distributed GIF synth+decode matches the palette arithmetic") {
+    import spark.implicits._
+    import graft.ops.Gif
+    val ids = (0L until 24L).toDF("doc_id")
+    val stats = Gif.decodeGifStatsDf(Gif.synthGif(ids, "doc_id"),
+        "asset_id", "media")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    (0L until 24L).foreach { id =>
+      val w = (7 + id % 12).toInt; val h = (5 + id % 9).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = ((id * 3 + x * 7 + y * 11) % 256).toInt
+        sr += Gif.paletteR(i); sg += Gif.paletteG(i); sb += Gif.paletteB(i)
+      }
+      val i0 = (id * 3 % 256).toInt
+      val fp = Gif.paletteR(i0).toLong * 65536 +
+        Gif.paletteG(i0) * 256 + Gif.paletteB(i0)
+      assert(stats(id) == ((w, h, sr, sg, sb, fp)), s"id $id")
+    }
+  }
 }
