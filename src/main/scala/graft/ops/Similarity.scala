@@ -769,15 +769,24 @@ object Similarity {
     * subspace j; fewer than ksub rows yield that many codes, an empty
     * corpus yields Nil. */
   def pqCodebooks(corpus: DataFrame, id: Column, vec: Column,
-                  m: Int, ksub: Int, iters: Int): Seq[Seq[Seq[Long]]] = {
+                  m: Int, ksub: Int, iters: Int): Seq[Seq[Seq[Long]]] =
+    pqCodebooksFromQ(
+      Dedup.fanOut(corpus)
+        .select(id.as("id"), toDouble(vec).as("v"))
+        .filter(col("v").isNotNull)
+        .withColumn("q", microQ(col("v")))
+        .select(col("id"), col("q")),
+      m, ksub, iters)
+
+  /** [[pqCodebooks]] over an ALREADY micro-quantized frame
+    * (id, q: array<long>) — the entry point the IVF-PQ residual path
+    * uses (residuals are integer differences, not floats). */
+  private[graft] def pqCodebooksFromQ(c: DataFrame, m: Int, ksub: Int,
+                                      iters: Int): Seq[Seq[Seq[Long]]] = {
     require(m >= 1 && ksub >= 1 && iters >= 0,
       s"pqCodebooks: m=$m ksub=$ksub iters=$iters must be positive")
-    val c = Dedup.fanOut(corpus)
-      .select(id.as("id"), toDouble(vec).as("v"))
-      .filter(col("v").isNotNull)
-      .withColumn("q", microQ(col("v")))
     val seeds: Seq[Seq[Long]] = c.orderBy(col("id")).limit(ksub)
-      .collect().map(_.getSeq[Long](2).toIndexedSeq).toIndexedSeq
+      .collect().map(_.getSeq[Long](1).toIndexedSeq).toIndexedSeq
     if (seeds.isEmpty) return Nil
     val dim = seeds.head.size
     require(dim % m == 0, s"pqCodebooks: dim $dim not divisible by m=$m")
@@ -914,6 +923,138 @@ object Similarity {
     val rescored = c.select(col("nbr"), col("v"))
       .join(broadcast(short), "nbr")
       .join(broadcast(q.select(col("qid"), col("qv"))), "qid")
+    val dn = l2norm(col("qv")) * l2norm(col("v"))
+    val cos = when(dn === 0.0, 0.0).otherwise(dot(col("qv"), col("v")) / dn)
+    Relational.topKScored(
+      rescored.select(col("qid"), col("nbr"), round(cos, 6).as("score")),
+      col("qid"), col("score"), col("nbr"), k, idName = "nbr")
+  }
+
+  /** IVF-PQ with RESIDUAL encoding — the FAISS index architecture
+    * (Jégou et al. 2011 §IV): coarse k-means routes every vector to a
+    * Voronoi list ([[kmeansCentroids]], the IVF trainer), and PQ
+    * codebooks are trained on the RESIDUALS v − c(v) (residuals
+    * concentrate near zero, so the same ksub codes quantize far more
+    * finely than raw-vector PQ). A query probes its `nProbe` nearest
+    * lists and ranks candidates by approximate cosine computed
+    * ENTIRELY from integer lookups:
+    *
+    *   dot(q, c + r)  = qc(list)            [per probed list]
+    *                  + Σⱼ dtab(j)(codeⱼ)    [query dot-table, list-free]
+    *   ‖c + r‖²       = Σⱼ ( cN2(list)(j) + 2·cross(list)(j)(codeⱼ)
+    *                         + n2(j)(codeⱼ) )
+    *
+    * — subspaces are disjoint coordinates, so the reconstruction norm
+    * decomposes exactly per subspace; cross/cN2/n2 are tiny driver
+    * literals (nLists·m·ksub longs). One rounded division produces
+    * the shortlist score; a deterministic shortlist is rescored with
+    * exact double cosine ([[quantizedTopK]]'s contract).
+    *
+    * Scale shape: the scored fraction is ~nProbe/nLists of the corpus
+    * AND each comparison is m lookups — the two multiplicative wins
+    * composed; the corpus scan reads list + m codes (32–64× fewer
+    * bytes), floats only for the shortlist rows. All arithmetic is
+    * exact integer until two float steps (the score division, the
+    * rescore), so the oracle replays coarse-train → route → residual
+    * → PQ-train → encode → tables → shortlist → rescore bit-for-bit.
+    * Returns (qid, nbr, score, rank). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                id: Column, vec: Column, qid: Column, qvec: Column,
+                k: Int, nLists: Int = 8, nProbe: Int = 2, m: Int = 8,
+                ksub: Int = 8, iters: Int = 1,
+                shortlistFactor: Int = 4): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && shortlistFactor >= 1,
+      s"ivfPqTopK: k=$k nProbe=$nProbe sf=$shortlistFactor must be >= 1")
+    val cents = kmeansCentroids(corpus, id, vec, nLists, iters)
+    val base = Dedup.fanOut(corpus)
+      .select(id.as("nbr"), toDouble(vec).as("v"))
+      .filter(col("v").isNotNull)
+    if (cents.isEmpty)
+      return queries.select(qid.as("qid")).limit(0)
+        .crossJoin(base.select(col("nbr")).limit(0))
+        .withColumn("score", lit(0.0)).withColumn("rank", lit(0))
+    // the trainer's centroids ARE integer micro-units divided by 1e6;
+    // multiply back (exact) for the residual arithmetic
+    val cq: Seq[Seq[Long]] =
+      cents.map(_.map(x => math.floor(x * 1e6 + 0.5).toLong))
+    val cqLit = typedlit(cq)
+    val assigned = base
+      .withColumn("q", microQ(col("v")))
+      .withColumn("list", element_at(nearestCentroids(cents, col("v"), 1), 1))
+      .withColumn("rq", zip_with(col("q"),
+        element_at(cqLit, col("list") + 1), (a, b) => a - b))
+    val books = pqCodebooksFromQ(
+      assigned.select(col("nbr").as("id"), col("rq").as("q")),
+      m, ksub, iters)
+    if (books.isEmpty)
+      return queries.select(qid.as("qid")).limit(0)
+        .crossJoin(base.select(col("nbr")).limit(0))
+        .withColumn("score", lit(0.0)).withColumn("rank", lit(0))
+    val sub = books.head.head.size
+    val kk = books.head.size
+    val lits = books.map(b => typedlit(b))
+    // driver-side integer tables (all magnitudes < 2^53):
+    //   n2(j)(c)          = ‖codebook entry‖²
+    //   cN2(list)(j)      = ‖centroid subvector‖²
+    //   cross(list)(j)(c) = centroid_j · codebook entry
+    val n2s = books.map(_.map(cb => cb.map(x => x * x).sum))
+    val cN2 = cq.map(cv => (0 until m).map(j =>
+      (0 until sub).map(d => { val x = cv(j * sub + d); x * x }).sum))
+    val cross = cq.map(cv => (0 until m).map(j => books(j).map(cb =>
+      (0 until sub).map(d => cv(j * sub + d) * cb(d)).sum)))
+    val n2Lit = n2s.map(typedlit(_))
+    val cN2Lit = typedlit(cN2.map(_.toIndexedSeq))
+    val crossLit = typedlit(cross.map(_.map(_.toIndexedSeq).toIndexedSeq))
+    val enc = assigned
+      .withColumn("codes", array((0 until m).map(j =>
+        pqAssign(col("rq"), lits(j), j, sub, kk)): _*))
+      .withColumn("cn2", (0 until m).map(j =>
+          element_at(element_at(cN2Lit, col("list") + 1), j + 1) +
+          lit(2L) * element_at(element_at(element_at(crossLit,
+            col("list") + 1), j + 1),
+            element_at(col("codes"), j + 1) + 1) +
+          element_at(n2Lit(j), element_at(col("codes"), j + 1) + 1))
+        .reduce(_ + _))
+      .select(col("nbr"), col("v"), col("list"), col("codes"), col("cn2"))
+    def qNorm2(q: Column): Column =
+      aggregate(q, lit(0L).cast("long"), (acc, x) => acc + x * x)
+    // per-query: raw-vector dot tables vs the RESIDUAL codebooks
+    // (list-independent) + per-probed-list centroid dot
+    val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+      .filter(col("qv").isNotNull)
+      .withColumn("qq", microQ(col("qv")))
+      .withColumn("dtab", array((0 until m).map(j =>
+        transform(sequence(lit(0), lit(kk - 1)), i =>
+          pqSubDot(col("qq"), lits(j), j, sub, i))): _*))
+      .withColumn("qn2", qNorm2(col("qq")))
+      .withColumn("list", explode(nearestCentroids(cents, col("qv"), nProbe)))
+      .withColumn("qc", aggregate(
+        zip_with(col("qq"), element_at(cqLit, col("list") + 1),
+          (a, b) => a * b),
+        lit(0L).cast("long"), (acc, x) => acc + x))
+      .select(col("qid"), col("qv"), col("qq"), col("dtab"),
+              col("qn2"), col("list"), col("qc"))
+    val adot = col("qc") + (0 until m).map(j =>
+        element_at(element_at(col("dtab"), j + 1),
+                   element_at(col("codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val aden = sqrt(col("qn2").cast("double")) *
+               sqrt(col("cn2").cast("double"))
+    val cand = enc.join(
+        broadcast(q.select(col("qid"), col("dtab"), col("qn2"),
+          col("list"), col("qc"))),
+        Seq("list"))
+      .filter(col("nbr") =!= col("qid"))
+      .select(col("qid"), col("nbr"),
+        when(col("qn2") === 0L || col("cn2") <= 0L, 0.0)
+          .otherwise(round(adot.cast("double") / aden, 6)).as("s8"))
+    val short = Relational.topKScored(cand, col("qid"), col("s8"),
+        col("nbr"), k * shortlistFactor, idName = "nbr",
+        scoreName = "s8")
+      .select("qid", "nbr")
+    val rescored = base.select(col("nbr"), col("v"))
+      .join(broadcast(short), "nbr")
+      .join(broadcast(q.select(col("qid"), col("qv")).distinct()), "qid")
     val dn = l2norm(col("qv")) * l2norm(col("v"))
     val cos = when(dn === 0.0, 0.0).otherwise(dot(col("qv"), col("v")) / dn)
     Relational.topKScored(

@@ -146,6 +146,61 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("decader6")) {
+      // round-6 ops at the decade: PQ/ADC ANN over 500k embeddings,
+      // theta sketches over 10M events, link prediction on the
+      // 5M-edge graph — same hazard classes as their families
+      // (ArrayType static underestimates, per-group sketch state,
+      // wedge volume), so each must hold its family's cost shape
+      import spark.implicits._
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
+      }
+      val nVec = 500000L
+      val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            ((pmod(hash(expr("id div 10"), j), lit(2000L)) - 1000L)
+               .cast("double") / 1000.0 +
+             pmod(col("id"), lit(10)).cast("double") * 0.0001)
+              .cast("float")).as("embedding"))
+        .repartition(64)
+        .localCheckpoint()
+      println(s"[scale] decade embeddings: ${vecs.count()}")
+      time("pq_adc 500k m=8 k=5")(graft.ops.Similarity.pqTopK(
+        vecs, vecs.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5).count())
+      val nEv = 10000000L
+      val ev = spark.range(nEv).select(
+          expr("id div 20").as("user_id"),
+          pmod(col("id"), lit(2L)).as("half"),
+          concat(lit("g"), pmod(expr("id div 20"), lit(8L))).as("grp"))
+        .repartition(64).localCheckpoint()
+      println(s"[scale] decade events: ${ev.count()}")
+      time("kmv_theta 10M ev k=256") {
+        val sa = graft.ops.Sketches.kmvSketch(
+          ev.filter(col("half") === 0), Seq(col("grp")),
+          col("user_id"), k = 256)
+        val sb = graft.ops.Sketches.kmvSketch(
+          ev.filter(col("half") === 1), Seq(col("grp")),
+          col("user_id"), k = 256)
+        graft.ops.Sketches.kmvSetOps(sa, sb, Seq("grp"), k = 256).count()
+      }
+      val nNode = 1000000L
+      val edges = spark.range(5000000L).select(
+          pmod(col("id"), lit(nNode)).as("u"),
+          pmod(hash(col("id"), lit(1)), lit(nNode)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .repartition(64)
+        .localCheckpoint()
+      println(s"[scale] decade edges: ${edges.count()}")
+      time("link_pred 5M edges cap=12")(graft.ops.Graph.linkPrediction(
+        edges, col("u"), col("v"), topK = 100, maxDegree = 12).count())
+      spark.stop(); return
+    }
+
     if (args.contains("decade")) {
       // One order of magnitude past the 50k/1M probes: 500k docs in
       // 50k 10-copy near-dup cliques (synthetic token streams, so

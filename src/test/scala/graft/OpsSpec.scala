@@ -1432,6 +1432,57 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-PQ residual ANN recovers the brute-force top-k on clusters") {
+    import spark.implicits._
+    // planted corpus with prototypes INTERLEAVED by id (i % 8, not
+    // i / 16): the trainers seed from the first rows by id, and a
+    // block layout would hand all 8 coarse seeds to ONE prototype —
+    // a degenerate init that tests the fixture, not the index
+    val protos = embs.orderBy("vec_id").limit(8).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val corpus = (0 until 128).map { i =>
+      val p = protos(i % 8)
+      (i.toLong, p.indices.map(d =>
+        p(d) + ((i * 31 + d) % 7 - 3) * 1e-3f).toArray)
+    }.toDF("vec_id", "embedding")
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val exact = res(Similarity.bruteForceTopK(corpus,
+      corpus.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5))
+    val ivfpq = res(Similarity.ivfPqTopK(corpus,
+      corpus.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5))
+    assert(ivfpq.keySet == exact.keySet)
+    val agree = exact.count { case (k, v) => ivfpq.get(k).contains(v) }
+    assert(agree >= (exact.size * 0.9).toInt,
+      s"IVF-PQ agreed on $agree/${exact.size} (need >= 90%)")
+    // determinism: the full train->route->encode->rank chain rerun is
+    // bit-identical (fixed-point arithmetic end to end)
+    assert(res(Similarity.ivfPqTopK(corpus,
+      corpus.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      5)) == ivfpq)
+  }
+
+  test("IVF-PQ rescore precision and empty-corpus degenerate") {
+    val full = Similarity.bruteForceTopK(embs,
+        embs.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        499).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Similarity.ivfPqTopK(embs, embs.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5)
+      .collect()
+    assert(got.length == 50)
+    got.foreach { r =>
+      assert(full((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+    assert(Similarity.ivfPqTopK(embs.filter(col("vec_id") < 0),
+      embs.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+      col("vec_id"), col("embedding"), 5).count() == 0)
+  }
+
   test("PQ codebooks: shapes, determinism, degenerate corpora") {
     val books = Similarity.pqCodebooks(embs, col("vec_id"),
       col("embedding"), m = 8, ksub = 8, iters = 1)
