@@ -962,10 +962,17 @@ object Similarity {
                 id: Column, vec: Column, qid: Column, qvec: Column,
                 k: Int, nLists: Int = 8, nProbe: Int = 2, m: Int = 8,
                 ksub: Int = 8, iters: Int = 1,
-                shortlistFactor: Int = 4): DataFrame = {
+                shortlistFactor: Int = 4,
+                trainedCoarse: Option[Seq[Seq[Double]]] = None)
+      : DataFrame = {
     require(k >= 1 && nProbe >= 1 && shortlistFactor >= 1,
       s"ivfPqTopK: k=$k nProbe=$nProbe sf=$shortlistFactor must be >= 1")
-    val cents = kmeansCentroids(corpus, id, vec, nLists, iters)
+    // at a real list count the coarse TRAINER is a corpus × nLists
+    // cosine pass per iteration — production trains on a sample (or
+    // reuses an existing index's centroids) and passes them here; the
+    // unavoidable full-corpus work is the single routing pass below
+    val cents = trainedCoarse.getOrElse(
+      kmeansCentroids(corpus, id, vec, nLists, iters))
     val base = Dedup.fanOut(corpus)
       .select(id.as("nbr"), toDouble(vec).as("v"))
       .filter(col("v").isNotNull)
@@ -978,11 +985,17 @@ object Similarity {
     val cq: Seq[Seq[Long]] =
       cents.map(_.map(x => math.floor(x * 1e6 + 0.5).toLong))
     val cqLit = typedlit(cq)
+    // materialize the routed corpus ONCE: the coarse assignment is
+    // nLists cosines per row (the expensive pass at a real list
+    // count), and it feeds the residual-codebook seeds collect, the
+    // Lloyd update pass, AND the encode — recomputing it per consumer
+    // was a 5x blowup at the 500k/256-list decade probe (250 s → 60 s)
     val assigned = base
       .withColumn("q", microQ(col("v")))
       .withColumn("list", element_at(nearestCentroids(cents, col("v"), 1), 1))
       .withColumn("rq", zip_with(col("q"),
         element_at(cqLit, col("list") + 1), (a, b) => a - b))
+      .localCheckpoint()
     val books = pqCodebooksFromQ(
       assigned.select(col("nbr").as("id"), col("rq").as("q")),
       m, ksub, iters)

@@ -25,6 +25,49 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
 
+    if (args.contains("r6")) { // round-6 ops: plan + timing audit
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val pq = graft.ops.Similarity.pqTopK(
+        e, e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), k = 5)
+      println("==== q419 pqTopK plan ====")
+      pq.explain("formatted")
+      time("q419 pq cold")(pq.count())
+      val ivfpq = graft.ops.Similarity.ivfPqTopK(
+        e, e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        col("vec_id"), col("embedding"), k = 5)
+      println("==== q423 ivfPqTopK plan ====")
+      ivfpq.explain("formatted")
+      time("q423 ivfpq cold")(ivfpq.count())
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val pairs = graft.ops.Graph.coOccurrencePairs(
+        li.filter(col("l_quantity") >= 25),
+        col("l_orderkey"), col("l_partkey"))
+      val lp = graft.ops.Graph.linkPrediction(pairs, col("u"), col("v"),
+        topK = 40, maxDegree = 64, inputCanonical = true)
+      time("q421 linkpred cold")(lp.count())
+      println("==== q421 linkPrediction plan ====")
+      lp.explain("formatted")
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+      val sa = graft.ops.Sketches.kmvSketch(
+        o.filter(col("o_orderdate") < lit("1998-01-01")),
+        Seq(col("o_orderpriority")), col("o_custkey"), 64)
+      val sb = graft.ops.Sketches.kmvSketch(
+        o.filter(col("o_orderdate") >= lit("1998-01-01")),
+        Seq(col("o_orderpriority")), col("o_custkey"), 64)
+      val so = graft.ops.Sketches.kmvSetOps(sa, sb,
+        Seq("o_orderpriority"), 64)
+      time("q420 kmv cold")(so.count())
+      println("==== q420 kmvSetOps plan ====")
+      so.explain("formatted")
+      val docs = d
+      val g = graft.ops.Gif.decodeGifStatsDf(
+        graft.ops.Gif.synthGif(docs.select(col("doc_id")), "doc_id"),
+        "asset_id", "media")
+      time("q422 gif cold")(g.count())
+      spark.stop(); return
+    }
+
     if (args.contains("cc")) {  // connected-components phase profile
       val pairs = time("lsh pairs materialize")(
         graft.ops.Dedup.minhashLshPairs(d, col("doc_id"), col("text"), 0.6)

@@ -172,6 +172,10 @@ object ScaleProbe {
         vecs, vecs.filter(col("vec_id") < 10),
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         k = 5).count())
+      time("ivfpq 500k 256/8 m=8 k=5")(graft.ops.Similarity.ivfPqTopK(
+        vecs, vecs.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nLists = 256, nProbe = 8).count())
       val nEv = 10000000L
       val ev = spark.range(nEv).select(
           expr("id div 20").as("user_id"),
