@@ -648,6 +648,39 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // KMV rollup: sketch customers at (priority, year), answer the
+    // per-priority distinct question by MERGING sketches — lossless
+    // for KMV (a union's bottom-k is inside the union of bottom-ks),
+    // so the oracle builds the coarse sketch DIRECTLY and must agree
+    // hash-for-hash. The corpus is touched once, at the finest grain.
+    "q424_kmv_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val fine = graft.ops.Sketches.kmvSketch(o,
+        Seq(col("o_orderpriority"), year(col("o_orderdate")).as("yr")),
+        col("o_custkey"), k = 64)
+      graft.ops.Sketches.kmvRollup(fine,
+          Seq(col("o_orderpriority")), k = 64)
+        .select(col("o_orderpriority"), col("est"),
+          size(col("kmv")).cast("int").as("n_hashes"),
+          element_at(col("kmv"), size(col("kmv"))).as("max_hash"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Packed IVF-PQ probe (q264's pattern with PQ payloads): the
+    // index is one row per list, ADC ranking and exact rescore run
+    // INSIDE the row — no aggregation, so the same kernel streams
+    // stateless (StreamingSpec). Must rank bit-identically to q423's
+    // join+agg form at nProbe = 1.
+    "q425_ann_ivfpq_packed" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val (cents, books, packed) = graft.ops.Similarity.ivfPqPack(
+        e, col("vec_id"), col("embedding"), nLists = 8)
+      graft.ops.Similarity.ivfPqTopKPacked(
+          e.filter(col("vec_id") < 10), cents, books, packed,
+          col("vec_id"), col("embedding"), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -4895,6 +4928,134 @@ object SparkEntry {
              AS BIGINT) AS first_px
          FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""",
 
+    // the packed probe at nProbe = 1: q423's replay with the probe
+    // CTE restricted to the single nearest list
+    "q425_ann_ivfpq_packed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+             [CAST(floor(x*1000000 + 0.5) AS BIGINT)
+              FOR x IN embedding::DOUBLE[]] AS q
+           FROM embeddings),
+         c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                       q AS cq
+                FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+         a1 AS (SELECT e.vec_id, e.q, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v,
+                      [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c0 c),
+         s1 AS (SELECT cid, d,
+                  CAST(floor(sum(q[d])*1.0/count(*)) AS BIGINT) AS m
+                FROM (SELECT * FROM a1 WHERE rn = 1), range(1, 65) AS t(d)
+                GROUP BY cid, d),
+         c1 AS (SELECT c0.cid, coalesce(l.mq, c0.cq) AS cq
+                FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS mq
+                                   FROM s1 GROUP BY cid) l USING (cid)),
+         ac AS (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.v,
+                      [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+                FROM e CROSS JOIN c1 c),
+         asg AS (SELECT vec_id AS nbr, cid AS lst FROM ac WHERE rn = 1),
+         rs AS (SELECT a.nbr, a.lst,
+                  [e.q[i] - c.cq[i] FOR i IN range(1, 65)] AS r
+                FROM asg a JOIN e ON e.vec_id = a.nbr
+                           JOIN c1 c ON c.cid = a.lst),
+         pseed AS (SELECT row_number() OVER (ORDER BY nbr) - 1 AS cid, r
+                   FROM (SELECT * FROM rs ORDER BY nbr LIMIT 8)),
+         pc0 AS (SELECT t.j, s.cid, t2.d, s.r[t.j*8 + t2.d + 1] AS cv
+                 FROM pseed s, range(0,8) t(j), range(0,8) t2(d)),
+         pd1 AS (SELECT rs.nbr, c.j, c.cid,
+                   sum((rs.r[c.j*8 + c.d + 1] - c.cv)
+                     * (rs.r[c.j*8 + c.d + 1] - c.cv)) AS dist
+                 FROM rs CROSS JOIN pc0 c GROUP BY rs.nbr, c.j, c.cid),
+         pa1 AS (SELECT nbr, j, cid,
+                   row_number() OVER (PARTITION BY nbr, j
+                     ORDER BY dist, cid) AS rn
+                 FROM pd1),
+         ps1 AS (SELECT pa1.j, pa1.cid, t2.d,
+                   CAST(floor(sum(rs.r[pa1.j*8 + t2.d + 1])*1.0/count(*))
+                     AS BIGINT) AS mv
+                 FROM pa1 JOIN rs USING (nbr), range(0,8) t2(d)
+                 WHERE pa1.rn = 1
+                 GROUP BY pa1.j, pa1.cid, t2.d),
+         pc1 AS (SELECT pc0.j, pc0.cid, pc0.d,
+                   coalesce(ps1.mv, pc0.cv) AS cv
+                 FROM pc0 LEFT JOIN ps1 ON ps1.j = pc0.j
+                   AND ps1.cid = pc0.cid AND ps1.d = pc0.d),
+         pd2 AS (SELECT rs.nbr, c.j, c.cid,
+                   sum((rs.r[c.j*8 + c.d + 1] - c.cv)
+                     * (rs.r[c.j*8 + c.d + 1] - c.cv)) AS dist
+                 FROM rs CROSS JOIN pc1 c GROUP BY rs.nbr, c.j, c.cid),
+         enc AS (SELECT nbr, j, cid AS code
+                 FROM (SELECT nbr, j, cid,
+                        row_number() OVER (PARTITION BY nbr, j
+                          ORDER BY dist, cid) AS rn
+                       FROM pd2) WHERE rn = 1),
+         n2 AS (SELECT j, cid, sum(cv*cv) AS v FROM pc1 GROUP BY j, cid),
+         cn2c AS (SELECT c1.cid AS lst, t.j,
+                    sum(c1.cq[t.j*8 + t2.d + 1] * c1.cq[t.j*8 + t2.d + 1])
+                      AS v
+                  FROM c1, range(0,8) t(j), range(0,8) t2(d)
+                  GROUP BY c1.cid, t.j),
+         crs AS (SELECT c1.cid AS lst, p.j, p.cid AS pcid,
+                   sum(c1.cq[p.j*8 + p.d + 1] * p.cv) AS v
+                 FROM c1 CROSS JOIN pc1 p GROUP BY c1.cid, p.j, p.cid),
+         cnb AS (SELECT en.nbr,
+                   sum(c.v + 2*x.v + n.v) AS cn2
+                 FROM enc en JOIN asg a USING (nbr)
+                   JOIN cn2c c ON c.lst = a.lst AND c.j = en.j
+                   JOIN crs x ON x.lst = a.lst AND x.j = en.j
+                     AND x.pcid = en.code
+                   JOIN n2 n ON n.j = en.j AND n.cid = en.code
+                 GROUP BY en.nbr),
+         qn2 AS (SELECT vec_id AS qid,
+                   (SELECT sum(x*x) FROM unnest(q) t(x)) AS v
+                 FROM e WHERE vec_id < 10),
+         dtab AS (SELECT e.vec_id AS qid, p.j, p.cid,
+                    sum(e.q[p.j*8 + p.d + 1] * p.cv) AS dp
+                  FROM e CROSS JOIN pc1 p
+                  WHERE e.vec_id < 10
+                  GROUP BY e.vec_id, p.j, p.cid),
+         probes AS (SELECT vec_id AS qid, cid AS lst
+                    FROM ac WHERE vec_id < 10 AND rn <= 1),
+         qcd AS (SELECT p.qid, p.lst,
+                   (SELECT sum(t.a * t.b) FROM (SELECT
+                      unnest(e.q) AS a, unnest(c.cq) AS b) t) AS v
+                 FROM probes p JOIN e ON e.vec_id = p.qid
+                               JOIN c1 c ON c.cid = p.lst),
+         pr AS (SELECT p.qid, p.lst, a.nbr
+                FROM probes p JOIN asg a ON a.lst = p.lst
+                  AND a.nbr != p.qid),
+         adot AS (SELECT pr.qid, pr.nbr, sum(dt.dp) AS v
+                  FROM pr JOIN enc en ON en.nbr = pr.nbr
+                    JOIN dtab dt ON dt.qid = pr.qid AND dt.j = en.j
+                      AND dt.cid = en.code
+                  GROUP BY pr.qid, pr.nbr),
+         s8 AS (SELECT pr.qid, pr.nbr,
+                  CASE WHEN q2.v = 0 OR cb.cn2 <= 0 THEN 0.0
+                       ELSE round(((qc.v + ad.v)*1.0) /
+                         (sqrt(q2.v*1.0) * sqrt(cb.cn2*1.0)), 6)
+                  END AS s8
+                FROM pr JOIN qcd qc ON qc.qid = pr.qid
+                    AND qc.lst = pr.lst
+                  JOIN adot ad ON ad.qid = pr.qid AND ad.nbr = pr.nbr
+                  JOIN qn2 q2 ON q2.qid = pr.qid
+                  JOIN cnb cb ON cb.nbr = pr.nbr),
+         short AS (SELECT qid, nbr FROM (SELECT qid, nbr,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY s8 DESC, nbr) AS rn
+                   FROM s8) WHERE rn <= 20),
+         sc AS (SELECT s.qid, s.nbr,
+                  round(list_cosine_similarity(eq.v, en.v), 6) AS score
+                FROM short s JOIN e eq ON eq.vec_id = s.qid
+                             JOIN e en ON en.vec_id = s.nbr),
+         r AS (SELECT qid, nbr, score,
+                 CAST(row_number() OVER (PARTITION BY qid
+                   ORDER BY score DESC, nbr) AS INTEGER) AS rank
+               FROM sc)
+         SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
+         ORDER BY qid, rank""",
+
     // full IVF-PQ replay: q51's coarse Lloyd (one update here), route,
     // integer residuals, q419's PQ chain ON the residuals, then the
     // decomposed reconstruction cosine — numerator = centroid dot +
@@ -5025,6 +5186,39 @@ object SparkEntry {
                FROM sc)
          SELECT qid, nbr, score, rank FROM r WHERE rank <= 5
          ORDER BY qid, rank""",
+
+    // the lossless-union property IS the oracle: build the coarse
+    // per-priority sketch directly (same hash chain as q420) — the
+    // rolled-up sketch must match it hash-for-hash
+    "q424_kmv_rollup" ->
+      """WITH h0 AS (SELECT o_orderpriority AS g,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 [CAST(ascii(substring(CAST(o_custkey AS VARCHAR), i, 1))
+                   AS BIGINT)
+                  FOR i IN range(1, length(CAST(o_custkey AS VARCHAR)) + 1)]),
+               (a, c) -> (a * 31 + c) % 2147483647) * 2147483648
+             + list_reduce(list_prepend(CAST(11 AS BIGINT),
+                 [CAST(ascii(substring(CAST(o_custkey AS VARCHAR), i, 1))
+                   AS BIGINT)
+                  FOR i IN range(1, length(CAST(o_custkey AS VARCHAR)) + 1)]),
+               (a, c) -> (a * 37 + c) % 2147483629) AS h62
+           FROM orders),
+         h AS (SELECT g,
+             (((((h62 + 1) % 2147483647) + 2147483647) % 2147483647
+               * 48271) % 2147483647 * 48271) % 2147483647 AS hv
+           FROM h0),
+         d AS (SELECT DISTINCT g, hv FROM h),
+         ks AS (SELECT g, list(hv ORDER BY hv) AS ks
+                FROM (SELECT g, hv, row_number() OVER
+                        (PARTITION BY g ORDER BY hv) AS rn FROM d)
+                WHERE rn <= 64 GROUP BY g)
+         SELECT g AS o_orderpriority,
+           CASE WHEN len(ks) < 64 THEN CAST(len(ks) AS BIGINT)
+            ELSE CAST(floor(135291469761.0 / ks[64]) AS BIGINT)
+           END AS est,
+           CAST(len(ks) AS INTEGER) AS n_hashes,
+           ks[len(ks)] AS max_hash
+         FROM ks ORDER BY o_orderpriority""",
 
     // per-CELL replay of the full fixed-point color chain: mosaic RGB
     // -> floor((x·1e6 + 5e5)/1e6) YCbCr -> (exact DC-only round trip)

@@ -967,42 +967,81 @@ object Similarity {
       : DataFrame = {
     require(k >= 1 && nProbe >= 1 && shortlistFactor >= 1,
       s"ivfPqTopK: k=$k nProbe=$nProbe sf=$shortlistFactor must be >= 1")
-    // at a real list count the coarse TRAINER is a corpus × nLists
-    // cosine pass per iteration — production trains on a sample (or
-    // reuses an existing index's centroids) and passes them here; the
-    // unavoidable full-corpus work is the single routing pass below
+    ivfPqEncode(corpus, id, vec, nLists, m, ksub, iters,
+        trainedCoarse) match {
+      case None =>
+        queries.select(qid.as("qid")).limit(0)
+          .crossJoin(corpus.select(id.as("nbr")).limit(0))
+          .withColumn("score", lit(0.0)).withColumn("rank", lit(0))
+      case Some((cents, books, enc)) =>
+        val q = pqQuerySide(queries, qid, qvec, cents, books, nProbe)
+        val adot = col("qc") + (0 until m).map(j =>
+            element_at(element_at(col("dtab"), j + 1),
+                       element_at(col("codes"), j + 1) + 1))
+          .reduce(_ + _)
+        val aden = sqrt(col("qn2").cast("double")) *
+                   sqrt(col("cn2").cast("double"))
+        val cand = enc.join(
+            broadcast(q.select(col("qid"), col("dtab"), col("qn2"),
+              col("list"), col("qc"))),
+            Seq("list"))
+          .filter(col("nbr") =!= col("qid"))
+          .select(col("qid"), col("nbr"),
+            when(col("qn2") === 0L || col("cn2") <= 0L, 0.0)
+              .otherwise(round(adot.cast("double") / aden, 6)).as("s8"))
+        val short = Relational.topKScored(cand, col("qid"), col("s8"),
+            col("nbr"), k * shortlistFactor, idName = "nbr",
+            scoreName = "s8")
+          .select("qid", "nbr")
+        val rescored = enc.select(col("nbr"), col("v"))
+          .join(broadcast(short), "nbr")
+          .join(broadcast(q.select(col("qid"), col("qv")).distinct()),
+            "qid")
+        val dn = l2norm(col("qv")) * l2norm(col("v"))
+        val cos = when(dn === 0.0, 0.0)
+          .otherwise(dot(col("qv"), col("v")) / dn)
+        Relational.topKScored(
+          rescored.select(col("qid"), col("nbr"),
+            round(cos, 6).as("score")),
+          col("qid"), col("score"), col("nbr"), k, idName = "nbr")
+    }
+  }
+
+  /** Shared IVF-PQ index build: coarse train (unless supplied), route,
+    * residual-codebook train, encode. Returns (coarse centroids,
+    * residual codebooks, encoded corpus (nbr, v, list, codes, cn2))
+    * — None on a degenerate (empty) corpus. The routed corpus is
+    * localCheckpointed ONCE: the coarse assignment is nLists cosines
+    * per row (the expensive pass at a real list count) and it feeds
+    * the residual-seed collect, the Lloyd update pass AND the encode
+    * — recomputing it per consumer was a 5x blowup at the
+    * 500k/256-list decade probe (250 s → 88 s). */
+  private def ivfPqEncode(corpus: DataFrame, id: Column, vec: Column,
+                          nLists: Int, m: Int, ksub: Int, iters: Int,
+                          trainedCoarse: Option[Seq[Seq[Double]]])
+      : Option[(Seq[Seq[Double]], Seq[Seq[Seq[Long]]], DataFrame)] = {
     val cents = trainedCoarse.getOrElse(
       kmeansCentroids(corpus, id, vec, nLists, iters))
+    if (cents.isEmpty) return None
     val base = Dedup.fanOut(corpus)
       .select(id.as("nbr"), toDouble(vec).as("v"))
       .filter(col("v").isNotNull)
-    if (cents.isEmpty)
-      return queries.select(qid.as("qid")).limit(0)
-        .crossJoin(base.select(col("nbr")).limit(0))
-        .withColumn("score", lit(0.0)).withColumn("rank", lit(0))
     // the trainer's centroids ARE integer micro-units divided by 1e6;
     // multiply back (exact) for the residual arithmetic
     val cq: Seq[Seq[Long]] =
       cents.map(_.map(x => math.floor(x * 1e6 + 0.5).toLong))
     val cqLit = typedlit(cq)
-    // materialize the routed corpus ONCE: the coarse assignment is
-    // nLists cosines per row (the expensive pass at a real list
-    // count), and it feeds the residual-codebook seeds collect, the
-    // Lloyd update pass, AND the encode — recomputing it per consumer
-    // was a 5x blowup at the 500k/256-list decade probe (250 s → 60 s)
     val assigned = base
       .withColumn("q", microQ(col("v")))
-      .withColumn("list", element_at(nearestCentroids(cents, col("v"), 1), 1))
+      .withColumn("list",
+        element_at(nearestCentroids(cents, col("v"), 1), 1))
       .withColumn("rq", zip_with(col("q"),
         element_at(cqLit, col("list") + 1), (a, b) => a - b))
       .localCheckpoint()
     val books = pqCodebooksFromQ(
       assigned.select(col("nbr").as("id"), col("rq").as("q")),
       m, ksub, iters)
-    if (books.isEmpty)
-      return queries.select(qid.as("qid")).limit(0)
-        .crossJoin(base.select(col("nbr")).limit(0))
-        .withColumn("score", lit(0.0)).withColumn("rank", lit(0))
+    if (books.isEmpty) return None
     val sub = books.head.head.size
     val kk = books.head.size
     val lits = books.map(b => typedlit(b))
@@ -1029,49 +1068,106 @@ object Similarity {
           element_at(n2Lit(j), element_at(col("codes"), j + 1) + 1))
         .reduce(_ + _))
       .select(col("nbr"), col("v"), col("list"), col("codes"), col("cn2"))
-    def qNorm2(q: Column): Column =
-      aggregate(q, lit(0L).cast("long"), (acc, x) => acc + x * x)
-    // per-query: raw-vector dot tables vs the RESIDUAL codebooks
-    // (list-independent) + per-probed-list centroid dot
-    val q = queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
+    Some((cents, books, enc))
+  }
+
+  /** Query-side IVF-PQ frame: micro-quantized query, residual-codebook
+    * dot tables (list-independent), exact norm², probed lists with
+    * their centroid dots. Shared by [[ivfPqTopK]] and the packed/
+    * streaming probe. */
+  private def pqQuerySide(queries: DataFrame, qid: Column, qvec: Column,
+                          cents: Seq[Seq[Double]],
+                          books: Seq[Seq[Seq[Long]]],
+                          nProbe: Int): DataFrame = {
+    val m = books.size
+    val sub = books.head.head.size
+    val kk = books.head.size
+    val lits = books.map(b => typedlit(b))
+    val cq: Seq[Seq[Long]] =
+      cents.map(_.map(x => math.floor(x * 1e6 + 0.5).toLong))
+    val cqLit = typedlit(cq)
+    queries.select(qid.as("qid"), toDouble(qvec).as("qv"))
       .filter(col("qv").isNotNull)
       .withColumn("qq", microQ(col("qv")))
       .withColumn("dtab", array((0 until m).map(j =>
         transform(sequence(lit(0), lit(kk - 1)), i =>
           pqSubDot(col("qq"), lits(j), j, sub, i))): _*))
-      .withColumn("qn2", qNorm2(col("qq")))
-      .withColumn("list", explode(nearestCentroids(cents, col("qv"), nProbe)))
+      .withColumn("qn2",
+        aggregate(col("qq"), lit(0L).cast("long"), (acc, x) => acc + x * x))
+      .withColumn("list",
+        explode(nearestCentroids(cents, col("qv"), nProbe)))
       .withColumn("qc", aggregate(
         zip_with(col("qq"), element_at(cqLit, col("list") + 1),
           (a, b) => a * b),
         lit(0L).cast("long"), (acc, x) => acc + x))
       .select(col("qid"), col("qv"), col("qq"), col("dtab"),
               col("qn2"), col("list"), col("qc"))
-    val adot = col("qc") + (0 until m).map(j =>
+  }
+
+  /** IVF-PQ index packed for stream-static ANN ([[ivfPack]]'s shape
+    * with PQ payloads): one row per list,
+    * `(list, postings: array<struct<nbr, codes, cn2, v>>)`. The float
+    * vectors ride along ONLY for the in-row exact rescore; a
+    * rescore-free deployment drops `v` for the full 32-64x byte cut.
+    * Returns (centroids, codebooks, packed). */
+  def ivfPqPack(corpus: DataFrame, id: Column, vec: Column,
+                nLists: Int = 8, m: Int = 8, ksub: Int = 8,
+                iters: Int = 1,
+                trainedCoarse: Option[Seq[Seq[Double]]] = None)
+      : (Seq[Seq[Double]], Seq[Seq[Seq[Long]]], DataFrame) =
+    ivfPqEncode(corpus, id, vec, nLists, m, ksub, iters,
+        trainedCoarse) match {
+      case None => (Nil, Nil, corpus.sparkSession.emptyDataFrame)
+      case Some((cents, books, enc)) =>
+        (cents, books, enc
+          .groupBy("list")
+          .agg(collect_list(struct(col("nbr"), col("codes"),
+            col("cn2"), col("v"))).as("postings")))
+    }
+
+  /** Probe side of [[ivfPqPack]]: route each query to its nearest
+    * list (nProbe = 1), equi-join the packed index, ADC-rank the
+    * postings INSIDE the row, rescore the in-row shortlist with exact
+    * cosine — no aggregation anywhere, so the whole plan is stateless
+    * and runs unchanged on a Structured Streaming query frame in
+    * append mode (the [[ivfTopKPacked]] contract, with PQ scoring).
+    * Ranking is bit-identical to [[ivfPqTopK]] at nProbe = 1 given
+    * the same centroids (`StreamingSpec` pins it).
+    * Returns (qid, nbr, score, rank). */
+  def ivfPqTopKPacked(queries: DataFrame, cents: Seq[Seq[Double]],
+                      books: Seq[Seq[Seq[Long]]], packed: DataFrame,
+                      qid: Column, qvec: Column, k: Int,
+                      shortlistFactor: Int = 4): DataFrame = {
+    require(k >= 1 && shortlistFactor >= 1,
+      s"ivfPqTopKPacked: k=$k sf=$shortlistFactor must be >= 1")
+    require(cents.nonEmpty && books.nonEmpty,
+      "ivfPqTopKPacked: empty index")
+    val m = books.size
+    val q = pqQuerySide(queries, qid, qvec, cents, books, nProbe = 1)
+    def adotOf(p: Column): Column =
+      col("qc") + (0 until m).map(j =>
         element_at(element_at(col("dtab"), j + 1),
-                   element_at(col("codes"), j + 1) + 1))
-      .reduce(_ + _)
-    val aden = sqrt(col("qn2").cast("double")) *
-               sqrt(col("cn2").cast("double"))
-    val cand = enc.join(
-        broadcast(q.select(col("qid"), col("dtab"), col("qn2"),
-          col("list"), col("qc"))),
-        Seq("list"))
-      .filter(col("nbr") =!= col("qid"))
-      .select(col("qid"), col("nbr"),
-        when(col("qn2") === 0L || col("cn2") <= 0L, 0.0)
-          .otherwise(round(adot.cast("double") / aden, 6)).as("s8"))
-    val short = Relational.topKScored(cand, col("qid"), col("s8"),
-        col("nbr"), k * shortlistFactor, idName = "nbr",
-        scoreName = "s8")
-      .select("qid", "nbr")
-    val rescored = base.select(col("nbr"), col("v"))
-      .join(broadcast(short), "nbr")
-      .join(broadcast(q.select(col("qid"), col("qv")).distinct()), "qid")
-    val dn = l2norm(col("qv")) * l2norm(col("v"))
-    val cos = when(dn === 0.0, 0.0).otherwise(dot(col("qv"), col("v")) / dn)
-    Relational.topKScored(
-      rescored.select(col("qid"), col("nbr"), round(cos, 6).as("score")),
-      col("qid"), col("score"), col("nbr"), k, idName = "nbr")
+                   element_at(p.getField("codes"), j + 1) + 1))
+        .reduce(_ + _)
+    def s8Of(p: Column): Column =
+      when(col("qn2") === 0L || p.getField("cn2") <= 0L, 0.0)
+        .otherwise(round(adotOf(p).cast("double") /
+          (sqrt(col("qn2").cast("double")) *
+           sqrt(p.getField("cn2").cast("double"))), 6))
+    q.join(packed, Seq("list"))
+      .withColumn("short", slice(array_sort(transform(
+          filter(col("postings"), p => p.getField("nbr") =!= col("qid")),
+          p => struct((-s8Of(p)).as("neg"),
+                      p.getField("nbr").as("nbr"),
+                      p.getField("v").as("v")))),
+        1, k * shortlistFactor))
+      .withColumn("top", slice(array_sort(transform(col("short"), s =>
+          struct((-round(cosine(col("qv"), s.getField("v")), 6))
+                   .as("neg"),
+                 s.getField("nbr").as("nbr")))), 1, k))
+      .select(col("qid"), posexplode(col("top")).as(Seq("__pos", "__e")))
+      .select(col("qid"), col("__e.nbr").as("nbr"),
+              (-col("__e.neg")).as("score"),
+              (col("__pos") + 1).cast("int").as("rank"))
   }
 }

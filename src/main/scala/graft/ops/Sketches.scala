@@ -236,12 +236,19 @@ object Sketches {
     * Deterministic by construction (hash order, no RNG) — the DuckDB
     * oracle rebuilds the identical sketch with an ORDER BY hash LIMIT k,
     * so estimates hash-match bit-for-bit. Returns (group..., kmv). */
+  /** The sketch hash: portable polyHash62 scattered by the
+    * double-MINSTD permutation (see [[kmvSketch]]'s hash note). */
+  def kmvHash(key: Column): Column =
+    Sampling.idHash(
+      graft.functions.TextFunctions.polyHash62(key.cast("string")))
+
   def kmvSketch(df: DataFrame, group: Seq[Column], key: Column,
                 k: Int): DataFrame = {
     val agg = graft.functions.Reducers.kmvBottomK(k)
-    df.select(group :+ Sampling.idHash(graft.functions.TextFunctions
-        .polyHash62(key.cast("string"))).as("__h"): _*)
-      .groupBy(group: _*)
+    // group by the select's OUTPUT columns: a group expression like
+    // year(ts).as("yr") no longer resolves against the projected frame
+    val pre = df.select(group :+ kmvHash(key).as("__h"): _*)
+    pre.groupBy(pre.columns.dropRight(1).map(col).toSeq: _*)
       .agg(agg(col("__h")).as("kmv"))
   }
 
@@ -251,6 +258,34 @@ object Sketches {
     * k DISTINCT values. */
   private def kmvTheta(ks: Column, k: Int): Column =
     when(size(ks) < k, lit(KmvSpace)).otherwise(element_at(ks, k))
+
+  /** Distinct estimate from a KMV sketch array: exact size below
+    * saturation (every distinct hash is retained), else
+    * floor((k−1)·M / h_(k)). The numerator is exact in double and both
+    * engines run the same divide-then-floor IEEE ops — bit-portable. */
+  def kmvEstimateCol(ks: Column, k: Int): Column =
+    when(size(ks) < k, size(ks).cast("long"))
+      .otherwise(floor(lit(((k - 1).toLong * KmvSpace).toDouble) /
+        element_at(ks, k)).cast("long"))
+
+  /** Roll a [[kmvSketch]] frame up to a coarser grouping: bottom-k of
+    * the union of the fine sketches. LOSSLESS for KMV — a hash among
+    * the k smallest of a union is among the k smallest of its own
+    * side, so the merged bottom-k equals the sketch a direct coarse
+    * build would produce (the HLL register-maxima property, in
+    * order-statistics form; `OpsSpec` pins frame equality and q424's
+    * oracle builds the coarse sketch directly). Sketch once at the
+    * finest granularity, answer every coarser distinct/overlap
+    * question without touching the corpus again — the rollup input is
+    * groups × k longs, nothing else. Returns (keep..., kmv, est). */
+  def kmvRollup(sketches: DataFrame, keep: Seq[Column], k: Int)
+      : DataFrame = {
+    val agg = graft.functions.Reducers.kmvBottomK(k)
+    sketches.select(keep :+ explode(col("kmv")).as("__h"): _*)
+      .groupBy(keep: _*)
+      .agg(agg(col("__h")).as("kmv"))
+      .withColumn("est", kmvEstimateCol(col("kmv"), k))
+  }
 
   /** Theta-sketch set operations over two KMV sketch frames (same
     * group columns, sketch arrays built by [[kmvSketch]] with the same
@@ -276,7 +311,6 @@ object Sketches {
     // representable in double, and both engines perform the SAME
     // multiply-then-divide-then-floor IEEE ops, so the floored
     // estimates are bit-portable without any decimal machinery
-    val numE = lit(((k - 1).toLong * KmvSpace).toDouble)
     val emptyArr = array().cast("array<bigint>")
     val ja = a.withColumnRenamed("kmv", "ka")
     val jb = b.withColumnRenamed("kmv", "kb")
@@ -294,9 +328,7 @@ object Sketches {
     // exact too), else floor((k−1)·M / h_(k)). CaseWhen evaluates
     // lazily per row, so element_at(ks, k) never fires on an
     // unsaturated sketch (ANSI out-of-bounds).
-    def est(ks: Column): Column =
-      when(size(ks) < k, size(ks).cast("long"))
-        .otherwise(floor(numE / element_at(ks, k)).cast("long"))
+    def est(ks: Column): Column = kmvEstimateCol(ks, k)
     val nI = size(filter(col("ka"),
       h => array_contains(col("kb"), h) && h < col("__theta")))
     val nD = size(filter(col("ka"),

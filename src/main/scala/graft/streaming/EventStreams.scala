@@ -281,6 +281,39 @@ object EventStreams {
     graft.ops.Similarity.ivfTopKPacked(queries, centroids, packedIndex,
       qid, qvec, k)
 
+  /** Stream-static IVF-PQ ANN: streaming query vectors probe a static
+    * [[graft.ops.Similarity.ivfPqPack]] index — route to the nearest
+    * list (stateless expression), equi-join the packed frame, ADC-rank
+    * and rescore INSIDE the row. No aggregation, no state store,
+    * append mode; per-query results are bit-identical to the batch
+    * [[graft.ops.Similarity.ivfPqTopK]] at nProbe 1 given the same
+    * centroids (the annTopKStream contract with PQ scoring —
+    * StreamingSpec pins it). */
+  def pqAnnStream(queries: DataFrame, cents: Seq[Seq[Double]],
+                  books: Seq[Seq[Seq[Long]]], packed: DataFrame,
+                  qid: Column, qvec: Column, k: Int): DataFrame =
+    graft.ops.Similarity.ivfPqTopKPacked(queries, cents, books, packed,
+      qid, qvec, k)
+
+  /** Streaming KMV theta sketch: the batch
+    * [[graft.ops.Sketches.kmvSketch]] bottom-k-distinct-hash state as
+    * a streaming aggregation — O(k) mergeable state per group in the
+    * state store, partials fold in per micro-batch. Bottom-k-of-union
+    * is associative AND commutative, so the standing sketch equals
+    * the batch build REGARDLESS of batch boundaries (exact parity,
+    * not an approximation bound — StreamingSpec pins it), and the
+    * emitted sketch feeds the same [[graft.ops.Sketches.kmvSetOps]] /
+    * rollup algebra as batch sketches. Update/complete mode. */
+  def kmvSketchStream(stream: DataFrame, group: Column, key: Column,
+                      k: Int): DataFrame = {
+    val f = udaf(graft.functions.Reducers.KmvBottomK(k))
+    stream.filter(key.isNotNull)
+      .select(group.as("group"),
+        graft.ops.Sketches.kmvHash(key).as("__h"))
+      .groupBy(col("group"))
+      .agg(f(col("__h")).as("kmv"))
+  }
+
   final case class FEv(user_id: Long, tsSec: Long, event_type: String)
   final case class FunnelState(ts: Seq[Long])
   final case class UserFunnel(user_id: Long, completed: Int, ts: Seq[Long])

@@ -1333,6 +1333,30 @@ class OpsSpec extends AnyFunSuite {
            lop.getLong(4) == 0 && lop.getLong(5) == 30)
   }
 
+  test("KMV rollup equals direct coarse sketching (lossless union)") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val k = 64
+    val fine = Sketches.kmvSketch(o,
+      Seq(col("o_orderpriority"), year(col("o_orderdate")).as("yr")),
+      col("o_custkey"), k)
+    val rolled = Sketches.kmvRollup(fine, Seq(col("o_orderpriority")), k)
+      .collect().map(r => r.getString(0) ->
+        ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    val direct = Sketches.kmvSketch(o, Seq(col("o_orderpriority")),
+        col("o_custkey"), k)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(rolled.keySet == direct.keySet)
+    for ((g, ks) <- direct)
+      assert(rolled(g)._1 == ks, s"$g: rolled sketch != direct sketch")
+    // the rollup's estimates track the exact distinct counts
+    val exact = o.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((g, d) <- exact)
+      assert(math.abs(rolled(g)._2 - d).toDouble / d < 4.0 / math.sqrt(k),
+        s"$g: est ${rolled(g)._2} vs exact $d")
+  }
+
   test("sketch profile tracks exact stats within documented bounds") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val approx = Sketches.profile(li, Seq(col("l_returnflag")),

@@ -402,6 +402,71 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming IVF-PQ ANN equals batch ivfPqTopK at nProbe = 1") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (cents, books, packed) = graft.ops.Similarity.ivfPqPack(
+      corpus, col("vec_id"), col("embedding"), nLists = 8)
+    val idx = packed.localCheckpoint()
+    val queryRows = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val ms = MemoryStream[(Long, Seq[Float])]
+    val ann = EventStreams.pqAnnStream(
+      ms.toDS().toDF("vec_id", "embedding"), cents, books, idx,
+      col("vec_id"), col("embedding"), k = 5)
+    val q = ann.writeStream.format("memory").queryName("pqann")
+      .outputMode("append").start()
+    try {
+      ms.addData(queryRows.take(4).toSeq); q.processAllAvailable()
+      ms.addData(queryRows.drop(4).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("pqann")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    // the batch twin retrains on the same corpus with the same coarse
+    // centroids, so codebooks — and the full ranking — are identical
+    val want = graft.ops.Similarity.ivfPqTopK(
+        corpus, corpus.filter(col("vec_id") < 10),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 5, nLists = 8, nProbe = 1, trainedCoarse = Some(cents))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
+  test("streaming KMV sketch equals the batch sketch across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderpriority"), col("o_custkey"))
+    val rows = o.collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue))
+    val ms = MemoryStream[(String, Long)]
+    val sk = EventStreams.kmvSketchStream(
+      ms.toDS().toDF("pri", "cust"), col("pri"), col("cust"), k = 64)
+    val q = sk.writeStream.format("memory").queryName("kmvsk")
+      .outputMode("complete").start()
+    try {
+      // batch boundaries must not matter: bottom-k-of-union is
+      // associative and commutative
+      ms.addData(rows.take(rows.length / 3).toSeq)
+      q.processAllAvailable()
+      ms.addData(rows.drop(rows.length / 3).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("kmvsk").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val want = graft.ops.Sketches.kmvSketch(o,
+        Seq(col("o_orderpriority")), col("o_custkey"), 64)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
+
   test("streaming ANN equals batch ivfTopK at nProbe = 1") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
