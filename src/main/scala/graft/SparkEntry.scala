@@ -681,6 +681,42 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Point-in-time SCD2 lookup (the feature-store primitive): each
+    // purchase is decorated with the browsing-mode VERSION valid at
+    // its time — as-of on eff_from (one shuffle, no interval
+    // explode), eff_to gate after. Zero-length versions (same-ts
+    // changes) are dropped so eff_from is unique per user and both
+    // engines' as-of picks are unambiguous.
+    "q426_scd2_pit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val dim = graft.ops.Events.scd2Intervals(
+          ev.filter(col("event_type").isin("click", "view")),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"))
+        .filter(col("eff_to").isNull || col("eff_to") > col("eff_from"))
+        .select(col("key").as("user_id"), col("attr"),
+                col("eff_from"), col("eff_to"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.ops.Relational.pointInTimeJoin(facts, dim,
+          key = "user_id", factTime = "ts",
+          effFrom = "eff_from", effTo = "eff_to",
+          payload = Map("attr" -> "mode_at_purchase"))
+        .select(col("user_id"), col("event_id"), col("mode_at_purchase"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Multi-touch linear attribution: every click/view within 6h of
+    // the user's next purchase shares that purchase's credit equally
+    // (integer micro-credits, floor split) — q172's last-touch
+    // complement, per-channel report.
+    "q427_linear_attribution" -> ((s, dir) => {
+      graft.ops.Events.linearAttribution(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"),
+          touchTypes = Seq("click", "view"), convType = "purchase",
+          withinSeconds = 6 * 3600L)
+        .orderBy("touch_type")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -4927,6 +4963,62 @@ object SparkEntry {
            CAST(max(CASE WHEN p = 0 THEN r*65536 + g*256 + b END)
              AS BIGINT) AS first_px
          FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""",
+
+    // forward ASOF to the next same-user conversion representative
+    // (min event id per second), 6h gate, per-conversion count,
+    // integer floor split, per-channel sums
+    "q427_linear_attribution" ->
+      """WITH b AS (SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_type AS et, event_id AS eid
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         tch AS (SELECT user_id, t, et, eid FROM b
+                 WHERE et IN ('click', 'view')),
+         cv AS (SELECT user_id, t AS c_t, min(eid) AS c_id
+                FROM b WHERE et = 'purchase' GROUP BY user_id, t),
+         fwd AS (SELECT tch.user_id, tch.t, tch.et, tch.eid,
+                   cv.c_t, cv.c_id
+                 FROM tch ASOF LEFT JOIN cv
+                   ON tch.user_id = cv.user_id AND tch.t <= cv.c_t),
+         gated AS (SELECT user_id, t, et, eid,
+                     CASE WHEN c_t - t <= 21600 THEN c_id END AS conv_id
+                   FROM fwd),
+         pc AS (SELECT conv_id, count(*) AS n FROM gated
+                WHERE conv_id IS NOT NULL GROUP BY conv_id)
+         SELECT g.et AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(pc.n) AS BIGINT) AS n_attributed,
+           CAST(coalesce(sum(1000000 // pc.n), 0) AS BIGINT)
+             AS credit_ppm
+         FROM gated g LEFT JOIN pc ON pc.conv_id = g.conv_id
+         GROUP BY g.et ORDER BY touch_type""",
+
+    // q162's interval build + DuckDB's native ASOF join on eff_from
+    // + the eff_to gate; zero-length versions filtered on both sides
+    "q426_scd2_pit" ->
+      """WITH s AS (SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+           FROM events
+           WHERE ts IS NOT NULL AND event_type IN ('click', 'view')),
+         ch AS (SELECT user_id, ts, event_id, event_type FROM s
+                WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+         iv0 AS (SELECT user_id, event_type AS attr, ts AS f,
+                  lead(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS t
+                FROM ch),
+         iv AS (SELECT * FROM iv0 WHERE t IS NULL OR t > f),
+         p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         m AS (SELECT p.user_id, p.event_id, p.ts, iv.attr, iv.t
+               FROM p ASOF LEFT JOIN iv
+                 ON p.user_id = iv.user_id AND p.ts >= iv.f)
+         SELECT user_id, event_id,
+           CASE WHEN t IS NULL OR ts < t THEN attr END
+             AS mode_at_purchase
+         FROM m ORDER BY user_id, event_id""",
 
     // the packed probe at nProbe = 1: q423's replay with the probe
     // CTE restricted to the single nearest list

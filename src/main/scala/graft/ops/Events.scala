@@ -341,6 +341,57 @@ object Events {
       .select(col("key"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Multi-touch LINEAR attribution — [[lastTouchAttribution]]'s
+    * complement: a conversion's credit splits EQUALLY across all its
+    * touches within the window (the marketing model that values the
+    * whole path, not just the closer). Each touch credits the NEXT
+    * conversion at-or-after it via the forward as-of join — one
+    * shuffle, no (touch × conversion) range explosion — gated by
+    * `withinSeconds`; per-conversion touch counts then split 1e6
+    * micro-credits integer-exactly (floor division — the ≤ n−1 ppm
+    * remainder stays unassigned rather than tie-breaking, so sums
+    * are deterministic and engine-portable). Conversions pre-reduce
+    * to one representative per (user, second) (min event id): two
+    * same-second conversions pool their path's credit onto the
+    * representative — deterministic, documented. Times truncate to
+    * epoch seconds (the [[funnel]] parity rule).
+    *
+    * Returns per-channel totals: (touch_type, n_touches,
+    * n_attributed, credit_ppm). */
+  def linearAttribution(df: DataFrame, user: Column, ts: Column,
+                        eventType: Column, eventId: Column,
+                        touchTypes: Seq[String], convType: String,
+                        withinSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "linearAttribution: no touch types")
+    require(withinSeconds >= 0,
+      s"linearAttribution: negative window $withinSeconds")
+    val base = df.filter(ts.isNotNull && user.isNotNull)
+      .select(user.as("user_id"), unix_timestamp(ts).as("t"),
+              eventType.as("et"), eventId.as("eid"))
+    val touches = base.filter(col("et").isin(touchTypes: _*))
+      .select(col("user_id"), col("t"), col("et"), col("eid"))
+    val convs = base.filter(col("et") === convType)
+      .groupBy(col("user_id"), col("t"))
+      .agg(min(col("eid")).as("c_id"))
+      .select(col("user_id"), col("t").as("c_t"), col("c_id"))
+    val fwd = Relational.asofJoinForward(touches, convs,
+        key = "user_id", leftTime = "t", rightTime = "c_t",
+        payload = Map("c_t" -> "conv_t", "c_id" -> "conv_id"))
+      .withColumn("conv_id",
+        when(col("conv_t") - col("t") <= withinSeconds, col("conv_id")))
+    val perConv = fwd.filter(col("conv_id").isNotNull)
+      .groupBy("conv_id").agg(count(lit(1)).as("n"))
+    // no broadcast hint: perConv is conversion-cardinality-sized —
+    // AQE broadcasts when it is actually small
+    fwd
+      .join(perConv, Seq("conv_id"), "left")
+      .groupBy(col("et").as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+           count(col("n")).as("n_attributed"),
+           coalesce(sum(when(col("n").isNotNull,
+             expr("1000000 div n"))), lit(0L)).as("credit_ppm"))
+  }
+
   /** Last-touch attribution: each conversion event credits the most
     * recent touch event (same user, touch time <= conversion time, ASOF
     * semantics) of an allowed touch type, provided it happened within

@@ -412,6 +412,34 @@ object Relational {
       .drop("__t", "__side", "__payload", "__matched")
   }
 
+  /** Point-in-time (SCD2) dimension lookup — the feature-store /
+    * Type-2 warehouse primitive: attach to each fact row the dimension
+    * VERSION valid at the fact's time (eff_from <= t < eff_to; an open
+    * current version has null eff_to). Lowered as [[asofJoinBackward]]
+    * on eff_from — ONE key shuffle, no interval explode (the naive
+    * `BETWEEN` join range-explodes per key) — with the eff_to bound
+    * enforced as a post-gate: in a tiled SCD2 history the as-of
+    * predecessor is the unique candidate, and in a GAPPED history the
+    * gate nulls the payload out rather than resurrecting an expired
+    * version (q401's staleness discipline with the bound carried
+    * per-version instead of a global constant).
+    *
+    * `payload` maps dim column → output name (the gate applies to all
+    * of them together — a version matches wholly or not at all). */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, key: String,
+                      factTime: String, effFrom: String, effTo: String,
+                      payload: Map[String, String]): DataFrame = {
+    require(payload.nonEmpty, "pointInTimeJoin: empty payload")
+    val joined = asofJoinBackward(facts, dim, key, factTime, effFrom,
+      payload ++ Map(effTo -> "__pit_to"))
+    val valid = col("__pit_to").isNull ||
+      col(factTime) < col("__pit_to")
+    payload.values.foldLeft(joined) { (d, out) =>
+        d.withColumn(out, when(valid, col(out)))
+      }
+      .drop("__pit_to")
+  }
+
   /** [[asofJoinBackward]] with a STALENESS BOUND: a matched payload
     * older than `maxStalenessSec` at the left row's time is treated as
     * no-match (null payload) — quotes expire, sensor readings go

@@ -1289,6 +1289,58 @@ class OpsSpec extends AnyFunSuite {
       full.forall(r => r.getLong(2) == 1L && r.getLong(3) == 200000L))
   }
 
+  test("linear attribution: equal split, floor remainder, gates") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq(
+      // user 1: three touches then a purchase -> 333333 ppm each
+      (1L, t(0), "click", 10L), (1L, t(10), "view", 11L),
+      (1L, t(20), "click", 12L), (1L, t(30), "purchase", 13L),
+      // user 2: touch outside the window -> unattributed
+      (2L, t(0), "view", 20L), (2L, t(9000), "purchase", 21L),
+      // user 3: touch after the only purchase -> unattributed
+      (3L, t(100), "purchase", 30L), (3L, t(200), "click", 31L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.linearAttribution(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"),
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        withinSeconds = 3600L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // clicks: 3 touches, 2 attributed (user 1's two), 2 * 333333
+    assert(got("click") == ((3L, 2L, 666666L)))
+    // views: 2 touches, 1 attributed, 333333; the 1-ppm-per-conversion
+    // remainder (999999 != 1000000) stays unassigned by design
+    assert(got("view") == ((2L, 1L, 333333L)))
+  }
+
+  test("point-in-time join: valid version, gap, open version, pre-history") {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: [10:00,11:00) gold, GAP, [12:00, open) silver
+    val dim = Seq(
+      (1L, "gold", t("2024-01-01 10:00:00"),
+        Option(t("2024-01-01 11:00:00"))),
+      (1L, "silver", t("2024-01-01 12:00:00"), None: Option[java.sql.Timestamp]))
+      .toDF("k", "attr", "eff_from", "eff_to")
+    val facts = Seq(
+      (1L, 1L, t("2024-01-01 09:00:00")),  // pre-history -> null
+      (1L, 2L, t("2024-01-01 10:00:00")),  // boundary: eff_from inclusive
+      (1L, 3L, t("2024-01-01 10:59:59")),  // inside gold
+      (1L, 4L, t("2024-01-01 11:00:00")),  // eff_to exclusive -> gap null
+      (1L, 5L, t("2024-01-01 11:30:00")),  // in the gap -> null (no
+                                           // resurrection of expired gold)
+      (1L, 6L, t("2024-01-01 23:00:00")))  // open version matches
+      .toDF("k", "fid", "ts")
+    val got = Relational.pointInTimeJoin(facts, dim, key = "k",
+        factTime = "ts", effFrom = "eff_from", effTo = "eff_to",
+        payload = Map("attr" -> "tier"))
+      .collect().map(r => r.getLong(1) -> Option(r.getString(3))).toMap
+    assert(got == Map(1L -> None, 2L -> Some("gold"), 3L -> Some("gold"),
+      4L -> None, 5L -> None, 6L -> Some("silver")))
+  }
+
   test("KMV theta set ops: exact below saturation, bounded above it") {
     import spark.implicits._
     // exact regime: all distinct hashes retained (k > distinct count)
