@@ -717,6 +717,24 @@ object SparkEntry {
         .orderBy("touch_type")
     }),
 
+    // Sampled closeness centrality: BFS hop distances from the 8
+    // smallest part ids over the strong-co-purchase graph (3-hop
+    // horizon), reduced to each node's integer sufficient statistics
+    // (seeds reached, hop-distance sum) — the Eppstein-Wang sampled
+    // estimator's exact core. Frontier BFS: no pair revisited, cost
+    // O(edges x seeds), never path enumeration.
+    "q428_closeness" -> ((s, dir) => {
+      val pairs = graft.ops.Graph.coOccurrencePairs(
+        t(s, dir, "lineitem").filter(col("l_quantity") >= 25),
+        col("l_orderkey"), col("l_partkey"))
+      val seeds = pairs.select(col("u").as("id"))
+        .union(pairs.select(col("v").as("id")))
+        .distinct().orderBy("id").limit(8)
+      graft.ops.Graph.sampledCloseness(pairs, col("u"), col("v"),
+          seeds, maxHops = 3)
+        .orderBy("id")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -4963,6 +4981,30 @@ object SparkEntry {
            CAST(max(CASE WHEN p = 0 THEN r*65536 + g*256 + b END)
              AS BIGINT) AS first_px
          FROM rgb GROUP BY doc_id, w, h ORDER BY doc_id""",
+
+    // recursive-CTE BFS from the same 8 seeds (UNION dedups the
+    // (id, seed, d) triples so the recursion is layer-bounded),
+    // min-hop per pair, then the same integer reductions
+    "q428_closeness" ->
+      """WITH RECURSIVE
+         li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             FROM lineitem WHERE l_quantity >= 25),
+         e AS (SELECT DISTINCT least(a.p, b.p) AS u,
+                 greatest(a.p, b.p) AS v
+               FROM li a JOIN li b ON a.o = b.o AND a.p <> b.p),
+         adj AS (SELECT u AS a, v AS b FROM e
+                 UNION ALL SELECT v, u FROM e),
+         seeds AS (SELECT DISTINCT a AS id FROM adj ORDER BY id LIMIT 8),
+         bfs AS (
+           SELECT id, id AS seed, 0 AS d FROM seeds
+           UNION
+           SELECT adj.b, bfs.seed, bfs.d + 1
+           FROM bfs JOIN adj ON adj.a = bfs.id
+           WHERE bfs.d < 3),
+         m AS (SELECT id, seed, min(d) AS d FROM bfs GROUP BY id, seed)
+         SELECT id, CAST(count(*) AS BIGINT) AS seeds_reached,
+           CAST(sum(d) AS BIGINT) AS sum_dist
+         FROM m GROUP BY id ORDER BY id""",
 
     // forward ASOF to the next same-user conversion representative
     // (min event id per second), 6h gate, per-conversion count,

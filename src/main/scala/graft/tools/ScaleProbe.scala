@@ -205,6 +205,51 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("decade2")) {
+      // a SECOND decade step for the headline families: 2M docs in
+      // 200k 10-copy cliques (9M true pairs), 30M events / 1.5M
+      // users. The question is the same as the first decade's — does
+      // cost stay linear in true pairs / events, with no broadcast
+      // mistake and no OOM — one step closer to the real corpus.
+      import spark.implicits._
+      def time(label: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
+      }
+      val docs = spark.range(2000000L).select(col("id").as("doc_id"),
+          concat(
+            concat_ws(" ", transform(sequence(lit(0), lit(59)), j =>
+              concat(lit("w"), pmod(hash(expr("id div 10"), j),
+                lit(4000000L))))),
+            lit(" t"), pmod(col("id"), lit(10))).as("text"))
+        .repartition(96)
+        .localCheckpoint()
+      println(s"[scale] decade2 corpus: ${docs.count()} docs")
+      time("minhash_lsh 2M tau=.6")(graft.ops.Dedup.minhashLshPairs(
+        docs, col("doc_id"), col("text"), tau = 0.6).count())
+      time("exact_dedup 2M")(graft.ops.Dedup.exactKeepFirst(
+        docs, col("text"), col("doc_id")).count())
+      time("deletion_pairs 2M")(graft.ops.Dedup.deletionNeighborPairs(
+        docs, col("doc_id"), col("text")).count())
+      val nEv = 30000000L
+      val events = spark.range(nEv).select(
+          expr("id div 20").as("user_id"),
+          timestamp_seconds(lit(1700000000L) + expr("id div 20") +
+            pmod(col("id"), lit(20)) *
+            (lit(300L) + pmod(hash(col("id")), lit(2400L))))
+            .as("ts"))
+        .repartition(96)
+        .localCheckpoint()
+      println(s"[scale] decade2 events: ${events.count()}")
+      time("sessionize 30M ev")(graft.ops.Events.sessionize(
+        events, col("user_id"), col("ts"), gapSeconds = 1800L)
+        .agg(count(col("session_id"))).head().getLong(0))
+      time("session_agg 30M ev")(graft.ops.Events.sessionAgg(
+        events, col("user_id"), col("ts"), gapSeconds = 1800L).count())
+      spark.stop(); return
+    }
+
     if (args.contains("decade")) {
       // One order of magnitude past the 50k/1M probes: 500k docs in
       // 50k 10-copy near-dup cliques (synthetic token streams, so

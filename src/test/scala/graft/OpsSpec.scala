@@ -1289,6 +1289,26 @@ class OpsSpec extends AnyFunSuite {
       full.forall(r => r.getLong(2) == 1L && r.getLong(3) == 200000L))
   }
 
+  test("hop distances / sampled closeness: path-graph hand case") {
+    import spark.implicits._
+    // path 1-2-3-4-5, seeds {1, 5}, horizon 2
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val seeds = Seq(1L, 5L).toDF("id")
+    val d = Graph.hopDistances(e, col("a"), col("b"), seeds, maxHops = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(d == Map((1L, 1L) -> 0, (2L, 1L) -> 1, (3L, 1L) -> 2,
+      (5L, 5L) -> 0, (4L, 5L) -> 1, (3L, 5L) -> 2))
+    val c = Graph.sampledCloseness(e, col("a"), col("b"), seeds, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(c == Map(1L -> ((1L, 0L)), 2L -> ((1L, 1L)),
+      3L -> ((2L, 4L)), 4L -> ((1L, 1L)), 5L -> ((1L, 0L))))
+    // maxHops 0: seeds only
+    assert(Graph.hopDistances(e, col("a"), col("b"), seeds, 0)
+      .count() == 2)
+  }
+
   test("linear attribution: equal split, floor remainder, gates") {
     import spark.implicits._
     def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
