@@ -25,6 +25,24 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val d = spark.read.parquet(s"$sfDir/documents.parquet")
 
+    if (args.contains("q428")) { // BFS closeness cold/warm
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def run(): Long = {
+        val pairs = graft.ops.Graph.coOccurrencePairs(
+          li.filter(col("l_quantity") >= 25),
+          col("l_orderkey"), col("l_partkey"))
+        val seeds = pairs.select(col("u").as("id"))
+          .union(pairs.select(col("v").as("id")))
+          .distinct().orderBy("id").limit(8)
+        graft.ops.Graph.sampledCloseness(pairs, col("u"), col("v"),
+          seeds, maxHops = 3).count()
+      }
+      time("q428 cold")(run())
+      time("q428 warm")(run())
+      time("q428 warm2")(run())
+      spark.stop(); return
+    }
+
     if (args.contains("r6")) { // round-6 ops: plan + timing audit
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val pq = graft.ops.Similarity.pqTopK(
