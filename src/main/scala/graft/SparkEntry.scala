@@ -735,6 +735,17 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Position-based (U-shaped) attribution: first and last touch 40%
+    // each, middles share 20% — q427's skeleton with path-shape
+    // weighting (single-touch 100%, two-touch 50/50, integer floors).
+    "q449_position_attribution" -> ((s, dir) => {
+      graft.ops.Events.positionAttribution(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_type"), col("event_id"),
+          touchTypes = Seq("click", "view"), convType = "purchase",
+          withinSeconds = 6 * 3600L)
+        .orderBy("touch_type")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -5006,6 +5017,43 @@ object SparkEntry {
            CAST(sum(d) AS BIGINT) AS sum_dist
          FROM m GROUP BY id ORDER BY id""",
 
+    // q427's ASOF chain + per-conversion (n, first, last) shape and
+    // the 40/20/40 integer weighting
+    "q449_position_attribution" ->
+      """WITH b AS (SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t,
+             event_type AS et, event_id AS eid
+           FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         tch AS (SELECT user_id, t, et, eid FROM b
+                 WHERE et IN ('click', 'view')),
+         cv AS (SELECT user_id, t AS c_t, min(eid) AS c_id
+                FROM b WHERE et = 'purchase' GROUP BY user_id, t),
+         fwd AS (SELECT tch.user_id, tch.t, tch.et, tch.eid,
+                   cv.c_t, cv.c_id
+                 FROM tch ASOF LEFT JOIN cv
+                   ON tch.user_id = cv.user_id AND tch.t <= cv.c_t),
+         gated AS (SELECT user_id, t, et, eid,
+                     CASE WHEN c_t - t <= 21600 THEN c_id END AS conv_id
+                   FROM fwd),
+         pc AS (SELECT conv_id, count(*) AS n,
+                  min(struct_pack(t := t, eid := eid)) AS first_p,
+                  max(struct_pack(t := t, eid := eid)) AS last_p
+                FROM gated WHERE conv_id IS NOT NULL GROUP BY conv_id)
+         SELECT g.et AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_touches,
+           CAST(count(pc.n) AS BIGINT) AS n_attributed,
+           CAST(coalesce(sum(CASE
+             WHEN pc.n IS NULL THEN NULL
+             WHEN pc.n = 1 THEN 1000000
+             WHEN pc.n = 2 THEN 500000
+             WHEN struct_pack(t := g.t, eid := g.eid) = pc.first_p
+               OR struct_pack(t := g.t, eid := g.eid) = pc.last_p
+               THEN 400000
+             ELSE 200000 // (pc.n - 2) END), 0) AS BIGINT)
+             AS credit_ppm
+         FROM gated g LEFT JOIN pc ON pc.conv_id = g.conv_id
+         GROUP BY g.et ORDER BY touch_type""",
+
     // forward ASOF to the next same-user conversion representative
     // (min event id per second), 6h gate, per-conversion count,
     // integer floor split, per-channel sums
@@ -7843,9 +7891,12 @@ object SparkEntry {
     "q80_sketch_profile" ->
       """SELECT l_returnflag, count(*) AS n,
            count(DISTINCT l_extendedprice) AS n_distinct,
-           round(quantile_cont(l_extendedprice, 0.25), 2) AS q25,
-           round(quantile_cont(l_extendedprice, 0.50), 2) AS q50,
-           round(quantile_cont(l_extendedprice, 0.75), 2) AS q75
+           round(quantile_cont(CAST(floor(l_extendedprice*100 + 0.5)
+             AS BIGINT), 0.25) / 100.0, 2) AS q25,
+           round(quantile_cont(CAST(floor(l_extendedprice*100 + 0.5)
+             AS BIGINT), 0.50) / 100.0, 2) AS q50,
+           round(quantile_cont(CAST(floor(l_extendedprice*100 + 0.5)
+             AS BIGINT), 0.75) / 100.0, 2) AS q75
          FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // replay: starts = [0] when n <= 40 else [0, 30, 60, ...] up to

@@ -392,6 +392,63 @@ object Events {
              expr("1000000 div n"))), lit(0L)).as("credit_ppm"))
   }
 
+  /** Position-based ("U-shaped") attribution — the third member of
+    * the family ([[lastTouchAttribution]], [[linearAttribution]]):
+    * the FIRST touch gets 40%, the LAST 40%, the middles share the
+    * remaining 20% equally (the discover/close weighting). Integer
+    * micro-credits with the same floor discipline: single-touch paths
+    * take the whole 1e6; two-touch paths split 500000/500000; n ≥ 3
+    * gives 400000/400000 and 200000 div (n−2) per middle (the ≤ n−3
+    * ppm remainder stays unassigned). Same forward-as-of skeleton and
+    * same determinism rules as [[linearAttribution]] (conversion
+    * representative per (user, second) = min event id; touch
+    * positions ordered by (time, event id)).
+    *
+    * Returns per-channel totals: (touch_type, n_touches,
+    * n_attributed, credit_ppm). */
+  def positionAttribution(df: DataFrame, user: Column, ts: Column,
+                          eventType: Column, eventId: Column,
+                          touchTypes: Seq[String], convType: String,
+                          withinSeconds: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "positionAttribution: no touch types")
+    require(withinSeconds >= 0,
+      s"positionAttribution: negative window $withinSeconds")
+    val base = df.filter(ts.isNotNull && user.isNotNull)
+      .select(user.as("user_id"), unix_timestamp(ts).as("t"),
+              eventType.as("et"), eventId.as("eid"))
+    val touches = base.filter(col("et").isin(touchTypes: _*))
+      .select(col("user_id"), col("t"), col("et"), col("eid"))
+    val convs = base.filter(col("et") === convType)
+      .groupBy(col("user_id"), col("t"))
+      .agg(min(col("eid")).as("c_id"))
+      .select(col("user_id"), col("t").as("c_t"), col("c_id"))
+    val fwd = Relational.asofJoinForward(touches, convs,
+        key = "user_id", leftTime = "t", rightTime = "c_t",
+        payload = Map("c_t" -> "conv_t", "c_id" -> "conv_id"))
+      .withColumn("conv_id",
+        when(col("conv_t") - col("t") <= withinSeconds, col("conv_id")))
+    // per-conversion path shape: touch count + the (time, id)-first
+    // and -last touches, one struct-min/max aggregate (no window)
+    val pos = struct(col("t"), col("eid"))
+    val perConv = fwd.filter(col("conv_id").isNotNull)
+      .groupBy("conv_id")
+      .agg(count(lit(1)).as("n"),
+           min(pos).as("first_p"), max(pos).as("last_p"))
+    val credit =
+      when(col("n") === 1, lit(1000000L))
+        .when(col("n") === 2, lit(500000L))
+        .when(pos === col("first_p") || pos === col("last_p"),
+          lit(400000L))
+        .otherwise(expr("200000 div (n - 2)"))
+    fwd
+      .join(perConv, Seq("conv_id"), "left")
+      .groupBy(col("et").as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+           count(col("n")).as("n_attributed"),
+           coalesce(sum(when(col("n").isNotNull, credit)), lit(0L))
+             .as("credit_ppm"))
+  }
+
   /** Last-touch attribution: each conversion event credits the most
     * recent touch event (same user, touch time <= conversion time, ASOF
     * semantics) of an allowed touch type, provided it happened within

@@ -48,12 +48,19 @@ object Sketches {
     val base = df.groupBy(groupBy: _*).agg(
       count(lit(1)).as("n"), countDistinct(value).as("n_distinct"))
     val keyCols = base.columns.dropRight(2).toSeq
+    // interpolate over EXACT INTEGER CENTS, divide once at the end:
+    // with integer neighbors and quarter fractions every interpolation
+    // intermediate is exactly representable, so the quantile double is
+    // identical regardless of the engine's a+(b−a)·f vs a·(1−f)+b·f
+    // op order — a raw-double percentile differed from DuckDB by 1 ulp
+    // at sf0.001 and flipped a round-to-2 boundary (52724.245)
+    val cents = floor(value * 100 + lit(0.5)).cast("long")
     val pcts = df.groupBy(groupBy: _*).agg(
-      percentile(value, array(quantiles.map(lit): _*)).as("__ps"))
+      percentile(cents, array(quantiles.map(lit): _*)).as("__ps"))
     quantiles.zipWithIndex.foldLeft(base.join(pcts, keyCols)) {
       case (d, (q, i)) =>
         d.withColumn("q" + math.round(q * 100).toInt,
-          round(element_at(col("__ps"), i + 1), 2))
+          round(element_at(col("__ps"), i + 1) / 100.0, 2))
     }.drop("__ps")
   }
 

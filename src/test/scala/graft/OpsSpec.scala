@@ -1335,6 +1335,39 @@ class OpsSpec extends AnyFunSuite {
     assert(got("view") == ((2L, 1L, 333333L)))
   }
 
+  test("position attribution: 40/20/40, small-path and gate cases") {
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ev = Seq(
+      // user 1: click, view, view, click -> purchase:
+      //   first click 400000, last click 400000, two middle views
+      //   200000 div 2 = 100000 each
+      (1L, t(0), "click", 10L), (1L, t(10), "view", 11L),
+      (1L, t(20), "view", 12L), (1L, t(30), "click", 13L),
+      (1L, t(40), "purchase", 14L),
+      // user 2: single view -> whole credit
+      (2L, t(0), "view", 20L), (2L, t(10), "purchase", 21L),
+      // user 3: two clicks -> 500000 each
+      (3L, t(0), "click", 30L), (3L, t(5), "click", 31L),
+      (3L, t(10), "purchase", 32L),
+      // user 4: touch outside window -> unattributed
+      (4L, t(0), "click", 40L), (4L, t(9000), "purchase", 41L))
+      .toDF("user_id", "ts", "event_type", "event_id")
+    val got = Events.positionAttribution(ev, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"),
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        withinSeconds = 3600L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // clicks: 5 touches, 4 attributed: 400000+400000 (user 1) +
+    // 500000+500000 (user 3) = 1800000
+    assert(got("click") == ((5L, 4L, 1800000L)))
+    // views: 3 touches, 3 attributed: 100000+100000 (middles) +
+    // 1000000 (single) = 1200000
+    assert(got("view") == ((3L, 3L, 1200000L)))
+  }
+
   test("point-in-time join: valid version, gap, open version, pre-history") {
     import spark.implicits._
     def t(s: String) = java.sql.Timestamp.valueOf(s)
