@@ -341,6 +341,35 @@ object Events {
       .select(col("key"), col("h"), coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Shared touch→conversion attachment for the attribution family
+    * ([[linearAttribution]], [[positionAttribution]]): second-truncated
+    * events, touches of the allowed types, conversion representatives
+    * (min event id per (user, second)), forward as-of attach of the
+    * NEXT conversion, window gate. Returns (user_id, t, et, eid,
+    * conv_t, conv_id) with conv_id null when unattributed — the one
+    * place the gate/representative rules live. */
+  private def touchConversionFrame(df: DataFrame, user: Column,
+                                   ts: Column, eventType: Column,
+                                   eventId: Column,
+                                   touchTypes: Seq[String],
+                                   convType: String,
+                                   withinSeconds: Long): DataFrame = {
+    val base = df.filter(ts.isNotNull && user.isNotNull)
+      .select(user.as("user_id"), unix_timestamp(ts).as("t"),
+              eventType.as("et"), eventId.as("eid"))
+    val touches = base.filter(col("et").isin(touchTypes: _*))
+      .select(col("user_id"), col("t"), col("et"), col("eid"))
+    val convs = base.filter(col("et") === convType)
+      .groupBy(col("user_id"), col("t"))
+      .agg(min(col("eid")).as("c_id"))
+      .select(col("user_id"), col("t").as("c_t"), col("c_id"))
+    Relational.asofJoinForward(touches, convs,
+        key = "user_id", leftTime = "t", rightTime = "c_t",
+        payload = Map("c_t" -> "conv_t", "c_id" -> "conv_id"))
+      .withColumn("conv_id",
+        when(col("conv_t") - col("t") <= withinSeconds, col("conv_id")))
+  }
+
   /** Multi-touch LINEAR attribution — [[lastTouchAttribution]]'s
     * complement: a conversion's credit splits EQUALLY across all its
     * touches within the window (the marketing model that values the
@@ -365,20 +394,8 @@ object Events {
     require(touchTypes.nonEmpty, "linearAttribution: no touch types")
     require(withinSeconds >= 0,
       s"linearAttribution: negative window $withinSeconds")
-    val base = df.filter(ts.isNotNull && user.isNotNull)
-      .select(user.as("user_id"), unix_timestamp(ts).as("t"),
-              eventType.as("et"), eventId.as("eid"))
-    val touches = base.filter(col("et").isin(touchTypes: _*))
-      .select(col("user_id"), col("t"), col("et"), col("eid"))
-    val convs = base.filter(col("et") === convType)
-      .groupBy(col("user_id"), col("t"))
-      .agg(min(col("eid")).as("c_id"))
-      .select(col("user_id"), col("t").as("c_t"), col("c_id"))
-    val fwd = Relational.asofJoinForward(touches, convs,
-        key = "user_id", leftTime = "t", rightTime = "c_t",
-        payload = Map("c_t" -> "conv_t", "c_id" -> "conv_id"))
-      .withColumn("conv_id",
-        when(col("conv_t") - col("t") <= withinSeconds, col("conv_id")))
+    val fwd = touchConversionFrame(df, user, ts, eventType, eventId,
+      touchTypes, convType, withinSeconds)
     val perConv = fwd.filter(col("conv_id").isNotNull)
       .groupBy("conv_id").agg(count(lit(1)).as("n"))
     // no broadcast hint: perConv is conversion-cardinality-sized —
@@ -413,20 +430,8 @@ object Events {
     require(touchTypes.nonEmpty, "positionAttribution: no touch types")
     require(withinSeconds >= 0,
       s"positionAttribution: negative window $withinSeconds")
-    val base = df.filter(ts.isNotNull && user.isNotNull)
-      .select(user.as("user_id"), unix_timestamp(ts).as("t"),
-              eventType.as("et"), eventId.as("eid"))
-    val touches = base.filter(col("et").isin(touchTypes: _*))
-      .select(col("user_id"), col("t"), col("et"), col("eid"))
-    val convs = base.filter(col("et") === convType)
-      .groupBy(col("user_id"), col("t"))
-      .agg(min(col("eid")).as("c_id"))
-      .select(col("user_id"), col("t").as("c_t"), col("c_id"))
-    val fwd = Relational.asofJoinForward(touches, convs,
-        key = "user_id", leftTime = "t", rightTime = "c_t",
-        payload = Map("c_t" -> "conv_t", "c_id" -> "conv_id"))
-      .withColumn("conv_id",
-        when(col("conv_t") - col("t") <= withinSeconds, col("conv_id")))
+    val fwd = touchConversionFrame(df, user, ts, eventType, eventId,
+      touchTypes, convType, withinSeconds)
     // per-conversion path shape: touch count + the (time, id)-first
     // and -last touches, one struct-min/max aggregate (no window)
     val pos = struct(col("t"), col("eid"))

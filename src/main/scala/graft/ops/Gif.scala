@@ -319,32 +319,11 @@ object Gif {
   /** Partition-batch GIF decode over a binary column (the BMP/PNG
     * stats schema, so downstream feature passes stay format-agnostic). */
   def decodeGifStatsDf(df: DataFrame, idCol: String, mediaCol: String)
-      : DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("sum_r", LongType),
-      StructField("sum_g", LongType),
-      StructField("sum_b", LongType),
-      StructField("first_px", LongType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val mIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](mIdx)
-        if (bytes == null)
-          Row(r.getLong(idIdx), null, null, null, null, null, null)
-        else {
-          val st = decodeGif(bytes)
-          Row(r.getLong(idIdx), st.width, st.height,
-              st.sumR, st.sumG, st.sumB, st.firstPx)
-        }
-      }
+      : DataFrame =
+    Multimodal.imageStatsDf(df, idCol, mediaCol) { bytes =>
+      val st = decodeGif(bytes)
+      (st.width, st.height, st.sumR, st.sumG, st.sumB, st.firstPx)
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 
   /** Deterministic per-id GIF synthesis: palette INDEX arithmetic the
     * SQL oracle replays through the palette formulas; every third

@@ -827,32 +827,11 @@ object Jpeg {
   /** Partition-batch COLOR JPEG decode over a binary column (the
     * PNG/BMP twin's schema). */
   def decodeJpegColorStatsDf(df: DataFrame, idCol: String,
-                             mediaCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("sum_r", LongType),
-      StructField("sum_g", LongType),
-      StructField("sum_b", LongType),
-      StructField("first_px", LongType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val mIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val b = r.getAs[Array[Byte]](mIdx)
-        if (b == null)
-          Row(r.getLong(idIdx), null, null, null, null, null, null)
-        else {
-          val st = decodeJpegColor(b)
-          Row(r.getLong(idIdx), st.width, st.height,
-              st.sumR, st.sumG, st.sumB, st.firstPx)
-        }
-      }
+                             mediaCol: String): DataFrame =
+    Multimodal.imageStatsDf(df, idCol, mediaCol) { b =>
+      val st = decodeJpegColor(b)
+      (st.width, st.height, st.sumR, st.sumG, st.sumB, st.firstPx)
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 
   /** Deterministic per-id grayscale MOSAIC synthesis + JPEG encode:
     * luma depends only on the aligned 8x8 CELL (bx, by) — every JPEG

@@ -404,40 +404,15 @@ object Multimodal {
     })
   }
 
-  /** Partition-batch resize-then-stats over a binary column: each
-    * asset is resized to `newW`×`newH` and the RESIZED image's stats
-    * are emitted — the thumbnail-feature pass of an image pipeline,
-    * one partition-local map, no shuffle. */
-  def resizeBmpStatsDf(df: DataFrame, idCol: String, mediaCol: String,
-                       newW: Int, newH: Int): DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("sum_r", LongType),
-      StructField("sum_g", LongType),
-      StructField("sum_b", LongType),
-      StructField("first_px", LongType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val mIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](mIdx)
-        if (bytes == null)
-          Row(r.getLong(idIdx), null, null, null, null, null, null)
-        else {
-          val st = decodeBmp24(resizeBmp24(bytes, newW, newH))
-          Row(r.getLong(idIdx), st.width, st.height,
-              st.sumR, st.sumG, st.sumB, st.firstPx)
-        }
-      }
-    }
-    spark.createDataFrame(rdd, outSchema)
-  }
-
-  /** Partition-batch BMP decode over a binary column. */
-  def decodeBmpStatsDf(df: DataFrame, idCol: String, mediaCol: String)
+  /** Shared partition-batch image-stats scaffold: binary → the
+    * canonical (asset_id, width, height, sum_r, sum_g, sum_b,
+    * first_px) row; null media → null stats. Defines the schema and
+    * the null-row convention ONCE for every image codec
+    * (BMP/PNG/GIF/color-JPEG and the resize variants) — each decoder
+    * contributes only its bytes → stats kernel. */
+  private[ops] def imageStatsDf(df: DataFrame, idCol: String,
+      mediaCol: String)(
+      decode: Array[Byte] => (Int, Int, Long, Long, Long, Long))
       : DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
@@ -456,14 +431,32 @@ object Multimodal {
         if (bytes == null) // missing media: null stats (see WAV twin)
           Row(r.getLong(idIdx), null, null, null, null, null, null)
         else {
-          val st = decodeBmp24(bytes)
-          Row(r.getLong(idIdx), st.width, st.height,
-              st.sumR, st.sumG, st.sumB, st.firstPx)
+          val (w, h, sr, sg, sb, fp) = decode(bytes)
+          Row(r.getLong(idIdx), w, h, sr, sg, sb, fp)
         }
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Partition-batch resize-then-stats over a binary column: each
+    * asset is resized to `newW`×`newH` and the RESIZED image's stats
+    * are emitted — the thumbnail-feature pass of an image pipeline,
+    * one partition-local map, no shuffle. */
+  def resizeBmpStatsDf(df: DataFrame, idCol: String, mediaCol: String,
+                       newW: Int, newH: Int): DataFrame =
+    imageStatsDf(df, idCol, mediaCol) { bytes =>
+      val st = decodeBmp24(resizeBmp24(bytes, newW, newH))
+      (st.width, st.height, st.sumR, st.sumG, st.sumB, st.firstPx)
+    }
+
+  /** Partition-batch BMP decode over a binary column. */
+  def decodeBmpStatsDf(df: DataFrame, idCol: String, mediaCol: String)
+      : DataFrame =
+    imageStatsDf(df, idCol, mediaCol) { bytes =>
+      val st = decodeBmp24(bytes)
+      (st.width, st.height, st.sumR, st.sumG, st.sumB, st.firstPx)
+    }
 
   // ---- Real codec: PNG (8-bit truecolor ± alpha, Adam7, JDK-only) ----
   //
@@ -764,32 +757,11 @@ object Multimodal {
   /** Partition-batch PNG decode over a binary column (the BMP twin's
     * schema, so downstream feature passes are format-agnostic). */
   def decodePngStatsDf(df: DataFrame, idCol: String, mediaCol: String)
-      : DataFrame = {
-    val spark = df.sparkSession
-    val outSchema = StructType(Seq(
-      StructField("asset_id", LongType),
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("sum_r", LongType),
-      StructField("sum_g", LongType),
-      StructField("sum_b", LongType),
-      StructField("first_px", LongType)))
-    val idIdx = df.schema.fieldIndex(idCol)
-    val mIdx = df.schema.fieldIndex(mediaCol)
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](mIdx)
-        if (bytes == null)
-          Row(r.getLong(idIdx), null, null, null, null, null, null)
-        else {
-          val st = decodePng(bytes)
-          Row(r.getLong(idIdx), st.width, st.height,
-              st.sumR, st.sumG, st.sumB, st.firstPx)
-        }
-      }
+      : DataFrame =
+    imageStatsDf(df, idCol, mediaCol) { bytes =>
+      val st = decodePng(bytes)
+      (st.width, st.height, st.sumR, st.sumG, st.sumB, st.firstPx)
     }
-    spark.createDataFrame(rdd, outSchema)
-  }
 
   /** Deterministic per-id PNG synthesis — the SAME pixel arithmetic as
     * [[synthBmp24]] (so the SQL oracle replay is shared), with the

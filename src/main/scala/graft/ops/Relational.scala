@@ -430,6 +430,13 @@ object Relational {
                       factTime: String, effFrom: String, effTo: String,
                       payload: Map[String, String]): DataFrame = {
     require(payload.nonEmpty, "pointInTimeJoin: empty payload")
+    // the gate rides eff_to under a reserved name; a payload entry for
+    // the same dim column would be silently overwritten by the ++
+    // below and the caller's output column would never materialize
+    require(!payload.contains(effTo),
+      s"pointInTimeJoin: payload must not map the eff_to column " +
+      s"'$effTo' — select the version window columns from the result " +
+      s"of scd2Intervals instead")
     val joined = asofJoinBackward(facts, dim, key, factTime, effFrom,
       payload ++ Map(effTo -> "__pit_to"))
     val valid = col("__pit_to").isNull ||
@@ -1028,7 +1035,7 @@ object Relational {
   def tableChecksum(df: DataFrame): DataFrame = {
     val cellHashes = df.columns.sorted.map(c =>
       graft.functions.PolyHash62E(
-        coalesce(col(c).cast("string"), lit(""))))
+        coalesce(col(c).cast("string"), lit("\u0002"))))
     // per-row combine: fold the columns' 31-bit components through the
     // same (seed 7, ×31 mod 2147483647) / (seed 11, ×37 mod 2147483629)
     // recurrences the char folds use. acc < 2^31, so acc*37 + h < 2^37

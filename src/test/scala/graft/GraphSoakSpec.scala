@@ -89,8 +89,14 @@ class GraphSoakSpec extends AnyFunSuite {
       (System.nanoTime() - t0) / 1e9 / iters
     }
     timeIters(3) // warm the shuffle/codegen paths
-    val perIterShallow = timeIters(10)
-    val perIterDeep = timeIters(40)
+    // best-of-2 per depth: the shared box swings ±40% run-to-run
+    // (BASELINE.md), and a single sample per depth flaked when the
+    // shallow run landed in a quiet window and the deep one did not —
+    // min-of-N measures the achievable cost, which is what the
+    // lineage-bound claim is about (the plan-size pin above is the
+    // deterministic half of the proof)
+    val perIterShallow = math.min(timeIters(10), timeIters(10))
+    val perIterDeep = math.min(timeIters(40), timeIters(40))
     assert(perIterDeep < 2.0 * perIterShallow,
       f"per-iter cost grew: $perIterShallow%.3fs -> $perIterDeep%.3fs")
     edges.unpersist()
