@@ -234,13 +234,34 @@ object DomainLowering {
         }
 
       case Entries(entries) =>
+        // PRE-PASS: materialize every struct-field extraction into a
+        // reserved column BEFORE any entry's sub-pattern adds a
+        // Generate. A GetStructField left to sit above a stack of
+        // sibling Generates — whether in the final select or in a
+        // later entry's extraction Project — arms Spark 4.1's
+        // NestedColumnAliasing (_extract_* pushdown, triggered by any
+        // unread sibling field), which loses the attribute when the
+        // rewrite crosses a second Generate
+        // (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND: "Could not find
+        // _extract_f2") — TransformSpec pins the exact shape. After
+        // the pre-pass only plain reserved attributes reach the subs.
+        val preExtracted: Map[String, Column] = dt match {
+          case st: StructType =>
+            val fields = entries.collect { case (KField(f), _) => f }
+            fields.distinct.map { f =>
+              val fcol = fresh()
+              df = df.withColumn(fcol, value.getField(f))
+              f -> col(fcol)
+            }.toMap
+          case _ => Map.empty
+        }
         entries.foreach {
           case (KField(f), sub) =>
             dt match {
               case mt: MapType =>
                 step(try_element_at(value, lit(f)), mt.valueType, sub)
               case st: StructType =>
-                step(value.getField(f), structField(st, f), sub)
+                step(preExtracted(f), structField(st, f), sub)
               case other => throw new IllegalArgumentException(
                 s"field '$f' lookup on non-struct/map ${other.simpleString}")
             }
@@ -260,16 +281,25 @@ object DomainLowering {
             // Iterate all entries. Sibling KAll entries each explode the
             // same collection → the implicit self cross-join (O14).
             val e = fresh()
+            // entry key/value extractions materialize immediately for
+            // the same NestedColumnAliasing reason as KField-over-
+            // struct above (a later sibling Generate would otherwise
+            // sit between the final select's getField and this entry)
+            def kv(keyT: DataType, valT: DataType): Unit = {
+              val kc = fresh(); val vc = fresh()
+              df = df.withColumn(kc, col(e).getField("key"))
+                     .withColumn(vc, col(e).getField("value"))
+              step(col(kc), keyT, kp)
+              step(col(vc), valT, sub)
+            }
             dt match {
               case mt: MapType =>
                 df = df.withColumn(e, explode(map_entries(value)))
-                step(col(e).getField("key"), mt.keyType, kp)
-                step(col(e).getField("value"), mt.valueType, sub)
+                kv(mt.keyType, mt.valueType)
               case ArrayType(StructType(fs), _)
                   if fs.map(_.name).sameElements(Array("key", "value")) =>
                 df = df.withColumn(e, explode(value))
-                step(col(e).getField("key"), fs(0).dataType, kp)
-                step(col(e).getField("value"), fs(1).dataType, sub)
+                kv(fs(0).dataType, fs(1).dataType)
               case other =>
                 throw new IllegalArgumentException(
                   s"KAll over non-map type $other")

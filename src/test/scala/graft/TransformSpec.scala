@@ -471,6 +471,50 @@ class TransformSpec extends AnyFunSuite {
     assert(acc.value == 6)
   }
 
+  test("sibling struct-field explodes + scalar binding above stacked " +
+       "Generates lowers to a valid plan") {
+    // regression (surfaced by DomainGenSpec's unseeded trials): the
+    // final select's value.getField(...) expressions sitting above TWO
+    // stacked Generates trigger Spark 4.1's NestedColumnAliasing
+    // rewrite (_extract_* pushdown), which loses an attribute across
+    // the second Generate (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND:
+    // "Could not find _extract_f2"). KField-over-struct extraction now
+    // materializes to a reserved column at extraction time, so no
+    // nested-field access survives above any Generate.
+    // exact generated shape incl. the UNREAD 4th field — nested-schema
+    // pruning of the untouched field is part of the optimizer trigger
+    val st = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("f0",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.IntegerType))),
+      org.apache.spark.sql.types.StructField("f1",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType)),
+      org.apache.spark.sql.types.StructField("f2",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("unused",
+        org.apache.spark.sql.types.IntegerType)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("value", st)))
+    val in = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(Seq(Seq.empty[Int], Seq(96, 50, 18, 12)),
+          Seq(11), 13, 0))),
+      schema)
+    val b = Transform(
+      Entries(Seq(
+        (KField("f0"): DKey) -> SetOf(Vec(Leaf("v1"))),
+        (KField("f1"): DKey) -> Vec(Seq(Leaf("v2"), Leaf("v3"))),
+        (KField("f2"): DKey) -> Leaf("v4"))),
+      RRows(Nil))
+    val rows = b.bindings(in).collect()
+      .map(r => (r.getInt(0), r.getInt(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2), r.getInt(3))).toSet
+    assert(rows == Set((96, 11, -1, 13), (50, 11, -1, 13),
+      (18, 11, -1, 13), (12, 11, -1, 13)))
+  }
+
   test("same-name root binding beside a sibling explode over an " +
        "aggregated input lowers to a valid plan") {
     // regression: binding a field under ITS OWN name (k) next to a
