@@ -746,6 +746,17 @@ object SparkEntry {
         .orderBy("touch_type")
     }),
 
+    // Corpus-adaptive SemDeDup: k = clamp(ceil(sqrt(n)), 8, 4096),
+    // Lloyd trained on the MINSTD-residue arithmetic sample (m =
+    // max(1, n div 65536)), full-corpus routing — the 100 TB cost
+    // lever over q88's fixed-k form; the oracle replays
+    // n -> (k, m) -> sample -> train -> route -> pair exactly.
+    "q450_semdedup_auto" -> ((s, dir) => {
+      graft.ops.Similarity.semDedupPairsAuto(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), tau = 0.4)
+        .orderBy("id1", "id2")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -5016,6 +5027,59 @@ object SparkEntry {
          SELECT id, CAST(count(*) AS BIGINT) AS seeds_reached,
            CAST(sum(d) AS BIGINT) AS sum_dist
          FROM m GROUP BY id ORDER BY id""",
+
+    // q88's fixed-point k-means CTEs with DYNAMIC k/m params: train on
+    // the MINSTD-residue sample (tr), route the full corpus (e)
+    "q450_semdedup_auto" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       [CAST(floor(x*1000000 + 0.5) AS BIGINT)
+        FOR x IN embedding::DOUBLE[]] AS q
+     FROM embeddings WHERE embedding IS NOT NULL),
+ prm AS (SELECT greatest(8, least(4096,
+             CAST(ceil(sqrt(count(*))) AS BIGINT))) AS k,
+           greatest(1, count(*) // 65536) AS m
+         FROM e),
+ tr AS (SELECT e.* FROM e, prm
+        WHERE ((vec_id + 1) * 48271) % 2147483647 % prm.m = 0),
+ c0 AS (SELECT rn - 1 AS cid, q AS cq
+        FROM (SELECT vec_id, q,
+                row_number() OVER (ORDER BY vec_id) AS rn FROM tr) r, prm
+        WHERE r.rn <= prm.k),
+ a1 AS (SELECT tr.vec_id, tr.q, c.cid,
+          row_number() OVER (PARTITION BY tr.vec_id
+            ORDER BY round(list_cosine_similarity(tr.v,
+              [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+        FROM tr CROSS JOIN c0 c),
+ s1 AS (SELECT cid, d,
+          CAST(floor(sum(q[d])*1.0/count(*)) AS BIGINT) AS m
+        FROM (SELECT * FROM a1 WHERE rn = 1), range(1, 65) AS t(d)
+        GROUP BY cid, d),
+ c1 AS (SELECT c0.cid, coalesce(l.mq, c0.cq) AS cq
+        FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS mq
+                           FROM s1 GROUP BY cid) l USING (cid)),
+ a2 AS (SELECT tr.vec_id, tr.q, c.cid,
+          row_number() OVER (PARTITION BY tr.vec_id
+            ORDER BY round(list_cosine_similarity(tr.v,
+              [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+        FROM tr CROSS JOIN c1 c),
+ s2 AS (SELECT cid, d,
+          CAST(floor(sum(q[d])*1.0/count(*)) AS BIGINT) AS m
+        FROM (SELECT * FROM a2 WHERE rn = 1), range(1, 65) AS t(d)
+        GROUP BY cid, d),
+ c2 AS (SELECT c1.cid, coalesce(l.mq, c1.cq) AS cq
+        FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY d) AS mq
+                           FROM s2 GROUP BY cid) l USING (cid)),
+ ac AS (SELECT e.vec_id, e.v, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.v,
+              [x/1000000.0 FOR x IN c.cq]), 6) DESC, c.cid) AS rn
+        FROM e CROSS JOIN c2 c),
+ asg AS (SELECT vec_id, v, cid FROM ac WHERE rn = 1)
+ SELECT a.vec_id AS id1, b.vec_id AS id2,
+        round(list_cosine_similarity(a.v, b.v), 6) AS cos
+ FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+ WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+ ORDER BY 1, 2""",
 
     // q427's ASOF chain + per-conversion (n, first, last) shape and
     // the 40/20/40 integer weighting

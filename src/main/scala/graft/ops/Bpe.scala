@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.tokens
@@ -84,7 +85,7 @@ object Bpe {
     var vocab = wordCounts(df, text).select(col("cnt"),
         transform(sequence(lit(1), length(col("word"))), i =>
           col("word").substr(i, lit(1))).as("syms"))
-      .localCheckpoint()
+      .cut()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var continue = numMerges > 0
     while (continue) {
@@ -105,7 +106,7 @@ object Bpe {
         merges += ((a, b))
         val next = vocab
           .select(col("cnt"), mergeOnce(sy, a, b).as("syms"))
-          .localCheckpoint()
+          .cut()
         vocab = next
         continue = merges.size < numMerges
       }

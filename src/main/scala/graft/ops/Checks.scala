@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -325,7 +326,7 @@ object Checks {
       .join(cc.withColumnRenamed("n", "n_cur"), Seq("bin"), "full_outer")
       .select(col("bin"), coalesce(col("n_base"), lit(0L)).as("n_base"),
               coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-      .localCheckpoint() // totals + the term pass both consume it
+      .cut() // totals + the term pass both consume it
     val tots = joined.agg(sum("n_base").as("tb"), sum("n_cur").as("tc"),
       count(lit(1)).as("nb"))
     def d(c: Column) = c.cast("double")
@@ -352,7 +353,7 @@ object Checks {
     val cells = df.select(group.as("g"), category.as("c"))
       .filter(col("g").isNotNull && col("c").isNotNull)
       .groupBy("g", "c").agg(count(lit(1)).as("o"))
-      .localCheckpoint() // marginals + term pass consume it
+      .cut() // marginals + term pass consume it
     val rows = cells.groupBy("g").agg(sum("o").as("r"))
     val cols_ = cells.groupBy("c").agg(sum("o").as("cc"))
     val n = cells.agg(sum("o").as("nn"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -86,7 +87,11 @@ object Dedup {
     // per-partition hash build cannot spill — the same decade probe
     // killed an executor with "Can't acquire memory to build hash
     // relation" — and it measured SLOWER at 500k docs, 64 s vs 37 s
-    // for the minhash probe.)
+    // for the minhash probe.) Ops that MATERIALIZE their index
+    // (winnow/prefix-filter/incremental-LSH) recover the small-corpus
+    // broadcast through the exact-count gate in [[PairJoins]]; here
+    // the shingle frame is not materialized, so the blanket veto
+    // stays — a count would cost a second shingling pass.
     ex.as("a").hint("merge").join(ex.as("b").hint("merge"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
@@ -285,10 +290,18 @@ object Dedup {
     // shuffle-hash join recomputes it per side (broadcast used to hide
     // that by materializing one side as the broadcast relation)
     val fps = TextAnalysis.winnowFingerprints(fanOut(df), id, text, k, w)
-      .localCheckpoint()
+      .cut()
+    // adaptive merge gate ([[PairJoins]]): fps is materialized, so its
+    // exact count is one cheap job — small corpora get the broadcast
+    // back, large ones keep the static-broadcast veto
+    val g = PairJoins.gate(PairJoins.fits(
+      fps.count(), PairJoins.NarrowRowBytes, df.sparkSession)) _
     val freq = fps.groupBy("fp").count().filter(col("count") <= maxDocFreq)
-    val kept = fps.join(freq.select("fp"), "fp")
-    kept.as("a").hint("merge").join(kept.as("b").hint("merge"),  // no static broadcast — see jaccardPairs
+    // gate the doc-freq join too: at corpus scale the veto is free —
+    // the merge join partitions `kept` on fp, exactly what the
+    // self-join needs, so the Exchange is reused instead of added
+    val kept = g(fps).join(g(freq.select("fp")), "fp")
+    g(kept.as("a")).join(g(kept.as("b")),  // see jaccardPairs + PairJoins
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("shared"))
@@ -391,22 +404,37 @@ object Dedup {
     require(bands >= 1 && h % bands == 0,
       s"bands must divide h (got h=$h, bands=$bands)")
     val r = h / bands
+    // Materialize both indexes once: each side feeds its banded
+    // candidate frame AND its verify join — unpinned, the signature
+    // pass runs twice per side. The pinned counts then drive the
+    // adaptive merge gate ([[PairJoins]]): banded frames are n*bands
+    // narrow rows, verify sides carry the shingle arrays.
+    val lIx = leftIndex.cut()
+    val rIx = rightIndex.cut()
+    val spark = leftIndex.sparkSession
+    val (nL, nR) = (lIx.count(), rIx.count())
+    val gBandL = PairJoins.gate(
+      PairJoins.fits(nL * bands, PairJoins.NarrowRowBytes, spark)) _
+    val gBandR = PairJoins.gate(
+      PairJoins.fits(nR * bands, PairJoins.NarrowRowBytes, spark)) _
+    val gArrL = PairJoins.gate(
+      PairJoins.fits(nL, PairJoins.ArrayRowBytes, spark)) _
+    val gArrR = PairJoins.gate(
+      PairJoins.fits(nR, PairJoins.ArrayRowBytes, spark)) _
     def banded(ix: DataFrame) = ix
       .select(col("id"), explode(minhashBands(col("sig"), bands, r))
         .as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded(leftIndex).as("a").hint("merge")
-      .join(banded(rightIndex).as("b").hint("merge"),  // no static broadcast — see jaccardPairs
+    val cand = gBandL(banded(lIx).as("a"))
+      .join(gBandR(banded(rIx).as("b")),  // see jaccardPairs + PairJoins
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
     cand
-      .join(leftIndex.select(col("id").as("id1"), col("sh").as("sh1"))
-        .hint("merge"),
+      .join(gArrL(lIx.select(col("id").as("id1"), col("sh").as("sh1"))),
         "id1")
-      .join(rightIndex.select(col("id").as("id2"), col("sh").as("sh2"))
-        .hint("merge"),
+      .join(gArrR(rIx.select(col("id").as("id2"), col("sh").as("sh2"))),
         "id2")
       .withColumn("jaccard", jaccard(col("sh1"), col("sh2")))
       .filter(col("jaccard") >= tau)
@@ -621,11 +649,12 @@ object Dedup {
     * diameter) rounds, not O(diameter) — a 1M-long chain of near-dups
     * converges in ~20 rounds. Each round is one join+groupBy and one
     * join, shuffling on the label key with map-side partial min.
-    * `localCheckpoint` truncates the iterative lineage each round
-    * (without it the plan doubles per iteration and Catalyst analysis
-    * itself becomes the bottleneck); on a real cluster with unreliable
-    * executors, swap in `spark.sparkContext.setCheckpointDir` +
-    * `.checkpoint()`. Graphs at or below `driverThreshold` edges (and
+    * [[graft.Checkpoints.cut]] truncates the iterative lineage each
+    * round (without it the plan doubles per iteration and Catalyst
+    * analysis itself becomes the bottleneck); on a real cluster with
+    * unreliable executors set `spark.graft.checkpoint.reliable=true`
+    * + `spark.graft.checkpoint.dir` and every cut survives executor
+    * loss. Graphs at or below `driverThreshold` edges (and
     * integral ids) instead run union-find on the driver — see the
     * inline rationale. */
   def connectedComponents(pairs: DataFrame, id1: Column, id2: Column,
@@ -639,7 +668,7 @@ object Dedup {
     // (pair generators can emit the same pair once per colliding band)
     val edges = e0
       .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().cut()
     val nEdges = edges.count()
     val idType = edges.schema("src").dataType
 
@@ -677,9 +706,9 @@ object Dedup {
     // of the node's PREVIOUS label, making the convergence check free).
     val withSelf = edges
       .union(edges.select(col("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
+      .distinct().cut()
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+      .select(col("id"), col("id").as("comp")).cut()
     var iters = 0
     var converged = labels.isEmpty
     while (!converged) {
@@ -700,7 +729,7 @@ object Dedup {
         .join(prop.select(col("id").as("cid"), col("comp").as("cc")),
               col("x.comp") === col("cid"))
         .select(col("x.id").as("id"), col("cc").as("comp"), col("x.oldc").as("oldc"))
-        .localCheckpoint()
+        .cut()
       val changed = next.where(col("comp") =!= col("oldc")).limit(1).count()
       labels = next.select("id", "comp")
       converged = changed == 0L
@@ -828,7 +857,7 @@ object Dedup {
     val sh = df.select(stratum.as("src"),
         explode(graft.functions.WordShingles(text, n)).as("s"))
       .distinct()
-      .localCheckpoint() // sizes + both self-join sides consume it
+      .cut() // sizes + both self-join sides consume it
     val sizes = sh.groupBy("src").agg(count(lit(1)).as("nsh"))
     val inter = sh.hint("merge")
       .join(sh.select(col("src").as("src2"), col("s")).hint("merge"), "s")
@@ -907,23 +936,35 @@ object Dedup {
                 filter(tokens(text), t => t =!= ""))).as("ts"))
       .withColumn("n", size(col("ts")))
       .filter(col("n") > 0) // null/empty texts have no tokens, no pairs
-      .localCheckpoint() // set extraction + doc-map joins reuse it
+      .cut() // set extraction + doc-map joins reuse it
     // distinct token sets: one shuffle on the sorted-array key; the
     // aggregate is O(1) state per group (min id), never a collected
     // id list, so a massive duplicate cluster stays row-shaped
     val sets = toks.groupBy("ts")
       .agg(min(col("id")).as("sid"), first(col("n")).as("n"))
       .select(col("sid"), col("ts"), col("n"))
-      .localCheckpoint() // prefix build + verify + expansion reuse it
-    // doc → set-id map (AQE broadcasts the set side when small; the
-    // array equi-join key is exact — both sides sorted+distinct)
-    val docsMap = toks.hint("merge")
-      .join(sets.select(col("ts"), col("sid")).hint("merge"), "ts")
+      .cut() // prefix build + verify + expansion reuse it
+    // adaptive merge gates ([[PairJoins]]): toks/sets/prefix are all
+    // materialized, so exact counts are cheap jobs over cached blocks
+    // — small corpora broadcast again, large ones keep the veto. The
+    // array-bearing frames (ts column) use the wide per-row bound.
+    val spark = df.sparkSession
+    val gToks = PairJoins.gate(
+      PairJoins.fits(toks.count(), PairJoins.ArrayRowBytes, spark)) _
+    val nSets = sets.count()
+    val gSets = PairJoins.gate(
+      PairJoins.fits(nSets, PairJoins.ArrayRowBytes, spark)) _
+    val gMap = PairJoins.gate(
+      PairJoins.fits(nSets, PairJoins.NarrowRowBytes, spark)) _
+    // doc → set-id map (the array equi-join key is exact — both sides
+    // sorted+distinct)
+    val docsMap = gToks(toks)
+      .join(gSets(sets.select(col("ts"), col("sid"))), "ts")
       .select(col("sid"), col("id"))
     // docs whose sets are identical: J = 1 ≥ τ always — emit directly
-    val intra = docsMap.as("a").hint("merge")
-      .join(docsMap.select(col("sid"), col("id").as("id2")).as("b")
-        .hint("merge"), "sid")
+    val intra = gMap(docsMap.as("a"))
+      .join(gMap(docsMap.select(col("sid"), col("id").as("id2")).as("b")),
+        "sid")
       .filter(col("id") < col("id2"))
       .select(col("id").as("id1"), col("id2"), lit(1.0).as("jaccard"))
     val ex = sets.select(col("sid"), col("n"), explode(col("ts")).as("tk"))
@@ -940,13 +981,15 @@ object Dedup {
       // (1−τ)-fraction of the distinct-set tokens — small by
       // construction; without this the self-join recomputes the
       // freq-join + window once per side (measured ~2× prefix cost)
-      .localCheckpoint()
+      .cut()
     // α = ⌈τ/(1+τ)·(na+nb)⌉ in exact integer arithmetic (div, not /)
     val alpha = expr(
       s"($tauNum * (na + nb) + $tauNum + $tauDen - 1) div " +
       s"${tauNum + tauDen}")
-    val cand = prefix.as("a").hint("merge")
-      .join(prefix.as("b").hint("merge"),  // no static broadcast — see jaccardPairs
+    val gPrefix = PairJoins.gate(
+      PairJoins.fits(prefix.count(), PairJoins.NarrowRowBytes, spark)) _
+    val cand = gPrefix(prefix.as("a"))
+      .join(gPrefix(prefix.as("b")),  // see jaccardPairs + PairJoins
             col("a.tk") === col("b.tk") && col("a.sid") < col("b.sid") &&
             // length filter, both orderings (pairs sort by sid, not n)
             col("a.n") * tauDen >= col("b.n") * tauNum &&
@@ -964,14 +1007,14 @@ object Dedup {
               >= alpha)
       .select("sid1", "sid2", "na", "nb")
     // exact verify on the candidate-bounded set frame: sorted arrays,
-    // intersect size in one codegen'd pass (merge-hinted: the ts
-    // arrays make `sets` exactly the under-estimated corpus-sized
-    // shape — see jaccardPairs)
+    // intersect size in one codegen'd pass (gated: the ts arrays make
+    // `sets` exactly the under-estimated corpus-sized shape — see
+    // jaccardPairs + PairJoins)
     val cross = cand
-      .join(sets.select(col("sid").as("sid1"), col("ts").as("t1"))
-        .hint("merge"), "sid1")
-      .join(sets.select(col("sid").as("sid2"), col("ts").as("t2"))
-        .hint("merge"), "sid2")
+      .join(gSets(sets.select(col("sid").as("sid1"), col("ts").as("t1"))),
+        "sid1")
+      .join(gSets(sets.select(col("sid").as("sid2"), col("ts").as("t2"))),
+        "sid2")
       .withColumn("co", size(array_intersect(col("t1"), col("t2"))))
       .filter(col("co") * tauDen >=
               (col("na") + col("nb") - col("co")) * tauNum)
@@ -1013,7 +1056,7 @@ object Dedup {
       s"stripBoilerplate: need a positive threshold fraction, " +
       s"got $maxDocNum/$maxDocDen")
     val base = fanOut(df).select(id.as("id"), text.as("t"))
-      .localCheckpoint() // segment explode + doc count + final join
+      .cut() // segment explode + doc count + final join
     val ex = base.select(col("id"),
         posexplode(filter(
           split(col("t"), java.util.regex.Pattern.quote(sep)),
@@ -1075,11 +1118,11 @@ object Dedup {
                 filter(tokens(text), t => t =!= ""))).as("ts"))
       .withColumn("n", size(col("ts")))
       .filter(col("n") > 0)
-      .localCheckpoint()
+      .cut()
     val sets = toks.groupBy("ts")
       .agg(min(col("id")).as("sid"), first(col("n")).as("n"))
       .select(col("sid"), col("ts"), col("n"))
-      .localCheckpoint()
+      .cut()
     val docsMap = toks.hint("merge")
       .join(sets.select(col("ts"), col("sid")).hint("merge"), "ts")
       .select(col("sid"), col("id"))
@@ -1143,7 +1186,7 @@ object Dedup {
                   filter(tokens(text), t => t =!= ""))).as("ts"))
         .withColumn("n", size(col("ts")))
         .filter(col("n") > 0)
-        .localCheckpoint()
+        .cut()
       val sigs = toks.select(col("id"), col("n"),
           explode(graft.functions.DeletionSigs(col("ts"))).as("sig"))
       (toks, sigs)

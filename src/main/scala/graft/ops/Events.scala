@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -544,7 +545,7 @@ object Events {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val act = df.filter(user.isNotNull && ts.isNotNull)
       .select(user.as("u"), to_date(ts).as("d")).distinct()
-      .localCheckpoint() // dau + the cover explode both consume it
+      .cut() // dau + the cover explode both consume it
     val dau = act.groupBy("d").agg(count(lit(1)).as("dau"))
     val cover = act.select(col("u"),
         explode(sequence(col("d"),
@@ -652,7 +653,7 @@ object Events {
       .select(user.as("u"), col("session_id").as("sid"),
               eventType.as("t"))
       .distinct()
-      .localCheckpoint() // item counts + both join sides consume it
+      .cut() // item counts + both join sides consume it
     val nSess = sess.select("u", "sid").distinct()
       .agg(count(lit(1)).as("ns"))
     val items = sess.groupBy("t").agg(count(lit(1)).as("n"))

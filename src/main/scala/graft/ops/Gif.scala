@@ -187,6 +187,10 @@ object Gif {
   def encodeGif(width: Int, height: Int, index: (Int, Int) => Int,
                 interlaced: Boolean = false): Array[Byte] = {
     require(width > 0 && height > 0, "empty image")
+    // Logical-screen / image-descriptor dimensions are 16-bit
+    // little-endian fields; larger values would truncate silently.
+    require(width <= 65535 && height <= 65535,
+      s"GIF dimensions exceed 16-bit descriptor fields: ${width}x$height")
     val out = new java.io.ByteArrayOutputStream()
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("GIF89a".getBytes("US-ASCII"))
@@ -261,8 +265,13 @@ object Gif {
       (bytes(pos) & 0xff) match {
         case 0x21 => // extension: label + sub-blocks
           pos += 2
+          require(pos < bytes.length, "GIF: truncated extension block")
           var n = bytes(pos) & 0xff
-          while (n != 0) { pos += 1 + n; n = bytes(pos) & 0xff }
+          while (n != 0) {
+            pos += 1 + n
+            require(pos < bytes.length, "GIF: truncated extension sub-block")
+            n = bytes(pos) & 0xff
+          }
           pos += 1
         case 0x2c =>
           val w = u16(pos + 5); val h = u16(pos + 7)
@@ -278,11 +287,18 @@ object Gif {
               p
             } else globalPal
           require(pal.nonEmpty, "GIF: no color table")
+          require(pos < bytes.length, "GIF: truncated before LZW data")
           val minCode = bytes(pos) & 0xff; pos += 1
           require(minCode == 8, s"GIF: unsupported min code size $minCode")
           val lzw = new java.io.ByteArrayOutputStream()
+          require(pos < bytes.length, "GIF: truncated image data")
           var n = bytes(pos) & 0xff
-          while (n != 0) { lzw.write(bytes, pos + 1, n); pos += 1 + n; n = bytes(pos) & 0xff }
+          while (n != 0) {
+            require(pos + 1 + n <= bytes.length, "GIF: truncated image sub-block")
+            lzw.write(bytes, pos + 1, n); pos += 1 + n
+            require(pos < bytes.length, "GIF: truncated image sub-block chain")
+            n = bytes(pos) & 0xff
+          }
           val idx = lzwDecode(lzw.toByteArray, w * h)
           val rows = if ((iflags & 0x40) != 0) interlacedRows(h)
                      else 0 until h

@@ -278,6 +278,10 @@ object Jpeg {
                            quant: Array[Int],
                            restartInterval: Int): Array[Byte] = {
     require(width > 0 && height > 0, "empty image")
+    // SOF0 stores dimensions in 16-bit big-endian fields; anything
+    // larger would silently truncate the header into a corrupt stream.
+    require(width <= 65535 && height <= 65535,
+      s"JPEG dimensions exceed 16-bit SOF fields: ${width}x$height")
     require(quant.length == 64 && quant.forall(q => q >= 1 && q <= 255),
       "quant table must be 64 entries in 1..255")
     require(restartInterval >= 0, "negative restart interval")
@@ -492,8 +496,13 @@ object Jpeg {
   private final class BitReader(bytes: Array[Byte], var pos: Int) {
     private var acc = 0
     private var nBits = 0
+    private var hitEoi = false
     def bit(): Int = {
       if (nBits == 0) {
+        // The EOI pad byte is served exactly once; a stream still
+        // hungry after its 8 bits is corrupt — refusing here keeps the
+        // decoder from consuming the 0xD9 marker as entropy data.
+        require(!hitEoi, "entropy stream exhausted past EOI pad")
         require(pos < bytes.length, "entropy stream truncated")
         var b = bytes(pos) & 0xff; pos += 1
         if (b == 0xff) {
@@ -505,6 +514,7 @@ object Jpeg {
             // with 1s, so surplus reads of the pad are legal — serve
             // the 0xff byte itself (its bits are pad)
             b = 0xff
+            hitEoi = true
           } else throw new IllegalArgumentException(
             f"unexpected marker 0xff$nxt%02x inside entropy data")
         }

@@ -7,13 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * Two REAL self-contained codecs run behind the partition-batch seam —
-  * RIFF/WAVE PCM-16 (audio) and 24-bpp BMP (image), both encode AND
-  * decode, oracle-checked end to end. Formats needing external
-  * libraries (JPEG, MP3, video) aren't available in this container;
-  * for those the deterministic stub kernels below mark the seam —
-  * same binary → features shape, swap the kernel and nothing else
-  * changes.
+  * FIVE REAL self-contained codecs run behind the partition-batch seam —
+  * RIFF/WAVE PCM-16 (audio), 24-bpp BMP, PNG (DEFLATE + all five
+  * scanline filters + Adam7, below), baseline JPEG incl. 4:2:0 and
+  * restart markers ([[graft.ops.Jpeg]]), and GIF89a LZW
+  * ([[graft.ops.Gif]]) — each encode AND decode, oracle-checked end to
+  * end. Only MP3 and MP4/video remain genuine stub seams; their
+  * deterministic stub kernels below mark the seam — same
+  * binary → features shape, swap the kernel and nothing else changes.
   *
   * Scale notes: media blobs dominate row size; keep
   * `spark.sql.files.maxPartitionBytes` small enough that a partition of
@@ -68,7 +69,20 @@ object Multimodal {
   }
 
   /** Deterministic stand-in decode kernel for tests: bytes → 4 moments.
-    * ??? in spirit — replace with a real codec. */
+    * ??? in spirit — replace with a real codec.
+    *
+    * Why MP3/MP4 stay stubs while JPEG/PNG/GIF fell: those three are
+    * fully reconstructible from published FORMULAS (DCT basis, zigzag,
+    * Annex-K-style Huffman built from code-length counts, DEFLATE via
+    * java.util.zip, LZW's algorithm) — no opaque tabulated data. MPEG
+    * audio is not: Layer III needs the ~34 big-value Huffman code
+    * tables and the 512-coefficient synthesis window, both arbitrary
+    * TABLES in the spec with no generating formula. Re-keying them
+    * from memory risks a codec that LOOKS real but emits/consumes
+    * non-conformant streams — strictly worse than this honest seam.
+    * With the spec's tables available, the decode chain (header/side
+    * info → Huffman → 4/3-power requant → alias → IMDCT → polyphase)
+    * drops into [[decodeFeatures]] exactly like the JPEG kernel did. */
   def stubDecodeKernel(bytes: Array[Byte]): Array[Double] = {
     if (bytes.isEmpty) Array(0.0, 0.0, 0.0, 0.0)
     else {
@@ -461,10 +475,10 @@ object Multimodal {
   // ---- Real codec: PNG (8-bit truecolor ± alpha, Adam7, JDK-only) ----
   //
   // PNG is DEFLATE (java.util.zip.Deflater/Inflater) plus five per-
-  // scanline byte filters — the one mainstream image format fully
-  // implementable offline with the JDK alone (JPEG/MP3/MP4 stay
-  // documented stub seams: their entropy/transform coders need
-  // external libs). The encoder writes 8-bit truecolor (color type 2)
+  // scanline byte filters. (Baseline JPEG and GIF89a are ALSO
+  // implemented JDK-only — see [[graft.ops.Jpeg]] / [[graft.ops.Gif]];
+  // only MP3/MP4 remain stub seams.) The encoder writes 8-bit
+  // truecolor (color type 2)
   // or truecolor+alpha (type 6), plain or Adam7-INTERLACED, with a
   // SELECTABLE filter applied to every row; the decoder is
   // chunk-walking (CRC-verified, multiple IDAT chunks concatenated)

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -15,52 +16,64 @@ object Packing {
     * the distributed scan primitive. A naive window
     * `sum() over (order by ...)` with no partitionBy collapses the
     * whole table into ONE task; this form range-partitions on the
-    * order column, computes per-partition totals (tiny driver collect:
-    * one long per partition), and converts them to per-partition
-    * starting offsets added to a within-partition running sum — every
-    * stage distributed, the collect O(partitions). Output = input
-    * columns + `offset`. The result depends only on the total order,
-    * not on where range boundaries land. `order` must be a key (total
+    * order column, computes per-partition totals (a partitions-sized
+    * frame), converts them to per-partition starting offsets with a
+    * window over THAT tiny frame, and adds them to a
+    * within-partition running sum — every stage distributed except
+    * the trivial partitions-row offset window. Output = input columns
+    * + `offset`. The result depends only on the total order, not on
+    * where range boundaries land. `order` must be a key (total
     * order); duplicate order values would make the within-duplicate
     * offset assignment partition-dependent.
     *
-    * The partitioned frame is MATERIALIZED (localCheckpoint) before
-    * the totals job: the totals collect and the caller's final action
-    * are separate jobs, and RangePartitioner's reservoir sample is
-    * seeded from the (per-job) RDD id — on inputs big enough that the
-    * sample is a strict subsample, two executions could cut different
-    * range boundaries, silently pairing per-partition offsets with the
-    * wrong row sets. Pinning the exchange once removes the re-plan
-    * entirely (small fixtures are sampled in full and hide this, so
-    * it is a scale-only corruption — the worst kind). On a cluster
-    * with unreliable executors swap in a reliable `.checkpoint()`,
-    * same as [[graft.ops.Dedup.connectedComponents]]. */
+    * LAZY: no job runs until the caller's first action (so a
+    * root-chunk [[graft.Transform]] builds data-free, matching the
+    * reference's compile/run split — `LazyPlanSpec`). The partitioned
+    * frame is shared by the totals subtree and the row subtree
+    * through a `persist()` (lazily registered in the session cache,
+    * materialized by the first action): both subtrees scan the SAME
+    * cached partitioning, so RangePartitioner's reservoir sample runs
+    * once and per-partition offsets always pair with the row sets
+    * they were computed from. (An eager `localCheckpoint` pin gives
+    * the same guarantee but launches the job at plan-build; plain
+    * exchange reuse does NOT — column pruning specializes the two
+    * subtrees' scans, their exchanges stop being canonically equal,
+    * and each re-samples its own boundaries, which mispairs offsets
+    * with rows. Recompute after block loss is safe: the boundaries
+    * live in the one RangePartitioner instance, sampled once.)
+    *
+    * The cache entry persists until `spark.catalog.clearCache()` or
+    * eviction (MEMORY_AND_DISK — spills, never silently drops
+    * within a healthy executor). Identical plans share one entry, so
+    * re-running a pipeline does not grow the cache. */
   def orderedCumsum(df: DataFrame, order: Column, value: Column,
                     partitions: Int, offsetName: String = "offset")
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val reserved = Seq("__pid", "__v", "__base", offsetName)
+    val reserved = Seq("__pid", "__v", "__base", "__t", offsetName)
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
       s"orderedCumsum: column(s) ${clash.mkString(", ")} already exist")
     // EXPLICIT partition count is load-bearing: a user-specified
-    // numPartitions is exempt from AQE coalescing, so the checkpointed
-    // partitioning is exactly what was asked for.
-    val p = df.withColumn("__v", value.cast("long"))
+    // numPartitions is exempt from AQE coalescing, so the partitioning
+    // is exactly what was asked for.
+    val p0 = df.withColumn("__v", value.cast("long"))
       .repartitionByRange(partitions, order)
       .sortWithinPartitions(order)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    // per-partition totals -> prefix offsets (partition count rows),
-    // broadcast back as a frame (a when-ladder per partition would put
-    // an O(partitions)-branch case expression in every row's path)
-    val totals = p.groupBy("__pid").agg(sum(col("__v")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val bases = totals.map(_._1)
-      .zip(totals.map(_._2).scanLeft(0L)(_ + _))
-      .toSeq.toDF("__pid", "__base")
+    // lazy shared materialization — see scaladoc (persist, not
+    // localCheckpoint: checkpoint is eager; unpinned exchange reuse
+    // is defeated by column pruning and corrupts offsets)
+    val p = p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-partition totals -> prefix offsets: a window over the
+    // partitions-sized totals frame (single-task, but over ~32 rows),
+    // broadcast back (a when-ladder per partition would put an
+    // O(partitions)-branch case expression in every row's path)
+    val wBase = Window.orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = p.groupBy("__pid").agg(sum(col("__v")).as("__t"))
+      .withColumn("__base", coalesce(sum(col("__t")).over(wBase), lit(0L)))
+      .select(col("__pid"), col("__base"))
     val w = Window.partitionBy(col("__pid")).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     p.join(broadcast(bases), Seq("__pid"))

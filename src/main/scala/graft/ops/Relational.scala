@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -960,7 +961,7 @@ object Relational {
       .repartitionByRange(partitions, col("__x"))
       .sortWithinPartitions(col("__x"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint() // same re-plan hazard as orderedCumsum
+      .cut() // same re-plan hazard as orderedCumsum
     val maxes = p.groupBy("__pid").agg(max(col("__y")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val spark = df.sparkSession
@@ -1031,7 +1032,13 @@ object Relational {
     *
     * Scale shape: one whole-stage-codegen pass + a 3-value aggregate;
     * sums stay exact to 2^32 rows (components < 2^31). Returns one
-    * row (n_rows, sum_h1, sum_h2). */
+    * row (n_rows, sum_h1, sum_h2).
+    *
+    * FORMAT VERSION 2 (checksum-v2): the fold changed from one
+    * concatenated-row string to per-cell hashes combined by a second
+    * polynomial fold. Checksums persisted by the v1 release do NOT
+    * match v2 output for identical data — a v1-vs-v2 mismatch is a
+    * format break, not corruption; re-attest after upgrading. */
   def tableChecksum(df: DataFrame): DataFrame = {
     val cellHashes = df.columns.sorted.map(c =>
       graft.functions.PolyHash62E(

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -45,7 +46,7 @@ object Retrieval {
     // join both consume it, and unpinned each re-runs the full
     // tokenize+aggregate pass
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .cut()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
                          sum(col("dl")).as("total_dl"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -311,7 +312,7 @@ object Sampling {
       .repartitionByRange(partitions, col("__g"), col("__h"), id)
       .sortWithinPartitions(col("__g"), col("__h"), id)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .cut()
     // per-(partition, group) totals -> per-group prefix offsets; the
     // driver sees O(partitions x groups) longs, never row data. The
     // group's budget rides along in the same broadcast frame (a

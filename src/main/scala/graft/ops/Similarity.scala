@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
@@ -325,7 +326,7 @@ object Similarity {
     val meanLit = typedlit(mean)
     val centered = q.select(col("id"),
         zip_with(col("q"), meanLit, (x, m) => x - m).as("c"))
-      .localCheckpoint()
+      .cut()
     var v: IndexedSeq[Long] = centered
       .orderBy(col("id")).limit(1).collect()
       .head.getSeq[Long](1).toIndexedSeq
@@ -601,7 +602,60 @@ object Similarity {
     val nonNull = df.filter(vec.isNotNull)
     val base = Dedup.fanOut(nonNull)
       .select(id.as("id"), toDouble(vec).as("v"))
-    val centroids = kmeansCentroids(nonNull, id, vec, k, iters)
+    clusterRoutedPairs(base, kmeansCentroids(nonNull, id, vec, k, iters),
+      tau)
+  }
+
+  /** Corpus-ADAPTIVE SemDeDup — the 100 TB cost lever for
+    * [[semDedupPairs]]. A fixed k makes the within-cluster pair cost
+    * Σ n_c² ≈ n²/k grow quadratically once the corpus outgrows k (the
+    * 500k decade probe measured 317 s at k=256), and full-corpus
+    * Lloyd training costs O(n·k·d·iters) on top. Two levers, both
+    * deterministic and oracle-replayable:
+    *
+    *  - k scales as ⌈√n⌉ clamped to [kMin, kMax] (the SemDeDup
+    *    paper's own regime) so pair cost tracks n^1.5, not n²;
+    *  - the trainer sees a DETERMINISTIC ARITHMETIC SAMPLE — rows
+    *    whose MINSTD residue `((id+1)·48271 mod 2147483647) mod m`
+    *    is 0, with m = max(1, n div targetTrain) — capping training
+    *    at ~targetTrain rows regardless of corpus size (the same
+    *    portable-hash idiom as the q73/q87/q90 split oracles; k-means
+    *    quality needs a representative sample, not the corpus).
+    *
+    * Routing the FULL corpus is still one broadcast-centroid pass and
+    * pairs still form within clusters only; every arithmetic step
+    * stays bit-reproducible, so q450's DuckDB oracle replays
+    * n → (k, m) → sample → train → route → pair exactly. Returns the
+    * [[semDedupPairs]] schema. */
+  def semDedupPairsAuto(df: DataFrame, id: Column, vec: Column,
+                        tau: Double, targetTrain: Long = 65536L,
+                        kMin: Int = 8, kMax: Int = 4096,
+                        iters: Int = 2): DataFrame = {
+    val nonNull = df.filter(vec.isNotNull)
+    val base = Dedup.fanOut(nonNull)
+      .select(id.as("id"), toDouble(vec).as("v"))
+    val n = nonNull.count()
+    if (n == 0L)
+      return base.select(col("id").as("id1"), col("id").as("id2"),
+        lit(0.0).as("cos")).limit(0)
+    // ceil(sqrt) over double is exact for any realistic corpus
+    // (n < 2^52); both clamps replay as greatest/least in SQL
+    val k = math.min(kMax.toLong, math.max(kMin.toLong,
+      math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+    val m = math.max(1L, n / targetTrain)
+    val train = nonNull.filter(
+      (((id.cast("long") + 1L) * 48271L) % 2147483647L) % m === 0L)
+    clusterRoutedPairs(base, kmeansCentroids(train, id, vec, k, iters),
+      tau)
+  }
+
+  /** Shared route-then-pair tail of the SemDeDup family: assign every
+    * vector to its nearest centroid, self-equi-join on the cluster id
+    * (bucketed shuffle — never an all-pairs nested loop), exact-cosine
+    * verify at `tau`. */
+  private def clusterRoutedPairs(base: DataFrame,
+                                 centroids: Seq[Seq[Double]],
+                                 tau: Double): DataFrame = {
     if (centroids.isEmpty)
       return base.select(col("id").as("id1"), col("id").as("id2"),
         lit(0.0).as("cos")).limit(0)
@@ -957,18 +1011,24 @@ object Similarity {
     * exact integer until two float steps (the score division, the
     * rescore), so the oracle replays coarse-train → route → residual
     * → PQ-train → encode → tables → shortlist → rescore bit-for-bit.
-    * Returns (qid, nbr, score, rank). */
+    * Above `trainTarget` corpus rows BOTH trainers see only a
+    * deterministic arithmetic sample (see the encode-side comment):
+    * cold-build cost stops scaling with the corpus while route and
+    * encode still cover every row; below it the sample IS the corpus,
+    * so small-scale results (and the q423/q425 oracles) are
+    * unchanged. Returns (qid, nbr, score, rank). */
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
                 id: Column, vec: Column, qid: Column, qvec: Column,
                 k: Int, nLists: Int = 8, nProbe: Int = 2, m: Int = 8,
                 ksub: Int = 8, iters: Int = 1,
                 shortlistFactor: Int = 4,
-                trainedCoarse: Option[Seq[Seq[Double]]] = None)
+                trainedCoarse: Option[Seq[Seq[Double]]] = None,
+                trainTarget: Long = 65536L)
       : DataFrame = {
     require(k >= 1 && nProbe >= 1 && shortlistFactor >= 1,
       s"ivfPqTopK: k=$k nProbe=$nProbe sf=$shortlistFactor must be >= 1")
     ivfPqEncode(corpus, id, vec, nLists, m, ksub, iters,
-        trainedCoarse) match {
+        trainedCoarse, trainTarget) match {
       case None =>
         queries.select(qid.as("qid")).limit(0)
           .crossJoin(corpus.select(id.as("nbr")).limit(0))
@@ -1018,14 +1078,39 @@ object Similarity {
     * 500k/256-list decade probe (250 s → 88 s). */
   private def ivfPqEncode(corpus: DataFrame, id: Column, vec: Column,
                           nLists: Int, m: Int, ksub: Int, iters: Int,
-                          trainedCoarse: Option[Seq[Seq[Double]]])
+                          trainedCoarse: Option[Seq[Seq[Double]]],
+                          trainTarget: Long = 65536L)
       : Option[(Seq[Seq[Double]], Seq[Seq[Seq[Long]]], DataFrame)] = {
-    val cents = trainedCoarse.getOrElse(
-      kmeansCentroids(corpus, id, vec, nLists, iters))
-    if (cents.isEmpty) return None
     val base = Dedup.fanOut(corpus)
       .select(id.as("nbr"), toDouble(vec).as("v"))
       .filter(col("v").isNotNull)
+    // TRAINING SAMPLE (the 100 TB cold-build lever): k-means cost is
+    // O(rows·k·d·iters) for the coarse trainer and O(rows·ksub·d·iters)
+    // for the PQ books — at the 500k/256-list decade probe, training
+    // dominated the 88 s cold build. Both trainers therefore see only
+    // the deterministic MINSTD-residue sample (the q450/q73/q87
+    // arithmetic-hash idiom): rows whose ((id+1)·48271 mod 2^31−1)
+    // mod sm == 0, sm = max(1, n div trainTarget) — ~trainTarget
+    // training rows at ANY corpus size. ROUTE + ENCODE still cover the
+    // full corpus (they are the index). Below trainTarget rows sm = 1:
+    // the sample IS the corpus, so small-scale results and the
+    // q423/q425 exact-replay oracles are unchanged; `OpsSpec` pins
+    // >=90% brute-force agreement for a genuinely sampled build.
+    // Sampling needs a long-castable id — a corpus of string ids must
+    // pass trainedCoarse or raise trainTarget (fail-fast below).
+    val n = base.count()
+    val sm = math.max(1L, n / trainTarget)
+    def sampled(df: DataFrame, idc: Column): DataFrame =
+      if (sm == 1L) df
+      else df.filter(
+        (((idc.cast("long") + 1L) * 48271L) % 2147483647L) % sm === 0L)
+    val cents = trainedCoarse.getOrElse(
+      kmeansCentroids(sampled(corpus, id), id, vec, nLists, iters))
+    if (cents.isEmpty && n > 0L && trainedCoarse.isEmpty && sm > 1L)
+      throw new IllegalArgumentException(
+        "ivfPq: training sample is empty — sampling requires a " +
+        "long-castable id; pass trainedCoarse or raise trainTarget")
+    if (cents.isEmpty) return None
     // the trainer's centroids ARE integer micro-units divided by 1e6;
     // multiply back (exact) for the residual arithmetic
     val cq: Seq[Seq[Long]] =
@@ -1037,9 +1122,10 @@ object Similarity {
         element_at(nearestCentroids(cents, col("v"), 1), 1))
       .withColumn("rq", zip_with(col("q"),
         element_at(cqLit, col("list") + 1), (a, b) => a - b))
-      .localCheckpoint()
+      .cut()
     val books = pqCodebooksFromQ(
-      assigned.select(col("nbr").as("id"), col("rq").as("q")),
+      sampled(assigned, col("nbr"))
+        .select(col("nbr").as("id"), col("rq").as("q")),
       m, ksub, iters)
     if (books.isEmpty) return None
     val sub = books.head.head.size
@@ -1113,10 +1199,11 @@ object Similarity {
   def ivfPqPack(corpus: DataFrame, id: Column, vec: Column,
                 nLists: Int = 8, m: Int = 8, ksub: Int = 8,
                 iters: Int = 1,
-                trainedCoarse: Option[Seq[Seq[Double]]] = None)
+                trainedCoarse: Option[Seq[Seq[Double]]] = None,
+                trainTarget: Long = 65536L)
       : (Seq[Seq[Double]], Seq[Seq[Seq[Long]]], DataFrame) =
     ivfPqEncode(corpus, id, vec, nLists, m, ksub, iters,
-        trainedCoarse) match {
+        trainedCoarse, trainTarget) match {
       case None => (Nil, Nil, corpus.sparkSession.emptyDataFrame)
       case Some((cents, books, enc)) =>
         (cents, books, enc

@@ -34,9 +34,18 @@ object Sketches {
     * the driver's pandas compare, and approx values can't hash-match
     * DuckDB anyway. Costs a real distinct + sort per group (fine at
     * audit scale; the [[profile]] sketch remains the 100 TB survey
-    * pass and is spec-pinned against this within its error bounds). */
+    * pass and is spec-pinned against this within its error bounds).
+    *
+    * QUANTIZATION CONTRACT: values are snapped to a 1/`quantScale`
+    * grid (default 100 = integer cents) BEFORE percentile
+    * interpolation, which pins cross-engine ulp behavior (see inline
+    * note). Callers whose values are not money-scaled — ratios in
+    * [0,1], log-probs — must pass a `quantScale` fine enough for
+    * their domain (e.g. 1e6), or the distribution is coarsened to the
+    * grid before quantiles are taken. */
   def profileExact(df: DataFrame, groupBy: Seq[Column], value: Column,
-                   quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75))
+                   quantiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+                   quantScale: Double = 100.0)
       : DataFrame = {
     // counts and percentiles aggregate SEPARATELY and join on the group
     // keys: a distinct aggregate beside a percentile buffer makes
@@ -54,13 +63,13 @@ object Sketches {
     // identical regardless of the engine's a+(b−a)·f vs a·(1−f)+b·f
     // op order — a raw-double percentile differed from DuckDB by 1 ulp
     // at sf0.001 and flipped a round-to-2 boundary (52724.245)
-    val cents = floor(value * 100 + lit(0.5)).cast("long")
+    val cents = floor(value * quantScale + lit(0.5)).cast("long")
     val pcts = df.groupBy(groupBy: _*).agg(
       percentile(cents, array(quantiles.map(lit): _*)).as("__ps"))
     quantiles.zipWithIndex.foldLeft(base.join(pcts, keyCols)) {
       case (d, (q, i)) =>
         d.withColumn("q" + math.round(q * 100).toInt,
-          round(element_at(col("__ps"), i + 1) / 100.0, 2))
+          round(element_at(col("__ps"), i + 1) / quantScale, 2))
     }.drop("__ps")
   }
 

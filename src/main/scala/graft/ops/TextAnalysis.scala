@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -214,7 +215,7 @@ object TextAnalysis {
     def first(c: Column): Column = split(c, " ").getItem(0)
     def second(c: Column): Column = split(c, " ").getItem(1)
     val bgCnt = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
-      .localCheckpoint() // three aggregates + the model join reuse it
+      .cut() // three aggregates + the model join reuse it
     val w1agg = bgCnt.groupBy(first(col("bg")).as("w1"))
       .agg(sum("c12").as("ctx"), count(lit(1)).as("nf"))
     val w2agg = bgCnt.groupBy(second(col("bg")).as("w2"))
@@ -571,7 +572,7 @@ object TextAnalysis {
     val tf = df.select(id.as("doc_id"), explode(tokens(text)).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .cut()
     val tok = col("tok")
     val codes = transform(sequence(lit(1), length(tok)), i =>
       ascii(tok.substr(i, lit(1))).cast("long"))
@@ -625,7 +626,7 @@ object TextAnalysis {
     // join both consume it, and unpinned each re-runs the full
     // tokenize+count pass
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .cut()
     val tot = freq.agg(sum(col("cnt")).as("tot"))
     toks.join(freq, "tok")
       .crossJoin(broadcast(tot))
@@ -682,7 +683,7 @@ object TextAnalysis {
     // (sum per w1 over the MODEL, never a second corpus-wide shuffle)
     // and the model join below consumes it again
     val bgCnt = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
+      .cut()
     val ctxCnt = bgCnt.groupBy(w1.as("w1")).agg(sum("c12").as("ctx"))
     // fold ctx into the per-bigram model (model-sized join) so the
     // CORPUS joins exactly one table — two corpus-wide probe joins
@@ -723,7 +724,7 @@ object TextAnalysis {
     val w1 = split(col("bg"), " ").getItem(0)
     val w2 = split(col("bg"), " ").getItem(1)
     val bgCnt = bg.groupBy("bg").agg(count(lit(1)).as("c12"))
-      .localCheckpoint() // model consumed by 3 aggregates + the join
+      .cut() // model consumed by 3 aggregates + the join
     val c1 = bgCnt.groupBy(w1.as("w1")).agg(sum("c12").as("c1"))
     val c2 = bgCnt.groupBy(w2.as("w2")).agg(sum("c12").as("c2"))
     val n = bgCnt.agg(sum("c12").as("n"))
@@ -920,7 +921,7 @@ object TextAnalysis {
         sum(when(col("tgt"), 1L).otherwise(0L)).as("a"),
         sum(when(col("tgt"), 0L).otherwise(1L)).as("b"))
       .filter(col("a") + col("b") >= minCount)
-      .localCheckpoint() // totals + scoring both consume it
+      .cut() // totals + scoring both consume it
     val tot = counts.agg(sum("a").as("at"), sum("b").as("bt"))
     def d(c: Column): Column = c.cast("double")
     val ab = col("a") + col("b")
@@ -983,7 +984,7 @@ object TextAnalysis {
     val sym = fwd.unionByName(
       fwd.select(col("b").as("a"), col("a").as("b")))
     val cc = sym.groupBy("a", "b").agg(count(lit(1)).as("ctc"))
-      .localCheckpoint() // marginals + total + ppmi all consume it
+      .cut() // marginals + total + ppmi all consume it
     val ct = cc.groupBy("a").agg(sum("ctc").as("ctm"))
     val n = cc.agg(sum("ctc").as("nn"))
     val ppmi = cc.filter(col("ctc") >= minCount)
@@ -995,7 +996,7 @@ object TextAnalysis {
                   (col("ctm") * col("ccm")).cast("double")) *
               lit(1000000.0) + lit(0.5)).cast("long").as("w"))
       .filter(col("w") > 0L)
-      .localCheckpoint() // consumed by norms + both join sides
+      .cut() // consumed by norms + both join sides
     val norms = ppmi.groupBy("a")
       .agg(sum((col("w") * col("w")).cast(d38)).as("nsq"))
     val dots = ppmi.select(col("a").as("t1"), col("b"), col("w").as("w1"))
@@ -1056,7 +1057,7 @@ object TextAnalysis {
             Seq("tok"), "full_outer")
       .select(col("tok"), coalesce(col("cp"), lit(0L)).as("cp"),
               coalesce(col("cn"), lit(0L)).as("cn"))
-      .localCheckpoint()
+      .cut()
     val row = m0.agg(sum("cp"), sum("cn"), count(lit(1))).collect()(0)
     val (np, nn, v) = (row.getLong(0), row.getLong(1), row.getLong(2))
     require(np > 0 && nn > 0,
@@ -1122,11 +1123,11 @@ object TextAnalysis {
       .withColumn("b",
         aggregate(codes, lit(7L),
           (a, ch) => (a * 31L + ch) % 2147483647L) % buckets)
-      .localCheckpoint()
+      .cut()
     // B rows; consumed by the scalar totals and the per-bucket model
     val bc = hb.groupBy("b")
       .agg(sum("cr").as("crb"), sum("ct").as("ctb"))
-      .localCheckpoint()
+      .cut()
     val row = bc.agg(sum("crb"), sum("ctb")).collect()(0)
     val (tr, tt) = (row.getLong(0), row.getLong(1))
     require(tr > 0 && tt > 0,
@@ -1178,7 +1179,7 @@ object TextAnalysis {
                 (a, ch) => (a * 31L + ch) % 2147483647L) % buckets)
                 .as("b"))
       .groupBy("b").agg(sum("cr").as("crb"), sum("ct").as("ctb"))
-      .localCheckpoint()
+      .cut()
     val row = bc.agg(sum("crb"), sum("ctb")).collect()(0)
     val (tr, tt) = (row.getLong(0), row.getLong(1))
     require(tr > 0 && tt > 0,
@@ -1238,7 +1239,7 @@ object TextAnalysis {
     // join both consume it, and unpinned each re-runs the full
     // tokenize+aggregate pass
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .cut()
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
     val n = df.select(countDistinct(id).as("n_docs"))

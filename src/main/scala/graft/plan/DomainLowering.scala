@@ -54,9 +54,11 @@ object DomainLowering {
     * prefix sum ([[graft.ops.Packing.orderedCumsum]]) plus one shuffle
     * on `pos div k` — every stage distributed (no global window), with
     * the missing-tail slots binding null (the reference's
-    * partial-tail-binds-nil rule for free). Note the prefix sum
-    * materializes the ordered frame (localCheckpoint), so lowering a
-    * root-chunk domain launches a job at plan-build time. For chunking
+    * partial-tail-binds-nil rule for free). The prefix sum is a LAZY
+    * declarative plan (see its scaladoc), so lowering a root-chunk
+    * domain launches no job — the compile/run split the reference's
+    * `transformer` promises holds on every domain shape
+    * (`LazyPlanSpec`). For chunking
     * WITHIN groups (collect per key and chunk the array, as q07 does)
     * the same Vec(n) pattern under any array binding stays fully
     * lazy. */

@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
@@ -89,7 +90,7 @@ object Profile {
     if (args.contains("cc")) {  // connected-components phase profile
       val pairs = time("lsh pairs materialize")(
         graft.ops.Dedup.minhashLshPairs(d, col("doc_id"), col("text"), 0.6)
-          .localCheckpoint())
+          .cut())
       println(s"[profile] n pairs = ${pairs.count()}")
       val cc = time("components total")(
         graft.ops.Dedup.connectedComponents(pairs, col("id1"), col("id2")))

@@ -1,5 +1,6 @@
 package graft.tools
 
+import graft.Checkpoints.CheckpointOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,7 +21,48 @@ object ScaleProbe {
               lit(1000000L))))),
           lit(" t"), pmod(col("id"), lit(10))).as("text"))
       .repartition(64)
-      .localCheckpoint()
+      .cut()
+
+
+  /** Per-probe stage-metric accounting: local[32] wall time hides
+    * network cost entirely, and two plans with equal wall time can
+    * differ 10x in shuffle volume — the thing that actually ranks
+    * them on a 1000-executor cluster. Every probe row therefore also
+    * reports shuffle write/read bytes and spill (memory+disk),
+    * accumulated from SparkListener stage metrics between probe start
+    * and end (listener events are async: we sleep briefly after the
+    * action so the final stages land — a dev probe tolerance, not a
+    * production pattern). */
+  private def timed(spark: SparkSession, label: String)
+                   (f: => Long): Unit = {
+    val sw = new java.util.concurrent.atomic.AtomicLong
+    val sr = new java.util.concurrent.atomic.AtomicLong
+    val sp = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        val m = e.stageInfo.taskMetrics
+        if (m != null) {
+          sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          sp.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(400) // let the last stage-completed events land
+      def mb(b: Long) = b / 1024 / 1024
+      println(f"[scale] $label%-32s $sec%8.1f s   rows=$r   " +
+        f"shufW=${mb(sw.get)}%6d MB shufR=${mb(sr.get)}%6d MB " +
+        f"spill=${mb(sp.get)}%6d MB")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -43,12 +85,12 @@ object ScaleProbe {
             pmod(hash(expr("id div 4")), lit(1L << 32))
               .bitwiseXOR(pmod(col("id"), lit(4))).as("hi"),
             pmod(hash(expr("(id div 4) * 7 + 1")), lit(1L << 32)).as("lo"))
-          .localCheckpoint()
-        val t0 = System.nanoTime()
-        val pairs = graft.ops.Dedup.hammingPairs64(
-          fp.toDF(), col("id"), col("hi"), col("lo"), maxDist = 7)
-        val cnt = pairs.count()
-        println(f"[scale] phash n=$n%-8d ${(System.nanoTime() - t0) / 1e9}%8.1f s   pairs=$cnt (expect ~${n / 4 * 6})")
+          .cut()
+        timed(spark, f"phash n=$n (expect ~${n / 4 * 6})") {
+          graft.ops.Dedup.hammingPairs64(
+            fp.toDF(), col("id"), col("hi"), col("lo"), maxDist = 7)
+            .count()
+        }
       }
       spark.stop(); return
     }
@@ -64,12 +106,13 @@ object ScaleProbe {
       for (n <- Seq(1000L, 10000L, 100000L, 1000000L)) {
         val chain = spark.range(n - 1)
           .select(col("id").as("id1"), (col("id") + 1).as("id2"))
-        val t0 = System.nanoTime()
-        val cc = graft.ops.Dedup.connectedComponents(
-          chain.toDF(), col("id1"), col("id2"), driverThreshold = 0L)
-        val distinctComps = cc.select("comp").distinct().count()
-        println(f"[scale] cc chain n=$n%-8d ${(System.nanoTime() - t0) / 1e9}%8.1f s   comps=$distinctComps")
-        assert(distinctComps == 1L, s"chain must be one component")
+        timed(spark, f"cc chain n=$n") {
+          val cc = graft.ops.Dedup.connectedComponents(
+            chain.toDF(), col("id1"), col("id2"), driverThreshold = 0L)
+          val distinctComps = cc.select("comp").distinct().count()
+          assert(distinctComps == 1L, s"chain must be one component")
+          distinctComps
+        }
       }
       spark.stop(); return
     }
@@ -83,11 +126,8 @@ object ScaleProbe {
       // (sessionAgg) ride AQE skew handling. Recording both times is
       // the point: the gap IS the skew lever's value.
       import spark.implicits._
-      def time(label: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val r = f
-        println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
-      }
+      def time(label: String)(f: => Long): Unit =
+        timed(spark, label)(f)
       val normal = spark.range(9000000L).select(
         expr("id div 20").as("user_id"),
         timestamp_seconds(lit(1700000000L) +
@@ -98,7 +138,7 @@ object ScaleProbe {
         timestamp_seconds(lit(1700000000L) +
           col("id") * (lit(1L) + pmod(hash(col("id")), lit(5L))))
           .as("ts"))
-      val ev = normal.unionByName(whale).repartition(64).localCheckpoint()
+      val ev = normal.unionByName(whale).repartition(64).cut()
       println(s"[scale] skew events: ${ev.count()} (1M on one user)")
       // count(session_id) forces the window/bucket machinery (a bare
       // count() would let Catalyst prune it and time an empty scan)
@@ -119,11 +159,8 @@ object ScaleProbe {
       // remaining text-op family at the decade (same hazard class:
       // text-derived frames with under-estimated static stats)
       import spark.implicits._
-      def time(label: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val r = f
-        println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
-      }
+      def time(label: String)(f: => Long): Unit =
+        timed(spark, label)(f)
       val docs = decadeDocs(spark)
       println(s"[scale] decade corpus: ${docs.count()} docs")
       time("winnow_containment 500k")(graft.ops.Dedup
@@ -153,11 +190,8 @@ object ScaleProbe {
       // (ArrayType static underestimates, per-group sketch state,
       // wedge volume), so each must hold its family's cost shape
       import spark.implicits._
-      def time(label: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val r = f
-        println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
-      }
+      def time(label: String)(f: => Long): Unit =
+        timed(spark, label)(f)
       val nVec = 500000L
       val vecs = spark.range(nVec).select(col("id").as("vec_id"),
           transform(sequence(lit(0), lit(63)), j =>
@@ -166,7 +200,7 @@ object ScaleProbe {
              pmod(col("id"), lit(10)).cast("double") * 0.0001)
               .cast("float")).as("embedding"))
         .repartition(64)
-        .localCheckpoint()
+        .cut()
       println(s"[scale] decade embeddings: ${vecs.count()}")
       time("pq_adc 500k m=8 k=5")(graft.ops.Similarity.pqTopK(
         vecs, vecs.filter(col("vec_id") < 10),
@@ -181,7 +215,7 @@ object ScaleProbe {
           expr("id div 20").as("user_id"),
           pmod(col("id"), lit(2L)).as("half"),
           concat(lit("g"), pmod(expr("id div 20"), lit(8L))).as("grp"))
-        .repartition(64).localCheckpoint()
+        .repartition(64).cut()
       println(s"[scale] decade events: ${ev.count()}")
       time("kmv_theta 10M ev k=256") {
         val sa = graft.ops.Sketches.kmvSketch(
@@ -198,10 +232,79 @@ object ScaleProbe {
           pmod(hash(col("id"), lit(1)), lit(nNode)).as("v"))
         .filter(col("u") =!= col("v"))
         .repartition(64)
-        .localCheckpoint()
+        .cut()
       println(s"[scale] decade edges: ${edges.count()}")
       time("link_pred 5M edges cap=12")(graft.ops.Graph.linkPrediction(
         edges, col("u"), col("v"), topK = 100, maxDegree = 12).count())
+      spark.stop(); return
+    }
+
+    if (args.contains("semdedup")) {
+      // task: the SemDeDup cost lever at scale. Fixed k makes pair
+      // cost sum(n_c^2) ~ n^2/k (the r6 500k/k=256 probe: 317 s);
+      // semDedupPairsAuto scales k as ceil(sqrt(n)) and trains on the
+      // ~65k MINSTD sample, so pair cost tracks n^1.5 and training
+      // stops scaling with the corpus. Planted 10-copy cliques give a
+      // known true-pair count -> the count doubles as a recall check
+      // (tau=0.9 keeps only intra-clique pairs; every clique that
+      // co-clusters contributes its full C(10,2)).
+      import spark.implicits._
+      def time(label: String)(f: => Long): Unit =
+        timed(spark, label)(f)
+      def vecsOf(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            ((pmod(hash(expr("id div 10"), j), lit(2000L)) - 1000L)
+               .cast("double") / 1000.0 +
+             pmod(col("id"), lit(10)).cast("double") * 0.0001)
+              .cast("float")).as("embedding"))
+        .repartition(64)
+        .cut()
+      for (n <- Seq(500000L, 2000000L)) {
+        val vecs = vecsOf(n)
+        println(s"[scale] semdedup embeddings: ${vecs.count()}")
+        time(s"semdedup_auto n=$n (true=${n / 10 * 45})")(
+          graft.ops.Similarity.semDedupPairsAuto(vecs,
+            col("vec_id"), col("embedding"), tau = 0.9).count())
+      }
+      // the r6 fixed-k configuration, for the recall-vs-cost table
+      val v5 = vecsOf(500000L)
+      time("semdedup fixed k=256 n=500k (true=2250000)")(
+        graft.ops.Similarity.semDedupPairs(v5,
+          col("vec_id"), col("embedding"), tau = 0.9,
+          k = 256, iters = 2).count())
+      spark.stop(); return
+    }
+
+    if (args.contains("ivfpqtrain")) {
+      // task: IVF-PQ cold-build amortization. Training (coarse Lloyd
+      // + residual PQ books) dominated the r6 88 s cold build at
+      // 500k/256 lists; the default trainTarget=65536 sample must cut
+      // the TRAIN portion ~n/65536x while the planted-cluster recall
+      // spec (OpsSpec) pins that ranking quality holds.
+      import spark.implicits._
+      def time(label: String)(f: => Long): Unit =
+        timed(spark, label)(f)
+      val nVec = 500000L
+      val vecs = spark.range(nVec).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            ((pmod(hash(expr("id div 10"), j), lit(2000L)) - 1000L)
+               .cast("double") / 1000.0 +
+             pmod(col("id"), lit(10)).cast("double") * 0.0001)
+              .cast("float")).as("embedding"))
+        .repartition(64)
+        .cut()
+      println(s"[scale] ivfpqtrain embeddings: ${vecs.count()}")
+      time("ivfpq 500k SAMPLED train (default)")(
+        graft.ops.Similarity.ivfPqTopK(
+          vecs, vecs.filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), col("vec_id"),
+          col("embedding"), k = 5, nLists = 256, nProbe = 8).count())
+      time("ivfpq 500k FULL train (r6 behavior)")(
+        graft.ops.Similarity.ivfPqTopK(
+          vecs, vecs.filter(col("vec_id") < 10),
+          col("vec_id"), col("embedding"), col("vec_id"),
+          col("embedding"), k = 5, nLists = 256, nProbe = 8,
+          trainTarget = Long.MaxValue).count())
       spark.stop(); return
     }
 
@@ -212,11 +315,8 @@ object ScaleProbe {
       // cost stay linear in true pairs / events, with no broadcast
       // mistake and no OOM — one step closer to the real corpus.
       import spark.implicits._
-      def time(label: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val r = f
-        println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
-      }
+      def time(label: String)(f: => Long): Unit =
+        timed(spark, label)(f)
       val docs = spark.range(2000000L).select(col("id").as("doc_id"),
           concat(
             concat_ws(" ", transform(sequence(lit(0), lit(59)), j =>
@@ -224,7 +324,7 @@ object ScaleProbe {
                 lit(4000000L))))),
             lit(" t"), pmod(col("id"), lit(10))).as("text"))
         .repartition(96)
-        .localCheckpoint()
+        .cut()
       println(s"[scale] decade2 corpus: ${docs.count()} docs")
       time("minhash_lsh 2M tau=.6")(graft.ops.Dedup.minhashLshPairs(
         docs, col("doc_id"), col("text"), tau = 0.6).count())
@@ -240,7 +340,7 @@ object ScaleProbe {
             (lit(300L) + pmod(hash(col("id")), lit(2400L))))
             .as("ts"))
         .repartition(96)
-        .localCheckpoint()
+        .cut()
       println(s"[scale] decade2 events: ${events.count()}")
       time("sessionize 30M ev")(graft.ops.Events.sessionize(
         events, col("user_id"), col("ts"), gapSeconds = 1800L)
@@ -260,11 +360,8 @@ object ScaleProbe {
       // below must stay ~linear in its true driver (pairs, events,
       // edges) with no OOM at local[32]/128 GiB.
       import spark.implicits._
-      def time(label: String)(f: => Long): Unit = {
-        val t0 = System.nanoTime()
-        val r = f
-        println(f"[scale] $label%-32s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
-      }
+      def time(label: String)(f: => Long): Unit =
+        timed(spark, label)(f)
       val docs = decadeDocs(spark)
       println(s"[scale] decade corpus: ${docs.count()} docs")
       time("minhash_lsh 500k tau=.6")(graft.ops.Dedup.minhashLshPairs(
@@ -288,7 +385,7 @@ object ScaleProbe {
             (lit(300L) + pmod(hash(col("id")), lit(2400L))))
             .as("ts"))
         .repartition(64)
-        .localCheckpoint()
+        .cut()
       println(s"[scale] decade events: ${events.count()}")
       // count(session_id), not count(): a bare count() lets Catalyst
       // prune the window away and times an empty scan
@@ -305,7 +402,7 @@ object ScaleProbe {
           pmod(hash(col("id"), lit(1)), lit(nNode)).as("v"))
         .filter(col("u") =!= col("v"))
         .repartition(64)
-        .localCheckpoint()
+        .cut()
       println(s"[scale] decade edges: ${edges.count()}")
       time("triangles 5M edges")(graft.ops.Graph.triangleCounts(
         edges, col("u"), col("v")).count())
@@ -331,7 +428,7 @@ object ScaleProbe {
              pmod(col("id"), lit(10)).cast("double") * 0.0001)
               .cast("float")).as("embedding"))
         .repartition(64)
-        .localCheckpoint()
+        .cut()
       println(s"[scale] decade embeddings: ${vecs.count()}")
       time("semdedup 500k k=256")(graft.ops.Similarity.semDedupPairs(
         vecs, col("vec_id"), col("embedding"), tau = 0.999, k = 256,
@@ -343,7 +440,7 @@ object ScaleProbe {
       time("ivf_packed 500k") {
         val (cents, packed) = graft.ops.Similarity.ivfPack(
           vecs, col("vec_id"), col("embedding"), nLists = 256)
-        val idx = packed.localCheckpoint()
+        val idx = packed.cut()
         graft.ops.Similarity.ivfTopKPacked(
           vecs.filter(col("vec_id") < 10), cents, idx,
           col("vec_id"), col("embedding"), k = 5).count()
@@ -369,11 +466,8 @@ object ScaleProbe {
     val corpus = spark.read.parquet("/tmp/graft_scale_docs")
     println(s"[scale] corpus: ${corpus.count()} docs (base $n)")
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scale] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.1f s   rows=$r")
-    }
+    def time(label: String)(f: => Long): Unit =
+        timed(spark, label)(f)
     time("minhash_lsh 50k")(graft.ops.Dedup.minhashLshPairs(
       corpus, col("doc_id"), col("text"), tau = 0.6).count())
     time("simhash 50k")(graft.ops.Dedup.simhashPairs(
@@ -545,7 +639,7 @@ object ScaleProbe {
     time("ivf_packed 10x") {
       val (cents, packed) = graft.ops.Similarity.ivfPack(
         bigE, col("vec_id"), col("embedding"), nLists = 64)
-      val idx = packed.localCheckpoint()
+      val idx = packed.cut()
       graft.ops.Similarity.ivfTopKPacked(
         bigE.filter(col("vec_id") < 10), cents, idx,
         col("vec_id"), col("embedding"), k = 5).count()
@@ -555,7 +649,7 @@ object ScaleProbe {
     // probes pin the full-width wedge stage and the per-round peel cost
     val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
     val pairs = graft.ops.Graph.coOccurrencePairs(
-      li, col("l_orderkey"), col("l_partkey")).localCheckpoint()
+      li, col("l_orderkey"), col("l_partkey")).cut()
     time("triangles sf0.1")(graft.ops.Graph.triangleCounts(
       pairs, col("u"), col("v"), inputCanonical = true).count())
     time("kcore_peel sf0.1 r=4")(graft.ops.Graph.kCorePeel(
@@ -563,7 +657,7 @@ object ScaleProbe {
     time("lpa sf0.1 r=3")(graft.ops.Graph.labelPropagation(
       pairs, col("u"), col("v"), rounds = 3).count())
     val we = graft.ops.Graph.coOccurrenceEdges(
-      li, col("l_orderkey"), col("l_partkey")).localCheckpoint()
+      li, col("l_orderkey"), col("l_partkey")).cut()
     val seeds = spark.read.parquet("/root/testdata/sf0.1/part.parquet")
       .filter(col("p_size") === 1).select(col("p_partkey").as("id"))
     time("ppr sf0.1 i=3")(graft.ops.Graph.personalizedPageRank(

@@ -1594,6 +1594,41 @@ class OpsSpec extends AnyFunSuite {
       5)) == ivfpq)
   }
 
+  test("IVF-PQ SAMPLED training (trainTarget < corpus) holds recall") {
+    import spark.implicits._
+    // same interleaved planted-cluster fixture as the full-train test,
+    // but trainTarget=32 forces sm = 128/32 = 4: both trainers see only
+    // the ~32-row MINSTD-residue sample while route/encode cover all
+    // 128 rows — recall against brute force must hold anyway (the
+    // 100 TB cold-build lever can't cost correctness)
+    val protos = embs.orderBy("vec_id").limit(8).collect()
+      .map(_.getSeq[Float](1).toArray)
+    val corpus = (0 until 128).map { i =>
+      val p = protos(i % 8)
+      (i.toLong, p.indices.map(d =>
+        p(d) + ((i * 31 + d) % 7 - 3) * 1e-3f).toArray)
+    }.toDF("vec_id", "embedding")
+    def res(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val exact = res(Similarity.bruteForceTopK(corpus,
+      corpus.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"), 5))
+    val sampledBuild = res(Similarity.ivfPqTopK(corpus,
+      corpus.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      5, trainTarget = 32L))
+    assert(sampledBuild.keySet == exact.keySet)
+    val agree = exact.count { case (k, v) =>
+      sampledBuild.get(k).contains(v) }
+    assert(agree >= (exact.size * 0.9).toInt,
+      s"sampled-train IVF-PQ agreed on $agree/${exact.size} (need >= 90%)")
+    // deterministic: the sampled build replays bit-identically
+    assert(res(Similarity.ivfPqTopK(corpus,
+      corpus.filter(col("vec_id") < 10),
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      5, trainTarget = 32L)) == sampledBuild)
+  }
+
   test("IVF-PQ rescore precision and empty-corpus degenerate") {
     val full = Similarity.bruteForceTopK(embs,
         embs.filter(col("vec_id") < 10),

@@ -15,6 +15,23 @@ class PlanSpec extends AnyFunSuite {
     SparkEntry.queries(q)(spark, sf0001)
       .queryExecution.executedPlan.toString
 
+
+  /** Single-partition funnels are allowed ONLY for (a) scalar
+    * aggregates (keys=[] — O(partitions) partial rows through one
+    * task) and (b) orderedCumsum's per-partition-totals window (child
+    * aggregates on the reserved __pid key — a partitions-sized frame
+    * by construction, the price of the lazy collect-free prefix sum).
+    * Anything else is the corpus-through-one-task trap these pins
+    * exist to catch. Expects a LOWERCASED plan string. */
+  private def assertBoundedSinglePartitions(q: String, p: String): Unit =
+    p.split("exchange singlepartition").drop(1).foreach { after =>
+      // 500-char window: the child aggregate is the next tree line,
+      // but deep plans carry hundreds of chars of `: ` indentation
+      assert(after.take(500).contains("hashaggregate(keys=[]") ||
+             after.take(500).contains("hashaggregate(keys=[__pid"),
+        s"$q: unbounded single-partition stage: ${after.take(600)}")
+    }
+
   test("q02 filter reaches the parquet scan (predicate pushdown)") {
     val p = plan("q02_project_filter")
     assert(p.contains("PushedFilters"), p.take(500))
@@ -167,7 +184,7 @@ class PlanSpec extends AnyFunSuite {
     // windows.
     val p = plan("q82_pack_sequences").toLowerCase
     assert(p.contains("rangepartitioning"), p.take(2000))
-    assert(!p.contains("singlepartition"), p.take(3000))
+    assertBoundedSinglePartitions("q82", p)
   }
 
   test("q96 token budget range-partitions — no one-task-per-group window") {
@@ -188,7 +205,7 @@ class PlanSpec extends AnyFunSuite {
     // lowering must never show a single-partition stage
     val p = plan("q50_chunk_root").toLowerCase
     assert(p.contains("rangepartitioning"), p.take(2000))
-    assert(!p.contains("singlepartition"), p.take(3000))
+    assertBoundedSinglePartitions("q50", p)
   }
 
   test("q105 BPE pair stats: TakeOrdered top-N over a partial agg") {
@@ -206,7 +223,7 @@ class PlanSpec extends AnyFunSuite {
     // the cluster key (billion-row clusters = straggler tasks)
     val p = plan("q107_prototypes").toLowerCase
     assert(p.contains("rangepartitioning"), p.take(2000))
-    assert(!p.contains("singlepartition"), p.take(3000))
+    assertBoundedSinglePartitions("q107", p)
     assert(p.contains("broadcast"), p.take(3000))
   }
 
@@ -248,7 +265,7 @@ class PlanSpec extends AnyFunSuite {
     for (q <- Seq("q89_length_batches", "q90_shuffle_shards")) {
       val p = plan(q).toLowerCase
       assert(p.contains("rangepartitioning"), s"$q: ${p.take(2000)}")
-      assert(!p.contains("singlepartition"), s"$q: ${p.take(3000)}")
+      assertBoundedSinglePartitions(q, p)
     }
   }
 
@@ -320,10 +337,7 @@ class PlanSpec extends AnyFunSuite {
     Seq("q207_rfm_segments", "q208_pareto").foreach { q =>
       val p = plan(q).toLowerCase
       assert(p.contains("rangepartitioning"), s"$q: ${p.take(2000)}")
-      p.split("exchange singlepartition").drop(1).foreach { after =>
-        assert(after.take(200).contains("hashaggregate(keys=[]"),
-          s"$q: non-scalar single-partition stage: ${after.take(400)}")
-      }
+      assertBoundedSinglePartitions(q, p)
     }
   }
 
@@ -385,10 +399,7 @@ class PlanSpec extends AnyFunSuite {
     Seq("q174_lift_table", "q186_quantile_norm").foreach { q =>
       val p = plan(q).toLowerCase
       assert(p.contains("rangepartitioning"), s"$q: ${p.take(2000)}")
-      p.split("exchange singlepartition").drop(1).foreach { after =>
-        assert(after.take(200).contains("hashaggregate(keys=[]"),
-          s"$q: non-scalar single-partition stage: ${after.take(400)}")
-      }
+      assertBoundedSinglePartitions(q, p)
     }
   }
 
@@ -481,5 +492,38 @@ class PlanSpec extends AnyFunSuite {
     assert("try_variant_get".r.findAllIn(p).size == 2, p.take(2000))
     // and the aggregation combines map-side before the shuffle
     assert(p.contains("partial_count"), p.take(2000))
+  }
+
+  test("PairJoins gate: large sides keep the merge veto (never a " +
+       "static broadcast of a corpus-sized pair side)") {
+    import org.apache.spark.sql.functions._
+    // force the budget to 0 — every runtime count is "over budget",
+    // reproducing the corpus-scale decision on the tiny fixture (the
+    // decade probes exercise the real thing; this pins the mechanism)
+    spark.conf.set(graft.ops.PairJoins.MaxBroadcastBytesKey, "0")
+    try {
+      val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      val p = graft.ops.Dedup.winnowContainmentPairs(
+          d, col("doc_id"), col("text"), 3, 4, 3, 20)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("BroadcastHashJoin"), p.take(2000))
+    } finally
+      spark.conf.unset(graft.ops.PairJoins.MaxBroadcastBytesKey)
+  }
+
+  test("PairJoins gate: runtime-proven small sides broadcast again") {
+    import org.apache.spark.sql.functions._
+    // default budget: the sf0.001 corpus is provably tiny, so the
+    // gate must NOT hint and the planner should broadcast a side
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.ops.Dedup.winnowContainmentPairs(
+        d, col("doc_id"), col("text"), 3, 4, 3, 20)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val p2 = graft.ops.Dedup.prefixFilterPairs(
+        d, col("doc_id"), col("text"), 4, 5)
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("BroadcastHashJoin"), p2.take(2000))
   }
 }
