@@ -746,6 +746,59 @@ object SparkEntry {
         .orderBy("touch_type")
     }),
 
+    // Content-defined chunking (Gear rolling hash): cut points fall
+    // where content says, so edits re-cut only the chunks they touch;
+    // the oracle replays the 31-byte-window hash per position and the
+    // portable chunk hash.
+    "q451_cdc_chunks" -> ((s, dir) => {
+      graft.ops.Dedup.cdcChunks(t(s, dir, "documents"),
+          col("doc_id"), col("text"), maskBits = 6)
+        .select(col("id").as("doc_id"), col("chunk_idx"),
+          col("chunk_from"), col("chunk_to"), col("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // CDC-chunk keep-first dedup: shift-robust boilerplate removal —
+    // q93's span dedup without the fixed grid's re-alignment blindspot.
+    "q452_cdc_dedup" -> ((s, dir) => {
+      graft.ops.Dedup.cdcDedupSegments(t(s, dir, "documents"),
+          col("doc_id"), col("text"), maskBits = 6)
+        .select(col("id").as("doc_id"), col("text_deduped"),
+          col("n_kept"), col("n_dropped"))
+        .orderBy("doc_id")
+    }),
+
+    // Real multimodal codec V (MP4/ISO BMFF CONTAINER): spec-shaped
+    // box tree per row (ftyp/moov/mvhd/trak/stbl sample tables/mdat),
+    // demuxed back by the real bounds-checked box walker — duration/
+    // resolution/sample geometry without any frame decode, the
+    // metadata gate a video curation pass runs on every asset. The
+    // oracle replays the synth formulas in closed form.
+    "q474_mp4_demux" -> ((s, dir) => {
+      val vids = graft.ops.Mp4.synthMp4(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Mp4.demuxMp4StatsDf(vids, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("brand"),
+          col("timescale"), col("duration_ms"), col("n_tracks"),
+          col("handler"), col("width"), col("height"),
+          col("n_samples"), col("sum_sample_bytes"))
+        .orderBy("doc_id")
+    }),
+
+    // Funnel v5 through the PUBLIC Pipeline API: quality gate ->
+    // CDC chunk-dedup REWRITE (shift-robust boilerplate removal) —
+    // the round's rewrite stage composed end to end, exact oracle.
+    "q453_funnel_cdc" -> ((s, dir) => {
+      graft.ops.Pipeline(t(s, dir, "documents"), "doc_id", "text")
+        .filterQuality(4500)
+        .dedupCdcChunks(maskBits = 6)
+        .result
+        .select(col("doc_id"),
+          coalesce(length(col("text")), lit(0)).cast("long")
+            .as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-adaptive SemDeDup: k = clamp(ceil(sqrt(n)), 8, 4096),
     // Lloyd trained on the MINSTD-residue arithmetic sample (m =
     // max(1, n div 65536)), full-corpus routing — the 100 TB cost
@@ -5027,6 +5080,155 @@ object SparkEntry {
          SELECT id, CAST(count(*) AS BIGINT) AS seeds_reached,
            CAST(sum(d) AS BIGINT) AS sum_dist
          FROM m GROUP BY id ORDER BY id""",
+
+    // closed-form replay of synthMp4's geometry/timing formulas
+    "q474_mp4_demux" ->
+      """SELECT doc_id, 'isom' AS brand,
+           1000 + (doc_id % 3) * 500 AS timescale,
+           (40 * (3 + doc_id % 6)) * 1000
+             // (1000 + (doc_id % 3) * 500) AS duration_ms,
+           CAST(1 AS INTEGER) AS n_tracks, 'vide' AS handler,
+           CAST(64 + 16 * (doc_id % 8) AS INTEGER) AS width,
+           CAST(48 + 16 * (doc_id % 5) AS INTEGER) AS height,
+           3 + doc_id % 6 AS n_samples,
+           CAST(list_sum([40 + ((doc_id + i) % 25)
+             FOR i IN range(0, 3 + doc_id % 6)]) AS BIGINT)
+             AS sum_sample_bytes
+         FROM documents ORDER BY doc_id""",
+
+    // q131's quality CTE gating q451/q452's CDC chain — the composed
+    // funnel replayed end to end
+    "q453_funnel_cdc" ->
+      """WITH tkn AS (SELECT doc_id, text, string_split(text,' ') AS ws
+             FROM documents),
+ ql AS (SELECT doc_id FROM (
+          SELECT doc_id,
+            CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5
+              + least(len(ws)/100.0, 1.0)*0.3
+              + len(list_filter(ws, t -> t IN ('the','a','of','and','to','in')))*1.0/len(ws)*0.2)
+              *10000.0 + 0.5) AS BIGINT) AS q
+          FROM tkn)
+        WHERE q >= 4500),
+ d AS (SELECT t.doc_id, t.text FROM tkn t JOIN ql USING (doc_id)
+       WHERE t.text IS NOT NULL AND len(t.text) > 0),
+ p AS (SELECT doc_id, text, unnest(range(1, len(text)+1)) AS i FROM d),
+ hb AS (SELECT doc_id, i,
+   list_sum([ ((CAST(1 AS BIGINT)<<k) *
+       (((ascii(substring(text, CAST(i-k AS INTEGER), 1)) + 1) * 48271)
+         % 2147483647)) % 2147483648
+      FOR k IN range(0, least(i, 31)) ]) % 2147483648 AS h
+   FROM p),
+ bnd AS (SELECT doc_id, i FROM hb WHERE h % 64 = 0),
+ sp0 AS (SELECT doc_id, i AS e,
+           coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS idx
+         FROM bnd),
+ tails AS (SELECT d.doc_id, len(d.text) AS e, coalesce(mx.m, 0) AS s,
+             coalesce(mx.c, 0) AS idx
+           FROM d LEFT JOIN (SELECT doc_id, max(i) AS m, count(*) AS c
+                             FROM bnd GROUP BY doc_id) mx USING (doc_id)),
+ sp AS (SELECT * FROM sp0 UNION ALL SELECT * FROM tails WHERE e > s),
+ ch AS (SELECT sp.doc_id, idx AS chunk_idx,
+          substring(d.text, CAST(s+1 AS INTEGER), CAST(e-s AS INTEGER)) AS ct
+        FROM sp JOIN d ON sp.doc_id = d.doc_id),
+ fo AS (SELECT ct AS kc,
+          min(struct_pack(i := doc_id, x := chunk_idx)) AS f
+        FROM ch GROUP BY ct),
+ kc AS (SELECT ch.doc_id, ch.chunk_idx, ch.ct,
+          CASE WHEN ch.doc_id = (fo.f).i AND ch.chunk_idx = (fo.f).x
+               THEN 1 ELSE 0 END AS keep
+        FROM ch JOIN fo ON ch.ct = fo.kc),
+ rb AS (SELECT doc_id,
+          coalesce(string_agg(CASE WHEN keep = 1 THEN ct END, ''
+            ORDER BY chunk_idx), '') AS text_deduped
+        FROM kc GROUP BY doc_id)
+ SELECT q.doc_id,
+   CAST(len(coalesce(rb.text_deduped, '')) AS BIGINT) AS n_chars
+ FROM (SELECT doc_id FROM documents JOIN ql USING (doc_id)) q
+ LEFT JOIN rb ON q.doc_id = rb.doc_id
+ ORDER BY q.doc_id""",
+
+    // per-position 31-byte-window Gear hash -> boundaries -> chunk
+    // spans (lag + tail) -> portable 62-bit chunk hash
+    "q451_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND len(text) > 0),
+ p AS (SELECT doc_id, text, unnest(range(1, len(text)+1)) AS i FROM d),
+ hb AS (SELECT doc_id, i,
+   list_sum([ ((CAST(1 AS BIGINT)<<k) *
+       (((ascii(substring(text, CAST(i-k AS INTEGER), 1)) + 1) * 48271)
+         % 2147483647)) % 2147483648
+      FOR k IN range(0, least(i, 31)) ]) % 2147483648 AS h
+   FROM p),
+ bnd AS (SELECT doc_id, i FROM hb WHERE h % 64 = 0),
+ sp0 AS (SELECT doc_id, i AS e,
+           coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS idx
+         FROM bnd),
+ tails AS (SELECT d.doc_id, len(d.text) AS e, coalesce(mx.m, 0) AS s,
+             coalesce(mx.c, 0) AS idx
+           FROM d LEFT JOIN (SELECT doc_id, max(i) AS m, count(*) AS c
+                             FROM bnd GROUP BY doc_id) mx USING (doc_id)),
+ sp AS (SELECT * FROM sp0 UNION ALL SELECT * FROM tails WHERE e > s),
+ ch AS (SELECT sp.doc_id, idx AS chunk_idx, s AS chunk_from, e AS chunk_to,
+          substring(d.text, CAST(s+1 AS INTEGER), CAST(e-s AS INTEGER)) AS ct
+        FROM sp JOIN d ON sp.doc_id = d.doc_id)
+ SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+   CAST(chunk_from AS INTEGER) AS chunk_from,
+   CAST(chunk_to AS INTEGER) AS chunk_to,
+   list_reduce(list_prepend(CAST(7 AS BIGINT),
+       [CAST(ascii(substring(ct, i, 1)) AS BIGINT)
+        FOR i IN range(1, len(ct)+1)]),
+     (a,c) -> (a*31+c) % 2147483647) * 2147483648
+   + list_reduce(list_prepend(CAST(11 AS BIGINT),
+       [CAST(ascii(substring(ct, i, 1)) AS BIGINT)
+        FOR i IN range(1, len(ct)+1)]),
+     (a,c) -> (a*37+c) % 2147483629) AS chunk_hash
+ FROM ch ORDER BY doc_id, chunk_idx""",
+
+    // q451's chunk CTEs + corpus-wide keep-first (min (doc, idx) per
+    // distinct chunk) + in-order reassembly
+    "q452_cdc_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND len(text) > 0),
+ p AS (SELECT doc_id, text, unnest(range(1, len(text)+1)) AS i FROM d),
+ hb AS (SELECT doc_id, i,
+   list_sum([ ((CAST(1 AS BIGINT)<<k) *
+       (((ascii(substring(text, CAST(i-k AS INTEGER), 1)) + 1) * 48271)
+         % 2147483647)) % 2147483648
+      FOR k IN range(0, least(i, 31)) ]) % 2147483648 AS h
+   FROM p),
+ bnd AS (SELECT doc_id, i FROM hb WHERE h % 64 = 0),
+ sp0 AS (SELECT doc_id, i AS e,
+           coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS idx
+         FROM bnd),
+ tails AS (SELECT d.doc_id, len(d.text) AS e, coalesce(mx.m, 0) AS s,
+             coalesce(mx.c, 0) AS idx
+           FROM d LEFT JOIN (SELECT doc_id, max(i) AS m, count(*) AS c
+                             FROM bnd GROUP BY doc_id) mx USING (doc_id)),
+ sp AS (SELECT * FROM sp0 UNION ALL SELECT * FROM tails WHERE e > s),
+ ch AS (SELECT sp.doc_id, idx AS chunk_idx,
+          substring(d.text, CAST(s+1 AS INTEGER), CAST(e-s AS INTEGER)) AS ct
+        FROM sp JOIN d ON sp.doc_id = d.doc_id),
+ fo AS (SELECT ct AS kc,
+          min(struct_pack(i := doc_id, x := chunk_idx)) AS f
+        FROM ch GROUP BY ct),
+ kc AS (SELECT ch.doc_id, ch.chunk_idx, ch.ct,
+          CASE WHEN ch.doc_id = (fo.f).i AND ch.chunk_idx = (fo.f).x
+               THEN 1 ELSE 0 END AS keep
+        FROM ch JOIN fo ON ch.ct = fo.kc),
+ rb AS (SELECT doc_id,
+          coalesce(string_agg(CASE WHEN keep = 1 THEN ct END, ''
+            ORDER BY chunk_idx), '') AS text_deduped,
+          CAST(sum(keep) AS BIGINT) AS n_kept,
+          CAST(sum(1 - keep) AS BIGINT) AS n_dropped
+        FROM kc GROUP BY doc_id)
+ SELECT doc.doc_id, coalesce(rb.text_deduped, '') AS text_deduped,
+   coalesce(rb.n_kept, 0) AS n_kept,
+   coalesce(rb.n_dropped, 0) AS n_dropped
+ FROM documents doc LEFT JOIN rb ON doc.doc_id = rb.doc_id
+ ORDER BY doc.doc_id""",
 
     // q88's fixed-point k-means CTEs with DYNAMIC k/m params: train on
     // the MINSTD-residue sample (tr), route the full corpus (e)

@@ -609,6 +609,90 @@ object Dedup {
         (col("chunk_id").cast("long") * window + col("chunk_tokens"))
           .as("tok_to"))
 
+  /** Content-defined chunks of each document (Gear rolling hash —
+    * [[graft.functions.GearBoundaries]]): cut points fall where the
+    * CONTENT says, not on a fixed grid, so an insertion or deletion
+    * re-cuts only the chunks it touches while every downstream chunk
+    * keeps its identity — the shift-resistance fixed-window spans
+    * ([[duplicateSpans]]) lack (one edit re-aligns every later span
+    * of the doc). The storage-dedup primitive (LBFS/FastCDC lineage)
+    * applied to corpus text.
+    *
+    * Expected chunk ≈ 2^maskBits bytes. Returns one row per chunk:
+    * (id, chunk_idx, chunk_from, chunk_to, chunk_text, chunk_hash) —
+    * [from, to) in characters, hash = the portable
+    * [[graft.functions.PolyHash62E]] fold over the chunk text (the
+    * oracle replays boundaries AND hashes exactly, q451). Scale
+    * shape: the boundary scan is one codegen'd pass per row, the
+    * explode is output-sized — no shuffle at all until a consumer
+    * aggregates. Null/empty docs contribute no chunks. */
+  def cdcChunks(df: DataFrame, id: Column, text: Column,
+                maskBits: Int = 6): DataFrame = {
+    val base = fanOut(df).select(id.as("id"), text.as("t"))
+      .filter(col("t").isNotNull && length(col("t")) > 0)
+      .withColumn("bs",
+        graft.functions.GearBoundaries(col("t"), maskBits))
+    // spans between consecutive boundaries; a trailing boundary at the
+    // doc end would leave an empty tail span — dropped by to > from
+    base.select(col("id"), col("t"),
+        posexplode(arrays_zip(
+          concat(array(lit(0)), col("bs")).as("s"),
+          concat(col("bs"), array(length(col("t")).cast("int")))
+            .as("e")))
+          .as(Seq("chunk_idx", "sp")))
+      .select(col("id"), col("chunk_idx"),
+        col("sp").getField("s").as("chunk_from"),
+        col("sp").getField("e").as("chunk_to"),
+        col("t").substr(col("sp").getField("s") + 1,
+          col("sp").getField("e") - col("sp").getField("s"))
+          .as("chunk_text"))
+      .filter(col("chunk_to") > col("chunk_from"))
+      .withColumn("chunk_hash",
+        graft.functions.PolyHash62E(col("chunk_text")))
+  }
+
+  /** Corpus-wide keep-first dedup at CDC-chunk granularity: every
+    * distinct chunk survives only at its lowest (id, chunk_idx)
+    * occurrence; documents reassemble from their surviving chunks in
+    * order ([[dedupParagraphs]]'s contract, with content-defined cuts
+    * instead of separator splits — catches boilerplate that spans or
+    * straddles paragraph breaks, and survives edits that would
+    * re-align a fixed grid). Returns (id, text_deduped, n_kept,
+    * n_dropped); a document whose chunks all duplicate earlier ones
+    * survives with empty text (callers filter as policy).
+    *
+    * Scale shape: first-occurrence is one shuffle on the chunk
+    * CONTENT key with map-side partial min (hot boilerplate chunks
+    * absorb before the exchange), the join back is merge-hinted (the
+    * chunk frame is the under-estimated corpus-sized text shape — see
+    * [[jaccardPairs]]), reassembly is one groupBy(id) with an in-row
+    * sort. Linear in total chunk count, never all-pairs. */
+  def cdcDedupSegments(df: DataFrame, id: Column, text: Column,
+                       maskBits: Int = 6): DataFrame = {
+    val chunks = cdcChunks(df, id, text, maskBits)
+      .select(col("id"), col("chunk_idx"), col("chunk_text"))
+    val first = chunks.groupBy(col("chunk_text"))
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("f"))
+      .select(col("chunk_text").as("kc"),
+              col("f.id").as("fid"), col("f.chunk_idx").as("fidx"))
+    val surv = chunks.hint("merge").join(first.hint("merge"),
+        col("chunk_text") === col("kc"))
+      .withColumn("keep",
+        col("id") === col("fid") && col("chunk_idx") === col("fidx"))
+    val rebuilt = surv.groupBy(col("id"))
+      .agg(array_join(
+          transform(array_sort(collect_list(
+            when(col("keep"), struct(col("chunk_idx"), col("chunk_text")))
+          )), _.getField("chunk_text")), "").as("text_deduped"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_dropped"))
+    df.select(id.as("id")).join(rebuilt.hint("merge"), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("text_deduped"), lit("")).as("text_deduped"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   /** Rewrite side of [[duplicateSpans]]: splice the repeated spans out
     * and reassemble each document from its surviving spans in order
     * (the same keep-first / ordered-reassembly contract as

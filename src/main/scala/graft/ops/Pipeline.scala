@@ -192,6 +192,32 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
     copy(df = df.join(dups, Seq(idCol), "left_anti"))
   }
 
+  /** Semantic dedup at CORPUS-ADAPTIVE cost
+    * ([[Similarity.semDedupPairsAuto]] — k ~ sqrt(n), sampled Lloyd
+    * training): the scale form of [[removeSemanticDups]], same
+    * keep-lower-id policy. */
+  def removeSemanticDupsAuto(embeddings: DataFrame, embId: Column,
+                             embVec: Column, tau: Double): Pipeline = {
+    val dups = Similarity.semDedupPairsAuto(embeddings, embId, embVec,
+        tau)
+      .select(col("id2").as(idCol)).distinct()
+    copy(df = df.join(dups, Seq(idCol), "left_anti"))
+  }
+
+  /** REWRITE stage: corpus-wide CDC chunk dedup
+    * ([[Dedup.cdcDedupSegments]]) — documents keep only the first
+    * corpus occurrence of each content-defined chunk and reassemble;
+    * the shift-robust boilerplate remover (an edit upstream of a
+    * repeated passage does not hide it from a fixed grid). Documents
+    * rewritten to empty survive the stage — compose `filterQuality`
+    * or a length gate after, as policy. */
+  def dedupCdcChunks(maskBits: Int = 6): Pipeline = {
+    val rewritten = Dedup.cdcDedupSegments(df, id, text, maskBits)
+      .select(col("id").as(idCol), col("text_deduped"))
+    copy(df = df.drop(textCol).join(rewritten, idCol)
+      .withColumnRenamed("text_deduped", textCol))
+  }
+
   /** Keep documents below a repetition ceiling: the n-gram duplicate
     * character-mass fraction ([[TextAnalysis.repetitionSignals]],
     * Gopher-style, x1e4 fixed-point) must stay under `maxDupX1e4`. */

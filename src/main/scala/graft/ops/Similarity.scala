@@ -109,13 +109,20 @@ object Similarity {
     * and [[semDedupPairs]] (cluster routing) — the two MUST rank
     * identically or their oracles diverge. */
   private def nearestCentroids(centroids: Seq[Seq[Double]], v: Column,
-                               n: Int): Column = {
-    val cents = typedlit(centroids)
-    val ranked = transform(sequence(lit(0), lit(centroids.size - 1)), i =>
-      struct((-round(cosine(v, element_at(cents, i + 1)), 6)).as("neg"),
-             i.as("idx")))
-    slice(transform(array_sort(ranked), s => s.getField("idx")), 1, n)
-  }
+                               n: Int): Column =
+    if (n == 1)
+      // the hot single-assignment path (IVF routing, Lloyd, SemDeDup)
+      // runs the codegen'd argmin kernel — bit-identical to the sort
+      // form below ([[graft.functions.NearestCentroid]])
+      array(graft.functions.NearestCentroid(v, centroids))
+    else {
+      val cents = typedlit(centroids)
+      val ranked = transform(sequence(lit(0), lit(centroids.size - 1)),
+        i =>
+          struct((-round(cosine(v, element_at(cents, i + 1)), 6)).as("neg"),
+                 i.as("idx")))
+      slice(transform(array_sort(ranked), s => s.getField("idx")), 1, n)
+    }
 
   /** IVF (inverted-file) approximate top-k: the corpus is bucketed into
     * `nLists` Voronoi cells around centroids; each query probes only its
@@ -250,17 +257,11 @@ object Similarity {
     if (centsQ.isEmpty) return Nil
     val dim = centsQ.head.size
     for (_ <- 0 until iters) {
-      val cents = typedlit(centsQ.map(_.map(_.toDouble / 1e6)))
-      // iterate over the centroids we actually HAVE (may be < k on a
-      // small corpus) — sequence(0, k-1) would index past the literal
-      // array and throw under ANSI mode
-      val kk = centsQ.size
-      val nearestIdx = {
-        val ranked = transform(sequence(lit(0), lit(kk - 1)), i =>
-          struct((-round(cosine(col("v"), element_at(cents, i + 1)), 6))
-                   .as("neg"), i.as("idx")))
-        element_at(transform(array_sort(ranked), s => s.getField("idx")), 1)
-      }
+      // codegen'd argmin kernel, bit-identical to the ranked-sort HOF
+      // form ([[graft.functions.NearestCentroid]]) — the Lloyd
+      // assignment is rows x k x dim, the trainer's whole cost
+      val nearestIdx = graft.functions.NearestCentroid(
+        col("v"), centsQ.map(_.map(_.toDouble / 1e6)))
       val aggs = count(lit(1)).as("n") +:
         (0 until dim).map(d => sum(element_at(col("q"), d + 1)).as(s"d$d"))
       val updated = c.withColumn("list", nearestIdx)

@@ -23,7 +23,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchRegressionSpec extends AnyFunSuite {
 
   val Factor = 3.0
-  val MinDeltaSec = 0.5
+  // Absolute-delta floor = the measured full-suite noise floor, not a
+  // taste constant: sub-second queries swing up to 4x BETWEEN full-suite
+  // runs from GC debris / JIT luck (q275_video_sample measured 0.445 /
+  // 0.477 / 1.92 s across three full runs of IDENTICAL code, while
+  // isolated runs of both trees agree bit-stably at 1.34 s). Real
+  // plan-shape trades are multi-second at sf0.1 (the motivating q242
+  // regression was +6.3 s) — a 2 s floor keeps the gate deterministic
+  // without letting that class through.
+  val MinDeltaSec = 2.0
 
   private def parseQueries(json: String): Map[String, Double] =
     "\"(q[0-9]+_[A-Za-z0-9_]*)\":([0-9.]+)".r

@@ -730,4 +730,63 @@ class MultimodalSpec extends AnyFunSuite {
       assert(stats(id) == ((w, h, sr, sg, sb, fp)), s"id $id")
     }
   }
+
+  test("MP4 container: encode -> demux round-trips every field") {
+    import graft.ops.Mp4
+    val sizes = Array(40, 55, 41)
+    val payload = Array.tabulate(sizes.sum)(i => (i % 113).toByte)
+    val bytes = Mp4.encodeMp4(width = 320, height = 240,
+      timescale = 1500L, sampleDelta = 40L, sampleSizes = sizes,
+      payload = payload)
+    val m = Mp4.demuxMp4(bytes)
+    assert(m.brand == "isom")
+    assert(m.timescale == 1500L)
+    assert(m.durationTicks == 120L)
+    assert(m.nTracks == 1)
+    assert(m.handler == "vide")
+    assert(m.width == 320 && m.height == 240)
+    assert(m.nSamples == 3L)
+    assert(m.sumSampleBytes == sizes.map(_.toLong).sum)
+    assert(m.sampleDelta == 40L)
+  }
+
+  test("MP4 demux: truncated and corrupt-size blobs fail loudly") {
+    import graft.ops.Mp4
+    val bytes = Mp4.encodeMp4(64, 48, 1000L, 40L, Array(10),
+      Array.fill[Byte](10)(7))
+    intercept[IllegalArgumentException] {
+      Mp4.demuxMp4(bytes.take(bytes.length / 2))
+    }
+    // corrupt a box size to exceed the file
+    val bad = bytes.clone()
+    bad(0) = 0x7f.toByte
+    intercept[IllegalArgumentException] { Mp4.demuxMp4(bad) }
+    // no moov at all
+    intercept[IllegalArgumentException] {
+      Mp4.demuxMp4(bytes.take(24)) // just ftyp
+    }
+  }
+
+  test("MP4 demux reads v1 (64-bit) mvhd layouts, not just the " +
+       "encoder's v0") {
+    import graft.ops.Mp4
+    // hand-build a minimal moov with a v1 mvhd: version 1, 8-byte
+    // times/duration, timescale at offset +20, duration(+24, 64-bit)
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      (v & 0xff).toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def box(t: String, b: Array[Byte]) =
+      be32(b.length + 8L) ++ t.getBytes("US-ASCII") ++ b
+    val mvhd1 = box("mvhd",
+      Array(1.toByte, 0.toByte, 0.toByte, 0.toByte) ++
+      be64(0) ++ be64(0) ++ be32(90000L) ++ be64(123456789L) ++
+      be32(0x00010000L) ++ Array.fill[Byte](2 + 2 + 8 + 36 + 24 + 4)(0))
+    val file = box("ftyp", "isom".getBytes("US-ASCII") ++ be32(0)) ++
+      box("moov", mvhd1)
+    val m = graft.ops.Mp4.demuxMp4(file)
+    assert(m.timescale == 90000L)
+    assert(m.durationTicks == 123456789L)
+    assert(m.nTracks == 0)
+  }
 }

@@ -3969,4 +3969,62 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
     assert(out2 == Set((0L, 100L), (150L, 160L)))
   }
+
+  test("CDC chunks: lossless reassembly + content-local boundaries " +
+       "(shift resistance)") {
+    import spark.implicits._
+    val a = (0 until 120).map(i => s"w${i * 7 % 97}").mkString(" ")
+    val b = "INSERTED-PREFIX " + a // an edit at the very front
+    val df = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(df, col("doc_id"), col("text"), maskBits = 4)
+      .orderBy("id", "chunk_idx").collect()
+    val ca = ch.filter(_.getLong(0) == 1L).map(_.getString(4)).toSeq
+    val cb = ch.filter(_.getLong(0) == 2L).map(_.getString(4)).toSeq
+    // chunks concatenate back to the document exactly
+    assert(ca.mkString("") == a)
+    assert(cb.mkString("") == b)
+    assert(ca.size >= 10, s"fixture too coarse: ${ca.size} chunks")
+    // the front edit may re-cut only the chunks within the hash's
+    // 31-byte memory of the edit; everything after realigns — the
+    // property a fixed grid (duplicateSpans) fundamentally lacks
+    val k = ca.size - 3
+    assert(ca.takeRight(k) == cb.takeRight(k),
+      s"tails diverged:\n${ca.takeRight(k)}\n${cb.takeRight(k)}")
+    // spans are [from, to) in characters and contiguous per doc
+    val spans = ch.filter(_.getLong(0) == 1L)
+      .map(r => (r.getInt(2), r.getInt(3)))
+    assert(spans.head._1 == 0 && spans.last._2 == a.length)
+    spans.sliding(2).foreach { case Array(p, q) =>
+      assert(p._2 == q._1)
+    }
+  }
+
+  test("CDC chunks: multibyte chars never split (char-aligned cuts)") {
+    import spark.implicits._
+    val a = (0 until 60).map(i => s"caf\u00e9${i % 7}\u20ac ").mkString
+    val df = Seq((1L, a)).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(df, col("doc_id"), col("text"), maskBits = 3)
+      .orderBy("chunk_idx").collect().map(_.getString(4))
+    assert(ch.mkString("") == a) // slicing by char positions is exact
+    assert(ch.length >= 4)
+  }
+
+  test("CDC dedup: duplicated docs lose all chunks to the first copy") {
+    import spark.implicits._
+    val base = (0 until 80).map(i => s"t${i * 11 % 89}").mkString(" ")
+    val df = Seq((1L, base), (2L, base), (3L, "unique " + base))
+      .toDF("doc_id", "text")
+    val out = Dedup.cdcDedupSegments(df, col("doc_id"), col("text"),
+        maskBits = 4)
+      .orderBy("id").collect()
+    // doc 1 keeps everything; doc 2 (exact copy) keeps nothing
+    assert(out(0).getString(1) == base)
+    assert(out(0).getLong(3) == 0L)
+    assert(out(1).getString(1) == "")
+    assert(out(1).getLong(2) == 0L)
+    assert(out(1).getLong(3) > 0L)
+    // doc 3 keeps its novel head, loses the shared realigned tail
+    assert(out(2).getLong(3) > 0L)
+    assert(out(2).getString(1).startsWith("unique"))
+  }
 }
