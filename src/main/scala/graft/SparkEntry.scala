@@ -774,6 +774,22 @@ object SparkEntry {
     // resolution/sample geometry without any frame decode, the
     // metadata gate a video curation pass runs on every asset. The
     // oracle replays the synth formulas in closed form.
+    // Real multimodal codec VI (FLAC, RFC 9639): lossless audio with
+    // Rice-coded fixed-predictor subframes, CRC-8/16 and an MD5 of the
+    // raw PCM verified on every decode — the at-rest audio format a
+    // training-data pipeline actually stores. Oracle replays the PCM
+    // synth formulas; the Spark side round-trips them through the real
+    // encoder + decoder (a codec defect breaks the hash).
+    "q475_flac_decode" -> ((s, dir) => {
+      val flacs = graft.ops.Flac.synthFlac(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Flac.decodeFlacStatsDf(flacs, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_samples"),
+          col("n_frames"), col("sum_abs"), col("peak"))
+        .orderBy("doc_id")
+    }),
+
     "q474_mp4_demux" -> ((s, dir) => {
       val vids = graft.ops.Mp4.synthMp4(
         t(s, dir, "documents").select(col("doc_id")), "doc_id")
@@ -5080,6 +5096,22 @@ object SparkEntry {
          SELECT id, CAST(count(*) AS BIGINT) AS seeds_reached,
            CAST(sum(d) AS BIGINT) AS sum_dist
          FROM m GROUP BY id ORDER BY id""",
+
+    // closed-form replay of synthFlac's PCM formulas — the Spark side
+    // earns the same numbers only if encode -> decode is lossless
+    "q475_flac_decode" ->
+      """WITH s AS (SELECT doc_id, 30 + (doc_id % 70) AS n FROM documents),
+         e AS (SELECT doc_id, n,
+                 [abs(((doc_id + 7) * 6007 + i * 31627) % 65521 - 32760)
+                  FOR i IN range(n)] AS a
+               FROM s)
+         SELECT doc_id, CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(ceil(n / 64.0) AS INTEGER) AS n_frames,
+           CAST(list_sum(a) AS BIGINT) AS sum_abs,
+           CAST(list_max(a) AS BIGINT) AS peak
+         FROM e ORDER BY doc_id""",
 
     // closed-form replay of synthMp4's geometry/timing formulas
     "q474_mp4_demux" ->

@@ -7,14 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * FIVE REAL self-contained codecs run behind the partition-batch seam —
-  * RIFF/WAVE PCM-16 (audio), 24-bpp BMP, PNG (DEFLATE + all five
-  * scanline filters + Adam7, below), baseline JPEG incl. 4:2:0 and
-  * restart markers ([[graft.ops.Jpeg]]), and GIF89a LZW
-  * ([[graft.ops.Gif]]) — each encode AND decode, oracle-checked end to
-  * end. Only MP3 and MP4/video remain genuine stub seams; their
-  * deterministic stub kernels below mark the seam — same
-  * binary → features shape, swap the kernel and nothing else changes.
+  * SEVEN REAL self-contained codecs run behind the partition-batch seam —
+  * RIFF/WAVE PCM-16 and FLAC ([[graft.ops.Flac]]) for audio, 24-bpp
+  * BMP, PNG (DEFLATE + all five scanline filters + Adam7, below),
+  * baseline JPEG incl. 4:2:0 and restart markers ([[graft.ops.Jpeg]]),
+  * GIF89a LZW ([[graft.ops.Gif]]), and the MP4/ISO BMFF container
+  * ([[graft.ops.Mp4]]) — each encode AND decode, oracle-checked end to
+  * end. Only the LOSSY payload decoders (MP3 audio, H.264-class video
+  * frames) remain genuine stub seams; their deterministic stub kernels
+  * below mark the seam — same binary → features shape, swap the kernel
+  * and nothing else changes.
   *
   * Scale notes: media blobs dominate row size; keep
   * `spark.sql.files.maxPartitionBytes` small enough that a partition of
@@ -71,11 +73,13 @@ object Multimodal {
   /** Deterministic stand-in decode kernel for tests: bytes → 4 moments.
     * ??? in spirit — replace with a real codec.
     *
-    * Why MP3/MP4 stay stubs while JPEG/PNG/GIF fell: those three are
-    * fully reconstructible from published FORMULAS (DCT basis, zigzag,
-    * Annex-K-style Huffman built from code-length counts, DEFLATE via
-    * java.util.zip, LZW's algorithm) — no opaque tabulated data. MPEG
-    * audio is not: Layer III needs the ~34 big-value Huffman code
+    * Why MP3 / video-frame decode stay stubs while JPEG/PNG/GIF/FLAC/
+    * the MP4 container fell: those are fully reconstructible from
+    * published FORMULAS (DCT basis, zigzag, Annex-K-style Huffman
+    * built from code-length counts, DEFLATE via java.util.zip, LZW's
+    * algorithm, Rice coding + binomial fixed predictors + CRC
+    * polynomials, length-prefixed box trees) — no opaque tabulated
+    * data. MPEG audio is not: Layer III needs the ~34 big-value Huffman code
     * tables and the 512-coefficient synthesis window, both arbitrary
     * TABLES in the spec with no generating formula. Re-keying them
     * from memory risks a codec that LOOKS real but emits/consumes
@@ -475,9 +479,11 @@ object Multimodal {
   // ---- Real codec: PNG (8-bit truecolor ± alpha, Adam7, JDK-only) ----
   //
   // PNG is DEFLATE (java.util.zip.Deflater/Inflater) plus five per-
-  // scanline byte filters. (Baseline JPEG and GIF89a are ALSO
-  // implemented JDK-only — see [[graft.ops.Jpeg]] / [[graft.ops.Gif]];
-  // only MP3/MP4 remain stub seams.) The encoder writes 8-bit
+  // scanline byte filters. (Baseline JPEG, GIF89a, FLAC and the MP4
+  // container are ALSO implemented JDK-only — see [[graft.ops.Jpeg]] /
+  // [[graft.ops.Gif]] / [[graft.ops.Flac]] / [[graft.ops.Mp4]]; only
+  // lossy payload decode — MP3, video frames — remains a stub seam.)
+  // The encoder writes 8-bit
   // truecolor (color type 2)
   // or truecolor+alpha (type 6), plain or Adam7-INTERLACED, with a
   // SELECTABLE filter applied to every row; the decoder is

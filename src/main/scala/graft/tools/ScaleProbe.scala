@@ -95,6 +95,27 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("codec")) {
+      // Codec throughput probe: FLAC encode + full verified decode
+      // (CRC-8/16 + MD5) per asset, growing corpus. The whole pipeline
+      // is map-side — the byte columns must stay ~0 (media never
+      // shuffles for stats), and wall time must be linear in total
+      // sample count: the embarrassingly-parallel shape that holds at
+      // any executor count.
+      for (n <- Seq(100000L, 400000L)) {
+        val ids = spark.range(n).select(col("id").as("doc_id"))
+          .repartition(64)
+        timed(spark, f"flac enc+dec n=$n") {
+          val flacs = graft.ops.Flac.synthFlac(ids, "doc_id",
+            blockSize = 64)
+          graft.ops.Flac.decodeFlacStatsDf(flacs, "asset_id", "media")
+            .agg(sum("sum_abs"), sum("n_samples"))
+            .collect()(0).getLong(1)
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("cc")) {
       // Distributed connected-components probe: worst-case topology (one
       // chain = max diameter) at growing sizes. Pointer jumping should

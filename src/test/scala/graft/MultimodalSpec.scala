@@ -789,4 +789,172 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.durationTicks == 123456789L)
     assert(m.nTracks == 0)
   }
+
+  test("FLAC: encode -> decode round-trips PCM bit-exactly, multi-frame") {
+    import graft.ops.Flac
+    // a mix of tonal ramp + pseudo-noise so several fixed orders win
+    val samples = Array.tabulate(1000) { i =>
+      (((i * 37) % 600 - 300) + ((i * i * 2654435761L) % 97 - 48)).toShort
+    }
+    val bytes = Flac.encodeFlac(samples, 8000, blockSize = 256)
+    val (out, st) = Flac.decodeFlac(bytes)
+    assert(out.toSeq == samples.map(_.toInt).toSeq)
+    assert(st.sampleRate == 8000 && st.channels == 1 && st.bits == 16)
+    assert(st.nSamples == 1000L && st.nFrames == 4)
+    assert(st.sumAbs == samples.map(s => math.abs(s.toLong)).sum)
+    assert(st.peak == samples.map(s => math.abs(s.toLong)).max)
+  }
+
+  test("FLAC: fixed predictors genuinely compress; constant blocks " +
+       "collapse to constant subframes") {
+    import graft.ops.Flac
+    // a half-step ramp: order-2 residuals alternate +-1 (zigzag 1..2),
+    // ~2.5 bits/sample at rice param 0 vs the 16-bit verbatim floor
+    val ramp = Array.tabulate(4096)(i => (i / 2 - 1024).toShort)
+    val enc = Flac.encodeFlac(ramp, 8000, blockSize = 1024)
+    assert(enc.length < 4096 * 2 / 6,
+      s"ramp should rice-compress >6x, got ${enc.length} bytes")
+    val (out, _) = Flac.decodeFlac(enc)
+    assert(out.toSeq == ramp.map(_.toInt).toSeq)
+    val const = Array.fill[Short](2048)(-12345)
+    val encC = Flac.encodeFlac(const, 8000, blockSize = 1024)
+    // constant subframe: whole stream = header + 2 frames of ~15 bytes
+    assert(encC.length < 120, s"constant stream is ${encC.length} bytes")
+    assert(Flac.decodeFlac(encC)._1.forall(_ == -12345))
+  }
+
+  test("FLAC: corrupt and truncated streams fail loudly, never as " +
+       "silence") {
+    import graft.ops.Flac
+    val samples = Array.tabulate(300)(i => ((i * 31) % 401 - 200).toShort)
+    val bytes = Flac.encodeFlac(samples, 8000, blockSize = 128)
+    intercept[IllegalArgumentException] {
+      Flac.decodeFlac(bytes.take(bytes.length - 3)) // truncated
+    }
+    // flip one bit in the last frame's residual payload -> CRC-16 (or
+    // MD5, if the flip happens to decode) must catch it
+    val bad = bytes.clone()
+    bad(bytes.length - 5) = (bad(bytes.length - 5) ^ 0x10).toByte
+    intercept[IllegalArgumentException] { Flac.decodeFlac(bad) }
+    // flip a frame-header byte (block-size field of frame 0) -> CRC-8
+    val hdr = bytes.clone()
+    val frame0 = 4 + 4 + 34 // marker + metadata header + STREAMINFO
+    hdr(frame0 + 5) = (hdr(frame0 + 5) ^ 0x01).toByte
+    intercept[IllegalArgumentException] { Flac.decodeFlac(hdr) }
+    intercept[IllegalArgumentException] {
+      Flac.decodeFlac("flaX".getBytes("US-ASCII") ++ bytes.drop(4))
+    }
+  }
+
+  test("FLAC decoder reads LPC subframes, wasted bits, and escaped " +
+       "partitions the encoder never emits") {
+    import graft.ops.Flac
+    // three frames, hand-assembled: (1) LPC order 1 with coeff=1
+    // shift=0 (arithmetically identical to FIXED order 1 — a real
+    // differential for the LPC bit layout), (2) CONSTANT with one
+    // wasted bit, (3) FIXED order 0 with an escaped raw partition at
+    // partition order 1.
+    val bs = 32
+    val f1 = Array.tabulate(bs)(i => 100 + 7 * i) // diff1 = const 7
+    val f2 = Array.fill(bs)(2468)                 // even: 1 wasted bit
+    val f3 = Array.tabulate(bs)(i => (i * 1103) % 257 - 128)
+    val all = (f1 ++ f2 ++ f3).map(_.toShort)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    all.foreach { s =>
+      md5.update((s & 0xff).toByte); md5.update(((s >> 8) & 0xff).toByte)
+    }
+    val w = new Flac.BitWriter
+    w.writeBits(0x664c6143L, 32)
+    w.writeBits(1, 1); w.writeBits(0, 7); w.writeBits(34, 24)
+    w.writeBits(bs, 16); w.writeBits(bs, 16)
+    w.writeBits(0, 24); w.writeBits(0, 24)
+    w.writeBits(8000, 20); w.writeBits(0, 3); w.writeBits(15, 5)
+    w.writeBits(all.length.toLong, 36)
+    md5.digest().foreach(b => w.writeBits(b & 0xff, 8))
+
+    def frameHeader(fw: Flac.BitWriter, idx: Int): Unit = {
+      fw.writeBits(0x3ffe, 14); fw.writeBits(0, 2)
+      fw.writeBits(0x7, 4); fw.writeBits(0x0, 4)
+      fw.writeBits(0x0, 4); fw.writeBits(0x4, 3); fw.writeBits(0, 1)
+      fw.writeBits(idx.toLong, 8) // coded number, single byte
+      fw.writeBits(bs - 1L, 16)
+      val hb = fw.toBytes
+      fw.writeBits(Flac.crc8(hb, 0, hb.length), 8)
+    }
+    def sealFrame(fw: Flac.BitWriter): Array[Byte] = {
+      fw.alignByte()
+      val fb = fw.toBytes
+      val out = new Flac.BitWriter
+      fb.foreach(b => out.writeBits(b & 0xff, 8))
+      out.writeBits(Flac.crc16(fb, 0, fb.length), 16)
+      out.toBytes
+    }
+    // frame 1: LPC order 1, precision 2, shift 0, coeff +1
+    val w1 = new Flac.BitWriter
+    frameHeader(w1, 0)
+    w1.writeBits(0, 1); w1.writeBits(32, 6); w1.writeBits(0, 1)
+    w1.writeBits(f1(0).toLong & 0xffff, 16)     // warmup
+    w1.writeBits(1, 4)                          // precision - 1 = 1
+    w1.writeBits(0, 5)                          // shift 0
+    w1.writeBits(1, 2)                          // coeff +1, 2-bit signed
+    w1.writeBits(0, 2); w1.writeBits(0, 4)      // rice, partition order 0
+    w1.writeBits(3, 4)                          // param 3
+    (1 until bs).foreach { _ =>                 // residual 7 -> zz 14
+      w1.writeBits(0, 1); w1.writeBits(1, 1)    // unary q=1
+      w1.writeBits(14 & 7, 3)
+    }
+    // frame 2: CONSTANT, wasted bits = 1, value stored pre-shifted
+    val w2 = new Flac.BitWriter
+    frameHeader(w2, 1)
+    w2.writeBits(0, 1); w2.writeBits(0, 6); w2.writeBits(1, 1)
+    w2.writeBits(1, 1)                          // unary 0 -> wasted = 1
+    w2.writeBits((2468 >> 1).toLong & 0x7fff, 15)
+    // frame 3: FIXED order 0, partition order 1, both partitions
+    // escaped raw 12-bit
+    val w3 = new Flac.BitWriter
+    frameHeader(w3, 2)
+    w3.writeBits(0, 1); w3.writeBits(8, 6); w3.writeBits(0, 1)
+    w3.writeBits(0, 2); w3.writeBits(1, 4)      // rice, partition order 1
+    (0 until 2).foreach { part =>
+      w3.writeBits(15, 4)                       // escape
+      w3.writeBits(12, 5)                       // 12-bit raw residuals
+      (0 until bs / 2).foreach { i =>
+        val v = f3(part * bs / 2 + i)
+        w3.writeBits(v.toLong & 0xfff, 12)
+      }
+    }
+    val file = w.toBytes ++ sealFrame(w1) ++ sealFrame(w2) ++ sealFrame(w3)
+    val (out, st) = Flac.decodeFlac(file)
+    assert(out.toSeq == all.map(_.toInt).toSeq)
+    assert(st.nFrames == 3 && st.nSamples == all.length.toLong)
+  }
+
+  test("FLAC stats over a DataFrame match per-id synthesis; null media " +
+       "yields null stats") {
+    import graft.ops.Flac
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val ids = spark.range(0, 40).toDF("doc_id")
+    val flacs = Flac.synthFlac(ids, "doc_id")
+    val got = Flac.decodeFlacStatsDf(flacs, "asset_id", "media")
+      .orderBy("asset_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val n = (30 + id % 70).toInt
+      val xs = Array.tabulate(n)(i =>
+        ((id + 7) * 6007L + i * 31627L) % 65521L - 32760L)
+      assert(r.getInt(1) == 8000 && r.getInt(2) == 1 && r.getInt(3) == 16)
+      assert(r.getLong(4) == n.toLong)
+      assert(r.getInt(5) == (n + 63) / 64)
+      assert(r.getLong(6) == xs.map(math.abs).sum)
+      assert(r.getLong(7) == xs.map(math.abs).max)
+    }
+    val withNull = spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.List.of(
+        Row(99L, null.asInstanceOf[Array[Byte]]))),
+      StructType(Seq(StructField("asset_id", LongType),
+        StructField("media", BinaryType))))
+    val nr = Flac.decodeFlacStatsDf(withNull, "asset_id", "media").head()
+    assert(nr.getLong(0) == 99L && nr.isNullAt(1) && nr.isNullAt(4))
+  }
 }
