@@ -120,6 +120,34 @@ class DomainGenSpec extends AnyFunSuite {
     genD(depth - 1).map(inner =>
       GenD(As("x", inner.domain), inner.dt, inner.gen))
 
+  /** Map with a STRUCT-typed key — the reference's key-destructuring
+    * form (`parse_domain.cljc:297-305`) over a composite key: the KAll
+    * key pattern either binds the whole struct (Leaf) or destructures
+    * its fields (Entries of KField), exercising the lowering's
+    * map-key explode over non-primitive key types generically. */
+  private def genMapStructKey(depth: Int): Gen[GenD] =
+    for {
+      tv <- genD(depth - 1)
+      destructure <- Gen.oneOf(true, false)
+    } yield {
+      val keyDt = StructType(Seq(
+        StructField("ka", StringType, nullable = false),
+        StructField("kb", IntegerType, nullable = false)))
+      val kp: Domain =
+        if (destructure)
+          Entries(Seq((KField("ka"): DKey) -> Leaf("x"),
+                      (KField("kb"): DKey) -> Leaf("x")))
+        else Leaf("x")
+      val keyGen = Gen.zip(Gen.oneOf(keyAlphabet), Gen.choose(0, 3))
+        .map { case (a, b) => Row(a, b) }
+      val mapGen: Gen[Any] = Gen.choose(0, 3).flatMap(n =>
+        Gen.listOfN(n, Gen.zip(keyGen, withNull(tv.gen)))
+          .map(kvs => kvs.toMap: Any))
+      GenD(Entries(Seq((KAll(kp): DKey) -> tv.domain)),
+        MapType(keyDt, tv.dt, valueContainsNull = true),
+        withNull(mapGen))
+    }
+
   private def genD(depth: Int): Gen[GenD] =
     if (depth <= 0) genLeaf
     else Gen.frequency(
@@ -129,6 +157,7 @@ class DomainGenSpec extends AnyFunSuite {
       1 -> Gen.lzy(genSetOf(depth)),
       2 -> Gen.lzy(genStruct(depth)),
       2 -> Gen.lzy(genMapNode(depth)),
+      1 -> Gen.lzy(genMapStructKey(depth)),
       1 -> Gen.lzy(genAs(depth)))
 
   /** Assign globally-unique binding names (the generator reuses the
@@ -213,8 +242,11 @@ class DomainGenSpec extends AnyFunSuite {
           }
           case KAll(kp) => dt match {
             case MapType(kt, vt, _) =>
+              // key type is generic (struct-keyed maps!) — a
+              // Map[String, _] cast here would make the compiler
+              // insert a checkcast on the key local and crash
               if (value == null) Nil
-              else value.asInstanceOf[Map[String, Any]].toList.flatMap {
+              else value.asInstanceOf[Map[Any, Any]].toList.flatMap {
                 case (k, v) =>
                   for (km <- walk(k, kt, kp); vm <- walk(v, vt, sub))
                     yield km ++ vm
@@ -250,14 +282,14 @@ class DomainGenSpec extends AnyFunSuite {
   // ---- the property ---------------------------------------------------
 
   private case class Trial(domain: Domain, dt: DataType, rows: List[Any],
-                           useWhere: Boolean)
+                           whereKind: Int) // 0 none, 1 int-even, 2 string
 
   private val genTrial: Gen[Trial] = for {
     gd <- genD(3)
     nRows <- Gen.choose(1, 2)
     rows <- Gen.listOfN(nRows, withNull(gd.gen))
-    useWhere <- Gen.oneOf(true, false)
-  } yield Trial(uniquify(gd.domain), gd.dt, rows, useWhere)
+    whereKind <- Gen.choose(0, 2)
+  } yield Trial(uniquify(gd.domain), gd.dt, rows, whereKind)
 
   private def bindingNames(d: Domain): List[String] = d match {
     case Leaf(n) => List(n)
@@ -301,20 +333,29 @@ class DomainGenSpec extends AnyFunSuite {
 
       val types = bindingTypes(t.domain, t.dt)
       val intBinds = types.collect { case (n, IntegerType) => n }
-      val where =
-        if (t.useWhere && intBinds.nonEmpty)
+      val strBinds = types.collect { case (n, StringType) => n }
+      val where = t.whereKind match {
+        case 1 if intBinds.nonEmpty =>
           Seq(pmod(col(intBinds.head), lit(2)) === 0)
-        else Nil
+        case 2 if strBinds.nonEmpty => Seq(col(strBinds.head) > "b")
+        case _ => Nil
+      }
 
       // interpreter: per input row, then where applied at the end (the
       // engine applies it earliest — placement must not change results)
       val interp0 = t.rows.flatMap(v => walk(v, t.dt, t.domain))
       val interp =
         if (where.isEmpty) interp0
-        else interp0.filter { m =>
+        else if (t.whereKind == 1) interp0.filter { m =>
           m(intBinds.head) match {
             case i: Int => i % 2 == 0
             case _ => false // SQL: null % 2 = null, filtered
+          }
+        }
+        else interp0.filter { m =>
+          m(strBinds.head) match {
+            case s: String => s > "b" // SQL: null > 'b' = null, filtered
+            case _ => false
           }
         }
       val interpNorm = multiset(interp.map(m =>
