@@ -774,6 +774,17 @@ object SparkEntry {
     // resolution/sample geometry without any frame decode, the
     // metadata gate a video curation pass runs on every asset. The
     // oracle replays the synth formulas in closed form.
+    // Exact duplicated-substring spans (Lee et al., sliding-window,
+    // suffix-array-free): every maximal char run >= 25 repeated
+    // corpus-wide, first occurrence exempt — the rolling GramHashes
+    // pass + keep-first + island merge, replayed exactly by the oracle.
+    "q476_dup_substrings" -> ((s, dir) => {
+      graft.ops.Dedup.duplicateSubstringSpans(t(s, dir, "documents"),
+          col("doc_id"), col("text"), gramLen = 25)
+        .select(col("id").as("doc_id"), col("span_from"), col("span_to"))
+        .orderBy("doc_id", "span_from")
+    }),
+
     // Real multimodal codec VI (FLAC, RFC 9639): lossless audio with
     // Rice-coded fixed-predictor subframes, CRC-8/16 and an MD5 of the
     // raw PCM verified on every decode — the at-rest audio format a
@@ -5096,6 +5107,43 @@ object SparkEntry {
          SELECT id, CAST(count(*) AS BIGINT) AS seeds_reached,
            CAST(sum(d) AS BIGINT) AS sum_dist
          FROM m GROUP BY id ORDER BY id""",
+
+    // per-position 25-gram double-fold hashes -> keep-first-exempt
+    // duplicated positions -> gaps-and-islands merge (q476's exact
+    // semantics, gram identity = the same 62-bit pack)
+    "q476_dup_substrings" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND len(text) >= 25),
+ p AS (SELECT doc_id, text, unnest(range(1, len(text) - 25 + 2)) AS i
+       FROM d),
+ g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         list_reduce(list_prepend(CAST(7 AS BIGINT),
+             [CAST(ascii(substring(text, CAST(j AS INTEGER), 1)) AS BIGINT)
+              FOR j IN range(i, i + 25)]),
+           (a,c) -> (a*31+c) % 2147483647) * 2147483648
+       + list_reduce(list_prepend(CAST(11 AS BIGINT),
+             [CAST(ascii(substring(text, CAST(j AS INTEGER), 1)) AS BIGINT)
+              FOR j IN range(i, i + 25)]),
+           (a,c) -> (a*37+c) % 2147483629) AS h
+       FROM p),
+ f AS (SELECT h AS fh, min(struct_pack(i := doc_id, p := pos)) AS f,
+         count(*) AS c
+       FROM g GROUP BY h HAVING count(*) >= 2),
+ cov AS (SELECT g.doc_id, g.pos FROM g JOIN f ON g.h = f.fh
+         WHERE NOT (g.doc_id = (f.f).i AND g.pos = (f.f).p)),
+ w AS (SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                + 25
+              THEN 1 ELSE 0 END AS ni
+       FROM cov),
+ isl AS (SELECT doc_id, pos,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM w)
+ SELECT doc_id, CAST(min(pos) AS INTEGER) AS span_from,
+   CAST(max(pos) + 25 AS INTEGER) AS span_to
+ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_from""",
 
     // closed-form replay of synthFlac's PCM formulas — the Spark side
     // earns the same numbers only if encode -> decode is lossless

@@ -693,6 +693,67 @@ object Dedup {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /** EXACT duplicated-substring spans — every maximal character run of
+    * length ≥ `gramLen` that occurs more than once corpus-wide, minus
+    * each gram's corpus-FIRST occurrence (keep-first, min (id, pos)):
+    * the sliding-window form of Lee et al.'s "deduplicating training
+    * data" primitive, suffix-array-free. Strictly stronger than the
+    * fixed grid ([[duplicateSpans]]: a duplicate not aligned to a
+    * window boundary is invisible) and than CDC chunks
+    * ([[cdcChunks]]: cut-point luck decides whether a shared passage
+    * lands in identical chunks): ANY shared run ≥ gramLen is covered
+    * by one of its length-gramLen grams at every alignment, so the
+    * merged intervals are exactly the duplicated character mass.
+    *
+    * Returns (id, span_from, span_to), [from, to) in characters,
+    * spans maximal (overlapping/touching gram intervals merged).
+    *
+    * Scale shape: one codegen'd rolling-hash pass per doc
+    * ([[graft.functions.GramHashes]] — O(chars), 8 bytes per gram
+    * into the shuffle instead of the 2·gramLen-byte gram), explode is
+    * position-sized, first-occurrence is ONE shuffle on the gram hash
+    * with map-side partial min (hot boilerplate grams absorb before
+    * the exchange), the cover join is merge-hinted on both
+    * by-construction corpus-sized sides (see [[jaccardPairs]]), the
+    * island merge rides one id-partitioned window whose partitioning
+    * the final groupBy reuses. Never all-pairs, never a suffix array.
+    * Identity is the 62-bit double hash ([[PortableHash]]) — both
+    * component 31-bit folds must collide to alias two grams, and the
+    * oracle replays the identical arithmetic, so cross-engine results
+    * are bit-equal by construction. */
+  def duplicateSubstringSpans(df: DataFrame, id: Column, text: Column,
+                              gramLen: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = fanOut(df).select(id.as("id"), text.as("t"))
+      .filter(col("t").isNotNull && length(col("t")) >= gramLen)
+      .select(col("id"),
+        posexplode(graft.functions.GramHashes(col("t"), gramLen))
+          .as(Seq("pos", "h")))
+    val firsts = grams.groupBy(col("h"))
+      .agg(min(struct(col("id"), col("pos"))).as("f"),
+           count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .select(col("h").as("fh"),
+              col("f.id").as("fid"), col("f.pos").as("fpos"))
+    val covered = grams.hint("merge")
+      .join(firsts.hint("merge"), col("h") === col("fh"))
+      .filter(!(col("id") === col("fid") && col("pos") === col("fpos")))
+      .select(col("id"), col("pos"))
+    // gaps-and-islands over equal-length intervals [pos, pos+L): a new
+    // island starts strictly beyond the previous interval's end
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    covered
+      .withColumn("new_island",
+        when(lag(col("pos"), 1).over(w).isNull ||
+             col("pos") > lag(col("pos"), 1).over(w) + gramLen, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(w))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("span_from"),
+           (max(col("pos")) + gramLen).as("span_to"))
+      .select(col("id"), col("span_from"), col("span_to"))
+  }
+
   /** Rewrite side of [[duplicateSpans]]: splice the repeated spans out
     * and reassemble each document from its surviving spans in order
     * (the same keep-first / ordered-reassembly contract as

@@ -116,6 +116,21 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("dupsub")) {
+      // Exact duplicated-substring spans on the decade corpus: every
+      // doc sits in a 10-copy clique, so nearly every position is
+      // covered — worst-case gram volume AND worst-case duplicate
+      // density (~200M grams at 500k docs). Cost must track gram
+      // count (one rolling-hash pass + one hash shuffle + merge
+      // join), never pairs.
+      val docs = decadeDocs(spark)
+      timed(spark, "dupsub 500k L=25") {
+        graft.ops.Dedup.duplicateSubstringSpans(
+          docs, col("doc_id"), col("text"), gramLen = 25).count()
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("cc")) {
       // Distributed connected-components probe: worst-case topology (one
       // chain = max diameter) at growing sizes. Pointer jumping should

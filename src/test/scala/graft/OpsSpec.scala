@@ -4009,6 +4009,62 @@ class OpsSpec extends AnyFunSuite {
     assert(ch.length >= 4)
   }
 
+  test("GramHashes: rolling hashes equal the direct per-gram fold") {
+    import graft.functions.{GramHashes, PortableHash}
+    val s = (0 until 300).map(i => ('a' + (i * 13 + i * i) % 26).toChar)
+      .mkString + " the same the same the same"
+    for (l <- Seq(1, 2, 25, 31, s.length)) {
+      val got = GramHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), l).toSeq
+      val exp = (0 to s.length - l).map(p => PortableHash.h62(
+        s.substring(p, p + l)))
+      assert(got == exp, s"gramLen $l")
+    }
+    assert(GramHashes.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ab"), 3).isEmpty)
+  }
+
+  test("duplicated-substring spans: keep-first exemption, any " +
+       "alignment, island merge") {
+    import spark.implicits._
+    val shared = "zqxjkvwpfy ghrmtn bdlcsu eoaiz" // 30 chars, unique-ish
+    // flanking chars differ between docs, so the maximal duplicated
+    // run is exactly `shared`
+    val d1 = "first has:" + shared + "&and junk AAAA BBBB CCCC DDDD"
+    val d2 = "prefix!?" + shared + "#tail tail" // shared at OTHER offset
+    val d3 = "no repeats here at all, nothing shared with others 123"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    val out = Dedup.duplicateSubstringSpans(df, col("doc_id"),
+        col("text"), gramLen = 25)
+      .orderBy("id", "span_from").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 1 holds every gram's first occurrence -> exempt entirely;
+    // doc 2's copy of the shared run is covered: grams at positions
+    // 8..(8+30-25) merge into one maximal span [8, 8+30)
+    assert(out.toSeq == Seq((2L, d2.indexOf(shared),
+      d2.indexOf(shared) + shared.length)))
+    // a doc duplicated wholesale: copy fully covered, original exempt
+    val df2 = Seq((1L, d1), (2L, d1), (3L, d3)).toDF("doc_id", "text")
+    val out2 = Dedup.duplicateSubstringSpans(df2, col("doc_id"),
+        col("text"), gramLen = 25)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out2.toSeq == Seq((2L, 0, d1.length)))
+    // two disjoint shared runs in one doc -> two separate spans
+    // (fillers must be repeat-free: a periodic filler would cover
+    // its own later grams via keep-first and add spans)
+    val fillA = "abcdefghijklmnopqrstuvwxyz0123456789_+=~"
+    val fillB = "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543210*&^%"
+    val a = shared + fillA + "THE-OTHER-SHARED-RUN-IS-THIS-ONE!"
+    val b = "x" + shared + fillB + "THE-OTHER-SHARED-RUN-IS-THIS-ONE!"
+    val out3 = Dedup.duplicateSubstringSpans(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), gramLen = 25)
+      .orderBy("id", "span_from").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out3.forall(_._1 == 2L) && out3.length == 2,
+      s"expected two spans in doc 2, got ${out3.toSeq}")
+  }
+
   test("CDC dedup: duplicated docs lose all chunks to the first copy") {
     import spark.implicits._
     val base = (0 until 80).map(i => s"t${i * 11 % 89}").mkString(" ")
