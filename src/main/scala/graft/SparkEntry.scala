@@ -785,6 +785,16 @@ object SparkEntry {
         .orderBy("doc_id", "span_from")
     }),
 
+    // q476's rewrite: splice every duplicated run out (first
+    // occurrence survives) and reassemble the complement in order.
+    "q477_substring_dedup" -> ((s, dir) => {
+      graft.ops.Dedup.dedupSubstrings(t(s, dir, "documents"),
+          col("doc_id"), col("text"), gramLen = 25)
+        .select(col("id").as("doc_id"), col("text_deduped"),
+          col("n_removed"))
+        .orderBy("doc_id")
+    }),
+
     // Real multimodal codec VI (FLAC, RFC 9639): lossless audio with
     // Rice-coded fixed-predictor subframes, CRC-8/16 and an MD5 of the
     // raw PCM verified on every decode — the at-rest audio format a
@@ -5107,6 +5117,66 @@ object SparkEntry {
          SELECT id, CAST(count(*) AS BIGINT) AS seeds_reached,
            CAST(sum(d) AS BIGINT) AS sum_dist
          FROM m GROUP BY id ORDER BY id""",
+
+    // q476's span CTEs + complement-segment reassembly (lag window
+    // gives each kept segment's start; the tail segment joins back to
+    // the doc; fully-covered docs rebuild as '')
+    "q477_substring_dedup" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+           WHERE text IS NOT NULL AND len(text) >= 25),
+ p AS (SELECT doc_id, text, unnest(range(1, len(text) - 25 + 2)) AS i
+       FROM d),
+ g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         list_reduce(list_prepend(CAST(7 AS BIGINT),
+             [CAST(ascii(substring(text, CAST(j AS INTEGER), 1)) AS BIGINT)
+              FOR j IN range(i, i + 25)]),
+           (a,c) -> (a*31+c) % 2147483647) * 2147483648
+       + list_reduce(list_prepend(CAST(11 AS BIGINT),
+             [CAST(ascii(substring(text, CAST(j AS INTEGER), 1)) AS BIGINT)
+              FOR j IN range(i, i + 25)]),
+           (a,c) -> (a*37+c) % 2147483629) AS h
+       FROM p),
+ f AS (SELECT h AS fh, min(struct_pack(i := doc_id, p := pos)) AS f,
+         count(*) AS c
+       FROM g GROUP BY h HAVING count(*) >= 2),
+ cov AS (SELECT g.doc_id, g.pos FROM g JOIN f ON g.h = f.fh
+         WHERE NOT (g.doc_id = (f.f).i AND g.pos = (f.f).p)),
+ w AS (SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                + 25
+              THEN 1 ELSE 0 END AS ni
+       FROM cov),
+ isl AS (SELECT doc_id, pos,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM w),
+ sp AS (SELECT doc_id, min(pos) AS sf, max(pos) + 25 AS st
+        FROM isl GROUP BY doc_id, island),
+ seg AS (SELECT doc_id,
+           coalesce(lag(st) OVER (PARTITION BY doc_id ORDER BY sf), 0)
+             AS s,
+           sf AS e
+         FROM sp
+         UNION ALL
+         SELECT dd.doc_id, coalesce(mx.m, 0) AS s, len(dd.text) AS e
+         FROM d dd LEFT JOIN (SELECT doc_id, max(st) AS m FROM sp
+                              GROUP BY doc_id) mx USING (doc_id)),
+ reb AS (SELECT seg.doc_id,
+           string_agg(substring(dd.text, CAST(s + 1 AS INTEGER),
+             CAST(e - s AS INTEGER)), '' ORDER BY s) AS td
+         FROM seg JOIN d dd ON seg.doc_id = dd.doc_id
+         WHERE e > s GROUP BY seg.doc_id),
+ nrem AS (SELECT doc_id, CAST(sum(st - sf) AS BIGINT) AS nr FROM sp
+          GROUP BY doc_id)
+ SELECT doc.doc_id,
+   CASE WHEN doc.text IS NULL THEN ''
+        WHEN len(doc.text) < 25 THEN doc.text
+        ELSE coalesce(reb.td, '') END AS text_deduped,
+   coalesce(nrem.nr, 0) AS n_removed
+ FROM documents doc LEFT JOIN reb USING (doc_id)
+   LEFT JOIN nrem USING (doc_id)
+ ORDER BY doc.doc_id""",
 
     // per-position 25-gram double-fold hashes -> keep-first-exempt
     // duplicated positions -> gaps-and-islands merge (q476's exact

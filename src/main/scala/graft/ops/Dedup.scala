@@ -754,6 +754,46 @@ object Dedup {
       .select(col("id"), col("span_from"), col("span_to"))
   }
 
+  /** Rewrite side of [[duplicateSubstringSpans]]: splice every covered
+    * character range out and keep the complement segments in order —
+    * the actual dedup ACTION of Lee et al.'s exact-substring training-
+    * data dedup (each duplicated run survives only at its corpus-first
+    * occurrence). Returns (id, text_deduped, n_removed); null text →
+    * "", short/untouched docs keep their text verbatim.
+    *
+    * Scale shape: [[duplicateSubstringSpans]]'s cost plus one groupBy
+    * on the doc id (span lists are tiny — maximal disjoint intervals)
+    * and a merge-hinted join back to the corpus; the reassembly is a
+    * per-row `aggregate` fold over the sorted span array, no further
+    * shuffle. */
+  def dedupSubstrings(df: DataFrame, id: Column, text: Column,
+                      gramLen: Int = 25): DataFrame = {
+    val spans = duplicateSubstringSpans(df, id, text, gramLen)
+    val perDoc = spans.groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("span_from"),
+             col("span_to")))).as("sp"),
+           sum((col("span_to") - col("span_from")).cast("long"))
+             .as("nr"))
+    fanOut(df).select(id.as("id"), text.as("t"))
+      .join(perDoc.hint("merge"), Seq("id"), "left")
+      .select(col("id"),
+        when(col("t").isNull, lit(""))
+          .when(col("sp").isNull, col("t"))
+          .otherwise(aggregate(col("sp"),
+            struct(lit(0).as("pos"), lit("").as("acc")),
+            (a, sp) => struct(
+              sp.getField("span_to").as("pos"),
+              concat(a.getField("acc"),
+                col("t").substr(a.getField("pos") + 1,
+                  sp.getField("span_from") - a.getField("pos")))
+                .as("acc")),
+            a => concat(a.getField("acc"),
+              col("t").substr(a.getField("pos") + 1,
+                length(col("t")) - a.getField("pos")))))
+          .as("text_deduped"),
+        coalesce(col("nr"), lit(0L)).as("n_removed"))
+  }
+
   /** Rewrite side of [[duplicateSpans]]: splice the repeated spans out
     * and reassemble each document from its surviving spans in order
     * (the same keep-first / ordered-reassembly contract as

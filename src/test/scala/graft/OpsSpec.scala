@@ -4065,6 +4065,33 @@ class OpsSpec extends AnyFunSuite {
       s"expected two spans in doc 2, got ${out3.toSeq}")
   }
 
+  test("substring dedup rewrite: covered runs spliced out, complement " +
+       "reassembled in order") {
+    import spark.implicits._
+    val shared = "zqxjkvwpfy ghrmtn bdlcsu eoaiz"
+    val d1 = "first has:" + shared + "&and junk AAAA BBBB CCCC DDDD"
+    val d2 = "prefix!?" + shared + "#tail tail"
+    val d3 = "short"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(df, col("doc_id"), col("text"),
+        gramLen = 25)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out(0) == ((1L, d1, 0L)))          // all first occurrences
+    assert(out(1) == ((2L, "prefix!?" + "#tail tail", 30L)))
+    assert(out(2) == ((3L, "short", 0L)))     // below gram length: kept
+    assert(out(3) == ((4L, "", 0L)))          // null text -> ""
+    // whole-doc copy rebuilds as empty; removal count = full length
+    val out2 = Dedup.dedupSubstrings(
+        Seq((1L, d1), (2L, d1)).toDF("doc_id", "text"),
+        col("doc_id"), col("text"), gramLen = 25)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out2(0) == ((1L, d1, 0L)))
+    assert(out2(1) == ((2L, "", d1.length.toLong)))
+  }
+
   test("CDC dedup: duplicated docs lose all chunks to the first copy") {
     import spark.implicits._
     val base = (0 until 80).map(i => s"t${i * 11 % 89}").mkString(" ")
