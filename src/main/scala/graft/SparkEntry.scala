@@ -836,6 +836,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Funnel v6 (Pipeline API): quality gate -> EXACT substring-dedup
+    // rewrite (q477's op as a fluent stage; first-occurrence keep-first
+    // computed on the post-gate corpus, which the oracle mirrors).
+    "q478_funnel_substring" -> ((s, dir) => {
+      graft.ops.Pipeline(t(s, dir, "documents"), "doc_id", "text")
+        .filterQuality(4500)
+        .dedupSubstringRuns(gramLen = 25)
+        .result
+        .select(col("doc_id"),
+          coalesce(length(col("text")), lit(0)).cast("long")
+            .as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Corpus-adaptive SemDeDup: k = clamp(ceil(sqrt(n)), 8, 4096),
     // Lloyd trained on the MINSTD-residue arithmetic sample (m =
     // max(1, n div 65536)), full-corpus routing — the 100 TB cost
@@ -5117,6 +5131,71 @@ object SparkEntry {
          SELECT id, CAST(count(*) AS BIGINT) AS seeds_reached,
            CAST(sum(d) AS BIGINT) AS sum_dist
          FROM m GROUP BY id ORDER BY id""",
+
+    // q453's quality CTE gating q477's substring-dedup chain: the
+    // gram corpus (and therefore keep-first) is the POST-GATE doc set
+    "q478_funnel_substring" ->
+      """WITH tkn AS (SELECT doc_id, text, string_split(text,' ') AS ws
+             FROM documents),
+ ql AS (SELECT doc_id FROM (
+          SELECT doc_id,
+            CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5
+              + least(len(ws)/100.0, 1.0)*0.3
+              + len(list_filter(ws, t -> t IN ('the','a','of','and','to','in')))*1.0/len(ws)*0.2)
+              *10000.0 + 0.5) AS BIGINT) AS q
+          FROM tkn)
+        WHERE q >= 4500),
+ d AS (SELECT t.doc_id, t.text FROM tkn t JOIN ql USING (doc_id)
+       WHERE t.text IS NOT NULL AND len(t.text) >= 25),
+ p AS (SELECT doc_id, text, unnest(range(1, len(text) - 25 + 2)) AS i
+       FROM d),
+ g AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+         list_reduce(list_prepend(CAST(7 AS BIGINT),
+             [CAST(ascii(substring(text, CAST(j AS INTEGER), 1)) AS BIGINT)
+              FOR j IN range(i, i + 25)]),
+           (a,c) -> (a*31+c) % 2147483647) * 2147483648
+       + list_reduce(list_prepend(CAST(11 AS BIGINT),
+             [CAST(ascii(substring(text, CAST(j AS INTEGER), 1)) AS BIGINT)
+              FOR j IN range(i, i + 25)]),
+           (a,c) -> (a*37+c) % 2147483629) AS h
+       FROM p),
+ f AS (SELECT h AS fh, min(struct_pack(i := doc_id, p := pos)) AS f,
+         count(*) AS c
+       FROM g GROUP BY h HAVING count(*) >= 2),
+ cov AS (SELECT g.doc_id, g.pos FROM g JOIN f ON g.h = f.fh
+         WHERE NOT (g.doc_id = (f.f).i AND g.pos = (f.f).p)),
+ w AS (SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                IS NULL
+              OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                + 25
+              THEN 1 ELSE 0 END AS ni
+       FROM cov),
+ isl AS (SELECT doc_id, pos,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM w),
+ sp AS (SELECT doc_id, min(pos) AS sf, max(pos) + 25 AS st
+        FROM isl GROUP BY doc_id, island),
+ seg AS (SELECT doc_id,
+           coalesce(lag(st) OVER (PARTITION BY doc_id ORDER BY sf), 0)
+             AS s,
+           sf AS e
+         FROM sp
+         UNION ALL
+         SELECT dd.doc_id, coalesce(mx.m, 0) AS s, len(dd.text) AS e
+         FROM d dd LEFT JOIN (SELECT doc_id, max(st) AS m FROM sp
+                              GROUP BY doc_id) mx USING (doc_id)),
+ reb AS (SELECT seg.doc_id,
+           string_agg(substring(dd.text, CAST(s + 1 AS INTEGER),
+             CAST(e - s AS INTEGER)), '' ORDER BY s) AS td
+         FROM seg JOIN d dd ON seg.doc_id = dd.doc_id
+         WHERE e > s GROUP BY seg.doc_id)
+ SELECT doc.doc_id,
+   CAST(len(CASE WHEN doc.text IS NULL THEN ''
+                 WHEN len(doc.text) < 25 THEN doc.text
+                 ELSE coalesce(reb.td, '') END) AS BIGINT) AS n_chars
+ FROM documents doc JOIN ql USING (doc_id) LEFT JOIN reb USING (doc_id)
+ ORDER BY doc.doc_id""",
 
     // q476's span CTEs + complement-segment reassembly (lag window
     // gives each kept segment's start; the tail segment joins back to

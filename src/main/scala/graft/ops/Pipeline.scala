@@ -218,6 +218,20 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
       .withColumnRenamed("text_deduped", textCol))
   }
 
+  /** REWRITE stage: exact duplicated-substring dedup
+    * ([[Dedup.dedupSubstrings]]) — every character run ≥ `gramLen`
+    * repeated corpus-wide is spliced out except at its first
+    * occurrence (Lee et al.'s exact-substring training-data dedup as
+    * a fluent stage; the sliding-window complement of the
+    * [[dedupCdcChunks]] chunk grid). Documents rewritten to empty
+    * survive — compose `filterQuality` or a length gate after. */
+  def dedupSubstringRuns(gramLen: Int = 25): Pipeline = {
+    val rewritten = Dedup.dedupSubstrings(df, id, text, gramLen)
+      .select(col("id").as(idCol), col("text_deduped"))
+    copy(df = df.drop(textCol).join(rewritten, idCol)
+      .withColumnRenamed("text_deduped", textCol))
+  }
+
   /** Keep documents below a repetition ceiling: the n-gram duplicate
     * character-mass fraction ([[TextAnalysis.repetitionSignals]],
     * Gopher-style, x1e4 fixed-point) must stay under `maxDupX1e4`. */

@@ -4092,6 +4092,19 @@ class OpsSpec extends AnyFunSuite {
     assert(out2(1) == ((2L, "", d1.length.toLong)))
   }
 
+  test("Pipeline.dedupSubstringRuns rewrites texts in place") {
+    import spark.implicits._
+    val shared = "zqxjkvwpfy ghrmtn bdlcsu eoaiz"
+    val d1 = "first has:" + shared + "&and junk AAAA BBBB CCCC DDDD"
+    val d2 = "prefix!?" + shared + "#tail tail"
+    val out = Pipeline(Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"),
+        "doc_id", "text")
+      .dedupSubstringRuns(gramLen = 25)
+      .result.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, d1), (2L, "prefix!?" + "#tail tail")))
+  }
+
   test("CDC dedup: duplicated docs lose all chunks to the first copy") {
     import spark.implicits._
     val base = (0 until 80).map(i => s"t${i * 11 % 89}").mkString(" ")
