@@ -34,6 +34,21 @@ object SparkEntry {
     else df
   }
 
+  /** Shared by q479–q482 (classifier evaluation): the NB seed
+    * classifier's integer score per document — mean token log-odds in
+    * micro-units with a +10⁸ offset so the numerator stays positive
+    * and the truncating `div` is a floor on both engines — plus the
+    * gold `source` column (positive = src0, the seed set itself). */
+  private def nbEvalScores(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.ops.TextAnalysis.nbQualityScore(d, col("doc_id"), col("text"),
+        d.filter(col("source") === "src0"), col("text"),
+        d.filter(col("source") =!= "src0"), col("text"))
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("score",
+        expr("(lo_micro_sum + 100000000 * n_tokens) div n_tokens"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's README flagship (student-data 3-level nested agg,
     * `README.md:22-64`) re-cast on lineitem. */
@@ -859,6 +874,41 @@ object SparkEntry {
       graft.ops.Similarity.semDedupPairsAuto(t(s, dir, "embeddings"),
           col("vec_id"), col("embedding"), tau = 0.4)
         .orderBy("id1", "id2")
+    }),
+
+    // Classifier evaluation I — exact ROC-AUC of the NB seed
+    // classifier (gold = src0): Mann-Whitney with average-rank tie
+    // handling over the distinct-score table, rank suffix stats via
+    // the distributed prefix sum; the oracle replays the doubled rank
+    // sum and the half-up micro division bit-for-bit.
+    "q479_roc_auc" -> ((s, dir) => {
+      graft.ops.Eval.rocAuc(nbEvalScores(s, dir), col("score"),
+        col("source") === "src0")
+    }),
+
+    // Classifier evaluation II — step-interpolated PR-AUC, each
+    // ΔRecall·Precision term micro-rounded before the exact sum.
+    "q480_pr_auc" -> ((s, dir) => {
+      graft.ops.Eval.prAuc(nbEvalScores(s, dir), col("score"),
+        col("source") === "src0")
+    }),
+
+    // Classifier evaluation III — the full precision-recall curve:
+    // one row per distinct threshold, suffix counts from ONE
+    // multi-value prefix-sum pass over the negated score.
+    "q481_pr_curve" -> ((s, dir) => {
+      graft.ops.Eval.prCurve(nbEvalScores(s, dir), col("score"),
+          col("source") === "src0")
+        .orderBy("threshold")
+    }),
+
+    // Classifier evaluation IV — reliability (calibration) bins:
+    // equal-width integer score bins, per-bin positive rate in half-up
+    // micro-units, exact shifted score sums.
+    "q482_calibration" -> ((s, dir) => {
+      graft.ops.Eval.calibrationBins(nbEvalScores(s, dir), col("score"),
+          col("source") === "src0", bins = 10)
+        .orderBy("bin")
     }),
 
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
@@ -3976,6 +4026,38 @@ object SparkEntry {
   /** Shared oracle text: the two-granularity aggregation (q12 adaptive,
     * q55 with the one-scan GROUPING SETS lowering forced — same answer,
     * different physical plan). */
+  /** q479–q482 shared oracle prefix: the q97 NB model replayed, then
+    * one integer score per document (mean micro log-odds + the 10⁸
+    * offset, truncating division on a positive numerator), the src0
+    * gold label, and `g` — the distinct-score table every rank
+    * statistic derives from. */
+  private val nbEvalCte: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws
+                  FROM documents),
+       tk AS (SELECT doc_id, source, tok
+              FROM (SELECT doc_id, source, unnest(ws) AS tok FROM w)
+              WHERE tok != ''),
+       cp AS (SELECT tok, count(*) AS c FROM tk
+              WHERE source = 'src0' GROUP BY 1),
+       cn AS (SELECT tok, count(*) AS c FROM tk
+              WHERE source != 'src0' GROUP BY 1),
+       m0 AS (SELECT coalesce(cp.tok, cn.tok) AS tok,
+                coalesce(cp.c, 0) AS cp, coalesce(cn.c, 0) AS cn
+              FROM cp FULL JOIN cn ON cp.tok = cn.tok),
+       st AS (SELECT sum(cp) AS np0, sum(cn) AS nn0, count(*) AS v
+              FROM m0),
+       m AS (SELECT tok,
+               CAST(round((ln((cp + 1.0) / (np0 + v))
+                         - ln((cn + 1.0) / (nn0 + v))) * 1000000)
+                 AS BIGINT) AS lo
+             FROM m0, st),
+       sc AS (SELECT tk.doc_id,
+                max(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS y,
+                (CAST(sum(lo) AS BIGINT) + 100000000 * count(*))
+                  // count(*) AS s
+              FROM tk JOIN m USING (tok) GROUP BY 1),
+       g AS (SELECT s, count(*) AS n, sum(y) AS p FROM sc GROUP BY 1)"""
+
   private val multigrainSql: String =
     """WITH f AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders
                   FROM lineitem GROUP BY 1),
@@ -8108,6 +8190,79 @@ object SparkEntry {
            FROM documents d JOIN keep USING (doc_id)
            LEFT JOIN comp c ON d.doc_id = c.id)
          WHERE rn = 1 ORDER BY doc_id""",
+
+    // Exact ROC-AUC of the NB seed classifier: doubled Mann-Whitney
+    // rank sum (average-rank ties), half-up micro division — every
+    // value an exact integer on both engines.
+    "q479_roc_auc" ->
+      (nbEvalCte + """,
+       r AS (SELECT s, n, p,
+               coalesce(sum(n) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS nb
+             FROM g),
+       a AS (SELECT sum(p) AS np, sum(n - p) AS nn,
+               sum(p * (2*nb + n + 1)) AS rs2 FROM r)
+       SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+         CAST(rs2 - np*(np + 1) AS BIGINT) AS auc_num2,
+         CAST(2*np*nn AS BIGINT) AS auc_den,
+         CAST(((rs2 - np*(np + 1)) * 1000000 + np*nn) // (2*np*nn)
+           AS BIGINT) AS auc_micro
+       FROM a"""),
+
+    // Step PR-AUC: per-threshold ΔTP·Precision terms, each micro-
+    // rounded half-up before the exact integer sum.
+    "q480_pr_auc" ->
+      (nbEvalCte + """,
+       r AS (SELECT s, n, p,
+               coalesce(sum(n) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS nb,
+               coalesce(sum(p) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS pb
+             FROM g),
+       tot AS (SELECT sum(p) AS np, sum(n - p) AS nn FROM g),
+       t AS (SELECT p, pb + p AS tp, nb + n AS pp FROM r)
+       SELECT CAST(any_value(np) AS BIGINT) AS n_pos,
+              CAST(any_value(nn) AS BIGINT) AS n_neg,
+              count(*) AS n_thresholds,
+              CAST(sum((p * tp * 2000000 + pp * np) // (pp * np * 2))
+                AS BIGINT) AS pr_auc_micro
+       FROM t, tot"""),
+
+    // Full PR curve: one row per distinct threshold, exact suffix
+    // counts, half-up micro precision/recall.
+    "q481_pr_curve" ->
+      (nbEvalCte + """,
+       r AS (SELECT s, n, p,
+               coalesce(sum(n) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS nb,
+               coalesce(sum(p) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS pb
+             FROM g),
+       tot AS (SELECT sum(p) AS np FROM g),
+       t AS (SELECT s, n, p, pb + p AS tp, nb + n AS pp FROM r)
+       SELECT s AS threshold, n, CAST(p AS BIGINT) AS p,
+         CAST(tp AS BIGINT) AS tp, CAST(pp AS BIGINT) AS pp,
+         CAST((tp * 2000000 + pp) // (pp * 2) AS BIGINT) AS prec_micro,
+         CAST((tp * 2000000 + np) // (np * 2) AS BIGINT) AS rec_micro
+       FROM t, tot ORDER BY threshold"""),
+
+    // Reliability bins: equal-width integer score bins, exact shifted
+    // sums, half-up micro positive rate.
+    "q482_calibration" ->
+      (nbEvalCte + """,
+       mm AS (SELECT min(s) AS lo, max(s) AS hi FROM sc),
+       b AS (SELECT ((s - lo) * 10) // (hi - lo + 1) AS bin,
+                    s - lo AS shift, y FROM sc, mm)
+       SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(sum(shift) AS BIGINT) AS sum_shift,
+         CAST((sum(y) * 2000000 + count(*)) // (count(*) * 2) AS BIGINT)
+           AS pos_rate_micro
+       FROM b GROUP BY 1 ORDER BY bin"""),
 
     // Naive Bayes: add-one-smoothed unigram log-odds over the union
     // vocab (src0 = positive), quantized to integer micro-units, then

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact, engine-portable binary-classifier evaluation at corpus
+  * scale — the measurement side of every quality-classifier gate in
+  * the curation pipeline (seed NB, DSIR, LM scores): ROC-AUC
+  * (Mann-Whitney U with average-rank tie handling), the
+  * precision-recall curve and its step-interpolated area, and
+  * reliability (calibration) bins.
+  *
+  * Numeric contract: `score` is an INTEGER column (the engine's
+  * micro-unit fixed-point convention — a float-scored caller quantizes
+  * first, the [[Sketches.profileExact]] precedent) and `label` is
+  * boolean (null = negative). Every output is an exact integer: sums
+  * run in decimal(38,0) (= DuckDB's HUGEINT), ratios emerge as
+  * HALF-UP-rounded micro-units via integral division
+  * (`(2·10^6·num + den) div (2·den)`, operands kept non-negative so
+  * truncation == floor in both engines) — no IEEE summation order
+  * anywhere, so a SQL oracle replays each value bit-for-bit.
+  *
+  * Scale shape: one `groupBy(score)` collapses the corpus to the
+  * distinct-score table (micro-unit classifier scores repeat heavily;
+  * worst case it is corpus-sized and everything still distributes);
+  * rank / suffix statistics come from [[Packing.orderedCumsums]]'s
+  * range-partitioned prefix sum over that table — never a
+  * single-task `ORDER BY` window over the corpus, no driver state
+  * beyond the prefix sum's O(partitions) offsets.
+  */
+object Eval {
+
+  private val dec = DecimalType(38, 0)
+
+  /** Distinct-score table: (s, n, p) = score, rows, positives. */
+  private def byScore(df: DataFrame, score: Column,
+                      label: Column): DataFrame =
+    df.select(score.cast("long").as("s"),
+        when(coalesce(label.cast("boolean"), lit(false)), 1L)
+          .otherwise(0L).as("__y"))
+      .groupBy("s")
+      .agg(count(lit(1)).as("n"), sum("__y").as("p"))
+
+  /** Exact ROC-AUC, one row: (n_pos, n_neg, auc_num2, auc_den,
+    * auc_micro). AUC = P(score⁺ > score⁻) + ½·P(tie) computed as the
+    * Mann-Whitney rank sum with average ranks over tie groups; to stay
+    * integer the rank sum is carried DOUBLED (a tie group occupying
+    * positions b+1..b+n has average rank (2b+n+1)/2), so
+    * `auc_num2 = 2·Σranks⁺ − n_pos(n_pos+1) = 2·U` and
+    * `auc_den = 2·n_pos·n_neg`; `auc_micro` is the half-up-rounded
+    * micro-unit quotient (null when one class is absent — den 0).
+    * num2/den/micro fit a long through n ≈ 4·10⁶ rows; the decimal
+    * intermediates themselves never overflow. */
+  def rocAuc(df: DataFrame, score: Column, label: Column,
+             partitions: Int = 32): DataFrame = {
+    val ranked = Packing.orderedCumsums(byScore(df, score, label),
+      col("s"), Seq("__nb" -> col("n")), partitions)
+    ranked.agg(
+        sum(col("p").cast(dec)).as("__np"),
+        sum((col("n") - col("p")).cast(dec)).as("__nn"),
+        // 2× the average rank of s's tie group = 2·(rows before) + n + 1
+        sum(col("p").cast(dec) *
+          (col("__nb").cast(dec) * 2 + col("n") + 1)).as("__rs2"))
+      .withColumn("__num2", col("__rs2") - col("__np") * (col("__np") + 1))
+      .withColumn("__den", col("__np") * col("__nn") * 2)
+      .select(
+        col("__np").cast("long").as("n_pos"),
+        col("__nn").cast("long").as("n_neg"),
+        col("__num2").cast("long").as("auc_num2"),
+        col("__den").cast("long").as("auc_den"),
+        when(col("__np") === 0 || col("__nn") === 0,
+            lit(null).cast("long"))
+          .otherwise(
+            expr("(__num2 * 1000000 + __np * __nn) div __den"))
+          .as("auc_micro"))
+  }
+
+  /** Precision-recall curve, one row per distinct threshold
+    * (predict positive at score ≥ threshold): (threshold, n, p, tp,
+    * pp, prec_micro, rec_micro) — tie groups share one threshold, tp /
+    * pp are the exact suffix counts of positives / predictions, and
+    * the two ratios are half-up micro-units. The suffix counts are
+    * ONE [[Packing.orderedCumsums]] pass over the negated score. */
+  def prCurve(df: DataFrame, score: Column, label: Column,
+              partitions: Int = 32): DataFrame = {
+    val g = byScore(df, score, label)
+    val ranked = Packing.orderedCumsums(g, col("s") * lit(-1L),
+      Seq("__nb" -> col("n"), "__pb" -> col("p")), partitions)
+    val tot = g.agg(sum(col("p").cast(dec)).as("__np"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("tp", col("__pb") + col("p"))
+      .withColumn("pp", col("__nb") + col("n"))
+      .withColumn("__tpd", col("tp").cast(dec))
+      .withColumn("__ppd", col("pp").cast(dec))
+      .select(col("s").as("threshold"), col("n"), col("p"),
+        col("tp"), col("pp"),
+        expr("(__tpd * 2000000 + __ppd) div (__ppd * 2)")
+          .as("prec_micro"),
+        when(col("__np") === 0, lit(null).cast("long"))
+          .otherwise(expr("(__tpd * 2000000 + __np) div (__np * 2)"))
+          .as("rec_micro"))
+  }
+
+  /** Step-interpolated PR-AUC, one row: (n_pos, n_neg, n_thresholds,
+    * pr_auc_micro). Area = Σᵢ ΔRecallᵢ · Precisionᵢ over thresholds
+    * descending (ΔTPᵢ = the tie group's positives pᵢ), each term
+    * rounded half-up to micro-units BEFORE the sum — the established
+    * integer-portability trade (per-term error ≤ 0.5 µ, and both
+    * engines compute the identical integers). Zero-positive tie groups
+    * contribute exactly 0, so no special-casing. */
+  def prAuc(df: DataFrame, score: Column, label: Column,
+            partitions: Int = 32): DataFrame = {
+    val g = byScore(df, score, label)
+    val ranked = Packing.orderedCumsums(g, col("s") * lit(-1L),
+      Seq("__nb" -> col("n"), "__pb" -> col("p")), partitions)
+    val tot = g.agg(sum(col("p").cast(dec)).as("__np"),
+                    sum((col("n") - col("p")).cast(dec)).as("__nn"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("__tp", (col("__pb") + col("p")).cast(dec))
+      .withColumn("__pp", (col("__nb") + col("n")).cast(dec))
+      .withColumn("__term",
+        when(col("__np") === 0, lit(0L)).otherwise(expr(
+          "(p * __tp * 2000000 + __pp * __np) div (__pp * __np * 2)")))
+      .agg(max(col("__np")).cast("long").as("n_pos"),
+           max(col("__nn")).cast("long").as("n_neg"),
+           count(lit(1)).as("n_thresholds"),
+           sum(col("__term")).cast("long").as("pr_auc_micro"))
+  }
+
+  /** Reliability (calibration) bins, one row per occupied equal-width
+    * score bin: (bin, n, n_pos, sum_shift, pos_rate_micro).
+    * `bin = ((s − min)·bins) div (max − min + 1)` — integer-exact and
+    * never out of [0, bins); `sum_shift` is the exact Σ(s − min) so a
+    * caller reconstructs the bin's mean score without the op ever
+    * dividing a possibly-negative sum (Spark `div` truncates toward
+    * zero, DuckDB `//` likewise — agreement holds, but non-negative
+    * operands make floor == trunc self-evident). One agg for min/max
+    * (broadcast back), one groupBy(bin). */
+  def calibrationBins(df: DataFrame, score: Column, label: Column,
+                      bins: Int): DataFrame = {
+    require(bins >= 1, s"calibrationBins: need bins >= 1, got $bins")
+    val base = df.select(score.cast("long").as("s"),
+      when(coalesce(label.cast("boolean"), lit(false)), 1L)
+        .otherwise(0L).as("__y"))
+    val mm = base.agg(min("s").as("__lo"), max("s").as("__hi"))
+    base.crossJoin(broadcast(mm))
+      .withColumn("__shift", col("s") - col("__lo"))
+      .withColumn("bin", expr(
+        s"(cast(__shift as decimal(38,0)) * $bins) div (__hi - __lo + 1)"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("__y").as("n_pos"),
+           sum(col("__shift").cast(dec)).as("__ss"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        col("__ss").cast("long").as("sum_shift"),
+        expr("(n_pos * 2000000 + n) div (n * 2)").as("pos_rate_micro"))
+  }
+}

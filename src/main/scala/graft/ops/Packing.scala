@@ -48,16 +48,35 @@ object Packing {
     * re-running a pipeline does not grow the cache. */
   def orderedCumsum(df: DataFrame, order: Column, value: Column,
                     partitions: Int, offsetName: String = "offset")
+      : DataFrame =
+    orderedCumsums(df, order, Seq(offsetName -> value), partitions)
+
+  /** Multi-value form of [[orderedCumsum]]: ONE range shuffle + one
+    * within-partition window pass computes an exclusive prefix sum per
+    * `(name, value)` pair over the same total order (Spark evaluates
+    * all window expressions sharing a frame in a single WindowExec).
+    * Callers needing several running totals over one order — e.g. the
+    * PR curve's simultaneous suffix counts of rows AND positives —
+    * pay the shuffle once instead of once per value. */
+  def orderedCumsums(df: DataFrame, order: Column,
+                     values: Seq[(String, Column)], partitions: Int)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val reserved = Seq("__pid", "__v", "__base", "__t", offsetName)
+    require(values.nonEmpty, "orderedCumsums: need at least one value")
+    val vCols = values.indices.map(i => s"__v$i")
+    val bCols = values.indices.map(i => s"__b$i")
+    val tCols = values.indices.map(i => s"__t$i")
+    val reserved = Seq("__pid") ++ vCols ++ bCols ++ tCols ++
+      values.map(_._1)
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
-      s"orderedCumsum: column(s) ${clash.mkString(", ")} already exist")
+      s"orderedCumsums: column(s) ${clash.mkString(", ")} already exist")
     // EXPLICIT partition count is load-bearing: a user-specified
     // numPartitions is exempt from AQE coalescing, so the partitioning
     // is exactly what was asked for.
-    val p0 = df.withColumn("__v", value.cast("long"))
+    val p0 = values.zipWithIndex
+      .foldLeft(df) { case (d, ((_, v), i)) =>
+        d.withColumn(s"__v$i", v.cast("long")) }
       .repartitionByRange(partitions, order)
       .sortWithinPartitions(order)
       .withColumn("__pid", spark_partition_id())
@@ -71,15 +90,19 @@ object Packing {
     // O(partitions)-branch case expression in every row's path)
     val wBase = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = p.groupBy("__pid").agg(sum(col("__v")).as("__t"))
-      .withColumn("__base", coalesce(sum(col("__t")).over(wBase), lit(0L)))
-      .select(col("__pid"), col("__base"))
+    val totals = values.indices.map(i => sum(col(s"__v$i")).as(s"__t$i"))
+    val bases = p.groupBy("__pid").agg(totals.head, totals.tail: _*)
+      .select(col("__pid") +: values.indices.map(i =>
+        coalesce(sum(col(s"__t$i")).over(wBase), lit(0L)).as(s"__b$i")): _*)
     val w = Window.partitionBy(col("__pid")).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    p.join(broadcast(bases), Seq("__pid"))
-      .withColumn(offsetName,
-        col("__base") + sum(col("__v")).over(w) - col("__v"))
-      .drop("__pid", "__v", "__base")
+    values.zipWithIndex
+      .foldLeft(p.join(broadcast(bases), Seq("__pid"))) {
+        case (d, ((name, _), i)) =>
+          d.withColumn(name,
+            col(s"__b$i") + sum(col(s"__v$i")).over(w) - col(s"__v$i"))
+      }
+      .drop("__pid" +: (vCols ++ bCols): _*)
   }
 
   /** Pack the corpus token stream (docs laid end-to-end in `id` order)
