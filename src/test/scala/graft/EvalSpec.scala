@@ -1,0 +1,119 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Eval
+
+/** Classifier-evaluation ops against hand-computed and independently
+  * derived ground truth (the pair-counting U statistic, a driver-side
+  * step integration) — the oracle checks cross-engine exactness;
+  * these check the math itself.
+  */
+class EvalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def df(rows: Seq[(Long, Boolean)]) = {
+    import spark.implicits._
+    rows.toDF("score", "label")
+  }
+
+  test("rocAuc hand case with a tie group") {
+    // scores 1-,2-,2+,3+: ranks 1, 2.5, 2.5, 4 → Σranks⁺ = 6.5,
+    // U = 6.5 − 3 = 3.5, AUC = 3.5/4 = 0.875
+    val r = Eval.rocAuc(df(Seq((1L, false), (2L, false), (2L, true),
+      (3L, true))), col("score"), col("label")).collect()(0)
+    assert(r.getAs[Long]("n_pos") == 2 && r.getAs[Long]("n_neg") == 2)
+    assert(r.getAs[Long]("auc_num2") == 7) // 2U
+    assert(r.getAs[Long]("auc_den") == 8)
+    assert(r.getAs[Long]("auc_micro") == 875000)
+  }
+
+  test("rocAuc equals the pair-counting U statistic on seeded data") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(400) {
+      val s = rnd.nextInt(25).toLong
+      // label correlates with score so AUC is far from both 0.5 and 1
+      (s, rnd.nextInt(25) < s)
+    }
+    val r = Eval.rocAuc(df(rows), col("score"), col("label")).collect()(0)
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val wins = (for (p <- pos; n <- neg if p > n) yield 1).size.toLong
+    val ties = (for (p <- pos; n <- neg if p == n) yield 1).size.toLong
+    assert(r.getAs[Long]("auc_num2") == 2 * wins + ties)
+    assert(r.getAs[Long]("auc_den") ==
+      2L * pos.size * neg.size)
+  }
+
+  test("rocAuc with one class absent yields null auc_micro") {
+    val r = Eval.rocAuc(df(Seq((1L, true), (2L, true))),
+      col("score"), col("label")).collect()(0)
+    assert(r.getAs[Long]("n_neg") == 0)
+    assert(r.isNullAt(r.fieldIndex("auc_micro")))
+  }
+
+  test("prCurve hand case: suffix counts and micro ratios") {
+    // desc thresholds: 3 → tp=1 pp=1; 2 → tp=2 pp=3; 1 → tp=2 pp=4
+    val rows = Eval.prCurve(df(Seq((1L, false), (2L, false), (2L, true),
+        (3L, true))), col("score"), col("label"))
+      .orderBy(desc("threshold")).collect()
+    assert(rows.map(r => (r.getAs[Long]("threshold"), r.getAs[Long]("tp"),
+      r.getAs[Long]("pp"))).toSeq ==
+      Seq((3L, 1L, 1L), (2L, 2L, 3L), (1L, 2L, 4L)))
+    assert(rows.map(_.getAs[Long]("prec_micro")).toSeq ==
+      Seq(1000000L, 666667L, 500000L)) // 2/3 rounds half-up
+    assert(rows.map(_.getAs[Long]("rec_micro")).toSeq ==
+      Seq(500000L, 1000000L, 1000000L))
+  }
+
+  test("prAuc is exactly 1e6 for a perfect separable classifier") {
+    // 4 positives above all negatives, term-divisible: each ΔTP·P/np
+    // term is exactly 250000 micro
+    val rows = (1L to 4L).map(s => (s, false)) ++
+      (11L to 14L).map(s => (s, true))
+    val r = Eval.prAuc(df(rows), col("score"), col("label")).collect()(0)
+    assert(r.getAs[Long]("pr_auc_micro") == 1000000L)
+    assert(r.getAs[Long]("n_thresholds") == 8)
+  }
+
+  test("prAuc matches a driver-side step integration within rounding") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300) {
+      val s = rnd.nextInt(40).toLong
+      (s, rnd.nextInt(40) < s)
+    }
+    val r = Eval.prAuc(df(rows), col("score"), col("label")).collect()(0)
+    val np = rows.count(_._2).toDouble
+    val byS = rows.groupBy(_._1).map { case (s, g) =>
+      (s, g.size, g.count(_._2)) }.toSeq.sortBy(-_._1)
+    var tp = 0L; var pp = 0L; var area = 0.0
+    for ((_, n, p) <- byS) {
+      tp += p; pp += n
+      area += p / np * (tp.toDouble / pp)
+    }
+    val nTh = r.getAs[Long]("n_thresholds")
+    assert(math.abs(r.getAs[Long]("pr_auc_micro") - area * 1e6)
+      <= nTh.toDouble) // ≤ 0.5µ per micro-rounded term + fp noise
+  }
+
+  test("calibrationBins hand case: identity bins, exact rates") {
+    val rows = (0L to 9L).map(s => (s, s >= 5L))
+    val out = Eval.calibrationBins(df(rows), col("score"), col("label"),
+      bins = 10).orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("bin")).toSeq == (0L to 9L))
+    assert(out.forall(_.getAs[Long]("n") == 1L))
+    assert(out.map(_.getAs[Long]("pos_rate_micro")).toSeq ==
+      Seq(0L, 0L, 0L, 0L, 0L, 1000000L, 1000000L, 1000000L, 1000000L,
+        1000000L))
+    // sum_shift reconstructs the mean: shift = s − min = s
+    assert(out.map(_.getAs[Long]("sum_shift")).toSeq == (0L to 9L))
+  }
+
+  test("calibrationBins collapses identical scores into bin 0") {
+    val out = Eval.calibrationBins(df(Seq((5L, true), (5L, false),
+        (5L, true))), col("score"), col("label"), bins = 10).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("bin") == 0L)
+    assert(out(0).getAs[Long]("n") == 3L)
+    assert(out(0).getAs[Long]("pos_rate_micro") == 666667L)
+  }
+}
