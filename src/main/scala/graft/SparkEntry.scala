@@ -911,6 +911,23 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // HTML main-text extraction: deterministic synth pages (head/
+    // script traps, link-dense nav + footer, entity-encoded content
+    // paragraphs, an inline-anchor paragraph) run through the real
+    // codegen'd extractor — block split, entity decode, whitespace
+    // collapse, jusText link-density boilerplate drop. The oracle
+    // rebuilds the expected extraction in closed form from (id, text),
+    // so any extractor defect breaks the hash.
+    "q483_html_extract" -> ((s, dir) => {
+      val pages = graft.ops.Html.synthHtml(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      graft.ops.Html.extractTextDf(pages, "page_id", "html")
+        .select(col("page_id").as("doc_id"),
+          col("text").as("main_text"), col("n_kept"),
+          col("n_dropped"), col("anchor_chars"), col("text_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -8190,6 +8207,40 @@ object SparkEntry {
            FROM documents d JOIN keep USING (doc_id)
            LEFT JOIN comp c ON d.doc_id = c.id)
          WHERE rn = 1 ORDER BY doc_id""",
+
+    // HTML extraction replayed in closed form: the synth page's
+    // survivors are the h1 ('Doc & id'), every >= 5-char normalized
+    // 100-char text slice, and the inline-anchor paragraph; nav and
+    // footer fail the 1/3 link-density test, 1..4-char slice tails
+    // drop short, whitespace-only slices are ignored. Counts and
+    // character totals follow from the same structure.
+    "q483_html_extract" ->
+      """WITH d0 AS (SELECT doc_id, coalesce(text, '') AS tx,
+                CAST(doc_id AS VARCHAR) AS ids FROM documents),
+         ch AS (SELECT doc_id, i,
+                  trim(regexp_replace(substr(tx, CAST(i*100 + 1 AS INT),
+                       100), '[ \t\n\r]+', ' ', 'g')) AS c
+                FROM (SELECT doc_id, tx,
+                        unnest(range(0, (len(tx) + 99) // 100)) AS i
+                      FROM d0 WHERE len(tx) > 0)),
+         agg AS (SELECT doc_id,
+                   string_agg(CASE WHEN len(c) >= 5 THEN c END,
+                     chr(10) ORDER BY i) AS body,
+                   count(*) FILTER (WHERE len(c) >= 5) AS kc,
+                   count(*) FILTER (WHERE len(c) BETWEEN 1 AND 4)
+                     AS dc,
+                   sum(len(c)) AS sumlen
+                 FROM ch GROUP BY 1)
+         SELECT d0.doc_id,
+           concat_ws(chr(10), 'Doc & ' || ids, body,
+             'See ref ' || ids || ' ' || chr(8212) ||
+             ' plus the longer article details here.') AS main_text,
+           CAST(2 + coalesce(kc, 0) AS BIGINT) AS n_kept,
+           CAST(2 + coalesce(dc, 0) AS BIGINT) AS n_dropped,
+           CAST(29 + len(ids) AS BIGINT) AS anchor_chars,
+           CAST(89 + 2*len(ids) + coalesce(sumlen, 0) AS BIGINT)
+             AS text_chars
+         FROM d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
 
     // Exact ROC-AUC of the NB seed classifier: doubled Mann-Whitney
     // rank sum (average-rank ties), half-up micro division — every
