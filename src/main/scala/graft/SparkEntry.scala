@@ -928,6 +928,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WARC container demux (ISO 28500, the Common Crawl layout):
+    // spec-shaped .warc.gz files synthesized from corpus rows (one
+    // gzip member per record, warcinfo + HTTP-response records whose
+    // bodies are the q483 synth pages), then parsed back by the real
+    // bounds-checked record walker. The oracle rebuilds every header
+    // field and body length in closed form — including reconstructing
+    // the HTML byte-for-byte in SQL — so a framing defect anywhere in
+    // writer or parser breaks the hash.
+    "q484_warc_demux" -> ((s, dir) => {
+      val warcs = graft.ops.Warc.synthWarc(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      graft.ops.Warc.readWarcRecords(warcs, "file_id", "warc")
+        .select(col("file_id"), col("rec_idx"), col("warc_type"),
+          col("uri"), col("content_length"), col("http_status"),
+          length(col("body")).cast("long").as("body_chars"))
+        .orderBy("file_id", "rec_idx")
+    }),
+
+    // The full crawl-ingest funnel: WARC demux → response filter →
+    // HTTP body → HTML main-text extraction — container, transport
+    // and markup all stripped in one composed pipeline; the oracle is
+    // q483's closed-form extraction keyed back through the target URI.
+    "q485_warc_funnel" -> ((s, dir) => {
+      val warcs = graft.ops.Warc.synthWarc(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      val recs = graft.ops.Warc.readWarcRecords(warcs, "file_id", "warc")
+        .filter(col("warc_type") === "response")
+        .select(regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("body"))
+      graft.ops.Html.extractTextDf(recs, "doc_id", "body")
+        .select(col("doc_id"), col("text").as("main_text"),
+          col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -8240,6 +8275,82 @@ object SparkEntry {
            CAST(29 + len(ids) AS BIGINT) AS anchor_chars,
            CAST(89 + 2*len(ids) + coalesce(sumlen, 0) AS BIGINT)
              AS text_chars
+         FROM d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    // WARC demux replayed in closed form: the synth HTML page is
+    // reconstructed byte-for-byte in SQL (entity-encoded slices
+    // between the fixed fragments), so content_length = 44 HTTP
+    // header bytes + page length; warcinfo records carry the fixed
+    // 22-byte info body; rec_idx is the warcinfo-first record order.
+    "q484_warc_demux" ->
+      """WITH d0 AS (SELECT doc_id, coalesce(text, '') AS tx,
+                CAST(doc_id AS VARCHAR) AS ids FROM documents),
+         ch AS (SELECT doc_id, i,
+                  replace(replace(replace(replace(replace(
+                    substr(tx, CAST(i*100 + 1 AS INT), 100),
+                    '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                    '"', '&quot;'), '''', '&#39;') AS c
+                FROM (SELECT doc_id, tx,
+                        unnest(range(0, (len(tx) + 99) // 100)) AS i
+                      FROM d0 WHERE len(tx) > 0)),
+         pg AS (SELECT doc_id,
+                  string_agg('<p>' || c || '</p>', '' ORDER BY i)
+                    AS paras
+                FROM ch GROUP BY 1),
+         hx AS (SELECT d0.doc_id, ids, doc_id // 20 AS file_id,
+                  '<!DOCTYPE html><html><head><title>t</title>' ||
+                  '<style>p{c:red}</style>' ||
+                  '<script>if(1<2){var x="</p>";}</script></head>' ||
+                  '<body><!-- <p>not content</p> -->' ||
+                  '<nav><a href="/">Home</a> <a href="/a">Tags</a> ' ||
+                  '<a href="/b">About</a></nav><h1>Doc &amp; ' || ids ||
+                  '</h1>' || coalesce(paras, '') ||
+                  '<p>See <a href="/r">ref ' || ids ||
+                  '</a> &#8212; plus the longer article details here.' ||
+                  '</p><footer><a href="/p">Privacy</a> ' ||
+                  '<a href="/t">Terms</a> &copy; 2026</footer>' ||
+                  '</body></html>' AS html
+                FROM d0 LEFT JOIN pg USING (doc_id)),
+         resp AS (SELECT file_id,
+                    CAST(row_number() OVER (PARTITION BY file_id
+                      ORDER BY doc_id) AS INT) AS rec_idx,
+                    'response' AS warc_type,
+                    'http://example.org/doc/' || ids AS uri,
+                    CAST(44 + len(html) AS BIGINT) AS content_length,
+                    CAST(200 AS INT) AS http_status,
+                    CAST(len(html) AS BIGINT) AS body_chars
+                  FROM hx),
+         info AS (SELECT DISTINCT file_id, CAST(0 AS INT) AS rec_idx,
+                    'warcinfo' AS warc_type, CAST(NULL AS VARCHAR)
+                      AS uri,
+                    CAST(22 AS BIGINT) AS content_length,
+                    CAST(NULL AS INT) AS http_status,
+                    CAST(NULL AS BIGINT) AS body_chars
+                  FROM hx)
+         SELECT * FROM info UNION ALL SELECT * FROM resp
+         ORDER BY file_id, rec_idx""",
+
+    // The WARC → HTML funnel is q483's extraction keyed by URI:
+    // identical reconstruction, container and transport transparent.
+    "q485_warc_funnel" ->
+      """WITH d0 AS (SELECT doc_id, coalesce(text, '') AS tx,
+                CAST(doc_id AS VARCHAR) AS ids FROM documents),
+         ch AS (SELECT doc_id, i,
+                  trim(regexp_replace(substr(tx, CAST(i*100 + 1 AS INT),
+                       100), '[ \t\n\r]+', ' ', 'g')) AS c
+                FROM (SELECT doc_id, tx,
+                        unnest(range(0, (len(tx) + 99) // 100)) AS i
+                      FROM d0 WHERE len(tx) > 0)),
+         agg AS (SELECT doc_id,
+                   string_agg(CASE WHEN len(c) >= 5 THEN c END,
+                     chr(10) ORDER BY i) AS body,
+                   count(*) FILTER (WHERE len(c) >= 5) AS kc
+                 FROM ch GROUP BY 1)
+         SELECT d0.doc_id,
+           concat_ws(chr(10), 'Doc & ' || ids, body,
+             'See ref ' || ids || ' ' || chr(8212) ||
+             ' plus the longer article details here.') AS main_text,
+           CAST(2 + coalesce(kc, 0) AS BIGINT) AS n_kept
          FROM d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
 
     // Exact ROC-AUC of the NB seed classifier: doubled Mann-Whitney
