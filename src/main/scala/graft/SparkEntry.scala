@@ -963,6 +963,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Funnel v7 — the whole crawl ingest as ONE fluent chain: WARC
+    // demux → response bodies → Pipeline.fromHtml (main-text
+    // extraction) → quality gate. Container, transport, markup and
+    // quality all composed; the oracle replays extraction AND the
+    // quality formula on the reconstructed text.
+    "q486_funnel_crawl" -> ((s, dir) => {
+      val warcs = graft.ops.Warc.synthWarc(t(s, dir, "documents"),
+        col("doc_id"), col("text"))
+      val pages = graft.ops.Warc.readWarcRecords(warcs, "file_id", "warc")
+        .filter(col("warc_type") === "response")
+        .select(regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"), col("body"))
+      graft.ops.Pipeline.fromHtml(pages, "doc_id", "body")
+        .filterQuality(5200)
+        .result
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // Skyline: the (cheapest, largest-quantity) Pareto frontier of
     // lineitems — no row survives that something else beats on both
     // axes; the oracle is the NOT EXISTS domination definition.
@@ -8352,6 +8372,44 @@ object SparkEntry {
              ' plus the longer article details here.') AS main_text,
            CAST(2 + coalesce(kc, 0) AS BIGINT) AS n_kept
          FROM d0 LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+
+    // Crawl funnel: q485's reconstructed extraction fed through the
+    // q26/q453 quality formula (distinct-ratio 0.5 + length 0.3 +
+    // stopword 0.2, x1e4 fixed point) — both engines tokenize on
+    // single spaces, so the newline-joined blocks gate identically.
+    "q486_funnel_crawl" ->
+      """WITH d0 AS (SELECT doc_id, coalesce(text, '') AS tx,
+                CAST(doc_id AS VARCHAR) AS ids FROM documents),
+         ch AS (SELECT doc_id, i,
+                  trim(regexp_replace(substr(tx, CAST(i*100 + 1 AS INT),
+                       100), '[ \t\n\r]+', ' ', 'g')) AS c
+                FROM (SELECT doc_id, tx,
+                        unnest(range(0, (len(tx) + 99) // 100)) AS i
+                      FROM d0 WHERE len(tx) > 0)),
+         agg AS (SELECT doc_id,
+                   string_agg(CASE WHEN len(c) >= 5 THEN c END,
+                     chr(10) ORDER BY i) AS body
+                 FROM ch GROUP BY 1),
+         mt AS (SELECT d0.doc_id,
+                  concat_ws(chr(10), 'Doc & ' || ids, body,
+                    'See ref ' || ids || ' ' || chr(8212) ||
+                    ' plus the longer article details here.')
+                    AS main_text
+                FROM d0 LEFT JOIN agg USING (doc_id)),
+         tkn AS (SELECT doc_id, main_text,
+                   string_split(main_text, ' ') AS ws FROM mt),
+         ql AS (SELECT doc_id FROM (
+                  SELECT doc_id,
+                    CAST(floor((len(list_distinct(ws))*1.0/len(ws)*0.5
+                      + least(len(ws)/100.0, 1.0)*0.3
+                      + len(list_filter(ws, t -> t IN
+                          ('the','a','of','and','to','in')))
+                          *1.0/len(ws)*0.2)
+                      *10000.0 + 0.5) AS BIGINT) AS q
+                  FROM tkn)
+                WHERE q >= 5200)
+         SELECT doc_id, CAST(len(main_text) AS BIGINT) AS n_chars
+         FROM tkn JOIN ql USING (doc_id) ORDER BY doc_id""",
 
     // Exact ROC-AUC of the NB seed classifier: doubled Mann-Whitney
     // rank sum (average-rank ties), half-up micro division — every

@@ -338,3 +338,19 @@ final case class Pipeline(df: DataFrame, idCol: String, textCol: String) {
     copy(df = df.observe(obs, count(lit(1)).as("n_rows"),
       sum(size(split(text, " "))).as("n_tokens")))
 }
+
+object Pipeline {
+
+  /** Start the funnel from raw HTML pages: [[Html.extractTextDf]]'s
+    * main-text extraction (block split, entity decode, link-density
+    * boilerplate drop) becomes the pipeline's text column — the
+    * crawl-side entry point, so `Warc.readWarcRecords → fromHtml →
+    * quality/dedup stages` is the whole ingest path in one fluent
+    * chain. Narrow per-row kernel; fuses into the page scan. */
+  def fromHtml(pages: DataFrame, idCol: String, htmlCol: String,
+               minChars: Int = 5, densityNum: Int = 1,
+               densityDen: Int = 3): Pipeline =
+    Pipeline(Html.extractTextDf(pages, idCol, htmlCol, minChars,
+        densityNum, densityDen)
+      .select(col(idCol), col("text")), idCol, "text")
+}

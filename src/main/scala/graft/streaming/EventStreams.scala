@@ -204,6 +204,22 @@ object EventStreams {
       w >= lit(minMeanMicro) * size(toks))
   }
 
+  /** Stream-side HTML main-text extraction: the SAME codegen kernel
+    * as batch ([[graft.ops.Html.extractTextDf]] /
+    * [[graft.functions.HtmlExtract]]) applied per incoming page — a
+    * pure narrow map (no state, no watermark, no shuffle; append
+    * mode), so crawl ingest strips markup and drops boilerplate-only
+    * pages at wire speed. A page survives iff the extractor keeps at
+    * least `minKeptBlocks` blocks — the batch keep set exactly
+    * (StreamingSpec pins stream == batch row-for-row). */
+  def htmlExtractStream(stream: DataFrame, idName: String,
+                        htmlName: String, minKeptBlocks: Long = 1,
+                        minChars: Int = 5, densityNum: Int = 1,
+                        densityDen: Int = 3): DataFrame =
+    graft.ops.Html.extractTextDf(stream, idName, htmlName, minChars,
+        densityNum, densityDen)
+      .filter(col("n_kept") >= minKeptBlocks)
+
   /** Stream-side containment screen: every incoming document's winnowed
     * fingerprints ([[graft.ops.TextAnalysis.winnowFingerprints]] — the
     * SAME narrow expression as batch) probe a STATIC corpus fingerprint

@@ -116,6 +116,40 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("crawl")) {
+      // round-7 ingest family at growing corpus size. WARC demux +
+      // HTML extraction is file-parallel map work (the one shuffle is
+      // synth's groupBy packing records into files), so wall time
+      // must be linear in page bytes and shuffle volume must track
+      // the packed corpus ONCE. rocAuc rides the distinct-score
+      // table: its shuffles must track distinct scores, not rows.
+      for (n <- Seq(100000L, 400000L)) {
+        val docs = spark.range(n).select(col("id").as("doc_id"),
+            concat_ws(" ", transform(sequence(lit(0), lit(79)), j =>
+              concat(lit("w"), pmod(hash(col("id"), j), lit(100000L)))))
+              .as("text"))
+          .repartition(64).cut()
+        timed(spark, f"warc+extract n=$n") {
+          val warcs = graft.ops.Warc.synthWarc(docs, col("doc_id"),
+            col("text"), recordsPerFile = 50)
+          val recs = graft.ops.Warc
+            .readWarcRecords(warcs, "file_id", "warc")
+            .filter(col("warc_type") === "response")
+          graft.ops.Html.extractTextDf(recs
+            .select(col("file_id"), col("body")), "file_id", "body")
+            .agg(sum("text_chars")).head().getLong(0)
+        }
+        timed(spark, f"roc_auc n=$n") {
+          graft.ops.Eval.rocAuc(
+            spark.range(n).select(
+              pmod(hash(col("id")), lit(100000L)).as("score"),
+              (pmod(hash(col("id"), lit(1)), lit(100L)) < 50).as("y")),
+            col("score"), col("y")).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("dupsub")) {
       // Exact duplicated-substring spans on the decade corpus: every
       // doc sits in a 10-copy clique, so nearly every position is

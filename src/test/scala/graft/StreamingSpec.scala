@@ -178,6 +178,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotIds.length == wantKeys.size)
   }
 
+  test("streaming html extraction equals the batch keep set") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .limit(60).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pagesOf = (rows: Seq[(Long, String)]) =>
+      ops.Html.synthHtml(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+    val htmls = pagesOf(docs.toSeq).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val ms = MemoryStream[(Long, String)]
+    val stream = ms.toDS().toDF("page_id", "html")
+    // h1 + link para are always kept (2) and every doc ≥ 47 chars has
+    // a kept first chunk — gate at 5 so only ≥3-chunk docs survive
+    val q = EventStreams.htmlExtractStream(stream, "page_id", "html",
+        minKeptBlocks = 5)
+      .writeStream.format("memory").queryName("htmlx")
+      .outputMode("append").start()
+    try {
+      ms.addData(htmls.take(30).toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(htmls.drop(30).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("htmlx")
+      .select("page_id", "text", "n_kept").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = ops.Html.extractTextDf(pagesOf(docs.toSeq),
+        "page_id", "html")
+      .filter(col("n_kept") >= 5)
+      .select("page_id", "text", "n_kept").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.nonEmpty && want.size < docs.length) // gate bites
+  }
+
   test("streaming containment screen matches the batch fp join") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
