@@ -902,6 +902,14 @@ object SparkEntry {
         .orderBy("threshold")
     }),
 
+    // Classifier evaluation V — the chosen operating point: the PR
+    // threshold maximizing F1, exact counts + micro ratios, ties to
+    // the higher threshold.
+    "q488_best_f1" -> ((s, dir) => {
+      graft.ops.Eval.bestF1(nbEvalScores(s, dir), col("score"),
+        col("source") === "src0")
+    }),
+
     // Classifier evaluation IV — reliability (calibration) bins:
     // equal-width integer score bins, per-bin positive rate in half-up
     // micro-units, exact shifted score sums.
@@ -2540,6 +2548,17 @@ object SparkEntry {
           t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
           iters = 2)
         .toDF("j", "v").orderBy("j")
+    }),
+
+    // Top-2 principal components by deflated fixed-point power
+    // iteration — the PCA head when one common direction isn't
+    // enough; the oracle replays the full (2 comps × 2 iters) loop
+    // plus the integer deflation bit-for-bit.
+    "q487_top_pcs" -> ((s, dir) => {
+      graft.ops.Similarity.topPrincipalComponents(
+          t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+          m = 2, iters = 2)
+        .orderBy("comp", "j")
     }),
 
     // BM25 keyword retrieval: inverted tf index cut down by a
@@ -7843,6 +7862,50 @@ object SparkEntry {
          SELECT CAST(j AS INTEGER) AS j, CAST(v AS BIGINT) AS v
          FROM v2 ORDER BY j"""),
 
+    // Two deflated components: q127's chain through v2, then the
+    // fixed-point deflation (ds = floor(dot/1e6), cʲ −= floor(ds·vʲ /
+    // (⟨v,v⟩//1e6)) — every product double-exact) and the same
+    // two-iteration loop on the residual frame.
+    "q487_top_pcs" ->
+      (topPcCteSql + """,
+       vv AS (SELECT sum(v*v) AS s FROM v2),
+       dd AS (SELECT vec_id,
+                CAST(floor(sum(c.c * v2.v)*1.0/1000000) AS BIGINT) AS ds
+              FROM c JOIN v2 USING (j) GROUP BY vec_id),
+       c2 AS (SELECT c.vec_id, c.j,
+                c.c - CAST(floor((dd.ds * v2.v)*1.0 /
+                  (vv.s // 1000000)) AS BIGINT) AS c
+              FROM c JOIN dd USING (vec_id) JOIN v2 USING (j)
+              CROSS JOIN vv),
+       w0 AS (SELECT j, c AS v FROM c2
+              WHERE vec_id = (SELECT min(vec_id) FROM q)),
+       e1 AS (SELECT vec_id,
+                CAST(floor(sum(c2.c * w0.v)*1.0/1000000) AS BIGINT) AS ds
+              FROM c2 JOIN w0 USING (j) GROUP BY vec_id),
+       t1 AS (SELECT j, sum(c2.c * e1.ds) AS s
+              FROM c2 JOIN e1 USING (vec_id) GROUP BY j),
+       n1 AS (SELECT max(abs(s)) AS ma FROM t1),
+       w1 AS (SELECT j, CASE WHEN n1.ma = 0 THEN 0
+                ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
+                END AS v
+              FROM t1 CROSS JOIN n1),
+       e2 AS (SELECT vec_id,
+                CAST(floor(sum(c2.c * w1.v)*1.0/1000000) AS BIGINT) AS ds
+              FROM c2 JOIN w1 USING (j) GROUP BY vec_id),
+       t2 AS (SELECT j, sum(c2.c * e2.ds) AS s
+              FROM c2 JOIN e2 USING (vec_id) GROUP BY j),
+       n2 AS (SELECT max(abs(s)) AS ma FROM t2),
+       w2 AS (SELECT j, CASE WHEN n2.ma = 0 THEN 0
+                ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
+                END AS v
+              FROM t2 CROSS JOIN n2)
+       SELECT CAST(1 AS INTEGER) AS comp, CAST(j AS INTEGER) AS j,
+         CAST(v AS BIGINT) AS v FROM v2
+       UNION ALL
+       SELECT CAST(2 AS INTEGER), CAST(j AS INTEGER),
+         CAST(v AS BIGINT) FROM w2
+       ORDER BY comp, j"""),
+
     "q157_ann_denoised" ->
       (topPcCteSql + """,
          sq AS (SELECT sum(v*v) AS ss FROM v2),
@@ -8470,6 +8533,29 @@ object SparkEntry {
          CAST((tp * 2000000 + pp) // (pp * 2) AS BIGINT) AS prec_micro,
          CAST((tp * 2000000 + np) // (np * 2) AS BIGINT) AS rec_micro
        FROM t, tot ORDER BY threshold"""),
+
+    // Best-F1 cut: the q481 curve plus the half-up micro F1, argmax
+    // by (f1, threshold) — higher threshold wins rounding ties.
+    "q488_best_f1" ->
+      (nbEvalCte + """,
+       r AS (SELECT s, n, p,
+               coalesce(sum(n) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS nb,
+               coalesce(sum(p) OVER (ORDER BY s DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS pb
+             FROM g),
+       tot AS (SELECT sum(p) AS np FROM g),
+       t AS (SELECT s, pb + p AS tp, nb + n AS pp FROM r)
+       SELECT s AS threshold, CAST(tp AS BIGINT) AS tp,
+         CAST(pp AS BIGINT) AS pp,
+         CAST((tp * 4000000 + pp + np) // ((pp + np) * 2) AS BIGINT)
+           AS f1_micro,
+         CAST((tp * 2000000 + pp) // (pp * 2) AS BIGINT) AS prec_micro,
+         CAST((tp * 2000000 + np) // (np * 2) AS BIGINT) AS rec_micro
+       FROM t, tot
+       ORDER BY f1_micro DESC, threshold DESC LIMIT 1"""),
 
     // Reliability bins: equal-width integer score bins, exact shifted
     // sums, half-up micro positive rate.

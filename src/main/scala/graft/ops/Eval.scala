@@ -128,6 +128,32 @@ object Eval {
            sum(col("__term")).cast("long").as("pr_auc_micro"))
   }
 
+  /** Best-F1 operating point, one row: the [[prCurve]] threshold
+    * maximizing F1 = 2·tp/(pp + n_pos), with its exact counts and the
+    * half-up micro F1/precision/recall. The argmax orders by
+    * (f1_micro, threshold) — micro rounding can tie neighboring
+    * thresholds, and the higher threshold wins deterministically on
+    * both engines. This is the "pick the classifier's cut" step after
+    * [[rocAuc]]/[[prAuc]] say the scores are worth using. */
+  def bestF1(df: DataFrame, score: Column, label: Column,
+             partitions: Int = 32): DataFrame = {
+    val curve = prCurve(df, score, label, partitions)
+    // total positives = tp at the lowest threshold = max(tp)
+    val tot = curve.agg(max("tp").as("__np"))
+    curve.crossJoin(broadcast(tot))
+      .withColumn("__den", col("pp") + col("__np"))
+      .withColumn("f1_micro",
+        expr("(tp * 4000000 + __den) div (__den * 2)"))
+      .agg(max_by(
+        struct(col("threshold"), col("tp"), col("pp"),
+          col("f1_micro"), col("prec_micro"), col("rec_micro")),
+        struct(col("f1_micro"), col("threshold"))).as("b"))
+      .select(col("b.threshold").as("threshold"), col("b.tp").as("tp"),
+        col("b.pp").as("pp"), col("b.f1_micro").as("f1_micro"),
+        col("b.prec_micro").as("prec_micro"),
+        col("b.rec_micro").as("rec_micro"))
+  }
+
   /** Reliability (calibration) bins, one row per occupied equal-width
     * score bin: (bin, n, n_pos, sum_shift, pos_rate_micro).
     * `bin = ((s − min)·bins) div (max − min + 1)` — integer-exact and

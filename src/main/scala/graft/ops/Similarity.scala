@@ -310,14 +310,24 @@ object Similarity {
     * in micro-units; empty corpus -> Nil; an all-zero centered corpus
     * (every vector identical) returns the zero direction. */
   def topPrincipalComponent(corpus: DataFrame, id: Column, vec: Column,
-                            iters: Int = 2): Seq[(Int, Long)] = {
-    import org.apache.spark.sql.types.DecimalType
+                            iters: Int = 2): Seq[(Int, Long)] =
+    centeredFrame(corpus, id, vec) match {
+      case None => Nil
+      case Some((centered, dim)) =>
+        val v = powerIterate(centered, dim, iters)
+        (0 until dim).map(d => (d + 1, v(d)))
+    }
+
+  /** Micro-quantized, exactly-centered frame (id, c) + dimension;
+    * None on an empty corpus. Shared by the power-iteration trainers. */
+  private def centeredFrame(corpus: DataFrame, id: Column,
+                            vec: Column): Option[(DataFrame, Int)] = {
     val q = Dedup.fanOut(corpus)
       .select(id.as("id"), transform(toDouble(vec),
         x => floor(x * 1e6 + lit(0.5)).cast("long")).as("q"))
       .filter(col("q").isNotNull)
     val firstRow = q.orderBy(col("id")).limit(1).collect()
-    if (firstRow.isEmpty) return Nil
+    if (firstRow.isEmpty) return None
     val dim = firstRow.head.getSeq[Long](1).size
     val n = q.count()
     val sumAggs = (0 until dim).map(d =>
@@ -325,9 +335,18 @@ object Similarity {
     val sums = q.agg(sumAggs.head, sumAggs.tail: _*).collect().head
     val mean = (0 until dim).map(d => Math.floorDiv(sums.getLong(d), n))
     val meanLit = typedlit(mean)
-    val centered = q.select(col("id"),
-        zip_with(col("q"), meanLit, (x, m) => x - m).as("c"))
-      .cut()
+    Some((q.select(col("id"),
+      zip_with(col("q"), meanLit, (x, m) => x - m).as("c"))
+      .cut(), dim))
+  }
+
+  /** The q127 fixed-point power-iteration loop over a centered frame
+    * (id, c): init = the min-id row's vector, `iters` rounds of
+    * (per-row dot, d decimal column sums, max-abs = 1e6 exact BigInt
+    * renormalization). Deterministic and oracle-replayable. */
+  private def powerIterate(centered: DataFrame, dim: Int,
+                           iters: Int): IndexedSeq[Long] = {
+    import org.apache.spark.sql.types.DecimalType
     var v: IndexedSeq[Long] = centered
       .orderBy(col("id")).limit(1).collect()
       .head.getSeq[Long](1).toIndexedSeq
@@ -356,7 +375,64 @@ object Similarity {
           ((num - fm) / maxAbs).toLong
         }.toIndexedSeq
     }
-    (0 until dim).map(d => (d + 1, v(d)))
+    v
+  }
+
+  /** Top-m principal components by DEFLATED fixed-point power
+    * iteration — the PCA head of "all-but-the-top" post-processing
+    * when one direction isn't enough. Component k trains on the frame
+    * with components 1..k−1 projected out; the deflation is itself
+    * fixed-point so the whole (m × iters)-round loop replays in the
+    * oracle's SQL: per row, ds = floor(⟨c,v⟩/10⁶), then
+    * cʲ ← cʲ − floor(ds·vʲ / (⟨v,v⟩ div 10⁶)) — every product ≤
+    * ~1.3·10¹⁴, exactly representable in a double, and floor of an
+    * IEEE-correctly-rounded quotient of identical inputs is identical
+    * on both engines. A zero direction (degenerate residual) stops
+    * the deflation chain and pads remaining components with zeros.
+    *
+    * Scale: m × iters × 2 narrow aggregate jobs + m deflation passes;
+    * driver state is m·d longs; each deflated frame is
+    * lineage-cut so later components re-read columnar bytes, not the
+    * growing expression chain. Output: (comp, j, v) in micro-units,
+    * comp/j 1-based. */
+  def topPrincipalComponents(corpus: DataFrame, id: Column, vec: Column,
+                             m: Int, iters: Int = 2): DataFrame = {
+    require(m >= 1 && m <= 16,
+      s"topPrincipalComponents: m $m outside 1..16")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val comps = centeredFrame(corpus, id, vec) match {
+      case None => Seq.empty[(Int, Int, Long)]
+      case Some((centered0, dim)) =>
+        var centered = centered0
+        var stopped = false
+        (1 to m).flatMap { k =>
+          val v =
+            if (stopped) IndexedSeq.fill(dim)(0L)
+            else {
+              val vk = powerIterate(centered, dim, iters)
+              val vv = vk.map(x => BigInt(x) * BigInt(x)).sum
+              if (vv == 0) { stopped = true; vk }
+              else if (k < m) {
+                val vvs = (vv / 1000000).toDouble
+                val vLit = typedlit(vk)
+                val dot = aggregate(
+                  zip_with(col("c"), vLit, (x, y) => x * y),
+                  lit(0L), (a, x) => a + x)
+                centered = centered
+                  .withColumn("ds",
+                    floor(dot.cast("double") / 1e6).cast("long"))
+                  .select(col("id"), zip_with(col("c"), vLit, (x, y) =>
+                    x - floor((col("ds") * y).cast("double") / vvs)
+                      .cast("long")).as("c"))
+                  .cut()
+                vk
+              } else vk
+            }
+          (0 until dim).map(d => (k, d + 1, v(d)))
+        }
+    }
+    comps.toDF("comp", "j", "v")
   }
 
   /** Common-direction removal ("all-but-the-top"): subtract each

@@ -96,6 +96,36 @@ class EvalSpec extends AnyFunSuite {
       <= nTh.toDouble) // ≤ 0.5µ per micro-rounded term + fp noise
   }
 
+  test("bestF1 picks the F1-maximizing threshold") {
+    // thresholds desc: 3 → F1 2/3; 2 → 4/5 (best); 1 → 4/6
+    val r = Eval.bestF1(df(Seq((3L, true), (2L, true), (2L, false),
+      (1L, false))), col("score"), col("label")).collect()(0)
+    assert(r.getAs[Long]("threshold") == 2L)
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("pp") == 3L)
+    assert(r.getAs[Long]("f1_micro") == 800000L)
+  }
+
+  test("bestF1 matches a driver-side argmax on seeded data") {
+    val rnd = new scala.util.Random(19)
+    val rows = Seq.fill(500) {
+      val s = rnd.nextInt(30).toLong
+      (s, rnd.nextInt(30) < s)
+    }
+    val r = Eval.bestF1(df(rows), col("score"), col("label")).collect()(0)
+    val np = rows.count(_._2).toLong
+    val byS = rows.groupBy(_._1).map { case (s, g) =>
+      (s, g.size.toLong, g.count(_._2).toLong) }.toSeq.sortBy(-_._1)
+    var tp = 0L; var pp = 0L
+    val cands = byS.map { case (s, n, p) =>
+      tp += p; pp += n
+      val den = pp + np
+      (s, (tp * 4000000 + den) / (den * 2)) // same half-up micro F1
+    }
+    val best = cands.maxBy { case (s, f1) => (f1, s) }
+    assert(r.getAs[Long]("threshold") == best._1)
+    assert(r.getAs[Long]("f1_micro") == best._2)
+  }
+
   test("calibrationBins hand case: identity bins, exact rates") {
     val rows = (0L to 9L).map(s => (s, s >= 5L))
     val out = Eval.calibrationBins(df(rows), col("score"), col("label"),

@@ -2305,6 +2305,46 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(cos) > 0.99, s"recovered direction cos=$cos")
   }
 
+  test("deflated power iteration recovers two planted directions") {
+    import spark.implicits._
+    val dim = 8
+    val u1 = Array(0.6, -0.3, 0.5, 0.1, -0.4, 0.2, -0.2, 0.1)
+    val u2 = Array(0.3, 0.6, 0.0, -0.5, 0.2, 0.4, 0.1, -0.2)
+    // Gram-Schmidt u2 against u1 so the planted pair is orthogonal
+    val d11 = u1.map(x => x * x).sum
+    val d12 = u1.zip(u2).map { case (a, b) => a * b }.sum
+    val u2o = u2.zip(u1).map { case (b, a) => b - d12 / d11 * a }
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val a = if (i % 2 == 0) 4.0 else -4.0   // strong along u1
+      val b = if (i % 3 == 0) 2.0 else -1.0   // weaker along u2o
+      (i.toLong, (0 until dim).map(j =>
+        (a * u1(j) + b * u2o(j) + 0.03 * rnd.nextGaussian()).toFloat)
+        .toArray)
+    }
+    val d = rows.toDF("vec_id", "embedding")
+    val out = Similarity.topPrincipalComponents(d, col("vec_id"),
+        col("embedding"), m = 2, iters = 3)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    def comp(k: Int): Array[Double] = out.filter(_._1 == k)
+      .sortBy(_._2).map(_._3.toDouble / 1e6)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) *
+             math.sqrt(b.map(x => x * x).sum))
+    }
+    val v1 = comp(1); val v2 = comp(2)
+    assert(math.abs(cos(v1, u1)) > 0.99, s"pc1 cos=${cos(v1, u1)}")
+    assert(math.abs(cos(v2, u2o)) > 0.95, s"pc2 cos=${cos(v2, u2o)}")
+    assert(math.abs(cos(v1, v2)) < 0.1, // deflation orthogonalizes
+      s"pc1·pc2 cos=${cos(v1, v2)}")
+    // component 1 is exactly the single-component trainer's output
+    val pc1 = Similarity.topPrincipalComponent(d, col("vec_id"),
+      col("embedding"), iters = 3).sortBy(_._1).map(_._2)
+    assert(out.filter(_._1 == 1).sortBy(_._2).map(_._3).toSeq ==
+      pc1.toSeq)
+  }
+
   test("removeTopComponent leaves vectors orthogonal to the direction") {
     val pc = Similarity.topPrincipalComponent(embs, col("vec_id"),
       col("embedding"), iters = 2)
