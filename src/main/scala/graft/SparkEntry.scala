@@ -2550,6 +2550,23 @@ object SparkEntry {
         .toDF("j", "v").orderBy("j")
     }),
 
+    // Denoised ANN v2 — both trained directions removed sequentially
+    // before exact cosine top-k; the oracle replays the q487 trainer
+    // chain, both projections, and the rounded cosine ranking.
+    "q489_ann_denoised2" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val comps = graft.ops.Similarity.topPrincipalComponents(
+          e, col("vec_id"), col("embedding"), m = 2, iters = 2)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .toSeq
+      val r = graft.ops.Similarity.removeTopComponents(
+        e, col("vec_id"), col("embedding"), comps)
+      graft.ops.Similarity.bruteForceTopK(
+          r, r.filter(col("id") < 10),
+          col("id"), col("v"), col("id"), col("v"), k = 5)
+        .orderBy("qid", "rank")
+    }),
+
     // Top-2 principal components by deflated fixed-point power
     // iteration — the PCA head when one common direction isn't
     // enough; the oracle replays the full (2 comps × 2 iters) loop
@@ -4441,7 +4458,7 @@ object SparkEntry {
          mu AS (SELECT j, CAST(floor(sum(x)*1.0/any_value(nn.n)) AS BIGINT)
                   AS m
                 FROM lf CROSS JOIN nn GROUP BY j),
-         c AS (SELECT vec_id, lf.j, lf.x - mu.m AS c
+         c AS MATERIALIZED (SELECT vec_id, lf.j, lf.x - mu.m AS c
                FROM lf JOIN mu USING (j)),
          v0 AS (SELECT j, c AS v FROM c
                 WHERE vec_id = (SELECT min(vec_id) FROM q)),
@@ -4451,7 +4468,7 @@ object SparkEntry {
          s1 AS (SELECT j, sum(c.c * d1.ds) AS s
                 FROM c JOIN d1 USING (vec_id) GROUP BY j),
          m1 AS (SELECT max(abs(s)) AS ma FROM s1),
-         v1 AS (SELECT j, CASE WHEN m1.ma = 0 THEN 0
+         v1 AS MATERIALIZED (SELECT j, CASE WHEN m1.ma = 0 THEN 0
                   ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
                   END AS v
                 FROM s1 CROSS JOIN m1),
@@ -4461,10 +4478,47 @@ object SparkEntry {
          s2 AS (SELECT j, sum(c.c * d2.ds) AS s
                 FROM c JOIN d2 USING (vec_id) GROUP BY j),
          m2 AS (SELECT max(abs(s)) AS ma FROM s2),
-         v2 AS (SELECT j, CASE WHEN m2.ma = 0 THEN 0
+         v2 AS MATERIALIZED (SELECT j, CASE WHEN m2.ma = 0 THEN 0
                   ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
                   END AS v
                 FROM s2 CROSS JOIN m2)"""
+
+  /** Shared oracle text: q487's two-component chain — [[topPcCteSql]]
+    * through `v2`, then the fixed-point deflation to `c2` and the
+    * second two-iteration loop to `w2`. Reused by q489's removal. */
+  private val topPc2CteSql: String =
+    topPcCteSql + """,
+       vv AS (SELECT sum(v*v) AS s FROM v2),
+       dd AS (SELECT vec_id,
+                CAST(floor(sum(c.c * v2.v)*1.0/1000000) AS BIGINT) AS ds
+              FROM c JOIN v2 USING (j) GROUP BY vec_id),
+       c2 AS MATERIALIZED (SELECT c.vec_id, c.j,
+                c.c - CAST(floor((dd.ds * v2.v)*1.0 /
+                  (vv.s // 1000000)) AS BIGINT) AS c
+              FROM c JOIN dd USING (vec_id) JOIN v2 USING (j)
+              CROSS JOIN vv),
+       w0 AS (SELECT j, c AS v FROM c2
+              WHERE vec_id = (SELECT min(vec_id) FROM q)),
+       e1 AS (SELECT vec_id,
+                CAST(floor(sum(c2.c * w0.v)*1.0/1000000) AS BIGINT) AS ds
+              FROM c2 JOIN w0 USING (j) GROUP BY vec_id),
+       t1 AS (SELECT j, sum(c2.c * e1.ds) AS s
+              FROM c2 JOIN e1 USING (vec_id) GROUP BY j),
+       n1 AS (SELECT max(abs(s)) AS ma FROM t1),
+       w1 AS MATERIALIZED (SELECT j, CASE WHEN n1.ma = 0 THEN 0
+                ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
+                END AS v
+              FROM t1 CROSS JOIN n1),
+       e2 AS (SELECT vec_id,
+                CAST(floor(sum(c2.c * w1.v)*1.0/1000000) AS BIGINT) AS ds
+              FROM c2 JOIN w1 USING (j) GROUP BY vec_id),
+       t2 AS (SELECT j, sum(c2.c * e2.ds) AS s
+              FROM c2 JOIN e2 USING (vec_id) GROUP BY j),
+       n2 AS (SELECT max(abs(s)) AS ma FROM t2),
+       w2 AS MATERIALIZED (SELECT j, CASE WHEN n2.ma = 0 THEN 0
+                ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
+                END AS v
+              FROM t2 CROSS JOIN n2)"""
 
   /** Shared oracle text: exact jaccard pairs BETWEEN the odd-id batch
     * and the even-id corpus (q43's inverted-index form and q132's
@@ -7867,44 +7921,54 @@ object SparkEntry {
     // (⟨v,v⟩//1e6)) — every product double-exact) and the same
     // two-iteration loop on the residual frame.
     "q487_top_pcs" ->
-      (topPcCteSql + """,
-       vv AS (SELECT sum(v*v) AS s FROM v2),
-       dd AS (SELECT vec_id,
-                CAST(floor(sum(c.c * v2.v)*1.0/1000000) AS BIGINT) AS ds
-              FROM c JOIN v2 USING (j) GROUP BY vec_id),
-       c2 AS (SELECT c.vec_id, c.j,
-                c.c - CAST(floor((dd.ds * v2.v)*1.0 /
-                  (vv.s // 1000000)) AS BIGINT) AS c
-              FROM c JOIN dd USING (vec_id) JOIN v2 USING (j)
-              CROSS JOIN vv),
-       w0 AS (SELECT j, c AS v FROM c2
-              WHERE vec_id = (SELECT min(vec_id) FROM q)),
-       e1 AS (SELECT vec_id,
-                CAST(floor(sum(c2.c * w0.v)*1.0/1000000) AS BIGINT) AS ds
-              FROM c2 JOIN w0 USING (j) GROUP BY vec_id),
-       t1 AS (SELECT j, sum(c2.c * e1.ds) AS s
-              FROM c2 JOIN e1 USING (vec_id) GROUP BY j),
-       n1 AS (SELECT max(abs(s)) AS ma FROM t1),
-       w1 AS (SELECT j, CASE WHEN n1.ma = 0 THEN 0
-                ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
-                END AS v
-              FROM t1 CROSS JOIN n1),
-       e2 AS (SELECT vec_id,
-                CAST(floor(sum(c2.c * w1.v)*1.0/1000000) AS BIGINT) AS ds
-              FROM c2 JOIN w1 USING (j) GROUP BY vec_id),
-       t2 AS (SELECT j, sum(c2.c * e2.ds) AS s
-              FROM c2 JOIN e2 USING (vec_id) GROUP BY j),
-       n2 AS (SELECT max(abs(s)) AS ma FROM t2),
-       w2 AS (SELECT j, CASE WHEN n2.ma = 0 THEN 0
-                ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
-                END AS v
-              FROM t2 CROSS JOIN n2)
+      (topPc2CteSql + """
        SELECT CAST(1 AS INTEGER) AS comp, CAST(j AS INTEGER) AS j,
          CAST(v AS BIGINT) AS v FROM v2
        UNION ALL
        SELECT CAST(2 AS INTEGER), CAST(j AS INTEGER),
          CAST(v AS BIGINT) FROM w2
        ORDER BY comp, j"""),
+
+    // Denoised ANN v2: the q487 trainer chain, u1/u2 normalized
+    // against exact integer sums, both projections removed in comp
+    // order, then the q157 cosine tail (scores rounded 1e-6).
+    "q489_ann_denoised2" ->
+      (topPc2CteSql + """,
+       sq1 AS (SELECT sum(v*v) AS ss FROM v2),
+       u1 AS (SELECT j, CASE WHEN sq1.ss = 0 THEN 0.0
+                ELSE v / sqrt(CAST(sq1.ss AS DOUBLE)) END AS u
+              FROM v2 CROSS JOIN sq1),
+       lfx AS MATERIALIZED (SELECT vec_id, unnest(ev) AS x,
+                 unnest(range(1, len(ev)+1)) AS j FROM e),
+       p1 AS (SELECT vec_id, sum(x * u) AS proj
+              FROM lfx JOIN u1 USING (j) GROUP BY 1),
+       r1 AS MATERIALIZED (SELECT lfx.vec_id, lfx.j, lfx.x - p1.proj * u1.u AS x
+              FROM lfx JOIN u1 USING (j) JOIN p1 USING (vec_id)),
+       sq2 AS (SELECT sum(v*v) AS ss FROM w2),
+       u2 AS (SELECT j, CASE WHEN sq2.ss = 0 THEN 0.0
+                ELSE v / sqrt(CAST(sq2.ss AS DOUBLE)) END AS u
+              FROM w2 CROSS JOIN sq2),
+       p2 AS (SELECT vec_id, sum(x * u) AS proj
+              FROM r1 JOIN u2 USING (j) GROUP BY 1),
+       rr AS MATERIALIZED (SELECT r1.vec_id, r1.j, r1.x - p2.proj * u2.u AS r
+              FROM r1 JOIN u2 USING (j) JOIN p2 USING (vec_id)),
+       nmv AS (SELECT vec_id, sqrt(sum(r*r)) AS nrm FROM rr GROUP BY 1),
+       sc0 AS (SELECT a.vec_id AS qid, b.vec_id AS nbr,
+                 sum(a.r * b.r) AS dp
+               FROM rr a JOIN rr b ON a.j = b.j
+               WHERE a.vec_id < 10 AND b.vec_id <> a.vec_id
+               GROUP BY 1, 2),
+       sc AS (SELECT qid, nbr,
+                round(CASE WHEN qa.nrm * qb.nrm = 0 THEN 0.0
+                      ELSE dp / (qa.nrm * qb.nrm) END, 6) AS score
+              FROM sc0 JOIN nmv qa ON qa.vec_id = sc0.qid
+                   JOIN nmv qb ON qb.vec_id = sc0.nbr),
+       rk AS (SELECT qid, nbr, score,
+                CAST(row_number() OVER (PARTITION BY qid
+                  ORDER BY score DESC, nbr) AS INTEGER) AS rank
+              FROM sc)
+       SELECT qid, nbr, score, rank FROM rk WHERE rank <= 5
+       ORDER BY qid, rank"""),
 
     "q157_ann_denoised" ->
       (topPcCteSql + """,

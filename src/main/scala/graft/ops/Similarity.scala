@@ -468,6 +468,23 @@ object Similarity {
           (x, y) => x - col("__p") * y).as("v"))
   }
 
+  /** Sequential multi-direction removal — "all-but-the-top" with the
+    * [[topPrincipalComponents]] head: fold [[removeTopComponent]]
+    * over the components in comp order (remove u₁ from x, then u₂
+    * from the residual, …). Sequential projection is the exact
+    * semantics the deflated trainer implies and is what the oracle
+    * replays; for perfectly orthogonal directions it equals joint
+    * projection. `comps` is the trainer's (comp, j, v_micro) rows. */
+  def removeTopComponents(df: DataFrame, id: Column, vec: Column,
+                          comps: Seq[(Int, Int, Long)]): DataFrame = {
+    val byComp = comps.groupBy(_._1).toSeq.sortBy(_._1)
+    byComp.foldLeft(df.select(id.as("id"), toDouble(vec).as("v"))) {
+      case (cur, (_, rows)) =>
+        removeTopComponent(cur, col("id"), col("v"),
+          rows.map(r => (r._2, r._3)))
+    }
+  }
+
   /** SSL-prototypes diversity pruning (the curation step AFTER dedup in
     * embedding-based pipelines): every vector is assigned to its
     * nearest trained centroid, scored by cosine to that centroid
