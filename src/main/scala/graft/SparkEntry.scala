@@ -1222,6 +1222,31 @@ object SparkEntry {
     // TPC-H Q6 shape (forecast revenue change): the pure
     // scan-filter-aggregate — no join, no shuffle beyond the one-row
     // final agg; every predicate must reach the parquet scan.
+    // TPC-H Q1 (pricing summary) — the last of the 22 shapes: one
+    // fact-side partial agg behind the shipdate filter; money in
+    // per-row half-up cents (the q365 discipline), averages derivable
+    // from the exact sums + count.
+    "q490_tpch_q1" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * 100 + lit(0.5))
+            .cast("long")).as("sum_base_cents"),
+          sum(floor(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) * 100 + lit(0.5))
+            .cast("long")).as("sum_disc_cents"),
+          sum(floor(col("l_extendedprice") *
+            (lit(1.0) - col("l_discount")) *
+            (lit(1.0) + col("l_tax")) * 100 + lit(0.5))
+            .cast("long")).as("sum_charge_cents"),
+          sum(floor(col("l_discount") * 10000 + lit(0.5))
+            .cast("long")).as("sum_disc_x1e4"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "q365_tpch_q6" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01") &&
@@ -10431,6 +10456,23 @@ object SparkEntry {
                 count(*) AS cnt
          FROM s WHERE s1 IS NOT NULL AND s2 IS NOT NULL
          GROUP BY 1 ORDER BY cnt DESC, path LIMIT 20""",
+
+    "q490_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+           CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+             * (1.0 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_charge_cents,
+           CAST(SUM(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT))
+             AS BIGINT) AS sum_disc_x1e4,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q365_tpch_q6" ->
       """SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 100
