@@ -480,8 +480,15 @@ object Similarity {
     val byComp = comps.groupBy(_._1).toSeq.sortBy(_._1)
     byComp.foldLeft(df.select(id.as("id"), toDouble(vec).as("v"))) {
       case (cur, (_, rows)) =>
+        // lineage CUT between removals: CollapseProject otherwise
+        // re-inlines removal k−1's whole zip_with array expression
+        // into EVERY element lambda of removal k — O(d²) interpreted
+        // work per row (the q106 element_at lesson; measured 77 s vs
+        // 8 s at sf0.1 on q489). Materializing the projected corpus
+        // between components is also what a real pipeline does with
+        // its post-processed embeddings.
         removeTopComponent(cur, col("id"), col("v"),
-          rows.map(r => (r._2, r._3)))
+          rows.map(r => (r._2, r._3))).cut()
     }
   }
 

@@ -204,6 +204,40 @@ object EventStreams {
       w >= lit(minMeanMicro) * size(toks))
   }
 
+  final case class WarcRec(file_id: Long, rec_idx: Int,
+                           warc_type: String, uri: Option[String],
+                           content_length: Long,
+                           http_status: Option[Int],
+                           body: Option[String])
+
+  /** Stream-side WARC demux: [[graft.ops.Warc.parseWarc]] — the SAME
+    * bounds-checked record walker as batch — applied per incoming
+    * file blob through a typed `flatMap` (the batch reader's RDD seam
+    * is unavailable on an unbounded frame). Stateless and append-mode:
+    * a crawl-file ARRIVAL stream (`readStream.format("binaryFile")`
+    * on a landing dir, or a queue of fetched files) demuxes to
+    * records at wire speed, and `htmlExtractStream` downstream makes
+    * the whole q486 ingest funnel continuous. Malformed blobs throw —
+    * quarantine upstream, never silent mis-parses. */
+  def warcDemuxStream(stream: DataFrame, fileIdName: String,
+                      blobName: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(fileIdName).cast("long").as("f"),
+        col(blobName).as("b"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (fid, blob) =>
+        if (blob == null) Iterator.empty
+        else graft.ops.Warc.parseWarc(blob).iterator.zipWithIndex.map {
+          case (r, k) => WarcRec(fid, k, r.warcType, Option(r.uri),
+            r.contentLength, Option(r.httpStatus).map(_.intValue),
+            Option(r.body))
+        }
+      }
+      .toDF()
+  }
+
   /** Stream-side HTML main-text extraction: the SAME codegen kernel
     * as batch ([[graft.ops.Html.extractTextDf]] /
     * [[graft.functions.HtmlExtract]]) applied per incoming page — a

@@ -178,6 +178,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotIds.length == wantKeys.size)
   }
 
+  test("streaming warc demux + extraction equals the batch funnel") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .limit(50).select("doc_id", "text")
+    val warcs = ops.Warc.synthWarc(docs, col("doc_id"), col("text"),
+        recordsPerFile = 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val stream = ms.toDS().toDF("file_id", "warc")
+    val recs = EventStreams.warcDemuxStream(stream, "file_id", "warc")
+      .filter(col("warc_type") === "response")
+      .select(regexp_extract(col("uri"), "/doc/(\\d+)$", 1)
+        .cast("long").as("doc_id"), col("body"))
+    val q = EventStreams.htmlExtractStream(recs, "doc_id", "body")
+      .writeStream.format("memory").queryName("warcx")
+      .outputMode("append").start()
+    try {
+      ms.addData(warcs.take(3).toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(warcs.drop(3).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("warcx")
+      .select("doc_id", "text", "n_kept").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val pages = ops.Html.synthHtml(docs, col("doc_id"), col("text"))
+    val want = ops.Html.extractTextDf(pages, "page_id", "html")
+      .select(col("page_id"), col("text"), col("n_kept")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == want)
+    assert(want.size == 50)
+  }
+
   test("streaming html extraction equals the batch keep set") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
