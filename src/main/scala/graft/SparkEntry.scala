@@ -44,7 +44,8 @@ object SparkEntry {
     graft.ops.TextAnalysis.nbQualityScore(d, col("doc_id"), col("text"),
         d.filter(col("source") === "src0"), col("text"),
         d.filter(col("source") =!= "src0"), col("text"))
-      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .join(d.select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id")
       .withColumn("score",
         expr("(lo_micro_sum + 100000000 * n_tokens) div n_tokens"))
   }
@@ -900,6 +901,16 @@ object SparkEntry {
       graft.ops.Eval.prCurve(nbEvalScores(s, dir), col("score"),
           col("source") === "src0")
         .orderBy("threshold")
+    }),
+
+    // Classifier evaluation VI — per-source AUC of a long-document
+    // detector (gold = n_chars >= 2000): one grouped-prefix-sum pass
+    // answers "where does the score degrade", no per-group window.
+    "q491_auc_by_source" -> ((s, dir) => {
+      graft.ops.Eval.rocAucByGroup(nbEvalScores(s, dir),
+          col("source"), col("score"), col("n_chars") >= 2000)
+        .withColumnRenamed("g", "source")
+        .orderBy("source")
     }),
 
     // Classifier evaluation V — the chosen operating point: the PR
@@ -8622,6 +8633,52 @@ object SparkEntry {
          CAST((tp * 2000000 + pp) // (pp * 2) AS BIGINT) AS prec_micro,
          CAST((tp * 2000000 + np) // (np * 2) AS BIGINT) AS rec_micro
        FROM t, tot ORDER BY threshold"""),
+
+    // Per-source AUC: the q479 rank statistics PARTITIONed by source,
+    // gold = n_chars >= 2000; one-class groups yield NULL auc.
+    "q491_auc_by_source" ->
+      """WITH w AS (SELECT doc_id, source, n_chars,
+                string_split(text, ' ') AS ws FROM documents),
+       tk AS (SELECT doc_id, source, n_chars, tok
+              FROM (SELECT doc_id, source, n_chars, unnest(ws) AS tok
+                    FROM w)
+              WHERE tok != ''),
+       cp AS (SELECT tok, count(*) AS c FROM tk
+              WHERE source = 'src0' GROUP BY 1),
+       cn AS (SELECT tok, count(*) AS c FROM tk
+              WHERE source != 'src0' GROUP BY 1),
+       m0 AS (SELECT coalesce(cp.tok, cn.tok) AS tok,
+                coalesce(cp.c, 0) AS cp, coalesce(cn.c, 0) AS cn
+              FROM cp FULL JOIN cn ON cp.tok = cn.tok),
+       st AS (SELECT sum(cp) AS np0, sum(cn) AS nn0, count(*) AS v
+              FROM m0),
+       m AS (SELECT tok,
+               CAST(round((ln((cp + 1.0) / (np0 + v))
+                         - ln((cn + 1.0) / (nn0 + v))) * 1000000)
+                 AS BIGINT) AS lo
+             FROM m0, st),
+       sc AS (SELECT tk.doc_id, any_value(source) AS g,
+                max(CASE WHEN n_chars >= 2000 THEN 1 ELSE 0 END) AS y,
+                (CAST(sum(lo) AS BIGINT) + 100000000 * count(*))
+                  // count(*) AS s
+              FROM tk JOIN m USING (tok) GROUP BY 1),
+       g2 AS (SELECT g, s, count(*) AS n, sum(y) AS p FROM sc
+              GROUP BY 1, 2),
+       r AS (SELECT g, s, n, p,
+               coalesce(sum(n) OVER (PARTITION BY g ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS nb
+             FROM g2),
+       a AS (SELECT g, sum(p) AS np, sum(n - p) AS nn,
+               sum(p * (2*nb + n + 1)) AS rs2 FROM r GROUP BY g)
+       SELECT g AS source, CAST(np AS BIGINT) AS n_pos,
+         CAST(nn AS BIGINT) AS n_neg,
+         CAST(rs2 - np*(np + 1) AS BIGINT) AS auc_num2,
+         CAST(2*np*nn AS BIGINT) AS auc_den,
+         CASE WHEN np = 0 OR nn = 0 THEN NULL
+              ELSE CAST(((rs2 - np*(np + 1)) * 1000000 + np*nn)
+                // (2*np*nn) AS BIGINT) END AS auc_micro
+       FROM a ORDER BY source""",
 
     // Best-F1 cut: the q481 curve plus the half-up micro F1, argmax
     // by (f1, threshold) — higher threshold wins rounding ties.

@@ -76,6 +76,67 @@ object Eval {
           .as("auc_micro"))
   }
 
+  /** Per-group exact ROC-AUC — [[rocAuc]] with one row per `group`
+    * (classifier health across sources/domains/languages: one
+    * pass answers "where does the gate degrade"). Rank statistics
+    * come from the GROUPED two-pass prefix sum ([[Sampling.tokenBudget]]'s
+    * shape): range-partition the distinct (group, score) table on
+    * (g, s), per-(partition, group) totals → per-group bases on the
+    * driver (O(partitions × groups) longs, never row data), broadcast
+    * back under a per-(partition, group) window — no one-task-per-
+    * group global window, so 20k domains cost the same shuffle as 2. */
+  def rocAucByGroup(df: DataFrame, group: Column, score: Column,
+                    label: Column, partitions: Int = 32): DataFrame = {
+    import graft.Checkpoints.CheckpointOps
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g0 = df.select(group.cast("string").as("g"),
+        score.cast("long").as("s"),
+        when(coalesce(label.cast("boolean"), lit(false)), 1L)
+          .otherwise(0L).as("__y"))
+      .groupBy("g", "s")
+      .agg(count(lit(1)).as("n"), sum("__y").as("p"))
+    // materialized so the totals job and the final job see the SAME
+    // range boundaries (the tokenBudget/orderedCumsum invariant)
+    val p0 = g0.repartitionByRange(partitions, col("g"), col("s"))
+      .sortWithinPartitions(col("g"), col("s"))
+      .withColumn("__pid", spark_partition_id())
+      .cut()
+    val totals = p0.groupBy("__pid", "g").agg(sum(col("n")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val bases = totals.groupBy(_._2).iterator.flatMap {
+      case (g, rows) =>
+        val byPid = rows.sortBy(_._1)
+        byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _)).map {
+          case (pid, off) => (pid, g, off) }
+    }.toSeq.toDF("__pid", "g", "__base")
+    val w = Window.partitionBy(col("__pid"), col("g"))
+      .orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p0.join(broadcast(bases), Seq("__pid", "g"))
+      .withColumn("__nb",
+        col("__base") + sum(col("n")).over(w) - col("n"))
+      .groupBy("g")
+      .agg(sum(col("p").cast(dec)).as("__np"),
+           sum((col("n") - col("p")).cast(dec)).as("__nn"),
+           sum(col("p").cast(dec) *
+             (col("__nb").cast(dec) * 2 + col("n") + 1)).as("__rs2"))
+      .withColumn("__num2",
+        col("__rs2") - col("__np") * (col("__np") + 1))
+      .withColumn("__den", col("__np") * col("__nn") * 2)
+      .select(col("g"),
+        col("__np").cast("long").as("n_pos"),
+        col("__nn").cast("long").as("n_neg"),
+        col("__num2").cast("long").as("auc_num2"),
+        col("__den").cast("long").as("auc_den"),
+        when(col("__np") === 0 || col("__nn") === 0,
+            lit(null).cast("long"))
+          .otherwise(
+            expr("(__num2 * 1000000 + __np * __nn) div __den"))
+          .as("auc_micro"))
+  }
+
   /** Precision-recall curve, one row per distinct threshold
     * (predict positive at score ≥ threshold): (threshold, n, p, tp,
     * pp, prec_micro, rec_micro) — tie groups share one threshold, tp /

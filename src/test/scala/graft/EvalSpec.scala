@@ -96,6 +96,30 @@ class EvalSpec extends AnyFunSuite {
       <= nTh.toDouble) // ≤ 0.5µ per micro-rounded term + fp noise
   }
 
+  test("rocAucByGroup matches per-group pair counting; one-class null") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = Seq.fill(300) {
+      val g = s"g${rnd.nextInt(3)}"
+      val s = rnd.nextInt(15).toLong
+      (g, s, rnd.nextInt(15) < s)
+    } :+ (("solo", 9L, true)) // one-class group → null AUC
+    val out = Eval.rocAucByGroup(rows.toDF("g", "score", "label"),
+        col("g"), col("score"), col("label"), partitions = 4)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val sub = rows.filter(_._1 == g)
+      val pos = sub.filter(_._3).map(_._2)
+      val neg = sub.filterNot(_._3).map(_._2)
+      val wins = (for (p <- pos; n <- neg if p > n) yield 1).size.toLong
+      val ties = (for (p <- pos; n <- neg if p == n) yield 1).size.toLong
+      assert(out(g).getAs[Long]("auc_num2") == 2 * wins + ties, g)
+      assert(out(g).getAs[Long]("auc_den") ==
+        2L * pos.size * neg.size, g)
+    }
+    assert(out("solo").isNullAt(out("solo").fieldIndex("auc_micro")))
+  }
+
   test("bestF1 picks the F1-maximizing threshold") {
     // thresholds desc: 3 → F1 2/3; 2 → 4/5 (best); 1 → 4/6
     val r = Eval.bestF1(df(Seq((3L, true), (2L, true), (2L, false),
