@@ -904,11 +904,12 @@ object SparkEntry {
     }),
 
     // Classifier evaluation VI — per-source AUC of a long-document
-    // detector (gold = n_chars >= 2000): one grouped-prefix-sum pass
+    // detector (gold = n_chars >= 300, ~half the corpus at every SF,
+    // both classes present per source): one grouped-prefix-sum pass
     // answers "where does the score degrade", no per-group window.
     "q491_auc_by_source" -> ((s, dir) => {
       graft.ops.Eval.rocAucByGroup(nbEvalScores(s, dir),
-          col("source"), col("score"), col("n_chars") >= 2000)
+          col("source"), col("score"), col("n_chars") >= 300)
         .withColumnRenamed("g", "source")
         .orderBy("source")
     }),
@@ -8635,7 +8636,7 @@ object SparkEntry {
        FROM t, tot ORDER BY threshold"""),
 
     // Per-source AUC: the q479 rank statistics PARTITIONed by source,
-    // gold = n_chars >= 2000; one-class groups yield NULL auc.
+    // gold = n_chars >= 300; one-class groups yield NULL auc.
     "q491_auc_by_source" ->
       """WITH w AS (SELECT doc_id, source, n_chars,
                 string_split(text, ' ') AS ws FROM documents),
@@ -8658,7 +8659,7 @@ object SparkEntry {
                  AS BIGINT) AS lo
              FROM m0, st),
        sc AS (SELECT tk.doc_id, any_value(source) AS g,
-                max(CASE WHEN n_chars >= 2000 THEN 1 ELSE 0 END) AS y,
+                max(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS y,
                 (CAST(sum(lo) AS BIGINT) + 100000000 * count(*))
                   // count(*) AS s
               FROM tk JOIN m USING (tok) GROUP BY 1),
