@@ -129,7 +129,8 @@ object FuzzConformance {
       else if (n < 120) s"q${223 + n}_fuzz" // q303..q342
       else if (n < 150) s"q${250 + n}_fuzz" // q370..q399 (q343-q369 named)
       else if (n < 170) s"q${279 + n}_fuzz" // q429-q448
-      else s"q${284 + n}_fuzz" // q454+: after the named q449-q453 block
+      else if (n < 190) s"q${284 + n}_fuzz" // q454-q473
+      else s"q${302 + n}_fuzz" // q492+: after the named q474-q491 block
 
     shape match {
       case 0 => // projection (+ one computed column), total order
@@ -300,7 +301,7 @@ object FuzzConformance {
   def specs: Seq[Spec] = {
     val r = new scala.util.Random(20260812L)
     val nShapes = 7
-    (0 until 190).map(i =>
+    (0 until 200).map(i =>
       genSpec(r, i, if (i < nShapes) i else r.nextInt(nShapes)))
   }
 }
