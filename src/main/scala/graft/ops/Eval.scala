@@ -91,7 +91,13 @@ object Eval {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
-    val g0 = df.select(group.cast("string").as("g"),
+    // Null group keys surface as their own "<null>" group instead of
+    // silently vanishing (a null source/domain is exactly the slice a
+    // health check must not lose): the inner join with the broadcast
+    // bases frame would never match a null g, so coalesce to a
+    // sentinel before anything keys on it.
+    val g0 = df.select(
+        coalesce(group.cast("string"), lit("<null>")).as("g"),
         score.cast("long").as("s"),
         when(coalesce(label.cast("boolean"), lit(false)), 1L)
           .otherwise(0L).as("__y"))
@@ -209,6 +215,11 @@ object Eval {
         struct(col("threshold"), col("tp"), col("pp"),
           col("f1_micro"), col("prec_micro"), col("rec_micro")),
         struct(col("f1_micro"), col("threshold"))).as("b"))
+      // global agg over an EMPTY frame yields one all-null row; the
+      // SQL ORDER BY ... LIMIT 1 equivalent yields zero — drop it so
+      // an empty corpus gives an empty result on both engines (and no
+      // caller NPEs reading b.threshold).
+      .where(col("b").isNotNull)
       .select(col("b.threshold").as("threshold"), col("b.tp").as("tp"),
         col("b.pp").as("pp"), col("b.f1_micro").as("f1_micro"),
         col("b.prec_micro").as("prec_micro"),

@@ -37,6 +37,18 @@ object Warc {
   private def ascii(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
 
+  /** Payload bytes. WARC payloads (HTTP bodies) are UTF-8 on the wire
+    * — `parseWarc` decodes them as UTF-8, so the writer must match or
+    * non-ASCII text corrupts on round-trip. Only the WARC/HTTP header
+    * block stays ISO-8859-1 (its grammar is octet-oriented ASCII).
+    * Oracle note: the q484-class DuckDB oracles predict
+    * Content-Length as a fixed header size + `length(html)`
+    * CODEPOINTS, which equals the UTF-8 BYTE length only on ASCII
+    * corpora — the synth fixtures are ASCII-only by construction
+    * (same regime `HtmlExtract` documents). */
+  private def utf8(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
   /** One WARC record as bytes (headers + framed payload + the
     * mandated trailing blank lines). */
   private def record(headers: Seq[(String, String)],
@@ -90,7 +102,7 @@ object Warc {
         val bo = new ByteArrayOutputStream()
         bo.write(gzipMember(record(
           Seq("WARC-Type" -> "warcinfo", "WARC-Date" -> DATE),
-          ascii(INFO_BODY))))
+          utf8(INFO_BODY))))
         recs.foreach { rec =>
           val docId = rec.getLong(0)
           val html = rec.getString(1)
@@ -100,7 +112,7 @@ object Warc {
             Seq("WARC-Type" -> "response",
               "WARC-Target-URI" -> s"http://example.org/doc/$docId",
               "WARC-Date" -> DATE),
-            ascii(http))))
+            utf8(http))))
         }
         Row(fileId, bo.toByteArray)
       }

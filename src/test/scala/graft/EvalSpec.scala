@@ -120,6 +120,25 @@ class EvalSpec extends AnyFunSuite {
     assert(out("solo").isNullAt(out("solo").fieldIndex("auc_micro")))
   }
 
+  test("rocAucByGroup surfaces null group keys as the <null> group") {
+    import spark.implicits._
+    val rows = Seq((Option("a"), 1L, false), (Option("a"), 2L, true),
+      (Option.empty[String], 1L, false), (Option.empty[String], 3L, true),
+      (Option.empty[String], 2L, true))
+    val out = Eval.rocAucByGroup(rows.toDF("g", "score", "label"),
+        col("g"), col("score"), col("label"), partitions = 2)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out.keySet == Set("a", "<null>"))
+    val n = out("<null>")
+    assert(n.getAs[Long]("n_pos") == 2 && n.getAs[Long]("n_neg") == 1)
+    assert(n.getAs[Long]("auc_micro") == 1000000L) // perfectly separated
+  }
+
+  test("bestF1 on an empty frame returns zero rows, not a null row") {
+    assert(Eval.bestF1(df(Seq.empty), col("score"), col("label"))
+      .collect().isEmpty)
+  }
+
   test("bestF1 picks the F1-maximizing threshold") {
     // thresholds desc: 3 → F1 2/3; 2 → 4/5 (best); 1 → 4/6
     val r = Eval.bestF1(df(Seq((3L, true), (2L, true), (2L, false),

@@ -39,6 +39,22 @@ class WarcSpec extends AnyFunSuite {
     assert(recs.count(_.getAs[Long]("file_id") == 2L) == 6)
   }
 
+  test("non-ASCII corpus text round-trips intact (UTF-8 payloads)") {
+    import spark.implicits._
+    val txt = "café über naïve — résumé"
+    val warcs = Warc.synthWarc(Seq((0L, txt)).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), recordsPerFile = 10)
+    val recs = Warc.readWarcRecords(warcs, "file_id", "warc")
+      .orderBy("rec_idx").collect()
+    val body = recs(1).getAs[String]("body")
+    assert(body.contains("café") && body.contains("—"))
+    assert(!body.contains("�") && !body.contains("?ber"))
+    // Content-Length counts UTF-8 BYTES of the (44-byte-header) body
+    val utf8Len = body.getBytes("UTF-8").length
+    assert(recs(1).getAs[Long]("content_length") == 44 + utf8Len)
+    assert(utf8Len > body.length) // the multi-byte chars are real
+  }
+
   test("plain (uncompressed) record streams parse identically") {
     val warcs = Warc.synthWarc(docsDf(3), col("doc_id"), col("text"),
       recordsPerFile = 10).collect()
