@@ -7,12 +7,26 @@ import org.scalatest.funsuite.AnyFunSuite
   * by the judge diffing bench artifacts across rounds — this spec
   * makes the builder see it first. It compares the WORKING-TREE
   * `BENCH_FULL.json` (the fresh unfiltered `graft.Bench` run) against
-  * the LAST COMMITTED one (`git show HEAD:BENCH_FULL.json`) and fails
-  * on any query that got more than [[BenchRegressionSpec.Factor]]x
+  * the LAST COMMITTED one (`git show HEAD:BENCH_FULL.json`) and flags
+  * any query that got more than [[BenchRegressionSpec.Factor]]x
   * slower by more than [[BenchRegressionSpec.MinDeltaSec]] — unless
   * the query is named in `bench_allowlist.txt` with a one-line
   * justification (deliberate plan-shape trades stay possible, but
   * only documented ones).
+  *
+  * SELF-ADJUDICATION (r7 verdict task #1): full-suite timings on a
+  * shared box swing 3-8x on the driver-loop query class from GC
+  * debris alone (q489 measured 5.8 s and 45.6 s across two runs of
+  * IDENTICAL code in r7), so a raw flag is a hypothesis, not a
+  * verdict. On any flag the spec re-measures JUST the flagged
+  * queries in a fresh forked JVM (`graft.Bench` with
+  * `SPARK_GRAFT_ONLY`, the same local[32]/sf0.1 regime as the
+  * driver's run — a filtered run never touches `BENCH_FULL.json`)
+  * and fails only the queries whose ISOLATED time still exceeds the
+  * bar. Noise self-clears; real plan regressions reproduce isolated
+  * and still fail. If the fork cannot run (no compiled classes, no
+  * JVM) the spec falls back to failing on the raw flags — the gate
+  * never silently weakens.
   *
   * When the working artifact equals the committed one (no fresh run
   * this session) the spec passes trivially; when git or the committed
@@ -38,8 +52,51 @@ class BenchRegressionSpec extends AnyFunSuite {
       .findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+  private def exceedsBar(base: Double, cur: Double): Boolean =
+    cur > base * Factor && cur - base > MinDeltaSec
+
+  // Matches build.sbt's jdk17AddOpens (= Spark's own
+  // JavaModuleOptions.defaultModuleOptions()) — the fork creates a
+  // SparkSession outside spark-submit, which normally injects these.
+  private val AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  /** Re-run just `names` in a fresh JVM under the driver's bench
+    * regime; None if the fork could not run or produced no timings. */
+  private def isolatedRemeasure(names: Seq[String],
+                                sfDir: String): Option[Map[String, Double]] = {
+    val classes = new java.io.File("target/scala-2.13/classes")
+    if (!classes.isDirectory) return None
+    val javaBin = new java.io.File(
+      sys.props("java.home"), "bin/java").getPath
+    val cmd: Seq[String] = Seq(javaBin) ++ AddOpens ++ Seq(
+      "-Xmx8g", "-cp", classes.getPath + ":/opt/spark/jars/*",
+      "graft.Bench")
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
+      pb.environment().put("SPARK_GRAFT_CPUS", "32")
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.redirectErrorStream(false)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val ok = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES) &&
+        p.exitValue() == 0
+      if (!ok) { p.destroyForcibly(); return None }
+      val m = parseQueries(out)
+      if (m.isEmpty) None else Some(m)
+    } catch { case _: Exception => None }
+  }
+
   test(s"no query >${Factor}x slower than the committed bench " +
-       "without an allowlist entry") {
+       "(isolated re-measure adjudicates full-suite noise)") {
     val f = new java.io.File("BENCH_FULL.json")
     assume(f.exists(), "BENCH_FULL.json missing")
     val fresh = new String(
@@ -57,6 +114,8 @@ class BenchRegressionSpec extends AnyFunSuite {
     else {
       val base = parseQueries(committed.get)
       val cur = parseQueries(fresh)
+      val sfDir = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(fresh)
+        .map(_.group(1)).getOrElse("/root/testdata/sf0.1")
       val allow: Set[String] = {
         val af = new java.io.File("bench_allowlist.txt")
         if (!af.exists()) Set.empty
@@ -64,17 +123,38 @@ class BenchRegressionSpec extends AnyFunSuite {
           .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
           .flatMap(_.split(":", 2).headOption.map(_.trim)).toSet
       }
-      val regressions = (base.keySet & cur.keySet).toSeq.sorted.flatMap {
-        q =>
-          val (b, c) = (base(q), cur(q))
-          if (c > b * Factor && c - b > MinDeltaSec && !allow(q))
-            Some(f"$q: $b%.2fs -> $c%.2fs (${c / math.max(b, 1e-9)}%.1fx)")
-          else None
+      val flagged = (base.keySet & cur.keySet).toSeq.sorted.filter {
+        q => exceedsBar(base(q), cur(q)) && !allow(q)
       }
-      assert(regressions.isEmpty,
-        "bench regressions vs committed BENCH_FULL.json (add a " +
-        "bench_allowlist.txt entry with a justification if " +
-        s"deliberate):\n  ${regressions.mkString("\n  ")}")
+      if (flagged.isEmpty) succeed
+      else {
+        info(s"flagged vs committed artifact: ${flagged.map(q =>
+          f"$q ${base(q)}%.2fs -> ${cur(q)}%.2fs").mkString(", ")}" +
+          " — re-measuring isolated")
+        val iso = isolatedRemeasure(flagged, sfDir)
+        val confirmed = iso match {
+          case Some(m) => flagged.flatMap { q =>
+            m.get(q) match {
+              case Some(c) if exceedsBar(base(q), c) =>
+                Some(f"$q: committed ${base(q)}%.2fs -> isolated " +
+                  f"$c%.2fs (${c / math.max(base(q), 1e-9)}%.1fx)")
+              case Some(c) =>
+                info(f"$q cleared isolated: ${base(q)}%.2fs base, " +
+                  f"full-suite ${cur(q)}%.2fs, isolated $c%.2fs")
+                None
+              case None => Some(s"$q: isolated run returned no timing")
+            }
+          }
+          case None => flagged.map { q =>
+            f"$q: ${base(q)}%.2fs -> ${cur(q)}%.2fs " +
+              "(isolated re-measure unavailable — raw flag stands)"
+          }
+        }
+        assert(confirmed.isEmpty,
+          "bench regressions survived isolated re-measurement (add a " +
+          "bench_allowlist.txt entry with a justification if " +
+          s"deliberate):\n  ${confirmed.mkString("\n  ")}")
+      }
     }
   }
 }
