@@ -62,6 +62,8 @@ object SparkEntry {
     * query and its DuckDB SQL, mechanizing the q01–q13 pattern). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.tools.FuzzConformance.specs
+      .map(sp => sp.name -> sp.query).toMap ++
+    graft.tools.FuzzEvalCrawl.specs
       .map(sp => sp.name -> sp.query).toMap ++ Map(
 
     // O1/O5/O11/O18/O19-O20: row domain → two-level grouping → struct of
@@ -836,6 +838,23 @@ object SparkEntry {
           col("handler"), col("width"), col("height"),
           col("n_samples"), col("sum_sample_bytes"))
         .orderBy("doc_id")
+    }),
+
+    // Real multimodal codec VI-b (r8): INTRA-FRAME VIDEO DECODE —
+    // motion-JPEG samples inside the real MP4 container, split by the
+    // stsz/stsc/stco chunk machinery and decoded frame-by-frame with
+    // the baseline JPEG decoder. DC-mosaic frames keep the lossy
+    // pipeline exact; every id % 7 == 3 asset carries one truncated
+    // frame that must degrade to ONE null row (ok = 0) while its
+    // siblings decode — the corrupted-frame partial-decode property.
+    "q502_mjpeg_frames" -> ((s, dir) => {
+      val vids = graft.ops.Mp4.synthMjpegMp4(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Mp4.decodeMjpegFramesDf(vids, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("frame_idx"),
+          col("n_frames"), col("ok").cast("int").as("ok"),
+          col("width"), col("height"), col("sum_y"), col("first_px"))
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // Funnel v5 through the PUBLIC Pipeline API: quality gate ->
@@ -4479,10 +4498,16 @@ object SparkEntry {
 
   /** Shared oracle text: the LLM preprocessing funnel (q42 hand-assembled,
     * q52 through the fluent Pipeline API — identical semantics). */
-  /** Shared oracle text: the q127 fixed-point power-iteration CTE
-    * chain (through `v2`, the trained direction in micro-units) —
-    * reused by q157, which consumes the direction for common-direction
-    * removal before ANN. */
+  /** Shared oracle text: the q127 GRAM-MATRIX fixed-point power
+    * iteration (r8) -- ONE pass of raw moments (n, s_j, S_jk) over the
+    * micro-quantized vectors, the centered Gram by algebra
+    * (G = S - m s' - s m' + n m m', m = floorDiv(s, n)), then the
+    * 2-iteration driver loop replayed on the d^2-row `g` CTE:
+    * v0 = 1e6 * e_{argmax diag G}, v_{t+1} = trunc-normalized G v_t.
+    * All divisions truncate toward zero (DuckDB `//` = BigInt `/`)
+    * except the mean, which keeps the floor formula. Ends at `v2`
+    * (j, v) -- the trained direction in micro-units -- reused by q157,
+    * which consumes it for common-direction removal before ANN. */
   private val topPcCteSql: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev
                     FROM embeddings WHERE embedding IS NOT NULL),
@@ -4490,72 +4515,70 @@ object SparkEntry {
                  [CAST(floor(x*1000000 + 0.5) AS BIGINT) FOR x IN ev] AS qv
                FROM e),
          nn AS (SELECT count(*) AS n FROM q),
-         lf AS (SELECT vec_id, unnest(qv) AS x,
+         lf AS MATERIALIZED (SELECT vec_id, unnest(qv) AS x,
                   unnest(range(1, len(qv)+1)) AS j FROM q),
-         mu AS (SELECT j, CAST(floor(sum(x)*1.0/any_value(nn.n)) AS BIGINT)
-                  AS m
-                FROM lf CROSS JOIN nn GROUP BY j),
-         c AS MATERIALIZED (SELECT vec_id, lf.j, lf.x - mu.m AS c
-               FROM lf JOIN mu USING (j)),
-         v0 AS (SELECT j, c AS v FROM c
-                WHERE vec_id = (SELECT min(vec_id) FROM q)),
-         d1 AS (SELECT vec_id,
-                  CAST(floor(sum(c.c * v0.v)*1.0/1000000) AS BIGINT) AS ds
-                FROM c JOIN v0 USING (j) GROUP BY vec_id),
-         s1 AS (SELECT j, sum(c.c * d1.ds) AS s
-                FROM c JOIN d1 USING (vec_id) GROUP BY j),
+         sv AS (SELECT j, sum(x) AS s FROM lf GROUP BY j),
+         mu AS (SELECT j, (s - ((s % n + n) % n)) // n AS m
+                FROM sv CROSS JOIN nn),
+         gr AS MATERIALIZED (SELECT a.j AS j, b.j AS k,
+                  sum(a.x * b.x) AS sjk
+                FROM lf a JOIN lf b USING (vec_id) GROUP BY 1, 2),
+         g AS MATERIALIZED (SELECT gr.j, gr.k,
+                  gr.sjk - mj.m * sk.s - mk.m * sj.s + nn.n * mj.m * mk.m
+                    AS g
+                FROM gr
+                JOIN mu mj ON mj.j = gr.j JOIN mu mk ON mk.j = gr.k
+                JOIN sv sj ON sj.j = gr.j JOIN sv sk ON sk.j = gr.k
+                CROSS JOIN nn),
+         dg AS MATERIALIZED (SELECT j, g FROM g WHERE j = k),
+         v0 AS (SELECT dg.j, CASE WHEN dg.j =
+                  (SELECT j FROM dg ORDER BY g DESC, j LIMIT 1)
+                  THEN 1000000 ELSE 0 END AS v FROM dg),
+         s1 AS (SELECT g.j, sum(g.g * v0.v) AS s
+                FROM g JOIN v0 ON v0.j = g.k GROUP BY 1),
          m1 AS (SELECT max(abs(s)) AS ma FROM s1),
-         v1 AS MATERIALIZED (SELECT j, CASE WHEN m1.ma = 0 THEN 0
-                  ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
-                  END AS v
+         v1 AS (SELECT j, CASE WHEN m1.ma = 0 THEN 0
+                  ELSE (s * 1000000) // m1.ma END AS v
                 FROM s1 CROSS JOIN m1),
-         d2 AS (SELECT vec_id,
-                  CAST(floor(sum(c.c * v1.v)*1.0/1000000) AS BIGINT) AS ds
-                FROM c JOIN v1 USING (j) GROUP BY vec_id),
-         s2 AS (SELECT j, sum(c.c * d2.ds) AS s
-                FROM c JOIN d2 USING (vec_id) GROUP BY j),
+         s2 AS (SELECT g.j, sum(g.g * v1.v) AS s
+                FROM g JOIN v1 ON v1.j = g.k GROUP BY 1),
          m2 AS (SELECT max(abs(s)) AS ma FROM s2),
          v2 AS MATERIALIZED (SELECT j, CASE WHEN m2.ma = 0 THEN 0
-                  ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
-                  END AS v
+                  ELSE (s * 1000000) // m2.ma END AS v
                 FROM s2 CROSS JOIN m2)"""
 
-  /** Shared oracle text: q487's two-component chain — [[topPcCteSql]]
-    * through `v2`, then the fixed-point deflation to `c2` and the
-    * second two-iteration loop to `w2`. Reused by q489's removal. */
+  /** Shared oracle text: q487's two-component chain -- [[topPcCteSql]]
+    * through `v2`, then component 2 on the SAME Gram CTE: init at the
+    * second-largest diagonal, each iteration orthogonalized against
+    * v2 (w <- w - (<w,u> * u) // <u,u>, truncating) before the
+    * max-abs renormalization. Ends at `w2`. Reused by q489's
+    * removal. */
   private val topPc2CteSql: String =
     topPcCteSql + """,
-       vv AS (SELECT sum(v*v) AS s FROM v2),
-       dd AS (SELECT vec_id,
-                CAST(floor(sum(c.c * v2.v)*1.0/1000000) AS BIGINT) AS ds
-              FROM c JOIN v2 USING (j) GROUP BY vec_id),
-       c2 AS MATERIALIZED (SELECT c.vec_id, c.j,
-                c.c - CAST(floor((dd.ds * v2.v)*1.0 /
-                  (vv.s // 1000000)) AS BIGINT) AS c
-              FROM c JOIN dd USING (vec_id) JOIN v2 USING (j)
-              CROSS JOIN vv),
-       w0 AS (SELECT j, c AS v FROM c2
-              WHERE vec_id = (SELECT min(vec_id) FROM q)),
-       e1 AS (SELECT vec_id,
-                CAST(floor(sum(c2.c * w0.v)*1.0/1000000) AS BIGINT) AS ds
-              FROM c2 JOIN w0 USING (j) GROUP BY vec_id),
-       t1 AS (SELECT j, sum(c2.c * e1.ds) AS s
-              FROM c2 JOIN e1 USING (vec_id) GROUP BY j),
-       n1 AS (SELECT max(abs(s)) AS ma FROM t1),
-       w1 AS MATERIALIZED (SELECT j, CASE WHEN n1.ma = 0 THEN 0
-                ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
-                END AS v
-              FROM t1 CROSS JOIN n1),
-       e2 AS (SELECT vec_id,
-                CAST(floor(sum(c2.c * w1.v)*1.0/1000000) AS BIGINT) AS ds
-              FROM c2 JOIN w1 USING (j) GROUP BY vec_id),
-       t2 AS (SELECT j, sum(c2.c * e2.ds) AS s
-              FROM c2 JOIN e2 USING (vec_id) GROUP BY j),
-       n2 AS (SELECT max(abs(s)) AS ma FROM t2),
+       uu AS (SELECT sum(v*v) AS uq FROM v2),
+       w0 AS (SELECT dg.j, CASE WHEN dg.j =
+                (SELECT j FROM dg ORDER BY g DESC, j LIMIT 1 OFFSET 1)
+                THEN 1000000 ELSE 0 END AS v FROM dg),
+       t1 AS (SELECT g.j, sum(g.g * w0.v) AS s
+              FROM g JOIN w0 ON w0.j = g.k GROUP BY 1),
+       x1 AS (SELECT sum(t1.s * v2.v) AS nu FROM t1 JOIN v2 USING (j)),
+       o1 AS (SELECT t1.j, CASE WHEN uu.uq = 0 THEN t1.s
+                ELSE t1.s - (x1.nu * v2.v) // uu.uq END AS s
+              FROM t1 JOIN v2 USING (j) CROSS JOIN x1 CROSS JOIN uu),
+       n1 AS (SELECT max(abs(s)) AS ma FROM o1),
+       w1 AS (SELECT j, CASE WHEN n1.ma = 0 THEN 0
+                ELSE (s * 1000000) // n1.ma END AS v
+              FROM o1 CROSS JOIN n1),
+       t2 AS (SELECT g.j, sum(g.g * w1.v) AS s
+              FROM g JOIN w1 ON w1.j = g.k GROUP BY 1),
+       x2 AS (SELECT sum(t2.s * v2.v) AS nu FROM t2 JOIN v2 USING (j)),
+       o2 AS (SELECT t2.j, CASE WHEN uu.uq = 0 THEN t2.s
+                ELSE t2.s - (x2.nu * v2.v) // uu.uq END AS s
+              FROM t2 JOIN v2 USING (j) CROSS JOIN x2 CROSS JOIN uu),
+       n2 AS (SELECT max(abs(s)) AS ma FROM o2),
        w2 AS MATERIALIZED (SELECT j, CASE WHEN n2.ma = 0 THEN 0
-                ELSE (s*1000000 - (((s*1000000) % ma + ma) % ma)) // ma
-                END AS v
-              FROM t2 CROSS JOIN n2)"""
+                ELSE (s * 1000000) // n2.ma END AS v
+              FROM o2 CROSS JOIN n2)"""
 
   /** Shared oracle text: exact jaccard pairs BETWEEN the odd-id batch
     * and the even-id corpus (q43's inverted-index form and q132's
@@ -4622,6 +4645,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.tools.FuzzConformance.specs
+      .map(sp => sp.name -> sp.sql).toMap ++
+    graft.tools.FuzzEvalCrawl.specs
       .map(sp => sp.name -> sp.sql).toMap ++ Map(
     "q20_dedup_exact" ->
       """SELECT array_to_string(list_slice(string_split(text,' '), 1, 8), ' ')
@@ -5588,6 +5613,30 @@ object SparkEntry {
              FOR i IN range(0, 3 + doc_id % 6)]) AS BIGINT)
              AS sum_sample_bytes
          FROM documents ORDER BY doc_id""",
+
+    // q502: the q416 mosaic replay per (id, frame) with a per-frame
+    // phase; the id % 7 == 3 assets' frame 1 is the truncated sample
+    // (null stats, ok = 0)
+    "q502_mjpeg_frames" ->
+      """WITH s AS (SELECT doc_id, 9 + doc_id % 17 AS w,
+                      6 + doc_id % 11 AS h,
+                      3 + doc_id % 4 AS nf FROM documents),
+         f AS (SELECT doc_id, w, h, nf,
+                 unnest(range(nf)) AS fi FROM s),
+         e AS (SELECT doc_id, w, h, nf, fi,
+                 (doc_id % 7 = 3 AND fi = 1) AS bad FROM f)
+         SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           CASE WHEN bad THEN 0 ELSE 1 END AS ok,
+           CASE WHEN bad THEN NULL ELSE CAST(w AS INTEGER) END AS width,
+           CASE WHEN bad THEN NULL ELSE CAST(h AS INTEGER) END AS height,
+           CASE WHEN bad THEN NULL ELSE CAST(list_sum(
+             [(doc_id*31 + fi*19 + ((i % w) // 8)*7 + ((i // w) // 8)*13)
+                % 256 FOR i IN range(w*h)]) AS BIGINT) END AS sum_y,
+           CASE WHEN bad THEN NULL
+             ELSE CAST((doc_id*31 + fi*19) % 256 AS BIGINT) END
+             AS first_px
+         FROM e ORDER BY doc_id, fi""",
 
     // q131's quality CTE gating q451/q452's CDC chain — the composed
     // funnel replayed end to end

@@ -283,154 +283,222 @@ object Similarity {
     centsQ.map(_.map(_.toDouble / 1e6))
   }
 
-  /** Top principal component of an embedding column by deterministic
-    * FIXED-POINT power iteration — the trainer for common-direction
-    * removal ([[removeTopComponent]], the SIF/"all-but-the-top"
-    * post-processing that measurably improves embedding similarity by
-    * deleting the dominant frequency direction every encoder produces).
+  /** Top principal component of an embedding column — deterministic
+    * FIXED-POINT power iteration on the exact GRAM MATRIX (the trainer
+    * for common-direction removal, [[removeTopComponent]]: the
+    * SIF/"all-but-the-top" post-processing that measurably improves
+    * embedding similarity by deleting the dominant frequency direction
+    * every encoder produces).
     *
-    * Arithmetic is integer end-to-end so the whole loop is
-    * bit-reproducible in the oracle's SQL replay (same scheme as
-    * [[kmeansCentroids]]): vectors quantize to 1e-6 micro-units
-    * (`floor(x*1e6 + 0.5)`, explicit half-up), the mean is a
-    * floor-divided integer, centering is exact subtraction, and each
-    * iteration is two distributed passes — (1) per-row dot with the
-    * broadcast current direction, floor-scaled back to micro-units;
-    * (2) d exact column sums of `dot * centered`, accumulated in
-    * DECIMAL(38,0) (matching DuckDB's sum(BIGINT) -> HUGEINT) so a
-    * billion-row corpus cannot overflow. The new direction normalizes
-    * to max-abs = 1e6 by exact BigInt floor division on the driver
-    * (d values only). Init = the centered vector of the minimum-id row
-    * (deterministic; any vector not orthogonal to the PC converges).
+    * ONE corpus pass computes the exact raw moments — n, s_j = Σ q_j,
+    * and the packed upper triangle S_jk = Σ q_j·q_k — over micro-
+    * quantized vectors (`floor(x·1e6 + 0.5)`, explicit half-up). The
+    * centered Gram follows by algebra on the driver (mean m_j =
+    * floorDiv(s_j, n); G = S − m sᵀ − s mᵀ + n·m mᵀ, all exact
+    * BigInt), and the whole power-iteration/deflation loop then runs
+    * DRIVER-SIDE on d×d integers: v₀ = 1e6·e_{argmax diag G}, each
+    * iteration w = G·v orthogonalized against prior components
+    * (w ← w − (⟨w,uᵢ⟩·uᵢ) quot ⟨uᵢ,uᵢ⟩, truncating integer
+    * division = DuckDB `//` = BigInt `/`), then renormalized to
+    * max-abs 1e6. Exact integer arithmetic is associative, so the
+    * oracle replays the identical numbers from a d²-row Gram CTE
+    * instead of corpus-sized per-iteration scans.
     *
-    * Scale: driver state is d longs; each iteration is 2 narrow
-    * aggregate jobs (no shuffle beyond partial agg); the centered
-    * frame is localCheckpoint'd once so 2*iters jobs re-read columnar
-    * storage, not the lineage. Returns the d (dimension, value) pairs
-    * in micro-units; empty corpus -> Nil; an all-zero centered corpus
-    * (every vector identical) returns the zero direction. */
+    * Scale (r7 verdict task #2): the previous trainer ran 2·m·iters
+    * corpus aggregate jobs plus m centering/deflation materializations
+    * — the full-suite bench-variance class AND a 100 TB multi-scan.
+    * This one runs exactly ONE corpus job (`GramScanSpec` pins the
+    * count with a listener). Per-partition state is d(d+1)/2 + d
+    * longs, folded into BigInt every 2¹⁶ rows (overflow-safe for
+    * |x| ≤ ~8 after quantization; add/multiplyExact fail loudly
+    * beyond); the driver merges one ~35 KB triangle per partition —
+    * 1000 executors → ~35 MB, collect-safe.
+    *
+    * Returns the d (dimension, value) pairs in micro-units; empty
+    * corpus → Nil. The centered Gram is PSD, so G ≠ 0 implies a
+    * positive diagonal max and the iterate never degenerates
+    * spuriously; G = 0 (every vector identical) yields the zero
+    * direction on both engines. `id` is unused (kept for signature
+    * stability with the pre-Gram trainer). */
   def topPrincipalComponent(corpus: DataFrame, id: Column, vec: Column,
                             iters: Int = 2): Seq[(Int, Long)] =
-    centeredFrame(corpus, id, vec) match {
+    gramStats(corpus, vec) match {
       case None => Nil
-      case Some((centered, dim)) =>
-        val v = powerIterate(centered, dim, iters)
-        (0 until dim).map(d => (d + 1, v(d)))
+      case Some((n, s, t)) =>
+        val v = trainComponents(n, s, t, 1, iters).head
+        v.indices.map(j => (j + 1, v(j)))
     }
 
-  /** Micro-quantized, exactly-centered frame (id, c) + dimension;
-    * None on an empty corpus. Shared by the power-iteration trainers. */
-  private def centeredFrame(corpus: DataFrame, id: Column,
-                            vec: Column): Option[(DataFrame, Int)] = {
-    val q = Dedup.fanOut(corpus)
-      .select(id.as("id"), transform(toDouble(vec),
+  /** Packed-triangle index of (j, k), j ≤ k, matching the contiguous
+    * accumulation order in [[gramStats]]. */
+  private def triIdx(d: Int, j: Int, k: Int): Int = {
+    val (a, b) = if (j <= k) (j, k) else (k, j)
+    a * d - a * (a - 1) / 2 + (b - a)
+  }
+
+  /** Exact raw moments of the micro-quantized embedding column in ONE
+    * corpus pass: (n, s, S) with s_j = Σ q_j and S the packed upper
+    * triangle of Σ q qᵀ. None for an empty corpus. Null vectors are
+    * excluded (the [[cosinePairsLsh]] convention); ragged dimensions
+    * fail loudly. */
+  private def gramStats(corpus: DataFrame, vec: Column)
+      : Option[(Long, Array[BigInt], Array[BigInt])] = {
+    val q = corpus
+      .select(transform(toDouble(vec),
         x => floor(x * 1e6 + lit(0.5)).cast("long")).as("q"))
       .filter(col("q").isNotNull)
-    val firstRow = q.orderBy(col("id")).limit(1).collect()
-    if (firstRow.isEmpty) return None
-    val dim = firstRow.head.getSeq[Long](1).size
-    val n = q.count()
-    val sumAggs = (0 until dim).map(d =>
-      sum(element_at(col("q"), d + 1)).as(s"s$d"))
-    val sums = q.agg(sumAggs.head, sumAggs.tail: _*).collect().head
-    val mean = (0 until dim).map(d => Math.floorDiv(sums.getLong(d), n))
-    val meanLit = typedlit(mean)
-    Some((q.select(col("id"),
-      zip_with(col("q"), meanLit, (x, m) => x - m).as("c"))
-      .cut(), dim))
-  }
-
-  /** The q127 fixed-point power-iteration loop over a centered frame
-    * (id, c): init = the min-id row's vector, `iters` rounds of
-    * (per-row dot, d decimal column sums, max-abs = 1e6 exact BigInt
-    * renormalization). Deterministic and oracle-replayable. */
-  private def powerIterate(centered: DataFrame, dim: Int,
-                           iters: Int): IndexedSeq[Long] = {
-    import org.apache.spark.sql.types.DecimalType
-    var v: IndexedSeq[Long] = centered
-      .orderBy(col("id")).limit(1).collect()
-      .head.getSeq[Long](1).toIndexedSeq
-    for (_ <- 0 until iters) {
-      val vLit = typedlit(v)
-      // pass 1: per-row dot with v, floor-scaled to micro-units
-      val dot = aggregate(zip_with(col("c"), vLit, (x, y) => x * y),
-        lit(0L), (a, x) => a + x)
-      val ds = floor(dot.cast("double") / 1e6).cast("long")
-      val scored = centered.select(col("c"), ds.as("ds"))
-      // pass 2: d exact decimal sums of ds * c_j
-      val aggs = (0 until dim).map(d =>
-        sum((element_at(col("c"), d + 1) * col("ds"))
-          .cast(DecimalType(38, 0))).as(s"s$d"))
-      val row = scored.agg(aggs.head, aggs.tail: _*).collect().head
-      val s = (0 until dim).map(d =>
-        if (row.isNullAt(d)) BigInt(0)
-        else BigInt(row.getDecimal(d).toBigInteger))
-      val maxAbs = s.map(_.abs).max
-      v =
-        if (maxAbs == 0) IndexedSeq.fill(dim)(0L)
-        else s.map { x =>
-          val num = x * 1000000
-          // exact floor division (truncation-safe: subtract floor-mod)
-          val fm = ((num % maxAbs) + maxAbs) % maxAbs
-          ((num - fm) / maxAbs).toLong
-        }.toIndexedSeq
+    // fan-out at the RDD level (one Dataset→RDD conversion, lazy
+    // repartition): a tiny single-file corpus still uses every core
+    // for the O(d²)-per-row moment accumulation, while a big scan
+    // already has ≥ defaultParallelism partitions and shuffles
+    // nothing. Calling Dedup.fanOut here would convert to RDD twice
+    // and cost a second (empty) job — GramScanSpec pins the count.
+    val raw = q.rdd
+    val target = corpus.sparkSession.sparkContext.defaultParallelism
+    val rdd = if (raw.getNumPartitions < target) raw.repartition(target)
+              else raw
+    val parts = rdd.mapPartitions { rows =>
+      var n = 0L
+      var dim = 0
+      var sL: Array[Long] = null; var tL: Array[Long] = null
+      var sB: Array[BigInt] = null; var tB: Array[BigInt] = null
+      var sinceFold = 0
+      def fold(): Unit = {
+        var i = 0
+        while (i < dim) { sB(i) += sL(i); sL(i) = 0L; i += 1 }
+        i = 0
+        while (i < tL.length) { tB(i) += tL(i); tL(i) = 0L; i += 1 }
+        sinceFold = 0
+      }
+      rows.foreach { r =>
+        val v = r.getSeq[Long](0)
+        if (sL == null) {
+          dim = v.size
+          require(dim >= 1 && dim <= 512,
+            s"gramStats: dim $dim outside 1..512 (driver Gram state " +
+            "is d(d+1)/2 integers)")
+          sL = new Array[Long](dim)
+          tL = new Array[Long](dim * (dim + 1) / 2)
+          sB = Array.fill(dim)(BigInt(0))
+          tB = Array.fill(tL.length)(BigInt(0))
+        }
+        require(v.size == dim,
+          s"gramStats: ragged dimension ${v.size} vs $dim")
+        val a = new Array[Long](dim)
+        var i = 0
+        while (i < dim) { a(i) = v(i); i += 1 }
+        var j = 0; var p = 0
+        while (j < dim) {
+          sL(j) = Math.addExact(sL(j), a(j))
+          var k = j
+          while (k < dim) {
+            tL(p) = Math.addExact(tL(p),
+              Math.multiplyExact(a(j), a(k)))
+            p += 1; k += 1
+          }
+          j += 1
+        }
+        n += 1; sinceFold += 1
+        if (sinceFold == 65536) fold()
+      }
+      if (sL == null) Iterator.empty
+      else { fold(); Iterator.single((n, dim, sB, tB)) }
+    }.collect()
+    if (parts.isEmpty) None
+    else {
+      val dim = parts.head._2
+      require(parts.forall(_._2 == dim),
+        s"gramStats: partitions disagree on dimension")
+      val n = parts.map(_._1).sum
+      val s = Array.fill(dim)(BigInt(0))
+      val t = Array.fill(dim * (dim + 1) / 2)(BigInt(0))
+      parts.foreach { case (_, _, sB, tB) =>
+        var i = 0
+        while (i < dim) { s(i) += sB(i); i += 1 }
+        i = 0
+        while (i < t.length) { t(i) += tB(i); i += 1 }
+      }
+      Some((n, s, t))
     }
-    v
   }
 
-  /** Top-m principal components by DEFLATED fixed-point power
-    * iteration — the PCA head of "all-but-the-top" post-processing
-    * when one direction isn't enough. Component k trains on the frame
-    * with components 1..k−1 projected out; the deflation is itself
-    * fixed-point so the whole (m × iters)-round loop replays in the
-    * oracle's SQL: per row, ds = floor(⟨c,v⟩/10⁶), then
-    * cʲ ← cʲ − floor(ds·vʲ / (⟨v,v⟩ div 10⁶)) — every product ≤
-    * ~1.3·10¹⁴, exactly representable in a double, and floor of an
-    * IEEE-correctly-rounded quotient of identical inputs is identical
-    * on both engines. A zero direction (degenerate residual) stops
-    * the deflation chain and pads remaining components with zeros.
+  /** The driver-side trainer over exact raw moments: centered Gram by
+    * algebra, then m components of power iteration with per-iteration
+    * orthogonalization against the already-trained directions.
+    * Component k initializes at 1e6·e_{j(k)} with j(k) the k-th
+    * largest centered-Gram diagonal (ties → smaller index) — distinct
+    * deterministic starts that the oracle reproduces with an
+    * ORDER BY g DESC, j LIMIT 1 OFFSET k−1. All divisions truncate
+    * toward zero (BigInt `/`), matching DuckDB `//` exactly. */
+  private def trainComponents(n: Long, s: Array[BigInt],
+                              t: Array[BigInt], m: Int,
+                              iters: Int): IndexedSeq[IndexedSeq[Long]] = {
+    val d = s.length
+    val nB = BigInt(n)
+    def floorDivB(a: BigInt, b: BigInt): BigInt = {
+      val fm = ((a % b) + b) % b
+      (a - fm) / b
+    }
+    val mean = s.map(x => floorDivB(x, nB))
+    val g = Array.tabulate(d, d)((j, k) =>
+      t(triIdx(d, j, k)) - mean(j) * s(k) - mean(k) * s(j) +
+        nB * mean(j) * mean(k))
+    val order = (0 until d).sortWith((a, b) =>
+      g(a)(a) > g(b)(b) || (g(a)(a) == g(b)(b) && a < b))
+    val M = BigInt(1000000)
+    val us = scala.collection.mutable.ArrayBuffer.empty[IndexedSeq[BigInt]]
+    (0 until m).foreach { k =>
+      var v: IndexedSeq[BigInt] =
+        if (k < d) IndexedSeq.tabulate(d)(j =>
+          if (j == order(k)) M else BigInt(0))
+        else IndexedSeq.fill(d)(BigInt(0))
+      (0 until iters).foreach { _ =>
+        var w = IndexedSeq.tabulate(d)(j =>
+          (0 until d).map(c => g(j)(c) * v(c))
+            .foldLeft(BigInt(0))(_ + _))
+        us.foreach { u =>
+          val uu = u.map(x => x * x).foldLeft(BigInt(0))(_ + _)
+          if (uu != 0) {
+            val nu = w.zip(u).map { case (a, b) => a * b }
+              .foldLeft(BigInt(0))(_ + _)
+            w = w.zip(u).map { case (a, b) => a - (nu * b) / uu }
+          }
+        }
+        val ma = w.map(_.abs).max
+        v = if (ma == 0) IndexedSeq.fill(d)(BigInt(0))
+            else w.map(x => (x * M) / ma)
+      }
+      us += v
+    }
+    us.map(_.map(_.toLong)).toIndexedSeq
+  }
+
+  /** Top-m principal components — the PCA head of "all-but-the-top"
+    * post-processing when one direction isn't enough. Same single
+    * Gram pass and driver-side loop as [[topPrincipalComponent]]
+    * (which is exactly its m = 1 case, so component 1 agrees between
+    * the two trainers by construction); deflation is per-iteration
+    * orthogonalization against components 1..k−1 in truncating
+    * integer arithmetic, replayed by the oracle on the same d²-row
+    * Gram CTE. A fully degenerate corpus (G = 0) yields all-zero
+    * components on both engines.
     *
-    * Scale: m × iters × 2 narrow aggregate jobs + m deflation passes;
-    * driver state is m·d longs; each deflated frame is
-    * lineage-cut so later components re-read columnar bytes, not the
-    * growing expression chain. Output: (comp, j, v) in micro-units,
-    * comp/j 1-based. */
+    * Scale: ONE corpus job regardless of m and iters (was
+    * m × iters × 2 jobs + m materialized deflation passes);
+    * driver flops are O(m·iters·d²) on 64-ish dims — microseconds.
+    * Output: (comp, j, v) in micro-units, comp/j 1-based. */
   def topPrincipalComponents(corpus: DataFrame, id: Column, vec: Column,
                              m: Int, iters: Int = 2): DataFrame = {
     require(m >= 1 && m <= 16,
       s"topPrincipalComponents: m $m outside 1..16")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val comps = centeredFrame(corpus, id, vec) match {
+    val comps = gramStats(corpus, vec) match {
       case None => Seq.empty[(Int, Int, Long)]
-      case Some((centered0, dim)) =>
-        var centered = centered0
-        var stopped = false
-        (1 to m).flatMap { k =>
-          val v =
-            if (stopped) IndexedSeq.fill(dim)(0L)
-            else {
-              val vk = powerIterate(centered, dim, iters)
-              val vv = vk.map(x => BigInt(x) * BigInt(x)).sum
-              if (vv == 0) { stopped = true; vk }
-              else if (k < m) {
-                val vvs = (vv / 1000000).toDouble
-                val vLit = typedlit(vk)
-                val dot = aggregate(
-                  zip_with(col("c"), vLit, (x, y) => x * y),
-                  lit(0L), (a, x) => a + x)
-                centered = centered
-                  .withColumn("ds",
-                    floor(dot.cast("double") / 1e6).cast("long"))
-                  .select(col("id"), zip_with(col("c"), vLit, (x, y) =>
-                    x - floor((col("ds") * y).cast("double") / vvs)
-                      .cast("long")).as("c"))
-                  .cut()
-                vk
-              } else vk
-            }
-          (0 until dim).map(d => (k, d + 1, v(d)))
-        }
+      case Some((n, s, t)) =>
+        val vs = trainComponents(n, s, t, m, iters)
+        for (k <- 0 until m; j <- s.indices)
+          yield (k + 1, j + 1, vs(k)(j))
     }
     comps.toDF("comp", "j", "v")
   }
