@@ -62,7 +62,8 @@ object Mp4 {
     * file bytes. */
   def encodeMp4(width: Int, height: Int, timescale: Long,
                 sampleDelta: Long, sampleSizes: Array[Int],
-                payload: Array[Byte]): Array[Byte] = {
+                payload: Array[Byte], codec: String = "avc1",
+                samplesPerChunk: Int = Int.MaxValue): Array[Byte] = {
     require(width > 0 && height > 0, "empty frame size")
     require(width <= 0xffff && height <= 0xffff,
       s"avc1 sample-entry dimensions are 16-bit: ${width}x$height")
@@ -99,7 +100,11 @@ object Mp4 {
     val hdlr = fullBox("hdlr", 0, 0,
       be32(0), fourcc("vide"), be32(0), be32(0), be32(0),
       "graft video".getBytes("US-ASCII") :+ 0.toByte)
-    val avc1 = box("avc1",
+    require(codec.length == 4, s"codec fourcc '$codec'")
+    // the VisualSampleEntry layout (14496-12 §12.1.3) is codec-
+    // independent: only the box TYPE names the codec ("avc1", "jpeg"
+    // for motion-JPEG tracks, ...)
+    val entry = box(codec,
       Array.fill[Byte](6)(0), be16(1),  // reserved, data_ref_index
       be16(0), be16(0), Array.fill[Byte](12)(0), // predefined/reserved
       be16(width), be16(height),
@@ -107,17 +112,40 @@ object Mp4 {
       be32(0), be16(1),                 // reserved, frame_count
       Array.fill[Byte](32)(0),          // compressorname
       be16(24), be16(0xffff))           // depth, predefined(-1)
-    val stsd = fullBox("stsd", 0, 0, be32(1), avc1)
+    val stsd = fullBox("stsd", 0, 0, be32(1), entry)
     val stts = fullBox("stts", 0, 0, be32(1), be32(n.toLong),
       be32(sampleDelta))
-    val stsc = fullBox("stsc", 0, 0, be32(1), be32(1),
-      be32(math.max(n, 1).toLong), be32(1))
+    // sample→chunk layout: chunks of `samplesPerChunk` samples (one
+    // chunk when it exceeds n — the legacy shape). stsc is run-length
+    // (first_chunk, samples_per_chunk, desc): one entry for the full
+    // chunks plus one for a short tail chunk.
+    val spc = if (n == 0) 1 else math.min(math.max(samplesPerChunk, 1), n)
+    val nChunks = if (n == 0) 1 else (n + spc - 1) / spc
+    val tail = if (n == 0) 1 else n - spc * (nChunks - 1)
+    val stscEntries =
+      if (n == 0 || tail == spc) Seq((1, spc))
+      else Seq((1, spc), (nChunks, tail))
+    val stsc = fullBox("stsc", 0, 0, be32(stscEntries.length.toLong),
+      stscEntries.toArray.flatMap { case (fc, cnt) =>
+        be32(fc.toLong) ++ be32(cnt.toLong) ++ be32(1L) })
     val stsz = fullBox("stsz", 0, 0, be32(0), be32(n.toLong),
       sampleSizes.flatMap(sz => be32(sz.toLong)))
-    // one chunk; its offset = after everything before mdat's payload.
-    // Compute by assembling with a placeholder then patching.
-    def assemble(chunkOff: Long): Array[Byte] = {
-      val stco = fullBox("stco", 0, 0, be32(1), be32(chunkOff))
+    // chunk offsets = after everything before mdat's payload, plus the
+    // bytes of all samples in earlier chunks. Box sizes don't depend on
+    // the offset VALUES, so assemble once with a placeholder and patch.
+    def assemble(payloadOff: Long): Array[Byte] = {
+      val offs = new Array[Long](nChunks)
+      var off = payloadOff; var si = 0
+      var c = 0
+      while (c < nChunks) {
+        offs(c) = off
+        val k = if (c == nChunks - 1) tail else spc
+        var j = 0
+        while (j < k && si < n) { off += sampleSizes(si); si += 1; j += 1 }
+        c += 1
+      }
+      val stco = fullBox("stco", 0, 0, be32(nChunks.toLong),
+        offs.flatMap(be32))
       val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
       val dref = fullBox("dref", 0, 0, be32(1),
         fullBox("url ", 0, 1))
@@ -250,6 +278,100 @@ object Mp4 {
       width, height, nSamples, sumBytes, delta)
   }
 
+  /** The first video trak's codec fourcc (from stsd) and its SAMPLE
+    * PAYLOADS, split out of mdat by the real chunk machinery: stsz
+    * sizes, stsc run-length sample→chunk map, stco (or co64) chunk
+    * offsets, samples laid consecutively inside each chunk
+    * (14496-12 §8.7). This is the demux step that feeds a per-frame
+    * codec decoder — [[decodeMjpegFramesDf]] uses it to hand each
+    * sample to the baseline JPEG decoder. Bounds-checked end to end:
+    * an offset or size escaping the file fails loudly. */
+  final case class Mp4Samples(codec: String, samples: Array[Array[Byte]])
+
+  def demuxSamples(bytes: Array[Byte]): Mp4Samples = {
+    var codec = ""
+    var sizes: Array[Int] = null
+    var stsc: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
+    var chunkOffs: Array[Long] = null
+    var found = false
+    walk(bytes, 0, bytes.length) {
+      case ("moov", f0, t0) => walk(bytes, f0, t0) {
+        case ("trak", f1, t1) if !found => walk(bytes, f1, t1) {
+          case ("mdia", f2, t2) => walk(bytes, f2, t2) {
+            case ("minf", f3, t3) => walk(bytes, f3, t3) {
+              case ("stbl", f4, t4) =>
+                found = true
+                walk(bytes, f4, t4) {
+                  case ("stsd", f, _) =>
+                    // entry_count (4) then the first sample entry's
+                    // box header: size(4) + type(4)
+                    if (u32(bytes, f + 4) > 0) codec = typ(bytes, f + 12)
+                  case ("stsz", f, t) =>
+                    val fixed = u32(bytes, f + 4)
+                    val n = u32(bytes, f + 8)
+                    require(n <= Int.MaxValue, "mp4: stsz count")
+                    sizes =
+                      if (fixed != 0L) Array.fill(n.toInt)(fixed.toInt)
+                      else {
+                        require(f + 12 + 4L * n <= t, "mp4: stsz overrun")
+                        Array.tabulate(n.toInt)(i =>
+                          u32(bytes, f + 12 + 4 * i).toInt)
+                      }
+                  case ("stsc", f, t) =>
+                    val n = u32(bytes, f + 4).toInt
+                    require(f + 8 + 12L * n <= t, "mp4: stsc overrun")
+                    stsc = Array.tabulate(n)(i =>
+                      (u32(bytes, f + 8 + 12 * i),
+                       u32(bytes, f + 12 + 12 * i)))
+                  case ("stco", f, t) =>
+                    val n = u32(bytes, f + 4).toInt
+                    require(f + 8 + 4L * n <= t, "mp4: stco overrun")
+                    chunkOffs = Array.tabulate(n)(i =>
+                      u32(bytes, f + 8 + 4 * i))
+                  case ("co64", f, t) =>
+                    val n = u32(bytes, f + 4).toInt
+                    require(f + 8 + 8L * n <= t, "mp4: co64 overrun")
+                    chunkOffs = Array.tabulate(n)(i =>
+                      u64(bytes, f + 8 + 8 * i))
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            case _ => ()
+          }
+          case _ => ()
+        }
+        case _ => ()
+      }
+      case _ => ()
+    }
+    require(sizes != null && stsc != null && chunkOffs != null,
+      "mp4: missing stsz/stsc/stco sample tables")
+    require(stsc.nonEmpty && stsc.head._1 == 1L, "mp4: bad stsc")
+    val out = new Array[Array[Byte]](sizes.length)
+    var si = 0
+    var e = 0
+    var c = 0
+    while (c < chunkOffs.length && si < sizes.length) {
+      while (e + 1 < stsc.length && stsc(e + 1)._1 <= c + 1) e += 1
+      val spc = stsc(e)._2
+      var off = chunkOffs(c)
+      var j = 0L
+      while (j < spc && si < sizes.length) {
+        val sz = sizes(si)
+        require(off >= 0 && off + sz <= bytes.length,
+          s"mp4: sample $si [$off, ${off + sz}) escapes the file")
+        out(si) = java.util.Arrays.copyOfRange(
+          bytes, off.toInt, off.toInt + sz)
+        off += sz; si += 1; j += 1
+      }
+      c += 1
+    }
+    require(si == sizes.length,
+      s"mp4: chunk tables cover $si of ${sizes.length} samples")
+    Mp4Samples(codec, out)
+  }
+
   // ---- Spark surface ----
 
   /** Synthetic per-row MP4 corpus: geometry/timing derived from the id
@@ -301,6 +423,97 @@ object Mp4 {
           m.durationTicks * 1000L / math.max(m.timescale, 1L),
           m.nTracks, m.handler, m.width, m.height,
           m.nSamples, m.sumSampleBytes)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  // ---- motion-JPEG track (intra-frame video decode) ----
+
+  /** Synthetic MOTION-JPEG corpus: each row is a real MP4 whose video
+    * track samples are REAL baseline JPEG frames ([[Jpeg.encodeJpeg]]
+    * — the r6/r7 codec machinery), closing the lossy-video seam the
+    * way JPEG itself closed the image one (r7 verdict task #6):
+    * motion-JPEG is the one mainstream video coding whose frames are
+    * all intra, so a real in-spec decoder needs NO new entropy tables.
+    * Frame f of asset id is the q416 DC-mosaic with a per-frame phase
+    * (luma depends only on the 8x8 cell and f), so the whole
+    * container→sample→entropy-decode→IDCT pipeline is EXACT and the
+    * oracle replays it per (id, frame) in closed form.
+    *
+    * Every id where `id % 7 == 3` carries one CORRUPTED frame (frame
+    * 1 truncated to its first 20 bytes — mid-header, so the decoder
+    * fails loudly and deterministically): the corpus property a crawl
+    * actually has, pinning that one bad frame degrades to a null row
+    * for THAT frame while the rest of the asset still decodes
+    * ([[decodeMjpegFramesDf]]). Samples pack 2 per chunk to exercise
+    * the real multi-chunk stsc/stco path, not just the one-chunk
+    * layout. Returns (asset_id, media). */
+  def synthMjpegMp4(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (9 + id % 17).toInt
+        val h = (6 + id % 11).toInt
+        val nf = (3 + id % 4).toInt
+        val frames = Array.tabulate(nf) { f =>
+          val enc = Jpeg.encodeJpeg(w, h, (x, y) =>
+            ((id * 31 + f * 19 + (x / 8) * 7 + (y / 8) * 13) % 256).toInt)
+          if (id % 7 == 3 && f == 1)
+            java.util.Arrays.copyOfRange(enc, 0, 20)
+          else enc
+        }
+        Row(id, encodeMp4(w, h, timescale = 1000L, sampleDelta = 40L,
+          sampleSizes = frames.map(_.length),
+          payload = frames.flatten,
+          codec = "jpeg", samplesPerChunk = 2))
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType))))
+  }
+
+  /** Per-FRAME decode of a motion-JPEG MP4 column: [[demuxSamples]]
+    * splits the track into samples, each sample goes through the
+    * baseline JPEG decoder, and every frame yields a row — `ok =
+    * false` with null stats when THAT frame's entropy data is corrupt,
+    * real (width, height, sum_y, first_px) otherwise. Frame isolation
+    * is the point: one truncated frame must cost one row, never the
+    * asset (the partial-decode property, spec- and oracle-pinned).
+    *
+    * Scale shape: identical to the image decoders — embarrassingly
+    * parallel per-asset map work, media bytes never shuffle; only the
+    * fixed-width stats rows leave the partition. */
+  def decodeMjpegFramesDf(df: DataFrame, idCol: String, mediaCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("ok", BooleanType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_y", LongType),
+      StructField("first_px", LongType)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val demuxed = demuxSamples(r.getAs[Array[Byte]](mIdx))
+        val n = demuxed.samples.length
+        demuxed.samples.iterator.zipWithIndex.map { case (frame, f) =>
+          try {
+            val st = Jpeg.decodeJpeg(frame)
+            Row(id, f, n, true, st.width, st.height, st.sumY, st.firstPx)
+          } catch { case scala.util.control.NonFatal(_) =>
+            Row(id, f, n, false, null, null, null, null)
+          }
+        }
       }
     }
     spark.createDataFrame(rdd, outSchema)

@@ -790,6 +790,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.nTracks == 0)
   }
 
+  test("MP4 demuxSamples splits samples across real multi-chunk " +
+       "stsc/stco layouts, byte-exactly") {
+    import graft.ops.Mp4
+    val samples = Array.tabulate(5)(i =>
+      Array.tabulate(30 + 7 * i)(j => ((i * 101 + j * 13) % 251).toByte))
+    for (spc <- Seq(1, 2, 3, Int.MaxValue)) {
+      val bytes = Mp4.encodeMp4(64, 48, 1000L, 40L,
+        samples.map(_.length), samples.flatten,
+        codec = "jpeg", samplesPerChunk = spc)
+      val d = Mp4.demuxSamples(bytes)
+      assert(d.codec == "jpeg", s"spc=$spc")
+      assert(d.samples.length == 5, s"spc=$spc")
+      samples.zip(d.samples).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(java.util.Arrays.equals(a, b), s"spc=$spc sample $i")
+      }
+    }
+    // default codec stays avc1 (the q474 corpus shape)
+    val legacy = Mp4.encodeMp4(64, 48, 1000L, 40L, Array(10),
+      Array.fill[Byte](10)(7))
+    assert(Mp4.demuxSamples(legacy).codec == "avc1")
+  }
+
+  test("MJPEG-in-MP4: every frame decodes to the mosaic closed form; " +
+       "a corrupted frame costs one null row, never the asset") {
+    import graft.ops.Mp4
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val ids = spark.range(12).select(col("id").as("doc_id"))
+    val vids = Mp4.synthMjpegMp4(ids, "doc_id")
+    val rows = Mp4.decodeMjpegFramesDf(vids, "asset_id", "media")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r).toMap
+    for (id <- 0L until 12L) {
+      val w = (9 + id % 17).toInt
+      val h = (6 + id % 11).toInt
+      val nf = (3 + id % 4).toInt
+      for (f <- 0 until nf) {
+        val r = rows((id, f))
+        assert(r.getInt(2) == nf, s"id=$id f=$f n_frames")
+        if (id % 7 == 3 && f == 1) {
+          assert(!r.getBoolean(3), s"id=$id f=$f must be corrupt")
+          assert(r.isNullAt(4) && r.isNullAt(6), s"id=$id f=$f nulls")
+        } else {
+          assert(r.getBoolean(3), s"id=$id f=$f must decode")
+          assert(r.getInt(4) == w && r.getInt(5) == h, s"id=$id f=$f dims")
+          var sum = 0L
+          for (y <- 0 until h; x <- 0 until w)
+            sum += (id * 31 + f * 19 + (x / 8) * 7 + (y / 8) * 13) % 256
+          assert(r.getLong(6) == sum, s"id=$id f=$f sum_y")
+          assert(r.getLong(7) == (id * 31 + f * 19) % 256,
+            s"id=$id f=$f first_px")
+        }
+      }
+    }
+  }
+
   test("FLAC: encode -> decode round-trips PCM bit-exactly, multi-frame") {
     import graft.ops.Flac
     // a mix of tonal ramp + pseudo-noise so several fixed orders win
