@@ -61,10 +61,30 @@ object Checkpoints {
     } else ds.localCheckpoint()
   }
 
+  /** [[cut]] that also returns the frame's EXACT row count without a
+    * second job: the [[graft.ops.PairJoins]] gate needs the count of
+    * every materialized pair-index frame, and paying a separate
+    * `count()` per frame doubled the gate's job overhead (r7 verdict
+    * task #3). In the default local mode the checkpoint is taken
+    * LAZILY and the `count()` action is what materializes the blocks
+    * — one job does both. Reliable mode keeps the eager cut (the
+    * lazy variant would recompute the lineage for the checkpoint
+    * write) and pays the extra count over checkpointed bytes; the
+    * premium is the documented reliable-mode cost, not the gate's. */
+  def cutCounted[T](ds: Dataset[T]): (Dataset[T], Long) =
+    if (ds.sparkSession.conf.get(ReliableKey, "false").toBoolean) {
+      val c = cut(ds)
+      (c, c.count())
+    } else {
+      val c = ds.localCheckpoint(eager = false)
+      (c, c.count())
+    }
+
   /** Postfix syntax so call sites keep their chained shape:
     * `frame.groupBy(...).agg(...).cut()`. */
   implicit class CheckpointOps[T](private val ds: Dataset[T])
       extends AnyVal {
     def cut(): Dataset[T] = Checkpoints.cut(ds)
+    def cutCounted(): (Dataset[T], Long) = Checkpoints.cutCounted(ds)
   }
 }

@@ -289,13 +289,15 @@ object Dedup {
     // the doc-freq count AND both self-join sides — without this the
     // shuffle-hash join recomputes it per side (broadcast used to hide
     // that by materializing one side as the broadcast relation)
-    val fps = TextAnalysis.winnowFingerprints(fanOut(df), id, text, k, w)
-      .cut()
-    // adaptive merge gate ([[PairJoins]]): fps is materialized, so its
-    // exact count is one cheap job — small corpora get the broadcast
-    // back, large ones keep the static-broadcast veto
+    val (fps, nFps) =
+      TextAnalysis.winnowFingerprints(fanOut(df), id, text, k, w)
+        .cutCounted()
+    // adaptive merge gate ([[PairJoins]]): the exact count rides the
+    // cut's own materialization job ([[graft.Checkpoints.cutCounted]])
+    // — small corpora get the broadcast back, large ones keep the
+    // static-broadcast veto, and the gate adds zero extra jobs
     val g = PairJoins.gate(PairJoins.fits(
-      fps.count(), PairJoins.NarrowRowBytes, df.sparkSession)) _
+      nFps, PairJoins.NarrowRowBytes, df.sparkSession)) _
     val freq = fps.groupBy("fp").count().filter(col("count") <= maxDocFreq)
     // gate the doc-freq join too: at corpus scale the veto is free —
     // the merge join partitions `kept` on fp, exactly what the
@@ -408,11 +410,11 @@ object Dedup {
     // candidate frame AND its verify join — unpinned, the signature
     // pass runs twice per side. The pinned counts then drive the
     // adaptive merge gate ([[PairJoins]]): banded frames are n*bands
-    // narrow rows, verify sides carry the shingle arrays.
-    val lIx = leftIndex.cut()
-    val rIx = rightIndex.cut()
+    // narrow rows, verify sides carry the shingle arrays. Counts ride
+    // the materialization jobs ([[graft.Checkpoints.cutCounted]]).
+    val (lIx, nL) = leftIndex.cutCounted()
+    val (rIx, nR) = rightIndex.cutCounted()
     val spark = leftIndex.sparkSession
-    val (nL, nR) = (lIx.count(), rIx.count())
     val gBandL = PairJoins.gate(
       PairJoins.fits(nL * bands, PairJoins.NarrowRowBytes, spark)) _
     val gBandR = PairJoins.gate(
@@ -1115,28 +1117,27 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     require(tauNum > 0 && tauNum <= tauDen,
       s"prefixFilterPairs: need 0 < tauNum <= tauDen, got $tauNum/$tauDen")
-    val toks = fanOut(df)
+    val (toks, nToks) = fanOut(df)
       .select(id.as("id"),
               sort_array(array_distinct(
                 filter(tokens(text), t => t =!= ""))).as("ts"))
       .withColumn("n", size(col("ts")))
       .filter(col("n") > 0) // null/empty texts have no tokens, no pairs
-      .cut() // set extraction + doc-map joins reuse it
+      .cutCounted() // set extraction + doc-map joins reuse it
     // distinct token sets: one shuffle on the sorted-array key; the
     // aggregate is O(1) state per group (min id), never a collected
     // id list, so a massive duplicate cluster stays row-shaped
-    val sets = toks.groupBy("ts")
+    val (sets, nSets) = toks.groupBy("ts")
       .agg(min(col("id")).as("sid"), first(col("n")).as("n"))
       .select(col("sid"), col("ts"), col("n"))
-      .cut() // prefix build + verify + expansion reuse it
-    // adaptive merge gates ([[PairJoins]]): toks/sets/prefix are all
-    // materialized, so exact counts are cheap jobs over cached blocks
-    // — small corpora broadcast again, large ones keep the veto. The
-    // array-bearing frames (ts column) use the wide per-row bound.
+      .cutCounted() // prefix build + verify + expansion reuse it
+    // adaptive merge gates ([[PairJoins]]): toks/sets/prefix counts
+    // ride their cuts' materialization jobs (cutCounted — the gate
+    // adds zero jobs). Small corpora broadcast again, large ones keep
+    // the veto; array-bearing frames (ts) use the wide per-row bound.
     val spark = df.sparkSession
     val gToks = PairJoins.gate(
-      PairJoins.fits(toks.count(), PairJoins.ArrayRowBytes, spark)) _
-    val nSets = sets.count()
+      PairJoins.fits(nToks, PairJoins.ArrayRowBytes, spark)) _
     val gSets = PairJoins.gate(
       PairJoins.fits(nSets, PairJoins.ArrayRowBytes, spark)) _
     val gMap = PairJoins.gate(
@@ -1158,7 +1159,7 @@ object Dedup {
     // the prefix is deterministic. Window partitions by set — never a
     // global sort.
     val w = Window.partitionBy("sid").orderBy(col("tf"), col("tk"))
-    val prefix = ex.join(freq, "tk")
+    val (prefix, nPrefix) = ex.join(freq, "tk")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <=
         expr(s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1"))
@@ -1166,13 +1167,13 @@ object Dedup {
       // (1−τ)-fraction of the distinct-set tokens — small by
       // construction; without this the self-join recomputes the
       // freq-join + window once per side (measured ~2× prefix cost)
-      .cut()
+      .cutCounted()
     // α = ⌈τ/(1+τ)·(na+nb)⌉ in exact integer arithmetic (div, not /)
     val alpha = expr(
       s"($tauNum * (na + nb) + $tauNum + $tauDen - 1) div " +
       s"${tauNum + tauDen}")
     val gPrefix = PairJoins.gate(
-      PairJoins.fits(prefix.count(), PairJoins.NarrowRowBytes, spark)) _
+      PairJoins.fits(nPrefix, PairJoins.NarrowRowBytes, spark)) _
     val cand = gPrefix(prefix.as("a"))
       .join(gPrefix(prefix.as("b")),  // see jaccardPairs + PairJoins
             col("a.tk") === col("b.tk") && col("a.sid") < col("b.sid") &&

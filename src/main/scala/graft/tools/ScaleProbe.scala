@@ -378,6 +378,106 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("gate242")) {
+      // r7 verdict task #3: quantify the PairJoins gate's value and
+      // cost on the q242 shape (prefixFilterPairs, sf0.1 documents).
+      // Three configurations, two steady-state runs each (run 1 warms
+      // parquet footers + JIT; run 2 is the number): gate ON (default
+      // 32 MB budget -> the small sf0.1 sides broadcast), gate OFF
+      // (maxBroadcastBytes=0 -> the r6 blanket MERGE veto). The gap is
+      // the gate's recovered broadcast win; the gate's own overhead is
+      // now ZERO extra jobs (counts ride the cut materialization,
+      // Checkpoints.cutCounted).
+      val docs = spark.read
+        .parquet("/root/testdata/sf0.1/documents.parquet").cut()
+      println(s"[scale] gate242 corpus: ${docs.count()} docs")
+      for (budget <- Seq("33554432", "0"); run <- 1 to 2) {
+        spark.conf.set(graft.ops.PairJoins.MaxBroadcastBytesKey, budget)
+        val label = if (budget == "0") "gate OFF (merge veto)"
+                    else "gate ON (32MB budget)"
+        timed(spark, f"q242 prefix tau=.8 $label run$run") {
+          graft.ops.Dedup.prefixFilterPairs(
+            docs, col("doc_id"), col("text"), tauNum = 8, tauDen = 10)
+            .count()
+        }
+      }
+      spark.conf.unset(graft.ops.PairJoins.MaxBroadcastBytesKey)
+      spark.stop(); return
+    }
+
+    if (args.contains("reliableckpt")) {
+      // r7 verdict task #4: COST the reliable-checkpoint mode that
+      // CheckpointPolicySpec only equality-pins. Three iterative
+      // decade probes run under both policies; the delta is the
+      // write+re-read premium a preemption-prone 1000-executor run
+      // pays for restartability. Local mode numbers double as the
+      // same-session control.
+      import spark.implicits._
+      val ckptDir = "/tmp/graft_reliable_ckpt"
+      def withPolicy(reliable: Boolean)(body: => Unit): Unit = {
+        spark.conf.set(graft.Checkpoints.ReliableKey, reliable.toString)
+        if (reliable) spark.conf.set(graft.Checkpoints.DirKey, ckptDir)
+        try body
+        finally spark.conf.set(graft.Checkpoints.ReliableKey, "false")
+      }
+      val docs = decadeDocs(spark)
+      println(s"[scale] reliableckpt corpus: ${docs.count()} docs")
+      val nNode = 1000000L
+      val edges = spark.range(5000000L).select(
+          pmod(col("id"), lit(nNode)).as("u"),
+          pmod(hash(col("id"), lit(1)), lit(nNode)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .repartition(64).cut()
+      val we = edges.select(col("u").as("src"), col("v").as("dst"),
+        lit(1L).as("w")).cut()
+      println(s"[scale] reliableckpt edges: ${edges.count()}")
+      val vecs = spark.range(500000L).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            ((pmod(hash(expr("id div 10"), j), lit(2000L)) - 1000L)
+               .cast("double") / 1000.0 +
+             pmod(col("id"), lit(10)).cast("double") * 0.0001)
+              .cast("float")).as("embedding"))
+        .repartition(64).cut()
+      println(s"[scale] reliableckpt embeddings: ${vecs.count()}")
+      for (reliable <- Seq(false, true)) {
+        val tag = if (reliable) "reliable" else "local"
+        withPolicy(reliable) {
+          timed(spark, s"pagerank 5M i=8 [$tag]")(
+            graft.ops.Graph.pageRank(we, iters = 8).count())
+          timed(spark, s"minhash_lsh 500k tau=.6 [$tag]")(
+            graft.ops.Dedup.minhashLshPairs(
+              docs, col("doc_id"), col("text"), tau = 0.6).count())
+          timed(spark, s"semdedup 500k k=256 [$tag]")(
+            graft.ops.Similarity.semDedupPairs(
+              vecs, col("vec_id"), col("embedding"), tau = 0.999,
+              k = 256, iters = 2).count())
+        }
+      }
+      spark.stop(); return
+    }
+
+    if (args.contains("aucgroups")) {
+      // r7 verdict task #5: rocAucByGroup at REAL group cardinality.
+      // The claim under test ("20k domains cost the same shuffle as
+      // 2") is the O(partitions x groups) driver-state design; probe
+      // 400k rows at 2 / 200 / 20k groups and compare shuffle bytes —
+      // flat bytes across group counts is the pass condition.
+      val n = 400000L
+      for (groups <- Seq(2L, 200L, 20000L)) {
+        val df = spark.range(n).select(
+            concat(lit("d"), pmod(hash(col("id"), lit(7)), lit(groups)))
+              .as("domain"),
+            pmod(hash(col("id")), lit(50000L)).as("score"),
+            (pmod(hash(col("id"), lit(1)), lit(100L)) < 45).as("y"))
+          .repartition(64).cut()
+        timed(spark, f"roc_auc_by_group n=$n g=$groups") {
+          graft.ops.Eval.rocAucByGroup(
+            df, col("domain"), col("score"), col("y")).count()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("decade2")) {
       // a SECOND decade step for the headline families: 2M docs in
       // 200k 10-copy cliques (9M true pairs), 30M events / 1.5M
