@@ -847,6 +847,29 @@ object SparkEntry {
     // pipeline exact; every id % 7 == 3 asset carries one truncated
     // frame that must degrade to ONE null row (ok = 0) while its
     // siblings decode — the corrupted-frame partial-decode property.
+    // Manifest-file table format (r8): write documents as a range-
+    // sharded SNAPSHOT (immutable data-v<N> dirs + a per-shard min/max
+    // stats manifest), then answer a bounded doc_id range by reading
+    // the manifest and opening ONLY the intersecting shard dirs —
+    // the Iceberg/Delta-style metadata-pruned scan, zero new deps.
+    // The oracle is the plain predicate over the source table: the
+    // whole write→manifest→prune→readback loop must be lossless.
+    // (SourcesSpec pins that the pruned plan's input files exclude
+    // the non-intersecting shards.)
+    "q523_sharded_table" -> ((s, dir) => {
+      val base = java.lang.System.getProperty("java.io.tmpdir")
+      val path = s"$base/graft_sharded_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.Sources.writeShardedTable(
+        t(s, dir, "documents"), col("doc_id"), col("doc_id"),
+        path, numShards = 8, statsCols = Seq("doc_id"))
+      graft.sources.Sources.readShardedTable(s, path,
+          statCol = Some(("doc_id", 100L, 399L)))
+        .filter(col("doc_id").between(100, 399))
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "q502_mjpeg_frames" -> ((s, dir) => {
       val vids = graft.ops.Mp4.synthMjpegMp4(
         t(s, dir, "documents").select(col("doc_id")), "doc_id")
@@ -5613,6 +5636,13 @@ object SparkEntry {
              FOR i IN range(0, 3 + doc_id % 6)]) AS BIGINT)
              AS sum_sample_bytes
          FROM documents ORDER BY doc_id""",
+
+    // q523: the table format must be a lossless view of the source —
+    // the oracle is the plain predicate, pruning is invisible
+    "q523_sharded_table" ->
+      """SELECT doc_id, source, CAST(len(text) AS BIGINT) AS n_chars
+         FROM documents WHERE doc_id BETWEEN 100 AND 399
+         ORDER BY doc_id""",
 
     // q502: the q416 mosaic replay per (id, frame) with a per-frame
     // phase; the id % 7 == 3 assets' frame 1 is the truncated sample

@@ -421,4 +421,109 @@ object Sources {
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  // ---- manifest-file sharded TABLE format (snapshot + shard pruning) --
+
+  /** A minimal Iceberg/Delta-STYLE table layout over the sharded
+    * delivery format, with zero new dependencies: each write is an
+    * immutable SNAPSHOT — data under `path/data-v<V>/shard=<s>/`,
+    * plus one small manifest parquet under `path/_manifest/v<V>/`
+    * holding per-shard stats: row count, char count, and MIN/MAX of
+    * every requested stats column. Readers list snapshots from the
+    * manifest directory (never by globbing data files), read the
+    * manifest of the chosen version, and open ONLY the shard
+    * directories a predicate can touch — the metadata-pruned scan
+    * that makes a 100 TB table usable: a bounded-range query reads
+    * manifest KB + the intersecting shards, not the table.
+    *
+    * Shards are CONTIGUOUS RANGES of `orderCol` (ties broken by id —
+    * the [[graft.ops.Packing.orderedShards]] prefix-sum machinery, so
+    * no single-task global sort), which is what makes min/max pruning
+    * selective; a hash order degrades gracefully to "all shards
+    * overlap" but never to a wrong answer. Old snapshots stay
+    * readable after new writes (snapshot isolation for readers that
+    * pinned a version). Returns the new version number. */
+  def writeShardedTable(df: DataFrame, id: Column, orderCol: Column,
+                        path: String, numShards: Int,
+                        statsCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    require(numShards >= 1, s"writeShardedTable: numShards $numShards")
+    val spark = df.sparkSession
+    val version = shardedVersions(spark, path).lastOption.getOrElse(0L) + 1
+    val dataDir = s"$path/data-v$version"
+    // contiguous range shards: global position by (orderCol, id), one
+    // count to size the blocks (a writer-side job, amortized over the
+    // snapshot's lifetime of pruned reads)
+    val pos = graft.ops.Packing.orderedShards(df, id, orderCol,
+      numShards = 1).select(col("doc_id").as("__id"),
+        col("pos_in_shard").as("__pos"))
+    val n = math.max(df.count(), 1L)
+    val block = (n + numShards - 1) / numShards
+    val data = df.withColumn("__id", id).join(pos, "__id")
+      .withColumn("shard", expr(s"__pos div $block"))
+      .drop("__id", "__pos")
+    data.repartition(numShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dataDir)
+    // manifest from the FILES (describe what a reader will find)
+    val written = spark.read.parquet(dataDir)
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ statsCols.flatMap(c =>
+      Seq(min(col(c)).cast("long").as(s"min_$c"),
+          max(col(c)).cast("long").as(s"max_$c")))
+    written.groupBy(col("shard").cast("long").as("shard"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("data_dir", lit(dataDir))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/_manifest/v$version")
+    version
+  }
+
+  /** Snapshot listing: the versions present under `path/_manifest`,
+    * ascending. One filesystem list call — never touches data. */
+  def shardedVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+  }
+
+  /** The manifest frame of a snapshot (default: latest): one row per
+    * shard with n_rows and the min_/max_ stats columns. */
+  def shardedManifest(spark: SparkSession, path: String,
+                      version: Option[Long] = None): DataFrame = {
+    val vs = shardedVersions(spark, path)
+    require(vs.nonEmpty, s"no sharded-table snapshots under $path")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v), s"snapshot v$v not in ${vs.mkString(",")}")
+    spark.read.parquet(s"$path/_manifest/v$v")
+  }
+
+  /** Manifest-pruned read: open only the shards whose [min, max]
+    * range of `statCol` intersects [lo, hi] (both inclusive), for the
+    * chosen snapshot. The caller still applies its exact predicate —
+    * pruning is a superset guarantee, the same contract as parquet
+    * row-group stats one level up. An empty intersection returns an
+    * empty frame with the table schema. */
+  def readShardedTable(spark: SparkSession, path: String,
+                       statCol: Option[(String, Long, Long)] = None,
+                       version: Option[Long] = None): DataFrame = {
+    // no functions._ wildcard here: it would shadow the `version` param
+    import org.apache.spark.sql.functions.{col, lit}
+    val mf = shardedManifest(spark, path, version)
+    val pruned = statCol match {
+      case Some((c, lo, hi)) =>
+        mf.filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi))
+      case None => mf
+    }
+    val rows = pruned.select("data_dir", "shard").collect()
+    val dataDir = mf.select("data_dir").head().getString(0)
+    if (rows.isEmpty)
+      spark.read.option("basePath", dataDir).parquet(dataDir)
+        .filter(lit(false))
+    else {
+      val dirs = rows.map(r =>
+        s"${r.getString(0)}/shard=${r.getLong(1)}").toSeq
+      spark.read.option("basePath", dataDir).parquet(dirs: _*)
+    }
+  }
 }

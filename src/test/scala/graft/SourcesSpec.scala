@@ -393,4 +393,54 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, "x", None), (2L, "y", None),
       (3L, "z", Some(30L))))
   }
+
+  test("sharded table: manifest stats prune non-intersecting shards; " +
+       "readback is lossless; snapshots are isolated") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shtable").toString
+    val docs = spark.range(400)
+      .select(col("id").as("doc_id"), concat(lit("d"), col("id")).as("t"))
+    val v1 = Sources.writeShardedTable(docs, col("doc_id"),
+      col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+    assert(v1 == 1L)
+    assert(Sources.shardedVersions(spark, path) == Seq(1L))
+    // manifest: 8 shards of 50 contiguous ids each
+    val mf = Sources.shardedManifest(spark, path).orderBy("shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    assert(mf.length == 8)
+    assert(mf.forall(_._2 == 50L))
+    assert(mf.map(m => (m._3, m._4)).toSeq ==
+      (0 until 8).map(i => (i * 50L, i * 50L + 49L)))
+    // pruned read: [120, 180] intersects shards 2 and 3 ONLY — the
+    // plan's input files must come from exactly those directories
+    val pruned = Sources.readShardedTable(spark, path,
+      statCol = Some(("doc_id", 120L, 180L)))
+    val dirsHit = pruned.inputFiles.map(f =>
+      f.split("/").find(_.startsWith("shard=")).get).toSet
+    assert(dirsHit == Set("shard=2", "shard=3"))
+    // superset contract + exact predicate = lossless answer
+    val got = pruned.filter(col("doc_id").between(120, 180))
+      .select("doc_id", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(got == (120L to 180L).map(i => (i, s"d$i")))
+    // empty intersection -> empty frame, same schema
+    val none = Sources.readShardedTable(spark, path,
+      statCol = Some(("doc_id", 5000L, 6000L)))
+    assert(none.count() == 0 &&
+      none.columns.contains("doc_id") && none.columns.contains("t"))
+    // second snapshot (different corpus): listing grows, the old
+    // version still reads its own data (snapshot isolation)
+    val docs2 = spark.range(100)
+      .select((col("id") + 1000L).as("doc_id"), lit("new").as("t"))
+    val v2 = Sources.writeShardedTable(docs2, col("doc_id"),
+      col("doc_id"), path, numShards = 4, statsCols = Seq("doc_id"))
+    assert(v2 == 2L)
+    assert(Sources.shardedVersions(spark, path) == Seq(1L, 2L))
+    assert(Sources.readShardedTable(spark, path).count() == 100L)
+    assert(Sources.readShardedTable(spark, path,
+      version = Some(1L)).count() == 400L)
+  }
 }
