@@ -847,6 +847,21 @@ object SparkEntry {
     // pipeline exact; every id % 7 == 3 asset carries one truncated
     // frame that must degrade to ONE null row (ok = 0) while its
     // siblings decode — the corrupted-frame partial-decode property.
+    // Real multimodal codec VI-c (r8): per-frame PERCEPTUAL hashes
+    // from genuinely decoded video pixels — demux the motion-JPEG
+    // track, decode each frame's grayscale plane, 8x8 strict-mean
+    // aHash (the q406 phash surface on real content; corrupt frames
+    // skipped, not poisoning the asset). The oracle replays NN
+    // downsample -> mean -> bit pack in closed form per (id, frame).
+    "q524_mjpeg_phash" -> ((s, dir) => {
+      val vids = graft.ops.Mp4.synthMjpegMp4(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Mp4.mjpegFrameHashesDf(vids, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("frame_idx"),
+          col("n_frames"), col("hash_hi"), col("hash_lo"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Manifest-file table format (r8): write documents as a range-
     // sharded SNAPSHOT (immutable data-v<N> dirs + a per-shard min/max
     // stats manifest), then answer a bounded doc_id range by reading
@@ -5636,6 +5651,33 @@ object SparkEntry {
              FOR i IN range(0, 3 + doc_id % 6)]) AS BIGINT)
              AS sum_sample_bytes
          FROM documents ORDER BY doc_id""",
+
+    // q524: the mosaic decode is exact, so the aHash replays in
+    // closed form — NN source pixel per 8x8 cell, strict-mean bits,
+    // non-negative 32-bit halves; the corrupted frame emits no row
+    "q524_mjpeg_phash" ->
+      """WITH s AS (SELECT doc_id, 9 + doc_id % 17 AS w,
+                      6 + doc_id % 11 AS h,
+                      3 + doc_id % 4 AS nf FROM documents),
+         f AS (SELECT doc_id, w, h, nf,
+                 unnest(range(nf)) AS fi FROM s),
+         f2 AS (SELECT * FROM f WHERE NOT (doc_id % 7 = 3 AND fi = 1)),
+         c AS (SELECT doc_id, fi, nf,
+                 [ (doc_id*31 + fi*19 + ((((i % 8) * w) // 8) // 8) * 7
+                    + ((((i // 8) * h) // 8) // 8) * 13) % 256
+                   FOR i IN range(64) ] AS ls
+               FROM f2),
+         m AS (SELECT doc_id, fi, nf, ls,
+                 list_sum(ls) // 64 AS mean FROM c)
+         SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(list_sum([CASE WHEN ls[i+33] > mean
+             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+             FOR i IN range(32)]) AS BIGINT) AS hash_hi,
+           CAST(list_sum([CASE WHEN ls[i+1] > mean
+             THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+             FOR i IN range(32)]) AS BIGINT) AS hash_lo
+         FROM m ORDER BY doc_id, frame_idx""",
 
     // q523: the table format must be a lossless view of the source —
     // the oracle is the plain predicate, pruning is invisible

@@ -778,6 +778,17 @@ object Jpeg {
     (width, height, planes)
   }
 
+  /** Decode a baseline sequential GRAYSCALE JPEG to its raw plane —
+    * (width, height, row-major pixels in 0..255). The full-pixel form
+    * [[graft.ops.Mp4.mjpegFrameHashesDf]] feeds to the perceptual
+    * hashers; [[decodeJpeg]] is its stats reduction. */
+  def decodeJpegPlane(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h, planes) = decodeCore(bytes)
+    require(planes.length == 1,
+      s"expected grayscale, got ${planes.length} components")
+    (w, h, planes(0))
+  }
+
   /** Decode a baseline sequential GRAYSCALE JPEG to exact stats. */
   def decodeJpeg(bytes: Array[Byte]): JpegStats = {
     val (w, h, planes) = decodeCore(bytes)

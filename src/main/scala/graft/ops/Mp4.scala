@@ -518,4 +518,44 @@ object Mp4 {
     }
     spark.createDataFrame(rdd, outSchema)
   }
+
+  /** Per-frame PERCEPTUAL hashes from the REAL decoded pixels — the
+    * q406 video-phash surface upgraded from the stub-video byte
+    * windows to genuine frame content: demux the motion-JPEG samples,
+    * decode each to its grayscale plane, and take the 8×8 strict-mean
+    * average hash ([[Multimodal.grayAHash64]]). Corrupt frames are
+    * SKIPPED (no hash row) rather than poisoning the asset, so the
+    * output feeds [[Dedup.hammingPairs64]] / the q405 keep-one funnel
+    * directly. Returns (asset_id, frame_idx, n_frames, hash_hi,
+    * hash_lo) with the non-negative 32-bit halves the hamming joiner
+    * expects. Scale shape: per-asset map work, media never shuffles. */
+  def mjpegFrameHashesDf(df: DataFrame, idCol: String, mediaCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("hash_hi", LongType, nullable = false),
+      StructField("hash_lo", LongType, nullable = false)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val demuxed = demuxSamples(r.getAs[Array[Byte]](mIdx))
+        val n = demuxed.samples.length
+        demuxed.samples.iterator.zipWithIndex.flatMap { case (frame, f) =>
+          try {
+            val (w, h, plane) = Jpeg.decodeJpegPlane(frame)
+            val (hi, lo) = Multimodal.grayAHash64(plane, w, h)
+            Iterator.single(Row(id, f, n, hi, lo))
+          } catch { case scala.util.control.NonFatal(_) =>
+            Iterator.empty
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
 }

@@ -822,6 +822,35 @@ object Multimodal {
     * (hi = bits 32..63, lo = bits 0..31): a single signed long would
     * trap bit 63 in the sign, and split halves let both engines (and
     * the hamming joiner) use plain bit_count/xor arithmetic. */
+  /** [[aHash64]] over a raw GRAYSCALE plane (row-major w×h ints in
+    * 0..255) — the form a decoded video frame arrives in
+    * ([[Mp4.mjpegFrameHashesDf]]). Identical contract: nearest-
+    * neighbor 8×8 downsample with the `x·w div 8` source mapping,
+    * strict-mean threshold, non-negative 32-bit halves. */
+  def grayAHash64(plane: Array[Int], w: Int, h: Int): (Long, Long) = {
+    require(w > 0 && h > 0 && plane.length >= w * h,
+      s"grayAHash64: bad plane ${plane.length} for ${w}x$h")
+    val lumas = new Array[Long](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      val sx = ((i % 8).toLong * w / 8).toInt
+      val sy = ((i / 8).toLong * h / 8).toInt
+      val l = plane(sy * w + sx).toLong
+      lumas(i) = l; sum += l; i += 1
+    }
+    val mean = sum / 64
+    var hi = 0L; var lo = 0L
+    i = 0
+    while (i < 64) {
+      if (lumas(i) > mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (hi, lo)
+  }
+
   def aHash64(bytes: Array[Byte]): (Long, Long) = {
     val small = resizeBmp24(bytes, 8, 8)
     val dataOff = le32(small, 10)

@@ -812,6 +812,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp4.demuxSamples(legacy).codec == "avc1")
   }
 
+  test("MJPEG frame hashes: real decoded pixels, corrupt frames " +
+       "skipped, constant frames hash to zero") {
+    import graft.ops.{Mp4, Multimodal}
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    // constant plane: nothing is strictly above the mean -> (0, 0)
+    assert(Multimodal.grayAHash64(Array.fill(64)(17), 8, 8) == ((0L, 0L)))
+    // half-bright plane: exactly the bright half's bits set
+    val half = Array.tabulate(64)(i => if (i < 32) 0 else 200)
+    assert(Multimodal.grayAHash64(half, 8, 8) == ((0xffffffffL, 0L)))
+    val ids = spark.range(12).select(col("id").as("doc_id"))
+    val vids = Mp4.synthMjpegMp4(ids, "doc_id")
+    val got = Mp4.mjpegFrameHashesDf(vids, "asset_id", "media")
+      .collect().groupBy(_.getLong(0))
+    for (id <- 0L until 12L) {
+      val nf = (3 + id % 4).toInt
+      val expect = if (id % 7 == 3) nf - 1 else nf
+      assert(got(id).length == expect, s"id=$id frame-hash rows")
+      // hashes are the gray aHash of the decoded plane, not a stub
+      val f0 = got(id).find(_.getInt(1) == 0).get
+      val frame = Mp4.demuxSamples(
+        vids.filter(col("asset_id") === id).head.getAs[Array[Byte]](1))
+        .samples(0)
+      val (w, h, plane) = graft.ops.Jpeg.decodeJpegPlane(frame)
+      val (hi, lo) = Multimodal.grayAHash64(plane, w, h)
+      assert((f0.getLong(3), f0.getLong(4)) == ((hi, lo)), s"id=$id")
+    }
+  }
+
   test("MJPEG-in-MP4: every frame decodes to the mosaic closed form; " +
        "a corrupted frame costs one null row, never the asset") {
     import graft.ops.Mp4
