@@ -478,6 +478,36 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("shtable")) {
+      // r8 task #8 evidence: the manifest-pruned scan at scale. Write
+      // 2M docs as a 64-shard range snapshot, then answer a 1/64
+      // doc_id range via the manifest vs a full-table scan + filter.
+      // The pass condition is file-count pruning (1-2 shard dirs
+      // opened of 64) with a proportional wall-time gap.
+      val path = "/tmp/graft_shtable_probe"
+      val docs = spark.range(2000000L).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(39)), j =>
+            concat(lit("w"), pmod(hash(col("id"), j), lit(100000L)))))
+            .as("text"))
+        .repartition(64)
+      timed(spark, "shtable write 2M/64 shards") {
+        graft.sources.Sources.writeShardedTable(docs, col("doc_id"),
+          col("doc_id"), path, numShards = 64, statsCols = Seq("doc_id"))
+      }
+      val full = graft.sources.Sources.readShardedTable(spark, path)
+      timed(spark, s"full scan (${full.inputFiles.length} files)") {
+        full.filter(col("doc_id").between(1000000L, 1031249L))
+          .agg(sum(length(col("text")))).head().getLong(0)
+      }
+      val pruned = graft.sources.Sources.readShardedTable(spark, path,
+        statCol = Some(("doc_id", 1000000L, 1031249L)))
+      timed(spark, s"pruned scan (${pruned.inputFiles.length} files)") {
+        pruned.filter(col("doc_id").between(1000000L, 1031249L))
+          .agg(sum(length(col("text")))).head().getLong(0)
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("decade2")) {
       // a SECOND decade step for the headline families: 2M docs in
       // 200k 10-copy cliques (9M true pairs), 30M events / 1.5M
