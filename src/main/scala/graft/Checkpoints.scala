@@ -45,7 +45,15 @@ object Checkpoints {
   val DirKey = "spark.graft.checkpoint.dir"
 
   /** Cut lineage under the session's checkpoint policy (see object
-    * doc). Eager in both modes. */
+    * doc). Eager in both modes.
+    *
+    * Reliable mode persists the frame around the checkpoint: Spark
+    * writes reliable checkpoint files in a SEPARATE job after the
+    * materializing action, recomputing every partition from lineage
+    * unless it is cached (the RDD.checkpoint doc's own warning) — for
+    * a deep iterative chain that doubles the cut's cost. The persist
+    * turns the write job into a cache read; the blocks are dropped
+    * (async) once the checkpoint files exist. */
   def cut[T](ds: Dataset[T]): Dataset[T] = {
     val conf = ds.sparkSession.conf
     if (conf.get(ReliableKey, "false").toBoolean) {
@@ -57,7 +65,10 @@ object Checkpoints {
             "SparkContext.setCheckpointDir)")
         sc.setCheckpointDir(dir)
       }
-      ds.checkpoint()
+      val cached = ds.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try cached.checkpoint()
+      finally { cached.unpersist(blocking = false); () }
     } else ds.localCheckpoint()
   }
 
