@@ -254,6 +254,45 @@ object EventStreams {
         densityNum, densityDen)
       .filter(col("n_kept") >= minKeptBlocks)
 
+  final case class FrameHash(asset_id: Long, frame_idx: Int,
+                             n_frames: Int, hash_hi: Long, hash_lo: Long)
+
+  /** Stream-side MJPEG frame hashing: the SAME demux → per-frame JPEG
+    * decode → gray aHash as batch ([[graft.ops.Mp4.mjpegFrameHashesDf]])
+    * applied per incoming video blob through a typed flatMap (the
+    * batch op's RDD seam is unavailable on an unbounded frame).
+    * Stateless, append-mode, media bytes never shuffle — the video
+    * arm of the continuous crawl-ingest funnel: fingerprint every
+    * arriving asset's frames at wire speed, downstream
+    * [[phashScreenStream]] joins them against a standing index.
+    * Corrupt frames are skipped, exactly as in batch (parity pinned
+    * by StreamingSpec). */
+  def mjpegFrameHashStream(stream: DataFrame, idName: String,
+                           mediaName: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(idName).cast("long").as("a"), col(mediaName).as("m"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        if (blob == null) Iterator.empty
+        else {
+          val d = graft.ops.Mp4.demuxSamples(blob)
+          val n = d.samples.length
+          d.samples.iterator.zipWithIndex.flatMap { case (frame, f) =>
+            try {
+              val (w, h, plane) = graft.ops.Jpeg.decodeJpegPlane(frame)
+              val (hi, lo) = graft.ops.Multimodal.grayAHash64(plane, w, h)
+              Iterator.single(FrameHash(id, f, n, hi, lo))
+            } catch { case scala.util.control.NonFatal(_) =>
+              Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF()
+  }
+
   /** Stream-side containment screen: every incoming document's winnowed
     * fingerprints ([[graft.ops.TextAnalysis.winnowFingerprints]] — the
     * SAME narrow expression as batch) probe a STATIC corpus fingerprint

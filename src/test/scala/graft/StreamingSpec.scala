@@ -212,6 +212,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(want.size == 50)
   }
 
+  test("streaming mjpeg frame hashes equal the batch op, corrupt " +
+       "frames skipped on both sides") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ids = spark.range(20).select(col("id").as("doc_id"))
+    val vids = ops.Mp4.synthMjpegMp4(ids, "doc_id")
+    val blobs = vids.collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1)))
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val stream = ms.toDS().toDF("asset_id", "media")
+    val q = EventStreams.mjpegFrameHashStream(stream, "asset_id", "media")
+      .writeStream.format("memory").queryName("mjpegx")
+      .outputMode("append").start()
+    try {
+      ms.addData(blobs.take(7).toSeq: _*)
+      q.processAllAvailable()
+      ms.addData(blobs.drop(7).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4))
+    val got = spark.table("mjpegx").collect().map(key).toSet
+    val want = ops.Mp4.mjpegFrameHashesDf(vids, "asset_id", "media")
+      .collect().map(key).toSet
+    assert(got == want)
+    // ids 3, 10, 17 carry the truncated frame: one fewer row each
+    assert(want.size ==
+      (0L until 20L).map(i => (3 + i % 4) - (if (i % 7 == 3) 1 else 0)).sum)
+  }
+
   test("streaming html extraction equals the batch keep set") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
