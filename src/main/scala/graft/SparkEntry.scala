@@ -847,6 +847,27 @@ object SparkEntry {
     // pipeline exact; every id % 7 == 3 asset carries one truncated
     // frame that must degrade to ONE null row (ok = 0) while its
     // siblings decode — the corrupted-frame partial-decode property.
+    // Ingest dispatcher (r8): a MIXED media corpus — every real codec
+    // the engine writes, one per doc_id residue — routed by magic-byte
+    // sniffing (extensions and Content-Type lie; the bytes do not).
+    // The oracle is the residue map: sniff must identify every real
+    // container it will later be asked to decode, from 16 bytes.
+    "q525_sniff_route" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      def part(r: Int) = ids.filter(pmod(col("doc_id"), lit(8)) === r)
+      val mixed = graft.ops.Multimodal.synthBmp24(part(0), "doc_id")
+        .unionByName(graft.ops.Multimodal.synthPng(part(1), "doc_id"))
+        .unionByName(graft.ops.Jpeg.synthJpeg(part(2), "doc_id"))
+        .unionByName(graft.ops.Gif.synthGif(part(3), "doc_id"))
+        .unionByName(graft.ops.Multimodal.synthWavPcm16(part(4), "doc_id"))
+        .unionByName(graft.ops.Flac.synthFlac(part(5), "doc_id"))
+        .unionByName(graft.ops.Mp4.synthMp4(part(6), "doc_id"))
+        .unionByName(graft.ops.Multimodal.synthVideo(part(7), "doc_id"))
+      graft.ops.Multimodal.sniffTypeDf(mixed, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("mime"))
+        .orderBy("doc_id")
+    }),
+
     // Real multimodal codec VI-c (r8): per-frame PERCEPTUAL hashes
     // from genuinely decoded video pixels — demux the motion-JPEG
     // track, decode each frame's grayscale plane, 8x8 strict-mean
@@ -5650,6 +5671,18 @@ object SparkEntry {
            CAST(list_sum([40 + ((doc_id + i) % 25)
              FOR i IN range(0, 3 + doc_id % 6)]) AS BIGINT)
              AS sum_sample_bytes
+         FROM documents ORDER BY doc_id""",
+
+    // q525: sniffing is deterministic per residue — the oracle IS the
+    // residue -> mime map
+    "q525_sniff_route" ->
+      """SELECT doc_id,
+           CASE doc_id % 8
+             WHEN 0 THEN 'image/bmp'    WHEN 1 THEN 'image/png'
+             WHEN 2 THEN 'image/jpeg'   WHEN 3 THEN 'image/gif'
+             WHEN 4 THEN 'audio/wav'    WHEN 5 THEN 'audio/flac'
+             WHEN 6 THEN 'video/mp4'    ELSE 'video/x-gfv1'
+           END AS mime
          FROM documents ORDER BY doc_id""",
 
     // q524: the mosaic decode is exact, so the aHash replays in

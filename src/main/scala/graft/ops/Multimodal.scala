@@ -822,6 +822,58 @@ object Multimodal {
     * (hi = bits 32..63, lo = bits 0..31): a single signed long would
     * trap bit 63 in the sign, and split halves let both engines (and
     * the hamming joiner) use plain bit_count/xor arithmetic. */
+  /** Content-type sniffing by MAGIC BYTES — the ingest-tier
+    * DISPATCHER in front of the codec suite: a 100 TB media crawl
+    * arrives as undifferentiated blobs (extensions lie, HTTP
+    * Content-Type lies more), and the first routing decision — which
+    * decoder, which quarantine — must come from the bytes themselves.
+    * Recognizes every container this engine decodes (BMP, PNG, JPEG,
+    * GIF, RIFF/WAVE, FLAC, MP4/ISO-BMFF, GFV1, gzip members, WARC)
+    * plus the octet-stream fallback; pure per-row prefix inspection,
+    * never a full parse — sniff cost is O(16 bytes) per asset
+    * regardless of asset size, and misidentified bytes fail later in
+    * the real bounds-checked decoder, never silently here. */
+  def sniffType(bytes: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    def ascii(from: Int, s: String): Boolean =
+      s.indices.forall(i => at(from + i) == s.charAt(i))
+    if (bytes == null || bytes.length < 4) "application/octet-stream"
+    else if (at(0) == 0x89 && ascii(1, "PNG")) "image/png"
+    else if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "image/jpeg"
+    else if (ascii(0, "GIF8")) "image/gif"
+    else if (ascii(0, "BM")) "image/bmp"
+    else if (ascii(0, "RIFF") && ascii(8, "WAVE")) "audio/wav"
+    else if (ascii(0, "fLaC")) "audio/flac"
+    else if (ascii(4, "ftyp")) "video/mp4"
+    else if (ascii(0, "GFV1")) "video/x-gfv1"
+    else if (at(0) == 0x1f && at(1) == 0x8b) "application/gzip"
+    else if (ascii(0, "WARC/")) "application/warc"
+    else "application/octet-stream"
+  }
+
+  /** Partition-batch sniff over a binary column: (id, mime,
+    * n_bytes) — the route-then-decode head of a mixed-media ingest
+    * (metadata-only, media bytes never leave the partition). */
+  def sniffTypeDf(df: DataFrame, idCol: String, mediaCol: String)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val mIdx = df.schema.fieldIndex(mediaCol)
+    val outSchema = StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("mime", StringType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](mIdx)
+        Row(r.getLong(idIdx),
+          if (b == null) "application/octet-stream" else sniffType(b),
+          if (b == null) 0L else b.length.toLong)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** [[aHash64]] over a raw GRAYSCALE plane (row-major w×h ints in
     * 0..255) — the form a decoded video frame arrives in
     * ([[Mp4.mjpegFrameHashesDf]]). Identical contract: nearest-

@@ -478,6 +478,29 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("gram")) {
+      // r8 task #2 evidence at the decade: the Gram trainer must be
+      // ONE linear pass at any corpus size and any component count —
+      // time top-2 PCA at 500k and 2M 64-dim vectors. (Pre-r8 this
+      // was 2*m*iters corpus jobs + m deflation materializations.)
+      def vecsOf(n: Long) = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            ((pmod(hash(expr("id div 10"), j), lit(2000L)) - 1000L)
+               .cast("double") / 1000.0 +
+             pmod(col("id"), lit(10)).cast("double") * 0.0001)
+              .cast("float")).as("embedding"))
+        .repartition(64).cut()
+      for (n <- Seq(500000L, 2000000L)) {
+        val vecs = vecsOf(n)
+        println(s"[scale] gram embeddings: ${vecs.count()}")
+        timed(spark, s"gram top-2 PCA n=$n (one pass)")(
+          graft.ops.Similarity.topPrincipalComponents(
+            vecs, col("vec_id"), col("embedding"), m = 2, iters = 2)
+            .count())
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("shtable")) {
       // r8 task #8 evidence: the manifest-pruned scan at scale. Write
       // 2M docs as a 64-shard range snapshot, then answer a 1/64

@@ -812,6 +812,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp4.demuxSamples(legacy).codec == "avc1")
   }
 
+  test("sniffType: magic bytes identify every engine container; " +
+       "short/unknown blobs fall back") {
+    import graft.ops.Multimodal.sniffType
+    // containers q525 does not cover (it sniffs the image/audio/video
+    // synths end-to-end): WARC and gzip prefixes, plus the fallbacks
+    assert(sniffType("WARC/1.0\r\nWARC-Type: x".getBytes("US-ASCII"))
+      == "application/warc")
+    assert(sniffType(Array(0x1f.toByte, 0x8b.toByte, 8.toByte, 0.toByte))
+      == "application/gzip")
+    // synthWarc writes per-record GZIP members — sniff must say gzip
+    val w = graft.ops.Warc.synthWarc(
+      TestSpark.spark.range(1).selectExpr("id AS doc_id", "'t' AS text"),
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.col("text"))
+      .head.getAs[Array[Byte]](1)
+    assert(sniffType(w) == "application/gzip")
+    assert(sniffType(Array[Byte](1, 2, 3)) == "application/octet-stream")
+    assert(sniffType("junkjunk".getBytes("US-ASCII"))
+      == "application/octet-stream")
+    assert(sniffType(Array.empty[Byte]) == "application/octet-stream")
+  }
+
   test("MJPEG frame hashes: real decoded pixels, corrupt frames " +
        "skipped, constant frames hash to zero") {
     import graft.ops.{Mp4, Multimodal}
