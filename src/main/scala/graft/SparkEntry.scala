@@ -893,8 +893,12 @@ object SparkEntry {
     // (SourcesSpec pins that the pruned plan's input files exclude
     // the non-intersecting shards.)
     "q523_sharded_table" -> ((s, dir) => {
-      val base = java.lang.System.getProperty("java.io.tmpdir")
-      val path = s"$base/graft_sharded_${Integer.toHexString(dir.hashCode)}"
+      // fresh table root per run: snapshots are immutable by design,
+      // so a fixed path would accumulate a data-v<N> copy of the
+      // corpus per bench/verify execution (and race a concurrent
+      // session on the version counter)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
       graft.sources.Sources.writeShardedTable(
         t(s, dir, "documents"), col("doc_id"), col("doc_id"),
         path, numShards = 8, statsCols = Seq("doc_id"))

@@ -95,7 +95,11 @@ object Eval {
     // silently vanishing (a null source/domain is exactly the slice a
     // health check must not lose): the inner join with the broadcast
     // bases frame would never match a null g, so coalesce to a
-    // sentinel before anything keys on it.
+    // sentinel before anything keys on it. Known limit: a corpus
+    // whose group column already CONTAINS the literal string "<null>"
+    // pools with true nulls — callers with such data should
+    // pre-encode their keys (the alternative, a (is_null, key)
+    // struct, would change the output schema for every caller).
     val g0 = df.select(
         coalesce(group.cast("string"), lit("<null>")).as("g"),
         score.cast("long").as("s"),

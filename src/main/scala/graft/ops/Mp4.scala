@@ -289,28 +289,38 @@ object Mp4 {
   final case class Mp4Samples(codec: String, samples: Array[Array[Byte]])
 
   def demuxSamples(bytes: Array[Byte]): Mp4Samples = {
-    var codec = ""
-    var sizes: Array[Int] = null
-    var stsc: Array[(Long, Long)] = null // (first_chunk, samples_per_chunk)
-    var chunkOffs: Array[Long] = null
-    var found = false
+    // Parse EVERY trak's handler + sample tables, then pick the first
+    // VIDEO ('vide' hdlr) trak — real crawled files commonly mux audio
+    // first, and demuxing the audio sample table would hand non-frames
+    // to the frame decoder. Falls back to the first trak with an stbl
+    // when no trak declares a video handler.
+    final case class Trak(var handler: String = "",
+                          var codec: String = "",
+                          var sizes: Array[Int] = null,
+                          var stsc: Array[(Long, Long)] = null,
+                          var chunkOffs: Array[Long] = null)
+    val traks = scala.collection.mutable.ArrayBuffer.empty[Trak]
     walk(bytes, 0, bytes.length) {
       case ("moov", f0, t0) => walk(bytes, f0, t0) {
-        case ("trak", f1, t1) if !found => walk(bytes, f1, t1) {
+        case ("trak", f1, t1) =>
+          val tk = Trak()
+          traks += tk
+          walk(bytes, f1, t1) {
           case ("mdia", f2, t2) => walk(bytes, f2, t2) {
+            case ("hdlr", f, _) => tk.handler = typ(bytes, f + 8)
             case ("minf", f3, t3) => walk(bytes, f3, t3) {
               case ("stbl", f4, t4) =>
-                found = true
                 walk(bytes, f4, t4) {
                   case ("stsd", f, _) =>
                     // entry_count (4) then the first sample entry's
                     // box header: size(4) + type(4)
-                    if (u32(bytes, f + 4) > 0) codec = typ(bytes, f + 12)
+                    if (u32(bytes, f + 4) > 0)
+                      tk.codec = typ(bytes, f + 12)
                   case ("stsz", f, t) =>
                     val fixed = u32(bytes, f + 4)
                     val n = u32(bytes, f + 8)
                     require(n <= Int.MaxValue, "mp4: stsz count")
-                    sizes =
+                    tk.sizes =
                       if (fixed != 0L) Array.fill(n.toInt)(fixed.toInt)
                       else {
                         require(f + 12 + 4L * n <= t, "mp4: stsz overrun")
@@ -320,18 +330,18 @@ object Mp4 {
                   case ("stsc", f, t) =>
                     val n = u32(bytes, f + 4).toInt
                     require(f + 8 + 12L * n <= t, "mp4: stsc overrun")
-                    stsc = Array.tabulate(n)(i =>
+                    tk.stsc = Array.tabulate(n)(i =>
                       (u32(bytes, f + 8 + 12 * i),
                        u32(bytes, f + 12 + 12 * i)))
                   case ("stco", f, t) =>
                     val n = u32(bytes, f + 4).toInt
                     require(f + 8 + 4L * n <= t, "mp4: stco overrun")
-                    chunkOffs = Array.tabulate(n)(i =>
+                    tk.chunkOffs = Array.tabulate(n)(i =>
                       u32(bytes, f + 8 + 4 * i))
                   case ("co64", f, t) =>
                     val n = u32(bytes, f + 4).toInt
                     require(f + 8 + 8L * n <= t, "mp4: co64 overrun")
-                    chunkOffs = Array.tabulate(n)(i =>
+                    tk.chunkOffs = Array.tabulate(n)(i =>
                       u64(bytes, f + 8 + 8 * i))
                   case _ => ()
                 }
@@ -345,8 +355,16 @@ object Mp4 {
       }
       case _ => ()
     }
-    require(sizes != null && stsc != null && chunkOffs != null,
-      "mp4: missing stsz/stsc/stco sample tables")
+    def complete(t: Trak) =
+      t.sizes != null && t.stsc != null && t.chunkOffs != null
+    val pick = traks.find(t => complete(t) && t.handler == "vide")
+      .orElse(traks.find(complete))
+      .getOrElse(throw new IllegalArgumentException(
+        "mp4: no trak with complete stsz/stsc/stco sample tables"))
+    val codec = pick.codec
+    val sizes = pick.sizes
+    val stsc = pick.stsc
+    val chunkOffs = pick.chunkOffs
     require(stsc.nonEmpty && stsc.head._1 == 1L, "mp4: bad stsc")
     val out = new Array[Array[Byte]](sizes.length)
     var si = 0

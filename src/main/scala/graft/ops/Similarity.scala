@@ -309,10 +309,12 @@ object Similarity {
     * — the full-suite bench-variance class AND a 100 TB multi-scan.
     * This one runs exactly ONE corpus job (`GramScanSpec` pins the
     * count with a listener). Per-partition state is d(d+1)/2 + d
-    * longs, folded into BigInt every 2¹⁶ rows (overflow-safe for
-    * |x| ≤ ~8 after quantization; add/multiplyExact fail loudly
-    * beyond); the driver merges one ~35 KB triangle per partition —
-    * 1000 executors → ~35 MB, collect-safe.
+    * longs, folded into BigInt at a data-adaptive interval (every
+    * 2¹⁶ rows for unit-norm embeddings, proportionally sooner for
+    * large-magnitude data; a single element beyond |x| ≈ 3000 fails
+    * loudly via multiplyExact); the driver merges one ~35 KB triangle
+    * per partition at d=64 — 1000 executors → ~35 MB, collect-safe,
+    * with d capped at 1024 where the merge reaches ~4 GB.
     *
     * Returns the d (dimension, value) pairs in micro-units; empty
     * corpus → Nil. The centered Gram is PSD, so G ≠ 0 implies a
@@ -362,21 +364,31 @@ object Similarity {
       var dim = 0
       var sL: Array[Long] = null; var tL: Array[Long] = null
       var sB: Array[BigInt] = null; var tB: Array[BigInt] = null
-      var sinceFold = 0
+      var sinceFold = 0L
+      // worst per-element square seen so far: the fold interval
+      // adapts to the DATA's magnitude (unit-norm embeddings fold
+      // every ~2^16 rows; |x| ~ 100 folds every ~200 — still cheap)
+      // instead of hard-limiting the input domain. A single product
+      // overflowing Long on its own (|x| > ~3000) still fails loudly
+      // via multiplyExact.
+      var worstSq = 1L
       def fold(): Unit = {
         var i = 0
         while (i < dim) { sB(i) += sL(i); sL(i) = 0L; i += 1 }
         i = 0
         while (i < tL.length) { tB(i) += tL(i); tL(i) = 0L; i += 1 }
-        sinceFold = 0
+        sinceFold = 0L
       }
       rows.foreach { r =>
         val v = r.getSeq[Long](0)
         if (sL == null) {
           dim = v.size
-          require(dim >= 1 && dim <= 512,
-            s"gramStats: dim $dim outside 1..512 (driver Gram state " +
-            "is d(d+1)/2 integers)")
+          // cap sizes the DRIVER merge: d=1024 is a 4.2 MB triangle
+          // per partition (1000 executors -> ~4 GB collect) — beyond
+          // that the one-pass design needs a treeAggregate, so refuse
+          require(dim >= 1 && dim <= 1024,
+            s"gramStats: dim $dim outside 1..1024 (driver Gram state " +
+            "is d(d+1)/2 integers per partition)")
           sL = new Array[Long](dim)
           tL = new Array[Long](dim * (dim + 1) / 2)
           sB = Array.fill(dim)(BigInt(0))
@@ -385,8 +397,22 @@ object Similarity {
         require(v.size == dim,
           s"gramStats: ragged dimension ${v.size} vs $dim")
         val a = new Array[Long](dim)
+        var rowMax = 0L
         var i = 0
-        while (i < dim) { a(i) = v(i); i += 1 }
+        while (i < dim) {
+          a(i) = v(i)
+          val ab = math.abs(a(i))
+          if (ab > rowMax) rowMax = ab
+          i += 1
+        }
+        if (rowMax > 0) {
+          val sq = if (rowMax > 3037000499L) Long.MaxValue // > sqrt(2^63)
+                   else rowMax * rowMax
+          if (sq > worstSq) worstSq = sq
+        }
+        // fold BEFORE this row if the pending batch could overflow at
+        // the current worst magnitude (margin 4x)
+        if (sinceFold + 1 > (Long.MaxValue / 4) / worstSq) fold()
         var j = 0; var p = 0
         while (j < dim) {
           sL(j) = Math.addExact(sL(j), a(j))
@@ -399,7 +425,7 @@ object Similarity {
           j += 1
         }
         n += 1; sinceFold += 1
-        if (sinceFold == 65536) fold()
+        if (sinceFold >= 65536) fold()
       }
       if (sL == null) Iterator.empty
       else { fold(); Iterator.single((n, dim, sB, tB)) }

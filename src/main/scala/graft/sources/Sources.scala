@@ -457,7 +457,13 @@ object Sources {
     val pos = graft.ops.Packing.orderedShards(df, id, orderCol,
       numShards = 1).select(col("doc_id").as("__id"),
         col("pos_in_shard").as("__pos"))
-    val n = math.max(df.count(), 1L)
+    val n = df.count()
+    // An empty snapshot would write no part files, so the manifest
+    // pass could not even infer a schema (and a versioned dir with no
+    // manifest is exactly the half-written state readers must never
+    // see) — fail loudly before touching the directory layout.
+    require(n > 0, s"writeShardedTable: empty input — refusing to " +
+      s"write snapshot v$version at $path")
     val block = (n + numShards - 1) / numShards
     val data = df.withColumn("__id", id).join(pos, "__id")
       .withColumn("shard", expr(s"__pos div $block"))

@@ -69,9 +69,17 @@ class BenchRegressionSpec extends AnyFunSuite {
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
   /** Re-run just `names` in a fresh JVM under the driver's bench
-    * regime; None if the fork could not run or produced no timings. */
-  private def isolatedRemeasure(names: Seq[String],
-                                sfDir: String): Option[Map[String, Double]] = {
+    * regime. Both child streams go to TEMP FILES, never pipes: an
+    * unread pipe fills at ~64 KB and blocks the child in a write
+    * (Spark logs alone overflow it), which would make the waitFor
+    * timeout unreachable and hang the whole suite. Returns the
+    * timings plus the set of flagged queries whose isolated run
+    * PRINTED a FAILED marker — graft.Bench records time-to-failure
+    * for a crashed query, and a crash must read as a confirmed
+    * regression, never as "fast, cleared". None if the fork could
+    * not run or produced no timings. */
+  private def isolatedRemeasure(names: Seq[String], sfDir: String)
+      : Option[(Map[String, Double], Set[String])] = {
     val classes = new java.io.File("target/scala-2.13/classes")
     if (!classes.isDirectory) return None
     val javaBin = new java.io.File(
@@ -80,18 +88,27 @@ class BenchRegressionSpec extends AnyFunSuite {
       "-Xmx8g", "-cp", classes.getPath + ":/opt/spark/jars/*",
       "graft.Bench")
     try {
+      val outF = java.io.File.createTempFile("graft_iso_out", ".log")
+      val errF = java.io.File.createTempFile("graft_iso_err", ".log")
+      outF.deleteOnExit(); errF.deleteOnExit()
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_CPUS", "32")
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-      pb.redirectErrorStream(false)
+      pb.redirectOutput(outF)
+      pb.redirectError(errF)
       val p = pb.start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
       val ok = p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES) &&
         p.exitValue() == 0
       if (!ok) { p.destroyForcibly(); return None }
+      val out = new String(
+        java.nio.file.Files.readAllBytes(outF.toPath), "UTF-8")
+      val err = new String(
+        java.nio.file.Files.readAllBytes(errF.toPath), "UTF-8")
+      val failed = names.filter(n =>
+        err.contains(s"[bench] $n FAILED")).toSet
       val m = parseQueries(out)
-      if (m.isEmpty) None else Some(m)
+      if (m.isEmpty) None else Some((m, failed))
     } catch { case _: Exception => None }
   }
 
@@ -133,8 +150,11 @@ class BenchRegressionSpec extends AnyFunSuite {
           " — re-measuring isolated")
         val iso = isolatedRemeasure(flagged, sfDir)
         val confirmed = iso match {
-          case Some(m) => flagged.flatMap { q =>
-            m.get(q) match {
+          case Some((m, failed)) => flagged.flatMap { q =>
+            if (failed(q))
+              Some(s"$q: FAILED in the isolated re-measure (a crash " +
+                "is a confirmed regression, not a fast run)")
+            else m.get(q) match {
               case Some(c) if exceedsBar(base(q), c) =>
                 Some(f"$q: committed ${base(q)}%.2fs -> isolated " +
                   f"$c%.2fs (${c / math.max(base(q), 1e-9)}%.1fx)")
