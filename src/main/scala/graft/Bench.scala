@@ -18,29 +18,41 @@ object Bench {
     // optional dev-loop filter (comma-separated names); driver sets no
     // filter and benches the full suite
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // optional repeat count (default 1): with SPARK_GRAFT_ROUNDS=2 the
+    // (filtered) set runs twice and the LAST pass's timings are
+    // reported — the steady-state measurement the regression gate's
+    // isolated re-measure fork needs: a fresh JVM's first 2-3 queries
+    // absorb codegen/JIT warm-up the entry() warm-up above only
+    // partially covers (r8: q226-q228 measured 3-5x their own
+    // steady-state purely from running FIRST in the fork)
+    val rounds = math.max(
+      sys.env.get("SPARK_GRAFT_ROUNDS").map(_.toInt).getOrElse(1), 1)
     // stable name order: Map iteration order varies with hashing, which
     // makes per-query timings incomparable across rounds (and lets an
     // allocation-heavy query's GC debris pollute a DIFFERENT set of
     // successors each run — the r3 bench artifact)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // isolate measurements: without a collection here, an
-      // allocation-heavy predecessor's garbage lands in THIS query's
-      // pauses (measured 2-4x inflation on mid-suite queries vs
-      // isolated runs; sorted order only made the pollution
-      // deterministic, not absent)
-      System.gc()
-      val t0 = System.nanoTime()
-      // noop sink: forces FULL evaluation of every output column
-      // (count() lets Catalyst prune the final projection away)
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
-        // a failed query must not masquerade as a fast one
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = (1 to rounds).map { _ =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          // isolate measurements: without a collection here, an
+          // allocation-heavy predecessor's garbage lands in THIS
+          // query's pauses (measured 2-4x inflation on mid-suite
+          // queries vs isolated runs; sorted order only made the
+          // pollution deterministic, not absent)
+          System.gc()
+          val t0 = System.nanoTime()
+          // noop sink: forces FULL evaluation of every output column
+          // (count() lets Catalyst prune the final projection away)
+          try fn(spark, sfDir).write.mode("overwrite")
+            .format("noop").save()
+          catch { case e: Throwable =>
+            // a failed query must not masquerade as a fast one
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+    }.last
     val total = results.map(_._2).sum
     // the driver keeps only a ~2000-char stdout TAIL: a ~240-query map
     // (~8 KB) printed as one line loses most timings (the r4 artifact —

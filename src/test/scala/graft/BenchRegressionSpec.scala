@@ -95,6 +95,11 @@ class BenchRegressionSpec extends AnyFunSuite {
       pb.environment().put("SPARK_GRAFT_ONLY", names.mkString(","))
       pb.environment().put("SPARK_GRAFT_CPUS", "32")
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      // steady state, not cold start: the fork's first queries would
+      // otherwise absorb JIT/codegen warm-up and read as regressions
+      // (r8: q226-q228, first in sorted order, measured 3-5x). Two
+      // passes; graft.Bench reports the second.
+      pb.environment().put("SPARK_GRAFT_ROUNDS", "2")
       pb.redirectOutput(outF)
       pb.redirectError(errF)
       val p = pb.start()
