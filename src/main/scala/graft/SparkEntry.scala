@@ -847,6 +847,17 @@ object SparkEntry {
     // pipeline exact; every id % 7 == 3 asset carries one truncated
     // frame that must degrade to ONE null row (ok = 0) while its
     // siblings decode — the corrupted-frame partial-decode property.
+    // Classifier evaluation VII (r8): Spearman rank correlation —
+    // do two scorers ORDER the corpus the same way (the question AUC
+    // against a binary gold cannot answer). Average-rank ties via the
+    // doubled-rank prefix sum; exact integer moments; the final IEEE
+    // double ops replay bit-for-bit on identical exact inputs.
+    "q526_spearman" -> ((s, dir) => {
+      graft.ops.Eval.spearmanMicro(t(s, dir, "supplier"),
+        floor(col("s_acctbal") * 100 + lit(0.5)),
+        col("s_nationkey"))
+    }),
+
     // Ingest dispatcher (r8): a MIXED media corpus — every real codec
     // the engine writes, one per doc_id residue — routed by magic-byte
     // sniffing (extensions and Content-Type lie; the bytes do not).
@@ -5676,6 +5687,34 @@ object SparkEntry {
              FOR i IN range(0, 3 + doc_id % 6)]) AS BIGINT)
              AS sum_sample_bytes
          FROM documents ORDER BY doc_id""",
+
+    // q526: doubled average ranks from window prefix sums; exact
+    // integer moments; identical double pipeline for the final rho
+    "q526_spearman" ->
+      """WITH b AS (SELECT CAST(floor(s_acctbal*100 + 0.5) AS BIGINT)
+                      AS x,
+                    CAST(s_nationkey AS BIGINT) AS y FROM supplier),
+         gx AS (SELECT x, count(*) AS n FROM b GROUP BY x),
+         rx AS (SELECT x, 2*coalesce(sum(n) OVER (ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + n + 1 AS rx2 FROM gx),
+         gy AS (SELECT y, count(*) AS n FROM b GROUP BY y),
+         ry AS (SELECT y, 2*coalesce(sum(n) OVER (ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + n + 1 AS ry2 FROM gy),
+         jj AS (SELECT rx2, ry2 FROM b JOIN rx USING (x)
+                JOIN ry USING (y)),
+         a AS (SELECT count(*) AS n, sum(rx2) AS sx, sum(ry2) AS sy,
+                 sum(rx2*rx2) AS sxx, sum(ry2*ry2) AS syy,
+                 sum(rx2*ry2) AS sxy
+               FROM jj)
+         SELECT CAST(n AS BIGINT) AS n,
+           CASE WHEN n*sxx - sx*sx <= 0 OR n*syy - sy*sy <= 0 THEN NULL
+             ELSE CAST(floor((n*sxy - sx*sy) * 1000000.0 /
+               sqrt((n*sxx - sx*sx) * 1.0 * (n*syy - sy*sy)) + 0.5)
+               AS BIGINT)
+           END AS rho_micro
+         FROM a""",
 
     // q525: sniffing is deterministic per residue — the oracle IS the
     // residue -> mime map

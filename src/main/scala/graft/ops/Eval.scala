@@ -257,4 +257,61 @@ object Eval {
         col("__ss").cast("long").as("sum_shift"),
         expr("(n_pos * 2000000 + n) div (n * 2)").as("pos_rate_micro"))
   }
+
+  /** Spearman rank correlation between two score columns, one row:
+    * (n, rho_micro) — the ranking-AGREEMENT statistic behind "do my
+    * two quality classifiers order the corpus the same way", which
+    * AUC (agreement with a binary gold) cannot answer. Average-rank
+    * tie handling via the same doubled-rank trick as [[rocAuc]]
+    * (a tie group at positions b+1..b+n has doubled average rank
+    * 2b+n+1), ranks from the distributed prefix sum over each
+    * column's distinct-value table, joined back by value — two hash
+    * shuffles sized by distinct values, never a global window.
+    *
+    * Exactness contract: every moment sum is an exact DECIMAL(38,0);
+    * the final rho applies IEEE double ops (convert, multiply, sqrt,
+    * divide, half-up floor) to IDENTICAL exact integers on both
+    * engines, so the micro value replays bit-for-bit while the
+    * moment magnitudes stay below 2^53 (n ≲ 50k rows at doubled-rank
+    * scale; beyond that the conversion rounding of the two engines'
+    * decimal→double may differ in the last ulp — the q526 oracle
+    * corpus stays inside the envelope). Degenerate inputs (n < 2 or
+    * a constant column) yield NULL rho. */
+  def spearmanMicro(df: DataFrame, x: Column, y: Column,
+                    partitions: Int = 32): DataFrame = {
+    def ranks2(rows: DataFrame, v: String, out: String): DataFrame = {
+      val g = rows.groupBy(v).agg(count(lit(1)).as("n"))
+      Packing.orderedCumsums(g, col(v), Seq("__nb" -> col("n")),
+          partitions)
+        .select(col(v), (col("__nb") * 2 + col("n") + 1).as(out))
+    }
+    val rows = df.select(x.cast("long").as("__x"),
+      y.cast("long").as("__y"))
+    val j = rows
+      .join(ranks2(rows, "__x", "rx2"), "__x")
+      .join(ranks2(rows, "__y", "ry2"), "__y")
+    j.agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(col("rx2").cast(dec)).as("__sx"),
+        sum(col("ry2").cast(dec)).as("__sy"),
+        sum((col("rx2") * col("rx2")).cast(dec)).as("__sxx"),
+        sum((col("ry2") * col("ry2")).cast(dec)).as("__syy"),
+        sum((col("rx2") * col("ry2")).cast(dec)).as("__sxy"))
+      .withColumn("__num", col("__n") * col("__sxy") -
+        col("__sx") * col("__sy"))
+      .withColumn("__dx", col("__n") * col("__sxx") -
+        col("__sx") * col("__sx"))
+      .withColumn("__dy", col("__n") * col("__syy") -
+        col("__sy") * col("__sy"))
+      .select(
+        col("__n").cast("long").as("n"),
+        when(col("__dx") <= 0 || col("__dy") <= 0,
+            lit(null).cast("long"))
+          .otherwise(floor(
+            col("__num").cast("double") * lit(1000000.0) /
+              sqrt(col("__dx").cast("double") *
+                   col("__dy").cast("double")) + lit(0.5))
+            .cast("long"))
+          .as("rho_micro"))
+  }
 }

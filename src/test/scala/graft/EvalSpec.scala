@@ -189,4 +189,25 @@ class EvalSpec extends AnyFunSuite {
     assert(out(0).getAs[Long]("n") == 3L)
     assert(out(0).getAs[Long]("pos_rate_micro") == 666667L)
   }
+
+  test("spearmanMicro: monotone = 1e6, reversed = -1e6, ties match " +
+       "the average-rank hand case, constant column is NULL") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def sp(rows: Seq[(Long, Long)]): (Long, Option[Long]) = {
+      val r = Eval.spearmanMicro(rows.toDF("x", "y"),
+        col("x"), col("y")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))
+    }
+    assert(sp(Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+      == ((4L, Some(1000000L))))
+    assert(sp(Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L)))
+      == ((4L, Some(-1000000L))))
+    // x = (1,1,2), y = (5,6,7): doubled ranks rx2 = (3,3,6),
+    // ry2 = (2,4,6) -> rho = 18/sqrt(18*24) = 0.8660254 -> 866025
+    assert(sp(Seq((1L, 5L), (1L, 6L), (2L, 7L)))
+      == ((3L, Some(866025L))))
+    // constant column: zero variance -> NULL, not a crash or a 0
+    assert(sp(Seq((7L, 1L), (7L, 2L), (7L, 3L))) == ((3L, None)))
+  }
 }
