@@ -907,18 +907,23 @@ object SparkEntry {
       // fresh table root per run: snapshots are immutable by design,
       // so a fixed path would accumulate a data-v<N> copy of the
       // corpus per bench/verify execution (and race a concurrent
-      // session on the version counter)
+      // session on the version counter). The readback is CUT (eager
+      // local checkpoint) so the tree can be dropped before the
+      // caller's action — repeated runs leave /tmp flat.
+      import graft.Checkpoints.CheckpointOps
       val path = java.nio.file.Files
         .createTempDirectory("graft_sharded_").toString
       graft.sources.Sources.writeShardedTable(
         t(s, dir, "documents"), col("doc_id"), col("doc_id"),
         path, numShards = 8, statsCols = Seq("doc_id"))
-      graft.sources.Sources.readShardedTable(s, path,
-          statCol = Some(("doc_id", 100L, 399L)))
+      val res = graft.sources.Sources.readShardedTable(s, path,
+          preds = Seq(("doc_id", 100L, 399L)))
         .filter(col("doc_id").between(100, 399))
         .select(col("doc_id"), col("source"),
           length(col("text")).cast("long").as("n_chars"))
-        .orderBy("doc_id")
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
     }),
 
     "q502_mjpeg_frames" -> ((s, dir) => {
@@ -5693,7 +5698,9 @@ object SparkEntry {
     "q526_spearman" ->
       """WITH b AS (SELECT CAST(floor(s_acctbal*100 + 0.5) AS BIGINT)
                       AS x,
-                    CAST(s_nationkey AS BIGINT) AS y FROM supplier),
+                    CAST(s_nationkey AS BIGINT) AS y FROM supplier
+                    WHERE s_acctbal IS NOT NULL
+                      AND s_nationkey IS NOT NULL),
          gx AS (SELECT x, count(*) AS n FROM b GROUP BY x),
          rx AS (SELECT x, 2*coalesce(sum(n) OVER (ORDER BY x
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)

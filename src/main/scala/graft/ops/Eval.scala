@@ -276,7 +276,14 @@ object Eval {
     * scale; beyond that the conversion rounding of the two engines'
     * decimal→double may differ in the last ulp — the q526 oracle
     * corpus stays inside the envelope). Degenerate inputs (n < 2 or
-    * a constant column) yield NULL rho. */
+    * a constant column) yield NULL rho.
+    *
+    * Null handling is PAIRWISE DELETION: a row with a null x or y is
+    * dropped before the rank tables are built, so the ranks and the
+    * moment sums cover the identical population (ranking a value
+    * against rows the moments never see would silently shift rho —
+    * and Spark orders nulls first while DuckDB orders them last, so
+    * the two engines would not even shift it the same way). */
   def spearmanMicro(df: DataFrame, x: Column, y: Column,
                     partitions: Int = 32): DataFrame = {
     def ranks2(rows: DataFrame, v: String, out: String): DataFrame = {
@@ -287,6 +294,7 @@ object Eval {
     }
     val rows = df.select(x.cast("long").as("__x"),
       y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
     val j = rows
       .join(ranks2(rows, "__x", "rx2"), "__x")
       .join(ranks2(rows, "__y", "ry2"), "__y")

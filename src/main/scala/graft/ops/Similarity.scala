@@ -312,9 +312,11 @@ object Similarity {
     * longs, folded into BigInt at a data-adaptive interval (every
     * 2¹⁶ rows for unit-norm embeddings, proportionally sooner for
     * large-magnitude data; a single element beyond |x| ≈ 3000 fails
-    * loudly via multiplyExact); the driver merges one ~35 KB triangle
-    * per partition at d=64 — 1000 executors → ~35 MB, collect-safe,
-    * with d capped at 1024 where the merge reaches ~4 GB.
+    * loudly via multiplyExact). The merge is TWO-LEVEL past 8
+    * partitions: partials exchange (triangle-sized records, never
+    * rows) to 8 executor-side folders, so the driver holds ≤ 8
+    * triangles no matter the executor count — d up to 4096 (the real
+    * embedding-table range) collects ≤ ~1 GB, still ONE job.
     *
     * Returns the d (dimension, value) pairs in micro-units; empty
     * corpus → Nil. The centered Gram is PSD, so G ≠ 0 implies a
@@ -359,7 +361,7 @@ object Similarity {
     val target = corpus.sparkSession.sparkContext.defaultParallelism
     val rdd = if (raw.getNumPartitions < target) raw.repartition(target)
               else raw
-    val parts = rdd.mapPartitions { rows =>
+    val partials = rdd.mapPartitions { rows =>
       var n = 0L
       var dim = 0
       var sL: Array[Long] = null; var tL: Array[Long] = null
@@ -380,15 +382,21 @@ object Similarity {
         sinceFold = 0L
       }
       rows.foreach { r =>
-        val v = r.getSeq[Long](0)
+        // boxed view: getSeq[Long] would UNBOX a null element to 0L
+        // silently — against the fail-loudly convention (whole-null
+        // vectors are filtered upstream; a null COMPONENT is corrupt
+        // data, not a shorter vector)
+        val v = r.getSeq[Any](0)
         if (sL == null) {
           dim = v.size
-          // cap sizes the DRIVER merge: d=1024 is a 4.2 MB triangle
-          // per partition (1000 executors -> ~4 GB collect) — beyond
-          // that the one-pass design needs a treeAggregate, so refuse
-          require(dim >= 1 && dim <= 1024,
-            s"gramStats: dim $dim outside 1..1024 (driver Gram state " +
-            "is d(d+1)/2 integers per partition)")
+          // cap sizes one TASK's triangle (d=4096: 67 MB of longs +
+          // the BigInt fold targets); the driver never sees more than
+          // `mergers` triangles regardless of executor count — the
+          // two-level merge below (r8 verdict task #2, d=1536-4096
+          // embedding tables)
+          require(dim >= 1 && dim <= 4096,
+            s"gramStats: dim $dim outside 1..4096 (per-task Gram " +
+            "state is d(d+1)/2 integers)")
           sL = new Array[Long](dim)
           tL = new Array[Long](dim * (dim + 1) / 2)
           sB = Array.fill(dim)(BigInt(0))
@@ -400,7 +408,10 @@ object Similarity {
         var rowMax = 0L
         var i = 0
         while (i < dim) {
-          a(i) = v(i)
+          val x = v(i)
+          require(x != null,
+            s"gramStats: null vector element at index $i")
+          a(i) = x.asInstanceOf[Long]
           val ab = math.abs(a(i))
           if (ab > rowMax) rowMax = ab
           i += 1
@@ -429,22 +440,39 @@ object Similarity {
       }
       if (sL == null) Iterator.empty
       else { fold(); Iterator.single((n, dim, sB, tB)) }
-    }.collect()
+    }
+    // two-level merge: the driver must never hold one triangle PER
+    // PARTITION (1000 executors x a d=4096 triangle is a dead
+    // driver). When the scan has more partitions than `mergers`, an
+    // exchange of the O(partitions) partial records — triangle-sized,
+    // never row-sized — folds them executor-side to `mergers`
+    // triangles first. Still ONE action/job (the tree adds a stage,
+    // not a corpus rescan — GramScanSpec pins the count); small
+    // fan-ins skip the exchange entirely.
+    val mergers = 8
+    def mergeInto(acc: (Long, Int, Array[BigInt], Array[BigInt]),
+                  x: (Long, Int, Array[BigInt], Array[BigInt]))
+        : (Long, Int, Array[BigInt], Array[BigInt]) = {
+      require(acc._2 == x._2,
+        s"gramStats: partitions disagree on dimension")
+      var i = 0
+      while (i < acc._3.length) { acc._3(i) += x._3(i); i += 1 }
+      i = 0
+      while (i < acc._4.length) { acc._4(i) += x._4(i); i += 1 }
+      (acc._1 + x._1, acc._2, acc._3, acc._4)
+    }
+    val parts =
+      if (partials.getNumPartitions > mergers)
+        partials.coalesce(mergers, shuffle = true)(null)
+          .mapPartitions { it =>
+            if (it.isEmpty) Iterator.empty else Iterator.single(
+              it.reduce(mergeInto))
+          }.collect()
+      else partials.collect()
     if (parts.isEmpty) None
     else {
-      val dim = parts.head._2
-      require(parts.forall(_._2 == dim),
-        s"gramStats: partitions disagree on dimension")
-      val n = parts.map(_._1).sum
-      val s = Array.fill(dim)(BigInt(0))
-      val t = Array.fill(dim * (dim + 1) / 2)(BigInt(0))
-      parts.foreach { case (_, _, sB, tB) =>
-        var i = 0
-        while (i < dim) { s(i) += sB(i); i += 1 }
-        i = 0
-        while (i < t.length) { t(i) += tB(i); i += 1 }
-      }
-      Some((n, s, t))
+      val merged = parts.reduce(mergeInto)
+      Some((merged._1, merged._3, merged._4))
     }
   }
 

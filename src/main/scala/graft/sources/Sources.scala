@@ -422,19 +422,33 @@ object Sources {
       .format("parquet")
       .saveAsTable(table)
 
-  // ---- manifest-file sharded TABLE format (snapshot + shard pruning) --
+
+  // ---- manifest-file sharded TABLE format (snapshots + pruning) ----
 
   /** A minimal Iceberg/Delta-STYLE table layout over the sharded
-    * delivery format, with zero new dependencies: each write is an
-    * immutable SNAPSHOT — data under `path/data-v<V>/shard=<s>/`,
-    * plus one small manifest parquet under `path/_manifest/v<V>/`
-    * holding per-shard stats: row count, char count, and MIN/MAX of
-    * every requested stats column. Readers list snapshots from the
+    * delivery format, with zero new dependencies. The table is a
+    * sequence of immutable SNAPSHOTS: snapshot V's data lives under
+    * `path/data-v<V>/shard=<s>/` and its manifest — one small parquet
+    * under `path/_manifest/v<V>/` — lists every (data_dir, shard) the
+    * snapshot contains with per-shard stats: row count plus MIN/MAX
+    * of every requested stats column. Readers list snapshots from the
     * manifest directory (never by globbing data files), read the
     * manifest of the chosen version, and open ONLY the shard
     * directories a predicate can touch — the metadata-pruned scan
     * that makes a 100 TB table usable: a bounded-range query reads
     * manifest KB + the intersecting shards, not the table.
+    *
+    * INCREMENTAL by construction (r8 verdict task #1): because
+    * manifest rows carry their own `data_dir`, an APPEND snapshot is
+    * the parent's manifest rows verbatim plus new rows for the new
+    * batch's shards — existing data files are NEVER rewritten, the
+    * daily-ingest shape where manifest cost is O(shards) and data
+    * cost is O(new batch). The manifest is always committed LAST, so
+    * a crash between data write and manifest write leaves an orphan
+    * data dir that no reader can ever see (write-audit-publish at
+    * the table layer); [[shardedTableSinkBatch]] keys new rows by
+    * `batch_id` to make streaming appends exactly-once under
+    * foreachBatch replays.
     *
     * Shards are CONTIGUOUS RANGES of `orderCol` (ties broken by id —
     * the [[graft.ops.Packing.orderedShards]] prefix-sum machinery, so
@@ -442,12 +456,105 @@ object Sources {
     * selective; a hash order degrades gracefully to "all shards
     * overlap" but never to a wrong answer. Old snapshots stay
     * readable after new writes (snapshot isolation for readers that
-    * pinned a version). Returns the new version number. */
+    * pinned a version) until [[expireShardedSnapshots]] reclaims
+    * them. Single-writer semantics: concurrent writers race on the
+    * version counter (the reference's compile-once/run-forever
+    * `transformer` story applied to storage assumes one ingest
+    * pipeline per table; a lock file would add no safety on
+    * eventually-consistent stores). */
   def writeShardedTable(df: DataFrame, id: Column, orderCol: Column,
                         path: String, numShards: Int,
-                        statsCols: Seq[String]): Long = {
+                        statsCols: Seq[String]): Long =
+    writeSnapshot(df, id, orderCol, path, numShards, statsCols,
+      parentRows = None, batchId = -1L)
+
+  /** APPEND snapshot: new version = parent manifest rows + the new
+    * batch's shards, zero existing data files touched (see
+    * [[writeShardedTable]] object doc). The batch is range-sharded
+    * WITHIN ITSELF — at 100 TB the parent's layout must not be
+    * consulted, let alone rewritten, so overlapping batches simply
+    * yield overlapping shard ranges and pruning stays a superset
+    * guarantee. Fails loudly if the table does not exist or the
+    * batch's columns differ from the table's (a reader unions
+    * snapshots by name; a silent schema drift would poison every
+    * later read). Returns the new version. */
+  def appendShardedTable(df: DataFrame, id: Column, orderCol: Column,
+                         path: String, numShards: Int,
+                         statsCols: Seq[String],
+                         batchId: Long = -1L): Long = {
+    val spark = df.sparkSession
+    val parent = shardedManifest(spark, path) // requires table exists
+    val sample = parent.select("data_dir", "shard").head()
+    val tableCols = spark.read
+      .parquet(s"${sample.getString(0)}/shard=${sample.getLong(1)}")
+      .columns.toSet
+    val batchCols = df.columns.toSet
+    require(batchCols == tableCols,
+      s"appendShardedTable: batch columns ${batchCols.toSeq.sorted
+        .mkString(",")} != table columns ${tableCols.toSeq.sorted
+        .mkString(",")}")
+    writeSnapshot(df, id, orderCol, path, numShards, statsCols,
+      parentRows = Some(parent), batchId = batchId)
+  }
+
+  /** The exactly-once `foreachBatch` body for a streaming sharded-
+    * table sink: creates the table on the first batch, appends
+    * otherwise, and SKIPS a batch whose `batchId` is already in the
+    * latest manifest — after a crash between foreachBatch attempts,
+    * Structured Streaming replays the same (batchDf, batchId), and
+    * the manifest-commit-last layout means a replayed batch either
+    * never published (orphan data dir, invisible — append runs
+    * again) or fully published (batch_id present — skip). Empty
+    * batches are skipped too (a snapshot must be non-empty). Returns
+    * the table's current version after the call. */
+  def shardedTableSinkBatch(batch: DataFrame, batchId: Long,
+                            id: Column, orderCol: Column, path: String,
+                            numShards: Int,
+                            statsCols: Seq[String]): Long = {
+    val spark = batch.sparkSession
+    val versions = shardedVersions(spark, path)
+    if (versions.isEmpty) {
+      if (batch.isEmpty) 0L
+      else writeSnapshot(batch, id, orderCol, path, numShards,
+        statsCols, parentRows = None, batchId = batchId)
+    } else if (committedBatchIds(spark, path).contains(batchId)) {
+      versions.last
+    } else if (batch.isEmpty) {
+      versions.last
+    } else {
+      appendShardedTable(batch, id, orderCol, path, numShards,
+        statsCols, batchId = batchId)
+    }
+  }
+
+  /** Batch ids already published in the LATEST manifest (the append
+    * chain carries every ancestor's rows forward, so the latest
+    * manifest is the full commit log). Metadata-scale: O(shards). */
+  def committedBatchIds(spark: SparkSession, path: String): Set[Long] = {
+    import org.apache.spark.sql.functions.col
+    val mf = shardedManifest(spark, path)
+    if (!mf.columns.contains("batch_id")) Set.empty
+    else mf.select(col("batch_id")).where(col("batch_id") =!= -1L)
+      .distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  /** Shared snapshot writer: range-shard `df`, write the new data
+    * dir, then commit the manifest (parent rows + new rows) LAST. */
+  private def writeSnapshot(df: DataFrame, id: Column, orderCol: Column,
+                            path: String, numShards: Int,
+                            statsCols: Seq[String],
+                            parentRows: Option[DataFrame],
+                            batchId: Long): Long = {
     import org.apache.spark.sql.functions._
     require(numShards >= 1, s"writeShardedTable: numShards $numShards")
+    // `shard` is the partition column the writer OWNS and `__id`/
+    // `__pos` are its join scaffolding: an input that already carries
+    // one would be silently clobbered (its `shard` even hijacked as
+    // the partition key and lost on readback) — the orderedCumsums
+    // clash contract.
+    val clash = df.columns.intersect(Seq("shard", "__id", "__pos"))
+    require(clash.isEmpty, s"writeShardedTable: reserved column(s) " +
+      s"${clash.mkString(", ")} already exist in the input")
     val spark = df.sparkSession
     val version = shardedVersions(spark, path).lastOption.getOrElse(0L) + 1
     val dataDir = s"$path/data-v$version"
@@ -475,10 +582,18 @@ object Sources {
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ statsCols.flatMap(c =>
       Seq(min(col(c)).cast("long").as(s"min_$c"),
           max(col(c)).cast("long").as(s"max_$c")))
-    written.groupBy(col("shard").cast("long").as("shard"))
+    val newRows = written.groupBy(col("shard").cast("long").as("shard"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("data_dir", lit(dataDir))
-      .coalesce(1)
+      .withColumn("batch_id", lit(batchId))
+    // parent rows ride along VERBATIM (allowMissingColumns tolerates
+    // pre-batch_id manifests; their rows get batch_id = -1)
+    val manifest = parentRows match {
+      case Some(p) => p.unionByName(newRows, allowMissingColumns = true)
+        .na.fill(-1L, Seq("batch_id"))
+      case None => newRows
+    }
+    manifest.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest/v$version")
     version
   }
@@ -494,7 +609,7 @@ object Sources {
   }
 
   /** The manifest frame of a snapshot (default: latest): one row per
-    * shard with n_rows and the min_/max_ stats columns. */
+    * (data_dir, shard) with n_rows and the min_/max_ stats columns. */
   def shardedManifest(spark: SparkSession, path: String,
                       version: Option[Long] = None): DataFrame = {
     val vs = shardedVersions(spark, path)
@@ -505,31 +620,82 @@ object Sources {
   }
 
   /** Manifest-pruned read: open only the shards whose [min, max]
-    * range of `statCol` intersects [lo, hi] (both inclusive), for the
-    * chosen snapshot. The caller still applies its exact predicate —
-    * pruning is a superset guarantee, the same contract as parquet
-    * row-group stats one level up. An empty intersection returns an
-    * empty frame with the table schema. */
+    * stats intersect EVERY `(col, lo, hi)` predicate (all bounds
+    * inclusive, conjunctive — multi-column pruning so a query bounded
+    * on, say, (day, doc_id) skips shards either bound excludes), for
+    * the chosen snapshot. The caller still applies its exact
+    * predicate — pruning is a superset guarantee, the same contract
+    * as parquet row-group stats one level up. An empty intersection
+    * returns an empty frame with the table schema. Shards from
+    * different snapshots (append chains) are unioned by name. */
   def readShardedTable(spark: SparkSession, path: String,
-                       statCol: Option[(String, Long, Long)] = None,
+                       preds: Seq[(String, Long, Long)] = Nil,
                        version: Option[Long] = None): DataFrame = {
     // no functions._ wildcard here: it would shadow the `version` param
     import org.apache.spark.sql.functions.{col, lit}
     val mf = shardedManifest(spark, path, version)
-    val pruned = statCol match {
-      case Some((c, lo, hi)) =>
-        mf.filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi))
-      case None => mf
-    }
+    val pruned = preds.foldLeft(mf) { case (m, (c, lo, hi)) =>
+      m.filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi)) }
     val rows = pruned.select("data_dir", "shard").collect()
-    val dataDir = mf.select("data_dir").head().getString(0)
+    val headDir = mf.select("data_dir").head().getString(0)
     if (rows.isEmpty)
-      spark.read.option("basePath", dataDir).parquet(dataDir)
+      spark.read.option("basePath", headDir).parquet(headDir)
         .filter(lit(false))
     else {
-      val dirs = rows.map(r =>
-        s"${r.getString(0)}/shard=${r.getLong(1)}").toSeq
-      spark.read.option("basePath", dataDir).parquet(dirs: _*)
+      // one read per contributing data dir (each needs its own
+      // basePath for the shard= partition column), unioned by name —
+      // dirs are snapshot-count-many, a metadata-scale union
+      rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+        case (dDir, rs) =>
+          val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
+          spark.read.option("basePath", dDir).parquet(dirs: _*)
+      }.reduce(_.unionByName(_))
     }
+  }
+
+  /** Snapshot expiry: keep the newest `keep` versions, delete the
+    * expired manifests, then delete any data dir NO SURVIVING
+    * manifest references (append chains share data dirs, so
+    * reachability — not version number — decides what is garbage;
+    * this is Iceberg's expire-snapshots contract). Readers of kept
+    * versions are unaffected. Returns the expired versions. */
+  def expireShardedSnapshots(spark: SparkSession, path: String,
+                             keep: Int): Seq[Long] = {
+    require(keep >= 1, s"expireShardedSnapshots: keep $keep < 1")
+    val vs = shardedVersions(spark, path)
+    val expired = vs.dropRight(keep)
+    if (expired.isEmpty) return Seq.empty
+    val kept = vs.takeRight(keep)
+    // compare by basename (data-v<N>): listStatus returns QUALIFIED
+    // paths (file:/..., hdfs://...) while the manifest stores the
+    // writer's raw string — the version-dir name is the stable key
+    val referenced = kept.flatMap(v =>
+      shardedManifest(spark, path, Some(v)).select("data_dir")
+        .distinct().collect()
+        .map(_.getString(0).split('/').last)).toSet
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // manifests first: a version must become unlistable before its
+    // (possibly exclusive) data dirs vanish
+    expired.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_manifest/v$v"),
+        true)
+    }
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-v"))
+      .map(_.getPath)
+      .filterNot(p => referenced.contains(p.getName))
+      .foreach(p => fs.delete(p, true))
+    expired
+  }
+
+  /** Remove the whole table tree (manifests + every data dir). The
+    * temp-table cleanup primitive — q523/q527 write a fresh table per
+    * run and must leave /tmp flat afterwards. */
+  def dropShardedTable(spark: SparkSession, path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    ()
   }
 }

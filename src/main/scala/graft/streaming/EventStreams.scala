@@ -265,8 +265,13 @@ object EventStreams {
     * arm of the continuous crawl-ingest funnel: fingerprint every
     * arriving asset's frames at wire speed, downstream
     * [[phashScreenStream]] joins them against a standing index.
-    * Corrupt frames are skipped, exactly as in batch (parity pinned
-    * by StreamingSpec). */
+    * Corrupt frames are skipped, exactly as in batch; a corrupt
+    * CONTAINER (demux failure — truncated moov, bad run tables,
+    * escaping offsets) is quarantined to zero rows too, because a
+    * throw here fails the micro-batch and a restart re-reads the
+    * SAME blob: one malformed asset must never wedge the stream the
+    * docstring sells as continuous ingest (parity pinned by
+    * StreamingSpec). */
   def mjpegFrameHashStream(stream: DataFrame, idName: String,
                            mediaName: String): DataFrame = {
     val spark = stream.sparkSession
@@ -277,9 +282,12 @@ object EventStreams {
       .flatMap { case (id, blob) =>
         if (blob == null) Iterator.empty
         else {
-          val d = graft.ops.Mp4.demuxSamples(blob)
-          val n = d.samples.length
-          d.samples.iterator.zipWithIndex.flatMap { case (frame, f) =>
+          val samples: Array[Array[Byte]] =
+            try graft.ops.Mp4.demuxSamples(blob).samples
+            catch { case scala.util.control.NonFatal(_) =>
+              Array.empty[Array[Byte]] }
+          val n = samples.length
+          samples.iterator.zipWithIndex.flatMap { case (frame, f) =>
             try {
               val (w, h, plane) = graft.ops.Jpeg.decodeJpegPlane(frame)
               val (hi, lo) = graft.ops.Multimodal.grayAHash64(plane, w, h)

@@ -523,7 +523,7 @@ object ScaleProbe {
           .agg(sum(length(col("text")))).head().getLong(0)
       }
       val pruned = graft.sources.Sources.readShardedTable(spark, path,
-        statCol = Some(("doc_id", 1000000L, 1031249L)))
+        preds = Seq(("doc_id", 1000000L, 1031249L)))
       timed(spark, s"pruned scan (${pruned.inputFiles.length} files)") {
         pruned.filter(col("doc_id").between(1000000L, 1031249L))
           .agg(sum(length(col("text")))).head().getLong(0)

@@ -52,6 +52,53 @@ class GramScanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("d=2048 trainer: two-level merge keeps ONE job and the exact " +
+       "moments (r8 verdict task #2 — past the old d=1024 cap)") {
+    import spark.implicits._
+    // 48 rows of d=2048: the ONLY varying coordinate is index 5
+    // (value j), so the centered Gram has a single nonzero entry
+    // G[5][5] and the exact top component is the basis vector e_5 —
+    // robust to every rounding choice in the integer pipeline
+    val d = 2048
+    val rows = (0 until 48).map { j =>
+      (j.toLong, Array.tabulate(d)(k => if (k == 5) j.toDouble else 0.0))
+    }
+    // parallelize with explicit slices: a repartition() here would be
+    // an AQE-materialized exchange = a separate job the count can't
+    // attribute to the trainer
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4))
+      .toDF("vec_id", "embedding")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = graft.ops.Similarity.topPrincipalComponent(
+        df, col("vec_id"), col("embedding"), iters = 1)
+      assert(settledCount(jobs) == 1,
+        "d=2048 trainer must still cost exactly one corpus job")
+      assert(out.size == d)
+      // e_5 exactly: 1e6 at (1-based) index 6, zero everywhere else
+      assert(out.filter(_._2 != 0L) == Seq((6, 1000000L)))
+      // >8 partitions: the two-level exchange path — identical
+      // moments (exact integers commute with the merge tree) and
+      // STILL one job (the tree is a stage inside it, not a rescan)
+      jobs.set(0)
+      val df16 = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 16))
+        .toDF("vec_id", "embedding")
+      val out16 = graft.ops.Similarity.topPrincipalComponent(
+        df16, col("vec_id"), col("embedding"), iters = 1)
+      assert(settledCount(jobs) == 1,
+        "two-level merge must not add a job")
+      assert(out16 == out)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("single-component trainer is the m = 1 case of the same pass") {
     val df = spark.read.parquet(TestSpark.sf0001 + "/embeddings.parquet")
     val one = graft.ops.Similarity.topPrincipalComponent(

@@ -417,7 +417,7 @@ class SourcesSpec extends AnyFunSuite {
     // pruned read: [120, 180] intersects shards 2 and 3 ONLY — the
     // plan's input files must come from exactly those directories
     val pruned = Sources.readShardedTable(spark, path,
-      statCol = Some(("doc_id", 120L, 180L)))
+      preds = Seq(("doc_id", 120L, 180L)))
     val dirsHit = pruned.inputFiles.map(f =>
       f.split("/").find(_.startsWith("shard=")).get).toSet
     assert(dirsHit == Set("shard=2", "shard=3"))
@@ -428,7 +428,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == (120L to 180L).map(i => (i, s"d$i")))
     // empty intersection -> empty frame, same schema
     val none = Sources.readShardedTable(spark, path,
-      statCol = Some(("doc_id", 5000L, 6000L)))
+      preds = Seq(("doc_id", 5000L, 6000L)))
     assert(none.count() == 0 &&
       none.columns.contains("doc_id") && none.columns.contains("t"))
     // second snapshot (different corpus): listing grows, the old
@@ -442,5 +442,129 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.readShardedTable(spark, path).count() == 100L)
     assert(Sources.readShardedTable(spark, path,
       version = Some(1L)).count() == 400L)
+  }
+
+  test("sharded table APPEND: new snapshot reuses parent shard files " +
+       "untouched; multi-column pruning; old versions stay readable") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shappend").toString
+    def batch(lo: Long, n: Long, day: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"), lit(day).as("day"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    val v1 = Sources.writeShardedTable(batch(0, 400, 1), col("doc_id"),
+      col("doc_id"), path, numShards = 8,
+      statsCols = Seq("doc_id", "day"))
+    assert(v1 == 1L)
+    // fingerprint the parent's data files (path -> (len, mtime))
+    def dataFiles(): Map[String, (Long, Long)] = {
+      val root = new java.io.File(s"$path/data-v1")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(root).map(f =>
+        (f.getPath, (f.length(), f.lastModified()))).toMap
+    }
+    val before = dataFiles()
+    val v2 = Sources.appendShardedTable(batch(400, 200, 2),
+      col("doc_id"), col("doc_id"), path, numShards = 4,
+      statsCols = Seq("doc_id", "day"))
+    assert(v2 == 2L)
+    // the append rewrote ZERO existing files — byte-for-byte identical
+    assert(dataFiles() == before)
+    // latest reads BOTH batches losslessly
+    assert(Sources.readShardedTable(spark, path).count() == 600L)
+    // version 1 still reads exactly the first batch
+    assert(Sources.readShardedTable(spark, path,
+      version = Some(1L)).count() == 400L)
+    // multi-column pruning: (day=2) x (doc_id in [400,449]) must open
+    // only the v2 shard covering 400-449 — day excludes all 8 v1
+    // shards, doc_id excludes 3 of 4 v2 shards
+    val pruned = Sources.readShardedTable(spark, path,
+      preds = Seq(("day", 2L, 2L), ("doc_id", 400L, 449L)))
+    val hit = pruned.inputFiles.map { f =>
+      val seg = f.split("/")
+      (seg.find(_.startsWith("data-v")).get,
+       seg.find(_.startsWith("shard=")).get)
+    }.toSet
+    assert(hit == Set(("data-v2", "shard=0")))
+    assert(pruned.filter(col("doc_id").between(400, 449)).count() == 50L)
+    // schema drift fails loudly
+    intercept[IllegalArgumentException] {
+      Sources.appendShardedTable(
+        batch(600, 10, 3).withColumnRenamed("t", "text"),
+        col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+    }
+    Sources.dropShardedTable(spark, path)
+    assert(!new java.io.File(path).exists())
+  }
+
+  test("sharded table EXPIRY: reclaims only unreachable data dirs; " +
+       "kept append chain still reads every ancestor's data") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shexpire").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    // v1 = full write, v2 = append (shares data-v1), v3 = full REWRITE
+    // (writeShardedTable on the same path = a compacting snapshot
+    // that references only its own dir), v4 = append onto v3
+    Sources.writeShardedTable(batch(0, 100), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    Sources.appendShardedTable(batch(100, 100), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    Sources.writeShardedTable(batch(0, 300), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    Sources.appendShardedTable(batch(300, 100), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    def dirs() = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("data-v")).map(_.getName).toSet
+    assert(dirs() == Set("data-v1", "data-v2", "data-v3", "data-v4"))
+    // keep v3 and v4: v1/v2's dirs are unreachable (v3 rewrote), but
+    // data-v3 is shared by the KEPT v4 manifest and must survive
+    val expired = Sources.expireShardedSnapshots(spark, path, keep = 2)
+    assert(expired == Seq(1L, 2L))
+    assert(Sources.shardedVersions(spark, path) == Seq(3L, 4L))
+    assert(dirs() == Set("data-v3", "data-v4"))
+    assert(Sources.readShardedTable(spark, path).count() == 400L)
+    assert(Sources.readShardedTable(spark, path,
+      version = Some(3L)).count() == 300L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("sharded table sink batch: replayed batchId is exactly-once; " +
+       "orphan data dir (crash before manifest commit) is invisible") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shsink").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    val v1 = Sources.shardedTableSinkBatch(batch(0, 50), 0L,
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+    assert(v1 == 1L)
+    val v2 = Sources.shardedTableSinkBatch(batch(50, 50), 1L,
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+    assert(v2 == 2L)
+    // replay of batch 1 (foreachBatch retry after a crash AFTER the
+    // manifest committed): skipped, version unchanged, no dup rows
+    val v2b = Sources.shardedTableSinkBatch(batch(50, 50), 1L,
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+    assert(v2b == 2L)
+    assert(Sources.readShardedTable(spark, path).count() == 100L)
+    // crash BEFORE manifest commit = orphan data dir: readers never
+    // see it, and the replayed batch publishes cleanly alongside it
+    val orphan = s"$path/data-v99"
+    batch(100, 10).write.parquet(s"$orphan/shard=0")
+    assert(Sources.readShardedTable(spark, path).count() == 100L)
+    val v3 = Sources.shardedTableSinkBatch(batch(100, 50), 2L,
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+    assert(v3 == 3L)
+    assert(Sources.readShardedTable(spark, path).count() == 150L)
+    // empty batch: skipped, version unchanged
+    assert(Sources.shardedTableSinkBatch(batch(0, 50).filter(lit(false)),
+      3L, col("doc_id"), col("doc_id"), path, 2, Seq("doc_id")) == 3L)
+    Sources.dropShardedTable(spark, path)
   }
 }
