@@ -858,6 +858,30 @@ object SparkEntry {
         col("s_nationkey"))
     }),
 
+    // Per-group rank stability (r9): q526's rho per source slice —
+    // grouped prefix-sum ranks, so 20k groups cost the same shuffle
+    // as the 5 here. The oracle replays the doubled ranks with a
+    // PARTITION BY g window.
+    "q528_spearman_group" -> ((s, dir) => {
+      graft.ops.Eval.spearmanByGroup(t(s, dir, "supplier"),
+        col("s_nationkey") % 5,
+        floor(col("s_acctbal") * 100 + lit(0.5)),
+        length(col("s_name")))
+        .orderBy("g")
+    }),
+
+    // Kendall tau-b per group (r9): the heavy-tie-regime rank
+    // statistic — concordance counted on the distinct (g, x, y) CELL
+    // table (O(cells²) per group, never O(rows²)), tie-corrected
+    // margins. Coarse quantization here IS the operating regime.
+    "q529_kendall_group" -> ((s, dir) => {
+      graft.ops.Eval.kendallTauBByGroup(t(s, dir, "supplier"),
+        col("s_nationkey") % 5,
+        floor(col("s_acctbal") / 1000),
+        col("s_suppkey") % 7)
+        .orderBy("g")
+    }),
+
     // Ingest dispatcher (r8): a MIXED media corpus — every real codec
     // the engine writes, one per doc_id residue — routed by magic-byte
     // sniffing (extensions and Content-Type lie; the bytes do not).
@@ -5722,6 +5746,77 @@ object SparkEntry {
                AS BIGINT)
            END AS rho_micro
          FROM a""",
+
+    // q528: the q526 rank machinery under PARTITION BY g windows
+    "q528_spearman_group" ->
+      """WITH b AS (SELECT CAST(s_nationkey % 5 AS VARCHAR) AS g,
+                    CAST(floor(s_acctbal*100 + 0.5) AS BIGINT) AS x,
+                    CAST(len(s_name) AS BIGINT) AS y FROM supplier
+                    WHERE s_acctbal IS NOT NULL
+                      AND s_name IS NOT NULL),
+         gx AS (SELECT g, x, count(*) AS n FROM b GROUP BY g, x),
+         rx AS (SELECT g, x, 2*coalesce(sum(n) OVER (PARTITION BY g
+                  ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + n + 1 AS rx2 FROM gx),
+         gy AS (SELECT g, y, count(*) AS n FROM b GROUP BY g, y),
+         ry AS (SELECT g, y, 2*coalesce(sum(n) OVER (PARTITION BY g
+                  ORDER BY y
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + n + 1 AS ry2 FROM gy),
+         jj AS (SELECT b.g AS g, rx2, ry2 FROM b
+                JOIN rx ON b.g = rx.g AND b.x = rx.x
+                JOIN ry ON b.g = ry.g AND b.y = ry.y),
+         a AS (SELECT g, count(*) AS n, sum(rx2) AS sx, sum(ry2) AS sy,
+                 sum(rx2*rx2) AS sxx, sum(ry2*ry2) AS syy,
+                 sum(rx2*ry2) AS sxy
+               FROM jj GROUP BY g)
+         SELECT g, CAST(n AS BIGINT) AS n,
+           CASE WHEN n*sxx - sx*sx <= 0 OR n*syy - sy*sy <= 0 THEN NULL
+             ELSE CAST(floor((n*sxy - sx*sy) * 1000000.0 /
+               sqrt((n*sxx - sx*sx) * 1.0 * (n*syy - sy*sy)) + 0.5)
+               AS BIGINT)
+           END AS rho_micro
+         FROM a ORDER BY g""",
+
+    // q529: tau-b from the distinct-cell table — concordant/
+    // discordant cell-pair sums, tie-corrected doubled margins
+    "q529_kendall_group" ->
+      """WITH b AS (SELECT CAST(s_nationkey % 5 AS VARCHAR) AS g,
+                    CAST(floor(s_acctbal / 1000) AS BIGINT) AS x,
+                    CAST(s_suppkey % 7 AS BIGINT) AS y FROM supplier
+                    WHERE s_acctbal IS NOT NULL
+                      AND s_suppkey IS NOT NULL),
+         cells AS (SELECT g, x, y, count(*) AS f FROM b
+                   GROUP BY g, x, y),
+         pairs AS (SELECT c1.g AS g,
+                     sum(CASE WHEN c1.y < c2.y THEN c1.f*c2.f
+                         ELSE 0 END) AS c,
+                     sum(CASE WHEN c1.y > c2.y THEN c1.f*c2.f
+                         ELSE 0 END) AS d
+                   FROM cells c1 JOIN cells c2
+                     ON c1.g = c2.g AND c1.x < c2.x
+                   GROUP BY c1.g),
+         nn AS (SELECT g, sum(f) AS n FROM cells GROUP BY g),
+         xt AS (SELECT g, sum(t*(t-1)) AS n1x2 FROM
+                  (SELECT g, x, sum(f) AS t FROM cells GROUP BY g, x)
+                GROUP BY g),
+         yt AS (SELECT g, sum(t*(t-1)) AS n2x2 FROM
+                  (SELECT g, y, sum(f) AS t FROM cells GROUP BY g, y)
+                GROUP BY g)
+         SELECT nn.g AS g, CAST(n AS BIGINT) AS n,
+           CAST(coalesce(c, 0) AS BIGINT) AS concordant,
+           CAST(coalesce(d, 0) AS BIGINT) AS discordant,
+           CASE WHEN n*(n-1) - n1x2 <= 0 OR n*(n-1) - n2x2 <= 0
+             THEN NULL
+             ELSE CAST(floor(
+               (coalesce(c, 0) - coalesce(d, 0)) * 2000000.0 /
+               sqrt((n*(n-1) - n1x2) * 1.0 * (n*(n-1) - n2x2)) + 0.5)
+               AS BIGINT)
+           END AS tau_b_micro
+         FROM nn JOIN xt ON nn.g = xt.g JOIN yt ON nn.g = yt.g
+         LEFT JOIN pairs ON nn.g = pairs.g
+         ORDER BY g""",
 
     // q525: sniffing is deterministic per residue — the oracle IS the
     // residue -> mime map

@@ -322,4 +322,167 @@ object Eval {
             .cast("long"))
           .as("rho_micro"))
   }
+
+  /** Doubled average rank of each distinct (g, v): a tie group at
+    * positions b+1..b+n within its GROUP has doubled average rank
+    * 2b+n+1. The grouped two-pass prefix sum ([[rocAucByGroup]]'s
+    * shape): range-partition the distinct table on (g, v),
+    * per-(partition, group) totals → per-group bases on the driver
+    * (O(partitions × groups) longs, never row data), broadcast back
+    * under a per-(partition, group) window — 20k groups cost the
+    * same shuffle as 2. Input columns (g, v, n); output (g, v, out). */
+  private def groupedRanks2(gv: DataFrame, out: String,
+                            partitions: Int): DataFrame = {
+    import graft.Checkpoints.CheckpointOps
+    import org.apache.spark.sql.expressions.Window
+    val spark = gv.sparkSession
+    import spark.implicits._
+    val p0 = gv.repartitionByRange(partitions, col("g"), col("v"))
+      .sortWithinPartitions(col("g"), col("v"))
+      .withColumn("__pid", spark_partition_id())
+      .cut()
+    val totals = p0.groupBy("__pid", "g").agg(sum(col("n")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    val bases = totals.groupBy(_._2).iterator.flatMap {
+      case (g, rows) =>
+        val byPid = rows.sortBy(_._1)
+        byPid.map(_._1).zip(byPid.map(_._3).scanLeft(0L)(_ + _)).map {
+          case (pid, off) => (pid, g, off) }
+    }.toSeq.toDF("__pid", "g", "__base")
+    val w = Window.partitionBy(col("__pid"), col("g"))
+      .orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p0.join(broadcast(bases), Seq("__pid", "g"))
+      .withColumn(out,
+        (col("__base") + sum(col("n")).over(w) - col("n")) * 2 +
+          col("n") + 1)
+      .select(col("g"), col("v"), col(out))
+  }
+
+  /** Per-group [[spearmanMicro]] — one row per `group` with (g, n,
+    * rho_micro): rank-ordering stability across sources/domains/
+    * languages, the slice view AUC-by-group gives to a binary gold
+    * applied to two CONTINUOUS scorers. Ranks are within-group
+    * doubled average ranks from [[groupedRanks2]] (two grouped
+    * prefix-sum passes, one per score column — no per-group window
+    * over the corpus, so 20k groups cost the same shuffle as 2), the
+    * moments and the final rho per group exactly as the global op —
+    * same numeric envelope (per-GROUP n ≲ 50k at doubled-rank scale),
+    * same pairwise deletion of null-bearing rows, same NULL rho for
+    * degenerate groups. Null group keys surface as "<null>" (the
+    * [[rocAucByGroup]] convention and caveat). */
+  def spearmanByGroup(df: DataFrame, group: Column, x: Column,
+                      y: Column, partitions: Int = 32): DataFrame = {
+    val rows = df.select(
+        coalesce(group.cast("string"), lit("<null>")).as("g"),
+        x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    def ranks(vName: String, out: String): DataFrame =
+      groupedRanks2(
+        rows.groupBy(col("g"), col(vName).as("v"))
+          .agg(count(lit(1)).as("n")),
+        out, partitions)
+        .withColumnRenamed("v", vName)
+    val j = rows
+      .join(ranks("__x", "rx2"), Seq("g", "__x"))
+      .join(ranks("__y", "ry2"), Seq("g", "__y"))
+    j.groupBy("g")
+      .agg(
+        count(lit(1)).cast(dec).as("__n"),
+        sum(col("rx2").cast(dec)).as("__sx"),
+        sum(col("ry2").cast(dec)).as("__sy"),
+        sum((col("rx2") * col("rx2")).cast(dec)).as("__sxx"),
+        sum((col("ry2") * col("ry2")).cast(dec)).as("__syy"),
+        sum((col("rx2") * col("ry2")).cast(dec)).as("__sxy"))
+      .withColumn("__num", col("__n") * col("__sxy") -
+        col("__sx") * col("__sy"))
+      .withColumn("__dx", col("__n") * col("__sxx") -
+        col("__sx") * col("__sx"))
+      .withColumn("__dy", col("__n") * col("__syy") -
+        col("__sy") * col("__sy"))
+      .select(col("g"),
+        col("__n").cast("long").as("n"),
+        when(col("__dx") <= 0 || col("__dy") <= 0,
+            lit(null).cast("long"))
+          .otherwise(floor(
+            col("__num").cast("double") * lit(1000000.0) /
+              sqrt(col("__dx").cast("double") *
+                   col("__dy").cast("double")) + lit(0.5))
+            .cast("long"))
+          .as("rho_micro"))
+  }
+
+  /** Per-group Kendall tau-b, one row per group: (g, n, concordant,
+    * discordant, tau_b_micro) — the rank statistic that stays
+    * meaningful in the HEAVY-TIE regime micro-quantized scores
+    * create (Spearman's denominator collapses as tie mass grows;
+    * tau-b corrects both margins):
+    * tau_b = (C − D) / √((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2,
+    * n1/n2 = Σ t(t−1)/2 over x/y tie groups.
+    *
+    * Scale shape: concordance is counted on the distinct
+    * (g, x, y) CELL table — C and D are cell-pair sums, so the
+    * self-join costs O(cells² per group), not O(rows²). That is
+    * exactly the heavy-tie contract: quantized/bucketed scores keep
+    * cells per group small while rows grow unbounded (a
+    * continuous-score caller quantizes first — the module's standing
+    * convention). The join ships each group's cells once (hash on
+    * g); ties and n0 come from two cell-level aggregates.
+    *
+    * Exactness: C, D and the tie sums are exact decimal(38,0); the
+    * final tau applies the same IEEE (convert, multiply, sqrt,
+    * divide, half-up floor) pipeline to identical integers on both
+    * engines. NULL tau for groups with n < 2 or an all-tied margin.
+    * Pairwise deletion and "<null>" group keys as [[spearmanByGroup]]. */
+  def kendallTauBByGroup(df: DataFrame, group: Column, x: Column,
+                         y: Column): DataFrame = {
+    import graft.Checkpoints.CheckpointOps
+    val rows = df.select(
+        coalesce(group.cast("string"), lit("<null>")).as("g"),
+        x.cast("long").as("__x"), y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val cells = rows.groupBy("g", "__x", "__y")
+      .agg(count(lit(1)).as("f")).cut()
+    val a = cells.select(col("g"), col("__x").as("x1"),
+      col("__y").as("y1"), col("f").cast(dec).as("f1"))
+    val b = cells.select(col("g").as("g2"), col("__x").as("x2"),
+      col("__y").as("y2"), col("f").cast(dec).as("f2"))
+    // every unordered cell pair once (x1 < x2); equal-x pairs are x
+    // ties, never concordant/discordant
+    val pairs = a.join(b, col("g") === col("g2") && col("x1") < col("x2"))
+      .groupBy("g")
+      .agg(
+        sum(when(col("y1") < col("y2"), col("f1") * col("f2"))
+          .otherwise(lit(0).cast(dec))).as("__c"),
+        sum(when(col("y1") > col("y2"), col("f1") * col("f2"))
+          .otherwise(lit(0).cast(dec))).as("__d"))
+    // margins: n, n0, and the two tie corrections — all from cells
+    val xt = cells.groupBy("g", "__x").agg(sum(col("f")).as("t"))
+      .groupBy("g").agg(sum((col("t").cast(dec) * (col("t") - 1))
+        .cast(dec)).as("__n1x2")) // 2·n1
+    val yt = cells.groupBy("g", "__y").agg(sum(col("f")).as("t"))
+      .groupBy("g").agg(sum((col("t").cast(dec) * (col("t") - 1))
+        .cast(dec)).as("__n2x2")) // 2·n2
+    val ng = cells.groupBy("g").agg(sum(col("f")).cast(dec).as("__n"))
+    ng.join(xt, Seq("g")).join(yt, Seq("g"))
+      .join(pairs, Seq("g"), "left")
+      .na.fill(0, Seq("__c", "__d"))
+      .withColumn("__n0x2", col("__n") * (col("__n") - 1)) // 2·n0
+      .withColumn("__dx", col("__n0x2") - col("__n1x2"))
+      .withColumn("__dy", col("__n0x2") - col("__n2x2"))
+      .select(col("g"),
+        col("__n").cast("long").as("n"),
+        col("__c").cast("long").as("concordant"),
+        col("__d").cast("long").as("discordant"),
+        when(col("__dx") <= 0 || col("__dy") <= 0,
+            lit(null).cast("long"))
+          // (C−D)/√(dx/2 · dy/2) = 2(C−D)/√(dx·dy) on the doubled
+          // margins — one less division to replicate
+          .otherwise(floor(
+            (col("__c") - col("__d")).cast("double") * lit(2000000.0) /
+              sqrt(col("__dx").cast("double") *
+                   col("__dy").cast("double")) + lit(0.5))
+            .cast("long"))
+          .as("tau_b_micro"))
+  }
 }

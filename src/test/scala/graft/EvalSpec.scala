@@ -210,4 +210,64 @@ class EvalSpec extends AnyFunSuite {
     // constant column: zero variance -> NULL, not a crash or a 0
     assert(sp(Seq((7L, 1L), (7L, 2L), (7L, 3L))) == ((3L, None)))
   }
+
+  test("spearmanMicro drops null-bearing rows pairwise: ranks and " +
+       "moments cover the same population") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq((Some(1L), Some(10L)), (Some(2L), None),
+      (None, Some(25L)), (Some(3L), Some(30L)), (Some(4L), Some(40L)))
+    val r = Eval.spearmanMicro(rows.toDF("x", "y"), col("x"), col("y"))
+      .collect()(0)
+    // survivors (1,10),(3,30),(4,40): perfectly monotone over n=3
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1000000L)
+  }
+
+  test("spearmanByGroup: per-group rho equals global rho computed " +
+       "group-by-group; degenerate group NULL; null group surfaces") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L), // monotone
+      ("b", 1L, 40L), ("b", 2L, 30L), ("b", 3L, 20L), // reversed
+      ("c", 7L, 1L), ("c", 7L, 2L),                   // constant x
+      (null.asInstanceOf[String], 1L, 5L),
+      (null.asInstanceOf[String], 2L, 9L))
+    val out = Eval.spearmanByGroup(rows.toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("<null>", 2L, Some(1000000L)),
+      ("a", 3L, Some(1000000L)),
+      ("b", 3L, Some(-1000000L)),
+      ("c", 2L, None)))
+  }
+
+  test("kendallTauBByGroup: hand cases — monotone +1e6, reversed " +
+       "-1e6, the tie-corrected textbook case, all-tied margin NULL") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 1L, 30L), ("b", 2L, 20L), ("b", 3L, 10L),
+      // ties both margins: x=(1,1,2,2), y=(1,2,1,2) -> C=1 pair
+      // ((1,1)-(2,2)), D=1 ((1,2)-(2,1)), plus (1,1)-(2,1) and
+      // (1,2)-(2,2) are y-ties -> C=2, D=1? enumerate: cells
+      // (1,1),(1,2),(2,1),(2,2) each f=1; x1<x2 pairs:
+      // (1,1)-(2,1): y tie; (1,1)-(2,2): C; (1,2)-(2,1): D;
+      // (1,2)-(2,2): y tie -> C=1, D=1, tau=0
+      ("t", 1L, 1L), ("t", 1L, 2L), ("t", 2L, 1L), ("t", 2L, 2L),
+      ("z", 5L, 1L), ("z", 5L, 2L)) // all-tied x margin
+    val out = Eval.kendallTauBByGroup(rows.toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("a", 3L, 3L, 0L, Some(1000000L)),
+      ("b", 3L, 0L, 3L, Some(-1000000L)),
+      ("t", 4L, 1L, 1L, Some(0L)),
+      ("z", 2L, 0L, 0L, None)))
+  }
 }
