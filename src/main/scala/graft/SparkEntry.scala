@@ -950,6 +950,35 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // Incremental table (r9): batch 1 = even doc_ids, APPEND batch 2
+    // = odd doc_ids (zero parent files rewritten — SourcesSpec pins
+    // it), then answer a bounded range from the LATEST snapshot with
+    // multi-column manifest pruning (n_chars bound excludes shards
+    // the doc_id bound alone would open). The oracle is the plain
+    // predicate over the source: append + prune must be lossless.
+    "q527_sharded_append" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTable(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"),
+        col("doc_id"), path, numShards = 8,
+        statsCols = Seq("doc_id", "n_chars"))
+      graft.sources.Sources.appendShardedTable(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"),
+        col("doc_id"), path, numShards = 8,
+        statsCols = Seq("doc_id", "n_chars"))
+      val res = graft.sources.Sources.readShardedTable(s, path,
+          preds = Seq(("doc_id", 100L, 399L), ("n_chars", 0L, 2000L)))
+        .filter(col("doc_id").between(100, 399) &&
+          col("n_chars").between(0, 2000))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
     "q502_mjpeg_frames" -> ((s, dir) => {
       val vids = graft.ops.Mp4.synthMjpegMp4(
         t(s, dir, "documents").select(col("doc_id")), "doc_id")
@@ -5862,6 +5891,14 @@ object SparkEntry {
     "q523_sharded_table" ->
       """SELECT doc_id, source, CAST(len(text) AS BIGINT) AS n_chars
          FROM documents WHERE doc_id BETWEEN 100 AND 399
+         ORDER BY doc_id""",
+
+    // q527: append + multi-column pruning are invisible too — the
+    // oracle is the conjunctive predicate over the source table
+    "q527_sharded_append" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents WHERE doc_id BETWEEN 100 AND 399
+           AND n_chars BETWEEN 0 AND 2000
          ORDER BY doc_id""",
 
     // q502: the q416 mosaic replay per (id, frame) with a per-frame
