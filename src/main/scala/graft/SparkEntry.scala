@@ -989,6 +989,21 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Fragmented MP4 (r9): the q502 decode over CMAF/DASH-style
+    // moof/mdat segments — the layout real crawl video ships in.
+    // BOTH isolation properties in one corpus: a corrupt FRAME costs
+    // one row (id%7==3), a torn LAST FRAGMENT costs its frames and
+    // nothing else (id%5==2 — the tolerant scan stops at the tear).
+    "q530_fmp4_frames" -> ((s, dir) => {
+      val vids = graft.ops.Mp4.synthFmp4Mjpeg(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Mp4.decodeMjpegFramesDf(vids, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("frame_idx"),
+          col("n_frames"), col("ok").cast("int").as("ok"),
+          col("width"), col("height"), col("sum_y"), col("first_px"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // Funnel v5 through the PUBLIC Pipeline API: quality gate ->
     // CDC chunk-dedup REWRITE (shift-robust boilerplate removal) —
     // the round's rewrite stage composed end to end, exact oracle.
@@ -5908,6 +5923,35 @@ object SparkEntry {
       """WITH s AS (SELECT doc_id, 9 + doc_id % 17 AS w,
                       6 + doc_id % 11 AS h,
                       3 + doc_id % 4 AS nf FROM documents),
+         f AS (SELECT doc_id, w, h, nf,
+                 unnest(range(nf)) AS fi FROM s),
+         e AS (SELECT doc_id, w, h, nf, fi,
+                 (doc_id % 7 = 3 AND fi = 1) AS bad FROM f)
+         SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+           CAST(nf AS INTEGER) AS n_frames,
+           CASE WHEN bad THEN 0 ELSE 1 END AS ok,
+           CASE WHEN bad THEN NULL ELSE CAST(w AS INTEGER) END AS width,
+           CASE WHEN bad THEN NULL ELSE CAST(h AS INTEGER) END AS height,
+           CASE WHEN bad THEN NULL ELSE CAST(list_sum(
+             [(doc_id*31 + fi*19 + ((i % w) // 8)*7 + ((i // w) // 8)*13)
+                % 256 FOR i IN range(w*h)]) AS BIGINT) END AS sum_y,
+           CASE WHEN bad THEN NULL
+             ELSE CAST((doc_id*31 + fi*19) % 256 AS BIGINT) END
+             AS first_px
+         FROM e ORDER BY doc_id, fi""",
+
+    // q530: the q502 replay with the torn-tail fragment count —
+    // id%5==2 loses its last 2-frame-grouped fragment, so the
+    // surviving count is 2*((nf-1)//2); frame content is unchanged
+    // (fragments don't change pixels, only byte layout)
+    "q530_fmp4_frames" ->
+      """WITH s0 AS (SELECT doc_id, 9 + doc_id % 17 AS w,
+                       6 + doc_id % 11 AS h,
+                       3 + doc_id % 4 AS nf0 FROM documents),
+         s AS (SELECT doc_id, w, h,
+                 CASE WHEN doc_id % 5 = 2 THEN ((nf0 - 1) // 2) * 2
+                      ELSE nf0 END AS nf
+               FROM s0),
          f AS (SELECT doc_id, w, h, nf,
                  unnest(range(nf)) AS fi FROM s),
          e AS (SELECT doc_id, w, h, nf, fi,

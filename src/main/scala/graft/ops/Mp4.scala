@@ -163,6 +163,99 @@ object Mp4 {
     assemble(mdatPayloadOff.toLong)
   }
 
+  /** Encode a one-video-track FRAGMENTED MP4 (fMP4 — the CMAF/DASH
+    * layout real crawl video overwhelmingly uses): `ftyp` + a `moov`
+    * whose sample tables are EMPTY (plus `mvex/trex` defaults), then
+    * one `moof`+`mdat` pair per fragment — each `moof` carrying the
+    * fragment's own run table (`traf/tfhd` with default-base-is-moof,
+    * one `trun` with data-offset + per-sample sizes, 14496-12 §8.8).
+    * `fragSizes(i)` are fragment i's sample byte sizes and
+    * `payloads(i)` its concatenated sample bytes. */
+  def encodeFragmentedMp4(width: Int, height: Int, timescale: Long,
+                          sampleDelta: Long,
+                          fragSizes: Array[Array[Int]],
+                          payloads: Array[Array[Byte]],
+                          codec: String = "avc1"): Array[Byte] = {
+    require(width > 0 && height > 0, "empty frame size")
+    require(width <= 0xffff && height <= 0xffff,
+      s"sample-entry dimensions are 16-bit: ${width}x$height")
+    require(timescale > 0 && sampleDelta > 0, "zero timescale/delta")
+    require(fragSizes.length == payloads.length,
+      "fragment count mismatch")
+    fragSizes.zip(payloads).foreach { case (sz, p) =>
+      require(sz.forall(_ >= 0), "negative sample size")
+      require(p.length == sz.map(_.toLong).sum,
+        "fragment payload length != sum of its sample sizes")
+    }
+    require(codec.length == 4, s"codec fourcc '$codec'")
+    val ftyp = box("ftyp", fourcc("iso5"), be32(0x200L), fourcc("iso5"),
+      fourcc("isom"))
+    val mvhd = fullBox("mvhd", 0, 0,
+      be32(0), be32(0), be32(timescale), be32(0), // duration unknown
+      be32(0x00010000L), be16(0x0100), be16(0),
+      be32(0), be32(0),
+      be32(0x00010000L), be32(0), be32(0),
+      be32(0), be32(0x00010000L), be32(0),
+      be32(0), be32(0), be32(0x40000000L),
+      be32(0), be32(0), be32(0), be32(0), be32(0), be32(0),
+      be32(2))
+    val tkhd = fullBox("tkhd", 0, 7,
+      be32(0), be32(0), be32(1), be32(0), be32(0),
+      be32(0), be32(0),
+      be16(0), be16(0), be16(0), be16(0),
+      be32(0x00010000L), be32(0), be32(0),
+      be32(0), be32(0x00010000L), be32(0),
+      be32(0), be32(0), be32(0x40000000L),
+      be32(width.toLong << 16), be32(height.toLong << 16))
+    val mdhd = fullBox("mdhd", 0, 0,
+      be32(0), be32(0), be32(timescale), be32(0),
+      be16(0x55c4), be16(0))
+    val hdlr = fullBox("hdlr", 0, 0,
+      be32(0), fourcc("vide"), be32(0), be32(0), be32(0),
+      "graft video".getBytes("US-ASCII") :+ 0.toByte)
+    val entry = box(codec,
+      Array.fill[Byte](6)(0), be16(1),
+      be16(0), be16(0), Array.fill[Byte](12)(0),
+      be16(width), be16(height),
+      be32(0x00480000L), be32(0x00480000L),
+      be32(0), be16(1),
+      Array.fill[Byte](32)(0),
+      be16(24), be16(0xffff))
+    // empty sample tables: every sample lives in a fragment
+    val stbl = box("stbl",
+      fullBox("stsd", 0, 0, be32(1), entry),
+      fullBox("stts", 0, 0, be32(0)),
+      fullBox("stsc", 0, 0, be32(0)),
+      fullBox("stsz", 0, 0, be32(0), be32(0)),
+      fullBox("stco", 0, 0, be32(0)))
+    val dref = fullBox("dref", 0, 0, be32(1), fullBox("url ", 0, 1))
+    val vmhd = fullBox("vmhd", 0, 1, be16(0), be16(0), be16(0), be16(0))
+    val minf = box("minf", vmhd, box("dinf", dref), stbl)
+    val trak = box("trak", tkhd, box("mdia", mdhd, hdlr, minf))
+    val trex = fullBox("trex", 0, 0, be32(1), be32(1),
+      be32(sampleDelta), be32(0), be32(0))
+    val moov = box("moov", mvhd, trak, box("mvex", trex))
+    val frags = fragSizes.zip(payloads).zipWithIndex.flatMap {
+      case ((sizes, payload), i) =>
+        // trun flags: data-offset-present | sample-size-present
+        def moofOf(dataOff: Long): Array[Byte] = {
+          val trun = fullBox("trun", 0, 0x000201,
+            be32(sizes.length.toLong), be32(dataOff),
+            sizes.flatMap(sz => be32(sz.toLong)))
+          val tfhd = fullBox("tfhd", 0, 0x020000, be32(1)) // base-is-moof
+          val traf = box("traf", tfhd, trun)
+          box("moof", fullBox("mfhd", 0, 0, be32(i + 1L)), traf)
+        }
+        // data_offset is moof-relative (default-base-is-moof): the
+        // mdat payload starts 8 bytes after the moof ends. The moof's
+        // size does not depend on the offset value — assemble once
+        // with a placeholder, rebuild with the real offset.
+        val moofLen = moofOf(0L).length
+        moofOf(moofLen + 8L) ++ box("mdat", payload)
+    }
+    ftyp ++ moov ++ frags
+  }
+
   // ---- demux ----
 
   /** Demuxed container metadata (no codec decode). */
@@ -278,6 +371,29 @@ object Mp4 {
       width, height, nSamples, sumBytes, delta)
   }
 
+  /** Iterate TOP-LEVEL boxes tolerantly: a truncated tail (the way
+    * crawl segments actually tear — mid-box, mid-download) ENDS the
+    * iteration instead of throwing; boxes fully inside the file are
+    * handed to `f` and their inner parses stay strict. */
+  private def walkTopTolerant(b: Array[Byte])
+                             (f: (String, Int, Int, Int) => Unit): Unit = {
+    var off = 0
+    var done = false
+    while (!done && off + 8 <= b.length) {
+      var size = u32(b, off)
+      val t = typ(b, off + 4)
+      var hdr = 8
+      if (size == 1L) {
+        if (off + 16 > b.length) done = true
+        else { size = u64(b, off + 8); hdr = 16 }
+      } else if (size == 0L) size = (b.length - off).toLong
+      if (!done) {
+        if (size < hdr || off + size > b.length) done = true
+        else { f(t, off, off + hdr, off + size.toInt); off += size.toInt }
+      }
+    }
+  }
+
   /** The first video trak's codec fourcc (from stsd) and its SAMPLE
     * PAYLOADS, split out of mdat by the real chunk machinery: stsz
     * sizes, stsc run-length sample→chunk map, stco (or co64) chunk
@@ -296,16 +412,30 @@ object Mp4 {
     // when no trak declares a video handler.
     final case class Trak(var handler: String = "",
                           var codec: String = "",
+                          var trackId: Long = 0L,
+                          var defaultSize: Long = 0L,
                           var sizes: Array[Int] = null,
                           var stsc: Array[(Long, Long)] = null,
                           var chunkOffs: Array[Long] = null)
     val traks = scala.collection.mutable.ArrayBuffer.empty[Trak]
-    walk(bytes, 0, bytes.length) {
-      case ("moov", f0, t0) => walk(bytes, f0, t0) {
+    // trex default sample sizes, applied after the walk (mvex may
+    // precede or follow the traks in the moov)
+    val trexDefaults = scala.collection.mutable.Map.empty[Long, Long]
+    walkTopTolerant(bytes) {
+      case ("moov", _, f0, t0) => walk(bytes, f0, t0) {
+        case ("mvex", f1, t1) => walk(bytes, f1, t1) {
+          case ("trex", f, _) =>
+            trexDefaults(u32(bytes, f + 4)) = u32(bytes, f + 16)
+          case _ => ()
+        }
         case ("trak", f1, t1) =>
           val tk = Trak()
           traks += tk
           walk(bytes, f1, t1) {
+          case ("tkhd", f, _) =>
+            val v = bytes(f) & 0xff
+            tk.trackId =
+              if (v == 1) u32(bytes, f + 4 + 16) else u32(bytes, f + 4 + 8)
           case ("mdia", f2, t2) => walk(bytes, f2, t2) {
             case ("hdlr", f, _) => tk.handler = typ(bytes, f + 8)
             case ("minf", f3, t3) => walk(bytes, f3, t3) {
@@ -361,33 +491,126 @@ object Mp4 {
       .orElse(traks.find(complete))
       .getOrElse(throw new IllegalArgumentException(
         "mp4: no trak with complete stsz/stsc/stco sample tables"))
+    pick.defaultSize = trexDefaults.getOrElse(pick.trackId, 0L)
     val codec = pick.codec
     val sizes = pick.sizes
     val stsc = pick.stsc
     val chunkOffs = pick.chunkOffs
-    require(stsc.nonEmpty && stsc.head._1 == 1L, "mp4: bad stsc")
-    val out = new Array[Array[Byte]](sizes.length)
-    var si = 0
-    var e = 0
-    var c = 0
-    while (c < chunkOffs.length && si < sizes.length) {
-      while (e + 1 < stsc.length && stsc(e + 1)._1 <= c + 1) e += 1
-      val spc = stsc(e)._2
-      var off = chunkOffs(c)
-      var j = 0L
-      while (j < spc && si < sizes.length) {
-        val sz = sizes(si)
-        require(off >= 0 && off + sz <= bytes.length,
-          s"mp4: sample $si [$off, ${off + sz}) escapes the file")
-        out(si) = java.util.Arrays.copyOfRange(
-          bytes, off.toInt, off.toInt + sz)
-        off += sz; si += 1; j += 1
+    // classic (moov-resident) samples, when the stbl declares any
+    val legacy: Array[Array[Byte]] =
+      if (sizes.isEmpty) Array.empty
+      else {
+        require(stsc.nonEmpty && stsc.head._1 == 1L, "mp4: bad stsc")
+        val out = new Array[Array[Byte]](sizes.length)
+        var si = 0
+        var e = 0
+        var c = 0
+        while (c < chunkOffs.length && si < sizes.length) {
+          while (e + 1 < stsc.length && stsc(e + 1)._1 <= c + 1) e += 1
+          val spc = stsc(e)._2
+          var off = chunkOffs(c)
+          var j = 0L
+          while (j < spc && si < sizes.length) {
+            val sz = sizes(si)
+            require(off >= 0 && off + sz <= bytes.length,
+              s"mp4: sample $si [$off, ${off + sz}) escapes the file")
+            out(si) = java.util.Arrays.copyOfRange(
+              bytes, off.toInt, off.toInt + sz)
+            off += sz; si += 1; j += 1
+          }
+          c += 1
+        }
+        require(si == sizes.length,
+          s"mp4: chunk tables cover $si of ${sizes.length} samples")
+        out
       }
-      c += 1
+    val frag = fragmentSamples(bytes, pick.trackId, pick.defaultSize)
+    Mp4Samples(codec, legacy ++ frag)
+  }
+
+  /** Movie-fragment samples of `trackId`, in file order: a TOLERANT
+    * top-level scan (a truncated tail — the way crawl segments
+    * actually break — ends the scan instead of killing the asset)
+    * with per-`moof` isolation: a fragment whose run tables are
+    * malformed or whose sample ranges escape the file contributes
+    * ZERO samples and the scan continues — one bad fragment costs its
+    * frames, never the asset. Inside a good moof the parse is strict
+    * (14496-12 §8.8): `tfhd` optional fields honored
+    * (base-data-offset / sample-description-index / default duration,
+    * size, flags), multiple `trun`s per `traf` with data-offset,
+    * first-sample-flags, and any per-sample field mix — absent sizes
+    * fall back to the tfhd default, then the trex default. */
+  private def fragmentSamples(bytes: Array[Byte], trackId: Long,
+                              trexDefaultSize: Long)
+      : Array[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    walkTopTolerant(bytes) { (t, start, f, to) =>
+      if (t == "moof") {
+        try out ++= moofSamples(bytes, start, f, to, trackId,
+          trexDefaultSize)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
-    require(si == sizes.length,
-      s"mp4: chunk tables cover $si of ${sizes.length} samples")
-    Mp4Samples(codec, out)
+    out.toArray
+  }
+
+  /** Strict parse of one moof's samples for `trackId` (throws on any
+    * malformation — the caller isolates the throw to this fragment). */
+  private def moofSamples(bytes: Array[Byte], moofStart: Int, from: Int,
+                          to: Int, trackId: Long, trexDefaultSize: Long)
+      : Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    walk(bytes, from, to) {
+      case ("traf", f1, t1) =>
+        var tid = -1L
+        var base = moofStart.toLong // default-base-is-moof AND the
+                                    // spec's first-traf default
+        var defaultSize = trexDefaultSize
+        var cur = -1L // running sample cursor across truns
+        walk(bytes, f1, t1) {
+          case ("tfhd", f, _) =>
+            val flags = u32(bytes, f) & 0xffffff
+            tid = u32(bytes, f + 4)
+            var p = f + 8
+            if ((flags & 0x1) != 0) { base = u64(bytes, p); p += 8 }
+            if ((flags & 0x2) != 0) p += 4  // sample_description_index
+            if ((flags & 0x8) != 0) p += 4  // default_sample_duration
+            if ((flags & 0x10) != 0) { defaultSize = u32(bytes, p); p += 4 }
+          case ("trun", f, t) if tid == trackId =>
+            val flags = u32(bytes, f) & 0xffffff
+            val n = u32(bytes, f + 4)
+            require(n <= Int.MaxValue, "mp4: trun count")
+            var p = f + 8
+            if ((flags & 0x1) != 0) {
+              cur = base + u32(bytes, p).toInt // SIGNED 32-bit offset
+              p += 4
+            } else if (cur < 0) cur = base
+            if ((flags & 0x4) != 0) p += 4 // first_sample_flags
+            val hasDur = (flags & 0x100) != 0
+            val hasSize = (flags & 0x200) != 0
+            val hasFlags = (flags & 0x400) != 0
+            val hasCto = (flags & 0x800) != 0
+            require(hasSize || defaultSize > 0,
+              "mp4: trun without sizes and no default sample size")
+            var i = 0
+            while (i < n) {
+              if (hasDur) p += 4
+              val sz = if (hasSize) { val s = u32(bytes, p); p += 4; s }
+                       else defaultSize
+              if (hasFlags) p += 4
+              if (hasCto) p += 4
+              require(p <= t, "mp4: trun overrun")
+              require(cur >= 0 && cur + sz <= bytes.length,
+                s"mp4: fragment sample [$cur, ${cur + sz}) escapes")
+              out += java.util.Arrays.copyOfRange(
+                bytes, cur.toInt, (cur + sz).toInt)
+              cur += sz; i += 1
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    out.toSeq
   }
 
   // ---- Spark surface ----
@@ -487,6 +710,64 @@ object Mp4 {
           sampleSizes = frames.map(_.length),
           payload = frames.flatten,
           codec = "jpeg", samplesPerChunk = 2))
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("asset_id", LongType, nullable = false),
+      StructField("media", BinaryType))))
+  }
+
+  /** Synthetic FRAGMENTED motion-JPEG corpus ([[encodeFragmentedMp4]]
+    * around the same per-frame JPEG content as [[synthMjpegMp4]] —
+    * the CMAF/DASH segment layout real crawl video ships in): frames
+    * pack 2 per fragment (multi-moof), frame f of asset id is the
+    * same closed-form DC mosaic, and the corpus carries BOTH failure
+    * properties a crawl has:
+    *  - `id % 7 == 3`: frame 1's JPEG truncated mid-header — costs
+    *    one row (frame isolation, as in the classic corpus);
+    *  - `id % 5 == 2`: the FILE truncated inside its LAST fragment's
+    *    moof — that fragment's frames vanish, every earlier fragment
+    *    still decodes (fragment isolation: the tolerant top-level
+    *    scan stops at the torn tail instead of killing the asset).
+    * Returns (asset_id, media). */
+  def synthFmp4Mjpeg(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val idIdx = df.schema.fieldIndex(idCol)
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (9 + id % 17).toInt
+        val h = (6 + id % 11).toInt
+        val nf = (3 + id % 4).toInt
+        val frames = Array.tabulate(nf) { f =>
+          val enc = Jpeg.encodeJpeg(w, h, (x, y) =>
+            ((id * 31 + f * 19 + (x / 8) * 7 + (y / 8) * 13) % 256).toInt)
+          if (id % 7 == 3 && f == 1)
+            java.util.Arrays.copyOfRange(enc, 0, 20)
+          else enc
+        }
+        val fragFrames = frames.grouped(2).toArray
+        val full = encodeFragmentedMp4(w, h, timescale = 1000L,
+          sampleDelta = 40L,
+          fragSizes = fragFrames.map(_.map(_.length)),
+          payloads = fragFrames.map(_.flatten),
+          codec = "jpeg")
+        val media =
+          if (id % 5 == 2) {
+            // tear the file 11 bytes into the LAST moof (3 bytes past
+            // its header): that fragment and its mdat are gone,
+            // every earlier fragment intact. The encoder is
+            // deterministic and fragment-local, so the file with the
+            // last fragment dropped is a byte-exact PREFIX of the
+            // full one — its length locates the tear.
+            val prefixLen = encodeFragmentedMp4(w, h, timescale = 1000L,
+              sampleDelta = 40L,
+              fragSizes = fragFrames.dropRight(1).map(_.map(_.length)),
+              payloads = fragFrames.dropRight(1).map(_.flatten),
+              codec = "jpeg").length
+            java.util.Arrays.copyOfRange(full, 0, prefixLen + 11)
+          } else full
+        Row(id, media)
       }
     }
     spark.createDataFrame(rdd, StructType(Seq(

@@ -812,6 +812,104 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp4.demuxSamples(legacy).codec == "avc1")
   }
 
+  test("fMP4 demuxSamples: moof/trun run tables round-trip byte-" +
+       "exactly across fragment layouts") {
+    import graft.ops.Mp4
+    val samples = Array.tabulate(7)(i =>
+      Array.tabulate(25 + 9 * i)(j => ((i * 37 + j * 11) % 251).toByte))
+    for (perFrag <- Seq(1, 2, 3, 7)) {
+      val frags = samples.grouped(perFrag).toArray
+      val bytes = Mp4.encodeFragmentedMp4(64, 48, 1000L, 40L,
+        frags.map(_.map(_.length)), frags.map(_.flatten), codec = "jpeg")
+      val d = Mp4.demuxSamples(bytes)
+      assert(d.codec == "jpeg", s"perFrag=$perFrag")
+      assert(d.samples.length == 7, s"perFrag=$perFrag")
+      samples.zip(d.samples).zipWithIndex.foreach { case ((a, b), i) =>
+        assert(java.util.Arrays.equals(a, b), s"perFrag=$perFrag #$i")
+      }
+    }
+  }
+
+  test("fMP4 fragment isolation: a corrupt moof loses its frames " +
+       "only; a torn tail ends the scan without killing the asset") {
+    import graft.ops.Mp4
+    val samples = Array.tabulate(6)(i =>
+      Array.tabulate(40)(j => ((i * 7 + j) % 251).toByte))
+    val frags = samples.grouped(2).toArray // 3 fragments of 2
+    val bytes = Mp4.encodeFragmentedMp4(64, 48, 1000L, 40L,
+      frags.map(_.map(_.length)), frags.map(_.flatten))
+    // locate fragment 2's moof: the encoder is fragment-local, so the
+    // 1-fragment and 2-fragment encodings are byte-exact prefixes
+    def prefixLen(k: Int): Int = Mp4.encodeFragmentedMp4(64, 48, 1000L,
+      40L, frags.take(k).map(_.map(_.length)),
+      frags.take(k).map(_.flatten)).length
+    // corrupt the MIDDLE fragment's trun sample count (inside its
+    // moof): fragments 1 and 3 must survive, fragment 2 vanish
+    val corrupt = bytes.clone()
+    val moof2 = prefixLen(1)
+    // trun sample_count lives at moof + 8(hdr)+16(mfhd)+8(traf hdr)
+    // +16(tfhd)+8(trun hdr)+4(ver/flags): bump it to an absurd value
+    val cntOff = moof2 + 8 + 16 + 8 + 16 + 8 + 4
+    corrupt(cntOff) = 0x7f.toByte
+    val d1 = Mp4.demuxSamples(corrupt)
+    assert(d1.samples.length == 4)
+    assert(java.util.Arrays.equals(d1.samples(0), samples(0)))
+    assert(java.util.Arrays.equals(d1.samples(1), samples(1)))
+    assert(java.util.Arrays.equals(d1.samples(2), samples(4)))
+    assert(java.util.Arrays.equals(d1.samples(3), samples(5)))
+    // tear the file mid-moof of fragment 3: first two fragments intact
+    val torn = java.util.Arrays.copyOfRange(bytes, 0, prefixLen(2) + 11)
+    val d2 = Mp4.demuxSamples(torn)
+    assert(d2.samples.length == 4)
+    (0 until 4).foreach(i =>
+      assert(java.util.Arrays.equals(d2.samples(i), samples(i))))
+  }
+
+  test("fMP4 trun generality: per-sample duration/flags fields are " +
+       "strided over; absent sizes fall back to the tfhd default") {
+    import graft.ops.Mp4
+    // hand-build one moof+mdat after a standard init segment: trun
+    // carries duration+size+flags per sample (flags 0x701), so the
+    // parser must stride 12 bytes per sample, and a second trun with
+    // NO per-sample sizes (flags 0x101) uses the tfhd default size
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, body: Array[Byte]*): Array[Byte] = {
+      val p = body.flatten.toArray
+      be32(p.length + 8L) ++ t.getBytes("US-ASCII") ++ p
+    }
+    def full(t: String, flags: Int, body: Array[Byte]*): Array[Byte] =
+      box(t, be32((flags & 0xffffff).toLong), body.flatten.toArray)
+    // init segment: reuse the encoder with zero fragments
+    val init = Mp4.encodeFragmentedMp4(64, 48, 1000L, 40L,
+      Array.empty[Array[Int]], Array.empty[Array[Byte]], codec = "jpeg")
+    val s1 = Array.tabulate(20)(i => (i * 3).toByte)
+    val s2 = Array.tabulate(30)(i => (i * 5).toByte)
+    val s3 = Array.tabulate(16)(i => (i * 7).toByte)  // default size
+    val s4 = Array.tabulate(16)(i => (i * 11).toByte) // default size
+    def moofOf(off: Long): Array[Byte] = box("moof",
+      full("mfhd", 0, be32(1)),
+      box("traf",
+        // tfhd: default-base-is-moof | default-sample-size present
+        full("tfhd", 0x020010, be32(1), be32(16)),
+        // trun 1: data-offset + duration+size+flags per sample
+        full("trun", 0x000701, be32(2), be32(off),
+          be32(40), be32(s1.length.toLong), be32(0),
+          be32(40), be32(s2.length.toLong), be32(0)),
+        // trun 2: NO data offset (continues), NO sizes (default 16)
+        full("trun", 0x000100, be32(2), be32(40), be32(40))))
+    val probe = moofOf(0L)
+    val moof = moofOf(probe.length + 8L)
+    val file = init ++ moof ++ box("mdat", s1, s2, s3, s4)
+    val d = Mp4.demuxSamples(file)
+    assert(d.samples.length == 4)
+    assert(java.util.Arrays.equals(d.samples(0), s1))
+    assert(java.util.Arrays.equals(d.samples(1), s2))
+    assert(java.util.Arrays.equals(d.samples(2), s3))
+    assert(java.util.Arrays.equals(d.samples(3), s4))
+  }
+
   test("sniffType: magic bytes identify every engine container; " +
        "short/unknown blobs fall back") {
     import graft.ops.Multimodal.sniffType
