@@ -828,4 +828,31 @@ object EventStreams {
           UserSessions(user, out.sessions, out.events)
       }
   }
+
+  /** Start a continuous append into a MANIFEST-FILE SHARDED TABLE
+    * ([[graft.sources.Sources.writeShardedTable]]'s format): each
+    * micro-batch becomes one append snapshot via
+    * [[graft.sources.Sources.shardedTableSinkBatch]] — exactly-once
+    * under crash/replay because the manifest commits LAST and new
+    * manifest rows are keyed by the micro-batch id (a replayed batch
+    * either never published, so the append runs again over its orphan
+    * data dir, or fully published, so it is skipped). This is the
+    * streaming arm of the daily-ingest story: the table grows one
+    * immutable snapshot per batch, readers prune on the manifest
+    * stats, [[graft.sources.Sources.expireShardedSnapshots]] reclaims
+    * history — StreamingSpec pins the restart contract (no duplicate
+    * rows, versions monotone). */
+  def shardedTableSink(stream: DataFrame, id: Column, orderCol: Column,
+                       path: String, numShards: Int,
+                       statsCols: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sources.shardedTableSinkBatch(batch, batchId,
+          id, orderCol, path, numShards, statsCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 }
