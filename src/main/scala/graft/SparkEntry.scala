@@ -989,6 +989,37 @@ object SparkEntry {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // Compaction (r9): big write + three small appends (the
+    // streaming drip), then fold ONLY the small runs into one range
+    // dir — the big dir's files stay untouched (SourcesSpec pins
+    // that) and the read is again O(1) files per bounded range. The
+    // oracle is the plain predicate: compaction must be invisible.
+    "q531_sharded_compact" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTable(
+        docs.filter(col("doc_id") % 10 < 7), col("doc_id"),
+        col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+      (7 to 9).foreach { r =>
+        graft.sources.Sources.appendShardedTable(
+          docs.filter(col("doc_id") % 10 === r), col("doc_id"),
+          col("doc_id"), path, numShards = 2,
+          statsCols = Seq("doc_id"))
+      }
+      graft.sources.Sources.compactShardedTable(s, path, col("doc_id"),
+        col("doc_id"), numShards = 4, statsCols = Seq("doc_id"),
+        smallDirRows = docs.count() / 5)
+      val res = graft.sources.Sources.readShardedTable(s, path,
+          preds = Seq(("doc_id", 100L, 399L)))
+        .filter(col("doc_id").between(100, 399))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
     // Fragmented MP4 (r9): the q502 decode over CMAF/DASH-style
     // moof/mdat segments — the layout real crawl video ships in.
     // BOTH isolation properties in one corpus: a corrupt FRAME costs
@@ -5914,6 +5945,12 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars
          FROM documents WHERE doc_id BETWEEN 100 AND 399
            AND n_chars BETWEEN 0 AND 2000
+         ORDER BY doc_id""",
+
+    // q531: compaction is invisible too
+    "q531_sharded_compact" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents WHERE doc_id BETWEEN 100 AND 399
          ORDER BY doc_id""",
 
     // q502: the q416 mosaic replay per (id, frame) with a per-frame

@@ -653,6 +653,39 @@ object Sources {
     }
   }
 
+  /** SORTED-RUN COMPACTION: fold the latest snapshot's SMALL data
+    * dirs (total rows ≤ `smallDirRows` — the drip of streaming/daily
+    * appends) into one new range-sharded dir, leaving every big dir's
+    * files untouched — the new manifest carries the big dirs' rows
+    * verbatim plus the merged dir's. NOT a global rewrite: cost is
+    * O(rows in small dirs), which the threshold bounds, while the
+    * read side goes from one-file-per-append back to O(1) files per
+    * bounded range. The merged rows re-enter the same
+    * [[graft.ops.Packing.orderedShards]] prefix-sum layout (the k-way
+    * merge of pre-sorted runs, expressed as a range shuffle of only
+    * the small runs). No-op (returns the current version) when fewer
+    * than two dirs qualify. Old versions stay readable until
+    * [[expireShardedSnapshots]]; readback equality and untouched big
+    * files are pinned by SourcesSpec. */
+  def compactShardedTable(spark: SparkSession, path: String, id: Column,
+                          orderCol: Column, numShards: Int,
+                          statsCols: Seq[String],
+                          smallDirRows: Long): Long = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val mf = shardedManifest(spark, path)
+    val perDir = mf.groupBy("data_dir").agg(sum(col("n_rows")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val small = perDir.filter(_._2 <= smallDirRows).map(_._1).toSet
+    val current = shardedVersions(spark, path).last
+    if (small.size < 2) return current
+    val keepRows = mf.filter(!col("data_dir").isin(small.toSeq: _*))
+    val merged = small.toSeq.sorted.map { d =>
+      spark.read.option("basePath", d).parquet(d)
+    }.reduce(_.unionByName(_)).drop("shard")
+    writeSnapshot(merged, id, orderCol, path, numShards, statsCols,
+      parentRows = Some(keepRows), batchId = -1L)
+  }
+
   /** Snapshot expiry: keep the newest `keep` versions, delete the
     * expired manifests, then delete any data dir NO SURVIVING
     * manifest references (append chains share data dirs, so

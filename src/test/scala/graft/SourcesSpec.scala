@@ -567,4 +567,56 @@ class SourcesSpec extends AnyFunSuite {
       3L, col("doc_id"), col("doc_id"), path, 2, Seq("doc_id")) == 3L)
     Sources.dropShardedTable(spark, path)
   }
+
+  test("sharded table COMPACTION: small append runs fold into one " +
+       "range dir; big dirs untouched; readback identical; pruned " +
+       "file count drops") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shcompact").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    // one BIG initial snapshot + four small appends (the streaming drip)
+    Sources.writeShardedTable(batch(0, 1000), col("doc_id"),
+      col("doc_id"), path, 8, Seq("doc_id"))
+    (0 until 4).foreach { i =>
+      Sources.appendShardedTable(batch(1000 + 50 * i, 50), col("doc_id"),
+        col("doc_id"), path, 2, Seq("doc_id"))
+    }
+    def files(dir: String): Map[String, (Long, Long)] = {
+      def walkF(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walkF) else Seq(f)
+      walkF(new java.io.File(dir)).map(f =>
+        (f.getPath, (f.length(), f.lastModified()))).toMap
+    }
+    val bigBefore = files(s"$path/data-v1")
+    val before = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    // a bounded range over the appended tail touches all 4 small dirs
+    def tailFiles() = Sources.readShardedTable(spark, path,
+        preds = Seq(("doc_id", 1000L, 1199L)))
+      .inputFiles.map(_.split("/").find(_.startsWith("data-v")).get).toSet
+    assert(tailFiles() == Set("data-v2", "data-v3", "data-v4", "data-v5"))
+    // compact: only the 50-row dirs qualify; the 1000-row dir must not
+    val v = Sources.compactShardedTable(spark, path, col("doc_id"),
+      col("doc_id"), numShards = 2, statsCols = Seq("doc_id"),
+      smallDirRows = 100L)
+    assert(v == 6L)
+    assert(files(s"$path/data-v1") == bigBefore) // big dir untouched
+    val after = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(after == before) // identical readback
+    assert(tailFiles() == Set("data-v6")) // 4 runs -> 1
+    // idempotent: nothing small left to fold (the merged dir is 200
+    // rows > threshold), so a second call is a no-op
+    assert(Sources.compactShardedTable(spark, path, col("doc_id"),
+      col("doc_id"), 2, Seq("doc_id"), 100L) == 6L)
+    // pre-compaction version still readable (snapshot isolation)
+    assert(Sources.readShardedTable(spark, path,
+      version = Some(5L)).count() == 1200L)
+    Sources.dropShardedTable(spark, path)
+  }
 }
