@@ -1020,6 +1020,102 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // Row-level DELETE (r9): tombstone-file merge-on-read — the
+    // delete writes a key file + manifest commit and touches ZERO
+    // data files (SourcesSpec pins that); the read applies the
+    // tombstones as one key-only anti-join. The oracle is the
+    // anti-predicate over the source: deletion must be exact.
+    "q532_sharded_delete" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTable(docs, col("doc_id"),
+        col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+      graft.sources.Sources.deleteFromShardedTable(s, path, "doc_id",
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      val res = graft.sources.Sources.readShardedTable(s, path)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
+    // MERGE/upsert (r9): delete %7==3, then UPSERT every %10==4 row
+    // with a bumped n_chars — one atomic snapshot per operation, cost
+    // O(batch), zero existing files rewritten. The sequence-number
+    // semantics under test: the merge's own inserts survive its
+    // tombstone (same seq), older copies die (smaller seq), and a
+    // key deleted at v2 then merged at v3 is BACK — exactly the
+    // CASE/anti-predicate the oracle states over the source table.
+    "q533_sharded_merge" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTable(docs, col("doc_id"),
+        col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+      graft.sources.Sources.deleteFromShardedTable(s, path, "doc_id",
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      graft.sources.Sources.mergeShardedTable(
+        docs.filter(col("doc_id") % 10 === 4)
+          .withColumn("n_chars", col("n_chars") + 100000L),
+        "doc_id", col("doc_id"), path, numShards = 4,
+        statsCols = Seq("doc_id"))
+      val res = graft.sources.Sources.readShardedTable(s, path)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
+    // Incremental (CDC) read (r9): batch 1 = evens, batch 2 = odds;
+    // the v1→v2 insert stream must be EXACTLY batch 2 — cost
+    // O(new data), never O(table) (the manifest diff names the new
+    // dirs; compaction rewrites are op-filtered out, SourcesSpec
+    // pins that). The oracle is batch 2's predicate.
+    "q534_sharded_changes" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTable(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"),
+        col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+      graft.sources.Sources.appendShardedTable(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"),
+        col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+      val res = graft.sources.Sources.shardedTableInserts(s, path, 1L, 2L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
+    // Z-order clustered table (r9): shards follow the Morton curve of
+    // rank-quantized (doc_id, n_chars), manifest stats on BOTH — a
+    // 2-D box predicate prunes on both dimensions at once (SourcesSpec
+    // pins that the box opens fewer shards than either bound alone,
+    // and than a linear layout). The oracle is the conjunctive
+    // predicate: the curve layout must be invisible to results.
+    "q535_sharded_zorder" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTableZOrdered(docs,
+        col("doc_id"), Seq("doc_id", "n_chars"), path,
+        numShards = 16, bitsPerCol = 6)
+      val res = graft.sources.Sources.readShardedTable(s, path,
+          preds = Seq(("doc_id", 50L, 349L), ("n_chars", 100L, 400L)))
+        .filter(col("doc_id").between(50, 349) &&
+          col("n_chars").between(100, 400))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
     // Fragmented MP4 (r9): the q502 decode over CMAF/DASH-style
     // moof/mdat segments — the layout real crawl video ships in.
     // BOTH isolation properties in one corpus: a corrupt FRAME costs
@@ -5951,6 +6047,34 @@ object SparkEntry {
     "q531_sharded_compact" ->
       """SELECT doc_id, source, n_chars
          FROM documents WHERE doc_id BETWEEN 100 AND 399
+         ORDER BY doc_id""",
+
+    // q532: merge-on-read delete = the anti-predicate
+    "q532_sharded_delete" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents WHERE doc_id % 7 <> 3
+         ORDER BY doc_id""",
+
+    // q533: delete %7==3 then upsert %10==4 (+100000 chars) — the
+    // upsert re-inserts keys the delete removed
+    "q533_sharded_merge" ->
+      """SELECT doc_id, source,
+           CASE WHEN doc_id % 10 = 4 THEN n_chars + 100000
+                ELSE n_chars END AS n_chars
+         FROM documents WHERE doc_id % 10 = 4 OR doc_id % 7 <> 3
+         ORDER BY doc_id""",
+
+    // q534: the v1→v2 insert stream is exactly batch 2
+    "q534_sharded_changes" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents WHERE doc_id % 2 = 1
+         ORDER BY doc_id""",
+
+    // q535: the Morton layout is invisible — plain conjunctive box
+    "q535_sharded_zorder" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents WHERE doc_id BETWEEN 50 AND 349
+           AND n_chars BETWEEN 100 AND 400
          ORDER BY doc_id""",
 
     // q502: the q416 mosaic replay per (id, frame) with a per-frame

@@ -484,7 +484,9 @@ object Sources {
                          batchId: Long = -1L): Long = {
     val spark = df.sparkSession
     val parent = shardedManifest(spark, path) // requires table exists
-    val sample = parent.select("data_dir", "shard").head()
+    val sample = normalizeManifest(parent)
+      .filter(org.apache.spark.sql.functions.col("kind") === "data")
+      .select("data_dir", "shard").head()
     val tableCols = spark.read
       .parquet(s"${sample.getString(0)}/shard=${sample.getLong(1)}")
       .columns.toSet
@@ -494,7 +496,7 @@ object Sources {
         .mkString(",")} != table columns ${tableCols.toSeq.sorted
         .mkString(",")}")
     writeSnapshot(df, id, orderCol, path, numShards, statsCols,
-      parentRows = Some(parent), batchId = batchId)
+      parentRows = Some(parent), batchId = batchId, op = "append")
   }
 
   /** The exactly-once `foreachBatch` body for a streaming sharded-
@@ -539,12 +541,22 @@ object Sources {
   }
 
   /** Shared snapshot writer: range-shard `df`, write the new data
-    * dir, then commit the manifest (parent rows + new rows) LAST. */
+    * dir (and, for MERGE, the delete-key file), then commit the
+    * manifest (parent rows + new rows) LAST. Every manifest row
+    * carries its lineage: `kind` ("data"|"delete"), `seq` (the
+    * version that WROTE the dir — the Iceberg sequence number that
+    * orders tombstones against data), `op` (which operation produced
+    * it — CDC readers use this to tell genuinely-new rows from
+    * compaction rewrites), and `del_col` (the key column of a delete
+    * file; null on data rows). */
   private def writeSnapshot(df: DataFrame, id: Column, orderCol: Column,
                             path: String, numShards: Int,
                             statsCols: Seq[String],
                             parentRows: Option[DataFrame],
-                            batchId: Long): Long = {
+                            batchId: Long,
+                            op: String = "write",
+                            deleteKeys: Option[(DataFrame, String)] = None)
+      : Long = {
     import org.apache.spark.sql.functions._
     require(numShards >= 1, s"writeShardedTable: numShards $numShards")
     // `shard` is the partition column the writer OWNS and `__id`/
@@ -586,16 +598,71 @@ object Sources {
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("data_dir", lit(dataDir))
       .withColumn("batch_id", lit(batchId))
-    // parent rows ride along VERBATIM (allowMissingColumns tolerates
-    // pre-batch_id manifests; their rows get batch_id = -1)
-    val manifest = parentRows match {
-      case Some(p) => p.unionByName(newRows, allowMissingColumns = true)
-        .na.fill(-1L, Seq("batch_id"))
-      case None => newRows
+      .withColumn("kind", lit("data"))
+      .withColumn("seq", lit(version))
+      .withColumn("op", lit(op))
+      .withColumn("del_col", lit(null).cast("string"))
+    // MERGE writes its tombstone file in the SAME snapshot: the
+    // delete's seq equals the data's seq, and a tombstone only kills
+    // rows with a STRICTLY SMALLER seq — so the merge's own inserts
+    // survive while every older copy of the key dies, atomically
+    // (one manifest commit covers both dirs).
+    val delRow = deleteKeys.map { case (keys, idName) =>
+      writeDeleteDir(spark, keys, idName, path, version, batchId, op)
     }
+    // parent rows ride along NORMALIZED (pre-lineage manifests get
+    // kind/seq/op/del_col derived, pre-batch_id ones get -1) so a
+    // committed manifest never carries null lineage
+    val manifest = (parentRows.map(normalizeManifest).toSeq ++
+      Seq(newRows) ++ delRow.toSeq)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .na.fill(-1L, Seq("batch_id"))
+    commitManifest(manifest, path, version)
+    version
+  }
+
+  /** Write a tombstone file (the DISTINCT keys, one column named
+    * `idName`) under `del-v<version>` and return its manifest row.
+    * Stats columns stay null — the reader never prunes delete rows,
+    * it loads every live tombstone file (they are key-only and
+    * orders of magnitude smaller than data). */
+  private def writeDeleteDir(spark: SparkSession, keys: DataFrame,
+                             idName: String, path: String, ver: Long,
+                             batchId: Long, op: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val delDir = s"$path/del-v$ver"
+    val out = keys.select(col(idName)).distinct()
+    out.write.mode("overwrite").parquet(delDir)
+    val n = spark.read.parquet(delDir).count()
+    spark.range(1).select(
+      lit(-1L).as("shard"), lit(n).as("n_rows"),
+      lit(delDir).as("data_dir"), lit(batchId).as("batch_id"),
+      lit("delete").as("kind"), lit(ver).as("seq"),
+      lit(op).as("op"), lit(idName).as("del_col"))
+  }
+
+  /** Manifest-only commit (compaction whose small runs were entirely
+    * tombstoned, for instance, publishes a version with no new dir). */
+  private def commitManifest(manifest: DataFrame, path: String,
+                             version: Long): Unit =
     manifest.coalesce(1)
       .write.mode("overwrite").parquet(s"$path/_manifest/v$version")
-    version
+
+  /** Backfill the lineage columns on a pre-lineage manifest frame:
+    * rows are all data (tombstones did not exist), seq parses from
+    * the `data-v<N>` dir name, op is unknowable → "append". A
+    * manifest that already has the columns passes through verbatim. */
+  private def normalizeManifest(mf: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    var m = mf
+    if (!m.columns.contains("kind")) m = m.withColumn("kind", lit("data"))
+    if (!m.columns.contains("seq"))
+      m = m.withColumn("seq",
+        regexp_extract(col("data_dir"), "-v(\\d+)$", 1).cast("long"))
+    if (!m.columns.contains("op")) m = m.withColumn("op", lit("append"))
+    if (!m.columns.contains("del_col"))
+      m = m.withColumn("del_col", lit(null).cast("string"))
+    m
   }
 
   /** Snapshot listing: the versions present under `path/_manifest`,
@@ -633,24 +700,66 @@ object Sources {
                        version: Option[Long] = None): DataFrame = {
     // no functions._ wildcard here: it would shadow the `version` param
     import org.apache.spark.sql.functions.{col, lit}
-    val mf = shardedManifest(spark, path, version)
-    val pruned = preds.foldLeft(mf) { case (m, (c, lo, hi)) =>
+    val mf = normalizeManifest(shardedManifest(spark, path, version))
+    val dataMf = mf.filter(col("kind") === "data")
+    // tombstones are never pruned: key-only files, metadata-scale —
+    // and a pruned-away tombstone would RESURRECT rows
+    val delRows = mf.filter(col("kind") === "delete")
+      .select("data_dir", "seq", "del_col").distinct().collect()
+    val pruned = preds.foldLeft(dataMf) { case (m, (c, lo, hi)) =>
       m.filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi)) }
-    val rows = pruned.select("data_dir", "shard").collect()
-    val headDir = mf.select("data_dir").head().getString(0)
+    val rows = pruned.select("data_dir", "shard", "seq").collect()
+    val headDir = dataMf.select("data_dir").head().getString(0)
     if (rows.isEmpty)
       spark.read.option("basePath", headDir).parquet(headDir)
         .filter(lit(false))
     else {
       // one read per contributing data dir (each needs its own
       // basePath for the shard= partition column), unioned by name —
-      // dirs are snapshot-count-many, a metadata-scale union
-      rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+      // dirs are snapshot-count-many, a metadata-scale union. With
+      // live tombstones each dir's rows are tagged with the dir's
+      // seq so merge-on-read can order them against the deletes.
+      val base = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
         case (dDir, rs) =>
           val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
-          spark.read.option("basePath", dDir).parquet(dirs: _*)
+          val f = spark.read.option("basePath", dDir).parquet(dirs: _*)
+          if (delRows.isEmpty) f
+          else f.withColumn("__seq", lit(rs.head.getLong(2)))
       }.reduce(_.unionByName(_))
+      if (delRows.isEmpty) base else applyDeletes(spark, base, delRows)
     }
+  }
+
+  /** MERGE-ON-READ: drop every data row some LATER tombstone covers.
+    * A tombstone written at seq D kills key k in rows whose dir was
+    * written at seq R < D — a key re-inserted after its delete (or by
+    * the same MERGE that tombstoned it) survives, because its row's
+    * seq is >= the tombstone's. One aggregation collapses all live
+    * tombstone files to (key, max seq), then a single anti-join —
+    * tombstones are key-only and usually tiny, so AQE broadcasts
+    * them; the data side never reshuffles. `data` must carry `__seq`
+    * (dropped on the way out). */
+  private def applyDeletes(spark: SparkSession, data: DataFrame,
+                           delRows: Array[org.apache.spark.sql.Row])
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val delCols = delRows.map(_.getString(2)).distinct
+    require(delCols.length == 1,
+      s"sharded table has tombstones on different key columns " +
+        s"(${delCols.mkString(", ")}) — unsupported")
+    val idName = delCols.head
+    val dels = delRows.map { r =>
+      spark.read.parquet(r.getString(0))
+        .select(col(idName).as("__del_id"))
+        .withColumn("__del_seq", lit(r.getLong(1)))
+    }.reduce(_.unionByName(_))
+    val maxDel = dels.groupBy("__del_id")
+      .agg(max(col("__del_seq")).as("__del_seq"))
+    data.join(maxDel,
+        data(idName) === maxDel("__del_id") &&
+          maxDel("__del_seq") > data("__seq"),
+        "left_anti")
+      .drop("__seq")
   }
 
   /** SORTED-RUN COMPACTION: fold the latest snapshot's SMALL data
@@ -671,19 +780,217 @@ object Sources {
                           orderCol: Column, numShards: Int,
                           statsCols: Seq[String],
                           smallDirRows: Long): Long = {
-    import org.apache.spark.sql.functions.{col, sum}
-    val mf = shardedManifest(spark, path)
-    val perDir = mf.groupBy("data_dir").agg(sum(col("n_rows")).as("n"))
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    val mf = normalizeManifest(shardedManifest(spark, path))
+    val dataMf = mf.filter(col("kind") === "data")
+    val perDir = dataMf.groupBy("data_dir")
+      .agg(sum(col("n_rows")).as("n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val small = perDir.filter(_._2 <= smallDirRows).map(_._1).toSet
     val current = shardedVersions(spark, path).last
     if (small.size < 2) return current
+    // tombstone rows are never "small dirs": they stay in the
+    // manifest verbatim (they still cover the untouched big dirs)
     val keepRows = mf.filter(!col("data_dir").isin(small.toSeq: _*))
-    val merged = small.toSeq.sorted.map { d =>
+    val dirSeq = dataMf.select("data_dir", "seq").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val delRows = mf.filter(col("kind") === "delete")
+      .select("data_dir", "seq", "del_col").distinct().collect()
+    // APPLY the live tombstones to the rows being rewritten — the
+    // compacted copy gets seq = the new version, which is LARGER
+    // than every existing tombstone's, so skipping this would
+    // resurrect deleted rows. It is free: these rows are being
+    // rewritten anyway, and the anti-join side is key-only.
+    val merged0 = small.toSeq.sorted.map { d =>
       spark.read.option("basePath", d).parquet(d)
-    }.reduce(_.unionByName(_)).drop("shard")
-    writeSnapshot(merged, id, orderCol, path, numShards, statsCols,
-      parentRows = Some(keepRows), batchId = -1L)
+        .withColumn("__seq", lit(dirSeq(d)))
+    }.reduce(_.unionByName(_))
+    val merged = (if (delRows.isEmpty) merged0.drop("__seq")
+                  else applyDeletes(spark, merged0, delRows))
+      .drop("shard")
+    if (merged.isEmpty) {
+      // every row of every small run was tombstoned: publish a
+      // manifest-only version that simply drops the small dirs
+      val version = current + 1
+      commitManifest(keepRows, path, version)
+      version
+    } else
+      writeSnapshot(merged, id, orderCol, path, numShards, statsCols,
+        parentRows = Some(keepRows), batchId = -1L, op = "compact")
+  }
+
+  /** Row-level DELETE, merge-on-read: publish a snapshot whose only
+    * change is a TOMBSTONE file — the distinct `keys` (one column
+    * named `idName`, the table's row-id column) under `del-v<N>` —
+    * plus a manifest carrying the parent's rows verbatim. NO data
+    * file is touched (the 100 TB point: deleting a million rows from
+    * a petabyte table is a key-file write and a manifest commit, not
+    * a rewrite), readers of pinned older versions are unaffected, and
+    * [[readShardedTable]] applies the tombstones as one key-only
+    * anti-join. Tombstones are REMOVED physically by
+    * [[compactShardedTable]] (for the runs it rewrites) or
+    * [[rewriteShardedTable]] (whole table). Returns the new version. */
+  def deleteFromShardedTable(spark: SparkSession, path: String,
+                             idName: String, keys: DataFrame): Long = {
+    val parent = shardedManifest(spark, path)
+    val version = shardedVersions(spark, path).last + 1
+    val delRow = writeDeleteDir(spark, keys, idName, path, version,
+      batchId = -1L, op = "delete")
+    commitManifest(normalizeManifest(parent)
+      .unionByName(delRow, allowMissingColumns = true), path, version)
+    version
+  }
+
+  /** MERGE (upsert): one atomic snapshot that tombstones every key in
+    * `df` AND appends `df`'s rows — the standard upsert decomposition
+    * (delete-then-insert with a shared sequence number, so the new
+    * copy survives its own tombstone while every older copy dies).
+    * Cost is O(batch) exactly like an append: existing data files are
+    * never read, let alone rewritten. Schema must match the table
+    * (same contract as [[appendShardedTable]]). Returns the version. */
+  def mergeShardedTable(df: DataFrame, idName: String, orderCol: Column,
+                        path: String, numShards: Int,
+                        statsCols: Seq[String],
+                        batchId: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val parent = shardedManifest(spark, path)
+    val sample = normalizeManifest(parent)
+      .filter(col("kind") === "data").select("data_dir", "shard").head()
+    val tableCols = spark.read
+      .parquet(s"${sample.getString(0)}/shard=${sample.getLong(1)}")
+      .columns.toSet
+    require(df.columns.toSet == tableCols,
+      s"mergeShardedTable: batch columns ${df.columns.sorted
+        .mkString(",")} != table columns ${tableCols.toSeq.sorted
+        .mkString(",")}")
+    writeSnapshot(df, col(idName), orderCol, path, numShards, statsCols,
+      parentRows = Some(parent), batchId = batchId, op = "merge",
+      deleteKeys = Some((df.select(col(idName)), idName)))
+  }
+
+  /** MAJOR compaction: materialize the current merge-on-read state
+    * (all tombstones applied) as one fresh range-sharded snapshot
+    * that references no tombstone at all. O(live table) by design —
+    * the explicit "pay once, then every read is tombstone-free"
+    * operation, vs [[compactShardedTable]] which only rewrites the
+    * small runs. Old versions stay readable until
+    * [[expireShardedSnapshots]] reclaims them (which also deletes
+    * now-unreferenced tombstone files). Returns the new version. */
+  def rewriteShardedTable(spark: SparkSession, path: String, id: Column,
+                          orderCol: Column, numShards: Int,
+                          statsCols: Seq[String]): Long = {
+    val cur = readShardedTable(spark, path).drop("shard")
+    writeSnapshot(cur, id, orderCol, path, numShards, statsCols,
+      parentRows = None, batchId = -1L, op = "rewrite")
+  }
+
+  /** INCREMENTAL (CDC) read, insert side: the rows added to the table
+    * in versions (`fromVersion`, `toVersion`] by write/append/merge —
+    * i.e. the data dirs in `to`'s manifest that `from`'s lacks, op-
+    * filtered so compaction/rewrite REORGANIZATIONS of existing rows
+    * are not re-delivered as inserts. This is what an incremental
+    * downstream pipeline consumes per tick: cost is O(new data),
+    * never O(table). Rows are as-written; a consumer that also wants
+    * deletes applies [[shardedTableDeletedKeys]] for the same window
+    * after (a merge shows up as delete+insert of the same key). */
+  def shardedTableInserts(spark: SparkSession, path: String,
+                          fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromVersion <= toVersion,
+      s"shardedTableInserts: from $fromVersion > to $toVersion")
+    val from = normalizeManifest(
+      shardedManifest(spark, path, Some(fromVersion)))
+    val to = normalizeManifest(
+      shardedManifest(spark, path, Some(toVersion)))
+    val old = from.select("data_dir").distinct().collect()
+      .map(_.getString(0)).toSet
+    val ins = to.filter(col("kind") === "data" &&
+        col("op").isin("write", "append", "merge"))
+      .select("data_dir", "shard").collect()
+      .filterNot(r => old(r.getString(0)))
+    val headDir = to.filter(col("kind") === "data")
+      .select("data_dir").head().getString(0)
+    if (ins.isEmpty)
+      spark.read.option("basePath", headDir).parquet(headDir)
+        .filter(lit(false))
+    else
+      ins.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+        case (dDir, rs) =>
+          val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
+          spark.read.option("basePath", dDir).parquet(dirs: _*)
+      }.reduce(_.unionByName(_))
+  }
+
+  /** INCREMENTAL (CDC) read, delete side: the distinct keys
+    * tombstoned in versions (`fromVersion`, `toVersion`] — one column
+    * named after the table's delete key. Key-only and tiny; pair with
+    * [[shardedTableInserts]] to replicate the window's net change. */
+  def shardedTableDeletedKeys(spark: SparkSession, path: String,
+                              fromVersion: Long, toVersion: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(fromVersion <= toVersion,
+      s"shardedTableDeletedKeys: from $fromVersion > to $toVersion")
+    val from = normalizeManifest(
+      shardedManifest(spark, path, Some(fromVersion)))
+    val to = normalizeManifest(
+      shardedManifest(spark, path, Some(toVersion)))
+    val old = from.filter(col("kind") === "delete")
+      .select("data_dir").distinct().collect().map(_.getString(0)).toSet
+    val fresh = to.filter(col("kind") === "delete")
+      .select("data_dir", "del_col").distinct().collect()
+      .filterNot(r => old(r.getString(0)))
+    if (fresh.isEmpty) {
+      // empty frame with the key column name if the table ever had a
+      // tombstone, else a generic empty single-column frame
+      val name = to.filter(col("kind") === "delete")
+        .select("del_col").distinct().collect().headOption
+        .map(_.getString(0)).getOrElse("key")
+      spark.range(0).select(col("id").as(name))
+    } else {
+      val names = fresh.map(_.getString(1)).distinct
+      require(names.length == 1,
+        s"tombstones on different key columns: ${names.mkString(", ")}")
+      fresh.map(r => spark.read.parquet(r.getString(0)))
+        .reduce(_.unionByName(_)).distinct()
+    }
+  }
+
+  /** Z-ORDER clustered sharded table: shards are contiguous runs of
+    * the Morton curve over `zCols` (each dimension rank-quantized to
+    * `bitsPerCol` bits via ONE approx-quantile sketch pass — rank,
+    * not min/max scaling, so a skewed column still spreads over its
+    * buckets), and the manifest records min/max of EVERY zCol per
+    * shard. A box predicate bounded on several dimensions then prunes
+    * on all of them at once — the layout for tables queried by more
+    * than one key (time × tenant, day × doc range), where a linear
+    * sort keeps only its leading column's stats tight and every other
+    * dimension spans every shard. Same superset-guarantee contract as
+    * [[readShardedTable]]'s pruning; zCols must be numeric (and
+    * integer-valued for exact stats bounds — the manifest stores
+    * long-cast min/max). Nulls land in bucket 0 deterministically. */
+  def writeShardedTableZOrdered(df: DataFrame, id: Column,
+                                zCols: Seq[String], path: String,
+                                numShards: Int,
+                                bitsPerCol: Int = 8): Long = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size == 2,
+      s"writeShardedTableZOrdered: exactly 2 z columns (got " +
+        s"${zCols.size}) — the zValue interleave is 2-D")
+    require(bitsPerCol >= 1 && bitsPerCol <= 16,
+      s"bitsPerCol must be in [1,16], got $bitsPerCol")
+    val nB = 1 << bitsPerCol
+    val probs = (1 until nB).map(_.toDouble / nB).toArray
+    // one sketch pass per dimension, driver state = nB-1 doubles each
+    def bucket(c: String): Column = {
+      val splits = df.stat.approxQuantile(c, probs, 0.001)
+      val arr = array(splits.map(lit(_)): _*)
+      aggregate(arr, lit(0L), (acc, x) =>
+        acc + when(col(c).cast("double") >= x, 1L).otherwise(0L))
+    }
+    val z = zValue(bucket(zCols.head), bucket(zCols(1)), bitsPerCol)
+    writeShardedTable(df, id, z, path, numShards, statsCols = zCols)
   }
 
   /** Snapshot expiry: keep the newest `keep` versions, delete the
@@ -715,7 +1022,9 @@ object Sources {
         true)
     }
     fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("data-v"))
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("data-v") ||
+         s.getPath.getName.startsWith("del-v")))
       .map(_.getPath)
       .filterNot(p => referenced.contains(p.getName))
       .foreach(p => fs.delete(p, true))

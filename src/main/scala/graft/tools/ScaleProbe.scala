@@ -531,6 +531,110 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("tombstone")) {
+      // r9 evidence: row-level delete cost at scale. On a 2M-row /
+      // 64-shard table, a 1% delete must cost O(keys) — a key-file
+      // write + manifest commit, nothing proportional to the table —
+      // and the merge-on-read scan must stay within a small constant
+      // of the tombstone-free scan (the anti-join side is key-only
+      // and broadcast). The major rewrite is the explicit O(table)
+      // alternative, for contrast.
+      val path = "/tmp/graft_tombstone_probe"
+      graft.sources.Sources.dropShardedTable(spark, path)
+      val docs = spark.range(2000000L).select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(0), lit(39)), j =>
+            concat(lit("w"), pmod(hash(col("id"), j), lit(100000L)))))
+            .as("text"))
+        .repartition(64)
+        .cut() // fixture cost paid once — probes time the TABLE ops
+      timed(spark, "tombstone: write 2M/64") {
+        graft.sources.Sources.writeShardedTable(docs, col("doc_id"),
+          col("doc_id"), path, numShards = 64, statsCols = Seq("doc_id"))
+      }
+      timed(spark, "tombstone: read (no deletes)") {
+        graft.sources.Sources.readShardedTable(spark, path)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      timed(spark, "tombstone: DELETE 1% (20k keys)") {
+        graft.sources.Sources.deleteFromShardedTable(spark, path,
+          "doc_id", spark.range(20000L)
+            .select((col("id") * 100L).as("doc_id")))
+      }
+      timed(spark, "tombstone: merge-on-read scan") {
+        graft.sources.Sources.readShardedTable(spark, path)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      timed(spark, "tombstone: pruned 1/64 + deletes") {
+        graft.sources.Sources.readShardedTable(spark, path,
+            preds = Seq(("doc_id", 1000000L, 1031249L)))
+          .filter(col("doc_id").between(1000000L, 1031249L))
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      timed(spark, "tombstone: MERGE 1% upsert") {
+        graft.sources.Sources.mergeShardedTable(
+          docs.filter(col("doc_id") % 100 === 1L), "doc_id",
+          col("doc_id"), path, numShards = 4, statsCols = Seq("doc_id"))
+      }
+      timed(spark, "tombstone: scan after merge") {
+        graft.sources.Sources.readShardedTable(spark, path)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      timed(spark, "tombstone: MAJOR rewrite (O(table))") {
+        graft.sources.Sources.rewriteShardedTable(spark, path,
+          col("doc_id"), col("doc_id"), numShards = 64,
+          statsCols = Seq("doc_id"))
+      }
+      timed(spark, "tombstone: scan after rewrite") {
+        graft.sources.Sources.readShardedTable(spark, path)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      graft.sources.Sources.dropShardedTable(spark, path)
+      spark.stop(); return
+    }
+
+    if (args.contains("zorder")) {
+      // r9 evidence: 2-D pruning at scale. 2M rows over two
+      // independent uniform dims, 64 shards. A 1/8 x 1/8 box must
+      // open ~1/64 of the z-ordered table's files (both bounds prune
+      // together) vs ~1/8 on the linear layout (only the leading
+      // bound prunes) — the file-count column is the 100 TB signal.
+      val zPath = "/tmp/graft_zorder_probe_z"
+      val lPath = "/tmp/graft_zorder_probe_l"
+      graft.sources.Sources.dropShardedTable(spark, zPath)
+      graft.sources.Sources.dropShardedTable(spark, lPath)
+      val n = 2000000L
+      val df = spark.range(n).select(col("id").as("x"),
+          pmod(col("id") * 2654435761L, lit(n)).as("y"),
+          concat_ws(" ", transform(sequence(lit(0), lit(19)), j =>
+            concat(lit("w"), pmod(hash(col("id"), j), lit(100000L)))))
+            .as("text"))
+        .repartition(64)
+      timed(spark, "zorder: write 2M/64") {
+        graft.sources.Sources.writeShardedTableZOrdered(df, col("x"),
+          Seq("x", "y"), zPath, numShards = 64, bitsPerCol = 8)
+      }
+      timed(spark, "zorder: linear write 2M/64") {
+        graft.sources.Sources.writeShardedTable(df, col("x"), col("x"),
+          lPath, numShards = 64, statsCols = Seq("x", "y"))
+      }
+      val box = Seq(("x", 0L, n / 8 - 1), ("y", 0L, n / 8 - 1))
+      val zr = graft.sources.Sources.readShardedTable(spark, zPath,
+        preds = box)
+      timed(spark, s"zorder: box scan (${zr.inputFiles.length} files)") {
+        zr.filter(col("x") < n / 8 && col("y") < n / 8)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      val lr = graft.sources.Sources.readShardedTable(spark, lPath,
+        preds = box)
+      timed(spark, s"zorder: linear box (${lr.inputFiles.length} files)") {
+        lr.filter(col("x") < n / 8 && col("y") < n / 8)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      graft.sources.Sources.dropShardedTable(spark, zPath)
+      graft.sources.Sources.dropShardedTable(spark, lPath)
+      spark.stop(); return
+    }
+
     if (args.contains("decade2")) {
       // a SECOND decade step for the headline families: 2M docs in
       // 200k 10-copy cliques (9M true pairs), 30M events / 1.5M

@@ -619,4 +619,232 @@ class SourcesSpec extends AnyFunSuite {
       version = Some(5L)).count() == 1200L)
     Sources.dropShardedTable(spark, path)
   }
+
+  test("sharded table DELETE: tombstone touches zero data files; " +
+       "merge-on-read applies it; pinned versions unaffected; " +
+       "rewrite + expiry reclaims the tombstone") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shdelete").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 400), col("doc_id"),
+      col("doc_id"), path, 8, Seq("doc_id"))
+    def files(dir: String): Map[String, (Long, Long)] = {
+      def walkF(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walkF) else Seq(f)
+      walkF(new java.io.File(dir)).map(f =>
+        (f.getPath, (f.length(), f.lastModified()))).toMap
+    }
+    val before = files(s"$path/data-v1")
+    val v2 = Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(50).select((col("id") * 3).as("doc_id")))
+    assert(v2 == 2L)
+    // the delete wrote a key file + manifest ONLY
+    assert(files(s"$path/data-v1") == before)
+    val live = Sources.readShardedTable(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(live.size == 350 && !live.exists(i => i % 3 == 0 && i < 150))
+    // pinned pre-delete version is untouched
+    assert(Sources.readShardedTable(spark, path,
+      version = Some(1L)).count() == 400L)
+    // pruning composes with tombstones: a bounded read still excludes
+    // the deleted keys inside its range
+    val pr = Sources.readShardedTable(spark, path,
+        preds = Seq(("doc_id", 0L, 99L)))
+      .filter(col("doc_id") <= 99).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(pr == (0L to 99L).filterNot(_ % 3 == 0).toSet)
+    // MAJOR rewrite materializes the live state; expiry then reclaims
+    // both the old data dir and the tombstone file
+    val v3 = Sources.rewriteShardedTable(spark, path, col("doc_id"),
+      col("doc_id"), numShards = 4, statsCols = Seq("doc_id"))
+    assert(v3 == 3L)
+    Sources.expireShardedSnapshots(spark, path, keep = 1)
+    val names = new java.io.File(path).listFiles().map(_.getName).toSet
+    assert(!names.exists(_.startsWith("del-v")))
+    assert(!names.contains("data-v1"))
+    val after = Sources.readShardedTable(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == live)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("sharded table MERGE: upsert updates old copies, survives its " +
+       "own tombstone, re-inserts previously deleted keys; O(batch) " +
+       "cost — existing files untouched") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shmerge").toString
+    def batch(lo: Long, n: Long, tag: String) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit(tag), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 300, "old"), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    // v2: delete keys 100..119
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(100, 120).select(col("id").as("doc_id")))
+    def files(dir: String): Map[String, (Long, Long)] = {
+      def walkF(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walkF) else Seq(f)
+      walkF(new java.io.File(dir)).map(f =>
+        (f.getPath, (f.length(), f.lastModified()))).toMap
+    }
+    val before = files(s"$path/data-v1")
+    // v3: upsert keys 110..189 (overlaps the deleted range AND live
+    // old rows) with new payloads
+    val v3 = Sources.mergeShardedTable(batch(110, 80, "new"), "doc_id",
+      col("doc_id"), path, numShards = 2, statsCols = Seq("doc_id"))
+    assert(v3 == 3L)
+    assert(files(s"$path/data-v1") == before) // merge never rewrites
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // deleted-and-not-merged keys stay gone
+    assert((100L to 109L).forall(!got.contains(_)))
+    // merged keys carry the NEW payload (including re-inserted
+    // 110..119 and updated 120..189)
+    assert((110L to 189L).forall(k => got(k) == s"new$k"))
+    // untouched keys keep the old payload
+    assert(got(0L) == "old0" && got(299L) == "old299")
+    assert(got.size == 300 - 10)
+    // schema drift fails loudly, same contract as append
+    intercept[IllegalArgumentException] {
+      Sources.mergeShardedTable(
+        batch(0, 5, "x").withColumnRenamed("t", "text"),
+        "doc_id", col("doc_id"), path, 2, Seq("doc_id"))
+    }
+    // pinned pre-merge versions: v1 all old, v2 old minus deletes
+    assert(Sources.readShardedTable(spark, path,
+      version = Some(1L)).count() == 300L)
+    assert(Sources.readShardedTable(spark, path,
+      version = Some(2L)).count() == 280L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("sharded table COMPACTION under tombstones: compacted rows get " +
+       "deletes applied (no resurrection); tombstone keeps covering " +
+       "the untouched big dir") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shcompdel").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 1000), col("doc_id"),
+      col("doc_id"), path, 8, Seq("doc_id"))                    // v1 big
+    Sources.appendShardedTable(batch(1000, 50), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))                    // v2 small
+    Sources.appendShardedTable(batch(1050, 50), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))                    // v3 small
+    // v4: delete keys straddling the big dir AND both small dirs
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(980, 1060).select(col("id").as("doc_id")))
+    val expected = ((0L until 980L) ++ (1060L until 1100L)).toSet
+    assert(Sources.readShardedTable(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).toSet == expected)
+    // compaction folds the small dirs, APPLYING the tombstone to the
+    // rows it rewrites — their new seq would otherwise outrank it
+    val v5 = Sources.compactShardedTable(spark, path, col("doc_id"),
+      col("doc_id"), numShards = 2, statsCols = Seq("doc_id"),
+      smallDirRows = 100L)
+    assert(v5 == 5L)
+    val after = Sources.readShardedTable(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == expected) // no resurrection of 1000..1059
+    // ... and 980..999 (big dir, NOT rewritten) are still suppressed
+    // by the retained tombstone
+    assert(!after.exists(k => k >= 980 && k < 1000))
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("sharded table CDC: inserts are the window's new batches only " +
+       "(compaction rewrites excluded); deletedKeys are the window's " +
+       "tombstones") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shcdc").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 200), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))                    // v1
+    Sources.appendShardedTable(batch(200, 60), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))                    // v2
+    Sources.appendShardedTable(batch(260, 40), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))                    // v3
+    // v1→v3 inserts = batches 2+3 exactly
+    assert(Sources.shardedTableInserts(spark, path, 1L, 3L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (200L until 300L).toSet)
+    // v2→v3 inserts = batch 3 only
+    assert(Sources.shardedTableInserts(spark, path, 2L, 3L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (260L until 300L).toSet)
+    // compaction is a REORGANIZATION: its dir must not re-deliver
+    Sources.compactShardedTable(spark, path, col("doc_id"),
+      col("doc_id"), 2, Seq("doc_id"), smallDirRows = 80L)      // v4
+    assert(Sources.shardedTableInserts(spark, path, 3L, 4L).count() == 0L)
+    // same-version window is empty
+    assert(Sources.shardedTableInserts(spark, path, 4L, 4L).count() == 0L)
+    // deletes show up on the delete side, not the insert side
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(10).select(col("id").as("doc_id")))           // v5
+    assert(Sources.shardedTableInserts(spark, path, 4L, 5L).count() == 0L)
+    assert(Sources.shardedTableDeletedKeys(spark, path, 4L, 5L)
+      .collect().map(_.getLong(0)).toSet == (0L until 10L).toSet)
+    // a MERGE is delete+insert of its keys in the same window
+    Sources.mergeShardedTable(batch(150, 20), "doc_id", col("doc_id"),
+      path, 2, Seq("doc_id"))                                   // v6
+    assert(Sources.shardedTableInserts(spark, path, 5L, 6L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (150L until 170L).toSet)
+    assert(Sources.shardedTableDeletedKeys(spark, path, 5L, 6L)
+      .collect().map(_.getLong(0)).toSet == (150L until 170L).toSet)
+    // windows before the first tombstone have no deleted keys
+    assert(Sources.shardedTableDeletedKeys(spark, path, 1L, 3L)
+      .count() == 0L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("sharded table Z-ORDER: a 2-D box prunes on BOTH dimensions — " +
+       "fewer shards than either bound alone and than a linear " +
+       "layout; readback lossless") {
+    import org.apache.spark.sql.functions._
+    val zPath = java.nio.file.Files
+      .createTempDirectory("graft_shzorder").toString
+    val lPath = java.nio.file.Files
+      .createTempDirectory("graft_shlinear").toString
+    // independent uniform dims: x = id, y = a decorrelating permutation
+    val df = spark.range(4096).select(col("id").as("x"),
+      ((col("id") * 2654435761L) % 4096).as("y"))
+    Sources.writeShardedTableZOrdered(df, col("x"), Seq("x", "y"),
+      zPath, numShards = 16, bitsPerCol = 6)
+    Sources.writeShardedTable(df, col("x"), col("x"), lPath,
+      numShards = 16, statsCols = Seq("x", "y"))
+    def shardsHit(path: String, preds: Seq[(String, Long, Long)]) =
+      Sources.readShardedTable(spark, path, preds = preds)
+        .inputFiles.map(_.split("/").find(_.startsWith("shard=")).get)
+        .toSet.size
+    val box = Seq(("x", 0L, 1023L), ("y", 0L, 1023L))
+    val zBox = shardsHit(zPath, box)
+    // both bounds prune together: the box opens fewer shards than
+    // either single bound alone on the SAME layout
+    assert(zBox < shardsHit(zPath, box.take(1)))
+    assert(zBox < shardsHit(zPath, box.drop(1)))
+    // ... and fewer than the linear layout, where the y bound prunes
+    // nothing (every x-run spans y's full range)
+    assert(shardsHit(lPath, box.drop(1)) == 16)
+    assert(zBox < shardsHit(lPath, box))
+    // the curve is invisible to results
+    val got = Sources.readShardedTable(spark, zPath, preds = box)
+      .filter(col("x") <= 1023 && col("y") <= 1023)
+      .select("x", "y").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (0L until 4096L).map(i => (i, (i * 2654435761L) % 4096))
+      .filter(p => p._1 <= 1023 && p._2 <= 1023)
+    assert(got.toSet == want.toSet && got.length == want.length)
+    Sources.dropShardedTable(spark, zPath)
+    Sources.dropShardedTable(spark, lPath)
+  }
 }
