@@ -1116,6 +1116,83 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // Schema evolution (r9): v1 writes three columns, v2 appends with
+    // a NEW fourth column (add-only, opt-in) — readers null-fill the
+    // pre-evolution rows, pinned-version reads keep the old schema
+    // (SourcesSpec). The oracle states the null-fill in closed form.
+    "q536_sharded_evolve" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTable(
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        col("doc_id"), col("doc_id"), path, numShards = 8,
+        statsCols = Seq("doc_id"))
+      graft.sources.Sources.appendShardedTable(
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            col("lang")),
+        col("doc_id"), col("doc_id"), path, numShards = 8,
+        statsCols = Seq("doc_id"), allowNewColumns = true)
+      val res = graft.sources.Sources.readShardedTable(s, path)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("lang"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
+    // Bloom sidecar point lookup (r9): the table is RANGE-laid by
+    // doc_id, so n_chars min/max stats prune nothing — the per-shard
+    // bloom does instead (SourcesSpec pins fewer files opened). The
+    // oracle is the plain equality predicate: bloom pruning is a
+    // superset guarantee, never a wrong answer.
+    "q537_sharded_bloom" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTable(docs, col("doc_id"),
+        col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+      graft.sources.Sources.buildShardedBloom(s, path, "n_chars",
+        bits = 1 << 16, k = 4)
+      val res = graft.sources.Sources.readShardedTablePointLookup(
+          s, path, "n_chars", lit(300))
+        .filter(col("n_chars") === 300)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
+    // Streaming UPSERT sink (r9): foreachBatch-shaped merge ticks —
+    // batch 0 = evens, batch 1 = every %3==0 doc with a bumped
+    // n_chars, then batch 1 REPLAYED (the crash-retry): exactly-once
+    // means the replay is a no-op, which the oracle catches (a
+    // double-applied merge would duplicate every %3 row).
+    "q538_sharded_merge_sink" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.shardedTableMergeSinkBatch(
+        docs.filter(col("doc_id") % 2 === 0), 0L, "doc_id",
+        col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+      def tick1() = graft.sources.Sources.shardedTableMergeSinkBatch(
+        docs.filter(col("doc_id") % 3 === 0)
+          .withColumn("n_chars", col("n_chars") + 100000L),
+        1L, "doc_id", col("doc_id"), path, numShards = 4,
+        statsCols = Seq("doc_id"))
+      tick1(); tick1() // second call is the foreachBatch replay
+      val res = graft.sources.Sources.readShardedTable(s, path)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
     // Fragmented MP4 (r9): the q502 decode over CMAF/DASH-style
     // moof/mdat segments — the layout real crawl video ships in.
     // BOTH isolation properties in one corpus: a corrupt FRAME costs
@@ -6075,6 +6152,28 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars
          FROM documents WHERE doc_id BETWEEN 50 AND 349
            AND n_chars BETWEEN 100 AND 400
+         ORDER BY doc_id""",
+
+    // q536: add-only schema evolution — pre-evolution rows null-fill
+    // the new column
+    "q536_sharded_evolve" ->
+      """SELECT doc_id, source, n_chars,
+           CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+         FROM documents ORDER BY doc_id""",
+
+    // q537: bloom pruning is a superset guarantee — plain equality
+    "q537_sharded_bloom" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents WHERE n_chars = 300
+         ORDER BY doc_id""",
+
+    // q538: streaming upsert with a replayed tick — exactly-once
+    // (a double-applied merge would duplicate every %3 row)
+    "q538_sharded_merge_sink" ->
+      """SELECT doc_id, source,
+           CASE WHEN doc_id % 3 = 0 THEN n_chars + 100000
+                ELSE n_chars END AS n_chars
+         FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
          ORDER BY doc_id""",
 
     // q502: the q416 mosaic replay per (id, frame) with a per-frame

@@ -481,7 +481,8 @@ object Sources {
   def appendShardedTable(df: DataFrame, id: Column, orderCol: Column,
                          path: String, numShards: Int,
                          statsCols: Seq[String],
-                         batchId: Long = -1L): Long = {
+                         batchId: Long = -1L,
+                         allowNewColumns: Boolean = false): Long = {
     val spark = df.sparkSession
     val parent = shardedManifest(spark, path) // requires table exists
     val sample = normalizeManifest(parent)
@@ -491,10 +492,20 @@ object Sources {
       .parquet(s"${sample.getString(0)}/shard=${sample.getLong(1)}")
       .columns.toSet
     val batchCols = df.columns.toSet
-    require(batchCols == tableCols,
+    // SCHEMA EVOLUTION is opt-in and ADD-ONLY: with allowNewColumns
+    // the batch may carry extra columns (readers null-fill them on
+    // pre-evolution rows — the Iceberg add-column contract), but it
+    // must still cover every existing column — silently dropping one
+    // would null out history on every later read.
+    if (allowNewColumns)
+      require(tableCols.subsetOf(batchCols),
+        s"appendShardedTable: batch is missing table column(s) " +
+          s"${(tableCols -- batchCols).toSeq.sorted.mkString(",")} — " +
+          s"evolution is add-only")
+    else require(batchCols == tableCols,
       s"appendShardedTable: batch columns ${batchCols.toSeq.sorted
         .mkString(",")} != table columns ${tableCols.toSeq.sorted
-        .mkString(",")}")
+        .mkString(",")} (pass allowNewColumns = true to add columns)")
     writeSnapshot(df, id, orderCol, path, numShards, statsCols,
       parentRows = Some(parent), batchId = batchId, op = "append")
   }
@@ -527,6 +538,150 @@ object Sources {
       appendShardedTable(batch, id, orderCol, path, numShards,
         statsCols, batchId = batchId)
     }
+  }
+
+  /** Exactly-once `foreachBatch` body for a streaming UPSERT sink:
+    * same replay contract as [[shardedTableSinkBatch]] (batch_id
+    * already in the latest manifest → skip; orphan dirs invisible)
+    * but each batch MERGES instead of appending — the CDC-consumer
+    * shape where a key's latest value wins across batches, at
+    * O(batch) cost per tick. First batch creates the table. */
+  def shardedTableMergeSinkBatch(batch: DataFrame, batchId: Long,
+                                 idName: String, orderCol: Column,
+                                 path: String, numShards: Int,
+                                 statsCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    val versions = shardedVersions(spark, path)
+    if (versions.isEmpty) {
+      if (batch.isEmpty) 0L
+      else writeSnapshot(batch, col(idName), orderCol, path, numShards,
+        statsCols, parentRows = None, batchId = batchId)
+    } else if (committedBatchIds(spark, path).contains(batchId)) {
+      versions.last
+    } else if (batch.isEmpty) {
+      versions.last
+    } else {
+      mergeShardedTable(batch, idName, orderCol, path, numShards,
+        statsCols, batchId = batchId)
+    }
+  }
+
+  /** Build a BLOOM-FILTER SIDECAR over `colName` for the latest
+    * snapshot: per (data_dir, shard), an m-bit bloom stored as sparse
+    * (word_idx, word_bits) rows under `path/_bloom/v<V>/<colName>`.
+    * Built relationally — explode k hash positions per row, one
+    * bit_or aggregation — so the build is a single shuffle of
+    * O(rows × k) positions, never a driver-side bitset; the sidecar
+    * itself is metadata-scale (≤ bits/64 longs per shard, sparse).
+    * [[readShardedTablePointLookup]] then answers point predicates on
+    * a NON-order column (where min/max stats prune nothing) by
+    * opening only the shards whose bloom matches. Shards appended
+    * AFTER the build are not covered and stay un-pruned (the
+    * index-lags-ingest contract — graceful, never wrong); false
+    * positives cost an extra shard read, false negatives cannot
+    * happen. Null values are not indexed — point-look nulls up with
+    * an isNull scan instead. Returns the build version. */
+  def buildShardedBloom(spark: SparkSession, path: String,
+                        colName: String, bits: Int = 1 << 20,
+                        k: Int = 4): Long = {
+    import org.apache.spark.sql.functions._
+    require(Integer.bitCount(bits) == 1 && bits >= 64,
+      s"bits must be a power of two >= 64, got $bits")
+    require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
+    val mf = normalizeManifest(shardedManifest(spark, path))
+    val version = shardedVersions(spark, path).last
+    val dataRows = mf.filter(col("kind") === "data")
+      .select("data_dir", "shard").collect()
+    val values = dataRows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .map { case (dDir, rs) =>
+        val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
+        spark.read.option("basePath", dDir).parquet(dirs: _*)
+          .select(lit(dDir).as("data_dir"),
+            col("shard").cast("long").as("shard"),
+            col(colName).as("__v"))
+      }.reduce(_.unionByName(_))
+    val bloom = values.filter(col("__v").isNotNull)
+      .select(col("data_dir"), col("shard"),
+        explode(array((0 until k).map(i =>
+          pmod(hash(col("__v"), lit(i)).cast("long"), lit(bits.toLong)))
+          : _*)).as("__pos"))
+      .withColumn("word_idx", expr("__pos div 64"))
+      .withColumn("__mask", expr("shiftleft(1L, cast(__pos % 64 as int))"))
+      .groupBy(col("data_dir"), col("shard"), col("word_idx"))
+      .agg(expr("bit_or(__mask)").as("word_bits"))
+      .withColumn("bits", lit(bits))
+      .withColumn("k", lit(k))
+    bloom.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/_bloom/v$version/$colName")
+    version
+  }
+
+  /** Point lookup via the bloom sidecar: open only the shards whose
+    * bloom admits `value` (plus any shard appended after the newest
+    * build, which the sidecar cannot speak for). The caller still
+    * applies the exact predicate — bloom pruning is the same
+    * superset guarantee as stats pruning, just for equality on a
+    * column the range layout keeps untight. Driver state: k probe
+    * positions + the matching sidecar rows (≤ shards × k). */
+  def readShardedTablePointLookup(spark: SparkSession, path: String,
+                                  colName: String, value: Column)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val mf = normalizeManifest(shardedManifest(spark, path))
+    val dataMf = mf.filter(col("kind") === "data")
+    val delRows = mf.filter(col("kind") === "delete")
+      .select("data_dir", "seq", "del_col").distinct().collect()
+    // newest build ≤ current table version
+    val bloomRoot = new org.apache.hadoop.fs.Path(s"$path/_bloom")
+    val fs = bloomRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val builds =
+      if (!fs.exists(bloomRoot)) Seq.empty
+      else fs.listStatus(bloomRoot).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/_bloom/v$v/$colName"))).sorted
+    require(builds.nonEmpty,
+      s"no bloom sidecar for column $colName under $path — run " +
+        s"buildShardedBloom first")
+    val bv = builds.last
+    val bloom = spark.read.parquet(s"$path/_bloom/v$bv/$colName")
+    val meta = bloom.select("bits", "k").head()
+    val (bits, k) = (meta.getInt(0), meta.getInt(1))
+    // hash the probe value EXACTLY as the build hashed the column:
+    // cast to the table column's type first (a long literal probing
+    // an int column would hash differently)
+    val headDir = dataMf.orderBy(col("seq").desc)
+      .select("data_dir").head().getString(0)
+    val dt = spark.read.parquet(headDir).schema(colName).dataType
+    val positions = spark.range(1).select(
+        explode(array((0 until k).map(i =>
+          pmod(hash(value.cast(dt), lit(i)).cast("long"),
+            lit(bits.toLong))): _*)).as("p"))
+      .collect().map(_.getLong(0)).distinct
+    val probeWords = positions.groupBy(_ / 64).map { case (w, ps) =>
+      w -> ps.map(p => 1L << (p % 64)).reduce(_ | _) }
+    val hits = bloom
+      .filter(col("word_idx").isin(probeWords.keys.toSeq: _*))
+      .select("data_dir", "shard", "word_idx", "word_bits").collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+    val passing: Set[(String, Long)] = hits.filter { case (_, rs) =>
+      probeWords.forall { case (w, m) =>
+        rs.exists(r => r.getLong(2) == w && (r.getLong(3) & m) == m) }
+    }.keySet.toSet
+    // shards the build covered (its version's manifest); anything
+    // newer is uncovered and must be read
+    val covered = normalizeManifest(
+        shardedManifest(spark, path, Some(bv)))
+      .filter(col("kind") === "data").select("data_dir", "shard")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rows = dataMf.select("data_dir", "shard", "seq").collect()
+      .filter { r =>
+        val pair = (r.getString(0), r.getLong(1))
+        !covered(pair) || passing(pair)
+      }
+    readManifestShards(spark, dataMf, rows, delRows)
   }
 
   /** Batch ids already published in the LATEST manifest (the append
@@ -608,7 +763,16 @@ object Sources {
     // survive while every older copy of the key dies, atomically
     // (one manifest commit covers both dirs).
     val delRow = deleteKeys.map { case (keys, idName) =>
-      writeDeleteDir(spark, keys, idName, path, version, batchId, op)
+      val row = writeDeleteDir(spark, keys, idName, path, version,
+        batchId, op)
+      // both counts exist anyway — catch a merge batch with duplicate
+      // keys for free: its tombstone (distinct keys) kills neither
+      // copy (same seq), so the dupes would silently both insert
+      val delN = row.select("n_rows").head().getLong(0)
+      require(delN == n,
+        s"mergeShardedTable: batch has ${n - delN} duplicate key(s) " +
+          s"($n rows, $delN distinct) — upsert needs unique keys")
+      row
     }
     // parent rows ride along NORMALIZED (pre-lineage manifests get
     // kind/seq/op/del_col derived, pre-batch_id ones get -1) so a
@@ -709,23 +873,49 @@ object Sources {
     val pruned = preds.foldLeft(dataMf) { case (m, (c, lo, hi)) =>
       m.filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi)) }
     val rows = pruned.select("data_dir", "shard", "seq").collect()
-    val headDir = dataMf.select("data_dir").head().getString(0)
+    readManifestShards(spark, dataMf, rows, delRows)
+  }
+
+  /** Shared read tail: materialize the chosen (data_dir, shard, seq)
+    * rows, union by name with null-fill for pre-evolution dirs, and
+    * apply live tombstones. Schema authority is the NEWEST data dir
+    * (an evolved append's added columns must appear even when the
+    * read prunes to old shards only, and on the empty-intersection
+    * path). */
+  private def readManifestShards(spark: SparkSession, dataMf: DataFrame,
+                                 rows: Array[org.apache.spark.sql.Row],
+                                 delRows: Array[org.apache.spark.sql.Row])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val headDir = dataMf.orderBy(col("seq").desc)
+      .select("data_dir").head().getString(0)
     if (rows.isEmpty)
       spark.read.option("basePath", headDir).parquet(headDir)
         .filter(lit(false))
     else {
       // one read per contributing data dir (each needs its own
-      // basePath for the shard= partition column), unioned by name —
-      // dirs are snapshot-count-many, a metadata-scale union. With
-      // live tombstones each dir's rows are tagged with the dir's
-      // seq so merge-on-read can order them against the deletes.
+      // basePath for the shard= partition column), unioned by name
+      // with null-fill for pre-evolution dirs — dirs are snapshot-
+      // count-many, a metadata-scale union. With live tombstones each
+      // dir's rows are tagged with the dir's seq so merge-on-read can
+      // order them against the deletes.
+      // schema-only seed for the fold: a LocalRelation, NOT a parquet
+      // read — it must contribute the newest schema without adding
+      // headDir's files to the scan (inputFiles is what the pruning
+      // specs and probes measure)
+      val head = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        spark.read.option("basePath", headDir).parquet(headDir).schema)
+      val headTagged =
+        if (delRows.isEmpty) head else head.withColumn("__seq", lit(0L))
       val base = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
         case (dDir, rs) =>
           val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
           val f = spark.read.option("basePath", dDir).parquet(dirs: _*)
           if (delRows.isEmpty) f
           else f.withColumn("__seq", lit(rs.head.getLong(2)))
-      }.reduce(_.unionByName(_))
+      }.foldLeft(headTagged)(
+        _.unionByName(_, allowMissingColumns = true))
       if (delRows.isEmpty) base else applyDeletes(spark, base, delRows)
     }
   }
@@ -801,10 +991,12 @@ object Sources {
     // than every existing tombstone's, so skipping this would
     // resurrect deleted rows. It is free: these rows are being
     // rewritten anyway, and the anti-join side is key-only.
+    // small runs may straddle a schema evolution: align by name,
+    // null-filling the pre-evolution runs (same as the read side)
     val merged0 = small.toSeq.sorted.map { d =>
       spark.read.option("basePath", d).parquet(d)
         .withColumn("__seq", lit(dirSeq(d)))
-    }.reduce(_.unionByName(_))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
     val merged = (if (delRows.isEmpty) merged0.drop("__seq")
                   else applyDeletes(spark, merged0, delRows))
       .drop("shard")
@@ -919,7 +1111,7 @@ object Sources {
         case (dDir, rs) =>
           val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
           spark.read.option("basePath", dDir).parquet(dirs: _*)
-      }.reduce(_.unionByName(_))
+      }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** INCREMENTAL (CDC) read, delete side: the distinct keys

@@ -847,4 +847,119 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, zPath)
     Sources.dropShardedTable(spark, lPath)
   }
+
+  test("sharded table SCHEMA EVOLUTION: add-only, opt-in; readers " +
+       "null-fill pre-evolution rows; pinned versions keep the old " +
+       "schema") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shevolve").toString
+    def v1batch = spark.range(100)
+      .select(col("id").as("doc_id"), concat(lit("d"), col("id")).as("t"))
+    def v2batch = spark.range(100, 150)
+      .select(col("id").as("doc_id"), concat(lit("d"), col("id")).as("t"),
+        (col("id") % 5).as("score"))
+    Sources.writeShardedTable(v1batch, col("doc_id"), col("doc_id"),
+      path, 4, Seq("doc_id"))
+    // a new column without the flag fails loudly
+    intercept[IllegalArgumentException] {
+      Sources.appendShardedTable(v2batch, col("doc_id"), col("doc_id"),
+        path, 2, Seq("doc_id"))
+    }
+    Sources.appendShardedTable(v2batch, col("doc_id"), col("doc_id"),
+      path, 2, Seq("doc_id"), allowNewColumns = true)
+    // evolution is ADD-only: dropping a column fails even with the flag
+    intercept[IllegalArgumentException] {
+      Sources.appendShardedTable(
+        spark.range(200, 210).select(col("id").as("doc_id")),
+        col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"),
+        allowNewColumns = true)
+    }
+    val latest = Sources.readShardedTable(spark, path)
+    assert(latest.columns.toSet == Set("doc_id", "t", "score", "shard"))
+    val scores = latest.select("doc_id", "score").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert((0L until 100L).forall(scores(_).isEmpty))      // null-filled
+    assert((100L until 150L).forall(k => scores(k).contains(k % 5)))
+    // a read pruned to PRE-evolution shards only still exposes the
+    // evolved schema (schema authority = newest dir)
+    val oldOnly = Sources.readShardedTable(spark, path,
+      preds = Seq(("doc_id", 0L, 49L)))
+    assert(oldOnly.columns.contains("score"))
+    assert(oldOnly.filter(col("doc_id") <= 49).count() == 50L)
+    // the pinned PRE-evolution version keeps the old schema
+    assert(!Sources.readShardedTable(spark, path, version = Some(1L))
+      .columns.contains("score"))
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("sharded table BLOOM sidecar: point lookup on a non-order " +
+       "column opens only matching shards; post-build appends stay " +
+       "un-pruned; never a wrong answer") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shbloom").toString
+    // range-laid by doc_id; v = a spread-out permutation, so every
+    // shard's v-range is wide and min/max stats would prune NOTHING
+    val df = spark.range(4096).select(col("id").as("doc_id"),
+      ((col("id") * 2654435761L) % 4096).as("v"))
+    Sources.writeShardedTable(df, col("doc_id"), col("doc_id"),
+      path, 16, Seq("doc_id"))
+    Sources.buildShardedBloom(spark, path, "v", bits = 1 << 16, k = 4)
+    def filesOf(d: org.apache.spark.sql.DataFrame) =
+      d.inputFiles.map(_.split("/").takeRight(2).mkString("/")).toSet
+    val full = Sources.readShardedTable(spark, path)
+    val probe = Sources.readShardedTablePointLookup(spark, path, "v",
+      lit(77L))
+    // one value lives in exactly one shard: the bloom must open far
+    // fewer files than the full table (fp rate at 16 shards is tiny)
+    assert(filesOf(probe).size < filesOf(full).size / 2)
+    assert(probe.filter(col("v") === 77L).select("doc_id").collect()
+      .map(_.getLong(0)).toSeq == Seq(
+        (0L until 4096L).find(i => (i * 2654435761L) % 4096 == 77L).get))
+    // a value NOT in the table: (almost) everything pruned, empty and
+    // correct either way
+    val miss = Sources.readShardedTablePointLookup(spark, path, "v",
+      lit(999999L))
+    assert(miss.filter(col("v") === 999999L).count() == 0L)
+    // append AFTER the build: the new shard is uncovered → always
+    // read, so fresh rows are findable through the stale sidecar
+    Sources.appendShardedTable(
+      spark.range(10000, 10005).select(col("id").as("doc_id"),
+        lit(424242L).as("v")),
+      col("doc_id"), col("doc_id"), path, 1, Seq("doc_id"))
+    val fresh = Sources.readShardedTablePointLookup(spark, path, "v",
+      lit(424242L))
+    assert(fresh.filter(col("v") === 424242L).count() == 5L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("sharded table streaming MERGE sink: replayed tick is a no-op; " +
+       "later batch wins the key; empty batch skipped") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shmsink").toString
+    def batch(lo: Long, n: Long, tag: String) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit(tag), col("id") + lo).as("t"))
+    assert(Sources.shardedTableMergeSinkBatch(batch(0, 100, "a"), 0L,
+      "doc_id", col("doc_id"), path, 4, Seq("doc_id")) == 1L)
+    assert(Sources.shardedTableMergeSinkBatch(batch(50, 100, "b"), 1L,
+      "doc_id", col("doc_id"), path, 4, Seq("doc_id")) == 2L)
+    // crash-retry replay of tick 1: version unchanged, rows unchanged
+    assert(Sources.shardedTableMergeSinkBatch(batch(50, 100, "b"), 1L,
+      "doc_id", col("doc_id"), path, 4, Seq("doc_id")) == 2L)
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 150)
+    assert((0L until 50L).forall(k => got(k) == s"a$k"))   // untouched
+    assert((50L until 150L).forall(k => got(k) == s"b$k")) // upserted
+    // empty batch: skipped, version unchanged
+    assert(Sources.shardedTableMergeSinkBatch(
+      batch(0, 1, "x").filter(lit(false)), 2L, "doc_id", col("doc_id"),
+      path, 4, Seq("doc_id")) == 2L)
+    Sources.dropShardedTable(spark, path)
+  }
 }
