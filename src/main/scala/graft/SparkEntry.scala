@@ -1195,6 +1195,35 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // Dedup-on-ingest (r9): the composition showcase — a streaming
+    // sink that keeps the growing corpus table duplicate-free per
+    // key AS it ingests (within-batch keep-min-id + anti-join vs the
+    // table's seen keys), exactly-once under replay. Key = n_chars
+    // residue (dense collisions by construction). The oracle states
+    // batch precedence in closed form: a key's keeper is the min
+    // EVEN doc_id if any even doc carries it (batch 0 wins), else
+    // the min doc_id over all.
+    "q551_dedup_ingest" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+        .withColumn("dkey", pmod(col("n_chars"), lit(50)))
+      def tick(b: DataFrame, id: Long) =
+        graft.sources.Sources.shardedTableDedupSinkBatch(b, id,
+          "dkey", "doc_id", col("doc_id"), path, numShards = 4,
+          statsCols = Seq("doc_id"))
+      tick(docs.filter(col("doc_id") % 2 === 0), 0L)
+      tick(docs.filter(col("doc_id") % 2 === 1), 1L)
+      tick(docs.filter(col("doc_id") % 2 === 1), 1L) // replay: no-op
+      val res = graft.sources.Sources.readShardedTable(s, path)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("dkey"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
     // Fragmented MP4 (r9): the q502 decode over CMAF/DASH-style
     // moof/mdat segments — the layout real crawl video ships in.
     // BOTH isolation properties in one corpus: a corrupt FRAME costs
@@ -6179,6 +6208,22 @@ object SparkEntry {
                 ELSE n_chars END AS n_chars
          FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
          ORDER BY doc_id""",
+
+    // q551: dedup-on-ingest — a key's keeper is the min even doc_id
+    // if any even doc carries it (the first batch wins), else the
+    // global min; a replayed tick must change nothing
+    "q551_dedup_ingest" ->
+      """WITH k AS (SELECT doc_id, source, n_chars,
+                      n_chars % 50 AS dkey, doc_id % 2 AS par
+                    FROM documents),
+         pick AS (SELECT dkey,
+                    coalesce(min(CASE WHEN par = 0 THEN doc_id END),
+                             min(doc_id)) AS keep
+                  FROM k GROUP BY dkey)
+         SELECT k.doc_id, k.source, k.n_chars, k.dkey
+         FROM k JOIN pick ON k.dkey = pick.dkey
+           AND k.doc_id = pick.keep
+         ORDER BY k.doc_id""",
 
     // q502: the q416 mosaic replay per (id, frame) with a per-frame
     // phase; the id % 7 == 3 assets' frame 1 is the truncated sample

@@ -684,6 +684,167 @@ object Sources {
     readManifestShards(spark, dataMf, rows, delRows)
   }
 
+  /** Exactly-once DEDUPLICATING ingest sink: each tick keeps one row
+    * per `keyName` (the min-`idName` row within the batch) and
+    * appends only the rows whose key the table has never seen — the
+    * dedup-on-ingest shape of a training-data pipeline, where the
+    * corpus table must stay duplicate-free WHILE it grows rather
+    * than via periodic global dedup passes. Cross-tick screening is
+    * one anti-join against the table's distinct key column (a thin
+    * columnar scan; at the 100 TB tier pair it with
+    * [[buildShardedBloom]] on the key so the anti-join's build side
+    * reads only candidate shards). Replays are exactly-once through
+    * [[shardedTableSinkBatch]]'s batch-id check — a replayed tick is
+    * skipped before any screening job runs. */
+  def shardedTableDedupSinkBatch(batch: DataFrame, batchId: Long,
+                                 keyName: String, idName: String,
+                                 orderCol: Column, path: String,
+                                 numShards: Int,
+                                 statsCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val versions = shardedVersions(spark, path)
+    if (versions.nonEmpty &&
+        committedBatchIds(spark, path).contains(batchId))
+      return versions.last
+    // within-batch keep-first: one row per key, ties to the min id
+    val kept = batch.groupBy(col(keyName).as("__k"))
+      .agg(min(col(idName)).as("__keep"))
+    val within = batch.join(kept,
+        col(keyName) === col("__k") && col(idName) === col("__keep"))
+      .drop("__k", "__keep")
+    val novel =
+      if (versions.isEmpty) within
+      else {
+        val seen = readShardedTable(spark, path)
+          .select(col(keyName).as("__k")).distinct()
+        within.join(seen, col(keyName) === col("__k"), "left_anti")
+      }
+    shardedTableSinkBatch(novel, batchId, col(idName), orderCol, path,
+      numShards, statsCols)
+  }
+
+  /** Integrity AUDIT: recompute each data shard's row count and
+    * stats bounds from the files and compare against the manifest;
+    * verify every tombstone file is readable under its declared key
+    * column; list orphan on-disk dirs no live manifest references.
+    * Returns a findings frame (check, data_dir, shard, detail) —
+    * empty means clean. O(table) by design (it READS the data to
+    * check the metadata); run it like `fsck`, not per query. The
+    * stats check is CONTAINMENT (manifest bounds must cover the
+    * data), which is the reader's actual correctness bar — pruning
+    * is a superset guarantee. */
+  def auditShardedTable(spark: SparkSession, path: String,
+                        version: Option[Long] = None): DataFrame = {
+    // manifest fetched BEFORE the functions._ wildcard import, which
+    // would shadow the `version` param
+    val mf0 = shardedManifest(spark, path, version)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val mf = normalizeManifest(mf0)
+    val statCols = mf.columns.filter(_.startsWith("min_")).map(_.drop(4))
+    val dataRows = mf.filter(col("kind") === "data")
+    // per-dir recompute; a dir that cannot even be opened is itself a
+    // finding, not an audit crash
+    val (goodFrames, badDirs) = dataRows.select("data_dir", "shard")
+      .collect().groupBy(_.getString(0)).toSeq.sortBy(_._1)
+      .foldLeft((Seq.empty[DataFrame], Seq.empty[(String, String)])) {
+        case ((gs, bs), (dDir, rs)) =>
+          try {
+            val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
+            val aggs = Seq(count(lit(1)).as("a_rows")) ++
+              statCols.flatMap(c => Seq(
+                min(col(c)).cast("long").as(s"a_min_$c"),
+                max(col(c)).cast("long").as(s"a_max_$c")))
+            val f = spark.read.option("basePath", dDir)
+              .parquet(dirs: _*)
+              .groupBy(col("shard").cast("long").as("shard"))
+              .agg(aggs.head, aggs.tail: _*)
+              .withColumn("data_dir", lit(dDir))
+            (gs :+ f, bs)
+          } catch { case scala.util.control.NonFatal(e) =>
+            (gs, bs :+ (dDir, e.getClass.getSimpleName))
+          }
+      }
+    val actual =
+      if (goodFrames.nonEmpty) goodFrames.reduce(_.unionByName(_))
+      else statCols.foldLeft(spark.range(0).select(
+          col("id").cast("string").as("data_dir"),
+          col("id").as("shard"), col("id").as("a_rows"))) { (f, c) =>
+        f.withColumn(s"a_min_$c", lit(null).cast("long"))
+          .withColumn(s"a_max_$c", lit(null).cast("long"))
+      }
+    val dirBad =
+      if (badDirs.isEmpty)
+        spark.range(0).select(lit("x").as("check"),
+          lit("x").as("data_dir"), col("id").as("shard"),
+          lit("x").as("detail"))
+      else badDirs.toDF("data_dir", "detail")
+        .select(lit("data_dir_unreadable").as("check"), col("data_dir"),
+          lit(-1L).as("shard"), col("detail"))
+    val badSet = badDirs.map(_._1).toSet
+    val joined = dataRows
+      .filter(!col("data_dir").isin(badSet.toSeq: _*))
+      .join(actual, Seq("data_dir", "shard"), "full")
+    def s(c: Column): Column = coalesce(c.cast("string"), lit("null"))
+    val countBad = joined
+      .filter(col("n_rows").isNull || col("a_rows").isNull ||
+        col("n_rows") =!= col("a_rows"))
+      .select(lit("row_count_mismatch").as("check"), col("data_dir"),
+        col("shard"), concat(lit("manifest="), s(col("n_rows")),
+          lit(" actual="), s(col("a_rows"))).as("detail"))
+    val statBad = statCols.map { c =>
+      joined.filter(col(s"a_min_$c") < col(s"min_$c") ||
+          col(s"a_max_$c") > col(s"max_$c"))
+        .select(lit(s"stats_not_containing:$c").as("check"),
+          col("data_dir"), col("shard"),
+          concat(lit("manifest=["), s(col(s"min_$c")), lit(","),
+            s(col(s"max_$c")), lit("] actual=["), s(col(s"a_min_$c")),
+            lit(","), s(col(s"a_max_$c")), lit("]")).as("detail"))
+    }.toSeq
+    val delBad = mf.filter(col("kind") === "delete")
+      .select("data_dir", "del_col").collect().flatMap { r =>
+        try {
+          spark.read.parquet(r.getString(0)).select(r.getString(1))
+            .head(1); None
+        } catch { case scala.util.control.NonFatal(e) =>
+          Some((r.getString(0), e.getClass.getSimpleName))
+        }
+      }
+    val delBadDf =
+      if (delBad.isEmpty)
+        spark.range(0).select(lit("x").as("check"),
+          lit("x").as("data_dir"), col("id").as("shard"),
+          lit("x").as("detail"))
+      else
+        delBad.toSeq.toDF("data_dir", "detail")
+          .select(lit("tombstone_unreadable").as("check"),
+            col("data_dir"), lit(-1L).as("shard"), col("detail"))
+    // orphans: on-disk dirs no LIVE manifest references (crashed
+    // writes awaiting GC — informational, readers cannot see them)
+    val live = shardedVersions(spark, path).flatMap(v =>
+      shardedManifest(spark, path, Some(v)).select("data_dir")
+        .distinct().collect().map(_.getString(0).split('/').last)).toSet
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphans = fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("data-v") ||
+         s.getPath.getName.startsWith("del-v")))
+      .map(_.getPath.getName).filterNot(live)
+    val orphanDf =
+      if (orphans.isEmpty)
+        spark.range(0).select(lit("x").as("check"),
+          lit("x").as("data_dir"), col("id").as("shard"),
+          lit("x").as("detail"))
+      else orphans.toSeq.toDF("data_dir")
+        .select(lit("orphan_dir").as("check"), col("data_dir"),
+          lit(-1L).as("shard"), lit("unreferenced by any live " +
+            "manifest — GC candidate").as("detail"))
+    (Seq(dirBad, countBad) ++ statBad ++ Seq(delBadDf, orphanDf))
+      .reduce(_.unionByName(_))
+  }
+
   /** Batch ids already published in the LATEST manifest (the append
     * chain carries every ancestor's rows forward, so the latest
     * manifest is the full commit log). Metadata-scale: O(shards). */

@@ -635,6 +635,46 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("bloom")) {
+      // r9 evidence: point lookups on a NON-order column at scale.
+      // 2M rows / 64 shards, range-laid by x so y's min/max stats
+      // prune nothing; the bloom sidecar must open O(1) shards per
+      // equality probe, and the build must be one linear pass.
+      val path = "/tmp/graft_bloom_probe"
+      graft.sources.Sources.dropShardedTable(spark, path)
+      val n = 2000000L
+      val df = spark.range(n).select(col("id").as("x"),
+          pmod(col("id") * 2654435761L, lit(n)).as("y"),
+          concat_ws(" ", transform(sequence(lit(0), lit(19)), j =>
+            concat(lit("w"), pmod(hash(col("id"), j), lit(100000L)))))
+            .as("text"))
+        .repartition(64)
+        .cut()
+      timed(spark, "bloom: write 2M/64") {
+        graft.sources.Sources.writeShardedTable(df, col("x"), col("x"),
+          path, numShards = 64, statsCols = Seq("x"))
+      }
+      timed(spark, "bloom: build (y, 2^20 bits, k=4)") {
+        graft.sources.Sources.buildShardedBloom(spark, path, "y",
+          bits = 1 << 20, k = 4)
+      }
+      val probe = graft.sources.Sources.readShardedTablePointLookup(
+        spark, path, "y", lit(777777L))
+      timed(spark, s"bloom: point lookup " +
+          s"(${probe.inputFiles.length} files of 64)") {
+        probe.filter(col("y") === 777777L)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      val fullScan = graft.sources.Sources.readShardedTable(spark, path)
+      timed(spark, s"bloom: full-scan equality " +
+          s"(${fullScan.inputFiles.length} files)") {
+        fullScan.filter(col("y") === 777777L)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      graft.sources.Sources.dropShardedTable(spark, path)
+      spark.stop(); return
+    }
+
     if (args.contains("decade2")) {
       // a SECOND decade step for the headline families: 2M docs in
       // 200k 10-copy cliques (9M true pairs), 30M events / 1.5M

@@ -962,4 +962,68 @@ class SourcesSpec extends AnyFunSuite {
       path, 4, Seq("doc_id")) == 2L)
     Sources.dropShardedTable(spark, path)
   }
+
+  test("sharded table dedup-ingest sink: within-batch keep-first, " +
+       "cross-tick key screening, replay no-op") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shdedup").toString
+    // key = id % 10: every batch has internal dupes AND overlaps
+    def batch(lo: Long, n: Long, tag: String) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        ((col("id") + lo) % 10).as("k"),
+        concat(lit(tag), col("id") + lo).as("t"))
+    Sources.shardedTableDedupSinkBatch(batch(0, 25, "a"), 0L,
+      "k", "doc_id", col("doc_id"), path, 2, Seq("doc_id"))
+    // tick 0 kept one row per key: ids 0..9
+    assert(Sources.readShardedTable(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (0L until 10L).toSet)
+    // tick 1 brings NOTHING new (all keys seen) — version unchanged
+    // because the empty novel batch is skipped
+    val v1 = Sources.shardedTableDedupSinkBatch(batch(100, 30, "b"), 1L,
+      "k", "doc_id", col("doc_id"), path, 2, Seq("doc_id"))
+    assert(Sources.readShardedTable(spark, path).count() == 10L)
+    // a batch with genuinely new keys adds exactly those
+    def batch2(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        ((col("id") + lo) % 10 + 100).as("k"),
+        concat(lit("c"), col("id") + lo).as("t"))
+    val v2 = Sources.shardedTableDedupSinkBatch(batch2(200, 25), 2L,
+      "k", "doc_id", col("doc_id"), path, 2, Seq("doc_id"))
+    assert(v2 > v1)
+    assert(Sources.readShardedTable(spark, path).count() == 20L)
+    // replay of tick 2: skipped before any screening job
+    assert(Sources.shardedTableDedupSinkBatch(batch2(200, 25), 2L,
+      "k", "doc_id", col("doc_id"), path, 2, Seq("doc_id")) == v2)
+    assert(Sources.readShardedTable(spark, path).count() == 20L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("sharded table AUDIT: clean table yields no findings; row " +
+       "tampering, stats violations and orphan dirs are flagged") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shaudit").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 200), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(5).select(col("id").as("doc_id")))
+    assert(Sources.auditShardedTable(spark, path).count() == 0L)
+    // tamper 1: smuggle extra rows into a shard dir (row count +
+    // stats bounds both break)
+    batch(5000, 7).withColumn("shard", lit(0L)).drop("shard")
+      .write.mode("append").parquet(s"$path/data-v1/shard=0")
+    // tamper 2: an orphan dir from a crashed write
+    batch(9000, 3).write.parquet(s"$path/data-v99/shard=0")
+    val findings = Sources.auditShardedTable(spark, path)
+      .select("check").collect().map(_.getString(0)).toSet
+    assert(findings.contains("row_count_mismatch"))
+    assert(findings.contains("stats_not_containing:doc_id"))
+    assert(findings.contains("orphan_dir"))
+    Sources.dropShardedTable(spark, path)
+  }
 }
