@@ -1224,6 +1224,38 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // Table audit (r9): after a write + delete + merge + compaction
+    // chain, the fsck must come back CLEAN — manifest row counts and
+    // stats containment verified against the files, tombstones
+    // readable, no orphans. The oracle is the empty frame with the
+    // findings schema: any corruption anywhere in the op chain
+    // surfaces as a nonzero row count here.
+    "q552_sharded_audit" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTable(
+        docs.filter(col("doc_id") % 10 < 8), col("doc_id"),
+        col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+      graft.sources.Sources.appendShardedTable(
+        docs.filter(col("doc_id") % 10 >= 8), col("doc_id"),
+        col("doc_id"), path, numShards = 2, statsCols = Seq("doc_id"))
+      graft.sources.Sources.deleteFromShardedTable(s, path, "doc_id",
+        docs.filter(col("doc_id") % 9 === 1).select(col("doc_id")))
+      graft.sources.Sources.mergeShardedTable(
+        docs.filter(col("doc_id") % 11 === 2)
+          .withColumn("n_chars", col("n_chars") + 7L),
+        "doc_id", col("doc_id"), path, numShards = 2,
+        statsCols = Seq("doc_id"))
+      graft.sources.Sources.compactShardedTable(s, path, col("doc_id"),
+        col("doc_id"), numShards = 4, statsCols = Seq("doc_id"),
+        smallDirRows = docs.count() / 5)
+      val res = graft.sources.Sources.auditShardedTable(s, path).cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("check", "data_dir", "shard")
+    }),
+
     // Fragmented MP4 (r9): the q502 decode over CMAF/DASH-style
     // moof/mdat segments — the layout real crawl video ships in.
     // BOTH isolation properties in one corpus: a corrupt FRAME costs
@@ -6208,6 +6240,14 @@ object SparkEntry {
                 ELSE n_chars END AS n_chars
          FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
          ORDER BY doc_id""",
+
+    // q552: a clean op chain audits to the EMPTY findings frame
+    "q552_sharded_audit" ->
+      """SELECT CAST(NULL AS VARCHAR) AS "check",
+           CAST(NULL AS VARCHAR) AS data_dir,
+           CAST(NULL AS BIGINT) AS shard,
+           CAST(NULL AS VARCHAR) AS detail
+         WHERE 1 = 0""",
 
     // q551: dedup-on-ingest — a key's keeper is the min even doc_id
     // if any even doc carries it (the first batch wins), else the

@@ -88,6 +88,21 @@ object Sources {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** k-dimensional Morton interleave: bit i of column j lands at
+    * position i·k + j — the same convention as [[zValue]], which this
+    * generalizes (`zValueK(Seq(a, b), bits)` == `zValue(a, b, bits)`).
+    * Total bits k·bits must fit a long. */
+  def zValueK(cols: Seq[Column], bits: Int): Column = {
+    import org.apache.spark.sql.functions._
+    val k = cols.size
+    require(k >= 2, s"zValueK needs >= 2 columns, got $k")
+    require(bits >= 1 && k * bits <= 62,
+      s"k*bits must be in [1,62], got $k*$bits")
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+    ).reduce(_.bitwiseOR(_))
+  }
+
   /** Z-order clustered parquet write: rows are laid out along the
     * Morton curve of TWO numeric columns, so parquet min/max file
     * stats stay tight in BOTH dimensions — point/range filters on
@@ -902,8 +917,16 @@ object Sources {
     val block = (n + numShards - 1) / numShards
     val data = df.withColumn("__id", id).join(pos, "__id")
       .withColumn("shard", expr(s"__pos div $block"))
-      .drop("__id", "__pos")
+      .drop("__id")
+    // sort WITHIN each shard by the global position: parquet
+    // row-group min/max stats on the order column stay tight, so a
+    // reader's pushed-down predicate prunes row groups INSIDE the
+    // shards the manifest could not exclude — the second level of
+    // the same stats hierarchy, paid once at write as a per-
+    // partition (spill-aware) sort, no extra shuffle
     data.repartition(numShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__pos"))
+      .drop("__pos")
       .write.mode("overwrite").partitionBy("shard").parquet(dataDir)
     // manifest from the FILES (describe what a reader will find)
     val written = spark.read.parquet(dataDir)
@@ -1328,11 +1351,11 @@ object Sources {
                                 numShards: Int,
                                 bitsPerCol: Int = 8): Long = {
     import org.apache.spark.sql.functions._
-    require(zCols.size == 2,
-      s"writeShardedTableZOrdered: exactly 2 z columns (got " +
-        s"${zCols.size}) — the zValue interleave is 2-D")
-    require(bitsPerCol >= 1 && bitsPerCol <= 16,
-      s"bitsPerCol must be in [1,16], got $bitsPerCol")
+    require(zCols.size >= 2 && zCols.size <= 6,
+      s"writeShardedTableZOrdered: 2..6 z columns (got ${zCols.size})")
+    require(bitsPerCol >= 1 && zCols.size * bitsPerCol <= 62,
+      s"bitsPerCol x dims must fit a long, got " +
+        s"${zCols.size} x $bitsPerCol")
     val nB = 1 << bitsPerCol
     val probs = (1 until nB).map(_.toDouble / nB).toArray
     // one sketch pass per dimension, driver state = nB-1 doubles each
@@ -1342,7 +1365,7 @@ object Sources {
       aggregate(arr, lit(0L), (acc, x) =>
         acc + when(col(c).cast("double") >= x, 1L).otherwise(0L))
     }
-    val z = zValue(bucket(zCols.head), bucket(zCols(1)), bitsPerCol)
+    val z = zValueK(zCols.map(bucket), bitsPerCol)
     writeShardedTable(df, id, z, path, numShards, statsCols = zCols)
   }
 

@@ -963,6 +963,42 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("zValueK generalizes zValue; 3-D z-order prunes on all three " +
+       "dimensions") {
+    import org.apache.spark.sql.functions._
+    // bit-for-bit parity with the 2-D interleave
+    val pairs = spark.range(512).select(
+      (col("id") % 23).as("a"), (col("id") % 17).as("b"))
+    assert(pairs.filter(Sources.zValueK(Seq(col("a"), col("b")), 8) =!=
+      Sources.zValue(col("a"), col("b"), 8)).count() == 0L)
+    // three independent dims, 3-D box: each extra bound prunes more
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shz3").toString
+    val df = spark.range(8192).select(col("id").as("x"),
+      ((col("id") * 2654435761L) % 8192).as("y"),
+      ((col("id") * 1103515245L + 12345L) % 8192).as("z"))
+    Sources.writeShardedTableZOrdered(df, col("x"), Seq("x", "y", "z"),
+      path, numShards = 64, bitsPerCol = 5)
+    def shardsHit(preds: Seq[(String, Long, Long)]) =
+      Sources.readShardedTable(spark, path, preds = preds)
+        .inputFiles.map(_.split("/").find(_.startsWith("shard=")).get)
+        .toSet.size
+    val bx = ("x", 0L, 2047L); val by = ("y", 0L, 2047L)
+    val bz = ("z", 0L, 2047L)
+    assert(shardsHit(Seq(bx, by, bz)) < shardsHit(Seq(bx, by)))
+    assert(shardsHit(Seq(bx, by)) < shardsHit(Seq(bx)))
+    // lossless under the box
+    val got = Sources.readShardedTable(spark, path,
+        preds = Seq(bx, by, bz))
+      .filter(col("x") < 2048 && col("y") < 2048 && col("z") < 2048)
+      .count()
+    val want = (0L until 8192L).count(i => i < 2048 &&
+      (i * 2654435761L) % 8192 < 2048 &&
+      (i * 1103515245L + 12345L) % 8192 < 2048)
+    assert(got == want)
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("sharded table dedup-ingest sink: within-batch keep-first, " +
        "cross-tick key screening, replay no-op") {
     import org.apache.spark.sql.functions._
