@@ -855,4 +855,44 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  /** Streaming UPSERT sink: each micro-batch MERGES into the sharded
+    * table (later batch wins the key), exactly-once across restarts
+    * via [[graft.sources.Sources.shardedTableMergeSinkBatch]]'s
+    * batch-id check — the CDC-consumer stream, replicating a keyed
+    * change feed into a queryable table at O(batch) cost per tick. */
+  def shardedTableMergeSink(stream: DataFrame, idName: String,
+                            orderCol: Column, path: String,
+                            numShards: Int, statsCols: Seq[String],
+                            checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sources.shardedTableMergeSinkBatch(batch, batchId,
+          idName, orderCol, path, numShards, statsCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .start()
+
+  /** Streaming DEDUPLICATING ingest sink: each micro-batch keeps one
+    * row per key and appends only never-seen keys
+    * ([[graft.sources.Sources.shardedTableDedupSinkBatch]]) — the
+    * corpus table stays duplicate-free WHILE it grows, exactly-once
+    * across restarts. */
+  def shardedTableDedupSink(stream: DataFrame, keyName: String,
+                            idName: String, orderCol: Column,
+                            path: String, numShards: Int,
+                            statsCols: Seq[String], checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sources.shardedTableDedupSinkBatch(batch, batchId,
+          keyName, idName, orderCol, path, numShards, statsCols)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 }

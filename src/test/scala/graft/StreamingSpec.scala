@@ -1299,4 +1299,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(Sources.committedBatchIds(spark, path) == Set(0L, 1L, 2L))
     Sources.dropShardedTable(spark, path)
   }
+
+  test("sharded-table streaming MERGE sink: upserts across batches, " +
+       "last writer wins, crash replay is exactly-once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.sources.Sources
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shmstream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_shmstream_ck").toString
+    val ms = MemoryStream[(Long, String)]
+    @volatile var crashOnce = true
+    def start() = ms.toDS().toDF("doc_id", "t").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        Sources.shardedTableMergeSinkBatch(b, id, "doc_id",
+          col("doc_id"), path, 2, Seq("doc_id"))
+        if (id == 1L && crashOnce) {
+          crashOnce = false
+          throw new RuntimeException("injected crash after commit")
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    ms.addData((0 until 30).map(i => (i.toLong, s"a$i")): _*)
+    q1.processAllAvailable()
+    // batch 1 UPDATES keys 10..24 and inserts 30..39, then crashes
+    // after its manifest committed
+    ms.addData(((10 until 25) ++ (30 until 40))
+      .map(i => (i.toLong, s"b$i")): _*)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replays batch 1: must be a no-op
+      ms.addData((20 until 35).map(i => (i.toLong, s"c$i")): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 40) // one row per key, never a duplicate
+    assert((0L until 10L).forall(k => got(k) == s"a$k"))
+    assert((10L until 20L).forall(k => got(k) == s"b$k"))
+    assert((20L until 35L).forall(k => got(k) == s"c$k")) // last wins
+    assert((35L until 40L).forall(k => got(k) == s"b$k"))
+    Sources.dropShardedTable(spark, path)
+  }
 }
