@@ -1256,6 +1256,28 @@ object SparkEntry {
       res.orderBy("check", "data_dir", "shard")
     }),
 
+    // Bloom multi-point lookup (r9): set membership against the
+    // table — "which corpus rows carry any of THESE keys" — reading
+    // only bloom-admitted shards (the decontamination shape at table
+    // scale). The oracle is the plain IN-subquery semi-join.
+    "q553_sharded_multilookup" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTable(docs, col("doc_id"),
+        col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+      graft.sources.Sources.buildShardedBloom(s, path, "n_chars",
+        bits = 1 << 16, k = 4)
+      val probe = docs.filter(col("doc_id") < 20).select(col("n_chars"))
+      val res = graft.sources.Sources.readShardedTableKeysLookup(
+          s, path, "n_chars", probe)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
     // Fragmented MP4 (r9): the q502 decode over CMAF/DASH-style
     // moof/mdat segments — the layout real crawl video ships in.
     // BOTH isolation properties in one corpus: a corrupt FRAME costs
@@ -6248,6 +6270,13 @@ object SparkEntry {
            CAST(NULL AS BIGINT) AS shard,
            CAST(NULL AS VARCHAR) AS detail
          WHERE 1 = 0""",
+
+    // q553: bloom-pruned set membership = the plain IN semi-join
+    "q553_sharded_multilookup" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE n_chars IN (SELECT n_chars FROM documents
+                           WHERE doc_id < 20)
+         ORDER BY doc_id""",
 
     // q551: dedup-on-ingest — a key's keeper is the min even doc_id
     // if any even doc carries it (the first batch wins), else the

@@ -860,6 +860,77 @@ object Sources {
       .reduce(_.unionByName(_))
   }
 
+  /** MULTI-point lookup via the bloom sidecar: return the table rows
+    * whose `colName` appears in `keys` (first column of the frame),
+    * reading only the shards whose bloom admits at least one key —
+    * the decontamination-against-a-corpus-table shape (is this eval
+    * row's key anywhere in 100 TB?), where a layout-blind semi-join
+    * would scan the table. Fully relational: the probe positions are
+    * exploded per key, matched against the sidecar words, and a key
+    * is a candidate for a shard only when ALL its probes hit — no
+    * driver-side per-key loop, so `keys` can be millions of rows.
+    * Shards appended after the newest build stay un-pruned. Unlike
+    * [[readShardedTable]] this returns exactly the MATCHING rows
+    * (the final semi-join is included). */
+  def readShardedTableKeysLookup(spark: SparkSession, path: String,
+                                 colName: String, keys: DataFrame)
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    val mf = normalizeManifest(shardedManifest(spark, path))
+    val dataMf = mf.filter(col("kind") === "data")
+    val delRows = mf.filter(col("kind") === "delete")
+      .select("data_dir", "seq", "del_col").distinct().collect()
+    val bloomRoot = new org.apache.hadoop.fs.Path(s"$path/_bloom")
+    val fs = bloomRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val builds =
+      if (!fs.exists(bloomRoot)) Seq.empty
+      else fs.listStatus(bloomRoot).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/_bloom/v$v/$colName"))).sorted
+    require(builds.nonEmpty,
+      s"no bloom sidecar for column $colName under $path — run " +
+        s"buildShardedBloom first")
+    val bv = builds.last
+    val bloom = spark.read.parquet(s"$path/_bloom/v$bv/$colName")
+    val meta = bloom.select("bits", "k").head()
+    val (bits, k) = (meta.getInt(0), meta.getInt(1))
+    val headDir = dataMf.orderBy(col("seq").desc)
+      .select("data_dir").head().getString(0)
+    val dt = spark.read.parquet(headDir).schema(colName).dataType
+    val kk = keys.select(keys(keys.columns.head).cast(dt).as("__key"))
+      .filter(col("__key").isNotNull).distinct()
+    val pos = kk.select(col("__key"),
+        explode(array((0 until k).map(i =>
+          pmod(hash(col("__key"), lit(i)).cast("long"),
+            lit(bits.toLong))): _*)).as("__pos"))
+      .select(col("__key"), expr("__pos div 64").as("word_idx"),
+        expr("shiftleft(1L, cast(__pos % 64 as int))").as("__mask"))
+      .distinct()
+    val need = pos.groupBy("__key").agg(count(lit(1)).as("__need"))
+    val got = pos.join(bloom, Seq("word_idx"))
+      .filter(col("word_bits").bitwiseAND(col("__mask")) ===
+        col("__mask"))
+      .groupBy(col("__key"), col("data_dir"), col("shard"))
+      .agg(count(lit(1)).as("__got"))
+    val candidates = got.join(need, "__key")
+      .filter(col("__got") === col("__need"))
+      .select("data_dir", "shard").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val covered = normalizeManifest(
+        shardedManifest(spark, path, Some(bv)))
+      .filter(col("kind") === "data").select("data_dir", "shard")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val rows = dataMf.select("data_dir", "shard", "seq").collect()
+      .filter { r =>
+        val pair = (r.getString(0), r.getLong(1))
+        !covered(pair) || candidates(pair)
+      }
+    val base = readManifestShards(spark, dataMf, rows, delRows)
+    base.join(kk, base(colName) === kk("__key"), "left_semi")
+  }
+
   /** Batch ids already published in the LATEST manifest (the append
     * chain carries every ancestor's rows forward, so the latest
     * manifest is the full commit log). Metadata-scale: O(shards). */

@@ -1036,6 +1036,41 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("sharded table bloom MULTI-lookup: set membership opens only " +
+       "admitted shards; uncovered appends still searched; exact " +
+       "matching rows returned") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shmulti").toString
+    val df = spark.range(4096).select(col("id").as("doc_id"),
+      ((col("id") * 2654435761L) % 4096).as("v"))
+    Sources.writeShardedTable(df, col("doc_id"), col("doc_id"),
+      path, 16, Seq("doc_id"))
+    Sources.buildShardedBloom(spark, path, "v", bits = 1 << 16, k = 4)
+    // three probe keys that exist + one that doesn't
+    val keys = spark.range(3).select((col("id") * 1000 + 77).as("v"))
+      .unionByName(spark.range(1).select(lit(999999L).as("v")))
+    val res = Sources.readShardedTableKeysLookup(spark, path, "v", keys)
+    val opened = res.inputFiles
+      .map(_.split("/").find(_.startsWith("shard=")).get).toSet.size
+    assert(opened < 16, s"expected bloom pruning, opened $opened/16")
+    val want = (0L until 4096L)
+      .filter(i => Set(77L, 1077L, 2077L)((i * 2654435761L) % 4096))
+      .toSet
+    assert(res.select("doc_id").collect().map(_.getLong(0)).toSet
+      == want)
+    // rows appended AFTER the build are uncovered → still findable
+    Sources.appendShardedTable(
+      spark.range(20000, 20004).select(col("id").as("doc_id"),
+        lit(1077L).as("v")),
+      col("doc_id"), col("doc_id"), path, 1, Seq("doc_id"))
+    val res2 = Sources.readShardedTableKeysLookup(spark, path, "v",
+      keys)
+    assert(res2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      want ++ (20000L until 20004L))
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("sharded table AUDIT: clean table yields no findings; row " +
        "tampering, stats violations and orphan dirs are flagged") {
     import org.apache.spark.sql.functions._
