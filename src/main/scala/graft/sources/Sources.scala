@@ -718,6 +718,11 @@ object Sources {
                                  statsCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions._
     val spark = batch.sparkSession
+    // same clash contract as the writer's reserved columns: these two
+    // are the screen's join scaffolding and would be silently eaten
+    val clash = batch.columns.intersect(Seq("__k", "__keep"))
+    require(clash.isEmpty, s"shardedTableDedupSinkBatch: reserved " +
+      s"column(s) ${clash.mkString(", ")} already exist in the batch")
     val versions = shardedVersions(spark, path)
     if (versions.nonEmpty &&
         committedBatchIds(spark, path).contains(batchId))

@@ -579,6 +579,19 @@ object ScaleProbe {
         graft.sources.Sources.readShardedTable(spark, path)
           .agg(count(lit(1))).head().getLong(0)
       }
+      // DENSITY curve: how does merge-on-read degrade as tombstones
+      // accumulate? Add deletes up to ~25% of the table and re-read —
+      // the anti-join side grows but stays key-only, so the scan
+      // should degrade gently, never cliff.
+      timed(spark, "tombstone: DELETE to 25% (500k keys)") {
+        graft.sources.Sources.deleteFromShardedTable(spark, path,
+          "doc_id", spark.range(500000L)
+            .select((col("id") * 4L + 1L).as("doc_id")))
+      }
+      timed(spark, "tombstone: scan at 25% deleted") {
+        graft.sources.Sources.readShardedTable(spark, path)
+          .agg(count(lit(1))).head().getLong(0)
+      }
       timed(spark, "tombstone: MAJOR rewrite (O(table))") {
         graft.sources.Sources.rewriteShardedTable(spark, path,
           col("doc_id"), col("doc_id"), numShards = 64,
