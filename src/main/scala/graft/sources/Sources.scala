@@ -772,15 +772,25 @@ object Sources {
         case ((gs, bs), (dDir, rs)) =>
           try {
             val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
+            val f0 = spark.read.option("basePath", dDir)
+              .parquet(dirs: _*)
+            // a stats column ADDED by schema evolution does not exist
+            // in pre-evolution dirs — recompute only what the dir has
+            // (its manifest rows carry null bounds for the rest, and
+            // the containment filter is null-tolerant)
+            val (have, miss) =
+              statCols.partition(f0.columns.contains)
             val aggs = Seq(count(lit(1)).as("a_rows")) ++
-              statCols.flatMap(c => Seq(
+              have.flatMap(c => Seq(
                 min(col(c)).cast("long").as(s"a_min_$c"),
                 max(col(c)).cast("long").as(s"a_max_$c")))
-            val f = spark.read.option("basePath", dDir)
-              .parquet(dirs: _*)
-              .groupBy(col("shard").cast("long").as("shard"))
-              .agg(aggs.head, aggs.tail: _*)
-              .withColumn("data_dir", lit(dDir))
+            val f = miss.foldLeft(
+                f0.groupBy(col("shard").cast("long").as("shard"))
+                  .agg(aggs.head, aggs.tail: _*)
+                  .withColumn("data_dir", lit(dDir))) { (g, c) =>
+              g.withColumn(s"a_min_$c", lit(null).cast("long"))
+                .withColumn(s"a_max_$c", lit(null).cast("long"))
+            }
             (gs :+ f, bs)
           } catch { case scala.util.control.NonFatal(e) =>
             (gs, bs :+ (dDir, e.getClass.getSimpleName))
@@ -1299,7 +1309,11 @@ object Sources {
     * copy survives its own tombstone while every older copy dies).
     * Cost is O(batch) exactly like an append: existing data files are
     * never read, let alone rewritten. Schema must match the table
-    * (same contract as [[appendShardedTable]]). Returns the version. */
+    * (same contract as [[appendShardedTable]]). Keys must be
+    * NON-NULL: the merge-on-read anti-join is an equality join, so a
+    * null-keyed old row can never be tombstoned (equality never
+    * matches null) — it would survive every upsert. Returns the
+    * version. */
   def mergeShardedTable(df: DataFrame, idName: String, orderCol: Column,
                         path: String, numShards: Int,
                         statsCols: Seq[String],

@@ -1097,4 +1097,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(findings.contains("orphan_dir"))
     Sources.dropShardedTable(spark, path)
   }
+
+  test("sharded table AUDIT under schema evolution: a stats column " +
+       "added later does not flag pre-evolution dirs") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shauditev").toString
+    Sources.writeShardedTable(
+      spark.range(100).select(col("id").as("doc_id"),
+        concat(lit("d"), col("id")).as("t")),
+      col("doc_id"), col("doc_id"), path, 4, Seq("doc_id"))
+    // the evolved append ALSO tracks stats on the new column — old
+    // dirs lack it entirely and must not be flagged as unreadable
+    Sources.appendShardedTable(
+      spark.range(100, 150).select(col("id").as("doc_id"),
+        concat(lit("d"), col("id")).as("t"), (col("id") % 5).as("sc")),
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id", "sc"),
+      allowNewColumns = true)
+    assert(Sources.auditShardedTable(spark, path).count() == 0L)
+    Sources.dropShardedTable(spark, path)
+  }
 }
