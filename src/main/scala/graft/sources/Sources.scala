@@ -472,16 +472,28 @@ object Sources {
     * overlap" but never to a wrong answer. Old snapshots stay
     * readable after new writes (snapshot isolation for readers that
     * pinned a version) until [[expireShardedSnapshots]] reclaims
-    * them. Single-writer semantics: concurrent writers race on the
-    * version counter (the reference's compile-once/run-forever
-    * `transformer` story applied to storage assumes one ingest
-    * pipeline per table; a lock file would add no safety on
-    * eventually-consistent stores). */
+    * them.
+    *
+    * CONCURRENT WRITERS (r10): commits are optimistic. Data (and
+    * tombstone) dirs carry a random token suffix so two in-flight
+    * writers never collide on disk; the version number is claimed at
+    * COMMIT time by an atomic create-if-absent of
+    * `_manifest/.claim-v<N>` (O_EXCL locally, namenode-atomic on
+    * HDFS), and only the claim winner renames its staged manifest
+    * into `_manifest/v<N>`. A loser whose operation COMPOSES
+    * (append / merge / delete — their new rows are independent of
+    * the parent's) waits for v<N> to publish, re-resolves the parent
+    * manifest, and retries at v<N+1>; compact and rewrite abort on
+    * conflict (they rewrote state derived from a parent that just
+    * changed). Claim files persist after publish (0-byte; expired
+    * with their snapshots) — a claim with no published version marks
+    * a crashed in-flight commit and blocks later writers until
+    * removed, which the audit reports. */
   def writeShardedTable(df: DataFrame, id: Column, orderCol: Column,
                         path: String, numShards: Int,
                         statsCols: Seq[String]): Long =
     writeSnapshot(df, id, orderCol, path, numShards, statsCols,
-      parentRows = None, batchId = -1L)
+      parent = NoParent, batchId = -1L)
 
   /** APPEND snapshot: new version = parent manifest rows + the new
     * batch's shards, zero existing data files touched (see
@@ -500,8 +512,12 @@ object Sources {
                          allowNewColumns: Boolean = false): Long = {
     val spark = df.sparkSession
     val parent = shardedManifest(spark, path) // requires table exists
+    // schema authority = the NEWEST dir: after an add-only evolution
+    // an arbitrary head() could pick a pre-evolution dir and reject a
+    // perfectly valid full-schema batch
     val sample = normalizeManifest(parent)
       .filter(org.apache.spark.sql.functions.col("kind") === "data")
+      .orderBy(org.apache.spark.sql.functions.col("seq").desc)
       .select("data_dir", "shard").head()
     val tableCols = spark.read
       .parquet(s"${sample.getString(0)}/shard=${sample.getLong(1)}")
@@ -522,7 +538,7 @@ object Sources {
         .mkString(",")} != table columns ${tableCols.toSeq.sorted
         .mkString(",")} (pass allowNewColumns = true to add columns)")
     writeSnapshot(df, id, orderCol, path, numShards, statsCols,
-      parentRows = Some(parent), batchId = batchId, op = "append")
+      parent = LatestParent, batchId = batchId, op = "append")
   }
 
   /** The exactly-once `foreachBatch` body for a streaming sharded-
@@ -544,7 +560,7 @@ object Sources {
     if (versions.isEmpty) {
       if (batch.isEmpty) 0L
       else writeSnapshot(batch, id, orderCol, path, numShards,
-        statsCols, parentRows = None, batchId = batchId)
+        statsCols, parent = NoParent, batchId = batchId)
     } else if (committedBatchIds(spark, path).contains(batchId)) {
       versions.last
     } else if (batch.isEmpty) {
@@ -570,8 +586,21 @@ object Sources {
     val versions = shardedVersions(spark, path)
     if (versions.isEmpty) {
       if (batch.isEmpty) 0L
-      else writeSnapshot(batch, col(idName), orderCol, path, numShards,
-        statsCols, parentRows = None, batchId = batchId)
+      else {
+        // the create path must enforce the same unique-key contract
+        // the steady-state merge path does: a first batch with
+        // duplicate keys would seed the "upsert" table with
+        // duplicates that reads return until a later merge happens
+        // to touch those keys
+        val n = batch.count()
+        val d = batch.select(col(idName)).distinct().count()
+        require(d == n,
+          s"shardedTableMergeSinkBatch: first batch has ${n - d} " +
+            s"duplicate key(s) ($n rows, $d distinct) — upsert needs " +
+            s"unique keys")
+        writeSnapshot(batch, col(idName), orderCol, path, numShards,
+          statsCols, parent = NoParent, batchId = batchId)
+      }
     } else if (committedBatchIds(spark, path).contains(batchId)) {
       versions.last
     } else if (batch.isEmpty) {
@@ -579,6 +608,149 @@ object Sources {
     } else {
       mergeShardedTable(batch, idName, orderCol, path, numShards,
         statsCols, batchId = batchId)
+    }
+  }
+
+  /** [[shardedTableSinkBatch]] plus bounded SELF-MAINTENANCE: after
+    * the append, if the latest snapshot holds at least
+    * `compactWhenSmallDirs` small data dirs (each ≤ `smallDirRows`
+    * rows — the streaming drip), the tick folds them with
+    * [[compactShardedTable]], and snapshots beyond `keepVersions`
+    * are expired. A year of 5-minute ticks is ~100k versions and
+    * ~100k small dirs if nobody compacts — this keeps the manifest
+    * chain, the versions listing, and the per-read file count all
+    * O(policy), not O(ticks), with no scheduled job to forget.
+    * Exactly-once survives the maintenance: batch ids ride
+    * compaction as ledger rows and expiry keeps the latest manifest
+    * (the full commit log); a crash BETWEEN the append and the
+    * maintenance just defers the fold to the replayed/next tick
+    * (the replay skips the append and re-runs maintenance). */
+  def shardedTableSinkBatchMaintained(batch: DataFrame, batchId: Long,
+                                      id: Column, orderCol: Column,
+                                      path: String, numShards: Int,
+                                      statsCols: Seq[String],
+                                      compactWhenSmallDirs: Int = 8,
+                                      smallDirRows: Long = 1L << 20,
+                                      keepVersions: Int = 16): Long = {
+    import org.apache.spark.sql.functions.{col, sum}
+    require(compactWhenSmallDirs >= 2 && keepVersions >= 1,
+      s"maintained sink: compactWhenSmallDirs $compactWhenSmallDirs, " +
+        s"keepVersions $keepVersions")
+    val spark = batch.sparkSession
+    shardedTableSinkBatch(batch, batchId, id, orderCol, path,
+      numShards, statsCols)
+    if (shardedVersions(spark, path).nonEmpty) {
+      val nSmall = normalizeManifest(shardedManifest(spark, path))
+        .filter(col("kind") === "data")
+        .groupBy("data_dir").agg(sum(col("n_rows")).as("n"))
+        .collect().count(_.getLong(1) <= smallDirRows)
+      if (nSmall >= compactWhenSmallDirs)
+        compactShardedTable(spark, path, id, orderCol, numShards,
+          statsCols, smallDirRows)
+      expireShardedSnapshots(spark, path, keepVersions)
+    }
+    shardedVersions(spark, path).lastOption.getOrElse(0L)
+  }
+
+  /** One micro-batch of a VERSION-CURSOR CDC consumer (the streaming
+    * read side of the table — Trigger.AvailableNow semantics over
+    * the manifest chain). First call (no cursor file) delivers the
+    * current table state as the initial load; later calls deliver
+    * [[shardedTableInserts]] + [[shardedTableDeletedKeys]] for
+    * (cursor, latest]. `commit()` AFTER the downstream write lands —
+    * a crash before commit re-delivers the same window
+    * (at-least-once per window; pair with a keyed/merge downstream
+    * or the batch-id sink for end-to-end exactly-once). A consumer
+    * that lags past snapshot expiry fails loudly on the missing
+    * manifest — delete its cursor to re-bootstrap from a fresh
+    * initial load. */
+  def shardedTableChanges(spark: SparkSession, path: String,
+                          cursorPath: String): ShardedCdcBatch = {
+    import org.apache.spark.sql.functions.col
+    val to = shardedVersions(spark, path).last
+    val cur = readCdcCursor(spark, cursorPath)
+    cur match {
+      case None =>
+        // initial load: the table state AT `to` (not the raw dir
+        // history — rewrites/compactions of already-expired origins
+        // make per-version replay from v0 impossible by design)
+        val name = normalizeManifest(shardedManifest(spark, path,
+            Some(to)))
+          .filter(col("kind") === "delete").select("del_col")
+          .distinct().collect().headOption.map(_.getString(0))
+          .getOrElse("key")
+        ShardedCdcBatch(
+          readShardedTable(spark, path, version = Some(to))
+            .drop("shard"),
+          spark.range(0).select(col("id").as(name)),
+          fromVersion = 0L, toVersion = to,
+          cursorPath = cursorPath, spark = spark)
+      case Some(f) =>
+        ShardedCdcBatch(
+          if (f == to) shardedTableInserts(spark, path, to, to)
+          else shardedTableInserts(spark, path, f, to),
+          shardedTableDeletedKeys(spark, path, math.min(f, to), to),
+          fromVersion = f, toVersion = to,
+          cursorPath = cursorPath, spark = spark)
+    }
+  }
+
+  /** Drain ALL pending change windows (the Trigger.AvailableNow
+    * loop): deliver batches to `f` and advance the cursor after each
+    * until the consumer is caught up. Returns the number of
+    * non-empty windows delivered. New versions published WHILE
+    * draining are picked up in the same call. */
+  def drainShardedTableChanges(spark: SparkSession, path: String,
+                               cursorPath: String)
+                              (f: ShardedCdcBatch => Unit): Int = {
+    var delivered = 0
+    var batch = shardedTableChanges(spark, path, cursorPath)
+    while (!batch.isCaughtUp) {
+      f(batch)
+      batch.commit()
+      delivered += 1
+      batch = shardedTableChanges(spark, path, cursorPath)
+    }
+    delivered
+  }
+
+  /** One CDC window: apply `inserts` then remove `deletedKeys` (a
+    * merge shows up as delete+insert of the same key, so a keyed
+    * downstream applies them as one upsert). `commit()` advances the
+    * cursor file atomically (tmp + rename). */
+  final case class ShardedCdcBatch(inserts: DataFrame,
+                                   deletedKeys: DataFrame,
+                                   fromVersion: Long, toVersion: Long,
+                                   cursorPath: String,
+                                   spark: SparkSession) {
+    def isCaughtUp: Boolean = fromVersion == toVersion
+    def commit(): Unit = {
+      val p = new org.apache.hadoop.fs.Path(cursorPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new org.apache.hadoop.fs.Path(cursorPath + ".tmp-" +
+        java.util.UUID.randomUUID().toString.take(8))
+      val out = fs.create(tmp, true)
+      out.write(toVersion.toString.getBytes("UTF-8"))
+      out.close()
+      // delete-then-rename: a crash between the two re-bootstraps the
+      // consumer (initial load) — at-least-once, never silent loss
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"cursor commit failed: $cursorPath")
+    }
+  }
+
+  private def readCdcCursor(spark: SparkSession,
+                            cursorPath: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(cursorPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, n, "UTF-8").trim.toLong)
+      } finally in.close()
     }
   }
 
@@ -606,15 +778,28 @@ object Sources {
     require(k >= 1 && k <= 8, s"k must be in [1,8], got $k")
     val mf = normalizeManifest(shardedManifest(spark, path))
     val version = shardedVersions(spark, path).last
-    val dataRows = mf.filter(col("kind") === "data")
-      .select("data_dir", "shard").collect()
+    val dataMf = mf.filter(col("kind") === "data")
+    // the NEWEST dir carries every table column (evolution is
+    // add-only) — it is the type authority; a dir written BEFORE the
+    // column was added lacks it and contributes null-filled rows,
+    // which the bloom skips (nulls are not indexed, per the read
+    // contract). The uniform cast keeps build and probe hashing
+    // identical on evolved and non-evolved dirs alike.
+    val headDir = dataMf.orderBy(col("seq").desc)
+      .select("data_dir").head().getString(0)
+    val headSchema = spark.read.parquet(headDir).schema
+    require(headSchema.fieldNames.contains(colName),
+      s"buildShardedBloom: column $colName not in table at $path")
+    val dt = headSchema(colName).dataType
+    val dataRows = dataMf.select("data_dir", "shard").collect()
     val values = dataRows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
       .map { case (dDir, rs) =>
         val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
-        spark.read.option("basePath", dDir).parquet(dirs: _*)
-          .select(lit(dDir).as("data_dir"),
-            col("shard").cast("long").as("shard"),
-            col(colName).as("__v"))
+        val f = spark.read.option("basePath", dDir).parquet(dirs: _*)
+        val v = (if (f.columns.contains(colName)) col(colName)
+                 else lit(null)).cast(dt)
+        f.select(lit(dDir).as("data_dir"),
+          col("shard").cast("long").as("shard"), v.as("__v"))
       }.reduce(_.unionByName(_))
     val bloom = values.filter(col("__v").isNotNull)
       .select(col("data_dir"), col("shard"),
@@ -647,20 +832,7 @@ object Sources {
     val dataMf = mf.filter(col("kind") === "data")
     val delRows = mf.filter(col("kind") === "delete")
       .select("data_dir", "seq", "del_col").distinct().collect()
-    // newest build ≤ current table version
-    val bloomRoot = new org.apache.hadoop.fs.Path(s"$path/_bloom")
-    val fs = bloomRoot.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val builds =
-      if (!fs.exists(bloomRoot)) Seq.empty
-      else fs.listStatus(bloomRoot).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("v")).map(_.drop(1).toLong)
-        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
-          s"$path/_bloom/v$v/$colName"))).sorted
-    require(builds.nonEmpty,
-      s"no bloom sidecar for column $colName under $path — run " +
-        s"buildShardedBloom first")
-    val bv = builds.last
+    val (bv, covered) = newestBloomBuild(spark, path, colName)
     val bloom = spark.read.parquet(s"$path/_bloom/v$bv/$colName")
     val meta = bloom.select("bits", "k").head()
     val (bits, k) = (meta.getInt(0), meta.getInt(1))
@@ -685,12 +857,6 @@ object Sources {
       probeWords.forall { case (w, m) =>
         rs.exists(r => r.getLong(2) == w && (r.getLong(3) & m) == m) }
     }.keySet.toSet
-    // shards the build covered (its version's manifest); anything
-    // newer is uncovered and must be read
-    val covered = normalizeManifest(
-        shardedManifest(spark, path, Some(bv)))
-      .filter(col("kind") === "data").select("data_dir", "shard")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val rows = dataMf.select("data_dir", "shard", "seq").collect()
       .filter { r =>
         val pair = (r.getString(0), r.getLong(1))
@@ -871,7 +1037,27 @@ object Sources {
         .select(lit("orphan_dir").as("check"), col("data_dir"),
           lit(-1L).as("shard"), lit("unreferenced by any live " +
             "manifest — GC candidate").as("detail"))
-    (Seq(dirBad, countBad) ++ statBad ++ Seq(delBadDf, orphanDf))
+    // a claim file whose version never published marks an in-flight
+    // or CRASHED commit — long-lived, it blocks every later writer
+    // (publishVersion waits on it); removing the file unblocks the
+    // table with no data loss (the orphan dir was never referenced)
+    val lastPub = shardedVersions(spark, path).lastOption.getOrElse(0L)
+    val staleClaims = fs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$path/_manifest"))
+      .map(_.getPath.getName).filter(_.startsWith(".claim-v"))
+      .map(_.stripPrefix(".claim-v").toLong).filter(_ > lastPub)
+    val claimDf =
+      if (staleClaims.isEmpty)
+        spark.range(0).select(lit("x").as("check"),
+          lit("x").as("data_dir"), col("id").as("shard"),
+          lit("x").as("detail"))
+      else staleClaims.toSeq.sorted.map(v => s".claim-v$v")
+        .toDF("data_dir")
+        .select(lit("unpublished_claim").as("check"), col("data_dir"),
+          lit(-1L).as("shard"), lit("claimed version never " +
+            "published — crashed commit blocks writers").as("detail"))
+    (Seq(dirBad, countBad) ++ statBad ++
+      Seq(delBadDf, orphanDf, claimDf))
       .reduce(_.unionByName(_))
   }
 
@@ -895,19 +1081,7 @@ object Sources {
     val dataMf = mf.filter(col("kind") === "data")
     val delRows = mf.filter(col("kind") === "delete")
       .select("data_dir", "seq", "del_col").distinct().collect()
-    val bloomRoot = new org.apache.hadoop.fs.Path(s"$path/_bloom")
-    val fs = bloomRoot.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val builds =
-      if (!fs.exists(bloomRoot)) Seq.empty
-      else fs.listStatus(bloomRoot).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("v")).map(_.drop(1).toLong)
-        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
-          s"$path/_bloom/v$v/$colName"))).sorted
-    require(builds.nonEmpty,
-      s"no bloom sidecar for column $colName under $path — run " +
-        s"buildShardedBloom first")
-    val bv = builds.last
+    val (bv, covered) = newestBloomBuild(spark, path, colName)
     val bloom = spark.read.parquet(s"$path/_bloom/v$bv/$colName")
     val meta = bloom.select("bits", "k").head()
     val (bits, k) = (meta.getInt(0), meta.getInt(1))
@@ -933,10 +1107,6 @@ object Sources {
       .filter(col("__got") === col("__need"))
       .select("data_dir", "shard").distinct().collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
-    val covered = normalizeManifest(
-        shardedManifest(spark, path, Some(bv)))
-      .filter(col("kind") === "data").select("data_dir", "shard")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     val rows = dataMf.select("data_dir", "shard", "seq").collect()
       .filter { r =>
         val pair = (r.getString(0), r.getLong(1))
@@ -957,19 +1127,73 @@ object Sources {
       .distinct().collect().map(_.getLong(0)).toSet
   }
 
+  /** Newest bloom build for `colName`, paired with the (data_dir,
+    * shard) set its snapshot's manifest covered. Prefers the newest
+    * build whose snapshot version is STILL PUBLISHED; when every
+    * build's snapshot has been expired (a pre-GC table —
+    * [[expireShardedSnapshots]] now deletes bloom dirs with their
+    * snapshots), the newest build is returned with an EMPTY covered
+    * set, so the lookup degrades to a full read instead of crashing
+    * on the missing manifest (the index-lags-ingest contract,
+    * extended to index-outlives-snapshot). Fails loudly only when no
+    * build for the column exists at all — that is a usage error. */
+  private def newestBloomBuild(spark: SparkSession, path: String,
+                               colName: String)
+      : (Long, Set[(String, Long)]) = {
+    import org.apache.spark.sql.functions.col
+    val bloomRoot = new org.apache.hadoop.fs.Path(s"$path/_bloom")
+    val fs = bloomRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val builds =
+      if (!fs.exists(bloomRoot)) Seq.empty
+      else fs.listStatus(bloomRoot).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(
+          s"$path/_bloom/v$v/$colName"))).sorted
+    require(builds.nonEmpty,
+      s"no bloom sidecar for column $colName under $path — run " +
+        s"buildShardedBloom first")
+    val published = shardedVersions(spark, path).toSet
+    val live = builds.filter(published.contains)
+    val bv = live.lastOption.getOrElse(builds.last)
+    val covered =
+      if (!published.contains(bv)) Set.empty[(String, Long)]
+      else normalizeManifest(shardedManifest(spark, path, Some(bv)))
+        .filter(col("kind") === "data").select("data_dir", "shard")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    (bv, covered)
+  }
+
+  /** How a snapshot composes with the manifest chain at commit time:
+    * - [[NoParent]] — table creation: the manifest is the new rows
+    *   alone; a commit conflict means a concurrent create → error.
+    * - [[LatestParent]] — append/merge/delete: parent = whatever the
+    *   latest manifest is WHEN THE COMMIT WINS; on conflict the
+    *   writer re-resolves and retries, because its new rows are
+    *   independent of the parent's contents.
+    * - [[FixedParent]] — compact/rewrite: the caller derived these
+    *   rows from a specific parent state; a conflict means that
+    *   state changed under it → abort (re-run the maintenance op). */
+  private sealed trait ParentMode
+  private case object NoParent extends ParentMode
+  private case object LatestParent extends ParentMode
+  private final case class FixedParent(rows: DataFrame) extends ParentMode
+
   /** Shared snapshot writer: range-shard `df`, write the new data
-    * dir (and, for MERGE, the delete-key file), then commit the
-    * manifest (parent rows + new rows) LAST. Every manifest row
-    * carries its lineage: `kind` ("data"|"delete"), `seq` (the
-    * version that WROTE the dir — the Iceberg sequence number that
-    * orders tombstones against data), `op` (which operation produced
-    * it — CDC readers use this to tell genuinely-new rows from
-    * compaction rewrites), and `del_col` (the key column of a delete
-    * file; null on data rows). */
+    * dir (and, for MERGE, the delete-key file) under a random-token
+    * name no concurrent writer can collide with, then commit the
+    * manifest (parent rows + new rows) LAST via the atomic
+    * claim-and-publish protocol ([[publishVersion]]). Every manifest
+    * row carries its lineage: `kind` ("data"|"delete"|"ledger"),
+    * `seq` (the version that WROTE the dir — the Iceberg sequence
+    * number that orders tombstones against data), `op` (which
+    * operation produced it — CDC readers use this to tell
+    * genuinely-new rows from compaction rewrites), and `del_col`
+    * (the key column of a delete file; null on data rows). */
   private def writeSnapshot(df: DataFrame, id: Column, orderCol: Column,
                             path: String, numShards: Int,
                             statsCols: Seq[String],
-                            parentRows: Option[DataFrame],
+                            parent: ParentMode,
                             batchId: Long,
                             op: String = "write",
                             deleteKeys: Option[(DataFrame, String)] = None)
@@ -985,8 +1209,13 @@ object Sources {
     require(clash.isEmpty, s"writeShardedTable: reserved column(s) " +
       s"${clash.mkString(", ")} already exist in the input")
     val spark = df.sparkSession
-    val version = shardedVersions(spark, path).lastOption.getOrElse(0L) + 1
-    val dataDir = s"$path/data-v$version"
+    // the version at WRITE time only names the dir (with a token so
+    // concurrent writers never collide on disk); the authoritative
+    // version — the `seq` every manifest row carries — is the one the
+    // commit claims, which may be higher after a conflict retry
+    val baseV = shardedVersions(spark, path).lastOption.getOrElse(0L) + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$path/data-v$baseV-$token"
     // contiguous range shards: global position by (orderCol, id), one
     // count to size the blocks (a writer-side job, amortized over the
     // snapshot's lifetime of pruned reads)
@@ -999,7 +1228,7 @@ object Sources {
     // manifest is exactly the half-written state readers must never
     // see) — fail loudly before touching the directory layout.
     require(n > 0, s"writeShardedTable: empty input — refusing to " +
-      s"write snapshot v$version at $path")
+      s"write snapshot v$baseV at $path")
     val block = (n + numShards - 1) / numShards
     val data = df.withColumn("__id", id).join(pos, "__id")
       .withColumn("shard", expr(s"__pos div $block"))
@@ -1014,17 +1243,20 @@ object Sources {
       .sortWithinPartitions(col("shard"), col("__pos"))
       .drop("__pos")
       .write.mode("overwrite").partitionBy("shard").parquet(dataDir)
-    // manifest from the FILES (describe what a reader will find)
+    // manifest from the FILES (describe what a reader will find);
+    // the rows are a FUNCTION of the claimed version — a conflict
+    // retry rebuilds them with the new seq
     val written = spark.read.parquet(dataDir)
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ statsCols.flatMap(c =>
       Seq(min(col(c)).cast("long").as(s"min_$c"),
           max(col(c)).cast("long").as(s"max_$c")))
-    val newRows = written.groupBy(col("shard").cast("long").as("shard"))
+    def newRows(v: Long) = written
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(aggs.head, aggs.tail: _*)
       .withColumn("data_dir", lit(dataDir))
       .withColumn("batch_id", lit(batchId))
       .withColumn("kind", lit("data"))
-      .withColumn("seq", lit(version))
+      .withColumn("seq", lit(v))
       .withColumn("op", lit(op))
       .withColumn("del_col", lit(null).cast("string"))
     // MERGE writes its tombstone file in the SAME snapshot: the
@@ -1032,55 +1264,160 @@ object Sources {
     // rows with a STRICTLY SMALLER seq — so the merge's own inserts
     // survive while every older copy of the key dies, atomically
     // (one manifest commit covers both dirs).
-    val delRow = deleteKeys.map { case (keys, idName) =>
-      val row = writeDeleteDir(spark, keys, idName, path, version,
-        batchId, op)
+    val delInfo = deleteKeys.map { case (keys, idName) =>
+      val delDir = s"$path/del-v$baseV-$token"
+      keys.select(col(idName)).distinct()
+        .write.mode("overwrite").parquet(delDir)
+      val delN = spark.read.parquet(delDir).count()
       // both counts exist anyway — catch a merge batch with duplicate
       // keys for free: its tombstone (distinct keys) kills neither
       // copy (same seq), so the dupes would silently both insert
-      val delN = row.select("n_rows").head().getLong(0)
       require(delN == n,
         s"mergeShardedTable: batch has ${n - delN} duplicate key(s) " +
           s"($n rows, $delN distinct) — upsert needs unique keys")
-      row
+      (delDir, idName, delN)
+    }
+    def delRow(v: Long) = delInfo.map { case (delDir, idName, delN) =>
+      spark.range(1).select(
+        lit(-1L).as("shard"), lit(delN).as("n_rows"),
+        lit(delDir).as("data_dir"), lit(batchId).as("batch_id"),
+        lit("delete").as("kind"), lit(v).as("seq"),
+        lit(op).as("op"), lit(idName).as("del_col"))
     }
     // parent rows ride along NORMALIZED (pre-lineage manifests get
     // kind/seq/op/del_col derived, pre-batch_id ones get -1) so a
-    // committed manifest never carries null lineage
-    val manifest = (parentRows.map(normalizeManifest).toSeq ++
-      Seq(newRows) ++ delRow.toSeq)
-      .reduce(_.unionByName(_, allowMissingColumns = true))
-      .na.fill(-1L, Seq("batch_id"))
-    commitManifest(manifest, path, version)
-    version
+    // committed manifest never carries null lineage; LatestParent
+    // re-reads the manifest PER ATTEMPT so a retry composes against
+    // the state the conflicting writer just published
+    def mkManifest(v: Long): DataFrame = {
+      val par = parent match {
+        case NoParent => None
+        case LatestParent =>
+          Some(normalizeManifest(shardedManifest(spark, path)))
+        case FixedParent(rows) => Some(normalizeManifest(rows))
+      }
+      (par.toSeq ++ Seq(newRows(v)) ++ delRow(v).toSeq)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .na.fill(-1L, Seq("batch_id"))
+    }
+    publishVersion(spark, path, mkManifest,
+      composable = (parent == LatestParent))
   }
 
-  /** Write a tombstone file (the DISTINCT keys, one column named
-    * `idName`) under `del-v<version>` and return its manifest row.
-    * Stats columns stay null — the reader never prunes delete rows,
-    * it loads every live tombstone file (they are key-only and
-    * orders of magnitude smaller than data). */
-  private def writeDeleteDir(spark: SparkSession, keys: DataFrame,
-                             idName: String, path: String, ver: Long,
-                             batchId: Long, op: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val delDir = s"$path/del-v$ver"
-    val out = keys.select(col(idName)).distinct()
-    out.write.mode("overwrite").parquet(delDir)
-    val n = spark.read.parquet(delDir).count()
-    spark.range(1).select(
-      lit(-1L).as("shard"), lit(n).as("n_rows"),
-      lit(delDir).as("data_dir"), lit(batchId).as("batch_id"),
-      lit("delete").as("kind"), lit(ver).as("seq"),
-      lit(op).as("op"), lit(idName).as("del_col"))
+  /** Atomic create-if-absent of a claim file — the one primitive the
+    * commit protocol needs. HDFS/object-store schemes get the
+    * namenode-atomic `create(overwrite = false)`; the local scheme
+    * gets NIO `createFile` (O_EXCL), because RawLocalFileSystem's
+    * create is check-then-act and the racing-writers tests (and
+    * local dev) run exactly there. */
+  private def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
+                          p: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file") {
+      val local = java.nio.file.Paths.get(p.toUri.getPath)
+      try {
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.createFile(local)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    }
+
+  /** The OPTIMISTIC-CONCURRENCY commit: claim the next version number
+    * with an atomic create-if-absent of `_manifest/.claim-v<N>`, then
+    * stage the manifest parquet and rename it into `_manifest/v<N>`
+    * (the rename's destination is guaranteed absent — only the claim
+    * winner ever creates it). A writer that loses the claim either
+    * retries against the re-resolved parent (`composable` — append/
+    * merge/delete, whose new rows are parent-independent) after the
+    * winner publishes, or aborts (compact/rewrite, whose rows were
+    * derived from a parent that just changed). A claim whose version
+    * never publishes (writer crashed between claim and rename) blocks
+    * later writers until the bounded wait trips — the audit reports
+    * such claims; removing the claim file unblocks the table with no
+    * data loss (the orphan data dir was never referenced). */
+  private def publishVersion(spark: SparkSession, path: String,
+                             mkManifest: Long => DataFrame,
+                             composable: Boolean): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadlineNs = System.nanoTime() + 120L * 1000L * 1000L * 1000L
+    while (true) {
+      val version =
+        shardedVersions(spark, path).lastOption.getOrElse(0L) + 1
+      val claim = new org.apache.hadoop.fs.Path(
+        s"$path/_manifest/.claim-v$version")
+      if (atomicClaim(fs, claim)) {
+        val stage = new org.apache.hadoop.fs.Path(
+          s"$path/_manifest/.stage-v$version-" +
+            java.util.UUID.randomUUID().toString.take(8))
+        try {
+          mkManifest(version).coalesce(1)
+            .write.mode("overwrite").parquet(stage.toString)
+          require(fs.rename(stage, new org.apache.hadoop.fs.Path(
+              s"$path/_manifest/v$version")),
+            s"manifest publish rename failed: $stage -> v$version")
+        } catch {
+          case e: Throwable =>
+            // a failed attempt must not burn the version number: drop
+            // the stage and release the claim before rethrowing
+            if (fs.exists(stage)) fs.delete(stage, true)
+            fs.delete(claim, false)
+            throw e
+        }
+        return version
+      }
+      if (!composable) throw new IllegalStateException(
+        s"sharded table $path: version v$version was claimed by a " +
+          "concurrent writer — compact/rewrite do not compose with " +
+          "concurrent commits; re-run against the new state")
+      // lost the claim: wait for that version to publish, then retry
+      // composing against the refreshed parent
+      val vPath = new org.apache.hadoop.fs.Path(
+        s"$path/_manifest/v$version")
+      while (!fs.exists(vPath)) {
+        if (System.nanoTime() > deadlineNs)
+          throw new IllegalStateException(
+            s"sharded table $path: .claim-v$version exists but " +
+              s"v$version never published (crashed writer?) — remove " +
+              "the stale claim file to unblock writers")
+        Thread.sleep(25)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
-  /** Manifest-only commit (compaction whose small runs were entirely
-    * tombstoned, for instance, publishes a version with no new dir). */
-  private def commitManifest(manifest: DataFrame, path: String,
-                             version: Long): Unit =
-    manifest.coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_manifest/v$version")
+  /** Zero-row LEDGER manifest rows: preserve committed batch ids
+    * whose carrier rows a compaction/rewrite drops from the manifest.
+    * Without them a foreachBatch replay arriving AFTER the rewrite
+    * would pass the [[committedBatchIds]] check and re-apply an
+    * already-applied batch — duplicated rows, broken exactly-once.
+    * Readers ignore ledger rows (they filter kind = data/delete);
+    * these are pure commit-log entries, O(batches) metadata. */
+  private def ledgerRows(spark: SparkSession, ids: Seq[Long])
+      : Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    if (ids.isEmpty) None
+    else Some(ids.toDF("batch_id").select(
+      lit(-1L).as("shard"), lit(0L).as("n_rows"),
+      lit("__ledger__").as("data_dir"), col("batch_id"),
+      lit("ledger").as("kind"), lit(0L).as("seq"),
+      lit("ledger").as("op"), lit(null).cast("string").as("del_col")))
+  }
+
+  /** Distinct real batch ids present anywhere in a manifest frame. */
+  private def manifestBatchIds(mf: DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.functions.col
+    if (!mf.columns.contains("batch_id")) Seq.empty
+    else mf.select(col("batch_id")).where(col("batch_id") =!= -1L)
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+  }
 
   /** Backfill the lineage columns on a pre-lineage manifest frame:
     * rows are all data (tombstones did not exist), seq parses from
@@ -1250,8 +1587,17 @@ object Sources {
     val current = shardedVersions(spark, path).last
     if (small.size < 2) return current
     // tombstone rows are never "small dirs": they stay in the
-    // manifest verbatim (they still cover the untouched big dirs)
-    val keepRows = mf.filter(!col("data_dir").isin(small.toSeq: _*))
+    // manifest verbatim (they still cover the untouched big dirs).
+    // Batch ids carried ONLY by the dropped small-dir rows survive as
+    // zero-row ledger entries — dropping them would re-open the
+    // exactly-once window for any foreachBatch replay that arrives
+    // after this compaction.
+    val keepRows0 = mf.filter(!col("data_dir").isin(small.toSeq: _*))
+    val droppedIds = manifestBatchIds(mf)
+      .diff(manifestBatchIds(keepRows0))
+    val keepRows = ledgerRows(spark, droppedIds)
+      .map(l => keepRows0.unionByName(l, allowMissingColumns = true))
+      .getOrElse(keepRows0)
     val dirSeq = dataMf.select("data_dir", "seq").distinct().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val delRows = mf.filter(col("kind") === "delete")
@@ -1273,12 +1619,11 @@ object Sources {
     if (merged.isEmpty) {
       // every row of every small run was tombstoned: publish a
       // manifest-only version that simply drops the small dirs
-      val version = current + 1
-      commitManifest(keepRows, path, version)
-      version
+      // (conflict aborts — same contract as the data-carrying path)
+      publishVersion(spark, path, _ => keepRows, composable = false)
     } else
       writeSnapshot(merged, id, orderCol, path, numShards, statsCols,
-        parentRows = Some(keepRows), batchId = -1L, op = "compact")
+        parent = FixedParent(keepRows), batchId = -1L, op = "compact")
   }
 
   /** Row-level DELETE, merge-on-read: publish a snapshot whose only
@@ -1294,13 +1639,26 @@ object Sources {
     * [[rewriteShardedTable]] (whole table). Returns the new version. */
   def deleteFromShardedTable(spark: SparkSession, path: String,
                              idName: String, keys: DataFrame): Long = {
-    val parent = shardedManifest(spark, path)
-    val version = shardedVersions(spark, path).last + 1
-    val delRow = writeDeleteDir(spark, keys, idName, path, version,
-      batchId = -1L, op = "delete")
-    commitManifest(normalizeManifest(parent)
-      .unionByName(delRow, allowMissingColumns = true), path, version)
-    version
+    import org.apache.spark.sql.functions.{col, lit}
+    shardedManifest(spark, path) // fail loudly if the table is absent
+    val baseV = shardedVersions(spark, path).last + 1
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val delDir = s"$path/del-v$baseV-$token"
+    keys.select(col(idName)).distinct()
+      .write.mode("overwrite").parquet(delDir)
+    val n = spark.read.parquet(delDir).count()
+    def delRow(v: Long) = spark.range(1).select(
+      lit(-1L).as("shard"), lit(n).as("n_rows"),
+      lit(delDir).as("data_dir"), lit(-1L).as("batch_id"),
+      lit("delete").as("kind"), lit(v).as("seq"),
+      lit("delete").as("op"), lit(idName).as("del_col"))
+    // a DELETE composes with concurrent appends/merges: its tombstone
+    // keys are parent-independent, so a commit conflict just retries
+    // against the refreshed parent
+    publishVersion(spark, path, v =>
+      normalizeManifest(shardedManifest(spark, path))
+        .unionByName(delRow(v), allowMissingColumns = true),
+      composable = true)
   }
 
   /** MERGE (upsert): one atomic snapshot that tombstones every key in
@@ -1321,8 +1679,10 @@ object Sources {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val parent = shardedManifest(spark, path)
+    // newest dir = schema authority (same rationale as append)
     val sample = normalizeManifest(parent)
-      .filter(col("kind") === "data").select("data_dir", "shard").head()
+      .filter(col("kind") === "data").orderBy(col("seq").desc)
+      .select("data_dir", "shard").head()
     val tableCols = spark.read
       .parquet(s"${sample.getString(0)}/shard=${sample.getLong(1)}")
       .columns.toSet
@@ -1331,7 +1691,7 @@ object Sources {
         .mkString(",")} != table columns ${tableCols.toSeq.sorted
         .mkString(",")}")
     writeSnapshot(df, col(idName), orderCol, path, numShards, statsCols,
-      parentRows = Some(parent), batchId = batchId, op = "merge",
+      parent = LatestParent, batchId = batchId, op = "merge",
       deleteKeys = Some((df.select(col(idName)), idName)))
   }
 
@@ -1346,9 +1706,17 @@ object Sources {
   def rewriteShardedTable(spark: SparkSession, path: String, id: Column,
                           orderCol: Column, numShards: Int,
                           statsCols: Seq[String]): Long = {
+    // the rewritten manifest references no old dir, but the commit
+    // LOG must survive it: every committed batch id rides along as a
+    // zero-row ledger row, or a post-rewrite foreachBatch replay
+    // would re-apply its batch (see [[ledgerRows]])
+    val ids = manifestBatchIds(
+      normalizeManifest(shardedManifest(spark, path)))
     val cur = readShardedTable(spark, path).drop("shard")
     writeSnapshot(cur, id, orderCol, path, numShards, statsCols,
-      parentRows = None, batchId = -1L, op = "rewrite")
+      parent = ledgerRows(spark, ids).map(FixedParent.apply)
+        .getOrElse(NoParent),
+      batchId = -1L, op = "rewrite")
   }
 
   /** INCREMENTAL (CDC) read, insert side: the rows added to the table
@@ -1375,8 +1743,12 @@ object Sources {
         col("op").isin("write", "append", "merge"))
       .select("data_dir", "shard").collect()
       .filterNot(r => old(r.getString(0)))
+    // schema authority = the NEWEST dir (ordered, not an arbitrary
+    // head() — after schema evolution the empty-window frame must
+    // carry the evolved schema deterministically, matching
+    // readManifestShards)
     val headDir = to.filter(col("kind") === "data")
-      .select("data_dir").head().getString(0)
+      .orderBy(col("seq").desc).select("data_dir").head().getString(0)
     if (ins.isEmpty)
       spark.read.option("basePath", headDir).parquet(headDir)
         .filter(lit(false))
@@ -1482,9 +1854,17 @@ object Sources {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // manifests first: a version must become unlistable before its
-    // (possibly exclusive) data dirs vanish
+    // (possibly exclusive) data dirs vanish. The version's claim file
+    // and any bloom sidecar built AT that version go with it — a
+    // sidecar whose snapshot is gone prunes nothing ([[
+    // newestBloomBuild]] would return it with an empty covered set),
+    // so keeping it is pure dead weight.
     expired.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/_manifest/v$v"),
+        true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/_manifest/.claim-v$v"), false)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/_bloom/v$v"),
         true)
     }
     fs.listStatus(root)

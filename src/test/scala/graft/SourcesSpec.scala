@@ -15,6 +15,20 @@ class SourcesSpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.collect().map(_.toSeq).toSet
 
+  /** Sharded-table dirs carry a random token (`data-v3-ab12cd34`) so
+    * concurrent writers never collide on disk; tests identify dirs by
+    * their version TAG. vtag("data-v3-ab12cd34") == "data-v3". */
+  private def vtag(name: String): String =
+    name.split('-').take(2).mkString("-")
+
+  /** Resolve the unique on-disk dir whose version tag matches. */
+  private def vdir(path: String, tag: String): String = {
+    val hits = new java.io.File(path).listFiles()
+      .map(_.getName).filter(n => vtag(n) == tag).toSeq
+    assert(hits.size == 1, s"$tag -> $hits")
+    s"$path/${hits.head}"
+  }
+
   test("csv round-trip with explicit schema") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
     Sources.writeCsv(nation, dir)
@@ -458,7 +472,7 @@ class SourcesSpec extends AnyFunSuite {
     assert(v1 == 1L)
     // fingerprint the parent's data files (path -> (len, mtime))
     def dataFiles(): Map[String, (Long, Long)] = {
-      val root = new java.io.File(s"$path/data-v1")
+      val root = new java.io.File(vdir(path, "data-v1"))
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
         else Seq(f)
@@ -484,7 +498,7 @@ class SourcesSpec extends AnyFunSuite {
       preds = Seq(("day", 2L, 2L), ("doc_id", 400L, 449L)))
     val hit = pruned.inputFiles.map { f =>
       val seg = f.split("/")
-      (seg.find(_.startsWith("data-v")).get,
+      (vtag(seg.find(_.startsWith("data-v")).get),
        seg.find(_.startsWith("shard=")).get)
     }.toSet
     assert(hit == Set(("data-v2", "shard=0")))
@@ -519,7 +533,8 @@ class SourcesSpec extends AnyFunSuite {
     Sources.appendShardedTable(batch(300, 100), col("doc_id"),
       col("doc_id"), path, 4, Seq("doc_id"))
     def dirs() = new java.io.File(path).listFiles()
-      .filter(_.getName.startsWith("data-v")).map(_.getName).toSet
+      .filter(_.getName.startsWith("data-v")).map(n => vtag(n.getName))
+      .toSet
     assert(dirs() == Set("data-v1", "data-v2", "data-v3", "data-v4"))
     // keep v3 and v4: v1/v2's dirs are unreachable (v3 rewrote), but
     // data-v3 is shared by the KEPT v4 manifest and must survive
@@ -590,21 +605,22 @@ class SourcesSpec extends AnyFunSuite {
       walkF(new java.io.File(dir)).map(f =>
         (f.getPath, (f.length(), f.lastModified()))).toMap
     }
-    val bigBefore = files(s"$path/data-v1")
+    val bigBefore = files(vdir(path, "data-v1"))
     val before = Sources.readShardedTable(spark, path)
       .select("doc_id", "t").collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
     // a bounded range over the appended tail touches all 4 small dirs
     def tailFiles() = Sources.readShardedTable(spark, path,
         preds = Seq(("doc_id", 1000L, 1199L)))
-      .inputFiles.map(_.split("/").find(_.startsWith("data-v")).get).toSet
+      .inputFiles.map(f =>
+        vtag(f.split("/").find(_.startsWith("data-v")).get)).toSet
     assert(tailFiles() == Set("data-v2", "data-v3", "data-v4", "data-v5"))
     // compact: only the 50-row dirs qualify; the 1000-row dir must not
     val v = Sources.compactShardedTable(spark, path, col("doc_id"),
       col("doc_id"), numShards = 2, statsCols = Seq("doc_id"),
       smallDirRows = 100L)
     assert(v == 6L)
-    assert(files(s"$path/data-v1") == bigBefore) // big dir untouched
+    assert(files(vdir(path, "data-v1")) == bigBefore) // big dir untouched
     val after = Sources.readShardedTable(spark, path)
       .select("doc_id", "t").collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
@@ -637,12 +653,12 @@ class SourcesSpec extends AnyFunSuite {
       walkF(new java.io.File(dir)).map(f =>
         (f.getPath, (f.length(), f.lastModified()))).toMap
     }
-    val before = files(s"$path/data-v1")
+    val before = files(vdir(path, "data-v1"))
     val v2 = Sources.deleteFromShardedTable(spark, path, "doc_id",
       spark.range(50).select((col("id") * 3).as("doc_id")))
     assert(v2 == 2L)
     // the delete wrote a key file + manifest ONLY
-    assert(files(s"$path/data-v1") == before)
+    assert(files(vdir(path, "data-v1")) == before)
     val live = Sources.readShardedTable(spark, path)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(live.size == 350 && !live.exists(i => i % 3 == 0 && i < 150))
@@ -664,7 +680,7 @@ class SourcesSpec extends AnyFunSuite {
     Sources.expireShardedSnapshots(spark, path, keep = 1)
     val names = new java.io.File(path).listFiles().map(_.getName).toSet
     assert(!names.exists(_.startsWith("del-v")))
-    assert(!names.contains("data-v1"))
+    assert(!names.exists(n => vtag(n) == "data-v1"))
     val after = Sources.readShardedTable(spark, path)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(after == live)
@@ -691,13 +707,13 @@ class SourcesSpec extends AnyFunSuite {
       walkF(new java.io.File(dir)).map(f =>
         (f.getPath, (f.length(), f.lastModified()))).toMap
     }
-    val before = files(s"$path/data-v1")
+    val before = files(vdir(path, "data-v1"))
     // v3: upsert keys 110..189 (overlaps the deleted range AND live
     // old rows) with new payloads
     val v3 = Sources.mergeShardedTable(batch(110, 80, "new"), "doc_id",
       col("doc_id"), path, numShards = 2, statsCols = Seq("doc_id"))
     assert(v3 == 3L)
-    assert(files(s"$path/data-v1") == before) // merge never rewrites
+    assert(files(vdir(path, "data-v1")) == before) // merge never rewrites
     val got = Sources.readShardedTable(spark, path)
       .select("doc_id", "t").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
@@ -1087,7 +1103,7 @@ class SourcesSpec extends AnyFunSuite {
     // tamper 1: smuggle extra rows into a shard dir (row count +
     // stats bounds both break)
     batch(5000, 7).withColumn("shard", lit(0L)).drop("shard")
-      .write.mode("append").parquet(s"$path/data-v1/shard=0")
+      .write.mode("append").parquet(s"${vdir(path, "data-v1")}/shard=0")
     // tamper 2: an orphan dir from a crashed write
     batch(9000, 3).write.parquet(s"$path/data-v99/shard=0")
     val findings = Sources.auditShardedTable(spark, path)
@@ -1095,6 +1111,192 @@ class SourcesSpec extends AnyFunSuite {
     assert(findings.contains("row_count_mismatch"))
     assert(findings.contains("stats_not_containing:doc_id"))
     assert(findings.contains("orphan_dir"))
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("sharded table CONCURRENT WRITERS: two racing append threads " +
+       "commit every batch exactly once with contiguous versions") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shrace").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 50), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    // two writers, three appends each, released together — the claim
+    // protocol must serialize the COMMITS (not the data writes) so
+    // every batch lands exactly once and no version is lost or burned
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (0 until 2).map { w =>
+      Future {
+        gate.await()
+        (0 until 3).foreach { i =>
+          Sources.appendShardedTable(batch(1000 * (w + 1) + 100 * i, 30),
+            col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+        }
+      }
+    }
+    gate.countDown()
+    fs.foreach(f => Await.result(f, scala.concurrent.duration
+      .Duration(120, "s")))
+    // versions contiguous: 1 (create) + 6 appends
+    assert(Sources.shardedVersions(spark, path) == (1L to 7L))
+    // every row exactly once
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = ((0L until 50L) ++
+      (for (w <- 1 to 2; i <- 0 until 3; k <- 0 until 30)
+        yield 1000L * w + 100L * i + k)).sorted
+    assert(got == want)
+    // a clean race leaves no audit findings (no orphans, no stale
+    // claims, counts and stats all containing)
+    assert(Sources.auditShardedTable(spark, path).count() == 0L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("sharded table REWRITE carries the batch-id ledger: a replayed " +
+       "batch AFTER a major rewrite is still skipped") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shledger").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.shardedTableSinkBatch(batch(0, 40), 0L, col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    Sources.shardedTableSinkBatch(batch(40, 40), 1L, col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    Sources.rewriteShardedTable(spark, path, col("doc_id"),
+      col("doc_id"), numShards = 2, statsCols = Seq("doc_id"))
+    // the rewrite dropped every parent manifest row — the ledger must
+    // still know batches 0 and 1 committed
+    assert(Sources.committedBatchIds(spark, path) == Set(0L, 1L))
+    // the replay (crash between sink commit and checkpoint advance,
+    // restart after the rewrite): must be a no-op
+    val v = Sources.shardedVersions(spark, path).last
+    assert(Sources.shardedTableSinkBatch(batch(40, 40), 1L,
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id")) == v)
+    assert(Sources.readShardedTable(spark, path).count() == 80L)
+    // and the ledger survives FURTHER snapshots (it rides the chain)
+    Sources.shardedTableSinkBatch(batch(80, 40), 2L, col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    assert(Sources.committedBatchIds(spark, path) == Set(0L, 1L, 2L))
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("sharded table COMPACTION carries batch ids of the folded " +
+       "small runs as ledger rows") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shledger2").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    (0 until 4).foreach { i =>
+      Sources.shardedTableSinkBatch(batch(100L * i, 100), i.toLong,
+        col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+    }
+    // fold ALL dirs (every one is "small"): without the ledger the
+    // batch ids would vanish with the dropped manifest rows
+    Sources.compactShardedTable(spark, path, col("doc_id"),
+      col("doc_id"), numShards = 2, statsCols = Seq("doc_id"),
+      smallDirRows = Long.MaxValue / 4)
+    assert(Sources.committedBatchIds(spark, path) ==
+      Set(0L, 1L, 2L, 3L))
+    val v = Sources.shardedVersions(spark, path).last
+    assert(Sources.shardedTableSinkBatch(batch(100, 100), 1L,
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id")) == v)
+    assert(Sources.readShardedTable(spark, path).count() == 400L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("bloom lookups survive snapshot expiry: stale build degrades " +
+       "to a full (correct) read; expiry GCs the bloom sidecar") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shbloomexp").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        pmod(col("id") + lo, lit(97)).as("v"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 300), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    Sources.buildShardedBloom(spark, path, "v", bits = 1 << 12, k = 3)
+    // two appends + expiry that drops the build's snapshot (v1)
+    Sources.appendShardedTable(batch(300, 50), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    Sources.appendShardedTable(batch(350, 50), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    Sources.expireShardedSnapshots(spark, path, keep = 1)
+    // the v1 bloom dir went with its snapshot
+    assert(!new java.io.File(s"$path/_bloom/v1").exists())
+    // the lookup must fail loudly ONLY as "no sidecar" (usage error),
+    // not crash on a missing manifest
+    intercept[IllegalArgumentException] {
+      Sources.readShardedTablePointLookup(spark, path, "v", lit(7))
+    }
+    // a STALE build that expiry did not GC (pre-fix table state):
+    // fabricate it by rebuilding, appending, expiring down to the
+    // newest version only — build v3 < table v4... build at v3,
+    // append -> v4, expire keep=1 keeps v4, GCs _bloom/v3
+    Sources.buildShardedBloom(spark, path, "v", bits = 1 << 12, k = 3)
+    val vb = Sources.shardedVersions(spark, path).last
+    Sources.appendShardedTable(batch(400, 50), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    // simulate the pre-GC state: copy the bloom dir aside, expire,
+    // restore it (expiry would have deleted it)
+    val bloomDir = new java.io.File(s"$path/_bloom/v$vb")
+    val aside = new java.io.File(s"$path/_bloom_aside")
+    java.nio.file.Files.move(bloomDir.toPath, aside.toPath)
+    Sources.expireShardedSnapshots(spark, path, keep = 1)
+    java.nio.file.Files.createDirectories(bloomDir.getParentFile.toPath)
+    java.nio.file.Files.move(aside.toPath, bloomDir.toPath)
+    // build vb's manifest is GONE; the lookup degrades to a full
+    // read (covered = nothing) and still answers correctly
+    val got = Sources.readShardedTablePointLookup(spark, path, "v",
+        lit(7)).filter(col("v") === 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == (0L until 450L).filter(_ % 97 == 7).toSet)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("bloom builds on a schema-EVOLVED column: pre-evolution dirs " +
+       "null-fill (unindexed), lookups stay correct") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shbloomev").toString
+    Sources.writeShardedTable(
+      spark.range(200).select(col("id").as("doc_id"),
+        concat(lit("d"), col("id")).as("t")),
+      col("doc_id"), col("doc_id"), path, 4, Seq("doc_id"))
+    Sources.appendShardedTable(
+      spark.range(200, 300).select(col("id").as("doc_id"),
+        concat(lit("d"), col("id")).as("t"),
+        pmod(col("id"), lit(37)).as("v")),
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"),
+      allowNewColumns = true)
+    // pre-fix this threw AnalysisException on the v-less dirs
+    Sources.buildShardedBloom(spark, path, "v", bits = 1 << 12, k = 3)
+    val got = Sources.readShardedTablePointLookup(spark, path, "v",
+        lit(5)).filter(col("v") === 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == (200L until 300L).filter(_ % 37 == 5).toSet)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("merge sink enforces unique keys on the CREATE path too") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shmdup").toString
+    val dup = spark.range(20).select(pmod(col("id"), lit(10))
+      .as("doc_id"), col("id").as("v"))
+    intercept[IllegalArgumentException] {
+      Sources.shardedTableMergeSinkBatch(dup, 0L, "doc_id",
+        col("doc_id"), path, 2, Seq("doc_id"))
+    }
     Sources.dropShardedTable(spark, path)
   }
 
