@@ -1280,6 +1280,127 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // Concurrent writers (r10): two RACING append threads share one
+    // table — the optimistic claim-and-publish commit must land every
+    // batch exactly once with contiguous versions, and the layout
+    // must be invisible to results (the oracle is the plain union).
+    "q564_sharded_race" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.Sources.writeShardedTable(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"),
+        col("doc_id"), path, numShards = 4, statsCols = Seq("doc_id"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val fs = Seq(0L, 2L).map { r =>
+        Future {
+          gate.await()
+          graft.sources.Sources.appendShardedTable(
+            docs.filter(col("doc_id") % 4 === r), col("doc_id"),
+            col("doc_id"), path, numShards = 2,
+            statsCols = Seq("doc_id"))
+        }
+      }
+      gate.countDown()
+      fs.foreach(f => Await.result(f,
+        scala.concurrent.duration.Duration(300, "s")))
+      val res = graft.sources.Sources.readShardedTable(s, path)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
+    // Self-maintained streaming sink (r10): ten foreachBatch-shaped
+    // ticks with the auto-compact + expiry policy, one tick REPLAYED
+    // (crash-retry) — exactly-once must survive the maintenance
+    // (batch ids ride compactions as ledger rows) and the folds must
+    // be invisible to results.
+    "q565_sharded_maintained" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      def tick(i: Long) =
+        graft.sources.Sources.shardedTableSinkBatchMaintained(
+          docs.filter(col("doc_id") % 10 === i)
+            .withColumn("n_chars", col("n_chars") + lit(1000L) * i),
+          i, col("doc_id"), col("doc_id"), path, numShards = 2,
+          statsCols = Seq("doc_id"), compactWhenSmallDirs = 3,
+          smallDirRows = Long.MaxValue / 4, keepVersions = 3)
+      (0L until 10L).foreach(tick)
+      tick(4L) // the foreachBatch replay: must be a no-op
+      val res = graft.sources.Sources.readShardedTable(s, path)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
+    // Streaming CDC consumer (r10): a version-cursor drain loop
+    // REPLICATES the source table into a second sharded table (the
+    // incremental-downstream-pipeline shape) — initial load, then
+    // per-version windows applied as delete-then-upsert. The oracle
+    // is the source's final event/killer state in closed form; any
+    // window lost, duplicated or misordered diverges the replica.
+    "q566_sharded_cdc" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val replica = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString + "/t"
+      val cursor = s"$path.cursor"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val S = graft.sources.Sources
+      def applyWindow(b: S.ShardedCdcBatch): Unit = {
+        val ins = b.inserts.drop("shard") // reader partition column
+        val replicaExists = S.shardedVersions(s, replica).nonEmpty
+        if (!replicaExists)
+          S.writeShardedTable(ins, col("doc_id"), col("doc_id"),
+            replica, numShards = 4, statsCols = Seq("doc_id"))
+        else {
+          if (!b.deletedKeys.isEmpty)
+            S.deleteFromShardedTable(s, replica, "doc_id",
+              b.deletedKeys)
+          if (!ins.isEmpty)
+            S.mergeShardedTable(ins, "doc_id", col("doc_id"),
+              replica, numShards = 2, statsCols = Seq("doc_id"))
+        }
+      }
+      S.writeShardedTable(docs.filter(col("doc_id") % 3 === 0),
+        col("doc_id"), col("doc_id"), path, numShards = 4,
+        statsCols = Seq("doc_id"))
+      S.drainShardedTableChanges(s, path, cursor)(applyWindow)
+      S.mergeShardedTable(
+        docs.filter(col("doc_id") % 4 === 1)
+          .withColumn("n_chars", col("n_chars") + 5000L),
+        "doc_id", col("doc_id"), path, numShards = 2,
+        statsCols = Seq("doc_id"))
+      S.deleteFromShardedTable(s, path, "doc_id",
+        docs.filter(col("doc_id") % 5 === 2).select(col("doc_id")))
+      S.mergeShardedTable(
+        docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("n_chars", col("n_chars") + 9000L),
+        "doc_id", col("doc_id"), path, numShards = 2,
+        statsCols = Seq("doc_id"))
+      S.drainShardedTableChanges(s, path, cursor)(applyWindow)
+      val res = S.readShardedTable(s, replica)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .cut()
+      S.dropShardedTable(s, path)
+      S.dropShardedTable(s, replica)
+      new java.io.File(cursor).delete()
+      res.orderBy("doc_id")
+    }),
+
     // Fragmented MP4 (r9): the q502 decode over CMAF/DASH-style
     // moof/mdat segments — the layout real crawl video ships in.
     // BOTH isolation properties in one corpus: a corrupt FRAME costs
@@ -6297,6 +6418,37 @@ object SparkEntry {
          FROM k JOIN pick ON k.dkey = pick.dkey
            AND k.doc_id = pick.keep
          ORDER BY k.doc_id""",
+
+    // q564: racing writers are invisible to results — the union of
+    // the create (odds) and both threads' appends (evens) is the
+    // whole table, each row exactly once
+    "q564_sharded_race" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents ORDER BY doc_id""",
+
+    // q565: ten maintained ticks cover every residue class once; the
+    // replayed tick is a no-op; compaction/expiry change no rows
+    "q565_sharded_maintained" ->
+      """SELECT doc_id, source,
+           CAST(n_chars + 1000 * (doc_id % 10) AS BIGINT) AS n_chars
+         FROM documents ORDER BY doc_id""",
+
+    // q566: the replica equals the source's event/killer closed form:
+    // initial write (%3=0) minus later merge/delete killers, plus
+    // each merge's own inserts minus ITS later killers
+    "q566_sharded_cdc" ->
+      """SELECT * FROM (
+           SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents WHERE doc_id % 3 = 0
+             AND NOT (doc_id % 4 = 1 OR doc_id % 5 = 2 OR doc_id % 7 = 3)
+           UNION ALL
+           SELECT doc_id, source, CAST(n_chars + 5000 AS BIGINT)
+           FROM documents WHERE doc_id % 4 = 1
+             AND NOT (doc_id % 5 = 2 OR doc_id % 7 = 3)
+           UNION ALL
+           SELECT doc_id, source, CAST(n_chars + 9000 AS BIGINT)
+           FROM documents WHERE doc_id % 7 = 3
+         ) ORDER BY doc_id""",
 
     // q502: the q416 mosaic replay per (id, frame) with a per-frame
     // phase; the id % 7 == 3 assets' frame 1 is the truncated sample

@@ -665,10 +665,19 @@ object Sources {
     * manifest — delete its cursor to re-bootstrap from a fresh
     * initial load. */
   def shardedTableChanges(spark: SparkSession, path: String,
-                          cursorPath: String): ShardedCdcBatch = {
+                          cursorPath: String,
+                          maxVersions: Int = Int.MaxValue)
+      : ShardedCdcBatch = {
     import org.apache.spark.sql.functions.col
-    val to = shardedVersions(spark, path).last
+    val latest = shardedVersions(spark, path).last
     val cur = readCdcCursor(spark, cursorPath)
+    // a MULTI-version window flattens op order (its deletes and
+    // inserts arrive as two sets — a delete BETWEEN two merges of the
+    // same key is indistinguishable from one before both); a consumer
+    // replicating with last-writer-wins semantics caps the window at
+    // one version ([[drainShardedTableChanges]] does)
+    val to = cur.map(f => math.min(latest, f + maxVersions.toLong))
+      .getOrElse(latest)
     cur match {
       case None =>
         // initial load: the table state AT `to` (not the raw dir
@@ -704,12 +713,16 @@ object Sources {
                                cursorPath: String)
                               (f: ShardedCdcBatch => Unit): Int = {
     var delivered = 0
-    var batch = shardedTableChanges(spark, path, cursorPath)
+    // one VERSION per window: preserves op order for replicating
+    // consumers (apply deletes, then upsert inserts, per window)
+    var batch = shardedTableChanges(spark, path, cursorPath,
+      maxVersions = 1)
     while (!batch.isCaughtUp) {
       f(batch)
       batch.commit()
       delivered += 1
-      batch = shardedTableChanges(spark, path, cursorPath)
+      batch = shardedTableChanges(spark, path, cursorPath,
+        maxVersions = 1)
     }
     delivered
   }
@@ -1733,29 +1746,42 @@ object Sources {
     import org.apache.spark.sql.functions.{col, lit}
     require(fromVersion <= toVersion,
       s"shardedTableInserts: from $fromVersion > to $toVersion")
-    val from = normalizeManifest(
-      shardedManifest(spark, path, Some(fromVersion)))
-    val to = normalizeManifest(
-      shardedManifest(spark, path, Some(toVersion)))
-    val old = from.select("data_dir").distinct().collect()
-      .map(_.getString(0)).toSet
-    val ins = to.filter(col("kind") === "data" &&
-        col("op").isin("write", "append", "merge"))
-      .select("data_dir", "shard").collect()
-      .filterNot(r => old(r.getString(0)))
+    // PER-VERSION walk, not an endpoint diff: a dir appended at v+1
+    // and folded away by a compaction at v+2 is absent from BOTH
+    // endpoint manifests — an endpoint diff would silently drop its
+    // rows from the change stream (they live on only inside the
+    // op-filtered compact dir). Walking each (v-1, v) step sees every
+    // dir at the version that WROTE it; a manifest expired out of the
+    // window fails loudly (re-bootstrap the consumer) rather than
+    // under-delivering. Cost: O(window x shards) driver metadata.
+    val vs = shardedVersions(spark, path).toSet
+    (fromVersion to toVersion).foreach(v => require(vs.contains(v),
+      s"shardedTableInserts: manifest v$v expired out of the window " +
+        s"($fromVersion, $toVersion] — re-bootstrap the consumer"))
+    val mfs = (fromVersion to toVersion).map(v => v ->
+      normalizeManifest(shardedManifest(spark, path, Some(v)))).toMap
+    val ins = (fromVersion + 1 to toVersion).flatMap { w =>
+      val prev = mfs(w - 1).select("data_dir").distinct().collect()
+        .map(_.getString(0)).toSet
+      mfs(w).filter(col("kind") === "data" &&
+          col("op").isin("write", "append", "merge"))
+        .select("data_dir", "shard").collect()
+        .filterNot(r => prev(r.getString(0)))
+        .map(r => (r.getString(0), r.getLong(1)))
+    }.distinct
     // schema authority = the NEWEST dir (ordered, not an arbitrary
     // head() — after schema evolution the empty-window frame must
     // carry the evolved schema deterministically, matching
     // readManifestShards)
-    val headDir = to.filter(col("kind") === "data")
+    val headDir = mfs(toVersion).filter(col("kind") === "data")
       .orderBy(col("seq").desc).select("data_dir").head().getString(0)
     if (ins.isEmpty)
       spark.read.option("basePath", headDir).parquet(headDir)
         .filter(lit(false))
     else
-      ins.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
+      ins.groupBy(_._1).toSeq.sortBy(_._1).map {
         case (dDir, rs) =>
-          val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
+          val dirs = rs.map(r => s"$dDir/shard=${r._2}").toSeq
           spark.read.option("basePath", dDir).parquet(dirs: _*)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
@@ -1770,27 +1796,36 @@ object Sources {
     import org.apache.spark.sql.functions.col
     require(fromVersion <= toVersion,
       s"shardedTableDeletedKeys: from $fromVersion > to $toVersion")
-    val from = normalizeManifest(
-      shardedManifest(spark, path, Some(fromVersion)))
-    val to = normalizeManifest(
-      shardedManifest(spark, path, Some(toVersion)))
-    val old = from.filter(col("kind") === "delete")
-      .select("data_dir").distinct().collect().map(_.getString(0)).toSet
-    val fresh = to.filter(col("kind") === "delete")
-      .select("data_dir", "del_col").distinct().collect()
-      .filterNot(r => old(r.getString(0)))
+    // per-version walk, same rationale as [[shardedTableInserts]]: a
+    // tombstone written and then dropped by a rewrite inside the
+    // window must still be delivered
+    val vs = shardedVersions(spark, path).toSet
+    (fromVersion to toVersion).foreach(v => require(vs.contains(v),
+      s"shardedTableDeletedKeys: manifest v$v expired out of the " +
+        s"window ($fromVersion, $toVersion] — re-bootstrap the consumer"))
+    val mfs = (fromVersion to toVersion).map(v => v ->
+      normalizeManifest(shardedManifest(spark, path, Some(v)))).toMap
+    val fresh = (fromVersion + 1 to toVersion).flatMap { w =>
+      val prev = mfs(w - 1).filter(col("kind") === "delete")
+        .select("data_dir").distinct().collect()
+        .map(_.getString(0)).toSet
+      mfs(w).filter(col("kind") === "delete")
+        .select("data_dir", "del_col").distinct().collect()
+        .filterNot(r => prev(r.getString(0)))
+        .map(r => (r.getString(0), r.getString(1)))
+    }.distinct
     if (fresh.isEmpty) {
       // empty frame with the key column name if the table ever had a
       // tombstone, else a generic empty single-column frame
-      val name = to.filter(col("kind") === "delete")
+      val name = mfs(toVersion).filter(col("kind") === "delete")
         .select("del_col").distinct().collect().headOption
         .map(_.getString(0)).getOrElse("key")
       spark.range(0).select(col("id").as(name))
     } else {
-      val names = fresh.map(_.getString(1)).distinct
+      val names = fresh.map(_._2).distinct
       require(names.length == 1,
         s"tombstones on different key columns: ${names.mkString(", ")}")
-      fresh.map(r => spark.read.parquet(r.getString(0)))
+      fresh.map(r => spark.read.parquet(r._1))
         .reduce(_.unionByName(_)).distinct()
     }
   }

@@ -856,6 +856,35 @@ object EventStreams {
       .outputMode("append")
       .start()
 
+  /** [[shardedTableSink]] with BOUNDED SELF-MAINTENANCE
+    * ([[graft.sources.Sources.shardedTableSinkBatchMaintained]]):
+    * compaction folds the streaming drip when the small-dir count
+    * crosses the policy threshold and expiry caps the version chain —
+    * a year of 5-minute ticks keeps manifest, versions listing and
+    * per-read file count O(policy), not O(ticks), with no external
+    * maintenance job. Exactly-once still holds across crash/replay
+    * anywhere in the tick (batch ids survive compaction as ledger
+    * rows; a crash between append and maintenance defers the fold to
+    * the next tick). */
+  def shardedTableSinkMaintained(stream: DataFrame, id: Column,
+                                 orderCol: Column, path: String,
+                                 numShards: Int, statsCols: Seq[String],
+                                 checkpoint: String,
+                                 compactWhenSmallDirs: Int = 8,
+                                 smallDirRows: Long = 1L << 20,
+                                 keepVersions: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sources.shardedTableSinkBatchMaintained(batch,
+          batchId, id, orderCol, path, numShards, statsCols,
+          compactWhenSmallDirs, smallDirRows, keepVersions)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+
   /** Streaming UPSERT sink: each micro-batch MERGES into the sharded
     * table (later batch wins the key), exactly-once across restarts
     * via [[graft.sources.Sources.shardedTableMergeSinkBatch]]'s

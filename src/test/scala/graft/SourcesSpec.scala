@@ -1287,6 +1287,134 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("MAINTAINED sink: a long tick stream keeps versions, data " +
+       "dirs and manifest size bounded; content and commit log exact") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shmaint").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    val ticks = 14
+    (0 until ticks).foreach { i =>
+      Sources.shardedTableSinkBatchMaintained(batch(100L * i, 100),
+        i.toLong, col("doc_id"), col("doc_id"), path, numShards = 2,
+        statsCols = Seq("doc_id"), compactWhenSmallDirs = 4,
+        smallDirRows = 500L, keepVersions = 3)
+    }
+    // versions bounded by the policy, NOT by tick count
+    assert(Sources.shardedVersions(spark, path).size <= 3)
+    // data dirs bounded: compaction folds the drip before it sprays
+    val dataDirs = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("data-v"))
+    assert(dataDirs <= 6, s"unbounded dir spray: $dataDirs dirs")
+    // content exact, commit log complete (ledger survives the folds)
+    assert(Sources.readShardedTable(spark, path).count() ==
+      100L * ticks)
+    assert(Sources.committedBatchIds(spark, path) ==
+      (0 until ticks).map(_.toLong).toSet)
+    // a replayed old tick is STILL skipped after all that maintenance
+    val v = Sources.shardedVersions(spark, path).last
+    assert(Sources.shardedTableSinkBatchMaintained(batch(0, 100), 0L,
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"),
+      compactWhenSmallDirs = 4, smallDirRows = 500L,
+      keepVersions = 3) == v)
+    assert(Sources.readShardedTable(spark, path).count() ==
+      100L * ticks)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("CDC cursor consumer: initial load + incremental windows " +
+       "reconstruct the table state exactly; uncommitted windows " +
+       "re-deliver") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shcdc").toString
+    val cursor = s"$path.cursor"
+    def batch(lo: Long, n: Long, tag: String) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit(tag), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 200, "a"), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    // consumer state: a driver-side map the windows fold into
+    var state = Map.empty[Long, String]
+    def apply1(b: Sources.ShardedCdcBatch): Unit = {
+      // a merge arrives as delete+insert of the same key: apply
+      // deletes first, then inserts (upsert order)
+      val dels = b.deletedKeys.collect().map(_.getLong(0)).toSet
+      state = state -- dels
+      state ++= b.inserts.select("doc_id", "t").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+    }
+    // window 1: the initial load
+    assert(Sources.drainShardedTableChanges(spark, path, cursor)(
+      apply1) == 1)
+    assert(state.size == 200)
+    // ops: append + merge + delete, then drain the pending windows
+    Sources.appendShardedTable(batch(200, 50, "a"), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    Sources.mergeShardedTable(batch(100, 80, "b"), "doc_id",
+      col("doc_id"), path, 2, Seq("doc_id"))
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(10).select((col("id") * 7).as("doc_id")))
+    assert(Sources.drainShardedTableChanges(spark, path, cursor)(
+      apply1) >= 1)
+    val want = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == want, "CDC replay diverged from table state")
+    // caught up: zero windows
+    assert(Sources.drainShardedTableChanges(spark, path, cursor)(
+      apply1) == 0)
+    // at-least-once: an UNCOMMITTED window re-delivers verbatim
+    Sources.appendShardedTable(batch(300, 10, "a"), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    val w1 = Sources.shardedTableChanges(spark, path, cursor)
+    val w2 = Sources.shardedTableChanges(spark, path, cursor)
+    assert(w1.fromVersion == w2.fromVersion &&
+      w1.toVersion == w2.toVersion)
+    assert(w1.inserts.count() == 10L && w2.inserts.count() == 10L)
+    w2.commit()
+    assert(Sources.shardedTableChanges(spark, path, cursor).isCaughtUp)
+    Sources.dropShardedTable(spark, path)
+    new java.io.File(cursor).delete()
+  }
+
+  test("CDC cursor consumer parity under a maintained sink: " +
+       "compaction windows deliver no phantom inserts") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shcdcm").toString
+    val cursor = s"$path.cursor"
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    var state = Map.empty[Long, String]
+    def apply1(b: Sources.ShardedCdcBatch): Unit = {
+      val dels = b.deletedKeys.collect().map(_.getLong(0)).toSet
+      state = state -- dels
+      state ++= b.inserts.select("doc_id", "t").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+    }
+    (0 until 10).foreach { i =>
+      Sources.shardedTableSinkBatchMaintained(batch(50L * i, 50),
+        i.toLong, col("doc_id"), col("doc_id"), path, 2,
+        Seq("doc_id"), compactWhenSmallDirs = 3, smallDirRows = 200L,
+        keepVersions = 4)
+      Sources.drainShardedTableChanges(spark, path, cursor)(apply1)
+    }
+    // every row delivered exactly once despite interleaved compaction
+    // (op-filtered CDC skips reorganizations) and expiry (the cursor
+    // never lags past the kept window because we drain per tick)
+    assert(state.keySet == (0L until 500L).toSet)
+    val want = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == want)
+    Sources.dropShardedTable(spark, path)
+    new java.io.File(cursor).delete()
+  }
+
   test("merge sink enforces unique keys on the CREATE path too") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files

@@ -1351,4 +1351,65 @@ class StreamingSpec extends AnyFunSuite {
     assert((35L until 40L).forall(k => got(k) == s"b$k"))
     Sources.dropShardedTable(spark, path)
   }
+
+  test("MAINTAINED sharded sink: exactly-once across a crash " +
+       "MID-MAINTENANCE (after append, before compaction); the " +
+       "replayed tick skips the append and completes the fold") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.sources.Sources
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shmaintcrash").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_shmaintcrash_ck").toString
+    val ms = MemoryStream[(Long, String)]
+    // crash INJECTION: tick 2's first attempt dies AFTER its append
+    // published but BEFORE the maintenance pass ran — the replay must
+    // skip the append (batch id committed) and still run maintenance
+    @volatile var crashOnce = true
+    def start() = ms.toDS().toDF("doc_id", "t").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (id == 2L && crashOnce) {
+          crashOnce = false
+          Sources.shardedTableSinkBatch(b, id, col("doc_id"),
+            col("doc_id"), path, 2, Seq("doc_id"))
+          throw new RuntimeException("injected crash before maintenance")
+        }
+        Sources.shardedTableSinkBatchMaintained(b, id, col("doc_id"),
+          col("doc_id"), path, 2, Seq("doc_id"),
+          compactWhenSmallDirs = 3, smallDirRows = 500L,
+          keepVersions = 3)
+        ()
+      }
+      .option("checkpointLocation", ckpt).start()
+    val q1 = start()
+    (0 until 2).foreach { i =>
+      ms.addData((i * 40 until (i + 1) * 40)
+        .map(j => (j.toLong, s"d$j")): _*)
+      q1.processAllAvailable()
+    }
+    ms.addData((80 until 120).map(j => (j.toLong, s"d$j")): _*)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      q1.awaitTermination()
+    }
+    q1.stop()
+    val q2 = start()
+    try {
+      q2.processAllAvailable() // replay tick 2: append skipped
+      ms.addData((120 until 160).map(j => (j.toLong, s"d$j")): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 160L), s"rows lost or duplicated: " +
+      s"${got.size}")
+    assert(Sources.committedBatchIds(spark, path) ==
+      Set(0L, 1L, 2L, 3L))
+    // maintenance actually ran: versions and dirs bounded by policy
+    assert(Sources.shardedVersions(spark, path).size <= 3)
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("data-v")) <= 5)
+    Sources.dropShardedTable(spark, path)
+  }
 }
