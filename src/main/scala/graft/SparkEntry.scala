@@ -1401,6 +1401,22 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // MP3 frame-header demux (r10): duration/bitrate/rate triage
+    // stats from the published frame layer — no sample decode. The
+    // corpus covers MPEG-1 and MPEG-2 rates, VBR, ID3v2 prefixes,
+    // ID3v1 trailers, junk needing resync (id%7==3) and a half-torn
+    // final frame (id%5==2, costing exactly that frame).
+    "q567_mp3_stats" -> ((s, dir) => {
+      val a = graft.ops.Mp3.synthMp3(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id")
+      graft.ops.Mp3.mp3StatsDf(a, "asset_id", "media")
+        .select(col("asset_id").as("doc_id"), col("n_frames"),
+          col("sample_rate"), col("duration_ms"), col("br_min"),
+          col("br_max"), col("vbr"), col("bytes_skipped"),
+          col("truncated"))
+        .orderBy("doc_id")
+    }),
+
     // Fragmented MP4 (r9): the q502 decode over CMAF/DASH-style
     // moof/mdat segments — the layout real crawl video ships in.
     // BOTH isolation properties in one corpus: a corrupt FRAME costs
@@ -6449,6 +6465,49 @@ object SparkEntry {
            SELECT doc_id, source, CAST(n_chars + 9000 AS BIGINT)
            FROM documents WHERE doc_id % 7 = 3
          ) ORDER BY doc_id""",
+
+    // q567: frame-layer arithmetic replay — counted frames, table-
+    // indexed bitrates over the counted range, floor duration; the
+    // torn cohort (id%5=2) loses exactly its last frame, the junk
+    // cohort (id%7=3) reports exactly its 5 resync bytes
+    "q567_mp3_stats" ->
+      """WITH s AS (SELECT doc_id,
+               doc_id % 11 = 5 AS mpeg2,
+               doc_id % 4 = 1 AS isvbr,
+               CAST(4 + doc_id % 5 AS INTEGER) AS nf0,
+               doc_id % 5 = 2 AS torn,
+               doc_id % 7 = 3 AS junk
+             FROM documents),
+         p AS (SELECT doc_id, mpeg2, isvbr, torn, junk,
+               CASE WHEN torn THEN nf0 - 1 ELSE nf0 END AS nf,
+               CASE WHEN mpeg2 THEN 576 ELSE 1152 END AS spf,
+               CASE WHEN mpeg2 THEN 22050
+                    WHEN doc_id % 3 = 0 THEN 44100
+                    WHEN doc_id % 3 = 1 THEN 48000
+                    ELSE 32000 END AS rate,
+               CASE WHEN mpeg2
+                 THEN [0,8,16,24,32,40,48,56,64,80,96,112,128,144,160]
+                 ELSE [0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                 END AS tbl
+             FROM s),
+         b AS (SELECT doc_id, nf, spf, rate, torn, junk,
+               [tbl[CAST(2 + (CASE WHEN isvbr THEN (doc_id + f) % 14
+                                   ELSE doc_id % 14 END) AS INTEGER)]
+                FOR f IN range(nf)] AS brs
+             FROM p)
+         SELECT doc_id,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(nf * spf * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(list_min(brs) AS INTEGER) AS br_min,
+           CAST(list_max(brs) AS INTEGER) AS br_max,
+           CAST(CASE WHEN list_min(brs) <> list_max(brs)
+                THEN 1 ELSE 0 END AS INTEGER) AS vbr,
+           CAST(CASE WHEN junk THEN 5 ELSE 0 END AS BIGINT)
+             AS bytes_skipped,
+           CAST(CASE WHEN torn THEN 1 ELSE 0 END AS INTEGER)
+             AS truncated
+         FROM b ORDER BY doc_id""",
 
     // q502: the q416 mosaic replay per (id, frame) with a per-frame
     // phase; the id % 7 == 3 assets' frame 1 is the truncated sample

@@ -848,6 +848,10 @@ object Multimodal {
     else if (ascii(0, "GFV1")) "video/x-gfv1"
     else if (at(0) == 0x1f && at(1) == 0x8b) "application/gzip"
     else if (ascii(0, "WARC/")) "application/warc"
+    // MP3: an ID3v2 prefix, or a bare MPEG audio sync (11 set bits) —
+    // AFTER jpeg (FF D8 FF would also match the sync mask)
+    else if (ascii(0, "ID3")) "audio/mpeg"
+    else if (at(0) == 0xff && (at(1) & 0xe0) == 0xe0) "audio/mpeg"
     else "application/octet-stream"
   }
 

@@ -1162,4 +1162,49 @@ class MultimodalSpec extends AnyFunSuite {
     val nr = Flac.decodeFlacStatsDf(withNull, "asset_id", "media").head()
     assert(nr.getLong(0) == 99L && nr.isNullAt(1) && nr.isNullAt(4))
   }
+  test("MP3 demux: synth stats exact; truncation at ANY byte never " +
+       "throws and only sheds tail frames; resync skips junk") {
+    import graft.ops.Mp3
+    // exact stats for a spread of cohort ids (MPEG1/2, VBR, junk,
+    // torn tail, ID3v1 trailer)
+    for (id <- 0L until 60L) {
+      val st = Mp3.demux(Mp3.synthBytes(id))
+      val torn = id % 5 == 2
+      val nf0 = (4 + id % 5).toInt
+      assert(st.nFrames == (if (torn) nf0 - 1 else nf0), s"id=$id")
+      assert(st.truncated == torn, s"id=$id")
+      val rate =
+        if (id % 11 == 5) 22050
+        else Seq(44100, 48000, 32000)((id % 3).toInt)
+      assert(st.sampleRate == rate, s"id=$id")
+      assert(st.bytesSkipped == (if (id % 7 == 3) 5L else 0L),
+        s"id=$id")
+      assert(st.vbr == (id % 4 == 1), s"id=$id")
+      val spf = if (id % 11 == 5) 576 else 1152
+      assert(st.durationMs == st.nFrames.toLong * spf * 1000 / rate,
+        s"id=$id")
+    }
+    // hostile-input property: cut the stream at EVERY prefix length —
+    // the walker must never throw, never count MORE frames than the
+    // full stream, and frame counts must be monotone in prefix length
+    for (id <- Seq(0L, 1L, 3L, 5L, 7L, 12L)) {
+      val full = Mp3.synthBytes(id)
+      val whole = Mp3.demux(full).nFrames
+      var prev = 0
+      (0 to full.length).foreach { cut =>
+        val st = Mp3.demux(full.take(cut)) // must not throw
+        assert(st.nFrames <= whole, s"id=$id cut=$cut")
+        assert(st.nFrames >= prev - 1, s"id=$id cut=$cut") // ~monotone
+        prev = st.nFrames
+      }
+    }
+    // pure garbage: zero frames, no exception
+    val g = Array.tabulate[Byte](500)(i => ((i * 37) % 251).toByte)
+    assert(Mp3.demux(g).nFrames == 0)
+    assert(Mp3.demux(Array.emptyByteArray).nFrames == 0)
+    // sniff router dispatches both ID3-prefixed and bare-sync streams
+    assert(Multimodal.sniffType(Mp3.synthBytes(0)) == "audio/mpeg")
+    assert(Multimodal.sniffType(
+      Mp3.synthBytes(0).drop(10 + 16)) == "audio/mpeg")
+  }
 }
