@@ -934,7 +934,8 @@ object Sources {
     * data), which is the reader's actual correctness bar — pruning
     * is a superset guarantee. */
   def auditShardedTable(spark: SparkSession, path: String,
-                        version: Option[Long] = None): DataFrame = {
+                        version: Option[Long] = None,
+                        perDirPlanning: Boolean = false): DataFrame = {
     // manifest fetched BEFORE the functions._ wildcard import, which
     // would shadow the `version` param
     val mf0 = shardedManifest(spark, path, version)
@@ -943,14 +944,17 @@ object Sources {
     val mf = normalizeManifest(mf0)
     val statCols = mf.columns.filter(_.startsWith("min_")).map(_.drop(4))
     val dataRows = mf.filter(col("kind") === "data")
-    // per-dir recompute; a dir that cannot even be opened is itself a
-    // finding, not an audit crash
-    val (goodFrames, badDirs) = dataRows.select("data_dir", "shard")
-      .collect().groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    val dataPairs = dataRows.select("data_dir", "shard")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // per-dir recompute fallback; a dir that cannot even be opened is
+    // itself a finding, not an audit crash — this path also names the
+    // unreadable dir, which the one-job fast path cannot
+    def slowPlan(): (Seq[DataFrame], Seq[(String, String)]) = dataPairs
+      .groupBy(_._1).toSeq.sortBy(_._1)
       .foldLeft((Seq.empty[DataFrame], Seq.empty[(String, String)])) {
         case ((gs, bs), (dDir, rs)) =>
           try {
-            val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
+            val dirs = rs.map(r => s"$dDir/shard=${r._2}").toSeq
             val f0 = spark.read.option("basePath", dDir)
               .parquet(dirs: _*)
             // a stats column ADDED by schema evolution does not exist
@@ -975,6 +979,45 @@ object Sources {
             (gs, bs :+ (dDir, e.getClass.getSimpleName))
           }
       }
+    // FAST planning (default): ONE read over every shard leaf with a
+    // distributed mergeSchema footer pass — planning cost stops being
+    // O(dirs) driver-side footer reads (the r9 watch item: a table
+    // with thousands of appended dirs spent the audit in the driver
+    // loop). Dir identity is recovered from the file path; schema
+    // evolution null-fills via the merged schema. Falls back to the
+    // per-dir loop when the one-shot read cannot even plan (corrupt
+    // footer somewhere — the slow path then names the culprit dir).
+    def fastPlan(): (Seq[DataFrame], Seq[(String, String)]) = {
+      val leaves = dataPairs.map { case (d, s) => s"$d/shard=$s" }
+      val byBase = dataPairs.map(_._1).distinct
+        .map(d => (d.split('/').last, d)).toSeq
+      val f0 = spark.read.option("mergeSchema", "true")
+        .parquet(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(leaves): _*)
+      val (have, miss) = statCols.partition(f0.columns.contains)
+      val aggs = Seq(count(lit(1)).as("a_rows")) ++
+        have.flatMap(c => Seq(
+          min(col(c)).cast("long").as(s"a_min_$c"),
+          max(col(c)).cast("long").as(s"a_max_$c")))
+      val g = f0
+        .withColumn("__base", regexp_extract(input_file_name(),
+          "/([^/]+)/shard=[0-9]+/[^/]+$", 1))
+        .withColumn("shard", regexp_extract(input_file_name(),
+          "/shard=([0-9]+)/[^/]+$", 1).cast("long"))
+        .groupBy(col("__base"), col("shard"))
+        .agg(aggs.head, aggs.tail: _*)
+      val act = miss.foldLeft(
+          g.join(broadcast(byBase.toDF("__base", "data_dir")),
+            "__base").drop("__base")) { (a, c) =>
+        a.withColumn(s"a_min_$c", lit(null).cast("long"))
+          .withColumn(s"a_max_$c", lit(null).cast("long"))
+      }
+      (Seq(act), Seq.empty)
+    }
+    val (goodFrames, badDirs) =
+      if (perDirPlanning) slowPlan()
+      else try fastPlan()
+      catch { case scala.util.control.NonFatal(_) => slowPlan() }
     val actual =
       if (goodFrames.nonEmpty) goodFrames.reduce(_.unionByName(_))
       else statCols.foldLeft(spark.range(0).select(

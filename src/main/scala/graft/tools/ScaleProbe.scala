@@ -531,6 +531,88 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("tablelife")) {
+      // r10 longevity probe (verdict task #2): 1,000 streaming-sink
+      // ticks, MAINTAINED (auto-compact + expiry policy) vs RAW
+      // (append-only). The claim under test: with maintenance the
+      // versions listing, manifest read, full-table read and audit
+      // all stay O(policy) flat as ticks accumulate; without it every
+      // one of them grows with tick count (the year-of-5-minute-ticks
+      // failure mode). Checkpoints sample the cost curves; the raw
+      // table at 100/400/1000 dirs doubles as the audit-planning
+      // probe corpus (verdict task #6): fast one-job planning vs the
+      // r9 per-dir driver loop.
+      import graft.sources.Sources
+      val ticks = 1000
+      val checkpoints = Set(10, 100, 400, 1000)
+      def msOf(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e6
+      }
+      def batch(i: Int) = spark.range(20)
+        .select((col("id") + 20L * i).as("doc_id"),
+          concat(lit("d"), col("id") + 20L * i).as("t"))
+      val variants =
+        (if (args.contains("raw-only")) Nil else Seq(true)) ++
+        (if (args.contains("maint-only")) Nil else Seq(false))
+      for (maintained <- variants) {
+        val path = s"/tmp/graft_tablelife_${if (maintained) "m" else "raw"}"
+        Sources.dropShardedTable(spark, path)
+        val t0 = System.nanoTime()
+        (0 until ticks).foreach { i =>
+          if (maintained)
+            Sources.shardedTableSinkBatchMaintained(batch(i), i.toLong,
+              col("doc_id"), col("doc_id"), path, numShards = 1,
+              statsCols = Seq("doc_id"), compactWhenSmallDirs = 16,
+              smallDirRows = 1000000L, keepVersions = 8)
+          else
+            Sources.shardedTableSinkBatch(batch(i), i.toLong,
+              col("doc_id"), col("doc_id"), path, numShards = 1,
+              statsCols = Seq("doc_id"))
+          if (checkpoints(i + 1)) {
+            val nVers = Sources.shardedVersions(spark, path).size
+            val nDirs = new java.io.File(path).listFiles()
+              .count(_.getName.startsWith("data-v"))
+            val listMs = msOf { Sources.shardedVersions(spark, path) }
+            val mfMs = msOf {
+              Sources.shardedManifest(spark, path).collect() }
+            // the RAW full read at 1000 dirs is a 1000-way union —
+            // minutes of driver planning, which is exactly the
+            // failure mode; demonstrate the curve to 400 dirs and
+            // keep the tail checkpoint to the metadata costs
+            val readMs =
+              if (!maintained && i + 1 > 400) -1.0
+              else msOf {
+                assert(Sources.readShardedTable(spark, path)
+                  .count() == 20L * (i + 1)) }
+            val auditMs = msOf {
+              assert(Sources.auditShardedTable(spark, path)
+                .count() == 0L) }
+            println(f"[scale] tablelife ${if (maintained) "MAINT"
+              else "RAW  "} tick=${i + 1}%5d vers=$nVers%5d " +
+              f"dirs=$nDirs%5d list=$listMs%8.1fms mf=$mfMs%8.1fms " +
+              f"read=$readMs%9.1fms audit=$auditMs%9.1fms")
+          }
+        }
+        val total = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] tablelife ${if (maintained) "MAINT"
+          else "RAW  "} total $ticks ticks in $total%.1f s " +
+          f"(${total / ticks * 1000}%.0f ms/tick)")
+        if (!maintained) {
+          // audit-planning probe on the accumulated dir spray
+          val fastMs = msOf {
+            assert(Sources.auditShardedTable(spark, path)
+              .count() == 0L) }
+          val slowMs = msOf {
+            assert(Sources.auditShardedTable(spark, path,
+              perDirPlanning = true).count() == 0L) }
+          println(f"[scale] auditdirs dirs=1000 fast=$fastMs%9.1fms " +
+            f"perDir=$slowMs%9.1fms (${slowMs / fastMs}%.1fx)")
+        }
+        Sources.dropShardedTable(spark, path)
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("tombstone")) {
       // r9 evidence: row-level delete cost at scale. On a 2M-row /
       // 64-shard table, a 1% delete must cost O(keys) — a key-file
