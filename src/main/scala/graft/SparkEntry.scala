@@ -1401,6 +1401,59 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // Row-level UPDATE by predicate (r10): the GDPR-redaction /
+    // label-fix shape — one atomic delete+insert snapshot over the
+    // matched rows, O(matched), zero existing files rewritten. The
+    // oracle is the plain CASE WHEN.
+    "q568_sharded_update" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.Sources.writeShardedTable(docs, col("doc_id"),
+        col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+      graft.sources.Sources.updateShardedTable(s, path, "doc_id",
+        col("n_chars").between(200, 400),
+        Seq("n_chars" -> (col("n_chars") + 100000L)), col("doc_id"),
+        numShards = 2, statsCols = Seq("doc_id"))
+      val res = graft.sources.Sources.readShardedTable(s, path)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
+    // VACUUM (r10): crashed-commit debris — orphan data/tombstone
+    // dirs, stage leftovers, writer-blocking stale claims — reclaimed
+    // past the grace period; live data untouched. Output = deleted
+    // kinds + surviving row count, closed form.
+    "q569_sharded_vacuum" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.Sources.writeShardedTable(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"),
+        col("doc_id"), path, numShards = 4, statsCols = Seq("doc_id"))
+      // fabricated crash debris (the states a torn writer leaves)
+      docs.limit(5).write.parquet(s"$path/data-v99-dead/shard=0")
+      docs.limit(3).select(col("doc_id"))
+        .write.parquet(s"$path/del-v98-dead")
+      docs.limit(1).write.parquet(s"$path/_manifest/.stage-v9-dead")
+      new java.io.File(s"$path/_manifest/.claim-v9").createNewFile()
+      val deleted = graft.sources.Sources.vacuumShardedTable(s, path,
+        graceMs = -60000L)
+      val n = graft.sources.Sources.readShardedTable(s, path).count()
+      graft.sources.Sources.dropShardedTable(s, path)
+      import s.implicits._
+      (deleted.map(d => (d.split('-').head, 1L)) :+ (("rows", n)))
+        .toDF("kind", "n")
+        .groupBy("kind").agg(sum(col("n")).as("n"))
+        .orderBy("kind")
+    }),
+
     // MP3 frame-header demux (r10): duration/bitrate/rate triage
     // stats from the published frame layer — no sample decode. The
     // corpus covers MPEG-1 and MPEG-2 rates, VBR, ID3v2 prefixes,
@@ -6465,6 +6518,26 @@ object SparkEntry {
            SELECT doc_id, source, CAST(n_chars + 9000 AS BIGINT)
            FROM documents WHERE doc_id % 7 = 3
          ) ORDER BY doc_id""",
+
+    // q568: predicate update is the plain CASE WHEN
+    "q568_sharded_update" ->
+      """SELECT doc_id, source,
+           CAST(CASE WHEN n_chars BETWEEN 200 AND 400
+                THEN n_chars + 100000 ELSE n_chars END AS BIGINT)
+             AS n_chars
+         FROM documents ORDER BY doc_id""",
+
+    // q569: vacuum reclaims exactly the four fabricated debris items
+    // and zero live rows
+    "q569_sharded_vacuum" ->
+      """SELECT * FROM (
+           SELECT '.claim' AS kind, CAST(1 AS BIGINT) AS n
+           UNION ALL SELECT '.stage', 1
+           UNION ALL SELECT 'data', 1
+           UNION ALL SELECT 'del', 1
+           UNION ALL SELECT 'rows',
+             (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+         ) ORDER BY kind""",
 
     // q567: frame-layer arithmetic replay — counted frames, table-
     // indexed bitrates over the counted range, floor duration; the

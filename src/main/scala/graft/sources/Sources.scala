@@ -1233,7 +1233,9 @@ object Sources {
   private sealed trait ParentMode
   private case object NoParent extends ParentMode
   private case object LatestParent extends ParentMode
-  private final case class FixedParent(rows: DataFrame) extends ParentMode
+  private final case class FixedParent(rows: DataFrame,
+                                       baseVersion: Long)
+    extends ParentMode
 
   /** Shared snapshot writer: range-shard `df`, write the new data
     * dir (and, for MERGE, the delete-key file) under a random-token
@@ -1350,14 +1352,22 @@ object Sources {
         case NoParent => None
         case LatestParent =>
           Some(normalizeManifest(shardedManifest(spark, path)))
-        case FixedParent(rows) => Some(normalizeManifest(rows))
+        case FixedParent(rows, _) => Some(normalizeManifest(rows))
       }
       (par.toSeq ++ Seq(newRows(v)) ++ delRow(v).toSeq)
         .reduce(_.unionByName(_, allowMissingColumns = true))
         .na.fill(-1L, Seq("batch_id"))
     }
+    // a FixedParent op derived its rows from a SPECIFIC parent state:
+    // its claim must land at exactly baseVersion+1, else a commit
+    // slipped in between the read and the publish and its rows would
+    // silently vanish from the new manifest (lost update)
+    val expected = parent match {
+      case FixedParent(_, base) => Some(base + 1)
+      case _ => None
+    }
     publishVersion(spark, path, mkManifest,
-      composable = (parent == LatestParent))
+      composable = (parent == LatestParent), expected = expected)
   }
 
   /** Atomic create-if-absent of a claim file — the one primitive the
@@ -1399,13 +1409,22 @@ object Sources {
     * data loss (the orphan data dir was never referenced). */
   private def publishVersion(spark: SparkSession, path: String,
                              mkManifest: Long => DataFrame,
-                             composable: Boolean): Long = {
+                             composable: Boolean,
+                             expected: Option[Long] = None): Long = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val deadlineNs = System.nanoTime() + 120L * 1000L * 1000L * 1000L
     while (true) {
       val version =
         shardedVersions(spark, path).lastOption.getOrElse(0L) + 1
+      // lost-update guard for state-derived (FixedParent) commits: a
+      // version beyond the expected one means someone committed since
+      // the op read its parent — abort, never drop their rows
+      expected.foreach(e => if (version != e)
+        throw new IllegalStateException(
+          s"sharded table $path: expected to publish v$e but the " +
+            s"table is at v${version - 1} — a concurrent commit " +
+            "landed; re-run this operation against the new state"))
       val claim = new org.apache.hadoop.fs.Path(
         s"$path/_manifest/.claim-v$version")
       if (atomicClaim(fs, claim)) {
@@ -1676,10 +1695,12 @@ object Sources {
       // every row of every small run was tombstoned: publish a
       // manifest-only version that simply drops the small dirs
       // (conflict aborts — same contract as the data-carrying path)
-      publishVersion(spark, path, _ => keepRows, composable = false)
+      publishVersion(spark, path, _ => keepRows, composable = false,
+        expected = Some(current + 1))
     } else
       writeSnapshot(merged, id, orderCol, path, numShards, statsCols,
-        parent = FixedParent(keepRows), batchId = -1L, op = "compact")
+        parent = FixedParent(keepRows, current), batchId = -1L,
+        op = "compact")
   }
 
   /** Row-level DELETE, merge-on-read: publish a snapshot whose only
@@ -1751,6 +1772,84 @@ object Sources {
       deleteKeys = Some((df.select(col(idName)), idName)))
   }
 
+  /** Row-level UPDATE by predicate: one atomic snapshot that
+    * tombstones every matched key AND appends the matched rows with
+    * `set` applied — the GDPR-redaction / label-fix shape. Cost is
+    * O(matched rows): the scan is parquet-pushdown-filtered (pass
+    * `preds` to manifest-prune it too), existing files are never
+    * rewritten, and the commit is the same delete+insert decomposition
+    * as [[mergeShardedTable]] (shared sequence number — the updated
+    * copy survives its own tombstone). Matched keys must be non-null
+    * and unique (the table's id contract). Returns the new version,
+    * or the current one if nothing matched. Derived from the snapshot
+    * it read: a concurrent commit between read and publish aborts
+    * (same contract as compact/rewrite — re-run). */
+  def updateShardedTable(spark: SparkSession, path: String,
+                         idName: String, pred: Column,
+                         set: Seq[(String, Column)], orderCol: Column,
+                         numShards: Int, statsCols: Seq[String],
+                         preds: Seq[(String, Long, Long)] = Nil): Long = {
+    require(set.nonEmpty, "updateShardedTable: empty set clause")
+    val base = shardedVersions(spark, path).last
+    val parent = normalizeManifest(shardedManifest(spark, path))
+    val matched = readShardedTable(spark, path, preds).filter(pred)
+      .drop("shard")
+    if (matched.isEmpty) return base
+    val updated = set.foldLeft(matched) { case (d, (c, e)) =>
+      require(d.columns.contains(c),
+        s"updateShardedTable: unknown column $c")
+      d.withColumn(c, e)
+    }
+    import org.apache.spark.sql.functions.col
+    writeSnapshot(updated, col(idName), orderCol, path, numShards,
+      statsCols, parent = FixedParent(parent, base), batchId = -1L,
+      op = "merge",
+      deleteKeys = Some((updated.select(col(idName)), idName)))
+  }
+
+  /** VACUUM: delete the crashed-commit debris no reader can see —
+    * data/tombstone dirs referenced by NO live manifest, leftover
+    * `.stage-*` manifest dirs, and stale `.claim-v<N>` files whose
+    * version never published (those BLOCK writers — removing one
+    * unblocks the table with no data loss). Only items older than
+    * `graceMs` are touched, so an in-flight writer's not-yet-committed
+    * dir is never yanked from under it (pick a grace comfortably
+    * above the longest expected write). Returns the deleted names.
+    * Metadata-only: one listing + the live-manifest dir set. */
+  def vacuumShardedTable(spark: SparkSession, path: String,
+                         graceMs: Long = 24L * 3600 * 1000)
+      : Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = shardedVersions(spark, path)
+    val live = vs.flatMap(v =>
+      shardedManifest(spark, path, Some(v)).select("data_dir")
+        .distinct().collect()
+        .map(_.getString(0).split('/').last)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    val lastPub = vs.lastOption.getOrElse(0L)
+    val orphanDirs = fs.listStatus(root)
+      .filter(s => s.isDirectory &&
+        (s.getPath.getName.startsWith("data-v") ||
+         s.getPath.getName.startsWith("del-v")) &&
+        !live.contains(s.getPath.getName) &&
+        s.getModificationTime < cutoff)
+      .map(_.getPath).toSeq
+    val mfRoot = new org.apache.hadoop.fs.Path(s"$path/_manifest")
+    val mfJunk =
+      if (!fs.exists(mfRoot)) Seq.empty
+      else fs.listStatus(mfRoot).filter { s =>
+        val n = s.getPath.getName
+        val stale = n.startsWith(".stage-") ||
+          (n.startsWith(".claim-v") &&
+            n.stripPrefix(".claim-v").toLong > lastPub)
+        stale && s.getModificationTime < cutoff
+      }.map(_.getPath).toSeq
+    (orphanDirs ++ mfJunk).map { p =>
+      fs.delete(p, true); p.getName
+    }
+  }
+
   /** MAJOR compaction: materialize the current merge-on-read state
     * (all tombstones applied) as one fresh range-sharded snapshot
     * that references no tombstone at all. O(live table) by design —
@@ -1766,12 +1865,13 @@ object Sources {
     // LOG must survive it: every committed batch id rides along as a
     // zero-row ledger row, or a post-rewrite foreachBatch replay
     // would re-apply its batch (see [[ledgerRows]])
+    val base = shardedVersions(spark, path).last
     val ids = manifestBatchIds(
       normalizeManifest(shardedManifest(spark, path)))
     val cur = readShardedTable(spark, path).drop("shard")
     writeSnapshot(cur, id, orderCol, path, numShards, statsCols,
-      parent = ledgerRows(spark, ids).map(FixedParent.apply)
-        .getOrElse(NoParent),
+      parent = ledgerRows(spark, ids)
+        .map(l => FixedParent(l, base)).getOrElse(NoParent),
       batchId = -1L, op = "rewrite")
   }
 

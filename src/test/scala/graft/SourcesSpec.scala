@@ -1415,6 +1415,95 @@ class SourcesSpec extends AnyFunSuite {
     new java.io.File(cursor).delete()
   }
 
+  test("sharded table UPDATE by predicate: O(matched) atomic " +
+       "delete+insert; untouched files; CDC delivers it; pinned " +
+       "version unaffected") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shupdate").toString
+    val cursor = s"$path.cursor"
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 300), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    Sources.drainShardedTableChanges(spark, path, cursor)(_ => ())
+    def files(dir: String): Map[String, (Long, Long)] = {
+      def walkF(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walkF) else Seq(f)
+      walkF(new java.io.File(dir)).map(f =>
+        (f.getPath, (f.length(), f.lastModified()))).toMap
+    }
+    val before = files(vdir(path, "data-v1"))
+    val v2 = Sources.updateShardedTable(spark, path, "doc_id",
+      pmod(col("doc_id"), lit(3)) === 0,
+      Seq("t" -> concat(lit("u"), col("t"))), col("doc_id"),
+      numShards = 2, statsCols = Seq("doc_id"))
+    assert(v2 == 2L)
+    assert(files(vdir(path, "data-v1")) == before) // never a rewrite
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 300)
+    (0L until 300L).foreach { k =>
+      assert(got(k) == (if (k % 3 == 0) s"ud$k" else s"d$k"), s"k=$k")
+    }
+    // pinned pre-update version is untouched
+    assert(Sources.readShardedTable(spark, path, version = Some(1L))
+      .filter(col("t").startsWith("u")).count() == 0L)
+    // the update flows through CDC as delete+insert of matched keys
+    var dels = Set.empty[Long]; var ins = Map.empty[Long, String]
+    Sources.drainShardedTableChanges(spark, path, cursor) { b =>
+      dels ++= b.deletedKeys.collect().map(_.getLong(0))
+      ins ++= b.inserts.select("doc_id", "t").collect()
+        .map(r => r.getLong(0) -> r.getString(1))
+    }
+    assert(dels == (0L until 300L).filter(_ % 3 == 0).toSet)
+    assert(ins.keySet == dels && ins.forall(_._2.startsWith("ud")))
+    // no-match update: version unchanged
+    assert(Sources.updateShardedTable(spark, path, "doc_id",
+      col("doc_id") > 100000L, Seq("t" -> lit("x")), col("doc_id"),
+      2, Seq("doc_id")) == v2)
+    Sources.dropShardedTable(spark, path)
+    new java.io.File(cursor).delete()
+  }
+
+  test("VACUUM: reclaims orphan dirs, stage debris and stale claims " +
+       "past the grace period; live data and fresh debris untouched") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shvacuum").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 100), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    Sources.appendShardedTable(batch(100, 50), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    // fabricate crashed-commit debris: an orphan data dir, an orphan
+    // tombstone dir, a leftover stage dir, a stale claim (version
+    // beyond the last published — the writer-blocking kind)
+    batch(900, 5).write.parquet(s"$path/data-v99-dead/shard=0")
+    spark.range(3).select(col("id").as("doc_id"))
+      .write.parquet(s"$path/del-v98-dead")
+    batch(0, 1).write.parquet(s"$path/_manifest/.stage-v9-dead")
+    new java.io.File(s"$path/_manifest/.claim-v9").createNewFile()
+    // fresh debris + a long grace: NOTHING is touched
+    assert(Sources.vacuumShardedTable(spark, path,
+      graceMs = 3600 * 1000L).isEmpty)
+    // negative grace (tests): everything stale goes, live data stays
+    val deleted = Sources.vacuumShardedTable(spark, path,
+      graceMs = -60000L).toSet
+    assert(deleted == Set("data-v99-dead", "del-v98-dead",
+      ".stage-v9-dead", ".claim-v9"), s"got $deleted")
+    assert(Sources.readShardedTable(spark, path).count() == 150L)
+    // claims of PUBLISHED versions are part of the commit record and
+    // must survive vacuum
+    assert(new java.io.File(s"$path/_manifest/.claim-v1").exists())
+    assert(Sources.auditShardedTable(spark, path).count() == 0L)
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("merge sink enforces unique keys on the CREATE path too") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files
