@@ -1454,6 +1454,54 @@ object SparkEntry {
         .orderBy("kind")
     }),
 
+    // Predicate-driven read (r10): the same multi-dimension box as
+    // q535 but pruned from the Column AST itself (predicateBounds) —
+    // the user writes ONE filter expression and the manifest pruning
+    // falls out, the pushdown shape without hand-written triples.
+    "q570_sharded_where" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTableZOrdered(docs,
+        col("doc_id"), Seq("doc_id", "n_chars"), path,
+        numShards = 16, bitsPerCol = 6)
+      val res = graft.sources.Sources.readShardedTableWhere(s, path,
+          col("doc_id").between(50, 349) &&
+            col("n_chars").between(100, 400))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
+    // Time travel (r10): read the table AS OF the instant v1
+    // committed — the append after it must be invisible.
+    "q571_sharded_asof" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.Sources.writeShardedTable(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"),
+        col("doc_id"), path, numShards = 4, statsCols = Seq("doc_id"))
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      val t1 = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$path/_manifest/v1"))
+        .getModificationTime
+      Thread.sleep(20) // commits are ms-apart; keep mtimes ordered
+      graft.sources.Sources.appendShardedTable(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"),
+        col("doc_id"), path, numShards = 4, statsCols = Seq("doc_id"))
+      val res = graft.sources.Sources.readShardedTableAsOf(s, path, t1)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
     // MP3 frame-header demux (r10): duration/bitrate/rate triage
     // stats from the published frame layer — no sample decode. The
     // corpus covers MPEG-1 and MPEG-2 rates, VBR, ID3v2 prefixes,
@@ -6538,6 +6586,19 @@ object SparkEntry {
            UNION ALL SELECT 'rows',
              (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
          ) ORDER BY kind""",
+
+    // q570: AST-extracted pruning is invisible — plain conjunctive box
+    "q570_sharded_where" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents WHERE doc_id BETWEEN 50 AND 349
+           AND n_chars BETWEEN 100 AND 400
+         ORDER BY doc_id""",
+
+    // q571: as-of v1's commit instant the appended odds don't exist
+    "q571_sharded_asof" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents WHERE doc_id % 2 = 0
+         ORDER BY doc_id""",
 
     // q567: frame-layer arithmetic replay — counted frames, table-
     // indexed bitrates over the counted range, floor duration; the

@@ -1558,6 +1558,127 @@ object Sources {
     readManifestShards(spark, dataMf, rows, delRows)
   }
 
+  /** Conservative per-column [lo, hi] bounds extracted from a
+    * predicate's top-level CONJUNCTS — the mini predicate-pushdown
+    * that lets [[readShardedTableWhere]] manifest-prune from the
+    * same `Column` the caller filters with, instead of hand-written
+    * `(col, lo, hi)` triples. Recognized shapes: `=`, `<`, `<=`,
+    * `>`, `>=`, `between` against an integral literal, in either
+    * operand order, AND-combined (bounds on the same column
+    * intersect). Anything else — ORs, non-integral literals, UDF-ish
+    * conjuncts — is ignored, which only WEAKENS pruning (the
+    * superset guarantee holds; the exact predicate is still
+    * applied). */
+  def predicateBounds(pred: Column): Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAttribute, UnresolvedFunction}
+    def name(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case Cast(c, _, _, _) => name(c)
+      case _ => None
+    }
+    def long(e: Expression): Option[Long] = e match {
+      case Literal(v: Int, _) => Some(v.toLong)
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Short, _) => Some(v.toLong)
+      case Literal(v: Byte, _) => Some(v.toLong)
+      case _ => None
+    }
+    // the Column-node converter emits UNRESOLVED function nodes
+    // ('`=`('doc_id, 5)), not typed comparisons — normalize both
+    // spellings to (op, left, right)
+    def cmp(e: Expression): Option[(String, Expression, Expression)] =
+      e match {
+        case f: UnresolvedFunction if f.arguments.size == 2 =>
+          Some((f.nameParts.last, f.arguments(0), f.arguments(1)))
+        case EqualTo(a, b) => Some(("=", a, b))
+        case GreaterThanOrEqual(a, b) => Some((">=", a, b))
+        case LessThanOrEqual(a, b) => Some(("<=", a, b))
+        case GreaterThan(a, b) => Some((">", a, b))
+        case LessThan(a, b) => Some(("<", a, b))
+        case _ => None
+      }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: UnresolvedFunction
+        if f.nameParts.last.equalsIgnoreCase("and") &&
+          f.arguments.size == 2 =>
+        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
+      case other => Seq(other)
+    }
+    val bounds = conjuncts(org.apache.spark.sql.graftbridge
+      .ColumnBridge.catalystExpr(pred)).flatMap(cmp).flatMap {
+      case (op, a, b) =>
+        // normalize to attr-on-the-left by flipping the operator
+        val alb = name(a).zip(long(b)).map { case (c, v) =>
+          (c, op, v) }
+        val bla = name(b).zip(long(a)).map { case (c, v) =>
+          (c, op match {
+            case "<" => ">"
+            case "<=" => ">="
+            case ">" => "<"
+            case ">=" => "<="
+            case o => o
+          }, v)
+        }
+        (alb ++ bla).flatMap {
+          case (c, "=" | "==", v) => Some((c, v, v))
+          case (c, ">=", v) => Some((c, v, Long.MaxValue))
+          case (c, "<=", v) => Some((c, Long.MinValue, v))
+          case (c, ">", v) => Some((c, v + 1, Long.MaxValue))
+          case (c, "<", v) => Some((c, Long.MinValue, v - 1))
+          case _ => None
+        }
+    }
+    bounds.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, bs) =>
+      (c, bs.map(_._2).max, bs.map(_._3).min)
+    }
+  }
+
+  /** [[readShardedTable]] driven by a `Column` predicate: manifest
+    * pruning comes from [[predicateBounds]] and the EXACT predicate
+    * is applied on top, so unlike the raw read this returns exactly
+    * the matching rows. The declarative-read surface of the table —
+    * what a DataSourceV2 pushdown would do, without leaving the
+    * library API. */
+  def readShardedTableWhere(spark: SparkSession, path: String,
+                            pred: Column,
+                            version: Option[Long] = None): DataFrame =
+    readShardedTable(spark, path, predicateBounds(pred), version)
+      .filter(pred)
+
+  /** TIME TRAVEL: the newest version whose manifest landed at or
+    * before `tsMillis` (manifest-dir mtimes are set once, by the
+    * atomic publish rename, and versions are committed in order).
+    * Fails loudly when the timestamp predates the oldest RETAINED
+    * snapshot — history behind [[expireShardedSnapshots]] is gone by
+    * design. */
+  def shardedVersionAt(spark: SparkSession, path: String,
+                       tsMillis: Long): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = shardedVersions(spark, path)
+    require(vs.nonEmpty, s"no sharded-table snapshots under $path")
+    val at = vs.filter(v => fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$path/_manifest/v$v"))
+      .getModificationTime <= tsMillis)
+    require(at.nonEmpty,
+      s"no snapshot of $path existed at $tsMillis (oldest retained " +
+        s"is v${vs.head}) — history may have been expired")
+    at.max
+  }
+
+  /** Read the table AS OF a wall-clock instant (snapshot pinned via
+    * [[shardedVersionAt]]). */
+  def readShardedTableAsOf(spark: SparkSession, path: String,
+                           tsMillis: Long,
+                           preds: Seq[(String, Long, Long)] = Nil)
+      : DataFrame =
+    readShardedTable(spark, path, preds,
+      version = Some(shardedVersionAt(spark, path, tsMillis)))
+
   /** Shared read tail: materialize the chosen (data_dir, shard, seq)
     * rows, union by name with null-fill for pre-evolution dirs, and
     * apply live tombstones. Schema authority is the NEWEST data dir

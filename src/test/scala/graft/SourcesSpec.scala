@@ -1504,6 +1504,82 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("predicate-driven read: bounds extracted from the Column AST " +
+       "prune like hand-written triples; ORs degrade to full scan, " +
+       "never to wrong answers") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shwhere").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"), (col("id") % 7).as("v"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 800), col("doc_id"),
+      col("doc_id"), path, 8, Seq("doc_id"))
+    // extraction shapes
+    assert(Sources.predicateBounds(col("doc_id") === 5) ==
+      Seq(("doc_id", 5L, 5L)))
+    assert(Sources.predicateBounds(lit(5) <= col("doc_id")) ==
+      Seq(("doc_id", 5L, Long.MaxValue)))
+    assert(Sources.predicateBounds(
+      col("doc_id").between(100, 199) && col("v") > 3 &&
+        col("t").startsWith("d")) ==
+      Seq(("doc_id", 100L, 199L), ("v", 4L, Long.MaxValue)))
+    // intersect on the same column
+    assert(Sources.predicateBounds(
+      col("doc_id") >= 50 && col("doc_id") < 100) ==
+      Seq(("doc_id", 50L, 99L)))
+    // OR extracts nothing (safe, not wrong)
+    assert(Sources.predicateBounds(
+      col("doc_id") === 1 || col("doc_id") === 700).isEmpty)
+    // pruning parity with hand-written triples + exact rows
+    val auto = Sources.readShardedTableWhere(spark, path,
+      col("doc_id").between(100, 199))
+    val manual = Sources.readShardedTable(spark, path,
+      preds = Seq(("doc_id", 100L, 199L)))
+    assert(auto.inputFiles.toSet == manual.inputFiles.toSet)
+    assert(auto.inputFiles.length <
+      Sources.readShardedTable(spark, path).inputFiles.length)
+    assert(auto.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (100L to 199L).toSet)
+    // OR predicate: full scan, correct rows
+    val orRead = Sources.readShardedTableWhere(spark, path,
+      col("doc_id") === 1 || col("doc_id") === 700)
+    assert(orRead.select("doc_id").collect().map(_.getLong(0))
+      .toSet == Set(1L, 700L))
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("TIME TRAVEL: readShardedTableAsOf pins the snapshot current " +
+       "at the instant; pre-history timestamps fail loudly") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shasof").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 100), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def mtime(v: Long) = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$path/_manifest/v$v"))
+      .getModificationTime
+    Thread.sleep(20)
+    Sources.appendShardedTable(batch(100, 50), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    assert(Sources.shardedVersionAt(spark, path, mtime(1L)) == 1L)
+    assert(Sources.shardedVersionAt(spark, path,
+      System.currentTimeMillis() + 1000) == 2L)
+    assert(Sources.readShardedTableAsOf(spark, path, mtime(1L))
+      .count() == 100L)
+    assert(Sources.readShardedTableAsOf(spark, path,
+      mtime(2L)).count() == 150L)
+    intercept[IllegalArgumentException] {
+      Sources.shardedVersionAt(spark, path, mtime(1L) - 100000)
+    }
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("merge sink enforces unique keys on the CREATE path too") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files
