@@ -1328,12 +1328,12 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("n_chars"))
       def tick(i: Long) =
         graft.sources.Sources.shardedTableSinkBatchMaintained(
-          docs.filter(col("doc_id") % 10 === i)
+          docs.filter(col("doc_id") % 6 === i)
             .withColumn("n_chars", col("n_chars") + lit(1000L) * i),
           i, col("doc_id"), col("doc_id"), path, numShards = 2,
           statsCols = Seq("doc_id"), compactWhenSmallDirs = 3,
           smallDirRows = Long.MaxValue / 4, keepVersions = 3)
-      (0L until 10L).foreach(tick)
+      (0L until 6L).foreach(tick)
       tick(4L) // the foreachBatch replay: must be a no-op
       val res = graft.sources.Sources.readShardedTable(s, path)
         .select(col("doc_id"), col("source"),
@@ -6547,7 +6547,7 @@ object SparkEntry {
     // replayed tick is a no-op; compaction/expiry change no rows
     "q565_sharded_maintained" ->
       """SELECT doc_id, source,
-           CAST(n_chars + 1000 * (doc_id % 10) AS BIGINT) AS n_chars
+           CAST(n_chars + 1000 * (doc_id % 6) AS BIGINT) AS n_chars
          FROM documents ORDER BY doc_id""",
 
     // q566: the replica equals the source's event/killer closed form:
