@@ -1685,17 +1685,59 @@ object Sources {
     * (an evolved append's added columns must appear even when the
     * read prunes to old shards only, and on the empty-intersection
     * path). */
+  /** Dir-count threshold above which the read switches to the ONE
+    * multi-leaf scan: below it the per-dir union (whose per-dir
+    * basePath keeps partition-discovery typing and plan shapes the
+    * specs pin) is fine; above it, per-dir planning is O(dirs)
+    * driver work — the same curve the audit fast path fixed (the
+    * tablelife probe measured 28.8 s to READ a 400-append table).
+    * Maintenance (compaction) keeps healthy tables under this. */
+  private val FastReadDirThreshold = 32
+
   private def readManifestShards(spark: SparkSession, dataMf: DataFrame,
                                  rows: Array[org.apache.spark.sql.Row],
                                  delRows: Array[org.apache.spark.sql.Row])
       : DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{broadcast, col, lit,
+      input_file_name, regexp_extract}
+    import spark.implicits._
     val headDir = dataMf.orderBy(col("seq").desc)
       .select("data_dir").head().getString(0)
     if (rows.isEmpty)
       spark.read.option("basePath", headDir).parquet(headDir)
         .filter(lit(false))
-    else {
+    else if (rows.map(_.getString(0)).distinct.length >=
+        FastReadDirThreshold) {
+      // FAST path: one distributed mergeSchema read over every leaf;
+      // shard and per-dir seq recovered from the file path (schema
+      // authority and column order = the newest dir, like the union
+      // path; merged schema ⊇ head schema because evolution is
+      // add-only)
+      val leaves = rows.map(r =>
+        s"${r.getString(0)}/shard=${r.getLong(1)}").toSeq
+      val f0 = spark.read.option("mergeSchema", "true")
+        .parquet(leaves: _*)
+      val headSchema = spark.read.option("basePath", headDir)
+        .parquet(headDir).schema
+      val shardExpr = regexp_extract(input_file_name(),
+        "/shard=([0-9]+)/[^/]+$", 1).cast("int").as("shard")
+      val cols = headSchema.fields.toSeq.map(f =>
+        if (f.name == "shard") shardExpr
+        else col(f.name).cast(f.dataType))
+      val base = f0.select(cols: _*)
+      if (delRows.isEmpty) base
+      else {
+        val seqByBase = rows
+          .map(r => (r.getString(0).split('/').last, r.getLong(2)))
+          .distinct.toSeq.toDF("__base", "__seq")
+        val tagged = f0
+          .withColumn("__base", regexp_extract(input_file_name(),
+            "/([^/]+)/shard=[0-9]+/[^/]+$", 1))
+          .join(broadcast(seqByBase), "__base")
+          .select(cols :+ col("__seq"): _*)
+        applyDeletes(spark, tagged, delRows)
+      }
+    } else {
       // one read per contributing data dir (each needs its own
       // basePath for the shard= partition column), unioned by name
       // with null-fill for pre-evolution dirs — dirs are snapshot-

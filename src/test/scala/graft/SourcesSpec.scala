@@ -1635,6 +1635,55 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("many-dir FAST read path: 40-append table (evolution + " +
+       "tombstones) reads the same rows as the logical state; pruning " +
+       "and pinned versions still work") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shfastread").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 30), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    (1 until 20).foreach { i =>
+      Sources.appendShardedTable(batch(30L * i, 30), col("doc_id"),
+        col("doc_id"), path, 1, Seq("doc_id"))
+    }
+    // evolution mid-chain, then more appends (heterogeneous dirs)
+    (20 until 40).foreach { i =>
+      Sources.appendShardedTable(
+        batch(30L * i, 30).withColumn("v", col("doc_id") % 5),
+        col("doc_id"), col("doc_id"), path, 1, Seq("doc_id"),
+        allowNewColumns = (i == 20))
+    }
+    // tombstones over both halves of the chain
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(100).select((col("id") * 7).as("doc_id")))
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val want = (0L until 1200L).filterNot(k => k % 7 == 0 && k < 700)
+      .map(k => (k, s"d$k", if (k < 600) -1L else k % 5)).toSet
+    assert(got == want)
+    // shard column survives the fast path with its usual type
+    assert(Sources.readShardedTable(spark, path).schema("shard")
+      .dataType == org.apache.spark.sql.types.IntegerType)
+    // manifest pruning composes with the fast path
+    val pr = Sources.readShardedTable(spark, path,
+      preds = Seq(("doc_id", 0L, 299L)))
+    assert(pr.inputFiles.length <
+      Sources.readShardedTable(spark, path).inputFiles.length)
+    assert(pr.filter(col("doc_id") <= 299).count() ==
+      (0L until 300L).count(k => !(k % 7 == 0)))
+    // a pinned mid-chain version reads through the union path (few
+    // dirs) and agrees on the shared prefix
+    assert(Sources.readShardedTable(spark, path, version = Some(5L))
+      .count() == 150L)
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("merge sink enforces unique keys on the CREATE path too") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files
