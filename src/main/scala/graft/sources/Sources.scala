@@ -805,15 +805,38 @@ object Sources {
       s"buildShardedBloom: column $colName not in table at $path")
     val dt = headSchema(colName).dataType
     val dataRows = dataMf.select("data_dir", "shard").collect()
-    val values = dataRows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
-      .map { case (dDir, rs) =>
-        val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
-        val f = spark.read.option("basePath", dDir).parquet(dirs: _*)
-        val v = (if (f.columns.contains(colName)) col(colName)
+    // many-dir tables build from ONE multi-leaf scan (same O(dirs)
+    // planning fix as the audit and the fast read path); few-dir
+    // tables keep the per-dir union
+    val values =
+      if (dataRows.map(_.getString(0)).distinct.length >=
+          FastReadDirThreshold) {
+        import spark.implicits._
+        val leaves = dataRows.map(r =>
+          s"${r.getString(0)}/shard=${r.getLong(1)}").toSeq
+        val byBase = dataRows.map(_.getString(0)).distinct
+          .map(d => (d.split('/').last, d)).toSeq
+          .toDF("__base", "data_dir")
+        val f0 = spark.read.option("mergeSchema", "true")
+          .parquet(leaves: _*)
+        val v = (if (f0.columns.contains(colName)) col(colName)
                  else lit(null)).cast(dt)
-        f.select(lit(dDir).as("data_dir"),
-          col("shard").cast("long").as("shard"), v.as("__v"))
-      }.reduce(_.unionByName(_))
+        f0.select(
+            regexp_extract(input_file_name(),
+              "/([^/]+)/shard=[0-9]+/[^/]+$", 1).as("__base"),
+            regexp_extract(input_file_name(),
+              "/shard=([0-9]+)/[^/]+$", 1).cast("long").as("shard"),
+            v.as("__v"))
+          .join(broadcast(byBase), "__base").drop("__base")
+      } else dataRows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+        .map { case (dDir, rs) =>
+          val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
+          val f = spark.read.option("basePath", dDir).parquet(dirs: _*)
+          val v = (if (f.columns.contains(colName)) col(colName)
+                   else lit(null)).cast(dt)
+          f.select(lit(dDir).as("data_dir"),
+            col("shard").cast("long").as("shard"), v.as("__v"))
+        }.reduce(_.unionByName(_))
     val bloom = values.filter(col("__v").isNotNull)
       .select(col("data_dir"), col("shard"),
         explode(array((0 until k).map(i =>

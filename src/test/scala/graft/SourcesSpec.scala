@@ -1684,6 +1684,34 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("bloom build over a many-dir table (fast multi-leaf path) " +
+       "prunes and answers identically") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shbloomfast").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        pmod(col("id") + lo, lit(101)).as("v"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 40), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    (1 until 40).foreach { i =>
+      Sources.appendShardedTable(batch(40L * i, 40), col("doc_id"),
+        col("doc_id"), path, 1, Seq("doc_id"))
+    }
+    Sources.buildShardedBloom(spark, path, "v", bits = 1 << 14, k = 3)
+    val res = Sources.readShardedTablePointLookup(spark, path, "v",
+      lit(13))
+    // pruning bites (few of the 41 shard files opened) and the
+    // filtered answer is exact
+    assert(res.inputFiles.length <
+      Sources.readShardedTable(spark, path).inputFiles.length)
+    assert(res.filter(col("v") === 13).select("doc_id").collect()
+      .map(_.getLong(0)).toSet ==
+      (0L until 1600L).filter(_ % 101 == 13).toSet)
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("merge sink enforces unique keys on the CREATE path too") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files
