@@ -1502,6 +1502,26 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // Predicate DELETE (r10): tombstone exactly the rows a filter
+    // expression matches — pruned scan to find the keys, O(keys)
+    // tombstone write, no data rewritten.
+    "q572_sharded_delete_where" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      graft.sources.Sources.writeShardedTable(docs, col("doc_id"),
+        col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
+      graft.sources.Sources.deleteWhereShardedTable(s, path, "doc_id",
+        col("n_chars").between(200, 400) && col("doc_id") < 300)
+      val res = graft.sources.Sources.readShardedTable(s, path)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
     // MP3 frame-header demux (r10): duration/bitrate/rate triage
     // stats from the published frame layer — no sample decode. The
     // corpus covers MPEG-1 and MPEG-2 rates, VBR, ID3v2 prefixes,
@@ -6598,6 +6618,13 @@ object SparkEntry {
     "q571_sharded_asof" ->
       """SELECT doc_id, source, n_chars
          FROM documents WHERE doc_id % 2 = 0
+         ORDER BY doc_id""",
+
+    // q572: predicate delete = the negated filter
+    "q572_sharded_delete_where" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents
+         WHERE NOT (n_chars BETWEEN 200 AND 400 AND doc_id < 300)
          ORDER BY doc_id""",
 
     // q567: frame-layer arithmetic replay — counted frames, table-

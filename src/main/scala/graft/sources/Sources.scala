@@ -1575,8 +1575,14 @@ object Sources {
     // and a pruned-away tombstone would RESURRECT rows
     val delRows = mf.filter(col("kind") === "delete")
       .select("data_dir", "seq", "del_col").distinct().collect()
-    val pruned = preds.foldLeft(dataMf) { case (m, (c, lo, hi)) =>
-      m.filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi)) }
+    // a bound on a column the manifest keeps no stats for cannot
+    // prune (predicateBounds extracts bounds for ANY filtered column)
+    // — skip it, which only widens the read, never wrongs it
+    val statCols = mf.columns.filter(_.startsWith("min_"))
+      .map(_.drop(4)).toSet
+    val pruned = preds.filter(p => statCols.contains(p._1))
+      .foldLeft(dataMf) { case (m, (c, lo, hi)) =>
+        m.filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi)) }
     val rows = pruned.select("data_dir", "shard", "seq").collect()
     readManifestShards(spark, dataMf, rows, delRows)
   }
@@ -1978,7 +1984,11 @@ object Sources {
     require(set.nonEmpty, "updateShardedTable: empty set clause")
     val base = shardedVersions(spark, path).last
     val parent = normalizeManifest(shardedManifest(spark, path))
-    val matched = readShardedTable(spark, path, preds).filter(pred)
+    // manifest pruning falls out of the predicate itself unless the
+    // caller supplies tighter bounds
+    val autoPreds =
+      if (preds.nonEmpty) preds else predicateBounds(pred)
+    val matched = readShardedTable(spark, path, autoPreds).filter(pred)
       .drop("shard")
     if (matched.isEmpty) return base
     val updated = set.foldLeft(matched) { case (d, (c, e)) =>
@@ -1991,6 +2001,22 @@ object Sources {
       statsCols, parent = FixedParent(parent, base), batchId = -1L,
       op = "merge",
       deleteKeys = Some((updated.select(col(idName)), idName)))
+  }
+
+  /** DELETE by predicate: resolve the matching keys with a
+    * manifest-pruned, pushdown-filtered scan ([[predicateBounds]])
+    * and publish one tombstone snapshot — still O(matched keys) in
+    * what it WRITES (key file + manifest commit, no data rewritten);
+    * the scan to find them is the pruned read. Composes with
+    * concurrent appends/merges like any delete. Returns the new
+    * version, or the current one when nothing matches. */
+  def deleteWhereShardedTable(spark: SparkSession, path: String,
+                              idName: String, pred: Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val keys = readShardedTable(spark, path, predicateBounds(pred))
+      .filter(pred).select(col(idName))
+    if (keys.isEmpty) shardedVersions(spark, path).last
+    else deleteFromShardedTable(spark, path, idName, keys)
   }
 
   /** VACUUM: delete the crashed-commit debris no reader can see —

@@ -1712,6 +1712,29 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("DELETE WHERE: predicate delete tombstones exactly the " +
+       "matching keys; no-match is a no-op") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shdelwhere").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"), (col("id") % 9).as("v"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 300), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    val v2 = Sources.deleteWhereShardedTable(spark, path, "doc_id",
+      col("v") === 4 && col("doc_id") < 200)
+    assert(v2 == 2L)
+    val live = Sources.readShardedTable(spark, path)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(live == (0L until 300L)
+      .filterNot(k => k % 9 == 4 && k < 200).toSet)
+    // no-match: version unchanged
+    assert(Sources.deleteWhereShardedTable(spark, path, "doc_id",
+      col("doc_id") > 100000L) == v2)
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("merge sink enforces unique keys on the CREATE path too") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files
