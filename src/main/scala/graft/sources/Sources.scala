@@ -938,12 +938,66 @@ object Sources {
     val novel =
       if (versions.isEmpty) within
       else {
-        val seen = readShardedTable(spark, path)
-          .select(col(keyName).as("__k")).distinct()
+        // the documented bloom pairing, now real: when a sidecar
+        // exists for the key column, the seen-keys side reads ONLY
+        // the shards whose bloom admits one of the batch's keys
+        // (plus post-build uncovered shards) — at the 100 TB tier the
+        // screen stops being a table-wide key scan. No sidecar (or a
+        // stale one) degrades to the thin full scan, never to a
+        // missed duplicate: the lookup's uncovered-shard contract.
+        val bloomDir = new org.apache.hadoop.fs.Path(s"$path/_bloom")
+        val fs = bloomDir.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val hasBloom = fs.exists(bloomDir) &&
+          fs.listStatus(bloomDir).exists(st =>
+            fs.exists(new org.apache.hadoop.fs.Path(
+              s"${st.getPath}/$keyName")))
+        val seen =
+          if (hasBloom)
+            readShardedTableKeysLookup(spark, path, keyName,
+              within.select(col(keyName)))
+              .select(col(keyName).as("__k")).distinct()
+          else readShardedTable(spark, path)
+            .select(col(keyName).as("__k")).distinct()
         within.join(seen, col(keyName) === col("__k"), "left_anti")
       }
     shardedTableSinkBatch(novel, batchId, col(idName), orderCol, path,
       numShards, statsCols)
+  }
+
+  /** [[shardedTableDedupSinkBatch]] with the
+    * [[shardedTableSinkBatchMaintained]] policy AND periodic bloom
+    * refresh: every `bloomEveryVersions` published versions the key
+    * column's sidecar is rebuilt, so the dedup screen keeps reading
+    * only candidate shards as the table grows (a stale sidecar only
+    * costs un-pruned reads of the post-build tail). The complete
+    * self-tending ingest loop: screen, append, fold, expire,
+    * re-index — all O(policy) per tick. */
+  def shardedTableDedupSinkBatchMaintained(
+      batch: DataFrame, batchId: Long, keyName: String,
+      idName: String, orderCol: Column, path: String, numShards: Int,
+      statsCols: Seq[String], compactWhenSmallDirs: Int = 8,
+      smallDirRows: Long = 1L << 20, keepVersions: Int = 16,
+      bloomEveryVersions: Int = 0, bloomBits: Int = 1 << 20,
+      bloomK: Int = 4): Long = {
+    import org.apache.spark.sql.functions.{col, sum}
+    val spark = batch.sparkSession
+    shardedTableDedupSinkBatch(batch, batchId, keyName, idName,
+      orderCol, path, numShards, statsCols)
+    if (shardedVersions(spark, path).nonEmpty) {
+      val nSmall = normalizeManifest(shardedManifest(spark, path))
+        .filter(col("kind") === "data")
+        .groupBy("data_dir").agg(sum(col("n_rows")).as("n"))
+        .collect().count(_.getLong(1) <= smallDirRows)
+      if (nSmall >= compactWhenSmallDirs)
+        compactShardedTable(spark, path, col(idName), orderCol,
+          numShards, statsCols, smallDirRows)
+      expireShardedSnapshots(spark, path, keepVersions)
+      val v = shardedVersions(spark, path).last
+      if (bloomEveryVersions > 0 && v % bloomEveryVersions == 0)
+        buildShardedBloom(spark, path, keyName, bloomBits, bloomK)
+    }
+    shardedVersions(spark, path).lastOption.getOrElse(0L)
   }
 
   /** Integrity AUDIT: recompute each data shard's row count and

@@ -924,4 +924,29 @@ object EventStreams {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  /** The fully self-tending ingest loop as one streaming sink:
+    * per-tick dedup screening (bloom-assisted when a sidecar exists),
+    * append, policy compaction, snapshot expiry and periodic bloom
+    * refresh — [[graft.sources.Sources
+    * .shardedTableDedupSinkBatchMaintained]] under foreachBatch. */
+  def shardedTableDedupSinkMaintained(
+      stream: DataFrame, keyName: String, idName: String,
+      orderCol: Column, path: String, numShards: Int,
+      statsCols: Seq[String], checkpoint: String,
+      compactWhenSmallDirs: Int = 8, smallDirRows: Long = 1L << 20,
+      keepVersions: Int = 16, bloomEveryVersions: Int = 0,
+      bloomBits: Int = 1 << 20, bloomK: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Sources.shardedTableDedupSinkBatchMaintained(
+          batch, batchId, keyName, idName, orderCol, path, numShards,
+          statsCols, compactWhenSmallDirs, smallDirRows, keepVersions,
+          bloomEveryVersions, bloomBits, bloomK)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
 }

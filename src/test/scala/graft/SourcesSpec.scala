@@ -1735,6 +1735,52 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("dedup sink screens through the bloom sidecar when one " +
+       "exists; maintained dedup sink re-indexes and stays exact") {
+    import org.apache.spark.sql.functions._
+    // plain dedup sink: bloom built mid-stream must not change what
+    // gets kept (only what gets READ to decide)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shdedupbloom").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        pmod(col("id") + lo, lit(37)).as("k"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    def tick(i: Long) = Sources.shardedTableDedupSinkBatch(
+      batch(25L * i, 25), i, "k", "doc_id", col("doc_id"), path, 2,
+      Seq("doc_id"))
+    tick(0); tick(1)
+    Sources.buildShardedBloom(spark, path, "k", bits = 1 << 12, k = 3)
+    tick(2); tick(3) // screened through the sidecar
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id", "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // keep-first: key k kept by the smallest doc_id carrying it
+    val want = (0L until 100L).map(d => (d, d % 37))
+      .groupBy(_._2).map { case (_, ds) => ds.minBy(_._1) }.toSet
+    assert(got.toSet == want && got.length == want.size)
+    Sources.dropShardedTable(spark, path)
+    // maintained dedup sink with periodic bloom refresh: exact under
+    // many ticks + a replay, with bounded versions/dirs
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft_shdedupmaint").toString
+    def mtick(i: Long) = Sources.shardedTableDedupSinkBatchMaintained(
+      batch(25L * i, 25), i, "k", "doc_id", col("doc_id"), path2, 2,
+      Seq("doc_id"), compactWhenSmallDirs = 3, smallDirRows = 500L,
+      keepVersions = 4, bloomEveryVersions = 2, bloomBits = 1 << 12,
+      bloomK = 3)
+    (0L until 8L).foreach(mtick)
+    mtick(5L) // replay: no-op
+    val got2 = Sources.readShardedTable(spark, path2)
+      .select("doc_id", "k").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want2 = (0L until 200L).map(d => (d, d % 37))
+      .groupBy(_._2).map { case (_, ds) => ds.minBy(_._1) }.toSet
+    assert(got2.toSet == want2 && got2.length == want2.size)
+    assert(Sources.shardedVersions(spark, path2).size <= 4)
+    Sources.dropShardedTable(spark, path2)
+  }
+
   test("merge sink enforces unique keys on the CREATE path too") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files
