@@ -613,6 +613,49 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("race")) {
+      // r10 concurrent-writer probe: N threads x 5 appends each into
+      // one table. Measures what the optimistic claim protocol costs
+      // as writer count grows — data writes overlap, only the
+      // manifest claim+publish serializes, so total wall should grow
+      // sublinearly in writers while every batch lands exactly once.
+      import graft.sources.Sources
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def batch(w: Int, i: Int) = spark.range(1000)
+        .select((col("id") + 100000L * w + 1000L * i).as("doc_id"),
+          concat(lit("d"), col("id")).as("t"))
+      for (writers <- Seq(1, 2, 4, 8)) {
+        val path = s"/tmp/graft_race_probe_$writers"
+        Sources.dropShardedTable(spark, path)
+        Sources.writeShardedTable(batch(99, 0), col("doc_id"),
+          col("doc_id"), path, 2, Seq("doc_id"))
+        val gate = new java.util.concurrent.CountDownLatch(1)
+        val fs = (0 until writers).map { w =>
+          Future {
+            gate.await()
+            (0 until 5).foreach { i =>
+              Sources.appendShardedTable(batch(w, i), col("doc_id"),
+                col("doc_id"), path, 2, Seq("doc_id"))
+            }
+          }
+        }
+        val t0 = System.nanoTime()
+        gate.countDown()
+        fs.foreach(f => Await.result(f, scala.concurrent.duration
+          .Duration(600, "s")))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val vs = Sources.shardedVersions(spark, path)
+        val rows = Sources.readShardedTable(spark, path).count()
+        println(f"[scale] race writers=$writers commits=${writers * 5} " +
+          f"wall=$sec%6.1f s (${sec / (writers * 5)}%.2f s/commit) " +
+          f"versions=${vs.size} contiguous=${vs == (1L to vs.size)} " +
+          f"rows=$rows (want ${1000 * (writers * 5 + 1)})")
+        Sources.dropShardedTable(spark, path)
+      }
+      spark.stop(); return
+    }
+
     if (args.contains("tombstone")) {
       // r9 evidence: row-level delete cost at scale. On a 2M-row /
       // 64-shard table, a 1% delete must cost O(keys) — a key-file
