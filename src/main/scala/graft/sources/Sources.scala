@@ -730,7 +730,14 @@ object Sources {
   /** One CDC window: apply `inserts` then remove `deletedKeys` (a
     * merge shows up as delete+insert of the same key, so a keyed
     * downstream applies them as one upsert). `commit()` advances the
-    * cursor file atomically (tmp + rename). */
+    * cursor by creating a `<cursorPath>.v<N>` MARKER file and only
+    * then garbage-collecting older markers — the cursor is NEVER
+    * absent mid-commit (a delete-then-rename scheme re-bootstraps on
+    * a crash between the two, and the fresh initial load carries no
+    * deletedKeys, so a replicating downstream would permanently
+    * retain rows deleted in windows published after the lost cursor).
+    * Readers take the max marker; a crash between create and GC just
+    * leaves an extra older marker, which max() ignores. */
   final case class ShardedCdcBatch(inserts: DataFrame,
                                    deletedKeys: DataFrame,
                                    fromVersion: Long, toVersion: Long,
@@ -740,15 +747,23 @@ object Sources {
     def commit(): Unit = {
       val p = new org.apache.hadoop.fs.Path(cursorPath)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val tmp = new org.apache.hadoop.fs.Path(cursorPath + ".tmp-" +
-        java.util.UUID.randomUUID().toString.take(8))
-      val out = fs.create(tmp, true)
+      val mark = new org.apache.hadoop.fs.Path(
+        s"$cursorPath.v$toVersion")
+      val out = fs.create(mark, true)
       out.write(toVersion.toString.getBytes("UTF-8"))
       out.close()
-      // delete-then-rename: a crash between the two re-bootstraps the
-      // consumer (initial load) — at-least-once, never silent loss
+      // GC strictly-older markers and any legacy single-file cursor —
+      // best-effort: leftovers only cost a few extra list entries
+      val dir = mark.getParent
+      val prefix = p.getName + ".v"
+      fs.listStatus(dir).map(_.getPath).foreach { q =>
+        val n = q.getName
+        if (n.startsWith(prefix) &&
+            scala.util.Try(n.stripPrefix(prefix).toLong)
+              .toOption.exists(_ < toVersion))
+          fs.delete(q, false)
+      }
       if (fs.exists(p)) fs.delete(p, false)
-      require(fs.rename(tmp, p), s"cursor commit failed: $cursorPath")
     }
   }
 
@@ -756,8 +771,18 @@ object Sources {
                             cursorPath: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(cursorPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
+    val dir = p.getParent
+    val prefix = p.getName + ".v"
+    val marks =
+      if (dir == null || !fs.exists(dir)) Array.empty[Long]
+      else fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith(prefix))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix(prefix).toLong).toOption)
+    if (marks.nonEmpty) Some(marks.max)
+    else if (!fs.exists(p)) None
     else {
+      // legacy single-file cursor from pre-marker consumers
       val in = fs.open(p)
       try {
         val buf = new Array[Byte](64)
@@ -1447,29 +1472,70 @@ object Sources {
       composable = (parent == LatestParent), expected = expected)
   }
 
-  /** Atomic create-if-absent of a claim file — the one primitive the
-    * commit protocol needs. HDFS/object-store schemes get the
-    * namenode-atomic `create(overwrite = false)`; the local scheme
-    * gets NIO `createFile` (O_EXCL), because RawLocalFileSystem's
-    * create is check-then-act and the racing-writers tests (and
-    * local dev) run exactly there. */
+  /** Pluggable atomic create-if-absent — the ONE primitive the
+    * optimistic commit protocol needs, extracted as a seam because its
+    * atomicity is STORAGE-SPECIFIC:
+    *
+    *  - local filesystems: NIO `createFile` is O_EXCL — atomic. (The
+    *    Hadoop RawLocalFileSystem `create(overwrite = false)` is
+    *    check-then-act, which is why [[AtomicCreateClaimStore]] does
+    *    NOT use it on the `file` scheme.)
+    *  - HDFS: `create(overwrite = false)` is namenode-atomic — safe.
+    *  - S3-family object stores: `create(overwrite = false)` is
+    *    check-then-act (HEAD then PUT) — two concurrent writers can
+    *    both "win" and one published manifest silently clobbers the
+    *    other (lost commit). The default store is therefore NOT safe
+    *    there; implement this trait over the store's conditional-write
+    *    primitive — S3 `PutObject` with `If-None-Match: *` (public
+    *    semantics: the PUT fails with 412 if the key exists), GCS
+    *    `x-goog-if-generation-match: 0`, ABFS ETag preconditions — or
+    *    an external lock service, and install it via
+    *    [[Sources.setClaimStore]].
+    *
+    * `tryClaim` returns true iff THIS caller created the file;
+    * `release` undoes a claim whose commit failed. */
+  trait ClaimStore {
+    def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+                 p: org.apache.hadoop.fs.Path): Boolean
+    def release(fs: org.apache.hadoop.fs.FileSystem,
+                p: org.apache.hadoop.fs.Path): Unit =
+      fs.delete(p, false)
+  }
+
+  /** Default [[ClaimStore]]: atomic on local (NIO O_EXCL) and HDFS
+    * (namenode-atomic create) — the documented contract does NOT
+    * extend to S3-family stores (see [[ClaimStore]]). */
+  object AtomicCreateClaimStore extends ClaimStore {
+    def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+                 p: org.apache.hadoop.fs.Path): Boolean =
+      if (fs.getScheme == "file") {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        try {
+          java.nio.file.Files.createDirectories(local.getParent)
+          java.nio.file.Files.createFile(local)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } else {
+        try { fs.create(p, false).close(); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      }
+  }
+
+  @volatile private var claimStoreImpl: ClaimStore = AtomicCreateClaimStore
+
+  /** Install a storage-appropriate [[ClaimStore]] (process-wide; e.g.
+    * a conditional-PUT implementation for an object-store deployment,
+    * or a fault-injecting one in tests). */
+  def setClaimStore(cs: ClaimStore): Unit = { claimStoreImpl = cs }
+  def claimStore: ClaimStore = claimStoreImpl
+
   private def atomicClaim(fs: org.apache.hadoop.fs.FileSystem,
                           p: org.apache.hadoop.fs.Path): Boolean =
-    if (fs.getScheme == "file") {
-      val local = java.nio.file.Paths.get(p.toUri.getPath)
-      try {
-        java.nio.file.Files.createDirectories(local.getParent)
-        java.nio.file.Files.createFile(local)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } else {
-      try { fs.create(p, false).close(); true }
-      catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      }
-    }
+    claimStoreImpl.tryClaim(fs, p)
 
   /** The OPTIMISTIC-CONCURRENCY commit: claim the next version number
     * with an atomic create-if-absent of `_manifest/.claim-v<N>`, then
@@ -1519,7 +1585,7 @@ object Sources {
             // a failed attempt must not burn the version number: drop
             // the stage and release the claim before rethrowing
             if (fs.exists(stage)) fs.delete(stage, true)
-            fs.delete(claim, false)
+            claimStoreImpl.release(fs, claim)
             throw e
         }
         return version
@@ -1529,16 +1595,22 @@ object Sources {
           "concurrent writer — compact/rewrite do not compose with " +
           "concurrent commits; re-run against the new state")
       // lost the claim: wait for that version to publish, then retry
-      // composing against the refreshed parent
+      // composing against the refreshed parent. A claim that VANISHES
+      // mid-wait (the winner failed and released it, or vacuum removed
+      // a stale one) means the version may never publish — retry the
+      // outer claim loop immediately instead of stalling to the
+      // deadline with a misleading "claim exists" error.
       val vPath = new org.apache.hadoop.fs.Path(
         s"$path/_manifest/v$version")
-      while (!fs.exists(vPath)) {
-        if (System.nanoTime() > deadlineNs)
+      var waiting = true
+      while (waiting && !fs.exists(vPath)) {
+        if (!fs.exists(claim)) waiting = false
+        else if (System.nanoTime() > deadlineNs)
           throw new IllegalStateException(
             s"sharded table $path: .claim-v$version exists but " +
               s"v$version never published (crashed writer?) — remove " +
               "the stale claim file to unblock writers")
-        Thread.sleep(25)
+        else Thread.sleep(25)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -1622,7 +1694,7 @@ object Sources {
                        preds: Seq[(String, Long, Long)] = Nil,
                        version: Option[Long] = None): DataFrame = {
     // no functions._ wildcard here: it would shadow the `version` param
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val mf = normalizeManifest(shardedManifest(spark, path, version))
     val dataMf = mf.filter(col("kind") === "data")
     // tombstones are never pruned: key-only files, metadata-scale —
@@ -1634,9 +1706,14 @@ object Sources {
     // — skip it, which only widens the read, never wrongs it
     val statCols = mf.columns.filter(_.startsWith("min_"))
       .map(_.drop(4)).toSet
+    // NULL-SAFE: a dir whose min_/max_ stats are null for this column
+    // (mixed statsCols across appends, or an all-null stats batch)
+    // must be KEPT — the three-valued bounds test evaluates to null
+    // there and a bare filter would silently prune live rows
     val pruned = preds.filter(p => statCols.contains(p._1))
       .foldLeft(dataMf) { case (m, (c, lo, hi)) =>
-        m.filter(!(col(s"max_$c") < lo || col(s"min_$c") > hi)) }
+        m.filter(coalesce(!(col(s"max_$c") < lo || col(s"min_$c") > hi),
+          lit(true))) }
     val rows = pruned.select("data_dir", "shard", "seq").collect()
     readManifestShards(spark, dataMf, rows, delRows)
   }
@@ -1804,9 +1881,14 @@ object Sources {
         .parquet(headDir).schema
       val shardExpr = regexp_extract(input_file_name(),
         "/shard=([0-9]+)/[^/]+$", 1).cast("int").as("shard")
+      // an evolved column can be missing from the MERGED schema when
+      // every pruned leaf predates the add-only evolution (the head
+      // dir still carries it) — null-fill exactly as the union path
+      // and buildShardedBloom's fast path do
       val cols = headSchema.fields.toSeq.map(f =>
         if (f.name == "shard") shardExpr
-        else col(f.name).cast(f.dataType))
+        else (if (f0.columns.contains(f.name)) col(f.name)
+              else lit(null)).cast(f.dataType).as(f.name))
       val base = f0.select(cols: _*)
       if (delRows.isEmpty) base
       else {

@@ -1813,4 +1813,173 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.auditShardedTable(spark, path).count() == 0L)
     Sources.dropShardedTable(spark, path)
   }
+
+  test("pruning keeps dirs with NULL stats: mixed statsCols across " +
+       "appends never silently drop matching rows") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shnullstats").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        ((col("id") + lo) * 10).as("score"))
+    // create tracks (doc_id, score); the append tracks doc_id ONLY —
+    // its manifest rows carry null min_/max_score
+    Sources.writeShardedTable(batch(0, 50), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id", "score"))
+    Sources.appendShardedTable(batch(1000, 50), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    // a score bound matching ONLY the null-stat dir's rows: the
+    // three-valued pruning test must keep that dir, not drop it
+    val got = Sources.readShardedTable(spark, path,
+        preds = Seq(("score", 10000L, 10100L)))
+      .filter(col("score").between(10000, 10100))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1000L to 1010L), s"null-stat dir was pruned: $got")
+    // same through the predicate-driven surfaces: update and
+    // delete-where must reach rows in null-stat dirs
+    Sources.updateShardedTable(spark, path, "doc_id",
+      col("score") === 10050, Seq("score" -> lit(-1L)),
+      col("doc_id"), 2, Seq("doc_id"))
+    assert(Sources.readShardedTable(spark, path)
+      .filter(col("doc_id") === 1005).select("score")
+      .head().getLong(0) == -1L)
+    Sources.deleteWhereShardedTable(spark, path, "doc_id",
+      col("score") === 10060)
+    assert(Sources.readShardedTable(spark, path)
+      .filter(col("doc_id") === 1006).count() == 0L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("many-dir FAST read: evolved column null-fills when every " +
+       "pruned leaf predates the evolution") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shfastevo").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 10), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    (1 until 34).foreach { i =>
+      Sources.appendShardedTable(batch(10L * i, 10), col("doc_id"),
+        col("doc_id"), path, 1, Seq("doc_id"))
+    }
+    // the ONLY dir carrying `lang` sits far above the pruned range
+    Sources.appendShardedTable(
+      batch(100000, 10).withColumn("lang", lit("en")),
+      col("doc_id"), col("doc_id"), path, 1, Seq("doc_id"),
+      allowNewColumns = true)
+    // prune to the 34 pre-evolution dirs (>= fast-path threshold):
+    // the merged leaf schema lacks `lang`; the head schema has it —
+    // the read must null-fill, not throw
+    val pr = Sources.readShardedTable(spark, path,
+      preds = Seq(("doc_id", 0L, 339L)))
+    assert(pr.schema.fieldNames.contains("lang"))
+    val rows2 = pr.filter(col("doc_id") <= 339).collect()
+    assert(rows2.length == 340 && rows2.forall(_.getAs[String]("lang")
+      == null))
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("a RELEASED claim unblocks waiting composable writers " +
+       "immediately (no deadline stall)") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shclaimrel").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 20), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    // a "winner" claims v2 and then dies without publishing
+    val claim = new java.io.File(s"$path/_manifest/.claim-v2")
+    assert(claim.createNewFile())
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t0 = System.nanoTime()
+    val f = Future {
+      Sources.appendShardedTable(batch(100, 20), col("doc_id"),
+        col("doc_id"), path, 1, Seq("doc_id"))
+    }
+    Thread.sleep(500)
+    assert(!f.isCompleted, "writer should wait on the live claim")
+    assert(claim.delete()) // crash cleanup (vacuum / operator)
+    val v = Await.result(f,
+      scala.concurrent.duration.Duration(30, "s"))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(v == 2L)
+    assert(elapsedMs < 20000,
+      s"waiter stalled ${elapsedMs}ms after claim release")
+    assert(Sources.readShardedTable(spark, path).count() == 40L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("ClaimStore seam: an injected first-attempt denial is retried; " +
+       "commits stay exactly-once") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shclaimseam").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 20), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    val denied = new java.util.concurrent.atomic.AtomicInteger(0)
+    val flaky = new Sources.ClaimStore {
+      def tryClaim(fs: org.apache.hadoop.fs.FileSystem,
+                   p: org.apache.hadoop.fs.Path): Boolean =
+        if (denied.getAndIncrement() == 0) false // lose once, no file
+        else Sources.AtomicCreateClaimStore.tryClaim(fs, p)
+    }
+    Sources.setClaimStore(flaky)
+    try {
+      // the denied attempt observes NO claim file, so the waiter
+      // breaks straight back to the claim loop and wins on retry
+      val v = Sources.appendShardedTable(batch(100, 20),
+        col("doc_id"), col("doc_id"), path, 1, Seq("doc_id"))
+      assert(v == 2L && denied.get() >= 2)
+    } finally Sources.setClaimStore(Sources.AtomicCreateClaimStore)
+    assert(Sources.readShardedTable(spark, path).count() == 40L)
+    assert(Sources.auditShardedTable(spark, path).count() == 0L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("CDC cursor is never absent mid-commit: marker files advance " +
+       "monotonically; legacy single-file cursors stay readable") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shcdcmark").toString
+    val cursor = s"$path/_cursors/c1"
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 20), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    Sources.drainShardedTableChanges(spark, path, cursor)(_ => ())
+    // committed: exactly one marker at v1, no bare cursor file
+    val dir = new java.io.File(s"$path/_cursors")
+    def marks() = dir.listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted.toSeq // drop .crc sidecars
+    assert(marks() == Seq("c1.v1"))
+    Sources.appendShardedTable(batch(100, 20), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    Sources.drainShardedTableChanges(spark, path, cursor)(_ => ())
+    assert(marks() == Seq("c1.v2"))
+    // a crash between marker create and GC leaves an older marker:
+    // the reader must take the max, not re-bootstrap
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$path/_cursors/c1.v1"), "1")
+    Sources.appendShardedTable(batch(200, 20), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    val w = Sources.shardedTableChanges(spark, path, cursor)
+    assert(w.fromVersion == 2L && w.toVersion == 3L)
+    w.commit()
+    assert(marks() == Seq("c1.v3"))
+    // legacy single-file cursor (pre-marker consumer) still resumes
+    val legacy = s"$path/_cursors/old"
+    java.nio.file.Files.writeString(java.nio.file.Path.of(legacy), "2")
+    val lw = Sources.shardedTableChanges(spark, path, legacy)
+    assert(lw.fromVersion == 2L && lw.toVersion == 3L)
+    Sources.dropShardedTable(spark, path)
+  }
 }
