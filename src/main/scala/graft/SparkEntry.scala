@@ -1524,6 +1524,31 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // DataSource V2 surface (r11): q570's box, but through plain
+    // Spark SQL over a `USING graft-sharded` temp view — Spark's own
+    // filter pushdown drives the identical manifest/stats pruning
+    // (the connector reports the pushed conjuncts in the scan), so a
+    // non-graft consumer gets the pruned read for free.
+    "q581_sharded_dsv2" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+      graft.sources.Sources.writeShardedTableZOrdered(docs,
+        col("doc_id"), Seq("doc_id", "n_chars"), path,
+        numShards = 16, bitsPerCol = 6)
+      s.sql("CREATE OR REPLACE TEMPORARY VIEW graft_dsv2_corpus " +
+        s"USING `graft-sharded` OPTIONS (path '$path')")
+      val res = s.sql(
+        """SELECT doc_id, source, n_chars FROM graft_dsv2_corpus
+           WHERE doc_id BETWEEN 50 AND 349
+             AND n_chars BETWEEN 100 AND 400""")
+        .cut()
+      s.sql("DROP VIEW graft_dsv2_corpus")
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
     // MP3 frame-header demux (r10): duration/bitrate/rate triage
     // stats from the published frame layer — no sample decode. The
     // corpus covers MPEG-1 and MPEG-2 rates, VBR, ID3v2 prefixes,
@@ -6629,6 +6654,13 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars
          FROM documents
          WHERE NOT (n_chars BETWEEN 200 AND 400 AND doc_id < 300)
+         ORDER BY doc_id""",
+
+    // q581: the DSv2 format answers q570's box identically
+    "q581_sharded_dsv2" ->
+      """SELECT doc_id, source, n_chars
+         FROM documents WHERE doc_id BETWEEN 50 AND 349
+           AND n_chars BETWEEN 100 AND 400
          ORDER BY doc_id""",
 
     // q567: frame-layer arithmetic replay — counted frames, table-

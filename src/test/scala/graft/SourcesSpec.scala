@@ -1982,4 +1982,84 @@ class SourcesSpec extends AnyFunSuite {
     assert(lw.fromVersion == 2L && lw.toVersion == 3L)
     Sources.dropShardedTable(spark, path)
   }
+
+  test("DSv2 connector: format reads answer the library reads — " +
+       "latest, pinned version, time travel, tombstones") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shdsv2").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        ((col("id") + lo) * 3).as("score"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 300), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id", "score"))
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val t1 = fs.getFileStatus(new org.apache.hadoop.fs.Path(
+      s"$path/_manifest/v1")).getModificationTime
+    Thread.sleep(20)
+    Sources.appendShardedTable(batch(1000, 100), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id", "score"))
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(10).select((col("id") * 11).as("doc_id")))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "score", "t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    // latest (tombstones applied)
+    val v2 = spark.read.format("graft-sharded").load(path)
+    assert(rowsOf(v2) == rowsOf(Sources.readShardedTable(spark, path)))
+    // filter parity + count(*) through column pruning
+    val box = col("doc_id").between(50, 149) && col("score") < 400
+    assert(rowsOf(v2.where(box)) ==
+      rowsOf(Sources.readShardedTableWhere(spark, path, box)))
+    assert(v2.count() ==
+      Sources.readShardedTable(spark, path).count())
+    // the scan reports its pushed filters in the executed plan
+    val plan = v2.where(col("doc_id") <= 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThanOrEqual(doc_id,100)"), plan)
+    // pinned version
+    assert(spark.read.format("graft-sharded").option("version", 1)
+      .load(path).count() == 300L)
+    // time travel
+    assert(spark.read.format("graft-sharded")
+      .option("asOfTimestamp", t1).load(path).count() == 300L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("DSv2 connector: pushed filters prune the same files as " +
+       "readShardedTableWhere") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.sources
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shdsv2prune").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 100), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    (1 until 5).foreach { i =>
+      Sources.appendShardedTable(batch(100L * i, 100), col("doc_id"),
+        col("doc_id"), path, 4, Seq("doc_id"))
+    }
+    val filters: Seq[sources.Filter] = Seq(
+      sources.GreaterThanOrEqual("doc_id", 120L),
+      sources.LessThanOrEqual("doc_id", 180L))
+    val schema = graft.sources.GraftSharded.tableSchema(spark, path,
+      None)
+    val scanned = graft.sources.GraftSharded.scanDataFrame(spark,
+      path, None, filters, schema)
+    val lib = Sources.readShardedTableWhere(spark, path,
+      col("doc_id").between(120, 180))
+    assert(scanned.inputFiles.toSet == lib.inputFiles.toSet)
+    // genuinely pruned: fewer files than the unfiltered read
+    assert(scanned.inputFiles.length <
+      Sources.readShardedTable(spark, path).inputFiles.length)
+    // and the same rows
+    assert(scanned.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == (120L to 180L))
+    Sources.dropShardedTable(spark, path)
+  }
 }
