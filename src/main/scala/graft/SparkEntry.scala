@@ -1403,6 +1403,84 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // CDC as a real readStream source (r11): q566's replication
+    // pipeline, but the consumer is `spark.readStream.format(
+    // "graft-sharded-cdc")` with engine checkpointing — the query is
+    // stopped and RESTARTED mid-sequence and must resume from the
+    // checkpoint (no initial re-load, no lost windows). Same closed-
+    // form oracle as q566: any divergence in delivery diverges the
+    // replica.
+    "q582_sharded_cdc_stream" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val replica = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString + "/t"
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_sharded_ckpt_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val S = graft.sources.Sources
+      def applyBatch(b: org.apache.spark.sql.DataFrame,
+                     id: Long): Unit = {
+        val cached = b.persist()
+        try {
+          val vs = cached.select("_commit_version").distinct()
+            .collect().map(_.getLong(0)).sorted
+          vs.foreach { v =>
+            val w = cached.filter(col("_commit_version") === v)
+            val dels = w.filter(col("_change_type") === "delete")
+              .select(col("doc_id"))
+            val ins = w.filter(col("_change_type") === "insert")
+              .select(col("doc_id"), col("source"), col("n_chars"))
+            if (S.shardedVersions(s, replica).isEmpty) {
+              if (!ins.isEmpty)
+                S.writeShardedTable(ins, col("doc_id"), col("doc_id"),
+                  replica, numShards = 4, statsCols = Seq("doc_id"))
+            } else {
+              if (!dels.isEmpty)
+                S.deleteFromShardedTable(s, replica, "doc_id", dels)
+              if (!ins.isEmpty)
+                S.mergeShardedTable(ins, "doc_id", col("doc_id"),
+                  replica, numShards = 2, statsCols = Seq("doc_id"))
+            }
+          }
+        } finally { cached.unpersist(); () }
+      }
+      def run(): Unit = {
+        val q = s.readStream.format("graft-sharded-cdc")
+          .option("path", path).load()
+          .writeStream.foreachBatch(applyBatch _)
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      S.writeShardedTable(docs.filter(col("doc_id") % 3 === 0),
+        col("doc_id"), col("doc_id"), path, numShards = 4,
+        statsCols = Seq("doc_id"))
+      run() // initial load, then the query is stopped (simulated kill)
+      S.mergeShardedTable(
+        docs.filter(col("doc_id") % 4 === 1)
+          .withColumn("n_chars", col("n_chars") + 5000L),
+        "doc_id", col("doc_id"), path, numShards = 2,
+        statsCols = Seq("doc_id"))
+      S.deleteFromShardedTable(s, path, "doc_id",
+        docs.filter(col("doc_id") % 5 === 2).select(col("doc_id")))
+      S.mergeShardedTable(
+        docs.filter(col("doc_id") % 7 === 3)
+          .withColumn("n_chars", col("n_chars") + 9000L),
+        "doc_id", col("doc_id"), path, numShards = 2,
+        statsCols = Seq("doc_id"))
+      run() // restart: resume from the checkpoint, drain v2..v4
+      val res = S.readShardedTable(s, replica)
+        .select(col("doc_id"), col("source"),
+          col("n_chars").cast("long").as("n_chars"))
+        .cut()
+      S.dropShardedTable(s, path)
+      S.dropShardedTable(s, replica)
+      res.orderBy("doc_id")
+    }),
+
     // Row-level UPDATE by predicate (r10): the GDPR-redaction /
     // label-fix shape — one atomic delete+insert snapshot over the
     // matched rows, O(matched), zero existing files rewritten. The
@@ -6662,6 +6740,21 @@ object SparkEntry {
          FROM documents WHERE doc_id BETWEEN 50 AND 349
            AND n_chars BETWEEN 100 AND 400
          ORDER BY doc_id""",
+
+    // q582: the streamed replica equals q566's closed form
+    "q582_sharded_cdc_stream" ->
+      """SELECT * FROM (
+           SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars
+           FROM documents WHERE doc_id % 3 = 0
+             AND NOT (doc_id % 4 = 1 OR doc_id % 5 = 2 OR doc_id % 7 = 3)
+           UNION ALL
+           SELECT doc_id, source, CAST(n_chars + 5000 AS BIGINT)
+           FROM documents WHERE doc_id % 4 = 1
+             AND NOT (doc_id % 5 = 2 OR doc_id % 7 = 3)
+           UNION ALL
+           SELECT doc_id, source, CAST(n_chars + 9000 AS BIGINT)
+           FROM documents WHERE doc_id % 7 = 3
+         ) ORDER BY doc_id""",
 
     // q567: frame-layer arithmetic replay — counted frames, table-
     // indexed bitrates over the counted range, floor duration; the

@@ -1,0 +1,219 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1,
+  Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{DataSourceRegister,
+  StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+/** Structured-Streaming CDC source over the sharded table — the
+  * [[Sources.drainShardedTableChanges]] drain loop promoted to a real
+  * `readStream` format, so checkpointing, restart recovery,
+  * `Trigger.AvailableNow`, and rate limiting all come from the engine
+  * instead of a hand-rolled cursor file:
+  *
+  * {{{
+  *   spark.readStream.format("graft-sharded-cdc")
+  *     .option("path", tablePath)
+  *     .option("maxVersionsPerTrigger", 1)   // default 1
+  *     .load()
+  * }}}
+  *
+  * OFFSETS ARE TABLE VERSIONS. The first batch is the INITIAL LOAD —
+  * the full table state at the then-latest version, all rows
+  * `_change_type = "insert"`. Every later batch delivers the change
+  * windows `(lastOffset, newOffset]`: per version, the tombstoned
+  * keys as `_change_type = "delete"` rows (key column set, data
+  * columns null) and the new data as `"insert"` rows, each stamped
+  * with `_commit_version`. A merge arrives as delete+insert of the
+  * same key at the same version — a replicating consumer applies
+  * versions in ascending `_commit_version` order, deletes before
+  * inserts within a version (with the default one-version-per-trigger
+  * rate limit each micro-batch IS one version, so plain
+  * delete-then-upsert per batch is already order-correct).
+  *
+  * Delivery is the engine's contract: offsets live in the checkpoint,
+  * a batch that crashed before its sink committed is re-delivered
+  * from the SAME offsets on restart (at-least-once into the sink;
+  * exactly-once end-to-end with an idempotent/batch-id sink, e.g.
+  * [[Sources.shardedTableMergeSinkBatch]]). The rate-limit base is
+  * persisted as marker files under the source's checkpoint metadata
+  * dir (crash-safe max, like the library cursor), so a restart
+  * resumes throttled rather than delivering one giant catch-up batch.
+  *
+  * A consumer that lags past [[Sources.expireShardedSnapshots]] fails
+  * loudly on the missing manifest (under-delivering deletes would
+  * silently diverge a replica) — clear the checkpoint to re-bootstrap
+  * from a fresh initial load. Scale: each batch costs O(its windows'
+  * new data + tombstone keys), metadata-driven from the manifest
+  * chain; the initial load is one manifest-planned table read. */
+class GraftShardedCdcSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-sharded-cdc"
+
+  override def sourceSchema(ctx: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-sharded-cdc: the schema comes from the table; do not " +
+        "pass one")
+    val path = parameters.getOrElse("path",
+      sys.error("graft-sharded-cdc: option path is required"))
+    (shortName(),
+      GraftShardedCdcSource.cdcSchema(ctx.sparkSession, path))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val path = parameters.getOrElse("path",
+      sys.error("graft-sharded-cdc: option path is required"))
+    val maxV = parameters.getOrElse("maxVersionsPerTrigger", "1")
+      .trim.toInt
+    require(maxV >= 1,
+      s"graft-sharded-cdc: maxVersionsPerTrigger must be >= 1, got $maxV")
+    new GraftShardedCdcSource(ctx.sparkSession, path, metadataPath,
+      maxV)
+  }
+}
+
+private[graft] object GraftShardedCdcSource {
+  /** Table columns (shard is the writer's layout detail, not data)
+    * plus the CDC envelope. */
+  def cdcSchema(spark: SparkSession, path: String): StructType = {
+    val t = Sources.readShardedTable(spark, path).drop("shard").schema
+    new StructType(t.fields)
+      .add("_change_type", StringType, nullable = false)
+      .add("_commit_version", LongType, nullable = false)
+  }
+}
+
+private[graft] class GraftShardedCdcSource(spark: SparkSession,
+                                           path: String,
+                                           metadataPath: String,
+                                           maxVersionsPerTrigger: Int)
+    extends Source {
+
+  import org.apache.spark.sql.functions.{col, lit}
+
+  // the table schema is pinned at source construction: CDC consumers
+  // see one schema per run (an add-only evolution mid-stream shows up
+  // after a restart; pre-evolution windows null-fill, same as reads)
+  private val tableSchema =
+    Sources.readShardedTable(spark, path).drop("shard").schema
+
+  override val schema: StructType =
+    GraftShardedCdcSource.cdcSchema(spark, path)
+
+  // ---- rate-limit base, persisted as crash-safe marker files ------
+  private val fs = new org.apache.hadoop.fs.Path(metadataPath)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def markerPrefix = "graft-offset.v"
+  private def readMarker(): Option[Long] = {
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    if (!fs.exists(dir)) None
+    else {
+      val vs = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith(markerPrefix))
+        .flatMap(n => scala.util.Try(
+          n.stripPrefix(markerPrefix).toLong).toOption)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+  private def writeMarker(v: Long): Unit = {
+    fs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$metadataPath/$markerPrefix$v"), true).close()
+    fs.listStatus(new org.apache.hadoop.fs.Path(metadataPath))
+      .map(_.getPath).foreach { p =>
+        val n = p.getName
+        if (n.startsWith(markerPrefix) &&
+            scala.util.Try(n.stripPrefix(markerPrefix).toLong)
+              .toOption.exists(_ < v))
+          fs.delete(p, false)
+      }
+  }
+  private var lastReturned: Long = readMarker().getOrElse(-1L)
+
+  override def getOffset: Option[OffsetV1] = {
+    val latest = Sources.shardedVersions(spark, path).lastOption
+      .getOrElse(return None)
+    // first ever trigger: the initial load is one indivisible batch
+    // at the current latest version; afterwards advance at most
+    // maxVersionsPerTrigger versions per trigger
+    val next =
+      if (lastReturned < 0) latest
+      else math.min(latest, lastReturned + maxVersionsPerTrigger)
+    if (next > lastReturned) {
+      lastReturned = next
+      writeMarker(next)
+    }
+    Some(LongOffset(math.max(next, lastReturned)))
+  }
+
+  private def offsetValue(o: OffsetV1): Long = o.json.trim.toLong
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1)
+      : DataFrame = {
+    val endV = offsetValue(end)
+    // restart path: getBatch can run before any getOffset — keep the
+    // rate-limit base monotone with what the checkpoint replays
+    if (endV > lastReturned) { lastReturned = endV; writeMarker(endV) }
+    val df = start.map(offsetValue) match {
+      case None =>
+        // initial load: table state AT endV, all inserts
+        align(Sources.readShardedTable(spark, path,
+            version = Some(endV)).drop("shard"))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(endV))
+      case Some(s) =>
+        require(s <= endV, s"graft-sharded-cdc: offset went backwards " +
+          s"($s > $endV)")
+        (s + 1 to endV).map(windowFrame)
+          .reduce(_.unionByName(_))
+    }
+    // a V1 source must hand the engine a STREAMING DataFrame
+    org.apache.spark.sql.graftbridge.ColumnBridge.streamingDataFrame(
+      spark, df.queryExecution.toRdd, schema)
+  }
+
+  /** One version's changes: its tombstoned keys as null-padded
+    * delete rows, then its new data dirs as insert rows. */
+  private def windowFrame(v: Long): DataFrame = {
+    val ins = align(
+        Sources.shardedTableInserts(spark, path, v - 1, v)
+          .drop("shard"))
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(v))
+    val delKeys = Sources.shardedTableDeletedKeys(spark, path, v - 1, v)
+    val keyName = delKeys.columns.head
+    val dels = delKeys.select(tableSchema.fields.toSeq.map { f =>
+        (if (f.name == keyName) col(keyName).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)
+      }: _*)
+      .withColumn("_change_type", lit("delete"))
+      .withColumn("_commit_version", lit(v))
+    dels.unionByName(ins)
+  }
+
+  /** Fix column order/types to the pinned table schema (window reads
+    * across an evolution boundary may order or miss columns). */
+  private def align(df: DataFrame): DataFrame =
+    df.select(tableSchema.fields.toSeq.map(f =>
+      (if (df.columns.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)): _*)
+
+  override def commit(end: OffsetV1): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftShardedCdcSource[$path, maxVersionsPerTrigger=" +
+      s"$maxVersionsPerTrigger]"
+}

@@ -27,4 +27,17 @@ object ColumnBridge {
       Some(a.nameParts.mkString("."))
     case _ => None
   }
+
+  /** Wrap an internal-row RDD as a STREAMING DataFrame — what a V1
+    * streaming `Source.getBatch` must return (the engine asserts
+    * `isStreaming`; the public `createDataFrame` can't set it). Same
+    * `internalCreateDataFrame(_, _, isStreaming = true)` call the
+    * built-in file stream source makes. */
+  def streamingDataFrame(spark: org.apache.spark.sql.SparkSession,
+                         rdd: org.apache.spark.rdd.RDD[
+                           org.apache.spark.sql.catalyst.InternalRow],
+                         schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
 }
