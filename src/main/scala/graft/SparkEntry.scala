@@ -70,6 +70,8 @@ object SparkEntry {
     graft.tools.FuzzTable.specsV2
       .map(sp => sp.name -> sp.query).toMap ++
     graft.tools.FuzzTableV3.specs
+      .map(sp => sp.name -> sp.query).toMap ++
+    graft.tools.FuzzTableV4.specs
       .map(sp => sp.name -> sp.query).toMap ++ Map(
 
     // O1/O5/O11/O18/O19-O20: row domain → two-level grouping → struct of
@@ -1478,6 +1480,37 @@ object SparkEntry {
         .cut()
       S.dropShardedTable(s, path)
       S.dropShardedTable(s, replica)
+      res.orderBy("doc_id")
+    }),
+
+    // PARTITION COLUMNS (r11): the table lays out by source
+    // (data-v<N>/source=srcK/shard=j), appends inherit the layout,
+    // and a source-equality predicate prunes whole partition dirs
+    // from the manifest's part_ values — the date/source layout a
+    // 100 TB corpus actually uses, stacked on stats pruning.
+    "q591_sharded_partitioned" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val S = graft.sources.Sources
+      S.writeShardedTable(docs.filter(col("doc_id") % 2 === 0),
+        col("doc_id"), col("doc_id"), path, numShards = 4,
+        statsCols = Seq("doc_id"), partitionCols = Seq("source"))
+      S.appendShardedTable(docs.filter(col("doc_id") % 2 === 1),
+        col("doc_id"), col("doc_id"), path, numShards = 4,
+        statsCols = Seq("doc_id"))
+      S.deleteWhereShardedTable(s, path, "doc_id",
+        col("n_chars") < 100)
+      val res = S.readShardedTableWhere(s, path,
+          col("source").isin("src3", "src7") ||
+            col("source") === "src11")
+        .unionByName(S.readShardedTableWhere(s, path,
+          col("source") === "src5" && col("doc_id") <= 250))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      S.dropShardedTable(s, path)
       res.orderBy("doc_id")
     }),
 
@@ -5454,6 +5487,8 @@ object SparkEntry {
     graft.tools.FuzzTable.specsV2
       .map(sp => sp.name -> sp.sql).toMap ++
     graft.tools.FuzzTableV3.specs
+      .map(sp => sp.name -> sp.sql).toMap ++
+    graft.tools.FuzzTableV4.specs
       .map(sp => sp.name -> sp.sql).toMap ++ Map(
     "q20_dedup_exact" ->
       """SELECT array_to_string(list_slice(string_split(text,' '), 1, 8), ' ')
@@ -6739,6 +6774,15 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars
          FROM documents WHERE doc_id BETWEEN 50 AND 349
            AND n_chars BETWEEN 100 AND 400
+         ORDER BY doc_id""",
+
+    // q591: partition pruning is invisible to results — the plain
+    // source/doc_id filters over the undeleted rows
+    "q591_sharded_partitioned" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE n_chars >= 100 AND (source IN ('src3', 'src7')
+           OR source = 'src11'
+           OR (source = 'src5' AND doc_id <= 250))
          ORDER BY doc_id""",
 
     // q582: the streamed replica equals q566's closed form

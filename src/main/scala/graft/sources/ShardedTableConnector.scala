@@ -241,9 +241,22 @@ object GraftSharded {
       .map { case (c, bs) => (c, bs.map(_._2).max, bs.map(_._3).min) }
   }
 
-  /** Plan the scan: manifest-pruned read (stats bounds from the
-    * pushed filters), exact pushed predicates applied, then the
-    * pruned projection — identical machinery to
+  /** String-equality conjuncts among the pushed filters — partition
+    * pruning for tables with declared partition columns (the
+    * `sources.Filter` twin of `predicatePartEquals`). */
+  private[graft] def filterPartEquals(filters: Seq[Filter])
+      : Seq[(String, String)] = {
+    def eqs(f: Filter): Seq[(String, String)] = f match {
+      case sources.EqualTo(a, v: String) => Seq((a, v))
+      case sources.And(l, r) => eqs(l) ++ eqs(r)
+      case _ => Nil
+    }
+    filters.flatMap(eqs).distinct
+  }
+
+  /** Plan the scan: manifest-pruned read (stats bounds + partition
+    * equality from the pushed filters), exact pushed predicates
+    * applied, then the pruned projection — identical machinery to
     * `readShardedTableWhere(...).select(...)`. */
   private[graft] def scanDataFrame(spark: SparkSession, path: String,
                                      version: Option[Long],
@@ -251,7 +264,8 @@ object GraftSharded {
                                      required: StructType): DataFrame = {
     import org.apache.spark.sql.functions.col
     val base = Sources.readShardedTable(spark, path,
-      filterBounds(pushed), version)
+      filterBounds(pushed), version,
+      partPreds = filterPartEquals(pushed))
     val filtered = pushed.flatMap(filterColumn)
       .foldLeft(base)(_.filter(_))
     filtered.select(required.fieldNames.map(col).toSeq: _*)

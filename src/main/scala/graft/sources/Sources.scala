@@ -491,9 +491,10 @@ object Sources {
     * removed, which the audit reports. */
   def writeShardedTable(df: DataFrame, id: Column, orderCol: Column,
                         path: String, numShards: Int,
-                        statsCols: Seq[String]): Long =
+                        statsCols: Seq[String],
+                        partitionCols: Seq[String] = Nil): Long =
     writeSnapshot(df, id, orderCol, path, numShards, statsCols,
-      parent = NoParent, batchId = -1L)
+      parent = NoParent, batchId = -1L, partitionCols = partitionCols)
 
   /** APPEND snapshot: new version = parent manifest rows + the new
     * batch's shards, zero existing data files touched (see
@@ -511,17 +512,9 @@ object Sources {
                          batchId: Long = -1L,
                          allowNewColumns: Boolean = false): Long = {
     val spark = df.sparkSession
-    val parent = shardedManifest(spark, path) // requires table exists
-    // schema authority = the NEWEST dir: after an add-only evolution
-    // an arbitrary head() could pick a pre-evolution dir and reject a
-    // perfectly valid full-schema batch
-    val sample = normalizeManifest(parent)
-      .filter(org.apache.spark.sql.functions.col("kind") === "data")
-      .orderBy(org.apache.spark.sql.functions.col("seq").desc)
-      .select("data_dir", "shard").head()
-    val tableCols = spark.read
-      .parquet(s"${sample.getString(0)}/shard=${sample.getLong(1)}")
-      .columns.toSet
+    shardedManifest(spark, path) // requires table exists
+    val tableSchema = shardedHeadSchema(spark, path)
+    val tableCols = tableSchema.fieldNames.toSet
     val batchCols = df.columns.toSet
     // SCHEMA EVOLUTION is opt-in and ADD-ONLY: with allowNewColumns
     // the batch may carry extra columns (readers null-fill them on
@@ -537,8 +530,79 @@ object Sources {
       s"appendShardedTable: batch columns ${batchCols.toSeq.sorted
         .mkString(",")} != table columns ${tableCols.toSeq.sorted
         .mkString(",")} (pass allowNewColumns = true to add columns)")
-    writeSnapshot(df, id, orderCol, path, numShards, statsCols,
+    writeSnapshot(alignBatchTypes(df, tableSchema, "appendShardedTable"),
+      id, orderCol, path, numShards, statsCols,
       parent = LatestParent, batchId = batchId, op = "append")
+  }
+
+  /** The current physical schema authority: the NEWEST data dir —
+    * after an add-only evolution an arbitrary head() could pick a
+    * pre-evolution dir, and monotone type WIDENING (enforced by
+    * [[alignBatchTypes]]) keeps the newest dir the widest. Column
+    * names are translated through the rename history, so callers see
+    * the LOGICAL schema. */
+  private def shardedHeadSchema(spark: SparkSession, path: String)
+      : StructType = {
+    import org.apache.spark.sql.functions.col
+    val mf = normalizeManifest(shardedManifest(spark, path))
+    val sample = mf.filter(col("kind") === "data")
+      .orderBy(col("seq").desc).select("data_dir", "leaf", "seq")
+      .head()
+    // basePath read so partition columns (typed by discovery) join
+    // the data columns; `shard` is the writer's layout column, not
+    // part of the logical schema
+    val raw = spark.read.option("basePath", sample.getString(0))
+      .parquet(s"${sample.getString(0)}/${sample.getString(1)}")
+      .schema
+    val latest = shardedVersions(spark, path).last
+    val events = renameEvents(spark, path, latest)
+    StructType(raw.fields.filter(_.name != "shard").map(f => f.copy(
+      name = logicalNameOf(f.name, sample.getLong(2), events, latest))))
+  }
+
+  /** TYPE WIDENING lattice (the Iceberg/parquet-safe promotions):
+    * byte -> short -> int -> long and float -> double. */
+  private def canWiden(from: org.apache.spark.sql.types.DataType,
+                       to: org.apache.spark.sql.types.DataType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    val ints: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType)
+    (ints.indexOf(from), ints.indexOf(to)) match {
+      case (f, t) if f >= 0 && t >= 0 => f < t
+      case _ => from == FloatType && to == DoubleType
+    }
+  }
+
+  /** Enforce MONOTONE column types on the write side: for each column
+    * the batch shares with the table, the batch's type must be equal,
+    * strictly WIDER along [[canWiden]] (this write IS the widening —
+    * the newest dir becomes the new authority and readers up-cast old
+    * dirs), or strictly narrower (the batch is silently up-cast to
+    * the table type, so a post-widening writer that still produces
+    * ints can never flip the authority back down). Anything else —
+    * string vs long, incompatible numerics — fails loudly: a reader
+    * unions snapshots by name, and a silent type fork would poison
+    * every later read. */
+  private def alignBatchTypes(df: DataFrame, table: StructType,
+                              opName: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.columns.foldLeft(df) { (d, c) =>
+      table.fields.find(_.name == c) match {
+        case None => d // a new column (add-only evolution)
+        case Some(f) =>
+          val bt = d.schema(c).dataType
+          if (bt == f.dataType) d
+          else if (canWiden(f.dataType, bt)) d // widen: batch wins
+          else if (canWiden(bt, f.dataType))
+            d.withColumn(c, col(c).cast(f.dataType)) // up-cast batch
+          else throw new IllegalArgumentException(
+            s"$opName: column $c is ${bt.simpleString} in the batch " +
+              s"but ${f.dataType.simpleString} in the table — only " +
+              "byte->short->int->long and float->double widening is " +
+              "supported")
+      }
+    }
   }
 
   /** The exactly-once `foreachBatch` body for a streaming sharded-
@@ -685,8 +749,10 @@ object Sources {
         // make per-version replay from v0 impossible by design)
         val name = normalizeManifest(shardedManifest(spark, path,
             Some(to)))
-          .filter(col("kind") === "delete").select("del_col")
-          .distinct().collect().headOption.map(_.getString(0))
+          .filter(col("kind") === "delete").select("del_col", "seq")
+          .distinct().collect().headOption
+          .map(r => logicalNameOf(r.getString(0), r.getLong(1),
+            renameEvents(spark, path, to), to))
           .getOrElse("key")
         ShardedCdcBatch(
           readShardedTable(spark, path, version = Some(to))
@@ -822,23 +888,29 @@ object Sources {
     // column was added lacks it and contributes null-filled rows,
     // which the bloom skips (nulls are not indexed, per the read
     // contract). The uniform cast keeps build and probe hashing
-    // identical on evolved and non-evolved dirs alike.
-    val headDir = dataMf.orderBy(col("seq").desc)
-      .select("data_dir").head().getString(0)
-    val headSchema = spark.read.parquet(headDir).schema
+    // identical on evolved and non-evolved dirs alike. `colName` is
+    // the LOGICAL name at build time; per-dir rename translation maps
+    // it onto whatever physical name each dir wrote.
+    val headSchema = shardedHeadSchema(spark, path)
     require(headSchema.fieldNames.contains(colName),
       s"buildShardedBloom: column $colName not in table at $path")
     val dt = headSchema(colName).dataType
-    val dataRows = dataMf.select("data_dir", "shard").collect()
+    val events = renameEvents(spark, path, version)
+    val dataRows = dataMf.select("data_dir", "shard", "seq", "leaf")
+      .collect()
     // many-dir tables build from ONE multi-leaf scan (same O(dirs)
     // planning fix as the audit and the fast read path); few-dir
-    // tables keep the per-dir union
+    // tables — and reads a rename or partition layout makes
+    // heterogeneous — keep the per-dir union
     val values =
       if (dataRows.map(_.getString(0)).distinct.length >=
-          FastReadDirThreshold) {
+          FastReadDirThreshold &&
+          !dataRows.exists(_.getString(3).contains("/")) &&
+          !renameRelevant(events, dataRows.map(_.getLong(2)).toSeq,
+            version)) {
         import spark.implicits._
         val leaves = dataRows.map(r =>
-          s"${r.getString(0)}/shard=${r.getLong(1)}").toSeq
+          s"${r.getString(0)}/${r.getString(3)}").toSeq
         val byBase = dataRows.map(_.getString(0)).distinct
           .map(d => (d.split('/').last, d)).toSeq
           .toDF("__base", "data_dir")
@@ -855,8 +927,10 @@ object Sources {
           .join(broadcast(byBase), "__base").drop("__base")
       } else dataRows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
         .map { case (dDir, rs) =>
-          val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
-          val f = spark.read.option("basePath", dDir).parquet(dirs: _*)
+          val dirs = rs.map(r => s"$dDir/${r.getString(3)}").toSeq
+          val f = translateDir(
+            spark.read.option("basePath", dDir).parquet(dirs: _*),
+            rs.head.getLong(2), events, version)
           val v = (if (f.columns.contains(colName)) col(colName)
                    else lit(null)).cast(dt)
           f.select(lit(dDir).as("data_dir"),
@@ -898,11 +972,9 @@ object Sources {
     val meta = bloom.select("bits", "k").head()
     val (bits, k) = (meta.getInt(0), meta.getInt(1))
     // hash the probe value EXACTLY as the build hashed the column:
-    // cast to the table column's type first (a long literal probing
-    // an int column would hash differently)
-    val headDir = dataMf.orderBy(col("seq").desc)
-      .select("data_dir").head().getString(0)
-    val dt = spark.read.parquet(headDir).schema(colName).dataType
+    // cast to the table column's LOGICAL type first (a long literal
+    // probing an int column would hash differently)
+    val dt = shardedHeadSchema(spark, path)(colName).dataType
     val positions = spark.range(1).select(
         explode(array((0 until k).map(i =>
           pmod(hash(value.cast(dt), lit(i)).cast("long"),
@@ -918,12 +990,15 @@ object Sources {
       probeWords.forall { case (w, m) =>
         rs.exists(r => r.getLong(2) == w && (r.getLong(3) & m) == m) }
     }.keySet.toSet
-    val rows = dataMf.select("data_dir", "shard", "seq").collect()
+    val rows = dataMf.select("data_dir", "leaf", "seq", "shard")
+      .collect()
       .filter { r =>
-        val pair = (r.getString(0), r.getLong(1))
+        val pair = (r.getString(0), r.getLong(3))
         !covered(pair) || passing(pair)
       }
-    readManifestShards(spark, dataMf, rows, delRows)
+    val readV = shardedVersions(spark, path).last
+    readManifestShards(spark, dataMf, rows, delRows,
+      renameEvents(spark, path, readV), readV)
   }
 
   /** Exactly-once DEDUPLICATING ingest sink: each tick keeps one row
@@ -1045,9 +1120,20 @@ object Sources {
     import spark.implicits._
     val mf = normalizeManifest(mf0)
     val statCols = mf.columns.filter(_.startsWith("min_")).map(_.drop(4))
-    val dataRows = mf.filter(col("kind") === "data")
-    val dataPairs = dataRows.select("data_dir", "shard")
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val dataRows0 = mf.filter(col("kind") === "data")
+    // the recompute is (data_dir, shard)-grained; a PARTITIONED
+    // manifest keeps one row per (dir, partition, shard) leaf, so
+    // aggregate it to the same grain for the containment compare
+    // (sum of counts, envelope of bounds — containment still the bar)
+    val dataRows = dataRows0
+      .groupBy("data_dir", "shard")
+      .agg(sum(col("n_rows")).as("n_rows"),
+        statCols.flatMap(c => Seq(
+          min(col(s"min_$c")).as(s"min_$c"),
+          max(col(s"max_$c")).as(s"max_$c"))): _*)
+    val dataPairs = dataRows0.select("data_dir", "shard", "leaf")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getString(2)))
     // per-dir recompute fallback; a dir that cannot even be opened is
     // itself a finding, not an audit crash — this path also names the
     // unreadable dir, which the one-job fast path cannot
@@ -1056,7 +1142,7 @@ object Sources {
       .foldLeft((Seq.empty[DataFrame], Seq.empty[(String, String)])) {
         case ((gs, bs), (dDir, rs)) =>
           try {
-            val dirs = rs.map(r => s"$dDir/shard=${r._2}").toSeq
+            val dirs = rs.map(r => s"$dDir/${r._3}").toSeq
             val f0 = spark.read.option("basePath", dDir)
               .parquet(dirs: _*)
             // a stats column ADDED by schema evolution does not exist
@@ -1090,7 +1176,7 @@ object Sources {
     // per-dir loop when the one-shot read cannot even plan (corrupt
     // footer somewhere — the slow path then names the culprit dir).
     def fastPlan(): (Seq[DataFrame], Seq[(String, String)]) = {
-      val leaves = dataPairs.map { case (d, s) => s"$d/shard=$s" }
+      val leaves = dataPairs.map { case (d, _, l) => s"$d/$l" }
       val byBase = dataPairs.map(_._1).distinct
         .map(d => (d.split('/').last, d)).toSeq
       val f0 = spark.read.option("mergeSchema", "true")
@@ -1101,9 +1187,11 @@ object Sources {
         have.flatMap(c => Seq(
           min(col(c)).cast("long").as(s"a_min_$c"),
           max(col(c)).cast("long").as(s"a_max_$c")))
+      // dir identity by its versioned NAME (partition segments can
+      // sit between the dir and the shard leaf)
       val g = f0
         .withColumn("__base", regexp_extract(input_file_name(),
-          "/([^/]+)/shard=[0-9]+/[^/]+$", 1))
+          "/(data-v[0-9]+[^/]*)/", 1))
         .withColumn("shard", regexp_extract(input_file_name(),
           "/shard=([0-9]+)/[^/]+$", 1).cast("long"))
         .groupBy(col("__base"), col("shard"))
@@ -1243,9 +1331,7 @@ object Sources {
     val bloom = spark.read.parquet(s"$path/_bloom/v$bv/$colName")
     val meta = bloom.select("bits", "k").head()
     val (bits, k) = (meta.getInt(0), meta.getInt(1))
-    val headDir = dataMf.orderBy(col("seq").desc)
-      .select("data_dir").head().getString(0)
-    val dt = spark.read.parquet(headDir).schema(colName).dataType
+    val dt = shardedHeadSchema(spark, path)(colName).dataType
     val kk = keys.select(keys(keys.columns.head).cast(dt).as("__key"))
       .filter(col("__key").isNotNull).distinct()
     val pos = kk.select(col("__key"),
@@ -1265,12 +1351,15 @@ object Sources {
       .filter(col("__got") === col("__need"))
       .select("data_dir", "shard").distinct().collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
-    val rows = dataMf.select("data_dir", "shard", "seq").collect()
+    val rows = dataMf.select("data_dir", "leaf", "seq", "shard")
+      .collect()
       .filter { r =>
-        val pair = (r.getString(0), r.getLong(1))
+        val pair = (r.getString(0), r.getLong(3))
         !covered(pair) || candidates(pair)
       }
-    val base = readManifestShards(spark, dataMf, rows, delRows)
+    val readV = shardedVersions(spark, path).last
+    val base = readManifestShards(spark, dataMf, rows, delRows,
+      renameEvents(spark, path, readV), readV)
     base.join(kk, base(colName) === kk("__key"), "left_semi")
   }
 
@@ -1356,16 +1445,17 @@ object Sources {
                             parent: ParentMode,
                             batchId: Long,
                             op: String = "write",
-                            deleteKeys: Option[(DataFrame, String)] = None)
+                            deleteKeys: Option[(DataFrame, String)] = None,
+                            partitionCols: Seq[String] = Nil)
       : Long = {
     import org.apache.spark.sql.functions._
     require(numShards >= 1, s"writeShardedTable: numShards $numShards")
-    // `shard` is the partition column the writer OWNS and `__id`/
-    // `__pos` are its join scaffolding: an input that already carries
-    // one would be silently clobbered (its `shard` even hijacked as
-    // the partition key and lost on readback) — the orderedCumsums
-    // clash contract.
-    val clash = df.columns.intersect(Seq("shard", "__id", "__pos"))
+    // `shard` is the partition column the writer OWNS and `__pos` is
+    // its position scaffolding: an input that already carries one
+    // would be silently clobbered (its `shard` even hijacked as the
+    // partition key and lost on readback) — the orderedCumsums clash
+    // contract.
+    val clash = df.columns.intersect(Seq("shard", "__pos"))
     require(clash.isEmpty, s"writeShardedTable: reserved column(s) " +
       s"${clash.mkString(", ")} already exist in the input")
     val spark = df.sparkSession
@@ -1376,12 +1466,6 @@ object Sources {
     val baseV = shardedVersions(spark, path).lastOption.getOrElse(0L) + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$path/data-v$baseV-$token"
-    // contiguous range shards: global position by (orderCol, id), one
-    // count to size the blocks (a writer-side job, amortized over the
-    // snapshot's lifetime of pruned reads)
-    val pos = graft.ops.Packing.orderedShards(df, id, orderCol,
-      numShards = 1).select(col("doc_id").as("__id"),
-        col("pos_in_shard").as("__pos"))
     val n = df.count()
     // An empty snapshot would write no part files, so the manifest
     // pass could not even infer a schema (and a versioned dir with no
@@ -1390,9 +1474,34 @@ object Sources {
     require(n > 0, s"writeShardedTable: empty input — refusing to " +
       s"write snapshot v$baseV at $path")
     val block = (n + numShards - 1) / numShards
-    val data = df.withColumn("__id", id).join(pos, "__id")
+    // contiguous range shards: global position by (orderCol, id)
+    // computed DIRECTLY on the frame (orderedCumsum carries every
+    // input column through), never via a join back on the id — a
+    // duplicate-id input (e.g. a compaction folding overlapping
+    // appends) would multiply through an id join, silently inflating
+    // the snapshot. One count sizes the blocks (a writer-side job,
+    // amortized over the snapshot's lifetime of pruned reads).
+    // PARTITION COLUMNS: a table created with them lays data out as
+    // data-v<N>/<c>=<val>/.../shard=<k> and every later write
+    // inherits them from the parent manifest's part_<c> columns —
+    // appends, merges, updates and compactions re-lay their rows into
+    // the declared partition dirs with no caller plumbing.
+    val partCols = parent match {
+      case NoParent => partitionCols
+      case LatestParent =>
+        normalizeManifest(shardedManifest(spark, path)).columns
+          .filter(_.startsWith("part_")).map(_.drop(5)).toSeq
+      case FixedParent(rows, _) =>
+        rows.columns.filter(_.startsWith("part_")).map(_.drop(5)).toSeq
+    }
+    require(partCols.forall(df.columns.contains),
+      s"writeShardedTable: partition column(s) ${partCols
+        .filterNot(df.columns.contains).mkString(",")} missing from " +
+        "the input")
+    val data = graft.ops.Packing.orderedCumsum(df,
+        org.apache.spark.sql.functions.struct(orderCol, id), lit(1L),
+        partitions = 32, offsetName = "__pos")
       .withColumn("shard", expr(s"__pos div $block"))
-      .drop("__id")
     // sort WITHIN each shard by the global position: parquet
     // row-group min/max stats on the order column stay tight, so a
     // reader's pushed-down predicate prunes row groups INSIDE the
@@ -1400,25 +1509,43 @@ object Sources {
     // the same stats hierarchy, paid once at write as a per-
     // partition (spill-aware) sort, no extra shuffle
     data.repartition(numShards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("__pos"))
+      .sortWithinPartitions(col("shard") +:
+        partCols.map(col) :+ col("__pos"): _*)
       .drop("__pos")
-      .write.mode("overwrite").partitionBy("shard").parquet(dataDir)
+      .write.mode("overwrite")
+      .partitionBy(partCols :+ "shard": _*).parquet(dataDir)
     // manifest from the FILES (describe what a reader will find);
     // the rows are a FUNCTION of the claimed version — a conflict
     // retry rebuilds them with the new seq
     val written = spark.read.parquet(dataDir)
+    // null/escaped partition values would break the manifest's leaf
+    // reconstruction (__HIVE_DEFAULT_PARTITION__, URL escaping) —
+    // refuse before the manifest can commit; the orphan dir is
+    // invisible and vacuumable
+    if (partCols.nonEmpty)
+      require(written.filter(partCols.map(col(_).isNull)
+          .reduce(_ || _)).isEmpty,
+        "writeShardedTable: partition column values must be non-null")
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ statsCols.flatMap(c =>
       Seq(min(col(c)).cast("long").as(s"min_$c"),
           max(col(c)).cast("long").as(s"max_$c")))
-    def newRows(v: Long) = written
-      .groupBy(col("shard").cast("long").as("shard"))
-      .agg(aggs.head, aggs.tail: _*)
-      .withColumn("data_dir", lit(dataDir))
-      .withColumn("batch_id", lit(batchId))
-      .withColumn("kind", lit("data"))
-      .withColumn("seq", lit(v))
-      .withColumn("op", lit(op))
-      .withColumn("del_col", lit(null).cast("string"))
+    def newRows(v: Long) = {
+      val keys = Seq(col("shard").cast("long").as("shard")) ++
+        partCols.map(col)
+      val leafExpr = concat_ws("/",
+        partCols.map(c => concat(lit(s"$c="), col(c).cast("string"))) :+
+          concat(lit("shard="), col("shard")): _*)
+      val g = written.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+        .withColumn("leaf", leafExpr)
+      partCols.foldLeft(g)((d, c) =>
+          d.withColumn(s"part_$c", col(c).cast("string")).drop(c))
+        .withColumn("data_dir", lit(dataDir))
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("kind", lit("data"))
+        .withColumn("seq", lit(v))
+        .withColumn("op", lit(op))
+        .withColumn("del_col", lit(null).cast("string"))
+    }
     // MERGE writes its tombstone file in the SAME snapshot: the
     // delete's seq equals the data's seq, and a tombstone only kills
     // rows with a STRICTLY SMALLER seq — so the merge's own inserts
@@ -1657,6 +1784,15 @@ object Sources {
     if (!m.columns.contains("op")) m = m.withColumn("op", lit("append"))
     if (!m.columns.contains("del_col"))
       m = m.withColumn("del_col", lit(null).cast("string"))
+    // `leaf` is the shard directory's path RELATIVE to data_dir —
+    // partition segments included ("day=3/shard=1"). Pre-partition
+    // manifests (and rows written by them after a partitioned append,
+    // via union null-fill) reconstruct the flat layout.
+    if (!m.columns.contains("leaf"))
+      m = m.withColumn("leaf", concat(lit("shard="), col("shard")))
+    else
+      m = m.withColumn("leaf", coalesce(col("leaf"),
+        concat(lit("shard="), col("shard"))))
     m
   }
 
@@ -1692,11 +1828,24 @@ object Sources {
     * different snapshots (append chains) are unioned by name. */
   def readShardedTable(spark: SparkSession, path: String,
                        preds: Seq[(String, Long, Long)] = Nil,
-                       version: Option[Long] = None): DataFrame = {
+                       version: Option[Long] = None,
+                       partPreds: Seq[(String, String)] = Nil)
+      : DataFrame = {
     // no functions._ wildcard here: it would shadow the `version` param
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val mf = normalizeManifest(shardedManifest(spark, path, version))
-    val dataMf = mf.filter(col("kind") === "data")
+    // PARTITION pruning: equality on a declared partition column
+    // drops whole leaf dirs by their manifest part_<c> value — the
+    // string-valued twin of stats pruning (same superset contract; a
+    // predicate on a non-partition column is simply skipped)
+    val dataMf = partPreds
+      .filter(p => mf.columns.contains(s"part_${p._1}"))
+      .foldLeft(mf.filter(col("kind") === "data")) {
+        case (m, (c, v)) =>
+          // null-safe KEEP (a row with no recorded value can never be
+          // excluded — same three-valued rule as stats pruning)
+          m.filter(coalesce(col(s"part_$c") === v, lit(true)))
+      }
     // tombstones are never pruned: key-only files, metadata-scale —
     // and a pruned-away tombstone would RESURRECT rows
     val delRows = mf.filter(col("kind") === "delete")
@@ -1714,8 +1863,10 @@ object Sources {
       .foldLeft(dataMf) { case (m, (c, lo, hi)) =>
         m.filter(coalesce(!(col(s"max_$c") < lo || col(s"min_$c") > hi),
           lit(true))) }
-    val rows = pruned.select("data_dir", "shard", "seq").collect()
-    readManifestShards(spark, dataMf, rows, delRows)
+    val rows = pruned.select("data_dir", "leaf", "seq").collect()
+    val readV = version.getOrElse(shardedVersions(spark, path).last)
+    readManifestShards(spark, dataMf, rows, delRows,
+      renameEvents(spark, path, readV), readV)
   }
 
   /** Conservative per-column [lo, hi] bounds extracted from a
@@ -1797,6 +1948,48 @@ object Sources {
     }
   }
 
+  /** STRING-equality conjuncts extracted from a predicate — the
+    * partition-pruning twin of [[predicateBounds]] (`source = 'web'`
+    * drops whole partition dirs via the manifest's part_<c> values).
+    * Same conservative contract: anything unrecognized is skipped. */
+  def predicatePartEquals(pred: Column): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAttribute, UnresolvedFunction}
+    def name(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => Some(a.name)
+      case a: AttributeReference => Some(a.name)
+      case Cast(c, _, _, _) => name(c)
+      case _ => None
+    }
+    def str(e: Expression): Option[String] = e match {
+      case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(v.toString)
+      case Literal(v: String, _) => Some(v)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case f: UnresolvedFunction
+        if f.nameParts.last.equalsIgnoreCase("and") &&
+          f.arguments.size == 2 =>
+        conjuncts(f.arguments(0)) ++ conjuncts(f.arguments(1))
+      case other => Seq(other)
+    }
+    def eq(e: Expression): Option[(Expression, Expression)] = e match {
+      case f: UnresolvedFunction
+        if f.arguments.size == 2 &&
+          (f.nameParts.last == "=" || f.nameParts.last == "==") =>
+        Some((f.arguments(0), f.arguments(1)))
+      case EqualTo(a, b) => Some((a, b))
+      case _ => None
+    }
+    conjuncts(org.apache.spark.sql.graftbridge.ColumnBridge
+      .catalystExpr(pred)).flatMap(eq).flatMap { case (a, b) =>
+        name(a).zip(str(b)) ++ name(b).zip(str(a))
+      }.distinct
+  }
+
   /** [[readShardedTable]] driven by a `Column` predicate: manifest
     * pruning comes from [[predicateBounds]] and the EXACT predicate
     * is applied on top, so unlike the raw read this returns exactly
@@ -1806,7 +1999,8 @@ object Sources {
   def readShardedTableWhere(spark: SparkSession, path: String,
                             pred: Column,
                             version: Option[Long] = None): DataFrame =
-    readShardedTable(spark, path, predicateBounds(pred), version)
+    readShardedTable(spark, path, predicateBounds(pred), version,
+        partPreds = predicatePartEquals(pred))
       .filter(pred)
 
   /** TIME TRAVEL: the newest version whose manifest landed at or
@@ -1856,25 +2050,38 @@ object Sources {
 
   private def readManifestShards(spark: SparkSession, dataMf: DataFrame,
                                  rows: Array[org.apache.spark.sql.Row],
-                                 delRows: Array[org.apache.spark.sql.Row])
+                                 delRows: Array[org.apache.spark.sql.Row],
+                                 events: Seq[(Long, String, String)] =
+                                   Seq.empty,
+                                 readV: Long = Long.MaxValue)
       : DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit,
       input_file_name, regexp_extract}
     import spark.implicits._
-    val headDir = dataMf.orderBy(col("seq").desc)
-      .select("data_dir").head().getString(0)
+    val headRow = dataMf.orderBy(col("seq").desc)
+      .select("data_dir", "seq").head()
+    val headDir = headRow.getString(0)
+    val headSeq = headRow.getLong(1)
     if (rows.isEmpty)
-      spark.read.option("basePath", headDir).parquet(headDir)
-        .filter(lit(false))
+      translateDir(
+        spark.read.option("basePath", headDir).parquet(headDir)
+          .filter(lit(false)),
+        headSeq, events, readV)
     else if (rows.map(_.getString(0)).distinct.length >=
-        FastReadDirThreshold) {
+        FastReadDirThreshold &&
+        // a partitioned leaf ("day=3/shard=1") needs basePath
+        // partition discovery for its partition-column values — the
+        // direct multi-leaf read would drop them
+        !rows.exists(_.getString(1).contains("/")) &&
+        !renameRelevant(events,
+          rows.map(_.getLong(2)).toSeq :+ headSeq, readV)) {
       // FAST path: one distributed mergeSchema read over every leaf;
       // shard and per-dir seq recovered from the file path (schema
       // authority and column order = the newest dir, like the union
       // path; merged schema ⊇ head schema because evolution is
       // add-only)
       val leaves = rows.map(r =>
-        s"${r.getString(0)}/shard=${r.getLong(1)}").toSeq
+        s"${r.getString(0)}/${r.getString(1)}").toSeq
       val f0 = spark.read.option("mergeSchema", "true")
         .parquet(leaves: _*)
       val headSchema = spark.read.option("basePath", headDir)
@@ -1900,7 +2107,7 @@ object Sources {
             "/([^/]+)/shard=[0-9]+/[^/]+$", 1))
           .join(broadcast(seqByBase), "__base")
           .select(cols :+ col("__seq"): _*)
-        applyDeletes(spark, tagged, delRows)
+        applyDeletes(spark, tagged, delRows, events, readV)
       }
     } else {
       // one read per contributing data dir (each needs its own
@@ -1915,18 +2122,23 @@ object Sources {
       // specs and probes measure)
       val head = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        spark.read.option("basePath", headDir).parquet(headDir).schema)
+        translateDir(
+          spark.read.option("basePath", headDir).parquet(headDir),
+          headSeq, events, readV).schema)
       val headTagged =
         if (delRows.isEmpty) head else head.withColumn("__seq", lit(0L))
       val base = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map {
         case (dDir, rs) =>
-          val dirs = rs.map(r => s"$dDir/shard=${r.getLong(1)}").toSeq
-          val f = spark.read.option("basePath", dDir).parquet(dirs: _*)
+          val dirs = rs.map(r => s"$dDir/${r.getString(1)}").toSeq
+          val f = translateDir(
+            spark.read.option("basePath", dDir).parquet(dirs: _*),
+            rs.head.getLong(2), events, readV)
           if (delRows.isEmpty) f
           else f.withColumn("__seq", lit(rs.head.getLong(2)))
       }.foldLeft(headTagged)(
         _.unionByName(_, allowMissingColumns = true))
-      if (delRows.isEmpty) base else applyDeletes(spark, base, delRows)
+      if (delRows.isEmpty) base
+      else applyDeletes(spark, base, delRows, events, readV)
     }
   }
 
@@ -1940,17 +2152,25 @@ object Sources {
     * them; the data side never reshuffles. `data` must carry `__seq`
     * (dropped on the way out). */
   private def applyDeletes(spark: SparkSession, data: DataFrame,
-                           delRows: Array[org.apache.spark.sql.Row])
+                           delRows: Array[org.apache.spark.sql.Row],
+                           events: Seq[(Long, String, String)] =
+                             Seq.empty,
+                           readV: Long = Long.MaxValue)
       : DataFrame = {
     import org.apache.spark.sql.functions._
-    val delCols = delRows.map(_.getString(2)).distinct
+    // del_col is the key's PHYSICAL name when the tombstone was
+    // written; chain the rename history so a key renamed mid-chain
+    // still kills (and a pre-rename tombstone still applies)
+    val delCols = delRows.map(r =>
+      logicalNameOf(r.getString(2), r.getLong(1), events, readV))
+      .distinct
     require(delCols.length == 1,
       s"sharded table has tombstones on different key columns " +
         s"(${delCols.mkString(", ")}) — unsupported")
     val idName = delCols.head
     val dels = delRows.map { r =>
       spark.read.parquet(r.getString(0))
-        .select(col(idName).as("__del_id"))
+        .select(col(r.getString(2)).as("__del_id"))
         .withColumn("__del_seq", lit(r.getLong(1)))
     }.reduce(_.unionByName(_))
     val maxDel = dels.groupBy("__del_id")
@@ -2010,15 +2230,30 @@ object Sources {
     // than every existing tombstone's, so skipping this would
     // resurrect deleted rows. It is free: these rows are being
     // rewritten anyway, and the anti-join side is key-only.
-    // small runs may straddle a schema evolution: align by name,
-    // null-filling the pre-evolution runs (same as the read side)
+    // small runs may straddle a schema evolution/widening/rename:
+    // translate each run's physical names, align by name with
+    // null-fill (same as the read side)
+    val events = renameEvents(spark, path, current)
+    val headSchema = shardedHeadSchema(spark, path)
     val merged0 = small.toSeq.sorted.map { d =>
-      spark.read.option("basePath", d).parquet(d)
+      translateDir(spark.read.option("basePath", d).parquet(d),
+          dirSeq(d), events, current)
         .withColumn("__seq", lit(dirSeq(d)))
     }.reduce(_.unionByName(_, allowMissingColumns = true))
-    val merged = (if (delRows.isEmpty) merged0.drop("__seq")
-                  else applyDeletes(spark, merged0, delRows))
+    val merged1 = (if (delRows.isEmpty) merged0.drop("__seq")
+                   else applyDeletes(spark, merged0, delRows, events,
+                     current))
       .drop("shard")
+    // the compacted dir becomes the newest schema authority: it must
+    // carry EVERY logical column at its current widest type, even
+    // when all the folded runs predate an evolution or widening —
+    // otherwise the fold silently demotes the table schema
+    val merged = {
+      import org.apache.spark.sql.functions.col
+      merged1.select(headSchema.fields.toSeq.map(f =>
+        (if (merged1.columns.contains(f.name)) col(f.name)
+         else lit(null)).cast(f.dataType).as(f.name)): _*)
+    }
     if (merged.isEmpty) {
       // every row of every small run was tombstoned: publish a
       // manifest-only version that simply drops the small dirs
@@ -2083,22 +2318,138 @@ object Sources {
                         batchId: Long = -1L): Long = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
-    val parent = shardedManifest(spark, path)
-    // newest dir = schema authority (same rationale as append)
-    val sample = normalizeManifest(parent)
-      .filter(col("kind") === "data").orderBy(col("seq").desc)
-      .select("data_dir", "shard").head()
-    val tableCols = spark.read
-      .parquet(s"${sample.getString(0)}/shard=${sample.getLong(1)}")
-      .columns.toSet
-    require(df.columns.toSet == tableCols,
+    shardedManifest(spark, path) // requires table exists
+    val tableSchema = shardedHeadSchema(spark, path)
+    require(df.columns.toSet == tableSchema.fieldNames.toSet,
       s"mergeShardedTable: batch columns ${df.columns.sorted
-        .mkString(",")} != table columns ${tableCols.toSeq.sorted
-        .mkString(",")}")
-    writeSnapshot(df, col(idName), orderCol, path, numShards, statsCols,
-      parent = LatestParent, batchId = batchId, op = "merge",
-      deleteKeys = Some((df.select(col(idName)), idName)))
+        .mkString(",")} != table columns ${tableSchema.fieldNames
+        .sorted.mkString(",")}")
+    val aligned = alignBatchTypes(df, tableSchema, "mergeShardedTable")
+    writeSnapshot(aligned, col(idName), orderCol, path, numShards,
+      statsCols, parent = LatestParent, batchId = batchId, op = "merge",
+      deleteKeys = Some((aligned.select(col(idName)), idName)))
   }
+
+  // ---- COLUMN RENAME via a manifest-level mapping ------------------
+
+  /** RENAME a column without touching any data file — the Iceberg
+    * column-mapping idea with the rename HISTORY as the mapping: a
+    * sidecar under `path/_schema/renames-v<N>` records every rename
+    * event `(atVersion, from, to)`, and readers translate each data
+    * dir's PHYSICAL names to the logical names of the version they
+    * read by chain-following the events published after the dir was
+    * written. Old dirs are never orphaned, never rewritten; pinned
+    * older versions keep their old names (the history applied to read
+    * version V stops at V — time travel sees the names of its era).
+    * Tombstone key columns translate the same way, so even the row-id
+    * column can be renamed mid-tombstone-chain.
+    *
+    * The rename itself is a metadata-only commit: a new manifest
+    * version carrying the parent's rows verbatim plus the updated
+    * sidecar (written under the claimed version BEFORE the manifest
+    * publishes — a crashed commit leaves an inert sidecar for an
+    * unpublished version that no reader ever applies). Conflicts
+    * abort like any state-derived commit. Manifest stats columns keep
+    * their at-write names; pruning on the new name treats old rows as
+    * null-stat (kept, never wrongly pruned) until a
+    * compaction/rewrite re-tightens them.
+    *
+    * Returns the new version. */
+  def renameShardedTableColumn(spark: SparkSession, path: String,
+                               from: String, to: String): Long = {
+    val base = shardedVersions(spark, path).last
+    val parent = normalizeManifest(shardedManifest(spark, path))
+    val logical = shardedHeadSchema(spark, path).fieldNames.toSet
+    require(logical.contains(from),
+      s"renameShardedTableColumn: no column $from in $path " +
+        s"(have ${logical.toSeq.sorted.mkString(",")})")
+    require(!logical.contains(to),
+      s"renameShardedTableColumn: column $to already exists in $path")
+    require(from != "shard" && to != "shard",
+      "renameShardedTableColumn: shard is the writer's layout column")
+    val hist = renameEvents(spark, path, base)
+    publishVersion(spark, path, { v =>
+      writeRenameFile(spark, path, v, hist :+ ((v, from, to)))
+      parent
+    }, composable = false, expected = Some(base + 1))
+  }
+
+  /** Rename history applicable at `readV`, ascending by version. The
+    * sidecar files are cumulative, so the newest one at or below the
+    * read version carries exactly the events with `at <= readV`. */
+  private def renameEvents(spark: SparkSession, path: String,
+                           readV: Long): Seq[(Long, String, String)] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_schema")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Seq.empty
+    val vs = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("renames-v"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("renames-v").toLong).toOption)
+      .filter(_ <= readV)
+    if (vs.isEmpty) return Seq.empty
+    val p = new org.apache.hadoop.fs.Path(
+      s"$path/_schema/renames-v${vs.max}")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .mkString finally in.close()
+    text.split('\n').filter(_.nonEmpty).toSeq.map { line =>
+      val Array(v, f, t) = line.split('\t')
+      (v.toLong, f, t)
+    }.sortBy(_._1)
+  }
+
+  private def writeRenameFile(spark: SparkSession, path: String,
+                              v: Long,
+                              events: Seq[(Long, String, String)])
+      : Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$path/_schema/renames-v$v")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(events.sortBy(_._1)
+      .map { case (at, f, t) => s"$at\t$f\t$t" }
+      .mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** The logical name (at read version `readV`) of a column that was
+    * PHYSICALLY written as `p` by a dir with sequence `dirSeq`:
+    * chain-follow the rename events published after the dir, in
+    * order. Ordered chaining makes even name REUSE unambiguous
+    * (a->b at v1, then c->a at v2: physical `a` in a pre-v1 dir
+    * becomes b and stops; physical `c` in a v1-era dir becomes the
+    * new `a`). */
+  private def logicalNameOf(p: String, dirSeq: Long,
+                            events: Seq[(Long, String, String)],
+                            readV: Long): String = {
+    var n = p
+    events.foreach { case (at, f, t) =>
+      if (at > dirSeq && at <= readV && n == f) n = t
+    }
+    n
+  }
+
+  /** Translate one data dir's physical column names to the logical
+    * names of the read version. No-op without rename history. */
+  private def translateDir(df: DataFrame, dirSeq: Long,
+                           events: Seq[(Long, String, String)],
+                           readV: Long): DataFrame =
+    if (events.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.col
+      df.select(df.columns.toSeq.map(c =>
+        col(c).as(logicalNameOf(c, dirSeq, events, readV))): _*)
+    }
+
+  /** True iff translating any of these dirs at `readV` would change a
+    * name — the gate that keeps rename-free reads (and reads of
+    * post-rename-only dirs) on the fast multi-leaf path. */
+  private def renameRelevant(events: Seq[(Long, String, String)],
+                             dirSeqs: Iterable[Long],
+                             readV: Long): Boolean =
+    events.nonEmpty && dirSeqs.exists(s =>
+      events.exists(e => e._1 > s && e._1 <= readV))
 
   /** Row-level UPDATE by predicate: one atomic snapshot that
     * tombstones every matched key AND appends the matched rows with
@@ -2251,29 +2602,36 @@ object Sources {
         s"($fromVersion, $toVersion] — re-bootstrap the consumer"))
     val mfs = (fromVersion to toVersion).map(v => v ->
       normalizeManifest(shardedManifest(spark, path, Some(v)))).toMap
+    val events = renameEvents(spark, path, toVersion)
     val ins = (fromVersion + 1 to toVersion).flatMap { w =>
       val prev = mfs(w - 1).select("data_dir").distinct().collect()
         .map(_.getString(0)).toSet
       mfs(w).filter(col("kind") === "data" &&
           col("op").isin("write", "append", "merge"))
-        .select("data_dir", "shard").collect()
+        .select("data_dir", "shard", "seq").collect()
         .filterNot(r => prev(r.getString(0)))
-        .map(r => (r.getString(0), r.getLong(1)))
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     }.distinct
     // schema authority = the NEWEST dir (ordered, not an arbitrary
     // head() — after schema evolution the empty-window frame must
     // carry the evolved schema deterministically, matching
-    // readManifestShards)
-    val headDir = mfs(toVersion).filter(col("kind") === "data")
-      .orderBy(col("seq").desc).select("data_dir").head().getString(0)
+    // readManifestShards); physical names translate through the
+    // rename history at the window's END version
+    val headRow = mfs(toVersion).filter(col("kind") === "data")
+      .orderBy(col("seq").desc).select("data_dir", "seq").head()
     if (ins.isEmpty)
-      spark.read.option("basePath", headDir).parquet(headDir)
-        .filter(lit(false))
+      translateDir(
+        spark.read.option("basePath", headRow.getString(0))
+          .parquet(headRow.getString(0)).filter(lit(false)),
+        headRow.getLong(1), events, toVersion)
     else
       ins.groupBy(_._1).toSeq.sortBy(_._1).map {
         case (dDir, rs) =>
-          val dirs = rs.map(r => s"$dDir/shard=${r._2}").toSeq
-          spark.read.option("basePath", dDir).parquet(dirs: _*)
+          // whole-dir read: every (shard, partition) leaf of a dir
+          // new in the window is new (the diff is dir-grained), and
+          // partition discovery recovers layout columns either way
+          translateDir(spark.read.parquet(dDir), rs.head._3, events,
+            toVersion)
       }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -2296,27 +2654,35 @@ object Sources {
         s"window ($fromVersion, $toVersion] — re-bootstrap the consumer"))
     val mfs = (fromVersion to toVersion).map(v => v ->
       normalizeManifest(shardedManifest(spark, path, Some(v)))).toMap
+    val events = renameEvents(spark, path, toVersion)
+    // (data_dir, physical del_col, seq) — the key's LOGICAL name at
+    // the window end comes from chaining the rename history
     val fresh = (fromVersion + 1 to toVersion).flatMap { w =>
       val prev = mfs(w - 1).filter(col("kind") === "delete")
         .select("data_dir").distinct().collect()
         .map(_.getString(0)).toSet
       mfs(w).filter(col("kind") === "delete")
-        .select("data_dir", "del_col").distinct().collect()
+        .select("data_dir", "del_col", "seq").distinct().collect()
         .filterNot(r => prev(r.getString(0)))
-        .map(r => (r.getString(0), r.getString(1)))
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     }.distinct
     if (fresh.isEmpty) {
       // empty frame with the key column name if the table ever had a
       // tombstone, else a generic empty single-column frame
       val name = mfs(toVersion).filter(col("kind") === "delete")
-        .select("del_col").distinct().collect().headOption
-        .map(_.getString(0)).getOrElse("key")
+        .select("del_col", "seq").distinct().collect().headOption
+        .map(r => logicalNameOf(r.getString(0), r.getLong(1), events,
+          toVersion))
+        .getOrElse("key")
       spark.range(0).select(col("id").as(name))
     } else {
-      val names = fresh.map(_._2).distinct
+      val names = fresh
+        .map(r => logicalNameOf(r._2, r._3, events, toVersion))
+        .distinct
       require(names.length == 1,
         s"tombstones on different key columns: ${names.mkString(", ")}")
-      fresh.map(r => spark.read.parquet(r._1))
+      fresh.map(r => spark.read.parquet(r._1)
+          .select(col(r._2).as(names.head)))
         .reduce(_.unionByName(_)).distinct()
     }
   }

@@ -1983,6 +1983,217 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("TYPE WIDENING: a long batch widens an int column; later int " +
+       "batches up-cast; compaction never demotes the authority") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shwiden").toString
+    def batch(lo: Long, n: Long, t: String) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        ((col("id") + lo) * 2).cast(t).as("score"))
+    Sources.writeShardedTable(batch(0, 50, "int"), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    assert(Sources.readShardedTable(spark, path).schema("score")
+      .dataType == IntegerType)
+    // widen: the long batch becomes the new authority
+    Sources.appendShardedTable(batch(100, 50, "long"), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    assert(Sources.readShardedTable(spark, path).schema("score")
+      .dataType == LongType)
+    // a straggler still writing int is up-cast, never flips back
+    Sources.appendShardedTable(batch(200, 50, "int"), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    assert(Sources.readShardedTable(spark, path).schema("score")
+      .dataType == LongType)
+    // incompatible type forks fail loudly
+    intercept[IllegalArgumentException] {
+      Sources.appendShardedTable(batch(300, 10, "string"),
+        col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+    }
+    // fold ONLY pre-widening runs: the compacted dir takes the top
+    // seq, so it must carry the widened type, not demote it
+    Sources.compactShardedTable(spark, path, col("doc_id"),
+      col("doc_id"), numShards = 2, statsCols = Seq("doc_id"),
+      smallDirRows = Long.MaxValue / 4)
+    assert(Sources.readShardedTable(spark, path).schema("score")
+      .dataType == LongType)
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = ((0L until 50L) ++ (100L until 150L) ++
+      (200L until 250L)).map(k => (k, k * 2)).toSet
+    assert(got == want)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("COLUMN RENAME: metadata-only, old dirs translate, time " +
+       "travel keeps era names, tombstones survive a key rename") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shrename").toString
+    def batch(lo: Long, n: Long, kName: String, vName: String) =
+      spark.range(n).select((col("id") + lo).as(kName),
+        concat(lit("d"), col("id") + lo).as(vName))
+    Sources.writeShardedTable(batch(0, 100, "doc_id", "t"),
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+    // v2: tombstone under the ORIGINAL key name
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(5).select((col("id") * 10).as("doc_id")))
+    // v3: rename the VALUE column — no data touched
+    val dirsBefore = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("data-v"))
+    Sources.renameShardedTableColumn(spark, path, "t", "txt")
+    assert(new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("data-v")) == dirsBefore)
+    assert(Sources.readShardedTable(spark, path).columns.toSet ==
+      Set("doc_id", "txt", "shard"))
+    // v4: rename the KEY column too
+    Sources.renameShardedTableColumn(spark, path, "doc_id", "id")
+    // v5: append under the NEW names
+    Sources.appendShardedTable(batch(1000, 50, "id", "txt"),
+      col("id"), col("id"), path, 2, Seq("id"))
+    // v6: merge (tombstone now under the new key name) kills one old
+    // and one new row and re-inserts them
+    Sources.mergeShardedTable(
+      batch(7, 1, "id", "txt").unionByName(batch(1007, 1, "id", "txt"))
+        .withColumn("txt", concat(lit("m"), col("id"))),
+      "id", col("id"), path, 2, Seq("id"))
+    val got = Sources.readShardedTable(spark, path)
+      .select("id", "txt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got.size == 145) // 100 - 5 deleted + 50 appended
+    assert(got(7L) == "m7" && got(1007L) == "m1007") // merged
+    assert(got(1L) == "d1" && got(1001L) == "d1001") // translated
+    assert(!got.contains(10L) && !got.contains(40L)) // old tombstone
+    // time travel: a pre-rename version keeps its era's names
+    assert(Sources.readShardedTable(spark, path, version = Some(2L))
+      .columns.toSet == Set("doc_id", "t", "shard"))
+    // renaming to an existing name fails loudly
+    intercept[IllegalArgumentException] {
+      Sources.renameShardedTableColumn(spark, path, "txt", "id")
+    }
+    // compaction folds pre- and post-rename runs into the new names
+    Sources.compactShardedTable(spark, path, col("id"), col("id"),
+      numShards = 2, statsCols = Seq("id"),
+      smallDirRows = Long.MaxValue / 4)
+    val got2 = Sources.readShardedTable(spark, path)
+      .select("id", "txt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got2 == got)
+    assert(Sources.auditShardedTable(spark, path).count() == 0L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("RENAME on a many-dir table: the read leaves the fast path " +
+       "and stays correct") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shrenfast").toString
+    def batch(lo: Long, n: Long, vName: String) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as(vName))
+    Sources.writeShardedTable(batch(0, 10, "t"), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    (1 until 34).foreach { i =>
+      Sources.appendShardedTable(batch(10L * i, 10, "t"),
+        col("doc_id"), col("doc_id"), path, 1, Seq("doc_id"))
+    }
+    Sources.renameShardedTableColumn(spark, path, "t", "txt")
+    Sources.appendShardedTable(batch(1000, 10, "txt"), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"))
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id", "txt").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = ((0L until 340L) ++ (1000L until 1010L))
+      .map(k => (k, s"d$k")).toSet
+    assert(got == want)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("PARTITION COLUMNS: declared at create, inherited by every " +
+       "write; partition + stats pruning open only matching leaves") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shpart").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("s"), pmod(col("id") + lo, lit(4))).as("src"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 200), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"),
+      partitionCols = Seq("src"))
+    // layout: data-v1-*/src=s0/shard=0 ... (partition dirs between)
+    val v1 = vdir(path, "data-v1")
+    assert(new java.io.File(v1).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet ==
+      Set("src=s0", "src=s1", "src=s2", "src=s3", "_SUCCESS"))
+    // appends INHERIT the partitioning with no caller plumbing
+    Sources.appendShardedTable(batch(1000, 100), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    assert(new java.io.File(vdir(path, "data-v2")).listFiles()
+      .exists(_.getName.startsWith("src=")))
+    // read-back parity, partition column present as a data column
+    val all = Sources.readShardedTable(spark, path)
+    assert(all.count() == 300)
+    assert(all.columns.toSet ==
+      Set("doc_id", "src", "t", "shard"))
+    // PARTITION pruning: only src=s1 leaves are opened
+    val pr = Sources.readShardedTableWhere(spark, path,
+      col("src") === "s1")
+    assert(pr.inputFiles.forall(_.contains("/src=s1/")),
+      pr.inputFiles.mkString(","))
+    assert(pr.count() == 75)
+    // partition + stats pruning compose (doc_id bound AND src)
+    val pr2 = Sources.readShardedTableWhere(spark, path,
+      col("src") === "s2" && col("doc_id") < 100)
+    assert(pr2.inputFiles.forall(f => f.contains("/src=s2/") &&
+      f.contains("data-v1")))
+    assert(pr2.count() == 25)
+    // merge-on-read + tombstones work across the partition layout
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(50).select((col("id") * 4).as("doc_id")))
+    Sources.mergeShardedTable(
+      batch(0, 10).withColumn("t", concat(lit("m"), col("doc_id"))),
+      "doc_id", col("doc_id"), path, 2, Seq("doc_id"))
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 300 - 50 deleted + 3 deleted keys the merge re-inserted = 253
+    assert(got.size == 253)
+    assert(got(11L) == "d11" && got(0L) == "m0" && got(8L) == "m8")
+    assert(!got.contains(40L))
+    // partition-aware compaction preserves the layout and the rows
+    Sources.compactShardedTable(spark, path, col("doc_id"),
+      col("doc_id"), numShards = 2, statsCols = Seq("doc_id"),
+      smallDirRows = Long.MaxValue / 4)
+    val got2 = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == got)
+    assert(new java.io.File(vdir(path, "data-v5")).listFiles()
+      .exists(_.getName.startsWith("src=")))
+    // audit is clean at the (dir, shard) grain
+    assert(Sources.auditShardedTable(spark, path).count() == 0L)
+    // the DSv2 format prunes partitions from a pushed equality
+    val v2df = spark.read.format("graft-sharded").load(path)
+      .where(col("src") === "s3")
+    assert(v2df.collect().map(_.getAs[String]("src")).forall(_ == "s3"))
+    val scanned = graft.sources.GraftSharded.scanDataFrame(spark,
+      path, None,
+      Seq(org.apache.spark.sql.sources.EqualTo("src", "s3")),
+      graft.sources.GraftSharded.tableSchema(spark, path, None))
+    // tombstone key files ride along in inputFiles; the DATA files
+    // must all come from the matching partition dirs
+    assert(scanned.inputFiles.filter(_.contains("/data-v"))
+      .forall(_.contains("/src=s3/")))
+    // CDC inserts deliver partitioned dirs intact
+    val ins = Sources.shardedTableInserts(spark, path, 1, 2)
+    assert(ins.count() == 100 &&
+      ins.columns.contains("src"))
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("DSv2 connector: format reads answer the library reads — " +
        "latest, pinned version, time travel, tombstones") {
     import org.apache.spark.sql.functions._
