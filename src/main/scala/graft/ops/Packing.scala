@@ -60,7 +60,23 @@ object Packing {
     * pay the shuffle once instead of once per value. */
   def orderedCumsums(df: DataFrame, order: Column,
                      values: Seq[(String, Column)], partitions: Int)
-      : DataFrame = {
+      : DataFrame =
+    orderedCumsumsReleasable(df, order, values, partitions)._1
+
+  /** [[orderedCumsums]] plus a RELEASE handle for the internal shared
+    * cache. The persist is load-bearing while the returned frame is
+    * being evaluated (one boundary sample pairs offsets with rows —
+    * see above), but a long-lived session issuing MANY cumsum-backed
+    * writes (the sharded-table writer: every snapshot commit) must
+    * drop the entry once its terminal action has run, or the session
+    * cache accumulates pinned frames and strangles executor memory
+    * for every later query (measured: a 565-query bench pass ran
+    * ~1.3x slower with the leak than with per-write release). Call
+    * the handle only AFTER the caller's action completes. */
+  def orderedCumsumsReleasable(df: DataFrame, order: Column,
+                               values: Seq[(String, Column)],
+                               partitions: Int)
+      : (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     require(values.nonEmpty, "orderedCumsums: need at least one value")
     val vCols = values.indices.map(i => s"__v$i")
@@ -96,13 +112,14 @@ object Packing {
         coalesce(sum(col(s"__t$i")).over(wBase), lit(0L)).as(s"__b$i")): _*)
     val w = Window.partitionBy(col("__pid")).orderBy(order)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    values.zipWithIndex
+    val out = values.zipWithIndex
       .foldLeft(p.join(broadcast(bases), Seq("__pid"))) {
         case (d, ((name, _), i)) =>
           d.withColumn(name,
             col(s"__b$i") + sum(col(s"__v$i")).over(w) - col(s"__v$i"))
       }
       .drop("__pid" +: (vCols ++ bCols): _*)
+    (out, () => { p.unpersist(); () })
   }
 
   /** Pack the corpus token stream (docs laid end-to-end in `id` order)

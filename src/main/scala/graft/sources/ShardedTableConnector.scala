@@ -138,6 +138,17 @@ private[graft] class GraftShardedScan(path: String,
       // the scan DataFrame is already internal rows; skip the
       // Row-roundtrip (the standard DataFrame-backed-relation idiom)
       override def needConversion: Boolean = false
+      // join-planning statistics from the manifest's per-leaf byte
+      // counts (pruned by the pushed filters): a small or
+      // tightly-pruned table reports its true size, so Spark
+      // BROADCASTS it instead of shuffling the other join side —
+      // unknown sizes (pre-n_bytes manifests) keep the conservative
+      // default, never masquerading as broadcastable
+      override def sizeInBytes: Long =
+        Sources.shardedTableScanBytes(context.sparkSession, path,
+            GraftSharded.filterBounds(pushed),
+            GraftSharded.filterPartEquals(pushed), version)
+          .getOrElse(super.sizeInBytes)
       override def buildScan(): RDD[Row] =
         GraftSharded.scanDataFrame(context.sparkSession, path, version,
             pushed, required)

@@ -1498,22 +1498,28 @@ object Sources {
       s"writeShardedTable: partition column(s) ${partCols
         .filterNot(df.columns.contains).mkString(",")} missing from " +
         "the input")
-    val data = graft.ops.Packing.orderedCumsum(df,
-        org.apache.spark.sql.functions.struct(orderCol, id), lit(1L),
-        partitions = 32, offsetName = "__pos")
-      .withColumn("shard", expr(s"__pos div $block"))
+    val (withPos, releaseCumsumCache) = graft.ops.Packing
+      .orderedCumsumsReleasable(df,
+        org.apache.spark.sql.functions.struct(orderCol, id),
+        Seq("__pos" -> lit(1L)), partitions = 32)
+    val data = withPos.withColumn("shard", expr(s"__pos div $block"))
     // sort WITHIN each shard by the global position: parquet
     // row-group min/max stats on the order column stay tight, so a
     // reader's pushed-down predicate prunes row groups INSIDE the
     // shards the manifest could not exclude — the second level of
     // the same stats hierarchy, paid once at write as a per-
     // partition (spill-aware) sort, no extra shuffle
-    data.repartition(numShards, col("shard"))
+    try data.repartition(numShards, col("shard"))
       .sortWithinPartitions(col("shard") +:
         partCols.map(col) :+ col("__pos"): _*)
       .drop("__pos")
       .write.mode("overwrite")
       .partitionBy(partCols :+ "shard": _*).parquet(dataDir)
+    // the cumsum's internal cache served its one action — drop it, or
+    // a session issuing many snapshot commits (streaming sinks, fuzz
+    // chains, any ingest loop) accumulates pinned full-frame cache
+    // entries that strangle executor memory for every later query
+    finally releaseCumsumCache()
     // manifest from the FILES (describe what a reader will find);
     // the rows are a FUNCTION of the claimed version — a conflict
     // retry rebuilds them with the new seq
@@ -1529,7 +1535,29 @@ object Sources {
     val aggs = Seq(count(lit(1)).as("n_rows")) ++ statsCols.flatMap(c =>
       Seq(min(col(c)).cast("long").as(s"min_$c"),
           max(col(c)).cast("long").as(s"max_$c")))
+    // per-leaf BYTE sizes from one recursive listing of the dir just
+    // written — the manifest then answers "how big is this pruned
+    // read" without touching storage (join-planning statistics for
+    // the DSv2 connector: a small table broadcasts)
+    val bytesByLeaf: Map[String, Long] = {
+      val fsL = new org.apache.hadoop.fs.Path(dataDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fsL.listFiles(new org.apache.hadoop.fs.Path(dataDir),
+        true)
+      val acc = scala.collection.mutable.Map.empty[String, Long]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = st.getPath.toUri.getPath
+          .stripPrefix(new org.apache.hadoop.fs.Path(dataDir)
+            .toUri.getPath).stripPrefix("/")
+        val leafRel = rel.split('/').dropRight(1).mkString("/")
+        if (st.getPath.getName.endsWith(".parquet") && leafRel.nonEmpty)
+          acc(leafRel) = acc.getOrElse(leafRel, 0L) + st.getLen
+      }
+      acc.toMap
+    }
     def newRows(v: Long) = {
+      import spark.implicits._
       val keys = Seq(col("shard").cast("long").as("shard")) ++
         partCols.map(col)
       val leafExpr = concat_ws("/",
@@ -1537,7 +1565,10 @@ object Sources {
           concat(lit("shard="), col("shard")): _*)
       val g = written.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
         .withColumn("leaf", leafExpr)
-      partCols.foldLeft(g)((d, c) =>
+      val sized = g.join(
+        broadcast(bytesByLeaf.toSeq.toDF("leaf", "n_bytes")),
+        Seq("leaf"), "left")
+      partCols.foldLeft(sized)((d, c) =>
           d.withColumn(s"part_$c", col(c).cast("string")).drop(c))
         .withColumn("data_dir", lit(dataDir))
         .withColumn("batch_id", lit(batchId))
@@ -1831,42 +1862,63 @@ object Sources {
                        version: Option[Long] = None,
                        partPreds: Seq[(String, String)] = Nil)
       : DataFrame = {
-    // no functions._ wildcard here: it would shadow the `version` param
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.functions.col
     val mf = normalizeManifest(shardedManifest(spark, path, version))
-    // PARTITION pruning: equality on a declared partition column
-    // drops whole leaf dirs by their manifest part_<c> value — the
-    // string-valued twin of stats pruning (same superset contract; a
-    // predicate on a non-partition column is simply skipped)
-    val dataMf = partPreds
-      .filter(p => mf.columns.contains(s"part_${p._1}"))
-      .foldLeft(mf.filter(col("kind") === "data")) {
-        case (m, (c, v)) =>
-          // null-safe KEEP (a row with no recorded value can never be
-          // excluded — same three-valued rule as stats pruning)
-          m.filter(coalesce(col(s"part_$c") === v, lit(true)))
-      }
+    val dataMf = mf.filter(col("kind") === "data")
     // tombstones are never pruned: key-only files, metadata-scale —
     // and a pruned-away tombstone would RESURRECT rows
     val delRows = mf.filter(col("kind") === "delete")
       .select("data_dir", "seq", "del_col").distinct().collect()
-    // a bound on a column the manifest keeps no stats for cannot
-    // prune (predicateBounds extracts bounds for ANY filtered column)
-    // — skip it, which only widens the read, never wrongs it
-    val statCols = mf.columns.filter(_.startsWith("min_"))
-      .map(_.drop(4)).toSet
-    // NULL-SAFE: a dir whose min_/max_ stats are null for this column
-    // (mixed statsCols across appends, or an all-null stats batch)
-    // must be KEPT — the three-valued bounds test evaluates to null
-    // there and a bare filter would silently prune live rows
-    val pruned = preds.filter(p => statCols.contains(p._1))
-      .foldLeft(dataMf) { case (m, (c, lo, hi)) =>
-        m.filter(coalesce(!(col(s"max_$c") < lo || col(s"min_$c") > hi),
-          lit(true))) }
+    val pruned = prunedDataManifest(dataMf, preds, partPreds)
     val rows = pruned.select("data_dir", "leaf", "seq").collect()
     val readV = version.getOrElse(shardedVersions(spark, path).last)
     readManifestShards(spark, dataMf, rows, delRows,
       renameEvents(spark, path, readV), readV)
+  }
+
+  /** Shared manifest pruning: partition-equality (part_<c> values)
+    * then stats bounds, both NULL-SAFE KEEP (a row without a recorded
+    * value can never be excluded — the three-valued superset rule) and
+    * both skipping predicates on columns the manifest doesn't track
+    * (which only widens the read, never wrongs it). */
+  private def prunedDataManifest(dataMf: DataFrame,
+                                 preds: Seq[(String, Long, Long)],
+                                 partPreds: Seq[(String, String)])
+      : DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val statCols = dataMf.columns.filter(_.startsWith("min_"))
+      .map(_.drop(4)).toSet
+    val byPart = partPreds
+      .filter(p => dataMf.columns.contains(s"part_${p._1}"))
+      .foldLeft(dataMf) { case (m, (c, v)) =>
+        m.filter(coalesce(col(s"part_$c") === v, lit(true)))
+      }
+    preds.filter(p => statCols.contains(p._1))
+      .foldLeft(byPart) { case (m, (c, lo, hi)) =>
+        m.filter(coalesce(!(col(s"max_$c") < lo || col(s"min_$c") > hi),
+          lit(true))) }
+  }
+
+  /** Byte size of the pruned scan, from the manifest's per-leaf
+    * n_bytes — join-planning statistics at metadata cost (the DSv2
+    * relation reports this as sizeInBytes, so a small or
+    * tightly-pruned sharded table BROADCASTS in joins instead of
+    * shuffling the big side). None when any pruned leaf predates the
+    * n_bytes column (old manifests) — an unknown size must never
+    * masquerade as a small one. */
+  def shardedTableScanBytes(spark: SparkSession, path: String,
+                            preds: Seq[(String, Long, Long)] = Nil,
+                            partPreds: Seq[(String, String)] = Nil,
+                            version: Option[Long] = None)
+      : Option[Long] = {
+    import org.apache.spark.sql.functions.col
+    val mf = normalizeManifest(shardedManifest(spark, path, version))
+    if (!mf.columns.contains("n_bytes")) return None
+    val rows = prunedDataManifest(mf.filter(col("kind") === "data"),
+        preds, partPreds)
+      .select("n_bytes").collect()
+    if (rows.exists(_.isNullAt(0))) None
+    else Some(rows.map(_.getLong(0)).sum)
   }
 
   /** Conservative per-column [lo, hi] bounds extracted from a

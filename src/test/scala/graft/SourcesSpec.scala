@@ -2240,6 +2240,38 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("DSv2 statistics: manifest byte counts size the pruned scan, " +
+       "so a small sharded table broadcasts in joins") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shstats").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 200), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    Sources.appendShardedTable(batch(1000, 200), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    val full = Sources.shardedTableScanBytes(spark, path)
+    val pruned = Sources.shardedTableScanBytes(spark, path,
+      preds = Seq(("doc_id", 0L, 199L)))
+    assert(full.exists(_ > 0) && pruned.exists(_ > 0))
+    assert(pruned.get < full.get, s"pruned $pruned vs full $full")
+    // the STATIC plan (pre-AQE) broadcasts the small relation — that
+    // decision comes from the relation's reported sizeInBytes, not
+    // from runtime adaptation
+    val big = spark.range(200000).select(col("id").as("doc_id"),
+      (col("id") * 2).as("x"))
+    val joined = big.join(
+      spark.read.format("graft-sharded").load(path)
+        .select("doc_id", "t"),
+      "doc_id")
+    assert(joined.queryExecution.sparkPlan.toString
+      .contains("BroadcastHashJoin"),
+      joined.queryExecution.sparkPlan.toString.take(800))
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("DSv2 connector: pushed filters prune the same files as " +
        "readShardedTableWhere") {
     import org.apache.spark.sql.functions._
