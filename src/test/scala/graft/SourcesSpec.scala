@@ -420,8 +420,11 @@ class SourcesSpec extends AnyFunSuite {
       col("doc_id"), path, numShards = 8, statsCols = Seq("doc_id"))
     assert(v1 == 1L)
     assert(Sources.shardedVersions(spark, path) == Seq(1L))
-    // manifest: 8 shards of 50 contiguous ids each
-    val mf = Sources.shardedManifest(spark, path).orderBy("shard")
+    // manifest: 8 shards of 50 contiguous ids each (columns by NAME —
+    // the physical column order evolves with the manifest format)
+    val mf = Sources.shardedManifest(spark, path)
+      .select("shard", "n_rows", "min_doc_id", "max_doc_id")
+      .orderBy("shard")
       .collect().map(r => (r.getLong(0), r.getLong(1),
         r.getLong(2), r.getLong(3)))
     assert(mf.length == 8)
