@@ -1514,6 +1514,36 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // DSv2 WRITE surface (r11): the table is created, partitioned and
+    // appended entirely through df.write.format("graft-sharded") —
+    // no library calls — then read back through the format with a
+    // pushed partition + range filter. The snapshot writers' commit
+    // protocol, schema checks and partition inheritance sit under the
+    // standard writer API.
+    "q592_sharded_dsv2_write" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString + "/t"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.format("graft-sharded")
+        .option("idCol", "doc_id").option("numShards", 4)
+        .partitionBy("source")
+        .mode("append").save(path)
+      docs.filter(col("doc_id") % 2 === 1)
+        .write.format("graft-sharded")
+        .option("idCol", "doc_id").option("numShards", 4)
+        .mode("append").save(path)
+      val res = s.read.format("graft-sharded").load(path)
+        .where(col("source").isin("src2", "src9", "src14") &&
+          col("doc_id") >= 20)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
     // Row-level UPDATE by predicate (r10): the GDPR-redaction /
     // label-fix shape — one atomic delete+insert snapshot over the
     // matched rows, O(matched), zero existing files rewritten. The
@@ -6783,6 +6813,12 @@ object SparkEntry {
          WHERE n_chars >= 100 AND (source IN ('src3', 'src7')
            OR source = 'src11'
            OR (source = 'src5' AND doc_id <= 250))
+         ORDER BY doc_id""",
+
+    // q592: the format-written table answers the plain filters
+    "q592_sharded_dsv2_write" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE source IN ('src2', 'src9', 'src14') AND doc_id >= 20
          ORDER BY doc_id""",
 
     // q582: the streamed replica equals q566's closed form

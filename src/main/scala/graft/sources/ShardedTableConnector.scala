@@ -3,14 +3,16 @@ package graft.sources
 import java.util
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
-  TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead,
+  SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister,
-  Filter, TableScan}
+  Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -54,7 +56,9 @@ class GraftShardedDataSource extends TableProvider
 
   override def shortName(): String = "graft-sharded"
 
-  override def supportsExternalMetadata(): Boolean = false
+  // writes to a NOT-YET-EXISTING table must not call inferSchema —
+  // with external metadata Spark hands getTable the query's schema
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap)
       : StructType =
@@ -67,21 +71,65 @@ class GraftShardedDataSource extends TableProvider
                         partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new GraftShardedTable(GraftSharded.pathOf(properties), schema,
-      GraftSharded.versionOf(SparkSession.active, properties))
+      GraftSharded.versionOf(SparkSession.active, properties),
+      partitioning)
 }
 
 private[graft] class GraftShardedTable(path: String,
                                          tschema: StructType,
-                                         version: Option[Long])
-    extends Table with SupportsRead {
+                                         version: Option[Long],
+                                         partitioning_ : Array[Transform] =
+                                           Array.empty)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"graft-sharded:$path" + version.map(v => s"@v$v").getOrElse("")
   override def schema(): StructType = tschema
+  // report the writer-declared partitioning back (Spark cross-checks
+  // a partitionBy() on write against the table's)
+  override def partitioning(): Array[Transform] = partitioning_
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
     new GraftShardedScanBuilder(path, tschema, version)
+
+  /** WRITE surface over the V1 bridge — the snapshot writers already
+    * ARE distributed writes with their own atomic commit, so the
+    * insert delegates straight to them:
+    *
+    * {{{
+    *   df.write.format("graft-sharded")
+    *     .option("idCol", "doc_id")        // row id (default: 1st col)
+    *     .option("orderCol", "doc_id")     // range-shard order (= id)
+    *     .option("numShards", 16)          // default 16
+    *     .option("statsCols", "doc_id")    // default: idCol
+    *     .partitionBy("source")            // creation only
+    *     .mode("append").save(path)        // append | overwrite
+    * }}}
+    *
+    * append creates the table when absent, else appends (schema
+    * checks, widening and partition inheritance all apply); overwrite
+    * publishes a fresh-manifest snapshot (old versions stay readable
+    * until expiry — the table-format overwrite, not an rm -rf).
+    * ErrorIfExists/Ignore are not supported for path-based V2 writes;
+    * streaming writes go through the foreachBatch sink bodies. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql
+                .Dataset[Row], overwriteFlag: Boolean): Unit =
+              GraftSharded.insertInto(path, data.toDF(),
+                overwrite || overwriteFlag, info.options(),
+                partitioning_)
+          }
+      }
+    }
 }
 
 private[graft] class GraftShardedScanBuilder(path: String,
@@ -263,6 +311,42 @@ object GraftSharded {
       case _ => Nil
     }
     filters.flatMap(eqs).distinct
+  }
+
+  /** The write path behind the format: resolve the knobs from write
+    * options, then delegate to the snapshot writers (whose claim
+    * commit, schema checks, widening and partition inheritance all
+    * apply unchanged). Partitioning transforms apply at CREATION
+    * only — identity transforms name the partition columns. */
+  private[graft] def insertInto(path: String, df: DataFrame,
+                                overwrite: Boolean,
+                                options: CaseInsensitiveStringMap,
+                                partitioning: Array[Transform]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val idCol = Option(options.get("idCol"))
+      .getOrElse(df.columns.head)
+    require(df.columns.contains(idCol),
+      s"graft-sharded write: idCol $idCol not in ${df.columns.toSeq}")
+    val orderCol = Option(options.get("orderCol")).getOrElse(idCol)
+    val numShards = Option(options.get("numShards"))
+      .map(_.trim.toInt).getOrElse(16)
+    val statsCols = Option(options.get("statsCols"))
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq(idCol))
+    val partCols = partitioning.toSeq.flatMap { t =>
+      if (t.name == "identity")
+        t.references.toSeq.map(_.fieldNames.mkString("."))
+      else sys.error(s"graft-sharded write: unsupported partition " +
+        s"transform ${t.describe()} — only plain columns")
+    }
+    val spark = df.sparkSession
+    val exists = Sources.shardedVersions(spark, path).nonEmpty
+    if (overwrite || !exists)
+      Sources.writeShardedTable(df, col(idCol), col(orderCol), path,
+        numShards, statsCols, partitionCols = partCols)
+    else
+      Sources.appendShardedTable(df, col(idCol), col(orderCol), path,
+        numShards, statsCols)
+    ()
   }
 
   /** Plan the scan: manifest-pruned read (stats bounds + partition

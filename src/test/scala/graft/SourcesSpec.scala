@@ -2243,6 +2243,48 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("DSv2 WRITE: df.write.format(graft-sharded) creates, appends " +
+       "and overwrites through the snapshot writers") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shdsv2w").toString + "/t"
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("s"), pmod(col("id") + lo, lit(3))).as("src"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    // CREATE via append mode on an absent path, partitioned
+    batch(0, 120).write.format("graft-sharded")
+      .option("idCol", "doc_id").option("numShards", 4)
+      .partitionBy("src")
+      .mode("append").save(path)
+    assert(Sources.shardedVersions(spark, path) == Seq(1L))
+    assert(new java.io.File(vdir(path, "data-v1")).listFiles()
+      .exists(_.getName.startsWith("src=")))
+    // APPEND inherits the layout; the library read agrees
+    batch(1000, 60).write.format("graft-sharded")
+      .option("idCol", "doc_id").mode("append").save(path)
+    assert(Sources.readShardedTable(spark, path).count() == 180)
+    // the format read + pushed partition filter sees the writes
+    val pr = spark.read.format("graft-sharded").load(path)
+      .where(col("src") === "s1")
+    assert(pr.count() == 60)
+    // OVERWRITE publishes a fresh-manifest snapshot; old version
+    // still pinnable
+    batch(5000, 30).write.format("graft-sharded")
+      .option("idCol", "doc_id").option("numShards", 2)
+      .mode("overwrite").save(path)
+    assert(spark.read.format("graft-sharded").load(path)
+      .count() == 30)
+    assert(spark.read.format("graft-sharded").option("version", 2)
+      .load(path).count() == 180)
+    // schema drift fails loudly through the append checks
+    intercept[Exception] {
+      spark.range(3).select(col("id").as("doc_id"))
+        .write.format("graft-sharded").mode("append").save(path)
+    }
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("DSv2 statistics: manifest byte counts size the pruned scan, " +
        "so a small sharded table broadcasts in joins") {
     import org.apache.spark.sql.functions._
