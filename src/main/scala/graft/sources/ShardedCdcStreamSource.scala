@@ -78,8 +78,18 @@ class GraftShardedCdcSourceProvider extends StreamSourceProvider
       .trim.toInt
     require(maxV >= 1,
       s"graft-sharded-cdc: maxVersionsPerTrigger must be >= 1, got $maxV")
+    // startingVersion: skip the initial load and stream CHANGES only —
+    // "latest" starts after the current head (pure tail-follow);
+    // a number V delivers version V's changes onward (V-1 is the
+    // cursor base). Absent = full initial load first.
+    val startBase = parameters.get("startingVersion").map {
+      case s if s.trim.equalsIgnoreCase("latest") =>
+        Sources.shardedVersions(ctx.sparkSession, path).lastOption
+          .getOrElse(0L)
+      case s => s.trim.toLong - 1L
+    }
     new GraftShardedCdcSource(ctx.sparkSession, path, metadataPath,
-      maxV)
+      maxV, startBase)
   }
 }
 
@@ -97,7 +107,9 @@ private[graft] object GraftShardedCdcSource {
 private[graft] class GraftShardedCdcSource(spark: SparkSession,
                                            path: String,
                                            metadataPath: String,
-                                           maxVersionsPerTrigger: Int)
+                                           maxVersionsPerTrigger: Int,
+                                           startBase: Option[Long] =
+                                             None)
     extends Source {
 
   import org.apache.spark.sql.functions.{col, lit}
@@ -144,11 +156,16 @@ private[graft] class GraftShardedCdcSource(spark: SparkSession,
   override def getOffset: Option[OffsetV1] = {
     val latest = Sources.shardedVersions(spark, path).lastOption
       .getOrElse(return None)
-    // first ever trigger: the initial load is one indivisible batch
-    // at the current latest version; afterwards advance at most
-    // maxVersionsPerTrigger versions per trigger
+    // first ever trigger: with a startingVersion base, catch up from
+    // it rate-limited like any change window; otherwise the initial
+    // load is one indivisible batch at the current latest version.
+    // Afterwards advance at most maxVersionsPerTrigger per trigger.
     val next =
-      if (lastReturned < 0) latest
+      if (lastReturned < 0) startBase match {
+        case Some(b) => math.min(latest,
+          math.max(b, 0L) + maxVersionsPerTrigger)
+        case None => latest
+      }
       else math.min(latest, lastReturned + maxVersionsPerTrigger)
     if (next > lastReturned) {
       lastReturned = next
@@ -165,16 +182,22 @@ private[graft] class GraftShardedCdcSource(spark: SparkSession,
     // restart path: getBatch can run before any getOffset — keep the
     // rate-limit base monotone with what the checkpoint replays
     if (endV > lastReturned) { lastReturned = endV; writeMarker(endV) }
-    val df = start.map(offsetValue) match {
+    val df = start.map(offsetValue).orElse(startBase) match {
       case None =>
         // initial load: table state AT endV, all inserts
         align(Sources.readShardedTable(spark, path,
             version = Some(endV)).drop("shard"))
           .withColumn("_change_type", lit("insert"))
           .withColumn("_commit_version", lit(endV))
+      case Some(s) if s >= endV =>
+        // startingVersion at/after the head: an empty change batch
+        // (schema-correct) — the stream is a pure tail-follow
+        align(Sources.readShardedTable(spark, path,
+            version = Some(endV)).drop("shard"))
+          .filter(lit(false))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("_commit_version", lit(endV))
       case Some(s) =>
-        require(s <= endV, s"graft-sharded-cdc: offset went backwards " +
-          s"($s > $endV)")
         (s + 1 to endV).map(windowFrame)
           .reduce(_.unionByName(_))
     }

@@ -1491,4 +1491,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(replica.size == 200 + 50 - 10 + 20)
     Sources.dropShardedTable(spark, path)
   }
+
+  test("graft-sharded-cdc startingVersion: latest tail-follows with " +
+       "no initial load; a numeric version replays from there") {
+    import graft.sources.Sources
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_cdctail").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 100), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long)]
+    def run(ckpt: String, opts: Map[String, String]): Unit = {
+      val r = opts.foldLeft(spark.readStream
+          .format("graft-sharded-cdc").option("path", path)) {
+        case (b, (k, v)) => b.option(k, v) }
+      val q = r.load().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select("doc_id", "_change_type", "_commit_version")
+            .collect()
+            .map(r2 => (r2.getLong(0), r2.getString(1), r2.getLong(2)))
+          ()
+        }
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val ckptTail = java.nio.file.Files
+      .createTempDirectory("graft_cdctail_ck").toString
+    // latest: the 100 existing rows are NOT delivered
+    run(ckptTail, Map("startingVersion" -> "latest"))
+    assert(got.isEmpty, s"tail-follow delivered ${got.size} rows")
+    // the next append IS delivered (changes only), from the same
+    // checkpoint
+    Sources.appendShardedTable(batch(1000, 20), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    run(ckptTail, Map("startingVersion" -> "latest"))
+    assert(got.size == 20 && got.forall(r => r._2 == "insert" &&
+      r._3 == 2L && r._1 >= 1000))
+    // numeric: a fresh consumer replaying from version 2 sees v2's
+    // inserts and v3's deletes, never v1's initial state
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(5).select((col("id") + 1000).as("doc_id")))
+    got.clear()
+    val ckptNum = java.nio.file.Files
+      .createTempDirectory("graft_cdcnum_ck").toString
+    run(ckptNum, Map("startingVersion" -> "2",
+      "maxVersionsPerTrigger" -> "8"))
+    assert(got.count(_._2 == "insert") == 20)
+    assert(got.count(_._2 == "delete") == 5)
+    assert(got.forall(_._3 >= 2L))
+    Sources.dropShardedTable(spark, path)
+  }
 }
