@@ -82,10 +82,19 @@ class GraftShardedCdcSourceProvider extends StreamSourceProvider
     // "latest" starts after the current head (pure tail-follow);
     // a number V delivers version V's changes onward (V-1 is the
     // cursor base). Absent = full initial load first.
+    //
+    // 'latest' is resolved ONCE and PERSISTED (a base marker under the
+    // source's checkpoint metadata dir): a restart must replay the
+    // WAL-logged offsets against the same base — re-resolving against
+    // the now-moved head would make getBatch(None, end) see
+    // start >= end and silently skip the logged windows, diverging a
+    // replica from the documented same-offset redelivery contract.
     val startBase = parameters.get("startingVersion").map {
       case s if s.trim.equalsIgnoreCase("latest") =>
-        Sources.shardedVersions(ctx.sparkSession, path).lastOption
-          .getOrElse(0L)
+        GraftShardedCdcSource.persistentBase(ctx.sparkSession,
+          metadataPath, () =>
+            Sources.shardedVersions(ctx.sparkSession, path).lastOption
+              .getOrElse(0L))
       case s => s.trim.toLong - 1L
     }
     new GraftShardedCdcSource(ctx.sparkSession, path, metadataPath,
@@ -94,6 +103,37 @@ class GraftShardedCdcSourceProvider extends StreamSourceProvider
 }
 
 private[graft] object GraftShardedCdcSource {
+
+  /** Read-or-create the persisted `startingVersion=latest` base: the
+    * first createSource resolves the head and writes
+    * `<metadataPath>/graft-base.v<N>`; every restart reads the marker
+    * instead of re-resolving (create-then-read ties the race between
+    * two concurrent first-starts to whichever marker exists — both
+    * resolve the same head in practice, and the reader takes the MIN
+    * so redelivery can only widen, never skip). */
+  def persistentBase(spark: SparkSession, metadataPath: String,
+                     resolve: () => Long): Long = {
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = "graft-base.v"
+    def existing(): Option[Long] =
+      if (!fs.exists(dir)) None
+      else {
+        val vs = fs.listStatus(dir).map(_.getPath.getName)
+          .filter(_.startsWith(prefix))
+          .flatMap(n => scala.util.Try(
+            n.stripPrefix(prefix).toLong).toOption)
+        if (vs.isEmpty) None else Some(vs.min)
+      }
+    existing().getOrElse {
+      val b = resolve()
+      fs.mkdirs(dir)
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$metadataPath/$prefix$b"), true).close()
+      existing().getOrElse(b)
+    }
+  }
+
   /** Table columns (shard is the writer's layout detail, not data)
     * plus the CDC envelope. */
   def cdcSchema(spark: SparkSession, path: String): StructType = {

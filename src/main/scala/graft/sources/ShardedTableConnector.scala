@@ -343,9 +343,20 @@ object GraftSharded {
     if (overwrite || !exists)
       Sources.writeShardedTable(df, col(idCol), col(orderCol), path,
         numShards, statsCols, partitionCols = partCols)
-    else
+    else {
+      // append INHERITS the table's layout; a writer that passed a
+      // partitionBy believing it changed the layout must hear NO, not
+      // get the inherited one silently
+      val inherited = Sources.shardedTablePartitionCols(spark, path)
+      require(partCols.isEmpty || partCols == inherited,
+        s"graft-sharded append: partitionBy(${partCols.mkString(",")}) " +
+          s"does not match the table's declared partition columns " +
+          s"(${if (inherited.isEmpty) "none" else inherited.mkString(",")}) " +
+          "— the layout is fixed at creation; drop the partitionBy or " +
+          "overwrite the table")
       Sources.appendShardedTable(df, col(idCol), col(orderCol), path,
         numShards, statsCols)
+    }
     ()
   }
 

@@ -2350,4 +2350,193 @@ class SourcesSpec extends AnyFunSuite {
       .toSeq == (120L to 180L))
     Sources.dropShardedTable(spark, path)
   }
+
+  test("FAST READ generalized (r12): a 32+-dir PARTITIONED table " +
+       "reads through the explicit-schema fast path — values, " +
+       "pruning and tombstones intact") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fastpart").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("s"), pmod(col("id") + lo, lit(2))).as("src"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 20), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"),
+      partitionCols = Seq("src"))
+    (1 until 34).foreach { i =>
+      Sources.appendShardedTable(batch(20L * i, 20), col("doc_id"),
+        col("doc_id"), path, 2, Seq("doc_id"))
+    }
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(10).select((col("id") * 7).as("doc_id")))
+    val all = Sources.readShardedTable(spark, path)
+    // 34 contributing dirs — well past the threshold
+    assert(all.inputFiles.filter(_.contains("/data-v"))
+      .map(_.split("/data-v")(1).split('/').head).distinct.length
+      >= 32)
+    val got = all.select("doc_id", "src", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val want = (0L until 680L).filterNot(k => k % 7 == 0 && k < 70)
+      .map(k => (k, s"s${k % 2}", s"d$k")).toSet
+    assert(got == want)
+    // partition pruning still holds on the fast path
+    val pr = Sources.readShardedTableWhere(spark, path,
+      col("src") === "s1")
+    assert(pr.inputFiles.filter(_.contains("/data-v"))
+      .forall(_.contains("/src=s1/")))
+    assert(pr.count() == want.count(_._2 == "s1"))
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("FAST READ generalized (r12): a 32+-dir WIDENED table (int -> " +
+       "long mid-chain) stays readable — the advice-flagged " +
+       "mergeSchema crash falls through to the explicit-schema path") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fastwide").toString
+    def batchInt(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        (col("id") + lo).cast("int").as("score"))
+    def batchLong(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        (col("id") + lo + 1000000000000L).as("score"))
+    Sources.writeShardedTable(batchInt(0, 20), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    // the widening write — newest dir becomes the long authority
+    Sources.appendShardedTable(batchLong(20, 20), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    (2 until 35).foreach { i =>
+      Sources.appendShardedTable(batchLong(20L * i, 20), col("doc_id"),
+        col("doc_id"), path, 2, Seq("doc_id"))
+    }
+    val all = Sources.readShardedTable(spark, path)
+    assert(all.schema("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(all.count() == 700)
+    // pre-widening rows up-cast, post-widening rows intact
+    val m = all.select("doc_id", "score").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(5L) == 5L && m(30L) == 30L + 1000000000000L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("FAST READ generalized (r12): a 32+-dir RENAMED table reads " +
+       "one scan per rename era with per-era physical names") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fastren").toString
+    def batch(lo: Long, n: Long, c: String) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as(c))
+    Sources.writeShardedTable(batch(0, 20, "title"), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    (1 until 17).foreach { i =>
+      Sources.appendShardedTable(batch(20L * i, 20, "title"),
+        col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+    }
+    Sources.renameShardedTableColumn(spark, path, "title", "headline")
+    (17 until 35).foreach { i =>
+      Sources.appendShardedTable(batch(20L * i, 20, "headline"),
+        col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+    }
+    val all = Sources.readShardedTable(spark, path)
+    assert(all.columns.toSet == Set("doc_id", "headline", "shard"))
+    val got = all.select("doc_id", "headline").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 700 && got(3L) == "d3" && got(690L) == "d690")
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("partition values that need Hive escaping ('=', ':', ' ') " +
+       "commit, read back, and prune correctly") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_escpart").toString
+    val df = spark.range(40).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, lit("a=b c"))
+        .otherwise(lit("x:y%z")).as("src"),
+      concat(lit("d"), col("id")).as("t"))
+    Sources.writeShardedTable(df, col("doc_id"), col("doc_id"),
+      path, 2, Seq("doc_id"), partitionCols = Seq("src"))
+    val all = Sources.readShardedTable(spark, path)
+    assert(all.count() == 40)
+    assert(all.select("src").distinct().collect()
+      .map(_.getString(0)).toSet == Set("a=b c", "x:y%z"))
+    // append inherits and re-escapes; pruning matches the RAW value
+    Sources.appendShardedTable(
+      spark.range(5).select((col("id") + 100).as("doc_id"),
+        lit("a=b c").as("src"),
+        concat(lit("d"), col("id") + 100).as("t")),
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+    val pr = Sources.readShardedTable(spark, path,
+      partPreds = Seq(("src", "a=b c")))
+    assert(pr.count() == 25)
+    // genuinely pruned: fewer files than the unfiltered read
+    assert(pr.inputFiles.length <
+      Sources.readShardedTable(spark, path).inputFiles.length)
+    // the audit recomputes cleanly through the escaped leaves
+    assert(Sources.auditShardedTable(spark, path).count() == 0L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("renaming a declared PARTITION column is rejected (later " +
+       "writes derive the layout from part_<c> manifest names)") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_renpart").toString
+    Sources.writeShardedTable(
+      spark.range(10).select(col("id").as("doc_id"),
+        lit("a").as("src")),
+      col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"),
+      partitionCols = Seq("src"))
+    val e = intercept[IllegalArgumentException] {
+      Sources.renameShardedTableColumn(spark, path, "src", "origin")
+    }
+    assert(e.getMessage.contains("partition column"))
+    // non-partition columns still rename fine afterwards
+    Sources.renameShardedTableColumn(spark, path, "doc_id", "doc")
+    assert(Sources.readShardedTable(spark, path).columns
+      .contains("doc"))
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("DSv2 append with a partitionBy that diverges from the " +
+       "table's declared layout errors instead of silently " +
+       "inheriting") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_dsv2part").toString
+    val df = spark.range(10).select(col("id").as("doc_id"),
+      lit("a").as("src"))
+    df.write.format("graft-sharded").option("idCol", "doc_id")
+      .partitionBy("src").mode("overwrite").save(path)
+    // matching partitionBy appends fine
+    df.write.format("graft-sharded").option("idCol", "doc_id")
+      .partitionBy("src").mode("append").save(path)
+    // a DIVERGING partitionBy must error, not silently inherit
+    val e = intercept[Exception] {
+      df.write.format("graft-sharded").option("idCol", "doc_id")
+        .partitionBy("doc_id").mode("append").save(path)
+    }
+    assert(e.getMessage.contains("partition") ||
+      Option(e.getCause).exists(_.getMessage.contains("partition")))
+    assert(Sources.readShardedTable(spark, path).count() == 20)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("CDC startingVersion=latest base persists across source " +
+       "restarts (re-resolving against a moved head would skip " +
+       "WAL-logged windows)") {
+    val meta = java.nio.file.Files
+      .createTempDirectory("graft_cdcbase").toString
+    var resolves = 0
+    val b1 = graft.sources.GraftShardedCdcSource.persistentBase(
+      spark, meta, () => { resolves += 1; 7L })
+    // a restart re-resolving would see a moved head (9) — the
+    // persisted base must win
+    val b2 = graft.sources.GraftShardedCdcSource.persistentBase(
+      spark, meta, () => { resolves += 1; 9L })
+    assert(b1 == 7L && b2 == 7L && resolves == 1)
+  }
 }
