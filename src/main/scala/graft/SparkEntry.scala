@@ -1544,6 +1544,80 @@ object SparkEntry {
       res.orderBy("doc_id")
     }),
 
+    // TableCatalog (r12): NAME-BASED pure-SQL lifecycle — CREATE
+    // TABLE under a catalog, two INSERT INTO commits, a metadata-only
+    // ALTER ... RENAME COLUMN, a current read under the new name, and
+    // a VERSION AS OF read that still sees v1's rows and era. The
+    // oracle is the same rows straight off the documents table.
+    "q593_sharded_catalog" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_cat_").toString
+      s.conf.set("spark.sql.catalog.graftcat",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftcat.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftcat.corpus")
+      s.sql("DROP TABLE IF EXISTS graftcat.corpus.docs")
+      s.sql("""CREATE TABLE graftcat.corpus.docs
+               (doc_id BIGINT, source STRING, n_chars BIGINT)
+               USING `graft-sharded`
+               TBLPROPERTIES ('idCol'='doc_id', 'numShards'='4',
+                 'statsCols'='doc_id')""")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q593_docs")
+      s.sql("""INSERT INTO graftcat.corpus.docs
+               SELECT doc_id, source, CAST(n_chars AS BIGINT)
+               FROM q593_docs WHERE doc_id % 2 = 0""")
+      s.sql("""INSERT INTO graftcat.corpus.docs
+               SELECT doc_id, source, CAST(n_chars AS BIGINT)
+               FROM q593_docs WHERE doc_id % 2 = 1""")
+      s.sql("ALTER TABLE graftcat.corpus.docs " +
+        "RENAME COLUMN n_chars TO chars")
+      val cur = s.sql(
+        """SELECT 'cur' AS era, doc_id, chars
+           FROM graftcat.corpus.docs
+           WHERE doc_id BETWEEN 100 AND 399""")
+      val v1 = s.sql(
+        """SELECT 'v1' AS era, doc_id, n_chars AS chars
+           FROM graftcat.corpus.docs VERSION AS OF 1
+           WHERE doc_id BETWEEN 100 AND 399""")
+      val res = cur.unionByName(v1).cut()
+      s.sql("DROP TABLE graftcat.corpus.docs")
+      s.sql("DROP NAMESPACE graftcat.corpus")
+      res.orderBy("doc_id", "era")
+    }),
+
+    // Aggregate pushdown (r12): count(*)/min/max answered from the
+    // manifest's n_rows and stats bounds — zero data files opened
+    // (SourcesSpec proves it by deleting one and re-asking). The
+    // oracle computes the same aggregates over documents.
+    "q594_sharded_agg_pushdown" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long")
+          .as("n_chars"))
+      graft.sources.Sources.writeShardedTable(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"),
+        col("doc_id"), path, numShards = 4,
+        statsCols = Seq("doc_id", "n_chars"))
+      graft.sources.Sources.appendShardedTable(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"),
+        col("doc_id"), path, numShards = 4,
+        statsCols = Seq("doc_id", "n_chars"))
+      val res = s.read.format("graft-sharded").load(path)
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res
+    }),
+
     // Row-level UPDATE by predicate (r10): the GDPR-redaction /
     // label-fix shape — one atomic delete+insert snapshot over the
     // matched rows, O(matched), zero existing files rewritten. The
@@ -6820,6 +6894,26 @@ object SparkEntry {
       """SELECT doc_id, source, n_chars FROM documents
          WHERE source IN ('src2', 'src9', 'src14') AND doc_id >= 20
          ORDER BY doc_id""",
+
+    // q593: the current (renamed-column) read sees every row; the
+    // VERSION AS OF 1 read sees only the first insert's (even) rows
+    "q593_sharded_catalog" ->
+      """SELECT * FROM (
+           SELECT 'cur' AS era, doc_id, CAST(n_chars AS BIGINT) AS chars
+           FROM documents WHERE doc_id BETWEEN 100 AND 399
+           UNION ALL
+           SELECT 'v1' AS era, doc_id, CAST(n_chars AS BIGINT) AS chars
+           FROM documents
+           WHERE doc_id % 2 = 0 AND doc_id BETWEEN 100 AND 399
+         ) ORDER BY doc_id, era""",
+
+    // q594: the manifest-answered aggregates equal the plain ones
+    "q594_sharded_agg_pushdown" ->
+      """SELECT count(*) AS n,
+                min(doc_id) AS min_id, max(doc_id) AS max_id,
+                CAST(min(n_chars) AS BIGINT) AS min_chars,
+                CAST(max(n_chars) AS BIGINT) AS max_chars
+         FROM documents""",
 
     // q582: the streamed replica equals q566's closed form
     "q582_sharded_cdc_stream" ->

@@ -79,7 +79,10 @@ private[graft] class GraftShardedTable(path: String,
                                          tschema: StructType,
                                          version: Option[Long],
                                          partitioning_ : Array[Transform] =
-                                           Array.empty)
+                                           Array.empty,
+                                         writeDefaults:
+                                           Map[String, String] =
+                                           Map.empty)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"graft-sharded:$path" + version.map(v => s"@v$v").getOrElse("")
@@ -123,10 +126,18 @@ private[graft] class GraftShardedTable(path: String,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql
-                .Dataset[Row], overwriteFlag: Boolean): Unit =
+                .Dataset[Row], overwriteFlag: Boolean): Unit = {
+              // catalog tables carry their write knobs (idCol,
+              // numShards, ...) as TABLE properties — a SQL INSERT
+              // passes no reader/writer options, so the stored
+              // defaults fill any the caller omitted
+              val merged = new java.util.HashMap[String, String]()
+              writeDefaults.foreach { case (k, v) => merged.put(k, v) }
+              info.options().forEach((k, v) => merged.put(k, v))
               GraftSharded.insertInto(path, data.toDF(),
-                overwrite || overwriteFlag, info.options(),
-                partitioning_)
+                overwrite || overwriteFlag,
+                new CaseInsensitiveStringMap(merged), partitioning_)
+            }
           }
       }
     }
@@ -136,10 +147,13 @@ private[graft] class GraftShardedScanBuilder(path: String,
                                                tschema: StructType,
                                                version: Option[Long])
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read
+      .SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tschema
+  private var agg: Option[(StructType, Seq[Any])] = None
 
   /** Accept the filters we can evaluate as Columns; everything else
     * goes back to Spark as a post-scan filter. Accepted filters are
@@ -161,8 +175,114 @@ private[graft] class GraftShardedScanBuilder(path: String,
     required = StructType(tschema.fields.filter(f => want(f.name)))
   }
 
-  override def build(): Scan =
-    new GraftShardedScan(path, version, pushed, required)
+  /** AGGREGATE pushdown — `count(*)`, and `min`/`max` on integral
+    * stats columns, answered from the manifest's `n_rows` and
+    * `min_/max_` bounds WITHOUT opening a single data file. Pushed
+    * only when the answer is exact:
+    *
+    *  - no pushed data filters (manifest pruning is a SUPERSET
+    *    guarantee — fine for scans, wrong for aggregates),
+    *  - no GROUP BY, and
+    *  - [[Sources.shardedManifestAggView]] vouches for the snapshot:
+    *    zero live tombstones, and (for min/max) a non-null recorded
+    *    bound on EVERY data leaf — a leaf written without stats for
+    *    the column could hide values, so it disqualifies the column.
+    *
+    * Complete pushdown: the scan returns the one aggregated row. */
+  override def supportCompletePushDown(
+      a: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    aggAnswer(a).isDefined
+
+  override def pushAggregation(
+      a: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    aggAnswer(a) match {
+      case Some(ans) => agg = Some(ans); true
+      case None => false
+    }
+
+  private def aggAnswer(
+      a: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    if (pushed.nonEmpty || a.groupByExpressions().nonEmpty) return None
+    val view = Sources.shardedManifestAggView(
+      SparkSession.active, path, version).getOrElse(return None)
+    def colOf(e: org.apache.spark.sql.connector.expressions
+        .Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def back(v: Long, dt: DataType): Any = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType => v.toInt
+      case _ => v
+    }
+    val outs = a.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        Some((StructField("count(*)", LongType, nullable = false),
+          view.rowCount: Any))
+      case m: Min =>
+        for {
+          c <- colOf(m.column())
+          f <- tschema.fields.find(_.name == c) if integral(f.dataType)
+          b <- view.bounds.get(c)
+        } yield (StructField(s"min($c)", f.dataType),
+          back(b._1, f.dataType))
+      case m: Max =>
+        for {
+          c <- colOf(m.column())
+          f <- tschema.fields.find(_.name == c) if integral(f.dataType)
+          b <- view.bounds.get(c)
+        } yield (StructField(s"max($c)", f.dataType),
+          back(b._2, f.dataType))
+      case _ => None
+    }
+    if (outs.exists(_.isEmpty)) None
+    else Some((StructType(outs.flatten.map(_._1)),
+      outs.flatten.map(_._2)))
+  }
+
+  override def build(): Scan = agg match {
+    case Some((schema, vals)) =>
+      new GraftShardedAggScan(path, version, schema, vals)
+    case None =>
+      new GraftShardedScan(path, version, pushed, required)
+  }
+}
+
+/** The manifest-answered aggregate scan: one local row, zero data
+  * files. */
+private[graft] class GraftShardedAggScan(path: String,
+                                           version: Option[Long],
+                                           outSchema: StructType,
+                                           vals: Seq[Any])
+    extends V1Scan {
+  override def readSchema(): StructType = outSchema
+  override def description(): String =
+    s"GraftShardedAggScan(path=$path, manifest-only " +
+      s"[${outSchema.fieldNames.mkString(", ")}])"
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = outSchema
+      override def needConversion: Boolean = false
+      override def sizeInBytes: Long = outSchema.fields.length * 8L
+      override def buildScan(): RDD[Row] =
+        context.sparkSession.createDataFrame(
+            java.util.Arrays.asList(Row.fromSeq(vals)), outSchema)
+          .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+    }.asInstanceOf[T]
 }
 
 private[graft] class GraftShardedScan(path: String,
@@ -369,6 +489,11 @@ object GraftSharded {
                                      pushed: Seq[Filter],
                                      required: StructType): DataFrame = {
     import org.apache.spark.sql.functions.col
+    // a catalog-created table that has never been inserted into has no
+    // snapshot yet — scan as empty with the declared schema
+    if (Sources.shardedVersions(spark, path).isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], required)
     val base = Sources.readShardedTable(spark, path,
       filterBounds(pushed), version,
       partPreds = filterPartEquals(pushed))

@@ -2002,6 +2002,40 @@ object Sources {
       : Seq[String] =
     resolveMeta(spark, path).partCols
 
+  /** Manifest-only aggregate answers for the DSv2 pushdown
+    * (`count(*)`, min/max over stats columns): EXACT table row count
+    * and per-column [min, max], or None when the snapshot cannot
+    * vouch — any live tombstone makes counts/bounds stale, so the
+    * whole view is withheld. A column appears in `bounds` only when
+    * EVERY data leaf carries a non-null recorded bound for it (a leaf
+    * written without stats for the column could hide values; a leaf
+    * whose values were all null contributes null bounds and likewise
+    * disqualifies — conservative, never wrong). */
+  final case class ShardedAggView(rowCount: Long,
+                                  bounds: Map[String, (Long, Long)])
+
+  def shardedManifestAggView(spark: SparkSession, path: String,
+                             version: Option[Long] = None)
+      : Option[ShardedAggView] = {
+    if (shardedVersions(spark, path).isEmpty) return None
+    val meta = resolveMeta(spark, path, version)
+    if (meta.delRows.nonEmpty) return None
+    val n = meta.dataRows.map(_.getAs[Long]("n_rows")).sum
+    val statCols = meta.mfSchema.fieldNames
+      .filter(_.startsWith("min_")).map(_.drop(4))
+    def longOpt(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      if (!meta.mfSchema.fieldNames.contains(c)) None
+      else Option(r.getAs[Any](c)).map(_.asInstanceOf[Long])
+    val bounds = statCols.flatMap { c =>
+      val mins = meta.dataRows.map(longOpt(_, s"min_$c"))
+      val maxs = meta.dataRows.map(longOpt(_, s"max_$c"))
+      if (mins.isEmpty || mins.contains(None) || maxs.contains(None))
+        None
+      else Some(c -> (mins.flatten.min, maxs.flatten.max))
+    }.toMap
+    Some(ShardedAggView(n, bounds))
+  }
+
   /** Snapshot listing: the versions present under `path/_manifest`,
     * ascending. One filesystem list call — never touches data. */
   def shardedVersions(spark: SparkSession, path: String): Seq[Long] = {

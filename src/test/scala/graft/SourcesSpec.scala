@@ -2525,6 +2525,152 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("GraftCatalog: pure-SQL lifecycle — CREATE/INSERT/SELECT/" +
+       "time travel/RENAME COLUMN/DROP, partitioned tables included") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_cat").toString
+    spark.conf.set("spark.sql.catalog.gcat",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gcat.ns")
+    spark.sql("""CREATE TABLE gcat.ns.t (doc_id BIGINT, src STRING,
+      v BIGINT) USING `graft-sharded` PARTITIONED BY (src)
+      TBLPROPERTIES ('idCol'='doc_id', 'numShards'='2')""")
+    assert(spark.sql("SHOW TABLES IN gcat.ns").collect()
+      .map(_.getString(1)).toSeq == Seq("t"))
+    // empty table scans as empty with the declared schema
+    assert(spark.sql("SELECT * FROM gcat.ns.t").count() == 0)
+    spark.range(20).select(col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(2))).as("src"),
+        (col("id") * 10).as("v"))
+      .createOrReplaceTempView("cat_in")
+    spark.sql("INSERT INTO gcat.ns.t SELECT * FROM cat_in " +
+      "WHERE doc_id < 10")
+    spark.sql("INSERT INTO gcat.ns.t SELECT * FROM cat_in " +
+      "WHERE doc_id >= 10")
+    assert(spark.sql("SELECT * FROM gcat.ns.t").count() == 20)
+    // partition layout came from PARTITIONED BY
+    val tdir = s"$wh/ns/t"
+    assert(Sources.shardedTablePartitionCols(spark, tdir) ==
+      Seq("src"))
+    // filtered SQL read — correct rows
+    assert(spark.sql("SELECT doc_id FROM gcat.ns.t WHERE src = 's1' " +
+        "AND doc_id >= 10").collect().map(_.getLong(0)).sorted.toSeq ==
+      (11L until 20L by 2).toSeq)
+    // time travel by VERSION and by TIMESTAMP
+    assert(spark.sql("SELECT * FROM gcat.ns.t VERSION AS OF 1")
+      .count() == 10)
+    val ts = java.time.Instant.now().plusSeconds(60).toString
+    assert(spark.sql(
+      s"SELECT * FROM gcat.ns.t TIMESTAMP AS OF '$ts'").count() == 20)
+    // metadata-only rename, visible to the next SQL read
+    spark.sql("ALTER TABLE gcat.ns.t RENAME COLUMN v TO val")
+    assert(spark.sql("SELECT sum(val) FROM gcat.ns.t").head()
+      .getLong(0) == (0L until 20L).map(_ * 10).sum)
+    // the version-pinned read keeps its era's name
+    assert(spark.sql("SELECT * FROM gcat.ns.t VERSION AS OF 1")
+      .columns.contains("v"))
+    spark.sql("DROP TABLE gcat.ns.t")
+    assert(spark.sql("SHOW TABLES IN gcat.ns").count() == 0)
+    spark.sql("DROP NAMESPACE gcat.ns")
+  }
+
+  test("GraftCatalog: pushed predicates prune the same files as the " +
+       "library read (parity with the q581 path-based pin)") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_cat2").toString
+    spark.conf.set("spark.sql.catalog.gcat2",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat2.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gcat2.ns")
+    spark.sql("""CREATE TABLE gcat2.ns.t (doc_id BIGINT, txt STRING)
+      USING `graft-sharded`
+      TBLPROPERTIES ('idCol'='doc_id', 'numShards'='8')""")
+    spark.range(400).select(col("id").as("doc_id"),
+        concat(lit("d"), col("id")).as("txt"))
+      .createOrReplaceTempView("cat2_in")
+    spark.sql("INSERT INTO gcat2.ns.t SELECT * FROM cat2_in")
+    val sqlRead = spark.sql(
+      "SELECT doc_id FROM gcat2.ns.t WHERE doc_id BETWEEN 40 AND 90")
+    // the catalog resolves to the SAME scan machinery the q581
+    // path-based pin covers: the planned files for the pushed bounds
+    // must match the library read's exactly (DataSourceV2Relation
+    // does not surface inputFiles, so compare through the planner)
+    val filters: Seq[org.apache.spark.sql.sources.Filter] = Seq(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("doc_id", 40L),
+      org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 90L))
+    val scanned = graft.sources.GraftSharded.scanDataFrame(spark,
+      s"$wh/ns/t", None, filters,
+      graft.sources.GraftSharded.tableSchema(spark, s"$wh/ns/t", None))
+    val lib = Sources.readShardedTableWhere(spark, s"$wh/ns/t",
+      col("doc_id").between(40, 90))
+    assert(scanned.inputFiles.toSet == lib.inputFiles.toSet)
+    assert(scanned.inputFiles.length <
+      Sources.readShardedTable(spark, s"$wh/ns/t").inputFiles.length)
+    assert(sqlRead.collect().map(_.getLong(0)).sorted.toSeq ==
+      (40L to 90L))
+    spark.sql("DROP TABLE gcat2.ns.t")
+  }
+
+  test("aggregate pushdown: count/min/max answered from the manifest " +
+       "— zero data files opened; tombstones or missing stats fall " +
+       "back to the scan") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_aggpush").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        (col("id") + lo).cast("int").as("score"),
+        concat(lit("d"), col("id") + lo).as("txt"))
+    Sources.writeShardedTable(batch(0, 100), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id", "score"))
+    Sources.appendShardedTable(batch(100, 100), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id", "score"))
+    val df = spark.read.format("graft-sharded").load(path)
+    val agg = df.agg(count(lit(1)).as("n"),
+      min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+      min(col("score")).as("smn"), max(col("score")).as("smx"))
+    // the plan carries the manifest-only scan, not a data scan
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("GraftShardedAggScan"))
+    val r = agg.head()
+    assert(r.getLong(0) == 200 && r.getLong(1) == 0 &&
+      r.getLong(2) == 199 && r.getInt(3) == 0 && r.getInt(4) == 199)
+    // PROOF no data file is opened: corrupt every data file — the
+    // manifest-answered aggregate still works
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(f =>
+        f.getPath.contains("/data-v") && f.getName.endsWith(".parquet"))
+    }
+    // the frame is planned BEFORE the files vanish (schema inference
+    // needs a footer); the aggregate itself must not touch data
+    val prePlanned = spark.read.format("graft-sharded").load(path)
+    dataFiles().foreach(f => java.nio.file.Files.delete(f.toPath))
+    assert(prePlanned.agg(count(lit(1))).head().getLong(0) == 200)
+    Sources.dropShardedTable(spark, path)
+    // fallback: with a live tombstone the manifest cannot vouch —
+    // the aggregate runs as a scan and stays CORRECT
+    Sources.writeShardedTable(batch(0, 100), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(10).select(col("id").as("doc_id")))
+    val df2 = spark.read.format("graft-sharded").load(path)
+    val agg2 = df2.agg(count(lit(1)).as("n"), max(col("doc_id")))
+    assert(!agg2.queryExecution.executedPlan.toString
+      .contains("GraftShardedAggScan"))
+    assert(agg2.head().getLong(0) == 90)
+    // and min/max on a column with no recorded stats falls back too
+    val agg3 = df2.agg(min(col("score")))
+    assert(!agg3.queryExecution.executedPlan.toString
+      .contains("GraftShardedAggScan"))
+    assert(agg3.head().getInt(0) == 10)
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("CDC startingVersion=latest base persists across source " +
        "restarts (re-resolving against a moved head would skip " +
        "WAL-logged windows)") {
