@@ -121,9 +121,28 @@ object Relational {
         y.cast("long").as("y"))
       .filter(col("x").isNotNull && col("y").isNotNull)
     val perX = base.groupBy("x").agg(max(col("y")).as("my"))
-    val w = Window.orderBy(col("x").desc)
+    // DISTRIBUTED prefix max over the per-x maxima in x-descending
+    // order — the orderedCumsums two-pass shape (range partition +
+    // per-partition running max + a broadcast prefix of partition
+    // maxima) instead of one unpartitioned window task, so a 100 TB
+    // x-cardinality (quantized scores can still be millions of
+    // distinct values) never funnels through a single task.
+    val p = perX.repartitionByRange(32, col("x").desc)
+      .sortWithinPartitions(col("x").desc)
+      .withColumn("__pid", spark_partition_id())
+    val wBase = Window.orderBy("__pid")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val pm = perX.withColumn("pmax", max(col("my")).over(w))
+    val bases = p.groupBy("__pid").agg(max(col("my")).as("__t"))
+      .select(col("__pid"), max(col("__t")).over(wBase).as("__b"))
+    val wIn = Window.partitionBy("__pid").orderBy(col("x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pm = p.join(broadcast(bases), Seq("__pid"))
+      // greatest() is null-skipping: the global first row (no earlier
+      // partition, no earlier row) keeps a NULL pmax, exactly like
+      // the single-window version the filter below is null-safe for
+      .withColumn("pmax", greatest(max(col("my")).over(wIn),
+        col("__b")))
+      .drop("__pid", "__b")
     base.join(broadcast(pm), Seq("x"))
       .filter(!(coalesce(col("pmax") >= col("y"), lit(false)) ||
                 col("my") > col("y")))

@@ -887,30 +887,8 @@ object Sources {
     // planning fix as the audit and the fast read path); few-dir
     // tables — and reads a rename or partition layout makes
     // heterogeneous — keep the per-dir union
-    val values =
-      if (dataRows.map(_.getString(0)).distinct.length >=
-          FastReadDirThreshold &&
-          !dataRows.exists(_.getString(3).contains("/")) &&
-          !renameRelevant(events, dataRows.map(_.getLong(2)).toSeq,
-            version)) {
-        import spark.implicits._
-        val leaves = dataRows.map(r =>
-          s"${r.getString(0)}/${r.getString(3)}").toSeq
-        val byBase = dataRows.map(_.getString(0)).distinct
-          .map(d => (d.split('/').last, d)).toSeq
-          .toDF("__base", "data_dir")
-        val f0 = spark.read.option("mergeSchema", "true")
-          .parquet(leaves: _*)
-        val v = (if (f0.columns.contains(colName)) col(colName)
-                 else lit(null)).cast(dt)
-        f0.select(
-            regexp_extract(input_file_name(),
-              "/([^/]+)/shard=[0-9]+/[^/]+$", 1).as("__base"),
-            regexp_extract(input_file_name(),
-              "/shard=([0-9]+)/[^/]+$", 1).cast("long").as("shard"),
-            v.as("__v"))
-          .join(broadcast(byBase), "__base").drop("__base")
-      } else dataRows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    def perDirValues(): DataFrame =
+      dataRows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
         .map { case (dDir, rs) =>
           val dirs = rs.map(r => s"$dDir/${r.getString(3)}").toSeq
           val f = translateDir(
@@ -921,6 +899,37 @@ object Sources {
           f.select(lit(dDir).as("data_dir"),
             col("shard").cast("long").as("shard"), v.as("__v"))
         }.reduce(_.unionByName(_))
+    val values =
+      if (dataRows.map(_.getString(0)).distinct.length >=
+          FastReadDirThreshold &&
+          !dataRows.exists(_.getString(3).contains("/")) &&
+          !renameRelevant(events, dataRows.map(_.getLong(2)).toSeq,
+            version)) {
+        // a type-widened table makes mergeSchema's StructType merge
+        // throw (int vs bigint) — fall back to the per-dir union,
+        // same contract as the read path
+        try {
+          import spark.implicits._
+          val leaves = dataRows.map(r =>
+            s"${r.getString(0)}/${r.getString(3)}").toSeq
+          val byBase = dataRows.map(_.getString(0)).distinct
+            .map(d => (d.split('/').last, d)).toSeq
+            .toDF("__base", "data_dir")
+          val f0 = spark.read.option("mergeSchema", "true")
+            .parquet(leaves: _*)
+          val v = (if (f0.columns.contains(colName)) col(colName)
+                   else lit(null)).cast(dt)
+          f0.select(
+              regexp_extract(input_file_name(),
+                "/([^/]+)/shard=[0-9]+/[^/]+$", 1).as("__base"),
+              regexp_extract(input_file_name(),
+                "/shard=([0-9]+)/[^/]+$", 1).cast("long").as("shard"),
+              v.as("__v"))
+            .join(broadcast(byBase), "__base").drop("__base")
+        } catch {
+          case scala.util.control.NonFatal(_) => perDirValues()
+        }
+      } else perDirValues()
     val bloom = values.filter(col("__v").isNotNull)
       .select(col("data_dir"), col("shard"),
         explode(array((0 until k).map(i =>
@@ -2390,26 +2399,23 @@ object Sources {
         headSeq, events, readV)
     else if (rows.map(_.getString(0)).distinct.length >=
         FastReadDirThreshold) {
-      val partitioned = rows.exists(_.getString(1).contains("/"))
-      val renamed = renameRelevant(events,
-        rows.map(_.getLong(2)).toSeq :+ headSeq, readV)
       import scala.util.control.NonFatal
-      if (!partitioned && !renamed)
-        // the pinned legacy shape; a table whose dirs WIDENED a type
-        // makes mergeSchema's StructType merge throw (int vs bigint) —
-        // fall through to the explicit-schema fast read, and only
-        // then to the per-dir union
-        try legacyFast()
-        catch { case NonFatal(_) =>
-          try fastExplicitRead(spark, meta, rows)
-          catch { case NonFatal(_) => unionPath() } }
-      else
-        // partitioned and renamed tables get the explicit-schema fast
-        // read (one scan per rename era, partition values joined back
-        // from the manifest leaves) — exactly where 100 TB tables
-        // live; the union path stays the correctness fallback
-        try fastExplicitRead(spark, meta, rows)
-        catch { case NonFatal(_) => unionPath() }
+      // the explicit-schema fast read is the DEFAULT for every big
+      // table — plain, partitioned, renamed, type-widened: no
+      // mergeSchema footer-inference job at all (FastReadProbe r12:
+      // 0.9 s vs the mergeSchema path's 1.8 s on the same 400-dir
+      // table). The mergeSchema shape stays as the first fallback,
+      // the per-dir union as the correctness backstop.
+      try fastExplicitRead(spark, meta, rows)
+      catch { case NonFatal(_) =>
+        val partitioned = rows.exists(_.getString(1).contains("/"))
+        val renamed = renameRelevant(events,
+          rows.map(_.getLong(2)).toSeq :+ headSeq, readV)
+        if (!partitioned && !renamed)
+          try legacyFast()
+          catch { case NonFatal(_) => unionPath() }
+        else unionPath()
+      }
     } else unionPath()
   }
 
