@@ -1620,6 +1620,33 @@ object SparkEntry {
       res
     }),
 
+    // GROUPED aggregate pushdown (r12): GROUP BY a declared partition
+    // column answered entirely from the manifest — one row per
+    // partition value from per-leaf n_rows/bounds, zero data files.
+    "q603_sharded_agg_groupby" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      graft.sources.Sources.writeShardedTable(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"),
+        col("doc_id"), path, numShards = 2,
+        statsCols = Seq("doc_id"), partitionCols = Seq("source"))
+      graft.sources.Sources.appendShardedTable(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"),
+        col("doc_id"), path, numShards = 2,
+        statsCols = Seq("doc_id"))
+      val res = s.read.format("graft-sharded").load(path)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("source")
+    }),
+
     // Row-level UPDATE by predicate (r10): the GDPR-redaction /
     // label-fix shape — one atomic delete+insert snapshot over the
     // matched rows, O(matched), zero existing files rewritten. The
@@ -6918,6 +6945,12 @@ object SparkEntry {
                 CAST(min(n_chars) AS BIGINT) AS min_chars,
                 CAST(max(n_chars) AS BIGINT) AS max_chars
          FROM documents""",
+
+    // q603: grouped manifest aggregates equal the plain GROUP BY
+    "q603_sharded_agg_groupby" ->
+      """SELECT source, count(*) AS n,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents GROUP BY source ORDER BY source""",
 
     // q582: the streamed replica equals q566's closed form
     "q582_sharded_cdc_stream" ->

@@ -153,7 +153,7 @@ private[graft] class GraftShardedScanBuilder(path: String,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tschema
-  private var agg: Option[(StructType, Seq[Any])] = None
+  private var agg: Option[(StructType, Seq[Seq[Any]])] = None
 
   /** Accept the filters we can evaluate as Columns; everything else
     * goes back to Spark as a post-scan filter. Accepted filters are
@@ -204,13 +204,12 @@ private[graft] class GraftShardedScanBuilder(path: String,
 
   private def aggAnswer(
       a: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Option[(StructType, Seq[Any])] = {
+        .Aggregation): Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types._
-    if (pushed.nonEmpty || a.groupByExpressions().nonEmpty) return None
-    val view = Sources.shardedManifestAggView(
-      SparkSession.active, path, version).getOrElse(return None)
+    if (pushed.nonEmpty) return None
+    val spark = SparkSession.active
     def colOf(e: org.apache.spark.sql.connector.expressions
         .Expression): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -227,60 +226,96 @@ private[graft] class GraftShardedScanBuilder(path: String,
       case IntegerType => v.toInt
       case _ => v
     }
-    val outs = a.aggregateExpressions().toSeq.map {
-      case _: CountStar =>
-        Some((StructField("count(*)", LongType, nullable = false),
-          view.rowCount: Any))
-      case m: Min =>
-        for {
-          c <- colOf(m.column())
-          f <- tschema.fields.find(_.name == c) if integral(f.dataType)
-          b <- view.bounds.get(c)
-        } yield (StructField(s"min($c)", f.dataType),
-          back(b._1, f.dataType))
-      case m: Max =>
-        for {
-          c <- colOf(m.column())
-          f <- tschema.fields.find(_.name == c) if integral(f.dataType)
-          b <- view.bounds.get(c)
-        } yield (StructField(s"max($c)", f.dataType),
-          back(b._2, f.dataType))
+    // raw partition-value string -> the table column's type
+    def fromRaw(s: String, dt: DataType): Option[Any] = dt match {
+      case StringType => Some(s)
+      case IntegerType => scala.util.Try(s.trim.toInt).toOption
+      case LongType => scala.util.Try(s.trim.toLong).toOption
+      case ShortType => scala.util.Try(s.trim.toShort).toOption
+      case ByteType => scala.util.Try(s.trim.toByte).toOption
       case _ => None
     }
-    if (outs.exists(_.isEmpty)) None
-    else Some((StructType(outs.flatten.map(_._1)),
-      outs.flatten.map(_._2)))
+    // GROUP BY is pushable only over declared PARTITION columns — the
+    // manifest keeps one row per (partition leaf, shard), so grouped
+    // counts/bounds are exact per group under the same withholding
+    // rules as the global view
+    val groupCols = a.groupByExpressions().toSeq.map(colOf)
+    if (groupCols.exists(_.isEmpty)) return None
+    val gCols = groupCols.flatten
+    val gFields = gCols.map(c =>
+      tschema.fields.find(_.name == c).getOrElse(return None))
+    val groups: Seq[(Seq[String], Sources.ShardedAggView)] =
+      if (gCols.isEmpty)
+        Sources.shardedManifestAggView(spark, path, version)
+          .map(v => Seq((Seq.empty[String], v))).getOrElse(return None)
+      else Sources.shardedManifestAggViewBy(spark, path, gCols,
+        version).getOrElse(return None)
+    def aggOuts(view: Sources.ShardedAggView)
+        : Seq[Option[(StructField, Any)]] =
+      a.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            view.rowCount: Any))
+        case m: Min =>
+          for {
+            c <- colOf(m.column())
+            f <- tschema.fields.find(_.name == c)
+            if integral(f.dataType)
+            b <- view.bounds.get(c)
+          } yield (StructField(s"min($c)", f.dataType),
+            back(b._1, f.dataType))
+        case m: Max =>
+          for {
+            c <- colOf(m.column())
+            f <- tschema.fields.find(_.name == c)
+            if integral(f.dataType)
+            b <- view.bounds.get(c)
+          } yield (StructField(s"max($c)", f.dataType),
+            back(b._2, f.dataType))
+        case _ => None
+      }
+    val rows = groups.map { case (key, view) =>
+      val keyVals = key.zip(gFields).map { case (raw, f) =>
+        fromRaw(raw, f.dataType).getOrElse(return None) }
+      val outs = aggOuts(view)
+      if (outs.exists(_.isEmpty)) return None
+      (keyVals ++ outs.flatten.map(_._2), outs.flatten.map(_._1))
+    }
+    if (rows.isEmpty) return None
+    Some((StructType(gFields ++ rows.head._2), rows.map(_._1)))
   }
 
   override def build(): Scan = agg match {
-    case Some((schema, vals)) =>
-      new GraftShardedAggScan(path, version, schema, vals)
+    case Some((schema, rows)) =>
+      new GraftShardedAggScan(path, version, schema, rows)
     case None =>
       new GraftShardedScan(path, version, pushed, required)
   }
 }
 
-/** The manifest-answered aggregate scan: one local row, zero data
-  * files. */
+/** The manifest-answered aggregate scan: metadata-scale local rows
+  * (one per partition-value group; one total), zero data files. */
 private[graft] class GraftShardedAggScan(path: String,
                                            version: Option[Long],
                                            outSchema: StructType,
-                                           vals: Seq[Any])
+                                           rows: Seq[Seq[Any]])
     extends V1Scan {
   override def readSchema(): StructType = outSchema
   override def description(): String =
     s"GraftShardedAggScan(path=$path, manifest-only " +
-      s"[${outSchema.fieldNames.mkString(", ")}])"
+      s"[${outSchema.fieldNames.mkString(", ")}], n=${rows.size})"
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
     new BaseRelation with TableScan {
       override def sqlContext: SQLContext = context
       override def schema: StructType = outSchema
       override def needConversion: Boolean = false
-      override def sizeInBytes: Long = outSchema.fields.length * 8L
+      override def sizeInBytes: Long =
+        rows.size.toLong * outSchema.fields.length * 8L
       override def buildScan(): RDD[Row] =
         context.sparkSession.createDataFrame(
-            java.util.Arrays.asList(Row.fromSeq(vals)), outSchema)
+            java.util.Arrays.asList(rows.map(Row.fromSeq): _*),
+            outSchema)
           .queryExecution.toRdd.asInstanceOf[RDD[Row]]
     }.asInstanceOf[T]
 }

@@ -2045,6 +2045,43 @@ object Sources {
     Some(ShardedAggView(n, bounds))
   }
 
+  /** GROUPED manifest aggregate view: one [[ShardedAggView]] per
+    * distinct partition-value tuple of `groupCols` — the manifest
+    * already keeps one row per (partition leaf, shard), so a
+    * `GROUP BY <partition cols>` over count(*)/min/max needs zero
+    * data files. Same withholding rules as the ungrouped view, applied
+    * per group; None when any groupCol is not a declared partition
+    * column. Keys are the RAW partition value strings. */
+  def shardedManifestAggViewBy(spark: SparkSession, path: String,
+                               groupCols: Seq[String],
+                               version: Option[Long] = None)
+      : Option[Seq[(Seq[String], ShardedAggView)]] = {
+    if (shardedVersions(spark, path).isEmpty) return None
+    val meta = resolveMeta(spark, path, version)
+    if (meta.delRows.nonEmpty) return None
+    if (groupCols.isEmpty ||
+        !groupCols.forall(meta.partCols.contains)) return None
+    val statCols = meta.mfSchema.fieldNames
+      .filter(_.startsWith("min_")).map(_.drop(4))
+    def longOpt(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      if (!meta.mfSchema.fieldNames.contains(c)) None
+      else Option(r.getAs[Any](c)).map(_.asInstanceOf[Long])
+    val byGroup = meta.dataRows.groupBy(r =>
+      groupCols.map(c => r.getAs[String](s"part_$c")))
+    Some(byGroup.toSeq.sortBy(_._1.mkString(" ")).map {
+      case (key, rows) =>
+        val n = rows.map(_.getAs[Long]("n_rows")).sum
+        val bounds = statCols.flatMap { c =>
+          val mins = rows.map(longOpt(_, s"min_$c"))
+          val maxs = rows.map(longOpt(_, s"max_$c"))
+          if (mins.isEmpty || mins.contains(None) ||
+              maxs.contains(None)) None
+          else Some(c -> (mins.flatten.min, maxs.flatten.max))
+        }.toMap
+        (key, ShardedAggView(n, bounds))
+    })
+  }
+
   /** Snapshot listing: the versions present under `path/_manifest`,
     * ascending. One filesystem list call — never touches data. */
   def shardedVersions(spark: SparkSession, path: String): Seq[Long] = {

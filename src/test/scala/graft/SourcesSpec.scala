@@ -2671,6 +2671,41 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("GROUPED aggregate pushdown: GROUP BY a partition column is " +
+       "answered per-group from the manifest; non-partition grouping " +
+       "falls back") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_agggrp").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("s"), pmod(col("id") + lo, lit(3))).as("src"))
+    Sources.writeShardedTable(batch(0, 90), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"),
+      partitionCols = Seq("src"))
+    Sources.appendShardedTable(batch(90, 90), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    val df = spark.read.format("graft-sharded").load(path)
+    val g = df.groupBy(col("src")).agg(count(lit(1)).as("n"),
+      min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+    assert(g.queryExecution.executedPlan.toString
+      .contains("GraftShardedAggScan"))
+    val got = g.collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == Map(
+      "s0" -> ((60L, 0L, 177L)),
+      "s1" -> ((60L, 1L, 178L)),
+      "s2" -> ((60L, 2L, 179L))))
+    // grouping by a NON-partition column cannot come from the
+    // manifest — plan falls back to the scan, values stay right
+    val g2 = df.groupBy(col("doc_id") % 2).agg(count(lit(1)))
+    assert(!g2.queryExecution.executedPlan.toString
+      .contains("GraftShardedAggScan"))
+    assert(g2.collect().map(_.getLong(1)).sorted.toSeq == Seq(90L, 90L))
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("CDC startingVersion=latest base persists across source " +
        "restarts (re-resolving against a moved head would skip " +
        "WAL-logged windows)") {
