@@ -1647,6 +1647,165 @@ object SparkEntry {
       res.orderBy("source")
     }),
 
+    // FILTERED aggregate pushdown (r13): partition-equality
+    // predicates stay manifest-answered — WHERE source = v (global)
+    // and WHERE source IN (...) GROUP BY source both resolve their
+    // leaf groups from the manifest, zero data files (SourcesSpec
+    // proves it by deleting the data files and re-asking).
+    "q604_sharded_agg_filter" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sharded_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      graft.sources.Sources.writeShardedTable(
+        docs.filter(col("doc_id") % 2 === 0), col("doc_id"),
+        col("doc_id"), path, numShards = 2,
+        statsCols = Seq("doc_id"), partitionCols = Seq("source"))
+      graft.sources.Sources.appendShardedTable(
+        docs.filter(col("doc_id") % 2 === 1), col("doc_id"),
+        col("doc_id"), path, numShards = 2,
+        statsCols = Seq("doc_id"))
+      val tbl = s.read.format("graft-sharded").load(path)
+      val global = tbl.filter(col("source") === "src3")
+        .agg(lit("eq_src3").as("probe"), count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+      val grouped = tbl.filter(col("source").isin("src1", "src5"))
+        .groupBy(col("source"))
+        .agg(concat(lit("in_"), col("source")).as("probe"),
+          count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .select("probe", "n", "min_id", "max_id")
+      val res = global.unionByName(grouped).cut()
+      graft.sources.Sources.dropShardedTable(s, path)
+      res.orderBy("probe")
+    }),
+
+    // Catalog TABLE RENAME (r13): ALTER TABLE ... RENAME TO moves a
+    // MANAGED table and rewrites the absolute data_dir paths in every
+    // manifest — all snapshots (incl. time travel) survive the move.
+    "q605_catalog_rename_table" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_cat_").toString
+      s.conf.set("spark.sql.catalog.graftmv",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftmv.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftmv.corpus")
+      s.sql("DROP TABLE IF EXISTS graftmv.corpus.docs")
+      s.sql("""CREATE TABLE graftmv.corpus.docs
+               (doc_id BIGINT, source STRING, n_chars BIGINT)
+               USING `graft-sharded`
+               TBLPROPERTIES ('idCol'='doc_id', 'numShards'='4',
+                 'statsCols'='doc_id')""")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .createOrReplaceTempView("q605_docs")
+      s.sql("""INSERT INTO graftmv.corpus.docs
+               SELECT doc_id, source, CAST(n_chars AS BIGINT)
+               FROM q605_docs WHERE doc_id % 2 = 0""")
+      s.sql("""INSERT INTO graftmv.corpus.docs
+               SELECT doc_id, source, CAST(n_chars AS BIGINT)
+               FROM q605_docs WHERE doc_id % 2 = 1""")
+      s.sql("ALTER TABLE graftmv.corpus.docs RENAME TO corpus.arch")
+      val cur = s.sql(
+        """SELECT 'cur' AS era, doc_id, n_chars
+           FROM graftmv.corpus.arch
+           WHERE doc_id BETWEEN 200 AND 499""")
+      val v1 = s.sql(
+        """SELECT 'v1' AS era, doc_id, n_chars
+           FROM graftmv.corpus.arch VERSION AS OF 1
+           WHERE doc_id BETWEEN 200 AND 499""")
+      val res = cur.unionByName(v1).cut()
+      s.sql("DROP TABLE graftmv.corpus.arch")
+      s.sql("DROP NAMESPACE graftmv.corpus")
+      res.orderBy("doc_id", "era")
+    }),
+
+    // Object-store claims (r13): the same appends, but every commit
+    // rides the conditional-PUT claim protocol against the emulated
+    // object store with injected request-lost and response-lost
+    // faults — rows must come out exactly-once regardless.
+    "q606_sharded_objstore_claims" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      import graft.sources.{ConditionalPutClaimStore,
+        EmulatedObjectStore, Sources => GS}
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_objstore_").toString
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+      val puts = new java.util.concurrent.atomic.AtomicLong
+      val store = new EmulatedObjectStore(key =>
+        if (!key.contains("graft_objstore_"))
+          EmulatedObjectStore.NoFault
+        else (puts.getAndIncrement() % 3) match {
+          case 0 => EmulatedObjectStore.TransientAfterEffect
+          case 1 => EmulatedObjectStore.TransientBeforeEffect
+          case _ => EmulatedObjectStore.NoFault
+        })
+      GS.setClaimStore(new ConditionalPutClaimStore(store,
+        backoffMs = 2))
+      val res = try {
+        GS.writeShardedTable(docs.filter(col("doc_id") % 3 === 0),
+          col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+        GS.appendShardedTable(docs.filter(col("doc_id") % 3 === 1),
+          col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+        GS.appendShardedTable(docs.filter(col("doc_id") % 3 === 2),
+          col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+        GS.readShardedTable(s, path)
+          .select("doc_id", "source").cut()
+      } finally GS.setClaimStore(GS.AtomicCreateClaimStore)
+      GS.dropShardedTable(s, path)
+      res.orderBy("doc_id")
+    }),
+
+    // SQL maintenance surface (r13): the catalog's ProcedureCatalog —
+    // a pure-SQL create -> insert x4 -> CALL compact -> CALL
+    // rewrite_zorder -> CALL expire_snapshots -> CALL vacuum ->
+    // select lifecycle. Maintenance reorganizes storage, never rows:
+    // the final read must equal the plain table.
+    "q607_catalog_maintenance_sql" -> ((s, dir) => {
+      import graft.Checkpoints.CheckpointOps
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_cat_").toString
+      s.conf.set("spark.sql.catalog.graftpr",
+        "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graftpr.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftpr.corpus")
+      s.sql("DROP TABLE IF EXISTS graftpr.corpus.docs")
+      s.sql("""CREATE TABLE graftpr.corpus.docs
+               (doc_id BIGINT, n_chars BIGINT, n_mod BIGINT)
+               USING `graft-sharded`
+               TBLPROPERTIES ('idCol'='doc_id', 'numShards'='4',
+                 'statsCols'='doc_id')""")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          (col("doc_id") % 97).as("n_mod"))
+        .createOrReplaceTempView("q607_docs")
+      (0 until 4).foreach { i =>
+        s.sql(s"""INSERT INTO graftpr.corpus.docs
+                  SELECT doc_id, CAST(n_chars AS BIGINT),
+                         CAST(n_mod AS BIGINT)
+                  FROM q607_docs WHERE doc_id % 4 = $i""")
+      }
+      s.sql("CALL graftpr.system.compact(table => 'corpus.docs', " +
+        "small_dir_rows => 1000000)")
+      s.sql("CALL graftpr.system.rewrite_zorder(" +
+        "table => 'corpus.docs', z_cols => 'n_chars,n_mod')")
+      s.sql("CALL graftpr.system.expire_snapshots(" +
+        "table => 'corpus.docs', keep => 1)")
+      s.sql("CALL graftpr.system.vacuum(table => 'corpus.docs', " +
+        "grace_ms => 0)")
+      val res = s.sql(
+        """SELECT doc_id, n_chars, n_mod FROM graftpr.corpus.docs
+           WHERE n_chars BETWEEN 100 AND 2000""").cut()
+      s.sql("DROP TABLE graftpr.corpus.docs")
+      s.sql("DROP NAMESPACE graftpr.corpus")
+      res.orderBy("doc_id")
+    }),
+
     // Row-level UPDATE by predicate (r10): the GDPR-redaction /
     // label-fix shape — one atomic delete+insert snapshot over the
     // matched rows, O(matched), zero existing files rewritten. The
@@ -6951,6 +7110,44 @@ object SparkEntry {
       """SELECT source, count(*) AS n,
                 min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents GROUP BY source ORDER BY source""",
+
+    // q604: the filter-selected manifest groups equal the plain
+    // filtered aggregates
+    "q604_sharded_agg_filter" ->
+      """SELECT * FROM (
+           SELECT 'eq_src3' AS probe, count(*) AS n,
+                  min(doc_id) AS min_id, max(doc_id) AS max_id
+           FROM documents WHERE source = 'src3'
+           UNION ALL
+           SELECT 'in_' || source AS probe, count(*) AS n,
+                  min(doc_id) AS min_id, max(doc_id) AS max_id
+           FROM documents WHERE source IN ('src1', 'src5')
+           GROUP BY source
+         ) ORDER BY probe""",
+
+    // q605: the renamed table reads identically to the original
+    "q605_catalog_rename_table" ->
+      """SELECT * FROM (
+           SELECT 'cur' AS era, doc_id, CAST(n_chars AS BIGINT)
+                    AS n_chars
+           FROM documents WHERE doc_id BETWEEN 200 AND 499
+           UNION ALL
+           SELECT 'v1' AS era, doc_id, CAST(n_chars AS BIGINT)
+                    AS n_chars
+           FROM documents
+           WHERE doc_id % 2 = 0 AND doc_id BETWEEN 200 AND 499
+         ) ORDER BY doc_id, era""",
+
+    // q606: fault-injected conditional-PUT commits are exactly-once
+    "q606_sharded_objstore_claims" ->
+      """SELECT doc_id, source FROM documents ORDER BY doc_id""",
+
+    // q607: SQL maintenance reorganizes storage, never rows
+    "q607_catalog_maintenance_sql" ->
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                doc_id % 97 AS n_mod
+         FROM documents WHERE n_chars BETWEEN 100 AND 2000
+         ORDER BY doc_id""",
 
     // q582: the streamed replica equals q566's closed form
     "q582_sharded_cdc_stream" ->

@@ -52,7 +52,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * descriptor read; no data file is ever touched by resolution. The
   * reference (`core.cljc:15-43`) has no catalog — this is part of the
   * engine's beyond-reference Spark surface. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -233,6 +234,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require(rc.fieldNames().length == 1,
           "graft catalog: nested column renames are not supported")
         val from = rc.fieldNames()(0)
+        // partition columns cannot be renamed (the physical layout is
+        // named after them) — the table format rejects this once
+        // snapshots exist; mirror the guard here so an EMPTY catalog
+        // table can't smuggle a renamed partition column into its
+        // descriptor (the identity transform would then reference a
+        // column that no longer exists and the first INSERT would
+        // fail confusingly)
+        require(!cur.partCols.contains(from),
+          s"graft catalog: cannot rename partition column $from")
         if (Sources.shardedVersions(spark, path).nonEmpty)
           Sources.renameShardedTableColumn(spark, path, from,
             rc.newName())
@@ -272,10 +282,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       (catalogName +: oldIdent.namespace().toSeq :+ oldIdent.name()))
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(
       (catalogName +: newIdent.namespace().toSeq :+ newIdent.name()))
+    val d = readDescriptor(from).get
+    val external = d.properties.contains(TableCatalog.PROP_LOCATION)
     require(fsOf(from).rename(new org.apache.hadoop.fs.Path(from),
       new org.apache.hadoop.fs.Path(to)),
       s"graft catalog: rename failed $from -> $to")
-    Sources.invalidateShardedMeta(from)
+    // EXTERNAL tables: only the descriptor directory moved; the data
+    // (and its manifests) live at LOCATION and are untouched. MANAGED
+    // tables: snapshots moved WITH the directory, but manifest and
+    // bloom rows store absolute data_dir paths under the old root —
+    // rewrite them or every snapshot would still point at the old,
+    // now-nonexistent (or worse, later-recreated) location.
+    if (!external) Sources.relocateShardedTable(spark, from, to)
+    else Sources.invalidateShardedMeta(from)
   }
 
   // ---- SupportsNamespaces ------------------------------------------
@@ -340,5 +359,156 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(
         s"namespace ${namespace.mkString(".")} is not empty")
     fs.delete(dir, true)
+  }
+
+  // ---- ProcedureCatalog: SQL maintenance surface --------------------
+  //
+  //   CALL graft.system.compact(table => 'ns.t', small_dir_rows => 500)
+  //   CALL graft.system.expire_snapshots(table => 'ns.t', keep => 3)
+  //   CALL graft.system.vacuum(table => 'ns.t', grace_ms => 0)
+  //   CALL graft.system.rewrite_zorder(table => 'ns.t',
+  //                                    z_cols => 'x,y', bits => 8)
+  //   CALL graft.system.build_bloom(table => 'ns.t', col => 'doc_id')
+  //
+  // Each is the catalog-name form of the corresponding library
+  // maintenance op — same commit protocol (compact/rewrite abort on a
+  // concurrent commit rather than losing it), same metadata-scale
+  // driver cost; knobs the call omits (idCol, numShards, ...) come
+  // from the table's TBLPROPERTIES exactly as INSERT's do.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{
+    BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  private val procedureNames =
+    Seq("compact", "expire_snapshots", "vacuum", "rewrite_zorder",
+      "build_bloom")
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      procedureNames.map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
+
+  /** Resolve a procedure's 'ns.table' argument to (data path, write
+    * knobs from TBLPROPERTIES — same defaults as a SQL INSERT). */
+  private def procTable(tname: String)
+      : (String, String, String, Int, Seq[String]) = {
+    val parts = tname.split('.').toSeq.filter(_.nonEmpty)
+    require(parts.nonEmpty, s"graft procedure: empty table name")
+    val ident = Identifier.of(parts.dropRight(1).toArray, parts.last)
+    val dir = tableDir(ident)
+    val d = readDescriptor(dir).getOrElse(
+      throw new NoSuchTableException(
+        (catalogName +: ident.namespace().toSeq :+ ident.name())))
+    val path = dataPathOf(dir, d)
+    val idCol = d.properties.getOrElse("idCol", d.schema.fields.head.name)
+    val orderCol = d.properties.getOrElse("orderCol", idCol)
+    val numShards = d.properties.get("numShards")
+      .map(_.trim.toInt).getOrElse(16)
+    val statsCols = d.properties.get("statsCols")
+      .map(_.split(",").map(_.trim).toSeq).getOrElse(Seq(idCol))
+    (path, idCol, orderCol, numShards, statsCols)
+  }
+
+  private def in(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+  private def inDefault(n: String, dt: DataType,
+                        sql: String): ProcedureParameter =
+    ProcedureParameter.in(n, dt).defaultValue(sql).build()
+
+  /** One class per concern would be ceremony: a graft procedure is a
+    * (name, params, out schema, row function). Bound and unbound are
+    * the same object — binding is trivial because every parameter is
+    * IN with an exact type. */
+  private final class GProc(pname: String,
+                            params: Array[ProcedureParameter],
+                            outSchema: StructType,
+                            run: InternalRow => Seq[Seq[Any]])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = pname
+    override def description(): String =
+      s"graft table maintenance: $pname"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow)
+        : java.util.Iterator[Scan] = {
+      val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToCatalystConverter(outSchema)
+      val irows = run(input).map(r =>
+        conv(org.apache.spark.sql.Row.fromSeq(r))
+          .asInstanceOf[InternalRow]).toArray
+      java.util.List.of[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = irows
+        override def readSchema(): StructType = outSchema
+      }).iterator()
+    }
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    import org.apache.spark.sql.functions.col
+    require(ident.namespace().isEmpty ||
+      ident.namespace().sameElements(Array("system")),
+      s"graft catalog: procedures live in the system namespace, got " +
+        ident.namespace().mkString("."))
+    def str(r: InternalRow, i: Int): String =
+      r.getUTF8String(i).toString
+    ident.name() match {
+      case "compact" => new GProc("compact",
+        Array(in("table", StringType),
+          inDefault("small_dir_rows", LongType, "10000")),
+        StructType(Seq(StructField("version", LongType))),
+        r => {
+          val (path, idc, oc, n, sc) = procTable(str(r, 0))
+          Seq(Seq(Sources.compactShardedTable(spark, path, col(idc),
+            col(oc), n, sc, smallDirRows = r.getLong(1))))
+        })
+      case "expire_snapshots" => new GProc("expire_snapshots",
+        Array(in("table", StringType),
+          inDefault("keep", org.apache.spark.sql.types.IntegerType,
+            "3")),
+        StructType(Seq(StructField("expired_version", LongType))),
+        r => {
+          val (path, _, _, _, _) = procTable(str(r, 0))
+          Sources.expireShardedSnapshots(spark, path, r.getInt(1))
+            .map(v => Seq(v))
+        })
+      case "vacuum" => new GProc("vacuum",
+        Array(in("table", StringType),
+          inDefault("grace_ms", LongType, "86400000")),
+        StructType(Seq(StructField("deleted", StringType))),
+        r => {
+          val (path, _, _, _, _) = procTable(str(r, 0))
+          Sources.vacuumShardedTable(spark, path, r.getLong(1))
+            .map(p => Seq(p.split('/').last))
+        })
+      case "rewrite_zorder" => new GProc("rewrite_zorder",
+        Array(in("table", StringType), in("z_cols", StringType),
+          inDefault("bits", org.apache.spark.sql.types.IntegerType,
+            "8")),
+        StructType(Seq(StructField("version", LongType))),
+        r => {
+          val (path, idc, _, n, _) = procTable(str(r, 0))
+          val zc = str(r, 1).split(",").map(_.trim).toSeq
+          Seq(Seq(Sources.rewriteShardedTableZOrdered(spark, path,
+            idc, zc, n, bitsPerCol = r.getInt(2))))
+        })
+      case "build_bloom" => new GProc("build_bloom",
+        Array(in("table", StringType), in("col", StringType),
+          inDefault("bits", org.apache.spark.sql.types.IntegerType,
+            "1048576")),
+        StructType(Seq(StructField("version", LongType))),
+        r => {
+          val (path, _, _, _, _) = procTable(str(r, 0))
+          Seq(Seq(Sources.buildShardedBloom(spark, path, str(r, 1),
+            bits = r.getInt(2))))
+        })
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unknown procedure $other (have " +
+          s"${procedureNames.mkString(", ")})")
+    }
   }
 }

@@ -208,7 +208,6 @@ private[graft] class GraftShardedScanBuilder(path: String,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types._
-    if (pushed.nonEmpty) return None
     val spark = SparkSession.active
     def colOf(e: org.apache.spark.sql.connector.expressions
         .Expression): Option[String] = e match {
@@ -235,6 +234,58 @@ private[graft] class GraftShardedScanBuilder(path: String,
       case ByteType => scala.util.Try(s.trim.toByte).toOption
       case _ => None
     }
+    // PARTITION-EQUALITY pushed filters stay exact under the manifest
+    // view (partition pruning is exact, unlike the superset stats
+    // pruning): `count(*)/min/max ... WHERE part = v` resolves the
+    // selected leaf groups from the manifest and aggregates only
+    // those. ANY other pushed filter shape disqualifies the pushdown.
+    // Supported raw-value types only — a filter column the manifest's
+    // raw strings cannot be EXACTLY converted to must bail, never
+    // silently drop groups.
+    def rawOk(dt: DataType): Boolean = dt match {
+      case StringType => true
+      case t => integral(t)
+    }
+    val partColsOfTable: Seq[String] =
+      if (pushed.isEmpty) Seq.empty
+      else if (Sources.shardedVersions(spark, path).isEmpty)
+        return None
+      else Sources.shardedTablePartitionCols(spark, path)
+    // classify each pushed filter: Left(col) = IsNotNull on a
+    // partition column (Catalyst adds one beside every equality),
+    // Right(col -> values) = an equality/IN selection; anything else
+    // disqualifies
+    val eqSels: Seq[Option[Either[String, (String, Seq[Any])]]] =
+      pushed.toSeq.map {
+        case org.apache.spark.sql.sources.IsNotNull(c)
+            if partColsOfTable.contains(c) =>
+          Some(Left(c))
+        case org.apache.spark.sql.sources.EqualTo(c, v)
+            if partColsOfTable.contains(c) && v != null =>
+          Some(Right(c -> Seq(v)))
+        case org.apache.spark.sql.sources.EqualNullSafe(c, v)
+            if partColsOfTable.contains(c) && v != null =>
+          Some(Right(c -> Seq(v)))
+        case org.apache.spark.sql.sources.In(c, vs)
+            if partColsOfTable.contains(c) && vs.nonEmpty &&
+              !vs.contains(null) =>
+          Some(Right(c -> vs.toSeq))
+        case _ => None
+      }
+    if (eqSels.exists(_.isEmpty)) return None
+    // several filters on one column intersect their admitted values
+    val selByCol: Map[String, Set[Any]] = eqSels.flatten
+      .collect { case Right(x) => x }
+      .groupBy(_._1).map { case (c, xs) =>
+        c -> xs.map(_._2.toSet).reduce(_ intersect _) }
+    val notNullCols: Set[String] = eqSels.flatten
+      .collect { case Left(c) => c }.toSet
+    val filterCols = (selByCol.keys ++ notNullCols).toSeq.distinct
+      .sorted
+    val fFields = filterCols.map(c =>
+      tschema.fields.find(_.name == c).getOrElse(return None))
+    if (fFields.exists(f => !rawOk(f.dataType))) return None
+
     // GROUP BY is pushable only over declared PARTITION columns — the
     // manifest keeps one row per (partition leaf, shard), so grouped
     // counts/bounds are exact per group under the same withholding
@@ -244,12 +295,44 @@ private[graft] class GraftShardedScanBuilder(path: String,
     val gCols = groupCols.flatten
     val gFields = gCols.map(c =>
       tschema.fields.find(_.name == c).getOrElse(return None))
+    def mergeViews(vs: Seq[Sources.ShardedAggView])
+        : Sources.ShardedAggView = {
+      if (vs.isEmpty) return Sources.ShardedAggView(0L, Map.empty)
+      val common = vs.map(_.bounds.keySet).reduce(_ intersect _)
+      Sources.ShardedAggView(vs.map(_.rowCount).sum,
+        common.map(c => c -> (vs.map(_.bounds(c)._1).min,
+          vs.map(_.bounds(c)._2).max)).toMap)
+    }
+    val allCols = (filterCols ++ gCols).distinct
     val groups: Seq[(Seq[String], Sources.ShardedAggView)] =
-      if (gCols.isEmpty)
+      if (allCols.isEmpty)
         Sources.shardedManifestAggView(spark, path, version)
           .map(v => Seq((Seq.empty[String], v))).getOrElse(return None)
-      else Sources.shardedManifestAggViewBy(spark, path, gCols,
-        version).getOrElse(return None)
+      else {
+        val raw = Sources.shardedManifestAggViewBy(spark, path,
+          allCols, version).getOrElse(return None)
+        val selected = raw.filter { case (key, _) =>
+          filterCols.forall { c =>
+            val rv = key(allCols.indexOf(c))
+            val dt = fFields(filterCols.indexOf(c)).dataType
+            if (rv == null) false // IsNotNull and equality both reject
+            else selByCol.get(c) match {
+              case None => true // IsNotNull only: non-null suffices
+              // a raw value that fails exact conversion cannot match
+              // a TYPED equality value of that type — exclusion exact
+              case Some(vals) => fromRaw(rv, dt).exists(vals.contains)
+            }
+          }
+        }
+        if (gCols.isEmpty) Seq((Seq.empty[String],
+          mergeViews(selected.map(_._2))))
+        else selected
+          .groupBy { case (key, _) =>
+            gCols.map(c => key(allCols.indexOf(c))) }
+          .toSeq
+          .map { case (k, xs) => (k, mergeViews(xs.map(_._2))) }
+          .sortBy(_._1.mkString("\u0000"))
+      }
     def aggOuts(view: Sources.ShardedAggView)
         : Seq[Option[(StructField, Any)]] =
       a.aggregateExpressions().toSeq.map {
@@ -261,17 +344,21 @@ private[graft] class GraftShardedScanBuilder(path: String,
             c <- colOf(m.column())
             f <- tschema.fields.find(_.name == c)
             if integral(f.dataType)
-            b <- view.bounds.get(c)
+            // min over ZERO selected rows is exactly null; otherwise
+            // a recorded bound on every contributing leaf is required
+            b <- if (view.rowCount == 0L) Some(None)
+                 else view.bounds.get(c).map(Some(_))
           } yield (StructField(s"min($c)", f.dataType),
-            back(b._1, f.dataType))
+            b.map(x => back(x._1, f.dataType)).orNull)
         case m: Max =>
           for {
             c <- colOf(m.column())
             f <- tschema.fields.find(_.name == c)
             if integral(f.dataType)
-            b <- view.bounds.get(c)
+            b <- if (view.rowCount == 0L) Some(None)
+                 else view.bounds.get(c).map(Some(_))
           } yield (StructField(s"max($c)", f.dataType),
-            back(b._2, f.dataType))
+            b.map(x => back(x._2, f.dataType)).orNull)
         case _ => None
       }
     val rows = groups.map { case (key, view) =>

@@ -1674,12 +1674,19 @@ object Sources {
     *    check-then-act (HEAD then PUT) — two concurrent writers can
     *    both "win" and one published manifest silently clobbers the
     *    other (lost commit). The default store is therefore NOT safe
-    *    there; implement this trait over the store's conditional-write
-    *    primitive — S3 `PutObject` with `If-None-Match: *` (public
-    *    semantics: the PUT fails with 412 if the key exists), GCS
-    *    `x-goog-if-generation-match: 0`, ABFS ETag preconditions — or
-    *    an external lock service, and install it via
-    *    [[Sources.setClaimStore]].
+    *    there; use [[ConditionalPutClaimStore]] — the claim over the
+    *    store's conditional-write primitive (S3 `PutObject` with
+    *    `If-None-Match: *`, GCS `x-goog-if-generation-match: 0`, ABFS
+    *    ETag preconditions), with token-based resolution of ambiguous
+    *    (timed-out) PUTs — over an [[ObjectStoreApi]] binding to the
+    *    deployment's SDK, installed via [[Sources.setClaimStore]].
+    *
+    * SELECTION: default store for `file:` and `hdfs:` tables;
+    * [[ConditionalPutClaimStore]] for any S3-compatible scheme
+    * (s3a/gs/abfs/oss/cos). The protocol code is storage-agnostic and
+    * fault-tested against the [[EmulatedObjectStore]] (injected
+    * lost-request and committed-but-unacknowledged PUTs; 8-writer
+    * exactly-once probe in `ScaleProbe race-objstore`).
     *
     * `tryClaim` returns true iff THIS caller created the file;
     * `release` undoes a claim whose commit failed. */
@@ -2068,7 +2075,7 @@ object Sources {
       else Option(r.getAs[Any](c)).map(_.asInstanceOf[Long])
     val byGroup = meta.dataRows.groupBy(r =>
       groupCols.map(c => r.getAs[String](s"part_$c")))
-    Some(byGroup.toSeq.sortBy(_._1.mkString(" ")).map {
+    Some(byGroup.toSeq.sortBy(_._1.mkString("\u0000")).map {
       case (key, rows) =>
         val n = rows.map(_.getAs[Long]("n_rows")).sum
         val bounds = statCols.flatMap { c =>
@@ -2442,9 +2449,23 @@ object Sources {
       // mergeSchema footer-inference job at all (FastReadProbe r12:
       // 0.9 s vs the mergeSchema path's 1.8 s on the same 400-dir
       // table). The mergeSchema shape stays as the first fallback,
-      // the per-dir union as the correctness backstop.
-      try fastExplicitRead(spark, meta, rows)
-      catch { case NonFatal(_) =>
+      // the per-dir union as the correctness backstop. NOTE the
+      // backstop chain is PLAN-TIME-ONLY: all three shapes return
+      // lazy frames, so a failure first surfacing at execution time
+      // fails the query rather than falling through (acceptable —
+      // every known demotion reason is an analysis-time schema
+      // conflict). Fallbacks are COUNTED and logged so a silent
+      // wholesale demotion of big reads to the union path fails the
+      // FastReadStats spec pin instead of a bench round.
+      try {
+        val r = fastExplicitRead(spark, meta, rows)
+        FastReadStats.fastHits.incrementAndGet()
+        r
+      } catch { case NonFatal(e) =>
+        FastReadStats.fallbacks.incrementAndGet()
+        org.slf4j.LoggerFactory.getLogger("graft.sources.Sources")
+          .warn(s"fast explicit read fell back for ${meta.path} " +
+            s"(v${meta.version}, ${rows.length} leaves): $e")
         val partitioned = rows.exists(_.getString(1).contains("/"))
         val renamed = renameRelevant(events,
           rows.map(_.getLong(2)).toSeq :+ headSeq, readV)
@@ -2454,6 +2475,18 @@ object Sources {
         else unionPath()
       }
     } else unionPath()
+  }
+
+  /** Fast-read observability: process-wide counters for how many
+    * big-table reads planned through [[fastExplicitRead]] vs fell
+    * back (each fallback also logs the cause at WARN). A healthy
+    * workload has fallbacks == 0; the spec pins the canonical
+    * partitioned/renamed/widened shapes as fast-path hits so a future
+    * edit that silently demotes every big read to the union path
+    * fails a test instead of a bench round. */
+  object FastReadStats {
+    val fastHits = new java.util.concurrent.atomic.AtomicLong
+    val fallbacks = new java.util.concurrent.atomic.AtomicLong
   }
 
   /** Explicit-schema multi-leaf fast read — the partitioned / renamed
@@ -2478,8 +2511,8 @@ object Sources {
   private def fastExplicitRead(spark: SparkSession, meta: ShardedMeta,
                                rows: Array[org.apache.spark.sql.Row])
       : DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col,
-      input_file_name, lit, regexp_extract}
+    import org.apache.spark.sql.functions.{broadcast, col, concat_ws,
+      element_at, input_file_name, lit, regexp_extract, slice, split}
     val events = meta.renames
     val readV = meta.version
     val headPhys = physHeadSchema(spark, meta)
@@ -2517,13 +2550,23 @@ object Sources {
           col(physName(f.name)).as(f.name)) ++ Seq(
           regexp_extract(input_file_name(),
             "/shard=([0-9]+)/[^/]+$", 1).cast("int").as("shard")) ++
-          (if (needJoin) Seq(
-            regexp_extract(input_file_name(),
-              "/((?:data|del)-v[0-9]+[^/]*)/", 1).as("__base"),
-            regexp_extract(input_file_name(),
-              "/(?:data|del)-v[0-9]+[^/]*/(.+)/[^/]+$", 1)
-              .as("__leafdir"))
-           else Nil)
+          (if (needJoin) {
+            // TAIL-anchored recovery of (__base, __leafdir): every
+            // data leaf in one table has the same depth (partition
+            // dirs + shard=N), so counting segments from the END of
+            // the path is exact. A first-match regex on
+            // '/(data|del)-v<digits>.../' is NOT — a table rooted
+            // under an enclosing directory that happens to match
+            // (e.g. /warehouse/data-v2-archive/tbl) would bind the
+            // OUTER segment and silently drop every row at the
+            // broadcast join below.
+            val segs = split(input_file_name(), "/")
+            val pdepth = meta.partCols.length
+            Seq(
+              element_at(segs, lit(-(pdepth + 3))).as("__base"),
+              concat_ws("/", slice(segs, -(pdepth + 2), pdepth + 1))
+                .as("__leafdir"))
+           } else Nil)
         f0.select(sel: _*)
     }
     val all = parts.reduce(_.unionByName(_))
@@ -3160,6 +3203,37 @@ object Sources {
     writeShardedTable(df, id, z, path, numShards, statsCols = zCols)
   }
 
+  /** Z-ORDER as MAINTENANCE: re-cluster the CURRENT table state along
+    * `zCols` in one rewrite snapshot — the post-hoc form of
+    * [[writeShardedTableZOrdered]] for a table that grew through
+    * appends and lost locality. Rides [[rewriteShardedTable]], so the
+    * batch-id ledger survives and old versions stay readable until
+    * expiry. Cost: one quantile sketch pass per z column + the
+    * rewrite itself (O(table) — that is what a re-cluster IS). */
+  def rewriteShardedTableZOrdered(spark: SparkSession, path: String,
+                                  idName: String, zCols: Seq[String],
+                                  numShards: Int,
+                                  bitsPerCol: Int = 8): Long = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size >= 2 && zCols.size <= 6,
+      s"rewriteShardedTableZOrdered: 2..6 z columns (got ${zCols.size})")
+    require(bitsPerCol >= 1 && zCols.size * bitsPerCol <= 62,
+      s"bitsPerCol x dims must fit a long, got " +
+        s"${zCols.size} x $bitsPerCol")
+    val cur = readShardedTable(spark, path)
+    val nB = 1 << bitsPerCol
+    val probs = (1 until nB).map(_.toDouble / nB).toArray
+    def bucket(c: String): Column = {
+      val splits = cur.stat.approxQuantile(c, probs, 0.001)
+      val arr = array(splits.map(lit(_)): _*)
+      aggregate(arr, lit(0L), (acc, x) =>
+        acc + when(col(c).cast("double") >= x, 1L).otherwise(0L))
+    }
+    val z = zValueK(zCols.map(bucket), bitsPerCol)
+    rewriteShardedTable(spark, path, col(idName), z, numShards,
+      (idName +: zCols).distinct)
+  }
+
   /** Snapshot expiry: keep the newest `keep` versions, delete the
     * expired manifests, then delete any data dir NO SURVIVING
     * manifest references (append chains share data dirs, so
@@ -3217,5 +3291,60 @@ object Sources {
     // frees the dead entries eagerly
     invalidateShardedMeta(path)
     ()
+  }
+
+  /** Metadata fixup after a table directory MOVE (`oldPath` →
+    * `newPath`, the move itself already done by the caller): manifest
+    * rows and bloom-sidecar rows store ABSOLUTE `data_dir` paths
+    * (`$path/data-v<N>-<token>`, `$path/del-v<N>-<token>`), so a bare
+    * directory rename leaves every snapshot pointing at the old —
+    * now nonexistent, possibly later recreated by a STRANGER —
+    * location. This rewrites the `oldPath/` prefix to `newPath/` in
+    * every `_manifest/v<N>` and `_bloom/v<V>/<col>` parquet, then
+    * drops the old path's memo entries.
+    *
+    * A rename is an ADMIN op, not a concurrent-writer op: moving a
+    * table out from under an in-flight writer is undefined at the
+    * filesystem level already (its staged dirs vanish), so the
+    * rewrite takes no claim. Cost is O(versions + bloom builds) tiny
+    * parquet rewrites — metadata-scale, no data file is touched. */
+  def relocateShardedTable(spark: SparkSession, oldPath: String,
+                           newPath: String): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, lit, when,
+      substring}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val newRoot = new org.apache.hadoop.fs.Path(newPath)
+    val fs = newRoot.getFileSystem(hconf)
+    val oldPrefix = oldPath.stripSuffix("/") + "/"
+    val newPrefix = newPath.stripSuffix("/") + "/"
+    def rewrite(dir: org.apache.hadoop.fs.Path): Unit = {
+      val df = spark.read.parquet(dir.toString)
+      if (!df.columns.contains("data_dir")) return
+      val fixed = df.withColumn("data_dir",
+        when(col("data_dir").startsWith(oldPrefix),
+          concat(lit(newPrefix),
+            substring(col("data_dir"), oldPrefix.length + 1,
+              Int.MaxValue)))
+          .otherwise(col("data_dir")))
+      val tmp = new org.apache.hadoop.fs.Path(dir.getParent,
+        s".reloc-${dir.getName}")
+      fixed.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(dir, true)
+      require(fs.rename(tmp, dir),
+        s"relocateShardedTable: swap failed for $dir")
+    }
+    val mfRoot = new org.apache.hadoop.fs.Path(s"$newPath/_manifest")
+    if (fs.exists(mfRoot))
+      fs.listStatus(mfRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.matches("v\\d+"))
+        .sortBy(_.getPath.getName)
+        .foreach(s => rewrite(s.getPath))
+    val blRoot = new org.apache.hadoop.fs.Path(s"$newPath/_bloom")
+    if (fs.exists(blRoot))
+      for (v <- fs.listStatus(blRoot) if v.isDirectory;
+           c <- fs.listStatus(v.getPath) if c.isDirectory)
+        rewrite(c.getPath)
+    invalidateShardedMeta(oldPath)
+    invalidateShardedMeta(newPath)
   }
 }

@@ -656,6 +656,68 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.contains("race-objstore")) {
+      // r13: the same writer matrix, but every claim rides the
+      // CONDITIONAL-PUT object-store protocol with injected faults —
+      // ~1 in 5 puts loses its request (no effect), ~1 in 5 commits
+      // but the response is lost (the ambiguous case the token
+      // protocol exists for). Exactly-once must hold at every width.
+      import graft.sources.{ConditionalPutClaimStore,
+        EmulatedObjectStore, Sources}
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      def batch(w: Int, i: Int) = spark.range(1000)
+        .select((col("id") + 100000L * w + 1000L * i).as("doc_id"),
+          concat(lit("d"), col("id")).as("t"))
+      val puts = new java.util.concurrent.atomic.AtomicLong
+      val faults = new java.util.concurrent.atomic.AtomicLong
+      val store = new EmulatedObjectStore(key =>
+        if (!key.contains("graft_race_objstore"))
+          EmulatedObjectStore.NoFault
+        else (puts.getAndIncrement() % 5) match {
+          case 1 => faults.incrementAndGet()
+            EmulatedObjectStore.TransientBeforeEffect
+          case 3 => faults.incrementAndGet()
+            EmulatedObjectStore.TransientAfterEffect
+          case _ => EmulatedObjectStore.NoFault
+        })
+      Sources.setClaimStore(new ConditionalPutClaimStore(store))
+      try {
+        for (writers <- Seq(1, 2, 4, 8)) {
+          val path = s"/tmp/graft_race_objstore_$writers"
+          Sources.dropShardedTable(spark, path)
+          Sources.writeShardedTable(batch(99, 0), col("doc_id"),
+            col("doc_id"), path, 2, Seq("doc_id"))
+          val gate = new java.util.concurrent.CountDownLatch(1)
+          val fs = (0 until writers).map { w =>
+            Future {
+              gate.await()
+              (0 until 5).foreach { i =>
+                Sources.appendShardedTable(batch(w, i), col("doc_id"),
+                  col("doc_id"), path, 2, Seq("doc_id"))
+              }
+            }
+          }
+          val t0 = System.nanoTime()
+          gate.countDown()
+          fs.foreach(f => Await.result(f, scala.concurrent.duration
+            .Duration(600, "s")))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val vs = Sources.shardedVersions(spark, path)
+          val rows = Sources.readShardedTable(spark, path).count()
+          val audit = Sources.auditShardedTable(spark, path).count()
+          println(f"[scale] race-objstore writers=$writers " +
+            f"commits=${writers * 5} wall=$sec%6.1f s " +
+            f"(${sec / (writers * 5)}%.2f s/commit) " +
+            f"versions=${vs.size} contiguous=${vs == (1L to vs.size)} " +
+            f"rows=$rows (want ${1000 * (writers * 5 + 1)}) " +
+            f"audit=$audit faults=${faults.get()}")
+          Sources.dropShardedTable(spark, path)
+        }
+      } finally Sources.setClaimStore(Sources.AtomicCreateClaimStore)
+      spark.stop(); return
+    }
+
     if (args.contains("tombstone")) {
       // r9 evidence: row-level delete cost at scale. On a 2M-row /
       // 64-shard table, a 1% delete must cost O(keys) — a key-file

@@ -1947,6 +1947,118 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("ConditionalPutClaimStore protocol: lost requests retry, " +
+       "committed-but-unacknowledged PUTs resolve by token (claim " +
+       "WON, not wedged), losers never steal or release the claim") {
+    import graft.sources.{ConditionalPutClaimStore, EmulatedObjectStore,
+      ObjectStoreApi}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_cps").toString
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def p(n: String) = new org.apache.hadoop.fs.Path(s"$dir/$n")
+
+    // 1. LOST REQUEST: first put vanishes before effect — the retry
+    // must land and win
+    var mode: EmulatedObjectStore.Fault =
+      EmulatedObjectStore.TransientBeforeEffect
+    val store1 = new EmulatedObjectStore(_ => {
+      val m = mode; mode = EmulatedObjectStore.NoFault; m })
+    val cs1 = new ConditionalPutClaimStore(store1, backoffMs = 1)
+    assert(cs1.tryClaim(fs, p("c1")))
+    assert(fs.exists(p("c1")))
+
+    // 2. AMBIGUOUS PUT: the store commits but the response is lost.
+    // The claimer must recognize its own token on retry — claim WON
+    // (a naive status-code reading would conclude "lost" and wedge
+    // the version forever)
+    mode = EmulatedObjectStore.TransientAfterEffect
+    val cs2 = new ConditionalPutClaimStore(store1, backoffMs = 1)
+    assert(cs2.tryClaim(fs, p("c2")))
+
+    // 3. a SECOND claimer on the same key definitively loses, and its
+    // release must NOT free the winner's claim
+    val cs3 = new ConditionalPutClaimStore(store1, backoffMs = 1)
+    assert(!cs3.tryClaim(fs, p("c2")))
+    cs3.release(fs, p("c2"))
+    assert(fs.exists(p("c2")), "loser's release stole the claim")
+    // the winner's release IS honored (compare-and-delete on token)
+    cs2.release(fs, p("c2"))
+    assert(!fs.exists(p("c2")))
+
+    // 4. UNRESOLVABLE: every attempt times out and nothing ever
+    // lands — refuse to guess, loudly
+    val dead = new EmulatedObjectStore(_ =>
+      EmulatedObjectStore.TransientBeforeEffect)
+    val cs4 = new ConditionalPutClaimStore(dead,
+      maxRetries = 2, backoffMs = 1)
+    val e = intercept[IllegalStateException] {
+      cs4.tryClaim(fs, p("c4")) }
+    assert(e.getMessage.contains("state unknown"))
+
+    // 5. the emulated 412 is definitive: no fault, key exists, not
+    // ours -> false without retries
+    assert(store1.putIfAbsent(s"$dir/c5", "x".getBytes) ==
+      ObjectStoreApi.Created)
+    val cs5 = new ConditionalPutClaimStore(store1, backoffMs = 1)
+    assert(!cs5.tryClaim(fs, p("c5")))
+  }
+
+  test("object-store claims end-to-end: concurrent appends through " +
+       "the fault-injected conditional-PUT store stay exactly-once, " +
+       "versions contiguous, audit clean") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{ConditionalPutClaimStore, EmulatedObjectStore}
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shobjstore").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    val puts = new java.util.concurrent.atomic.AtomicLong
+    val faults = new java.util.concurrent.atomic.AtomicLong
+    val store = new EmulatedObjectStore(key =>
+      if (!key.contains("graft_shobjstore")) EmulatedObjectStore.NoFault
+      else (puts.getAndIncrement() % 3) match {
+        case 0 => faults.incrementAndGet()
+          EmulatedObjectStore.TransientAfterEffect
+        case 1 => faults.incrementAndGet()
+          EmulatedObjectStore.TransientBeforeEffect
+        case _ => EmulatedObjectStore.NoFault
+      })
+    Sources.setClaimStore(new ConditionalPutClaimStore(store,
+      backoffMs = 2))
+    try {
+      Sources.writeShardedTable(batch(0, 50), col("doc_id"),
+        col("doc_id"), path, 2, Seq("doc_id"))
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fs = (0 until 2).map { w =>
+        Future {
+          gate.await()
+          (0 until 3).foreach { i =>
+            Sources.appendShardedTable(
+              batch(1000 * (w + 1) + 100 * i, 30),
+              col("doc_id"), col("doc_id"), path, 2, Seq("doc_id"))
+          }
+        }
+      }
+      gate.countDown()
+      fs.foreach(f => Await.result(f, scala.concurrent.duration
+        .Duration(120, "s")))
+      assert(faults.get() >= 4, s"fault injector never fired")
+      assert(Sources.shardedVersions(spark, path) == (1L to 7L))
+      val got = Sources.readShardedTable(spark, path)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val want = ((0L until 50L) ++
+        (for (w <- 1 to 2; i <- 0 until 3; k <- 0 until 30)
+          yield 1000L * w + 100L * i + k)).sorted
+      assert(got == want)
+      assert(Sources.auditShardedTable(spark, path).count() == 0L)
+    } finally Sources.setClaimStore(Sources.AtomicCreateClaimStore)
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("CDC cursor is never absent mid-commit: marker files advance " +
        "monotonically; legacy single-file cursors stay readable") {
     import org.apache.spark.sql.functions._
@@ -2704,6 +2816,285 @@ class SourcesSpec extends AnyFunSuite {
       .contains("GraftShardedAggScan"))
     assert(g2.collect().map(_.getLong(1)).sorted.toSeq == Seq(90L, 90L))
     Sources.dropShardedTable(spark, path)
+  }
+
+  test("FILTERED aggregate pushdown: partition-equality predicates " +
+       "stay manifest-answered (zero data files); any other filter " +
+       "shape falls back to the scan and stays correct") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_aggfilt").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("s"), pmod(col("id") + lo, lit(3))).as("src"))
+    Sources.writeShardedTable(batch(0, 90), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"),
+      partitionCols = Seq("src"))
+    Sources.appendShardedTable(batch(90, 90), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"))
+    val df = spark.read.format("graft-sharded").load(path)
+    def planOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.executedPlan.toString
+
+    // WHERE part = v, global aggregate: pushed, exact
+    val a1 = df.filter(col("src") === "s1")
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx"))
+    assert(planOf(a1).contains("GraftShardedAggScan"))
+    assert(a1.head() == org.apache.spark.sql.Row(60L, 1L, 178L))
+
+    // IN-list + GROUP BY the partition column: per-group, pushed
+    val a2 = df.filter(col("src").isin("s0", "s2"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n"))
+    assert(planOf(a2).contains("GraftShardedAggScan"))
+    assert(a2.collect().map(r => r.getString(0) -> r.getLong(1))
+      .toMap == Map("s0" -> 60L, "s2" -> 60L))
+
+    // a filter selecting NO partition: count 0, null bounds — exact
+    val a3 = df.filter(col("src") === "zz")
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("mx"))
+    assert(planOf(a3).contains("GraftShardedAggScan"))
+    val r3 = a3.head()
+    assert(r3.getLong(0) == 0L && r3.isNullAt(1))
+
+    // PROOF the filtered aggregate opens zero data files
+    def dataFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(path)).filter(f =>
+        f.getPath.contains("/data-v") && f.getName.endsWith(".parquet"))
+    }
+    val prePlanned = spark.read.format("graft-sharded").load(path)
+    dataFiles().foreach(f => java.nio.file.Files.delete(f.toPath))
+    assert(prePlanned.filter(col("src") === "s1").agg(count(lit(1)))
+      .head().getLong(0) == 60L)
+    Sources.dropShardedTable(spark, path)
+
+    // rebuild for the fallback shapes (data files are gone above)
+    Sources.writeShardedTable(batch(0, 90), col("doc_id"),
+      col("doc_id"), path, 2, Seq("doc_id"),
+      partitionCols = Seq("src"))
+    val df2 = spark.read.format("graft-sharded").load(path)
+    // non-partition filter: falls back, correct
+    val f1 = df2.filter(col("doc_id") < 30)
+      .agg(count(lit(1)).as("n"))
+    assert(!planOf(f1).contains("GraftShardedAggScan"))
+    assert(f1.head().getLong(0) == 30L)
+    // MIXED filter (partition-equality AND a data predicate): any
+    // non-partition-equality conjunct disqualifies — falls back
+    val f2 = df2.filter(col("src") === "s1" && col("doc_id") < 30)
+      .agg(count(lit(1)).as("n"))
+    assert(!planOf(f2).contains("GraftShardedAggScan"))
+    assert(f2.head().getLong(0) == 10L)
+    // range predicate ON the partition column: not equality — falls
+    // back, correct
+    val f3 = df2.filter(col("src") > "s0").agg(count(lit(1)).as("n"))
+    assert(!planOf(f3).contains("GraftShardedAggScan"))
+    assert(f3.head().getLong(0) == 60L)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("fast explicit read under an ADVERSARIAL root (an enclosing " +
+       "directory named like a data dir) keys the partition join " +
+       "from the path tail — full rows, fast path taken") {
+    import org.apache.spark.sql.functions._
+    // the table lives under .../data-v2-archive/tbl: a first-match
+    // regex on '/(data|del)-v<digits>.../' binds the OUTER segment
+    // and silently drops every row at the broadcast join
+    val outer = java.nio.file.Files
+      .createTempDirectory("graft_advroot").toString
+    val path = s"$outer/data-v2-archive/tbl"
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("s"), pmod(col("id") + lo, lit(3))).as("src"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 30), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"), Seq("src"))
+    (1 until 36).foreach { i =>
+      Sources.appendShardedTable(batch(30L * i, 30), col("doc_id"),
+        col("doc_id"), path, 1, Seq("doc_id"))
+    }
+    val fastBefore = Sources.FastReadStats.fastHits.get()
+    val fbBefore = Sources.FastReadStats.fallbacks.get()
+    val got = Sources.readShardedTable(spark, path)
+      .select("doc_id", "src").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == (0L until 1080L).map(k => (k, s"s${k % 3}")).toSet)
+    // and it really WAS the explicit fast path — a silent demotion
+    // to the union backstop would hide the regression
+    assert(Sources.FastReadStats.fastHits.get() == fastBefore + 1)
+    assert(Sources.FastReadStats.fallbacks.get() == fbBefore)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("fast-path pin: the partitioned + renamed + tombstoned " +
+       "many-dir shapes PLAN through the explicit fast read (zero " +
+       "fallbacks), not a silent demotion to the union path") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fastpin").toString
+    def batch(lo: Long, n: Long) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit("s"), pmod(col("id") + lo, lit(2))).as("src"),
+        concat(lit("d"), col("id") + lo).as("t"))
+    Sources.writeShardedTable(batch(0, 20), col("doc_id"),
+      col("doc_id"), path, 1, Seq("doc_id"), Seq("src"))
+    (1 until 34).foreach { i =>
+      Sources.appendShardedTable(batch(20L * i, 20), col("doc_id"),
+        col("doc_id"), path, 1, Seq("doc_id"))
+    }
+    Sources.renameShardedTableColumn(spark, path, "t", "txt")
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(20).select((col("id") * 11).as("doc_id")))
+    val fastBefore = Sources.FastReadStats.fastHits.get()
+    val fbBefore = Sources.FastReadStats.fallbacks.get()
+    val df = Sources.readShardedTable(spark, path)
+    assert(df.columns.contains("txt"))
+    assert(df.count() ==
+      (0L until 680L).count(k => !(k % 11 == 0 && k < 220)))
+    assert(Sources.FastReadStats.fastHits.get() > fastBefore)
+    assert(Sources.FastReadStats.fallbacks.get() == fbBefore)
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("GraftCatalog: ALTER TABLE RENAME TO relocates a MANAGED " +
+       "table's absolute manifest/bloom paths — every snapshot, " +
+       "tombstone and point lookup survives the move") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_cat_mv").toString
+    spark.conf.set("spark.sql.catalog.gmv",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gmv.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gmv.ns")
+    spark.sql("""CREATE TABLE gmv.ns.t (doc_id BIGINT, src STRING,
+      v BIGINT) USING `graft-sharded` PARTITIONED BY (src)
+      TBLPROPERTIES ('idCol'='doc_id', 'numShards'='2')""")
+    spark.range(40).select(col("id").as("doc_id"),
+        concat(lit("s"), pmod(col("id"), lit(2))).as("src"),
+        (col("id") * 10).as("v"))
+      .createOrReplaceTempView("mv_in")
+    spark.sql("INSERT INTO gmv.ns.t SELECT * FROM mv_in " +
+      "WHERE doc_id < 20")
+    spark.sql("INSERT INTO gmv.ns.t SELECT * FROM mv_in " +
+      "WHERE doc_id >= 20")
+    val oldDir = s"$wh/ns/t"
+    // tombstones + a bloom sidecar: both store absolute data_dir
+    // paths and must survive the move
+    Sources.deleteFromShardedTable(spark, oldDir, "doc_id",
+      spark.range(4).select((col("id") * 9).as("doc_id")))
+    Sources.buildShardedBloom(spark, oldDir, "v", bits = 1 << 12)
+    spark.sql("ALTER TABLE gmv.ns.t RENAME TO ns.t2")
+    val newDir = s"$wh/ns/t2"
+    assert(!new java.io.File(oldDir).exists())
+    // full read by NAME: 40 rows minus the 4 tombstoned keys
+    val want = (0L until 40L).filterNot(k => k % 9 == 0 && k < 28)
+    assert(spark.sql("SELECT doc_id FROM gmv.ns.t2").collect()
+      .map(_.getLong(0)).sorted.toSeq == want)
+    // time travel still resolves EVERY historical snapshot (each
+    // manifest's data_dir rows were rewritten, not just the head)
+    assert(spark.sql("SELECT * FROM gmv.ns.t2 VERSION AS OF 1")
+      .count() == 20)
+    // the bloom sidecar moved AND points at the new data dirs
+    val probe = Sources.readShardedTablePointLookup(spark, newDir,
+      "v", lit(110L)).filter(col("v") === 110L)
+    assert(probe.collect().map(_.getAs[Long]("doc_id")).toSeq ==
+      Seq(11L))
+    // the old name is gone; the new one lists
+    assert(spark.sql("SHOW TABLES IN gmv.ns").collect()
+      .map(_.getString(1)).toSeq == Seq("t2"))
+    spark.sql("DROP TABLE gmv.ns.t2")
+    spark.sql("DROP NAMESPACE gmv.ns")
+  }
+
+  test("GraftCatalog procedures: pure-SQL maintenance lifecycle — " +
+       "CALL compact/rewrite_zorder/build_bloom/expire_snapshots/" +
+       "vacuum by table name; reads stay correct throughout") {
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_cat_proc").toString
+    spark.conf.set("spark.sql.catalog.gpr",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpr.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gpr.ns")
+    spark.sql("""CREATE TABLE gpr.ns.t (doc_id BIGINT, x BIGINT,
+      y BIGINT) USING `graft-sharded`
+      TBLPROPERTIES ('idCol'='doc_id', 'numShards'='2')""")
+    spark.range(300).select(col("id").as("doc_id"),
+        (col("id") % 17).as("x"), (col("id") % 23).as("y"))
+      .createOrReplaceTempView("proc_in")
+    (0 until 4).foreach { i =>
+      spark.sql(s"INSERT INTO gpr.ns.t SELECT * FROM proc_in " +
+        s"WHERE doc_id % 4 = $i")
+    }
+    val tdir = s"$wh/ns/t"
+    assert(Sources.shardedVersions(spark, tdir).size == 4)
+    def total() = spark.sql("SELECT count(*) FROM gpr.ns.t")
+      .head().getLong(0)
+    assert(total() == 300)
+
+    // COMPACT by name: 4 small dirs fold into one snapshot
+    val cv = spark.sql(
+      "CALL gpr.system.compact(table => 'ns.t', " +
+        "small_dir_rows => 100000)").collect()
+    assert(cv.map(_.getLong(0)).toSeq == Seq(5L))
+    assert(total() == 300)
+
+    // REWRITE_ZORDER by name: re-cluster along (x, y)
+    val zv = spark.sql(
+      "CALL gpr.system.rewrite_zorder(table => 'ns.t', " +
+        "z_cols => 'x,y')").collect()
+    assert(zv.map(_.getLong(0)).toSeq == Seq(6L))
+    assert(total() == 300)
+
+    // BUILD_BLOOM by name, then the library point lookup uses it
+    spark.sql("CALL gpr.system.build_bloom(table => 'ns.t', " +
+      "col => 'doc_id', bits => 4096)")
+    assert(Sources.readShardedTablePointLookup(spark, tdir,
+        "doc_id", lit(123L)).filter(col("doc_id") === 123L)
+      .count() == 1L)
+
+    // EXPIRE old snapshots, VACUUM the unreferenced dirs (grace 0)
+    val exp = spark.sql(
+      "CALL gpr.system.expire_snapshots(table => 'ns.t', " +
+        "keep => 1)").collect()
+    assert(exp.map(_.getLong(0)).toSeq == (1L to 5L))
+    val vac = spark.sql(
+      "CALL gpr.system.vacuum(table => 'ns.t', grace_ms => 0)")
+      .collect()
+    assert(total() == 300)
+    // the z-ordered rewrite is now the only live snapshot
+    assert(Sources.shardedVersions(spark, tdir) == Seq(6L))
+
+    // defaulted parameters parse (keep defaults to 3 — no-op here)
+    spark.sql("CALL gpr.system.expire_snapshots(table => 'ns.t')")
+    assert(total() == 300)
+    spark.sql("DROP TABLE gpr.ns.t")
+    spark.sql("DROP NAMESPACE gpr.ns")
+  }
+
+  test("GraftCatalog: RENAME COLUMN on a partition column is " +
+       "rejected even before the first snapshot exists") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_cat_rc").toString
+    spark.conf.set("spark.sql.catalog.grc",
+      "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grc.warehouse", wh)
+    spark.sql("CREATE NAMESPACE grc.ns")
+    spark.sql("""CREATE TABLE grc.ns.t (doc_id BIGINT, src STRING)
+      USING `graft-sharded` PARTITIONED BY (src)
+      TBLPROPERTIES ('idCol'='doc_id', 'numShards'='2')""")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE grc.ns.t RENAME COLUMN src TO origin")
+    }
+    assert(e.getMessage.contains("partition column"))
+    // non-partition rename on the EMPTY table is still fine
+    spark.sql("ALTER TABLE grc.ns.t RENAME COLUMN doc_id TO id")
+    assert(spark.sql("SELECT * FROM grc.ns.t").columns.toSeq ==
+      Seq("id", "src"))
+    spark.sql("DROP TABLE grc.ns.t")
+    spark.sql("DROP NAMESPACE grc.ns")
   }
 
   test("CDC startingVersion=latest base persists across source " +
