@@ -122,6 +122,75 @@ object Packing {
     (out, () => { p.unpersist(); () })
   }
 
+  /** [[orderedCumsumsReleasable]] that ALSO returns each value's grand
+    * total, collected driver-side from the same per-partition-totals
+    * pass that the prefix offsets need anyway — so a caller that wants
+    * the row count (pass `lit(1L)`) or a column's sum alongside the
+    * cumsum pays ZERO extra jobs for it. The offsets are computed from
+    * the collected totals in plain driver arithmetic and re-broadcast
+    * as a local relation, which also removes the single-task
+    * no-partition window the lazy form runs over the totals frame.
+    *
+    * EAGER (one collect job at call time, which also materializes the
+    * shared cache) — callers that must stay data-free at plan build
+    * (`LazyPlanSpec`) use the lazy [[orderedCumsums]] instead. The
+    * sharded-table writer is the intended consumer: it previously paid
+    * a separate full `df.count()` pass per snapshot commit just to
+    * size the shard blocks. */
+  def orderedCumsumsCounted(df: DataFrame, order: Column,
+                            values: Seq[(String, Column)],
+                            partitions: Int)
+      : (DataFrame, () => Unit, Seq[Long]) = {
+    import org.apache.spark.sql.expressions.Window
+    require(values.nonEmpty, "orderedCumsums: need at least one value")
+    val vCols = values.indices.map(i => s"__v$i")
+    val bCols = values.indices.map(i => s"__b$i")
+    val reserved = Seq("__pid") ++ vCols ++ bCols ++ values.map(_._1)
+    val clash = df.columns.intersect(reserved)
+    require(clash.isEmpty,
+      s"orderedCumsums: column(s) ${clash.mkString(", ")} already exist")
+    val p0 = values.zipWithIndex
+      .foldLeft(df) { case (d, ((_, v), i)) =>
+        d.withColumn(s"__v$i", v.cast("long")) }
+      .repartitionByRange(partitions, order)
+      .sortWithinPartitions(order)
+      .withColumn("__pid", spark_partition_id())
+    val p = p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE job: per-partition totals (materializes the shared cache);
+    // exclusive prefix offsets and grand totals fall out driver-side
+    val totals = values.indices.map(i => sum(col(s"__v$i")).as(s"__t$i"))
+    val totRows = p.groupBy("__pid").agg(totals.head, totals.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> values.indices.map(i =>
+        if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
+      .sortBy(_._1)
+    val grand = values.indices.map(i => totRows.map(_._2(i)).sum)
+    // exclusive running offsets in pid order
+    var acc = values.indices.map(_ => 0L).toIndexedSeq
+    val baseRows = totRows.map { case (pid, ts) =>
+      val row = org.apache.spark.sql.Row.fromSeq(pid +: acc)
+      acc = acc.indices.map(i => acc(i) + ts(i)).toIndexedSeq
+      row
+    }
+    val baseSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType) +:
+      values.indices.map(i => org.apache.spark.sql.types.StructField(
+        s"__b$i", org.apache.spark.sql.types.LongType)))
+    val bases = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(baseRows: _*), baseSchema)
+    val w = Window.partitionBy(col("__pid")).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = values.zipWithIndex
+      .foldLeft(p.join(broadcast(bases), Seq("__pid"))) {
+        case (d, ((name, _), i)) =>
+          d.withColumn(name,
+            col(s"__b$i") + sum(col(s"__v$i")).over(w) - col(s"__v$i"))
+      }
+      .drop("__pid" +: (vCols ++ bCols): _*)
+    (out, () => { p.unpersist(); () }, grand)
+  }
+
   /** Pack the corpus token stream (docs laid end-to-end in `id` order)
     * into `seqLen`-token sequences. Output: one row per (sequence,
     * document) overlap — seq_id, doc_id, tok_from/tok_to (the doc's

@@ -1428,7 +1428,7 @@ object Sources {
                             parent: ParentMode,
                             batchId: Long,
                             op: String = "write",
-                            deleteKeys: Option[(DataFrame, String)] = None,
+                            deleteKeyCol: Option[String] = None,
                             partitionCols: Seq[String] = Nil,
                             meta: Option[ShardedMeta] = None)
       : Long = {
@@ -1452,21 +1452,6 @@ object Sources {
       .getOrElse(0L) + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$path/data-v$baseV-$token"
-    val n = df.count()
-    // An empty snapshot would write no part files, so the manifest
-    // pass could not even infer a schema (and a versioned dir with no
-    // manifest is exactly the half-written state readers must never
-    // see) — fail loudly before touching the directory layout.
-    require(n > 0, s"writeShardedTable: empty input — refusing to " +
-      s"write snapshot v$baseV at $path")
-    val block = (n + numShards - 1) / numShards
-    // contiguous range shards: global position by (orderCol, id)
-    // computed DIRECTLY on the frame (orderedCumsum carries every
-    // input column through), never via a join back on the id — a
-    // duplicate-id input (e.g. a compaction folding overlapping
-    // appends) would multiply through an id join, silently inflating
-    // the snapshot. One count sizes the blocks (a writer-side job,
-    // amortized over the snapshot's lifetime of pruned reads).
     // PARTITION COLUMNS: a table created with them lays data out as
     // data-v<N>/<c>=<val>/.../shard=<k> and every later write
     // inherits them from the parent manifest's part_<c> columns —
@@ -1484,51 +1469,131 @@ object Sources {
       s"writeShardedTable: partition column(s) ${partCols
         .filterNot(df.columns.contains).mkString(",")} missing from " +
         "the input")
-    val (withPos, releaseCumsumCache) = graft.ops.Packing
-      .orderedCumsumsReleasable(df,
+    // contiguous range shards: global position by (orderCol, id)
+    // computed DIRECTLY on the frame (orderedCumsum carries every
+    // input column through), never via a join back on the id — a
+    // duplicate-id input (e.g. a compaction folding overlapping
+    // appends) would multiply through an id join, silently inflating
+    // the snapshot. The row count that sizes the blocks falls out of
+    // the SAME per-partition-totals pass the prefix sum needs (r13:
+    // the separate writer-side `df.count()` job — one full extra
+    // evaluation of the input lineage per commit — is gone).
+    val (withPos, releaseCumsumCache, cumsumTotals) = graft.ops.Packing
+      .orderedCumsumsCounted(df,
         org.apache.spark.sql.functions.struct(orderCol, id),
         Seq("__pos" -> lit(1L)), partitions = 32)
+    val n = cumsumTotals.head
+    // An empty snapshot would write no part files, so the manifest
+    // pass could not even infer a schema (and a versioned dir with no
+    // manifest is exactly the half-written state readers must never
+    // see) — fail loudly before touching the directory layout.
+    if (n <= 0) releaseCumsumCache()
+    require(n > 0, s"writeShardedTable: empty input — refusing to " +
+      s"write snapshot v$baseV at $path")
+    val block = (n + numShards - 1) / numShards
     val data = withPos.withColumn("shard", expr(s"__pos div $block"))
+    // stats keyed on (shard, partition values AS STRING — cast with
+    // Spark semantics, so the strings match the Hive-escaped directory
+    // fragments the write lays down) — computable from the CACHED
+    // cumsum frame for string/integral partition types (every later
+    // job in this commit then reads the cache, never re-reads the
+    // files just written — at scale the re-read was a second full
+    // pass over the batch); exotic partition value types (double,
+    // timestamp) keep the read-back path whose raw on-disk strings
+    // are authoritative.
+    val partTypesSafe = {
+      import org.apache.spark.sql.types._
+      partCols.forall(c => df.schema(c).dataType match {
+        case StringType | LongType | IntegerType | ShortType |
+             ByteType => true
+        case _ => false
+      })
+    }
+    val cacheStatsThunk =
+      if (!partTypesSafe) None
+      else {
+        val keys = Seq(col("shard")) ++ partCols.map(c =>
+          col(c).cast("string").as(s"__gk_$c"))
+        val aggs = Seq(count(lit(1)).as("n_rows")) ++
+          statsCols.flatMap(c => Seq(
+            min(col(c)).cast("long").as(s"min_$c"),
+            max(col(c)).cast("long").as(s"max_$c")))
+        Some(() => data.groupBy(keys: _*)
+          .agg(aggs.head, aggs.tail: _*).collect())
+      }
     // sort WITHIN each shard by the global position: parquet
     // row-group min/max stats on the order column stay tight, so a
     // reader's pushed-down predicate prunes row groups INSIDE the
     // shards the manifest could not exclude — the second level of
     // the same stats hierarchy, paid once at write as a per-
     // partition (spill-aware) sort, no extra shuffle
-    try data.repartition(numShards, col("shard"))
-      .sortWithinPartitions(col("shard") +:
-        partCols.map(col) :+ col("__pos"): _*)
-      .drop("__pos")
-      .write.mode("overwrite")
-      .partitionBy(partCols :+ "shard": _*).parquet(dataDir)
-    // the cumsum's internal cache served its one action — drop it, or
+    val (collectedStatRows, delInfo) =
+    try {
+      data.repartition(numShards, col("shard"))
+        .sortWithinPartitions(col("shard") +:
+          partCols.map(col) :+ col("__pos"): _*)
+        .drop("__pos")
+        .write.mode("overwrite")
+        .partitionBy(partCols :+ "shard": _*).parquet(dataDir)
+      val sr = cacheStatsThunk match {
+        case Some(thunk) => thunk()
+        case None =>
+          // manifest from the FILES (read back what a reader will
+          // find). Partition columns (and shard) declared STRING — no
+          // type inference pass, the RAW on-disk value string comes
+          // back exactly. Stats on a partition column cast back to
+          // the input's type first (lexicographic string min/max
+          // would be wrong for numerics).
+          val written = {
+            import org.apache.spark.sql.types.{StringType, StructField}
+            val fileFields = df.schema.fields
+              .filterNot(f => partCols.contains(f.name))
+            spark.read.schema(StructType(fileFields.toSeq ++
+                partCols.map(c => StructField(c, StringType)) :+
+                StructField("shard", StringType)))
+              .parquet(dataDir)
+          }
+          val origType =
+            df.schema.fields.map(f => f.name -> f.dataType).toMap
+          def statExpr(c: String): Column =
+            if (partCols.contains(c)) col(c).cast(origType(c))
+            else col(c)
+          val aggs = Seq(count(lit(1)).as("n_rows")) ++
+            statsCols.flatMap(c =>
+              Seq(min(statExpr(c)).cast("long").as(s"min_$c"),
+                  max(statExpr(c)).cast("long").as(s"max_$c")))
+          val statKeys = Seq(col("shard").cast("long").as("shard")) ++
+            partCols.map(col)
+          written.groupBy(statKeys: _*)
+            .agg(aggs.head, aggs.tail: _*).collect()
+      }
+      // MERGE tombstone file, written from the SAME cache (the input
+      // lineage — often a table read — is never recomputed for the
+      // keys) with the distinct-key count OBSERVED in the write job
+      // instead of a separate read-back count job (r13).
+      val di = deleteKeyCol.map { idName =>
+        val delDir = s"$path/del-v$baseV-$token"
+        val obs = org.apache.spark.sql.Observation()
+        data.select(col(idName)).distinct()
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(delDir)
+        val delN = obs.get("n").asInstanceOf[Long]
+        // both counts exist anyway — catch a merge batch with
+        // duplicate keys for free: its tombstone (distinct keys)
+        // kills neither copy (same seq), so the dupes would silently
+        // both insert
+        require(delN == n,
+          s"mergeShardedTable: batch has ${n - delN} duplicate " +
+            s"key(s) ($n rows, $delN distinct) — upsert needs " +
+            "unique keys")
+        (delDir, idName, delN)
+      }
+      (sr, di)
+    // the cumsum's internal cache served its actions — drop it, or
     // a session issuing many snapshot commits (streaming sinks, fuzz
     // chains, any ingest loop) accumulates pinned full-frame cache
     // entries that strangle executor memory for every later query
-    finally releaseCumsumCache()
-    // manifest from the FILES (describe what a reader will find).
-    // The read declares partition columns (and shard) as STRING — no
-    // type inference pass, and the RAW on-disk value string comes back
-    // exactly, so the manifest leaf reconstructs the real directory
-    // name even for values Spark Hive-escaped on write ('=', '/',
-    // '%', ':' ...). Stats on a partition column cast back to the
-    // input's type first (lexicographic string min/max would be
-    // wrong for numerics).
-    val written = {
-      import org.apache.spark.sql.types.{StringType, StructField}
-      val fileFields = df.schema.fields
-        .filterNot(f => partCols.contains(f.name))
-      spark.read.schema(StructType(fileFields.toSeq ++
-          partCols.map(c => StructField(c, StringType)) :+
-          StructField("shard", StringType)))
-        .parquet(dataDir)
-    }
-    val origType = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    def statExpr(c: String): Column =
-      if (partCols.contains(c)) col(c).cast(origType(c)) else col(c)
-    val aggs = Seq(count(lit(1)).as("n_rows")) ++ statsCols.flatMap(c =>
-      Seq(min(statExpr(c)).cast("long").as(s"min_$c"),
-          max(statExpr(c)).cast("long").as(s"max_$c")))
+    } finally releaseCumsumCache()
     // per-leaf BYTE sizes from one recursive listing of the dir just
     // written — the manifest then answers "how big is this pruned
     // read" without touching storage (join-planning statistics for
@@ -1550,16 +1615,8 @@ object Sources {
       }
       acc.toMap
     }
-    // ONE job aggregates per-leaf stats over what was written; the
-    // null-partition check, Hive-escaped leaf reconstruction, byte
-    // stats and the manifest rows themselves are all derived from the
-    // collected (metadata-scale) result driver-side — the r12 fix for
-    // the r11 one-small-job-per-helper commit tax.
-    val statKeys = Seq(col("shard").cast("long").as("shard")) ++
-      partCols.map(col)
-    val statRows = written.groupBy(statKeys: _*)
-      .agg(aggs.head, aggs.tail: _*).collect()
-    statRows.foreach { r =>
+    val statRowsFinal = collectedStatRows
+    statRowsFinal.foreach { r =>
       partCols.indices.foreach(i => require(!r.isNullAt(1 + i),
         "writeShardedTable: partition column values must be non-null"))
     }
@@ -1585,7 +1642,7 @@ object Sources {
     def newRows(v: Long): DataFrame = {
       val esc = org.apache.spark.sql.catalyst.catalog
         .ExternalCatalogUtils.escapePathName _
-      val out = statRows.map { r =>
+      val out = statRowsFinal.map { r =>
         val shard = r.getLong(0)
         val partVals = partCols.indices.map(i => r.getString(1 + i))
         val leaf = (partCols.zip(partVals).map { case (c, pv) =>
@@ -1603,24 +1660,11 @@ object Sources {
       spark.createDataFrame(
         java.util.Arrays.asList(out: _*), newRowsSchema)
     }
-    // MERGE writes its tombstone file in the SAME snapshot: the
-    // delete's seq equals the data's seq, and a tombstone only kills
-    // rows with a STRICTLY SMALLER seq — so the merge's own inserts
-    // survive while every older copy of the key dies, atomically
-    // (one manifest commit covers both dirs).
-    val delInfo = deleteKeys.map { case (keys, idName) =>
-      val delDir = s"$path/del-v$baseV-$token"
-      keys.select(col(idName)).distinct()
-        .write.mode("overwrite").parquet(delDir)
-      val delN = spark.read.parquet(delDir).count()
-      // both counts exist anyway — catch a merge batch with duplicate
-      // keys for free: its tombstone (distinct keys) kills neither
-      // copy (same seq), so the dupes would silently both insert
-      require(delN == n,
-        s"mergeShardedTable: batch has ${n - delN} duplicate key(s) " +
-          s"($n rows, $delN distinct) — upsert needs unique keys")
-      (delDir, idName, delN)
-    }
+    // MERGE's tombstone file was written in the SAME snapshot (see
+    // the try block above): the delete's seq equals the data's seq,
+    // and a tombstone only kills rows with a STRICTLY SMALLER seq —
+    // so the merge's own inserts survive while every older copy of
+    // the key dies, atomically (one manifest commit covers both dirs).
     def delRow(v: Long) = delInfo.map { case (delDir, idName, delN) =>
       spark.range(1).select(
         lit(-1L).as("shard"), lit(delN).as("n_rows"),
@@ -1773,16 +1817,19 @@ object Sources {
         try {
           // collect-then-write-local: the manifest frame is usually a
           // union of LOCAL relations (cached parent + driver-built new
-          // rows), so the collect is near-free; writing the collected
-          // rows lets the publish also seed the metadata memo — the
-          // next operation on this table resolves with zero reads
+          // rows), so the collect is near-free; the collected rows are
+          // then written DRIVER-SIDE through Spark's own parquet write
+          // support (r13 — a metadata-scale file does not need a Spark
+          // job + task commit protocol; Iceberg writes its manifests
+          // driver-side for the same reason), and the publish also
+          // seeds the metadata memo — the next operation on this
+          // table resolves with zero reads
           val mf = mkManifest(version)
           val outSchema = mf.schema
           val outRows = mf.collect()
-          spark.createDataFrame(
-              java.util.Arrays.asList(outRows: _*), outSchema)
-            .coalesce(1)
-            .write.mode("overwrite").parquet(stage.toString)
+          org.apache.spark.sql.graftbridge.LocalParquetBridge
+            .writeSingleFile(spark, stage.toString, outSchema,
+              outRows.toSeq)
           require(fs.rename(stage, new org.apache.hadoop.fs.Path(
               s"$path/_manifest/v$version")),
             s"manifest publish rename failed: $stage -> v$version")
@@ -2124,13 +2171,37 @@ object Sources {
                        version: Option[Long] = None,
                        partPreds: Seq[(String, String)] = Nil)
       : DataFrame = {
-    import org.apache.spark.sql.functions.col
     val meta = resolveMeta(spark, path, version)
-    val dataMf = meta.manifestDf(spark).filter(col("kind") === "data")
     // tombstones are never pruned: key-only files, metadata-scale —
-    // and a pruned-away tombstone would RESURRECT rows
-    val pruned = prunedDataManifest(dataMf, preds, partPreds)
-    val rows = pruned.select("data_dir", "leaf", "seq").collect()
+    // and a pruned-away tombstone would RESURRECT rows.
+    // Pruning runs DRIVER-SIDE over the memoized manifest rows (r13 —
+    // the local-relation Catalyst filter cost two analysis passes per
+    // read for the same superset-keep arithmetic); semantics identical
+    // to [[prunedDataManifest]]: null-safe keep, untracked columns
+    // keep.
+    val fields = meta.mfSchema.fieldNames
+    def idx(c: String): Option[Int] = {
+      val i = fields.indexOf(c); if (i < 0) None else Some(i)
+    }
+    def longAt(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    val partIdx = partPreds.flatMap { case (c, v) =>
+      idx(s"part_$c").map(i => (i, v)) }
+    val boundIdx = preds.flatMap { case (c, lo, hi) =>
+      idx(s"min_$c").zip(idx(s"max_$c")).map { case (mi, ma) =>
+        (mi, ma, lo, hi) } }
+    val rows = meta.dataRows.filter { r =>
+      partIdx.forall { case (i, v) =>
+        r.isNullAt(i) || r.getString(i) == v } &&
+      boundIdx.forall { case (mi, ma, lo, hi) =>
+        (longAt(r, ma), longAt(r, mi)) match {
+          case (Some(mx), Some(mn)) => !(mx < lo || mn > hi)
+          case _ => true // null stats can never exclude
+        } }
+    }.map { r =>
+      org.apache.spark.sql.Row(r.getAs[String]("data_dir"),
+        r.getAs[String]("leaf"), r.getAs[Long]("seq"))
+    }
     readManifestShards(spark, meta, rows)
   }
 
@@ -2756,9 +2827,14 @@ object Sources {
     val baseV = meta.version + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
     val delDir = s"$path/del-v$baseV-$token"
+    // the key count rides the write job as an observed metric — the
+    // old read-back `count()` was a second job per delete (r13)
+    val obs = org.apache.spark.sql.Observation()
     keys.select(col(idName)).distinct()
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
       .write.mode("overwrite").parquet(delDir)
-    val n = spark.read.parquet(delDir).count()
+    val n = obs.get("n").asInstanceOf[Long]
     def delRow(v: Long) = spark.range(1).select(
       lit(-1L).as("shard"), lit(n).as("n_rows"),
       lit(delDir).as("data_dir"), lit(-1L).as("batch_id"),
@@ -2801,8 +2877,7 @@ object Sources {
     val aligned = alignBatchTypes(df, tableSchema, "mergeShardedTable")
     writeSnapshot(aligned, col(idName), orderCol, path, numShards,
       statsCols, parent = LatestParent, batchId = batchId, op = "merge",
-      deleteKeys = Some((aligned.select(col(idName)), idName)),
-      meta = Some(meta))
+      deleteKeyCol = Some(idName), meta = Some(meta))
   }
 
   // ---- COLUMN RENAME via a manifest-level mapping ------------------
@@ -2971,9 +3046,7 @@ object Sources {
     import org.apache.spark.sql.functions.col
     writeSnapshot(updated, col(idName), orderCol, path, numShards,
       statsCols, parent = FixedParent(parent, base), batchId = -1L,
-      op = "merge",
-      deleteKeys = Some((updated.select(col(idName)), idName)),
-      meta = Some(meta))
+      op = "merge", deleteKeyCol = Some(idName), meta = Some(meta))
   }
 
   /** DELETE by predicate: resolve the matching keys with a
@@ -3192,14 +3265,17 @@ object Sources {
         s"${zCols.size} x $bitsPerCol")
     val nB = 1 << bitsPerCol
     val probs = (1 until nB).map(_.toDouble / nB).toArray
-    // one sketch pass per dimension, driver state = nB-1 doubles each
-    def bucket(c: String): Column = {
-      val splits = df.stat.approxQuantile(c, probs, 0.001)
+    // ONE sketch pass for ALL dimensions (the multi-column
+    // approxQuantile shares the scan — r13: the per-column form paid
+    // one full pass per z column), driver state = nB-1 doubles each
+    val allSplits = df.stat.approxQuantile(zCols.toArray, probs, 0.001)
+    def bucket(c: String, splits: Array[Double]): Column = {
       val arr = array(splits.map(lit(_)): _*)
       aggregate(arr, lit(0L), (acc, x) =>
         acc + when(col(c).cast("double") >= x, 1L).otherwise(0L))
     }
-    val z = zValueK(zCols.map(bucket), bitsPerCol)
+    val z = zValueK(zCols.zip(allSplits.toSeq).map {
+      case (c, s) => bucket(c, s) }, bitsPerCol)
     writeShardedTable(df, id, z, path, numShards, statsCols = zCols)
   }
 
@@ -3223,13 +3299,15 @@ object Sources {
     val cur = readShardedTable(spark, path)
     val nB = 1 << bitsPerCol
     val probs = (1 until nB).map(_.toDouble / nB).toArray
-    def bucket(c: String): Column = {
-      val splits = cur.stat.approxQuantile(c, probs, 0.001)
+    // one sketch pass for all dimensions (see writeShardedTableZOrdered)
+    val allSplits = cur.stat.approxQuantile(zCols.toArray, probs, 0.001)
+    def bucket(c: String, splits: Array[Double]): Column = {
       val arr = array(splits.map(lit(_)): _*)
       aggregate(arr, lit(0L), (acc, x) =>
         acc + when(col(c).cast("double") >= x, 1L).otherwise(0L))
     }
-    val z = zValueK(zCols.map(bucket), bitsPerCol)
+    val z = zValueK(zCols.zip(allSplits.toSeq).map {
+      case (c, s) => bucket(c, s) }, bitsPerCol)
     rewriteShardedTable(spark, path, col(idName), z, numShards,
       (idName +: zCols).distinct)
   }
