@@ -137,6 +137,14 @@ object Packing {
     * sharded-table writer is the intended consumer: it previously paid
     * a separate full `df.count()` pass per snapshot commit just to
     * size the shard blocks. */
+  /** partitions = 0 → SCALE-ADAPTIVE: the range shuffle takes the
+    * session's shuffle partition count and stays AQE-COALESCIBLE
+    * (no user-pinned count), so a KB-sized batch collapses to one or
+    * two tasks while a TB-sized batch sizes by the advisory partition
+    * bytes — the writer-path choice; a hard-coded count is wrong at
+    * both ends. Coalescing merges only ADJACENT range partitions, so
+    * pid order stays range order and the offset arithmetic is
+    * unaffected. */
   def orderedCumsumsCounted(df: DataFrame, order: Column,
                             values: Seq[(String, Column)],
                             partitions: Int)
@@ -149,10 +157,12 @@ object Packing {
     val clash = df.columns.intersect(reserved)
     require(clash.isEmpty,
       s"orderedCumsums: column(s) ${clash.mkString(", ")} already exist")
-    val p0 = values.zipWithIndex
+    val withVals = values.zipWithIndex
       .foldLeft(df) { case (d, ((_, v), i)) =>
         d.withColumn(s"__v$i", v.cast("long")) }
-      .repartitionByRange(partitions, order)
+    val p0 = (if (partitions > 0)
+        withVals.repartitionByRange(partitions, order)
+      else withVals.repartitionByRange(order))
       .sortWithinPartitions(order)
       .withColumn("__pid", spark_partition_id())
     val p = p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

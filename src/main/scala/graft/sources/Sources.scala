@@ -1481,7 +1481,7 @@ object Sources {
     val (withPos, releaseCumsumCache, cumsumTotals) = graft.ops.Packing
       .orderedCumsumsCounted(df,
         org.apache.spark.sql.functions.struct(orderCol, id),
-        Seq("__pos" -> lit(1L)), partitions = 32)
+        Seq("__pos" -> lit(1L)), partitions = 0)
     val n = cumsumTotals.head
     // An empty snapshot would write no part files, so the manifest
     // pass could not even infer a schema (and a versioned dir with no
@@ -1529,11 +1529,19 @@ object Sources {
     // partition (spill-aware) sort, no extra shuffle
     val (collectedStatRows, delInfo) =
     try {
+      // committer v2 (direct task-commit renames): the OUTPUT
+      // committer's job-level atomicity is redundant here — the dir is
+      // fresh and token-suffixed, and only the manifest commit (which
+      // happens strictly after a successful write) makes it visible,
+      // so a failed job's partial files are unreachable garbage for
+      // vacuum, exactly like v2's documented failure mode. Saves the
+      // v1 job-commit rename pass per snapshot write.
       data.repartition(numShards, col("shard"))
         .sortWithinPartitions(col("shard") +:
           partCols.map(col) :+ col("__pos"): _*)
         .drop("__pos")
         .write.mode("overwrite")
+        .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
         .partitionBy(partCols :+ "shard": _*).parquet(dataDir)
       val sr = cacheStatsThunk match {
         case Some(thunk) => thunk()
@@ -1573,11 +1581,17 @@ object Sources {
       // instead of a separate read-back count job (r13).
       val di = deleteKeyCol.map { idName =>
         val delDir = s"$path/del-v$baseV-$token"
-        val obs = org.apache.spark.sql.Observation()
         data.select(col(idName)).distinct()
-          .observe(obs, count(lit(1)).as("n"))
-          .write.mode("overwrite").parquet(delDir)
-        val delN = obs.get("n").asInstanceOf[Long]
+          .write.mode("overwrite")
+          .option("mapreduce.fileoutputcommitter.algorithm.version",
+            "2")
+          .parquet(delDir)
+        // count from the written key file (tiny, key-only); an
+        // Observation would be free here but its get() blocks on the
+        // ASYNC listener bus, which lags multi-second behind rapid
+        // action chains (measured 2-3x wall regressions on the fuzz
+        // chains) — a small read-back job is strictly cheaper
+        val delN = spark.read.parquet(delDir).count()
         // both counts exist anyway — catch a merge batch with
         // duplicate keys for free: its tombstone (distinct keys)
         // kills neither copy (same seq), so the dupes would silently
@@ -2827,14 +2841,13 @@ object Sources {
     val baseV = meta.version + 1
     val token = java.util.UUID.randomUUID().toString.take(8)
     val delDir = s"$path/del-v$baseV-$token"
-    // the key count rides the write job as an observed metric — the
-    // old read-back `count()` was a second job per delete (r13)
-    val obs = org.apache.spark.sql.Observation()
     keys.select(col(idName)).distinct()
-      .observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-      .write.mode("overwrite").parquet(delDir)
-    val n = obs.get("n").asInstanceOf[Long]
+      .write.mode("overwrite")
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .parquet(delDir)
+    // read-back count, NOT an Observation: obs.get blocks on the
+    // async listener bus (see writeSnapshot's tombstone comment)
+    val n = spark.read.parquet(delDir).count()
     def delRow(v: Long) = spark.range(1).select(
       lit(-1L).as("shard"), lit(n).as("n_rows"),
       lit(delDir).as("data_dir"), lit(-1L).as("batch_id"),
