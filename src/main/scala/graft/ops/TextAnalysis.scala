@@ -1046,17 +1046,24 @@ object TextAnalysis {
                      pos: DataFrame, posText: Column,
                      neg: DataFrame, negText: Column,
                      broadcastModel: Boolean = true): DataFrame = {
-    def tokCounts(d: DataFrame, t: Column) =
-      d.select(explode(tokens(t)).as("tok")).filter(col("tok") =!= "")
-        .groupBy("tok").agg(count(lit(1)).as("c"))
+    // ONE shuffle trains both classes: the pos/neg token streams ride
+    // a union tagged with the class, and a single groupBy(tok) with
+    // conditional sums replaces two per-class count aggregations plus
+    // their vocab-sized full-outer join (r13 — same counts: a token
+    // absent from a class sums to 0 exactly as the old coalesce did).
+    // Map-side partial aggregation still collapses each input to
+    // vocab scale before the exchange.
     // vocab-sized; materialized because BOTH the scalar totals below
     // and the scoring join consume it — without the pin each one
     // re-runs the two full tokenize+count corpus scans
-    val m0 = tokCounts(pos, posText).withColumnRenamed("c", "cp")
-      .join(tokCounts(neg, negText).withColumnRenamed("c", "cn"),
-            Seq("tok"), "full_outer")
-      .select(col("tok"), coalesce(col("cp"), lit(0L)).as("cp"),
-              coalesce(col("cn"), lit(0L)).as("cn"))
+    val m0 = pos.select(explode(tokens(posText)).as("tok"),
+        lit(1L).as("isp"))
+      .unionByName(neg.select(explode(tokens(negText)).as("tok"),
+        lit(0L).as("isp")))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(sum(col("isp")).as("cp"),
+           sum(lit(1L) - col("isp")).as("cn"))
       .cut()
     val row = m0.agg(sum("cp"), sum("cn"), count(lit(1))).collect()(0)
     val (np, nn, v) = (row.getLong(0), row.getLong(1), row.getLong(2))
@@ -1107,19 +1114,22 @@ object TextAnalysis {
                   buckets: Int = 256,
                   broadcastModel: Boolean = true): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    def tokCounts(d: DataFrame, t: Column) =
-      d.select(explode(tokens(t)).as("tok")).filter(col("tok") =!= "")
-        .groupBy("tok").agg(count(lit(1)).as("c"))
     // vocab-sized; the bucket agg AND the token-model join both
-    // consume it — pin once (nbQualityScore discipline)
+    // consume it — pin once (nbQualityScore discipline). ONE shuffle
+    // trains both corpora (tagged union + conditional sums — the
+    // nbQualityScore r13 fold; counts identical to the old per-corpus
+    // aggs + full-outer join).
     val tok = col("tok")
     val codes = transform(sequence(lit(1), length(tok)), i =>
       ascii(tok.substr(i, lit(1))).cast("long"))
-    val hb = tokCounts(df, text).withColumnRenamed("c", "cr")
-      .join(tokCounts(target, targetText).withColumnRenamed("c", "ct"),
-            Seq("tok"), "full_outer")
-      .select(tok, coalesce(col("cr"), lit(0L)).as("cr"),
-              coalesce(col("ct"), lit(0L)).as("ct"))
+    val hb = df.select(explode(tokens(text)).as("tok"),
+        lit(0L).as("ist"))
+      .unionByName(target.select(explode(tokens(targetText)).as("tok"),
+        lit(1L).as("ist")))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(sum(lit(1L) - col("ist")).as("cr"),
+           sum(col("ist")).as("ct"))
       .withColumn("b",
         aggregate(codes, lit(7L),
           (a, ch) => (a * 31L + ch) % 2147483647L) % buckets)
@@ -1164,17 +1174,19 @@ object TextAnalysis {
                 target: DataFrame, targetText: Column,
                 buckets: Int = 256): DsirModel = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    def tokCounts(d: DataFrame, t: Column) =
-      d.select(explode(tokens(t)).as("tok")).filter(col("tok") =!= "")
-        .groupBy("tok").agg(count(lit(1)).as("c"))
+    // one-shuffle tagged-union trainer (the dsirWeights/nbQualityScore
+    // r13 fold — identical counts)
     val tok = col("tok")
     val codes = transform(sequence(lit(1), length(tok)), i =>
       ascii(tok.substr(i, lit(1))).cast("long"))
-    val bc = tokCounts(df, text).withColumnRenamed("c", "cr")
-      .join(tokCounts(target, targetText).withColumnRenamed("c", "ct"),
-            Seq("tok"), "full_outer")
-      .select(coalesce(col("cr"), lit(0L)).as("cr"),
-              coalesce(col("ct"), lit(0L)).as("ct"),
+    val bc = df.select(explode(tokens(text)).as("tok"),
+        lit(0L).as("ist"))
+      .unionByName(target.select(explode(tokens(targetText)).as("tok"),
+        lit(1L).as("ist")))
+      .filter(col("tok") =!= "")
+      .groupBy("tok")
+      .agg(sum(lit(1L) - col("ist")).as("cr"), sum(col("ist")).as("ct"))
+      .select(col("cr"), col("ct"),
               (aggregate(codes, lit(7L),
                 (a, ch) => (a * 31L + ch) % 2147483647L) % buckets)
                 .as("b"))

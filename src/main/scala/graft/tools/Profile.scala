@@ -87,6 +87,72 @@ object Profile {
       spark.stop(); return
     }
 
+    if (args.contains("q242")) { // prefix-filter stage profile
+      import org.apache.spark.sql.expressions.Window
+      val (tauNum, tauDen) = (6, 10)
+      val id = col("doc_id"); val text = col("text")
+      val toks = d
+        .select(id.as("id"),
+          sort_array(array_distinct(
+            filter(tokens(text), t => t =!= ""))).as("ts"))
+        .withColumn("n", size(col("ts")))
+        .filter(col("n") > 0)
+      time("toks count")(toks.count())
+      val toksC = time("toks cut")(toks.cut())
+      val sets = toksC.groupBy("ts")
+        .agg(min(col("id")).as("sid"), first(col("n")).as("n"))
+        .select(col("sid"), col("ts"), col("n"))
+      val setsC = time("sets cut")(sets.cut())
+      val docsMap = toksC.join(setsC.select(col("ts"), col("sid")), "ts")
+        .select(col("sid"), col("id"))
+      time("docsMap count")(docsMap.count())
+      val ex = setsC.select(col("sid"), col("n"),
+        explode(col("ts")).as("tk"))
+      val freq = ex.groupBy("tk").agg(count(lit(1)).as("tf"))
+      time("freq count")(freq.count())
+      val w = Window.partitionBy("sid").orderBy(col("tf"), col("tk"))
+      val prefix = ex.join(freq, "tk")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <=
+          expr(s"n - (($tauNum * n + ${tauDen - 1}) div $tauDen) + 1"))
+        .select("sid", "tk", "rn", "n")
+      val prefixC = time("prefix cut")(prefix.cut())
+      val alpha = expr(
+        s"($tauNum * (na + nb) + $tauNum + $tauDen - 1) div " +
+        s"${tauNum + tauDen}")
+      val cand = prefixC.as("a")
+        .join(prefixC.as("b"),
+          col("a.tk") === col("b.tk") && col("a.sid") < col("b.sid") &&
+          col("a.n") * tauDen >= col("b.n") * tauNum &&
+          col("b.n") * tauDen >= col("a.n") * tauNum)
+        .select(col("a.sid").as("sid1"), col("b.sid").as("sid2"),
+          col("a.rn").as("ra"), col("b.rn").as("rb"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .groupBy("sid1", "sid2", "na", "nb")
+        .agg(count(lit(1)).as("pm"),
+          max(col("ra")).as("mra"), max(col("rb")).as("mrb"))
+        .filter(col("pm") +
+          least(col("na") - col("mra"), col("nb") - col("mrb"))
+          >= alpha)
+        .select("sid1", "sid2", "na", "nb")
+      time("cand count")(cand.count())
+      val candC = cand.cut()
+      val cross = candC
+        .join(setsC.select(col("sid").as("sid1"), col("ts").as("t1")),
+          "sid1")
+        .join(setsC.select(col("sid").as("sid2"), col("ts").as("t2")),
+          "sid2")
+        .withColumn("co", size(array_intersect(col("t1"), col("t2"))))
+        .filter(col("co") * tauDen >=
+          (col("na") + col("nb") - col("co")) * tauNum)
+      time("cross count")(cross.count())
+      time("full q242")(graft.ops.Dedup.prefixFilterPairs(
+        d, col("doc_id"), col("text"), 6, 10).count())
+      time("full q242 again")(graft.ops.Dedup.prefixFilterPairs(
+        d, col("doc_id"), col("text"), 6, 10).count())
+      spark.stop(); return
+    }
+
     if (args.contains("cc")) {  // connected-components phase profile
       val pairs = time("lsh pairs materialize")(
         graft.ops.Dedup.minhashLshPairs(d, col("doc_id"), col("text"), 0.6)
