@@ -1235,15 +1235,32 @@ object Sources {
             s(col(s"max_$c")), lit("] actual=["), s(col(s"a_min_$c")),
             lit(","), s(col(s"a_max_$c")), lit("]")).as("detail"))
     }.toSeq
-    val delBad = mf.filter(col("kind") === "delete")
-      .select("data_dir", "del_col").collect().flatMap { r =>
+    // tombstone readability: ONE read per key column over all its
+    // tombstone dirs (footer-level validation, same strength as the
+    // old per-file head(1) — which cost one JOB per tombstone); only
+    // a failure falls back to the per-file loop that names the
+    // culprit dir.
+    val delPairs = mf.filter(col("kind") === "delete")
+      .select("data_dir", "del_col").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def delBadSlow(pairs: Array[(String, String)]) = pairs.flatMap {
+      case (dir, c) =>
         try {
-          spark.read.parquet(r.getString(0)).select(r.getString(1))
-            .head(1); None
+          spark.read.parquet(dir).select(c).head(1); None
         } catch { case scala.util.control.NonFatal(e) =>
-          Some((r.getString(0), e.getClass.getSimpleName))
+          Some((dir, e.getClass.getSimpleName))
         }
-      }
+    }
+    val delBad = delPairs.groupBy(_._2).toSeq.flatMap {
+      case (c, pairs) =>
+        try {
+          spark.read.parquet(pairs.map(_._1).toIndexedSeq: _*)
+            .select(c).count()
+          Array.empty[(String, String)]
+        } catch { case scala.util.control.NonFatal(_) =>
+          delBadSlow(pairs)
+        }
+    }
     val delBadDf =
       if (delBad.isEmpty)
         spark.range(0).select(lit("x").as("check"),
