@@ -1447,7 +1447,8 @@ object Sources {
                             op: String = "write",
                             deleteKeyCol: Option[String] = None,
                             partitionCols: Seq[String] = Nil,
-                            meta: Option[ShardedMeta] = None)
+                            meta: Option[ShardedMeta] = None,
+                            onEmpty: Option[Long] = None)
       : Long = {
     import org.apache.spark.sql.functions._
     require(numShards >= 1, s"writeShardedTable: numShards $numShards")
@@ -1504,7 +1505,17 @@ object Sources {
     // pass could not even infer a schema (and a versioned dir with no
     // manifest is exactly the half-written state readers must never
     // see) — fail loudly before touching the directory layout.
-    if (n <= 0) releaseCumsumCache()
+    // `onEmpty` lets predicate ops (update) fold their
+    // "nothing matched → keep the current version" probe into THIS
+    // count instead of paying a separate full evaluation of the
+    // matched-rows lineage for an isEmpty check (r13).
+    if (n <= 0) {
+      releaseCumsumCache()
+      onEmpty match {
+        case Some(v) => return v
+        case None => ()
+      }
+    }
     require(n > 0, s"writeShardedTable: empty input — refusing to " +
       s"write snapshot v$baseV at $path")
     val block = (n + numShards - 1) / numShards
@@ -2852,7 +2863,8 @@ object Sources {
     * [[compactShardedTable]] (for the runs it rewrites) or
     * [[rewriteShardedTable]] (whole table). Returns the new version. */
   def deleteFromShardedTable(spark: SparkSession, path: String,
-                             idName: String, keys: DataFrame): Long = {
+                             idName: String, keys: DataFrame,
+                             skipIfEmpty: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val meta = resolveMeta(spark, path) // fails loudly if absent
     val baseV = meta.version + 1
@@ -2865,6 +2877,15 @@ object Sources {
     // read-back count, NOT an Observation: obs.get blocks on the
     // async listener bus (see writeSnapshot's tombstone comment)
     val n = spark.read.parquet(delDir).count()
+    // nothing-matched probe folded into THIS count (delete-where's
+    // old isEmpty paid a full extra evaluation of the pruned read):
+    // keep the current version, leave no trace
+    if (n == 0 && skipIfEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(delDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(delDir), true)
+      return meta.version
+    }
     def delRow(v: Long) = spark.range(1).select(
       lit(-1L).as("shard"), lit(n).as("n_rows"),
       lit(delDir).as("data_dir"), lit(-1L).as("batch_id"),
@@ -3067,16 +3088,19 @@ object Sources {
       if (preds.nonEmpty) preds else predicateBounds(pred)
     val matched = readShardedTable(spark, path, autoPreds).filter(pred)
       .drop("shard")
-    if (matched.isEmpty) return base
     val updated = set.foldLeft(matched) { case (d, (c, e)) =>
       require(d.columns.contains(c),
         s"updateShardedTable: unknown column $c")
       d.withColumn(c, e)
     }
     import org.apache.spark.sql.functions.col
+    // nothing-matched probe rides writeSnapshot's cumsum count
+    // (onEmpty) — the old isEmpty paid a full extra evaluation of the
+    // pruned read per update (r13)
     writeSnapshot(updated, col(idName), orderCol, path, numShards,
       statsCols, parent = FixedParent(parent, base), batchId = -1L,
-      op = "merge", deleteKeyCol = Some(idName), meta = Some(meta))
+      op = "merge", deleteKeyCol = Some(idName), meta = Some(meta),
+      onEmpty = Some(base))
   }
 
   /** DELETE by predicate: resolve the matching keys with a
@@ -3091,8 +3115,8 @@ object Sources {
     import org.apache.spark.sql.functions.col
     val keys = readShardedTable(spark, path, predicateBounds(pred))
       .filter(pred).select(col(idName))
-    if (keys.isEmpty) shardedVersions(spark, path).last
-    else deleteFromShardedTable(spark, path, idName, keys)
+    deleteFromShardedTable(spark, path, idName, keys,
+      skipIfEmpty = true)
   }
 
   /** VACUUM: delete the crashed-commit debris no reader can see —
