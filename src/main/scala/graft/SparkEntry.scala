@@ -1372,10 +1372,13 @@ object SparkEntry {
           S.writeShardedTable(ins, col("doc_id"), col("doc_id"),
             replica, numShards = 4, statsCols = Seq("doc_id"))
         else {
-          if (!b.deletedKeys.isEmpty)
+          // manifest-derived window flags (r14): the per-window
+          // frame.isEmpty probes were one small Spark job each —
+          // same decisions, zero jobs
+          if (b.hasDeletes)
             S.deleteFromShardedTable(s, replica, "doc_id",
               b.deletedKeys)
-          if (!ins.isEmpty)
+          if (b.hasInserts)
             S.mergeShardedTable(ins, "doc_id", col("doc_id"),
               replica, numShards = 2, statsCols = Seq("doc_id"))
         }
@@ -1429,22 +1432,32 @@ object SparkEntry {
                      id: Long): Unit = {
         val cached = b.persist()
         try {
-          val vs = cached.select("_commit_version").distinct()
-            .collect().map(_.getLong(0)).sorted
+          // ONE pass over the cached batch resolves the version list
+          // AND each (version, change type)'s presence — the old
+          // per-version dels.isEmpty / ins.isEmpty probes were two
+          // extra Spark jobs per version (r14)
+          val counts = cached
+            .groupBy(col("_commit_version"), col("_change_type"))
+            .count().collect()
+            .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+            .toMap
+          val vs = counts.keys.map(_._1).toSeq.distinct.sorted
           vs.foreach { v =>
             val w = cached.filter(col("_commit_version") === v)
             val dels = w.filter(col("_change_type") === "delete")
               .select(col("doc_id"))
             val ins = w.filter(col("_change_type") === "insert")
               .select(col("doc_id"), col("source"), col("n_chars"))
+            val hasDels = counts.getOrElse((v, "delete"), 0L) > 0L
+            val hasIns = counts.getOrElse((v, "insert"), 0L) > 0L
             if (S.shardedVersions(s, replica).isEmpty) {
-              if (!ins.isEmpty)
+              if (hasIns)
                 S.writeShardedTable(ins, col("doc_id"), col("doc_id"),
                   replica, numShards = 4, statsCols = Seq("doc_id"))
             } else {
-              if (!dels.isEmpty)
+              if (hasDels)
                 S.deleteFromShardedTable(s, replica, "doc_id", dels)
-              if (!ins.isEmpty)
+              if (hasIns)
                 S.mergeShardedTable(ins, "doc_id", col("doc_id"),
                   replica, numShards = 2, statsCols = Seq("doc_id"))
             }

@@ -473,7 +473,10 @@ object GraftSharded {
 
   private[graft] def tableSchema(spark: SparkSession, path: String,
                                    version: Option[Long]): StructType =
-    Sources.readShardedTable(spark, path, Nil, version).schema
+    // memoized by snapshot fingerprint: loadTable/inferSchema run once
+    // per SQL STATEMENT, and building the full read plan for `.schema`
+    // each time was a per-statement Catalyst constant (r14)
+    Sources.shardedTableReadSchema(spark, path, version)
 
   /** The `sources.Filter`s we can evaluate exactly as Columns.
     * Anything unconvertible stays with Spark — never a correctness

@@ -743,15 +743,51 @@ object Sources {
             .drop("shard"),
           spark.range(0).select(col("id").as(name)),
           fromVersion = 0L, toVersion = to,
-          cursorPath = cursorPath, spark = spark)
+          cursorPath = cursorPath, spark = spark,
+          hasInserts = m.dataRows.nonEmpty, hasDeletes = false)
       case Some(f) =>
+        val (hasIns, hasDel) = cdcWindowFlags(spark, path, f, to)
         ShardedCdcBatch(
           if (f == to) shardedTableInserts(spark, path, to, to)
           else shardedTableInserts(spark, path, f, to),
           shardedTableDeletedKeys(spark, path, math.min(f, to), to),
           fromVersion = f, toVersion = to,
-          cursorPath = cursorPath, spark = spark)
+          cursorPath = cursorPath, spark = spark,
+          hasInserts = hasIns, hasDeletes = hasDel)
     }
+  }
+
+  /** Exact window emptiness from the SAME per-version manifest walk
+    * the CDC frames are built from, driver-side: a fresh data dir
+    * always holds rows (empty snapshots refuse to commit), and a
+    * fresh tombstone's key count is its manifest row's `n_rows` —
+    * so `false` means the corresponding frame IS empty and `true`
+    * means it is not, with zero Spark jobs. */
+  private def cdcWindowFlags(spark: SparkSession, path: String,
+                             from: Long, to: Long)
+      : (Boolean, Boolean) = {
+    if (from >= to) return (false, false)
+    val metas = (from to to).map(v => v ->
+      resolveMeta(spark, path, Some(v))).toMap
+    val hasIns = (from + 1 to to).exists { w =>
+      val prev = metas(w - 1).mfRows
+        .map(_.getAs[String]("data_dir")).toSet
+      metas(w).dataRows.exists(r =>
+        Set("write", "append", "merge")(r.getAs[String]("op")) &&
+          !prev(r.getAs[String]("data_dir")))
+    }
+    val hasDel = (from + 1 to to).exists { w =>
+      val prev = metas(w - 1).mfRows
+        .filter(_.getAs[String]("kind") == "delete")
+        .map(_.getAs[String]("data_dir")).toSet
+      metas(w).mfRows.exists(r =>
+        r.getAs[String]("kind") == "delete" &&
+          // null key count (foreign manifest): conservatively nonempty
+          Option(r.getAs[Any]("n_rows"))
+            .forall(_.asInstanceOf[Long] > 0L) &&
+          !prev(r.getAs[String]("data_dir")))
+    }
+    (hasIns, hasDel)
   }
 
   /** Drain ALL pending change windows (the Trigger.AvailableNow
@@ -787,12 +823,21 @@ object Sources {
     * deletedKeys, so a replicating downstream would permanently
     * retain rows deleted in windows published after the lost cursor).
     * Readers take the max marker; a crash between create and GC just
-    * leaves an extra older marker, which max() ignores. */
+    * leaves an extra older marker, which max() ignores.
+    *
+    * `hasInserts` / `hasDeletes` are MANIFEST-derived emptiness flags
+    * (zero Spark jobs, r14): for an incremental window they are exact
+    * — a consumer's per-window `frame.isEmpty` probe (one small job
+    * each, times every window) folds into driver metadata. For the
+    * INITIAL load `hasInserts` is conservative (true iff any live
+    * data dir exists; an all-tombstoned table can still load empty). */
   final case class ShardedCdcBatch(inserts: DataFrame,
                                    deletedKeys: DataFrame,
                                    fromVersion: Long, toVersion: Long,
                                    cursorPath: String,
-                                   spark: SparkSession) {
+                                   spark: SparkSession,
+                                   hasInserts: Boolean = true,
+                                   hasDeletes: Boolean = true) {
     def isCaughtUp: Boolean = fromVersion == toVersion
     def commit(): Unit = {
       val p = new org.apache.hadoop.fs.Path(cursorPath)
@@ -1235,27 +1280,35 @@ object Sources {
             s(col(s"max_$c")), lit("] actual=["), s(col(s"a_min_$c")),
             lit(","), s(col(s"a_max_$c")), lit("]")).as("detail"))
     }.toSeq
-    // tombstone readability: ONE read per key column over all its
-    // tombstone dirs (footer-level validation, same strength as the
-    // old per-file head(1) — which cost one JOB per tombstone); only
-    // a failure falls back to the per-file loop that names the
-    // culprit dir.
+    // tombstone readability: ONE read per (key column, dir layout)
+    // over all its tombstone dirs; `count(col)` keeps the key column
+    // in the scan's ReadSchema so its data pages are DECODED (a bare
+    // count(*) prunes the column and is answered from footer row
+    // counts — a tombstone with a corrupt data page but intact
+    // footer would pass, r13 advice). Only a failure falls back to
+    // the per-file loop that names the culprit dir. Grouped by dir
+    // LAYOUT too: a merge tombstone references its partitioned data
+    // dir (r14) while deleteFrom writes a flat key dir — one
+    // multi-root read mixing both trips partition discovery.
     val delPairs = mf.filter(col("kind") === "delete")
       .select("data_dir", "del_col").collect()
       .map(r => (r.getString(0), r.getString(1)))
     def delBadSlow(pairs: Array[(String, String)]) = pairs.flatMap {
       case (dir, c) =>
         try {
-          spark.read.parquet(dir).select(c).head(1); None
+          spark.read.parquet(dir).select(c)
+            .agg(count(col(c))).collect(); None
         } catch { case scala.util.control.NonFatal(e) =>
           Some((dir, e.getClass.getSimpleName))
         }
     }
-    val delBad = delPairs.groupBy(_._2).toSeq.flatMap {
-      case (c, pairs) =>
+    val delBad = delPairs
+      .groupBy(p => (p._2, p._1.split('/').last.startsWith("data-v")))
+      .toSeq.flatMap {
+      case ((c, _), pairs) =>
         try {
           spark.read.parquet(pairs.map(_._1).toIndexedSeq: _*)
-            .select(c).count()
+            .select(c).agg(count(col(c))).collect()
           Array.empty[(String, String)]
         } catch { case scala.util.control.NonFatal(_) =>
           delBadSlow(pairs)
@@ -1603,32 +1656,46 @@ object Sources {
           written.groupBy(statKeys: _*)
             .agg(aggs.head, aggs.tail: _*).collect()
       }
-      // MERGE tombstone file, written from the SAME cache (the input
-      // lineage — often a table read — is never recomputed for the
-      // keys) with the distinct-key count OBSERVED in the write job
-      // instead of a separate read-back count job (r13).
+      // MERGE tombstone AS A REFERENCE (r14): the merge batch's key
+      // set IS the data dir's id column (unique keys are enforced
+      // right below), so the manifest's delete row points at the
+      // data dir itself — the separate key-file WRITE job and its
+      // read-back COUNT job are gone (readers column-prune the key
+      // out of the same files either way; vacuum/expiry already pin
+      // any dir a manifest row references). The duplicate-key guard
+      // that used to ride the key file's distinct count is ONE
+      // aggregation over the already-cached cumsum frame instead.
+      // Gated on the key NOT being a partition column: a partition
+      // key lives in directory names, and a tombstone reader's
+      // partition-discovered type could diverge from the written one.
       val di = deleteKeyCol.map { idName =>
-        val delDir = s"$path/del-v$baseV-$token"
-        data.select(col(idName)).distinct()
-          .write.mode("overwrite")
-          .option("mapreduce.fileoutputcommitter.algorithm.version",
-            "2")
-          .parquet(delDir)
-        // count from the written key file (tiny, key-only); an
-        // Observation would be free here but its get() blocks on the
-        // ASYNC listener bus, which lags multi-second behind rapid
-        // action chains (measured 2-3x wall regressions on the fuzz
-        // chains) — a small read-back job is strictly cheaper
-        val delN = spark.read.parquet(delDir).count()
-        // both counts exist anyway — catch a merge batch with
-        // duplicate keys for free: its tombstone (distinct keys)
-        // kills neither copy (same seq), so the dupes would silently
-        // both insert
-        require(delN == n,
-          s"mergeShardedTable: batch has ${n - delN} duplicate " +
-            s"key(s) ($n rows, $delN distinct) — upsert needs " +
-            "unique keys")
-        (delDir, idName, delN)
+        if (!partCols.contains(idName)) {
+          val delN = data.agg(countDistinct(col(idName)))
+            .head.getLong(0)
+          require(delN == n,
+            s"mergeShardedTable: batch has ${n - delN} duplicate " +
+              s"key(s) ($n rows, $delN distinct) — upsert needs " +
+              "unique keys")
+          (dataDir, idName, delN)
+        } else {
+          val delDir = s"$path/del-v$baseV-$token"
+          data.select(col(idName)).distinct()
+            .write.mode("overwrite")
+            .option("mapreduce.fileoutputcommitter.algorithm.version",
+              "2")
+            .parquet(delDir)
+          // count from the written key file (tiny, key-only); an
+          // Observation would be free here but its get() blocks on the
+          // ASYNC listener bus, which lags multi-second behind rapid
+          // action chains (measured 2-3x wall regressions on the fuzz
+          // chains) — a small read-back job is strictly cheaper
+          val delN = spark.read.parquet(delDir).count()
+          require(delN == n,
+            s"mergeShardedTable: batch has ${n - delN} duplicate " +
+              s"key(s) ($n rows, $delN distinct) — upsert needs " +
+              "unique keys")
+          (delDir, idName, delN)
+        }
       }
       (sr, di)
     // the cumsum's internal cache served its actions — drop it, or
@@ -1636,31 +1703,77 @@ object Sources {
     // chains, any ingest loop) accumulates pinned full-frame cache
     // entries that strangle executor memory for every later query
     } finally releaseCumsumCache()
-    // per-leaf BYTE sizes from one recursive listing of the dir just
-    // written — the manifest then answers "how big is this pruned
-    // read" without touching storage (join-planning statistics for
-    // the DSv2 connector: a small table broadcasts)
-    val bytesByLeaf: Map[String, Long] = {
+    // per-leaf BYTE sizes (and FILE counts, for the commit invariant
+    // below) from one recursive listing of the dir just written — the
+    // manifest then answers "how big is this pruned read" without
+    // touching storage (join-planning statistics for the DSv2
+    // connector: a small table broadcasts)
+    val (bytesByLeaf: Map[String, Long],
+         filesByLeaf: Map[String, Long]) = {
       val fsL = new org.apache.hadoop.fs.Path(dataDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val it = fsL.listFiles(new org.apache.hadoop.fs.Path(dataDir),
         true)
       val acc = scala.collection.mutable.Map.empty[String, Long]
+      val cnt = scala.collection.mutable.Map.empty[String, Long]
       while (it.hasNext) {
         val st = it.next()
         val rel = st.getPath.toUri.getPath
           .stripPrefix(new org.apache.hadoop.fs.Path(dataDir)
             .toUri.getPath).stripPrefix("/")
         val leafRel = rel.split('/').dropRight(1).mkString("/")
-        if (st.getPath.getName.endsWith(".parquet") && leafRel.nonEmpty)
+        if (st.getPath.getName.endsWith(".parquet") &&
+            leafRel.nonEmpty) {
           acc(leafRel) = acc.getOrElse(leafRel, 0L) + st.getLen
+          cnt(leafRel) = cnt.getOrElse(leafRel, 0L) + 1L
+        }
       }
-      acc.toMap
+      (acc.toMap, cnt.toMap)
     }
     val statRowsFinal = collectedStatRows
     statRowsFinal.foreach { r =>
-      partCols.indices.foreach(i => require(!r.isNullAt(1 + i),
-        "writeShardedTable: partition column values must be non-null"))
+      partCols.indices.foreach { i =>
+        require(!r.isNullAt(1 + i),
+          "writeShardedTable: partition column values must be non-null")
+        // an EMPTY string would be laid down on disk as the
+        // __HIVE_DEFAULT_PARTITION__ directory while the cache-derived
+        // leaf says `c=` — the manifest would point at a nonexistent
+        // path; reject it as loudly as the read-back path (which
+        // parses that directory back as null) used to
+        require(r.getString(1 + i).nonEmpty,
+          "writeShardedTable: partition column values must be " +
+            "non-empty")
+      }
+    }
+    val esc = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName _
+    def leafOf(r: org.apache.spark.sql.Row): String = {
+      val partVals = partCols.indices.map(i => r.getString(1 + i))
+      (partCols.zip(partVals).map { case (c, pv) =>
+        s"$c=${esc(pv)}" } :+ s"shard=${r.getLong(0)}").mkString("/")
+    }
+    // post-write COMMIT INVARIANT for the cache-stats path (committer
+    // v2 + cache-derived stats ship without v1's job-commit and the
+    // file read-back safety nets): the leaves the stats claim and the
+    // leaves on disk must agree EXACTLY, with exactly one part file
+    // per leaf — each leaf is written by exactly one task of the
+    // explicit shard repartition, so a retried or speculative task's
+    // duplicate/partial v2 output, or a partition value whose on-disk
+    // escaping diverged from the cache's string form, fails the
+    // commit loudly BEFORE the manifest makes the snapshot visible.
+    if (cacheStatsThunk.isDefined) {
+      val claimed = statRowsFinal.map(leafOf).toSet
+      val onDisk = filesByLeaf.keySet
+      require(claimed == onDisk,
+        s"writeShardedTable: stats/files leaf mismatch at $dataDir — " +
+          s"stats-only: ${(claimed -- onDisk).toSeq.sorted.take(5)
+            .mkString(",")}; disk-only: ${(onDisk -- claimed).toSeq
+            .sorted.take(5).mkString(",")}")
+      val multi = filesByLeaf.filter(_._2 != 1L)
+      require(multi.isEmpty,
+        s"writeShardedTable: ${multi.size} leaf dir(s) at $dataDir " +
+          s"hold more than one part file (duplicate task commit?): " +
+          s"${multi.keys.toSeq.sorted.take(5).mkString(",")}")
     }
     val newRowsSchema = {
       import org.apache.spark.sql.types.{LongType, StringType,
@@ -1682,13 +1795,10 @@ object Sources {
           StructField("del_col", StringType)))
     }
     def newRows(v: Long): DataFrame = {
-      val esc = org.apache.spark.sql.catalyst.catalog
-        .ExternalCatalogUtils.escapePathName _
       val out = statRowsFinal.map { r =>
         val shard = r.getLong(0)
         val partVals = partCols.indices.map(i => r.getString(1 + i))
-        val leaf = (partCols.zip(partVals).map { case (c, pv) =>
-          s"$c=${esc(pv)}" } :+ s"shard=$shard").mkString("/")
+        val leaf = leafOf(r)
         val statVals = (0 until 2 * statsCols.size)
           .map(j => r.get(2 + partCols.size + j))
         org.apache.spark.sql.Row.fromSeq(
@@ -2027,6 +2137,15 @@ object Sources {
   private val manifestCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Long, String),
     (StructType, Array[org.apache.spark.sql.Row])]()
+  // (path, version, fingerprint) -> the library READ's result schema.
+  // Every DSv2 loadTable / inferSchema pays a full readShardedTable
+  // PLAN construction (union/fast-path analysis + tombstone anti-join)
+  // just to take `.schema` — a per-SQL-statement Catalyst constant on
+  // the q607-style catalog chains (r14). A published snapshot is
+  // immutable, so the schema memoizes under the same key discipline
+  // as the manifest rows.
+  private val readSchemaCache = new java.util.concurrent
+    .ConcurrentHashMap[(String, Long, String), StructType]()
   // data-dir path -> physical schema. Data dirs carry a random token
   // suffix and are immutable once referenced — safe to key by path.
   private val dirSchemaCache =
@@ -2045,6 +2164,25 @@ object Sources {
   def invalidateShardedMeta(path: String): Unit = {
     manifestCache.keySet.removeIf(_._1 == path)
     dirSchemaCache.keySet.removeIf(_.startsWith(path))
+    readSchemaCache.keySet.removeIf(_._1 == path)
+  }
+
+  /** The schema [[readShardedTable]] would return for this snapshot,
+    * memoized by (path, version, manifest fingerprint) — computed the
+    * authoritative way (building the read plan once) on a miss, so it
+    * can never diverge from the read path. */
+  def shardedTableReadSchema(spark: SparkSession, path: String,
+                             version: Option[Long] = None)
+      : StructType = {
+    val vs = shardedVersions(spark, path)
+    require(vs.nonEmpty, s"no sharded-table snapshots under $path")
+    val v = version.getOrElse(vs.last)
+    val mfDir = new org.apache.hadoop.fs.Path(s"$path/_manifest/v$v")
+    val fs = mfDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = (path, v, manifestFingerprint(fs, mfDir))
+    if (readSchemaCache.size > 512) readSchemaCache.clear()
+    readSchemaCache.computeIfAbsent(key,
+      _ => readShardedTable(spark, path, Nil, Some(v)).schema)
   }
 
   /** Resolve a snapshot's metadata: one versions listing (always
@@ -2798,8 +2936,15 @@ object Sources {
       if (!meta.mfSchema.fieldNames.contains("batch_id")) Set.empty
       else rows.flatMap(r => Option(r.getAs[Any]("batch_id"))
         .map(_.asInstanceOf[Long])).filter(_ != -1L).toSet
+    // only DATA rows of the folded dirs are dropped: a merge's
+    // tombstone row can REFERENCE its data dir (r14) — it still
+    // covers the untouched big dirs, so dropping it alongside the
+    // dir's data rows would resurrect deleted rows there (the dir
+    // itself stays on disk, pinned by this surviving reference,
+    // until a rewrite drops the tombstone and expiry reclaims it)
     val keepArr = meta.mfRows
-      .filterNot(r => small(r.getAs[String]("data_dir")))
+      .filterNot(r => small(r.getAs[String]("data_dir")) &&
+        r.getAs[String]("kind") == "data")
     val keepRows0 = spark.createDataFrame(
       java.util.Arrays.asList(keepArr: _*), meta.mfSchema)
     val droppedIds =

@@ -38,7 +38,12 @@ object ScaleProbe {
     val sw = new java.util.concurrent.atomic.AtomicLong
     val sr = new java.util.concurrent.atomic.AtomicLong
     val sp = new java.util.concurrent.atomic.AtomicLong
+    val nj = new java.util.concurrent.atomic.AtomicLong
     val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        nj.incrementAndGet(); ()
+      }
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted)
           : Unit = {
@@ -59,19 +64,80 @@ object ScaleProbe {
       Thread.sleep(400) // let the last stage-completed events land
       def mb(b: Long) = b / 1024 / 1024
       println(f"[scale] $label%-32s $sec%8.1f s   rows=$r   " +
-        f"shufW=${mb(sw.get)}%6d MB shufR=${mb(sr.get)}%6d MB " +
-        f"spill=${mb(sp.get)}%6d MB")
+        f"jobs=${nj.get}%3d shufW=${mb(sw.get)}%6d MB " +
+        f"shufR=${mb(sr.get)}%6d MB spill=${mb(sp.get)}%6d MB")
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
   def main(args: Array[String]): Unit = {
+    // env-driven core count (default 32) so the same probe yields the
+    // 8c/32c core-ratio the write-path scale story needs (r14)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (args.contains("table")) {
+      // r14: the write-path scale story, DEMONSTRATED (r13 argued it
+      // from job-count arithmetic): a sharded-table op chain at
+      // ~sf1-scale row volume. The claims under test — commit cost
+      // tracks the BATCH (merge of 2% ≪ write of 100%), tombstone ops
+      // never rewrite data, and the chain parallelizes (run with
+      // SPARK_GRAFT_CPUS=8 vs 32 for the core-ratio).
+      import graft.sources.Sources
+      val n = args.find(_.startsWith("rows="))
+        .map(_.stripPrefix("rows=").toLong).getOrElse(6000000L)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_scale_tbl_").toString + "/t"
+      val docs = spark.range(n).select(col("id").as("doc_id"),
+          concat(lit("s"), pmod(col("id"), lit(17))).as("source"),
+          (pmod(hash(col("id")), lit(20000L)) + lit(20000L))
+            .as("n_chars"))
+        .repartition(64).cut()
+      println(s"[scale] table chain over $n rows, cpus=$cpus")
+      timed(spark, s"write 100%") {
+        Sources.writeShardedTable(docs, col("doc_id"), col("doc_id"),
+          path, numShards = 64, statsCols = Seq("doc_id")); n
+      }
+      timed(spark, "merge 2%") {
+        Sources.mergeShardedTable(
+          docs.filter(col("doc_id") % 50 === 3)
+            .withColumn("n_chars", col("n_chars") + 100000L),
+          "doc_id", col("doc_id"), path, numShards = 8,
+          statsCols = Seq("doc_id"))
+      }
+      timed(spark, "update 1%") {
+        Sources.updateShardedTable(spark, path, "doc_id",
+          col("n_chars").between(20000, 20400),
+          Seq("n_chars" -> (col("n_chars") + 500000L)), col("doc_id"),
+          numShards = 8, statsCols = Seq("doc_id"))
+      }
+      timed(spark, "delete-where 2%") {
+        Sources.deleteWhereShardedTable(spark, path, "doc_id",
+          col("doc_id") % 53 === 7)
+      }
+      timed(spark, "compact small dirs") {
+        Sources.compactShardedTable(spark, path, col("doc_id"),
+          col("doc_id"), numShards = 8, statsCols = Seq("doc_id"),
+          smallDirRows = n / 4)
+      }
+      timed(spark, "read + agg") {
+        Sources.readShardedTable(spark, path)
+          .agg(count(lit(1)), sum(col("n_chars"))).head().getLong(0)
+      }
+      timed(spark, "pruned read 1%") {
+        Sources.readShardedTable(spark, path,
+            preds = Seq(("doc_id", 0L, n / 100)))
+          .filter(col("doc_id") <= n / 100)
+          .agg(count(lit(1))).head().getLong(0)
+      }
+      Sources.dropShardedTable(spark, path)
+      spark.stop(); return
+    }
 
     if (args.contains("phash")) {
       // Hamming-banded pair discovery at growing corpus size with a

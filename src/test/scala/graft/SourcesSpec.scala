@@ -2298,10 +2298,14 @@ class SourcesSpec extends AnyFunSuite {
       path, None,
       Seq(org.apache.spark.sql.sources.EqualTo("src", "s3")),
       graft.sources.GraftSharded.tableSchema(spark, path, None))
-    // tombstone key files ride along in inputFiles; the DATA files
-    // must all come from the matching partition dirs
-    assert(scanned.inputFiles.filter(_.contains("/data-v"))
+    // tombstone key reads ride along in inputFiles — including the
+    // merge's tombstone, which REFERENCES its data dir (data-v4) and
+    // is read key-only across every partition by design. The DATA
+    // side of the scan (the only live data dir after the compaction,
+    // data-v5) must open only the matching partition's leaves.
+    assert(scanned.inputFiles.filter(_.contains("/data-v5"))
       .forall(_.contains("/src=s3/")))
+    assert(scanned.inputFiles.exists(_.contains("/data-v5")))
     // CDC inserts deliver partitioned dirs intact
     val ins = Sources.shardedTableInserts(spark, path, 1, 2)
     assert(ins.count() == 100 &&
@@ -3110,5 +3114,109 @@ class SourcesSpec extends AnyFunSuite {
     val b2 = graft.sources.GraftShardedCdcSource.persistentBase(
       spark, meta, () => { resolves += 1; 9L })
     assert(b1 == 7L && b2 == 7L && resolves == 1)
+  }
+
+  test("MERGE tombstone is a data-dir REFERENCE: no del- dir written; " +
+       "the tombstone survives a compaction that folds its data dir; " +
+       "vacuum and expiry keep the referenced dir alive; duplicate-key " +
+       "batches still fail loudly") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shmergeref").toString
+    def batch(lo: Long, n: Long, tag: String) = spark.range(n)
+      .select((col("id") + lo).as("doc_id"),
+        concat(lit(tag), col("id") + lo).as("t"))
+    def dirNames() = new java.io.File(path).listFiles()
+      .map(_.getName).filter(n => n.startsWith("data-v") ||
+        n.startsWith("del-v")).toSet
+    def state() = Sources.readShardedTable(spark, path)
+      .select("doc_id", "t").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    // v1: one big dir (300 rows)
+    Sources.writeShardedTable(batch(0, 300, "old"), col("doc_id"),
+      col("doc_id"), path, 4, Seq("doc_id"))
+    // v2, v3: two small merges — their tombstones must reference the
+    // merge data dirs instead of writing separate key files
+    Sources.mergeShardedTable(batch(100, 50, "new"), "doc_id",
+      col("doc_id"), path, numShards = 2, statsCols = Seq("doc_id"))
+    Sources.mergeShardedTable(batch(200, 20, "new2"), "doc_id",
+      col("doc_id"), path, numShards = 2, statsCols = Seq("doc_id"))
+    assert(!dirNames().exists(_.startsWith("del-v")),
+      s"merge wrote a separate key file: ${dirNames()}")
+    val expect = (0L until 300L).map(k =>
+      k -> (if (k >= 100 && k < 150) s"new$k"
+            else if (k >= 200 && k < 220) s"new2$k"
+            else s"old$k")).toMap
+    assert(state() == expect)
+    val mergeDirs = dirNames().filter(n =>
+      vtag(n) == "data-v2" || vtag(n) == "data-v3")
+    assert(mergeDirs.size == 2)
+    // v4: compaction folds BOTH small merge dirs (50+20 rows) but must
+    // keep their tombstone rows — dropping them would resurrect the
+    // old copies of 100..149 / 200..219 still in the big v1 dir
+    Sources.compactShardedTable(spark, path, col("doc_id"),
+      col("doc_id"), numShards = 2, statsCols = Seq("doc_id"),
+      smallDirRows = 100L)
+    assert(state() == expect, "compaction resurrected merged-over rows")
+    // the folded-but-referenced dirs stay on disk through vacuum
+    // (tombstone rows pin them)
+    Sources.vacuumShardedTable(spark, path, graceMs = -60000L)
+    assert(mergeDirs.subsetOf(dirNames()),
+      s"vacuum removed a tombstone-referenced dir: ${dirNames()}")
+    assert(state() == expect)
+    // ... and through expiry of the pre-compaction manifests
+    Sources.expireShardedSnapshots(spark, path, keep = 1)
+    assert(mergeDirs.subsetOf(dirNames()),
+      s"expiry removed a tombstone-referenced dir: ${dirNames()}")
+    assert(state() == expect)
+    // a MAJOR rewrite drops the tombstones; expiry then reclaims the
+    // now-unreferenced merge dirs
+    Sources.rewriteShardedTable(spark, path, col("doc_id"),
+      col("doc_id"), numShards = 2, statsCols = Seq("doc_id"))
+    Sources.expireShardedSnapshots(spark, path, keep = 1)
+    assert(dirNames().intersect(mergeDirs).isEmpty,
+      s"rewrite+expiry left dead dirs: ${dirNames()}")
+    assert(state() == expect)
+    // the duplicate-key guard (previously the key file's distinct
+    // count) still fires
+    val dup = intercept[IllegalArgumentException] {
+      Sources.mergeShardedTable(
+        batch(0, 5, "x").union(batch(0, 1, "x")), "doc_id",
+        col("doc_id"), path, 2, Seq("doc_id"))
+    }
+    assert(dup.getMessage.contains("duplicate key"))
+    Sources.dropShardedTable(spark, path)
+  }
+
+  test("audit fast path DECODES tombstone key pages: a key file with " +
+       "corrupt data pages but an intact footer is reported") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shdelcorrupt").toString
+    Sources.writeShardedTable(
+      spark.range(20000).select(col("id").as("doc_id"),
+        (col("id") * 2).as("v")),
+      col("doc_id"), col("doc_id"), path, 4, Seq("doc_id"))
+    Sources.deleteFromShardedTable(spark, path, "doc_id",
+      spark.range(10000).select((col("id") * 2).as("doc_id")))
+    // corrupt the key file's DATA pages, leaving the footer (at the
+    // tail) intact: footer-level row counts still answer a count(*),
+    // so only a check that decodes the key column can catch this
+    val delDir = vdir(path, "del-v2")
+    val pf = new java.io.File(delDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).maxBy(_.length())
+    val raf = new java.io.RandomAccessFile(pf, "rw")
+    try {
+      assert(raf.length() > 2048, s"key file too small: ${raf.length()}")
+      raf.seek(4) // just past the PAR1 magic: first page header + data
+      raf.write(Array.fill[Byte](512)(0))
+    } finally raf.close()
+    val findings = Sources.auditShardedTable(spark, path)
+      .select("check", "data_dir").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(findings.exists { case (c, d) =>
+      c == "tombstone_unreadable" && d.contains("del-v2") },
+      s"corrupt tombstone not flagged: ${findings.toSeq}")
+    Sources.dropShardedTable(spark, path)
   }
 }
