@@ -160,9 +160,19 @@ object Packing {
     val withVals = values.zipWithIndex
       .foldLeft(df) { case (d, ((_, v), i)) =>
         d.withColumn(s"__v$i", v.cast("long")) }
+    // PRE-SHUFFLE cache (r14): repartitionByRange runs a RANGE-
+    // PARTITIONER SAMPLING job over its input before the shuffle —
+    // without this cache that job is a FULL second evaluation of the
+    // input lineage per commit (for a merge/update that means reading
+    // the batch, or the pruned table scan, twice). The sampling pass
+    // now fills this cache and the shuffle's map stage reads it; it
+    // is released right after the totals job materializes the
+    // post-shuffle cache every later consumer uses.
+    val pIn = withVals.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val p0 = (if (partitions > 0)
-        withVals.repartitionByRange(partitions, order)
-      else withVals.repartitionByRange(order))
+        pIn.repartitionByRange(partitions, order)
+      else pIn.repartitionByRange(order))
       .sortWithinPartitions(order)
       .withColumn("__pid", spark_partition_id())
     val p = p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -174,6 +184,7 @@ object Packing {
       .map(r => r.getInt(0) -> values.indices.map(i =>
         if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)))
       .sortBy(_._1)
+    pIn.unpersist()
     val grand = values.indices.map(i => totRows.map(_._2(i)).sum)
     // exclusive running offsets in pid order
     var acc = values.indices.map(_ => 0L).toIndexedSeq

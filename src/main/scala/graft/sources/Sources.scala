@@ -1590,8 +1590,25 @@ object Sources {
         case _ => false
       })
     }
+    // FOOTER stats (r14): when every stats column is integral (the
+    // manifest stores long-cast bounds anyway, and parquet int32/int64
+    // column statistics are exact — binary stats can truncate, so
+    // strings stay on the agg path), per-leaf n_rows/min/max come from
+    // the parquet FOOTERS read driver-side during the byte-size
+    // listing this commit already does — the per-commit stats Spark
+    // job disappears, and the stats are by construction what readers
+    // will see (strictly stronger than the r13 cache-derived stats
+    // under committer v2). A stats column that is also a partition
+    // column takes its per-leaf value from the directory name.
+    val footerStatsSafe = partTypesSafe && {
+      import org.apache.spark.sql.types._
+      statsCols.forall(c => df.schema(c).dataType match {
+        case LongType | IntegerType | ShortType | ByteType => true
+        case _ => false
+      })
+    }
     val cacheStatsThunk =
-      if (!partTypesSafe) None
+      if (!partTypesSafe || footerStatsSafe) None
       else {
         val keys = Seq(col("shard")) ++ partCols.map(c =>
           col(c).cast("string").as(s"__gk_$c"))
@@ -1625,6 +1642,10 @@ object Sources {
         .option("mapreduce.fileoutputcommitter.algorithm.version", "2")
         .partitionBy(partCols :+ "shard": _*).parquet(dataDir)
       val sr = cacheStatsThunk match {
+        case _ if footerStatsSafe =>
+          // stats come from the written files' footers, collected
+          // driver-side in the listing walk below — no Spark job
+          Array.empty[org.apache.spark.sql.Row]
         case Some(thunk) => thunk()
         case None =>
           // manifest from the FILES (read back what a reader will
@@ -1708,10 +1729,17 @@ object Sources {
     // manifest then answers "how big is this pruned read" without
     // touching storage (join-planning statistics for the DSv2
     // connector: a small table broadcasts)
+    // leaf -> (row count, per-stats-col bound, per-stats-col poison
+    // mark — a column with unusable file statistics keeps a null
+    // bound even if another file of the leaf has valid ones)
+    val footerLeafStats = scala.collection.mutable.Map
+      .empty[String, (Long, Array[Option[(Long, Long)]],
+        Array[Boolean])]
     val (bytesByLeaf: Map[String, Long],
          filesByLeaf: Map[String, Long]) = {
+      val hconf = spark.sparkContext.hadoopConfiguration
       val fsL = new org.apache.hadoop.fs.Path(dataDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileSystem(hconf)
       val it = fsL.listFiles(new org.apache.hadoop.fs.Path(dataDir),
         true)
       val acc = scala.collection.mutable.Map.empty[String, Long]
@@ -1726,11 +1754,112 @@ object Sources {
             leafRel.nonEmpty) {
           acc(leafRel) = acc.getOrElse(leafRel, 0L) + st.getLen
           cnt(leafRel) = cnt.getOrElse(leafRel, 0L) + 1L
+          if (footerStatsSafe) {
+            // one footer read per file, driver-side: block row counts
+            // + exact int32/int64 column statistics per stats column.
+            // A block whose statistics are missing or invalid poisons
+            // that column's bound for the leaf (null = readers treat
+            // the leaf as unprunable — kept, never wrongly pruned).
+            val reader = org.apache.parquet.hadoop.ParquetFileReader
+              .open(org.apache.parquet.hadoop.util.HadoopInputFile
+                .fromStatus(st, hconf))
+            try {
+              val (pr, pstats, pbad) = footerLeafStats.getOrElse(
+                leafRel, (0L, Array.fill[Option[(Long, Long)]](
+                  statsCols.size)(None),
+                  Array.fill(statsCols.size)(false)))
+              var rows = 0L
+              val bounds = pstats.clone()
+              val bad = pbad.clone()
+              reader.getFooter.getBlocks.forEach { b =>
+                rows += b.getRowCount
+                b.getColumns.forEach { cc =>
+                  val i = statsCols.indexOf(cc.getPath.toDotString)
+                  if (i >= 0 && b.getRowCount > 0 && !bad(i)) {
+                    import org.apache.parquet.column.statistics._
+                    val mm: Either[Unit, Option[(Long, Long)]] =
+                      cc.getStatistics match {
+                        case s: LongStatistics if !s.isEmpty &&
+                              s.isNumNullsSet &&
+                              s.getNumNulls < b.getRowCount =>
+                          Right(Some((s.getMin, s.getMax)))
+                        case s: IntStatistics if !s.isEmpty &&
+                              s.isNumNullsSet &&
+                              s.getNumNulls < b.getRowCount =>
+                          Right(Some((s.getMin.toLong, s.getMax.toLong)))
+                        case s if s != null && !s.isEmpty &&
+                              s.isNumNullsSet &&
+                              s.getNumNulls == b.getRowCount =>
+                          Right(None) // all-null block: no bound
+                        case _ => Left(()) // unusable stats: poison
+                      }
+                    mm match {
+                      case Left(_) =>
+                        bad(i) = true; bounds(i) = None
+                      case Right(None) => ()
+                      case Right(Some((l2, h2))) =>
+                        bounds(i) = bounds(i) match {
+                          case Some((lo, hi)) =>
+                            Some((math.min(lo, l2), math.max(hi, h2)))
+                          case None => Some((l2, h2))
+                        }
+                    }
+                  }
+                }
+              }
+              bad.indices.foreach(i => if (bad(i)) bounds(i) = None)
+              footerLeafStats(leafRel) = (pr + rows, bounds, bad)
+            } finally reader.close()
+          }
         }
       }
       (acc.toMap, cnt.toMap)
     }
-    val statRowsFinal = collectedStatRows
+    val statRowsFinal =
+      if (!footerStatsSafe) collectedStatRows
+      else {
+        val unesc = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName _
+        footerLeafStats.toSeq.sortBy(_._1).map { case (leaf, (rows,
+            bounds, _)) =>
+          val segs = leaf.split('/')
+          val shard = segs.last.stripPrefix("shard=").toLong
+          val partVals = segs.dropRight(1).zip(partCols).map {
+            case (seg, c) =>
+              require(seg.startsWith(s"$c="),
+                s"writeShardedTable: unexpected leaf segment $seg " +
+                  s"under $dataDir")
+              val raw = seg.drop(c.length + 1)
+              // a null or empty partition value lands on disk as the
+              // default-partition directory — reject it as loudly as
+              // the cache/read-back paths do
+              require(raw != org.apache.spark.sql.catalyst.catalog
+                  .ExternalCatalogUtils.DEFAULT_PARTITION_NAME,
+                "writeShardedTable: partition column values must be " +
+                  "non-null and non-empty")
+              unesc(raw)
+          }
+          val statVals = statsCols.indices.flatMap { i =>
+            statsCols(i) match {
+              case c if partCols.contains(c) =>
+                // a stats column that is also a partition column:
+                // its per-leaf value is the directory name's
+                val v = scala.util.Try(partVals(
+                  partCols.indexOf(c)).trim.toLong).toOption
+                Seq(v.map(java.lang.Long.valueOf).orNull,
+                  v.map(java.lang.Long.valueOf).orNull)
+              case _ =>
+                Seq(bounds(i).map(b =>
+                    java.lang.Long.valueOf(b._1)).orNull,
+                  bounds(i).map(b =>
+                    java.lang.Long.valueOf(b._2)).orNull)
+            }
+          }
+          org.apache.spark.sql.Row.fromSeq(
+            Seq(shard: java.lang.Long) ++ partVals ++
+              Seq(rows: java.lang.Long) ++ statVals)
+        }.toArray
+      }
     statRowsFinal.foreach { r =>
       partCols.indices.foreach { i =>
         require(!r.isNullAt(1 + i),
@@ -1752,15 +1881,22 @@ object Sources {
       (partCols.zip(partVals).map { case (c, pv) =>
         s"$c=${esc(pv)}" } :+ s"shard=${r.getLong(0)}").mkString("/")
     }
-    // post-write COMMIT INVARIANT for the cache-stats path (committer
-    // v2 + cache-derived stats ship without v1's job-commit and the
-    // file read-back safety nets): the leaves the stats claim and the
-    // leaves on disk must agree EXACTLY, with exactly one part file
-    // per leaf — each leaf is written by exactly one task of the
-    // explicit shard repartition, so a retried or speculative task's
-    // duplicate/partial v2 output, or a partition value whose on-disk
-    // escaping diverged from the cache's string form, fails the
-    // commit loudly BEFORE the manifest makes the snapshot visible.
+    // post-write COMMIT INVARIANTS (committer v2 ships without v1's
+    // job-commit safety net): exactly one part file per leaf — each
+    // leaf is written by exactly one task of the explicit shard
+    // repartition, so a retried or speculative task's duplicate v2
+    // output fails the commit loudly BEFORE the manifest publishes.
+    // Cache-stats path additionally checks the stats' leaf set equals
+    // the on-disk one (a diverged partition-value escaping); footer-
+    // stats path instead checks the files' TOTAL ROW COUNT equals the
+    // cumsum total (a torn/partial task left rows missing on disk).
+    if (cacheStatsThunk.isDefined || footerStatsSafe) {
+      val multi = filesByLeaf.filter(_._2 != 1L)
+      require(multi.isEmpty,
+        s"writeShardedTable: ${multi.size} leaf dir(s) at $dataDir " +
+          s"hold more than one part file (duplicate task commit?): " +
+          s"${multi.keys.toSeq.sorted.take(5).mkString(",")}")
+    }
     if (cacheStatsThunk.isDefined) {
       val claimed = statRowsFinal.map(leafOf).toSet
       val onDisk = filesByLeaf.keySet
@@ -1769,11 +1905,12 @@ object Sources {
           s"stats-only: ${(claimed -- onDisk).toSeq.sorted.take(5)
             .mkString(",")}; disk-only: ${(onDisk -- claimed).toSeq
             .sorted.take(5).mkString(",")}")
-      val multi = filesByLeaf.filter(_._2 != 1L)
-      require(multi.isEmpty,
-        s"writeShardedTable: ${multi.size} leaf dir(s) at $dataDir " +
-          s"hold more than one part file (duplicate task commit?): " +
-          s"${multi.keys.toSeq.sorted.take(5).mkString(",")}")
+    }
+    if (footerStatsSafe) {
+      val total = footerLeafStats.valuesIterator.map(_._1).sum
+      require(total == n,
+        s"writeShardedTable: footer row total $total != cumsum " +
+          s"total $n at $dataDir — torn or duplicate task output")
     }
     val newRowsSchema = {
       import org.apache.spark.sql.types.{LongType, StringType,

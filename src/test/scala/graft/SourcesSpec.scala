@@ -3188,6 +3188,53 @@ class SourcesSpec extends AnyFunSuite {
     Sources.dropShardedTable(spark, path)
   }
 
+  test("FOOTER-derived manifest stats equal the recomputed per-leaf " +
+       "truth: exact bounds, null bounds for all-null leaves, " +
+       "partition-valued stats columns, audit containment clean") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shfooter").toString
+    // score is null on an entire leading id range, so at least one
+    // shard's score stats must come out null (all-null leaf bounds)
+    val docs = spark.range(400).select(col("id").as("doc_id"),
+      when(col("id") < 100, lit(null).cast("long"))
+        .otherwise(col("id") * 7).as("score"),
+      (col("id") % 3).cast("int").as("grp"))
+    Sources.writeShardedTable(docs, col("doc_id"), col("doc_id"),
+      path, numShards = 4, statsCols = Seq("doc_id", "score", "grp"),
+      partitionCols = Seq("grp"))
+    val mf = Sources.shardedManifest(spark, path)
+      .filter(col("kind") === "data")
+      .select("leaf", "n_rows", "min_doc_id", "max_doc_id",
+        "min_score", "max_score", "min_grp", "max_grp", "data_dir")
+      .collect()
+    assert(mf.nonEmpty)
+    val dd = mf.head.getString(8)
+    mf.foreach { r =>
+      val leaf = r.getString(0)
+      val actual = spark.read.parquet(s"$dd/$leaf")
+        .agg(count(lit(1)), min(col("doc_id")), max(col("doc_id")),
+          min(col("score")), max(col("score"))).head()
+      assert(r.getLong(1) == actual.getLong(0), s"n_rows $leaf")
+      assert(r.getLong(2) == actual.getLong(1) &&
+        r.getLong(3) == actual.getLong(2), s"doc_id bounds $leaf")
+      // score: null manifest bound iff the leaf has no non-null score
+      if (actual.isNullAt(3))
+        assert(r.isNullAt(4) && r.isNullAt(5), s"score null $leaf")
+      else
+        assert(r.getLong(4) == actual.getLong(3) &&
+          r.getLong(5) == actual.getLong(4), s"score bounds $leaf")
+      // grp is a partition column used as a stats column: bounds are
+      // the leaf's own partition value
+      val g = leaf.split('/').head.stripPrefix("grp=").toLong
+      assert(r.getLong(6) == g && r.getLong(7) == g, s"grp $leaf")
+    }
+    // the audit recomputes and demands containment — footer stats
+    // must satisfy it exactly
+    assert(Sources.auditShardedTable(spark, path).count() == 0L)
+    Sources.dropShardedTable(spark, path)
+  }
+
   test("audit fast path DECODES tombstone key pages: a key file with " +
        "corrupt data pages but an intact footer is reported") {
     import org.apache.spark.sql.functions._
